@@ -1,13 +1,671 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.{functions => F}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.types._
+import graft.api._
+import graft.api.Operations._
+import graft.functions.{Dedup, Multimodal, Similarity, Text}
+import graft.drpc.LocalDRPC
+
+/** Driver contract: the judged operator inventory (SURVEY.md §2) expressed
+  * as oracle-checkable queries over the driver testdata, each built through
+  * the engine's fluent API (`graft.api.Stream` — the Trident-surface
+  * analog).
+  *
+  * Numeric outputs are BIGINT or DOUBLE on both engines; money sums go
+  * through exact per-row integer cents so Spark and the DuckDB oracle agree
+  * bit-for-bit regardless of accumulation order.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  private def table(s: SparkSession, dir: String, name: String): DataFrame =
+    s.read.parquet(s"$dir/$name.parquet")
+
+  /** events.parquet carries TIMESTAMP(NANOS), which Spark's parquet reader
+    * rejects; read nanos-as-long (exact — and ns ordering/arithmetic then
+    * matches the DuckDB oracle's TIMESTAMP_NS precision bit-for-bit). */
+  private def events(s: SparkSession, dir: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    s.read.parquet(s"$dir/events.parquet")
+  }
+  private def st(df: DataFrame): Stream = new Stream(df)
+
+  /** Exact cents from a dollar double: round half-up per row, then integer
+    * sums are order-independent. */
+  private def cents(c: Column): Column = F.round(c * 100).cast("long")
+
+  // ---- user-operation implementations exercised by the queries ----
+
+  /** Port of the canonical Split function (`trident/testing/Split.java:25-33`)
+    * at the Row tier (the Column tier `flatEach(split(...))` is the fast
+    * path, also exercised below). */
+  object SplitFn extends RowFunction {
+    def execute(in: Seq[Any]): Iterator[Seq[Any]] =
+      in.head.toString.split(" ").iterator.filter(_.nonEmpty).map(w => Seq(w))
+  }
+
+  object MaxDoubleAgg extends CombinerAggregator[Double] {
+    def init(t: Seq[Any]): Double = t.head.asInstanceOf[Number].doubleValue()
+    def combine(a: Double, b: Double): Double = math.max(a, b)
+    def zero: Double = Double.NegativeInfinity
+  }
+
+  object CountReducer extends ReducerAggregator[Long] {
+    def init(): Long = 0L
+    def reduce(acc: Long, t: Seq[Any]): Long = acc + 1
+  }
+
+  /** Per-key count inside one partition — used with `partitionBy` to show
+    * partition-local aggregation composing to a global result. */
+  object PerKeyCount extends FullAggregator[scala.collection.mutable.HashMap[Any, Long]] {
+    def init() = scala.collection.mutable.HashMap.empty[Any, Long]
+    def aggregate(s: scala.collection.mutable.HashMap[Any, Long], t: Seq[Any]) = {
+      s(t.head) = s.getOrElse(t.head, 0L) + 1L; s
+    }
+    def complete(s: scala.collection.mutable.HashMap[Any, Long]): Iterator[Seq[Any]] =
+      s.iterator.map { case (k, v) => Seq(k, v) }
+  }
+
+  /** GroupedMultiReducer counting per stream index (clicks vs purchases). */
+  object ClickPurchaseReducer extends GroupedMultiReducer[(Long, Long)] {
+    def init(group: Seq[Any]): (Long, Long) = (0L, 0L)
+    def execute(s: (Long, Long), idx: Int, t: Seq[Any]): (Long, Long) =
+      if (idx == 0) (s._1 + 1, s._2) else (s._1, s._2 + 1)
+    def complete(s: (Long, Long), group: Seq[Any]): Iterator[Seq[Any]] =
+      Iterator(Seq(s._1, s._2))
+  }
+
+  // ---- shared sub-plans ----
+
+  private def wordCounts(s: SparkSession, dir: String): DataFrame =
+    st(table(s, dir, "documents"))
+      .project(Fields("doc_id", "text"))
+      .flatEach(Text.tokens(F.col("text")), "word")
+      .groupBy(Fields("word"))
+      .aggregate(F.count(F.lit(1)).as("cnt"))
+      .toDF
+
+  private def queryVec(s: SparkSession, dir: String): Seq[Double] =
+    table(s, dir, "embeddings").where(F.col("vec_id") === 0)
+      .select("embedding").head.getSeq[Float](0).map(_.toDouble)
+
+  /** Flagship query (driver smoke-checks rows > 0 on sf0.001). */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    queries("q11_tpch_q1")(spark, "/root/testdata/sf0.001")
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // ---------------- §2.3 projection / functions / filters ----------------
+
+    "q01_project" -> ((s, dir) =>
+      st(table(s, dir, "lineitem"))
+        .project(Fields("l_orderkey", "l_linenumber", "l_quantity", "l_returnflag"))
+        .toDF.orderBy("l_orderkey", "l_linenumber")),
+
+    "q02_each_function" -> ((s, dir) =>
+      st(table(s, dir, "lineitem"))
+        .each(Fields("l_extendedprice", "l_discount"),
+          new ColumnFunction {
+            def exprs(in: Seq[Column]): Seq[Column] =
+              Seq(cents(in(0) * (F.lit(1) - in(1))))
+          },
+          Fields("revenue_cents"))
+        .project(Fields("l_orderkey", "l_linenumber", "revenue_cents"))
+        .toDF.orderBy("l_orderkey", "l_linenumber")),
+
+    "q03_each_split" -> ((s, dir) =>
+      st(table(s, dir, "documents"))
+        .project(Fields("doc_id", "text"))
+        .each(Fields("text"), SplitFn, Seq(StructField("word", StringType)))
+        .project(Fields("doc_id", "word"))
+        .toDF.orderBy("doc_id", "word")),
+
+    "q04_filter" -> ((s, dir) =>
+      st(events(s, dir))
+        .where(F.col("event_type") === "purchase" && F.col("value") > 100)
+        .project(Fields("event_id", "user_id", "value"))
+        .toDF.orderBy("event_id")),
+
+    "q05_equals" -> ((s, dir) =>
+      st(table(s, dir, "lineitem"))
+        .equalFields(Fields("l_discount", "l_tax"))
+        .groupBy(Fields("l_returnflag"))
+        .aggregate(F.count(F.lit(1)).as("cnt"))
+        .toDF.orderBy("l_returnflag")),
+
+    "q06_negate" -> ((s, dir) =>
+      st(events(s, dir))
+        .where(Operations.negate(F.col("event_type") === "click"))
+        .groupBy(Fields("event_type"))
+        .aggregate(F.count(F.lit(1)).as("cnt"))
+        .toDF.orderBy("event_type")),
+
+    "q07_statequery_filternull" -> ((s, dir) => {
+      val customers = StaticState(table(s, dir, "customer"),
+        Fields("c_custkey"), Fields("c_mktsegment"))
+      st(events(s, dir))
+        .project(Fields("user_id"))
+        .stateQuery(customers, Fields("user_id"), Fields("segment"))
+        .filterNull(Fields("segment"))
+        .groupBy(Fields("segment"))
+        .aggregate(F.count(F.lit(1)).as("cnt"))
+        .toDF.orderBy("segment")
+    }),
+
+    // ---------------- §2.4 partitioning + §2.5 aggregation ----------------
+
+    "q08_partition_agg" -> ((s, dir) =>
+      st(events(s, dir))
+        .project(Fields("user_id"))
+        .partitionBy(Fields("user_id"))
+        .partitionAggregate(Fields("user_id"), PerKeyCount,
+          Seq(StructField("user_id", LongType), StructField("cnt", LongType)))
+        .toDF.orderBy("user_id")),
+
+    "q09_global_count" -> ((s, dir) =>
+      st(table(s, dir, "lineitem"))
+        .aggregate(Fields("l_orderkey"), CountAgg, StructField("cnt", LongType))
+        .toDF),
+
+    "q10_sum" -> ((s, dir) =>
+      st(table(s, dir, "lineitem"))
+        .each(Fields("l_quantity"), new ColumnFunction {
+          def exprs(in: Seq[Column]): Seq[Column] = Seq(in.head.cast("long"))
+        }, Fields("qty_long"))
+        .aggregate(Fields("qty_long"), new SumLongAgg(0), StructField("sum_qty", LongType))
+        .toDF),
+
+    "q11_tpch_q1" -> ((s, dir) =>
+      st(table(s, dir, "lineitem"))
+        .where(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
+        .groupBy(Fields("l_returnflag", "l_linestatus"))
+        .aggregate(
+          F.sum(F.col("l_quantity").cast("long")).as("sum_qty"),
+          F.sum(cents(F.col("l_extendedprice"))).as("sum_base_cents"),
+          F.sum(cents(F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount")))).as("sum_disc_cents"),
+          F.count(F.lit(1)).as("cnt"))
+        .toDF.orderBy("l_returnflag", "l_linestatus")),
+
+    "q12_chained_agg" -> ((s, dir) =>
+      st(events(s, dir))
+        .groupBy(Fields("event_type"))
+        .aggregate(
+          F.count(F.lit(1)).as("cnt"),
+          F.sum(cents(F.col("value"))).as("sum_cents"),
+          F.min(F.col("value")).as("min_value"),
+          F.max(F.col("value")).as("max_value"))
+        .toDF.orderBy("event_type")),
+
+    "q13_combiner_spi" -> ((s, dir) =>
+      st(table(s, dir, "orders"))
+        .groupBy(Fields("o_orderpriority"))
+        .aggregate(Fields("o_totalprice"), MaxDoubleAgg,
+          StructField("max_price", DoubleType))
+        .toDF.orderBy("o_orderpriority")),
+
+    "q14_reducer_spi" -> ((s, dir) =>
+      st(table(s, dir, "orders"))
+        .groupBy(Fields("o_orderstatus"))
+        .aggregate(Fields("o_orderkey"), CountReducer, StructField("cnt", LongType))
+        .toDF.orderBy("o_orderstatus")),
+
+    "q15_full_agg_spi" -> ((s, dir) =>
+      st(table(s, dir, "customer"))
+        .groupBy(Fields("c_mktsegment"))
+        .aggregate(Fields("c_custkey"), CountAsAggregator,
+          Seq(StructField("cnt", LongType)))
+        .toDF.orderBy("c_mktsegment")),
+
+    // ---------------- §2.2/§2.9 state: word count + lookups ----------------
+
+    "q16_wordcount" -> ((s, dir) =>
+      wordCounts(s, dir).orderBy("word")),
+
+    "q17_drpc_wordcount" -> ((s, dir) => {
+      // the reference's canonical DRPC pipeline (integration_test.clj:55-86):
+      // split(args) → stateQuery(word-counts, MapGet) → FilterNull → Sum
+      val drpc = new LocalDRPC(s)
+      val state = StaticState(wordCounts(s, dir), Fields("word"), Fields("cnt"))
+      drpc.register("words", args => {
+        import s.implicits._
+        val argWords = s.createDataset(args.split(" ").toSeq).toDF("word")
+        st(argWords)
+          .stateQuery(state, Fields("word"), Fields("cnt"))
+          .filterNull(Fields("cnt"))
+          .aggregate(F.sum("cnt").as("total"))
+          .toDF
+      })
+      drpc.executeDF("words", "the data spark batch window")
+    }),
+
+    "q18_snapshot_get" -> ((s, dir) => {
+      val ev = events(s, dir)
+      val totalState = StaticState(
+        ev.agg(F.count(F.lit(1)).as("total")), Fields(), Fields("total"))
+      st(ev.select("event_type").distinct())
+        .snapshotQuery(totalState, Fields("total"))
+        .toDF.orderBy("event_type")
+    }),
+
+    "q19_state_scan" -> ((s, dir) => {
+      val state = StaticState(wordCounts(s, dir), Fields("word"), Fields("cnt"))
+      state.scan.where(F.col("cnt") >= 100).toDF.orderBy("word")
+    }),
+
+    // ---------------- §2.6 joins / merge / multiReduce ----------------
+
+    "q20_join_inner" -> ((s, dir) => {
+      val orders = st(table(s, dir, "orders"))
+        .project(Fields("o_orderkey", "o_orderpriority"))
+      val li = st(table(s, dir, "lineitem"))
+        .project(Fields("l_orderkey", "l_linenumber", "l_quantity"))
+      orders.join(li, Fields("o_orderkey"), Fields("l_orderkey"),
+          Fields("orderkey", "priority", "linenumber", "qty"))
+        .toDF.orderBy("orderkey", "linenumber")
+    }),
+
+    "q21_join_outer" -> ((s, dir) => {
+      val open = st(table(s, dir, "orders"))
+        .where(F.col("o_orderstatus") === "O")
+        .project(Fields("o_orderkey", "o_totalprice"))
+      val lines = st(table(s, dir, "lineitem"))
+        .groupBy(Fields("l_orderkey"))
+        .aggregate(F.count(F.lit(1)).as("n_lines"))
+      open.join(lines, Fields("o_orderkey"), Fields("l_orderkey"),
+          Fields("orderkey", "totalprice", "n_lines"), "full_outer")
+        .toDF.orderBy("orderkey")
+    }),
+
+    "q22_merge" -> ((s, dir) => {
+      val ev = events(s, dir)
+      val clicks = st(ev).where(F.col("event_type") === "click")
+        .project(Fields("event_id", "user_id", "value"))
+      val purchases = st(ev).where(F.col("event_type") === "purchase")
+        .project(Fields("event_id", "user_id", "value"))
+      clicks.merge(purchases).toDF.orderBy("event_id")
+    }),
+
+    "q23_multireduce" -> ((s, dir) => {
+      val ev = events(s, dir)
+      val clicks = st(ev).where(F.col("event_type") === "click")
+        .project(Fields("user_id", "event_id"))
+      val purchases = st(ev).where(F.col("event_type") === "purchase")
+        .project(Fields("user_id", "event_id"))
+      clicks.multiReduce(purchases, Fields("user_id"), Fields("user_id"),
+          ClickPurchaseReducer,
+          Seq(StructField("n_clicks", LongType), StructField("n_purchases", LongType)))
+        .toDF.orderBy("user_id")
+    }),
+
+    // ---------------- §2.7 top-K + window parity ----------------
+
+    "q24_firstn" -> ((s, dir) =>
+      st(table(s, dir, "orders"))
+        .project(Fields("o_orderkey", "o_totalprice"))
+        .firstN(10, "o_totalprice", reverse = true, tieBreak = Seq("o_orderkey"))
+        .toDF.orderBy(F.col("o_totalprice").desc, F.col("o_orderkey"))),
+
+    "q25_firstn_grouped" -> ((s, dir) =>
+      st(table(s, dir, "customer"))
+        .project(Fields("c_mktsegment", "c_custkey", "c_acctbal"))
+        .groupBy(Fields("c_mktsegment"))
+        .firstN(3, "c_acctbal", reverse = true, tieBreak = Seq("c_custkey"))
+        .toDF.orderBy(F.col("c_mktsegment"), F.col("c_acctbal").desc, F.col("c_custkey"))),
+
+    "q26_intersect" -> ((s, dir) =>
+      st(table(s, dir, "customer").select(F.col("c_nationkey").cast("long").as("nationkey")))
+        .intersect(st(table(s, dir, "supplier").select(F.col("s_nationkey").cast("long").as("nationkey"))))
+        .toDF.orderBy("nationkey")),
+
+    "q27_except" -> ((s, dir) =>
+      st(table(s, dir, "customer").select(F.col("c_custkey").as("custkey")))
+        .except(st(events(s, dir).select(F.col("user_id").as("custkey"))))
+        .toDF.orderBy("custkey")),
+
+    "q28_broadcast_join" -> ((s, dir) => {
+      val li = st(table(s, dir, "lineitem"))
+        .each(Fields("l_extendedprice", "l_discount"), new ColumnFunction {
+          def exprs(in: Seq[Column]): Seq[Column] =
+            Seq(cents(in(0) * (F.lit(1) - in(1))))
+        }, Fields("revenue_cents"))
+        .project(Fields("l_partkey", "revenue_cents"))
+      val parts = st(table(s, dir, "part"))
+        .where(F.col("p_size") > 40)
+        .project(Fields("p_partkey", "p_brand"))
+        .broadcastHint()
+      li.join(parts, Fields("l_partkey"), Fields("p_partkey"),
+          Fields("partkey", "revenue_cents", "brand"))
+        .groupBy(Fields("brand"))
+        .aggregate(F.sum("revenue_cents").as("revenue_cents"))
+        .toDF.orderBy("brand")
+    }),
+
+    "q29_running_sum" -> ((s, dir) => {
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      events(s, dir)
+        .select(F.col("event_id"), F.col("user_id"),
+          F.sum(cents(F.col("value"))).over(w).as("cum_cents"))
+        .orderBy("user_id", "event_id")
+    }),
+
+    "q30_lag" -> ((s, dir) => {
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      events(s, dir)
+        .select(F.col("event_id"), F.col("user_id"),
+          F.lag("event_id", 1).over(w).as("prev_event_id"))
+        .orderBy("user_id", "event_id")
+    }),
+
+    "q31_tumbling_hour" -> ((s, dir) =>
+      events(s, dir)
+        .groupBy(F.expr("CAST(ts DIV 3600000000000 AS BIGINT) * 3600").as("hour_epoch"))
+        .agg(F.count(F.lit(1)).as("cnt"), F.sum(cents(F.col("value"))).as("sum_cents"))
+        .orderBy("hour_epoch")),
+
+    // ---------------- LLM-pipeline extensions ----------------
+
+    "q32_dedup_exact" -> ((s, dir) =>
+      Dedup.exactDupGroups(table(s, dir, "documents"), "doc_id", "text")
+        .select(F.col("fp"), F.col("canonical_id"), F.col("n_copies"))
+        .orderBy("fp")),
+
+    "q33_text_stats" -> ((s, dir) =>
+      table(s, dir, "documents")
+        .select(F.col("doc_id"),
+          Text.tokenCount(F.col("text")).cast("long").as("n_tokens"),
+          Text.distinctTokenCount(F.col("text")).cast("long").as("n_distinct"),
+          Text.nChars(F.col("text")).as("n_chars"))
+        .orderBy("doc_id")),
+
+    "q34_text_quality" -> ((s, dir) =>
+      table(s, dir, "documents")
+        .select(F.col("doc_id"),
+          Text.punctCount(F.col("text")).as("n_punct"),
+          Text.digitCount(F.col("text")).as("n_digits"),
+          Text.qualityKeep(F.col("text")).as("keep"))
+        .orderBy("doc_id")),
+
+    "q35_langid" -> ((s, dir) =>
+      table(s, dir, "documents")
+        .select(F.col("doc_id"), Text.langIdGuess(F.col("text")).as("lang_guess"))
+        .orderBy("doc_id")),
+
+    "q36_minhash" -> ((s, dir) =>
+      Dedup.minhashSignature(
+          table(s, dir, "documents")
+            .where(Text.tokenCount(F.col("text")) >= 3),
+          "text", 3, 2)
+        .select("doc_id", "mh0", "mh1")
+        .orderBy("doc_id")),
+
+    "q37_lsh_bands" -> ((s, dir) =>
+      Dedup.lshBands(
+          Dedup.minhashSignature(
+            table(s, dir, "documents").where(Text.tokenCount(F.col("text")) >= 3),
+            "text", 3, 4),
+          4, 2)
+        .select("doc_id", "band0", "band1")
+        .orderBy("doc_id")),
+
+    "q38_simhash" -> ((s, dir) =>
+      // no SQL oracle (xxhash64 is Spark-specific) → rows-only check
+      table(s, dir, "documents")
+        .select(F.col("doc_id"), Dedup.simhash64(F.col("text")).as("simhash"))
+        .orderBy("doc_id")),
+
+    "q39_jaccard_pairs" -> ((s, dir) =>
+      Dedup.nearDupPairs(
+          table(s, dir, "documents").where(Text.tokenCount(F.col("text")) >= 3),
+          "doc_id", "text", k = 3, numHashes = 4, rowsPerBand = 2, threshold = 0.05)
+        .orderBy("a", "b")),
+
+    "q40_cosine_topk" -> ((s, dir) =>
+      Similarity.bruteForceTopK(table(s, dir, "embeddings"), "embedding", "vec_id",
+          queryVec(s, dir), 10)
+        .orderBy(F.col("score").desc, F.col("vec_id"))),
+
+    "q41_ivf_assign" -> ((s, dir) => {
+      val emb = table(s, dir, "embeddings")
+      val centroids = emb.where(F.col("vec_id") < 8)
+      Similarity.ivfAssign(emb, "embedding", "vec_id", centroids, "vec_id", "embedding")
+        .select(F.col("vec_id"), F.col("cell"))
+        .orderBy("vec_id")
+    }),
+
+    "q42_ivf_topk" -> ((s, dir) => {
+      val emb = table(s, dir, "embeddings")
+      val centroids = emb.where(F.col("vec_id") < 8)
+      val assigned = Similarity.ivfAssign(emb, "embedding", "vec_id",
+          centroids, "vec_id", "embedding")
+        .select("vec_id", "cell")
+        .join(emb.select("vec_id", "embedding"), "vec_id")
+      Similarity.ivfTopK(assigned, "embedding", "vec_id",
+          centroids, "vec_id", "embedding", queryVec(s, dir), 10, 2)
+        .orderBy(F.col("score").desc, F.col("vec_id"))
+    }),
+
+    "q43_multimodal" -> ((s, dir) => {
+      val withPayload = Multimodal.withMeta(
+        table(s, dir, "documents")
+          .select(F.col("doc_id"), Multimodal.fakePayload(F.col("text")).as("payload")),
+        "payload", "text/fake")
+      Multimodal.decodeFeatures(withPayload, "payload")
+        .select(F.col("doc_id"), F.col("n_bytes"), F.col("sum_bytes"),
+          F.col("first_byte").cast("long").as("first_byte"),
+          F.col("meta.checksum").as("checksum"))
+        .orderBy("doc_id")
+    }),
+
+    "q44_json_extract" -> ((s, dir) =>
+      events(s, dir)
+        .groupBy("event_type")
+        .agg(F.sum(F.get_json_object(F.col("props"), "$.k").cast("long")).as("sum_k"),
+          F.count(F.lit(1)).as("cnt"))
+        .orderBy("event_type")),
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "q01_project" ->
+      "SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag FROM lineitem ORDER BY 1, 2",
+    "q02_each_function" ->
+      "SELECT l_orderkey, l_linenumber, CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT) AS revenue_cents FROM lineitem ORDER BY 1, 2",
+    "q03_each_split" ->
+      "SELECT doc_id, word FROM (SELECT doc_id, unnest(list_filter(string_split(text, ' '), x -> x != '')) AS word FROM documents) ORDER BY 1, 2",
+    "q04_filter" ->
+      "SELECT event_id, user_id, value FROM events WHERE event_type = 'purchase' AND value > 100 ORDER BY 1",
+    "q05_equals" ->
+      "SELECT l_returnflag, CAST(count(*) AS BIGINT) AS cnt FROM lineitem WHERE l_discount = l_tax GROUP BY 1 ORDER BY 1",
+    "q06_negate" ->
+      "SELECT event_type, CAST(count(*) AS BIGINT) AS cnt FROM events WHERE NOT event_type = 'click' GROUP BY 1 ORDER BY 1",
+    "q07_statequery_filternull" ->
+      "SELECT c.c_mktsegment AS segment, CAST(count(*) AS BIGINT) AS cnt FROM events e JOIN customer c ON e.user_id = c.c_custkey GROUP BY 1 ORDER BY 1",
+    "q08_partition_agg" ->
+      "SELECT user_id, CAST(count(*) AS BIGINT) AS cnt FROM events GROUP BY 1 ORDER BY 1",
+    "q09_global_count" ->
+      "SELECT CAST(count(*) AS BIGINT) AS cnt FROM lineitem",
+    "q10_sum" ->
+      "SELECT CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty FROM lineitem",
+    "q11_tpch_q1" ->
+      """SELECT l_returnflag, l_linestatus,
+         CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+         CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS sum_base_cents,
+         CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS BIGINT) AS sum_disc_cents,
+         CAST(count(*) AS BIGINT) AS cnt
+         FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+         GROUP BY 1, 2 ORDER BY 1, 2""",
+    "q12_chained_agg" ->
+      """SELECT event_type, CAST(count(*) AS BIGINT) AS cnt,
+         CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents,
+         min(value) AS min_value, max(value) AS max_value
+         FROM events GROUP BY 1 ORDER BY 1""",
+    "q13_combiner_spi" ->
+      "SELECT o_orderpriority, max(o_totalprice) AS max_price FROM orders GROUP BY 1 ORDER BY 1",
+    "q14_reducer_spi" ->
+      "SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS cnt FROM orders GROUP BY 1 ORDER BY 1",
+    "q15_full_agg_spi" ->
+      "SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS cnt FROM customer GROUP BY 1 ORDER BY 1",
+    "q16_wordcount" ->
+      "SELECT word, CAST(count(*) AS BIGINT) AS cnt FROM (SELECT unnest(list_filter(string_split(text, ' '), x -> x != '')) AS word FROM documents) GROUP BY 1 ORDER BY 1",
+    "q17_drpc_wordcount" ->
+      """SELECT CAST(sum(cnt) AS BIGINT) AS total FROM (
+           SELECT word, count(*) AS cnt FROM (SELECT unnest(list_filter(string_split(text, ' '), x -> x != '')) AS word FROM documents) GROUP BY 1
+         ) WHERE word IN ('the', 'data', 'spark', 'batch', 'window')""",
+    "q18_snapshot_get" ->
+      "SELECT event_type, (SELECT CAST(count(*) AS BIGINT) FROM events) AS total FROM (SELECT DISTINCT event_type FROM events) ORDER BY 1",
+    "q19_state_scan" ->
+      "SELECT word, cnt FROM (SELECT word, CAST(count(*) AS BIGINT) AS cnt FROM (SELECT unnest(list_filter(string_split(text, ' '), x -> x != '')) AS word FROM documents) GROUP BY 1) WHERE cnt >= 100 ORDER BY 1",
+    "q20_join_inner" ->
+      """SELECT o_orderkey AS orderkey, o_orderpriority AS priority, l_linenumber AS linenumber, l_quantity AS qty
+         FROM orders JOIN lineitem ON o_orderkey = l_orderkey ORDER BY 1, 3""",
+    "q21_join_outer" ->
+      """SELECT COALESCE(o.o_orderkey, l.l_orderkey) AS orderkey, o.o_totalprice AS totalprice, l.n_lines
+         FROM (SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderstatus = 'O') o
+         FULL OUTER JOIN (SELECT l_orderkey, CAST(count(*) AS BIGINT) AS n_lines FROM lineitem GROUP BY 1) l
+         ON o.o_orderkey = l.l_orderkey ORDER BY 1""",
+    "q22_merge" ->
+      "SELECT event_id, user_id, value FROM events WHERE event_type IN ('click', 'purchase') ORDER BY 1",
+    "q23_multireduce" ->
+      """SELECT user_id,
+         CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS n_clicks,
+         CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_purchases
+         FROM events WHERE event_type IN ('click', 'purchase') GROUP BY 1 ORDER BY 1""",
+    "q24_firstn" ->
+      "SELECT o_orderkey, o_totalprice FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 10",
+    "q25_firstn_grouped" ->
+      """SELECT c_mktsegment, c_custkey, c_acctbal FROM (
+           SELECT c_mktsegment, c_custkey, c_acctbal,
+                  row_number() OVER (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey) AS rn
+           FROM customer) WHERE rn <= 3
+         ORDER BY c_mktsegment, c_acctbal DESC, c_custkey""",
+    "q26_intersect" ->
+      "SELECT CAST(c_nationkey AS BIGINT) AS nationkey FROM customer INTERSECT SELECT CAST(s_nationkey AS BIGINT) FROM supplier ORDER BY 1",
+    "q27_except" ->
+      "SELECT c_custkey AS custkey FROM customer EXCEPT SELECT user_id FROM events ORDER BY 1",
+    "q28_broadcast_join" ->
+      """SELECT p_brand AS brand, CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS BIGINT) AS revenue_cents
+         FROM lineitem JOIN part ON l_partkey = p_partkey WHERE p_size > 40 GROUP BY 1 ORDER BY 1""",
+    "q29_running_sum" ->
+      """SELECT event_id, user_id,
+         CAST(sum(CAST(round(value * 100) AS BIGINT)) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_cents
+         FROM events ORDER BY user_id, event_id""",
+    "q30_lag" ->
+      """SELECT event_id, user_id, lag(event_id, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_event_id
+         FROM events ORDER BY user_id, event_id""",
+    "q31_tumbling_hour" ->
+      """SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_epoch, CAST(count(*) AS BIGINT) AS cnt,
+         CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents
+         FROM events GROUP BY 1 ORDER BY 1""",
+    "q32_dedup_exact" ->
+      """SELECT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp,
+         CAST(min(doc_id) AS BIGINT) AS canonical_id, CAST(count(*) AS BIGINT) AS n_copies
+         FROM documents GROUP BY 1 ORDER BY 1""",
+    "q33_text_stats" ->
+      """SELECT doc_id,
+         CAST(len(list_filter(string_split(text, ' '), x -> x != '')) AS BIGINT) AS n_tokens,
+         CAST(len(list_distinct(list_filter(string_split(text, ' '), x -> x != ''))) AS BIGINT) AS n_distinct,
+         CAST(length(text) AS BIGINT) AS n_chars
+         FROM documents ORDER BY 1""",
+    "q34_text_quality" ->
+      """SELECT doc_id,
+         CAST(length(regexp_replace(text, '[^[:punct:]]', '', 'g')) AS BIGINT) AS n_punct,
+         CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS BIGINT) AS n_digits,
+         (len(list_filter(string_split(text, ' '), x -> x != '')) BETWEEN 5 AND 100000
+          AND length(regexp_replace(text, '[^[:punct:]]', '', 'g')) * 1000 <= length(text) * 300) AS keep
+         FROM documents ORDER BY 1""",
+    "q35_langid" ->
+      """SELECT doc_id, CASE
+           WHEN s_de >= greatest(s_en, s_es, s_fr) THEN 'de'
+           WHEN s_en >= greatest(s_es, s_fr) THEN 'en'
+           WHEN s_es >= s_fr THEN 'es'
+           ELSE 'fr' END AS lang_guess
+         FROM (SELECT doc_id,
+           len(list_intersect(toks, ['der','die','und','das','ist','nicht','ein','ich','mit','zu'])) AS s_de,
+           len(list_intersect(toks, ['the','and','of','to','a','in','is','you','that','it'])) AS s_en,
+           len(list_intersect(toks, ['el','la','de','que','y','en','un','es','los','una'])) AS s_es,
+           len(list_intersect(toks, ['le','la','et','les','des','est','un','une','du','que'])) AS s_fr
+           FROM (SELECT doc_id, list_distinct(list_filter(string_split(lower(text), ' '), x -> x != '')) AS toks FROM documents))
+         ORDER BY 1""",
+    "q36_minhash" ->
+      """SELECT doc_id,
+         list_aggregate(list_transform(sh, x -> md5('0|' || x)), 'min') AS mh0,
+         list_aggregate(list_transform(sh, x -> md5('1|' || x)), 'min') AS mh1
+         FROM (SELECT doc_id, list_transform(generate_series(1, len(ws) - 2), i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]) AS sh
+               FROM (SELECT doc_id, list_filter(string_split(text, ' '), x -> x != '') AS ws FROM documents)
+               WHERE len(ws) >= 3)
+         ORDER BY 1""",
+    "q37_lsh_bands" ->
+      """SELECT doc_id, md5(mh0 || '|' || mh1) AS band0, md5(mh2 || '|' || mh3) AS band1
+         FROM (SELECT doc_id,
+           list_aggregate(list_transform(sh, x -> md5('0|' || x)), 'min') AS mh0,
+           list_aggregate(list_transform(sh, x -> md5('1|' || x)), 'min') AS mh1,
+           list_aggregate(list_transform(sh, x -> md5('2|' || x)), 'min') AS mh2,
+           list_aggregate(list_transform(sh, x -> md5('3|' || x)), 'min') AS mh3
+           FROM (SELECT doc_id, list_transform(generate_series(1, len(ws) - 2), i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]) AS sh
+                 FROM (SELECT doc_id, list_filter(string_split(text, ' '), x -> x != '') AS ws FROM documents)
+                 WHERE len(ws) >= 3))
+         ORDER BY 1""",
+    "q39_jaccard_pairs" ->
+      """WITH s AS (SELECT doc_id, list_transform(generate_series(1, len(ws) - 2), i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]) AS sh
+                    FROM (SELECT doc_id, list_filter(string_split(text, ' '), x -> x != '') AS ws FROM documents)
+                    WHERE len(ws) >= 3),
+         b AS (SELECT doc_id, sh,
+           md5(list_aggregate(list_transform(sh, x -> md5('0|' || x)), 'min') || '|' || list_aggregate(list_transform(sh, x -> md5('1|' || x)), 'min')) AS band0,
+           md5(list_aggregate(list_transform(sh, x -> md5('2|' || x)), 'min') || '|' || list_aggregate(list_transform(sh, x -> md5('3|' || x)), 'min')) AS band1
+           FROM s),
+         cand AS (
+           SELECT l.doc_id AS a, r.doc_id AS b FROM b l JOIN b r ON l.band0 = r.band0 AND l.doc_id < r.doc_id
+           UNION
+           SELECT l.doc_id AS a, r.doc_id AS b FROM b l JOIN b r ON l.band1 = r.band1 AND l.doc_id < r.doc_id)
+         SELECT c.a, c.b,
+           CAST(len(list_intersect(list_distinct(la.sh), list_distinct(lb.sh))) AS DOUBLE) /
+           CAST(len(list_distinct(list_concat(list_distinct(la.sh), list_distinct(lb.sh)))) AS DOUBLE) AS jaccard
+         FROM cand c JOIN b la ON c.a = la.doc_id JOIN b lb ON c.b = lb.doc_id
+         WHERE CAST(len(list_intersect(list_distinct(la.sh), list_distinct(lb.sh))) AS DOUBLE) /
+               CAST(len(list_distinct(list_concat(list_distinct(la.sh), list_distinct(lb.sh)))) AS DOUBLE) >= 0.05
+         ORDER BY 1, 2""",
+    "q40_cosine_topk" ->
+      """WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0)
+         SELECT e.vec_id,
+           list_dot_product(e.embedding::DOUBLE[], q.qv) /
+           (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[])) * sqrt(list_dot_product(q.qv, q.qv))) AS score
+         FROM embeddings e, q
+         ORDER BY score DESC, e.vec_id LIMIT 10""",
+    "q41_ivf_assign" ->
+      """WITH c AS (SELECT vec_id AS cid, embedding::DOUBLE[] AS cv FROM embeddings WHERE vec_id < 8)
+         SELECT vec_id, cell FROM (
+           SELECT e.vec_id, c.cid AS cell,
+             row_number() OVER (PARTITION BY e.vec_id ORDER BY
+               list_dot_product(e.embedding::DOUBLE[], c.cv) /
+               (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[])) * sqrt(list_dot_product(c.cv, c.cv))) DESC, c.cid) AS rn
+           FROM embeddings e, c)
+         WHERE rn = 1 ORDER BY vec_id""",
+    "q42_ivf_topk" ->
+      """WITH c AS (SELECT vec_id AS cid, embedding::DOUBLE[] AS cv FROM embeddings WHERE vec_id < 8),
+         q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),
+         probe AS (SELECT cid FROM c, q ORDER BY
+             list_dot_product(cv, qv) / (sqrt(list_dot_product(cv, cv)) * sqrt(list_dot_product(qv, qv))) DESC, cid LIMIT 2),
+         assign AS (SELECT vec_id, cell FROM (
+           SELECT e.vec_id, c.cid AS cell,
+             row_number() OVER (PARTITION BY e.vec_id ORDER BY
+               list_dot_product(e.embedding::DOUBLE[], c.cv) /
+               (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[])) * sqrt(list_dot_product(c.cv, c.cv))) DESC, c.cid) AS rn
+           FROM embeddings e, c) WHERE rn = 1)
+         SELECT a.vec_id,
+           list_dot_product(e.embedding::DOUBLE[], q.qv) /
+           (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[])) * sqrt(list_dot_product(q.qv, q.qv))) AS score
+         FROM assign a JOIN embeddings e ON a.vec_id = e.vec_id JOIN probe p ON a.cell = p.cid, q
+         ORDER BY score DESC, a.vec_id LIMIT 10""",
+    "q43_multimodal" ->
+      """SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+         CAST(list_sum(list_transform(regexp_extract_all(text, '.'), c -> unicode(c))) AS BIGINT) AS sum_bytes,
+         CAST(unicode(substr(text, 1, 1)) AS BIGINT) AS first_byte,
+         md5(text) AS checksum
+         FROM documents ORDER BY 1""",
+    "q44_json_extract" ->
+      """SELECT event_type, CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+         CAST(count(*) AS BIGINT) AS cnt FROM events GROUP BY 1 ORDER BY 1""",
+  )
 }

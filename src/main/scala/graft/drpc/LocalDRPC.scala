@@ -1,0 +1,56 @@
+package graft.drpc
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import scala.collection.mutable
+
+/** DRPC-analog query service — the reference's "interactive query" entry
+  * point re-expressed Spark-side (SURVEY.md §2.11, §3.3).
+  *
+  * In the reference, `client.execute(function, args)` routes a request
+  * through a running topology (one micro-batch per request:
+  * `newDRPCStream` → pipeline → `stateQuery` → `ReturnResultsReducer` joins
+  * results back to the caller, `TridentTopology.java:135-157,428-449`;
+  * daemon `clj/backtype/storm/daemon/drpc.clj:48-123`). On Spark the
+  * pipeline is a parameterized DataFrame query over materialized state, run
+  * on demand — the DataFrame plan IS the registered topology fragment.
+  *
+  * This in-process implementation mirrors `LocalDRPC`
+  * (`clj/backtype/storm/LocalDRPC.clj`), the fixture the reference's own
+  * integration tests use (`integration_test.clj:55-86`). Results are
+  * returned as the reference wire format: a JSON list of result tuples.
+  */
+class LocalDRPC(spark: SparkSession) {
+  private val functions = mutable.Map[String, String => DataFrame]()
+
+  /** Register a named query pipeline: args → DataFrame plan. */
+  def register(name: String, fn: String => DataFrame): Unit =
+    functions(name) = fn
+
+  def executeDF(name: String, args: String): DataFrame = {
+    val fn = functions.getOrElse(name,
+      throw new IllegalArgumentException(s"unknown DRPC function: $name"))
+    fn(args)
+  }
+
+  /** `execute(function, args)` → JSON-encoded list of result tuples, the
+    * DRPC wire format (`ReturnResults.java:40-44`). */
+  def execute(name: String, args: String): String = {
+    val rows = executeDF(name, args).collect()
+    rows.map(r => r.toSeq.map(jsonValue).mkString("[", ",", "]"))
+      .mkString("[", ",", "]")
+  }
+
+  private def jsonValue(v: Any): String = v match {
+    case null => "null"
+    case s: String => "\"" + s.flatMap {
+      case '"' => "\\\""
+      case '\\' => "\\\\"
+      case '\n' => "\\n"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    } + "\""
+    case n: java.lang.Number => n.toString
+    case b: Boolean => b.toString
+    case other => jsonValue(other.toString)
+  }
+}

@@ -1,0 +1,132 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{functions => F}
+
+/** Deduplication operators for training-data pipelines, designed for the
+  * 100 TB regime:
+  *
+  *  - exact dedup: one hash-shuffle on the fingerprint (not the full text),
+  *    map-side combine via partial aggregation;
+  *  - MinHash + LSH near-dup: per-row signature (no shuffle), then a
+  *    shuffle keyed on small band-bucket ids; candidate verification only
+  *    within buckets — never an O(N²) cross join;
+  *  - SimHash: per-row 64-bit signature, band-bucketed the same way;
+  *  - n-gram Jaccard: exact verification on LSH candidates only.
+  *
+  * Hash choices are engine-portable (md5 available in both Spark and the
+  * DuckDB oracle) on the parity surface; xxhash64 on the perf surface.
+  */
+object Dedup {
+
+  /** Word-shingle array: k-grams joined by a space. Empty when the document
+    * has fewer than k tokens. */
+  def shingles(text: Column, k: Int): Column = {
+    val ws = Text.tokens(text)
+    val n = F.size(ws)
+    F.when(n >= k,
+      F.transform(F.sequence(F.lit(1), n - F.lit(k - 1)),
+        i => F.concat_ws(" ", F.slice(ws, i, F.lit(k))))
+    ).otherwise(F.array().cast("array<string>"))
+  }
+
+  /** One MinHash value (as a 32-hex-char md5 string; lexicographic min is
+    * engine-portable) for hash-function seed `seed`. */
+  def minhash(shingleArr: Column, seed: Int): Column =
+    F.array_min(F.transform(shingleArr, s => F.md5(F.concat(F.lit(s"$seed|"), s))))
+
+  /** Full signature as `numHashes` columns `mh0..mh{n-1}`. */
+  def minhashSignature(df: DataFrame, textCol: String, k: Int,
+                       numHashes: Int): DataFrame = {
+    val sh = shingles(F.col(textCol), k)
+    df.withColumn("__sh", sh)
+      .withColumns((0 until numHashes).map(i => s"mh$i" -> minhash(F.col("__sh"), i)).toMap)
+      .drop("__sh")
+  }
+
+  /** LSH band-bucket ids: bands of `rowsPerBand` consecutive minhashes,
+    * hashed together. Docs sharing any band bucket are near-dup candidates;
+    * the downstream plan is a per-band shuffle on the (small) bucket id. */
+  def lshBands(df: DataFrame, numHashes: Int, rowsPerBand: Int): DataFrame = {
+    require(numHashes % rowsPerBand == 0, "numHashes must divide into bands")
+    val bands = numHashes / rowsPerBand
+    df.withColumns((0 until bands).map { b =>
+      val cols = (b * rowsPerBand until (b + 1) * rowsPerBand).map(i => F.col(s"mh$i"))
+      s"band$b" -> F.md5(F.concat_ws("|", cols: _*))
+    }.toMap)
+  }
+
+  /** Candidate near-dup pairs from LSH buckets: for each band, self-join on
+    * the bucket id (skew-safe: bucket cardinality bounded by band width),
+    * union, distinct. Returns (left id, right id) with left < right. */
+  def lshCandidatePairs(banded: DataFrame, idCol: String, bands: Int): DataFrame = {
+    val pairs = (0 until bands).map { b =>
+      val l = banded.select(F.col(idCol).as("a"), F.col(s"band$b").as("bk"))
+      val r = banded.select(F.col(idCol).as("b"), F.col(s"band$b").as("bk"))
+      l.join(r, "bk").where(F.col("a") < F.col("b")).select("a", "b")
+    }
+    pairs.reduce(_ union _).distinct()
+  }
+
+  /** Exact n-gram Jaccard similarity between two shingle arrays — the
+    * verification step applied to LSH candidates only. */
+  def jaccard(aShingles: Column, bShingles: Column): Column = {
+    val a = F.array_distinct(aShingles)
+    val b = F.array_distinct(bShingles)
+    val inter = F.size(F.array_intersect(a, b)).cast("double")
+    val union = F.size(F.array_union(a, b)).cast("double")
+    F.when(union > 0, inter / union).otherwise(F.lit(0.0))
+  }
+
+  /** End-to-end MinHash/LSH near-dup: signature → bands → candidates →
+    * Jaccard verification ≥ `threshold`. The only shuffles are the band
+    * self-joins and the two id-equi-joins to re-attach shingles. */
+  def nearDupPairs(df: DataFrame, idCol: String, textCol: String, k: Int = 3,
+                   numHashes: Int = 8, rowsPerBand: Int = 2,
+                   threshold: Double = 0.7): DataFrame = {
+    val withSig = lshBands(minhashSignature(df, textCol, k, numHashes),
+      numHashes, rowsPerBand)
+    val cands = lshCandidatePairs(withSig, idCol, numHashes / rowsPerBand)
+    val sh = df.select(F.col(idCol), shingles(F.col(textCol), k).as("__sh"))
+    cands
+      .join(sh.select(F.col(idCol).as("a"), F.col("__sh").as("sha")), "a")
+      .join(sh.select(F.col(idCol).as("b"), F.col("__sh").as("shb")), "b")
+      .withColumn("jaccard", jaccard(F.col("sha"), F.col("shb")))
+      .where(F.col("jaccard") >= threshold)
+      .select(F.col("a"), F.col("b"), F.col("jaccard"))
+  }
+
+  /** 64-bit SimHash over token xxhash64s: weighted bit-majority vote,
+    * entirely Column-tier (sequence(0,63) bit loop → codegen). Near-dups =
+    * small Hamming distance; bucket on rotated prefixes for search. */
+  def simhash64(text: Column): Column = {
+    val hashes = F.transform(Text.tokens(text), w => F.xxhash64(w))
+    val bits = (0 until 64).map { bit =>
+      val votes = F.aggregate(hashes, F.lit(0L),
+        (acc, h) => acc + F.when(F.shiftright(h, bit).bitwiseAND(1L) === 1L, F.lit(1L)).otherwise(F.lit(-1L)))
+      F.when(votes > 0, F.shiftleft(F.lit(1L), bit)).otherwise(F.lit(0L))
+    }
+    bits.reduce((a, b) => a.bitwiseOR(b))
+  }
+
+  /** Hamming distance between two 64-bit signatures. */
+  def hamming64(a: Column, b: Column): Column =
+    F.bit_count(a.bitwiseXOR(b)).cast("long")
+
+  /** Exact-duplicate groups keyed by content fingerprint: canonical id =
+    * min id per group. Shuffles only (fingerprint, id) pairs — at 100 TB the
+    * text never moves. */
+  def exactDupGroups(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(Text.fingerprintMd5(F.col(textCol)).as("fp"), F.col(idCol))
+      .groupBy("fp")
+      .agg(F.min(idCol).as("canonical_id"), F.count(F.lit(1)).as("n_copies"))
+
+  /** Keep-one-per-duplicate-group filter: retains the canonical (min-id) row
+    * per fingerprint without shuffling payload columns: window-free
+    * semi-join of ids. */
+  def dropExactDups(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val keep = exactDupGroups(df, idCol, textCol)
+      .select(F.col("canonical_id").as(idCol))
+    df.join(keep, Seq(idCol), "left_semi")
+  }
+}

@@ -1,0 +1,100 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame, Encoders, Row}
+import org.apache.spark.sql.{functions => F}
+import org.apache.spark.sql.types._
+
+/** Multimodal-column plumbing: image/audio/video payloads as opaque
+  * `binary` columns with typed metadata, processed in partition-sized
+  * batches.
+  *
+  * The Spark-side plumbing here is real and tested — schema, batch
+  * iteration (`mapPartitions`, the JVM analog of an arrow-batch UDF),
+  * partition sizing, deterministic outputs. The actual codec work is
+  * STUBBED (`decodeStub`): this container has no image/audio libraries, so
+  * decode derives deterministic fake features from the bytes. A production
+  * deployment swaps `decodeStub` for a real codec behind the same
+  * signature; nothing else changes.
+  *
+  * Scale notes: payloads never shuffle — every op below is a map; metadata
+  * extraction projects only the needed bytes (`substr` on binary reads the
+  * parquet page but prunes other columns); frame sampling emits offsets,
+  * not copies.
+  */
+object Multimodal {
+
+  /** Media-metadata schema attached alongside each binary payload. */
+  val MetaSchema: StructType = StructType(Seq(
+    StructField("media_type", StringType),
+    StructField("n_bytes", LongType),
+    StructField("checksum", StringType),
+  ))
+
+  /** Wrap a payload column with typed metadata (Column-tier, codegen'd). */
+  def withMeta(df: DataFrame, payloadCol: String, mediaType: String): DataFrame =
+    df.withColumn("meta", F.struct(
+      F.lit(mediaType).as("media_type"),
+      F.octet_length(F.col(payloadCol)).cast("long").as("n_bytes"),
+      F.md5(F.col(payloadCol)).as("checksum")))
+
+  /** Deterministic fake payload from text — stands in for real image bytes
+    * in tests/benchmarks (driver container ships no media files). */
+  def fakePayload(text: Column): Column = F.encode(text, "UTF-8")
+
+  /** Frame-sample offsets: every `frameBytes`-th offset, up to `maxFrames`.
+    * Emits (offset, length) structs — a real decoder seeks, never copies. */
+  def frameOffsets(payload: Column, frameBytes: Int, maxFrames: Int): Column = {
+    val n = F.octet_length(payload).cast("long")
+    val nFrames = F.least(F.ceil(n / F.lit(frameBytes.toDouble)).cast("long"),
+      F.lit(maxFrames.toLong))
+    F.transform(F.sequence(F.lit(0L), nFrames - 1),
+      i => F.struct((i * frameBytes).as("offset"),
+        F.least(F.lit(frameBytes.toLong), n - i * frameBytes).as("length")))
+  }
+
+  /** Feature schema produced by the decode stage. */
+  val FeatureSchema: StructType = StructType(Seq(
+    StructField("n_bytes", LongType),
+    StructField("sum_bytes", LongType),
+    StructField("mean_byte", DoubleType),
+    StructField("first_byte", IntegerType),
+    StructField("feature", ArrayType(FloatType)),
+  ))
+
+  /** STUB decode: deterministic fake features from raw bytes (byte
+    * histogramming standing in for pixel decode). Batch shape is the real
+    * contract: one partition = one batch, features emitted per row. */
+  def decodeStub(bytes: Array[Byte], featDim: Int = 8): Row = {
+    var sum = 0L
+    val hist = new Array[Long](featDim)
+    var i = 0
+    while (i < bytes.length) {
+      val b = bytes(i) & 0xff
+      sum += b
+      hist(b % featDim) += 1
+      i += 1
+    }
+    val mean = if (bytes.length == 0) 0.0 else sum.toDouble / bytes.length
+    val first = if (bytes.length == 0) -1 else bytes(0) & 0xff
+    Row(bytes.length.toLong, sum, mean, first,
+      hist.map(h => if (bytes.length == 0) 0f else h.toFloat / bytes.length))
+  }
+
+  /** Partition-batched decode over a binary column — the `mapInPandas`/
+    * arrow-batch analog: rows stream through per-partition with setup cost
+    * amortized once per batch (where a real codec would init its context). */
+  def decodeFeatures(df: DataFrame, payloadCol: String, featDim: Int = 8): DataFrame = {
+    val idx = df.columns.indexOf(payloadCol)
+    require(idx >= 0, s"no column $payloadCol")
+    val outSchema = StructType(df.schema.fields ++ FeatureSchema.fields)
+    val enc = Encoders.row(outSchema)
+    df.mapPartitions { it =>
+      // per-batch codec init would go here (stub: nothing to init)
+      it.map { r =>
+        val bytes = r.getAs[Array[Byte]](idx)
+        val feats = decodeStub(if (bytes == null) Array.emptyByteArray else bytes, featDim)
+        Row.fromSeq(r.toSeq ++ feats.toSeq)
+      }
+    }(enc)
+  }
+}

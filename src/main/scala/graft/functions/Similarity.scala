@@ -1,0 +1,107 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{functions => F}
+
+/** Similarity search over an embedding column (`array<float>`).
+  *
+  * Scale design: the baseline is a brute-force scan (one pass, no shuffle,
+  * top-k via `TakeOrderedAndProject` — k rows per partition cross the wire).
+  * The scale path is IVF: a tiny broadcast centroid table assigns each
+  * vector to a cell once (linear scan, no shuffle), queries probe only
+  * `nProbe` cells — at 100 TB with 4k cells and nProbe=8 a query touches
+  * ~0.2% of the corpus, and the cell assignment doubles as a partition key
+  * for storage-side pruning (write the corpus partitioned by `cell`).
+  */
+object Similarity {
+
+  /** Dot product of two array columns, computed in double left-to-right
+    * (deterministic and engine-portable). */
+  def dot(a: Column, b: Column): Column =
+    F.aggregate(F.zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      F.lit(0.0), (acc, v) => acc + v)
+
+  def norm(a: Column): Column = F.sqrt(dot(a, a))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /** Brute-force top-k by cosine against a literal query vector. */
+  def bruteForceTopK(embeddings: DataFrame, embCol: String, idCol: String,
+                     query: Seq[Double], k: Int): DataFrame = {
+    val q = F.array(query.map(F.lit): _*)
+    embeddings
+      .select(F.col(idCol), cosine(F.col(embCol), q).as("score"))
+      .orderBy(F.col("score").desc, F.col(idCol).asc)
+      .limit(k)
+  }
+
+  /** Assign each vector to its nearest centroid (IVF cell). `centroids` is
+    * broadcast (a few thousand rows at most); the argmin is computed with an
+    * aggregate over the collected centroid array — single scan, no shuffle,
+    * no window. Ties break to the lowest cell id. */
+  def ivfAssign(embeddings: DataFrame, embCol: String, idCol: String,
+                centroids: DataFrame, centIdCol: String, centVecCol: String): DataFrame = {
+    val cents = F.broadcast(centroids.select(
+      F.col(centIdCol).as("__cid"), F.col(centVecCol).as("__cvec")))
+    // cross join against the broadcast centroid set, keep the best per vector
+    // via min(struct(-score, cid)) — one partial/final agg, no window shuffle.
+    embeddings.join(cents)
+      .groupBy(F.col(idCol))
+      .agg(F.min(F.struct(
+        (F.lit(-1.0) * cosine(F.col(embCol), F.col("__cvec"))).as("negScore"),
+        F.col("__cid").as("cid"))).as("best"))
+      .select(F.col(idCol), F.col("best.cid").as("cell"),
+        (F.lit(-1.0) * F.col("best.negScore")).as("cell_score"))
+  }
+
+  /** IVF search: probe the `nProbe` cells nearest to the query, brute-force
+    * only within them. `assigned` = output of [[ivfAssign]] joined back to
+    * the embeddings (or a table written partitioned by `cell`). */
+  def ivfTopK(assigned: DataFrame, embCol: String, idCol: String,
+              centroids: DataFrame, centIdCol: String, centVecCol: String,
+              query: Seq[Double], k: Int, nProbe: Int): DataFrame = {
+    val q = F.array(query.map(F.lit): _*)
+    val probeCells = centroids
+      .select(F.col(centIdCol).as("cell"), cosine(F.col(centVecCol), q).as("cscore"))
+      .orderBy(F.col("cscore").desc, F.col("cell").asc)
+      .limit(nProbe)
+      .select("cell")
+    assigned
+      .join(F.broadcast(probeCells), "cell") // partition-prunable at scale
+      .select(F.col(idCol), cosine(F.col(embCol), q).as("score"))
+      .orderBy(F.col("score").desc, F.col(idCol).asc)
+      .limit(k)
+  }
+
+  /** Random-hyperplane LSH bucket for cosine similarity: `nBits` sign bits
+    * from deterministic pseudo-random hyperplanes (seeded per bit from
+    * xxhash64 of the element index — no stored model). Vectors in the same
+    * bucket are near-dup candidates. */
+  def rhpBucket(emb: Column, dim: Int, nBits: Int, seed: Long = 42L): Column = {
+    val bits = (0 until nBits).map { bit =>
+      // deterministic ±1 hyperplane: sign((xxhash64(seed,bit,i) % 2)*2-1)
+      val proj = F.aggregate(
+        F.zip_with(emb, F.sequence(F.lit(0), F.lit(dim - 1)), (x, i) => {
+          val h = F.xxhash64(F.lit(seed), F.lit(bit), i)
+          x.cast("double") * F.when(h.bitwiseAND(1L) === 1L, 1.0).otherwise(-1.0)
+        }),
+        F.lit(0.0), (acc, v) => acc + v)
+      F.when(proj > 0, F.shiftleft(F.lit(1L), bit)).otherwise(F.lit(0L))
+    }
+    bits.reduce((a, b) => a.bitwiseOR(b))
+  }
+
+  /** Embedding near-duplicate pairs above a cosine threshold, LSH-bucketed:
+    * self-join only within RHP buckets, then exact cosine verification. */
+  def embeddingNearDupPairs(embeddings: DataFrame, embCol: String, idCol: String,
+                            dim: Int, threshold: Double, nBits: Int = 8): DataFrame = {
+    val bucketed = embeddings.select(F.col(idCol), F.col(embCol),
+      rhpBucket(F.col(embCol), dim, nBits).as("__bk"))
+    val l = bucketed.select(F.col(idCol).as("a"), F.col(embCol).as("va"), F.col("__bk"))
+    val r = bucketed.select(F.col(idCol).as("b"), F.col(embCol).as("vb"), F.col("__bk"))
+    l.join(r, "__bk").where(F.col("a") < F.col("b"))
+      .withColumn("score", cosine(F.col("va"), F.col("vb")))
+      .where(F.col("score") >= threshold)
+      .select("a", "b", "score")
+  }
+}

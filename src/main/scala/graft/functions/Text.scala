@@ -1,0 +1,103 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.{functions => F}
+
+/** Text-analysis operators for large-scale training-data pipelines.
+  *
+  * All Column-tier (pure `org.apache.spark.sql.functions` compositions) so
+  * they stay inside whole-stage codegen and scale linearly with no shuffle —
+  * each is a per-row map over the corpus; at 100 TB the only cost is the
+  * scan. (The reference ships no scalar text library — users write
+  * `Function` classes like `trident/testing/Split.java:25-33`; these are the
+  * engine-level equivalents a Spark user expects.)
+  */
+object Text {
+
+  /** Whitespace tokenizer — the engine's `Split.java` analog. Single-space
+    * `sep` keeps DuckDB-oracle parity; `tokensWs` is the robust variant. */
+  def tokens(text: Column, sep: String = " "): Column =
+    F.filter(F.split(text, java.util.regex.Pattern.quote(sep)), w => w =!= "")
+
+  /** Regex whitespace split (multi-space / tab tolerant). */
+  def tokensWs(text: Column): Column =
+    F.filter(F.split(text, "\\s+"), w => w =!= "")
+
+  def tokenCount(text: Column): Column = F.size(tokens(text))
+
+  /** BPE-ish sub-token estimate: words + punctuation clusters + digit runs
+    * counted separately (a cheap, deterministic proxy for tokenizer load). */
+  def subTokenCount(text: Column): Column =
+    F.size(F.filter(F.split(text, "(?<=\\W)|(?=\\W)"), w => F.trim(w) =!= ""))
+
+  def distinctTokenCount(text: Column): Column =
+    F.size(F.array_distinct(tokens(text)))
+
+  /** Type-token ratio scaled to integer per-mille (exact integer math for
+    * cross-engine determinism). */
+  def typeTokenRatioPerMille(text: Column): Column =
+    (distinctTokenCount(text).cast("long") * 1000L) / tokenCount(text).cast("long")
+
+  /** Quality-scoring signals: lengths, punctuation/digit/upper counts,
+    * mean word length (per-mille). Integer-valued → deterministic. */
+  def nChars(text: Column): Column = F.length(text).cast("long")
+  def punctCount(text: Column): Column =
+    F.length(F.regexp_replace(text, "[^\\p{Punct}]", "")).cast("long")
+  def digitCount(text: Column): Column =
+    F.length(F.regexp_replace(text, "[^0-9]", "")).cast("long")
+  def upperCount(text: Column): Column =
+    F.length(F.regexp_replace(text, "[^A-Z]", "")).cast("long")
+  def meanTokenLenPerMille(text: Column): Column = {
+    val ts = tokens(text)
+    (F.aggregate(ts, F.lit(0L), (acc, w) => acc + F.length(w).cast("long")) * 1000L) /
+      F.size(ts).cast("long")
+  }
+
+  /** Composite quality gate in the C4/Gopher style: keep iff token count in
+    * range, punct ratio sane, enough distinct tokens. */
+  def qualityKeep(text: Column, minTokens: Int = 5, maxTokens: Int = 100000,
+                  maxPunctPerMille: Int = 300): Column = {
+    val nt = tokenCount(text).cast("long")
+    nt.between(minTokens.toLong, maxTokens.toLong) &&
+      (punctCount(text) * 1000L) <= (nChars(text) * maxPunctPerMille.toLong)
+  }
+
+  /** Stopword-overlap language ID: score = |tokens ∩ markers(lang)|, pick the
+    * argmax (ties → lexicographically first code). N-gram-free heuristic
+    * suited to whitespace languages; real pipelines plug a model via the Row
+    * tier. Pure Column expr → codegen'd, no shuffle. */
+  def langIdGuess(text: Column,
+                  markers: Map[String, Seq[String]] = DefaultMarkers): Column = {
+    val ts = F.array_distinct(tokens(F.lower(text)))
+    val langs = markers.keys.toSeq.sorted
+    // argmax via array_max over (score, rank, lang) structs — struct
+    // comparison is lexicographic, and rank = reversed position so a tie on
+    // score resolves to the FIRST language code in sorted order.
+    val scored = langs.zipWithIndex.map { case (lang, i) =>
+      F.struct(
+        F.size(F.array_intersect(ts, F.array(markers(lang).map(F.lit): _*))).as("score"),
+        F.lit(langs.size - i).as("rank"),
+        F.lit(lang).as("lang"))
+    }
+    F.array_max(F.array(scored: _*)).getField("lang")
+  }
+
+  val DefaultMarkers: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "and", "of", "to", "a", "in", "is", "you", "that", "it"),
+    "de" -> Seq("der", "die", "und", "das", "ist", "nicht", "ein", "ich", "mit", "zu"),
+    "fr" -> Seq("le", "la", "et", "les", "des", "est", "un", "une", "du", "que"),
+    "es" -> Seq("el", "la", "de", "que", "y", "en", "un", "es", "los", "una"),
+  )
+
+  /** Document fingerprint, oracle-parity tier: md5 of the normalized text
+    * (lowercased, squeezed whitespace) — stable across engines. */
+  def fingerprintMd5(text: Column): Column =
+    F.md5(F.regexp_replace(F.lower(F.trim(text)), "\\s+", " "))
+
+  /** Document fingerprint, rolling-hash tier: 64-bit hash chain over tokens
+    * (`acc ← xxhash64(acc, token)`) — order-sensitive (a true content
+    * fingerprint, not a bag hash), single pass, codegen'd, and overflow-free
+    * under ANSI mode (no raw multiply). */
+  def fingerprintRolling(text: Column): Column =
+    F.aggregate(tokens(text), F.lit(42L), (acc, w) => F.xxhash64(acc, w))
+}

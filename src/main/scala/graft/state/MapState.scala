@@ -1,0 +1,181 @@
+package graft.state
+
+import scala.collection.concurrent.TrieMap
+import scala.collection.mutable
+
+/** Keyed-state SPI + exactly-once map wrappers — port of
+  * `storm-core/src/jvm/storm/trident/state/map/` (SURVEY.md §2.2).
+  *
+  * Key = the group-by tuple (`Seq[Any]`), value = the aggregate. The
+  * wrappers (`NonTransactionalMap` / `TransactionalMap` / `OpaqueMap`)
+  * implement the three exactly-once tiers over any `IBackingMap`; the
+  * streaming runner drives them with Structured Streaming `batchId`s as
+  * txids inside `foreachBatch`.
+  */
+
+/** `state/map/IBackingMap.java:23` — bulk get/put SPI for external stores. */
+trait IBackingMap[T] extends Serializable {
+  def multiGet(keys: Seq[Seq[Any]]): Seq[Option[T]]
+  def multiPut(keys: Seq[Seq[Any]], vals: Seq[T]): Unit
+}
+
+/** `state/map/ReadOnlyMapState.java` / `MapState.java:23-24`. */
+trait ReadOnlyMapState[T] extends Serializable {
+  def multiGet(keys: Seq[Seq[Any]]): Seq[Option[T]]
+}
+
+trait MapState[T] extends ReadOnlyMapState[T] {
+  def multiUpdate(keys: Seq[Seq[Any]], updaters: Seq[ValueUpdater[T]]): Seq[T]
+  def multiPut(keys: Seq[Seq[Any]], vals: Seq[T]): Unit
+  /** `State.beginCommit(txid)` / `commit(txid)` — batch bracketing
+    * (`storm/trident/state/State.java`). */
+  def beginCommit(txid: Option[Long]): Unit
+  def commit(txid: Option[Long]): Unit
+}
+
+/** `state/map/NonTransactionalMap.java` — no replay protection. */
+final class NonTransactionalMap[T](backing: IBackingMap[T]) extends MapState[T] {
+  def multiGet(keys: Seq[Seq[Any]]): Seq[Option[T]] = backing.multiGet(keys)
+  def multiUpdate(keys: Seq[Seq[Any]], updaters: Seq[ValueUpdater[T]]): Seq[T] = {
+    val curr = backing.multiGet(keys)
+    val news = curr.zip(updaters).map { case (c, u) => u.update(c) }
+    backing.multiPut(keys, news)
+    news
+  }
+  def multiPut(keys: Seq[Seq[Any]], vals: Seq[T]): Unit = backing.multiPut(keys, vals)
+  def beginCommit(txid: Option[Long]): Unit = ()
+  def commit(txid: Option[Long]): Unit = ()
+}
+
+/** `state/map/TransactionalMap.java:40-95` — stores `TransactionalValue`;
+  * a replayed batch (stored txid == current txid) is SKIPPED, assuming the
+  * replayed batch contents are identical (transactional sources). */
+final class TransactionalMap[T](backing: IBackingMap[TransactionalValue[T]])
+  extends MapState[T] {
+  private var currTx: Option[Long] = None
+
+  def beginCommit(txid: Option[Long]): Unit = { currTx = txid }
+  def commit(txid: Option[Long]): Unit = { currTx = None }
+
+  def multiGet(keys: Seq[Seq[Any]]): Seq[Option[T]] =
+    backing.multiGet(keys).map(_.map(_.value))
+
+  def multiUpdate(keys: Seq[Seq[Any]], updaters: Seq[ValueUpdater[T]]): Seq[T] = {
+    val stored = backing.multiGet(keys)
+    val (outKeys, outVals, results) = (mutable.Buffer[Seq[Any]](),
+      mutable.Buffer[TransactionalValue[T]](), mutable.Buffer[T]())
+    keys.lazyZip(stored).lazyZip(updaters).foreach { (k, s, u) =>
+      s match {
+        case Some(tv) if currTx.contains(tv.txid) =>
+          // replay of an already-applied batch: keep the stored value
+          results += tv.value
+        case other =>
+          val nv = TransactionalValue(currTx.getOrElse(0L), u.update(other.map(_.value)))
+          outKeys += k; outVals += nv; results += nv.value
+      }
+    }
+    if (outKeys.nonEmpty) backing.multiPut(outKeys.toSeq, outVals.toSeq)
+    results.toSeq
+  }
+
+  def multiPut(keys: Seq[Seq[Any]], vals: Seq[T]): Unit =
+    backing.multiPut(keys, vals.map(v => TransactionalValue(currTx.getOrElse(0L), v)))
+}
+
+/** `state/map/OpaqueMap.java:40-85` — stores `OpaqueValue`; a replayed batch
+  * re-applies its update against `prev` (rollback), tolerating replays whose
+  * contents differ from the original attempt (opaque sources). Reads during
+  * a commit see the pre-batch value for the current txid. */
+final class OpaqueMap[T](backing: IBackingMap[OpaqueValue[T]]) extends MapState[T] {
+  private var currTx: Option[Long] = None
+
+  def beginCommit(txid: Option[Long]): Unit = { currTx = txid }
+  def commit(txid: Option[Long]): Unit = { currTx = None }
+
+  def multiGet(keys: Seq[Seq[Any]]): Seq[Option[T]] =
+    backing.multiGet(keys).map(_.flatMap(_.get(currTx)))
+
+  def multiUpdate(keys: Seq[Seq[Any]], updaters: Seq[ValueUpdater[T]]): Seq[T] = {
+    val stored = backing.multiGet(keys)
+    val updated = stored.zip(updaters).map {
+      case (Some(ov), u) => ov.update(currTx, u.update(ov.get(currTx)))
+      case (None, u) => OpaqueValue.first(currTx, u.update(None))
+    }
+    backing.multiPut(keys, updated)
+    updated.map(_.curr)
+  }
+
+  def multiPut(keys: Seq[Seq[Any]], vals: Seq[T]): Unit = {
+    val stored = backing.multiGet(keys)
+    val wrapped = stored.zip(vals).map {
+      case (Some(ov), v) => ov.update(currTx, v)
+      case (None, v) => OpaqueValue.first(currTx, v)
+    }
+    backing.multiPut(keys, wrapped)
+  }
+}
+
+/** `testing/MemoryMapState.java:34` — in-memory backing store registered in
+  * a process-wide registry so `local[n]` executor threads (same JVM) share
+  * it; the test fixture of both the reference and this engine. A cluster
+  * deployment swaps in a real `IBackingMap` (JDBC/KV) or the
+  * `transformWithState` path — same wrapper semantics. */
+final class MemoryBackingMap[T](id: String) extends IBackingMap[T] {
+  private def store = MemoryBackingMap.store[T](id)
+  def multiGet(keys: Seq[Seq[Any]]): Seq[Option[T]] = keys.map(k => store.get(k))
+  def multiPut(keys: Seq[Seq[Any]], vals: Seq[T]): Unit =
+    keys.zip(vals).foreach { case (k, v) => store.put(k, v) }
+}
+
+object MemoryBackingMap {
+  private val stores = TrieMap[String, TrieMap[Seq[Any], Any]]()
+  private def store[T](id: String): TrieMap[Seq[Any], T] =
+    stores.getOrElseUpdate(id, TrieMap[Seq[Any], Any]()).asInstanceOf[TrieMap[Seq[Any], T]]
+  def snapshot[T](id: String): Map[Seq[Any], T] = store[T](id).toMap
+  def clear(id: String): Unit = stores.remove(id)
+}
+
+/** `state/map/CachedMap.java:31-70` — cross-batch LRU read cache over a
+  * (remote) backing map; writes update the cache. */
+final class CachedMap[T](backing: IBackingMap[T], capacity: Int) extends IBackingMap[T] {
+  private val cache = new java.util.LinkedHashMap[Seq[Any], Option[T]](16, 0.75f, true) {
+    override def removeEldestEntry(e: java.util.Map.Entry[Seq[Any], Option[T]]): Boolean =
+      size() > capacity
+  }
+  def multiGet(keys: Seq[Seq[Any]]): Seq[Option[T]] = synchronized {
+    val missing = keys.filterNot(cache.containsKey)
+    if (missing.nonEmpty) {
+      backing.multiGet(missing).zip(missing).foreach { case (v, k) => cache.put(k, v) }
+    }
+    keys.map(cache.get)
+  }
+  def multiPut(keys: Seq[Seq[Any]], vals: Seq[T]): Unit = synchronized {
+    backing.multiPut(keys, vals)
+    keys.zip(vals).foreach { case (k, v) => cache.put(k, Some(v)) }
+  }
+}
+
+/** `state/map/MicroBatchIBackingMap.java:25-79` — chunk bulk calls so huge
+  * batches don't overwhelm an external store. */
+final class MicroBatchBackingMap[T](backing: IBackingMap[T], maxMultiGet: Int,
+                                    maxMultiPut: Int) extends IBackingMap[T] {
+  def multiGet(keys: Seq[Seq[Any]]): Seq[Option[T]] =
+    keys.grouped(maxMultiGet).flatMap(backing.multiGet).toSeq
+  def multiPut(keys: Seq[Seq[Any]], vals: Seq[T]): Unit =
+    keys.zip(vals).grouped(maxMultiPut).foreach { chunk =>
+      backing.multiPut(chunk.map(_._1), chunk.map(_._2))
+    }
+}
+
+/** `state/map/SnapshottableMap.java:26-73` — a single global value stored as
+  * one reserved key (`$GLOBAL$`); backs `persistentAggregate` without
+  * groupBy and `SnapshotGet`. */
+final class SnapshottableMap[T](delegate: MapState[T]) extends Serializable {
+  private val GlobalKey: Seq[Seq[Any]] = Seq(Seq("$GLOBAL$"))
+  def get: Option[T] = delegate.multiGet(GlobalKey).head
+  def update(updater: ValueUpdater[T]): T =
+    delegate.multiUpdate(GlobalKey, Seq(updater)).head
+  def set(v: T): Unit = delegate.multiPut(GlobalKey, Seq(v))
+  def beginCommit(txid: Option[Long]): Unit = delegate.beginCommit(txid)
+  def commit(txid: Option[Long]): Unit = delegate.commit(txid)
+}

@@ -1,0 +1,94 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
+import org.apache.spark.sql.{functions => F}
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import graft.api.Fields
+import graft.state._
+
+/** Streaming execution of `persistentAggregate` — Trident's stateful sink
+  * tier (`Stream.java:282-318`, `GroupedStream.java:86-121`,
+  * `MapCombinerAggStateUpdater`) on Structured Streaming.
+  *
+  * Shape per micro-batch (inside `foreachBatch`):
+  *   1. Spark computes the batch's PARTIAL per-key aggregate declaratively
+  *      (Catalyst partial/final HashAggregate — map-side combine for free;
+  *      this is the reference's `CombinerAggregator` partial tier).
+  *   2. The partials are folded into the keyed [[MapState]] with the
+  *      `batchId` as txid under `beginCommit/commit` bracketing. The
+  *      Opaque/Transactional wrappers make the fold idempotent across
+  *      replays — `foreachBatch` re-runs a failed batch with the SAME
+  *      batchId, which is exactly the reference's `TransactionAttempt`
+  *      replay contract (`MasterBatchCoordinator.java:121-172` commit
+  *      ordering ≡ Structured Streaming's strictly ordered batchIds).
+  *
+  * The in-memory state here is the test fixture (reference
+  * `MemoryMapState`); a cluster deployment points the same wrappers at an
+  * external `IBackingMap`, or replaces this path with `transformWithState`
+  * + an idempotent sink. The aggregation itself stays distributed — only
+  * the per-key PARTIALS of one micro-batch cross to the state writer.
+  */
+object StreamRunner {
+
+  /** Apply one micro-batch to keyed state. Exposed separately so tests can
+    * drive replay scenarios (same txid twice, perturbed contents) directly —
+    * the port of `state_test.clj:58-98`. */
+  def applyBatch[T](batch: DataFrame, txid: Long, keys: Fields, partial: Column,
+                    combine: (T, T) => T, state: MapState[T]): Unit = {
+    val agg = batch.groupBy(keys.names.map(F.col): _*).agg(partial.as("__partial"))
+    // Partial rows (one per distinct key in the batch) are the only data
+    // that reaches the state writer.
+    val rows = agg.collect()
+    val ks = rows.map(r => keys.names.map(n => r.getAs[Any](n)): Seq[Any]).toSeq
+    val updaters = rows.map(r =>
+      CombinerValueUpdater[T](r.getAs[T]("__partial"), combine)).toSeq
+    state.beginCommit(Some(txid))
+    state.multiUpdate(ks, updaters)
+    state.commit(Some(txid))
+  }
+
+  /** `groupBy(keys).persistentAggregate(state, agg)` on a streaming frame. */
+  def persistentAggregate[T](stream: DataFrame, keys: Fields, partial: Column,
+                             combine: (T, T) => T, state: MapState[T],
+                             queryName: String,
+                             trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+    stream.writeStream
+      .queryName(queryName)
+      .outputMode("update")
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        applyBatch(batch, batchId, keys, partial, combine, state)
+      }
+      .start()
+
+  /** Global (non-grouped) `persistentAggregate` → `SnapshottableMap`
+    * (`Stream.java:282-301`, `$GLOBAL$` key). */
+  def persistentAggregateGlobal[T](stream: DataFrame, partial: Column,
+                                   combine: (T, T) => T, state: MapState[T],
+                                   queryName: String,
+                                   trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+    stream.writeStream
+      .queryName(queryName)
+      .outputMode("update")
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val snap = new SnapshottableMap[T](state)
+        val rows = batch.agg(partial.as("__partial")).collect()
+        state.beginCommit(Some(batchId))
+        if (rows.nonEmpty && !rows.head.isNullAt(0)) {
+          snap.update(CombinerValueUpdater[T](rows.head.getAs[T](0), combine))
+        }
+        state.commit(Some(batchId))
+      }
+      .start()
+
+  /** Materialize a keyed MapState as a DataFrame — `TridentState
+    * .newValuesStream` (TridentState.java:32) / the input to `stateQuery`. */
+  def stateToDF(spark: SparkSession, snapshot: Map[Seq[Any], Any],
+                keys: Fields, valueField: String,
+                schema: org.apache.spark.sql.types.StructType): DataFrame = {
+    val rows = snapshot.toSeq.map { case (k, v) => Row.fromSeq(k :+ v) }
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, math.max(1, rows.size / 5000 + 1)), schema)
+  }
+}

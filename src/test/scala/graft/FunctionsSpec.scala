@@ -1,0 +1,130 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{functions => F}
+import org.scalatest.funsuite.AnyFunSuite
+import graft.functions._
+
+/** Extension-operator tests: text analysis, dedup, similarity, multimodal
+  * plumbing — deterministic micro-fixtures with hand-checked expectations. */
+class FunctionsSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  import spark.implicits._
+
+  test("text analysis signals") {
+    val df = Seq((1L, "The quick brown fox the END 42!")).toDF("id", "text")
+    val r = df.select(
+      Text.tokenCount($"text").as("nt"),
+      Text.distinctTokenCount(F.lower($"text")).as("nd"),
+      Text.digitCount($"text").as("dig"),
+      Text.punctCount($"text").as("punct"),
+      Text.qualityKeep($"text").as("keep")).head()
+    assert(r.getInt(0) == 7)
+    assert(r.getInt(1) == 6)   // "the" twice after lowering
+    assert(r.getLong(2) == 2L)
+    assert(r.getLong(3) == 1L)
+    assert(r.getBoolean(4))
+  }
+
+  test("langIdGuess picks marker-heavy language, ties break to first code") {
+    val df = Seq(
+      (1L, "the cat and the dog"),
+      (2L, "der hund und die katze ist"),
+      (3L, "zzz qqq www")).toDF("id", "text") // no markers → tie → 'de'
+    val out = df.select($"id", Text.langIdGuess($"text").as("lang"))
+      .as[(Long, String)].collect().toMap
+    assert(out(1L) == "en")
+    assert(out(2L) == "de")
+    assert(out(3L) == "de")
+  }
+
+  test("fingerprints: md5 normalization and rolling order-sensitivity") {
+    val df = Seq(("a b c", "  A   b C ", "c b a")).toDF("t1", "t2", "t3")
+    val r = df.select(
+      Text.fingerprintMd5($"t1") === Text.fingerprintMd5($"t2"),
+      Text.fingerprintRolling($"t1") === Text.fingerprintRolling($"t3")).head()
+    assert(r.getBoolean(0))   // normalization: same fingerprint
+    assert(!r.getBoolean(1))  // rolling hash is order-sensitive
+  }
+
+  test("exact dedup groups and keep-one filter") {
+    val df = Seq((1L, "same text"), (2L, "same text"), (3L, "other")).toDF("doc_id", "text")
+    val groups = Dedup.exactDupGroups(df, "doc_id", "text")
+      .as[(String, Long, Long)].collect().map { case (_, id, n) => (id, n) }.toSet
+    assert(groups == Set((1L, 2L), (3L, 1L)))
+    val kept = Dedup.dropExactDups(df, "doc_id", "text").as[(Long, String)]
+      .collect().map(_._1).toSet
+    assert(kept == Set(1L, 3L))
+  }
+
+  test("minhash/LSH finds near-duplicates, jaccard verifies") {
+    val base = "the quick brown fox jumps over the lazy dog again and again today"
+    val near = base.replace("today", "tomorrow")
+    val far = "completely different words in this one nothing shared at all here ok"
+    val df = Seq((1L, base), (2L, near), (3L, far)).toDF("doc_id", "text")
+    val pairs = Dedup.nearDupPairs(df, "doc_id", "text",
+        k = 2, numHashes = 8, rowsPerBand = 2, threshold = 0.3)
+      .as[(Long, Long, Double)].collect()
+    assert(pairs.map(p => (p._1, p._2)).toSet == Set((1L, 2L)))
+    assert(pairs.head._3 > 0.5)
+  }
+
+  test("simhash: identical docs match, near docs within small hamming distance") {
+    val df = Seq(
+      ("a b c d e f g h", "a b c d e f g h", "a b c d e f g zz"))
+      .toDF("t1", "t2", "t3")
+    val r = df.select(
+      Dedup.hamming64(Dedup.simhash64($"t1"), Dedup.simhash64($"t2")),
+      Dedup.hamming64(Dedup.simhash64($"t1"), Dedup.simhash64($"t3"))).head()
+    assert(r.getLong(0) == 0L)
+    assert(r.getLong(1) > 0L && r.getLong(1) <= 32L)
+  }
+
+  test("cosine brute force and IVF agree on top-k for a clustered fixture") {
+    val vecs = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f)),
+      (1L, Array(0.9f, 0.1f, 0.0f)),
+      (2L, Array(0.0f, 1.0f, 0.0f)),
+      (3L, Array(0.1f, 0.9f, 0.0f)),
+      (4L, Array(0.0f, 0.0f, 1.0f))).toDF("vec_id", "embedding")
+    val q = Seq(1.0, 0.05, 0.0)
+    val brute = Similarity.bruteForceTopK(vecs, "embedding", "vec_id", q, 2)
+      .as[(Long, Double)].collect().map(_._1).toSeq
+    assert(brute == Seq(0L, 1L))
+    val centroids = vecs.where($"vec_id".isin(0L, 2L, 4L))
+    val assigned = Similarity.ivfAssign(vecs, "embedding", "vec_id",
+        centroids, "vec_id", "embedding")
+      .select("vec_id", "cell")
+      .join(vecs, "vec_id")
+    val cellOf = assigned.select("vec_id", "cell").as[(Long, Long)].collect().toMap
+    assert(cellOf(1L) == 0L && cellOf(3L) == 2L)
+    val ivf = Similarity.ivfTopK(assigned, "embedding", "vec_id",
+        centroids, "vec_id", "embedding", q, 2, nProbe = 1)
+      .as[(Long, Double)].collect().map(_._1).toSeq
+    assert(ivf == Seq(0L, 1L)) // query lands in cell 0 = {0,1}
+  }
+
+  test("multimodal plumbing: payload meta, frame offsets, stubbed decode") {
+    val df = Seq((1L, "abcd" * 100)).toDF("doc_id", "text")
+      .select($"doc_id", Multimodal.fakePayload($"text").as("payload"))
+    val withMeta = Multimodal.withMeta(df, "payload", "text/fake")
+    val meta = withMeta.select("meta.n_bytes", "meta.media_type").head()
+    assert(meta.getLong(0) == 400L && meta.getString(1) == "text/fake")
+
+    val frames = withMeta.select(
+      Multimodal.frameOffsets($"payload", frameBytes = 256, maxFrames = 10).as("fr"))
+      .select(F.size($"fr")).head().getInt(0)
+    assert(frames == 2) // 400 bytes / 256 → 2 frames
+
+    val feats = Multimodal.decodeFeatures(withMeta, "payload")
+    val r = feats.select("n_bytes", "sum_bytes", "first_byte").head()
+    assert(r.getLong(0) == 400L)
+    assert(r.getLong(1) == 100L * ('a' + 'b' + 'c' + 'd'))
+    assert(r.getInt(2) == 'a'.toInt)
+  }
+}

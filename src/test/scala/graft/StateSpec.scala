@@ -1,0 +1,119 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.state._
+
+/** Port of the reference's exactly-once state-machine tests —
+  * `storm-core/test/clj/storm/trident/state_test.clj:33-98` (see
+  * FIXTURES.md §A3). These traces are the semantic oracle for the
+  * Opaque/Transactional wrappers. */
+class StateSpec extends AnyFunSuite {
+
+  // state_test.clj:33-56 — OpaqueValue update/get across txids
+  test("OpaqueValue: new-txid update shifts curr to prev; same-txid update keeps prev") {
+    val v0 = OpaqueValue.first(Some(7L), "a")        // first write at txid 7
+    assert(v0.get(Some(8L)).contains("a"))           // later txid sees curr
+    assert(v0.get(Some(7L)).isEmpty)                 // same txid sees pre-batch (none)
+
+    val v1 = v0.update(Some(8L), "b")                // new txid: prev <- "a"
+    assert(v1.prev.contains("a") && v1.curr == "b")
+    val v2 = v1.update(Some(8L), "c")                // REPLAY of txid 8: prev stays "a"
+    assert(v2.prev.contains("a") && v2.curr == "c")
+    val v3 = v2.update(Some(9L), "d")
+    assert(v3.prev.contains("c") && v3.curr == "d")
+    val v4 = v3.update(Some(100L), "e")              // gap in txids is fine
+    assert(v4.prev.contains("d") && v4.curr == "e")
+    val v5 = v4.update(None, "f")                    // null txid: non-transactional
+    assert(v5.prev.contains("e") && v5.curr == "f")
+    // behind-current txid is an error
+    intercept[IllegalStateException](v4.update(Some(99L), "x"))
+    intercept[IllegalStateException](v4.get(Some(99L)))
+  }
+
+  private def count(partial: Long) = CombinerValueUpdater[Long](partial, _ + _)
+
+  // state_test.clj:58-76 — OpaqueMap re-applies a replayed batch against prev
+  test("OpaqueMap: same-txid replay rolls back to prev (replayed data may differ)") {
+    MemoryBackingMap.clear("opq")
+    val m = new OpaqueMap[Long](new MemoryBackingMap[OpaqueValue[Long]]("opq"))
+    val k = Seq(Seq[Any]("a"))
+
+    m.beginCommit(Some(1L))
+    assert(m.multiGet(k) == Seq(None))
+    m.multiUpdate(k, Seq(count(2)))                  // batch 1 adds 2
+    assert(m.multiGet(k) == Seq(None))               // read-your-batch sees PRE-batch value
+    m.commit(Some(1L))
+
+    m.beginCommit(Some(1L))                          // REPLAY txid 1 with DIFFERENT data
+    m.multiUpdate(k, Seq(count(3)))                  // re-applied against prev (nil) → 3
+    m.commit(Some(1L))
+
+    m.beginCommit(Some(2L))
+    assert(m.multiGet(k) == Seq(Some(3L)))           // not 5: replay did not double-count
+    m.multiUpdate(k, Seq(count(10)))
+    m.commit(Some(2L))
+    m.beginCommit(Some(3L))
+    assert(m.multiGet(k) == Seq(Some(13L)))
+    m.commit(Some(3L))
+  }
+
+  // state_test.clj:78-98 — TransactionalMap skips a same-txid replay entirely
+  test("TransactionalMap: same-txid replay is skipped (batch contents identical)") {
+    MemoryBackingMap.clear("txn")
+    val m = new TransactionalMap[Long](new MemoryBackingMap[TransactionalValue[Long]]("txn"))
+    val k = Seq(Seq[Any]("a"))
+
+    m.beginCommit(Some(1L))
+    m.multiUpdate(k, Seq(count(3)))
+    m.commit(Some(1L))
+
+    m.beginCommit(Some(1L))                          // replay txid 1
+    val res = m.multiUpdate(k, Seq(count(3)))
+    m.commit(Some(1L))
+    assert(res == Seq(3L))                           // unchanged — skip, not re-add
+
+    m.beginCommit(Some(2L))
+    m.multiUpdate(k, Seq(count(4)))
+    m.commit(Some(2L))
+    assert(m.multiGet(k) == Seq(Some(7L)))
+  }
+
+  test("NonTransactionalMap folds every update (no replay protection)") {
+    MemoryBackingMap.clear("non")
+    val m = new NonTransactionalMap[Long](new MemoryBackingMap[Long]("non"))
+    val k = Seq(Seq[Any]("a"))
+    m.multiUpdate(k, Seq(count(2)))
+    m.multiUpdate(k, Seq(count(2)))
+    assert(m.multiGet(k) == Seq(Some(4L)))
+  }
+
+  test("SnapshottableMap stores a single global value under the reserved key") {
+    MemoryBackingMap.clear("snap")
+    val m = new SnapshottableMap[Long](
+      new NonTransactionalMap[Long](new MemoryBackingMap[Long]("snap")))
+    assert(m.get.isEmpty)
+    m.update(count(5))
+    m.update(count(7))
+    assert(m.get.contains(12L))
+  }
+
+  test("MicroBatchBackingMap chunks bulk calls; CachedMap caches reads") {
+    MemoryBackingMap.clear("chunk")
+    var gets = 0
+    val spy = new IBackingMap[Long] {
+      val inner = new MemoryBackingMap[Long]("chunk")
+      def multiGet(keys: Seq[Seq[Any]]): Seq[Option[Long]] = { gets += 1; inner.multiGet(keys) }
+      def multiPut(keys: Seq[Seq[Any]], vals: Seq[Long]): Unit = inner.multiPut(keys, vals)
+    }
+    val chunked = new MicroBatchBackingMap[Long](spy, maxMultiGet = 2, maxMultiPut = 2)
+    val keys = (1 to 5).map(i => Seq[Any](i))
+    chunked.multiPut(keys, Seq(1L, 2L, 3L, 4L, 5L))
+    assert(chunked.multiGet(keys).flatten == Seq(1L, 2L, 3L, 4L, 5L))
+    assert(gets == 3) // ceil(5/2) chunked calls
+
+    val cached = new CachedMap[Long](spy, capacity = 10)
+    gets = 0
+    cached.multiGet(keys); cached.multiGet(keys)
+    assert(gets == 1) // second read served from cache
+  }
+}

@@ -1,0 +1,97 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.{functions => F}
+import org.scalatest.funsuite.AnyFunSuite
+import graft.api._
+import graft.state._
+import graft.streaming.StreamRunner
+
+/** Streaming tier: persistentAggregate on Structured Streaming micro-batches
+  * with exactly-once state, including replay scenarios (the foreachBatch
+  * re-run contract). MemoryStream ≈ the reference's FeederBatchSpout
+  * (SURVEY.md §5). */
+class StreamingSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  import spark.implicits._
+
+  test("streaming word count via MemoryStream + persistentAggregate (opaque state)") {
+    MemoryBackingMap.clear("wc-stream")
+    val state = new OpaqueMap[Long](new MemoryBackingMap[OpaqueValue[Long]]("wc-stream"))
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[String]
+    input.addData("hello the man said", "the")
+
+    val words = new Stream(input.toDF().toDF("sentence"))
+      .flatEach(F.split(F.col("sentence"), " "), "word")
+      .project(Fields("word"))
+
+    val q = StreamRunner.persistentAggregate[Long](words.toDF, Fields("word"),
+      F.count(F.lit(1)).as("cnt"), _ + _, state, "wc-test",
+      trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime(0L))
+    q.processAllAvailable()
+    input.addData("the man on the moon")
+    q.processAllAvailable()
+    q.stop()
+
+    val snap = MemoryBackingMap.snapshot[OpaqueValue[Long]]("wc-stream")
+    def cnt(w: String): Long = snap(Seq(w)).curr
+    assert(cnt("the") == 4L)   // golden from integration_test.clj:55-86
+    assert(cnt("man") == 2L)
+    assert(cnt("moon") == 1L)
+  }
+
+  test("replaying the same batchId is idempotent end-to-end (opaque)") {
+    MemoryBackingMap.clear("replay")
+    val state = new OpaqueMap[Long](new MemoryBackingMap[OpaqueValue[Long]]("replay"))
+    val batch1 = Seq("a", "a", "b").toDF("word")
+    StreamRunner.applyBatch[Long](batch1, 0L, Fields("word"),
+      F.count(F.lit(1)).as("cnt"), _ + _, state)
+    // failure → Spark re-runs batch 0; opaque spout may even feed different data
+    val batch1Replay = Seq("a", "a", "a", "b").toDF("word")
+    StreamRunner.applyBatch[Long](batch1Replay, 0L, Fields("word"),
+      F.count(F.lit(1)).as("cnt"), _ + _, state)
+    StreamRunner.applyBatch[Long](Seq("a").toDF("word"), 1L, Fields("word"),
+      F.count(F.lit(1)).as("cnt"), _ + _, state)
+
+    val snap = MemoryBackingMap.snapshot[OpaqueValue[Long]]("replay")
+    assert(snap(Seq("a")).curr == 4L) // 3 (replayed batch 0 wins) + 1, NOT 2+3+1
+    assert(snap(Seq("b")).curr == 1L)
+  }
+
+  test("replaying the same batchId is skipped (transactional)") {
+    MemoryBackingMap.clear("replay-tx")
+    val state = new TransactionalMap[Long](
+      new MemoryBackingMap[TransactionalValue[Long]]("replay-tx"))
+    val batch = Seq("a", "b").toDF("word")
+    StreamRunner.applyBatch[Long](batch, 0L, Fields("word"),
+      F.count(F.lit(1)).as("cnt"), _ + _, state)
+    StreamRunner.applyBatch[Long](batch, 0L, Fields("word"),
+      F.count(F.lit(1)).as("cnt"), _ + _, state)
+    val snap = MemoryBackingMap.snapshot[TransactionalValue[Long]]("replay-tx")
+    assert(snap(Seq("a")).value == 1L) // second application skipped
+  }
+
+  test("global persistentAggregate maintains a snapshottable single value") {
+    MemoryBackingMap.clear("glob")
+    val state = new OpaqueMap[Long](new MemoryBackingMap[OpaqueValue[Long]]("glob"))
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Int]
+    input.addData(1, 2, 3)
+    val q = StreamRunner.persistentAggregateGlobal[Long](input.toDF(),
+      F.count(F.lit(1)).as("cnt"), _ + _, state, "glob-test",
+      trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime(0L))
+    q.processAllAvailable()
+    input.addData(4, 5)
+    q.processAllAvailable()
+    q.stop()
+    val snap = new SnapshottableMap[Long](state)
+    assert(snap.get.contains(5L))
+  }
+}
