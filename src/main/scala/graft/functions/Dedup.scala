@@ -20,28 +20,29 @@ import org.apache.spark.sql.{functions => F}
 object Dedup {
 
   /** Word-shingle array: k-grams joined by a space. Empty when the document
-    * has fewer than k tokens. */
-  def shingles(text: Column, k: Int): Column = {
-    val ws = Text.tokens(text)
-    val n = F.size(ws)
-    F.when(n >= k,
-      F.transform(F.sequence(F.lit(1), n - F.lit(k - 1)),
-        i => F.concat_ws(" ", F.slice(ws, i, F.lit(k))))
-    ).otherwise(F.array().cast("array<string>"))
-  }
+    * has fewer than k tokens. Native single-pass expression
+    * ([[graft.plans.Expressions.ShingleArray]]) — the higher-order
+    * `transform`+`slice` formulation interprets its lambda per element and
+    * is ~10× slower at corpus scale. */
+  def shingles(text: Column, k: Int): Column =
+    graft.plans.Expressions.shingleArray(Text.tokens(text), k)
 
   /** One MinHash value (as a 32-hex-char md5 string; lexicographic min is
     * engine-portable) for hash-function seed `seed`. */
   def minhash(shingleArr: Column, seed: Int): Column =
     F.array_min(F.transform(shingleArr, s => F.md5(F.concat(F.lit(s"$seed|"), s))))
 
-  /** Full signature as `numHashes` columns `mh0..mh{n-1}`. */
+  /** Full signature as `numHashes` columns `mh0..mh{n-1}`: one fused
+    * shingle+hash pass per row ([[graft.plans.Expressions.ShingleMinHashMd5]]),
+    * identical output to per-seed `min(md5(seed|shingle))`. */
   def minhashSignature(df: DataFrame, textCol: String, k: Int,
                        numHashes: Int): DataFrame = {
-    val sh = shingles(F.col(textCol), k)
-    df.withColumn("__sh", sh)
-      .withColumns((0 until numHashes).map(i => s"mh$i" -> minhash(F.col("__sh"), i)).toMap)
-      .drop("__sh")
+    val sig = graft.plans.Expressions.shingleMinhash(
+      Text.tokens(F.col(textCol)), k, numHashes)
+    df.withColumn("__sig", sig)
+      .withColumns((0 until numHashes).map(i =>
+        s"mh$i" -> F.element_at(F.col("__sig"), i + 1)).toMap)
+      .drop("__sig")
   }
 
   /** LSH band-bucket ids: bands of `rowsPerBand` consecutive minhashes,
@@ -99,15 +100,8 @@ object Dedup {
   /** 64-bit SimHash over token xxhash64s: weighted bit-majority vote,
     * entirely Column-tier (sequence(0,63) bit loop → codegen). Near-dups =
     * small Hamming distance; bucket on rotated prefixes for search. */
-  def simhash64(text: Column): Column = {
-    val hashes = F.transform(Text.tokens(text), w => F.xxhash64(w))
-    val bits = (0 until 64).map { bit =>
-      val votes = F.aggregate(hashes, F.lit(0L),
-        (acc, h) => acc + F.when(F.shiftright(h, bit).bitwiseAND(1L) === 1L, F.lit(1L)).otherwise(F.lit(-1L)))
-      F.when(votes > 0, F.shiftleft(F.lit(1L), bit)).otherwise(F.lit(0L))
-    }
-    bits.reduce((a, b) => a.bitwiseOR(b))
-  }
+  def simhash64(text: Column): Column =
+    graft.plans.Expressions.simhash64(Text.tokens(text))
 
   /** Hamming distance between two 64-bit signatures. */
   def hamming64(a: Column, b: Column): Column =

@@ -23,7 +23,12 @@ object Similarity {
 
   def norm(a: Column): Column = F.sqrt(dot(a, a))
 
-  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+  /** Cosine similarity — native single-pass expression
+    * ([[graft.plans.Expressions.CosineSim]]); same left-to-right double
+    * arithmetic as the `zip_with`/`aggregate` formulation, without the
+    * per-element interpreted lambdas. */
+  def cosine(a: Column, b: Column): Column =
+    graft.plans.Expressions.cosineSim(a, b)
 
   /** Brute-force top-k by cosine against a literal query vector. */
   def bruteForceTopK(embeddings: DataFrame, embCol: String, idCol: String,

@@ -1,0 +1,198 @@
+package graft.plans
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression, XXH64}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+import org.apache.spark.sql.graft.ColumnBridge.column
+
+/** Custom Catalyst expressions for the hash-heavy pipeline operators.
+  *
+  * Spark's higher-order array functions (`transform`/`aggregate`) evaluate
+  * their lambda interpreted, per element — for MinHash over ~100 shingles ×
+  * k seeds that is thousands of interpreted expression evals per row and
+  * dominates the corpus-scan cost at scale. Each expression below does the
+  * same computation in one imperative pass per row (tight loop, reused
+  * message digest, no per-element expression tree), which is the preferred
+  * Catalyst extension tier for scalar work (custom Expression before custom
+  * physical operator — SURVEY.md §7.3).
+  *
+  * Semantics are kept engine-portable: MinHash = lexicographic min of
+  * lowercase md5 hex of `"<seed>|<shingle>"`, identical to the DuckDB
+  * oracle's `min(md5('<seed>|' || shingle))`.
+  */
+object Expressions {
+
+  private val HexDigits = "0123456789abcdef".toCharArray
+
+  private def md5Hex(md: java.security.MessageDigest, bytes: Array[Byte]): String = {
+    md.reset()
+    val d = md.digest(bytes)
+    val out = new Array[Char](32)
+    var i = 0
+    while (i < 16) {
+      out(2 * i) = HexDigits((d(i) >> 4) & 0xf)
+      out(2 * i + 1) = HexDigits(d(i) & 0xf)
+      i += 1
+    }
+    new String(out)
+  }
+
+  /** `shingle_minhash(tokens, k, numHashes)` → array<string> of the k-gram
+    * MinHash signature (null when fewer than k tokens, matching the
+    * Column-tier guard). Builds shingle strings and all seed-hashes in one
+    * pass. */
+  case class ShingleMinHashMd5(child: Expression, k: Int, numHashes: Int)
+    extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = ArrayType(StringType, containsNull = false)
+    override def prettyName: String = "shingle_minhash"
+
+    override def nullSafeEval(input: Any): Any = {
+      val arr = input.asInstanceOf[ArrayData]
+      val n = arr.numElements()
+      if (n < k) return null
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val seedPrefixes = Array.tabulate(numHashes)(h => s"$h|")
+      val mins = new Array[String](numHashes)
+      val words = new Array[String](n)
+      var w = 0
+      while (w < n) { words(w) = arr.getUTF8String(w).toString; w += 1 }
+      var i = 0
+      while (i + k <= n) {
+        val sb = new java.lang.StringBuilder(words(i))
+        var j = 1
+        while (j < k) { sb.append(' ').append(words(i + j)); j += 1 }
+        val shingle = sb.toString
+        var h = 0
+        while (h < numHashes) {
+          val hex = md5Hex(md, (seedPrefixes(h) + shingle).getBytes("UTF-8"))
+          if (mins(h) == null || hex.compareTo(mins(h)) < 0) mins(h) = hex
+          h += 1
+        }
+        i += 1
+      }
+      new GenericArrayData(mins.map(UTF8String.fromString(_): Any))
+    }
+
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  }
+
+  /** `shingles(tokens, k)` → array<string> of k-gram shingle strings (empty
+    * when fewer than k tokens). One pass, no per-element lambda. */
+  case class ShingleArray(child: Expression, k: Int)
+    extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = ArrayType(StringType, containsNull = false)
+    override def prettyName: String = "shingles"
+
+    override def nullSafeEval(input: Any): Any = {
+      val arr = input.asInstanceOf[ArrayData]
+      val n = arr.numElements()
+      if (n < k) return new GenericArrayData(Array.empty[Any])
+      val words = new Array[String](n)
+      var w = 0
+      while (w < n) { words(w) = arr.getUTF8String(w).toString; w += 1 }
+      val out = new Array[Any](n - k + 1)
+      var i = 0
+      while (i + k <= n) {
+        val sb = new java.lang.StringBuilder(words(i))
+        var j = 1
+        while (j < k) { sb.append(' ').append(words(i + j)); j += 1 }
+        out(i) = UTF8String.fromString(sb.toString)
+        i += 1
+      }
+      new GenericArrayData(out)
+    }
+
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  }
+
+  /** `simhash64(tokens)` → 64-bit SimHash from xxhash64(seed=42) of each
+    * token with per-bit majority vote — same output as the Column-tier
+    * formulation, ~100× fewer expression evals. */
+  case class SimHash64(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = LongType
+    override def prettyName: String = "simhash64"
+
+    override def nullSafeEval(input: Any): Any = {
+      val arr = input.asInstanceOf[ArrayData]
+      val n = arr.numElements()
+      val votes = new Array[Int](64)
+      var i = 0
+      while (i < n) {
+        val s = arr.getUTF8String(i)
+        val h = XXH64.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes(), 42L)
+        var bit = 0
+        while (bit < 64) {
+          if (((h >>> bit) & 1L) == 1L) votes(bit) += 1 else votes(bit) -= 1
+          bit += 1
+        }
+        i += 1
+      }
+      var out = 0L
+      var bit = 0
+      while (bit < 64) {
+        if (votes(bit) > 0) out |= (1L << bit)
+        bit += 1
+      }
+      java.lang.Long.valueOf(out)
+    }
+
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  }
+
+  /** `cosine_sim(a, b)` over two float/double arrays, computed in double
+    * left-to-right (identical result to the zip_with/aggregate formulation
+    * and the DuckDB oracle). Null if either side is null or lengths differ. */
+  case class CosineSim(left: Expression, right: Expression)
+    extends BinaryExpression with CodegenFallback {
+    override def dataType: DataType = DoubleType
+    override def prettyName: String = "cosine_sim"
+
+    private def elem(arr: ArrayData, i: Int, isFloat: Boolean): Double =
+      if (isFloat) arr.getFloat(i).toDouble else arr.getDouble(i)
+
+    override def nullSafeEval(l: Any, r: Any): Any = {
+      val a = l.asInstanceOf[ArrayData]
+      val b = r.asInstanceOf[ArrayData]
+      val n = a.numElements()
+      if (b.numElements() != n) return null
+      val aF = left.dataType.asInstanceOf[ArrayType].elementType == FloatType
+      val bF = right.dataType.asInstanceOf[ArrayType].elementType == FloatType
+      var dot = 0.0
+      var na = 0.0
+      var nb = 0.0
+      var i = 0
+      while (i < n) {
+        val x = elem(a, i, aF)
+        val y = elem(b, i, bF)
+        dot += x * y
+        na += x * x
+        nb += y * y
+        i += 1
+      }
+      java.lang.Double.valueOf(dot / (math.sqrt(na) * math.sqrt(nb)))
+    }
+
+    override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+      copy(left = l, right = r)
+  }
+
+  // ---- Column-facing constructors ----
+
+  private def expr(c: Column): Expression =
+    org.apache.spark.sql.graft.ColumnBridge.expression(c)
+
+  def shingleMinhash(tokens: Column, k: Int, numHashes: Int): Column =
+    column(ShingleMinHashMd5(expr(tokens), k, numHashes))
+
+  def shingleArray(tokens: Column, k: Int): Column =
+    column(ShingleArray(expr(tokens), k))
+
+  def simhash64(tokens: Column): Column = column(SimHash64(expr(tokens)))
+
+  def cosineSim(a: Column, b: Column): Column = column(CosineSim(expr(a), expr(b)))
+}
