@@ -134,6 +134,22 @@ class Stream(val df: DataFrame) extends Serializable {
   /** `identityPartition()` — planner fence; Catalyst needs no fence. */
   def identityPartition(): Stream = this
 
+  /** `partition(CustomStreamGrouping)` — user-defined partitioner escape
+    * hatch (`Stream.java:96-98`; `backtype/storm/grouping/
+    * CustomStreamGrouping.java` `chooseTasks`). Drops to the RDD layer
+    * (the one place Spark has no declarative equivalent) — use only for
+    * placement semantics hash/range/round-robin cannot express. */
+  def partitionCustom(numParts: Int, chooseTask: Row => Int): Stream = {
+    val schema = df.schema
+    val part = new org.apache.spark.Partitioner {
+      def numPartitions: Int = numParts
+      def getPartition(key: Any): Int =
+        ((key.asInstanceOf[Int] % numParts) + numParts) % numParts
+    }
+    val rdd = df.rdd.map(r => (chooseTask(r), r)).partitionBy(part).values
+    new Stream(spark.createDataFrame(rdd, schema))
+  }
+
   /** `parallelismHint(n)`, Stream.java:76-79. */
   def parallelismHint(n: Int): Stream = new Stream(df.repartition(n))
 

@@ -1,0 +1,70 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, Dataset, Encoder, SparkSession}
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.{functions => F}
+
+/** Source tier — the Spark-native mapping of the reference's spout
+  * hierarchy (SURVEY.md §2.1).
+  *
+  * The reference's spout contracts are replayability contracts:
+  *
+  *  - `ITridentSpout` / `IPartitionedTridentSpout` (exact same batch per
+  *    txid, per-partition metadata) ≡ Structured Streaming's offset log:
+  *    any source with deterministic per-offset-range replay (files, Kafka,
+  *    rate). The checkpoint's offset log IS the coordinator metadata store.
+  *  - `IOpaquePartitionedTridentSpout` (replay may differ) ≡ any
+  *    at-least-once source + the opaque state tier downstream.
+  *  - `IBatchSpout` (programmatic batches, replayable by batchId) ≡
+  *    [[FeederSource]] below (MemoryStream with explicit batch feeding).
+  *  - `RichSpoutBatchExecutor` (non-replayable spout → timed batches) ≡
+  *    the rate source.
+  *  - `DRPCSpout` ≡ `graft.drpc.LocalDRPC` (SURVEY.md §2.11).
+  */
+object Sources {
+
+  /** Streaming parquet directory source — the workhorse for file-backed
+    * pipelines; exact-replay via the file-listing offset log. */
+  def parquetStream(spark: SparkSession, path: String,
+                    schemaFrom: Option[String] = None): DataFrame = {
+    val schema = spark.read.parquet(schemaFrom.getOrElse(path)).schema
+    spark.readStream.schema(schema).parquet(path)
+  }
+
+  /** Rate source — `RichSpoutBatchExecutor`-style timed batches of
+    * synthetic tuples (`timestamp`, `value`). */
+  def rate(spark: SparkSession, rowsPerSecond: Long): DataFrame =
+    spark.readStream.format("rate")
+      .option("rowsPerSecond", rowsPerSecond.toString).load()
+
+  /** Static table as a bounded "stream" — batch parity mode: the same
+    * pipeline plan runs on it unchanged (SURVEY.md §7.1). */
+  def staticTable(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+}
+
+/** `FeederBatchSpout`/`IBatchSpout` analog: programmatic batch feeding over
+  * `MemoryStream` — each `feed` is one micro-batch, replayable by the
+  * stream's own offset tracking (`jvm/storm/trident/testing/
+  * FeederBatchSpout.java`, `IBatchSpout.java:33`). */
+final class FeederSource[A: Encoder](spark: SparkSession) {
+  private implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+  private val stream = MemoryStream[A]
+  def feed(batch: Seq[A]): Unit = { stream.addData(batch); () }
+  def toDF: DataFrame = stream.toDF()
+  def toDS: Dataset[A] = stream.toDS()
+}
+
+/** Operational metrics — the `backtype.storm.metric.api` tier (CountMetric,
+  * ReducedMetric/MeanReducer, CombinedMetric) re-expressed as `observe`
+  * columns: Spark evaluates them inside the existing pass (no extra scan)
+  * and surfaces values per batch via `QueryExecutionListener` /
+  * `StreamingQueryListener`. */
+object Metrics {
+  /** Attach count/sum/mean observations to a frame under `name`. */
+  def observed(df: DataFrame, name: String, valueCol: String): DataFrame =
+    df.observe(name,
+      F.count(F.lit(1)).as("count_metric"),
+      F.sum(F.col(valueCol)).as("sum_metric"),
+      F.avg(F.col(valueCol)).as("mean_metric"))
+}
