@@ -1,0 +1,66 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Physical-plan assertions: the properties that make these operators hold
+  * up at 100 TB — filters reaching the parquet scan, column pruning, small
+  * sides broadcast, top-K as partial/final TakeOrderedAndProject, partial
+  * (map-side) aggregation. A regression here is a scale bug even when the
+  * sf0.01 results stay correct. */
+class PlanSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .config("spark.sql.session.timeZone", "UTC")
+    .getOrCreate()
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private def plan(q: String): String =
+    SparkEntry.queries(q)(spark, dir).queryExecution.executedPlan.toString
+
+  test("q11 pushes the shipdate filter into the parquet scan and partial-aggregates") {
+    val p = plan("q11_tpch_q1")
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate"),
+      s"filter not pushed:\n$p")
+    assert(p.contains("HashAggregate(keys=[l_returnflag") && p.contains("partial_"),
+      s"no partial aggregation:\n$p")
+  }
+
+  test("q01 projection prunes the scan to the selected columns") {
+    val p = plan("q01_project")
+    assert(p.contains("ReadSchema: struct<l_orderkey:bigint,l_linenumber:int," +
+      "l_quantity:double,l_returnflag:string>"), s"scan not pruned:\n$p")
+  }
+
+  test("q28 plans the dimension side as a broadcast hash join") {
+    val p = plan("q28_broadcast_join")
+    assert(p.contains("BroadcastHashJoin"), s"no broadcast join:\n$p")
+    assert(p.contains("PushedFilters: [IsNotNull(p_size), GreaterThan(p_size,40)"),
+      s"dimension filter not pushed:\n$p")
+  }
+
+  test("q24 top-K plans as TakeOrderedAndProject (partial/final FirstN)") {
+    val p = plan("q24_firstn")
+    assert(p.contains("TakeOrderedAndProject"), s"no two-phase top-K:\n$p")
+  }
+
+  test("q07 stateQuery lookup broadcasts the state side") {
+    val p = plan("q07_statequery_filternull")
+    assert(p.contains("BroadcastHashJoin"), s"state lookup not broadcast:\n$p")
+  }
+
+  test("q16 word count keeps split+explode inside codegen and aggregates partially") {
+    val p = plan("q16_wordcount")
+    assert(p.contains("Generate explode"), s"no generate:\n$p")
+    assert(p.contains("partial_count"), s"no map-side combine:\n$p")
+  }
+
+  test("q40 brute-force top-k is a single scan + TakeOrderedAndProject, no shuffle join") {
+    val p = plan("q40_cosine_topk")
+    assert(p.contains("TakeOrderedAndProject"), s"no top-k plan:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"unexpected shuffle join:\n$p")
+  }
+}
