@@ -1,0 +1,98 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{functions => F}
+import org.scalatest.funsuite.AnyFunSuite
+import graft.api._
+import graft.drpc.LocalDRPC
+import graft.sources.{FeederSource, Metrics}
+import graft.state._
+import graft.streaming.MultiStateRunner
+import graft.streaming.MultiStateRunner.StateSink
+
+/** DRPC wire format, sources tier, multi-state coordinated commit, custom
+  * partitioner, read-your-writes cache. */
+class MiscSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  import spark.implicits._
+
+  test("LocalDRPC returns the JSON wire format and rejects unknown functions") {
+    val drpc = new LocalDRPC(spark)
+    drpc.register("echo", args => Seq((args, args.length)).toDF("arg", "len"))
+    assert(drpc.execute("echo", "hi \"there\"") == """[["hi \"there\"",10]]""")
+    val e = intercept[IllegalArgumentException](drpc.execute("nope", "x"))
+    assert(e.getMessage.contains("unknown DRPC function"))
+  }
+
+  test("FeederSource feeds discrete micro-batches (FeederBatchSpout analog)") {
+    val feeder = new FeederSource[String](spark)
+    feeder.feed(Seq("a b", "c"))
+    val wordState = new NonTransactionalMap[Long](new MemoryBackingMap[Long]("feeder-wc"))
+    MemoryBackingMap.clear("feeder-wc")
+    val words = new Stream(feeder.toDF.toDF("sentence"))
+      .flatEach(F.split(F.col("sentence"), " "), "word").project(Fields("word"))
+    val q = graft.streaming.StreamRunner.persistentAggregate[Long](words.toDF,
+      Fields("word"), F.count(F.lit(1)).as("cnt"), _ + _, wordState, "feeder-test",
+      trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime(0L))
+    q.processAllAvailable()
+    feeder.feed(Seq("a"))
+    q.processAllAvailable()
+    q.stop()
+    assert(MemoryBackingMap.snapshot[Long]("feeder-wc")(Seq("a")) == 2L)
+  }
+
+  test("multi-state coordinated commit: both states consistent across a replay") {
+    MemoryBackingMap.clear("ms-words"); MemoryBackingMap.clear("ms-chars")
+    val words = new OpaqueMap[Long](new MemoryBackingMap[OpaqueValue[Long]]("ms-words"))
+    val chars = new TransactionalMap[Long](new MemoryBackingMap[TransactionalValue[Long]]("ms-chars"))
+    val sinks = Seq(
+      StateSink[Long]("words",
+        (b: DataFrame) => b.select(F.explode(F.split(F.col("sentence"), " ")).as("word")),
+        Fields("word"), F.count(F.lit(1)).as("cnt"), _ + _, words),
+      StateSink[Long]("chars",
+        (b: DataFrame) => b.select(F.lit("total").as("k"), F.length(F.col("sentence")).as("n")),
+        Fields("k"), F.sum("n").as("s"), _ + _, chars))
+
+    val b0 = Seq("ab cd", "ef").toDF("sentence")
+    MultiStateRunner.applyBatch(b0, 0L, sinks)
+    MultiStateRunner.applyBatch(b0, 0L, sinks) // full-batch replay
+    val b1 = Seq("ab").toDF("sentence")
+    MultiStateRunner.applyBatch(b1, 1L, sinks)
+
+    assert(MemoryBackingMap.snapshot[OpaqueValue[Long]]("ms-words")(Seq("ab")).curr == 2L)
+    assert(MemoryBackingMap.snapshot[TransactionalValue[Long]]("ms-chars")(Seq("total")).value == (5L + 2L + 2L))
+  }
+
+  test("partitionCustom routes rows via the user partitioner") {
+    val s = new Stream((0 until 40).toDF("n"))
+    val routed = s.partitionCustom(4, r => r.getInt(0) % 4)
+    assert(routed.toDF.rdd.getNumPartitions == 4)
+    val perPart = routed.toDF.rdd.mapPartitionsWithIndex { (i, it) =>
+      Iterator((i, it.map(_.getInt(0) % 4).toSet))
+    }.collect().toMap
+    perPart.foreach { case (i, residues) => assert(residues.subsetOf(Set(i))) }
+  }
+
+  test("CachedBatchReadsMap: reads inside a commit see that batch's writes") {
+    MemoryBackingMap.clear("ryw")
+    val m = new CachedBatchReadsMap[Long](
+      new OpaqueMap[Long](new MemoryBackingMap[OpaqueValue[Long]]("ryw")))
+    val k = Seq(Seq[Any]("a"))
+    m.beginCommit(Some(1L))
+    m.multiUpdate(k, Seq(CombinerValueUpdater[Long](2L, _ + _)))
+    // the raw OpaqueMap would return the PRE-batch value here (None);
+    // the read-your-writes wrapper surfaces the in-batch write
+    assert(m.multiGet(k) == Seq(Some(2L)))
+    m.commit(Some(1L))
+  }
+
+  test("Metrics.observed evaluates metrics inside the pass") {
+    val df = Metrics.observed(Seq(1.0, 2.0, 3.0).toDF("v"), "m", "v")
+    assert(df.count() == 3) // observation attaches without changing results
+  }
+}
