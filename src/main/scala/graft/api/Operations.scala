@@ -22,9 +22,17 @@ object Operations {
     * 0..N output tuples; emitted fields are APPENDED to the input tuple
     * (`OperationOutputFactory`, `trident/tuple/TridentTupleView.java:109-155`).
     * `input` carries only the declared input fields, in declaration order.
+    *
+    * `prepare`/`cleanup` are the `operation/Operation.java` lifecycle hooks,
+    * invoked once per partition (the task-slice, like the reference's
+    * per-executor instance) around the tuple loop — codec/connection setup
+    * goes there. `partitionIndex` mirrors `TridentOperationContext`'s
+    * partition info.
     */
   trait RowFunction extends Serializable {
+    def prepare(partitionIndex: Int): Unit = ()
     def execute(input: Seq[Any]): Iterator[Seq[Any]]
+    def cleanup(): Unit = ()
   }
 
   /** Codegen-friendly 1:1 function tier: output fields as Column exprs over

@@ -63,11 +63,34 @@ class Stream(val df: DataFrame) extends Serializable {
     val inIdx = in.names.map(df.columns.indexOf(_))
     val outSchema = StructType(df.schema.fields ++ out)
     val enc = Encoders.row(outSchema)
-    val res = df.flatMap { r =>
-      val args = inIdx.map(r.get)
-      fn.execute(args).map(emitted => Row.fromSeq(r.toSeq ++ emitted))
+    val res = df.mapPartitions { it =>
+      // Operation lifecycle (prepare/cleanup) bracketed per partition.
+      fn.prepare(org.apache.spark.TaskContext.getPartitionId())
+      new Iterator[Row] {
+        private val inner = it.flatMap { r =>
+          fn.execute(inIdx.map(r.get)).map(em => Row.fromSeq(r.toSeq ++ em))
+        }
+        def hasNext: Boolean = {
+          val h = inner.hasNext
+          if (!h) fn.cleanup()
+          h
+        }
+        def next(): Row = inner.next()
+      }
     }(enc)
     new Stream(res)
+  }
+
+  /** `Debug` builtin (`operation/builtin/Debug.java:23-38`) — print each
+    * tuple on the executor, keep all. */
+  def debug(tag: String = "DEBUG"): Stream = {
+    val cols = df.columns.toSeq
+    new Stream(df.filter { r: Row =>
+      // scalastyle:off println
+      println(s"<$tag> ${cols.zip(r.toSeq).map { case (c, v) => s"$c=$v" }.mkString(", ")}")
+      // scalastyle:on println
+      true
+    })
   }
 
   /** Column-tier 1:N `each`: append one field per element of an array
@@ -305,6 +328,24 @@ class Stream(val df: DataFrame) extends Serializable {
     new Stream(res)
   }
 
+  /** Non-grouped `multiReduce` (TridentTopology.java:171-219 with a plain
+    * `MultiReducer`): the N input streams fold into one state per batch.
+    * Batch face: tagged union folded in a single final task — the same
+    * single-accumulator repartitioning the reference plans. RDD tier by
+    * necessity (heterogeneous schemas); the grouped form is the scalable
+    * spelling. */
+  def multiReduceAll[S](other: Stream, reducer: MultiReducer[S],
+                        out: Seq[StructField]): Stream = {
+    val tagged = df.rdd.map(r => (0, r.toSeq))
+      .union(other.df.rdd.map(r => (1, r.toSeq)))
+    val folded = tagged.coalesce(1).mapPartitions { it =>
+      var s = reducer.init()
+      it.foreach { case (i, t) => s = reducer.execute(s, i, t) }
+      reducer.complete(s).map(Row.fromSeq)
+    }
+    new Stream(spark.createDataFrame(folded, StructType(out)))
+  }
+
   // ------------------------------------------------------------------
   // §2.8 set ops (merge is union; intersect/except via Spark built-ins)
   // ------------------------------------------------------------------
@@ -346,6 +387,13 @@ class Stream(val df: DataFrame) extends Serializable {
   }
 
   def toDF: DataFrame = df
+}
+
+/** `MultiReducer` SPI — `operation/MultiReducer.java:31` (non-grouped). */
+trait MultiReducer[S] extends Serializable {
+  def init(): S
+  def execute(state: S, streamIndex: Int, tuple: Seq[Any]): S
+  def complete(state: S): Iterator[Seq[Any]]
 }
 
 /** `GroupedMultiReducer` SPI — `operation/GroupedMultiReducer.java:31`. */

@@ -33,6 +33,14 @@ trait MapState[T] extends ReadOnlyMapState[T] {
   def commit(txid: Option[Long]): Unit
 }
 
+/** `state/StateUpdater.java:26-32` — the raw sink SPI: sees every tuple of
+  * the batch (already bracketed by beginCommit/commit by the runner) and
+  * updates state arbitrarily; the returned tuples flow onward as the
+  * state's new-values stream (`TridentState.newValuesStream`). */
+trait StateUpdater[S <: MapState[_]] extends Serializable {
+  def updateState(state: S, tuples: Seq[Seq[Any]]): Seq[Seq[Any]]
+}
+
 /** `state/map/NonTransactionalMap.java` — no replay protection. */
 final class NonTransactionalMap[T](backing: IBackingMap[T]) extends MapState[T] {
   def multiGet(keys: Seq[Seq[Any]]): Seq[Option[T]] = backing.multiGet(keys)

@@ -82,6 +82,38 @@ object StreamRunner {
       }
       .start()
 
+  /** `partitionPersist(stateFactory, inputFields, StateUpdater, newFields)`
+    * — the raw sink tier (`Stream.java:170-193`,
+    * `PartitionPersistProcessor.java:36-106`): the user's `StateUpdater`
+    * sees every tuple of the batch and writes state however it likes,
+    * bracketed by `beginCommit(txid)/commit(txid)`. Use
+    * [[persistentAggregate]] when the write is an aggregate fold — it ships
+    * only per-key partials; this raw tier ships the batch's projected
+    * tuples to the state writer, exactly like the reference's committer
+    * bolt receiving the batch. */
+  def partitionPersist[S <: MapState[_]](stream: DataFrame, in: Fields, state: S,
+                                         updater: StateUpdater[S], queryName: String,
+                                         trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+    stream.writeStream
+      .queryName(queryName)
+      .outputMode("update")
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        partitionPersistBatch(batch, batchId, in, state, updater)
+      }
+      .start()
+
+  /** One batch of [[partitionPersist]] — exposed for replay tests. */
+  def partitionPersistBatch[S <: MapState[_]](batch: DataFrame, txid: Long,
+                                              in: Fields, state: S,
+                                              updater: StateUpdater[S]): Unit = {
+    val tuples = batch.select(in.names.map(F.col): _*).collect()
+      .map(_.toSeq).toSeq
+    state.beginCommit(Some(txid))
+    updater.updateState(state, tuples)
+    state.commit(Some(txid))
+  }
+
   /** Materialize a keyed MapState as a DataFrame — `TridentState
     * .newValuesStream` (TridentState.java:32) / the input to `stateQuery`. */
   def stateToDF(spark: SparkSession, snapshot: Map[Seq[Any], Any],

@@ -95,4 +95,70 @@ class MiscSpec extends AnyFunSuite {
     val df = Metrics.observed(Seq(1.0, 2.0, 3.0).toDF("v"), "m", "v")
     assert(df.count() == 3) // observation attaches without changing results
   }
+
+  test("JSON state serializers round-trip the reference wire shapes") {
+    import graft.state.StateSerializers._
+    assert(nonTransactionalFromJson(nonTransactionalToJson("a\"b\n")) == "a\"b\n")
+    val tv = TransactionalValue[Any](7L, 42L)
+    assert(transactionalFromJson(transactionalToJson(tv)) == tv)
+    assert(transactionalToJson(tv) == "[7,42]")
+    val ov = OpaqueValue[Any](9L, "curr", Some("prev"))
+    assert(opaqueFromJson(opaqueToJson(ov)) == ov)
+    assert(opaqueToJson(OpaqueValue[Any](1L, 2.5, None)) == "[1,2.5,null]")
+  }
+
+  test("partitionPersist: raw StateUpdater tier with txid bracketing and replay skip") {
+    MemoryBackingMap.clear("pp")
+    val state = new TransactionalMap[Long](new MemoryBackingMap[TransactionalValue[Long]]("pp"))
+    val appendCount = new StateUpdater[TransactionalMap[Long]] {
+      def updateState(s: TransactionalMap[Long], tuples: Seq[Seq[Any]]): Seq[Seq[Any]] = {
+        val byKey = tuples.groupBy(_.head).view.mapValues(_.size.toLong).toSeq
+        s.multiUpdate(byKey.map(kv => Seq(kv._1)),
+          byKey.map(kv => CombinerValueUpdater[Long](kv._2, _ + _)))
+        byKey.map { case (k, n) => Seq(k, n) }
+      }
+    }
+    val batch = Seq("x", "x", "y").toDF("word")
+    graft.streaming.StreamRunner.partitionPersistBatch(batch, 0L, Fields("word"), state, appendCount)
+    graft.streaming.StreamRunner.partitionPersistBatch(batch, 0L, Fields("word"), state, appendCount)
+    assert(MemoryBackingMap.snapshot[TransactionalValue[Long]]("pp")(Seq("x")).value == 2L)
+  }
+
+  test("multiReduceAll folds two unkeyed streams in one accumulator") {
+    val a = Seq(1, 2, 3).toDF("n")
+    val b = Seq("xx", "yyy").toDF("s")
+    val reducer = new MultiReducer[(Long, Long)] {
+      def init(): (Long, Long) = (0L, 0L)
+      def execute(s: (Long, Long), idx: Int, t: Seq[Any]): (Long, Long) =
+        if (idx == 0) (s._1 + t.head.asInstanceOf[Int], s._2)
+        else (s._1, s._2 + t.head.asInstanceOf[String].length)
+      def complete(s: (Long, Long)): Iterator[Seq[Any]] = Iterator(Seq(s._1, s._2))
+    }
+    import org.apache.spark.sql.types._
+    val out = new Stream(a).multiReduceAll(new Stream(b), reducer,
+        Seq(StructField("sum_a", LongType), StructField("len_b", LongType)))
+      .toDF.as[(Long, Long)].head()
+    assert(out == ((6L, 5L)))
+  }
+
+  test("RowFunction lifecycle hooks fire per partition; debug keeps all tuples") {
+    val counters = new java.util.concurrent.ConcurrentHashMap[String, Integer]()
+    MiscSpec.prepared.set(0); MiscSpec.cleaned.set(0)
+    val fn = new graft.api.Operations.RowFunction {
+      override def prepare(pi: Int): Unit = { MiscSpec.prepared.incrementAndGet(); () }
+      def execute(in: Seq[Any]): Iterator[Seq[Any]] = Iterator(Seq(in.head))
+      override def cleanup(): Unit = { MiscSpec.cleaned.incrementAndGet(); () }
+    }
+    import org.apache.spark.sql.types._
+    val s = new Stream(Seq("a", "b", "c", "d").toDF("v").repartition(2))
+      .each(Fields("v"), fn, Seq(StructField("v2", StringType)))
+    assert(s.toDF.count() == 4)
+    assert(MiscSpec.prepared.get() == 2 && MiscSpec.cleaned.get() == 2)
+    assert(new Stream(Seq(1, 2).toDF("n")).debug("t").toDF.count() == 2)
+  }
+}
+
+object MiscSpec {
+  val prepared = new java.util.concurrent.atomic.AtomicInteger(0)
+  val cleaned = new java.util.concurrent.atomic.AtomicInteger(0)
 }
