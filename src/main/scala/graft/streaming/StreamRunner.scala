@@ -32,18 +32,34 @@ object StreamRunner {
 
   /** Apply one micro-batch to keyed state. Exposed separately so tests can
     * drive replay scenarios (same txid twice, perturbed contents) directly —
-    * the port of `state_test.clj:58-98`. */
+    * the port of `state_test.clj:58-98`.
+    *
+    * Distributed write path: the per-key partials stay hash-partitioned by
+    * key and each partition bulk-writes ITS keys against the state handle
+    * (serialized post-`beginCommit`, so every task carries the txid) — the
+    * same key-partitioned committer layout as the reference's
+    * `partitionPersist` bolts. Nothing but the commit bracket runs on the
+    * driver; with K distinct keys per batch the writers move O(K) partial
+    * rows, never the batch. Chunk bulk calls with [[MicroBatchBackingMap]]
+    * when the backing store needs bounded requests. */
   def applyBatch[T](batch: DataFrame, txid: Long, keys: Fields, partial: Column,
                     combine: (T, T) => T, state: MapState[T]): Unit = {
-    val agg = batch.groupBy(keys.names.map(F.col): _*).agg(partial.as("__partial"))
-    // Partial rows (one per distinct key in the batch) are the only data
-    // that reaches the state writer.
-    val rows = agg.collect()
-    val ks = rows.map(r => keys.names.map(n => r.getAs[Any](n)): Seq[Any]).toSeq
-    val updaters = rows.map(r =>
-      CombinerValueUpdater[T](r.getAs[T]("__partial"), combine)).toSeq
+    val keyCols = keys.names.map(F.col)
+    val agg = batch.groupBy(keyCols: _*).agg(partial.as("__partial"))
+    val nKeys = keys.size
     state.beginCommit(Some(txid))
-    state.multiUpdate(ks, updaters)
+    // the final HashAggregate is already hash-partitioned by the keys —
+    // no extra exchange before the partition-local state writes
+    agg.foreachPartition { (it: Iterator[Row]) =>
+      val rows = it.toVector
+      if (rows.nonEmpty) {
+        val ks = rows.map(r => (0 until nKeys).map(r.get): Seq[Any])
+        val updaters = rows.map(r =>
+          CombinerValueUpdater[T](r.getAs[T](nKeys), combine))
+        state.multiUpdate(ks, updaters)
+        ()
+      }
+    }
     state.commit(Some(txid))
   }
 
