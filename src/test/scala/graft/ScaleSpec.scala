@@ -1,0 +1,53 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{functions => F}
+import org.scalatest.funsuite.AnyFunSuite
+import graft.functions.Scale
+
+/** Skew and co-location utilities: salted aggregation/joins match their
+  * unsalted results; bucketed tables join without an exchange. */
+class ScaleSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .config("spark.sql.warehouse.dir",
+      java.nio.file.Files.createTempDirectory("graft-wh").toString)
+    .getOrCreate()
+
+  import spark.implicits._
+
+  test("saltedAggregate equals plain aggregation (skewed input)") {
+    val skewed = (Seq.fill(10000)("hot") ++ (1 to 500).map(i => s"k$i")).toDF("k")
+    val salted = Scale.saltedAggregate(skewed, Seq("k"), 16,
+        F.count(F.lit(1)).as("cnt"), F.sum("cnt").as("cnt"))
+      .as[(String, Long)].collect().toMap
+    val plain = skewed.groupBy("k").count().as[(String, Long)].collect().toMap
+    assert(salted == plain)
+    assert(salted("hot") == 10000L)
+  }
+
+  test("saltedJoin equals plain join (skewed fact side)") {
+    val fact = (Seq.fill(5000)(1L) ++ (2L to 100L)).toDF("fk")
+    val dim = (1L to 100L).map(i => (i, s"d$i")).toDF("dk", "name")
+    val salted = Scale.saltedJoin(fact, dim, "fk", "dk", 8)
+      .groupBy("name").count().as[(String, Long)].collect().toMap
+    val plain = fact.join(dim, fact("fk") === dim("dk"))
+      .groupBy("name").count().as[(String, Long)].collect().toMap
+    assert(salted == plain)
+    assert(salted("d1") == 5000L)
+  }
+
+  test("bucketed tables join with no shuffle exchange") {
+    val l = (1L to 1000L).map(i => (i, i * 2)).toDF("id", "a")
+    val r = (1L to 1000L).map(i => (i, s"v$i")).toDF("id", "b")
+    Scale.writeBucketed(l, "bl", Seq("id"), 8)
+    Scale.writeBucketed(r, "br", Seq("id"), 8)
+    val joined = spark.table("bl").join(spark.table("br"), "id")
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"bucketed join still shuffles:\n$plan")
+    assert(joined.count() == 1000L)
+  }
+}
