@@ -413,9 +413,8 @@ object SparkEntry {
         .orderBy("doc_id")),
 
     "q38_simhash" -> ((s, dir) =>
-      // no SQL oracle (xxhash64 is Spark-specific) → rows-only check
       table(s, dir, "documents")
-        .select(F.col("doc_id"), Dedup.simhash64(F.col("text")).as("simhash"))
+        .select(F.col("doc_id"), Dedup.simhashPortable(F.col("text")).as("simhash"))
         .orderBy("doc_id")),
 
     "q39_jaccard_pairs" -> ((s, dir) =>
@@ -713,6 +712,15 @@ object SparkEntry {
                  FROM (SELECT doc_id, list_filter(string_split(text, ' '), x -> x != '') AS ws FROM documents)
                  WHERE len(ws) >= 3))
          ORDER BY 1""",
+    "q38_simhash" ->
+      """WITH tok AS (SELECT doc_id, unnest(list_filter(string_split(text, ' '), x -> x != '')) AS w FROM documents),
+         h AS (SELECT doc_id, ('0x' || substr(md5(w), 1, 15))::BIGINT AS hv FROM tok),
+         bits AS (SELECT doc_id, b.b AS b,
+             CASE WHEN sum(CASE WHEN (hv >> b.b) & 1 = 1 THEN 1 ELSE -1 END) > 0
+                  THEN (1::BIGINT << b.b) ELSE 0 END AS bit
+           FROM h, (SELECT unnest(generate_series(0, 59)) AS b) b
+           GROUP BY doc_id, b.b)
+         SELECT doc_id, CAST(sum(bit) AS BIGINT) AS simhash FROM bits GROUP BY 1 ORDER BY 1""",
     "q39_jaccard_pairs" ->
       """WITH s AS (SELECT doc_id, list_transform(generate_series(1, len(ws) - 2), i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]) AS sh
                     FROM (SELECT doc_id, list_filter(string_split(text, ' '), x -> x != '') AS ws FROM documents)

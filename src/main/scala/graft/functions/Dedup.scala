@@ -103,6 +103,11 @@ object Dedup {
   def simhash64(text: Column): Column =
     graft.plans.Expressions.simhash64(Text.tokens(text))
 
+  /** Oracle-portable SimHash (md5 60-bit token hashes) — same structure,
+    * engine-reproducible; prefer [[simhash64]] off the parity path. */
+  def simhashPortable(text: Column): Column =
+    graft.plans.Expressions.simhashMd5(Text.tokens(text))
+
   /** Hamming distance between two 64-bit signatures. */
   def hamming64(a: Column, b: Column): Column =
     F.bit_count(a.bitwiseXOR(b)).cast("long")

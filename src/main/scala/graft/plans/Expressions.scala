@@ -144,6 +144,43 @@ object Expressions {
     override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
   }
 
+  /** `simhash_md5(tokens)` — the ORACLE-PORTABLE SimHash variant: per-token
+    * hash = first 15 md5 hex chars as a 60-bit integer (DuckDB:
+    * `('0x' || substr(md5(w),1,15))::BIGINT`), majority vote over bits
+    * 0..59. Use [[SimHash64]] (xxhash) on the perf path. */
+  case class SimHashMd5(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = LongType
+    override def prettyName: String = "simhash_md5"
+
+    override def nullSafeEval(input: Any): Any = {
+      val arr = input.asInstanceOf[ArrayData]
+      val n = arr.numElements()
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val votes = new Array[Int](60)
+      var i = 0
+      while (i < n) {
+        val hex = md5Hex(md, arr.getUTF8String(i).getBytes)
+        val h = java.lang.Long.parseLong(hex.substring(0, 15), 16)
+        var bit = 0
+        while (bit < 60) {
+          if (((h >>> bit) & 1L) == 1L) votes(bit) += 1 else votes(bit) -= 1
+          bit += 1
+        }
+        i += 1
+      }
+      var out = 0L
+      var bit = 0
+      while (bit < 60) {
+        if (votes(bit) > 0) out |= (1L << bit)
+        bit += 1
+      }
+      java.lang.Long.valueOf(out)
+    }
+
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  }
+
   /** `cosine_sim(a, b)` over two float/double arrays, computed in double
     * left-to-right (identical result to the zip_with/aggregate formulation
     * and the DuckDB oracle). Null if either side is null or lengths differ. */
@@ -193,6 +230,8 @@ object Expressions {
     column(ShingleArray(expr(tokens), k))
 
   def simhash64(tokens: Column): Column = column(SimHash64(expr(tokens)))
+
+  def simhashMd5(tokens: Column): Column = column(SimHashMd5(expr(tokens)))
 
   def cosineSim(a: Column, b: Column): Column = column(CosineSim(expr(a), expr(b)))
 }
