@@ -42,6 +42,16 @@ class ScaleSpec extends AnyFunSuite {
   test("bucketed tables join with no shuffle exchange") {
     val l = (1L to 1000L).map(i => (i, i * 2)).toDF("id", "a")
     val r = (1L to 1000L).map(i => (i, s"v$i")).toDF("id", "b")
+    // the session may be reused across suites: clear both the catalog entry
+    // and any orphaned managed-table location from a previous JVM
+    val wh = new java.net.URI(spark.conf.get("spark.sql.warehouse.dir")).getPath
+    Seq("bl", "br").foreach { t =>
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      val dir = new java.io.File(wh, t)
+      if (dir.exists()) {
+        dir.listFiles().foreach(_.delete()); dir.delete()
+      }
+    }
     Scale.writeBucketed(l, "bl", Seq("id"), 8)
     Scale.writeBucketed(r, "br", Seq("id"), 8)
     val joined = spark.table("bl").join(spark.table("br"), "id")
