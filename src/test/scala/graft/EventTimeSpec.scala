@@ -1,0 +1,83 @@
+package graft
+
+import java.sql.Timestamp
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, Trigger}
+import org.apache.spark.sql.{functions => F}
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Event-time streaming (beyond the reference, which has no event time —
+  * SURVEY.md §2.10): watermarked tumbling windows and
+  * flatMapGroupsWithState custom state, the two Structured Streaming
+  * primitives the engine's streaming tier builds on. */
+class EventTimeSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[2]")
+    .config("spark.sql.shuffle.partitions", "2")
+    .config("spark.ui.enabled", "false")
+    .config("spark.sql.session.timeZone", "UTC")
+    .getOrCreate()
+
+  import spark.implicits._
+
+  private def ts(minute: Int): Timestamp = Timestamp.valueOf(f"2024-01-01 10:$minute%02d:00")
+
+  test("watermarked tumbling window: aggregates finalize, too-late rows are dropped") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Timestamp, String)]
+    val agg = input.toDF().toDF("ts", "k")
+      .withWatermark("ts", "5 minutes")
+      .groupBy(F.window($"ts", "10 minutes"), $"k")
+      .agg(F.count(F.lit(1)).as("cnt"))
+      .select($"window.start".as("w"), $"k", $"cnt")
+    val q = agg.writeStream.outputMode("append")
+      .format("memory").queryName("wm")
+      .trigger(Trigger.ProcessingTime(0L)).start()
+
+    input.addData((ts(1), "a"), (ts(4), "a"))
+    q.processAllAvailable()
+    // advance event time past window-end + watermark → [10:00,10:10) finalizes
+    input.addData((ts(21), "b"))
+    q.processAllAvailable()
+    // this event is behind the watermark → dropped, never appears
+    input.addData((ts(2), "late"))
+    q.processAllAvailable()
+    input.addData((ts(40), "c"))
+    q.processAllAvailable()
+    q.stop()
+
+    val rows = spark.table("wm").as[(Timestamp, String, Long)].collect().toSet
+    assert(rows.contains((ts(0), "a", 2L)))
+    assert(!rows.exists(_._2 == "late"))
+  }
+
+  test("flatMapGroupsWithState maintains custom per-key state across batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(String, Double)]
+    // running (count, max) per key — arbitrary state beyond built-in aggs
+    def update(key: String, rows: Iterator[(String, Double)],
+               state: GroupState[(Long, Double)]): Iterator[(String, Long, Double)] = {
+      var (n, mx) = state.getOption.getOrElse((0L, Double.NegativeInfinity))
+      rows.foreach { r => n += 1; mx = math.max(mx, r._2) }
+      state.update((n, mx))
+      Iterator.single((key, n, mx))
+    }
+    val out = input.toDS().groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout)(update)
+    val q = out.writeStream.outputMode("update")
+      .format("memory").queryName("fmgs")
+      .trigger(Trigger.ProcessingTime(0L)).start()
+
+    input.addData(("a", 1.0), ("a", 5.0), ("b", 2.0))
+    q.processAllAvailable()
+    input.addData(("a", 3.0))
+    q.processAllAvailable()
+    q.stop()
+
+    val latest = spark.table("fmgs").as[(String, Long, Double)].collect()
+      .groupBy(_._1).view.mapValues(rs => rs.maxBy(_._2)).toMap
+    assert(latest("a") == (("a", 3L, 5.0)))
+    assert(latest("b") == (("b", 1L, 2.0)))
+  }
+}
