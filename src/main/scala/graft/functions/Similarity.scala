@@ -43,20 +43,57 @@ object Similarity {
   /** Assign each vector to its nearest centroid (IVF cell). `centroids` is
     * broadcast (a few thousand rows at most); the argmin is computed with an
     * aggregate over the collected centroid array — single scan, no shuffle,
-    * no window. Ties break to the lowest cell id. */
+    * no window. Ties break to the lowest cell id.
+    *
+    * Norms are computed ONCE per vector and per centroid (not per pair):
+    * each candidate pair costs one fused dot product — a 3× flop cut over
+    * inline cosine, with bit-identical scores (`dot/(√na·√nb)`, each sum
+    * left-to-right). */
   def ivfAssign(embeddings: DataFrame, embCol: String, idCol: String,
                 centroids: DataFrame, centIdCol: String, centVecCol: String): DataFrame = {
+    import graft.plans.Expressions.dotProd
     val cents = F.broadcast(centroids.select(
-      F.col(centIdCol).as("__cid"), F.col(centVecCol).as("__cvec")))
-    // cross join against the broadcast centroid set, keep the best per vector
-    // via min(struct(-score, cid)) — one partial/final agg, no window shuffle.
-    embeddings.join(cents)
+      F.col(centIdCol).as("__cid"), F.col(centVecCol).as("__cvec"),
+      F.sqrt(dotProd(F.col(centVecCol), F.col(centVecCol))).as("__cnorm")))
+    embeddings
+      .withColumn("__enorm", F.sqrt(dotProd(F.col(embCol), F.col(embCol))))
+      .join(cents)
       .groupBy(F.col(idCol))
       .agg(F.min(F.struct(
-        (F.lit(-1.0) * cosine(F.col(embCol), F.col("__cvec"))).as("negScore"),
+        (F.lit(-1.0) * (dotProd(F.col(embCol), F.col("__cvec")) /
+          (F.col("__enorm") * F.col("__cnorm")))).as("negScore"),
         F.col("__cid").as("cid"))).as("best"))
       .select(F.col(idCol), F.col("best.cid").as("cell"),
         (F.lit(-1.0) * F.col("best.negScore")).as("cell_score"))
+  }
+
+  /** Lloyd's k-means over the embedding column — the IVF centroid BUILD
+    * path (seed centroids = first k vectors by id; each iteration is one
+    * distributed pass: assign via [[ivfAssign]], re-center with an
+    * elementwise mean — `posexplode` + groupBy(cell, dim), never collecting
+    * vectors). Returns (cell, centroid array<double>). */
+  def kmeansCentroids(embeddings: DataFrame, embCol: String, idCol: String,
+                      k: Int, iters: Int): DataFrame = {
+    var cents = embeddings.orderBy(F.col(idCol)).limit(k)
+      .select(F.col(idCol).as("cell"),
+        F.transform(F.col(embCol), x => x.cast("double")).as("cvec"))
+    var i = 0
+    while (i < iters) {
+      val assigned = ivfAssign(embeddings, embCol, idCol, cents, "cell", "cvec")
+        .select(F.col(idCol), F.col("cell"))
+        .join(embeddings.select(F.col(idCol), F.col(embCol)), idCol)
+      val recentered = assigned
+        .select(F.col("cell"), F.posexplode(F.col(embCol)).as(Seq("dim", "x")))
+        .groupBy("cell", "dim")
+        .agg(F.avg("x").as("mean"))
+        .groupBy("cell")
+        .agg(F.array_sort(F.collect_list(F.struct(F.col("dim"), F.col("mean")))).as("pairs"))
+        .select(F.col("cell"),
+          F.transform(F.col("pairs"), p => p.getField("mean")).as("cvec"))
+      cents = recentered
+      i += 1
+    }
+    cents
   }
 
   /** IVF search: probe the `nProbe` cells nearest to the query, brute-force
@@ -76,6 +113,18 @@ object Similarity {
       .select(F.col(idCol), cosine(F.col(embCol), q).as("score"))
       .orderBy(F.col("score").desc, F.col(idCol).asc)
       .limit(k)
+  }
+
+  /** End-to-end ANN index build + query: k-means centroids → cell
+    * assignment (the cell doubles as the storage partition key) → probe. */
+  def annSearch(embeddings: DataFrame, embCol: String, idCol: String,
+                k: Int, nCells: Int, kmeansIters: Int,
+                query: Seq[Double], nProbe: Int): DataFrame = {
+    val cents = kmeansCentroids(embeddings, embCol, idCol, nCells, kmeansIters)
+    val assigned = ivfAssign(embeddings, embCol, idCol, cents, "cell", "cvec")
+      .select(F.col(idCol), F.col("cell"))
+      .join(embeddings.select(F.col(idCol), F.col(embCol)), idCol)
+    ivfTopK(assigned, embCol, idCol, cents, "cell", "cvec", query, k, nProbe)
   }
 
   /** Random-hyperplane LSH bucket for cosine similarity: `nBits` sign bits

@@ -218,6 +218,35 @@ object Expressions {
       copy(left = l, right = r)
   }
 
+  /** `dot_prod(a, b)` — double left-to-right dot product only (use with
+    * precomputed norms to avoid recomputing them per candidate pair). */
+  case class DotProd(left: Expression, right: Expression)
+    extends BinaryExpression with CodegenFallback {
+    override def dataType: DataType = DoubleType
+    override def prettyName: String = "dot_prod"
+
+    override def nullSafeEval(l: Any, r: Any): Any = {
+      val a = l.asInstanceOf[ArrayData]
+      val b = r.asInstanceOf[ArrayData]
+      val n = a.numElements()
+      if (b.numElements() != n) return null
+      val aF = left.dataType.asInstanceOf[ArrayType].elementType == FloatType
+      val bF = right.dataType.asInstanceOf[ArrayType].elementType == FloatType
+      var dot = 0.0
+      var i = 0
+      while (i < n) {
+        val x = if (aF) a.getFloat(i).toDouble else a.getDouble(i)
+        val y = if (bF) b.getFloat(i).toDouble else b.getDouble(i)
+        dot += x * y
+        i += 1
+      }
+      java.lang.Double.valueOf(dot)
+    }
+
+    override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+      copy(left = l, right = r)
+  }
+
   // ---- Column-facing constructors ----
 
   private def expr(c: Column): Expression =
@@ -234,4 +263,6 @@ object Expressions {
   def simhashMd5(tokens: Column): Column = column(SimHashMd5(expr(tokens)))
 
   def cosineSim(a: Column, b: Column): Column = column(CosineSim(expr(a), expr(b)))
+
+  def dotProd(a: Column, b: Column): Column = column(DotProd(expr(a), expr(b)))
 }

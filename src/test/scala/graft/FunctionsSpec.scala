@@ -109,6 +109,26 @@ class FunctionsSpec extends AnyFunSuite {
     assert(ivf == Seq(0L, 1L)) // query lands in cell 0 = {0,1}
   }
 
+  test("kmeans centroids converge on a clustered fixture; annSearch finds the cluster") {
+    // clusters interleaved by id parity so the first-k seeds span both
+    val vecs = (0 until 20).map { i =>
+      if (i % 2 == 0) (i.toLong, Array(1.0f + i * 0.01f, 0.1f + i * 0.002f, 0.0f))
+      else (i.toLong, Array(0.1f + i * 0.002f, 1.0f + i * 0.01f, 0.0f))
+    }.toDF("vec_id", "embedding")
+    val cents = Similarity.kmeansCentroids(vecs, "embedding", "vec_id", k = 2, iters = 3)
+    val assigned = Similarity.ivfAssign(vecs, "embedding", "vec_id", cents, "cell", "cvec")
+      .select("vec_id", "cell").as[(Long, Long)].collect().toMap
+    // the two geometric clusters end up in two distinct cells
+    val xCells = (0L until 20L by 2).map(assigned).toSet
+    val yCells = (1L until 20L by 2).map(assigned).toSet
+    assert(xCells.size == 1 && yCells.size == 1 && xCells != yCells)
+
+    val hits = Similarity.annSearch(vecs, "embedding", "vec_id",
+        k = 3, nCells = 2, kmeansIters = 2, query = Seq(1.0, 0.1, 0.0), nProbe = 1)
+      .as[(Long, Double)].collect().map(_._1).toSet
+    assert(hits.subsetOf((0L until 20L by 2).toSet))
+  }
+
   test("multimodal plumbing: payload meta, frame offsets, stubbed decode") {
     val df = Seq((1L, "abcd" * 100)).toDF("doc_id", "text")
       .select($"doc_id", Multimodal.fakePayload($"text").as("payload"))
