@@ -570,6 +570,10 @@ object SparkEntry {
       MemoryBackingMap.clear(storeId)
       out
     }),
+
+    "q54_rarity_score" -> ((s, dir) =>
+      Text.rarityScore(table(s, dir, "documents"), "doc_id", "text", rareBelow = 500L)
+        .orderBy("doc_id")),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -826,5 +830,11 @@ object SparkEntry {
          ORDER BY 1, 2, 4""",
     "q53_persistent_wordcount" ->
       "SELECT word, CAST(count(*) AS BIGINT) AS cnt FROM (SELECT unnest(list_filter(string_split(text, ' '), x -> x != '')) AS word FROM documents) GROUP BY 1 ORDER BY 1",
+    "q54_rarity_score" ->
+      """WITH toks AS (SELECT doc_id, unnest(list_filter(string_split(text, ' '), x -> x != '')) AS w FROM documents),
+         freq AS (SELECT w, CAST(count(*) AS BIGINT) AS cnt FROM toks GROUP BY 1)
+         SELECT t.doc_id, CAST(sum(f.cnt) AS BIGINT) AS freq_score,
+           CAST(sum(CASE WHEN f.cnt < 500 THEN 1 ELSE 0 END) AS BIGINT) AS n_rare
+         FROM toks t JOIN freq f ON t.w = f.w GROUP BY 1 ORDER BY 1""",
   )
 }

@@ -89,6 +89,23 @@ object Text {
     "es" -> Seq("el", "la", "de", "que", "y", "en", "un", "es", "los", "una"),
   )
 
+  /** Corpus-frequency rarity signals: for each document, the sum of the
+    * corpus-wide counts of its tokens (high = stock phrases) and the number
+    * of rare tokens (corpus count < `rareBelow`). The frequency table is a
+    * one-pass word count joined back per token — integer-exact, so
+    * cross-engine deterministic regardless of shuffle order. At scale the
+    * frequency table is broadcast (vocab ≪ corpus). */
+  def rarityScore(df: org.apache.spark.sql.DataFrame, idCol: String,
+                  textCol: String, rareBelow: Long = 100L): org.apache.spark.sql.DataFrame = {
+    val toks = df.select(F.col(idCol), F.explode(tokens(F.col(textCol))).as("__w"))
+    val freq = F.broadcast(
+      toks.groupBy("__w").agg(F.count(F.lit(1)).as("__cnt")))
+    toks.join(freq, "__w")
+      .groupBy(idCol)
+      .agg(F.sum("__cnt").as("freq_score"),
+        F.sum(F.when(F.col("__cnt") < rareBelow, 1L).otherwise(0L)).as("n_rare"))
+  }
+
   /** Document fingerprint, oracle-parity tier: md5 of the normalized text
     * (lowercased, squeezed whitespace) — stable across engines. */
   def fingerprintMd5(text: Column): Column =
