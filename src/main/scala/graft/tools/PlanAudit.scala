@@ -1,0 +1,35 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+
+/** Plan inspection utility: prints the executed physical plan (and a
+  * join/exchange summary) for the named SparkEntry queries — or a summary
+  * line for every query with no args. Usage:
+  * `sbt "runMain graft.tools.PlanAudit [queryName ...]"`. */
+object PlanAudit {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
+    val names = if (args.nonEmpty) args.toSeq else graft.SparkEntry.queries.keys.toSeq.sorted
+    names.foreach { q =>
+      val plan = graft.SparkEntry.queries(q)(spark, dir).queryExecution.executedPlan.toString
+    val joins = plan.linesIterator
+        .filter(l => l.contains("Join") || l.contains("Cartesian") || l.contains("Generate"))
+        .map(_.trim.replaceAll("\\[plan_id=\\d+\\]", "").take(120)).toSeq
+      println(s"== $q ==")
+      if (args.nonEmpty) println(plan)
+      else {
+        joins.foreach(l => println(s"  $l"))
+        println(s"  exchanges=${plan.linesIterator.count(_.trim.startsWith("Exchange"))} " +
+          s"wholeStageCodegen=${plan.linesIterator.count(_.contains("WholeStageCodegen"))}")
+      }
+    }
+    spark.stop()
+  }
+}
