@@ -51,6 +51,18 @@ object Scale {
       .format("parquet")
       .saveAsTable(table)
 
+  /** Write a table partitioned by a low-cardinality column (lang, IVF cell,
+    * date): queries filtering on it scan ONLY the matching directories
+    * (partition pruning — asserted in `ScaleSpec`). The write repartitions
+    * by the partition column first so each output task produces one file
+    * per directory instead of `tasks × partitions` small files — the
+    * 100 TB small-files discipline. */
+  def writePartitioned(df: DataFrame, path: String, partitionCols: Seq[String]): Unit =
+    df.repartition(partitionCols.map(F.col): _*)
+      .write.mode("overwrite")
+      .partitionBy(partitionCols: _*)
+      .parquet(path)
+
   /** Salting for skewed JOINS: replicate the small side `saltBuckets` times,
     * salt the big side's key randomly-but-deterministically, join on
     * (key, salt). Bounded memory per task regardless of key skew. */

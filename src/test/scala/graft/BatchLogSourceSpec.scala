@@ -35,6 +35,46 @@ class BatchLogSourceSpec extends AnyFunSuite {
     assert(read(2, 3) == Seq("d", "e"))
   }
 
+  test("checkpoint restart: a new query resumes offsets, state is not double-counted") {
+    BatchLog.drop("ckpt"); BatchLog.create("ckpt")
+    BatchLog.append("ckpt", Seq("a a b"))
+    BatchLog.append("ckpt", Seq("a"))
+    MemoryBackingMap.clear("ckpt-wc")
+    val state = new OpaqueMap[Long](new MemoryBackingMap[OpaqueValue[Long]]("ckpt-wc"))
+    val checkpoint = java.nio.file.Files.createTempDirectory("graft-ckpt").toString
+
+    def startQuery() = {
+      val df = spark.readStream.format("graft.sources.BatchLogProvider")
+        .option("log", "ckpt").load()
+      val words = df.select(F.explode(F.split(F.col("value"), " ")).as("word"))
+      words.writeStream
+        .queryName("ckpt-test")
+        .outputMode("update")
+        .option("checkpointLocation", checkpoint)
+        .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime(0L))
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, id: Long) =>
+          StreamRunner.applyBatch[Long](batch, id, Fields("word"),
+            F.count(F.lit(1)).as("cnt"), _ + _, state)
+        }
+        .start()
+    }
+
+    val q1 = startQuery()
+    q1.processAllAvailable()
+    q1.stop()
+    assert(MemoryBackingMap.snapshot[OpaqueValue[Long]]("ckpt-wc")(Seq("a")).curr == 3L)
+
+    // restart from the same checkpoint: already-committed batches must NOT
+    // re-apply; only the new batch is processed
+    BatchLog.append("ckpt", Seq("b b"))
+    val q2 = startQuery()
+    q2.processAllAvailable()
+    q2.stop()
+    val snap = MemoryBackingMap.snapshot[OpaqueValue[Long]]("ckpt-wc")
+    assert(snap(Seq("a")).curr == 3L)   // unchanged — offsets resumed
+    assert(snap(Seq("b")).curr == 3L)   // 1 + 2 from the post-restart batch
+  }
+
   test("end-to-end: readStream over the custom source into exactly-once state") {
     BatchLog.drop("e2e"); BatchLog.create("e2e")
     BatchLog.append("e2e", Seq("hello the man said", "the"))

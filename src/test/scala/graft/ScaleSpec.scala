@@ -39,6 +39,20 @@ class ScaleSpec extends AnyFunSuite {
     assert(salted("d1") == 5000L)
   }
 
+  test("partitioned writes prune the scan to the filtered partitions") {
+    val docs = (1 to 300).map(i =>
+      (i.toLong, s"text $i", if (i % 3 == 0) "de" else "en")).toDF("id", "text", "lang")
+    val path = java.nio.file.Files.createTempDirectory("graft-part").toString
+    Scale.writePartitioned(docs, path, Seq("lang"))
+    // one directory per lang, one file per directory (repartition-first)
+    val langDirs = new java.io.File(path).listFiles().filter(_.getName.startsWith("lang="))
+    assert(langDirs.map(_.getName).toSet == Set("lang=en", "lang=de"))
+    val read = spark.read.parquet(path).where($"lang" === "de")
+    val plan = read.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [isnotnull(lang"), s"no partition pruning:\n$plan")
+    assert(read.count() == 100)
+  }
+
   test("bucketed tables join with no shuffle exchange") {
     val l = (1L to 1000L).map(i => (i, i * 2)).toDF("id", "a")
     val r = (1L to 1000L).map(i => (i, s"v$i")).toDF("id", "b")
