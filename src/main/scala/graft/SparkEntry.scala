@@ -574,6 +574,16 @@ object SparkEntry {
     "q54_rarity_score" -> ((s, dir) =>
       Text.rarityScore(table(s, dir, "documents"), "doc_id", "text", rareBelow = 500L)
         .orderBy("doc_id")),
+
+    "q55_multimodal_frames" -> ((s, dir) =>
+      table(s, dir, "documents")
+        .select(F.col("doc_id"), Multimodal.fakePayload(F.col("text")).as("payload"))
+        .select(F.col("doc_id"),
+          F.posexplode(Multimodal.frameOffsets(F.col("payload"), 256, 10))
+            .as(Seq("frame_id", "fr")))
+        .select(F.col("doc_id"), F.col("frame_id").cast("long").as("frame_id"),
+          F.col("fr.offset").as("offset"), F.col("fr.length").as("length"))
+        .orderBy("doc_id", "frame_id")),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -836,5 +846,11 @@ object SparkEntry {
          SELECT t.doc_id, CAST(sum(f.cnt) AS BIGINT) AS freq_score,
            CAST(sum(CASE WHEN f.cnt < 500 THEN 1 ELSE 0 END) AS BIGINT) AS n_rare
          FROM toks t JOIN freq f ON t.w = f.w GROUP BY 1 ORDER BY 1""",
+    "q55_multimodal_frames" ->
+      """WITH d AS (SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n FROM documents),
+         f AS (SELECT doc_id, n, unnest(generate_series(0, least(CAST(ceil(n / 256.0) AS BIGINT), 10) - 1)) AS i FROM d)
+         SELECT doc_id, CAST(i AS BIGINT) AS frame_id, CAST(i * 256 AS BIGINT) AS offset,
+           CAST(least(256, n - i * 256) AS BIGINT) AS length
+         FROM f ORDER BY 1, 2""",
   )
 }

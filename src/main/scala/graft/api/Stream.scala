@@ -193,8 +193,10 @@ class Stream(val df: DataFrame) extends Serializable {
     * reference builds by hand in `ChainedAggregatorDeclarer.chainEnd`. Every
     * Column must carry an alias. Multiple columns = chained aggregation
     * (`chainedAgg`, one pass). */
-  def aggregate(aggs: Column*): Stream =
+  def aggregate(aggs: Column*): Stream = {
+    Stream.validateChainedOutputs(aggs)
     new Stream(df.agg(aggs.head, aggs.tail: _*))
+  }
 
   /** Whole-stream aggregate via a user CombinerAggregator (SPI tier). */
   def aggregate[T](in: Fields, agg: CombinerAggregator[T], out: StructField): Stream = {
@@ -389,6 +391,19 @@ class Stream(val df: DataFrame) extends Serializable {
   def toDF: DataFrame = df
 }
 
+object Stream {
+  /** Chained-aggregation output disjointness — the build-time check of
+    * `ChainedAggregatorDeclarer.chainEnd` (ChainedAggregatorDeclarer
+    * .java:91-93): "Output fields for chained aggregators must be
+    * distinct". */
+  private[api] def validateChainedOutputs(aggs: Seq[Column]): Unit = {
+    val names = aggs.map(_.toString.replaceAll("(?i).* AS ", ""))
+    val dups = names.diff(names.distinct)
+    if (dups.nonEmpty) throw new IllegalArgumentException(
+      s"Output fields for chained aggregators must be distinct: got duplicates ${dups.distinct.mkString(", ")}")
+  }
+}
+
 /** `MultiReducer` SPI — `operation/MultiReducer.java:31` (non-grouped). */
 trait MultiReducer[S] extends Serializable {
   def init(): S
@@ -409,8 +424,10 @@ class GroupedStream(df: DataFrame, val keys: Fields) extends Serializable {
   /** Column-tier per-key aggregate — `GroupedStream.aggregate`
     * (GroupedStream.java:55-85). Multiple columns = `chainedAgg` single-pass
     * (`ChainedAggregatorImpl` ≡ one HashAggregate with N agg exprs). */
-  def aggregate(aggs: Column*): Stream =
+  def aggregate(aggs: Column*): Stream = {
+    Stream.validateChainedOutputs(aggs)
     new Stream(df.groupBy(keys.names.map(F.col): _*).agg(aggs.head, aggs.tail: _*))
+  }
 
   /** SPI tier: CombinerAggregator per key. Folds each group whole inside
     * `flatMapGroups` (arbitrary JVM state); the Column tier is the partial-agg

@@ -47,9 +47,13 @@ object Multimodal {
     val n = F.octet_length(payload).cast("long")
     val nFrames = F.least(F.ceil(n / F.lit(frameBytes.toDouble)).cast("long"),
       F.lit(maxFrames.toLong))
-    F.transform(F.sequence(F.lit(0L), nFrames - 1),
-      i => F.struct((i * frameBytes).as("offset"),
-        F.least(F.lit(frameBytes.toLong), n - i * frameBytes).as("length")))
+    // guard: sequence(0, -1) would generate a DESCENDING range for an
+    // empty payload
+    F.when(nFrames > 0,
+      F.transform(F.sequence(F.lit(0L), nFrames - 1),
+        i => F.struct((i * frameBytes).as("offset"),
+          F.least(F.lit(frameBytes.toLong), n - i * frameBytes).as("length")))
+    ).otherwise(F.array().cast("array<struct<offset:bigint,length:bigint>>"))
   }
 
   /** Feature schema produced by the decode stage. */

@@ -68,6 +68,27 @@ class StreamApiSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](a.merge(new Stream(Seq(1).toDF("only"))))
   }
 
+  test("chained aggregators reject duplicate output fields (build-time)") {
+    val s = new Stream(Seq((1, 2.0)).toDF("k", "v"))
+    val e = intercept[IllegalArgumentException] {
+      s.groupBy(Fields("k")).aggregate(F.sum("v").as("x"), F.max("v").as("x"))
+    }
+    assert(e.getMessage.contains("must be distinct"))
+  }
+
+  test("fields grouping: same key always lands in the same partition; shuffle spreads") {
+    // grouping_test.clj:25-57 distribution properties
+    val words = new Stream((1 to 2000).map(i => s"w${i % 20}").toDF("word"))
+    val parts = words.partitionBy(Fields("word")).toDF
+      .rdd.mapPartitionsWithIndex { (pi, it) => it.map(r => (r.getString(0), pi)) }
+      .collect()
+    // deterministic placement: one partition per key
+    assert(parts.groupBy(_._1).values.forall(_.map(_._2).toSet.size == 1))
+    val shuffled = words.shuffle(8).toDF.rdd
+      .mapPartitions(it => Iterator(it.size)).collect()
+    assert(shuffled.count(_ > 0) >= 6) // round-robin: most partitions populated
+  }
+
   test("repartition operators preserve content and set partitioning") {
     val s = new Stream((1 to 100).toDF("n"))
     assert(s.shuffle(8).toDF.rdd.getNumPartitions == 8)
