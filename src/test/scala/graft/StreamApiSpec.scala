@@ -137,6 +137,20 @@ class StreamApiSpec extends AnyFunSuite {
     assert(total == 6.0)
   }
 
+  test("FirstN assembly (partial/final heaps) equals orderBy.limit") {
+    val rows = (1 to 500).map(i => ((i * 37) % 501, (i * 7919 % 10007).toDouble))
+    val s = new Stream(rows.toDF("id", "score").repartition(8))
+    val viaAssembly = s.applyAssembly(Assemblies.firstN(10, "score", reverse = true))
+      .toDF.as[(Int, Double)].collect().toSet
+    val viaLimit = s.firstN(10, "score", reverse = true, tieBreak = Seq("id"))
+      .toDF.as[(Int, Double)].collect().toSet
+    assert(viaAssembly == viaLimit)
+    // ascending variant
+    val asc = s.applyAssembly(Assemblies.firstN(5, "score"))
+      .toDF.as[(Int, Double)].collect().map(_._2).sorted.toSeq
+    assert(asc == rows.map(_._2).sorted.take(5).toSeq)
+  }
+
   test("firstN sorted/unsorted and grouped firstN") {
     val s = new Stream(Seq((1, 5.0), (2, 9.0), (3, 7.0), (4, 9.0)).toDF("id", "score"))
     val top2 = s.firstN(2, "score", reverse = true, tieBreak = Seq("id"))
