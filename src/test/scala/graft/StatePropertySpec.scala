@@ -1,0 +1,79 @@
+package graft
+
+import org.scalacheck.{Gen, Prop, Properties}
+import graft.state._
+
+/** Property-based exactly-once contracts: for ANY sequence of batches with
+  * arbitrary replays, OpaqueMap must behave as if each txid's LAST attempt
+  * ran exactly once, and TransactionalMap as if each txid ran exactly once
+  * (replays carry identical data). These generalize the fixed traces of
+  * `state_test.clj:58-98`. */
+object StatePropertySpec extends Properties("ExactlyOnceState") {
+
+  // one logical batch: the partial count its final attempt contributes, plus
+  // up to two DIFFERING failed attempts before it (opaque replay pattern)
+  private case class Batch(finalPartial: Long, failedAttempts: List[Long])
+
+  private val batchGen: Gen[Batch] = for {
+    fin <- Gen.choose(0L, 20L)
+    nFails <- Gen.choose(0, 2)
+    fails <- Gen.listOfN(nFails, Gen.choose(0L, 20L))
+  } yield Batch(fin, fails)
+
+  private def count(partial: Long) = CombinerValueUpdater[Long](partial, _ + _)
+
+  property("OpaqueMap: last attempt per txid wins for any replay pattern") =
+    Prop.forAll(Gen.listOfN(8, batchGen)) { batches =>
+      val id = s"prop-${java.util.UUID.randomUUID()}"
+      val m = new OpaqueMap[Long](new MemoryBackingMap[OpaqueValue[Long]](id))
+      val k = Seq(Seq[Any]("key"))
+      batches.zipWithIndex.foreach { case (b, txid) =>
+        // failed attempts: beginCommit + update, commit never lands, the
+        // SAME txid is retried — possibly with different data
+        b.failedAttempts.foreach { partial =>
+          m.beginCommit(Some(txid.toLong))
+          m.multiUpdate(k, Seq(count(partial)))
+        }
+        m.beginCommit(Some(txid.toLong))
+        m.multiUpdate(k, Seq(count(b.finalPartial)))
+        m.commit(Some(txid.toLong))
+      }
+      val expected = batches.map(_.finalPartial).sum
+      val got = m.multiGet(k)
+      MemoryBackingMap.clear(id)
+      Prop(got == Seq(Some(expected))) :| s"got $got expected $expected"
+    }
+
+  property("TransactionalMap: identical-data replays are idempotent") =
+    Prop.forAll(Gen.listOfN(8, Gen.zip(Gen.choose(0L, 20L), Gen.choose(1, 3)))) { spec =>
+      val id = s"prop-${java.util.UUID.randomUUID()}"
+      val m = new TransactionalMap[Long](new MemoryBackingMap[TransactionalValue[Long]](id))
+      val k = Seq(Seq[Any]("key"))
+      spec.zipWithIndex.foreach { case ((partial, attempts), txid) =>
+        (1 to attempts).foreach { _ =>
+          m.beginCommit(Some(txid.toLong))
+          m.multiUpdate(k, Seq(count(partial))) // same data each attempt
+          m.commit(Some(txid.toLong))
+        }
+      }
+      val expected = spec.map(_._1).sum
+      val got = m.multiGet(k)
+      MemoryBackingMap.clear(id)
+      Prop(got == Seq(Some(expected))) :| s"got $got expected $expected"
+    }
+
+  property("OpaqueValue.update/get round-trips for monotone txids") =
+    Prop.forAll(Gen.listOfN(6, Gen.choose(0L, 5L))) { deltas =>
+      // txids strictly increasing via cumulative sums (+1)
+      val txids = deltas.scanLeft(0L)((a, d) => a + d + 1).tail
+      var v = OpaqueValue.first(Some(txids.head), "v0")
+      val ok = txids.tail.zipWithIndex.forall { case (tx, i) =>
+        val prevCurr = v.curr
+        v = v.update(Some(tx), s"v${i + 1}")
+        v.prev.contains(prevCurr) && v.curr == s"v${i + 1}" &&
+          v.get(Some(tx)).contains(prevCurr) && // same-tx read sees pre-batch
+          v.get(Some(tx + 1)).contains(v.curr)  // later tx sees committed
+      }
+      Prop(ok)
+    }
+}
