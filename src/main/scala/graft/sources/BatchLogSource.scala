@@ -7,7 +7,7 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.{InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder}
-import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, SupportsAdmissionControl}
 import org.apache.spark.sql.types.{StringType, StructField, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
@@ -57,26 +57,44 @@ private[sources] class BatchLogTable(logId: String) extends Table with SupportsR
   override def schema(): StructType = BatchLog.Schema
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.MICRO_BATCH_READ)
-  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
+    val maxPending = Option(options.get("maxBatchesPerTrigger")).map(_.toInt)
     new ScanBuilder {
       override def build(): Scan = new Scan {
         override def readSchema(): StructType = BatchLog.Schema
         override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
-          new BatchLogStream(logId)
+          new BatchLogStream(logId, maxPending)
       }
     }
+  }
 }
 
 private[sources] case class BatchLogOffset(batchId: Long) extends Offset {
   override def json(): String = batchId.toString
 }
 
-private[sources] class BatchLogStream(logId: String) extends MicroBatchStream {
+private[sources] class BatchLogStream(logId: String, maxBatchesPerTrigger: Option[Int] = None)
+  extends MicroBatchStream with SupportsAdmissionControl {
   override def initialOffset(): Offset = BatchLogOffset(0L)
   override def latestOffset(): Offset = BatchLogOffset(BatchLog.numBatches(logId).toLong)
   override def deserializeOffset(json: String): Offset = BatchLogOffset(json.trim.toLong)
   override def commit(end: Offset): Unit = ()
   override def stop(): Unit = ()
+
+  /** Backpressure — the `topology.max.spout.pending` analog (SURVEY.md
+    * §2.10): admit at most `maxBatchesPerTrigger` logged batches per
+    * trigger so a backlog drains in bounded micro-batches instead of one
+    * giant catch-up batch. */
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    val startId = start.asInstanceOf[BatchLogOffset].batchId
+    val available = BatchLog.numBatches(logId).toLong
+    maxBatchesPerTrigger match {
+      case Some(m) => BatchLogOffset(math.min(available, startId + m))
+      case None => BatchLogOffset(available)
+    }
+  }
+  override def reportLatestOffset(): Offset =
+    BatchLogOffset(BatchLog.numBatches(logId).toLong)
 
   /** The replayability contract: partitions for [start, end) carry the
     * logged batch contents themselves — the same range always yields the

@@ -75,6 +75,26 @@ class BatchLogSourceSpec extends AnyFunSuite {
     assert(snap(Seq("b")).curr == 3L)   // 1 + 2 from the post-restart batch
   }
 
+  test("maxBatchesPerTrigger throttles backlog draining (max.spout.pending analog)") {
+    BatchLog.drop("throttle"); BatchLog.create("throttle")
+    (1 to 5).foreach(i => BatchLog.append("throttle", Seq(s"x$i")))
+    val batchSizes = scala.collection.mutable.Buffer[Long]()
+    val df = spark.readStream.format("graft.sources.BatchLogProvider")
+      .option("log", "throttle").option("maxBatchesPerTrigger", "2").load()
+    val q = df.writeStream.outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime(0L))
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        batchSizes.synchronized { batchSizes += batch.count(); () }
+      }
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    // 5 pending source batches drained as ceil(5/2) micro-batches of ≤2
+    assert(batchSizes.forall(_ <= 2))
+    assert(batchSizes.sum == 5)
+    assert(batchSizes.size >= 3)
+  }
+
   test("end-to-end: readStream over the custom source into exactly-once state") {
     BatchLog.drop("e2e"); BatchLog.create("e2e")
     BatchLog.append("e2e", Seq("hello the man said", "the"))
