@@ -78,6 +78,35 @@ class StreamingSpec extends AnyFunSuite {
     assert(snap(Seq("a")).value == 1L) // second application skipped
   }
 
+  test("per-batch stream join: join scope is one micro-batch, outer pads with null") {
+    implicit val sqlCtx = spark.sqlContext
+    val l = MemoryStream[(Int, String)]
+    val r = MemoryStream[(Int, String)]
+    val results = scala.collection.mutable.Buffer[(Long, Set[Seq[Any]])]()
+    val q = graft.streaming.StreamJoinRunner.perBatchJoin(
+      l.toDF().toDF("id", "lv"), r.toDF().toDF("rid", "rv"),
+      Fields("id"), Fields("rid"), Fields("k", "lv", "rv"), "full_outer",
+      "pbj-test",
+      (df, id) => results.synchronized {
+        results += ((id, df.collect().map(_.toSeq).toSet)); ()
+      },
+      trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime(0L))
+
+    l.addData((1, "a"), (2, "b"))
+    r.addData((1, "x"), (3, "z"))
+    q.processAllAvailable()
+    // next batch: key 2 appears on the right — but batch scope means it
+    // does NOT join with the earlier left (2, "b")
+    l.addData((4, "c"))
+    r.addData((2, "y"))
+    q.processAllAvailable()
+    q.stop()
+
+    val all = results.toSeq.sortBy(_._1).map(_._2).filter(_.nonEmpty)
+    assert(all.head == Set(Seq(1, "a", "x"), Seq(2, "b", null), Seq(3, null, "z")))
+    assert(all(1) == Set(Seq(4, "c", null), Seq(2, null, "y")))
+  }
+
   test("global persistentAggregate maintains a snapshottable single value") {
     MemoryBackingMap.clear("glob")
     val state = new OpaqueMap[Long](new MemoryBackingMap[OpaqueValue[Long]]("glob"))
