@@ -91,7 +91,7 @@ object SparkEntry {
 
   private def queryVec(s: SparkSession, dir: String): Seq[Double] =
     table(s, dir, "embeddings").where(F.col("vec_id") === 0)
-      .select("embedding").head.getSeq[Float](0).map(_.toDouble)
+      .select("embedding").head().getSeq[Float](0).map(_.toDouble)
 
   /** Flagship query (driver smoke-checks rows > 0 on sf0.001). */
   def entry(spark: SparkSession): DataFrame =

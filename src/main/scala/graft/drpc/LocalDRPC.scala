@@ -40,6 +40,19 @@ class LocalDRPC(spark: SparkSession) {
       .mkString("[", ",", "]")
   }
 
+  /** `trident/testing/TuplifyArgs.java:26-34` — parse JSON-array DRPC args
+    * into tuples: `[["a"],["b",...]]` → one row per inner array, columns
+    * named by `fields` (string-typed, like the reference's dynamic tuples). */
+  def tuplifyArgs(args: String, fields: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.{functions => F}
+    val rows = spark.range(1).select(
+      F.explode(F.from_json(F.lit(args),
+        org.apache.spark.sql.types.DataType.fromDDL("array<array<string>>"))).as("__t"))
+    rows.select(fields.zipWithIndex.map { case (f, i) =>
+      F.col("__t").getItem(i).as(f)
+    }: _*)
+  }
+
   private def jsonValue(v: Any): String = v match {
     case null => "null"
     case s: String => "\"" + s.flatMap {

@@ -29,6 +29,13 @@ class MiscSpec extends AnyFunSuite {
     assert(e.getMessage.contains("unknown DRPC function"))
   }
 
+  test("tuplifyArgs parses JSON-array DRPC args into tuples") {
+    val drpc = new LocalDRPC(spark)
+    val rows = drpc.tuplifyArgs("""[["a","1"],["b","2"]]""", Seq("k", "v"))
+      .as[(String, String)].collect().toSet
+    assert(rows == Set(("a", "1"), ("b", "2")))
+  }
+
   test("FeederSource feeds discrete micro-batches (FeederBatchSpout analog)") {
     val feeder = new FeederSource[String](spark)
     feeder.feed(Seq("a b", "c"))
@@ -142,7 +149,6 @@ class MiscSpec extends AnyFunSuite {
   }
 
   test("RowFunction lifecycle hooks fire per partition; debug keeps all tuples") {
-    val counters = new java.util.concurrent.ConcurrentHashMap[String, Integer]()
     MiscSpec.prepared.set(0); MiscSpec.cleaned.set(0)
     val fn = new graft.api.Operations.RowFunction {
       override def prepare(pi: Int): Unit = { MiscSpec.prepared.incrementAndGet(); () }
