@@ -68,6 +68,24 @@ class StreamApiSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](a.merge(new Stream(Seq(1).toDF("only"))))
   }
 
+  test("build-time arity and key validation errors") {
+    val s = new Stream(Seq((1, "a")).toDF("id", "v"))
+    val other = new Stream(Seq((1, "x")).toDF("rid", "rv"))
+    // join key arity mismatch
+    intercept[IllegalArgumentException](
+      s.join(other, Fields("id", "v"), Fields("rid"), Fields("k", "a", "b")))
+    // outFields arity mismatch
+    intercept[IllegalArgumentException](
+      s.join(other, Fields("id"), Fields("rid"), Fields("k")))
+    // stateQuery arity mismatch
+    val state = StaticState(Seq((1, "x")).toDF("k", "val"), Fields("k"), Fields("val"))
+    intercept[IllegalArgumentException](
+      s.stateQuery(state, Fields("id", "v"), Fields("out")))
+    // unknown fields named in ops
+    intercept[IllegalArgumentException](s.partitionBy(Fields("zz")))
+    intercept[IllegalArgumentException](s.groupBy(Fields("zz")))
+  }
+
   test("chained aggregators reject duplicate output fields (build-time)") {
     val s = new Stream(Seq((1, 2.0)).toDF("k", "v"))
     val e = intercept[IllegalArgumentException] {
