@@ -575,6 +575,12 @@ object SparkEntry {
       Text.rarityScore(table(s, dir, "documents"), "doc_id", "text", rareBelow = 500L)
         .orderBy("doc_id")),
 
+    "q56_embedding_neardup" -> ((s, dir) =>
+      Similarity.bruteForceNearDupPairs(
+          table(s, dir, "embeddings").where(F.col("vec_id") < 100),
+          "embedding", "vec_id", threshold = 0.35)
+        .orderBy("a", "b")),
+
     "q55_multimodal_frames" -> ((s, dir) =>
       table(s, dir, "documents")
         .select(F.col("doc_id"), Multimodal.fakePayload(F.col("text")).as("payload"))
@@ -846,6 +852,13 @@ object SparkEntry {
          SELECT t.doc_id, CAST(sum(f.cnt) AS BIGINT) AS freq_score,
            CAST(sum(CASE WHEN f.cnt < 500 THEN 1 ELSE 0 END) AS BIGINT) AS n_rare
          FROM toks t JOIN freq f ON t.w = f.w GROUP BY 1 ORDER BY 1""",
+    "q56_embedding_neardup" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id < 100)
+         SELECT a.vec_id AS a, b.vec_id AS b,
+           list_dot_product(a.v, b.v) / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) AS score
+         FROM e a JOIN e b ON a.vec_id < b.vec_id
+         WHERE list_dot_product(a.v, b.v) / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) >= 0.35
+         ORDER BY 1, 2""",
     "q55_multimodal_frames" ->
       """WITH d AS (SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n FROM documents),
          f AS (SELECT doc_id, n, unnest(generate_series(0, least(CAST(ceil(n / 256.0) AS BIGINT), 10) - 1)) AS i FROM d)

@@ -127,6 +127,19 @@ object Similarity {
     ivfTopK(assigned, embCol, idCol, cents, "cell", "cvec", query, k, nProbe)
   }
 
+  /** Exact near-dup pairs by brute-force self-join — the verification-grade
+    * face (bound the input first; the LSH-bucketed
+    * [[embeddingNearDupPairs]] is the corpus-scale path). */
+  def bruteForceNearDupPairs(embeddings: DataFrame, embCol: String, idCol: String,
+                             threshold: Double): DataFrame = {
+    val l = embeddings.select(F.col(idCol).as("a"), F.col(embCol).as("va"))
+    val r = embeddings.select(F.col(idCol).as("b"), F.col(embCol).as("vb"))
+    l.join(r, F.col("a") < F.col("b"))
+      .withColumn("score", cosine(F.col("va"), F.col("vb")))
+      .where(F.col("score") >= threshold)
+      .select("a", "b", "score")
+  }
+
   /** Random-hyperplane LSH bucket for cosine similarity: `nBits` sign bits
     * from deterministic pseudo-random hyperplanes (seeded per bit from
     * xxhash64 of the element index — no stored model). Vectors in the same
