@@ -23,6 +23,27 @@ class GoldenPipelineSpec extends AnyFunSuite {
     .config("spark.ui.enabled", "false")
     .getOrCreate()
 
+  test("Topology facade: newStream → pipeline → newDRPCStream end to end") {
+    import spark.implicits._
+    val topology = new Topology(spark)
+    val wc = topology
+      .newStream("sentences",
+        Seq("hello the man said", "the", "the man on the moon").toDF("sentence"))
+      .flatEach(F.split(F.col("sentence"), " "), "word")
+      .groupBy(Fields("word"))
+      .aggregate(F.count(F.lit(1)).as("cnt"))
+      .toDF
+    val state = topology.newStaticState(wc, Fields("word"), Fields("cnt"))
+    topology.newDRPCStream("words") { args =>
+      args.flatEach(F.split(F.col("args"), " "), "word")
+        .project(Fields("word"))
+        .stateQuery(state, Fields("word"), Fields("cnt"))
+        .filterNull(Fields("cnt"))
+        .aggregate(F.sum("cnt").as("total"))
+    }
+    assert(topology.localDRPC.execute("words", "the man") == "[[6]]") // 4 + 2
+  }
+
   test("word-count topology + DRPC goldens: [[2]], [[4]], [[8]]") {
     import spark.implicits._
     MemoryBackingMap.clear("golden-wc")
