@@ -183,29 +183,33 @@ object Expressions {
 
   /** `cosine_sim(a, b)` over two float/double arrays, computed in double
     * left-to-right (identical result to the zip_with/aggregate formulation
-    * and the DuckDB oracle). Null if either side is null or lengths differ. */
+    * and the DuckDB oracle). Null if either side is null or lengths differ.
+    *
+    * Implements `doGenCode` (not CodegenFallback): the generated loop stays
+    * inside whole-stage codegen, so a similarity scan compiles into the
+    * same Java method as its surrounding filter/project. */
   case class CosineSim(left: Expression, right: Expression)
-    extends BinaryExpression with CodegenFallback {
+    extends BinaryExpression {
     override def dataType: DataType = DoubleType
     override def prettyName: String = "cosine_sim"
 
-    private def elem(arr: ArrayData, i: Int, isFloat: Boolean): Double =
-      if (isFloat) arr.getFloat(i).toDouble else arr.getDouble(i)
+    private def isFloat(e: Expression): Boolean =
+      e.dataType.asInstanceOf[ArrayType].elementType == FloatType
 
     override def nullSafeEval(l: Any, r: Any): Any = {
       val a = l.asInstanceOf[ArrayData]
       val b = r.asInstanceOf[ArrayData]
       val n = a.numElements()
       if (b.numElements() != n) return null
-      val aF = left.dataType.asInstanceOf[ArrayType].elementType == FloatType
-      val bF = right.dataType.asInstanceOf[ArrayType].elementType == FloatType
+      val aF = isFloat(left)
+      val bF = isFloat(right)
       var dot = 0.0
       var na = 0.0
       var nb = 0.0
       var i = 0
       while (i < n) {
-        val x = elem(a, i, aF)
-        val y = elem(b, i, bF)
+        val x = if (aF) a.getFloat(i).toDouble else a.getDouble(i)
+        val y = if (bF) b.getFloat(i).toDouble else b.getDouble(i)
         dot += x * y
         na += x * x
         nb += y * y
@@ -214,24 +218,59 @@ object Expressions {
       java.lang.Double.valueOf(dot / (math.sqrt(na) * math.sqrt(nb)))
     }
 
+    override protected def doGenCode(
+        ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+        ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode = {
+      val aGet = if (isFloat(left)) "getFloat" else "getDouble"
+      val bGet = if (isFloat(right)) "getFloat" else "getDouble"
+      nullSafeCodeGen(ctx, ev, (a, b) => {
+        val i = ctx.freshName("i")
+        val n = ctx.freshName("n")
+        val dot = ctx.freshName("dot")
+        val na = ctx.freshName("na")
+        val nb = ctx.freshName("nb")
+        val x = ctx.freshName("x")
+        val y = ctx.freshName("y")
+        s"""
+        |int $n = $a.numElements();
+        |if ($b.numElements() != $n) {
+        |  ${ev.isNull} = true;
+        |} else {
+        |  double $dot = 0.0; double $na = 0.0; double $nb = 0.0;
+        |  for (int $i = 0; $i < $n; $i++) {
+        |    double $x = (double) $a.$aGet($i);
+        |    double $y = (double) $b.$bGet($i);
+        |    $dot += $x * $y; $na += $x * $x; $nb += $y * $y;
+        |  }
+        |  ${ev.value} = $dot / (java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb));
+        |}
+        """.stripMargin
+      })
+    }
+
     override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
       copy(left = l, right = r)
   }
 
   /** `dot_prod(a, b)` — double left-to-right dot product only (use with
-    * precomputed norms to avoid recomputing them per candidate pair). */
+    * precomputed norms to avoid recomputing them per candidate pair).
+    * Codegen'd like [[CosineSim]]. */
   case class DotProd(left: Expression, right: Expression)
-    extends BinaryExpression with CodegenFallback {
+    extends BinaryExpression {
     override def dataType: DataType = DoubleType
     override def prettyName: String = "dot_prod"
+
+    private def isFloat(e: Expression): Boolean =
+      e.dataType.asInstanceOf[ArrayType].elementType == FloatType
 
     override def nullSafeEval(l: Any, r: Any): Any = {
       val a = l.asInstanceOf[ArrayData]
       val b = r.asInstanceOf[ArrayData]
       val n = a.numElements()
       if (b.numElements() != n) return null
-      val aF = left.dataType.asInstanceOf[ArrayType].elementType == FloatType
-      val bF = right.dataType.asInstanceOf[ArrayType].elementType == FloatType
+      val aF = isFloat(left)
+      val bF = isFloat(right)
       var dot = 0.0
       var i = 0
       while (i < n) {
@@ -241,6 +280,31 @@ object Expressions {
         i += 1
       }
       java.lang.Double.valueOf(dot)
+    }
+
+    override protected def doGenCode(
+        ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+        ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode = {
+      val aGet = if (isFloat(left)) "getFloat" else "getDouble"
+      val bGet = if (isFloat(right)) "getFloat" else "getDouble"
+      nullSafeCodeGen(ctx, ev, (a, b) => {
+        val i = ctx.freshName("i")
+        val n = ctx.freshName("n")
+        val dot = ctx.freshName("dot")
+        s"""
+        |int $n = $a.numElements();
+        |if ($b.numElements() != $n) {
+        |  ${ev.isNull} = true;
+        |} else {
+        |  double $dot = 0.0;
+        |  for (int $i = 0; $i < $n; $i++) {
+        |    $dot += ((double) $a.$aGet($i)) * ((double) $b.$bGet($i));
+        |  }
+        |  ${ev.value} = $dot;
+        |}
+        """.stripMargin
+      })
     }
 
     override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
