@@ -52,6 +52,48 @@ class EventTimeSpec extends AnyFunSuite {
     assert(!rows.exists(_._2 == "late"))
   }
 
+  test("tick tuples: idle keys emit a timeout tuple when the watermark passes (timer analog)") {
+    // the reference's tick tuples (executor.clj:295-312) = periodic per-key
+    // callbacks; the Spark-native mechanism is state timeouts driven by the
+    // watermark clock
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(String, Timestamp)]
+    def update(key: String, rows: Iterator[(String, Timestamp)],
+               state: GroupState[Long]): Iterator[(String, String, Long)] = {
+      if (state.hasTimedOut) {
+        val n = state.get
+        state.remove()
+        Iterator.single((key, "tick", n))
+      } else {
+        val n = state.getOption.getOrElse(0L) + rows.size
+        state.update(n)
+        // tick if no activity for 5 minutes of event time
+        state.setTimeoutTimestamp(state.getCurrentWatermarkMs() + 5 * 60 * 1000)
+        Iterator.single((key, "data", n))
+      }
+    }
+    val out = input.toDS().toDF("k", "ts")
+      .withWatermark("ts", "0 seconds")
+      .as[(String, Timestamp)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.EventTimeTimeout)(update)
+    val q = out.writeStream.outputMode("update")
+      .format("memory").queryName("ticks")
+      .trigger(Trigger.ProcessingTime(0L)).start()
+
+    input.addData(("a", ts(0)), ("a", ts(1)))
+    q.processAllAvailable()
+    input.addData(("b", ts(30)))          // watermark → 10:30, far past a's timeout
+    q.processAllAvailable()
+    input.addData(("c", ts(31)))          // next batch fires a's pending timeout
+    q.processAllAvailable()
+    q.stop()
+
+    val rows = spark.table("ticks").as[(String, String, Long)].collect().toSet
+    assert(rows.contains(("a", "data", 2L)))
+    assert(rows.contains(("a", "tick", 2L))) // the timeout tuple, with final state
+  }
+
   test("flatMapGroupsWithState maintains custom per-key state across batches") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(String, Double)]
