@@ -6,7 +6,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.types._
 import graft.api._
 import graft.api.Operations._
-import graft.functions.{Dedup, Multimodal, Similarity, Text}
+import graft.functions.{Dedup, Multimodal, Sampling, Similarity, Temporal, Text}
 import graft.drpc.LocalDRPC
 import graft.state._
 import graft.streaming.StreamRunner
@@ -590,6 +590,92 @@ object SparkEntry {
         .select(F.col("doc_id"), F.col("frame_id").cast("long").as("frame_id"),
           F.col("fr.offset").as("offset"), F.col("fr.length").as("length"))
         .orderBy("doc_id", "frame_id")),
+
+    // ---------------- temporal operators ----------------
+
+    "q57_asof_join" -> ((s, dir) => {
+      // click→purchase attribution: each purchase tagged with the latest
+      // prior click of the same user (single-shuffle union+window as-of)
+      val ev = events(s, dir)
+        .withColumn("ts_us", F.expr("ts DIV 1000")) // oracle timestamps are µs
+      val clicks = ev.where(F.col("event_type") === "click")
+        .select("user_id", "ts_us", "event_id")
+      val purchases = ev.where(F.col("event_type") === "purchase")
+        .select("event_id", "user_id", "ts_us")
+      Temporal.asofJoinBackward(purchases, clicks, "user_id",
+          "ts_us", "ts_us", "event_id", "click_id")
+        .select("event_id", "user_id", "click_id")
+        .orderBy("event_id")
+    }),
+
+    "q58_sessionize" -> ((s, dir) =>
+      // µs ticks (ts DIV 1000): the oracle's TIMESTAMP is µs-truncated, so
+      // session bounds must be computed at µs on both engines
+      Temporal.sessionize(
+          events(s, dir).select(F.col("user_id"),
+            F.expr("ts DIV 1000").as("ts_us"), F.col("event_id")),
+          "user_id", "ts_us", gapTicks = 1800L * 1000000L, tieBreak = "event_id")
+        .orderBy("user_id", "session_seq")),
+
+    "q59_hopping_window" -> ((s, dir) =>
+      Temporal.hoppingWindows(
+          events(s, dir).select(F.expr("ts DIV 1000").as("ts_us"), F.col("value")),
+          "ts_us", sizeTicks = 3600L * 1000000L, slideTicks = 1800L * 1000000L)
+        .groupBy(F.expr("win_start DIV 1000000").as("win_start_sec"))
+        .agg(F.count(F.lit(1)).as("cnt"), F.sum(cents(F.col("value"))).as("sum_cents"))
+        .orderBy("win_start_sec")),
+
+    "q60_dup_clusters" -> ((s, dir) => {
+      // near-dup PAIRS → connected GROUPS: min-label propagation over the
+      // q39 candidate graph; cluster_id = min doc_id reachable
+      val pairs = Dedup.nearDupPairs(
+          table(s, dir, "documents").where(Text.tokenCount(F.col("text")) >= 3),
+          "doc_id", "text", k = 3, numHashes = 4, rowsPerBand = 2, threshold = 0.05)
+        .select("a", "b")
+      Dedup.duplicateClusters(pairs, "a", "b").orderBy("id")
+    }),
+
+    // ---------------- sampling / text scoring ----------------
+
+    "q62_tfidf" -> ((s, dir) =>
+      Text.tfidfTopTerms(table(s, dir, "documents"), "doc_id", "text", topN = 3)
+        .orderBy("doc_id", "term")),
+
+    "q63_hash_sample" -> ((s, dir) =>
+      Sampling.bernoulliSample(table(s, dir, "lineitem"),
+          F.concat_ws("|", F.col("l_orderkey"), F.col("l_linenumber")), ppm = 50000L)
+        .select("l_orderkey", "l_linenumber")
+        .orderBy("l_orderkey", "l_linenumber")),
+
+    "q64_stratified_sample" -> ((s, dir) =>
+      Sampling.stratifiedSample(events(s, dir), F.col("event_type"), F.col("event_id"),
+          Map("click" -> 100000L, "view" -> 20000L, "purchase" -> 1000000L),
+          defaultPpm = 50000L)
+        .groupBy("event_type").agg(F.count(F.lit(1)).as("cnt"))
+        .orderBy("event_type")),
+
+    "q65_band_join" -> ((s, dir) => {
+      import s.implicits._
+      val bands = Seq(("low", 0.0, 50.0), ("mid", 50.0, 150.0),
+        ("high", 150.0, 300.0), ("vip", 300.0, 1000000.0))
+        .toDF("band", "lo", "hi")
+      Temporal.bandJoin(events(s, dir).select("event_id", "value"), "value",
+          bands, "lo", "hi")
+        .groupBy("band")
+        .agg(F.count(F.lit(1)).as("cnt"), F.sum(cents(F.col("value"))).as("sum_cents"))
+        .orderBy("band")
+    }),
+
+    "q66_sql_pipeline" -> ((s, dir) => {
+      // the engine's SQL face: custom Catalyst expressions registered into
+      // the session's FunctionRegistry, driven from plain spark.sql
+      graft.plans.GraftFunctions.register(s)
+      table(s, dir, "documents").createOrReplaceTempView("graft_documents")
+      s.sql("""SELECT doc_id,
+                 simhash_md5(filter(split(text, ' '), x -> x != '')) AS simhash,
+                 CAST(size(shingles(filter(split(text, ' '), x -> x != ''), 3)) AS BIGINT) AS n_shingles
+               FROM graft_documents ORDER BY doc_id""")
+    }),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -865,5 +951,101 @@ object SparkEntry {
          SELECT doc_id, CAST(i AS BIGINT) AS frame_id, CAST(i * 256 AS BIGINT) AS offset,
            CAST(least(256, n - i * 256) AS BIGINT) AS length
          FROM f ORDER BY 1, 2""",
+    "q57_asof_join" ->
+      """WITH u AS (
+           SELECT user_id, epoch_us(ts) AS ts, 0 AS side, event_id AS cid, NULL::BIGINT AS event_id
+           FROM events WHERE event_type = 'click'
+           UNION ALL
+           SELECT user_id, epoch_us(ts), 1, NULL::BIGINT, event_id
+           FROM events WHERE event_type = 'purchase')
+         SELECT event_id, user_id, click_id FROM (
+           SELECT user_id, side, event_id,
+             last_value(cid IGNORE NULLS) OVER (
+               PARTITION BY user_id ORDER BY ts, side, coalesce(cid, event_id)
+               ROWS UNBOUNDED PRECEDING) AS click_id
+           FROM u) WHERE side = 1 ORDER BY 1""",
+    "q58_sessionize" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS ts, event_id FROM events),
+         x AS (SELECT user_id, ts,
+             CASE WHEN prev IS NULL OR ts - prev > 1800000000 THEN 1 ELSE 0 END AS nf
+           FROM (SELECT user_id, ts,
+               lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev FROM e)),
+         y AS (SELECT user_id, ts,
+             CAST(sum(nf) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_seq
+           FROM x)
+         SELECT user_id, session_seq, min(ts) AS session_start, max(ts) AS session_end,
+           CAST(count(*) AS BIGINT) AS n_events
+         FROM y GROUP BY 1, 2 ORDER BY 1, 2""",
+    "q59_hopping_window" ->
+      """WITH e AS (SELECT epoch_us(ts) AS ts, value FROM events),
+         w AS (SELECT value, unnest([a - 1800000000, a]) AS win_start
+               FROM (SELECT value, ts - (ts % 1800000000) AS a FROM e))
+         SELECT win_start // 1000000 AS win_start_sec, CAST(count(*) AS BIGINT) AS cnt,
+           CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents
+         FROM w GROUP BY 1 ORDER BY 1""",
+    "q60_dup_clusters" ->
+      """WITH RECURSIVE
+         s AS (SELECT doc_id, list_transform(generate_series(1, len(ws) - 2), i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]) AS sh
+               FROM (SELECT doc_id, list_filter(string_split(text, ' '), x -> x != '') AS ws FROM documents)
+               WHERE len(ws) >= 3),
+         b AS (SELECT doc_id, sh,
+           md5(list_aggregate(list_transform(sh, x -> md5('0|' || x)), 'min') || '|' || list_aggregate(list_transform(sh, x -> md5('1|' || x)), 'min')) AS band0,
+           md5(list_aggregate(list_transform(sh, x -> md5('2|' || x)), 'min') || '|' || list_aggregate(list_transform(sh, x -> md5('3|' || x)), 'min')) AS band1
+           FROM s),
+         cand AS (
+           SELECT l.doc_id AS a, r.doc_id AS b FROM b l JOIN b r ON l.band0 = r.band0 AND l.doc_id < r.doc_id
+           UNION
+           SELECT l.doc_id AS a, r.doc_id AS b FROM b l JOIN b r ON l.band1 = r.band1 AND l.doc_id < r.doc_id),
+         pairs AS (
+           SELECT c.a, c.b FROM cand c JOIN b la ON c.a = la.doc_id JOIN b lb ON c.b = lb.doc_id
+           WHERE CAST(len(list_intersect(list_distinct(la.sh), list_distinct(lb.sh))) AS DOUBLE) /
+                 CAST(len(list_distinct(list_concat(list_distinct(la.sh), list_distinct(lb.sh)))) AS DOUBLE) >= 0.05),
+         bi AS (SELECT a AS src, b AS dst FROM pairs UNION SELECT b, a FROM pairs),
+         reach(node, r) AS (
+           SELECT src, src FROM bi
+           UNION
+           SELECT bi.src, reach.r FROM bi JOIN reach ON bi.dst = reach.node)
+         SELECT node AS id, CAST(min(r) AS BIGINT) AS cluster_id
+         FROM reach GROUP BY 1 ORDER BY 1""",
+    "q62_tfidf" ->
+      """WITH tf AS (SELECT doc_id, w AS term, CAST(count(*) AS BIGINT) AS tf
+             FROM (SELECT doc_id, unnest(list_filter(string_split(text, ' '), x -> x != '')) AS w FROM documents)
+             GROUP BY 1, 2),
+         d AS (SELECT term, CAST(count(*) AS BIGINT) AS df_docs FROM tf GROUP BY 1),
+         n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
+         sc AS (SELECT doc_id, term, tf, df_docs,
+             tf * (CAST(n AS DOUBLE) / CAST(df_docs AS DOUBLE)) AS score
+           FROM tf JOIN d USING (term), n),
+         r AS (SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, term) AS rn FROM sc)
+         SELECT doc_id, term, tf, df_docs, score FROM r WHERE rn <= 3 ORDER BY doc_id, term""",
+    "q63_hash_sample" ->
+      """SELECT l_orderkey, l_linenumber FROM lineitem
+         WHERE ('0x' || substr(md5(l_orderkey || '|' || l_linenumber), 1, 8))::BIGINT % 1000000 < 50000
+         ORDER BY 1, 2""",
+    "q64_stratified_sample" ->
+      """SELECT event_type, CAST(count(*) AS BIGINT) AS cnt FROM events
+         WHERE ('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 8))::BIGINT % 1000000 <
+           CASE event_type WHEN 'click' THEN 100000 WHEN 'view' THEN 20000
+                           WHEN 'purchase' THEN 1000000 ELSE 50000 END
+         GROUP BY 1 ORDER BY 1""",
+    "q65_band_join" ->
+      """SELECT band, CAST(count(*) AS BIGINT) AS cnt,
+           CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents
+         FROM events JOIN (VALUES ('low', 0.0, 50.0), ('mid', 50.0, 150.0),
+             ('high', 150.0, 300.0), ('vip', 300.0, 1000000.0)) b(band, lo, hi)
+           ON value >= lo AND value < hi
+         GROUP BY 1 ORDER BY 1""",
+    "q66_sql_pipeline" ->
+      """WITH tok AS (SELECT doc_id, unnest(list_filter(string_split(text, ' '), x -> x != '')) AS w FROM documents),
+         h AS (SELECT doc_id, ('0x' || substr(md5(w), 1, 15))::BIGINT AS hv FROM tok),
+         bits AS (SELECT doc_id, b.b AS b,
+             CASE WHEN sum(CASE WHEN (hv >> b.b) & 1 = 1 THEN 1 ELSE -1 END) > 0
+                  THEN (1::BIGINT << b.b) ELSE 0 END AS bit
+           FROM h, (SELECT unnest(generate_series(0, 59)) AS b) b
+           GROUP BY doc_id, b.b),
+         sh AS (SELECT doc_id, CAST(sum(bit) AS BIGINT) AS simhash FROM bits GROUP BY 1),
+         c AS (SELECT doc_id, CAST(greatest(len(list_filter(string_split(text, ' '), x -> x != '')) - 2, 0) AS BIGINT) AS n_shingles FROM documents)
+         SELECT sh.doc_id, sh.simhash, c.n_shingles
+         FROM sh JOIN c USING (doc_id) ORDER BY 1""",
   )
 }

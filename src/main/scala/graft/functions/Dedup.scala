@@ -128,4 +128,48 @@ object Dedup {
       .select(F.col("canonical_id").as(idCol))
     df.join(keep, Seq(idCol), "left_semi")
   }
+
+  /** Duplicate-cluster consolidation: connected components over a candidate
+    * pair list (e.g. [[nearDupPairs]] output), labeling every member with
+    * the minimum id reachable through the pair graph → (id, cluster_id).
+    * Near-dup is not transitive, so after LSH+verify produces PAIRS, a real
+    * dedup pass still has to pick one survivor per connected GROUP — this is
+    * that step.
+    *
+    * Distributed min-label propagation: each iteration joins the label table
+    * to the (bidirectional) edge list and takes the min over self + its
+    * neighbors' labels; converges in O(graph diameter) rounds. Dup clusters
+    * are shallow (stars / short chains — diameter rarely above the band
+    * count), so the default cap is generous. Each round is one equi-join
+    * shuffle on ids — never a transitive-closure materialization — and the
+    * lineage is cut per round (`localCheckpoint`) so plans stay flat at any
+    * scale. Converged when no label changed.
+    */
+  def duplicateClusters(pairs: DataFrame, aCol: String, bCol: String,
+      maxIter: Int = 12): DataFrame = {
+    val fwd = pairs.select(F.col(aCol).as("src"), F.col(bCol).as("dst"))
+    val edges = fwd.union(fwd.select(F.col("dst").as("src"), F.col("src").as("dst")))
+      .distinct().localCheckpoint(true)
+    var labels = edges.select(F.col("src").as("id")).distinct()
+      .withColumn("cluster_id", F.col("id"))
+      .localCheckpoint(true)
+    var iter = 0
+    var converged = false
+    while (iter < maxIter && !converged) {
+      val nbrMin = edges
+        .join(labels.withColumnRenamed("id", "dst"), Seq("dst"))
+        .groupBy(F.col("src").as("id"))
+        .agg(F.min("cluster_id").as("nbr_min"))
+      val next = labels.join(nbrMin, Seq("id"), "left")
+        .select(F.col("id"),
+          F.least(F.col("cluster_id"), F.coalesce(F.col("nbr_min"), F.col("cluster_id")))
+            .as("cluster_id"),
+          (F.col("nbr_min") < F.col("cluster_id")).as("__chg"))
+        .localCheckpoint(true)
+      converged = next.where(F.col("__chg")).isEmpty
+      labels = next.drop("__chg")
+      iter += 1
+    }
+    labels
+  }
 }

@@ -1,0 +1,54 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{functions => F}
+
+/** Deterministic sampling for training-data pipelines.
+  *
+  * Everything keys off a content/id hash, never an RNG: the same row lands
+  * in the same split on every run, on any cluster layout, after any retry —
+  * the property that makes samples reproducible and train/test splits
+  * leak-free at 100 TB (a `rand()` sample changes under task retry). All
+  * predicates are per-row and codegen'd: zero shuffle, pushed into the scan
+  * stage.
+  */
+object Sampling {
+
+  /** Uniform hash bucket in [0, buckets): first 8 hex digits of md5(key)
+    * (engine-portable; xxhash64 is the faster non-parity alternative). */
+  def hashBucket(key: Column, buckets: Long = 1000000L): Column =
+    F.conv(F.substring(F.md5(key.cast("string")), 1, 8), 16, 10)
+      .cast("long") % buckets
+
+  /** Bernoulli sample keeping ~ppm/1e6 of rows, deterministically by key. */
+  def bernoulliSample(df: DataFrame, key: Column, ppm: Long): DataFrame =
+    df.where(hashBucket(key) < ppm)
+
+  /** Stratified sample: per-stratum keep-rate (parts per million), with a
+    * default for unlisted strata. One codegen'd CASE — no per-stratum scan,
+    * no driver loop. */
+  def stratifiedSample(df: DataFrame, strataCol: Column, key: Column,
+      ppmByStratum: Map[String, Long], defaultPpm: Long = 0L): DataFrame = {
+    val threshold = ppmByStratum.foldLeft(F.lit(defaultPpm)) {
+      case (acc, (stratum, ppm)) =>
+        F.when(strataCol === stratum, F.lit(ppm)).otherwise(acc)
+    }
+    df.where(hashBucket(key) < threshold)
+  }
+
+  /** Deterministic train/test split: adds `split` = 'test' for ~testPpm/1e6
+    * of rows, 'train' otherwise. Hash-keyed → membership is stable across
+    * runs and resilient to re-partitioning; key on a document/content id so
+    * near-duplicate handling stays upstream. */
+  def trainTestSplit(df: DataFrame, key: Column, testPpm: Long): DataFrame =
+    df.withColumn("split",
+      F.when(hashBucket(key) < testPpm, "test").otherwise("train"))
+
+  /** Fixed-size uniform sample without replacement: the n smallest md5(key)
+    * values. Distributed top-n (per-partition heaps, then one n-row merge on
+    * the driver side of the exchange — `TakeOrderedAndProject`), never a
+    * full sort. Deterministic for distinct keys. */
+  def fixedSizeSample(df: DataFrame, key: Column, n: Int): DataFrame =
+    df.withColumn("__h", F.md5(key.cast("string")))
+      .orderBy("__h").limit(n).drop("__h")
+}

@@ -1,0 +1,126 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{functions => F}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.types.StructType
+
+/** Temporal operators for event streams, designed for the 100 TB regime.
+  *
+  * The reference engine's time semantics stop at micro-batch boundaries
+  * (`storm/trident/spout/ITridentSpout.java` batch ids — nothing row-level);
+  * these are the row-level temporal operators a training-data / analytics
+  * pipeline layers on top: as-of joins (attribution), sessionization,
+  * hopping windows, and banded range joins.
+  *
+  * Scale notes per operator are on each method; the common theme: every
+  * operator here is ONE hash-shuffle on the entity key (or zero for the
+  * broadcast band join) — no range-explosion joins, no per-row probes.
+  */
+object Temporal {
+
+  /** Backward as-of join: for each left row, attach the single most recent
+    * right-side value with `rightTs <= leftTs` for the same `key` (NULL when
+    * no prior right row exists).
+    *
+    * Implementation is the union+running-window form: tag each side, union,
+    * then one window `last(value, ignoreNulls)` ordered by (ts, side,
+    * value) carries the latest right value forward into left rows. Both
+    * inputs shuffle ONCE on `key`; contrast with the naive
+    * `JOIN ON key AND r.ts <= l.ts` + arg-max, which materializes every
+    * (left, prior-right) pair — quadratic per key, fatal at 100 TB. Right
+    * rows sort before left rows at an equal timestamp (the bound is
+    * inclusive); right-side ties on (ts) resolve to the greatest value, so
+    * the result is deterministic.
+    */
+  def asofJoinBackward(left: DataFrame, right: DataFrame, key: String,
+      leftTs: String, rightTs: String, rightVal: String,
+      outCol: String): DataFrame = {
+    val payloadType = StructType(left.schema.fields)
+    val rvType = right.schema(rightVal).dataType
+    val l = left.select(
+      F.col(key).as("__k"), F.col(leftTs).cast("long").as("__ts"),
+      F.lit(1).as("__side"), F.lit(null).cast(rvType).as("__rv"),
+      F.struct(left.columns.map(F.col).toIndexedSeq: _*).as("__row"))
+    val r = right.select(
+      F.col(key).as("__k"), F.col(rightTs).cast("long").as("__ts"),
+      F.lit(0).as("__side"), F.col(rightVal).cast(rvType).as("__rv"),
+      F.lit(null).cast(payloadType).as("__row"))
+    val w = Window.partitionBy("__k")
+      .orderBy(F.col("__ts"), F.col("__side"), F.col("__rv"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    r.unionByName(l)
+      .withColumn("__asof", F.last("__rv", ignoreNulls = true).over(w))
+      .where(F.col("__side") === 1)
+      .select(left.columns.map(c => F.col(s"__row.$c")).toIndexedSeq
+        :+ F.col("__asof").as(outCol): _*)
+  }
+
+  /** Gap-based sessionization: consecutive events of one `key` belong to the
+    * same session while the gap to the previous event is <= `gapTicks`
+    * (same unit as the `ts` column — ns for the driver's event feed). Output
+    * is one row per session: (key, session_seq, session_start, session_end,
+    * n_events).
+    *
+    * One window shuffle on `key` (lag + running sum of new-session flags),
+    * then a partial-aggregated groupBy — the second exchange moves only
+    * per-session rows, negligible next to the event volume. The streaming
+    * face of the same semantics is Structured Streaming's
+    * `session_window`; this is the batch/backfill face, and the two agree
+    * on session boundaries by construction (same gap rule).
+    */
+  def sessionize(df: DataFrame, key: String, ts: String, gapTicks: Long,
+      tieBreak: String): DataFrame = {
+    val order = Window.partitionBy(key).orderBy(F.col(ts), F.col(tieBreak))
+    val run = order.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.withColumn("__prev", F.lag(F.col(ts), 1).over(order))
+      .withColumn("__new",
+        F.when(F.col("__prev").isNull ||
+          F.col(ts).cast("long") - F.col("__prev").cast("long") > gapTicks, 1L)
+          .otherwise(0L))
+      .withColumn("session_seq", F.sum("__new").over(run))
+      .groupBy(F.col(key), F.col("session_seq"))
+      .agg(
+        F.min(F.col(ts).cast("long")).as("session_start"),
+        F.max(F.col(ts).cast("long")).as("session_end"),
+        F.count(F.lit(1)).as("n_events"))
+  }
+
+  /** Hopping (sliding) window assignment: emits one row per (input row,
+    * window) for windows of `sizeTicks` advancing every `slideTicks`
+    * (`sizeTicks` must be a multiple of `slideTicks`). Adds `win_start` —
+    * aggregate on it afterwards.
+    *
+    * Pure per-row explode (size/slide rows out per row in, a small constant)
+    * — embarrassingly parallel, no shuffle of its own; the downstream
+    * aggregation shuffles on (win_start, ...) as any groupBy would. This is
+    * how Spark's own `window()` with a slide executes; spelled out here so
+    * the assignment works on raw long ticks (the driver's ns timestamps)
+    * where `window()` wants TimestampType.
+    */
+  def hoppingWindows(df: DataFrame, ts: String, sizeTicks: Long,
+      slideTicks: Long): DataFrame = {
+    require(sizeTicks % slideTicks == 0, "size must be a multiple of slide")
+    val t = F.col(ts).cast("long")
+    // integer anchor (ns epochs exceed double's 2^53 exact range): for
+    // t >= 0, t - (t mod slide) == floor(t/slide)*slide
+    val anchor = t - F.pmod(t, F.lit(slideTicks))
+    df.withColumn("win_start",
+      F.explode(F.sequence(anchor - sizeTicks + slideTicks, anchor,
+        F.lit(slideTicks))))
+  }
+
+  /** Banded range join: assign each row of `df` the matching band from a
+    * SMALL bands table (`lo <= value < hi`, bands non-overlapping). The
+    * bands side is broadcast, so the probe is map-side only — zero shuffle.
+    * For a LARGE range side the strategy flips to banding both sides on
+    * `floor(value / bandWidth)` and equi-joining the band key; that variant
+    * is `Scale.saltedJoin`-shaped and not needed for dimension-sized band
+    * tables.
+    */
+  def bandJoin(df: DataFrame, valueCol: String, bands: DataFrame,
+      loCol: String, hiCol: String, joinType: String = "inner"): DataFrame =
+    df.join(F.broadcast(bands),
+      F.col(valueCol) >= F.col(loCol) && F.col(valueCol) < F.col(hiCol),
+      joinType)
+}

@@ -106,6 +106,34 @@ object Text {
         F.sum(F.when(F.col("__cnt") < rareBelow, 1L).otherwise(0L)).as("n_rare"))
   }
 
+  /** Top-`topN` TF-IDF terms per document → (id, term, tf, df_docs, score),
+    * score = tf * (N / df) as IEEE doubles (a multiply and a divide only —
+    * no transcendental log, whose libm rounding differs across engines; the
+    * ranking is the same monotone order). Ties rank by term ascending, so
+    * output is deterministic.
+    *
+    * Plan shape at scale: one explode+groupBy for per-doc term frequencies,
+    * document frequencies as a second aggregate over the (already small)
+    * tf table, joined back on the term key; corpus size N rides along as a
+    * broadcast scalar. The window top-N shuffles only the tf table — the
+    * raw token stream is aggregated before anything wide happens. */
+  def tfidfTopTerms(df: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String, topN: Int): org.apache.spark.sql.DataFrame = {
+    val n = F.broadcast(df.agg(F.count(F.lit(1)).as("__n")))
+    val tf = df
+      .select(F.col(idCol), F.explode(tokens(F.col(textCol))).as("term"))
+      .groupBy(idCol, "term").agg(F.count(F.lit(1)).as("tf"))
+    val dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).as("df_docs"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(idCol)
+      .orderBy(F.col("score").desc, F.col("term"))
+    tf.join(dfreq, "term").crossJoin(n)
+      .withColumn("score",
+        F.col("tf") * (F.col("__n").cast("double") / F.col("df_docs").cast("double")))
+      .withColumn("__rn", F.row_number().over(w))
+      .where(F.col("__rn") <= topN)
+      .select(F.col(idCol), F.col("term"), F.col("tf"), F.col("df_docs"), F.col("score"))
+  }
+
   /** Document fingerprint, oracle-parity tier: md5 of the normalized text
     * (lowercased, squeezed whitespace) — stable across engines. */
   def fingerprintMd5(text: Column): Column =

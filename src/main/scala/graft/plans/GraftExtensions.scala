@@ -1,0 +1,99 @@
+package graft.plans
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.types.{IntegerType, LongType}
+
+/** SQL-surface registration + optimizer rules for the engine.
+  *
+  * The reference exposes its operations only through the Java topology
+  * builder; a Spark-native engine should ALSO surface them to `spark.sql`
+  * so the same functions compose in plain SQL. Wire up either way:
+  *
+  *  - config: `spark.sql.extensions=graft.plans.GraftExtensions`
+  *  - or imperative: `GraftFunctions.register(spark)` on a live session.
+  */
+object GraftFunctions {
+
+  private def lit(e: Expression, what: String): Int = e match {
+    case Literal(v: Int, IntegerType) => v
+    case Literal(v: Long, LongType) => v.toInt
+    case other => throw new IllegalArgumentException(
+      s"$what must be an integer literal, got $other")
+  }
+
+  /** Hamming distance over 64-bit signatures as a Catalyst tree
+    * (`cast(bit_count(a ^ b) as bigint)`) — the shape
+    * [[HammingZeroRewrite]] recognizes. */
+  def hammingExpr(a: Expression, b: Expression): Expression =
+    Cast(BitwiseCount(BitwiseXor(a, b)), LongType)
+
+  val functions: Seq[(String, Seq[Expression] => Expression)] = Seq(
+    "cosine_sim" -> (es => Expressions.CosineSim(es(0), es(1))),
+    "dot_prod" -> (es => Expressions.DotProd(es(0), es(1))),
+    "simhash64" -> (es => Expressions.SimHash64(es(0))),
+    "simhash_md5" -> (es => Expressions.SimHashMd5(es(0))),
+    "shingles" -> (es => Expressions.ShingleArray(es(0), lit(es(1), "k"))),
+    "shingle_minhash" -> (es => Expressions.ShingleMinHashMd5(
+      es(0), lit(es(1), "k"), lit(es(2), "numHashes"))),
+    "hamming64" -> (es => hammingExpr(es(0), es(1))),
+  )
+
+  /** Idempotent imperative registration on a live session. */
+  def register(spark: SparkSession): Unit =
+    functions.foreach { case (name, builder) =>
+      spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+        name, builder, "built-in")
+    }
+}
+
+/** Rewrites Hamming-distance-zero predicates into plain equality:
+  * `bit_count(a ^ b) = 0` (and `<= 0`) ⇔ `a = b`.
+  *
+  * Why it matters at scale: a join whose only condition is
+  * `hamming64(sig_a, sig_b) = 0` is not an equi-join to the planner, so it
+  * falls to BroadcastNestedLoop/cartesian — O(N²) probes. Rewritten to
+  * `sig_a = sig_b` it hash-partitions both sides and runs as a shuffled
+  * hash / sort-merge join. The exact-match tier of SimHash dedup hits this
+  * shape constantly.
+  */
+object HammingZeroRewrite extends Rule[LogicalPlan] {
+  private object HammingDist {
+    def unapply(e: Expression): Option[(Expression, Expression)] = e match {
+      case Cast(BitwiseCount(BitwiseXor(a, b)), _, _, _) => Some((a, b))
+      case BitwiseCount(BitwiseXor(a, b)) => Some((a, b))
+      case _ => None
+    }
+  }
+  private object ZeroLit {
+    def unapply(e: Expression): Boolean = e match {
+      case Literal(0, IntegerType) => true
+      case Literal(0L, LongType) => true
+      case _ => false
+    }
+  }
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transformAllExpressions {
+    case EqualTo(HammingDist(a, b), ZeroLit()) => EqualTo(a, b)
+    case EqualTo(ZeroLit(), HammingDist(a, b)) => EqualTo(a, b)
+    case LessThanOrEqual(HammingDist(a, b), ZeroLit()) => EqualTo(a, b)
+    case GreaterThanOrEqual(ZeroLit(), HammingDist(a, b)) => EqualTo(a, b)
+  }
+}
+
+/** `spark.sql.extensions` entry point: SQL functions + optimizer rules. */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    GraftFunctions.functions.foreach { case (name, builder) =>
+      ext.injectFunction((
+        FunctionIdentifier(name),
+        new ExpressionInfo("graft.plans.Expressions", name),
+        builder))
+    }
+    ext.injectOptimizerRule(_ => HammingZeroRewrite)
+  }
+}

@@ -1,0 +1,66 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+import graft.plans.{GraftFunctions, HammingZeroRewrite}
+
+/** The engine's SQL face: custom expressions registered as SQL functions
+  * and the Hamming-zero → equality optimizer rewrite. */
+class SqlSurfaceSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = {
+    val s = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    GraftFunctions.register(s)
+    s.experimental.extraOptimizations ++= Seq(HammingZeroRewrite)
+    s
+  }
+
+  import spark.implicits._
+
+  test("registered SQL functions evaluate like their Column counterparts") {
+    val r = spark.sql(
+      """SELECT cosine_sim(array(1.0D, 0.0D), array(1.0D, 0.0D)) AS cos,
+                dot_prod(array(1.0D, 2.0D), array(3.0D, 4.0D)) AS dot,
+                hamming64(5L, 6L) AS ham,
+                size(shingles(array('a','b','c','d'), 3)) AS nsh,
+                size(shingle_minhash(array('a','b','c','d'), 3, 4)) AS nmh""").head()
+    assert(r.getDouble(0) == 1.0)
+    assert(r.getDouble(1) == 11.0)
+    assert(r.getLong(2) == 2L)   // 101 xor 110 = 011
+    assert(r.getInt(3) == 2)
+    assert(r.getInt(4) == 4)
+
+    val sh = Seq((1L, Seq("x", "y"))).toDF("id", "toks")
+    sh.createOrReplaceTempView("sqlsurface_toks")
+    val viaSql = spark.sql("SELECT simhash_md5(toks) FROM sqlsurface_toks").head().getLong(0)
+    val viaCol = sh.select(graft.plans.Expressions.simhashMd5($"toks")).head().getLong(0)
+    assert(viaSql == viaCol)
+  }
+
+  test("HammingZeroRewrite turns hamming64(a,b)=0 joins into equi-joins") {
+    val l = spark.range(100).select($"id".as("sig_a"))
+    val r = spark.range(100).select($"id".as("sig_b"))
+    l.createOrReplaceTempView("sqlsurface_l")
+    r.createOrReplaceTempView("sqlsurface_r")
+    val joined = spark.sql(
+      "SELECT sig_a FROM sqlsurface_l JOIN sqlsurface_r ON hamming64(sig_a, sig_b) = 0")
+    val physical = joined.queryExecution.executedPlan.toString
+    assert(!physical.contains("BroadcastNestedLoopJoin"), physical)
+    assert(physical.contains("HashJoin") || physical.contains("SortMergeJoin"), physical)
+    assert(joined.count() == 100)
+
+    // the <= 0 spelling rewrites too
+    val le = spark.sql(
+      "SELECT sig_a FROM sqlsurface_l JOIN sqlsurface_r ON hamming64(sig_a, sig_b) <= 0")
+    assert(!le.queryExecution.executedPlan.toString.contains("BroadcastNestedLoopJoin"))
+    assert(le.count() == 100)
+
+    // nonzero thresholds are NOT equality — must stay un-rewritten
+    val near = spark.sql(
+      "SELECT sig_a FROM sqlsurface_l JOIN sqlsurface_r ON hamming64(sig_a, sig_b) <= 1")
+    assert(near.queryExecution.executedPlan.toString.contains("BroadcastNestedLoopJoin"))
+  }
+}

@@ -1,0 +1,117 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{functions => F}
+import org.scalatest.funsuite.AnyFunSuite
+import graft.functions.{Dedup, Sampling, Temporal, Text}
+
+/** Temporal, clustering, and sampling operators — deterministic
+  * micro-fixtures with hand-checked expectations. */
+class TemporalSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  import spark.implicits._
+
+  test("asofJoinBackward: latest prior right value, inclusive at equal ts") {
+    val left = Seq((1L, 10L, "p1"), (1L, 20L, "p2"), (1L, 5L, "p0"), (2L, 50L, "p3"))
+      .toDF("k", "t", "name")
+    val right = Seq((1L, 10L, 100L), (1L, 15L, 101L), (3L, 1L, 999L))
+      .toDF("k", "t", "v")
+    val out = Temporal.asofJoinBackward(left, right, "k", "t", "t", "v", "asof_v")
+      .select("name", "asof_v").as[(String, Option[Long])].collect().toMap
+    assert(out("p0").isEmpty)        // before any right row
+    assert(out("p1").contains(100L)) // equal ts included (backward-inclusive)
+    assert(out("p2").contains(101L)) // latest of the two priors
+    assert(out("p3").isEmpty)        // key with no right rows at all
+  }
+
+  test("asofJoinBackward: right-side tie on ts resolves to greatest value") {
+    val left = Seq((1L, 10L, "p")).toDF("k", "t", "name")
+    val right = Seq((1L, 10L, 7L), (1L, 10L, 9L), (1L, 10L, 8L)).toDF("k", "t", "v")
+    val out = Temporal.asofJoinBackward(left, right, "k", "t", "t", "v", "asof_v")
+    assert(out.select("asof_v").head().getLong(0) == 9L)
+  }
+
+  test("sessionize: gap splits, bounds and counts per session") {
+    // user 1: events at 0, 10, 100 with gap 50 → sessions {0,10} and {100}
+    val df = Seq((1L, 0L, 1L), (1L, 10L, 2L), (1L, 100L, 3L), (2L, 5L, 4L))
+      .toDF("u", "t", "id")
+    val out = Temporal.sessionize(df, "u", "t", gapTicks = 50L, tieBreak = "id")
+      .orderBy("u", "session_seq")
+      .as[(Long, Long, Long, Long, Long)].collect()
+    assert(out.toSeq == Seq(
+      (1L, 1L, 0L, 10L, 2L),
+      (1L, 2L, 100L, 100L, 1L),
+      (2L, 1L, 5L, 5L, 1L)))
+  }
+
+  test("hoppingWindows: each row lands in size/slide windows incl. boundary") {
+    val df = Seq((0L, "a"), (10L, "b"), (19L, "c")).toDF("t", "name")
+    val out = Temporal.hoppingWindows(df, "t", sizeTicks = 20L, slideTicks = 10L)
+      .select("name", "win_start").as[(String, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).sorted.toSeq).toMap
+    assert(out("a") == Seq(-10L, 0L))
+    assert(out("b") == Seq(0L, 10L))
+    assert(out("c") == Seq(0L, 10L)) // 19 < 20: still the [0,20) and [10,30) windows
+  }
+
+  test("bandJoin: broadcast range probe, no shuffle of the fact side") {
+    val facts = Seq((1L, 5.0), (2L, 55.0), (3L, -1.0)).toDF("id", "v")
+    val bands = Seq(("lo", 0.0, 50.0), ("hi", 50.0, 100.0)).toDF("band", "lo", "hi")
+    val joined = Temporal.bandJoin(facts, "v", bands, "lo", "hi")
+    val rows = joined.select("id", "band").as[(Long, String)].collect().toMap
+    assert(rows == Map(1L -> "lo", 2L -> "hi")) // -1.0 matches no band
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastNestedLoopJoin"))
+    assert(!plan.contains("SortMergeJoin"))
+  }
+
+  test("duplicateClusters: chains and stars collapse to min-id components") {
+    // components: {1,2,3,4} (chain), {10,11,12} (star on 10), {20,21}
+    val pairs = Seq((2L, 1L), (2L, 3L), (3L, 4L), (10L, 11L), (10L, 12L), (21L, 20L))
+      .toDF("a", "b")
+    val out = Dedup.duplicateClusters(pairs, "a", "b")
+      .as[(Long, Long)].collect().toMap
+    assert(out == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L, 20L -> 20L, 21L -> 20L))
+  }
+
+  test("tfidfTopTerms: rare terms outscore common ones, ties break by term") {
+    val docs = Seq(
+      (1L, "apple apple banana"),
+      (2L, "banana cherry"),
+      (3L, "banana banana banana")).toDF("id", "text")
+    val out = Text.tfidfTopTerms(docs, "id", "text", topN = 1)
+      .select("id", "term").as[(Long, String)].collect().toMap
+    // doc 1: apple tf=2 df=1 → 6.0 beats banana (tf=1 df=3 → 1.0)
+    assert(out(1L) == "apple")
+    assert(out(2L) == "cherry") // cherry 3.0 beats banana 1.0
+    assert(out(3L) == "banana") // only term
+  }
+
+  test("sampling is deterministic, stratified thresholds apply per stratum") {
+    val df = spark.range(1000).toDF("id")
+    val a = Sampling.bernoulliSample(df, F.col("id"), 200000L).count()
+    val b = Sampling.bernoulliSample(df, F.col("id"), 200000L).count()
+    assert(a == b)               // same rows every run — hash, not RNG
+    assert(a > 120 && a < 280)   // ~20%
+
+    val strat = spark.range(1000)
+      .withColumn("s", F.when(F.col("id") % 2 === 0, "keep_all").otherwise("drop_all"))
+    val out = Sampling.stratifiedSample(strat, F.col("s"), F.col("id"),
+      Map("keep_all" -> 1000000L), defaultPpm = 0L)
+    assert(out.count() == 500)
+    assert(out.where(F.col("s") === "drop_all").count() == 0)
+
+    val split = Sampling.trainTestSplit(df, F.col("id"), 100000L)
+    assert(split.count() == 1000) // partition, not filter
+    val test = split.where(F.col("split") === "test").count()
+    assert(test > 50 && test < 170) // ~10%
+
+    assert(Sampling.fixedSizeSample(df, F.col("id"), 37).count() == 37)
+  }
+}
