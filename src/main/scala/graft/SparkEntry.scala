@@ -637,6 +637,17 @@ object SparkEntry {
 
     // ---------------- sampling / text scoring ----------------
 
+    "q61_percentile" -> ((s, dir) =>
+      // exact distributed percentiles (interpolated), integer cents input so
+      // both engines interpolate the same doubles
+      events(s, dir)
+        .groupBy("event_type")
+        .agg(
+          F.expr("percentile(CAST(round(value * 100) AS BIGINT), 0.5D)").as("p50_cents"),
+          F.expr("percentile(CAST(round(value * 100) AS BIGINT), 0.9D)").as("p90_cents"),
+          F.count(F.lit(1)).as("cnt"))
+        .orderBy("event_type")),
+
     "q62_tfidf" -> ((s, dir) =>
       Text.tfidfTopTerms(table(s, dir, "documents"), "doc_id", "text", topN = 3)
         .orderBy("doc_id", "term")),
@@ -1007,6 +1018,12 @@ object SparkEntry {
            SELECT bi.src, reach.r FROM bi JOIN reach ON bi.dst = reach.node)
          SELECT node AS id, CAST(min(r) AS BIGINT) AS cluster_id
          FROM reach GROUP BY 1 ORDER BY 1""",
+    "q61_percentile" ->
+      """SELECT event_type,
+           quantile_cont(CAST(round(value * 100) AS BIGINT), 0.5) AS p50_cents,
+           quantile_cont(CAST(round(value * 100) AS BIGINT), 0.9) AS p90_cents,
+           CAST(count(*) AS BIGINT) AS cnt
+         FROM events GROUP BY 1 ORDER BY 1""",
     "q62_tfidf" ->
       """WITH tf AS (SELECT doc_id, w AS term, CAST(count(*) AS BIGINT) AS tf
              FROM (SELECT doc_id, unnest(list_filter(string_split(text, ' '), x -> x != '')) AS w FROM documents)

@@ -57,16 +57,32 @@ object Dedup {
     }.toMap)
   }
 
-  /** Candidate near-dup pairs from LSH buckets: for each band, self-join on
-    * the bucket id (skew-safe: bucket cardinality bounded by band width),
-    * union, distinct. Returns (left id, right id) with left < right. */
+  /** Candidate near-dup pairs from LSH buckets: ONE scan of the banded
+    * table (bands exploded with their index into a tagged bucket key), ONE
+    * shuffle grouping ids per bucket, pairs emitted within each bucket.
+    * Returns (left id, right id) with left < right, distinct across bands.
+    *
+    * Beats the per-band self-join formulation on both axes that matter at
+    * 100 TB: the signature computation runs once instead of 2×bands times
+    * (each self-join side re-derived it), and there is a single exchange
+    * keyed on bucket ids instead of `bands` joins. The in-bucket pair
+    * expansion is safe because LSH bucket cardinality is bounded by
+    * construction — a bucket that collects everything would mean the band
+    * hash is degenerate, not that the plan should tolerate it. */
   def lshCandidatePairs(banded: DataFrame, idCol: String, bands: Int): DataFrame = {
-    val pairs = (0 until bands).map { b =>
-      val l = banded.select(F.col(idCol).as("a"), F.col(s"band$b").as("bk"))
-      val r = banded.select(F.col(idCol).as("b"), F.col(s"band$b").as("bk"))
-      l.join(r, "bk").where(F.col("a") < F.col("b")).select("a", "b")
-    }
-    pairs.reduce(_ union _).distinct()
+    val bandCols = (0 until bands).map(b => F.col(s"band$b"))
+    banded
+      .select(F.col(idCol).as("id"),
+        F.posexplode(F.array(bandCols: _*)).as(Seq("bi", "bv")))
+      .select(F.col("id"), F.concat_ws("|", F.col("bi"), F.col("bv")).as("bk"))
+      .groupBy("bk")
+      .agg(F.array_sort(F.collect_list("id")).as("ids"))
+      .where(F.size(F.col("ids")) > 1)
+      .select(F.explode(F.expr(
+        "flatten(transform(ids, (x, i) -> transform(slice(ids, i + 2, size(ids)), y -> struct(x AS a, y AS b))))"))
+        .as("p"))
+      .select(F.col("p.a").as("a"), F.col("p.b").as("b"))
+      .distinct()
   }
 
   /** Exact n-gram Jaccard similarity between two shingle arrays — the

@@ -112,21 +112,23 @@ object Text {
     * ranking is the same monotone order). Ties rank by term ascending, so
     * output is deterministic.
     *
-    * Plan shape at scale: one explode+groupBy for per-doc term frequencies,
-    * document frequencies as a second aggregate over the (already small)
-    * tf table, joined back on the term key; corpus size N rides along as a
-    * broadcast scalar. The window top-N shuffles only the tf table — the
-    * raw token stream is aggregated before anything wide happens. */
+    * Plan shape at scale: one explode+groupBy for per-doc term frequencies;
+    * document frequency as a window count over the (already aggregated) tf
+    * table — NOT a separate aggregate joined back, which would compute the
+    * tf table twice and add a join exchange. Corpus size N rides along as a
+    * broadcast scalar. The two windows shuffle only the tf table — the raw
+    * token stream is aggregated before anything wide happens. */
   def tfidfTopTerms(df: org.apache.spark.sql.DataFrame, idCol: String,
       textCol: String, topN: Int): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val n = F.broadcast(df.agg(F.count(F.lit(1)).as("__n")))
     val tf = df
       .select(F.col(idCol), F.explode(tokens(F.col(textCol))).as("term"))
       .groupBy(idCol, "term").agg(F.count(F.lit(1)).as("tf"))
-    val dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).as("df_docs"))
-    val w = org.apache.spark.sql.expressions.Window.partitionBy(idCol)
-      .orderBy(F.col("score").desc, F.col("term"))
-    tf.join(dfreq, "term").crossJoin(n)
+    val byTerm = Window.partitionBy("term")
+    val w = Window.partitionBy(idCol).orderBy(F.col("score").desc, F.col("term"))
+    tf.withColumn("df_docs", F.count(F.lit(1)).over(byTerm))
+      .crossJoin(n)
       .withColumn("score",
         F.col("tf") * (F.col("__n").cast("double") / F.col("df_docs").cast("double")))
       .withColumn("__rn", F.row_number().over(w))

@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, functions => F}
+import org.apache.spark.sql.{Column, DataFrame, functions => F}
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 import graft.api.{Fields, Stream}
 
@@ -45,4 +45,21 @@ object StreamJoinRunner {
       }
       .start()
   }
+
+  /** Cross-batch stream-stream join — the Spark-native upgrade the
+    * reference cannot express (its join scope ends at the batch boundary;
+    * `JoinerMultiReducer.java` keeps no cross-batch state). Both sides are
+    * watermarked so the state store can evict: rows older than the
+    * watermark minus the join's time bound are dropped from state, which is
+    * what makes the operator runnable forever at scale — an unwatermarked
+    * stream-stream join grows state without bound. The caller's `extraCond`
+    * should carry a time-range bound between the two event-time columns
+    * (e.g. `r.ts BETWEEN l.ts AND l.ts + INTERVAL 1 HOUR`) so eviction has
+    * a bound to work with; equality keys alone keep state forever.
+    */
+  def streamStreamJoin(left: DataFrame, right: DataFrame,
+      leftTs: String, rightTs: String, delayThreshold: String,
+      condition: Column, joinType: String = "inner"): DataFrame =
+    left.withWatermark(leftTs, delayThreshold)
+      .join(right.withWatermark(rightTs, delayThreshold), condition, joinType)
 }

@@ -107,6 +107,36 @@ class StreamingSpec extends AnyFunSuite {
     assert(all(1) == Set(Seq(4, "c", null), Seq(2, null, "y")))
   }
 
+  test("stream-stream join holds state ACROSS batches (native watermark join)") {
+    implicit val sqlCtx = spark.sqlContext
+    val l = MemoryStream[(Int, Long, String)]
+    val r = MemoryStream[(Int, Long, String)]
+    def withTs(df: org.apache.spark.sql.DataFrame, prefix: String) =
+      df.toDF(s"${prefix}id", s"${prefix}sec", s"${prefix}v")
+        .withColumn(s"${prefix}ts", F.timestamp_seconds(F.col(s"${prefix}sec")))
+    val joined = graft.streaming.StreamJoinRunner.streamStreamJoin(
+      withTs(l.toDF(), "l"), withTs(r.toDF(), "r"),
+      "lts", "rts", "10 seconds",
+      F.expr("lid = rid AND rts BETWEEN lts AND lts + INTERVAL 30 SECONDS"))
+    val results = scala.collection.mutable.Buffer[(String, String)]()
+    val q = joined.writeStream
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime(0L))
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        val rows = batch.select("lv", "rv").collect().map(x => (x.getString(0), x.getString(1)))
+        results.synchronized { results ++= rows }; ()
+      }
+      .start()
+    l.addData((1, 100L, "a"), (2, 100L, "b"))
+    q.processAllAvailable()
+    // the matching right row arrives a LATER batch — per-batch join scope
+    // would miss it; the watermarked join's state store does not
+    r.addData((1, 110L, "x"))
+    q.processAllAvailable()
+    q.stop()
+    assert(results.toSet == Set(("a", "x")))
+  }
+
   test("global persistentAggregate maintains a snapshottable single value") {
     MemoryBackingMap.clear("glob")
     val state = new OpaqueMap[Long](new MemoryBackingMap[OpaqueValue[Long]]("glob"))
