@@ -6,7 +6,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.types._
 import graft.api._
 import graft.api.Operations._
-import graft.functions.{Dedup, Multimodal, Sampling, Similarity, Temporal, Text}
+import graft.functions.{Dedup, Multimodal, Sampling, Similarity, Stats, Temporal, Text}
 import graft.drpc.LocalDRPC
 import graft.state._
 import graft.streaming.StreamRunner
@@ -677,6 +677,54 @@ object SparkEntry {
         .orderBy("band")
     }),
 
+    // ---------------- statistics / reshaping ----------------
+
+    "q67_zscore_outliers" -> ((s, dir) =>
+      Stats.zscoreOutliers(
+          events(s, dir).withColumn("cents", cents(F.col("value"))),
+          "event_type", "event_id", "cents", sigmas = 2.0)
+        .orderBy("event_type", "event_id")),
+
+    "q68_moving_avg" -> ((s, dir) =>
+      Stats.movingAvg(
+          events(s, dir).select(F.col("user_id"), F.expr("ts DIV 1000").as("ts_us"),
+            F.col("event_id"), cents(F.col("value")).as("cents")),
+          "user_id", "ts_us", "event_id", "cents", window = 10, outCol = "ma10")
+        .select("user_id", "event_id", "ma10")
+        .orderBy("user_id", "event_id")),
+
+    "q69_pivot" -> ((s, dir) =>
+      events(s, dir)
+        .withColumn("user_bucket", F.pmod(F.col("user_id"), F.lit(5L)))
+        .groupBy("event_type")
+        .pivot("user_bucket", Seq(0L, 1L, 2L, 3L, 4L))
+        .agg(F.count(F.lit(1)))
+        .select(F.col("event_type"),
+          F.coalesce(F.col("0"), F.lit(0L)).as("b0"),
+          F.coalesce(F.col("1"), F.lit(0L)).as("b1"),
+          F.coalesce(F.col("2"), F.lit(0L)).as("b2"),
+          F.coalesce(F.col("3"), F.lit(0L)).as("b3"),
+          F.coalesce(F.col("4"), F.lit(0L)).as("b4"))
+        .orderBy("event_type")),
+
+    "q70_unpivot" -> ((s, dir) =>
+      table(s, dir, "lineitem")
+        .select(F.col("l_orderkey"), F.col("l_linenumber"),
+          F.expr("""stack(3,
+            'disc_cents', CAST(round(l_discount * 100) AS BIGINT),
+            'price_cents', CAST(round(l_extendedprice * 100) AS BIGINT),
+            'qty', CAST(l_quantity AS BIGINT))""").as(Seq("measure", "val")))
+        .orderBy("l_orderkey", "l_linenumber", "measure")),
+
+    "q71_ntile" -> ((s, dir) => {
+      val w = Window.partitionBy("o_orderpriority")
+        .orderBy(F.col("o_totalprice"), F.col("o_orderkey"))
+      table(s, dir, "orders")
+        .select(F.col("o_orderkey"), F.col("o_orderpriority"),
+          F.ntile(4).over(w).cast("long").as("quartile"))
+        .orderBy("o_orderkey")
+    }),
+
     "q66_sql_pipeline" -> ((s, dir) => {
       // the engine's SQL face: custom Catalyst expressions registered into
       // the session's FunctionRegistry, driven from plain spark.sql
@@ -1052,6 +1100,49 @@ object SparkEntry {
              ('high', 150.0, 300.0), ('vip', 300.0, 1000000.0)) b(band, lo, hi)
            ON value >= lo AND value < hi
          GROUP BY 1 ORDER BY 1""",
+    "q67_zscore_outliers" ->
+      """WITH e AS (SELECT event_type, event_id, CAST(round(value * 100) AS BIGINT) AS cents FROM events),
+         m AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n, CAST(sum(cents) AS BIGINT) AS s,
+                 CAST(sum(cents * cents) AS BIGINT) AS ss FROM e GROUP BY 1)
+         SELECT e.event_type, e.event_id, e.cents,
+           CAST(s AS DOUBLE) / CAST(n AS DOUBLE) AS mean,
+           sqrt((CAST(ss AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / CAST(n AS DOUBLE)) / CAST(n AS DOUBLE)) AS stddev
+         FROM e JOIN m USING (event_type)
+         WHERE abs(CAST(cents AS DOUBLE) - CAST(s AS DOUBLE) / CAST(n AS DOUBLE)) >
+           2.0 * sqrt((CAST(ss AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / CAST(n AS DOUBLE)) / CAST(n AS DOUBLE))
+         ORDER BY 1, 2""",
+    "q68_moving_avg" ->
+      """SELECT user_id, event_id,
+           CAST(sum(cents) OVER w AS DOUBLE) / CAST(count(*) OVER w AS DOUBLE) AS ma10
+         FROM (SELECT user_id, event_id, epoch_us(ts) AS ts,
+               CAST(round(value * 100) AS BIGINT) AS cents FROM events)
+         WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                      ROWS BETWEEN 9 PRECEDING AND CURRENT ROW)
+         ORDER BY 1, 2""",
+    "q69_pivot" ->
+      """SELECT event_type,
+           CAST(count(*) FILTER (user_id % 5 = 0) AS BIGINT) AS b0,
+           CAST(count(*) FILTER (user_id % 5 = 1) AS BIGINT) AS b1,
+           CAST(count(*) FILTER (user_id % 5 = 2) AS BIGINT) AS b2,
+           CAST(count(*) FILTER (user_id % 5 = 3) AS BIGINT) AS b3,
+           CAST(count(*) FILTER (user_id % 5 = 4) AS BIGINT) AS b4
+         FROM events GROUP BY 1 ORDER BY 1""",
+    "q70_unpivot" ->
+      """SELECT l_orderkey, l_linenumber, measure, val FROM (
+           SELECT l_orderkey, l_linenumber, 'disc_cents' AS measure,
+             CAST(round(l_discount * 100) AS BIGINT) AS val FROM lineitem
+           UNION ALL
+           SELECT l_orderkey, l_linenumber, 'price_cents',
+             CAST(round(l_extendedprice * 100) AS BIGINT) FROM lineitem
+           UNION ALL
+           SELECT l_orderkey, l_linenumber, 'qty',
+             CAST(l_quantity AS BIGINT) FROM lineitem)
+         ORDER BY 1, 2, 3""",
+    "q71_ntile" ->
+      """SELECT o_orderkey, o_orderpriority,
+           CAST(ntile(4) OVER (PARTITION BY o_orderpriority
+             ORDER BY o_totalprice, o_orderkey) AS BIGINT) AS quartile
+         FROM orders ORDER BY 1""",
     "q66_sql_pipeline" ->
       """WITH tok AS (SELECT doc_id, unnest(list_filter(string_split(text, ' '), x -> x != '')) AS w FROM documents),
          h AS (SELECT doc_id, ('0x' || substr(md5(w), 1, 15))::BIGINT AS hv FROM tok),

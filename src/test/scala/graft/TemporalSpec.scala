@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.{functions => F}
 import org.scalatest.funsuite.AnyFunSuite
-import graft.functions.{Dedup, Sampling, Temporal, Text}
+import graft.functions.{Dedup, Sampling, Stats, Temporal, Text}
 
 /** Temporal, clustering, and sampling operators — deterministic
   * micro-fixtures with hand-checked expectations. */
@@ -91,6 +91,25 @@ class TemporalSpec extends AnyFunSuite {
     assert(out(1L) == "apple")
     assert(out(2L) == "cherry") // cherry 3.0 beats banana 1.0
     assert(out(3L) == "banana") // only term
+  }
+
+  test("zscoreOutliers flags the far point with integer-exact moments") {
+    // group: 0,0,0,0,100 → mean 20, var (8000-2000)/5? hand-check:
+    // s=100, ss=10000, n=5 → mean 20, var (10000 - 2000)/5 = 1600, σ=40
+    // |100-20| = 80 > 1.5σ(=60) → only the 100 row flagged at 1.5σ
+    val df = Seq((1L, "g", 0L), (2L, "g", 0L), (3L, "g", 0L), (4L, "g", 0L),
+      (5L, "g", 100L)).toDF("id", "grp", "v")
+    val out = Stats.zscoreOutliers(df, "grp", "id", "v", sigmas = 1.5)
+    val rows = out.select("id", "mean", "stddev").as[(Long, Double, Double)].collect()
+    assert(rows.toSeq == Seq((5L, 20.0, 40.0)))
+  }
+
+  test("movingAvg: trailing window shrinks at the head, exact integer sums") {
+    val df = Seq((1L, 1L, 1L, 10L), (1L, 2L, 2L, 20L), (1L, 3L, 3L, 60L))
+      .toDF("k", "t", "id", "v")
+    val out = Stats.movingAvg(df, "k", "t", "id", "v", window = 2, outCol = "ma")
+      .orderBy("t").select("ma").as[Double].collect().toSeq
+    assert(out == Seq(10.0, 15.0, 40.0))
   }
 
   test("sampling is deterministic, stratified thresholds apply per stratum") {
