@@ -110,6 +110,25 @@ object Temporal {
         F.lit(slideTicks))))
   }
 
+  /** Streaming face of [[sessionize]]: Structured Streaming's
+    * `session_window` over a watermarked TimestampType column. Same gap
+    * rule, so batch backfill and the live stream agree on session
+    * boundaries; the one representational difference is the reference
+    * frame of `session_end` — here it is last-event + gap (the window's
+    * close), while the batch face reports the last event itself. State for
+    * a session is evicted once the watermark passes its close, which is
+    * what bounds state at 100 TB/day event volumes.
+    */
+  def sessionizeStream(df: DataFrame, key: String, ts: String,
+      gap: String, delayThreshold: String): DataFrame =
+    df.withWatermark(ts, delayThreshold)
+      .groupBy(F.session_window(F.col(ts), gap), F.col(key))
+      .agg(F.count(F.lit(1)).as("n_events"))
+      .select(F.col(key),
+        F.col("session_window.start").as("session_start"),
+        F.col("session_window.end").as("session_end"),
+        F.col("n_events"))
+
   /** Banded range join: assign each row of `df` the matching band from a
     * SMALL bands table (`lo <= value < hi`, bands non-overlapping). The
     * bands side is broadcast, so the probe is map-side only — zero shuffle.

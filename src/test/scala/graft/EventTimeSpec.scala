@@ -52,6 +52,54 @@ class EventTimeSpec extends AnyFunSuite {
     assert(!rows.exists(_._2 == "late"))
   }
 
+  test("streaming sessionize: session_window merges within gap, finalizes past watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(String, Timestamp)]
+    val sessions = graft.functions.Temporal.sessionizeStream(
+      input.toDF().toDF("u", "ts"), "u", "ts",
+      gap = "10 minutes", delayThreshold = "0 seconds")
+    val q = sessions.writeStream.outputMode("append")
+      .format("memory").queryName("sess")
+      .trigger(Trigger.ProcessingTime(0L)).start()
+
+    // u=a: 10:00 and 10:05 chain into one session; 10:30 starts a new one
+    input.addData(("a", ts(0)), ("a", ts(5)), ("a", ts(30)))
+    q.processAllAvailable()
+    // watermark far ahead → both of a's sessions close and emit
+    input.addData(("z", ts(59)))
+    q.processAllAvailable()
+    q.stop()
+
+    val rows = spark.table("sess")
+      .as[(String, Timestamp, Timestamp, Long)].collect()
+      .filter(_._1 == "a").map { case (u, s, e, n) => (u, s, e, n) }.toSet
+    assert(rows == Set(
+      ("a", ts(0), ts(15), 2L),   // end = last event 10:05 + 10 min gap
+      ("a", ts(30), ts(40), 1L)))
+  }
+
+  test("dropDuplicatesWithinWatermark: cross-batch dup ids collapse while in state") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, Timestamp)]
+    val deduped = input.toDF().toDF("id", "ts")
+      .withWatermark("ts", "10 minutes")
+      .dropDuplicatesWithinWatermark("id")
+    val q = deduped.writeStream.outputMode("append")
+      .format("memory").queryName("ddww")
+      .trigger(Trigger.ProcessingTime(0L)).start()
+
+    input.addData((1L, ts(0)), (2L, ts(1)))
+    q.processAllAvailable()
+    input.addData((1L, ts(2)))           // dup of id 1, later batch → dropped
+    q.processAllAvailable()
+    input.addData((3L, ts(5)))
+    q.processAllAvailable()
+    q.stop()
+
+    val ids = spark.table("ddww").as[(Long, Timestamp)].collect().map(_._1).toSeq
+    assert(ids.sorted == Seq(1L, 2L, 3L)) // each id exactly once
+  }
+
   test("tick tuples: idle keys emit a timeout tuple when the watermark passes (timer analog)") {
     // the reference's tick tuples (executor.clj:295-312) = periodic per-key
     // callbacks; the Spark-native mechanism is state timeouts driven by the
