@@ -716,6 +716,14 @@ object SparkEntry {
             'qty', CAST(l_quantity AS BIGINT))""").as(Seq("measure", "val")))
         .orderBy("l_orderkey", "l_linenumber", "measure")),
 
+    "q72_topk_native" -> ((s, dir) =>
+      // q50's semantics through the custom TopKPerKey physical operator
+      // (bounded heaps + survivors-only shuffle) instead of the window form
+      graft.plans.TopK.topKPerKey(
+          events(s, dir).select("event_type", "event_id", "value"),
+          Seq("event_type"), "value", desc = true, tieBreak = Seq("event_id"), k = 5)
+        .orderBy(F.col("event_type"), F.col("value").desc, F.col("event_id"))),
+
     "q71_ntile" -> ((s, dir) => {
       val w = Window.partitionBy("o_orderpriority")
         .orderBy(F.col("o_totalprice"), F.col("o_orderkey"))
@@ -1138,6 +1146,12 @@ object SparkEntry {
            SELECT l_orderkey, l_linenumber, 'qty',
              CAST(l_quantity AS BIGINT) FROM lineitem)
          ORDER BY 1, 2, 3""",
+    "q72_topk_native" ->
+      """SELECT event_type, event_id, value FROM (
+           SELECT event_type, event_id, value,
+             row_number() OVER (PARTITION BY event_type ORDER BY value DESC, event_id) AS rn
+           FROM events) WHERE rn <= 5
+         ORDER BY event_type, value DESC, event_id""",
     "q71_ntile" ->
       """SELECT o_orderkey, o_orderpriority,
            CAST(ntile(4) OVER (PARTITION BY o_orderpriority

@@ -95,5 +95,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         builder))
     }
     ext.injectOptimizerRule(_ => HammingZeroRewrite)
+    ext.injectPlannerStrategy(_ => TopK.TopKStrategy)
   }
 }

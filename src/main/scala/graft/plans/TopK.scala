@@ -1,0 +1,125 @@
+package graft.plans
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, Descending, Expression, RowOrdering, SortOrder, UnsafeProjection}
+import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, UnaryNode}
+import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, Partitioning, UnspecifiedDistribution}
+import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy, UnaryExecNode}
+
+/** Whole-operator Catalyst extension: grouped top-K as a native physical
+  * operator — logical node → strategy → two-stage exec, the (c) tier of the
+  * custom-operator ladder (expressions being (b)).
+  *
+  * Why not the window form (`row_number over (partition by k order by o)
+  * <= n` — what `GroupedStream.firstN` uses): the window operator SORTS
+  * every partition's full data on (key, order) before discarding all but K
+  * rows per key. This operator keeps a bounded heap per key instead:
+  *
+  *  - partial stage, before any exchange: each input partition reduces to
+  *    at most K rows per key — the shuffle then moves only survivors, the
+  *    same partial-aggregation shape `HashAggregate` uses (and the
+  *    reference's own grouped FirstN assembly:
+  *    `storm/trident/operation/builtin/FirstN.java:41-53` single-reducer
+  *    equivalent);
+  *  - final stage, after a hash exchange on the key (EnsureRequirements
+  *    inserts it from `requiredChildDistribution`): merge the per-partition
+  *    survivors, O(rows·log K) with no sort.
+  *
+  * At 100 TB the difference is the shuffle: full data vs ≤ K·keys rows.
+  */
+object TopK {
+
+  /** Logical marker node; all expressions pre-resolved against the child. */
+  case class TopKPerKey(keys: Seq[Expression], order: Seq[SortOrder], k: Int,
+      child: LogicalPlan) extends UnaryNode {
+    override def output: Seq[Attribute] = child.output
+    override protected def withNewChildInternal(newChild: LogicalPlan): TopKPerKey =
+      copy(child = newChild)
+  }
+
+  /** Shared heap pass: reduce an iterator to ≤ k rows per key. The heap is
+    * max-first under the sort order, so the head is the current worst
+    * survivor and a better row evicts it in O(log k). */
+  private def heapPerKey(iter: Iterator[InternalRow], keys: Seq[Expression],
+      order: Seq[SortOrder], k: Int, output: Seq[Attribute]): Iterator[InternalRow] = {
+    val keyProj = UnsafeProjection.create(keys, output)
+    val ord = RowOrdering.create(order, output)
+    val heaps = new java.util.HashMap[InternalRow, scala.collection.mutable.PriorityQueue[InternalRow]]()
+    iter.foreach { row =>
+      val key = keyProj(row)
+      var heap = heaps.get(key)
+      if (heap == null) {
+        heap = scala.collection.mutable.PriorityQueue.empty[InternalRow](ord)
+        heaps.put(key.copy(), heap)
+      }
+      if (heap.size < k) heap.enqueue(row.copy())
+      else if (ord.lt(row, heap.head)) { heap.dequeue(); heap.enqueue(row.copy()) }
+    }
+    import scala.jdk.CollectionConverters._
+    heaps.values().iterator().asScala.flatMap(_.iterator)
+  }
+
+  /** Pre-shuffle stage: per input partition, keep ≤ k rows per key. */
+  case class TopKPartialExec(keys: Seq[Expression], order: Seq[SortOrder],
+      k: Int, child: SparkPlan) extends UnaryExecNode {
+    override def output: Seq[Attribute] = child.output
+    override def outputPartitioning: Partitioning = child.outputPartitioning
+    override protected def doExecute(): RDD[InternalRow] =
+      child.execute().mapPartitions(heapPerKey(_, keys, order, k, output))
+    override protected def withNewChildInternal(c: SparkPlan): TopKPartialExec =
+      copy(child = c)
+  }
+
+  /** Post-shuffle stage: all survivors of one key are co-located (the
+    * required clustering makes EnsureRequirements insert the hash
+    * exchange); merge them into the final top-K. */
+  case class TopKFinalExec(keys: Seq[Expression], order: Seq[SortOrder],
+      k: Int, child: SparkPlan) extends UnaryExecNode {
+    override def output: Seq[Attribute] = child.output
+    override def outputPartitioning: Partitioning = child.outputPartitioning
+    override def requiredChildDistribution: Seq[Distribution] =
+      if (keys.isEmpty) UnspecifiedDistribution :: Nil
+      else ClusteredDistribution(keys) :: Nil
+    override protected def doExecute(): RDD[InternalRow] =
+      child.execute().mapPartitions(heapPerKey(_, keys, order, k, output))
+    override protected def withNewChildInternal(c: SparkPlan): TopKFinalExec =
+      copy(child = c)
+  }
+
+  object TopKStrategy extends SparkStrategy {
+    override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
+      case TopKPerKey(keys, order, k, child) =>
+        TopKFinalExec(keys, order, k,
+          TopKPartialExec(keys, order, k, planLater(child))) :: Nil
+      case _ => Nil
+    }
+  }
+
+  /** Register the strategy on a live session (idempotent). */
+  def register(spark: SparkSession): Unit =
+    if (!spark.experimental.extraStrategies.contains(TopKStrategy))
+      spark.experimental.extraStrategies =
+        spark.experimental.extraStrategies :+ TopKStrategy
+
+  /** Grouped top-K through the native operator: the `k` rows per key
+    * ranking first by `orderCol` (descending when `desc`), ties broken by
+    * `tieBreak` ascending. Semantically identical to the window
+    * `row_number <= k` form; physically heap-based with partial reduction
+    * before the shuffle. */
+  def topKPerKey(df: DataFrame, keyCols: Seq[String], orderCol: String,
+      desc: Boolean, tieBreak: Seq[String], k: Int): DataFrame = {
+    val spark = df.sparkSession
+    register(spark)
+    val analyzed = df.queryExecution.analyzed
+    def attr(n: String): Attribute = analyzed.output.find(_.name == n)
+      .getOrElse(throw new IllegalArgumentException(
+        s"column $n not in ${analyzed.output.map(_.name).mkString(", ")}"))
+    val order =
+      SortOrder(attr(orderCol), if (desc) Descending else Ascending) +:
+        tieBreak.map(t => SortOrder(attr(t), Ascending))
+    org.apache.spark.sql.graft.ColumnBridge.ofRows(spark,
+      TopKPerKey(keyCols.map(attr), order, k, analyzed))
+  }
+}

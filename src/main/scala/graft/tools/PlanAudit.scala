@@ -26,7 +26,10 @@ object PlanAudit {
       if (args.nonEmpty) println(plan)
       else {
         joins.foreach(l => println(s"  $l"))
-        println(s"  exchanges=${plan.linesIterator.count(_.trim.startsWith("Exchange"))} " +
+        // strip tree-drawing prefixes (+-, :-, spaces) before matching
+        def ops(name: String): Int = plan.linesIterator
+          .count(_.dropWhile(c => !c.isLetter).startsWith(name))
+        println(s"  exchanges=${ops("Exchange")} " +
           s"wholeStageCodegen=${plan.linesIterator.count(_.contains("WholeStageCodegen"))}")
       }
     }

@@ -40,6 +40,32 @@ class SqlSurfaceSpec extends AnyFunSuite {
     assert(viaSql == viaCol)
   }
 
+  test("native TopKPerKey operator: matches window form, partial-reduces before the shuffle") {
+    import org.apache.spark.sql.{functions => F}
+    import org.apache.spark.sql.expressions.Window
+    val df = spark.range(5000).select(
+      F.col("id"),
+      F.pmod(F.col("id"), F.lit(7L)).as("k"),
+      F.pmod(F.xxhash64(F.col("id")), F.lit(100000L)).as("v"))
+    val native = graft.plans.TopK.topKPerKey(df, Seq("k"), "v",
+      desc = true, tieBreak = Seq("id"), k = 5)
+    val window = df.withColumn("rn", F.row_number().over(
+        Window.partitionBy("k").orderBy(F.col("v").desc, F.col("id"))))
+      .where(F.col("rn") <= 5).drop("rn")
+    assert(native.count() == 35)
+    assert(native.collect().map(_.toSeq).toSet == window.collect().map(_.toSeq).toSet)
+
+    val physical = native.queryExecution.executedPlan.toString
+    assert(physical.contains("TopKPartial"), physical)
+    assert(physical.contains("TopKFinal"), physical)
+    // partial stage must sit BELOW the exchange: survivors-only shuffle
+    val lines = physical.linesIterator.toSeq
+    val iPartial = lines.indexWhere(_.contains("TopKPartial"))
+    val iFinal = lines.indexWhere(_.contains("TopKFinal"))
+    val iExchange = lines.indexWhere(_.contains("Exchange hashpartitioning"))
+    assert(iFinal < iExchange && iExchange < iPartial, physical) // tree prints top-down
+  }
+
   test("HammingZeroRewrite turns hamming64(a,b)=0 joins into equi-joins") {
     val l = spark.range(100).select($"id".as("sig_a"))
     val r = spark.range(100).select($"id".as("sig_b"))
