@@ -466,9 +466,20 @@ class GroupedStream(df: DataFrame, val keys: Fields) extends Serializable {
     new Stream(res)
   }
 
-  /** Per-group top-N (FirstN applied per key) — window `row_number`. */
+  /** Per-group top-N (FirstN applied per key) — planned through the native
+    * [[graft.plans.TopK]] operator: per-partition bounded heaps partial-
+    * reduce BEFORE the exchange, so the shuffle carries at most n rows per
+    * key per partition instead of the full stream the window `row_number`
+    * form would sort and ship. */
   def firstN(n: Int, sortField: String, reverse: Boolean = false,
-             tieBreak: Seq[String] = Nil): Stream = {
+             tieBreak: Seq[String] = Nil): Stream =
+    new Stream(graft.plans.TopK.topKPerKey(df, keys.names, sortField,
+      desc = reverse, tieBreak = tieBreak, k = n))
+
+  /** The window `row_number` spelling of [[firstN]], kept as the reference
+    * formulation (and for odd cases like rank-with-gaps variants). */
+  def firstNWindowed(n: Int, sortField: String, reverse: Boolean = false,
+                     tieBreak: Seq[String] = Nil): Stream = {
     import org.apache.spark.sql.expressions.Window
     val primary = if (reverse) F.col(sortField).desc else F.col(sortField).asc
     val w = Window.partitionBy(keys.names.map(F.col): _*)
