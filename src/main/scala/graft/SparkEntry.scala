@@ -733,6 +733,11 @@ object SparkEntry {
         .orderBy("o_orderkey")
     }),
 
+    "q73_bm25" -> ((s, dir) =>
+      Text.bm25(table(s, dir, "documents"), "doc_id", "text",
+          Seq("the", "data", "model", "learning", "spark"))
+        .orderBy("doc_id")),
+
     "q66_sql_pipeline" -> ((s, dir) => {
       // the engine's SQL face: custom Catalyst expressions registered into
       // the session's FunctionRegistry, driven from plain spark.sql
@@ -1157,6 +1162,22 @@ object SparkEntry {
            CAST(ntile(4) OVER (PARTITION BY o_orderpriority
              ORDER BY o_totalprice, o_orderkey) AS BIGINT) AS quartile
          FROM orders ORDER BY 1""",
+    "q73_bm25" ->
+      """WITH d AS (SELECT doc_id, CAST(len(list_filter(string_split(text, ' '), x -> x != '')) AS BIGINT) AS dl,
+             list_filter(string_split(text, ' '), x -> x != '') AS ws FROM documents),
+         stats AS (SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(dl) AS BIGINT) AS sdl FROM d),
+         tf AS (SELECT doc_id, dl, w AS term, CAST(count(*) AS BIGINT) AS tf
+             FROM (SELECT doc_id, dl, unnest(ws) AS w FROM d)
+             WHERE w IN ('the', 'data', 'model', 'learning', 'spark') GROUP BY 1, 2, 3),
+         dfreq AS (SELECT term, CAST(count(*) AS BIGINT) AS df_t FROM tf GROUP BY 1),
+         c AS (SELECT doc_id, term,
+             ((CAST(n AS DOUBLE) - CAST(df_t AS DOUBLE) + 0.5) / (CAST(df_t AS DOUBLE) + 0.5)) *
+             ((CAST(tf AS DOUBLE) * 2.2) /
+              (CAST(tf AS DOUBLE) + 1.2 * (1.0 - 0.75 + 0.75 * (CAST(dl AS DOUBLE) / (CAST(sdl AS DOUBLE) / CAST(n AS DOUBLE)))))) AS contrib
+           FROM tf JOIN dfreq USING (term), stats)
+         SELECT doc_id, CAST(count(*) AS BIGINT) AS n_hit_terms,
+           list_reduce(list(contrib ORDER BY term), (acc, x) -> acc + x) AS score
+         FROM c GROUP BY 1 ORDER BY 1""",
     "q66_sql_pipeline" ->
       """WITH tok AS (SELECT doc_id, unnest(list_filter(string_split(text, ' '), x -> x != '')) AS w FROM documents),
          h AS (SELECT doc_id, ('0x' || substr(md5(w), 1, 15))::BIGINT AS hv FROM tok),

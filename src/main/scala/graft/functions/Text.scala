@@ -136,6 +136,48 @@ object Text {
       .select(F.col(idCol), F.col("term"), F.col("tf"), F.col("df_docs"), F.col("score"))
   }
 
+  /** BM25 relevance of each document for a fixed bag of query terms →
+    * (id, n_hit_terms, score). Classic shape (k1, b), with two determinism
+    * substitutions that keep it bit-reproducible across engines and runs:
+    *
+    *  - rational idf `(N - df + 0.5)/(df + 0.5)` instead of its log — same
+    *    per-term monotonicity, no libm variance;
+    *  - the per-document sum folds contributions in TERM ORDER (sorted
+    *    array + left fold), because float addition is non-associative and a
+    *    plain `sum()` would vary with aggregation order.
+    *
+    * Scale shape: tokens are filtered to the query bag BEFORE the tf
+    * aggregate (the explode stream drops to ~|Q| rows per doc
+    * immediately); df comes from a broadcast-sized per-term aggregate;
+    * N/avgdl ride along as a broadcast scalar. */
+  def bm25(df: org.apache.spark.sql.DataFrame, idCol: String, textCol: String,
+      queryTerms: Seq[String], k1: Double = 1.2, b: Double = 0.75): org.apache.spark.sql.DataFrame = {
+    val docs = df.select(F.col(idCol), F.col(textCol),
+      tokenCount(F.col(textCol)).cast("long").as("__dl"))
+    val stats = F.broadcast(docs.agg(
+      F.count(F.lit(1)).as("__n"), F.sum("__dl").as("__sdl")))
+    val tf = docs
+      .select(F.col(idCol), F.col("__dl"), F.explode(tokens(F.col(textCol))).as("term"))
+      .where(F.col("term").isin(queryTerms: _*))
+      .groupBy(F.col(idCol), F.col("__dl"), F.col("term"))
+      .agg(F.count(F.lit(1)).as("tf"))
+    val dfreq = F.broadcast(tf.groupBy("term").agg(F.count(F.lit(1)).as("df_t")))
+    val avgdl = F.col("__sdl").cast("double") / F.col("__n").cast("double")
+    val idf = (F.col("__n").cast("double") - F.col("df_t").cast("double") + F.lit(0.5)) /
+      (F.col("df_t").cast("double") + F.lit(0.5))
+    val denom = F.col("tf").cast("double") +
+      F.lit(k1) * (F.lit(1.0) - F.lit(b) + F.lit(b) * (F.col("__dl").cast("double") / avgdl))
+    val contrib = idf * ((F.col("tf").cast("double") * F.lit(k1 + 1.0)) / denom)
+    tf.join(dfreq, "term").crossJoin(stats)
+      .withColumn("contrib", contrib)
+      .groupBy(idCol)
+      .agg(
+        F.count(F.lit(1)).as("n_hit_terms"),
+        F.aggregate(
+          F.array_sort(F.collect_list(F.struct(F.col("term"), F.col("contrib")))),
+          F.lit(0.0), (acc, x) => acc + x.getField("contrib")).as("score"))
+  }
+
   /** Document fingerprint, oracle-parity tier: md5 of the normalized text
     * (lowercased, squeezed whitespace) — stable across engines. */
   def fingerprintMd5(text: Column): Column =

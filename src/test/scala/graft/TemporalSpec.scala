@@ -112,6 +112,22 @@ class TemporalSpec extends AnyFunSuite {
     assert(out == Seq(10.0, 15.0, 40.0))
   }
 
+  test("bm25: rare query terms outweigh common ones, misses score zero-rows") {
+    val docs = Seq(
+      (1L, "rare word here"),
+      (2L, "common common common word"),
+      (3L, "common stuff"),
+      (4L, "nothing relevant at all")).toDF("id", "text")
+    val out = Text.bm25(docs, "id", "text", Seq("rare", "common"))
+      .select("id", "n_hit_terms", "score")
+      .as[(Long, Long, Double)].collect().map(r => r._1 -> r).toMap
+    assert(!out.contains(4L))               // no query terms → no row
+    assert(out(1L)._2 == 1L && out(2L)._2 == 1L)
+    // 'rare' (df=1) in doc 1 outweighs 'common' (df=2) in doc 2 despite tf=3
+    assert(out(1L)._3 > out(3L)._3)
+    assert(out.values.forall(_._3 > 0.0))
+  }
+
   test("sampling is deterministic, stratified thresholds apply per stratum") {
     val df = spark.range(1000).toDF("id")
     val a = Sampling.bernoulliSample(df, F.col("id"), 200000L).count()
