@@ -733,6 +733,25 @@ object SparkEntry {
         .orderBy("o_orderkey")
     }),
 
+    "q74_neardup_pipeline" -> ((s, dir) => {
+      // the full near-dup dedup story: LSH candidate pairs → connected
+      // clusters → keep only each cluster's canonical (min-id) member →
+      // per-language stats of the cleaned corpus
+      val docs = table(s, dir, "documents")
+      val pairs = Dedup.nearDupPairs(
+          docs.where(Text.tokenCount(F.col("text")) >= 3),
+          "doc_id", "text", k = 3, numHashes = 4, rowsPerBand = 2, threshold = 0.05)
+        .select("a", "b")
+      val drops = Dedup.duplicateClusters(pairs, "a", "b")
+        .where(F.col("id") =!= F.col("cluster_id"))
+        .select(F.col("id").as("doc_id"))
+      docs.join(drops, Seq("doc_id"), "left_anti")
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).as("n_docs"),
+          F.sum(Text.tokenCount(F.col("text")).cast("long")).as("n_tokens"))
+        .orderBy("lang")
+    }),
+
     "q73_bm25" -> ((s, dir) =>
       Text.bm25(table(s, dir, "documents"), "doc_id", "text",
           Seq("the", "data", "model", "learning", "spark"))
@@ -1162,6 +1181,33 @@ object SparkEntry {
            CAST(ntile(4) OVER (PARTITION BY o_orderpriority
              ORDER BY o_totalprice, o_orderkey) AS BIGINT) AS quartile
          FROM orders ORDER BY 1""",
+    "q74_neardup_pipeline" ->
+      """WITH RECURSIVE
+         s AS (SELECT doc_id, list_transform(generate_series(1, len(ws) - 2), i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]) AS sh
+               FROM (SELECT doc_id, list_filter(string_split(text, ' '), x -> x != '') AS ws FROM documents)
+               WHERE len(ws) >= 3),
+         b AS (SELECT doc_id, sh,
+           md5(list_aggregate(list_transform(sh, x -> md5('0|' || x)), 'min') || '|' || list_aggregate(list_transform(sh, x -> md5('1|' || x)), 'min')) AS band0,
+           md5(list_aggregate(list_transform(sh, x -> md5('2|' || x)), 'min') || '|' || list_aggregate(list_transform(sh, x -> md5('3|' || x)), 'min')) AS band1
+           FROM s),
+         cand AS (
+           SELECT l.doc_id AS a, r.doc_id AS b FROM b l JOIN b r ON l.band0 = r.band0 AND l.doc_id < r.doc_id
+           UNION
+           SELECT l.doc_id AS a, r.doc_id AS b FROM b l JOIN b r ON l.band1 = r.band1 AND l.doc_id < r.doc_id),
+         pairs AS (
+           SELECT c.a, c.b FROM cand c JOIN b la ON c.a = la.doc_id JOIN b lb ON c.b = lb.doc_id
+           WHERE CAST(len(list_intersect(list_distinct(la.sh), list_distinct(lb.sh))) AS DOUBLE) /
+                 CAST(len(list_distinct(list_concat(list_distinct(la.sh), list_distinct(lb.sh)))) AS DOUBLE) >= 0.05),
+         bi AS (SELECT a AS src, b AS dst FROM pairs UNION SELECT b, a FROM pairs),
+         reach(node, r) AS (
+           SELECT src, src FROM bi
+           UNION
+           SELECT bi.src, reach.r FROM bi JOIN reach ON bi.dst = reach.node),
+         drops AS (SELECT node FROM reach GROUP BY node HAVING min(r) <> node)
+         SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(len(list_filter(string_split(text, ' '), x -> x != ''))) AS BIGINT) AS n_tokens
+         FROM documents WHERE doc_id NOT IN (SELECT node FROM drops)
+         GROUP BY 1 ORDER BY 1""",
     "q73_bm25" ->
       """WITH d AS (SELECT doc_id, CAST(len(list_filter(string_split(text, ' '), x -> x != '')) AS BIGINT) AS dl,
              list_filter(string_split(text, ' '), x -> x != '') AS ws FROM documents),
