@@ -1,0 +1,92 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalacheck.{Gen, Prop, Properties, Test}
+import graft.functions.{Dedup, Temporal}
+
+/** Property-based contracts for the temporal/clustering operators: the
+  * distributed implementations must agree with brute-force in-memory
+  * references on arbitrary inputs (keys colliding, timestamp ties,
+  * disconnected graphs, self-referential edges). Spark-backed cases are
+  * capped per property to keep the suite fast. */
+object TemporalPropertySpec extends Properties("TemporalOps") {
+
+  override def overrideParameters(p: Test.Parameters): Test.Parameters =
+    p.withMinSuccessfulTests(10)
+
+  private lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private val rowGen = for {
+    k <- Gen.choose(0L, 3L)
+    t <- Gen.choose(0L, 50L)
+    v <- Gen.choose(0L, 1000L)
+  } yield (k, t, v)
+
+  property("asofJoinBackward agrees with brute-force latest-prior lookup") =
+    Prop.forAll(Gen.listOfN(30, rowGen), Gen.listOfN(30, rowGen)) { (ls, rs) =>
+      import spark.implicits._
+      val left = ls.zipWithIndex.map { case ((k, t, _), i) => (k, t, i.toLong) }
+      val right = rs
+      val out = Temporal.asofJoinBackward(
+          left.toDF("k", "t", "lid"), right.toDF("k", "t", "v"),
+          "k", "t", "t", "v", "asof_v")
+        .select("lid", "asof_v").collect()
+        .map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getLong(1))))
+        .toMap
+      val expected = left.map { case (k, t, lid) =>
+        val priors = right.filter(r => r._1 == k && r._2 <= t)
+        lid -> (if (priors.isEmpty) None else Some(priors.maxBy(r => (r._2, r._3))._3))
+      }.toMap
+      out == expected
+    }
+
+  private val edgeGen = for {
+    a <- Gen.choose(0L, 15L)
+    b <- Gen.choose(0L, 15L)
+  } yield (a, b)
+
+  property("duplicateClusters agrees with brute-force union-find") =
+    Prop.forAll(Gen.nonEmptyListOf(edgeGen)) { edges =>
+      import spark.implicits._
+      val out = Dedup.duplicateClusters(edges.toDF("a", "b"), "a", "b")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      // union-find reference
+      val parent = scala.collection.mutable.Map[Long, Long]()
+      def find(x: Long): Long = {
+        val p = parent.getOrElse(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val nodes = edges.flatMap(e => Seq(e._1, e._2)).distinct
+      // canonical label = min node of the component
+      val byRoot = nodes.groupBy(find)
+      val expected = byRoot.flatMap { case (_, members) =>
+        val m = members.min; members.map(_ -> m)
+      }
+      out == expected
+    }
+
+  property("hoppingWindows: every row lands in exactly size/slide covering windows") =
+    Prop.forAll(Gen.listOfN(20, Gen.choose(0L, 500L))) { ts =>
+      import spark.implicits._
+      val (size, slide) = (40L, 10L)
+      val rows = Temporal.hoppingWindows(
+          ts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("id", "t"),
+          "t", size, slide)
+        .select("id", "t", "win_start")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      val perId = rows.groupBy(_._1)
+      ts.indices.forall { i =>
+        val ws = perId(i.toLong)
+        ws.length == (size / slide) &&
+          ws.forall { case (_, t, w) => w <= t && t < w + size && w % slide == 0 }
+      }
+    }
+}
