@@ -733,6 +733,31 @@ object SparkEntry {
         .orderBy("o_orderkey")
     }),
 
+    "q75_semi_anti_join" -> ((s, dir) => {
+      // explicit semi/anti join plan operators (not a left-join emulation):
+      // per market segment, customers WITH any order vs WITHOUT
+      val cust = table(s, dir, "customer").select("c_custkey", "c_mktsegment")
+      val orderCust = table(s, dir, "orders").select(F.col("o_custkey").as("c_custkey"))
+      val withOrders = cust.join(orderCust, Seq("c_custkey"), "left_semi")
+        .groupBy("c_mktsegment").agg(F.count(F.lit(1)).as("n_with"))
+      val withoutOrders = cust.join(orderCust, Seq("c_custkey"), "left_anti")
+        .groupBy("c_mktsegment").agg(F.count(F.lit(1)).as("n_without"))
+      withOrders.join(withoutOrders, Seq("c_mktsegment"), "full_outer")
+        .select(F.col("c_mktsegment"),
+          F.coalesce(F.col("n_with"), F.lit(0L)).as("n_with"),
+          F.coalesce(F.col("n_without"), F.lit(0L)).as("n_without"))
+        .orderBy("c_mktsegment")
+    }),
+
+    "q76_hll_distinct" -> ((s, dir) =>
+      // approximate-distinct sketch face (HyperLogLog++): rows-only check —
+      // sketch estimates are engine-specific by nature, so no value oracle
+      events(s, dir)
+        .groupBy("event_type")
+        .agg(F.approx_count_distinct("user_id").as("approx_users"),
+          F.countDistinct("user_id").as("exact_users"))
+        .orderBy("event_type")),
+
     "q74_neardup_pipeline" -> ((s, dir) => {
       // the full near-dup dedup story: LSH candidate pairs → connected
       // clusters → keep only each cluster's canonical (min-id) member →
@@ -1181,6 +1206,11 @@ object SparkEntry {
            CAST(ntile(4) OVER (PARTITION BY o_orderpriority
              ORDER BY o_totalprice, o_orderkey) AS BIGINT) AS quartile
          FROM orders ORDER BY 1""",
+    "q75_semi_anti_join" ->
+      """SELECT c_mktsegment,
+           CAST(sum(CASE WHEN EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey) THEN 1 ELSE 0 END) AS BIGINT) AS n_with,
+           CAST(sum(CASE WHEN NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey) THEN 1 ELSE 0 END) AS BIGINT) AS n_without
+         FROM customer GROUP BY 1 ORDER BY 1""",
     "q74_neardup_pipeline" ->
       """WITH RECURSIVE
          s AS (SELECT doc_id, list_transform(generate_series(1, len(ws) - 2), i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]) AS sh
