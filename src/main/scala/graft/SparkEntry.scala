@@ -733,6 +733,16 @@ object SparkEntry {
         .orderBy("o_orderkey")
     }),
 
+    "q77_salted_agg" -> ((s, dir) =>
+      // the skew-safe two-phase aggregation path must produce EXACTLY the
+      // plain groupBy result (integer partials commute) — oracle-pinned
+      graft.functions.Scale.saltedAggregate(
+          events(s, dir).withColumn("cents", cents(F.col("value"))),
+          Seq("event_type"), saltBuckets = 8,
+          partial = F.sum("cents").as("part_cents"),
+          merge = F.sum("part_cents").as("sum_cents"))
+        .orderBy("event_type")),
+
     "q75_semi_anti_join" -> ((s, dir) => {
       // explicit semi/anti join plan operators (not a left-join emulation):
       // per market segment, customers WITH any order vs WITHOUT
@@ -1206,6 +1216,9 @@ object SparkEntry {
            CAST(ntile(4) OVER (PARTITION BY o_orderpriority
              ORDER BY o_totalprice, o_orderkey) AS BIGINT) AS quartile
          FROM orders ORDER BY 1""",
+    "q77_salted_agg" ->
+      """SELECT event_type, CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents
+         FROM events GROUP BY 1 ORDER BY 1""",
     "q75_semi_anti_join" ->
       """SELECT c_mktsegment,
            CAST(sum(CASE WHEN EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey) THEN 1 ELSE 0 END) AS BIGINT) AS n_with,

@@ -249,6 +249,26 @@ class Stream(val df: DataFrame) extends Serializable {
   def firstN(n: Int): Stream = new Stream(df.limit(n))
 
   // ------------------------------------------------------------------
+  // temporal / sampling faces (beyond the reference — see functions/*)
+  // ------------------------------------------------------------------
+
+  /** Backward as-of join against another stream (attribution pattern):
+    * [[graft.functions.Temporal.asofJoinBackward]]. */
+  def asofJoin(right: Stream, key: String, leftTs: String, rightTs: String,
+               rightVal: String, outCol: String): Stream =
+    new Stream(graft.functions.Temporal.asofJoinBackward(
+      df, right.df, key, leftTs, rightTs, rightVal, outCol))
+
+  /** Gap-based sessionization: [[graft.functions.Temporal.sessionize]]. */
+  def sessionize(key: String, ts: String, gapTicks: Long, tieBreak: String): Stream =
+    new Stream(graft.functions.Temporal.sessionize(df, key, ts, gapTicks, tieBreak))
+
+  /** Deterministic hash-keyed Bernoulli sample:
+    * [[graft.functions.Sampling.bernoulliSample]]. */
+  def sample(key: Column, ppm: Long): Stream =
+    new Stream(graft.functions.Sampling.bernoulliSample(df, key, ppm))
+
+  // ------------------------------------------------------------------
   // §2.6 multi-stream: merge / join / multiReduce
   // ------------------------------------------------------------------
 

@@ -112,6 +112,19 @@ class TemporalSpec extends AnyFunSuite {
     assert(out == Seq(10.0, 15.0, 40.0))
   }
 
+  test("Stream facade delegates asofJoin / sessionize / sample") {
+    import graft.api.Stream
+    val ev = Seq((1L, 10L, 5L), (1L, 20L, 6L)).toDF("k", "t", "id")
+    val rt = Seq((1L, 15L, 99L)).toDF("k", "t", "v")
+    val asof = new Stream(ev).asofJoin(new Stream(rt), "k", "t", "t", "v", "av")
+      .toDF.orderBy("id").select("av").as[Option[Long]].collect().toSeq
+    assert(asof == Seq(None, Some(99L)))
+    assert(new Stream(ev).sessionize("k", "t", 100L, "id").toDF.count() == 1)
+    val s = new Stream(spark.range(100).toDF("id"))
+      .sample(F.col("id"), 500000L).toDF.count()
+    assert(s > 20 && s < 80)
+  }
+
   test("bm25: rare query terms outweigh common ones, misses score zero-rows") {
     val docs = Seq(
       (1L, "rare word here"),
