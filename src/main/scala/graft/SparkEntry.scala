@@ -733,6 +733,13 @@ object SparkEntry {
         .orderBy("o_orderkey")
     }),
 
+    "q78_event_history" -> ((s, dir) =>
+      // ordered sequence features: first 8 event ids per user by event time
+      Temporal.orderedHistory(
+          events(s, dir).select("user_id", "ts", "event_id"),
+          "user_id", "ts", "event_id", maxLen = 8)
+        .orderBy("user_id")),
+
     "q77_salted_agg" -> ((s, dir) =>
       // the skew-safe two-phase aggregation path must produce EXACTLY the
       // plain groupBy result (integer partials commute) — oracle-pinned
@@ -1216,6 +1223,11 @@ object SparkEntry {
            CAST(ntile(4) OVER (PARTITION BY o_orderpriority
              ORDER BY o_totalprice, o_orderkey) AS BIGINT) AS quartile
          FROM orders ORDER BY 1""",
+    "q78_event_history" ->
+      """SELECT user_id,
+           array_to_string(list_transform((list(event_id ORDER BY ts, event_id))[1:8], x -> CAST(x AS VARCHAR)), '|') AS history,
+           CAST(count(*) AS BIGINT) AS n_events
+         FROM events GROUP BY 1 ORDER BY 1""",
     "q77_salted_agg" ->
       """SELECT event_type, CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents
          FROM events GROUP BY 1 ORDER BY 1""",

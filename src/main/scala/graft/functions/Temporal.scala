@@ -129,6 +129,26 @@ object Temporal {
         F.col("session_window.end").as("session_end"),
         F.col("n_events"))
 
+  /** Ordered per-key event history: the first `maxLen` values of `valCol`
+    * per `key` in (ts, tieBreak-implicit-in-valCol) order, joined into one
+    * `|`-separated string + the total event count — the sequence-feature
+    * primitive (user histories, doc revision chains) for training
+    * pipelines. Single aggregation shuffle; the sort happens inside each
+    * group's collected (bounded) list, not as a global sort. For unbounded
+    * group sizes cap first with [[graft.plans.TopK]] — collect_list holds
+    * the group in memory. */
+  def orderedHistory(df: DataFrame, key: String, ts: String, valCol: String,
+      maxLen: Int): DataFrame =
+    df.groupBy(key)
+      .agg(
+        F.concat_ws("|",
+          F.slice(
+            F.transform(
+              F.array_sort(F.collect_list(F.struct(F.col(ts), F.col(valCol)))),
+              x => x.getField(valCol).cast("string")),
+            1, maxLen)).as("history"),
+        F.count(F.lit(1)).as("n_events"))
+
   /** Banded range join: assign each row of `df` the matching band from a
     * SMALL bands table (`lo <= value < hi`, bands non-overlapping). The
     * bands side is broadcast, so the probe is map-side only — zero shuffle.

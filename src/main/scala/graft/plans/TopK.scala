@@ -5,7 +5,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, Descending, Expression, RowOrdering, SortOrder, UnsafeProjection}
 import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, UnaryNode}
-import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, Partitioning, UnspecifiedDistribution}
+import org.apache.spark.sql.catalyst.plans.physical.{AllTuples, ClusteredDistribution, Distribution, Partitioning}
 import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy, UnaryExecNode}
 
 /** Whole-operator Catalyst extension: grouped top-K as a native physical
@@ -80,7 +80,8 @@ object TopK {
     override def output: Seq[Attribute] = child.output
     override def outputPartitioning: Partitioning = child.outputPartitioning
     override def requiredChildDistribution: Seq[Distribution] =
-      if (keys.isEmpty) UnspecifiedDistribution :: Nil
+      // no keys = global top-K: every partial survivor must reach ONE task
+      if (keys.isEmpty) AllTuples :: Nil
       else ClusteredDistribution(keys) :: Nil
     override protected def doExecute(): RDD[InternalRow] =
       child.execute().mapPartitions(heapPerKey(_, keys, order, k, output))
@@ -110,6 +111,7 @@ object TopK {
     * before the shuffle. */
   def topKPerKey(df: DataFrame, keyCols: Seq[String], orderCol: String,
       desc: Boolean, tieBreak: Seq[String], k: Int): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
     val spark = df.sparkSession
     register(spark)
     val analyzed = df.queryExecution.analyzed

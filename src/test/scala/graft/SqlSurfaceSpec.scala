@@ -64,6 +64,13 @@ class SqlSurfaceSpec extends AnyFunSuite {
     val iFinal = lines.indexWhere(_.contains("TopKFinal"))
     val iExchange = lines.indexWhere(_.contains("Exchange hashpartitioning"))
     assert(iFinal < iExchange && iExchange < iPartial, physical) // tree prints top-down
+
+    // empty keys = GLOBAL top-K: all partial survivors must converge on one
+    // task (AllTuples distribution), across many input partitions
+    val global = graft.plans.TopK.topKPerKey(df.repartition(7), Nil, "v",
+      desc = true, tieBreak = Seq("id"), k = 3)
+    val expect = df.orderBy(F.col("v").desc, F.col("id")).limit(3)
+    assert(global.collect().map(_.toSeq).toSet == expect.collect().map(_.toSeq).toSet)
   }
 
   test("HammingZeroRewrite turns hamming64(a,b)=0 joins into equi-joins") {
