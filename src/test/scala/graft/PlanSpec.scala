@@ -63,4 +63,31 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("TakeOrderedAndProject"), s"no top-k plan:\n$p")
     assert(!p.contains("SortMergeJoin"), s"unexpected shuffle join:\n$p")
   }
+
+  private def exchanges(p: String): Int =
+    p.linesIterator.count(_.dropWhile(c => !c.isLetter).startsWith("Exchange"))
+
+  test("q57 as-of join is single-shuffle: one hash exchange plus the output sort only") {
+    val p = plan("q57_asof_join")
+    assert(exchanges(p) == 2, s"expected key exchange + output sort only:\n$p")
+    assert(!p.contains("Join"), s"as-of must not plan a join:\n$p")
+  }
+
+  test("q63 hash sampling is a scan-stage filter — no exchange before the predicate") {
+    val p = plan("q63_hash_sample")
+    assert(p.contains("Filter"), s"no filter:\n$p")
+    assert(exchanges(p) == 1, s"only the output sort may exchange:\n$p")
+  }
+
+  test("q65 band join broadcasts the bands — zero shuffles before aggregation") {
+    val p = plan("q65_band_join")
+    assert(p.contains("BroadcastNestedLoopJoin"), s"bands not broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"), p)
+  }
+
+  test("q50 grouped top-K plans the native heap operator with survivors-only shuffle") {
+    val p = plan("q50_topk_per_group")
+    assert(p.contains("TopKPartial") && p.contains("TopKFinal"), s"native TopK not planned:\n$p")
+    assert(!p.contains("Window"), s"window fallback leaked in:\n$p")
+  }
 }
