@@ -733,6 +733,15 @@ object SparkEntry {
         .orderBy("o_orderkey")
     }),
 
+    "q79_sequence_packing" -> ((s, dir) =>
+      // pack documents into 2048-token training chunks per language, then
+      // summarize chunk occupancy
+      Text.packSequences(table(s, dir, "documents"), "lang", "doc_id", "text",
+          budgetTokens = 2048L)
+        .groupBy("lang", "chunk_id")
+        .agg(F.count(F.lit(1)).as("n_docs"), F.sum("n_tokens").as("n_tokens"))
+        .orderBy("lang", "chunk_id")),
+
     "q78_event_history" -> ((s, dir) =>
       // ordered sequence features: first 8 event ids per user by event time
       Temporal.orderedHistory(
@@ -780,6 +789,7 @@ object SparkEntry {
       // clusters → keep only each cluster's canonical (min-id) member →
       // per-language stats of the cleaned corpus
       val docs = table(s, dir, "documents")
+      // near-dup candidates need >= k tokens; docs below that can't collide
       val pairs = Dedup.nearDupPairs(
           docs.where(Text.tokenCount(F.col("text")) >= 3),
           "doc_id", "text", k = 3, numHashes = 4, rowsPerBand = 2, threshold = 0.05)
@@ -1223,6 +1233,17 @@ object SparkEntry {
            CAST(ntile(4) OVER (PARTITION BY o_orderpriority
              ORDER BY o_totalprice, o_orderkey) AS BIGINT) AS quartile
          FROM orders ORDER BY 1""",
+    "q79_sequence_packing" ->
+      """WITH d AS (SELECT lang, doc_id,
+             CAST(len(list_filter(string_split(text, ' '), x -> x != '')) AS BIGINT) AS n_tokens
+           FROM documents),
+         c AS (SELECT lang, doc_id, n_tokens,
+             COALESCE(CAST(sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0) // 2048 AS chunk_id
+           FROM d)
+         SELECT lang, chunk_id, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS n_tokens
+         FROM c GROUP BY 1, 2 ORDER BY 1, 2""",
     "q78_event_history" ->
       """SELECT user_id,
            array_to_string(list_transform((list(event_id ORDER BY ts, event_id))[1:8], x -> CAST(x AS VARCHAR)), '|') AS history,

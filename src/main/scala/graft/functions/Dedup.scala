@@ -161,6 +161,20 @@ object Dedup {
     * lineage is cut per round (`localCheckpoint`) so plans stay flat at any
     * scale. Converged when no label changed.
     */
+  /** Keep-one-per-near-dup-cluster filter: [[nearDupPairs]] →
+    * [[duplicateClusters]] → drop every non-canonical member. The anti-join
+    * moves only ids; payload columns never shuffle. */
+  def dropNearDups(df: DataFrame, idCol: String, textCol: String, k: Int = 3,
+      numHashes: Int = 8, rowsPerBand: Int = 2,
+      threshold: Double = 0.7): DataFrame = {
+    val pairs = nearDupPairs(df, idCol, textCol, k, numHashes, rowsPerBand,
+      threshold).select("a", "b")
+    val drops = duplicateClusters(pairs, "a", "b")
+      .where(F.col("id") =!= F.col("cluster_id"))
+      .select(F.col("id").as(idCol))
+    df.join(drops, Seq(idCol), "left_anti")
+  }
+
   def duplicateClusters(pairs: DataFrame, aCol: String, bCol: String,
       maxIter: Int = 12): DataFrame = {
     val fwd = pairs.select(F.col(aCol).as("src"), F.col(bCol).as("dst"))

@@ -178,6 +178,27 @@ object Text {
           F.lit(0.0), (acc, x) => acc + x.getField("contrib")).as("score"))
   }
 
+  /** Sequence packing (concat-and-chunk): assign documents to fixed
+    * token-budget chunks — the standard way training examples are packed.
+    * Documents are processed per `partitionCol` (e.g. language) in `idCol`
+    * order; chunk id = floor(tokens-before-this-doc / budget) — the linear
+    * packing rule (a document may straddle a boundary; real packers split
+    * the remainder, which is a per-row decode concern, not a plan concern).
+    * Integer-only arithmetic → deterministic on any engine/cluster. One
+    * window shuffle on the partition key. */
+  def packSequences(df: org.apache.spark.sql.DataFrame, partitionCol: String,
+      idCol: String, textCol: String, budgetTokens: Long): org.apache.spark.sql.DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(partitionCol)
+      .orderBy(idCol)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    df.select(F.col(partitionCol), F.col(idCol),
+        tokenCount(F.col(textCol)).cast("long").as("n_tokens"))
+      .withColumn("__before", F.coalesce(F.sum("n_tokens").over(w), F.lit(0L)))
+      // integer DIV: corpus-scale cumsums must not round-trip through double
+      .withColumn("chunk_id", F.expr(s"__before DIV $budgetTokens"))
+      .drop("__before")
+  }
+
   /** Document fingerprint, oracle-parity tier: md5 of the normalized text
     * (lowercased, squeezed whitespace) — stable across engines. */
   def fingerprintMd5(text: Column): Column =

@@ -112,6 +112,32 @@ class TemporalSpec extends AnyFunSuite {
     assert(out == Seq(10.0, 15.0, 40.0))
   }
 
+  test("packSequences: linear chunking by cumulative token budget, per partition") {
+    val docs = Seq(
+      ("en", 1L, "a b c"),      // before=0 → chunk 0
+      ("en", 2L, "d e"),        // before=3 → chunk 0
+      ("en", 3L, "f g"),        // before=5 → chunk 1
+      ("de", 4L, "x y z w"))    // separate partition → chunk 0
+      .toDF("lang", "doc_id", "text")
+    val out = Text.packSequences(docs, "lang", "doc_id", "text", budgetTokens = 4L)
+      .select("doc_id", "chunk_id").as[(Long, Long)].collect().toMap
+    assert(out == Map(1L -> 0L, 2L -> 0L, 3L -> 1L, 4L -> 0L))
+  }
+
+  test("dropNearDups keeps exactly one member per near-dup cluster") {
+    // J(1,2)=1 → band collision guaranteed (LSH candidate recall is
+    // probabilistic below that; the q39/q74 oracles cover the partial-J tier)
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "the quick brown fox jumps over the lazy dog"),
+      (3L, "completely different content with no overlap at all"))
+      .toDF("doc_id", "text")
+    val kept = Dedup.dropNearDups(docs, "doc_id", "text",
+        k = 3, numHashes = 4, rowsPerBand = 2, threshold = 0.3)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(kept == Seq(1L, 3L)) // canonical (min id) survives, 2 dropped
+  }
+
   test("Stream facade delegates asofJoin / sessionize / sample") {
     import graft.api.Stream
     val ev = Seq((1L, 10L, 5L), (1L, 20L, 6L)).toDF("k", "t", "id")
