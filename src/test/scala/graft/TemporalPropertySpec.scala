@@ -73,6 +73,47 @@ object TemporalPropertySpec extends Properties("TemporalOps") {
       out == expected
     }
 
+  property("sessionize agrees with a brute-force gap scan") =
+    Prop.forAll(Gen.listOfN(25, rowGen)) { rows =>
+      import spark.implicits._
+      val gap = 7L
+      val data = rows.zipWithIndex.map { case ((k, t, _), i) => (k, t, i.toLong) }
+      val out = Temporal.sessionize(data.toDF("k", "t", "id"), "k", "t", gap, "id")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+        .toSet
+      val expected = data.groupBy(_._1).flatMap { case (k, evs) =>
+        val sorted = evs.sortBy(e => (e._2, e._3))
+        // split where the time gap to the previous event exceeds `gap`
+        val sessions = sorted.foldLeft(List.empty[List[(Long, Long, Long)]]) {
+          case (acc, e) => acc match {
+            case cur :: rest if e._2 - cur.head._2 <= gap => (e :: cur) :: rest
+            case _ => List(e) :: acc
+          }
+        }.reverse
+        sessions.zipWithIndex.map { case (s, i) =>
+          (k, i + 1L, s.map(_._2).min, s.map(_._2).max, s.size.toLong)
+        }
+      }.toSet
+      out == expected
+    }
+
+  property("bernoulliSample membership equals host-side md5 thresholding") =
+    Prop.forAll(Gen.choose(0L, 1000000L)) { ppm =>
+      import spark.implicits._
+      import org.apache.spark.sql.{functions => F}
+      val keys = (0L until 200L).toList
+      val got = graft.functions.Sampling
+        .bernoulliSample(keys.toDF("id"), F.col("id"), ppm)
+        .collect().map(_.getLong(0)).toSet
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val expected = keys.filter { k =>
+        val hex = md.digest(k.toString.getBytes("UTF-8"))
+          .map("%02x".format(_)).mkString.take(8)
+        java.lang.Long.parseLong(hex, 16) % 1000000L < ppm
+      }.toSet
+      got == expected
+    }
+
   property("hoppingWindows: every row lands in exactly size/slide covering windows") =
     Prop.forAll(Gen.listOfN(20, Gen.choose(0L, 500L))) { ts =>
       import spark.implicits._
