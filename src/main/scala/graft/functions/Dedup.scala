@@ -180,8 +180,12 @@ object Dedup {
     val fwd = pairs.select(F.col(aCol).as("src"), F.col(bCol).as("dst"))
     val edges = fwd.union(fwd.select(F.col("dst").as("src"), F.col("src").as("dst")))
       .distinct().localCheckpoint(true)
-    var labels = edges.select(F.col("src").as("id")).distinct()
-      .withColumn("cluster_id", F.col("id"))
+    // seed with min(self, direct neighbors) — exactly the first propagation
+    // round, folded into initialization (one less join round; stars and
+    // pairs, the dominant dup shapes, converge immediately)
+    var labels = edges.groupBy("src").agg(F.min("dst").as("__m"))
+      .select(F.col("src").as("id"),
+        F.least(F.col("src"), F.col("__m")).as("cluster_id"))
       .localCheckpoint(true)
     var iter = 0
     var converged = false
