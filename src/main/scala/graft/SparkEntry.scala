@@ -733,6 +733,19 @@ object SparkEntry {
         .orderBy("o_orderkey")
     }),
 
+    "q80_rank_functions" -> ((s, dir) => {
+      // the full ranking-function family over one window: rank (with gaps),
+      // dense_rank, percent_rank, cume_dist — ties exercised via o_orderpriority
+      val w = Window.partitionBy("o_orderstatus").orderBy("o_orderpriority")
+      table(s, dir, "orders")
+        .select(F.col("o_orderkey"), F.col("o_orderstatus"),
+          F.rank().over(w).cast("long").as("rnk"),
+          F.dense_rank().over(w).cast("long").as("drnk"),
+          F.percent_rank().over(w).as("prnk"),
+          F.cume_dist().over(w).as("cdist"))
+        .orderBy("o_orderkey")
+    }),
+
     "q79_sequence_packing" -> ((s, dir) =>
       // pack documents into 2048-token training chunks per language, then
       // summarize chunk occupancy
@@ -1233,6 +1246,15 @@ object SparkEntry {
            CAST(ntile(4) OVER (PARTITION BY o_orderpriority
              ORDER BY o_totalprice, o_orderkey) AS BIGINT) AS quartile
          FROM orders ORDER BY 1""",
+    "q80_rank_functions" ->
+      """SELECT o_orderkey, o_orderstatus,
+           CAST(rank() OVER w AS BIGINT) AS rnk,
+           CAST(dense_rank() OVER w AS BIGINT) AS drnk,
+           percent_rank() OVER w AS prnk,
+           cume_dist() OVER w AS cdist
+         FROM orders
+         WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_orderpriority)
+         ORDER BY 1""",
     "q79_sequence_packing" ->
       """WITH d AS (SELECT lang, doc_id,
              CAST(len(list_filter(string_split(text, ' '), x -> x != '')) AS BIGINT) AS n_tokens

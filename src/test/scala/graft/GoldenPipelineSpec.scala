@@ -79,4 +79,35 @@ class GoldenPipelineSpec extends AnyFunSuite {
     assert(drpc.execute("words", "man where you the") == "[[8]]")
     q.stop()
   }
+
+  test("golden: full training-data pipeline (sample→dedup→near-dup→quality→pack)") {
+    import org.apache.spark.sql.{functions => F}
+    import graft.functions._
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val sampled = Sampling.bernoulliSample(docs, F.col("doc_id"), 900000L)
+    val exact = Dedup.dropExactDups(sampled, "doc_id", "text")
+    val near = Dedup.dropNearDups(exact, "doc_id", "text",
+      k = 3, numHashes = 4, rowsPerBand = 2, threshold = 0.5)
+    val clean = near.where(Text.qualityKeep(F.col("text")))
+    val packed = Text.packSequences(clean, "lang", "doc_id", "text", 1024L)
+
+    assert(docs.count() == 500)
+    assert(sampled.count() == 447)   // deterministic 90% hash sample
+    assert(exact.count() == 447)     // corpus has no exact dups in the sample
+    assert(near.count() == 428)      // 19 near-dup cluster members dropped
+    assert(clean.count() == 428)     // quality gate keeps all at this sf
+
+    val summary = packed.groupBy("lang")
+      .agg(F.count(F.lit(1)).as("n"), F.max("chunk_id").as("mx"),
+        F.sum("n_tokens").as("tok"))
+      .orderBy("lang")
+      .collect().toSeq
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(summary == Seq(
+      ("de", 64L, 3L, 3712L),
+      ("en", 162L, 8L, 8567L),
+      ("es", 70L, 3L, 4038L),
+      ("fr", 72L, 4L, 4304L),
+      ("zh", 60L, 3L, 3161L)))
+  }
 }
