@@ -137,6 +137,39 @@ class StreamingSpec extends AnyFunSuite {
     assert(results.toSet == Set(("a", "x")))
   }
 
+  test("rolling top words: sliding-window counts + native topK per window") {
+    // the reference's canonical RollingTopWords demo, Spark-first: hopping
+    // windows → streaming count → per-window top-2 via the TopK operator
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(String, Long)]
+    val counted = input.toDF().toDF("word", "sec")
+      .withColumn("ts", F.timestamp_seconds(F.col("sec")))
+      .withWatermark("ts", "0 seconds")
+      .groupBy(F.window(F.col("ts"), "20 seconds", "10 seconds"), F.col("word"))
+      .agg(F.count(F.lit(1)).as("cnt"))
+      .select(F.col("window.start").cast("long").as("w"), F.col("word"), F.col("cnt"))
+    val results = scala.collection.mutable.Buffer[(Long, String, Long)]()
+    val q = counted.writeStream.outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime(0L))
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        val top = graft.plans.TopK.topKPerKey(batch, Seq("w"), "cnt",
+          desc = true, tieBreak = Seq("word"), k = 2)
+        results.synchronized {
+          results ++= top.collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+        }; ()
+      }.start()
+
+    input.addData(("a", 105L), ("a", 106L), ("b", 107L), ("b", 108L), ("b", 109L), ("c", 105L))
+    q.processAllAvailable()
+    input.addData(("z", 200L)) // advance watermark → windows close and emit
+    q.processAllAvailable()
+    q.stop()
+
+    // window [100,120) saw a:2 b:3 c:1 → top-2 = b, a (in both covering windows)
+    val w100 = results.filter(_._1 == 100L).map(r => (r._2, r._3)).toSet
+    assert(w100 == Set(("b", 3L), ("a", 2L)))
+  }
+
   test("global persistentAggregate maintains a snapshottable single value") {
     MemoryBackingMap.clear("glob")
     val state = new OpaqueMap[Long](new MemoryBackingMap[OpaqueValue[Long]]("glob"))
