@@ -733,6 +733,20 @@ object SparkEntry {
         .orderBy("o_orderkey")
     }),
 
+    "q81_frame_sample" -> ((s, dir) =>
+      // temporal subsampling: every 3rd frame of 128-byte frames
+      table(s, dir, "documents")
+        .select(F.col("doc_id"), Multimodal.fakePayload(F.col("text")).as("payload"))
+        .select(F.col("doc_id"),
+          F.explode(Multimodal.sampleFrames(F.col("payload"), 128, 30, 3)).as("fr"))
+        .select(F.col("doc_id"), F.col("fr.offset").as("offset"),
+          F.col("fr.length").as("length"))
+        .orderBy("doc_id", "offset")),
+
+    "q82_embedding_quantize" -> ((s, dir) =>
+      Similarity.quantizeInt8(table(s, dir, "embeddings"), "embedding", "vec_id")
+        .orderBy("vec_id")),
+
     "q80_rank_functions" -> ((s, dir) => {
       // the full ranking-function family over one window: rank (with gaps),
       // dense_rank, percent_rank, cume_dist — ties exercised via o_orderpriority
@@ -1246,6 +1260,21 @@ object SparkEntry {
            CAST(ntile(4) OVER (PARTITION BY o_orderpriority
              ORDER BY o_totalprice, o_orderkey) AS BIGINT) AS quartile
          FROM orders ORDER BY 1""",
+    "q81_frame_sample" ->
+      """WITH d AS (SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n FROM documents),
+         f AS (SELECT doc_id, n,
+             unnest(generate_series(0, least(CAST(ceil(n / 128.0) AS BIGINT), 30) - 1, 3)) AS i
+           FROM d WHERE n > 0)
+         SELECT doc_id, CAST(i * 128 AS BIGINT) AS offset,
+           CAST(least(128, n - i * 128) AS BIGINT) AS length
+         FROM f ORDER BY 1, 2""",
+    "q82_embedding_quantize" ->
+      """SELECT vec_id,
+           list_max(list_transform(embedding::DOUBLE[], x -> abs(x))) AS max_abs,
+           127.0 / list_max(list_transform(embedding::DOUBLE[], x -> abs(x))) AS scale,
+           CAST(list_sum(list_transform(embedding::DOUBLE[],
+             x -> CAST(round(x * (127.0 / list_max(list_transform(embedding::DOUBLE[], y -> abs(y))))) AS BIGINT))) AS BIGINT) AS q_sum
+         FROM embeddings ORDER BY 1""",
     "q80_rank_functions" ->
       """SELECT o_orderkey, o_orderstatus,
            CAST(rank() OVER w AS BIGINT) AS rnk,

@@ -56,6 +56,41 @@ object Multimodal {
     ).otherwise(F.array().cast("array<struct<offset:bigint,length:bigint>>"))
   }
 
+  /** Temporal frame subsampling: every `stride`-th frame of
+    * [[frameOffsets]] — the "sample 1 fps from video" shape, as pure offset
+    * arithmetic (a real decoder seeks to the kept offsets only). */
+  def sampleFrames(payload: Column, frameBytes: Int, maxFrames: Int,
+      stride: Int): Column =
+    F.filter(frameOffsets(payload, frameBytes, maxFrames),
+      (fr, i) => i % stride === 0)
+
+  /** STUB resize: deterministic byte-decimation standing in for an image
+    * resize (keep every `factor`-th byte). Like [[decodeStub]], the
+    * Spark-side contract is real — binary in, smaller binary out, batched
+    * per partition — only the codec is fake. */
+  def resizeStub(bytes: Array[Byte], factor: Int): Array[Byte] = {
+    val out = new Array[Byte]((bytes.length + factor - 1) / factor)
+    var i = 0
+    while (i < out.length) { out(i) = bytes(i * factor); i += 1 }
+    out
+  }
+
+  /** Partition-batched resize over a binary column (same mapPartitions
+    * batch shape as [[decodeFeatures]]); appends `resized`. */
+  def resizePayloads(df: DataFrame, payloadCol: String, factor: Int): DataFrame = {
+    val idx = df.columns.indexOf(payloadCol)
+    require(idx >= 0, s"no column $payloadCol")
+    val outSchema = StructType(df.schema.fields :+
+      StructField("resized", org.apache.spark.sql.types.BinaryType))
+    val enc = Encoders.row(outSchema)
+    df.mapPartitions { it =>
+      it.map { r =>
+        val bytes = r.getAs[Array[Byte]](idx)
+        Row.fromSeq(r.toSeq :+ (if (bytes == null) null else resizeStub(bytes, factor)))
+      }
+    }(enc)
+  }
+
   /** Feature schema produced by the decode stage. */
   val FeatureSchema: StructType = StructType(Seq(
     StructField("n_bytes", LongType),

@@ -147,4 +147,19 @@ class FunctionsSpec extends AnyFunSuite {
     assert(r.getLong(1) == 100L * ('a' + 'b' + 'c' + 'd'))
     assert(r.getInt(2) == 'a'.toInt)
   }
+
+  test("multimodal frame sampling and stubbed resize keep the batch contract") {
+    val df = Seq((1L, "abcd" * 100)).toDF("doc_id", "text") // 400 bytes
+      .select($"doc_id", Multimodal.fakePayload($"text").as("payload"))
+    // 400/64 = 7 frames, stride 3 → indices 0,3,6
+    val offs = df.select(F.explode(
+        Multimodal.sampleFrames($"payload", frameBytes = 64, maxFrames = 10, stride = 3)).as("fr"))
+      .select("fr.offset").as[Long].collect().toSeq
+    assert(offs == Seq(0L, 192L, 384L))
+
+    val resized = Multimodal.resizePayloads(df, "payload", factor = 4)
+      .select("resized").head().getAs[Array[Byte]](0)
+    assert(resized.length == 100)
+    assert(resized.forall(_ == 'a'.toByte)) // every 4th byte of "abcd"*100
+  }
 }
