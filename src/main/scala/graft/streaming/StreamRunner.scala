@@ -130,6 +130,33 @@ object StreamRunner {
     state.commit(Some(txid))
   }
 
+  /** Exactly-once FILE sink: each micro-batch lands in its own
+    * `__batch_id=<txid>` partition directory via dynamic partition
+    * overwrite, so a replayed batch OVERWRITES its previous (possibly
+    * partial) output instead of appending duplicates — the file-sink
+    * analog of the transactional MapState contract (same txid ⇒ same
+    * durable result). Readers see the union of batch partitions;
+    * downstream jobs prune on `__batch_id` like any partition column. */
+  def exactlyOnceParquetSink(stream: DataFrame, path: String, queryName: String,
+                             trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+    stream.writeStream
+      .queryName(queryName)
+      .outputMode("append")
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        exactlyOnceParquetBatch(batch, batchId, path)
+      }
+      .start()
+
+  /** One batch of [[exactlyOnceParquetSink]] — exposed for replay tests. */
+  def exactlyOnceParquetBatch(batch: DataFrame, txid: Long, path: String): Unit =
+    batch.withColumn("__batch_id", F.lit(txid))
+      .write
+      .mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("__batch_id")
+      .parquet(path)
+
   /** Materialize a keyed MapState as a DataFrame — `TridentState
     * .newValuesStream` (TridentState.java:32) / the input to `stateQuery`. */
   def stateToDF(spark: SparkSession, snapshot: Map[Seq[Any], Any],
