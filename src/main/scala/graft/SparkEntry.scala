@@ -733,6 +733,40 @@ object SparkEntry {
         .orderBy("o_orderkey")
     }),
 
+    "q83_windowed_distinct" -> ((s, dir) =>
+      // exact per-window distinct cardinality (the windowed face of q48)
+      events(s, dir)
+        .groupBy(F.expr("CAST(ts DIV 3600000000000 AS BIGINT) * 3600").as("hour_epoch"))
+        .agg(F.countDistinct("user_id").as("n_users"),
+          F.countDistinct("event_type").as("n_types"),
+          F.count(F.lit(1)).as("cnt"))
+        .orderBy("hour_epoch")),
+
+    "q84_collocations" -> ((s, dir) => {
+      // corpus collocations: bigram lift = P(xy)/(P(x)P(y)) as the integer
+      // ratio count(xy)*N_uni / (count(x)*count(y)), log-free (PMI monotone)
+      val docs = table(s, dir, "documents")
+      val uni = docs
+        .select(F.explode(Text.tokens(F.col("text"))).as("w"))
+        .groupBy("w").agg(F.count(F.lit(1)).as("c1"))
+      val nUni = F.broadcast(uni.agg(F.sum("c1").as("n")))
+      val bi = docs
+        .select(F.explode(Dedup.shingles(F.col("text"), 2)).as("bg"))
+        .groupBy("bg").agg(F.count(F.lit(1)).as("c2"))
+        .where(F.col("c2") >= 5)
+        .withColumn("w1", F.split(F.col("bg"), " ").getItem(0))
+        .withColumn("w2", F.split(F.col("bg"), " ").getItem(1))
+      bi.join(uni.select(F.col("w").as("w1"), F.col("c1").as("cw1")), "w1")
+        .join(uni.select(F.col("w").as("w2"), F.col("c1").as("cw2")), "w2")
+        .crossJoin(nUni)
+        .withColumn("lift",
+          (F.col("c2") * F.col("n")).cast("double") /
+            (F.col("cw1") * F.col("cw2")).cast("double"))
+        .select("bg", "c2", "lift")
+        .orderBy(F.col("lift").desc, F.col("bg"))
+        .limit(20)
+    }),
+
     "q81_frame_sample" -> ((s, dir) =>
       // temporal subsampling: every 3rd frame of 128-byte frames
       table(s, dir, "documents")
@@ -1260,6 +1294,26 @@ object SparkEntry {
            CAST(ntile(4) OVER (PARTITION BY o_orderpriority
              ORDER BY o_totalprice, o_orderkey) AS BIGINT) AS quartile
          FROM orders ORDER BY 1""",
+    "q83_windowed_distinct" ->
+      """SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_epoch,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+           CAST(count(DISTINCT event_type) AS BIGINT) AS n_types,
+           CAST(count(*) AS BIGINT) AS cnt
+         FROM events GROUP BY 1 ORDER BY 1""",
+    "q84_collocations" ->
+      """WITH toks AS (SELECT list_filter(string_split(text, ' '), x -> x != '') AS ws FROM documents),
+         uni AS (SELECT w, CAST(count(*) AS BIGINT) AS c1
+                 FROM (SELECT unnest(ws) AS w FROM toks) GROUP BY 1),
+         n AS (SELECT CAST(sum(c1) AS BIGINT) AS n FROM uni),
+         bi AS (SELECT bg, CAST(count(*) AS BIGINT) AS c2,
+                  string_split(bg, ' ')[1] AS w1, string_split(bg, ' ')[2] AS w2
+                FROM (SELECT unnest(list_transform(generate_series(1, len(ws) - 1),
+                        i -> ws[i] || ' ' || ws[i+1])) AS bg FROM toks WHERE len(ws) >= 2)
+                GROUP BY 1 HAVING count(*) >= 5)
+         SELECT bg, c2,
+           CAST(c2 * n AS DOUBLE) / CAST(u1.c1 * u2.c1 AS DOUBLE) AS lift
+         FROM bi JOIN uni u1 ON bi.w1 = u1.w JOIN uni u2 ON bi.w2 = u2.w, n
+         ORDER BY lift DESC, bg LIMIT 20""",
     "q81_frame_sample" ->
       """WITH d AS (SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n FROM documents),
          f AS (SELECT doc_id, n,
