@@ -733,6 +733,21 @@ object SparkEntry {
         .orderBy("o_orderkey")
     }),
 
+    "q85_leakfree_split" -> ((s, dir) => {
+      // contamination-guarded split: near-dup cluster members hash together
+      val docs = table(s, dir, "documents")
+      val clusters = Dedup.duplicateClusters(
+        Dedup.nearDupPairs(docs.where(Text.tokenCount(F.col("text")) >= 3),
+          "doc_id", "text", k = 3, numHashes = 4, rowsPerBand = 2, threshold = 0.05)
+          .select("a", "b"),
+        "a", "b")
+      Sampling.leakFreeSplit(docs, "doc_id", clusters, "id", "cluster_id",
+          testPpm = 200000L)
+        .groupBy("lang", "split")
+        .agg(F.count(F.lit(1)).as("n_docs"))
+        .orderBy("lang", "split")
+    }),
+
     "q83_windowed_distinct" -> ((s, dir) =>
       // exact per-window distinct cardinality (the windowed face of q48)
       events(s, dir)
@@ -1294,6 +1309,35 @@ object SparkEntry {
            CAST(ntile(4) OVER (PARTITION BY o_orderpriority
              ORDER BY o_totalprice, o_orderkey) AS BIGINT) AS quartile
          FROM orders ORDER BY 1""",
+    "q85_leakfree_split" ->
+      """WITH RECURSIVE
+         s AS (SELECT doc_id, list_transform(generate_series(1, len(ws) - 2), i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]) AS sh
+               FROM (SELECT doc_id, list_filter(string_split(text, ' '), x -> x != '') AS ws FROM documents)
+               WHERE len(ws) >= 3),
+         b AS (SELECT doc_id, sh,
+           md5(list_aggregate(list_transform(sh, x -> md5('0|' || x)), 'min') || '|' || list_aggregate(list_transform(sh, x -> md5('1|' || x)), 'min')) AS band0,
+           md5(list_aggregate(list_transform(sh, x -> md5('2|' || x)), 'min') || '|' || list_aggregate(list_transform(sh, x -> md5('3|' || x)), 'min')) AS band1
+           FROM s),
+         cand AS (
+           SELECT l.doc_id AS a, r.doc_id AS b FROM b l JOIN b r ON l.band0 = r.band0 AND l.doc_id < r.doc_id
+           UNION
+           SELECT l.doc_id AS a, r.doc_id AS b FROM b l JOIN b r ON l.band1 = r.band1 AND l.doc_id < r.doc_id),
+         pairs AS (
+           SELECT c.a, c.b FROM cand c JOIN b la ON c.a = la.doc_id JOIN b lb ON c.b = lb.doc_id
+           WHERE CAST(len(list_intersect(list_distinct(la.sh), list_distinct(lb.sh))) AS DOUBLE) /
+                 CAST(len(list_distinct(list_concat(list_distinct(la.sh), list_distinct(lb.sh)))) AS DOUBLE) >= 0.05),
+         bi AS (SELECT a AS src, b AS dst FROM pairs UNION SELECT b, a FROM pairs),
+         reach(node, r) AS (
+           SELECT src, src FROM bi
+           UNION
+           SELECT bi.src, reach.r FROM bi JOIN reach ON bi.dst = reach.node),
+         cl AS (SELECT node, min(r) AS cluster_id FROM reach GROUP BY 1)
+         SELECT lang,
+           CASE WHEN ('0x' || substr(md5(CAST(COALESCE(cl.cluster_id, d.doc_id) AS VARCHAR)), 1, 8))::BIGINT % 1000000 < 200000
+                THEN 'test' ELSE 'train' END AS split,
+           CAST(count(*) AS BIGINT) AS n_docs
+         FROM documents d LEFT JOIN cl ON d.doc_id = cl.node
+         GROUP BY 1, 2 ORDER BY 1, 2""",
     "q83_windowed_distinct" ->
       """SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_epoch,
            CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,

@@ -44,6 +44,24 @@ object Sampling {
     df.withColumn("split",
       F.when(hashBucket(key) < testPpm, "test").otherwise("train"))
 
+  /** Leakage-free train/test split: rows whose ids share a duplicate
+    * cluster (e.g. [[Dedup.duplicateClusters]] output) are hashed by the
+    * CLUSTER id, so near-duplicates can never straddle the split — the
+    * standard contamination guard for eval sets. Unclustered rows hash by
+    * their own id. The cluster table is dup-pairs-sized (≪ corpus), so the
+    * join broadcasts. */
+  def leakFreeSplit(df: DataFrame, idCol: String,
+      clusters: DataFrame, clusterIdCol: String, clusterLabelCol: String,
+      testPpm: Long): DataFrame = {
+    val c = F.broadcast(clusters.select(
+      F.col(clusterIdCol).as(idCol), F.col(clusterLabelCol).as("__cluster")))
+    df.join(c, Seq(idCol), "left")
+      .withColumn("split",
+        F.when(hashBucket(F.coalesce(F.col("__cluster"), F.col(idCol))) < testPpm, "test")
+          .otherwise("train"))
+      .drop("__cluster")
+  }
+
   /** Fixed-size uniform sample without replacement: the n smallest md5(key)
     * values. Distributed top-n (per-partition heaps, then one n-row merge on
     * the driver side of the exchange — `TakeOrderedAndProject`), never a

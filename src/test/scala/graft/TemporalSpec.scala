@@ -151,6 +151,20 @@ class TemporalSpec extends AnyFunSuite {
     assert(s > 20 && s < 80)
   }
 
+  test("leakFreeSplit: cluster members always land on the same side") {
+    val docs = (1L to 100L).map(i => (i, s"doc$i")).toDF("doc_id", "text")
+    // clusters: {1..10} together, {20,21} together
+    val clusters = ((1L to 10L).map(i => (i, 1L)) ++ Seq((20L, 20L), (21L, 20L)))
+      .toDF("id", "cluster_id")
+    val split = Sampling.leakFreeSplit(docs, "doc_id", clusters, "id", "cluster_id",
+        testPpm = 500000L)
+      .select("doc_id", "split").as[(Long, String)].collect().toMap
+    assert(split.size == 100)
+    assert((1L to 10L).map(split).toSet.size == 1) // one side only
+    assert(Set(split(20L), split(21L)).size == 1)
+    assert(split.values.toSet == Set("train", "test")) // both sides populated
+  }
+
   test("bm25: rare query terms outweigh common ones, misses score zero-rows") {
     val docs = Seq(
       (1L, "rare word here"),
