@@ -14,11 +14,14 @@ import org.apache.spark.sql.{functions => F}
   */
 object Sampling {
 
-  /** Uniform hash bucket in [0, buckets): first 8 hex digits of md5(key)
-    * (engine-portable; xxhash64 is the faster non-parity alternative). */
+  /** Uniform hash bucket in [0, buckets): first 32 bits of md5(key)
+    * (engine-portable — equals DuckDB's `('0x'||substr(md5(k),1,8))::BIGINT
+    * % buckets`). Native codegen'd expression
+    * ([[graft.plans.Expressions.Md5Bucket]]); the equivalent
+    * `conv(substring(md5(k),1,8),16,10)` Column spelling materializes the
+    * hex string and routes through decimal per row. */
   def hashBucket(key: Column, buckets: Long = 1000000L): Column =
-    F.conv(F.substring(F.md5(key.cast("string")), 1, 8), 16, 10)
-      .cast("long") % buckets
+    graft.plans.Expressions.md5Bucket(key.cast("string"), buckets)
 
   /** Bernoulli sample keeping ~ppm/1e6 of rows, deterministically by key. */
   def bernoulliSample(df: DataFrame, key: Column, ppm: Long): DataFrame =

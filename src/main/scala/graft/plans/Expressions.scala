@@ -41,6 +41,44 @@ object Expressions {
     new String(out)
   }
 
+  private val tlMd5: ThreadLocal[java.security.MessageDigest] =
+    ThreadLocal.withInitial(() => java.security.MessageDigest.getInstance("MD5"))
+
+  /** First 32 bits of md5(bytes) as an unsigned long — numerically equal to
+    * `conv(substring(md5(x), 1, 8), 16, 10)` without materializing the hex
+    * string or routing through decimal conv. Called from generated code. */
+  def md5Head(bytes: Array[Byte]): Long = {
+    val md = tlMd5.get(); md.reset()
+    val d = md.digest(bytes)
+    ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) | ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
+  }
+
+  /** `md5_bucket(key, buckets)` → uniform bucket in [0, buckets) — the
+    * sampling-predicate hot path (at 100 TB this runs per row inside the
+    * scan stage, so the hex-string + decimal-conv detour of the Column
+    * formulation matters). Codegen'd; engine-parity with the md5/substr/
+    * conv spelling is exact, so the DuckDB oracles are unchanged. */
+  case class Md5Bucket(child: Expression, buckets: Long)
+    extends UnaryExpression {
+    require(buckets > 0, "buckets must be positive")
+    override def dataType: DataType = LongType
+    override def prettyName: String = "md5_bucket"
+
+    override def nullSafeEval(input: Any): Any =
+      java.lang.Long.valueOf(
+        md5Head(input.asInstanceOf[UTF8String].getBytes) % buckets)
+
+    override protected def doGenCode(
+        ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+        ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+      nullSafeCodeGen(ctx, ev, c =>
+        s"${ev.value} = graft.plans.Expressions.md5Head($c.getBytes()) % ${buckets}L;")
+
+    override protected def withNewChildInternal(c: Expression): Expression =
+      copy(child = c)
+  }
+
   /** `shingle_minhash(tokens, k, numHashes)` → array<string> of the k-gram
     * MinHash signature (null when fewer than k tokens, matching the
     * Column-tier guard). Builds shingle strings and all seed-hashes in one
@@ -325,6 +363,9 @@ object Expressions {
   def simhash64(tokens: Column): Column = column(SimHash64(expr(tokens)))
 
   def simhashMd5(tokens: Column): Column = column(SimHashMd5(expr(tokens)))
+
+  def md5Bucket(key: Column, buckets: Long): Column =
+    column(Md5Bucket(expr(key), buckets))
 
   def cosineSim(a: Column, b: Column): Column = column(CosineSim(expr(a), expr(b)))
 

@@ -114,6 +114,19 @@ object TemporalPropertySpec extends Properties("TemporalOps") {
       got == expected
     }
 
+  property("Md5Bucket expression equals the conv(substring(md5)) spelling") =
+    Prop.forAll(Gen.listOfN(50, Gen.alphaNumStr), Gen.choose(1L, 1000000L)) { (keys, buckets) =>
+      import spark.implicits._
+      import org.apache.spark.sql.{functions => F}
+      val df = keys.toDF("k")
+      val got = df.select(
+          graft.plans.Expressions.md5Bucket(F.col("k"), buckets).as("nb"),
+          (F.conv(F.substring(F.md5(F.col("k")), 1, 8), 16, 10)
+            .cast("long") % buckets).as("ob"))
+        .collect()
+      got.forall(r => r.getLong(0) == r.getLong(1))
+    }
+
   property("hoppingWindows: every row lands in exactly size/slide covering windows") =
     Prop.forAll(Gen.listOfN(20, Gen.choose(0L, 500L))) { ts =>
       import spark.implicits._
