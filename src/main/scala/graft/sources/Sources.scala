@@ -41,6 +41,26 @@ object Sources {
     * pipeline plan runs on it unchanged (SURVEY.md §7.1). */
   def staticTable(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
+
+  /** CSV source, batch or streaming face — schema REQUIRED (inference scans
+    * the data twice and is banned at scale; `PERMISSIVE` keeps malformed
+    * rows in `_corrupt_record` instead of failing the 100 TB job at row
+    * 3 billion). */
+  def csv(spark: SparkSession, path: String,
+          schema: org.apache.spark.sql.types.StructType,
+          header: Boolean = true, streaming: Boolean = false): DataFrame = {
+    val opts = Map("header" -> header.toString, "mode" -> "PERMISSIVE")
+    if (streaming) spark.readStream.options(opts).schema(schema).csv(path)
+    else spark.read.options(opts).schema(schema).csv(path)
+  }
+
+  /** JSON-lines source, batch or streaming face — same explicit-schema and
+    * PERMISSIVE discipline as [[csv]]. */
+  def jsonl(spark: SparkSession, path: String,
+            schema: org.apache.spark.sql.types.StructType,
+            streaming: Boolean = false): DataFrame =
+    if (streaming) spark.readStream.schema(schema).json(path)
+    else spark.read.schema(schema).json(path)
 }
 
 /** `FeederBatchSpout`/`IBatchSpout` analog: programmatic batch feeding over
