@@ -74,4 +74,27 @@ class ScaleSpec extends AnyFunSuite {
       s"bucketed join still shuffles:\n$plan")
     assert(joined.count() == 1000L)
   }
+
+  test("AQE splits a skewed join partition at runtime (thresholds scaled down)") {
+    // one key holds ~90% of the left side; with the skew thresholds scaled
+    // to test size, AQE must mark the sort-merge join skew=true and split
+    val s = spark.newSession()
+    s.conf.set("spark.sql.adaptive.enabled", "true")
+    s.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+    s.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+    s.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "8KB")
+    s.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "8KB")
+    s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    s.conf.set("spark.sql.shuffle.partitions", "4")
+    import s.implicits._
+    val left = (Seq.fill(40000)(1L) ++ (2L to 2000L)).toDF("id")
+      .withColumn("pad", F.concat_ws("", Seq.fill(8)(F.rand()).map(_.cast("string")): _*))
+    val right = (1L to 2000L).toDF("id").withColumn("v", F.col("id") * 2)
+    val joined = left.join(right, "id")
+    // execute THIS queryExecution (count() would plan separately) so AQE
+    // replans it to the final adaptive form
+    assert(joined.collect().length == 40000 + 1999)
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(plan.contains("skew=true"), s"AQE did not mark the skew join:\n$plan")
+  }
 }
