@@ -733,6 +733,17 @@ object SparkEntry {
         .orderBy("o_orderkey")
     }),
 
+    "q86_salted_join" -> ((s, dir) => {
+      // skew-safe replicated-dimension join pinned to the plain join result
+      val ev = events(s, dir).select("event_id", "user_id", "value")
+      val cust = table(s, dir, "customer").select(
+        F.col("c_custkey").as("cust_id"), F.col("c_mktsegment"))
+      graft.functions.Scale.saltedJoin(ev, cust, "user_id", "cust_id", 8)
+        .groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).as("cnt"), F.sum(cents(F.col("value"))).as("sum_cents"))
+        .orderBy("c_mktsegment")
+    }),
+
     "q85_leakfree_split" -> ((s, dir) => {
       // contamination-guarded split: near-dup cluster members hash together
       val docs = table(s, dir, "documents")
@@ -1309,6 +1320,11 @@ object SparkEntry {
            CAST(ntile(4) OVER (PARTITION BY o_orderpriority
              ORDER BY o_totalprice, o_orderkey) AS BIGINT) AS quartile
          FROM orders ORDER BY 1""",
+    "q86_salted_join" ->
+      """SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS cnt,
+           CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents
+         FROM events JOIN customer ON user_id = c_custkey
+         GROUP BY 1 ORDER BY 1""",
     "q85_leakfree_split" ->
       """WITH RECURSIVE
          s AS (SELECT doc_id, list_transform(generate_series(1, len(ws) - 2), i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]) AS sh
