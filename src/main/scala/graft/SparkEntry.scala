@@ -733,6 +733,16 @@ object SparkEntry {
         .orderBy("o_orderkey")
     }),
 
+    "q87_nfc_normalize" -> ((s, dir) =>
+      // canonical-composition pass before fingerprinting: NFC'd fingerprint
+      // + whether normalization changed anything (composed-form drift)
+      table(s, dir, "documents")
+        .select(F.col("doc_id"),
+          F.length(graft.plans.Expressions.nfcNormalize(F.col("text"))).cast("long").as("n_chars_nfc"),
+          (graft.plans.Expressions.nfcNormalize(F.col("text")) === F.col("text")).as("unchanged"),
+          F.md5(graft.plans.Expressions.nfcNormalize(F.col("text"))).as("fp_nfc"))
+        .orderBy("doc_id")),
+
     "q86_salted_join" -> ((s, dir) => {
       // skew-safe replicated-dimension join pinned to the plain join result
       val ev = events(s, dir).select("event_id", "user_id", "value")
@@ -1320,6 +1330,12 @@ object SparkEntry {
            CAST(ntile(4) OVER (PARTITION BY o_orderpriority
              ORDER BY o_totalprice, o_orderkey) AS BIGINT) AS quartile
          FROM orders ORDER BY 1""",
+    "q87_nfc_normalize" ->
+      """SELECT doc_id,
+           CAST(length(nfc_normalize(text)) AS BIGINT) AS n_chars_nfc,
+           nfc_normalize(text) = text AS unchanged,
+           md5(nfc_normalize(text)) AS fp_nfc
+         FROM documents ORDER BY 1""",
     "q86_salted_join" ->
       """SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS cnt,
            CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents

@@ -79,6 +79,29 @@ object Expressions {
       copy(child = c)
   }
 
+  /** Unicode NFC normalization helper — called from generated code. */
+  def nfc(s: UTF8String): UTF8String =
+    UTF8String.fromString(
+      java.text.Normalizer.normalize(s.toString, java.text.Normalizer.Form.NFC))
+
+  /** `nfc_normalize(text)` — canonical composition before fingerprinting /
+    * dedup, so visually-identical strings ("é" composed vs decomposed)
+    * hash identically. Standard Unicode algorithm on both engines (DuckDB
+    * `nfc_normalize` is the oracle spelling). */
+  case class NfcNormalize(child: Expression) extends UnaryExpression {
+    override def dataType: DataType = StringType
+    override def prettyName: String = "nfc_normalize"
+    override def nullSafeEval(input: Any): Any = nfc(input.asInstanceOf[UTF8String])
+    override protected def doGenCode(
+        ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+        ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+      nullSafeCodeGen(ctx, ev, c =>
+        s"${ev.value} = graft.plans.Expressions.nfc($c);")
+    override protected def withNewChildInternal(c: Expression): Expression =
+      copy(child = c)
+  }
+
   /** `shingle_minhash(tokens, k, numHashes)` → array<string> of the k-gram
     * MinHash signature (null when fewer than k tokens, matching the
     * Column-tier guard). Builds shingle strings and all seed-hashes in one
@@ -366,6 +389,8 @@ object Expressions {
 
   def md5Bucket(key: Column, buckets: Long): Column =
     column(Md5Bucket(expr(key), buckets))
+
+  def nfcNormalize(text: Column): Column = column(NfcNormalize(expr(text)))
 
   def cosineSim(a: Column, b: Column): Column = column(CosineSim(expr(a), expr(b)))
 

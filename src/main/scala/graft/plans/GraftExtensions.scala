@@ -41,6 +41,8 @@ object GraftFunctions {
     "shingle_minhash" -> (es => Expressions.ShingleMinHashMd5(
       es(0), lit(es(1), "k"), lit(es(2), "numHashes"))),
     "hamming64" -> (es => hammingExpr(es(0), es(1))),
+    "nfc_normalize" -> (es => Expressions.NfcNormalize(es(0))),
+    "md5_bucket" -> (es => Expressions.Md5Bucket(es(0), lit(es(1), "buckets").toLong)),
   )
 
   /** Idempotent imperative registration on a live session. */

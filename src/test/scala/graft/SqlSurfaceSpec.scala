@@ -33,6 +33,12 @@ class SqlSurfaceSpec extends AnyFunSuite {
     assert(r.getInt(3) == 2)
     assert(r.getInt(4) == 4)
 
+    val decomposed = "e\u0301" // 'e' + combining acute
+    val norm = Seq(decomposed).toDF("s")
+      .selectExpr("nfc_normalize(s) AS n", "md5_bucket(s, 1000) AS b").head()
+    assert(norm.getString(0) == "\u00e9") // composes to single-codepoint e-acute
+    assert(norm.getLong(1) >= 0 && norm.getLong(1) < 1000)
+
     val sh = Seq((1L, Seq("x", "y"))).toDF("id", "toks")
     sh.createOrReplaceTempView("sqlsurface_toks")
     val viaSql = spark.sql("SELECT simhash_md5(toks) FROM sqlsurface_toks").head().getLong(0)
