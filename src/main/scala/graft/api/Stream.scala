@@ -268,6 +268,24 @@ class Stream(val df: DataFrame) extends Serializable {
   def sample(key: Column, ppm: Long): Stream =
     new Stream(graft.functions.Sampling.bernoulliSample(df, key, ppm))
 
+  /** Exact-duplicate removal (keep min-id per content fingerprint):
+    * [[graft.functions.Dedup.dropExactDups]]. */
+  def dropExactDups(idCol: String, textCol: String): Stream =
+    new Stream(graft.functions.Dedup.dropExactDups(df, idCol, textCol))
+
+  /** Near-duplicate removal (LSH pairs → clusters → keep canonical):
+    * [[graft.functions.Dedup.dropNearDups]]. */
+  def dropNearDups(idCol: String, textCol: String, k: Int = 3,
+                   numHashes: Int = 8, rowsPerBand: Int = 2,
+                   threshold: Double = 0.7): Stream =
+    new Stream(graft.functions.Dedup.dropNearDups(df, idCol, textCol, k,
+      numHashes, rowsPerBand, threshold))
+
+  /** Deterministic train/test split column:
+    * [[graft.functions.Sampling.trainTestSplit]]. */
+  def trainTestSplit(key: Column, testPpm: Long): Stream =
+    new Stream(graft.functions.Sampling.trainTestSplit(df, key, testPpm))
+
   // ------------------------------------------------------------------
   // §2.6 multi-stream: merge / join / multiReduce
   // ------------------------------------------------------------------
