@@ -66,6 +66,20 @@ object Scale {
   /** Salting for skewed JOINS: replicate the small side `saltBuckets` times,
     * salt the big side's key randomly-but-deterministically, join on
     * (key, salt). Bounded memory per task regardless of key skew. */
+  /** Z-order (Morton) clustered layout: range-partition + sort by the
+    * interleaved code of two dimensions, so each output file covers a small
+    * bounding box in BOTH — min/max file stats then prune 2-D predicates
+    * (a single-column sort only prunes its own column). Write the result
+    * with `writePartitioned`/parquet; inputs are used mod 2^32. */
+  def zorderBy(df: DataFrame, xCol: String, yCol: String,
+               numPartitions: Int): DataFrame = {
+    val z = graft.plans.Expressions.zorder(F.col(xCol), F.col(yCol))
+    df.withColumn("__z", z)
+      .repartitionByRange(numPartitions, F.col("__z"))
+      .sortWithinPartitions("__z")
+      .drop("__z")
+  }
+
   def saltedJoin(big: DataFrame, small: DataFrame, bigKey: String,
                  smallKey: String, saltBuckets: Int): DataFrame = {
     val saltedBig = big.withColumn("__salt",

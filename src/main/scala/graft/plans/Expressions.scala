@@ -79,6 +79,42 @@ object Expressions {
       copy(child = c)
   }
 
+  /** 32→64-bit even-bit spread (standard Morton-code bit twiddling) —
+    * called from generated code. */
+  def spread32(v: Long): Long = {
+    var x = v & 0xffffffffL
+    x = (x | (x << 16)) & 0x0000ffff0000ffffL
+    x = (x | (x << 8)) & 0x00ff00ff00ff00ffL
+    x = (x | (x << 4)) & 0x0f0f0f0f0f0f0f0fL
+    x = (x | (x << 2)) & 0x3333333333333333L
+    x = (x | (x << 1)) & 0x5555555555555555L
+    x
+  }
+
+  /** 2-D Morton (Z-order) interleave of the low 32 bits of each input. */
+  def zorder2(x: Long, y: Long): Long = spread32(x) | (spread32(y) << 1)
+
+  /** `zorder2(x, y)` → 64-bit Morton code: sort/range-partition by it and
+    * rows close in BOTH dimensions land in the same files, so min/max file
+    * stats prune 2-D predicates — the layout story for (time, key) or
+    * (lat, lon) scans at 100 TB. Inputs are used mod 2^32; pre-scale to
+    * that range. */
+  case class ZOrder2(left: Expression, right: Expression)
+    extends BinaryExpression {
+    override def dataType: DataType = LongType
+    override def prettyName: String = "zorder2"
+    override def nullSafeEval(l: Any, r: Any): Any =
+      java.lang.Long.valueOf(zorder2(l.asInstanceOf[Long], r.asInstanceOf[Long]))
+    override protected def doGenCode(
+        ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+        ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+      nullSafeCodeGen(ctx, ev, (a, b) =>
+        s"${ev.value} = graft.plans.Expressions.zorder2($a, $b);")
+    override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+      copy(left = l, right = r)
+  }
+
   /** Unicode NFC normalization helper — called from generated code. */
   def nfc(s: UTF8String): UTF8String =
     UTF8String.fromString(
@@ -391,6 +427,9 @@ object Expressions {
     column(Md5Bucket(expr(key), buckets))
 
   def nfcNormalize(text: Column): Column = column(NfcNormalize(expr(text)))
+
+  def zorder(x: Column, y: Column): Column =
+    column(ZOrder2(expr(x.cast("long")), expr(y.cast("long"))))
 
   def cosineSim(a: Column, b: Column): Column = column(CosineSim(expr(a), expr(b)))
 

