@@ -43,6 +43,7 @@ object GraftFunctions {
     "hamming64" -> (es => hammingExpr(es(0), es(1))),
     "nfc_normalize" -> (es => Expressions.NfcNormalize(es(0))),
     "md5_bucket" -> (es => Expressions.Md5Bucket(es(0), lit(es(1), "buckets").toLong)),
+    "zorder2" -> (es => Expressions.ZOrder2(es(0), es(1))),
   )
 
   /** Idempotent imperative registration on a live session. */

@@ -138,6 +138,22 @@ class TemporalSpec extends AnyFunSuite {
     assert(kept == Seq(1L, 3L)) // canonical (min id) survives, 2 dropped
   }
 
+  test("operator argument validation fails fast with named errors") {
+    val df = Seq((1L, 2L)).toDF("a", "b")
+    val e1 = intercept[IllegalArgumentException] {
+      Temporal.hoppingWindows(df, "a", sizeTicks = 30L, slideTicks = 20L)
+    }
+    assert(e1.getMessage.contains("multiple"))
+    val e2 = intercept[IllegalArgumentException] {
+      graft.plans.TopK.topKPerKey(df, Seq("a"), "b", desc = true, Nil, k = 0)
+    }
+    assert(e2.getMessage.contains("positive"))
+    val e3 = intercept[IllegalArgumentException] {
+      graft.plans.TopK.topKPerKey(df, Seq("missing"), "b", desc = true, Nil, k = 1)
+    }
+    assert(e3.getMessage.contains("missing"))
+  }
+
   test("Stream facade delegates asofJoin / sessionize / sample") {
     import graft.api.Stream
     val ev = Seq((1L, 10L, 5L), (1L, 20L, 6L)).toDF("k", "t", "id")
