@@ -733,6 +733,16 @@ object SparkEntry {
         .orderBy("o_orderkey")
     }),
 
+    "q88_repetition_signals" -> ((s, dir) =>
+      // published cleaning rules: modal-3-gram fraction (boilerplate) and
+      // stopword fraction (natural-language prior)
+      table(s, dir, "documents")
+        .select(F.col("doc_id"), Text.repetitionSignals(F.col("text")).as("sig"))
+        .select(F.col("doc_id"),
+          F.col("sig.top_gram_frac").as("top_gram_frac"),
+          F.col("sig.stopword_frac").as("stopword_frac"))
+        .orderBy("doc_id")),
+
     "q87_nfc_normalize" -> ((s, dir) =>
       // canonical-composition pass before fingerprinting: NFC'd fingerprint
       // + whether normalization changed anything (composed-form drift)
@@ -1330,6 +1340,24 @@ object SparkEntry {
            CAST(ntile(4) OVER (PARTITION BY o_orderpriority
              ORDER BY o_totalprice, o_orderkey) AS BIGINT) AS quartile
          FROM orders ORDER BY 1""",
+    "q88_repetition_signals" -> {
+      val stopList = graft.functions.Text.DefaultMarkers.values.flatten
+        .toSeq.distinct.sorted.map(w => s"'$w'").mkString("[", ", ", "]")
+      s"""WITH d AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x != '') AS ws FROM documents),
+         g AS (SELECT doc_id, ws,
+             CASE WHEN len(ws) >= 3
+               THEN list_transform(generate_series(1, len(ws) - 2), i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])
+               ELSE [] END AS grams
+           FROM d)
+         SELECT doc_id,
+           CASE WHEN len(grams) > 0
+             THEN CAST(list_max(list_transform(list_distinct(grams), x -> len(list_filter(grams, y -> y = x)))) AS DOUBLE) / CAST(len(grams) AS DOUBLE)
+             ELSE 0.0 END AS top_gram_frac,
+           CASE WHEN len(ws) > 0
+             THEN CAST(len(list_filter(ws, t -> list_contains($stopList, lower(t)))) AS DOUBLE) / CAST(len(ws) AS DOUBLE)
+             ELSE 0.0 END AS stopword_frac
+         FROM g ORDER BY 1"""
+    },
     "q87_nfc_normalize" ->
       """SELECT doc_id,
            CAST(length(nfc_normalize(text)) AS BIGINT) AS n_chars_nfc,

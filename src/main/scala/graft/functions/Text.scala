@@ -199,6 +199,29 @@ object Text {
       .drop("__before")
   }
 
+  /** Repetition + stopword quality signals (the classic published cleaning
+    * rules: a document whose most common 3-gram covers a large fraction of
+    * it is boilerplate; a natural-language document has a healthy stopword
+    * fraction). Integer counts with one final double ratio each —
+    * deterministic. Per-row array ops only (no explode/shuffle): the
+    * signals compute inside the scan stage. */
+  def repetitionSignals(text: Column, k: Int = 3,
+      stopwords: Seq[String] = DefaultMarkers.values.flatten.toSeq.distinct.sorted): Column = {
+    val toks = tokens(text)
+    val grams = graft.plans.Expressions.shingleArray(toks, k)
+    // count of the modal k-gram: max over distinct grams of occurrence count
+    val topGram = F.array_max(F.transform(F.array_distinct(grams),
+      g => F.size(F.filter(grams, x => x === g))))
+    val nGrams = F.size(grams)
+    val nStop = F.size(F.filter(toks, t => F.array_contains(
+      F.lit(stopwords.toArray), F.lower(t))))
+    F.struct(
+      F.when(nGrams > 0, topGram.cast("double") / nGrams.cast("double"))
+        .otherwise(F.lit(0.0)).as("top_gram_frac"),
+      F.when(F.size(toks) > 0, nStop.cast("double") / F.size(toks).cast("double"))
+        .otherwise(F.lit(0.0)).as("stopword_frac"))
+  }
+
   /** Document fingerprint, oracle-parity tier: md5 of the normalized text
     * (lowercased, squeezed whitespace) — stable across engines. */
   def fingerprintMd5(text: Column): Column =
