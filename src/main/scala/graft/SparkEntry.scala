@@ -733,6 +733,15 @@ object SparkEntry {
         .orderBy("o_orderkey")
     }),
 
+    "q89_expectations" -> ((s, dir) =>
+      // one-pass declarative data-quality gate over lineitem
+      graft.functions.Expectations.check(table(s, dir, "lineitem"), Seq(
+          "orderkey_not_null" -> F.col("l_orderkey").isNotNull,
+          "qty_in_range" -> (F.col("l_quantity") >= 1 && F.col("l_quantity") <= 50),
+          "discount_unit_interval" -> (F.col("l_discount") >= 0 && F.col("l_discount") <= 0.1),
+          "price_positive" -> (F.col("l_extendedprice") > 0)))
+        .orderBy("check")),
+
     "q88_repetition_signals" -> ((s, dir) =>
       // published cleaning rules: modal-3-gram fraction (boilerplate) and
       // stopword fraction (natural-language prior)
@@ -1340,6 +1349,21 @@ object SparkEntry {
            CAST(ntile(4) OVER (PARTITION BY o_orderpriority
              ORDER BY o_totalprice, o_orderkey) AS BIGINT) AS quartile
          FROM orders ORDER BY 1""",
+    "q89_expectations" ->
+      """WITH t AS (SELECT
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CASE WHEN l_orderkey IS NOT NULL THEN 0 ELSE 1 END) AS BIGINT) AS v1,
+           CAST(sum(CASE WHEN l_quantity >= 1 AND l_quantity <= 50 THEN 0 ELSE 1 END) AS BIGINT) AS v2,
+           CAST(sum(CASE WHEN l_discount >= 0 AND l_discount <= 0.1 THEN 0 ELSE 1 END) AS BIGINT) AS v3,
+           CAST(sum(CASE WHEN l_extendedprice > 0 THEN 0 ELSE 1 END) AS BIGINT) AS v4
+           FROM lineitem)
+         SELECT chk AS check, n AS n_rows, v AS n_violations,
+           CAST(v * 1000000 // n AS BIGINT) AS violation_ppm
+         FROM (SELECT 'orderkey_not_null' AS chk, n, v1 AS v FROM t
+               UNION ALL SELECT 'qty_in_range', n, v2 FROM t
+               UNION ALL SELECT 'discount_unit_interval', n, v3 FROM t
+               UNION ALL SELECT 'price_positive', n, v4 FROM t)
+         ORDER BY 1""",
     "q88_repetition_signals" -> {
       val stopList = graft.functions.Text.DefaultMarkers.values.flatten
         .toSeq.distinct.sorted.map(w => s"'$w'").mkString("[", ", ", "]")

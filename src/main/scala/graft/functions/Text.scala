@@ -222,6 +222,15 @@ object Text {
         .otherwise(F.lit(0.0)).as("stopword_frac"))
   }
 
+  /** PII-style redaction: emails and long digit runs replaced by tags —
+    * the anonymization pass before training-corpus release. Pure
+    * `regexp_replace` chain (codegen'd); patterns stick to the regex
+    * subset every engine agrees on. */
+  def redactPii(text: Column): Column =
+    F.regexp_replace(
+      F.regexp_replace(text, "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>"),
+      "[0-9][0-9 ()+-]{6,}[0-9]", "<PHONE>")
+
   /** Document fingerprint, oracle-parity tier: md5 of the normalized text
     * (lowercased, squeezed whitespace) — stable across engines. */
   def fingerprintMd5(text: Column): Column =

@@ -138,6 +138,32 @@ class TemporalSpec extends AnyFunSuite {
     assert(kept == Seq(1L, 3L)) // canonical (min id) survives, 2 dropped
   }
 
+  test("expectations gate: one-pass violation counts, enforce throws over tolerance") {
+    import graft.functions.Expectations
+    val df = Seq((1L, 5.0), (2L, -1.0), (3L, 7.0)).toDF("id", "v")
+    val checks = Seq(
+      "id_not_null" -> F.col("id").isNotNull,
+      "v_positive" -> (F.col("v") > 0))
+    val rows = Expectations.check(df, checks)
+      .collect().map(r => r.getString(0) -> (r.getLong(2), r.getLong(3))).toMap
+    assert(rows("id_not_null") == (0L, 0L))
+    assert(rows("v_positive") == (1L, 333333L))
+    Expectations.enforce(df, checks, maxViolationPpm = 400000L) // passes
+    val e = intercept[IllegalArgumentException] {
+      Expectations.enforce(df, checks, maxViolationPpm = 0L)
+    }
+    assert(e.getMessage.contains("v_positive"))
+  }
+
+  test("redactPii masks emails and phone runs, leaves prose alone") {
+    val out = Seq("mail me at jo.doe+x@foo-bar.example or call 555 123-4567 ok")
+      .toDF("t").select(Text.redactPii($"t")).head().getString(0)
+    assert(out == "mail me at <EMAIL> or call <PHONE> ok")
+    val clean = Seq("regular text with numbers 42 and 7").toDF("t")
+      .select(Text.redactPii($"t")).head().getString(0)
+    assert(clean == "regular text with numbers 42 and 7")
+  }
+
   test("operator argument validation fails fast with named errors") {
     val df = Seq((1L, 2L)).toDF("a", "b")
     val e1 = intercept[IllegalArgumentException] {
