@@ -209,9 +209,19 @@ object Text {
       stopwords: Seq[String] = DefaultMarkers.values.flatten.toSeq.distinct.sorted): Column = {
     val toks = tokens(text)
     val grams = graft.plans.Expressions.shingleArray(toks, k)
-    // count of the modal k-gram: max over distinct grams of occurrence count
-    val topGram = F.array_max(F.transform(F.array_distinct(grams),
-      g => F.size(F.filter(grams, x => x === g))))
+    // modal k-gram count = longest equal run of the SORTED grams — one
+    // O(G log G) pass; the distinct×filter spelling is O(G²) per row and
+    // collapses on long documents
+    val topGram = F.aggregate(
+      F.array_sort(grams),
+      F.struct(F.lit("").as("prev"), F.lit(0L).as("run"), F.lit(0L).as("best")),
+      (st, g) => {
+        val run = F.when(g === st.getField("prev"), st.getField("run") + 1L)
+          .otherwise(F.lit(1L))
+        F.struct(g.as("prev"), run.as("run"),
+          F.greatest(st.getField("best"), run).as("best"))
+      },
+      st => st.getField("best"))
     val nGrams = F.size(grams)
     val nStop = F.size(F.filter(toks, t => F.array_contains(
       F.lit(stopwords.toArray), F.lower(t))))
