@@ -733,6 +733,14 @@ object SparkEntry {
         .orderBy("o_orderkey")
     }),
 
+    "q90_group_sample" -> ((s, dir) =>
+      // 3 deterministic sample docs per language (native per-group top-K on
+      // the hash order — heap partial, survivors-only shuffle)
+      Sampling.fixedSizeSamplePerGroup(
+          table(s, dir, "documents").select("lang", "doc_id"),
+          "lang", F.col("doc_id"), n = 3)
+        .orderBy("lang", "doc_id")),
+
     "q89_expectations" -> ((s, dir) =>
       // one-pass declarative data-quality gate over lineitem
       graft.functions.Expectations.check(table(s, dir, "lineitem"), Seq(
@@ -1349,6 +1357,12 @@ object SparkEntry {
            CAST(ntile(4) OVER (PARTITION BY o_orderpriority
              ORDER BY o_totalprice, o_orderkey) AS BIGINT) AS quartile
          FROM orders ORDER BY 1""",
+    "q90_group_sample" ->
+      """SELECT lang, doc_id FROM (
+           SELECT lang, doc_id,
+             row_number() OVER (PARTITION BY lang ORDER BY md5(CAST(doc_id AS VARCHAR))) AS rn
+           FROM documents) WHERE rn <= 3
+         ORDER BY lang, doc_id""",
     "q89_expectations" ->
       """WITH t AS (SELECT
            CAST(count(*) AS BIGINT) AS n,

@@ -72,4 +72,16 @@ object Sampling {
   def fixedSizeSample(df: DataFrame, key: Column, n: Int): DataFrame =
     df.withColumn("__h", F.md5(key.cast("string")))
       .orderBy("__h").limit(n).drop("__h")
+
+  /** Fixed-size sample PER GROUP (n uniform rows per stratum): the n
+    * smallest hash values within each group, planned through the native
+    * [[graft.plans.TopK]] operator — per-partition bounded heaps, so the
+    * shuffle carries ≤ n candidates per (group, partition) no matter how
+    * large the groups are. */
+  def fixedSizeSamplePerGroup(df: DataFrame, groupCol: String, key: Column,
+      n: Int): DataFrame =
+    graft.plans.TopK.topKPerKey(
+        df.withColumn("__h", F.md5(key.cast("string"))),
+        Seq(groupCol), "__h", desc = false, tieBreak = Nil, k = n)
+      .drop("__h")
 }
