@@ -733,6 +733,42 @@ object SparkEntry {
         .orderBy("o_orderkey")
     }),
 
+    "q91_tpch_q3" -> ((s, dir) => {
+      // the 3-table TPC-H Q3 shape: segment filter → orders → lineitem,
+      // revenue top-10 (broadcast dim, shuffled fact joins, native firstN)
+      val cust = st(table(s, dir, "customer"))
+        .where(F.col("c_mktsegment") === "BUILDING")
+        .project(Fields("c_custkey"))
+        .broadcastHint()
+      val orders = st(table(s, dir, "orders"))
+        .where(F.col("o_orderdate") < F.lit("1995-03-15 00:00:00").cast("timestamp"))
+        .project(Fields("o_orderkey", "o_custkey", "o_orderdate"))
+      val li = st(table(s, dir, "lineitem"))
+        .where(F.col("l_shipdate") > F.lit("1995-03-15 00:00:00").cast("timestamp"))
+        .each(Fields("l_extendedprice", "l_discount"), new ColumnFunction {
+          def exprs(in: Seq[Column]): Seq[Column] =
+            Seq(cents(in(0) * (F.lit(1) - in(1))))
+        }, Fields("rev_cents"))
+        .project(Fields("l_orderkey", "rev_cents"))
+      orders.join(cust, Fields("o_custkey"), Fields("c_custkey"),
+          Fields("custkey", "orderkey", "orderdate"))
+        .join(li, Fields("orderkey"), Fields("l_orderkey"),
+          Fields("orderkey", "custkey", "orderdate", "rev_cents"))
+        .groupBy(Fields("orderkey"))
+        .aggregate(F.sum("rev_cents").as("revenue_cents"))
+        .firstN(10, "revenue_cents", reverse = true, tieBreak = Seq("orderkey"))
+        .toDF.orderBy(F.col("revenue_cents").desc, F.col("orderkey"))
+    }),
+
+    "q92_zorder_values" -> ((s, dir) =>
+      // cross-engine pin of the Morton interleave itself
+      events(s, dir)
+        .select(F.col("event_id"),
+          graft.plans.Expressions.zorder(
+            F.pmod(F.col("user_id"), F.lit(1024L)),
+            F.pmod(F.col("event_id"), F.lit(1024L))).as("z"))
+        .orderBy("event_id")),
+
     "q90_group_sample" -> ((s, dir) =>
       // 3 deterministic sample docs per language (native per-group top-K on
       // the hash order — heap partial, survivors-only shuffle)
@@ -1357,6 +1393,21 @@ object SparkEntry {
            CAST(ntile(4) OVER (PARTITION BY o_orderpriority
              ORDER BY o_totalprice, o_orderkey) AS BIGINT) AS quartile
          FROM orders ORDER BY 1""",
+    "q91_tpch_q3" ->
+      """SELECT l_orderkey AS orderkey,
+           CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS BIGINT) AS revenue_cents
+         FROM customer JOIN orders ON c_custkey = o_custkey
+           JOIN lineitem ON l_orderkey = o_orderkey
+         WHERE c_mktsegment = 'BUILDING'
+           AND o_orderdate < TIMESTAMP '1995-03-15 00:00:00'
+           AND l_shipdate > TIMESTAMP '1995-03-15 00:00:00'
+         GROUP BY 1 ORDER BY revenue_cents DESC, orderkey LIMIT 10""",
+    "q92_zorder_values" ->
+      """SELECT event_id,
+           CAST(list_sum(list_transform(generate_series(0, 9), i ->
+             (((user_id % 1024) >> i) & 1) * power(2, 2 * i)::BIGINT +
+             (((event_id % 1024) >> i) & 1) * power(2, 2 * i + 1)::BIGINT)) AS BIGINT) AS z
+         FROM events ORDER BY 1""",
     "q90_group_sample" ->
       """SELECT lang, doc_id FROM (
            SELECT lang, doc_id,
