@@ -733,6 +733,20 @@ object SparkEntry {
         .orderBy("o_orderkey")
     }),
 
+    "q93_session_window_batch" -> ((s, dir) =>
+      // Spark's native session_window in BATCH mode, pinned to the same
+      // gap rule as q58: window end = last event + gap
+      events(s, dir)
+        .select(F.col("user_id"),
+          F.timestamp_micros(F.expr("ts DIV 1000")).as("ets"))
+        .groupBy(F.session_window(F.col("ets"), "30 minutes"), F.col("user_id"))
+        .agg(F.count(F.lit(1)).as("n_events"))
+        .select(F.col("user_id"),
+          F.unix_micros(F.col("session_window.start")).as("start_us"),
+          F.unix_micros(F.col("session_window.end")).as("end_us"),
+          F.col("n_events"))
+        .orderBy("user_id", "start_us")),
+
     "q91_tpch_q3" -> ((s, dir) => {
       // the 3-table TPC-H Q3 shape: segment filter → orders → lineitem,
       // revenue top-10 (broadcast dim, shuffled fact joins, native firstN)
@@ -1393,6 +1407,18 @@ object SparkEntry {
            CAST(ntile(4) OVER (PARTITION BY o_orderpriority
              ORDER BY o_totalprice, o_orderkey) AS BIGINT) AS quartile
          FROM orders ORDER BY 1""",
+    "q93_session_window_batch" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS ts, event_id FROM events),
+         x AS (SELECT user_id, ts,
+             CASE WHEN prev IS NULL OR ts - prev > 1800000000 THEN 1 ELSE 0 END AS nf
+           FROM (SELECT user_id, ts,
+               lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev FROM e)),
+         y AS (SELECT user_id, ts,
+             CAST(sum(nf) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS BIGINT) AS seq
+           FROM x)
+         SELECT user_id, min(ts) AS start_us, max(ts) + 1800000000 AS end_us,
+           CAST(count(*) AS BIGINT) AS n_events
+         FROM y GROUP BY user_id, seq ORDER BY 1, 2""",
     "q91_tpch_q3" ->
       """SELECT l_orderkey AS orderkey,
            CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS BIGINT) AS revenue_cents
