@@ -1,6 +1,7 @@
 package graft.sources
 
 import org.apache.spark.sql.SparkSession
+// (KvStoreSink tests live here too — the write-side V2 counterpart)
 import org.apache.spark.sql.{functions => F}
 import org.scalatest.funsuite.AnyFunSuite
 import graft.api.Fields
@@ -113,5 +114,41 @@ class BatchLogSourceSpec extends AnyFunSuite {
     val snap = MemoryBackingMap.snapshot[OpaqueValue[Long]]("bl-wc")
     assert(snap(Seq("the")).curr == 4L)
     assert(snap(Seq("moon")).curr == 1L)
+  }
+
+  test("KvStoreSink: V2 streaming write commits per epoch, replays are skipped") {
+    import graft.sources.KvStoreSink
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val id = s"kv-${java.util.UUID.randomUUID()}"
+    val input = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[String]
+    val q = input.toDF().toDF("key")
+      .groupBy("key").agg(F.count(F.lit(1)).as("value"))
+      .writeStream
+      .outputMode("update")
+      .format("graft.sources.KvStoreSink")
+      .option("storeId", id)
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("kvsink-ck").toString)
+      .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime(0L))
+      .start()
+    input.addData("a", "b", "a")
+    q.processAllAvailable()
+    input.addData("a")
+    q.processAllAvailable()
+    q.stop()
+
+    // update-mode per-epoch emissions fold into the store additively per
+    // key: epoch 0 wrote a→2 b→1; epoch 1 re-emitted a's new total
+    assert(KvStoreSink.committedEpochs(id) == Set(0L, 1L))
+    val afterRun = KvStoreSink.snapshot(id)
+    assert(afterRun("b") == 1L)
+
+    // a recovering query re-commits epoch 1 — the sink must recognize and
+    // skip it (exactly-once on the write side)
+    val replayed = graft.sources.KvStoreSink.commitEpoch(id, 1L, Seq("a" -> 999L))
+    assert(!replayed)
+    assert(KvStoreSink.snapshot(id) == afterRun)
+    KvStoreSink.clear(id)
   }
 }
