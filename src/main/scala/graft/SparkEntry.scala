@@ -733,6 +733,11 @@ object SparkEntry {
         .orderBy("o_orderkey")
     }),
 
+    "q94_mean_embedding" -> ((s, dir) =>
+      // reproducible per-class centroids (mean pooling, order-fixed sums)
+      Similarity.meanVector(table(s, dir, "embeddings"), "label", "embedding")
+        .orderBy("label", "pos")),
+
     "q93_session_window_batch" -> ((s, dir) =>
       // Spark's native session_window in BATCH mode, pinned to the same
       // gap rule as q58: window end = last event + gap
@@ -1407,6 +1412,14 @@ object SparkEntry {
            CAST(ntile(4) OVER (PARTITION BY o_orderpriority
              ORDER BY o_totalprice, o_orderkey) AS BIGINT) AS quartile
          FROM orders ORDER BY 1""",
+    "q94_mean_embedding" ->
+      """WITH x AS (SELECT label, i - 1 AS pos, embedding[i]::DOUBLE AS v
+           FROM (SELECT label, embedding, unnest(generate_series(1, len(embedding))) AS i
+                 FROM embeddings))
+         SELECT label, CAST(pos AS BIGINT) AS pos,
+           list_reduce(list(v ORDER BY v), (a, b) -> a + b) / CAST(count(*) AS DOUBLE) AS mean,
+           CAST(count(*) AS BIGINT) AS n
+         FROM x GROUP BY 1, 2 ORDER BY 1, 2""",
     "q93_session_window_batch" ->
       """WITH e AS (SELECT user_id, epoch_us(ts) AS ts, event_id FROM events),
          x AS (SELECT user_id, ts,

@@ -172,6 +172,24 @@ object Similarity {
       .select("a", "b", "score")
   }
 
+  /** Per-group mean embedding (centroid / mean-pooling), flattened to
+    * (group, pos, mean, n) rows. The per-dimension sum folds VALUES IN
+    * SORTED ORDER (collect → sort → left fold) so the float total is
+    * identical on every run and engine — the determinism discipline a
+    * reproducible-centroid pipeline needs; `kmeansCentroids` is the
+    * performance-tier variant (plain avg) when bit-stability across
+    * engines is not required. One explode + one aggregation shuffle. */
+  def meanVector(df: DataFrame, groupCol: String, embCol: String): DataFrame =
+    df.select(F.col(groupCol),
+        F.posexplode(F.col(embCol)).as(Seq("pos", "v")))
+      .withColumn("v", F.col("v").cast("double"))
+      .groupBy(F.col(groupCol), F.col("pos").cast("long").as("pos"))
+      .agg(F.count(F.lit(1)).as("n"),
+        F.aggregate(F.array_sort(F.collect_list("v")), F.lit(0.0),
+          (acc, x) => acc + x).as("__sum"))
+      .withColumn("mean", F.col("__sum") / F.col("n").cast("double"))
+      .select(groupCol, "pos", "mean", "n")
+
   /** Int8 quantization of an embedding column — the storage-shrink step a
     * 100 TB vector corpus runs before indexing (4× smaller payloads,
     * integer-SIMD dot products). Per-vector symmetric scale `127 / max|x|`;
