@@ -733,6 +733,28 @@ object SparkEntry {
         .orderBy("o_orderkey")
     }),
 
+    "q95_merge3" -> ((s, dir) => {
+      // three-way merge (IdentityMultiReducer with 3 inputs) → hourly counts
+      val ev = events(s, dir)
+      def typed(t: String) = st(ev.where(F.col("event_type") === t)
+        .select("event_id", "ts", "value"))
+      typed("click").merge(typed("view"), typed("signup"))
+        .toDF
+        .groupBy(F.expr("CAST(ts DIV 3600000000000 AS BIGINT) * 3600").as("hour_epoch"))
+        .agg(F.count(F.lit(1)).as("cnt"))
+        .orderBy("hour_epoch")
+    }),
+
+    "q96_multiset_except" -> ((s, dir) => {
+      // EXCEPT ALL multiset semantics: per-partkey multiplicity difference
+      val all = table(s, dir, "lineitem").select("l_partkey")
+      val returned = table(s, dir, "lineitem")
+        .where(F.col("l_returnflag") === "R").select("l_partkey")
+      all.exceptAll(returned)
+        .groupBy(F.col("l_partkey")).agg(F.count(F.lit(1)).as("cnt"))
+        .orderBy("l_partkey")
+    }),
+
     "q94_mean_embedding" -> ((s, dir) =>
       // reproducible per-class centroids (mean pooling, order-fixed sums)
       Similarity.meanVector(table(s, dir, "embeddings"), "label", "embedding")
@@ -1412,6 +1434,17 @@ object SparkEntry {
            CAST(ntile(4) OVER (PARTITION BY o_orderpriority
              ORDER BY o_totalprice, o_orderkey) AS BIGINT) AS quartile
          FROM orders ORDER BY 1""",
+    "q95_merge3" ->
+      """SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_epoch,
+           CAST(count(*) AS BIGINT) AS cnt
+         FROM events WHERE event_type IN ('click', 'view', 'signup')
+         GROUP BY 1 ORDER BY 1""",
+    "q96_multiset_except" ->
+      """SELECT l_partkey, CAST(count(*) AS BIGINT) AS cnt FROM (
+           SELECT l_partkey FROM lineitem
+           EXCEPT ALL
+           SELECT l_partkey FROM lineitem WHERE l_returnflag = 'R')
+         GROUP BY 1 ORDER BY 1""",
     "q94_mean_embedding" ->
       """WITH x AS (SELECT label, i - 1 AS pos, embedding[i]::DOUBLE AS v
            FROM (SELECT label, embedding, unnest(generate_series(1, len(embedding))) AS i
