@@ -733,6 +733,28 @@ object SparkEntry {
         .orderBy("o_orderkey")
     }),
 
+    "q97_multiset_intersect" -> ((s, dir) => {
+      // INTERSECT ALL multiset semantics: min multiplicity per partkey
+      val a = table(s, dir, "lineitem")
+        .where(F.col("l_quantity") >= 25).select("l_partkey")
+      val b = table(s, dir, "lineitem")
+        .where(F.col("l_discount") >= 0.05).select("l_partkey")
+      a.intersectAll(b)
+        .groupBy(F.col("l_partkey")).agg(F.count(F.lit(1)).as("cnt"))
+        .orderBy("l_partkey")
+    }),
+
+    "q98_date_parts" -> ((s, dir) =>
+      // calendar dimension: year/month/quarter/day-of-week breakdowns
+      table(s, dir, "orders")
+        .groupBy(
+          F.year(F.col("o_orderdate")).cast("long").as("y"),
+          F.quarter(F.col("o_orderdate")).cast("long").as("q"),
+          F.month(F.col("o_orderdate")).cast("long").as("m"))
+        .agg(F.count(F.lit(1)).as("cnt"),
+          F.sum(cents(F.col("o_totalprice"))).as("sum_cents"))
+        .orderBy("y", "q", "m")),
+
     "q95_merge3" -> ((s, dir) => {
       // three-way merge (IdentityMultiReducer with 3 inputs) → hourly counts
       val ev = events(s, dir)
@@ -1434,6 +1456,19 @@ object SparkEntry {
            CAST(ntile(4) OVER (PARTITION BY o_orderpriority
              ORDER BY o_totalprice, o_orderkey) AS BIGINT) AS quartile
          FROM orders ORDER BY 1""",
+    "q97_multiset_intersect" ->
+      """SELECT l_partkey, CAST(count(*) AS BIGINT) AS cnt FROM (
+           SELECT l_partkey FROM lineitem WHERE l_quantity >= 25
+           INTERSECT ALL
+           SELECT l_partkey FROM lineitem WHERE l_discount >= 0.05)
+         GROUP BY 1 ORDER BY 1""",
+    "q98_date_parts" ->
+      """SELECT CAST(year(o_orderdate) AS BIGINT) AS y,
+           CAST(quarter(o_orderdate) AS BIGINT) AS q,
+           CAST(month(o_orderdate) AS BIGINT) AS m,
+           CAST(count(*) AS BIGINT) AS cnt,
+           CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS sum_cents
+         FROM orders GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""",
     "q95_merge3" ->
       """SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_epoch,
            CAST(count(*) AS BIGINT) AS cnt
