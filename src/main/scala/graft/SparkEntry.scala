@@ -733,6 +733,28 @@ object SparkEntry {
         .orderBy("o_orderkey")
     }),
 
+    "q99_filtered_agg" -> ((s, dir) => {
+      // ANSI FILTER clause aggregates through the SQL face
+      events(s, dir).createOrReplaceTempView("graft_events")
+      s.sql("""SELECT user_id,
+                 CAST(count(*) FILTER (WHERE event_type = 'click') AS BIGINT) AS clicks,
+                 CAST(count(*) FILTER (WHERE event_type = 'purchase') AS BIGINT) AS purchases,
+                 CAST(sum(CAST(round(value * 100) AS BIGINT))
+                   FILTER (WHERE event_type = 'purchase') AS BIGINT) AS purchase_cents
+               FROM graft_events GROUP BY user_id ORDER BY user_id""")
+    }),
+
+    "q100_grouping_sets" -> ((s, dir) => {
+      // explicit GROUPING SETS with grouping() markers (beyond rollup/cube)
+      events(s, dir).createOrReplaceTempView("graft_events_gs")
+      s.sql("""SELECT event_type, CAST(user_id % 3 AS BIGINT) AS bucket,
+                 CAST(grouping(event_type) AS BIGINT) AS g_type,
+                 CAST(count(*) AS BIGINT) AS cnt
+               FROM graft_events_gs
+               GROUP BY GROUPING SETS ((event_type), (user_id % 3), ())
+               ORDER BY 1 NULLS FIRST, 2 NULLS FIRST""")
+    }),
+
     "q97_multiset_intersect" -> ((s, dir) => {
       // INTERSECT ALL multiset semantics: min multiplicity per partkey
       val a = table(s, dir, "lineitem")
@@ -1456,6 +1478,20 @@ object SparkEntry {
            CAST(ntile(4) OVER (PARTITION BY o_orderpriority
              ORDER BY o_totalprice, o_orderkey) AS BIGINT) AS quartile
          FROM orders ORDER BY 1""",
+    "q99_filtered_agg" ->
+      """SELECT user_id,
+           CAST(count(*) FILTER (WHERE event_type = 'click') AS BIGINT) AS clicks,
+           CAST(count(*) FILTER (WHERE event_type = 'purchase') AS BIGINT) AS purchases,
+           CAST(sum(CAST(round(value * 100) AS BIGINT))
+             FILTER (WHERE event_type = 'purchase') AS BIGINT) AS purchase_cents
+         FROM events GROUP BY user_id ORDER BY user_id""",
+    "q100_grouping_sets" ->
+      """SELECT event_type, CAST(user_id % 3 AS BIGINT) AS bucket,
+           CAST(grouping(event_type) AS BIGINT) AS g_type,
+           CAST(count(*) AS BIGINT) AS cnt
+         FROM events
+         GROUP BY GROUPING SETS ((event_type), (user_id % 3), ())
+         ORDER BY 1 NULLS FIRST, 2 NULLS FIRST""",
     "q97_multiset_intersect" ->
       """SELECT l_partkey, CAST(count(*) AS BIGINT) AS cnt FROM (
            SELECT l_partkey FROM lineitem WHERE l_quantity >= 25
