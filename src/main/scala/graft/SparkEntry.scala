@@ -733,6 +733,19 @@ object SparkEntry {
         .orderBy("o_orderkey")
     }),
 
+    "q101_next_purchase" -> ((s, dir) => {
+      // forward as-of: each click tagged with the user's NEXT purchase
+      val ev = events(s, dir).withColumn("ts_us", F.expr("ts DIV 1000"))
+      val clicks = ev.where(F.col("event_type") === "click")
+        .select("event_id", "user_id", "ts_us")
+      val purchases = ev.where(F.col("event_type") === "purchase")
+        .select("user_id", "ts_us", "event_id")
+      Temporal.asofJoinForward(clicks, purchases, "user_id",
+          "ts_us", "ts_us", "event_id", "next_purchase_id")
+        .select("event_id", "user_id", "next_purchase_id")
+        .orderBy("event_id")
+    }),
+
     "q99_filtered_agg" -> ((s, dir) => {
       // ANSI FILTER clause aggregates through the SQL face
       events(s, dir).createOrReplaceTempView("graft_events")
@@ -1478,6 +1491,19 @@ object SparkEntry {
            CAST(ntile(4) OVER (PARTITION BY o_orderpriority
              ORDER BY o_totalprice, o_orderkey) AS BIGINT) AS quartile
          FROM orders ORDER BY 1""",
+    "q101_next_purchase" ->
+      """WITH u AS (
+           SELECT user_id, epoch_us(ts) AS ts, 2 AS side, event_id AS pid, NULL::BIGINT AS event_id
+           FROM events WHERE event_type = 'purchase'
+           UNION ALL
+           SELECT user_id, epoch_us(ts), 1, NULL::BIGINT, event_id
+           FROM events WHERE event_type = 'click')
+         SELECT event_id, user_id, next_purchase_id FROM (
+           SELECT user_id, side, event_id,
+             first_value(pid IGNORE NULLS) OVER (
+               PARTITION BY user_id ORDER BY ts, side, coalesce(pid, event_id)
+               ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next_purchase_id
+           FROM u) WHERE side = 1 ORDER BY 1""",
     "q99_filtered_agg" ->
       """SELECT user_id,
            CAST(count(*) FILTER (WHERE event_type = 'click') AS BIGINT) AS clicks,

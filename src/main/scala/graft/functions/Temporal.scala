@@ -56,6 +56,36 @@ object Temporal {
         :+ F.col("__asof").as(outCol): _*)
   }
 
+  /** Forward as-of join: for each left row, the single EARLIEST right value
+    * with `rightTs >= leftTs` on the same key (NULL when nothing follows) —
+    * the "time to next conversion" shape. Same single-shuffle union+window
+    * structure as [[asofJoinBackward]], with a forward-looking
+    * `first(_, ignoreNulls)` window; right rows sort after left rows at an
+    * equal timestamp would EXCLUDE the bound, so side order keeps right
+    * first (inclusive), and right ties resolve to the smallest value. */
+  def asofJoinForward(left: DataFrame, right: DataFrame, key: String,
+      leftTs: String, rightTs: String, rightVal: String,
+      outCol: String): DataFrame = {
+    val payloadType = StructType(left.schema.fields)
+    val rvType = right.schema(rightVal).dataType
+    val l = left.select(
+      F.col(key).as("__k"), F.col(leftTs).cast("long").as("__ts"),
+      F.lit(1).as("__side"), F.lit(null).cast(rvType).as("__rv"),
+      F.struct(left.columns.map(F.col).toIndexedSeq: _*).as("__row"))
+    val r = right.select(
+      F.col(key).as("__k"), F.col(rightTs).cast("long").as("__ts"),
+      F.lit(2).as("__side"), F.col(rightVal).cast(rvType).as("__rv"),
+      F.lit(null).cast(payloadType).as("__row"))
+    val w = Window.partitionBy("__k")
+      .orderBy(F.col("__ts"), F.col("__side"), F.col("__rv"))
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    r.unionByName(l)
+      .withColumn("__asof", F.first("__rv", ignoreNulls = true).over(w))
+      .where(F.col("__side") === 1)
+      .select(left.columns.map(c => F.col(s"__row.$c")).toIndexedSeq
+        :+ F.col("__asof").as(outCol): _*)
+  }
+
   /** Gap-based sessionization: consecutive events of one `key` belong to the
     * same session while the gap to the previous event is <= `gapTicks`
     * (same unit as the `ts` column — ns for the driver's event feed). Output

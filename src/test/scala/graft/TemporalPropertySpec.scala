@@ -73,6 +73,23 @@ object TemporalPropertySpec extends Properties("TemporalOps") {
       out == expected
     }
 
+  property("asofJoinForward agrees with brute-force earliest-following lookup") =
+    Prop.forAll(Gen.listOfN(25, rowGen), Gen.listOfN(25, rowGen)) { (ls, rs) =>
+      import spark.implicits._
+      val left = ls.zipWithIndex.map { case ((k, t, _), i) => (k, t, i.toLong) }
+      val out = Temporal.asofJoinForward(
+          left.toDF("k", "t", "lid"), rs.toDF("k", "t", "v"),
+          "k", "t", "t", "v", "asof_v")
+        .select("lid", "asof_v").collect()
+        .map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getLong(1))))
+        .toMap
+      val expected = left.map { case (k, t, lid) =>
+        val nexts = rs.filter(r => r._1 == k && r._2 >= t)
+        lid -> (if (nexts.isEmpty) None else Some(nexts.minBy(r => (r._2, r._3))._3))
+      }.toMap
+      out == expected
+    }
+
   property("sessionize agrees with a brute-force gap scan") =
     Prop.forAll(Gen.listOfN(25, rowGen)) { rows =>
       import spark.implicits._
