@@ -733,6 +733,23 @@ object SparkEntry {
         .orderBy("o_orderkey")
     }),
 
+    "q102_funnel" -> ((s, dir) => {
+      // click→purchase funnel within 24h: users who clicked vs converted
+      val ev = events(s, dir).withColumn("ts_us", F.expr("ts DIV 1000"))
+      val clicks = ev.where(F.col("event_type") === "click")
+        .select("user_id", "ts_us")
+      val purchases = ev.where(F.col("event_type") === "purchase")
+        .select(F.col("user_id"), F.col("ts_us"), F.col("ts_us").as("p_ts"))
+      val withNext = Temporal.asofJoinForward(clicks, purchases, "user_id",
+        "ts_us", "ts_us", "p_ts", "next_p_ts")
+      val day = 86400L * 1000000L
+      withNext.agg(
+        F.countDistinct("user_id").as("n_click_users"),
+        F.countDistinct(F.when(
+          F.col("next_p_ts") - F.col("ts_us") <= day, F.col("user_id")))
+          .as("n_converted_users"))
+    }),
+
     "q101_next_purchase" -> ((s, dir) => {
       // forward as-of: each click tagged with the user's NEXT purchase
       val ev = events(s, dir).withColumn("ts_us", F.expr("ts DIV 1000"))
@@ -1491,6 +1508,14 @@ object SparkEntry {
            CAST(ntile(4) OVER (PARTITION BY o_orderpriority
              ORDER BY o_totalprice, o_orderkey) AS BIGINT) AS quartile
          FROM orders ORDER BY 1""",
+    "q102_funnel" ->
+      """WITH c AS (SELECT user_id, epoch_us(ts) AS ts FROM events WHERE event_type = 'click'),
+         p AS (SELECT user_id, epoch_us(ts) AS ts FROM events WHERE event_type = 'purchase')
+         SELECT
+           (SELECT CAST(count(DISTINCT user_id) AS BIGINT) FROM c) AS n_click_users,
+           (SELECT CAST(count(DISTINCT c.user_id) AS BIGINT)
+            FROM c JOIN p ON p.user_id = c.user_id
+              AND p.ts >= c.ts AND p.ts - c.ts <= 86400000000) AS n_converted_users""",
     "q101_next_purchase" ->
       """WITH u AS (
            SELECT user_id, epoch_us(ts) AS ts, 2 AS side, event_id AS pid, NULL::BIGINT AS event_id
