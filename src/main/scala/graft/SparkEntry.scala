@@ -733,6 +733,22 @@ object SparkEntry {
         .orderBy("o_orderkey")
     }),
 
+    "q103_retention" -> ((s, dir) => {
+      // hour-over-hour retention: of users active in hour h, how many are
+      // also active in h+1 (cohort self-join on distinct activity cells)
+      val active = events(s, dir)
+        .select(F.col("user_id"),
+          F.expr("ts DIV 3600000000000").cast("long").as("hour"))
+        .distinct()
+      val next = active.select(F.col("user_id"), (F.col("hour") - 1).as("hour"))
+      active.join(next.withColumn("__ret", F.lit(1L)),
+          Seq("user_id", "hour"), "left")
+        .groupBy("hour")
+        .agg(F.count(F.lit(1)).as("n_active"),
+          F.sum(F.coalesce(F.col("__ret"), F.lit(0L))).as("n_retained"))
+        .orderBy("hour")
+    }),
+
     "q102_funnel" -> ((s, dir) => {
       // click→purchase funnel within 24h: users who clicked vs converted
       val ev = events(s, dir).withColumn("ts_us", F.expr("ts DIV 1000"))
@@ -1508,6 +1524,13 @@ object SparkEntry {
            CAST(ntile(4) OVER (PARTITION BY o_orderpriority
              ORDER BY o_totalprice, o_orderkey) AS BIGINT) AS quartile
          FROM orders ORDER BY 1""",
+    "q103_retention" ->
+      """WITH a AS (SELECT DISTINCT user_id, epoch_us(ts) // 3600000000 AS hour FROM events)
+         SELECT a.hour, CAST(count(*) AS BIGINT) AS n_active,
+           CAST(sum(CASE WHEN EXISTS (
+             SELECT 1 FROM a n WHERE n.user_id = a.user_id AND n.hour = a.hour + 1)
+             THEN 1 ELSE 0 END) AS BIGINT) AS n_retained
+         FROM a GROUP BY 1 ORDER BY 1""",
     "q102_funnel" ->
       """WITH c AS (SELECT user_id, epoch_us(ts) AS ts FROM events WHERE event_type = 'click'),
          p AS (SELECT user_id, epoch_us(ts) AS ts FROM events WHERE event_type = 'purchase')

@@ -144,6 +144,23 @@ object TemporalPropertySpec extends Properties("TemporalOps") {
       got.forall(r => r.getLong(0) == r.getLong(1))
     }
 
+  property("packSequences chunk ids equal a sequential prefix-sum scan") =
+    Prop.forAll(Gen.listOfN(15, Gen.choose(0, 6))) { sizes =>
+      import spark.implicits._
+      val docs = sizes.zipWithIndex.map { case (n, i) =>
+        ("g", i.toLong, Seq.fill(n)("w").mkString(" "))
+      }
+      val out = graft.functions.Text
+        .packSequences(docs.toDF("grp", "id", "text"), "grp", "id", "text", 5L)
+        .collect().map(r => r.getLong(1) -> r.getLong(3)).toMap
+      var cum = 0L
+      val expected = docs.map { case (_, id, text) =>
+        val n = text.split(" ").count(_.nonEmpty).toLong
+        val chunk = cum / 5L; cum += n; id -> chunk
+      }.toMap
+      out == expected
+    }
+
   property("hoppingWindows: every row lands in exactly size/slide covering windows") =
     Prop.forAll(Gen.listOfN(20, Gen.choose(0L, 500L))) { ts =>
       import spark.implicits._
