@@ -122,6 +122,33 @@ class Stream(val df: DataFrame) extends Serializable {
     where(Operations.equalFields(in.names.map(F.col)))
   }
 
+  /** One-pass N-way split — the analog of core Storm's multiple named
+    * output streams (`OutputFieldsDeclarer.declareStream`, used e.g. by
+    * `MasterBatchCoordinator.java:46-48`'s $batch/$commit/$success
+    * streams). ONE scan of the parent: each tuple is tagged with the index
+    * of the FIRST predicate it matches (a bolt choosing its emit stream),
+    * the tagged frame is persisted, and each returned Stream filters the
+    * shared materialization — N downstream sinks never rescan the source.
+    * Tuples matching no predicate are dropped (add `lit(true)` as a
+    * catch-all branch to keep them). Call `unpersistSplit()` on any
+    * returned branch when all sinks are done. */
+  def split(predicates: Column*): Seq[Stream] = {
+    require(predicates.nonEmpty, "split needs at least one predicate")
+    val tag = F.coalesce(
+      predicates.zipWithIndex.map { case (p, i) => F.when(p, F.lit(i)) } :+
+        F.lit(-1): _*)
+    val tagged = df.withColumn("__branch", tag)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    predicates.indices.map(i =>
+      new Stream(tagged.where(F.col("__branch") === i).drop("__branch")) {
+        override def unpersistSplit(): Unit = { tagged.unpersist(); () }
+      })
+  }
+
+  /** Release the shared materialization created by [[split]] (call on any
+    * returned branch; no-op on non-split streams). */
+  def unpersistSplit(): Unit = ()
+
   /** `Stream.name`, Stream.java:72-74 — plan label (alias). */
   def named(n: String): Stream = new Stream(df.as(n))
 
@@ -209,7 +236,12 @@ class Stream(val df: DataFrame) extends Serializable {
       var any = false
       it.foreach { r => acc = agg.combine(acc, agg.init(inIdx.map(r.get))); any = true }
       if (any) Iterator(Row(acc)) else Iterator.empty
-    }(enc).coalesce(1).mapPartitions { it =>
+      // repartition(1), NOT coalesce(1): coalesce is a narrow dependency, so
+      // Spark would collapse the partial stage into the same single task and
+      // the per-partition combine above would never run in parallel. The
+      // real exchange keeps partials distributed and ships one row each —
+      // the reference's two-phase plan (ChainedAggregatorDeclarer.java:99-112).
+    }(enc).repartition(1).mapPartitions { it =>
       var acc = agg.zero
       it.foreach(r => acc = agg.combine(acc, r.get(0).asInstanceOf[T]))
       Iterator(Row(acc))
@@ -378,7 +410,10 @@ class Stream(val df: DataFrame) extends Serializable {
                         out: Seq[StructField]): Stream = {
     val tagged = df.rdd.map(r => (0, r.toSeq))
       .union(other.df.rdd.map(r => (1, r.toSeq)))
-    val folded = tagged.coalesce(1).mapPartitions { it =>
+    // repartition(1) = a real shuffle: both input scans stay parallel and
+    // only the fold is single-task (coalesce(1) would serialize the scans
+    // into that one task too)
+    val folded = tagged.repartition(1).mapPartitions { it =>
       var s = reducer.init()
       it.foreach { case (i, t) => s = reducer.execute(s, i, t) }
       reducer.complete(s).map(Row.fromSeq)

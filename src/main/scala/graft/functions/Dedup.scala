@@ -47,13 +47,20 @@ object Dedup {
 
   /** LSH band-bucket ids: bands of `rowsPerBand` consecutive minhashes,
     * hashed together. Docs sharing any band bucket are near-dup candidates;
-    * the downstream plan is a per-band shuffle on the (small) bucket id. */
+    * the downstream plan is a per-band shuffle on the (small) bucket id.
+    *
+    * Degenerate-input guard: a document with fewer than k tokens has a NULL
+    * signature ([[minhashSignature]]), and `concat` (unlike `concat_ws`)
+    * propagates that null into the band id — so the short-doc population
+    * never collapses into one shared md5("")-style mega-bucket. Null bands
+    * are then excluded from bucketing in [[lshCandidatePairs]]. */
   def lshBands(df: DataFrame, numHashes: Int, rowsPerBand: Int): DataFrame = {
     require(numHashes % rowsPerBand == 0, "numHashes must divide into bands")
     val bands = numHashes / rowsPerBand
     df.withColumns((0 until bands).map { b =>
       val cols = (b * rowsPerBand until (b + 1) * rowsPerBand).map(i => F.col(s"mh$i"))
-      s"band$b" -> F.md5(F.concat_ws("|", cols: _*))
+      val joined = cols.init.flatMap(c => Seq(c, F.lit("|"))) :+ cols.last
+      s"band$b" -> F.md5(F.concat(joined: _*))
     }.toMap)
   }
 
@@ -67,17 +74,44 @@ object Dedup {
     * (each self-join side re-derived it), and there is a single exchange
     * keyed on bucket ids instead of `bands` joins. The in-bucket pair
     * expansion is safe because LSH bucket cardinality is bounded by
-    * construction — a bucket that collects everything would mean the band
-    * hash is degenerate, not that the plan should tolerate it. */
-  def lshCandidatePairs(banded: DataFrame, idCol: String, bands: Int): DataFrame = {
+    * construction; the library still guards itself against degenerate
+    * collisions (identical signatures en masse) instead of trusting that:
+    *
+    *  - null bands (sub-k-token docs, [[lshBands]]) never enter a bucket;
+    *  - bucket MEMBERSHIP is counted before any id list is materialized, and
+    *    buckets over `maxBucketSize` are dropped with a warning + a counted
+    *    drop total (accumulator `graft.lsh.dropped_buckets`) — no silent
+    *    caps, and no `collect_list` OOM on a poisoned bucket. The size
+    *    pre-pass reuses the same hash partitioning on `bk` (count → join →
+    *    collect all cluster on one exchange), so the guard costs no extra
+    *    shuffle. */
+  def lshCandidatePairs(banded: DataFrame, idCol: String, bands: Int,
+      maxBucketSize: Int = 10000): DataFrame = {
+    val spark = banded.sparkSession
+    val dropped = spark.sparkContext.longAccumulator("graft.lsh.dropped_buckets")
     val bandCols = (0 until bands).map(b => F.col(s"band$b"))
-    banded
+    val tagged = banded
       .select(F.col(idCol).as("id"),
         F.posexplode(F.array(bandCols: _*)).as(Seq("bi", "bv")))
+      .where(F.col("bv").isNotNull)
       .select(F.col("id"), F.concat_ws("|", F.col("bi"), F.col("bv")).as("bk"))
+    val okBuckets = tagged.groupBy("bk").agg(F.count(F.lit(1)).as("__n"))
+      .where(F.col("__n") > 1)
+      .filter { (r: org.apache.spark.sql.Row) =>
+        val n = r.getLong(r.fieldIndex("__n"))
+        val keep = n <= maxBucketSize
+        if (!keep) {
+          dropped.add(1L)
+          org.slf4j.LoggerFactory.getLogger("graft.functions.Dedup").warn(
+            s"lshCandidatePairs: dropping degenerate bucket ${r.getString(0)} " +
+              s"with $n members (cap $maxBucketSize) — pairs from it are NOT emitted")
+        }
+        keep
+      }
+      .select("bk")
+    tagged.join(okBuckets, "bk")
       .groupBy("bk")
       .agg(F.array_sort(F.collect_list("id")).as("ids"))
-      .where(F.size(F.col("ids")) > 1)
       .select(F.explode(F.expr(
         "flatten(transform(ids, (x, i) -> transform(slice(ids, i + 2, size(ids)), y -> struct(x AS a, y AS b))))"))
         .as("p"))
@@ -176,20 +210,26 @@ object Dedup {
   }
 
   def duplicateClusters(pairs: DataFrame, aCol: String, bCol: String,
-      maxIter: Int = 12): DataFrame = {
+      maxIter: Int = 12, reliableCheckpoint: Boolean = false): DataFrame = {
+    val spark = pairs.sparkSession
+    // localCheckpoint stores to executor memory/disk — fine single-node and
+    // fast, but a lost executor kills the lineage at cluster scale. With a
+    // checkpoint dir set, `reliableCheckpoint = true` swaps in the
+    // fault-tolerant variant (same plan-flattening effect, HDFS-backed).
+    def cut(df: DataFrame): DataFrame =
+      if (reliableCheckpoint) df.checkpoint(true) else df.localCheckpoint(true)
     val fwd = pairs.select(F.col(aCol).as("src"), F.col(bCol).as("dst"))
-    val edges = fwd.union(fwd.select(F.col("dst").as("src"), F.col("src").as("dst")))
-      .distinct().localCheckpoint(true)
+    val edges = cut(fwd.union(fwd.select(F.col("dst").as("src"), F.col("src").as("dst")))
+      .distinct())
     // seed with min(self, direct neighbors) — exactly the first propagation
     // round, folded into initialization (one less join round; stars and
     // pairs, the dominant dup shapes, converge immediately)
-    var labels = edges.groupBy("src").agg(F.min("dst").as("__m"))
+    var labels = cut(edges.groupBy("src").agg(F.min("dst").as("__m"))
       .select(F.col("src").as("id"),
-        F.least(F.col("src"), F.col("__m")).as("cluster_id"))
-      .localCheckpoint(true)
+        F.least(F.col("src"), F.col("__m")).as("cluster_id")))
     var iter = 0
-    var converged = false
-    while (iter < maxIter && !converged) {
+    var changed = 1L
+    while (iter < maxIter && changed > 0) {
       val nbrMin = edges
         .join(labels.withColumnRenamed("id", "dst"), Seq("dst"))
         .groupBy(F.col("src").as("id"))
@@ -198,12 +238,29 @@ object Dedup {
         .select(F.col("id"),
           F.least(F.col("cluster_id"), F.coalesce(F.col("nbr_min"), F.col("cluster_id")))
             .as("cluster_id"),
-          (F.col("nbr_min") < F.col("cluster_id")).as("__chg"))
-        .localCheckpoint(true)
-      converged = next.where(F.col("__chg")).isEmpty
-      labels = next.drop("__chg")
+          F.coalesce(F.col("nbr_min") < F.col("cluster_id"), F.lit(false)).as("__chg"))
+      // convergence detection piggybacks on the SAME job that materializes
+      // the checkpoint: an accumulator counts changed rows as they stream
+      // past — no second `isEmpty` scan per round. A retried task can only
+      // over-count, which at worst costs one extra (no-op) round.
+      val acc = spark.sparkContext.longAccumulator(s"graft.cc.changed.$iter")
+      val chgIdx = next.schema.fieldIndex("__chg")
+      val counted = org.apache.spark.sql.graft.ColumnBridge.ofInternalRows(
+        spark,
+        next.queryExecution.toRdd.map { row =>
+          if (row.getBoolean(chgIdx)) acc.add(1L)
+          row
+        },
+        next.schema)
+      labels = cut(counted).drop("__chg")
+      changed = acc.value
       iter += 1
     }
+    if (changed > 0)
+      org.slf4j.LoggerFactory.getLogger("graft.functions.Dedup").warn(
+        s"duplicateClusters: NOT converged after $maxIter rounds — $changed labels still " +
+          "changing. A long-chain cluster is split across several cluster_ids; downstream " +
+          "leak-free splitting would treat its parts independently. Raise maxIter.")
     labels
   }
 }

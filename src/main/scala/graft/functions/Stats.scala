@@ -18,13 +18,16 @@ object Stats {
 
   /** Per-group mean and (population) standard deviation of an integer
     * column, plus each row's z-score — exact integer sums per group, one
-    * shuffle. `intCol` must be integer-valued (e.g. cents); squares must fit
-    * a long: |x| ≤ ~3M for billion-row groups. */
+    * shuffle. `intCol` must be integer-valued (e.g. cents) of any integer
+    * width — it is widened to long before squaring, so the bound is on the
+    * VALUES, not the column type: |x| ≤ ~3M keeps the summed squares inside
+    * a long for billion-row groups. */
   private def withMoments(df: DataFrame, groupCol: String, intCol: String): DataFrame = {
     val byGroup = Window.partitionBy(groupCol)
+    val xL = F.col(intCol).cast("long")
     df.withColumn("__n", F.count(F.lit(1)).over(byGroup))
-      .withColumn("__s", F.sum(F.col(intCol)).over(byGroup))
-      .withColumn("__ss", F.sum(F.col(intCol) * F.col(intCol)).over(byGroup))
+      .withColumn("__s", F.sum(xL).over(byGroup))
+      .withColumn("__ss", F.sum(xL * xL).over(byGroup))
       .withColumn("mean", F.col("__s").cast("double") / F.col("__n").cast("double"))
       .withColumn("variance",
         (F.col("__ss").cast("double") -

@@ -116,6 +116,63 @@ object Temporal {
         F.count(F.lit(1)).as("n_events"))
   }
 
+  /** Skew-safe [[asofJoinBackward]]: same semantics, but the heavy window
+    * partitions on (key, COARSE TIME BUCKET) instead of key alone — a
+    * single hot key (bot user with 10^9 events) spreads across
+    * span/bucketTicks tasks instead of serializing into one.
+    *
+    * Structure: (1) per (key, bucket), the bucket's FINAL right value —
+    * a partial-aggregated groupBy, tiny output; (2) a carry pass over those
+    * per-bucket rows (one window on session-count-sized data) computes each
+    * bucket's incoming value; (3) the carry is injected as a synthetic
+    * right row at each bucket's start, and the plain union+window runs
+    * partitioned by (key, bucket). Event rows still shuffle ONCE; the two
+    * extra exchanges move only per-bucket rows.
+    */
+  def asofJoinBackwardSalted(left: DataFrame, right: DataFrame, key: String,
+      leftTs: String, rightTs: String, rightVal: String, outCol: String,
+      bucketTicks: Long): DataFrame = {
+    require(bucketTicks > 0, "bucketTicks must be positive")
+    val payloadType = StructType(left.schema.fields)
+    val rvType = right.schema(rightVal).dataType
+    def bkt(c: Column): Column = c - F.pmod(c, F.lit(bucketTicks))
+    val l = left.select(
+      F.col(key).as("__k"), F.col(leftTs).cast("long").as("__ts"),
+      F.lit(1).as("__side"), F.lit(null).cast(rvType).as("__rv"),
+      F.struct(left.columns.map(F.col).toIndexedSeq: _*).as("__row"))
+      .withColumn("__bkt", bkt(F.col("__ts")))
+    val r = right.select(
+      F.col(key).as("__k"), F.col(rightTs).cast("long").as("__ts"),
+      F.lit(0).as("__side"), F.col(rightVal).cast(rvType).as("__rv"),
+      F.lit(null).cast(payloadType).as("__row"))
+      .withColumn("__bkt", bkt(F.col("__ts")))
+    // (1) final right value per bucket — struct max = (latest ts, then
+    // greatest value), the plain form's tie rule
+    val bucketFinal = r.groupBy("__k", "__bkt")
+      .agg(F.max(F.struct(F.col("__ts"), F.col("__rv"))).as("__fin"))
+    // (2) carry into each bucket = last final value of any EARLIER bucket
+    val allBuckets = l.select("__k", "__bkt").union(r.select("__k", "__bkt")).distinct()
+    val wCarry = Window.partitionBy("__k").orderBy("__bkt")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val carry = allBuckets.join(bucketFinal, Seq("__k", "__bkt"), "left")
+      .withColumn("__carry",
+        F.last(F.col("__fin").getField("__rv"), ignoreNulls = true).over(wCarry))
+      .where(F.col("__carry").isNotNull)
+      .select(F.col("__k"), F.col("__bkt").as("__ts"),
+        F.lit(-1).as("__side"), F.col("__carry").as("__rv"),
+        F.lit(null).cast(payloadType).as("__row"), F.col("__bkt"))
+    // (3) plain union+window, partitioned by (key, bucket); the synthetic
+    // carry row sits at bucket start with side -1, before any real row
+    val w = Window.partitionBy("__k", "__bkt")
+      .orderBy(F.col("__ts"), F.col("__side"), F.col("__rv"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    r.unionByName(l).unionByName(carry)
+      .withColumn("__asof", F.last("__rv", ignoreNulls = true).over(w))
+      .where(F.col("__side") === 1)
+      .select(left.columns.map(c => F.col(s"__row.$c")).toIndexedSeq
+        :+ F.col("__asof").as(outCol): _*)
+  }
+
   /** Hopping (sliding) window assignment: emits one row per (input row,
     * window) for windows of `sizeTicks` advancing every `slideTicks`
     * (`sizeTicks` must be a multiple of `slideTicks`). Adds `win_start` —
@@ -138,6 +195,47 @@ object Temporal {
     df.withColumn("win_start",
       F.explode(F.sequence(anchor - sizeTicks + slideTicks, anchor,
         F.lit(slideTicks))))
+  }
+
+  /** Skew-safe [[sessionize]]: identical output, but the per-event window
+    * partitions on (key, coarse bucket of `bucketTicks`) — pass 1 builds
+    * mini-sessions inside each bucket IN PARALLEL across a hot key's
+    * buckets, pass 2 stitches mini-sessions that straddle bucket
+    * boundaries (start within `gapTicks` of the previous end). Pass 2 only
+    * sees SESSION rows — for the dense traffic that creates hot keys,
+    * orders of magnitude fewer than events. `bucketTicks` must be ≥
+    * `gapTicks` so a session can only straddle adjacent buckets (stitching
+    * by adjacency stays exact). */
+  def sessionizeSalted(df: DataFrame, key: String, ts: String, gapTicks: Long,
+      tieBreak: String, bucketTicks: Long): DataFrame = {
+    require(bucketTicks >= gapTicks, "bucketTicks must be >= gapTicks")
+    val t = F.col(ts).cast("long")
+    val order = Window.partitionBy(F.col(key), F.col("__bkt"))
+      .orderBy(F.col(ts), F.col(tieBreak))
+    val run = order.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val mini = df.withColumn("__bkt", t - F.pmod(t, F.lit(bucketTicks)))
+      .withColumn("__prev", F.lag(F.col(ts), 1).over(order))
+      .withColumn("__new",
+        F.when(F.col("__prev").isNull ||
+          t - F.col("__prev").cast("long") > gapTicks, 1L).otherwise(0L))
+      .withColumn("__seq", F.sum("__new").over(run))
+      .groupBy(F.col(key), F.col("__bkt"), F.col("__seq"))
+      .agg(
+        F.min(t).as("__start"),
+        F.max(t).as("__end"),
+        F.count(F.lit(1)).as("__n"))
+    val o2 = Window.partitionBy(key).orderBy(F.col("__start"), F.col("__end"))
+    val r2 = o2.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    mini.withColumn("__pend", F.lag(F.col("__end"), 1).over(o2))
+      .withColumn("__stitch",
+        F.when(F.col("__pend").isNull ||
+          F.col("__start") - F.col("__pend") > gapTicks, 1L).otherwise(0L))
+      .withColumn("session_seq", F.sum("__stitch").over(r2))
+      .groupBy(F.col(key), F.col("session_seq"))
+      .agg(
+        F.min("__start").as("session_start"),
+        F.max("__end").as("session_end"),
+        F.sum("__n").as("n_events"))
   }
 
   /** Streaming face of [[sessionize]]: Structured Streaming's

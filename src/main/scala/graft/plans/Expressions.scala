@@ -3,7 +3,7 @@ package graft.plans
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression, XXH64}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ImplicitCastInputTypes, UnaryExpression, XXH64}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
@@ -59,8 +59,9 @@ object Expressions {
     * formulation matters). Codegen'd; engine-parity with the md5/substr/
     * conv spelling is exact, so the DuckDB oracles are unchanged. */
   case class Md5Bucket(child: Expression, buckets: Long)
-    extends UnaryExpression {
+    extends UnaryExpression with ImplicitCastInputTypes {
     require(buckets > 0, "buckets must be positive")
+    override def inputTypes: Seq[DataType] = Seq(StringType)
     override def dataType: DataType = LongType
     override def prettyName: String = "md5_bucket"
 
@@ -100,7 +101,8 @@ object Expressions {
     * (lat, lon) scans at 100 TB. Inputs are used mod 2^32; pre-scale to
     * that range. */
   case class ZOrder2(left: Expression, right: Expression)
-    extends BinaryExpression {
+    extends BinaryExpression with ImplicitCastInputTypes {
+    override def inputTypes: Seq[DataType] = Seq(LongType, LongType)
     override def dataType: DataType = LongType
     override def prettyName: String = "zorder2"
     override def nullSafeEval(l: Any, r: Any): Any =
@@ -124,7 +126,9 @@ object Expressions {
     * dedup, so visually-identical strings ("é" composed vs decomposed)
     * hash identically. Standard Unicode algorithm on both engines (DuckDB
     * `nfc_normalize` is the oracle spelling). */
-  case class NfcNormalize(child: Expression) extends UnaryExpression {
+  case class NfcNormalize(child: Expression)
+    extends UnaryExpression with ImplicitCastInputTypes {
+    override def inputTypes: Seq[DataType] = Seq(StringType)
     override def dataType: DataType = StringType
     override def prettyName: String = "nfc_normalize"
     override def nullSafeEval(input: Any): Any = nfc(input.asInstanceOf[UTF8String])

@@ -41,9 +41,13 @@ object TopK {
 
   /** Shared heap pass: reduce an iterator to ≤ k rows per key. The heap is
     * max-first under the sort order, so the head is the current worst
-    * survivor and a better row evicts it in O(log k). */
+    * survivor and a better row evicts it in O(log k). When `emitSorted`,
+    * each key's survivors are emitted in the SortOrder (cheap: ≤ k rows per
+    * key, already heap-ordered) — the final stage uses this so callers see
+    * rank order within each group, matching the window `row_number` form. */
   private def heapPerKey(iter: Iterator[InternalRow], keys: Seq[Expression],
-      order: Seq[SortOrder], k: Int, output: Seq[Attribute]): Iterator[InternalRow] = {
+      order: Seq[SortOrder], k: Int, output: Seq[Attribute],
+      emitSorted: Boolean = false): Iterator[InternalRow] = {
     val keyProj = UnsafeProjection.create(keys, output)
     val ord = RowOrdering.create(order, output)
     val heaps = new java.util.HashMap[InternalRow, scala.collection.mutable.PriorityQueue[InternalRow]]()
@@ -58,7 +62,10 @@ object TopK {
       else if (ord.lt(row, heap.head)) { heap.dequeue(); heap.enqueue(row.copy()) }
     }
     import scala.jdk.CollectionConverters._
-    heaps.values().iterator().asScala.flatMap(_.iterator)
+    if (emitSorted)
+      // dequeueAll drains worst-first (max-first heap); reverse = rank order
+      heaps.values().iterator().asScala.flatMap(_.dequeueAll.reverseIterator)
+    else heaps.values().iterator().asScala.flatMap(_.iterator)
   }
 
   /** Pre-shuffle stage: per input partition, keep ≤ k rows per key. */
@@ -84,7 +91,8 @@ object TopK {
       if (keys.isEmpty) AllTuples :: Nil
       else ClusteredDistribution(keys) :: Nil
     override protected def doExecute(): RDD[InternalRow] =
-      child.execute().mapPartitions(heapPerKey(_, keys, order, k, output))
+      child.execute().mapPartitions(
+        heapPerKey(_, keys, order, k, output, emitSorted = true))
     override protected def withNewChildInternal(c: SparkPlan): TopKFinalExec =
       copy(child = c)
   }

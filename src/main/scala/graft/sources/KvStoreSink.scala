@@ -58,7 +58,10 @@ object KvStoreSink {
     // replayed epoch: the batch was already durably applied — skip, don't
     // double-apply (the transactional-state contract)
     if (!epochs.add(java.lang.Long.valueOf(epochId))) return false
-    rows.foreach { case (k, v) => kv.merge(k, v, (a, b) => a + b) }
+    // update-mode semantics: a re-emitted key carries its NEW TOTAL, so the
+    // commit is put/overwrite per key — never an additive merge (a delta
+    // store would merge; this sink's contract is totals)
+    rows.foreach { case (k, v) => kv.put(k, v) }
     true
   }
 }
@@ -70,8 +73,8 @@ private[sources] class KvSinkTable(storeId: String) extends Table with SupportsW
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.STREAMING_WRITE)
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
-    // the update-as-append marker: per-epoch re-emissions of a key are
-    // additive merges in this store, which is exactly update-mode semantics
+    // the update-as-append marker: update mode re-emits a key with its new
+    // running total each epoch, and the commit overwrites that key's slot
     new WriteBuilder with org.apache.spark.sql.internal.connector.SupportsStreamingUpdateAsAppend {
       override def build(): Write = new Write {
         override def toStreaming: StreamingWrite = new KvStreamingWrite(storeId)

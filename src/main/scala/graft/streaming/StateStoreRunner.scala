@@ -1,18 +1,41 @@
 package graft.streaming
 
 import org.apache.spark.sql.{Dataset, Encoder, Encoders}
-import org.apache.spark.sql.streaming.{OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues}
+import org.apache.spark.sql.streaming.{ExpiredTimerInfo, OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues}
 
 /** Scale-native keyed state over Spark's state store —
   * `persistentAggregate` via `transformWithState` (SURVEY.md §7.1 path (a)).
   *
   * Where [[StreamRunner]] drives an external `IBackingMap` (the reference's
-  * MapState SPI, exactly-once via txid wrappers), this path keeps per-key
-  * state in the executor-local store (RocksDB provider, changelog in the
-  * checkpoint): no external round-trips, state co-partitioned with the
-  * shuffle, exactly-once via the checkpoint's version log rather than
-  * value-level txids. Emits the updated (key, value) on every change —
-  * `TridentState.newValuesStream` in Update mode.
+  * MapState SPI, exactly-once via txid value wrappers), this path keeps
+  * per-key state in the executor-local store (RocksDB provider, changelog
+  * in the checkpoint): no external round-trips, state co-partitioned with
+  * the shuffle.
+  *
+  * Exactly-once equivalence argument, per tier of the reference contract
+  * (`storm/trident/state/map` — TransactionalMap, OpaqueMap,
+  * NonTransactionalMap):
+  *
+  *  - TRANSACTIONAL tier (`TransactionalMap.java:40-95`): skip re-applying
+  *    a batch whose txid already committed. The state store gives the same
+  *    guarantee structurally — each micro-batch commits a store VERSION
+  *    keyed by batchId, and a replayed batch reloads the PRE-batch version
+  *    before re-applying, so a fold can never double-apply. Version log ≡
+  *    per-key txid, enforced store-wide instead of per value.
+  *  - OPAQUE tier (`OpaqueMap.java:40-85`): tolerate a REWRITTEN batch by
+  *    keeping (txid, curr, prev) and rolling back to prev. Structured
+  *    Streaming replays a batchId with the SAME offset range (WAL), and
+  *    the store reloads the pre-batch version — the rollback `prev` exists
+  *    as the previous version, so the rewritten-batch case is covered
+  *    without value-level bookkeeping.
+  *  - NON-TRANSACTIONAL tier: no replay protection anywhere; the store
+  *    tier is strictly stronger.
+  *
+  * All processors are value-GENERIC (any `S` with an `Encoder`), mirror the
+  * reference SPI surface (Combiner/Reducer folds), and expose the
+  * ListState/MapState handles plus event-time timers. Emits the updated
+  * (key, value) on every change — `TridentState.newValuesStream` in Update
+  * mode.
   *
   * Requires
   * `spark.sql.streaming.stateStore.providerClass=
@@ -20,20 +43,118 @@ import org.apache.spark.sql.streaming.{OutputMode, StatefulProcessor, TTLConfig,
   */
 object StateStoreRunner {
 
-  /** CombinerAggregator fold per key: state ← combine(state, init(row)). */
-  class CombinerProcessor[K, V](init: V => Long, combine: (Long, Long) => Long)
-    extends StatefulProcessor[K, V, (K, Long)] {
-    @transient private var state: org.apache.spark.sql.streaming.ValueState[Long] = _
+  /** CombinerAggregator fold per key, typed state: state ←
+    * combine(state, init(row)) (reference `MapCombinerAggStateUpdater`
+    * semantics, any value type). */
+  class CombinerProcessor[K, V, S](zero: S, initV: V => S, combine: (S, S) => S,
+                                   stateEnc: Encoder[S])
+    extends StatefulProcessor[K, V, (K, S)] {
+    @transient private var state: org.apache.spark.sql.streaming.ValueState[S] = _
 
     override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
-      state = getHandle.getValueState[Long]("agg", Encoders.scalaLong, TTLConfig.NONE)
+      state = getHandle.getValueState[S]("agg", stateEnc, TTLConfig.NONE)
 
     override def handleInputRows(key: K, rows: Iterator[V],
-                                 timerValues: TimerValues): Iterator[(K, Long)] = {
-      var acc = if (state.exists()) state.get() else 0L
-      rows.foreach(r => acc = combine(acc, init(r)))
+                                 timerValues: TimerValues): Iterator[(K, S)] = {
+      var acc = if (state.exists()) state.get() else zero
+      rows.foreach(r => acc = combine(acc, initV(r)))
       state.update(acc)
       Iterator.single((key, acc))
+    }
+  }
+
+  /** ReducerAggregator fold per key (`ReducerAggStateUpdater` semantics):
+    * no combine step — rows fold directly into the typed state. */
+  class ReducerProcessor[K, V, S](zero: () => S, reduce: (S, V) => S,
+                                  stateEnc: Encoder[S])
+    extends StatefulProcessor[K, V, (K, S)] {
+    @transient private var state: org.apache.spark.sql.streaming.ValueState[S] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      state = getHandle.getValueState[S]("acc", stateEnc, TTLConfig.NONE)
+
+    override def handleInputRows(key: K, rows: Iterator[V],
+                                 timerValues: TimerValues): Iterator[(K, S)] = {
+      var acc = if (state.exists()) state.get() else zero()
+      rows.foreach(r => acc = reduce(acc, r))
+      state.update(acc)
+      Iterator.single((key, acc))
+    }
+  }
+
+  /** ListState handle: bounded per-key event history (the state-store
+    * spelling of `TupleCollectionGet` — last `maxLen` values per key,
+    * oldest dropped). Emits the key's full history each batch. */
+  class HistoryProcessor[K, V](maxLen: Int, valEnc: Encoder[V])
+    extends StatefulProcessor[K, V, (K, Seq[V])] {
+    @transient private var hist: org.apache.spark.sql.streaming.ListState[V] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      hist = getHandle.getListState[V]("hist", valEnc, TTLConfig.NONE)
+
+    override def handleInputRows(key: K, rows: Iterator[V],
+                                 timerValues: TimerValues): Iterator[(K, Seq[V])] = {
+      val appended = (if (hist.exists()) hist.get().toVector else Vector.empty[V]) ++ rows
+      val bounded = appended.takeRight(maxLen)
+      hist.put(bounded.toArray[Any].asInstanceOf[Array[V]])
+      Iterator.single((key, bounded))
+    }
+  }
+
+  /** MapState handle: per-key SUB-keyed counts (e.g. per-user per-word) —
+    * the value-generic map face the reference's `MapState` SPI exposes,
+    * held in the store instead of an external backing map. Emits only the
+    * sub-keys touched this batch. */
+  class SubKeyCountProcessor[K, SK](subEnc: Encoder[SK])
+    extends StatefulProcessor[K, (K, SK), (K, SK, Long)] {
+    @transient private var m: org.apache.spark.sql.streaming.MapState[SK, Long] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      m = getHandle.getMapState[SK, Long]("counts", subEnc, Encoders.scalaLong, TTLConfig.NONE)
+
+    override def handleInputRows(key: K, rows: Iterator[(K, SK)],
+                                 timerValues: TimerValues): Iterator[(K, SK, Long)] = {
+      val touched = scala.collection.mutable.LinkedHashMap.empty[SK, Long]
+      rows.foreach { case (_, sk) =>
+        val n = (if (m.containsKey(sk)) m.getValue(sk) else 0L) + 1L
+        m.updateValue(sk, n)
+        touched(sk) = n
+      }
+      touched.iterator.map { case (sk, n) => (key, sk, n) }
+    }
+  }
+
+  /** Event-time TIMERS (the reference's tick tuples, `executor.clj` tick
+    * stream, on the native transformWithState timer API): each batch
+    * re-arms a per-key timer `idleMs` past the current watermark; when the
+    * watermark passes it with no new data, the key emits a
+    * (key, "tick", count) tuple and clears. Input rows emit ("data", n). */
+  class IdleTickProcessor[K](idleMs: Long)
+    extends StatefulProcessor[K, (K, java.sql.Timestamp), (K, String, Long)] {
+    @transient private var count: org.apache.spark.sql.streaming.ValueState[Long] = _
+    @transient private var armed: org.apache.spark.sql.streaming.ValueState[Long] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+      count = getHandle.getValueState[Long]("n", Encoders.scalaLong, TTLConfig.NONE)
+      armed = getHandle.getValueState[Long]("t", Encoders.scalaLong, TTLConfig.NONE)
+    }
+
+    override def handleInputRows(key: K, rows: Iterator[(K, java.sql.Timestamp)],
+                                 timerValues: TimerValues): Iterator[(K, String, Long)] = {
+      val n = (if (count.exists()) count.get() else 0L) + rows.size
+      count.update(n)
+      if (armed.exists()) getHandle.deleteTimer(armed.get())
+      val at = timerValues.getCurrentWatermarkInMs() + idleMs
+      getHandle.registerTimer(at)
+      armed.update(at)
+      Iterator.single((key, "data", n))
+    }
+
+    override def handleExpiredTimer(key: K, timerValues: TimerValues,
+                                    expiredTimerInfo: ExpiredTimerInfo): Iterator[(K, String, Long)] = {
+      val n = if (count.exists()) count.get() else 0L
+      count.clear(); armed.clear()
+      Iterator.single((key, "tick", n))
     }
   }
 
@@ -41,15 +162,52 @@ object StateStoreRunner {
     * running count per key each batch. */
   def runningCount[K: Encoder, V](grouped: Dataset[V], key: V => K)
                                  (implicit outEnc: Encoder[(K, Long)]): Dataset[(K, Long)] =
-    grouped.groupByKey(key)
-      .transformWithState(new CombinerProcessor[K, V](_ => 1L, _ + _),
-        TimeMode.None(), OutputMode.Update())
+    runningCombine[K, V, Long](grouped, key, 0L, _ => 1L, _ + _, Encoders.scalaLong)
 
-  /** Generic combiner fold (long-valued) with a per-row init. */
+  /** Long-valued combiner fold — kept as the common fast path. */
   def runningFold[K: Encoder, V](grouped: Dataset[V], key: V => K, init: V => Long,
                                  combine: (Long, Long) => Long)
                                 (implicit outEnc: Encoder[(K, Long)]): Dataset[(K, Long)] =
+    runningCombine[K, V, Long](grouped, key, 0L, init, combine, Encoders.scalaLong)
+
+  /** Value-generic combiner fold: any state type with an Encoder. */
+  def runningCombine[K: Encoder, V, S](grouped: Dataset[V], key: V => K, zero: S,
+                                       init: V => S, combine: (S, S) => S,
+                                       stateEnc: Encoder[S])
+                                      (implicit outEnc: Encoder[(K, S)]): Dataset[(K, S)] =
     grouped.groupByKey(key)
-      .transformWithState(new CombinerProcessor[K, V](init, combine),
+      .transformWithState(new CombinerProcessor[K, V, S](zero, init, combine, stateEnc),
         TimeMode.None(), OutputMode.Update())
+
+  /** Value-generic reducer fold (no combine step). */
+  def runningReduce[K: Encoder, V, S](grouped: Dataset[V], key: V => K,
+                                      zero: () => S, reduce: (S, V) => S,
+                                      stateEnc: Encoder[S])
+                                     (implicit outEnc: Encoder[(K, S)]): Dataset[(K, S)] =
+    grouped.groupByKey(key)
+      .transformWithState(new ReducerProcessor[K, V, S](zero, reduce, stateEnc),
+        TimeMode.None(), OutputMode.Update())
+
+  /** Bounded per-key history via the ListState handle. */
+  def history[K: Encoder, V](ds: Dataset[V], key: V => K, maxLen: Int,
+                             valEnc: Encoder[V])
+                            (implicit outEnc: Encoder[(K, Seq[V])]): Dataset[(K, Seq[V])] =
+    ds.groupByKey(key)
+      .transformWithState(new HistoryProcessor[K, V](maxLen, valEnc),
+        TimeMode.None(), OutputMode.Update())
+
+  /** Per-key sub-keyed running counts via the MapState handle. */
+  def subKeyCounts[K: Encoder, SK](ds: Dataset[(K, SK)], subEnc: Encoder[SK])
+                                  (implicit outEnc: Encoder[(K, SK, Long)]): Dataset[(K, SK, Long)] =
+    ds.groupByKey(_._1)
+      .transformWithState(new SubKeyCountProcessor[K, SK](subEnc),
+        TimeMode.None(), OutputMode.Update())
+
+  /** Idle-key ticks on event-time timers; `ds` = (key, event timestamp)
+    * with a watermark already set on the timestamp column. */
+  def idleTicks[K: Encoder](ds: Dataset[(K, java.sql.Timestamp)], idleMs: Long)
+                           (implicit outEnc: Encoder[(K, String, Long)]): Dataset[(K, String, Long)] =
+    ds.groupByKey(_._1)
+      .transformWithState(new IdleTickProcessor[K](idleMs),
+        TimeMode.EventTime(), OutputMode.Update())
 }

@@ -119,14 +119,29 @@ object StreamRunner {
       }
       .start()
 
-  /** One batch of [[partitionPersist]] — exposed for replay tests. */
+  /** One batch of [[partitionPersist]] — exposed for replay tests.
+    *
+    * Distributed: the `StateUpdater` runs ON THE EXECUTORS, once per
+    * partition with that partition's tuples, against the state handle
+    * serialized post-`beginCommit` (so every task carries the txid) — the
+    * reference's per-partition committer layout
+    * (`PartitionPersistProcessor.java:36-106`). Only the commit bracket
+    * runs on the driver; the batch itself never collects, so a fat
+    * micro-batch can't OOM the driver at scale.
+    *
+    * Contract (same as the reference): if the updater folds per-key
+    * transactional state, the input must be KEY-PARTITIONED upstream
+    * (`partitionBy`/`groupBy`) — a key written from two partitions under
+    * one txid reads as a replay in the second writer and is skipped. */
   def partitionPersistBatch[S <: MapState[_]](batch: DataFrame, txid: Long,
                                               in: Fields, state: S,
                                               updater: StateUpdater[S]): Unit = {
-    val tuples = batch.select(in.names.map(F.col): _*).collect()
-      .map(_.toSeq).toSeq
+    val proj = batch.select(in.names.map(F.col): _*)
     state.beginCommit(Some(txid))
-    updater.updateState(state, tuples)
+    proj.foreachPartition { (it: Iterator[Row]) =>
+      val tuples = it.map(_.toSeq).toVector
+      if (tuples.nonEmpty) { updater.updateState(state, tuples); () }
+    }
     state.commit(Some(txid))
   }
 

@@ -17,4 +17,14 @@ object ColumnBridge {
              plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): org.apache.spark.sql.DataFrame =
     org.apache.spark.sql.classic.Dataset.ofRows(
       spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession], plan)
+
+  /** DataFrame over an InternalRow RDD (`internalCreateDataFrame` is
+    * `private[sql]`) — lets an instrumented pass-through (e.g. an
+    * accumulator piggybacked on a materialization job) stay at the
+    * InternalRow tier instead of round-tripping through external Rows. */
+  def ofInternalRows(spark: org.apache.spark.sql.SparkSession,
+                     rdd: org.apache.spark.rdd.RDD[org.apache.spark.sql.catalyst.InternalRow],
+                     schema: org.apache.spark.sql.types.StructType): org.apache.spark.sql.DataFrame =
+    spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+      .internalCreateDataFrame(rdd, schema)
 }

@@ -138,10 +138,12 @@ class BatchLogSourceSpec extends AnyFunSuite {
     q.processAllAvailable()
     q.stop()
 
-    // update-mode per-epoch emissions fold into the store additively per
-    // key: epoch 0 wrote a→2 b→1; epoch 1 re-emitted a's new total
+    // update mode re-emits a key with its NEW TOTAL and the sink commit
+    // overwrites that key's slot: epoch 0 wrote a→2 b→1; epoch 1 re-emitted
+    // a→3 (not a +1 delta — an additive merge would land on 5)
     assert(KvStoreSink.committedEpochs(id) == Set(0L, 1L))
     val afterRun = KvStoreSink.snapshot(id)
+    assert(afterRun("a") == 3L)
     assert(afterRun("b") == 1L)
 
     // a recovering query re-commits epoch 1 — the sink must recognize and

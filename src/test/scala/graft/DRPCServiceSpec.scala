@@ -1,0 +1,92 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{functions => F}
+import org.scalatest.funsuite.AnyFunSuite
+import graft.drpc.{DRPCExecutionException, DRPCService, LocalDRPC}
+
+/** The DRPC daemon semantics (`daemon/drpc.clj:48-123`): execute blocks its
+  * caller, concurrent requests stay isolated, slow requests hit the timeout
+  * loop, and the same surface answers over HTTP. */
+class DRPCServiceSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private def newDrpc(): LocalDRPC = {
+    val drpc = new LocalDRPC(spark)
+    drpc.register("wordlen", { args =>
+      spark.range(1).select(F.lit(args).as("args"),
+        F.length(F.lit(args)).cast("long").as("len"))
+    })
+    drpc.register("slow", { args =>
+      Thread.sleep(3000L)
+      spark.range(1).select(F.lit(args).as("args"))
+    })
+    drpc
+  }
+
+  test("two concurrent requests are isolated; a slow one times out") {
+    val svc = new DRPCService(newDrpc(), requestTimeoutMs = 800L).start(workers = 3)
+    try {
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.duration._
+      import scala.concurrent.ExecutionContext.Implicits.global
+      val a = Future(svc.execute("wordlen", "abc"))
+      val b = Future(svc.execute("wordlen", "longer-args"))
+      val slow = Future(svc.execute("slow", "x"))
+      assert(Await.result(a, 30.seconds) == "[[\"abc\",3]]")
+      assert(Await.result(b, 30.seconds) == "[[\"longer-args\",11]]")
+      val err = intercept[DRPCExecutionException] { Await.result(slow, 30.seconds) }
+      assert(err.getMessage.contains("timed out"))
+      assert(svc.pendingCount == 0)
+    } finally svc.stop()
+  }
+
+  test("unknown function fails the request with a reason") {
+    val svc = new DRPCService(newDrpc(), requestTimeoutMs = 5000L).start(workers = 1)
+    try {
+      val err = intercept[DRPCExecutionException] { svc.execute("nope", "x") }
+      assert(err.getMessage.contains("unknown DRPC function"))
+    } finally svc.stop()
+  }
+
+  test("manual worker face: fetchRequest → result completes the blocked caller") {
+    // no built-in workers: an external topology drains the queue, the
+    // reference's DRPCSpout/ReturnResults contract
+    val svc = new DRPCService(newDrpc(), requestTimeoutMs = 5000L)
+    val sweeperless = new Thread(() => {
+      var served = false
+      while (!served) {
+        svc.fetchRequest("manual") match {
+          case Some((id, args)) => svc.result(id, s"[[\"$args-served\"]]"); served = true
+          case None => Thread.sleep(10L)
+        }
+      }
+    })
+    sweeperless.setDaemon(true); sweeperless.start()
+    assert(svc.execute("manual", "req") == "[[\"req-served\"]]")
+  }
+
+  test("HTTP face: 200 on success, 404 unknown, 408 timeout") {
+    val svc = new DRPCService(newDrpc(), requestTimeoutMs = 800L).start(workers = 2)
+    val port = svc.startHttp()
+    def post(fn: String, body: String): (Int, String) = {
+      val conn = new java.net.URL(s"http://127.0.0.1:$port/drpc/$fn")
+        .openConnection().asInstanceOf[java.net.HttpURLConnection]
+      conn.setRequestMethod("POST"); conn.setDoOutput(true)
+      conn.getOutputStream.write(body.getBytes("UTF-8"))
+      val code = conn.getResponseCode
+      val is = if (code >= 400) conn.getErrorStream else conn.getInputStream
+      val out = new String(is.readAllBytes(), "UTF-8")
+      (code, out)
+    }
+    try {
+      assert(post("wordlen", "hey") == ((200, "[[\"hey\",3]]")))
+      assert(post("nope", "x")._1 == 404)
+      assert(post("slow", "x")._1 == 408)
+    } finally svc.stop()
+  }
+}

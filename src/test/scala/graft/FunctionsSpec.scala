@@ -74,6 +74,28 @@ class FunctionsSpec extends AnyFunSuite {
     assert(pairs.head._3 > 0.5)
   }
 
+  test("LSH degenerate buckets: short docs never bucket; oversize buckets drop with a count") {
+    // 10k sub-k-token docs — before the guard these all hashed to the
+    // identical empty-shingle signature and formed ONE mega-bucket
+    // (quadratic pair blowup / executor OOM); now their null signatures
+    // carry null bands and bucketing skips them entirely
+    val shorts = (1L to 10000L).map(i => (i, "word")).toDF("doc_id", "text")
+    val banded = Dedup.lshBands(
+      Dedup.minhashSignature(shorts, "text", k = 3, numHashes = 8), 8, 2)
+    assert(Dedup.lshCandidatePairs(banded, "doc_id", 4).count() == 0L)
+
+    // identical LONG docs DO share buckets — the cap drops the bucket with
+    // a logged count instead of expanding ~n²/2 pairs
+    val dups = (1L to 50L).map(i => (i, "alpha beta gamma delta epsilon zeta"))
+      .toDF("doc_id", "text")
+    val bandedDups = Dedup.lshBands(
+      Dedup.minhashSignature(dups, "text", k = 3, numHashes = 8), 8, 2)
+    val capped = Dedup.lshCandidatePairs(bandedDups, "doc_id", 4, maxBucketSize = 10)
+    assert(capped.count() == 0L)
+    val uncapped = Dedup.lshCandidatePairs(bandedDups, "doc_id", 4)
+    assert(uncapped.count() == 50L * 49L / 2L)
+  }
+
   test("simhash: identical docs match, near docs within small hamming distance") {
     val df = Seq(
       ("a b c d e f g h", "a b c d e f g h", "a b c d e f g zz"))

@@ -135,19 +135,34 @@ class MiscSpec extends AnyFunSuite {
 
   test("partitionPersist: raw StateUpdater tier with txid bracketing and replay skip") {
     MemoryBackingMap.clear("pp")
+    MiscSpec.updaterPartitions.clear()
     val state = new TransactionalMap[Long](new MemoryBackingMap[TransactionalValue[Long]]("pp"))
     val appendCount = new StateUpdater[TransactionalMap[Long]] {
       def updateState(s: TransactionalMap[Long], tuples: Seq[Seq[Any]]): Seq[Seq[Any]] = {
+        // proves the updater runs inside an executor task, not a driver
+        // collect: TaskContext exists only on the task execution path
+        MiscSpec.updaterPartitions.add(
+          org.apache.spark.TaskContext.get() match {
+            case null => -1
+            case tc => tc.partitionId()
+          })
         val byKey = tuples.groupBy(_.head).view.mapValues(_.size.toLong).toSeq
         s.multiUpdate(byKey.map(kv => Seq(kv._1)),
           byKey.map(kv => CombinerValueUpdater[Long](kv._2, _ + _)))
         byKey.map { case (k, n) => Seq(k, n) }
       }
     }
-    val batch = Seq("x", "x", "y").toDF("word")
+    // key-partitioned input, as the reference requires (partitionPersist
+    // follows partitionBy/groupBy): a transactional per-key fold from TWO
+    // partitions under one txid would read as a replay and be skipped
+    val batch = Seq("x", "x", "y").toDF("word").repartition(3, $"word")
     graft.streaming.StreamRunner.partitionPersistBatch(batch, 0L, Fields("word"), state, appendCount)
     graft.streaming.StreamRunner.partitionPersistBatch(batch, 0L, Fields("word"), state, appendCount)
     assert(MemoryBackingMap.snapshot[TransactionalValue[Long]]("pp")(Seq("x")).value == 2L)
+    import scala.jdk.CollectionConverters._
+    val parts = MiscSpec.updaterPartitions.asScala.toSet
+    assert(parts.nonEmpty && parts.forall(_ >= 0),
+      s"StateUpdater must run per partition on executors, saw partition ids $parts")
   }
 
   test("multiReduceAll folds two unkeyed streams in one accumulator") {
@@ -186,4 +201,6 @@ class MiscSpec extends AnyFunSuite {
 object MiscSpec {
   val prepared = new java.util.concurrent.atomic.AtomicInteger(0)
   val cleaned = new java.util.concurrent.atomic.AtomicInteger(0)
+  val updaterPartitions: java.util.Set[Integer] =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[Integer]()
 }

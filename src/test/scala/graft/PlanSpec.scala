@@ -90,4 +90,23 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("TopKPartial") && p.contains("TopKFinal"), s"native TopK not planned:\n$p")
     assert(!p.contains("Window"), s"window fallback leaked in:\n$p")
   }
+
+  test("SPI whole-stream aggregate keeps a real Exchange between partial and final stages") {
+    // coalesce(1) here would be a narrow dependency — Spark would collapse
+    // the partial stage into the single final task and the per-partition
+    // combine would never run in parallel (the round-2 `weak` finding)
+    import spark.implicits._
+    import org.apache.spark.sql.types.{LongType, StructField}
+    val src = (1 to 100).toDF("n").repartition(4)
+    val sum = new graft.api.Operations.CombinerAggregator[Long] {
+      def init(t: Seq[Any]): Long = t.head.asInstanceOf[Int].toLong
+      def combine(a: Long, b: Long): Long = a + b
+      def zero: Long = 0L
+    }
+    val agg = new graft.api.Stream(src)
+      .aggregate(graft.api.Fields("n"), sum, StructField("total", LongType))
+    val p = agg.toDF.queryExecution.executedPlan.toString
+    assert(exchanges(p) >= 1, s"no exchange between partial and final SPI stages:\n$p")
+    assert(agg.toDF.as[Long].head() == 5050L)
+  }
 }

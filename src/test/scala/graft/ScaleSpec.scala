@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.{functions => F}
 import org.scalatest.funsuite.AnyFunSuite
-import graft.functions.Scale
+import graft.functions.{Scale, Temporal}
 
 /** Skew and co-location utilities: salted aggregation/joins match their
   * unsalted results; bucketed tables join without an exchange. */
@@ -133,5 +133,38 @@ class ScaleSpec extends AnyFunSuite {
     assert(joined.collect().length == 40000 + 1999)
     val plan = joined.queryExecution.executedPlan.toString
     assert(plan.contains("skew=true"), s"AQE did not mark the skew join:\n$plan")
+  }
+
+  test("salted sessionize/as-of spread one hot key across many tasks, same results") {
+    import spark.implicits._
+    // one bot user with 20k dense events + a handful of normal users: the
+    // plain forms serialize the bot into ONE window task; the salted forms
+    // partition on (key, time bucket) so the bot spans span/bucket tasks
+    val bot = (0L until 20000L).map(t => ("bot", t * 2, t))
+    val normal = for (u <- 1 to 5; t <- 0 to 50)
+      yield (s"u$u", t * 97L, (u * 1000 + t).toLong)
+    val events = (bot ++ normal).toDF("k", "t", "id")
+    val gap = 10L
+    val bucketTicks = 1000L
+    val plainS = Temporal.sessionize(events, "k", "t", gap, "id")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toSet
+    val saltedS = Temporal.sessionizeSalted(events, "k", "t", gap, "id", bucketTicks)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toSet
+    assert(saltedS == plainS)
+
+    val quotes = (0L until 2000L).map(t => ("bot", t * 20, t)).toDF("k", "t", "v")
+    def norm(df: org.apache.spark.sql.DataFrame) = df.select("id", "asof_v")
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
+    val plainA = norm(Temporal.asofJoinBackward(events, quotes, "k", "t", "t", "v", "asof_v"))
+    val saltedA = norm(Temporal.asofJoinBackwardSalted(events, quotes, "k", "t", "t", "v",
+      "asof_v", bucketTicks))
+    assert(saltedA == plainA)
+
+    // the heavy window really partitions on (key, bucket): its exchange
+    // hashes both columns
+    val p = Temporal.sessionizeSalted(events, "k", "t", gap, "id", bucketTicks)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("__bkt"), s"salted form lost the bucket salt:\n$p")
   }
 }

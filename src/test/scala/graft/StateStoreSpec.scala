@@ -2,11 +2,15 @@ package graft
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.Trigger
+import org.apache.spark.sql.{functions => F, Encoders}
 import org.scalatest.funsuite.AnyFunSuite
 import graft.streaming.StateStoreRunner
 
-/** transformWithState path: executor-local keyed state (RocksDB store),
-  * running word count across micro-batches. */
+/** transformWithState path: executor-local keyed state (RocksDB store) —
+  * value-generic folds, ListState/MapState handles, event-time timers, and
+  * the kill/restart replay that proves the checkpoint-version exactly-once
+  * argument (StateStoreRunner scaladoc) holds in practice. */
 class StateStoreSpec extends AnyFunSuite {
   lazy val spark: SparkSession = SparkSession.builder()
     .master("local[2]")
@@ -26,7 +30,7 @@ class StateStoreSpec extends AnyFunSuite {
       input.toDS().flatMap(_.split(" ")), identity)
     val q = counts.writeStream.outputMode("update")
       .format("memory").queryName("twscounts")
-      .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime(0L))
+      .trigger(Trigger.ProcessingTime(0L))
       .start()
     q.processAllAvailable()
     input.addData("the moon")
@@ -40,4 +44,143 @@ class StateStoreSpec extends AnyFunSuite {
     assert(latest("man") == 1L)
     assert(latest("moon") == 1L)
   }
+
+  test("kill/restart replay: RocksDB word count survives and hash-matches the MapState path") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.state._
+    val ck = java.nio.file.Files.createTempDirectory("tws-restart").toString
+    val input = MemoryStream[String]
+    StateStoreSpec.restartSink.clear()
+    def startQuery() =
+      StateStoreRunner.runningCount[String, String](
+          input.toDS().flatMap(_.split(" ")), identity)
+        .writeStream.outputMode("update")
+        .option("checkpointLocation", ck)   // memory sink can't recover; foreachBatch can
+        .foreachBatch { (batch: org.apache.spark.sql.Dataset[(String, Long)], _: Long) =>
+          batch.collect().foreach { case (k, n) => StateStoreSpec.restartSink.put(k, n); () }
+        }
+        .trigger(Trigger.ProcessingTime(0L))
+        .start()
+
+    val q1 = startQuery()
+    input.addData("the man said the word")
+    q1.processAllAvailable()
+    q1.stop()                       // kill mid-stream
+    input.addData("the man on the moon")
+    val q2 = startQuery()           // restart from the checkpoint
+    q2.processAllAvailable()
+    q2.stop()
+
+    import scala.jdk.CollectionConverters._
+    val storeCounts: Map[String, Long] = StateStoreSpec.restartSink.asScala.toMap
+      .map { case (k, v) => k -> v.longValue() }
+
+    // the SAME stream of words through the external-MapState tier
+    // (StreamRunner.applyBatch with an OpaqueMap) must agree key-for-key
+    MemoryBackingMap.clear("tws-vs-map")
+    val map = new OpaqueMap[Long](new MemoryBackingMap[OpaqueValue[Long]]("tws-vs-map"))
+    val words = "the man said the word the man on the moon".split(" ").toSeq.toDF("word")
+    graft.streaming.StreamRunner.applyBatch[Long](words, 0L, graft.api.Fields("word"),
+      F.count(F.lit(1)).as("cnt"), _ + _, map)
+    val mapCounts = MemoryBackingMap.snapshot[OpaqueValue[Long]]("tws-vs-map")
+      .map { case (k, v) => k.head.toString -> v.curr }
+    assert(storeCounts == mapCounts)
+    assert(storeCounts("the") == 4L)
+  }
+
+  test("value-generic state: (count, max) tuple fold per key") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(String, Double)]
+    val folded = StateStoreRunner.runningCombine[String, (String, Double), (Long, Double)](
+      input.toDS(), _._1,
+      zero = (0L, Double.NegativeInfinity),
+      init = r => (1L, r._2),
+      combine = (a, b) => (a._1 + b._1, math.max(a._2, b._2)),
+      stateEnc = Encoders.tuple(Encoders.scalaLong, Encoders.scalaDouble))
+    val q = folded.writeStream.outputMode("update")
+      .format("memory").queryName("twsgeneric")
+      .trigger(Trigger.ProcessingTime(0L)).start()
+    input.addData(("a", 1.0), ("a", 5.0), ("b", 2.0))
+    q.processAllAvailable()
+    input.addData(("a", 3.0))
+    q.processAllAvailable()
+    q.stop()
+    val latest = spark.table("twsgeneric").as[(String, (Long, Double))].collect()
+      .groupBy(_._1).view.mapValues(_.maxBy(_._2._1)._2).toMap
+    assert(latest("a") == ((3L, 5.0)))
+    assert(latest("b") == ((1L, 2.0)))
+  }
+
+  test("ListState history handle keeps a bounded per-key event history") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(String, String)]
+    val hist = StateStoreRunner.history[String, (String, String)](
+      input.toDS(), _._1, maxLen = 3,
+      valEnc = Encoders.tuple(Encoders.STRING, Encoders.STRING))
+    val q = hist.writeStream.outputMode("update")
+      .format("memory").queryName("twshist")
+      .trigger(Trigger.ProcessingTime(0L)).start()
+    input.addData(("u1", "a"), ("u1", "b"))
+    q.processAllAvailable()
+    input.addData(("u1", "c"), ("u1", "d"))  // 4 events, cap 3 → oldest drops
+    q.processAllAvailable()
+    q.stop()
+    val latest = spark.table("twshist").as[(String, Seq[(String, String)])].collect()
+      .groupBy(_._1).view.mapValues(_.maxBy(_._2.size)._2).toMap
+    assert(latest("u1").map(_._2) == Seq("b", "c", "d"))
+  }
+
+  test("MapState handle: per-key sub-keyed counts") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(String, String)]
+    val counts = StateStoreRunner.subKeyCounts[String, String](
+      input.toDS(), Encoders.STRING)
+    val q = counts.writeStream.outputMode("update")
+      .format("memory").queryName("twssub")
+      .trigger(Trigger.ProcessingTime(0L)).start()
+    input.addData(("u1", "click"), ("u1", "click"), ("u1", "view"), ("u2", "click"))
+    q.processAllAvailable()
+    input.addData(("u1", "click"))
+    q.processAllAvailable()
+    q.stop()
+    val latest = spark.table("twssub").as[(String, String, Long)].collect()
+      .groupBy(r => (r._1, r._2)).view.mapValues(_.map(_._3).max).toMap
+    assert(latest(("u1", "click")) == 3L)
+    assert(latest(("u1", "view")) == 1L)
+    assert(latest(("u2", "click")) == 1L)
+  }
+
+  test("event-time timers: idle keys emit a tick when the watermark passes") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    def ts(minute: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 10:$minute%02d:00")
+    val input = MemoryStream[(String, java.sql.Timestamp)]
+    val ticks = StateStoreRunner.idleTicks[String](
+      input.toDS().toDF("k", "ts")
+        .withWatermark("ts", "0 seconds")
+        .as[(String, java.sql.Timestamp)],
+      idleMs = 5 * 60 * 1000L)
+    val q = ticks.writeStream.outputMode("update")
+      .format("memory").queryName("twsticks")
+      .trigger(Trigger.ProcessingTime(0L)).start()
+    input.addData(("a", ts(0)), ("a", ts(1)))
+    q.processAllAvailable()
+    input.addData(("b", ts(30)))   // watermark jumps past a's timer
+    q.processAllAvailable()
+    input.addData(("c", ts(31)))   // next batch fires the expired timer
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("twsticks").as[(String, String, Long)].collect().toSet
+    assert(rows.contains(("a", "data", 2L)))
+    assert(rows.contains(("a", "tick", 2L)))
+  }
+}
+
+object StateStoreSpec {
+  // static so the foreachBatch closure reaches the same map after restart
+  val restartSink = new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
 }

@@ -114,6 +114,34 @@ object TemporalPropertySpec extends Properties("TemporalOps") {
       out == expected
     }
 
+  property("asofJoinBackwardSalted matches the plain form on arbitrary inputs") =
+    Prop.forAll(Gen.listOfN(25, rowGen), Gen.listOfN(25, rowGen),
+        Gen.oneOf(1L, 5L, 13L, 100L)) { (ls, rs, bucket) =>
+      import spark.implicits._
+      val left = ls.zipWithIndex.map { case ((k, t, _), i) => (k, t, i.toLong) }
+        .toDF("k", "t", "lid")
+      val right = rs.toDF("k", "t", "v")
+      def norm(df: org.apache.spark.sql.DataFrame) = df.select("lid", "asof_v")
+        .collect().map(r => r.getLong(0) ->
+          (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
+      norm(Temporal.asofJoinBackwardSalted(left, right, "k", "t", "t", "v",
+        "asof_v", bucket)) ==
+        norm(Temporal.asofJoinBackward(left, right, "k", "t", "t", "v", "asof_v"))
+    }
+
+  property("sessionizeSalted matches the plain form on arbitrary inputs") =
+    Prop.forAll(Gen.listOfN(25, rowGen), Gen.oneOf(7L, 11L, 50L)) { (rows, bucket) =>
+      import spark.implicits._
+      val gap = 7L
+      val data = rows.zipWithIndex.map { case ((k, t, _), i) => (k, t, i.toLong) }
+        .toDF("k", "t", "id")
+      def norm(df: org.apache.spark.sql.DataFrame) = df.collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+        .toSet
+      norm(Temporal.sessionizeSalted(data, "k", "t", gap, "id", bucket)) ==
+        norm(Temporal.sessionize(data, "k", "t", gap, "id"))
+    }
+
   property("bernoulliSample membership equals host-side md5 thresholding") =
     Prop.forAll(Gen.choose(0L, 1000000L)) { ppm =>
       import spark.implicits._
