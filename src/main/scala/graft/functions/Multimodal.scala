@@ -136,4 +136,90 @@ object Multimodal {
       }
     }(enc)
   }
+
+  // ---- pluggable codec SPI (the non-stub decode path) ----
+
+  /** What a codec produces per payload. */
+  val DecodedSchema: StructType = StructType(Seq(
+    StructField("codec", StringType),
+    StructField("width", IntegerType),
+    StructField("height", IntegerType),
+    StructField("n_channels", IntegerType),
+    StructField("feature", ArrayType(FloatType)),
+  ))
+
+  /** Media codec SPI: decode a payload into [[DecodedSchema]] (None when
+    * the bytes aren't decodable by this codec). Implementations must be
+    * serializable (they ship to executors) and thread-safe per instance.
+    * `init()` runs once per partition batch — open native contexts there. */
+  trait MediaCodec extends Serializable {
+    def name: String
+    def init(): Unit = ()
+    def decode(bytes: Array[Byte], featDim: Int): Option[Row]
+  }
+
+  /** REAL image codec on the JVM's built-in ImageIO (PNG/JPEG/GIF/BMP —
+    * nothing external to load): decodes to true pixel dimensions + channel
+    * count, and a `featDim`-bucket luminance histogram as the feature
+    * vector. Undecodable bytes → None (the row keeps null decode columns
+    * instead of poisoning the batch). */
+  object ImageIOCodec extends MediaCodec {
+    override def name: String = "imageio"
+    override def decode(bytes: Array[Byte], featDim: Int): Option[Row] = {
+      val img =
+        try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+        catch { case _: java.io.IOException => null }
+      if (img == null) None
+      else {
+        val (w, h) = (img.getWidth, img.getHeight)
+        val hist = new Array[Long](featDim)
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val rgb = img.getRGB(x, y)
+            // integer Rec.601 luma, 0..255
+            val luma = (299 * ((rgb >> 16) & 0xff) + 587 * ((rgb >> 8) & 0xff) +
+              114 * (rgb & 0xff)) / 1000
+            hist(math.min(featDim - 1, luma * featDim / 256)) += 1
+            x += 1
+          }
+          y += 1
+        }
+        val n = (w.toLong * h).toFloat
+        Some(Row(name, w, h, img.getColorModel.getNumComponents,
+          hist.map(_ / n)))
+      }
+    }
+  }
+
+  /** Stub codec with the SPI face — byte histogramming, any bytes decode
+    * (dimensions reported as 0×0). The default in this container. */
+  object StubCodec extends MediaCodec {
+    override def name: String = "stub"
+    override def decode(bytes: Array[Byte], featDim: Int): Option[Row] = {
+      val s = decodeStub(bytes, featDim)
+      Some(Row(name, 0, 0, 0, s.getAs[Array[Float]](4)))
+    }
+  }
+
+  /** Partition-batched decode through a pluggable [[MediaCodec]] — same
+    * batch shape as [[decodeFeatures]]; appends [[DecodedSchema]] columns
+    * (null for payloads the codec can't read). */
+  def decodeWith(df: DataFrame, payloadCol: String, codec: MediaCodec,
+      featDim: Int = 8): DataFrame = {
+    val idx = df.columns.indexOf(payloadCol)
+    require(idx >= 0, s"no column $payloadCol")
+    val outSchema = StructType(df.schema.fields ++ DecodedSchema.fields)
+    val enc = Encoders.row(outSchema)
+    val nulls = Seq(null, null, null, null, null)
+    df.mapPartitions { it =>
+      codec.init()
+      it.map { r =>
+        val bytes = r.getAs[Array[Byte]](idx)
+        val decoded = if (bytes == null) None else codec.decode(bytes, featDim)
+        Row.fromSeq(r.toSeq ++ decoded.map(_.toSeq).getOrElse(nulls))
+      }
+    }(enc)
+  }
 }

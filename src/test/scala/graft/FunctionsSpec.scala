@@ -170,6 +170,34 @@ class FunctionsSpec extends AnyFunSuite {
     assert(r.getInt(2) == 'a'.toInt)
   }
 
+  test("ImageIO codec decodes a real PNG payload to true dimensions via the SPI") {
+    // build a real 6×4 PNG in memory: left half red, right half blue
+    val img = new java.awt.image.BufferedImage(6, 4,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 4; x <- 0 until 6)
+      img.setRGB(x, y, if (x < 3) 0xff0000 else 0x0000ff)
+    val buf = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", buf)
+    val png = buf.toByteArray
+
+    val df = Seq((1L, png), (2L, "not an image".getBytes("UTF-8")))
+      .toDF("id", "payload")
+    val out = Multimodal.decodeWith(df, "payload", Multimodal.ImageIOCodec, featDim = 4)
+      .select("id", "codec", "width", "height", "n_channels", "feature")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(out(1L).getString(1) == "imageio")
+    assert(out(1L).getInt(2) == 6 && out(1L).getInt(3) == 4)
+    assert(out(1L).getInt(4) == 3)
+    val feat = out(1L).getSeq[Float](5)
+    assert(math.abs(feat.sum - 1.0f) < 1e-5)   // histogram normalizes
+    assert(out(2L).isNullAt(1) && out(2L).isNullAt(2))  // undecodable → nulls
+
+    // the stub codec answers the same SPI (what the container default uses)
+    val stub = Multimodal.decodeWith(df, "payload", Multimodal.StubCodec, featDim = 4)
+      .select("codec").distinct().collect().map(_.getString(0)).toSet
+    assert(stub == Set("stub"))
+  }
+
   test("multimodal frame sampling and stubbed resize keep the batch contract") {
     val df = Seq((1L, "abcd" * 100)).toDF("doc_id", "text") // 400 bytes
       .select($"doc_id", Multimodal.fakePayload($"text").as("payload"))
