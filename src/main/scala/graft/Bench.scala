@@ -22,6 +22,10 @@ object Bench {
     // steady state rather than first-query class loading.
     try SparkEntry.entry(spark).queryExecution.toRdd.count()
     catch { case _: Throwable => () }
+    // Fixed, data-independent calibration load: a 10M-row codegen loop
+    // (hash + aggregate). Its time measures THIS machine's current speed, so
+    // cross-round comparisons can normalize out environment drift.
+    val calib = calibration(spark)
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       try fn(spark, sfDir).queryExecution.toRdd.count()
@@ -35,8 +39,24 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","calib":$calib,"queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
+  }
+
+  /** Constant synthetic workload (no input data): 10M-row range → xxhash64 →
+    * sum, best of 3 runs after a warmup. Reported as `"calib"` in the JSON
+    * line; divide two rounds' totals by their calib ratio before comparing. */
+  private def calibration(spark: SparkSession): Double = {
+    import org.apache.spark.sql.{functions => F}
+    def once(): Double = {
+      val t0 = System.nanoTime()
+      spark.range(10000000L)
+        .select(F.sum(F.xxhash64(F.col("id"))).as("h"))
+        .queryExecution.toRdd.count()
+      (System.nanoTime() - t0) / 1e9
+    }
+    once() // warmup
+    (1 to 3).map(_ => once()).min
   }
 
   /** Streaming word-count topology throughput: the corpus' sentences pumped

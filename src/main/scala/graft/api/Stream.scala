@@ -189,14 +189,24 @@ class Stream(val df: DataFrame) extends Serializable {
     * CustomStreamGrouping.java` `chooseTasks`). Drops to the RDD layer
     * (the one place Spark has no declarative equivalent) — use only for
     * placement semantics hash/range/round-robin cannot express. */
-  def partitionCustom(numParts: Int, chooseTask: Row => Int): Stream = {
+  def partitionCustom(numParts: Int, chooseTask: Row => Int): Stream =
+    partitionCustomMulti(numParts, r => Seq(chooseTask(r)))
+
+  /** Full `chooseTasks` parity: the grouping may route one tuple to SEVERAL
+    * tasks (`CustomStreamGrouping.java:30` returns `List<Integer>`), which
+    * is how replication-style groupings (e.g. partial key grouping, or
+    * all-but-local broadcast) are written. Each row is emitted once per
+    * chosen partition. */
+  def partitionCustomMulti(numParts: Int, chooseTasks: Row => Seq[Int]): Stream = {
     val schema = df.schema
     val part = new org.apache.spark.Partitioner {
       def numPartitions: Int = numParts
       def getPartition(key: Any): Int =
         ((key.asInstanceOf[Int] % numParts) + numParts) % numParts
     }
-    val rdd = df.rdd.map(r => (chooseTask(r), r)).partitionBy(part).values
+    val rdd = df.rdd
+      .flatMap(r => chooseTasks(r).map(t => (t, r)))
+      .partitionBy(part).values
     new Stream(spark.createDataFrame(rdd, schema))
   }
 

@@ -1,6 +1,6 @@
 package graft.drpc
 
-import java.util.concurrent.{ConcurrentHashMap, CountDownLatch, LinkedBlockingQueue, TimeUnit}
+import java.util.concurrent.{ConcurrentHashMap, CountDownLatch, TimeUnit}
 import java.util.concurrent.atomic.{AtomicBoolean, AtomicLong}
 
 /** Failure of a DRPC request (timeout, worker failure, unknown function) —
@@ -15,9 +15,16 @@ final class DRPCExecutionException(msg: String) extends RuntimeException(msg)
   *    result, the request times out, or it is failed — each request is
   *    isolated (own id + latch), so concurrent callers never see each
   *    other's results;
-  *  - a BOUNDED request queue (`maxQueueSize`): when the backlog is full,
-  *    new requests are rejected immediately instead of growing the daemon
-  *    without bound;
+  *  - a BOUNDED request backlog (`maxQueueSize`, across all functions):
+  *    when it is full, new requests are rejected immediately instead of
+  *    growing the daemon without bound;
+  *  - PER-FUNCTION sub-queues with round-robin dispatch — the fairness
+  *    semantics of the reference's `KeyedFairBolt`
+  *    (`drpc/KeyedFairBolt.java:93`, a `KeyedRoundRobinQueue` per key): a
+  *    burst of one function's requests cannot starve another function; each
+  *    worker cycle serves every non-empty function once. This also makes
+  *    `fetchRequest(function)` O(1) (its own queue's head) instead of a
+  *    linear walk of a shared queue;
   *  - `fetchRequest(function)` / `result(id, r)` / `failRequest(id)` — the
   *    worker-facing triple, usable manually (the topology-side contract) or
   *    driven by the built-in worker pool (`start`), which runs each request
@@ -40,12 +47,18 @@ class DRPCService(drpc: LocalDRPC, requestTimeoutMs: Long = 10000L,
   private final class Req(val id: String, val function: String, val args: String,
                           val enqueuedAtMs: Long) {
     val done = new CountDownLatch(1)
+    // backlog accounting: whichever of poll / sweep dequeues first wins the
+    // decrement (CLQ poll and iterator-remove can race on a dead entry)
+    val dequeued = new AtomicBoolean(false)
     @volatile var outcome: Either[String, String] = Left("incomplete") // Left = failure reason
     def complete(o: Either[String, String]): Unit = { outcome = o; done.countDown() }
   }
 
   private val idGen = new AtomicLong(0L)
-  private val queue = new LinkedBlockingQueue[Req]()
+  private val queues = new ConcurrentHashMap[String, java.util.concurrent.ConcurrentLinkedQueue[Req]]()
+  private val totalQueued = new java.util.concurrent.atomic.AtomicInteger(0)
+  private val available = new java.util.concurrent.Semaphore(0)
+  private val rrCursor = new AtomicLong(0L)
   private val pending = new ConcurrentHashMap[String, Req]()
   private val running = new AtomicBoolean(false)
   private var threads: Seq[Thread] = Nil
@@ -53,13 +66,16 @@ class DRPCService(drpc: LocalDRPC, requestTimeoutMs: Long = 10000L,
 
   /** Blocking client call — enqueue and wait for result/failure/timeout. */
   def execute(function: String, args: String): String = {
-    if (queue.size() >= maxQueueSize)
+    if (totalQueued.get() >= maxQueueSize)
       throw new DRPCExecutionException(
         s"request queue full ($maxQueueSize) — rejecting ${function}")
     val req = new Req(idGen.incrementAndGet().toString, function, args,
       System.currentTimeMillis())
     pending.put(req.id, req)
-    queue.put(req)
+    queues.computeIfAbsent(req.function,
+      _ => new java.util.concurrent.ConcurrentLinkedQueue[Req]()).add(req)
+    totalQueued.incrementAndGet()
+    available.release()
     // the sweeper enforces the deadline; the latch slack covers sweep lag
     req.done.await(requestTimeoutMs * 2 + 1000, TimeUnit.MILLISECONDS)
     req.outcome match {
@@ -69,17 +85,43 @@ class DRPCService(drpc: LocalDRPC, requestTimeoutMs: Long = 10000L,
     }
   }
 
-  /** Worker face: claim the oldest queued request for `function` (None when
-    * none queued). Mirrors the daemon's per-function fetch. */
-  def fetchRequest(function: String): Option[(String, String)] = {
-    val it = queue.iterator()
-    while (it.hasNext) {
-      val r = it.next()
-      if (r.function == function && queue.remove(r))
-        return Some((r.id, r.args))
+  /** Head of one function's sub-queue, discarding entries already failed or
+    * timed out (their ids are gone from `pending`). O(1) per live claim. */
+  private def pollFunction(function: String): Option[Req] = {
+    val q = queues.get(function)
+    if (q == null) return None
+    var r = q.poll()
+    while (r != null) {
+      if (r.dequeued.compareAndSet(false, true)) totalQueued.decrementAndGet()
+      if (pending.containsKey(r.id)) return Some(r)
+      r = q.poll()
     }
     None
   }
+
+  /** One round-robin sweep over the function sub-queues, starting one past
+    * where the last sweep started — every non-empty function gets served
+    * once per worker cycle (KeyedFairBolt semantics). */
+  private def fetchAnyFair(): Option[Req] = {
+    val names = queues.keySet().toArray(Array.empty[String]).sorted
+    if (names.isEmpty) return None
+    val start = ((rrCursor.getAndIncrement() % names.length) + names.length) % names.length
+    var i = 0
+    while (i < names.length) {
+      val found = pollFunction(names(((start + i) % names.length).toInt))
+      if (found.isDefined) return found
+      i += 1
+    }
+    None
+  }
+
+  /** Worker face: claim the oldest queued request for `function` (None when
+    * none queued). O(1) — each function owns its sub-queue. */
+  def fetchRequest(function: String): Option[(String, String)] =
+    pollFunction(function).map { r =>
+      available.tryAcquire() // best-effort sync for external (manual) drains
+      (r.id, r.args)
+    }
 
   /** Worker face: post a request's result. Posting to an already
     * timed-out/failed id is a no-op (the daemon's late-result behavior). */
@@ -96,6 +138,9 @@ class DRPCService(drpc: LocalDRPC, requestTimeoutMs: Long = 10000L,
 
   def pendingCount: Int = pending.size()
 
+  /** Live backlog across all function sub-queues. */
+  def queuedCount: Int = totalQueued.get()
+
   /** Start `workers` pipeline threads (each drains the queue through the
     * registered LocalDRPC functions) plus the timeout sweeper. */
   def start(workers: Int = 2): DRPCService = {
@@ -103,11 +148,14 @@ class DRPCService(drpc: LocalDRPC, requestTimeoutMs: Long = 10000L,
     val ws = (0 until workers).map { i =>
       val t = new Thread(() => {
         while (running.get()) {
-          val req = queue.poll(50, TimeUnit.MILLISECONDS)
-          if (req != null && pending.containsKey(req.id)) {
-            try result(req.id, drpc.execute(req.function, req.args))
-            catch {
-              case e: Throwable => failRequest(req.id, e.getMessage)
+          if (available.tryAcquire(50, TimeUnit.MILLISECONDS)) {
+            fetchAnyFair() match {
+              case Some(req) =>
+                try result(req.id, drpc.execute(req.function, req.args))
+                catch {
+                  case e: Throwable => failRequest(req.id, e.getMessage)
+                }
+              case None => () // permit belonged to an already-swept request
             }
           }
         }
@@ -118,9 +166,19 @@ class DRPCService(drpc: LocalDRPC, requestTimeoutMs: Long = 10000L,
       while (running.get()) {
         val now = System.currentTimeMillis()
         pending.forEach { (id, r) =>
-          if (now - r.enqueuedAtMs > requestTimeoutMs) {
-            queue.remove(r)
+          if (now - r.enqueuedAtMs > requestTimeoutMs)
             failRequest(id, s"timed out after ${requestTimeoutMs}ms")
+        }
+        // drop swept requests still sitting in sub-queues so the backlog
+        // bound reflects live work (claims also discard them lazily)
+        queues.forEach { (_, q) =>
+          val it = q.iterator()
+          while (it.hasNext) {
+            val r = it.next()
+            if (!pending.containsKey(r.id)) {
+              it.remove()
+              if (r.dequeued.compareAndSet(false, true)) totalQueued.decrementAndGet()
+            }
           }
         }
         Thread.sleep(math.max(10L, math.min(100L, requestTimeoutMs / 4)))

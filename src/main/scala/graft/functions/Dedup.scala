@@ -79,16 +79,19 @@ object Dedup {
     *
     *  - null bands (sub-k-token docs, [[lshBands]]) never enter a bucket;
     *  - bucket MEMBERSHIP is counted before any id list is materialized, and
-    *    buckets over `maxBucketSize` are dropped with a warning + a counted
-    *    drop total (accumulator `graft.lsh.dropped_buckets`) — no silent
-    *    caps, and no `collect_list` OOM on a poisoned bucket. The size
+    *    buckets over `maxBucketSize` are dropped with a counted drop total
+    *    (`observe` metric `graft.lsh` → `dropped_buckets` / `max_bucket`,
+    *    logged as a WARN on query completion) — no silent caps, and no
+    *    `collect_list` OOM on a poisoned bucket. The cap is a plain Column
+    *    predicate, so the bucket-count side stays inside whole-stage
+    *    codegen, and re-executions of the plan cannot double-count the
+    *    metric the way a side-effecting typed filter would. The size
     *    pre-pass reuses the same hash partitioning on `bk` (count → join →
     *    collect all cluster on one exchange), so the guard costs no extra
     *    shuffle. */
   def lshCandidatePairs(banded: DataFrame, idCol: String, bands: Int,
       maxBucketSize: Int = 10000): DataFrame = {
-    val spark = banded.sparkSession
-    val dropped = spark.sparkContext.longAccumulator("graft.lsh.dropped_buckets")
+    registerDropWarnListener(banded.sparkSession)
     val bandCols = (0 until bands).map(b => F.col(s"band$b"))
     val tagged = banded
       .select(F.col(idCol).as("id"),
@@ -97,17 +100,13 @@ object Dedup {
       .select(F.col("id"), F.concat_ws("|", F.col("bi"), F.col("bv")).as("bk"))
     val okBuckets = tagged.groupBy("bk").agg(F.count(F.lit(1)).as("__n"))
       .where(F.col("__n") > 1)
-      .filter { (r: org.apache.spark.sql.Row) =>
-        val n = r.getLong(r.fieldIndex("__n"))
-        val keep = n <= maxBucketSize
-        if (!keep) {
-          dropped.add(1L)
-          org.slf4j.LoggerFactory.getLogger("graft.functions.Dedup").warn(
-            s"lshCandidatePairs: dropping degenerate bucket ${r.getString(0)} " +
-              s"with $n members (cap $maxBucketSize) — pairs from it are NOT emitted")
-        }
-        keep
-      }
+      // unique per call: two LSH pipelines composed into one query must not
+      // collide on the observation name (it is unique-per-query in Spark)
+      .observe(s"graft.lsh.${observeSeq.incrementAndGet()}",
+        F.sum(F.when(F.col("__n") > maxBucketSize, 1L).otherwise(0L))
+          .as("dropped_buckets"),
+        F.max(F.col("__n")).as("max_bucket"))
+      .where(F.col("__n") <= maxBucketSize)
       .select("bk")
     tagged.join(okBuckets, "bk")
       .groupBy("bk")
@@ -118,6 +117,34 @@ object Dedup {
       .select(F.col("p.a").as("a"), F.col("p.b").as("b"))
       .distinct()
   }
+
+  /** Sessions that already carry the `graft.lsh` WARN listener — the
+    * listener itself is passive (fires only when a query with the named
+    * observation completes), so one per session is enough. */
+  private val observeSeq = new java.util.concurrent.atomic.AtomicLong(0L)
+
+  private val dropWarnRegistered =
+    java.util.Collections.newSetFromMap(
+      new java.util.concurrent.ConcurrentHashMap[org.apache.spark.sql.SparkSession, java.lang.Boolean]())
+
+  private def registerDropWarnListener(spark: org.apache.spark.sql.SparkSession): Unit =
+    if (dropWarnRegistered.add(spark)) {
+      spark.listenerManager.register(new org.apache.spark.sql.util.QueryExecutionListener {
+        override def onSuccess(funcName: String,
+            qe: org.apache.spark.sql.execution.QueryExecution, durationNs: Long): Unit =
+          qe.observedMetrics.foreach { case (name, row) =>
+            if (name.startsWith("graft.lsh")) {
+              val dropped = if (row.isNullAt(0)) 0L else row.getLong(0)
+              if (dropped > 0)
+                org.slf4j.LoggerFactory.getLogger("graft.functions.Dedup").warn(
+                  s"lshCandidatePairs: dropped $dropped degenerate bucket(s) over the size cap " +
+                    s"(largest seen: ${row.get(1)} members) — pairs from them are NOT emitted")
+            }
+          }
+        override def onFailure(funcName: String,
+            qe: org.apache.spark.sql.execution.QueryExecution, exception: Exception): Unit = ()
+      })
+    }
 
   /** Exact n-gram Jaccard similarity between two shingle arrays — the
     * verification step applied to LSH candidates only. */
@@ -211,7 +238,6 @@ object Dedup {
 
   def duplicateClusters(pairs: DataFrame, aCol: String, bCol: String,
       maxIter: Int = 12, reliableCheckpoint: Boolean = false): DataFrame = {
-    val spark = pairs.sparkSession
     // localCheckpoint stores to executor memory/disk — fine single-node and
     // fast, but a lost executor kills the lineage at cluster scale. With a
     // checkpoint dir set, `reliableCheckpoint = true` swaps in the
@@ -228,8 +254,9 @@ object Dedup {
       .select(F.col("src").as("id"),
         F.least(F.col("src"), F.col("__m")).as("cluster_id")))
     var iter = 0
-    var changed = 1L
-    while (iter < maxIter && changed > 0) {
+    var anyChanged = true
+    var lastWithFlag: DataFrame = null
+    while (iter < maxIter && anyChanged) {
       val nbrMin = edges
         .join(labels.withColumnRenamed("id", "dst"), Seq("dst"))
         .groupBy(F.col("src").as("id"))
@@ -239,28 +266,22 @@ object Dedup {
           F.least(F.col("cluster_id"), F.coalesce(F.col("nbr_min"), F.col("cluster_id")))
             .as("cluster_id"),
           F.coalesce(F.col("nbr_min") < F.col("cluster_id"), F.lit(false)).as("__chg"))
-      // convergence detection piggybacks on the SAME job that materializes
-      // the checkpoint: an accumulator counts changed rows as they stream
-      // past — no second `isEmpty` scan per round. A retried task can only
-      // over-count, which at worst costs one extra (no-op) round.
-      val acc = spark.sparkContext.longAccumulator(s"graft.cc.changed.$iter")
-      val chgIdx = next.schema.fieldIndex("__chg")
-      val counted = org.apache.spark.sql.graft.ColumnBridge.ofInternalRows(
-        spark,
-        next.queryExecution.toRdd.map { row =>
-          if (row.getBoolean(chgIdx)) acc.add(1L)
-          row
-        },
-        next.schema)
-      labels = cut(counted).drop("__chg")
-      changed = acc.value
+      // The checkpoint job runs the join round at full whole-stage codegen
+      // (no instrumentation bridge in the path); the convergence probe then
+      // scans the just-materialized checkpoint blocks — an early-exiting
+      // isEmpty over local partitions, never a recompute of the join.
+      lastWithFlag = cut(next)
+      anyChanged = !lastWithFlag.where(F.col("__chg")).isEmpty
+      labels = lastWithFlag.drop("__chg")
       iter += 1
     }
-    if (changed > 0)
+    if (anyChanged) {
+      val stillChanging = lastWithFlag.where(F.col("__chg")).count()
       org.slf4j.LoggerFactory.getLogger("graft.functions.Dedup").warn(
-        s"duplicateClusters: NOT converged after $maxIter rounds — $changed labels still " +
+        s"duplicateClusters: NOT converged after $maxIter rounds — $stillChanging labels still " +
           "changing. A long-chain cluster is split across several cluster_ids; downstream " +
           "leak-free splitting would treat its parts independently. Raise maxIter.")
+    }
     labels
   }
 }

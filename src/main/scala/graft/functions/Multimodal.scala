@@ -193,6 +193,54 @@ object Multimodal {
     }
   }
 
+  /** REAL audio codec on the JVM's built-in `javax.sound.sampled` (WAV/AU/
+    * AIFF PCM — nothing external to load): decodes the actual sample stream.
+    * [[DecodedSchema]] mapping for audio: `width` = sample rate (Hz),
+    * `height` = duration in milliseconds, `n_channels` = channels, and the
+    * feature vector is a `featDim`-bucket normalized amplitude histogram
+    * over the first channel's samples. Undecodable bytes → None. */
+  object WavCodec extends MediaCodec {
+    override def name: String = "wav"
+    override def decode(bytes: Array[Byte], featDim: Int): Option[Row] = {
+      val stream =
+        try javax.sound.sampled.AudioSystem.getAudioInputStream(
+          new java.io.ByteArrayInputStream(bytes))
+        catch {
+          case _: javax.sound.sampled.UnsupportedAudioFileException => null
+          case _: java.io.IOException => null
+        }
+      if (stream == null) return None
+      try {
+        val fmt = stream.getFormat
+        val bits = fmt.getSampleSizeInBits
+        if (bits != 8 && bits != 16) return None // non-PCM widths out of scope
+        val frameSize = fmt.getFrameSize
+        val channels = fmt.getChannels
+        val data = stream.readAllBytes()
+        val nFrames = if (frameSize > 0) data.length / frameSize else 0
+        val hist = new Array[Long](featDim)
+        var i = 0
+        while (i < nFrames) {
+          val off = i * frameSize // channel 0 sample starts the frame
+          // normalized |amplitude| in [0, 1]
+          val amp =
+            if (bits == 8) math.abs((data(off) & 0xff) - 128) / 128.0
+            else {
+              val (lo, hi) = if (fmt.isBigEndian) (off + 1, off) else (off, off + 1)
+              math.abs((data(hi) << 8 | (data(lo) & 0xff)).toShort / 32768.0)
+            }
+          hist(math.min(featDim - 1, (amp * featDim).toInt)) += 1
+          i += 1
+        }
+        val rate = math.round(fmt.getSampleRate)
+        val durationMs =
+          if (rate > 0 && nFrames > 0) math.round(nFrames * 1000.0 / rate).toInt else 0
+        val denom = math.max(1L, nFrames).toFloat
+        Some(Row(name, rate, durationMs, channels, hist.map(_ / denom)))
+      } finally stream.close()
+    }
+  }
+
   /** Stub codec with the SPI face — byte histogramming, any bytes decode
     * (dimensions reported as 0×0). The default in this container. */
   object StubCodec extends MediaCodec {

@@ -261,20 +261,20 @@ object Temporal {
     * per `key` in (ts, tieBreak-implicit-in-valCol) order, joined into one
     * `|`-separated string + the total event count — the sequence-feature
     * primitive (user histories, doc revision chains) for training
-    * pipelines. Single aggregation shuffle; the sort happens inside each
-    * group's collected (bounded) list, not as a global sort. For unbounded
-    * group sizes cap first with [[graft.plans.TopK]] — collect_list holds
-    * the group in memory. */
+    * pipelines. Single aggregation shuffle, single scan; the `maxLen` cap is
+    * applied INSIDE the aggregation buffer
+    * ([[graft.plans.Expressions.BoundedFirstN]]), so a hot key (a bot user
+    * with millions of events) costs a `maxLen`-row buffer, never a
+    * whole-group `collect_list` materialization. */
   def orderedHistory(df: DataFrame, key: String, ts: String, valCol: String,
       maxLen: Int): DataFrame =
     df.groupBy(key)
       .agg(
         F.concat_ws("|",
-          F.slice(
-            F.transform(
-              F.array_sort(F.collect_list(F.struct(F.col(ts), F.col(valCol)))),
-              x => x.getField(valCol).cast("string")),
-            1, maxLen)).as("history"),
+          F.transform(
+            graft.plans.Expressions.boundedFirstN(
+              F.struct(F.col(ts), F.col(valCol)), maxLen),
+            x => x.getField(valCol).cast("string"))).as("history"),
         F.count(F.lit(1)).as("n_events"))
 
   /** Banded range join: assign each row of `df` the matching band from a

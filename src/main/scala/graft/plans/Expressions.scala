@@ -412,6 +412,110 @@ object Expressions {
       copy(left = l, right = r)
   }
 
+  /** Size-capped heap buffer for [[BoundedFirstN]]: keeps the `maxLen`
+    * SMALLEST elements seen (max-heap; a new element evicts the current max
+    * once full), so a partial aggregation buffer never exceeds `maxLen`
+    * rows no matter how hot the key. */
+  final class BoundedFirstNBuffer(val maxLen: Int, ord: Ordering[InternalRow]) {
+    val heap = new scala.collection.mutable.PriorityQueue[InternalRow]()(ord)
+    def add(row: InternalRow): Unit =
+      if (heap.size < maxLen) heap.enqueue(row)
+      else if (ord.lt(row, heap.head)) { heap.dequeue(); heap.enqueue(row) }
+    def sortedAsc: Array[InternalRow] = heap.toArray.sorted(ord)
+  }
+
+  /** `first_n(struct, k)` aggregate: the k smallest input structs in
+    * ascending struct order — semantically `slice(array_sort(collect_list(
+    * struct)), 1, k)`, but with the cap applied INSIDE the aggregation
+    * buffer. `collect_list` materializes a hot key's entire group before any
+    * downstream slice can truncate it (one bot user with 100M events = one
+    * 100M-row buffer); this keeps every partial and final buffer ≤ k rows
+    * and merges map-side like any other partial aggregate. */
+  case class BoundedFirstN(child: Expression, maxLen: Int,
+      mutableAggBufferOffset: Int = 0, inputAggBufferOffset: Int = 0)
+    extends org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate[BoundedFirstNBuffer]
+    with org.apache.spark.sql.catalyst.trees.UnaryLike[Expression] {
+
+    require(maxLen > 0, "maxLen must be positive")
+
+    private lazy val ordering: Ordering[InternalRow] = {
+      val structType = child.dataType.asInstanceOf[StructType]
+      org.apache.spark.sql.catalyst.expressions.InterpretedOrdering
+        .forSchema(structType.map(_.dataType))
+        .asInstanceOf[Ordering[InternalRow]]
+    }
+    private lazy val serProj =
+      org.apache.spark.sql.catalyst.expressions.UnsafeProjection
+        .create(child.dataType.asInstanceOf[StructType])
+
+    override def createAggregationBuffer(): BoundedFirstNBuffer =
+      new BoundedFirstNBuffer(maxLen, ordering)
+
+    override def update(buf: BoundedFirstNBuffer, input: InternalRow): BoundedFirstNBuffer = {
+      val v = child.eval(input)
+      if (v != null) buf.add(v.asInstanceOf[InternalRow].copy())
+      buf
+    }
+
+    override def merge(buf: BoundedFirstNBuffer, other: BoundedFirstNBuffer): BoundedFirstNBuffer = {
+      other.heap.foreach(buf.add)
+      buf
+    }
+
+    override def eval(buf: BoundedFirstNBuffer): Any =
+      new GenericArrayData(buf.sortedAsc.asInstanceOf[Array[Any]])
+
+    override def serialize(buf: BoundedFirstNBuffer): Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream()
+      val out = new java.io.DataOutputStream(bos)
+      out.writeInt(buf.heap.size)
+      buf.heap.foreach { row =>
+        val bytes = serProj(row).getBytes
+        out.writeInt(bytes.length)
+        out.write(bytes)
+      }
+      out.flush()
+      bos.toByteArray
+    }
+
+    override def deserialize(bytes: Array[Byte]): BoundedFirstNBuffer = {
+      val in = new java.io.DataInputStream(new java.io.ByteArrayInputStream(bytes))
+      val buf = createAggregationBuffer()
+      val nFields = child.dataType.asInstanceOf[StructType].size
+      val n = in.readInt()
+      var i = 0
+      while (i < n) {
+        val len = in.readInt()
+        val rowBytes = new Array[Byte](len)
+        in.readFully(rowBytes)
+        val row = new org.apache.spark.sql.catalyst.expressions.UnsafeRow(nFields)
+        row.pointTo(rowBytes, len)
+        buf.add(row)
+        i += 1
+      }
+      buf
+    }
+
+    override def dataType: DataType = ArrayType(child.dataType, containsNull = false)
+    override def nullable: Boolean = false
+    override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+      child.dataType match {
+        case s: StructType
+            if org.apache.spark.sql.catalyst.expressions.RowOrdering.isOrderable(s) =>
+          org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+        case other =>
+          org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+            s"first_n requires an orderable struct input, got ${other.catalogString}")
+      }
+    override def prettyName: String = "first_n"
+    override def withNewMutableAggBufferOffset(offset: Int): BoundedFirstN =
+      copy(mutableAggBufferOffset = offset)
+    override def withNewInputAggBufferOffset(offset: Int): BoundedFirstN =
+      copy(inputAggBufferOffset = offset)
+    override protected def withNewChildInternal(newChild: Expression): BoundedFirstN =
+      copy(child = newChild)
+  }
+
   // ---- Column-facing constructors ----
 
   private def expr(c: Column): Expression =
@@ -438,4 +542,9 @@ object Expressions {
   def cosineSim(a: Column, b: Column): Column = column(CosineSim(expr(a), expr(b)))
 
   def dotProd(a: Column, b: Column): Column = column(DotProd(expr(a), expr(b)))
+
+  /** Aggregate: the `k` smallest struct values per group, ascending — a
+    * buffer-bounded `slice(array_sort(collect_list(s)), 1, k)`. */
+  def boundedFirstN(structCol: Column, k: Int): Column =
+    column(BoundedFirstN(expr(structCol), k).toAggregateExpression())
 }

@@ -1,0 +1,152 @@
+package graft.state
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Path, Paths, StandardCopyOption, StandardOpenOption}
+import scala.collection.concurrent.TrieMap
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.SparkSession
+
+/** Durable `IBackingMap` over parquet snapshots + a JSON-lines write-ahead
+  * log — what the reference's MapState SPI exists to plug
+  * (`state/map/IBackingMap.java:23`: Cassandra/Memcached in practice; here a
+  * filesystem store with the same multiGet/multiPut contract), making
+  * `partitionPersist`/`persistentAggregate` state survive driver restarts.
+  *
+  * LSM-style layout under `path`:
+  *  - `snap-<n>/` — full-map parquet snapshots (columns `k`, `v`, JSON-coded
+  *    via [[StateSerializers]]), written by Spark with its `_SUCCESS` marker
+  *    as the atomicity fence; only the highest complete snapshot loads.
+  *  - `seg-<nanos>-<uuid>.jsonl` — one append segment per `multiPut` (tab-
+  *    separated `key\tvalue` JSON pairs), written to a temp name and
+  *    atomically renamed, so a crash can never expose a torn segment.
+  *
+  * `open()` replays snapshot + segments (in write order) into an in-memory
+  * cache, then compacts when the segment count passes `compactAfter`:
+  * snapshot first, delete segments after — a crash between the two replays
+  * harmlessly (later segments overwrite with identical values).
+  *
+  * Correctness under replay is the WRAPPER's job (Opaque/Transactional
+  * tiers store txids in the value), exactly as with any external store; a
+  * re-written key lands in a later segment and wins replay order.
+  *
+  * Scale notes: like `MemoryBackingMap`, handles resolve through a
+  * process-wide registry, so `local[n]` executor threads share one engine —
+  * the single-node durable tier. On a real cluster, point `path` at shared
+  * storage and writes still work (each task's `multiPut` is its own atomic
+  * segment; rename-atomicity then depends on the filesystem), or plug a
+  * real KV store behind the same SPI. State volume is the per-key aggregate
+  * table (small), never the event stream.
+  */
+final class ParquetBackingMap[T] private (path: String) extends IBackingMap[T] {
+  private def engine = ParquetBackingMap.engine(path)
+  def multiGet(keys: Seq[Seq[Any]]): Seq[Option[T]] =
+    keys.map(k => engine.cache.get(StateSerializers.keyToJson(k)).map(engine.decode(_).asInstanceOf[T]))
+  def multiPut(keys: Seq[Seq[Any]], vals: Seq[T]): Unit =
+    engine.append(keys.map(StateSerializers.keyToJson)
+      .zip(vals.map(v => engine.encode(v.asInstanceOf[Any]))))
+}
+
+object ParquetBackingMap {
+
+  /** Value codec: JSON string ↔ value, matching the reference's JSON state
+    * serializers. */
+  final case class Codec(encode: Any => String, decode: String => Any)
+
+  val opaqueCodec: Codec = Codec(
+    v => StateSerializers.opaqueToJson(v.asInstanceOf[OpaqueValue[Any]]),
+    StateSerializers.opaqueFromJson)
+  val transactionalCodec: Codec = Codec(
+    v => StateSerializers.transactionalToJson(v.asInstanceOf[TransactionalValue[Any]]),
+    StateSerializers.transactionalFromJson)
+  val nonTransactionalCodec: Codec = Codec(
+    StateSerializers.nonTransactionalToJson, StateSerializers.nonTransactionalFromJson)
+
+  private[state] final class Engine(val spark: SparkSession, val dir: Path,
+      codec: Codec, compactAfter: Int) {
+    val cache = TrieMap[String, String]()
+    def encode(v: Any): String = codec.encode(v)
+    def decode(s: String): Any = codec.decode(s)
+
+    private def segments(): Seq[Path] =
+      Files.list(dir).iterator().asScala
+        .filter(p => p.getFileName.toString.startsWith("seg-")
+          && p.getFileName.toString.endsWith(".jsonl"))
+        .toSeq.sortBy(_.getFileName.toString)
+
+    private def snapshots(): Seq[(Long, Path)] =
+      Files.list(dir).iterator().asScala
+        .filter(_.getFileName.toString.startsWith("snap-"))
+        .filter(p => Files.exists(p.resolve("_SUCCESS")))
+        .toSeq.map(p => (p.getFileName.toString.stripPrefix("snap-").toLong, p))
+        .sortBy(_._1)
+
+    def load(): Unit = {
+      cache.clear()
+      val snaps = snapshots()
+      snaps.lastOption.foreach { case (_, p) =>
+        spark.read.parquet(p.toString).collect()
+          .foreach(r => cache.put(r.getString(0), r.getString(1)))
+      }
+      segments().foreach { seg =>
+        Files.readAllLines(seg, StandardCharsets.UTF_8).asScala.foreach { line =>
+          val tab = line.indexOf('\t')
+          if (tab > 0) cache.put(line.substring(0, tab), line.substring(tab + 1))
+        }
+      }
+      if (segments().size > compactAfter) compact()
+    }
+
+    /** One atomic WAL segment per multiPut: temp write + rename. */
+    def append(kvs: Seq[(String, String)]): Unit = synchronized {
+      val name = f"seg-${System.nanoTime()}%020d-${java.util.UUID.randomUUID().toString.take(8)}.jsonl"
+      val tmp = dir.resolve(s".$name.tmp")
+      val body = kvs.map { case (k, v) => s"$k\t$v" }.mkString("", "\n", "\n")
+      Files.write(tmp, body.getBytes(StandardCharsets.UTF_8),
+        StandardOpenOption.CREATE, StandardOpenOption.WRITE, StandardOpenOption.SYNC)
+      Files.move(tmp, dir.resolve(name), StandardCopyOption.ATOMIC_MOVE)
+      kvs.foreach { case (k, v) => cache.put(k, v) }
+    }
+
+    /** Fold the WAL into the next parquet snapshot, then drop old files.
+      * Crash-safe: the new snapshot's `_SUCCESS` lands before any delete. */
+    def compact(): Unit = synchronized {
+      val next = snapshots().lastOption.map(_._1 + 1).getOrElse(0L)
+      val segs = segments()
+      import spark.implicits._
+      cache.toSeq.toDF("k", "v")
+        .repartition(1)
+        .write.mode("overwrite").parquet(dir.resolve(s"snap-$next").toString)
+      segs.foreach(Files.deleteIfExists(_))
+      snapshots().dropRight(1).foreach { case (_, p) =>
+        Files.walk(p).iterator().asScala.toSeq.reverse.foreach(Files.deleteIfExists(_))
+      }
+    }
+  }
+
+  private val engines = TrieMap[String, Engine]()
+
+  private[state] def engine(path: String): Engine =
+    engines.getOrElse(path, throw new IllegalStateException(
+      s"ParquetBackingMap at $path not open in this process — call open() first"))
+
+  /** Open (or re-open) the store at `path`, replaying snapshot + WAL into
+    * memory and compacting if the WAL has grown past `compactAfter`
+    * segments. Returns a serializable handle. */
+  def open[T](spark: SparkSession, path: String, codec: Codec,
+      compactAfter: Int = 64): ParquetBackingMap[T] = {
+    val dir = Paths.get(path)
+    Files.createDirectories(dir)
+    val e = new Engine(spark, dir, codec, compactAfter)
+    e.load()
+    engines.put(path, e)
+    new ParquetBackingMap[T](path)
+  }
+
+  /** Force a parquet compaction now (e.g. at clean shutdown). */
+  def compact(path: String): Unit = engine(path).compact()
+
+  /** Drop the in-process engine (simulates a process exit; durable files
+    * remain — the next `open()` replays them). */
+  def close(path: String): Unit = engines.remove(path)
+}

@@ -71,6 +71,12 @@ object StateSerializers {
     out.result()
   }
 
+  /** Group-by key tuple (scalars) as a JSON array — the key encoding for
+    * external stores ([[ParquetBackingMap]] and any real KV behind
+    * `IBackingMap`). */
+  def keyToJson(key: Seq[Any]): String = key.map(writeScalar).mkString("[", ",", "]")
+  def keyFromJson(s: String): Seq[Any] = readScalars(s)
+
   /** `JSONNonTransactionalSerializer` — bare value. */
   def nonTransactionalToJson(v: Any): String = s"[${writeScalar(v)}]"
   def nonTransactionalFromJson(s: String): Any = readScalars(s)(0)

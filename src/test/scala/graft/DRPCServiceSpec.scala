@@ -16,6 +16,9 @@ class DRPCServiceSpec extends AnyFunSuite {
     .getOrCreate()
 
   private def newDrpc(): LocalDRPC = {
+    // first Spark job in a cold JVM costs ~0.8s of classloading/JIT — warm
+    // it outside the request timeout windows these tests assert on
+    spark.range(1).select(F.length(F.lit("x"))).collect()
     val drpc = new LocalDRPC(spark)
     drpc.register("wordlen", { args =>
       spark.range(1).select(F.lit(args).as("args"),
@@ -68,6 +71,49 @@ class DRPCServiceSpec extends AnyFunSuite {
     })
     sweeperless.setDaemon(true); sweeperless.start()
     assert(svc.execute("manual", "req") == "[[\"req-served\"]]")
+  }
+
+  test("fair dispatch: a burst of one function does not starve another (KeyedFairBolt)") {
+    // single worker, one slow-ish function flooded with 100 requests, then
+    // one request of a second function: round-robin across the per-function
+    // sub-queues must serve fn B within one service cycle (~1 A request),
+    // not after the whole A backlog
+    val drpc = new LocalDRPC(spark)
+    val served = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    drpc.register("flood", { args =>
+      served.add(s"flood:$args"); Thread.sleep(20L)
+      spark.range(1).toDF("r")
+    })
+    drpc.register("single", { args =>
+      served.add(s"single:$args")
+      spark.range(1).toDF("r")
+    })
+    val svc = new DRPCService(drpc, requestTimeoutMs = 60000L)
+    // every execute() blocks its thread, so the flood needs an unbounded pool
+    val pool = java.util.concurrent.Executors.newCachedThreadPool()
+    try {
+      import scala.concurrent.{Await, ExecutionContext, Future}
+      import scala.concurrent.duration._
+      implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+      val floods = (1 to 100).map(i => Future(svc.execute("flood", i.toString)))
+      // let the flood fully enqueue before the worker starts and B arrives
+      eventually(svc.queuedCount >= 100)
+      val single = Future(svc.execute("single", "b"))
+      eventually(svc.queuedCount >= 101)
+      svc.start(workers = 1)
+      Await.result(single, 30.seconds)
+      val order = served.toArray(Array.empty[String]).toSeq
+      val pos = order.indexWhere(_.startsWith("single:"))
+      assert(pos >= 0 && pos <= 2,
+        s"fn B served at position $pos — starved behind the fn A backlog: ${order.take(5)}")
+      floods.foreach(f => Await.result(f, 60.seconds))
+    } finally { svc.stop(); pool.shutdownNow() }
+  }
+
+  private def eventually(cond: => Boolean, timeoutMs: Long = 5000L): Unit = {
+    val deadline = System.currentTimeMillis() + timeoutMs
+    while (!cond && System.currentTimeMillis() < deadline) Thread.sleep(10L)
+    assert(cond, "condition not met within timeout")
   }
 
   test("HTTP face: 200 on success, 404 unknown, 408 timeout") {

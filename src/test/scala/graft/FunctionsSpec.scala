@@ -198,6 +198,39 @@ class FunctionsSpec extends AnyFunSuite {
     assert(stub == Set("stub"))
   }
 
+  test("WAV codec decodes a real generated WAV to sample rate/duration via the SPI") {
+    // build a real 16-bit mono PCM WAV in memory: 8000 Hz, 0.5 s, 440 Hz sine
+    val rate = 8000
+    val nSamples = rate / 2
+    val pcm = new Array[Byte](nSamples * 2)
+    for (i <- 0 until nSamples) {
+      val s = (math.sin(2 * math.Pi * 440 * i / rate) * 16000).toInt.toShort
+      pcm(2 * i) = (s & 0xff).toByte       // little-endian
+      pcm(2 * i + 1) = ((s >> 8) & 0xff).toByte
+    }
+    val fmt = new javax.sound.sampled.AudioFormat(rate.toFloat, 16, 1, true, false)
+    val buf = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(
+      new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(pcm), fmt, nSamples.toLong),
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, buf)
+    val wav = buf.toByteArray
+
+    val df = Seq((1L, wav), (2L, "not audio".getBytes("UTF-8"))).toDF("id", "payload")
+    val out = Multimodal.decodeWith(df, "payload", Multimodal.WavCodec, featDim = 4)
+      .select("id", "codec", "width", "height", "n_channels", "feature")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(out(1L).getString(1) == "wav")
+    assert(out(1L).getInt(2) == 8000)      // sample rate
+    assert(out(1L).getInt(3) == 500)       // duration ms
+    assert(out(1L).getInt(4) == 1)         // mono
+    val feat = out(1L).getSeq[Float](5)
+    assert(math.abs(feat.sum - 1.0f) < 1e-5)  // histogram normalizes
+    // a 0.5-amplitude sine never reaches the top amplitude bucket
+    assert(feat(3) == 0f && feat(0) > 0f)
+    assert(out(2L).isNullAt(1) && out(2L).isNullAt(2))  // undecodable → nulls
+  }
+
   test("multimodal frame sampling and stubbed resize keep the batch contract") {
     val df = Seq((1L, "abcd" * 100)).toDF("doc_id", "text") // 400 bytes
       .select($"doc_id", Multimodal.fakePayload($"text").as("payload"))

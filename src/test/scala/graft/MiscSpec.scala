@@ -104,6 +104,23 @@ class MiscSpec extends AnyFunSuite {
     perPart.foreach { case (i, residues) => assert(residues.subsetOf(Set(i))) }
   }
 
+  test("partitionCustomMulti replicates a row to every chosen task (chooseTasks parity)") {
+    // each row goes to its residue partition AND partition 3 (replication —
+    // CustomStreamGrouping.chooseTasks returns a List<Integer>)
+    val s = new Stream((0 until 30).toDF("n"))
+    val routed = s.partitionCustomMulti(4, r => Seq(r.getInt(0) % 3, 3).distinct)
+    assert(routed.toDF.rdd.getNumPartitions == 4)
+    val perPart = routed.toDF.rdd.mapPartitionsWithIndex { (i, it) =>
+      Iterator((i, it.map(_.getInt(0)).toSeq))
+    }.collect().toMap
+    // replica partition holds every row; each residue partition its third
+    assert(perPart(3).sorted == (0 until 30))
+    (0 until 3).foreach { p =>
+      assert(perPart(p).toSet == (0 until 30).filter(_ % 3 == p).toSet)
+    }
+    assert(routed.toDF.count() == 60L) // 30 rows × 2 targets
+  }
+
   test("CachedBatchReadsMap: reads inside a commit see that batch's writes") {
     MemoryBackingMap.clear("ryw")
     val m = new CachedBatchReadsMap[Long](

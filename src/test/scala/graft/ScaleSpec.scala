@@ -167,4 +167,23 @@ class ScaleSpec extends AnyFunSuite {
       .queryExecution.executedPlan.toString
     assert(p.contains("__bkt"), s"salted form lost the bucket salt:\n$p")
   }
+
+  test("orderedHistory bounds a hot key's buffer: 100k-event key, first_n aggregate") {
+    import spark.implicits._
+    // one bot key with 100k events (descending arrival so the cap has to
+    // evict, not just stop appending) + a small key for the general shape
+    val bot = (100000L to 1L by -1L).map(t => ("bot", t, s"e$t"))
+    val small = Seq(("u1", 2L, "b"), ("u1", 1L, "a"), ("u1", 3L, "c"))
+    val df = (bot ++ small).toDF("k", "t", "v")
+    val out = Temporal.orderedHistory(df, "k", "t", "v", 5)
+      .as[(String, String, Long)].collect().map { case (k, h, n) => k -> ((h, n)) }.toMap
+    assert(out("bot") == (("e1|e2|e3|e4|e5", 100000L)))
+    assert(out("u1") == (("a|b|c", 3L)))
+    // the cap lives INSIDE the aggregation (first_n), not in a post-slice
+    // over a whole-group collect_list
+    val plan = Temporal.orderedHistory(df, "k", "t", "v", 5)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("first_n"), s"expected bounded first_n aggregate:\n$plan")
+    assert(!plan.contains("collect_list"), s"unbounded collect_list present:\n$plan")
+  }
 }

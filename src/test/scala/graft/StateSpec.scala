@@ -97,6 +97,65 @@ class StateSpec extends AnyFunSuite {
     assert(m.get.contains(12L))
   }
 
+  test("ParquetBackingMap: q53 word-count survives a process restart, matches memory path") {
+    import org.apache.spark.sql.{functions => F}
+    import graft.api.Fields
+    import graft.streaming.StreamRunner
+    lazy val spark = org.apache.spark.sql.SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-pbm").toString
+
+    val batches = Seq(
+      Seq("the cat sat", "the dog sat"),
+      Seq("the cat ran"),
+      Seq("a dog barked loudly"))
+    def wordsDF(b: Seq[String]) =
+      b.toDF("sentence").select(F.explode(F.split(F.col("sentence"), " ")).as("word"))
+    def apply(state: MapState[Long], b: Seq[String], txid: Long): Unit =
+      StreamRunner.applyBatch[Long](wordsDF(b), txid, Fields("word"),
+        F.count(F.lit(1)).as("cnt"), _ + _, state)
+
+    MemoryBackingMap.clear("pbm-ref")
+    val mem = new OpaqueMap[Long](new MemoryBackingMap[OpaqueValue[Long]]("pbm-ref"))
+
+    // batches 0,1 + an opaque replay of 1 with PERTURBED contents
+    val durable1 = new OpaqueMap[Long](ParquetBackingMap.open[OpaqueValue[Long]](
+      spark, dir, ParquetBackingMap.opaqueCodec, compactAfter = 1))
+    for (s <- Seq(mem, durable1)) {
+      apply(s, batches(0), 0L)
+      apply(s, Seq("the cat NOPE"), 1L) // failed attempt of batch 1
+      apply(s, batches(1), 1L)          // replay with the real contents
+    }
+
+    // process restart: drop the in-memory engine, reopen from disk (this
+    // also compacts the WAL into a parquet snapshot: compactAfter=1)
+    ParquetBackingMap.close(dir)
+    val durable2 = new OpaqueMap[Long](ParquetBackingMap.open[OpaqueValue[Long]](
+      spark, dir, ParquetBackingMap.opaqueCodec, compactAfter = 1))
+    apply(durable2, batches(2), 2L)
+    apply(mem, batches(2), 2L)
+
+    // and once more, now loading through the parquet snapshot path
+    ParquetBackingMap.close(dir)
+    val durable3 = new OpaqueMap[Long](ParquetBackingMap.open[OpaqueValue[Long]](
+      spark, dir, ParquetBackingMap.opaqueCodec, compactAfter = 64))
+    val words = (batches.flatten.flatMap(_.split(" ")) :+ "NOPE").distinct.sorted
+    val keys = words.map(w => Seq[Any](w))
+    val durableCounts = words.zip(durable3.multiGet(keys)).toMap
+    val memCounts = words.zip(mem.multiGet(keys)).toMap
+    assert(durableCounts == memCounts)
+    assert(durableCounts("the") == Some(3L)) // replayed batch counted once, not twice
+    // opaque contract: a key only the FAILED attempt wrote keeps that value
+    // (nothing re-writes it in the replay) — identically on both engines
+    assert(durableCounts("NOPE") == Some(1L))
+    val snaps = new java.io.File(dir).listFiles().map(_.getName).filter(_.startsWith("snap-"))
+    assert(snaps.nonEmpty, "compaction produced no parquet snapshot")
+  }
+
   test("MicroBatchBackingMap chunks bulk calls; CachedMap caches reads") {
     MemoryBackingMap.clear("chunk")
     var gets = 0
