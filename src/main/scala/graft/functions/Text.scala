@@ -242,9 +242,12 @@ object Text {
       "[0-9][0-9 ()+-]{6,}[0-9]", "<PHONE>")
 
   /** Document fingerprint, oracle-parity tier: md5 of the normalized text
-    * (lowercased, squeezed whitespace) — stable across engines. */
+    * (lowercased, squeezed whitespace) — stable across engines. The squeeze
+    * is the imperative [[graft.plans.Expressions.SqueezeWs]] byte pass, not
+    * `regexp_replace('\\s+')`: identical output, no per-char regex NFA on
+    * what is a full-corpus scan. */
   def fingerprintMd5(text: Column): Column =
-    F.md5(F.regexp_replace(F.lower(F.trim(text)), "\\s+", " "))
+    F.md5(graft.plans.Expressions.squeezeWhitespace(F.lower(text)))
 
   /** Document fingerprint, rolling-hash tier: 64-bit hash chain over tokens
     * (`acc ← xxhash64(acc, token)`) — order-sensitive (a true content

@@ -412,6 +412,55 @@ object Expressions {
       copy(left = l, right = r)
   }
 
+  /** Byte-exact equivalent of `regexp_replace(trim(x), '\\s+', ' ')`:
+    * strip leading/trailing SPACES (0x20 — what Spark `trim` removes), then
+    * collapse every run of Java-regex `\s` ([ \t\n\x0B\f\r], all ASCII) to
+    * one space — including runs touching the ends, which the regex form
+    * turns into a space, not nothing. UTF-8 continuation bytes are ≥ 0x80,
+    * so the byte loop never splits a multi-byte char. Called from generated
+    * code. */
+  def squeezeWs(s: UTF8String): UTF8String = {
+    val bytes = s.getBytes
+    var lo = 0
+    var hi = bytes.length
+    while (lo < hi && bytes(lo) == 0x20) lo += 1
+    while (hi > lo && bytes(hi - 1) == 0x20) hi -= 1
+    val out = new Array[Byte](hi - lo)
+    var n = 0
+    var inWs = false
+    var i = lo
+    while (i < hi) {
+      val b = bytes(i)
+      if (b == 0x20 || (b >= 0x09 && b <= 0x0d)) inWs = true
+      else {
+        if (inWs) { out(n) = 0x20; n += 1; inWs = false }
+        out(n) = b; n += 1
+      }
+      i += 1
+    }
+    if (inWs) { out(n) = 0x20; n += 1 }
+    UTF8String.fromBytes(out, 0, n)
+  }
+
+  /** `squeeze_ws(text)` — the imperative spelling of
+    * `regexp_replace(trim(text), '\\s+', ' ')`: java.util.regex walks a
+    * backtracking NFA per char, ~10× the cost of this one byte pass on a
+    * corpus scan (fingerprinting reads EVERY byte of 100 TB). */
+  case class SqueezeWs(child: Expression)
+    extends UnaryExpression with ImplicitCastInputTypes {
+    override def inputTypes: Seq[DataType] = Seq(StringType)
+    override def dataType: DataType = StringType
+    override def nullSafeEval(input: Any): Any =
+      squeezeWs(input.asInstanceOf[UTF8String])
+    override protected def doGenCode(
+        ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+        ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+        : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+      defineCodeGen(ctx, ev, c => s"graft.plans.Expressions.squeezeWs($c)")
+    override protected def withNewChildInternal(newChild: Expression): SqueezeWs =
+      copy(child = newChild)
+  }
+
   /** Size-capped heap buffer for [[BoundedFirstN]]: keeps the `maxLen`
     * SMALLEST elements seen (max-heap; a new element evicts the current max
     * once full), so a partial aggregation buffer never exceeds `maxLen`
@@ -535,6 +584,8 @@ object Expressions {
     column(Md5Bucket(expr(key), buckets))
 
   def nfcNormalize(text: Column): Column = column(NfcNormalize(expr(text)))
+
+  def squeezeWhitespace(text: Column): Column = column(SqueezeWs(expr(text)))
 
   def zorder(x: Column, y: Column): Column =
     column(ZOrder2(expr(x.cast("long")), expr(y.cast("long"))))

@@ -75,6 +75,65 @@ final class FeederSource[A: Encoder](spark: SparkSession) {
   def toDS: Dataset[A] = stream.toDS()
 }
 
+/** `ISpout`/`IRichSpout` — the pull-based source SPI
+  * (`jvm/backtype/storm/spout/ISpout.java`: `open`/`nextTuple`/`ack`/`fail`).
+  * `nextTuple` returns None when nothing is available right now (the
+  * reference's empty-emit sleep). */
+trait RichSpout[A] extends Serializable {
+  def open(): Unit = ()
+  def nextTuple(): Option[A]
+  def ack(tuple: A): Unit = ()
+  def fail(tuple: A): Unit = ()
+  def close(): Unit = ()
+}
+
+/** `RichSpoutBatchExecutor` (`jvm/storm/trident/spout/
+  * RichSpoutBatchExecutor.java:198` lines total) — adapts a plain
+  * non-replayable [[RichSpout]] into batched micro-batch input: each
+  * `pump()` pulls up to `maxBatchSize` tuples from `nextTuple` into ONE
+  * micro-batch (stopping early when the spout runs dry), and the batch is
+  * acked after the downstream commit succeeds, or failed back to the spout
+  * otherwise — the reference's non-transactional at-least-once contract
+  * (pulled tuples cannot be re-pulled, so exactly-once needs a replayable
+  * source like [[BatchLogProvider]] instead). */
+final class RichSpoutBatchExecutor[A: Encoder](spark: SparkSession,
+    spout: RichSpout[A], maxBatchSize: Int) {
+  private val feeder = new FeederSource[A](spark)
+  private var opened = false
+  private var inFlight: Vector[Seq[A]] = Vector.empty
+
+  /** Pull the next batch from the spout; returns the batch size (0 = dry). */
+  def pump(): Int = {
+    if (!opened) { spout.open(); opened = true }
+    val buf = Vector.newBuilder[A]
+    var n = 0
+    var dry = false
+    while (n < maxBatchSize && !dry) {
+      spout.nextTuple() match {
+        case Some(t) => buf += t; n += 1
+        case None => dry = true
+      }
+    }
+    val batch = buf.result()
+    if (batch.nonEmpty) { feeder.feed(batch); inFlight :+= batch }
+    batch.size
+  }
+
+  /** Commit hook: ack every tuple of the oldest in-flight batch (call after
+    * the downstream sink commits it), or fail them back on error. */
+  def ackOldest(): Unit = takeOldest().foreach(_.foreach(spout.ack))
+  def failOldest(): Unit = takeOldest().foreach(_.foreach(spout.fail))
+  private def takeOldest(): Option[Seq[A]] = {
+    val h = inFlight.headOption
+    if (h.isDefined) inFlight = inFlight.tail
+    h
+  }
+
+  def toDF: DataFrame = feeder.toDF
+  def toDS: Dataset[A] = feeder.toDS
+  def stop(): Unit = if (opened) spout.close()
+}
+
 /** Operational metrics — the `backtype.storm.metric.api` tier (CountMetric,
   * ReducedMetric/MeanReducer, CombinedMetric) re-expressed as `observe`
   * columns: Spark evaluates them inside the existing pass (no extra scan)

@@ -52,6 +52,22 @@ class FunctionsSpec extends AnyFunSuite {
     assert(!r.getBoolean(1))  // rolling hash is order-sensitive
   }
 
+  test("squeezeWs matches regexp_replace(trim(x), '\\s+', ' ') byte-for-byte") {
+    val rnd = new scala.util.Random(11)
+    val pieces = Seq(" ", "\t", "\n", "", "\f", "\r", "a", "Bc", "déjà", "日本", "x y")
+    val cases = (1 to 300).map { _ =>
+      (0 until rnd.nextInt(12)).map(_ => pieces(rnd.nextInt(pieces.length))).mkString
+    } ++ Seq("", " ", "\n", "  a  ", "\ta\t", "a", " \n a \n ")
+    val df = cases.toDF("t")
+    val bad = df.select(
+        F.col("t"),
+        graft.plans.Expressions.squeezeWhitespace(F.col("t")).as("fast"),
+        F.regexp_replace(F.trim(F.col("t")), "\\s+", " ").as("ref"))
+      .where(F.col("fast") =!= F.col("ref"))
+      .collect()
+    assert(bad.isEmpty, bad.take(3).mkString("; "))
+  }
+
   test("exact dedup groups and keep-one filter") {
     val df = Seq((1L, "same text"), (2L, "same text"), (3L, "other")).toDF("doc_id", "text")
     val groups = Dedup.exactDupGroups(df, "doc_id", "text")

@@ -5,7 +5,7 @@ import org.apache.spark.sql.{functions => F}
 import org.scalatest.funsuite.AnyFunSuite
 import graft.api._
 import graft.drpc.LocalDRPC
-import graft.sources.{FeederSource, Metrics}
+import graft.sources.{FeederSource, Metrics, RichSpout, RichSpoutBatchExecutor}
 import graft.state._
 import graft.streaming.MultiStateRunner
 import graft.streaming.MultiStateRunner.StateSink
@@ -70,6 +70,39 @@ class MiscSpec extends AnyFunSuite {
     q.processAllAvailable()
     q.stop()
     assert(MemoryBackingMap.snapshot[Long]("feeder-wc")(Seq("a")) == 2L)
+  }
+
+  test("RichSpoutBatchExecutor: pulls timed batches from a plain spout, acks on commit") {
+    // a non-replayable spout over a finite queue: 25 tuples, batch cap 10
+    val emitted = new java.util.concurrent.ConcurrentLinkedQueue[Int]()
+    (1 to 25).foreach(emitted.add(_))
+    val acked = new java.util.concurrent.ConcurrentLinkedQueue[Int]()
+    val failed = new java.util.concurrent.ConcurrentLinkedQueue[Int]()
+    val spout = new RichSpout[Int] {
+      override def nextTuple(): Option[Int] = Option(emitted.poll())
+      override def ack(t: Int): Unit = { acked.add(t); () }
+      override def fail(t: Int): Unit = { failed.add(t); () }
+    }
+    val exec = new RichSpoutBatchExecutor[Int](spark, spout, maxBatchSize = 10)
+    val sums = scala.collection.mutable.ArrayBuffer[Long]()
+    val q = exec.toDS.toDF("n").writeStream
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime(0L))
+      .foreachBatch { (b: DataFrame, _: Long) =>
+        sums += b.agg(F.sum("n")).head().getLong(0)
+        exec.ackOldest() // downstream commit → ack the batch's tuples
+      }
+      .start()
+    // pump → trigger per batch: 10, 10, then 5 as the spout runs dry
+    assert(exec.pump() == 10); q.processAllAvailable()
+    assert(exec.pump() == 10); q.processAllAvailable()
+    assert(exec.pump() == 5); q.processAllAvailable()
+    assert(exec.pump() == 0) // nothing left
+    q.stop()
+    exec.stop()
+    assert(sums.toSeq == Seq(55L, 155L, 115L)) // per-batch sums, in order
+    assert(acked.toArray(Array.empty[Integer]).map(_.toInt).sorted.toSeq == (1 to 25))
+    assert(failed.isEmpty)
   }
 
   test("multi-state coordinated commit: both states consistent across a replay") {
