@@ -27,4 +27,7 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // throughput collector: batch jobs trade pause time for ~5-10% less GC
+  // overhead vs G1 on a small heap
+  "-XX:+UseParallelGC",
 )
