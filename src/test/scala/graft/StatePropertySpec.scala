@@ -62,6 +62,56 @@ object StatePropertySpec extends Properties("ExactlyOnceState") {
       Prop(got == Seq(Some(expected))) :| s"got $got expected $expected"
     }
 
+  // shared tiny session for the durable-map property (no Spark jobs run at
+  // compactAfter = MaxValue — open() only needs the session for snapshots)
+  private lazy val propSpark = org.apache.spark.sql.SparkSession.builder()
+    .master("local[2]")
+    .config("spark.sql.shuffle.partitions", "2")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private case class Op(key: String, partial: Long, failedFirst: Boolean,
+                        restartBefore: Boolean)
+
+  private val opGen: Gen[Op] = for {
+    k <- Gen.oneOf("a", "b", "c")
+    p <- Gen.choose(0L, 9L)
+    f <- Gen.oneOf(true, false)
+    r <- Gen.frequency(3 -> false, 1 -> true)
+  } yield Op(k, p, f, r)
+
+  property("ParquetBackingMap ≡ MemoryBackingMap for any batch/replay/restart sequence") =
+    Prop.forAll(Gen.listOfN(10, opGen)) { ops =>
+      val memId = s"pbmprop-${java.util.UUID.randomUUID()}"
+      val dir = java.nio.file.Files.createTempDirectory("pbmprop").toString
+      val mem = new OpaqueMap[Long](new MemoryBackingMap[OpaqueValue[Long]](memId))
+      def openDurable() = new OpaqueMap[Long](ParquetBackingMap.open[OpaqueValue[Long]](
+        propSpark, dir, ParquetBackingMap.opaqueCodec, compactAfter = Int.MaxValue))
+      var durable = openDurable()
+      ops.zipWithIndex.foreach { case (op, txid) =>
+        if (op.restartBefore) { // process dies between batches, WAL replays
+          ParquetBackingMap.close(dir)
+          durable = openDurable()
+        }
+        val k = Seq(Seq[Any](op.key))
+        for (m <- Seq(mem, durable)) {
+          if (op.failedFirst) { // a differing failed attempt, then the real one
+            m.beginCommit(Some(txid.toLong))
+            m.multiUpdate(k, Seq(count(op.partial + 100)))
+          }
+          m.beginCommit(Some(txid.toLong))
+          m.multiUpdate(k, Seq(count(op.partial)))
+          m.commit(Some(txid.toLong))
+        }
+      }
+      val keys = Seq("a", "b", "c").map(x => Seq[Any](x))
+      val got = durable.multiGet(keys)
+      val want = mem.multiGet(keys)
+      MemoryBackingMap.clear(memId)
+      ParquetBackingMap.close(dir)
+      Prop(got == want) :| s"durable $got vs memory $want"
+    }
+
   property("OpaqueValue.update/get round-trips for monotone txids") =
     Prop.forAll(Gen.listOfN(6, Gen.choose(0L, 5L))) { deltas =>
       // txids strictly increasing via cumulative sums (+1)
