@@ -556,10 +556,15 @@ object SparkEntry {
 
     "q52_multikey_join" -> ((s, dir) => {
       val li = table(s, dir, "lineitem")
+      // broadcast-hint the filtered aggregate: the HAVING cuts it to a few
+      // thousand rows, but static size estimates can't see that (aggregates
+      // estimate at input size) — unhinted, Spark broadcasts the 600k-row
+      // scan side instead and pays the big hash-table build
       val dups = st(li)
         .groupBy(Fields("l_orderkey", "l_partkey"))
         .aggregate(F.count(F.lit(1)).as("n_dup"))
         .where(F.col("n_dup") >= 2)
+        .broadcastHint()
       dups.join(st(li).project(Fields("l_orderkey", "l_partkey", "l_linenumber")),
           Fields("l_orderkey", "l_partkey"), Fields("l_orderkey", "l_partkey"),
           Fields("orderkey", "partkey", "n_dup", "linenumber"))

@@ -112,27 +112,31 @@ object Text {
     * ranking is the same monotone order). Ties rank by term ascending, so
     * output is deterministic.
     *
-    * Plan shape at scale: one explode+groupBy for per-doc term frequencies;
-    * document frequency as a window count over the (already aggregated) tf
-    * table — NOT a separate aggregate joined back, which would compute the
-    * tf table twice and add a join exchange. Corpus size N rides along as a
-    * broadcast scalar. The two windows shuffle only the tf table — the raw
-    * token stream is aggregated before anything wide happens. */
+    * Plan shape at scale: one explode+groupBy for per-doc term frequencies.
+    * Document frequency comes from its OWN one-scan aggregate (distinct
+    * terms per doc → count per term): the term dictionary is tiny next to
+    * the tf table, so the join back is a broadcast — the tf table never
+    * reshuffles (a window `count over (partition by term)` would exchange
+    * and sort ALL of tf by term). Corpus size N rides along as a broadcast
+    * scalar. The per-doc top-N runs on the native TopK operator — partial
+    * heaps cap each task's state at `topN` rows per doc and the shuffle
+    * carries survivors only, where `row_number()` would exchange and sort
+    * the whole scored table. */
   def tfidfTopTerms(df: org.apache.spark.sql.DataFrame, idCol: String,
       textCol: String, topN: Int): org.apache.spark.sql.DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val n = F.broadcast(df.agg(F.count(F.lit(1)).as("__n")))
     val tf = df
       .select(F.col(idCol), F.explode(tokens(F.col(textCol))).as("term"))
       .groupBy(idCol, "term").agg(F.count(F.lit(1)).as("tf"))
-    val byTerm = Window.partitionBy("term")
-    val w = Window.partitionBy(idCol).orderBy(F.col("score").desc, F.col("term"))
-    tf.withColumn("df_docs", F.count(F.lit(1)).over(byTerm))
+    val dfDocs = F.broadcast(df
+      .select(F.explode(F.array_distinct(tokens(F.col(textCol)))).as("term"))
+      .groupBy("term").agg(F.count(F.lit(1)).as("df_docs")))
+    val scored = tf.join(dfDocs, "term")
       .crossJoin(n)
       .withColumn("score",
         F.col("tf") * (F.col("__n").cast("double") / F.col("df_docs").cast("double")))
-      .withColumn("__rn", F.row_number().over(w))
-      .where(F.col("__rn") <= topN)
+    graft.plans.TopK.topKPerKey(scored, Seq(idCol), "score",
+        desc = true, tieBreak = Seq("term"), k = topN)
       .select(F.col(idCol), F.col("term"), F.col("tf"), F.col("df_docs"), F.col("score"))
   }
 
