@@ -18,7 +18,12 @@ object PlanAudit {
     val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
     val names = if (args.nonEmpty) args.toSeq else graft.SparkEntry.queries.keys.toSeq.sorted
     names.foreach { q =>
-      val plan = graft.SparkEntry.queries(q)(spark, dir).queryExecution.executedPlan.toString
+      // execute first: under AQE the pre-execution plan is a bare
+      // AdaptiveSparkPlan skeleton — codegen spans and final join choices
+      // only exist in the post-execution final plan
+      val qe = graft.SparkEntry.queries(q)(spark, dir).queryExecution
+      try qe.toRdd.count() catch { case _: Throwable => () }
+      val plan = qe.executedPlan.toString
     val joins = plan.linesIterator
         .filter(l => l.contains("Join") || l.contains("Cartesian") || l.contains("Generate"))
         .map(_.trim.replaceAll("\\[plan_id=\\d+\\]", "").take(120)).toSeq
@@ -29,8 +34,11 @@ object PlanAudit {
         // strip tree-drawing prefixes (+-, :-, spaces) before matching
         def ops(name: String): Int = plan.linesIterator
           .count(_.dropWhile(c => !c.isLetter).startsWith(name))
-        println(s"  exchanges=${ops("Exchange")} " +
-          s"wholeStageCodegen=${plan.linesIterator.count(_.contains("WholeStageCodegen"))}")
+        // codegen'd operators carry a `*(stageId)` prefix in the simple
+        // plan string; count distinct stage ids = codegen spans
+        val codegenSpans = "\\*\\((\\d+)\\)".r
+          .findAllMatchIn(plan).map(_.group(1)).toSet.size
+        println(s"  exchanges=${ops("Exchange")} codegenSpans=$codegenSpans")
       }
     }
     spark.stop()
