@@ -241,6 +241,77 @@ object Multimodal {
     }
   }
 
+  /** REAL video codec for YUV4MPEG2 (`.y4m`) — the uncompressed planar
+    * container every ffmpeg pipeline can emit, parseable with zero external
+    * libraries: an ASCII header (`YUV4MPEG2 W<w> H<h> F<fps> [C<space>]`),
+    * then `FRAME\n` + raw planes per frame. [[DecodedSchema]] mapping for
+    * video: true `width`/`height`, `n_channels` = 3 (1 for Cmono), and the
+    * feature vector is a `featDim`-bucket luminance histogram accumulated
+    * over every frame's Y plane (the same feature the image codec computes
+    * per still). Truncated trailing frames are ignored; non-Y4M bytes →
+    * None. */
+  object Y4mCodec extends MediaCodec {
+    override def name: String = "y4m"
+    private val Magic = "YUV4MPEG2 ".getBytes(java.nio.charset.StandardCharsets.US_ASCII)
+    override def decode(bytes: Array[Byte], featDim: Int): Option[Row] = {
+      if (bytes.length < Magic.length + 1 ||
+        !java.util.Arrays.equals(bytes, 0, Magic.length, Magic, 0, Magic.length))
+        return None
+      val nl = bytes.indexOf('\n'.toByte)
+      if (nl < 0) return None
+      val header = new String(bytes, 0, nl, java.nio.charset.StandardCharsets.US_ASCII)
+      val params = header.split(' ').drop(1)
+      def num(tag: Char): Option[Int] = params.collectFirst {
+        case p if p.length > 1 && p.charAt(0) == tag && p.drop(1).forall(_.isDigit) =>
+          p.drop(1).toInt
+      }
+      val (w, h) = (num('W').getOrElse(return None), num('H').getOrElse(return None))
+      if (w <= 0 || h <= 0) return None
+      val colorspace = params.collectFirst {
+        case p if p.startsWith("C") => p
+      }.getOrElse("C420")
+      val ySize = w * h
+      // chroma plane total per frame, by subsampling mode
+      val chromaSize = colorspace match {
+        case c if c.startsWith("C420") => 2 * ((w / 2) * (h / 2))
+        case c if c.startsWith("C422") => 2 * ((w / 2) * h)
+        case c if c.startsWith("C444") => 2 * ySize
+        case "Cmono"                   => 0
+        case _                         => return None
+      }
+      val frameSize = ySize + chromaSize
+      val hist = new Array[Long](featDim)
+      var nFrames = 0
+      var pos = nl + 1
+      while (pos < bytes.length) {
+        // each frame opens with "FRAME[ params]\n"
+        val fnl = bytes.indexOf('\n'.toByte, pos)
+        if (fnl < 0 || fnl - pos < 5 ||
+          new String(bytes, pos, 5, java.nio.charset.StandardCharsets.US_ASCII) != "FRAME")
+          return if (nFrames > 0) emit(w, h, colorspace, hist, nFrames, ySize) else None
+        val dataStart = fnl + 1
+        if (dataStart + frameSize > bytes.length) // truncated tail frame
+          return if (nFrames > 0) emit(w, h, colorspace, hist, nFrames, ySize) else None
+        var i = dataStart
+        val yEnd = dataStart + ySize
+        while (i < yEnd) {
+          val luma = bytes(i) & 0xff
+          hist(math.min(featDim - 1, luma * featDim / 256)) += 1
+          i += 1
+        }
+        nFrames += 1
+        pos = dataStart + frameSize
+      }
+      if (nFrames > 0) emit(w, h, colorspace, hist, nFrames, ySize) else None
+    }
+    private def emit(w: Int, h: Int, colorspace: String, hist: Array[Long],
+        nFrames: Int, ySize: Int): Option[Row] = {
+      val n = nFrames.toLong * ySize
+      Some(Row(name, w, h, if (colorspace == "Cmono") 1 else 3,
+        hist.map(_ / n.toFloat)))
+    }
+  }
+
   /** Stub codec with the SPI face — byte histogramming, any bytes decode
     * (dimensions reported as 0×0). The default in this container. */
   object StubCodec extends MediaCodec {

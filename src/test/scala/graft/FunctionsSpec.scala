@@ -247,6 +247,39 @@ class FunctionsSpec extends AnyFunSuite {
     assert(out(2L).isNullAt(1) && out(2L).isNullAt(2))  // undecodable → nulls
   }
 
+  test("Y4M codec decodes a real generated video to dimensions/frames via the SPI") {
+    // build a real YUV4MPEG2 stream in memory: 4x2 C420, 3 frames whose Y
+    // planes are constant 0 / 128 / 255 — one luma bucket hit per frame
+    val w = 4; val h = 2
+    val buf = new java.io.ByteArrayOutputStream()
+    buf.write("YUV4MPEG2 W4 H2 F25:1 Ip A1:1 C420jpeg\n".getBytes("US-ASCII"))
+    for (luma <- Seq(0, 128, 255)) {
+      buf.write("FRAME\n".getBytes("US-ASCII"))
+      buf.write(Array.fill(w * h)(luma.toByte))       // Y plane
+      buf.write(Array.fill(2 * (w / 2) * (h / 2))(64.toByte)) // U + V planes
+    }
+    val y4m = buf.toByteArray
+
+    val df = Seq((1L, y4m), (2L, "not video".getBytes("UTF-8"))).toDF("id", "payload")
+    val out = Multimodal.decodeWith(df, "payload", Multimodal.Y4mCodec, featDim = 4)
+      .select("id", "codec", "width", "height", "n_channels", "feature")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(out(1L).getString(1) == "y4m")
+    assert(out(1L).getInt(2) == 4 && out(1L).getInt(3) == 2)
+    assert(out(1L).getInt(4) == 3)
+    // 3 frames × 8 px each, one frame per bucket boundary: 0→b0, 128→b2, 255→b3
+    val feat = out(1L).getSeq[Float](5)
+    assert(feat == Seq(1f / 3, 0f, 1f / 3, 1f / 3))
+    assert(out(2L).isNullAt(1) && out(2L).isNullAt(2))  // undecodable → nulls
+
+    // a truncated tail frame is ignored, completed frames still decode
+    val cut = java.util.Arrays.copyOf(y4m, y4m.length - 5)
+    val partial = Multimodal.decodeWith(
+        Seq((1L, cut)).toDF("id", "payload"), "payload", Multimodal.Y4mCodec, featDim = 4)
+      .select("feature").head().getSeq[Float](0)
+    assert(partial == Seq(0.5f, 0f, 0.5f, 0f)) // only frames 1+2 counted
+  }
+
   test("multimodal frame sampling and stubbed resize keep the batch contract") {
     val df = Seq((1L, "abcd" * 100)).toDF("doc_id", "text") // 400 bytes
       .select($"doc_id", Multimodal.fakePayload($"text").as("payload"))
