@@ -156,26 +156,58 @@ object Expressions {
       val n = arr.numElements()
       if (n < k) return null
       val md = java.security.MessageDigest.getInstance("MD5")
-      val seedPrefixes = Array.tabulate(numHashes)(h => s"$h|")
-      val mins = new Array[String](numHashes)
-      val words = new Array[String](n)
+      // seed prefixes ("0|".."7|") are pure ASCII, so their UTF-8 bytes
+      // prepend to the shingle's UTF-8 bytes exactly as the string concat did
+      val seedPrefixes = Array.tabulate(numHashes)(h =>
+        s"$h|".getBytes(java.nio.charset.StandardCharsets.US_ASCII))
+      // track minima as raw 16-byte digests: hex is a nibble-monotone
+      // encoding (0-9 < a-f in ASCII order matches nibble 0-15 order), so
+      // unsigned byte comparison == lexicographic hex comparison — the 32
+      // chars per (shingle × seed) hexification moves out of the hot loop
+      // and runs numHashes times total
+      val mins = new Array[Array[Byte]](numHashes)
+      val words = new Array[Array[Byte]](n)
       var w = 0
-      while (w < n) { words(w) = arr.getUTF8String(w).toString; w += 1 }
+      while (w < n) { words(w) = arr.getUTF8String(w).getBytes; w += 1 }
       var i = 0
       while (i + k <= n) {
-        val sb = new java.lang.StringBuilder(words(i))
-        var j = 1
-        while (j < k) { sb.append(' ').append(words(i + j)); j += 1 }
-        val shingle = sb.toString
+        var len = k - 1
+        var j = 0
+        while (j < k) { len += words(i + j).length; j += 1 }
+        val shingle = new Array[Byte](len)
+        var p = 0
+        j = 0
+        while (j < k) {
+          if (j > 0) { shingle(p) = ' '; p += 1 }
+          val wb = words(i + j)
+          System.arraycopy(wb, 0, shingle, p, wb.length)
+          p += wb.length
+          j += 1
+        }
         var h = 0
         while (h < numHashes) {
-          val hex = md5Hex(md, (seedPrefixes(h) + shingle).getBytes("UTF-8"))
-          if (mins(h) == null || hex.compareTo(mins(h)) < 0) mins(h) = hex
+          md.reset()
+          md.update(seedPrefixes(h))
+          md.update(shingle)
+          val digest = md.digest()
+          if (mins(h) == null ||
+            java.util.Arrays.compareUnsigned(digest, mins(h)) < 0) mins(h) = digest
           h += 1
         }
         i += 1
       }
-      new GenericArrayData(mins.map(UTF8String.fromString(_): Any))
+      new GenericArrayData(mins.map(d => UTF8String.fromString(hexify(d)): Any))
+    }
+
+    private def hexify(d: Array[Byte]): String = {
+      val out = new Array[Char](32)
+      var i = 0
+      while (i < 16) {
+        out(2 * i) = HexDigits((d(i) >> 4) & 0xf)
+        out(2 * i + 1) = HexDigits(d(i) & 0xf)
+        i += 1
+      }
+      new String(out)
     }
 
     override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
