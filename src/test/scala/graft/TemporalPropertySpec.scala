@@ -205,4 +205,21 @@ object TemporalPropertySpec extends Properties("TemporalOps") {
           ws.forall { case (_, t, w) => w <= t && t < w + size && w % slide == 0 }
       }
     }
+
+  property("orderedHistory (bounded first_n) equals the collect_list+slice reference") =
+    Prop.forAll(Gen.nonEmptyListOf(rowGen), Gen.choose(1, 6)) { (rows, maxLen) =>
+      import spark.implicits._
+      // repartition(5) forces partial buffers to serialize and merge across
+      // tasks — the TypedImperativeAggregate paths a single partition skips
+      val df = rows.toDF("k", "t", "v").repartition(5)
+      val out = Temporal.orderedHistory(df, "k", "t", "v", maxLen)
+        .as[(Long, String, Long)].collect()
+        .map { case (k, h, n) => k -> ((h, n)) }.toMap
+      val expected = rows.groupBy(_._1).map { case (k, g) =>
+        val hist = g.map(r => (r._2, r._3)).sorted.take(maxLen)
+          .map(_._2.toString).mkString("|")
+        k -> ((hist, g.size.toLong))
+      }
+      out == expected
+    }
 }
