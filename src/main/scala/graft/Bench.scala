@@ -64,7 +64,10 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","calib":$calib,"queries":$qs,"sf":"$sfDir"}""")
+    val warmNote =
+      if (warmSf.nonEmpty && warmSf != sfDir) s""""warm":"full-suite@$warmSf","""
+      else """"warm":"none","""
+    println(s"""{"metric":"total","value":$total,"unit":"sec","calib":$calib,$warmNote"queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 
