@@ -72,8 +72,14 @@ class DRPCService(drpc: LocalDRPC, requestTimeoutMs: Long = 10000L,
     val req = new Req(idGen.incrementAndGet().toString, function, args,
       System.currentTimeMillis())
     pending.put(req.id, req)
-    queues.computeIfAbsent(req.function,
-      _ => new java.util.concurrent.ConcurrentLinkedQueue[Req]()).add(req)
+    queues.computeIfAbsent(req.function, { _ =>
+      val q = new java.util.concurrent.ConcurrentLinkedQueue[Req]()
+      // refresh the dispatch snapshot only when a NEW function appears
+      // (function sets are small and stable; per-fetch re-sorting isn't);
+      // synchronized: two first-time functions hold different map bins
+      this.synchronized { functionNames = (functionNames :+ req.function).sorted }
+      q
+    }).add(req)
     totalQueued.incrementAndGet()
     available.release()
     // the sweeper enforces the deadline; the latch slack covers sweep lag
@@ -99,11 +105,16 @@ class DRPCService(drpc: LocalDRPC, requestTimeoutMs: Long = 10000L,
     None
   }
 
+  /** Sorted snapshot of known function names; grows monotonically (a
+    * function's queue lives for the service lifetime once seen). Updated
+    * under the service lock on first sight of a function, read lock-free. */
+  @volatile private var functionNames: Vector[String] = Vector.empty
+
   /** One round-robin sweep over the function sub-queues, starting one past
     * where the last sweep started — every non-empty function gets served
     * once per worker cycle (KeyedFairBolt semantics). */
   private def fetchAnyFair(): Option[Req] = {
-    val names = queues.keySet().toArray(Array.empty[String]).sorted
+    val names = functionNames
     if (names.isEmpty) return None
     val start = ((rrCursor.getAndIncrement() % names.length) + names.length) % names.length
     var i = 0
