@@ -776,6 +776,17 @@ object SparkEntry {
         .orderBy("hour")
     }),
 
+    "q104_decontaminate" -> ((s, dir) => {
+      // eval set = every 100th doc; survivors = corpus docs sharing no
+      // 3-gram with any eval doc (exact-duplicate copies of eval docs are
+      // the dominant drop, plus genuine n-gram overlaps)
+      val docs = table(s, dir, "documents")
+      Dedup.decontaminate(
+          docs.where(F.col("doc_id") % 100 =!= 0), "doc_id", "text",
+          docs.where(F.col("doc_id") % 100 === 0), "text", 3)
+        .select("doc_id").orderBy("doc_id")
+    }),
+
     "q102_funnel" -> ((s, dir) => {
       // click→purchase funnel within 24h: users who clicked vs converted
       val ev = events(s, dir).withColumn("ts_us", F.expr("ts DIV 1000"))
@@ -1558,6 +1569,14 @@ object SparkEntry {
              SELECT 1 FROM a n WHERE n.user_id = a.user_id AND n.hour = a.hour + 1)
              THEN 1 ELSE 0 END) AS BIGINT) AS n_retained
          FROM a GROUP BY 1 ORDER BY 1""",
+    "q104_decontaminate" ->
+      """WITH ws AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x != '') AS ws FROM documents),
+         sh AS (SELECT doc_id, unnest(list_transform(generate_series(1, len(ws) - 2), i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS g FROM ws),
+         eg AS (SELECT DISTINCT g FROM sh WHERE doc_id % 100 = 0),
+         hits AS (SELECT DISTINCT doc_id FROM sh WHERE doc_id % 100 <> 0 AND g IN (SELECT g FROM eg))
+         SELECT doc_id FROM documents
+         WHERE doc_id % 100 <> 0 AND doc_id NOT IN (SELECT doc_id FROM hits)
+         ORDER BY 1""",
     "q102_funnel" ->
       """WITH c AS (SELECT user_id, epoch_us(ts) AS ts FROM events WHERE event_type = 'click'),
          p AS (SELECT user_id, epoch_us(ts) AS ts FROM events WHERE event_type = 'purchase')

@@ -236,6 +236,27 @@ object Dedup {
     df.join(drops, Seq(idCol), "left_anti")
   }
 
+  /** Benchmark decontamination: drop every corpus row whose text shares at
+    * least one word `n`-gram with ANY document in `evalSet` — the standard
+    * guard against eval answers leaking into training data.
+    *
+    * Scale shape: eval benchmarks are tiny next to a training corpus, so
+    * their distinct n-grams broadcast; the corpus-side explode feeds a
+    * broadcast hash probe — the corpus itself never shuffles. The hit list
+    * carries ids only (AQE broadcasts it when small), so the final
+    * anti-join moves no text either. Docs with fewer than `n` tokens have
+    * no n-grams and always survive. */
+  def decontaminate(corpus: DataFrame, idCol: String, textCol: String,
+      evalSet: DataFrame, evalTextCol: String, n: Int): DataFrame = {
+    val evalGrams = F.broadcast(
+      evalSet.select(F.explode(shingles(F.col(evalTextCol), n)).as("__g")).distinct())
+    val contaminated = corpus
+      .select(F.col(idCol), F.explode(shingles(F.col(textCol), n)).as("__g"))
+      .join(evalGrams, "__g")
+      .select(idCol)
+    corpus.join(contaminated, Seq(idCol), "left_anti")
+  }
+
   def duplicateClusters(pairs: DataFrame, aCol: String, bCol: String,
       maxIter: Int = 12, reliableCheckpoint: Boolean = false): DataFrame = {
     // localCheckpoint stores to executor memory/disk — fine single-node and

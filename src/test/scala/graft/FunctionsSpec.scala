@@ -78,6 +78,19 @@ class FunctionsSpec extends AnyFunSuite {
     assert(kept == Set(1L, 3L))
   }
 
+  test("decontaminate drops corpus docs sharing any n-gram with the eval set") {
+    val eval = Seq((100L, "the capital of france is paris")).toDF("doc_id", "text")
+    val corpus = Seq(
+      (1L, "my trip to the capital of france was great"), // shares "the capital of"
+      (2L, "paris is a city in europe"),                  // words overlap, no 3-gram
+      (3L, "nothing related here at all"),
+      (4L, "hi")                                          // < 3 tokens: no n-grams
+    ).toDF("doc_id", "text")
+    val kept = Dedup.decontaminate(corpus, "doc_id", "text", eval, "text", 3)
+      .as[(Long, String)].collect().map(_._1).toSet
+    assert(kept == Set(2L, 3L, 4L))
+  }
+
   test("minhash/LSH finds near-duplicates, jaccard verifies") {
     val base = "the quick brown fox jumps over the lazy dog again and again today"
     val near = base.replace("today", "tomorrow")
