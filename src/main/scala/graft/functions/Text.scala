@@ -152,7 +152,10 @@ object Text {
     *
     * Scale shape: tokens are filtered to the query bag BEFORE the tf
     * aggregate (the explode stream drops to ~|Q| rows per doc
-    * immediately); df comes from a broadcast-sized per-term aggregate;
+    * immediately); document frequency is a window count over the tf table
+    * itself — tf is bag-bounded (≤ |Q| rows per doc), so the window is a
+    * small-table sort, and the corpus explode runs ONCE (a per-term
+    * aggregate joined back would re-derive tf and re-scan the corpus);
     * N/avgdl ride along as a broadcast scalar. */
   def bm25(df: org.apache.spark.sql.DataFrame, idCol: String, textCol: String,
       queryTerms: Seq[String], k1: Double = 1.2, b: Double = 0.75): org.apache.spark.sql.DataFrame = {
@@ -165,14 +168,14 @@ object Text {
       .where(F.col("term").isin(queryTerms: _*))
       .groupBy(F.col(idCol), F.col("__dl"), F.col("term"))
       .agg(F.count(F.lit(1)).as("tf"))
-    val dfreq = F.broadcast(tf.groupBy("term").agg(F.count(F.lit(1)).as("df_t")))
+    val byTerm = org.apache.spark.sql.expressions.Window.partitionBy("term")
     val avgdl = F.col("__sdl").cast("double") / F.col("__n").cast("double")
     val idf = (F.col("__n").cast("double") - F.col("df_t").cast("double") + F.lit(0.5)) /
       (F.col("df_t").cast("double") + F.lit(0.5))
     val denom = F.col("tf").cast("double") +
       F.lit(k1) * (F.lit(1.0) - F.lit(b) + F.lit(b) * (F.col("__dl").cast("double") / avgdl))
     val contrib = idf * ((F.col("tf").cast("double") * F.lit(k1 + 1.0)) / denom)
-    tf.join(dfreq, "term").crossJoin(stats)
+    tf.withColumn("df_t", F.count(F.lit(1)).over(byTerm)).crossJoin(stats)
       .withColumn("contrib", contrib)
       .groupBy(idCol)
       .agg(
