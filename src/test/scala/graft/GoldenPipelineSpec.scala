@@ -44,6 +44,23 @@ class GoldenPipelineSpec extends AnyFunSuite {
     assert(topology.localDRPC.execute("words", "the man") == "[[6]]") // 4 + 2
   }
 
+  test("multiple groupings of the same stream merge — integration_test.clj:166-186") {
+    // the reference groups ONE drpc stream two independent ways, counts
+    // each, and merges: every arg comes back twice with count 1
+    import spark.implicits._
+    val topology = new Topology(spark)
+    topology.newDRPCStream("tester") { args =>
+      val base = args.where(Operations.trueFilter)
+      val s1 = base.groupBy(Fields("args"))
+        .aggregate(F.count(F.lit(1)).cast("long").as("count"))
+      val s2 = base.groupBy(Fields("args"))
+        .aggregate(F.count(F.lit(1)).cast("long").as("count"))
+      s1.merge(s2)
+    }
+    assert(topology.localDRPC.execute("tester", "the") == """[["the",1],["the",1]]""")
+    assert(topology.localDRPC.execute("tester", "aaaaa") == """[["aaaaa",1],["aaaaa",1]]""")
+  }
+
   test("word-count topology + DRPC goldens: [[2]], [[4]], [[8]]") {
     import spark.implicits._
     MemoryBackingMap.clear("golden-wc")
