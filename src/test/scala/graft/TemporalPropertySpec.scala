@@ -206,6 +206,27 @@ object TemporalPropertySpec extends Properties("TemporalOps") {
       }
     }
 
+  property("decontaminate equals brute-force n-gram overlap") =
+    Prop.forAll(
+      Gen.listOfN(12, Gen.listOfN(6, Gen.oneOf("a", "b", "c", "d", "e"))),
+      Gen.listOfN(2, Gen.listOfN(6, Gen.oneOf("a", "b", "c", "d", "e")))) { (corpusToks, evalToks) =>
+      import spark.implicits._
+      val corpus = corpusToks.zipWithIndex
+        .map { case (ts, i) => (i.toLong, ts.mkString(" ")) }.toDF("id", "text")
+      val eval = evalToks.zipWithIndex
+        .map { case (ts, i) => (i.toLong, ts.mkString(" ")) }.toDF("id", "text")
+      val n = 3
+      val kept = Dedup.decontaminate(corpus, "id", "text", eval, "text", n)
+        .as[(Long, String)].collect().map(_._1).toSet
+      def grams(ts: Seq[String]) = ts.sliding(n).filter(_.size == n)
+        .map(_.mkString(" ")).toSet
+      val evalGrams = evalToks.flatMap(grams).toSet
+      val expected = corpusToks.zipWithIndex.collect {
+        case (ts, i) if grams(ts).intersect(evalGrams).isEmpty => i.toLong
+      }.toSet
+      kept == expected
+    }
+
   property("orderedHistory (bounded first_n) equals the collect_list+slice reference") =
     Prop.forAll(Gen.nonEmptyListOf(rowGen), Gen.choose(1, 6)) { (rows, maxLen) =>
       import spark.implicits._
