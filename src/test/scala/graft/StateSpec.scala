@@ -156,6 +156,35 @@ class StateSpec extends AnyFunSuite {
     assert(snaps.nonEmpty, "compaction produced no parquet snapshot")
   }
 
+  test("ParquetBackingMap: concurrent multiPut from many threads survives restart intact") {
+    lazy val spark = org.apache.spark.sql.SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    val dir = java.nio.file.Files.createTempDirectory("graft-pbm-conc").toString
+    val store = ParquetBackingMap.open[String](
+      spark, dir, ParquetBackingMap.nonTransactionalCodec, compactAfter = 1000)
+    // 8 writers × 50 puts, each thread owns its key range (the partition
+    // discipline partitionPersist gives executors) — every segment append
+    // races through the shared engine
+    val threads = (0 until 8).map { t =>
+      new Thread(() => (0 until 50).foreach { i =>
+        store.multiPut(Seq(Seq[Any](s"k$t-$i")), Seq(s"v$t-$i"))
+      })
+    }
+    threads.foreach(_.start()); threads.foreach(_.join())
+    ParquetBackingMap.close(dir)
+    val reopened = ParquetBackingMap.open[String](
+      spark, dir, ParquetBackingMap.nonTransactionalCodec, compactAfter = 1000)
+    val keys = for (t <- 0 until 8; i <- 0 until 50) yield Seq[Any](s"k$t-$i")
+    val got = reopened.multiGet(keys)
+    assert(got.flatten.size == 400, s"lost ${400 - got.flatten.size} of 400 concurrent writes")
+    assert(got.zip(keys).forall { case (v, k) =>
+      v.contains(k.head.toString.replaceFirst("k", "v")) })
+    ParquetBackingMap.close(dir)
+  }
+
   test("MicroBatchBackingMap chunks bulk calls; CachedMap caches reads") {
     MemoryBackingMap.clear("chunk")
     var gets = 0
