@@ -13,13 +13,15 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
   * per-trigger planning, for ~millisecond end-to-end latency.
   *
   * SUPPORTED OPERATOR SUBSET (engine-enforced, documented here as the
-  * contract): only STATELESS row-local operators run continuously —
-  * `project`/`each`/`flatEach`/`where`/filters and any deterministic Column
+  * contract): only STATELESS row-local 1:1 operators run continuously —
+  * `project`/`each`/`where`/filters and any deterministic Column
   * expression (the reference's function/filter bolt tier). NOT supported:
-  * aggregations, joins, dedup/distinct, windowing, `mapGroupsWithState` —
-  * anything that shuffles or holds state; those run in micro-batch mode
-  * (the Trident tier, every other runner in this package). Sources: rate
-  * (+ Kafka in a real deployment); sinks: memory/console (+ Kafka).
+  * `flatEach` (Spark rejects Generate in continuous mode — verified in
+  * ContinuousSpec), aggregations, joins, dedup/distinct, windowing,
+  * `mapGroupsWithState` — anything 1:N, shuffling, or stateful; those run
+  * in micro-batch mode (the Trident tier, every other runner in this
+  * package). Sources: rate (+ Kafka in a real deployment); sinks:
+  * memory/console (+ Kafka).
   *
   * At scale: each partition becomes ONE never-ending task, so parallelism
   * is fixed at start — size source partitions to the executor count, and

@@ -56,4 +56,16 @@ class ContinuousSpec extends AnyFunSuite {
     }
     assert(err.getMessage != null)
   }
+
+  test("continuous mode rejects flatEach (Generate) — 1:1 operators only") {
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-cont3").toString
+    val err = intercept[Exception] {
+      val q = ContinuousRunner.runRate(spark, 10, 1, "cont_flat_bad", ckpt) { src =>
+        new Stream(src).flatEach(F.array(F.col("value"), F.col("value") * 100), "v").toDF
+      }
+      try q.awaitTermination(15000L) finally q.stop()
+    }
+    assert(err.getMessage.contains("Generate"),
+      s"expected the Generate rejection, got: ${err.getMessage}")
+  }
 }
