@@ -99,6 +99,17 @@ class Stream(val df: DataFrame) extends Serializable {
   def flatEach(arrayExpr: Column, out: String): Stream =
     new Stream(df.withColumn(out, F.explode(arrayExpr)))
 
+  /** Object-tier 1:N emit: `Dataset.flatMap` over whole rows into
+    * `outSchema` (a MapPartitions plan, NOT Generate) — the bolt-like
+    * "emit any number of tuples per input" spelling, and the one 1:N form
+    * Spark's continuous trigger accepts (Generate is rejected there —
+    * ContinuousSpec). Batch/micro-batch pipelines should prefer
+    * [[flatEach]]: the Column tier stays inside whole-stage codegen, this
+    * one round-trips rows through Scala objects. */
+  def flatEachRows(outSchema: org.apache.spark.sql.types.StructType)(
+      fn: Row => IterableOnce[Row]): Stream =
+    new Stream(df.flatMap(fn)(org.apache.spark.sql.Encoders.row(outSchema)))
+
   /** `each(inputFields, Filter)` — Row-tier predicate (`operation/Filter.java`,
     * executed via `FilterExecutor`). */
   def each(in: Fields, filter: RowFilter): Stream = {

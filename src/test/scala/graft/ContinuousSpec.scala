@@ -57,6 +57,34 @@ class ContinuousSpec extends AnyFunSuite {
     assert(err.getMessage != null)
   }
 
+  test("Trigger.Continuous runs object-tier flatEachRows (1:N) per-tuple") {
+    import org.apache.spark.sql.types._
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-cont-fm").toString
+    val outSchema = StructType(Seq(
+      StructField("v", LongType), StructField("tag", IntegerType)))
+    val q = ContinuousRunner.runRate(spark, rowsPerSecond = 200,
+      numPartitions = 2, queryName = "cont_fm", checkpointDir = ckpt,
+      epochMs = 300L) { src =>
+      new Stream(src.select("value"))
+        .flatEachRows(outSchema)(r =>
+          Seq(org.apache.spark.sql.Row(r.getLong(0), 0),
+            org.apache.spark.sql.Row(r.getLong(0), 1)))
+        .toDF
+    }
+    try {
+      val deadline = System.currentTimeMillis() + 60000L
+      while (spark.table("cont_fm").count() < 20 && System.currentTimeMillis() < deadline)
+        Thread.sleep(200L)
+      assert(q.isActive, s"continuous query died: ${Option(q.exception.orNull)}")
+      val rows = spark.table("cont_fm").collect().map(r => (r.getLong(0), r.getInt(1)))
+      assert(rows.length >= 20)
+      // each input value emitted exactly its two tagged twins
+      val byV = rows.groupBy(_._1)
+      assert(byV.values.forall(g => g.map(_._2).sorted.sameElements(Array(0, 1))),
+        "a value arrived without exactly its two tagged emits")
+    } finally q.stop()
+  }
+
   test("continuous mode rejects flatEach (Generate) — 1:1 operators only") {
     val ckpt = java.nio.file.Files.createTempDirectory("graft-cont3").toString
     val err = intercept[Exception] {
