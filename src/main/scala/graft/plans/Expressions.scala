@@ -28,18 +28,6 @@ object Expressions {
 
   private val HexDigits = "0123456789abcdef".toCharArray
 
-  private def md5Hex(md: java.security.MessageDigest, bytes: Array[Byte]): String = {
-    md.reset()
-    val d = md.digest(bytes)
-    val out = new Array[Char](32)
-    var i = 0
-    while (i < 16) {
-      out(2 * i) = HexDigits((d(i) >> 4) & 0xf)
-      out(2 * i + 1) = HexDigits(d(i) & 0xf)
-      i += 1
-    }
-    new String(out)
-  }
 
   private val tlMd5: ThreadLocal[java.security.MessageDigest] =
     ThreadLocal.withInitial(() => java.security.MessageDigest.getInstance("MD5"))
@@ -293,8 +281,17 @@ object Expressions {
       val votes = new Array[Int](60)
       var i = 0
       while (i < n) {
-        val hex = md5Hex(md, arr.getUTF8String(i).getBytes)
-        val h = java.lang.Long.parseLong(hex.substring(0, 15), 16)
+        md.reset()
+        val d = md.digest(arr.getUTF8String(i).getBytes)
+        // first 15 hex nibbles of the digest as a 60-bit value — identical
+        // to parseLong(hex.substring(0, 15), 16) without the hex round-trip
+        var h = 0L
+        var ni = 0
+        while (ni < 15) {
+          val b = d(ni >> 1) & 0xff
+          h = (h << 4) | (if ((ni & 1) == 0) b >>> 4 else b & 0xf)
+          ni += 1
+        }
         var bit = 0
         while (bit < 60) {
           if (((h >>> bit) & 1L) == 1L) votes(bit) += 1 else votes(bit) -= 1
