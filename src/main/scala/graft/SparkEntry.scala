@@ -776,6 +776,18 @@ object SparkEntry {
         .orderBy("hour")
     }),
 
+    "q105_weighted_mix" -> ((s, dir) => {
+      // blend en:de:fr at 2:1:1 — 'de' is the binding source (least data
+      // per unit weight), so it survives in full and en/fr downsample
+      val docs = table(s, dir, "documents")
+      def src(lang: String) = docs.where(F.col("lang") === lang)
+      Sampling.mixByWeight(Seq(
+          (src("en"), F.col("doc_id"), 2L),
+          (src("de"), F.col("doc_id"), 1L),
+          (src("fr"), F.col("doc_id"), 1L)))
+        .select("doc_id", "lang").orderBy("doc_id")
+    }),
+
     "q104_decontaminate" -> ((s, dir) => {
       // eval set = every 100th doc; survivors = corpus docs sharing no
       // 3-gram with any eval doc (exact-duplicate copies of eval docs are
@@ -1569,6 +1581,21 @@ object SparkEntry {
              SELECT 1 FROM a n WHERE n.user_id = a.user_id AND n.hour = a.hour + 1)
              THEN 1 ELSE 0 END) AS BIGINT) AS n_retained
          FROM a GROUP BY 1 ORDER BY 1""",
+    "q105_weighted_mix" ->
+      """WITH n AS (SELECT
+           (SELECT count(*) FROM documents WHERE lang = 'en') AS nen,
+           (SELECT count(*) FROM documents WHERE lang = 'de') AS nde,
+           (SELECT count(*) FROM documents WHERE lang = 'fr') AS nfr),
+         p AS (SELECT
+           least(nen*2*1000000//(2*nen), nde*2*1000000//(1*nen), nfr*2*1000000//(1*nen)) AS ppm_en,
+           least(nen*1*1000000//(2*nde), nde*1*1000000//(1*nde), nfr*1*1000000//(1*nde)) AS ppm_de,
+           least(nen*1*1000000//(2*nfr), nde*1*1000000//(1*nfr), nfr*1*1000000//(1*nfr)) AS ppm_fr
+           FROM n)
+         SELECT doc_id, lang FROM documents, p
+         WHERE (lang = 'en' AND ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 1000000 < ppm_en)
+            OR (lang = 'de' AND ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 1000000 < ppm_de)
+            OR (lang = 'fr' AND ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 1000000 < ppm_fr)
+         ORDER BY 1""",
     "q104_decontaminate" ->
       """WITH ws AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x != '') AS ws FROM documents),
          sh AS (SELECT doc_id, unnest(list_transform(generate_series(1, len(ws) - 2), i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS g FROM ws),

@@ -39,6 +39,39 @@ object Sampling {
     df.where(hashBucket(key) < threshold)
   }
 
+  /** Deterministic weighted corpus mixing: downsample each source so the
+    * output hits the target ratio `w_1 : w_2 : … : w_n` as closely as hash
+    * sampling allows, keeping the binding source (the one with the least
+    * data per unit weight) in full. The standard "blend domains at fixed
+    * proportions" step when assembling a training mix.
+    *
+    * The per-source keep rate is computed in EXACT integer arithmetic —
+    * `ppm_i = min_j floor(n_j · w_i · 10^6 / (w_j · n_i))` (minimized at
+    * the binding source; floor is monotone, so the min commutes with it) —
+    * and sampling is hash-deterministic ([[bernoulliSample]]), so the mix
+    * is bit-reproducible across runs, engines, and re-partitioning.
+    * Realized ratios are approximate to hash uniformity, not exact counts.
+    *
+    * Scale shape: each `count()` is a metadata-cheap aggregate, the rates
+    * are driver-side scalars (BigInt — no overflow at any corpus size),
+    * and each source's sample is a per-row scan predicate; the union
+    * introduces no shuffle. */
+  def mixByWeight(sources: Seq[(DataFrame, Column, Long)]): DataFrame = {
+    require(sources.nonEmpty, "mixByWeight needs at least one source")
+    require(sources.forall(_._3 > 0), "weights must be positive")
+    val counts = sources.map(_._1.count())
+    require(counts.forall(_ > 0), "every source must be non-empty")
+    val ppms = sources.indices.map { i =>
+      sources.indices.map { j =>
+        (BigInt(counts(j)) * sources(i)._3 * 1000000L /
+          (BigInt(sources(j)._3) * counts(i))).toLong
+      }.min
+    }
+    sources.zip(ppms).map { case ((df, key, _), ppm) =>
+      bernoulliSample(df, key, ppm)
+    }.reduce(_.unionByName(_))
+  }
+
   /** Deterministic train/test split: adds `split` = 'test' for ~testPpm/1e6
     * of rows, 'train' otherwise. Hash-keyed → membership is stable across
     * runs and resilient to re-partitioning; key on a document/content id so

@@ -244,4 +244,21 @@ class TemporalSpec extends AnyFunSuite {
 
     assert(Sampling.fixedSizeSample(df, F.col("id"), 37).count() == 37)
   }
+
+  test("mixByWeight keeps the binding source whole and downsamples the rest to ratio") {
+    val big = spark.range(1000).toDF("id").withColumn("src", F.lit("big"))
+    val small = spark.range(5000, 5100).toDF("id").withColumn("src", F.lit("small"))
+    // equal weights, 10:1 sizes → 'small' binds (kept whole), 'big' → ~10%
+    val mix = Sampling.mixByWeight(Seq(
+      (big, F.col("id"), 1L), (small, F.col("id"), 1L)))
+    val bySrc = mix.groupBy("src").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(bySrc("small") == 100L, "binding source must survive in full")
+    assert(bySrc("big") > 60 && bySrc("big") < 140, s"~100 expected, got ${bySrc("big")}")
+    // deterministic: the same mix every run
+    val again = Sampling.mixByWeight(Seq(
+      (big, F.col("id"), 1L), (small, F.col("id"), 1L)))
+    assert(mix.collect().map(_.getLong(0)).sorted
+      .sameElements(again.collect().map(_.getLong(0)).sorted))
+  }
 }
