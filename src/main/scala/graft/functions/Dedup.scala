@@ -88,7 +88,10 @@ object Dedup {
     *    metric the way a side-effecting typed filter would. The size
     *    pre-pass reuses the same hash partitioning on `bk` (count → join →
     *    collect all cluster on one exchange), so the guard costs no extra
-    *    shuffle. */
+    *    shuffle. Caveat: `observe` metrics surface through Dataset actions
+    *    (collect/write/foreachBatch); a raw `queryExecution.toRdd` drive
+    *    bypasses the listener, so audit pipelines that need the drop list
+    *    itself should call [[lshOversizeBuckets]]. */
   def lshCandidatePairs(banded: DataFrame, idCol: String, bands: Int,
       maxBucketSize: Int = 10000): DataFrame = {
     registerDropWarnListener(banded.sparkSession)
@@ -118,14 +121,35 @@ object Dedup {
       .distinct()
   }
 
+  /** The buckets [[lshCandidatePairs]] would DROP at this cap — the audit
+    * face of the "no silent caps" rule: run it (cheap — one count per
+    * bucket, no pair expansion) when the WARN-on-completion channel isn't
+    * enough, e.g. pipelines driven through `toRdd` or jobs that must
+    * quarantine the poisoned docs rather than just skip them. */
+  def lshOversizeBuckets(banded: DataFrame, idCol: String, bands: Int,
+      maxBucketSize: Int = 10000): DataFrame = {
+    val bandCols = (0 until bands).map(b => F.col(s"band$b"))
+    banded
+      .select(F.col(idCol).as("id"),
+        F.posexplode(F.array(bandCols: _*)).as(Seq("bi", "bv")))
+      .where(F.col("bv").isNotNull)
+      .select(F.concat_ws("|", F.col("bi"), F.col("bv")).as("bk"))
+      .groupBy("bk").agg(F.count(F.lit(1)).as("n_members"))
+      .where(F.col("n_members") > maxBucketSize)
+  }
+
   /** Sessions that already carry the `graft.lsh` WARN listener — the
     * listener itself is passive (fires only when a query with the named
     * observation completes), so one per session is enough. */
   private val observeSeq = new java.util.concurrent.atomic.AtomicLong(0L)
 
+  // weak keys: a stopped session must stay collectable — a static strong
+  // set would leak every session (plus its listener graph) for the JVM
+  // lifetime in apps that cycle sessions
   private val dropWarnRegistered =
-    java.util.Collections.newSetFromMap(
-      new java.util.concurrent.ConcurrentHashMap[org.apache.spark.sql.SparkSession, java.lang.Boolean]())
+    java.util.Collections.synchronizedSet(
+      java.util.Collections.newSetFromMap(
+        new java.util.WeakHashMap[org.apache.spark.sql.SparkSession, java.lang.Boolean]()))
 
   private def registerDropWarnListener(spark: org.apache.spark.sql.SparkSession): Unit =
     if (dropWarnRegistered.add(spark)) {
@@ -259,6 +283,7 @@ object Dedup {
 
   def duplicateClusters(pairs: DataFrame, aCol: String, bCol: String,
       maxIter: Int = 12, reliableCheckpoint: Boolean = false): DataFrame = {
+    require(maxIter > 0, s"maxIter must be positive, got $maxIter")
     // localCheckpoint stores to executor memory/disk — fine single-node and
     // fast, but a lost executor kills the lineage at cluster scale. With a
     // checkpoint dir set, `reliableCheckpoint = true` swaps in the

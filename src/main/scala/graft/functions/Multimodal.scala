@@ -213,7 +213,16 @@ object Multimodal {
       try {
         val fmt = stream.getFormat
         val bits = fmt.getSampleSizeInBits
+        val enc = fmt.getEncoding
+        import javax.sound.sampled.AudioFormat.Encoding
+        // linear PCM only: ULAW/ALAW pass the bit-width check but are
+        // companded — histogramming their bytes as PCM would be silently
+        // wrong, and 8-bit signed (AIFF/AU) differs from 8-bit unsigned
+        // (WAV) by a 128 offset
+        if (enc != Encoding.PCM_SIGNED && enc != Encoding.PCM_UNSIGNED) return None
         if (bits != 8 && bits != 16) return None // non-PCM widths out of scope
+        if (bits == 16 && enc != Encoding.PCM_SIGNED) return None // 16-bit unsigned: out of scope
+        val signed8 = bits == 8 && enc == Encoding.PCM_SIGNED
         val frameSize = fmt.getFrameSize
         val channels = fmt.getChannels
         val data = stream.readAllBytes()
@@ -224,8 +233,10 @@ object Multimodal {
           val off = i * frameSize // channel 0 sample starts the frame
           // normalized |amplitude| in [0, 1]
           val amp =
-            if (bits == 8) math.abs((data(off) & 0xff) - 128) / 128.0
-            else {
+            if (bits == 8) {
+              if (signed8) math.abs(data(off).toInt) / 128.0
+              else math.abs((data(off) & 0xff) - 128) / 128.0
+            } else {
               val (lo, hi) = if (fmt.isBigEndian) (off + 1, off) else (off, off + 1)
               math.abs((data(hi) << 8 | (data(lo) & 0xff)).toShort / 32768.0)
             }

@@ -114,23 +114,25 @@ object Text {
     *
     * Plan shape at scale: one explode+groupBy for per-doc term frequencies.
     * Document frequency comes from its OWN one-scan aggregate (distinct
-    * terms per doc → count per term): the term dictionary is tiny next to
-    * the tf table, so the join back is a broadcast — the tf table never
-    * reshuffles (a window `count over (partition by term)` would exchange
-    * and sort ALL of tf by term). Corpus size N rides along as a broadcast
-    * scalar. The per-doc top-N runs on the native TopK operator — partial
-    * heaps cap each task's state at `topN` rows per doc and the shuffle
-    * carries survivors only, where `row_number()` would exchange and sort
-    * the whole scored table. */
+    * terms per doc → count per term), joined back on term with NO broadcast
+    * hint: the term dictionary is heavy-tailed and unbounded at corpus
+    * scale (typos/numbers/URLs), so forcing a driver-side broadcast would
+    * OOM where a shuffle join works at any vocabulary size — AQE still
+    * broadcasts it at runtime whenever it measures small (the common case,
+    * and what happens at the oracle sf). The per-doc top-N runs on the
+    * native TopK operator — partial heaps cap each task's state at `topN`
+    * rows per doc and the shuffle carries survivors only, where
+    * `row_number()` would exchange and sort the whole scored table. Corpus
+    * size N rides along as a broadcast scalar (always one row). */
   def tfidfTopTerms(df: org.apache.spark.sql.DataFrame, idCol: String,
       textCol: String, topN: Int): org.apache.spark.sql.DataFrame = {
     val n = F.broadcast(df.agg(F.count(F.lit(1)).as("__n")))
     val tf = df
       .select(F.col(idCol), F.explode(tokens(F.col(textCol))).as("term"))
       .groupBy(idCol, "term").agg(F.count(F.lit(1)).as("tf"))
-    val dfDocs = F.broadcast(df
+    val dfDocs = df
       .select(F.explode(F.array_distinct(tokens(F.col(textCol)))).as("term"))
-      .groupBy("term").agg(F.count(F.lit(1)).as("df_docs")))
+      .groupBy("term").agg(F.count(F.lit(1)).as("df_docs"))
     val scored = tf.join(dfDocs, "term")
       .crossJoin(n)
       .withColumn("score",

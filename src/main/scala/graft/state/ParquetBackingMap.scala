@@ -17,9 +17,11 @@ import org.apache.spark.sql.SparkSession
   *  - `snap-<n>/` — full-map parquet snapshots (columns `k`, `v`, JSON-coded
   *    via [[StateSerializers]]), written by Spark with its `_SUCCESS` marker
   *    as the atomicity fence; only the highest complete snapshot loads.
-  *  - `seg-<nanos>-<uuid>.jsonl` — one append segment per `multiPut` (tab-
+  *  - `seg-<seq>-<uuid>.jsonl` — one append segment per `multiPut` (tab-
   *    separated `key\tvalue` JSON pairs), written to a temp name and
-  *    atomically renamed, so a crash can never expose a torn segment.
+  *    atomically renamed, so a crash can never expose a torn segment. The
+  *    sequence number is seeded past every existing segment at `open()`,
+  *    so replay order survives machine reboots (one writer per directory).
   *
   * `open()` replays snapshot + segments (in write order) into an in-memory
   * cache, then compacts when the segment count passes `compactAfter`:
@@ -68,18 +70,30 @@ object ParquetBackingMap {
     def encode(v: Any): String = codec.encode(v)
     def decode(s: String): Any = codec.decode(s)
 
-    private def segments(): Seq[Path] =
-      Files.list(dir).iterator().asScala
-        .filter(p => p.getFileName.toString.startsWith("seg-")
-          && p.getFileName.toString.endsWith(".jsonl"))
-        .toSeq.sortBy(_.getFileName.toString)
+    private def listDir[A](f: Iterator[Path] => A): A = {
+      val s = Files.list(dir)
+      try f(s.iterator().asScala) finally s.close()
+    }
 
-    private def snapshots(): Seq[(Long, Path)] =
-      Files.list(dir).iterator().asScala
-        .filter(_.getFileName.toString.startsWith("snap-"))
-        .filter(p => Files.exists(p.resolve("_SUCCESS")))
-        .toSeq.map(p => (p.getFileName.toString.stripPrefix("snap-").toLong, p))
-        .sortBy(_._1)
+    private def segments(): Seq[Path] = listDir(_
+      .filter(p => p.getFileName.toString.startsWith("seg-")
+        && p.getFileName.toString.endsWith(".jsonl"))
+      .toSeq.sortBy(_.getFileName.toString))
+
+    private def snapshots(): Seq[(Long, Path)] = listDir(_
+      .filter(_.getFileName.toString.startsWith("snap-"))
+      .filter(p => Files.exists(p.resolve("_SUCCESS")))
+      .toSeq.map(p => (p.getFileName.toString.stripPrefix("snap-").toLong, p))
+      .sortBy(_._1))
+
+    /** Next WAL sequence number — seeded PAST every existing segment at
+      * open() so replay order survives process AND machine restarts (a
+      * nanoTime-based name would reset at boot and sort stale segments
+      * after newer ones). Single-writer per directory, like any LSM dir. */
+    private val segSeq = new java.util.concurrent.atomic.AtomicLong(
+      segments().lastOption.map(p =>
+        p.getFileName.toString.stripPrefix("seg-").takeWhile(_.isDigit).toLong)
+        .getOrElse(-1L))
 
     def load(): Unit = {
       cache.clear()
@@ -99,7 +113,7 @@ object ParquetBackingMap {
 
     /** One atomic WAL segment per multiPut: temp write + rename. */
     def append(kvs: Seq[(String, String)]): Unit = synchronized {
-      val name = f"seg-${System.nanoTime()}%020d-${java.util.UUID.randomUUID().toString.take(8)}.jsonl"
+      val name = f"seg-${segSeq.incrementAndGet()}%020d-${java.util.UUID.randomUUID().toString.take(8)}.jsonl"
       val tmp = dir.resolve(s".$name.tmp")
       val body = kvs.map { case (k, v) => s"$k\t$v" }.mkString("", "\n", "\n")
       Files.write(tmp, body.getBytes(StandardCharsets.UTF_8),

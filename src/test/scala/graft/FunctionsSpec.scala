@@ -260,6 +260,24 @@ class FunctionsSpec extends AnyFunSuite {
     assert(out(2L).isNullAt(1) && out(2L).isNullAt(2))  // undecodable → nulls
   }
 
+  test("WAV codec honors sample encoding: signed-8-bit silence lands in the bottom bucket") {
+    // 8-bit PCM_SIGNED (the AIFF convention): silence is byte 0x00 — an
+    // unsigned interpretation would read it as amplitude 1.0 (top bucket)
+    val rate = 8000
+    val pcm = new Array[Byte](rate / 4) // 0.25s of signed silence
+    val fmt = new javax.sound.sampled.AudioFormat(rate.toFloat, 8, 1, true, false)
+    val buf = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(
+      new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(pcm), fmt, pcm.length.toLong),
+      javax.sound.sampled.AudioFileFormat.Type.AIFF, buf)
+    val df = Seq((1L, buf.toByteArray)).toDF("id", "payload")
+    val feat = Multimodal.decodeWith(df, "payload", Multimodal.WavCodec, featDim = 4)
+      .select("feature").head().getSeq[Float](0)
+    assert(feat(0) == 1.0f && feat(3) == 0f,
+      s"signed silence must fill the bottom amplitude bucket, got $feat")
+  }
+
   test("Y4M codec decodes a real generated video to dimensions/frames via the SPI") {
     // build a real YUV4MPEG2 stream in memory: 4x2 C420, 3 frames whose Y
     // planes are constant 0 / 128 / 255 — one luma bucket hit per frame

@@ -185,6 +185,30 @@ class StateSpec extends AnyFunSuite {
     ParquetBackingMap.close(dir)
   }
 
+  test("ParquetBackingMap: replay order survives a 'reboot' (clock-independent WAL names)") {
+    lazy val spark = org.apache.spark.sql.SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    val dir = java.nio.file.Files.createTempDirectory("graft-pbm-boot")
+    // a segment left by a 'previous boot' whose name encodes a huge
+    // timestamp-like number — a clock-derived naming scheme would sort any
+    // post-reboot write BEFORE it and replay stale data on top of new
+    java.nio.file.Files.writeString(dir.resolve(f"seg-${Long.MaxValue / 2}%020d-deadbeef.jsonl"),
+      "[\"k\"]\t[\"old\"]\n")
+    val s1 = ParquetBackingMap.open[String](spark, dir.toString,
+      ParquetBackingMap.nonTransactionalCodec, compactAfter = 1000)
+    assert(s1.multiGet(Seq(Seq[Any]("k"))) == Seq(Some("old")))
+    s1.multiPut(Seq(Seq[Any]("k")), Seq("new")) // post-'reboot' write
+    ParquetBackingMap.close(dir.toString)
+    val s2 = ParquetBackingMap.open[String](spark, dir.toString,
+      ParquetBackingMap.nonTransactionalCodec, compactAfter = 1000)
+    assert(s2.multiGet(Seq(Seq[Any]("k"))) == Seq(Some("new")),
+      "post-reboot write must replay AFTER the pre-reboot segment")
+    ParquetBackingMap.close(dir.toString)
+  }
+
   test("MicroBatchBackingMap chunks bulk calls; CachedMap caches reads") {
     MemoryBackingMap.clear("chunk")
     var gets = 0
