@@ -19,6 +19,29 @@ trait IBackingMap[T] extends Serializable {
   def multiPut(keys: Seq[Seq[Any]], vals: Seq[T]): Unit
 }
 
+/** Optional scan face for backings that can enumerate their contents — the
+  * keyed-table read behind `TridentState.toDF`/`newValuesStream`/
+  * `TupleCollectionGet`. A backing without it fails those paths LOUDLY
+  * instead of returning silently-empty state. */
+trait ScannableBacking {
+  def scanAll(): Seq[(Seq[Any], Any)]
+}
+
+/** Optional commit hook: the exactly-once wrappers call this from the
+  * DRIVER-side `commit(txid)` bracket after each batch — where a store can
+  * run maintenance it must not do inside executor tasks (e.g.
+  * [[ParquetBackingMap]] folds its WAL into a parquet snapshot here). */
+trait CommitAwareBacking {
+  def onCommit(): Unit
+}
+
+private[state] object CommitSupport {
+  def onCommit(backing: IBackingMap[_]): Unit = backing match {
+    case c: CommitAwareBacking => c.onCommit()
+    case _ => ()
+  }
+}
+
 /** `state/map/ReadOnlyMapState.java` / `MapState.java:23-24`. */
 trait ReadOnlyMapState[T] extends Serializable {
   def multiGet(keys: Seq[Seq[Any]]): Seq[Option[T]]
@@ -31,6 +54,20 @@ trait MapState[T] extends ReadOnlyMapState[T] {
     * (`storm/trident/state/State.java`). */
   def beginCommit(txid: Option[Long]): Unit
   def commit(txid: Option[Long]): Unit
+  /** Full (key, stored-value) scan when the backing supports it; values are
+    * raw wrapper values (OpaqueValue/TransactionalValue) on those tiers. */
+  def scanAll(): Seq[(Seq[Any], Any)] = throw new UnsupportedOperationException(
+    s"${getClass.getSimpleName}'s backing map is not ScannableBacking — " +
+      "state scans (toDF/newValuesStream/TupleCollectionGet) need one")
+}
+
+private[state] object ScanSupport {
+  def scan(backing: IBackingMap[_]): Seq[(Seq[Any], Any)] = backing match {
+    case s: ScannableBacking => s.scanAll()
+    case other => throw new UnsupportedOperationException(
+      s"${other.getClass.getSimpleName} is not ScannableBacking — " +
+        "state scans (toDF/newValuesStream/TupleCollectionGet) need one")
+  }
 }
 
 /** `state/StateUpdater.java:26-32` — the raw sink SPI: sees every tuple of
@@ -52,7 +89,8 @@ final class NonTransactionalMap[T](backing: IBackingMap[T]) extends MapState[T] 
   }
   def multiPut(keys: Seq[Seq[Any]], vals: Seq[T]): Unit = backing.multiPut(keys, vals)
   def beginCommit(txid: Option[Long]): Unit = ()
-  def commit(txid: Option[Long]): Unit = ()
+  def commit(txid: Option[Long]): Unit = CommitSupport.onCommit(backing)
+  override def scanAll(): Seq[(Seq[Any], Any)] = ScanSupport.scan(backing)
 }
 
 /** `state/map/TransactionalMap.java:40-95` — stores `TransactionalValue`;
@@ -63,7 +101,7 @@ final class TransactionalMap[T](backing: IBackingMap[TransactionalValue[T]])
   private var currTx: Option[Long] = None
 
   def beginCommit(txid: Option[Long]): Unit = { currTx = txid }
-  def commit(txid: Option[Long]): Unit = { currTx = None }
+  def commit(txid: Option[Long]): Unit = { currTx = None; CommitSupport.onCommit(backing) }
 
   def multiGet(keys: Seq[Seq[Any]]): Seq[Option[T]] =
     backing.multiGet(keys).map(_.map(_.value))
@@ -88,6 +126,8 @@ final class TransactionalMap[T](backing: IBackingMap[TransactionalValue[T]])
 
   def multiPut(keys: Seq[Seq[Any]], vals: Seq[T]): Unit =
     backing.multiPut(keys, vals.map(v => TransactionalValue(currTx.getOrElse(0L), v)))
+
+  override def scanAll(): Seq[(Seq[Any], Any)] = ScanSupport.scan(backing)
 }
 
 /** `state/map/OpaqueMap.java:40-85` — stores `OpaqueValue`; a replayed batch
@@ -98,7 +138,7 @@ final class OpaqueMap[T](backing: IBackingMap[OpaqueValue[T]]) extends MapState[
   private var currTx: Option[Long] = None
 
   def beginCommit(txid: Option[Long]): Unit = { currTx = txid }
-  def commit(txid: Option[Long]): Unit = { currTx = None }
+  def commit(txid: Option[Long]): Unit = { currTx = None; CommitSupport.onCommit(backing) }
 
   def multiGet(keys: Seq[Seq[Any]]): Seq[Option[T]] =
     backing.multiGet(keys).map(_.flatMap(_.get(currTx)))
@@ -121,6 +161,8 @@ final class OpaqueMap[T](backing: IBackingMap[OpaqueValue[T]]) extends MapState[
     }
     backing.multiPut(keys, wrapped)
   }
+
+  override def scanAll(): Seq[(Seq[Any], Any)] = ScanSupport.scan(backing)
 }
 
 /** `testing/MemoryMapState.java:34` — in-memory backing store registered in
@@ -128,11 +170,12 @@ final class OpaqueMap[T](backing: IBackingMap[OpaqueValue[T]]) extends MapState[
   * it; the test fixture of both the reference and this engine. A cluster
   * deployment swaps in a real `IBackingMap` (JDBC/KV) or the
   * `transformWithState` path — same wrapper semantics. */
-final class MemoryBackingMap[T](id: String) extends IBackingMap[T] {
+final class MemoryBackingMap[T](id: String) extends IBackingMap[T] with ScannableBacking {
   private def store = MemoryBackingMap.store[T](id)
   def multiGet(keys: Seq[Seq[Any]]): Seq[Option[T]] = keys.map(k => store.get(k))
   def multiPut(keys: Seq[Seq[Any]], vals: Seq[T]): Unit =
     keys.zip(vals).foreach { case (k, v) => store.put(k, v) }
+  def scanAll(): Seq[(Seq[Any], Any)] = store.toSeq
 }
 
 object MemoryBackingMap {
@@ -145,17 +188,31 @@ object MemoryBackingMap {
 
 /** `state/map/CachedMap.java:31-70` — cross-batch LRU read cache over a
   * (remote) backing map; writes update the cache. */
-final class CachedMap[T](backing: IBackingMap[T], capacity: Int) extends IBackingMap[T] {
+final class CachedMap[T](backing: IBackingMap[T], capacity: Int)
+  extends IBackingMap[T] with ScannableBacking {
+  /** Scans bypass the LRU (reads through to the full backing). */
+  def scanAll(): Seq[(Seq[Any], Any)] = ScanSupport.scan(backing)
   private val cache = new java.util.LinkedHashMap[Seq[Any], Option[T]](16, 0.75f, true) {
     override def removeEldestEntry(e: java.util.Map.Entry[Seq[Any], Option[T]]): Boolean =
       size() > capacity
   }
   def multiGet(keys: Seq[Seq[Any]]): Seq[Option[T]] = synchronized {
-    val missing = keys.filterNot(cache.containsKey)
-    if (missing.nonEmpty) {
-      backing.multiGet(missing).zip(missing).foreach { case (v, k) => cache.put(k, v) }
+    // answer from a call-local map: reading back through the LRU would
+    // return raw nulls for keys the fill loop itself just evicted
+    // (guaranteed whenever keys.size > capacity)
+    val resolved = scala.collection.mutable.HashMap[Seq[Any], Option[T]]()
+    val missing = keys.distinct.filterNot { k =>
+      val hit = cache.containsKey(k)
+      if (hit) resolved(k) = cache.get(k)
+      hit
     }
-    keys.map(cache.get)
+    if (missing.nonEmpty) {
+      backing.multiGet(missing).zip(missing).foreach { case (v, k) =>
+        resolved(k) = v
+        cache.put(k, v)
+      }
+    }
+    keys.map(resolved)
   }
   def multiPut(keys: Seq[Seq[Any]], vals: Seq[T]): Unit = synchronized {
     backing.multiPut(keys, vals)
@@ -166,7 +223,9 @@ final class CachedMap[T](backing: IBackingMap[T], capacity: Int) extends IBackin
 /** `state/map/MicroBatchIBackingMap.java:25-79` — chunk bulk calls so huge
   * batches don't overwhelm an external store. */
 final class MicroBatchBackingMap[T](backing: IBackingMap[T], maxMultiGet: Int,
-                                    maxMultiPut: Int) extends IBackingMap[T] {
+                                    maxMultiPut: Int)
+  extends IBackingMap[T] with ScannableBacking {
+  def scanAll(): Seq[(Seq[Any], Any)] = ScanSupport.scan(backing)
   def multiGet(keys: Seq[Seq[Any]]): Seq[Option[T]] =
     keys.grouped(maxMultiGet).flatMap(backing.multiGet).toSeq
   def multiPut(keys: Seq[Seq[Any]], vals: Seq[T]): Unit =

@@ -40,13 +40,26 @@ import org.apache.spark.sql.SparkSession
   * real KV store behind the same SPI. State volume is the per-key aggregate
   * table (small), never the event stream.
   */
-final class ParquetBackingMap[T] private (path: String) extends IBackingMap[T] {
+final class ParquetBackingMap[T] private (path: String)
+  extends IBackingMap[T] with ScannableBacking with CommitAwareBacking {
+  /** Driver-side commit hook (wrappers call it after each batch): fold the
+    * WAL into a parquet snapshot once it outgrows `compactAfter` — a
+    * long-running streaming query would otherwise grow one segment per
+    * partition per micro-batch until the next open(). Never runs inside an
+    * executor task (compaction launches a Spark write). */
+  def onCommit(): Unit = engine.maybeCompact()
   private def engine = ParquetBackingMap.engine(path)
   def multiGet(keys: Seq[Seq[Any]]): Seq[Option[T]] =
     keys.map(k => engine.cache.get(StateSerializers.keyToJson(k)).map(engine.decode(_).asInstanceOf[T]))
   def multiPut(keys: Seq[Seq[Any]], vals: Seq[T]): Unit =
     engine.append(keys.map(StateSerializers.keyToJson)
       .zip(vals.map(v => engine.encode(v.asInstanceOf[Any]))))
+  /** Keyed-table scan over the replayed cache — what makes this store a
+    * full `TridentState` backing (toDF/newValuesStream/state scans). */
+  def scanAll(): Seq[(Seq[Any], Any)] =
+    engine.cache.toSeq.map { case (k, v) =>
+      (StateSerializers.keyFromJson(k), engine.decode(v))
+    }
 }
 
 object ParquetBackingMap {
@@ -111,7 +124,16 @@ object ParquetBackingMap {
       if (segments().size > compactAfter) compact()
     }
 
-    /** One atomic WAL segment per multiPut: temp write + rename. */
+    // live segment count (no directory listing per append); the commit
+    // hook folds the WAL whenever it outgrows compactAfter DURING a run,
+    // not only at the next open() — a long-running streaming query would
+    // otherwise accumulate one file per partition per micro-batch forever
+    private val segCount = new java.util.concurrent.atomic.AtomicInteger(segments().size)
+
+    /** One atomic WAL segment per multiPut: temp write + rename. Appends
+      * run anywhere (executor tasks included); compaction does NOT happen
+      * here — it launches a Spark write, which must not nest inside a
+      * running task ([[maybeCompact]] runs from the driver-side commit). */
     def append(kvs: Seq[(String, String)]): Unit = synchronized {
       val name = f"seg-${segSeq.incrementAndGet()}%020d-${java.util.UUID.randomUUID().toString.take(8)}.jsonl"
       val tmp = dir.resolve(s".$name.tmp")
@@ -120,7 +142,14 @@ object ParquetBackingMap {
         StandardOpenOption.CREATE, StandardOpenOption.WRITE, StandardOpenOption.SYNC)
       Files.move(tmp, dir.resolve(name), StandardCopyOption.ATOMIC_MOVE)
       kvs.foreach { case (k, v) => cache.put(k, v) }
+      segCount.incrementAndGet()
+      ()
     }
+
+    /** Compact when the WAL is over budget AND we are not inside a task. */
+    def maybeCompact(): Unit =
+      if (segCount.get() > compactAfter && org.apache.spark.TaskContext.get() == null)
+        compact()
 
     /** Fold the WAL into the next parquet snapshot, then drop old files.
       * Crash-safe: the new snapshot's `_SUCCESS` lands before any delete. */
@@ -132,6 +161,7 @@ object ParquetBackingMap {
         .repartition(1)
         .write.mode("overwrite").parquet(dir.resolve(s"snap-$next").toString)
       segs.foreach(Files.deleteIfExists(_))
+      segCount.set(0)
       snapshots().dropRight(1).foreach { case (_, p) =>
         Files.walk(p).iterator().asScala.toSeq.reverse.foreach(Files.deleteIfExists(_))
       }

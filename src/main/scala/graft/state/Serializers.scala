@@ -62,6 +62,12 @@ object StateSerializers {
             case "null" => null
             case "true" => true
             case "false" => false
+            // writeScalar emits these for non-finite doubles — a reader
+            // that can't take them back would make a WAL with one NaN
+            // permanently unreplayable
+            case "NaN" => Double.NaN
+            case "Infinity" => Double.PositiveInfinity
+            case "-Infinity" => Double.NegativeInfinity
             case t if t.contains('.') || t.contains('e') || t.contains('E') => t.toDouble
             case t => t.toLong
           })
@@ -89,7 +95,13 @@ object StateSerializers {
     TransactionalValue(txid.asInstanceOf[Long], value)
   }
 
-  /** `JSONOpaqueSerializer` — `[currTxid, curr, prev]`. */
+  /** `JSONOpaqueSerializer` — `[currTxid, curr, prev]`, null prev = none.
+    * Reference-parity caveat: the reference's Java model has no
+    * Some(null)/None distinction either (a null prev IS "no prev"), so a
+    * legitimately-null committed value round-trips to None and a same-txid
+    * replay re-applies from scratch instead of rolling back to null. Null
+    * is therefore not a storable committed aggregate value on this wire —
+    * identical to the reference's behavior. */
   def opaqueToJson(v: OpaqueValue[Any]): String =
     s"[${v.currTxid},${writeScalar(v.curr)},${writeScalar(v.prev.orNull)}]"
   def opaqueFromJson(s: String): OpaqueValue[Any] = {

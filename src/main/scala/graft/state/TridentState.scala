@@ -12,11 +12,12 @@ import graft.api.{Fields, StaticState, Stream}
 final class TridentState[T](val mapState: MapState[T], val storeId: String,
                             val keys: Fields, val valueField: String) {
 
-  /** Snapshot the keyed store as a DataFrame (driver-side materialization of
-    * the in-memory test store; a production backing map exposes its own
-    * scan — e.g. a keyed table read). */
+  /** Snapshot the keyed store as a DataFrame through the backing's
+    * [[ScannableBacking]] scan face (memory, parquet-durable, or any
+    * custom store that exposes one) — a non-scannable backing fails
+    * LOUDLY here instead of quietly producing empty state. */
   def toDF(spark: SparkSession, schema: StructType): DataFrame = {
-    val rows = MemoryBackingMap.snapshot[Any](storeId).toSeq.map {
+    val rows = mapState.scanAll().map {
       case (k, v) => Row.fromSeq(k :+ unwrap(v))
     }
     spark.createDataFrame(spark.sparkContext.parallelize(rows,
@@ -65,4 +66,5 @@ final class CachedBatchReadsMap[T](delegate: MapState[T]) extends MapState[T] {
     delegate.multiPut(keys, vals)
     keys.zip(vals).foreach { case (k, v) => batchWrites(k) = v }
   }
+  override def scanAll(): Seq[(Seq[Any], Any)] = delegate.scanAll()
 }

@@ -94,10 +94,20 @@ object StateStoreRunner {
 
     override def handleInputRows(key: K, rows: Iterator[V],
                                  timerValues: TimerValues): Iterator[(K, Seq[V])] = {
-      val appended = (if (hist.exists()) hist.get().toVector else Vector.empty[V]) ++ rows
-      val bounded = appended.takeRight(maxLen)
-      hist.put(bounded.toArray[Any].asInstanceOf[Array[V]])
-      Iterator.single((key, bounded))
+      val newRows = rows.toVector
+      val existing = if (hist.exists()) hist.get().toVector else Vector.empty[V]
+      val appended = existing ++ newRows
+      if (appended.size <= maxLen) {
+        // no truncation → append only the arrivals: per-batch store writes
+        // scale with arrival rate, not history length
+        if (newRows.nonEmpty)
+          hist.appendList(newRows.toArray[Any].asInstanceOf[Array[V]])
+        Iterator.single((key, appended))
+      } else {
+        val bounded = appended.takeRight(maxLen)
+        hist.put(bounded.toArray[Any].asInstanceOf[Array[V]])
+        Iterator.single((key, bounded))
+      }
     }
   }
 
@@ -141,10 +151,20 @@ object StateStoreRunner {
 
     override def handleInputRows(key: K, rows: Iterator[(K, java.sql.Timestamp)],
                                  timerValues: TimerValues): Iterator[(K, String, Long)] = {
-      val n = (if (count.exists()) count.get() else 0L) + rows.size
+      // idle is measured from the key's LAST EVENT, not the watermark: on
+      // the first batch the watermark still reads 0 (it reflects the
+      // previous batch), and a watermark-anchored timer would fire the
+      // moment other keys advance it — a spurious tick after one trigger
+      var latest = timerValues.getCurrentWatermarkInMs()
+      var arrived = 0L
+      rows.foreach { case (_, ts) =>
+        arrived += 1
+        latest = math.max(latest, ts.getTime)
+      }
+      val n = (if (count.exists()) count.get() else 0L) + arrived
       count.update(n)
       if (armed.exists()) getHandle.deleteTimer(armed.get())
-      val at = timerValues.getCurrentWatermarkInMs() + idleMs
+      val at = latest + idleMs
       getHandle.registerTimer(at)
       armed.update(at)
       Iterator.single((key, "data", n))

@@ -51,7 +51,10 @@ object StreamRunner {
     // the final HashAggregate is already hash-partitioned by the keys —
     // no extra exchange before the partition-local state writes
     agg.foreachPartition { (it: Iterator[Row]) =>
-      val rows = it.toVector
+      // a key whose rows were all null aggregates to a null partial (e.g.
+      // min of nulls) — it contributes nothing; unboxing it would write a
+      // phantom zero (same guard the global variant applies)
+      val rows = it.filterNot(_.isNullAt(nKeys)).toVector
       if (rows.nonEmpty) {
         val ks = rows.map(r => (0 until nKeys).map(r.get): Seq[Any])
         val updaters = rows.map(r =>
