@@ -51,6 +51,10 @@ class Stream(val df: DataFrame) extends Serializable {
     validate(in)
     val exprs = fn.exprs(in.names.map(F.col))
     require(exprs.size == out.size, s"function emitted ${exprs.size} exprs for fields $out")
+    // Trident APPENDS output fields; a name collision is a build-time error
+    // there — withColumns would silently overwrite the existing column
+    val clash = out.names.filter(df.columns.contains)
+    require(clash.isEmpty, s"each() output fields $clash already exist in ${df.columns.toSeq}")
     new Stream(df.withColumns(out.names.toSeq.zip(exprs).toMap))
   }
 
@@ -65,14 +69,22 @@ class Stream(val df: DataFrame) extends Serializable {
     val enc = Encoders.row(outSchema)
     val res = df.mapPartitions { it =>
       // Operation lifecycle (prepare/cleanup) bracketed per partition.
+      // cleanup must run EXACTLY once: hasNext is re-invoked after
+      // exhaustion by iterator chains, and an early-terminating consumer
+      // (limit) abandons the iterator entirely — the task-completion
+      // listener covers that path.
       fn.prepare(org.apache.spark.TaskContext.getPartitionId())
+      var cleaned = false
+      def cleanupOnce(): Unit = if (!cleaned) { cleaned = true; fn.cleanup() }
+      Option(org.apache.spark.TaskContext.get())
+        .foreach(_.addTaskCompletionListener[Unit](_ => cleanupOnce()))
       new Iterator[Row] {
         private val inner = it.flatMap { r =>
           fn.execute(inIdx.map(r.get)).map(em => Row.fromSeq(r.toSeq ++ em))
         }
         def hasNext: Boolean = {
           val h = inner.hasNext
-          if (!h) fn.cleanup()
+          if (!h) cleanupOnce()
           h
         }
         def next(): Row = inner.next()
@@ -148,10 +160,14 @@ class Stream(val df: DataFrame) extends Serializable {
     val tag = F.coalesce(
       predicates.zipWithIndex.map { case (p, i) => F.when(p, F.lit(i)) } :+
         F.lit(-1): _*)
-    val tagged = df.withColumn("__branch", tag)
+    // collision-proof tag column: a user column named __branch (e.g. from
+    // a prior split output that was transformed and re-split) must survive
+    val branchCol = Iterator.from(0).map(i => if (i == 0) "__branch" else s"__branch$i")
+      .find(!df.columns.contains(_)).get
+    val tagged = df.withColumn(branchCol, tag)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     predicates.indices.map(i =>
-      new Stream(tagged.where(F.col("__branch") === i).drop("__branch")) {
+      new Stream(tagged.where(F.col(branchCol) === i).drop(branchCol)) {
         override def unpersistSplit(): Unit = { tagged.unpersist(); () }
       })
   }
@@ -578,8 +594,10 @@ class GroupedStream(df: DataFrame, val keys: Fields) extends Serializable {
     val primary = if (reverse) F.col(sortField).desc else F.col(sortField).asc
     val w = Window.partitionBy(keys.names.map(F.col): _*)
       .orderBy(primary +: tieBreak.map(F.col(_).asc): _*)
-    new Stream(df.withColumn("__rn", F.row_number().over(w))
-      .filter(F.col("__rn") <= n).drop("__rn"))
+    val rn = Iterator.from(0).map(i => if (i == 0) "__rn" else s"__rn$i")
+      .find(!df.columns.contains(_)).get // collision-proof helper column
+    new Stream(df.withColumn(rn, F.row_number().over(w))
+      .filter(F.col(rn) <= n).drop(rn))
   }
 
   def toStream: Stream = new Stream(df)

@@ -26,7 +26,27 @@ import org.apache.spark.sql.graft.ColumnBridge.column
   */
 object Expressions {
 
+  import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+
   private val HexDigits = "0123456789abcdef".toCharArray
+
+  /** Analysis-time guard shared by the token-array expressions: a wrong
+    * SQL argument type fails with a clean message instead of a runtime
+    * ClassCastException inside generated code. */
+  private def requireTokenArray(e: Expression, name: String): TypeCheckResult =
+    e.dataType match {
+      case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"$name needs array<string> input, got ${other.catalogString}")
+    }
+
+  private def requireNumericArray(e: Expression, name: String): TypeCheckResult =
+    e.dataType match {
+      case ArrayType(FloatType, _) | ArrayType(DoubleType, _) =>
+        TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"$name needs array<float> or array<double> input, got ${other.catalogString}")
+    }
 
 
   private val tlMd5: ThreadLocal[java.security.MessageDigest] =
@@ -136,27 +156,44 @@ object Expressions {
     * pass. */
   case class ShingleMinHashMd5(child: Expression, k: Int, numHashes: Int)
     extends UnaryExpression with CodegenFallback {
+    require(k > 0, s"shingle size k must be positive, got $k")
+    require(numHashes > 0, s"numHashes must be positive, got $numHashes")
     override def dataType: DataType = ArrayType(StringType, containsNull = false)
+    // null output for sub-k-token docs even when the input column is
+    // declared non-null — without this the optimizer would fold away
+    // IsNotNull guards and codegen would write null into a non-null slot
+    override def nullable: Boolean = true
     override def prettyName: String = "shingle_minhash"
+    override def checkInputDataTypes(): TypeCheckResult =
+      requireTokenArray(child, prettyName)
+
+    // seed prefixes ("0|".."7|") are pure ASCII, so their UTF-8 bytes
+    // prepend to the shingle's UTF-8 bytes exactly as a string concat
+    // would; pure function of numHashes — built once, not per row
+    private lazy val seedPrefixes = Array.tabulate(numHashes)(h =>
+      s"$h|".getBytes(java.nio.charset.StandardCharsets.US_ASCII))
 
     override def nullSafeEval(input: Any): Any = {
       val arr = input.asInstanceOf[ArrayData]
-      val n = arr.numElements()
-      if (n < k) return null
-      val md = java.security.MessageDigest.getInstance("MD5")
-      // seed prefixes ("0|".."7|") are pure ASCII, so their UTF-8 bytes
-      // prepend to the shingle's UTF-8 bytes exactly as the string concat did
-      val seedPrefixes = Array.tabulate(numHashes)(h =>
-        s"$h|".getBytes(java.nio.charset.StandardCharsets.US_ASCII))
+      val md = tlMd5.get()
       // track minima as raw 16-byte digests: hex is a nibble-monotone
       // encoding (0-9 < a-f in ASCII order matches nibble 0-15 order), so
       // unsigned byte comparison == lexicographic hex comparison — the 32
       // chars per (shingle × seed) hexification moves out of the hot loop
       // and runs numHashes times total
       val mins = new Array[Array[Byte]](numHashes)
-      val words = new Array[Array[Byte]](n)
+      // null elements are skipped (absent tokens), matching the built-in
+      // HOF formulations rather than NPE-ing the stage
+      val total = arr.numElements()
+      val words = new Array[Array[Byte]](total)
       var w = 0
-      while (w < n) { words(w) = arr.getUTF8String(w).getBytes; w += 1 }
+      var n = 0
+      while (w < total) {
+        val u = arr.getUTF8String(w)
+        if (u != null) { words(n) = u.getBytes; n += 1 }
+        w += 1
+      }
+      if (n < k) return null
       var i = 0
       while (i + k <= n) {
         var len = k - 1
@@ -205,16 +242,24 @@ object Expressions {
     * when fewer than k tokens). One pass, no per-element lambda. */
   case class ShingleArray(child: Expression, k: Int)
     extends UnaryExpression with CodegenFallback {
+    require(k > 0, s"shingle size k must be positive, got $k")
     override def dataType: DataType = ArrayType(StringType, containsNull = false)
     override def prettyName: String = "shingles"
+    override def checkInputDataTypes(): TypeCheckResult =
+      requireTokenArray(child, prettyName)
 
     override def nullSafeEval(input: Any): Any = {
       val arr = input.asInstanceOf[ArrayData]
-      val n = arr.numElements()
-      if (n < k) return new GenericArrayData(Array.empty[Any])
-      val words = new Array[String](n)
+      val total = arr.numElements()
+      val words = new Array[String](total)
       var w = 0
-      while (w < n) { words(w) = arr.getUTF8String(w).toString; w += 1 }
+      var n = 0
+      while (w < total) {
+        val u = arr.getUTF8String(w)
+        if (u != null) { words(n) = u.toString; n += 1 } // nulls = absent tokens
+        w += 1
+      }
+      if (n < k) return new GenericArrayData(Array.empty[Any])
       val out = new Array[Any](n - k + 1)
       var i = 0
       while (i + k <= n) {
@@ -237,6 +282,8 @@ object Expressions {
     extends UnaryExpression with CodegenFallback {
     override def dataType: DataType = LongType
     override def prettyName: String = "simhash64"
+    override def checkInputDataTypes(): TypeCheckResult =
+      requireTokenArray(child, prettyName)
 
     override def nullSafeEval(input: Any): Any = {
       val arr = input.asInstanceOf[ArrayData]
@@ -245,11 +292,13 @@ object Expressions {
       var i = 0
       while (i < n) {
         val s = arr.getUTF8String(i)
-        val h = XXH64.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes(), 42L)
-        var bit = 0
-        while (bit < 64) {
-          if (((h >>> bit) & 1L) == 1L) votes(bit) += 1 else votes(bit) -= 1
-          bit += 1
+        if (s != null) { // nulls = absent tokens
+          val h = XXH64.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes(), 42L)
+          var bit = 0
+          while (bit < 64) {
+            if (((h >>> bit) & 1L) == 1L) votes(bit) += 1 else votes(bit) -= 1
+            bit += 1
+          }
         }
         i += 1
       }
@@ -273,16 +322,21 @@ object Expressions {
     extends UnaryExpression with CodegenFallback {
     override def dataType: DataType = LongType
     override def prettyName: String = "simhash_md5"
+    override def checkInputDataTypes(): TypeCheckResult =
+      requireTokenArray(child, prettyName)
 
     override def nullSafeEval(input: Any): Any = {
       val arr = input.asInstanceOf[ArrayData]
       val n = arr.numElements()
-      val md = java.security.MessageDigest.getInstance("MD5")
+      val md = tlMd5.get()
       val votes = new Array[Int](60)
       var i = 0
       while (i < n) {
+        val tok = arr.getUTF8String(i)
+        if (tok == null) { i += 1 } // nulls = absent tokens
+        else {
         md.reset()
-        val d = md.digest(arr.getUTF8String(i).getBytes)
+        val d = md.digest(tok.getBytes)
         // first 15 hex nibbles of the digest as a 60-bit value — identical
         // to parseLong(hex.substring(0, 15), 16) without the hex round-trip
         var h = 0L
@@ -298,6 +352,7 @@ object Expressions {
           bit += 1
         }
         i += 1
+        }
       }
       var out = 0L
       var bit = 0
@@ -321,7 +376,15 @@ object Expressions {
   case class CosineSim(left: Expression, right: Expression)
     extends BinaryExpression {
     override def dataType: DataType = DoubleType
+    // null on length mismatch even for non-null inputs; also required for
+    // nullSafeCodeGen to declare the isNull slot the generated code sets
+    override def nullable: Boolean = true
     override def prettyName: String = "cosine_sim"
+    override def checkInputDataTypes(): TypeCheckResult = {
+      val l = requireNumericArray(left, prettyName)
+      if (l != TypeCheckResult.TypeCheckSuccess) l
+      else requireNumericArray(right, prettyName)
+    }
 
     private def isFloat(e: Expression): Boolean =
       e.dataType.asInstanceOf[ArrayType].elementType == FloatType
@@ -389,7 +452,15 @@ object Expressions {
   case class DotProd(left: Expression, right: Expression)
     extends BinaryExpression {
     override def dataType: DataType = DoubleType
+    // null on length mismatch even for non-null inputs; also required for
+    // nullSafeCodeGen to declare the isNull slot the generated code sets
+    override def nullable: Boolean = true
     override def prettyName: String = "dot_prod"
+    override def checkInputDataTypes(): TypeCheckResult = {
+      val l = requireNumericArray(left, prettyName)
+      if (l != TypeCheckResult.TypeCheckSuccess) l
+      else requireNumericArray(right, prettyName)
+    }
 
     private def isFloat(e: Expression): Boolean =
       e.dataType.asInstanceOf[ArrayType].elementType == FloatType

@@ -21,7 +21,9 @@ object GraftFunctions {
 
   private def lit(e: Expression, what: String): Int = e match {
     case Literal(v: Int, IntegerType) => v
-    case Literal(v: Long, LongType) => v.toInt
+    // exact — a silent toInt would truncate e.g. md5_bucket(k, 5000000000)
+    // into a wrong-but-plausible bucket count
+    case Literal(v: Long, LongType) => java.lang.Math.toIntExact(v)
     case other => throw new IllegalArgumentException(
       s"$what must be an integer literal, got $other")
   }
