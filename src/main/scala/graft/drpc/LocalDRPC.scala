@@ -20,7 +20,10 @@ import scala.collection.mutable
   * returned as the reference wire format: a JSON list of result tuples.
   */
 class LocalDRPC(spark: SparkSession) {
-  private val functions = mutable.Map[String, String => DataFrame]()
+  // concurrent: DRPCService worker threads call execute() while the app
+  // may still be registering functions — a plain mutable.Map races
+  private val functions =
+    scala.collection.concurrent.TrieMap[String, String => DataFrame]()
 
   /** Register a named query pipeline: args → DataFrame plan. */
   def register(name: String, fn: String => DataFrame): Unit =
@@ -62,6 +65,8 @@ class LocalDRPC(spark: SparkSession) {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
+    case d: java.lang.Double if d.isNaN || d.isInfinite => "null" // JSON has no NaN/Inf
+    case f: java.lang.Float if f.isNaN || f.isInfinite => "null"
     case n: java.lang.Number => n.toString
     case b: Boolean => b.toString
     case other => jsonValue(other.toString)

@@ -15,13 +15,17 @@ object Expectations {
   /** One row: (check, n_rows, n_violations, violation_ppm). */
   def check(df: DataFrame, checks: Seq[(String, Column)]): DataFrame = {
     require(checks.nonEmpty, "at least one check required")
-    val aggs = F.count(F.lit(1)).as("__n") +: checks.map { case (name, cond) =>
-      F.sum(F.when(cond, 0L).otherwise(1L)).as(s"__v_$name")
+    // positional aliases, with the user's (arbitrary) check names carried
+    // only as SQL string literals: a name with spaces/quotes/hyphens must
+    // not break identifier parsing
+    val aggs = F.count(F.lit(1)).as("__n") +: checks.zipWithIndex.map {
+      case ((_, cond), i) => F.sum(F.when(cond, 0L).otherwise(1L)).as(s"__v_$i")
     }
     val one = df.agg(aggs.head, aggs.tail: _*)
     // unpivot the single wide row into (check, counts) rows
-    val stacked = checks.map { case (name, _) =>
-      s"'$name', __v_$name"
+    def sqlLit(s: String): String = "'" + s.replace("\\", "\\\\").replace("'", "\\'") + "'"
+    val stacked = checks.zipWithIndex.map { case ((name, _), i) =>
+      s"${sqlLit(name)}, __v_$i"
     }.mkString(", ")
     one.select(F.col("__n"),
         F.expr(s"stack(${checks.size}, $stacked)").as(Seq("check", "n_violations")))

@@ -60,9 +60,13 @@ object Multimodal {
     * [[frameOffsets]] — the "sample 1 fps from video" shape, as pure offset
     * arithmetic (a real decoder seeks to the kept offsets only). */
   def sampleFrames(payload: Column, frameBytes: Int, maxFrames: Int,
-      stride: Int): Column =
+      stride: Int): Column = {
+    // i % 0 is null in Spark (non-ANSI), so stride=0 would silently drop
+    // every frame instead of erroring
+    require(stride > 0, s"stride must be positive, got $stride")
     F.filter(frameOffsets(payload, frameBytes, maxFrames),
       (fr, i) => i % stride === 0)
+  }
 
   /** STUB resize: deterministic byte-decimation standing in for an image
     * resize (keep every `factor`-th byte). Like [[decodeStub]], the
@@ -167,8 +171,11 @@ object Multimodal {
     override def name: String = "imageio"
     override def decode(bytes: Array[Byte], featDim: Int): Option[Row] = {
       val img =
+        // ImageIO plugins throw RuntimeExceptions (IAE, IOOBE...) on
+        // corrupt input, not just IOException — any of them means
+        // "undecodable", never "fail the 100 TB decode job on one row"
         try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
-        catch { case _: java.io.IOException => null }
+        catch { case scala.util.control.NonFatal(_) => null }
       if (img == null) None
       else {
         val (w, h) = (img.getWidth, img.getHeight)
@@ -264,7 +271,16 @@ object Multimodal {
   object Y4mCodec extends MediaCodec {
     override def name: String = "y4m"
     private val Magic = "YUV4MPEG2 ".getBytes(java.nio.charset.StandardCharsets.US_ASCII)
-    override def decode(bytes: Array[Byte], featDim: Int): Option[Row] = {
+    /** Dimension cap: 32k x 32k (beyond 16K video) — also keeps every
+      * size computation safely inside Int. */
+    private val MaxDim = 32768
+    override def decode(bytes: Array[Byte], featDim: Int): Option[Row] =
+      // corrupt headers must mean "not decodable", never a crashed task:
+      // a crafted W/H can overflow any size arithmetic
+      try decodeUnsafe(bytes, featDim)
+      catch { case scala.util.control.NonFatal(_) => None }
+
+    private def decodeUnsafe(bytes: Array[Byte], featDim: Int): Option[Row] = {
       if (bytes.length < Magic.length + 1 ||
         !java.util.Arrays.equals(bytes, 0, Magic.length, Magic, 0, Magic.length))
         return None
@@ -273,11 +289,14 @@ object Multimodal {
       val header = new String(bytes, 0, nl, java.nio.charset.StandardCharsets.US_ASCII)
       val params = header.split(' ').drop(1)
       def num(tag: Char): Option[Int] = params.collectFirst {
-        case p if p.length > 1 && p.charAt(0) == tag && p.drop(1).forall(_.isDigit) =>
+        // length cap: an 11+-digit value can't be a sane dimension and
+        // would throw in toInt
+        case p if p.length > 1 && p.length <= 10 && p.charAt(0) == tag &&
+          p.drop(1).forall(_.isDigit) && p.drop(1).toLong <= Int.MaxValue =>
           p.drop(1).toInt
       }
       val (w, h) = (num('W').getOrElse(return None), num('H').getOrElse(return None))
-      if (w <= 0 || h <= 0) return None
+      if (w <= 0 || h <= 0 || w > MaxDim || h > MaxDim) return None
       val colorspace = params.collectFirst {
         case p if p.startsWith("C") => p
       }.getOrElse("C420")

@@ -22,8 +22,14 @@ object Scale {
     */
   def saltedAggregate(df: DataFrame, keys: Seq[String], saltBuckets: Int,
                       partial: Column, merge: Column): DataFrame = {
+    // DETERMINISTIC salt (hash of full row content): partition-id or
+    // monotonic-id salts change when a task recomputes after a fetch
+    // failure, double-counting rows across (key, salt) groups — the same
+    // retry hazard the sampling module bans rand() for. Identical rows
+    // share a bucket (they hash alike); that only matters for skew made of
+    // EXACT duplicate rows, which exact-dedup upstream removes anyway.
     val salted = df.withColumn("__salt",
-      F.pmod(F.spark_partition_id() + F.monotonically_increasing_id(), F.lit(saltBuckets.toLong)))
+      F.pmod(F.xxhash64(df.columns.map(F.col).toSeq: _*), F.lit(saltBuckets.toLong)))
     salted
       .groupBy((keys :+ "__salt").map(F.col): _*)
       .agg(partial)
@@ -82,8 +88,10 @@ object Scale {
 
   def saltedJoin(big: DataFrame, small: DataFrame, bigKey: String,
                  smallKey: String, saltBuckets: Int): DataFrame = {
+    // deterministic content-hash salt — see saltedAggregate for why ids
+    // and partition-ids are retry-unsafe here
     val saltedBig = big.withColumn("__salt",
-      F.pmod(F.xxhash64(F.monotonically_increasing_id()), F.lit(saltBuckets.toLong)))
+      F.pmod(F.xxhash64(big.columns.map(F.col).toSeq: _*), F.lit(saltBuckets.toLong)))
     val explodedSmall = small.withColumn("__salt",
       F.explode(F.sequence(F.lit(0L), F.lit(saltBuckets.toLong - 1))))
     saltedBig.join(explodedSmall,

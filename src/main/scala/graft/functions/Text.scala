@@ -36,7 +36,14 @@ object Text {
   /** Type-token ratio scaled to integer per-mille (exact integer math for
     * cross-engine determinism). */
   def typeTokenRatioPerMille(text: Column): Column =
-    (distinctTokenCount(text).cast("long") * 1000L) / tokenCount(text).cast("long")
+    divToLong(distinctTokenCount(text).cast("long") * 1000L, tokenCount(text).cast("long"))
+
+  /** Exact integer division as a Column (null when the divisor is 0):
+    * `(a - pmod(a,b)) / b` divides an exact multiple, so the double
+    * division is exact — plain `/` on Columns is double division and
+    * returns fractional values (the trap Expectations.scala documents). */
+  private def divToLong(a: Column, b: Column): Column =
+    ((a - F.pmod(a, b)) / b).cast("long")
 
   /** Quality-scoring signals: lengths, punctuation/digit/upper counts,
     * mean word length (per-mille). Integer-valued → deterministic. */
@@ -49,8 +56,9 @@ object Text {
     F.length(F.regexp_replace(text, "[^A-Z]", "")).cast("long")
   def meanTokenLenPerMille(text: Column): Column = {
     val ts = tokens(text)
-    (F.aggregate(ts, F.lit(0L), (acc, w) => acc + F.length(w).cast("long")) * 1000L) /
-      F.size(ts).cast("long")
+    divToLong(
+      F.aggregate(ts, F.lit(0L), (acc, w) => acc + F.length(w).cast("long")) * 1000L,
+      F.size(ts).cast("long"))
   }
 
   /** Composite quality gate in the C4/Gopher style: keep iff token count in
@@ -93,13 +101,14 @@ object Text {
     * corpus-wide counts of its tokens (high = stock phrases) and the number
     * of rare tokens (corpus count < `rareBelow`). The frequency table is a
     * one-pass word count joined back per token — integer-exact, so
-    * cross-engine deterministic regardless of shuffle order. At scale the
-    * frequency table is broadcast (vocab ≪ corpus). */
+    * cross-engine deterministic regardless of shuffle order. */
   def rarityScore(df: org.apache.spark.sql.DataFrame, idCol: String,
                   textCol: String, rareBelow: Long = 100L): org.apache.spark.sql.DataFrame = {
     val toks = df.select(F.col(idCol), F.explode(tokens(F.col(textCol))).as("__w"))
-    val freq = F.broadcast(
-      toks.groupBy("__w").agg(F.count(F.lit(1)).as("__cnt")))
+    // no broadcast hint: the vocabulary is unbounded at corpus scale
+    // (same discipline as tfidfTopTerms) — AQE broadcasts when it
+    // measures small
+    val freq = toks.groupBy("__w").agg(F.count(F.lit(1)).as("__cnt"))
     toks.join(freq, "__w")
       .groupBy(idCol)
       .agg(F.sum("__cnt").as("freq_score"),

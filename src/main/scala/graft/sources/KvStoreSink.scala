@@ -39,25 +39,28 @@ object KvStoreSink {
     org.apache.spark.sql.types.StructField("key", org.apache.spark.sql.types.StringType),
     org.apache.spark.sql.types.StructField("value", org.apache.spark.sql.types.LongType)))
 
-  /** storeId → (committed epochs, key → value). */
+  /** storeId → (committed "queryId#epoch" marks, key → value). Replay
+    * detection is scoped PER QUERY RUN: epoch ids restart at 0 for every
+    * new checkpoint, so a bare epoch set would make a second query writing
+    * to the same store silently discard all its batches as 'replays'. */
   private val stores =
-    new java.util.concurrent.ConcurrentHashMap[String, (java.util.Set[java.lang.Long], java.util.Map[String, Long])]()
+    new java.util.concurrent.ConcurrentHashMap[String, (java.util.Set[String], java.util.Map[String, Long])]()
 
   private def store(id: String) = stores.computeIfAbsent(id, _ =>
-    (java.util.concurrent.ConcurrentHashMap.newKeySet[java.lang.Long](),
+    (java.util.concurrent.ConcurrentHashMap.newKeySet[String](),
       new java.util.concurrent.ConcurrentHashMap[String, Long]()))
 
   def snapshot(id: String): Map[String, Long] = store(id)._2.asScala.toMap
   def committedEpochs(id: String): Set[Long] =
-    store(id)._1.asScala.map(_.toLong).toSet
+    store(id)._1.asScala.map(m => m.substring(m.lastIndexOf('#') + 1).toLong).toSet
   def clear(id: String): Unit = { stores.remove(id); () }
 
-  private[graft] def commitEpoch(id: String, epochId: Long,
+  private[graft] def commitEpoch(id: String, queryId: String, epochId: Long,
       rows: Seq[(String, Long)]): Boolean = {
     val (epochs, kv) = store(id)
-    // replayed epoch: the batch was already durably applied — skip, don't
-    // double-apply (the transactional-state contract)
-    if (!epochs.add(java.lang.Long.valueOf(epochId))) return false
+    // replayed epoch OF THIS QUERY RUN: the batch was already durably
+    // applied — skip, don't double-apply (the transactional-state contract)
+    if (!epochs.add(s"$queryId#$epochId")) return false
     // update-mode semantics: a re-emitted key carries its NEW TOTAL, so the
     // commit is put/overwrite per key — never an additive merge (a delta
     // store would merge; this sink's contract is totals)
@@ -77,7 +80,8 @@ private[sources] class KvSinkTable(storeId: String) extends Table with SupportsW
     // running total each epoch, and the commit overwrites that key's slot
     new WriteBuilder with org.apache.spark.sql.internal.connector.SupportsStreamingUpdateAsAppend {
       override def build(): Write = new Write {
-        override def toStreaming: StreamingWrite = new KvStreamingWrite(storeId)
+        override def toStreaming: StreamingWrite =
+          new KvStreamingWrite(storeId, info.queryId())
       }
     }
 }
@@ -86,7 +90,8 @@ private[sources] class KvSinkTable(storeId: String) extends Table with SupportsW
 private[sources] case class KvCommitMessage(rows: Seq[(String, Long)])
   extends WriterCommitMessage
 
-private[sources] class KvStreamingWrite(storeId: String) extends StreamingWrite {
+private[sources] class KvStreamingWrite(storeId: String, queryId: String)
+  extends StreamingWrite {
   override def createStreamingWriterFactory(info: PhysicalWriteInfo): StreamingDataWriterFactory =
     new KvWriterFactory
   override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
@@ -94,7 +99,7 @@ private[sources] class KvStreamingWrite(storeId: String) extends StreamingWrite 
       case KvCommitMessage(r) => r
       case _ => Nil
     }
-    KvStoreSink.commitEpoch(storeId, epochId, rows)
+    KvStoreSink.commitEpoch(storeId, queryId, epochId, rows)
     ()
   }
   override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit = ()

@@ -146,11 +146,20 @@ class BatchLogSourceSpec extends AnyFunSuite {
     assert(afterRun("a") == 3L)
     assert(afterRun("b") == 1L)
 
-    // a recovering query re-commits epoch 1 — the sink must recognize and
-    // skip it (exactly-once on the write side)
-    val replayed = graft.sources.KvStoreSink.commitEpoch(id, 1L, Seq("a" -> 999L))
+    // a recovering run of the SAME query (same checkpoint → same queryId)
+    // re-commits epoch 1 — the sink must recognize and skip it
+    // (exactly-once on the write side)
+    val replayed = graft.sources.KvStoreSink.commitEpoch(
+      id, q.id.toString, 1L, Seq("a" -> 999L))
     assert(!replayed)
     assert(KvStoreSink.snapshot(id) == afterRun)
+
+    // a DIFFERENT query writing to the same store is NOT a replay: its
+    // epochs restart at 0 and its batches must land
+    val fresh = graft.sources.KvStoreSink.commitEpoch(
+      id, "other-query", 1L, Seq("c" -> 7L))
+    assert(fresh)
+    assert(KvStoreSink.snapshot(id)("c") == 7L)
     KvStoreSink.clear(id)
   }
 }
