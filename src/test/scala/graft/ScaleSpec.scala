@@ -168,6 +168,27 @@ class ScaleSpec extends AnyFunSuite {
     assert(p.contains("__bkt"), s"salted form lost the bucket salt:\n$p")
   }
 
+  test("duplicateClusters: a long chain converges when maxIter covers the diameter") {
+    import graft.functions.Dedup
+    // a 40-node path graph: worst-case diameter for label propagation —
+    // min-label reaches the far end in O(diameter) rounds. With the seed
+    // fold (round 0 = min of self+neighbors) the distance halves... no:
+    // plain propagation needs ~diameter rounds, so maxIter=40 must converge
+    val chain = (0L until 39L).map(i => (i, i + 1)).toDF("a", "b")
+    val labels = Dedup.duplicateClusters(chain, "a", "b", maxIter = 45)
+      .as[(Long, Long)].collect().toMap
+    assert(labels.size == 40)
+    assert(labels.values.forall(_ == 0L), "whole chain must collapse to cluster 0")
+
+    // under-budgeted rounds: labels are only PARTIALLY propagated (the
+    // documented behavior — a warning is logged); the near end is done,
+    // the far end is not
+    val partial = Dedup.duplicateClusters(chain, "a", "b", maxIter = 3)
+      .as[(Long, Long)].collect().toMap
+    assert(partial(1L) == 0L)
+    assert(partial(39L) != 0L, "3 rounds cannot reach the far end of a 40-chain")
+  }
+
   test("orderedHistory bounds a hot key's buffer: 100k-event key, first_n aggregate") {
     import spark.implicits._
     // one bot key with 100k events (descending arrival so the cap has to
