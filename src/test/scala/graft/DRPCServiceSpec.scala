@@ -56,6 +56,17 @@ class DRPCServiceSpec extends AnyFunSuite {
     } finally svc.stop()
   }
 
+  test("a function failing mid-request surfaces DRPCExecutionException — drpc_test.clj fail-finish") {
+    val drpc = newDrpc()
+    drpc.register("fail2", _ => throw new RuntimeException("bolt failed the tuple"))
+    val svc = new DRPCService(drpc, requestTimeoutMs = 5000L).start(workers = 1)
+    try {
+      val err = intercept[DRPCExecutionException] { svc.execute("fail2", "2") }
+      assert(err.getMessage.contains("bolt failed the tuple"))
+      assert(svc.pendingCount == 0) // the failed request is fully cleaned up
+    } finally svc.stop()
+  }
+
   test("manual worker face: fetchRequest → result completes the blocked caller") {
     // no built-in workers: an external topology drains the queue, the
     // reference's DRPCSpout/ReturnResults contract
