@@ -143,8 +143,18 @@ object Similarity {
   /** Random-hyperplane LSH bucket for cosine similarity: `nBits` sign bits
     * from deterministic pseudo-random hyperplanes (seeded per bit from
     * xxhash64 of the element index — no stored model). Vectors in the same
-    * bucket are near-dup candidates. */
-  def rhpBucket(emb: Column, dim: Int, nBits: Int, seed: Long = 42L): Column = {
+    * bucket are near-dup candidates. Native single-pass expression
+    * ([[graft.plans.Expressions.RhpBucket]]): the sign matrix is built once
+    * per task and all bits fold in one pass over the vector — the
+    * interpreted spelling costs `nBits × dim` lambda evals per row, which
+    * would dominate the ANN bucketing pass at corpus scale. */
+  def rhpBucket(emb: Column, dim: Int, nBits: Int, seed: Long = 42L): Column =
+    graft.plans.Expressions.rhpBucket(emb, dim, nBits, seed)
+
+  /** Column-tier (zip_with/aggregate) spelling of [[rhpBucket]] — kept as
+    * the executable spec the native expression is parity-tested against
+    * (FunctionsSpec); not the production path. */
+  def rhpBucketColumns(emb: Column, dim: Int, nBits: Int, seed: Long = 42L): Column = {
     val bits = (0 until nBits).map { bit =>
       // deterministic ±1 hyperplane: sign((xxhash64(seed,bit,i) % 2)*2-1)
       val proj = F.aggregate(

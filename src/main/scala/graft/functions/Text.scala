@@ -217,14 +217,28 @@ object Text {
       .drop("__before")
   }
 
+  /** The default stopword bag for quality signals: every language-marker
+    * word, deduped and sorted (deterministic order → deterministic plans). */
+  val DefaultStopwords: Seq[String] =
+    DefaultMarkers.values.flatten.toSeq.distinct.sorted
+
   /** Repetition + stopword quality signals (the classic published cleaning
     * rules: a document whose most common 3-gram covers a large fraction of
     * it is boilerplate; a natural-language document has a healthy stopword
     * fraction). Integer counts with one final double ratio each —
     * deterministic. Per-row array ops only (no explode/shuffle): the
-    * signals compute inside the scan stage. */
+    * signals compute inside the scan stage, in one imperative pass per row
+    * ([[graft.plans.Expressions.RepetitionSignals]] — the interpreted-HOF
+    * spelling below it evaluates thousands of lambda trees per document). */
   def repetitionSignals(text: Column, k: Int = 3,
-      stopwords: Seq[String] = DefaultMarkers.values.flatten.toSeq.distinct.sorted): Column = {
+      stopwords: Seq[String] = DefaultStopwords): Column =
+    graft.plans.Expressions.repetitionSignals(tokens(text), k, stopwords)
+
+  /** Column-tier (higher-order-function) spelling of [[repetitionSignals]] —
+    * kept as the executable spec the native expression is parity-tested
+    * against (FunctionsSpec); not the production path. */
+  def repetitionSignalsColumns(text: Column, k: Int = 3,
+      stopwords: Seq[String] = DefaultStopwords): Column = {
     val toks = tokens(text)
     val grams = graft.plans.Expressions.shingleArray(toks, k)
     // modal k-gram count = longest equal run of the SORTED grams — one

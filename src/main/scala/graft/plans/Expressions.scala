@@ -665,6 +665,137 @@ object Expressions {
       copy(child = newChild)
   }
 
+  /** `repetition_signals(tokens, k)` → struct(top_gram_frac double,
+    * stopword_frac double) — the published boilerplate/quality cleaning
+    * signals in ONE imperative pass per row. The modal k-gram count is a
+    * hash-multiset max (identical to "longest equal run of the sorted
+    * grams" — sorting groups equal grams, so the longest run IS the max
+    * multiplicity); stopwords probe a prebuilt HashSet against the token's
+    * `UTF8String.toLowerCase` (the exact semantics of `lower()`).
+    *
+    * Replaces the interpreted `F.aggregate`/`F.filter` HOF chain (thousands
+    * of per-element interpreted expression evals per document — the same
+    * anti-pattern [[ShingleMinHashMd5]] removed, ~8-10× there). Null array
+    * elements are skipped as absent tokens (they cannot occur from
+    * `split`). */
+  case class RepetitionSignals(child: Expression, k: Int, stopwords: Seq[String])
+    extends UnaryExpression with CodegenFallback {
+    require(k > 0, s"gram size k must be positive, got $k")
+    override def dataType: DataType = StructType(Seq(
+      StructField("top_gram_frac", DoubleType, nullable = false),
+      StructField("stopword_frac", DoubleType, nullable = false)))
+    override def prettyName: String = "repetition_signals"
+    override def checkInputDataTypes(): TypeCheckResult =
+      requireTokenArray(child, prettyName)
+
+    // stopword list is matched as-is against lowercased tokens (the
+    // Column tier compared `lower(t)` to the literal list) — pure function
+    // of the constructor arg, built once per task, not per row
+    private lazy val stopSet: java.util.HashSet[UTF8String] = {
+      val s = new java.util.HashSet[UTF8String](stopwords.size * 2)
+      stopwords.foreach(w => s.add(UTF8String.fromString(w)))
+      s
+    }
+
+    override def nullSafeEval(input: Any): Any = {
+      val arr = input.asInstanceOf[ArrayData]
+      val total = arr.numElements()
+      val words = new Array[String](total)
+      var nTok = 0
+      var nStop = 0
+      var w = 0
+      while (w < total) {
+        val u = arr.getUTF8String(w)
+        if (u != null) {
+          if (stopSet.contains(u.toLowerCase)) nStop += 1
+          words(nTok) = u.toString
+          nTok += 1
+        }
+        w += 1
+      }
+      val nGrams = if (nTok >= k) nTok - k + 1 else 0
+      var best = 0L
+      if (nGrams > 0) {
+        val counts = new java.util.HashMap[String, java.lang.Long](nGrams * 2)
+        var i = 0
+        while (i < nGrams) {
+          val sb = new java.lang.StringBuilder(words(i))
+          var j = 1
+          while (j < k) { sb.append(' ').append(words(i + j)); j += 1 }
+          val c = counts.merge(sb.toString, java.lang.Long.valueOf(1L),
+            (a, b) => java.lang.Long.valueOf(a.longValue() + b.longValue()))
+          if (c.longValue() > best) best = c.longValue()
+          i += 1
+        }
+      }
+      val topFrac = if (nGrams > 0) best.toDouble / nGrams else 0.0
+      val stopFrac = if (nTok > 0) nStop.toDouble / nTok else 0.0
+      new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+        Array[Any](topFrac, stopFrac))
+    }
+
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  }
+
+  /** `rhp_bucket(emb, dim, nBits, seed)` → 64-bit random-hyperplane LSH
+    * bucket: bit `b` is set iff the dot product of the vector with the
+    * deterministic ±1 hyperplane `sign(xxhash64(seed, b, i) & 1)` is > 0 —
+    * bit-identical to the zip_with/aggregate Column formulation (same
+    * Spark `XXH64` chain seeded at 42, same left-to-right double fold),
+    * with all `nBits` sign bits computed in ONE pass over the vector and
+    * the whole ±1 sign matrix precomputed once per task instead of
+    * `nBits × dim` interpreted lambda evals per row.
+    *
+    * Null when the array length ≠ `dim` or any element is null (the
+    * Column tier returns engine-specific junk on those malformed inputs;
+    * an ANN index wants them surfaced, not bucketed). */
+  case class RhpBucket(child: Expression, dim: Int, nBits: Int, seed: Long)
+    extends UnaryExpression with CodegenFallback {
+    require(dim > 0, s"dim must be positive, got $dim")
+    require(nBits > 0 && nBits <= 63, s"nBits must be in [1, 63], got $nBits")
+    override def dataType: DataType = LongType
+    override def nullable: Boolean = true
+    override def prettyName: String = "rhp_bucket"
+    override def checkInputDataTypes(): TypeCheckResult =
+      requireNumericArray(child, prettyName)
+
+    private lazy val isFloat =
+      child.dataType.asInstanceOf[ArrayType].elementType == FloatType
+
+    // sign(bit, i) replicates xxhash64(lit(seed): long, lit(bit): int,
+    // i: int): Spark's XxHash64 folds children left-to-right starting at
+    // its fixed seed 42, hashLong for longs / hashInt for ints
+    private lazy val signs: Array[Array[Double]] = Array.tabulate(nBits) { bit =>
+      val h2 = XXH64.hashInt(bit, XXH64.hashLong(seed, 42L))
+      Array.tabulate(dim) { i =>
+        if ((XXH64.hashInt(i, h2) & 1L) == 1L) 1.0 else -1.0
+      }
+    }
+
+    override def nullSafeEval(input: Any): Any = {
+      val arr = input.asInstanceOf[ArrayData]
+      if (arr.numElements() != dim) return null
+      var out = 0L
+      var bit = 0
+      while (bit < nBits) {
+        val sg = signs(bit)
+        var acc = 0.0
+        var i = 0
+        while (i < dim) {
+          if (arr.isNullAt(i)) return null
+          val x = if (isFloat) arr.getFloat(i).toDouble else arr.getDouble(i)
+          acc += x * sg(i)
+          i += 1
+        }
+        if (acc > 0) out |= (1L << bit)
+        bit += 1
+      }
+      java.lang.Long.valueOf(out)
+    }
+
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  }
+
   // ---- Column-facing constructors ----
 
   private def expr(c: Column): Expression =
@@ -698,4 +829,10 @@ object Expressions {
     * buffer-bounded `slice(array_sort(collect_list(s)), 1, k)`. */
   def boundedFirstN(structCol: Column, k: Int): Column =
     column(BoundedFirstN(expr(structCol), k).toAggregateExpression())
+
+  def repetitionSignals(tokens: Column, k: Int, stopwords: Seq[String]): Column =
+    column(RepetitionSignals(expr(tokens), k, stopwords))
+
+  def rhpBucket(emb: Column, dim: Int, nBits: Int, seed: Long): Column =
+    column(RhpBucket(expr(emb), dim, nBits, seed))
 }

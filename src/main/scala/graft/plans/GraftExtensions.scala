@@ -28,6 +28,13 @@ object GraftFunctions {
       s"$what must be an integer literal, got $other")
   }
 
+  private def litL(e: Expression, what: String): Long = e match {
+    case Literal(v: Int, IntegerType) => v.toLong
+    case Literal(v: Long, LongType) => v
+    case other => throw new IllegalArgumentException(
+      s"$what must be an integer literal, got $other")
+  }
+
   /** Hamming distance over 64-bit signatures as a Catalyst tree
     * (`cast(bit_count(a ^ b) as bigint)`) — the shape
     * [[HammingZeroRewrite]] recognizes. */
@@ -46,6 +53,11 @@ object GraftFunctions {
     "nfc_normalize" -> (es => Expressions.NfcNormalize(es(0))),
     "md5_bucket" -> (es => Expressions.Md5Bucket(es(0), lit(es(1), "buckets").toLong)),
     "zorder2" -> (es => Expressions.ZOrder2(es(0), es(1))),
+    "repetition_signals" -> (es => Expressions.RepetitionSignals(
+      es(0), lit(es(1), "k"), graft.functions.Text.DefaultStopwords)),
+    "rhp_bucket" -> (es => Expressions.RhpBucket(
+      es(0), lit(es(1), "dim"), lit(es(2), "nBits"),
+      if (es.length > 3) litL(es(3), "seed") else 42L)),
   )
 
   /** Idempotent imperative registration on a live session. */

@@ -68,6 +68,65 @@ class FunctionsSpec extends AnyFunSuite {
     assert(bad.isEmpty, bad.take(3).mkString("; "))
   }
 
+  test("repetitionSignals: native expression matches the interpreted Column spelling") {
+    val rnd = new scala.util.Random(17)
+    val vocab = Seq("the", "cat", "and", "dog", "der", "und", "zzz", "a", "b",
+      "c", "spam", "spam", "spam") // repeats bias toward repeated 3-grams
+    val cases = (1 to 200).map { i =>
+      (i.toLong, (0 until rnd.nextInt(30)).map(_ => vocab(rnd.nextInt(vocab.length)))
+        .mkString(" "))
+    } ++ Seq((900L, ""), (901L, "one two"), (902L, "x x x x x x x x"),
+      (903L, "THE The the AND and"))
+    val df = cases.toDF("id", "text")
+    val bad = df.select(
+        $"id",
+        Text.repetitionSignals($"text").as("fast"),
+        Text.repetitionSignalsColumns($"text").as("ref"))
+      .where($"fast" =!= $"ref")
+      .collect()
+    assert(bad.isEmpty, bad.take(3).mkString("; "))
+
+    // SQL face: registered function agrees with the Column constructor
+    graft.plans.GraftFunctions.register(spark)
+    df.createOrReplaceTempView("repsig_docs")
+    val viaSql = spark.sql(
+      """SELECT id, repetition_signals(filter(split(text, ' '), x -> x != ''), 3) AS s
+         FROM repsig_docs""").collect().map(r => r.getLong(0) -> r.getStruct(1)).toMap
+    val viaCol = df.select($"id", Text.repetitionSignals($"text").as("s"))
+      .collect().map(r => r.getLong(0) -> r.getStruct(1)).toMap
+    assert(viaSql == viaCol)
+  }
+
+  test("rhpBucket: native expression matches the interpreted Column spelling") {
+    val rnd = new scala.util.Random(23)
+    val dim = 16
+    val rows = (1 to 150).map { i =>
+      (i.toLong, Array.fill(dim)(rnd.nextFloat() * 2f - 1f).toSeq)
+    }
+    val df = rows.toDF("id", "emb")
+    for (nBits <- Seq(1, 8, 17)) {
+      val bad = df.select(
+          $"id",
+          Similarity.rhpBucket($"emb", dim, nBits).as("fast"),
+          Similarity.rhpBucketColumns($"emb", dim, nBits).as("ref"))
+        .where($"fast" =!= $"ref")
+        .collect()
+      assert(bad.isEmpty, s"nBits=$nBits: " + bad.take(3).mkString("; "))
+    }
+    // malformed input (wrong length) → null, not junk
+    val short = Seq((1L, Seq(1.0f, 2.0f))).toDF("id", "emb")
+      .select(Similarity.rhpBucket($"emb", dim, 8).as("b")).head()
+    assert(short.isNullAt(0))
+    // SQL face
+    graft.plans.GraftFunctions.register(spark)
+    df.createOrReplaceTempView("rhp_embs")
+    val viaSql = spark.sql(s"SELECT id, rhp_bucket(emb, $dim, 8) AS b FROM rhp_embs")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val viaCol = df.select($"id", Similarity.rhpBucket($"emb", dim, 8).as("b"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(viaSql == viaCol)
+  }
+
   test("exact dedup groups and keep-one filter") {
     val df = Seq((1L, "same text"), (2L, "same text"), (3L, "other")).toDF("doc_id", "text")
     val groups = Dedup.exactDupGroups(df, "doc_id", "text")
