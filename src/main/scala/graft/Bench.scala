@@ -38,12 +38,23 @@ object Bench {
     // 0.3s warm on the same machine; DuckDB (AOT-compiled C++) has no such
     // asymmetry, so cold-JVM numbers would compare apples to oranges.
     val warmSf = sys.env.getOrElse("SPARK_GRAFT_WARM_SF_DIR", "/root/testdata/sf0.001")
+    // q53b is a correctness artifact (kill/restart replay drill against the
+    // state store): its runtime is fixed restart machinery, not query work —
+    // it runs in Verify's gate; the state tier's THROUGHPUT is benched by
+    // the dedicated stream_wordcount_store/_durable entries below.
+    val benchQueries = SparkEntry.queries.removed("q53b_wordcount_store")
+    // warm-pass failures must be visible: an unreported failed warm would
+    // silently skew cross-round steady-state comparisons
+    var warmFailed = 0
+    var warmTotal = 0
     if (warmSf.nonEmpty && warmSf != sfDir) {
+      warmTotal += 1 // the table-resolution step counts as a warm step
       try SparkEntry.warmTables(spark, warmSf)
-      catch { case _: Throwable => () }
-      SparkEntry.queries.foreach { case (_, fn) =>
+      catch { case _: Throwable => warmFailed += 1 }
+      benchQueries.foreach { case (_, fn) =>
+        warmTotal += 1
         try fn(spark, warmSf).queryExecution.toRdd.count()
-        catch { case _: Throwable => () }
+        catch { case _: Throwable => warmFailed += 1 }
       }
     }
     // resolve table handles + first-touch the parquet read path for the
@@ -51,22 +62,25 @@ object Bench {
     // its per-query timings)
     try SparkEntry.warmTables(spark, sfDir)
     catch { case _: Throwable => () }
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    val results = benchQueries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       try fn(spark, sfDir).queryExecution.toRdd.count()
       catch { case e: Throwable =>
         System.err.println(s"[bench] $name failed: ${e.getMessage}")
       }
       name -> (System.nanoTime() - t0) / 1e9
-    } :+ streamingWordCount(spark, sfDir)
+    } ++ Seq(streamingWordCount(spark, sfDir),
+      streamingWordCountDurable(spark, sfDir),
+      streamingWordCountStore(spark, sfDir))
     // the reference's headline metric is streaming tuples/sec; log it so the
     // JSON line carries both total seconds and the throughput figure
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
     val warmNote =
-      if (warmSf.nonEmpty && warmSf != sfDir) s""""warm":"full-suite@$warmSf","""
-      else """"warm":"none","""
+      if (warmSf.isEmpty || warmSf == sfDir) """"warm":"none","""
+      else if (warmFailed == 0) s""""warm":"full-suite@$warmSf","""
+      else s""""warm":"partial:$warmFailed/$warmTotal-failed@$warmSf","""
     println(s"""{"metric":"total","value":$total,"unit":"sec","calib":$calib,$warmNote"queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
@@ -93,9 +107,31 @@ object Bench {
     * through flatEach → groupBy → persistentAggregate (opaque exactly-once
     * state) as micro-batches. Reported as seconds (tuples/sec goes to
     * stderr for the record). */
-  private def streamingWordCount(spark: SparkSession, sfDir: String): (String, Double) = {
+  private def streamingWordCount(spark: SparkSession, sfDir: String): (String, Double) =
+    applyBatchWordCount(spark, sfDir, "stream_wordcount") { () =>
+      import graft.state._
+      MemoryBackingMap.clear("bench-wc")
+      (new OpaqueMap[Long](new MemoryBackingMap[OpaqueValue[Long]]("bench-wc")),
+        () => MemoryBackingMap.clear("bench-wc"))
+    }
+
+  /** Same topology on the DURABLE backing-map tier (`ParquetBackingMap`:
+    * WAL segment per batch + snapshot compaction) — records what the
+    * write-ahead persistence costs over the in-memory SPI map. */
+  private def streamingWordCountDurable(spark: SparkSession, sfDir: String): (String, Double) =
+    applyBatchWordCount(spark, sfDir, "stream_wordcount_durable") { () =>
+      import graft.state._
+      val dir = java.nio.file.Files.createTempDirectory("bench-wc-durable").toString
+      (new OpaqueMap[Long](ParquetBackingMap.open[OpaqueValue[Long]](
+          spark, dir, ParquetBackingMap.opaqueCodec)),
+        () => ParquetBackingMap.close(dir))
+    }
+
+  /** The shared applyBatch drive: 4 micro-batch slices of the replicated
+    * corpus folded into whichever exactly-once state tier `mkState` opens. */
+  private def applyBatchWordCount(spark: SparkSession, sfDir: String, label: String)(
+      mkState: () => (graft.state.MapState[Long], () => Unit)): (String, Double) = {
     import graft.api.Fields
-    import graft.state._
     import graft.streaming.StreamRunner
     import org.apache.spark.sql.{functions => F}
     try {
@@ -106,8 +142,7 @@ object Bench {
         .select("doc_id", "text")
         .crossJoin(spark.range(reps).select(F.col("id").as("rep")))
       val nWords = docs.select(F.sum(F.size(F.split(F.col("text"), " ")))).head().getLong(0)
-      MemoryBackingMap.clear("bench-wc")
-      val state = new OpaqueMap[Long](new MemoryBackingMap[OpaqueValue[Long]]("bench-wc"))
+      val (state, cleanup) = mkState()
       val t0 = System.nanoTime()
       // drive the foreachBatch body directly with 4 deterministic slices —
       // the same code path a running query executes per trigger
@@ -118,12 +153,61 @@ object Bench {
           F.count(F.lit(1)).as("cnt"), _ + _, state)
       }
       val sec = (System.nanoTime() - t0) / 1e9
-      System.err.println(f"[bench] stream_wordcount: $nWords tuples in $sec%.2fs = ${nWords / sec}%.0f tuples/s")
-      MemoryBackingMap.clear("bench-wc")
-      "stream_wordcount" -> sec
+      System.err.println(f"[bench] $label: $nWords tuples in $sec%.2fs = ${nWords / sec}%.0f tuples/s")
+      cleanup()
+      label -> sec
     } catch { case e: Throwable =>
-      System.err.println(s"[bench] stream_wordcount failed: ${e.getMessage}")
-      "stream_wordcount" -> -1.0
+      System.err.println(s"[bench] $label failed: ${e.getMessage}")
+      label -> -1.0
+    }
+  }
+
+  /** The SCALE-NATIVE state tier under load: a real `transformWithState`
+    * streaming query (RocksDB store, checkpointed) counting the corpus'
+    * words across 4 micro-batch triggers — the recorded number that makes
+    * state-store perf regressions visible round-over-round. */
+  private def streamingWordCountStore(spark: SparkSession, sfDir: String): (String, Double) = {
+    val label = "stream_wordcount_store"
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    try {
+      spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      import spark.implicits._
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+      // the driver feeds MemoryStream by definition; addData re-uses the
+      // same collected text references per rep, so memory stays ~1 corpus
+      val texts = spark.read.parquet(s"$sfDir/documents.parquet")
+        .select("text").as[String].collect().toSeq
+      val repsPerBatch = 2
+      val nWords = texts.iterator.map(_.split(" ").count(_.nonEmpty)).sum.toLong * 4 * repsPerBatch
+      val ck = java.nio.file.Files.createTempDirectory("bench-wc-store").toString
+      val input = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[String]
+      val counts = graft.streaming.StateStoreRunner.runningCount[String, String](
+        input.toDS().flatMap(_.split(" ").iterator.filter(_.nonEmpty)), identity)
+      val q = counts.writeStream.outputMode("update")
+        .option("checkpointLocation", ck)
+        .foreachBatch { (b: org.apache.spark.sql.Dataset[(String, Long)], _: Long) =>
+          b.queryExecution.toRdd.count(); ()
+        }
+        .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime(0L))
+        .start()
+      val t0 = System.nanoTime()
+      (0 until 4).foreach { _ =>
+        input.addData(Seq.fill(repsPerBatch)(texts).flatten: _*)
+        q.processAllAvailable()
+      }
+      val sec = (System.nanoTime() - t0) / 1e9
+      q.stop()
+      System.err.println(f"[bench] $label: $nWords tuples in $sec%.2fs = ${nWords / sec}%.0f tuples/s")
+      label -> sec
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] $label failed: ${e.getMessage}")
+      label -> -1.0
+    } finally {
+      prev match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
     }
   }
 }

@@ -598,6 +598,73 @@ object SparkEntry {
       out
     }),
 
+    "q53b_wordcount_store" -> ((s, dir) => {
+      // The SAME word count as q53, on the SCALE-NATIVE state tier:
+      // transformWithState over the RocksDB state store (StateStoreRunner),
+      // driven as a real streaming query with a REPLAY drill — the sink
+      // throws on its first attempt at batch 1 AFTER the stateful stage has
+      // committed its store version, so the restart must roll the store
+      // back to the pre-batch version and re-apply batch 1 from the WAL
+      // (the OpaqueMap rewritten-batch scenario, `OpaqueMap.java:40-85`,
+      // expressed in store versions). Matches the all-at-once oracle iff
+      // that rollback is exact — the checked artifact the equivalence
+      // argument in StateStoreRunner's scaladoc was missing.
+      import s.implicits._
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+      val prevProvider = s.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+      s.conf.set("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      try {
+        val words = st(table(s, dir, "documents"))
+          .project(Fields("doc_id", "text"))
+          .flatEach(Text.tokens(F.col("text")), "word")
+          .toDF.select(F.col("doc_id"), F.col("word"))
+        // the driver feeds MemoryStream by definition (test-harness tier,
+        // same as q53's batch splitter — not a scale path)
+        def batchWords(i: Int): Seq[String] =
+          words.where(F.pmod(F.col("doc_id"), F.lit(3L)) === i)
+            .select("word").as[String].collect().toSeq
+        val ck = java.nio.file.Files.createTempDirectory("q53b-ck").toString
+        val input = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[String]
+        val sink = new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+        val failOnce = new java.util.concurrent.atomic.AtomicBoolean(true)
+        def start() = graft.streaming.StateStoreRunner
+          .runningCount[String, String](input.toDS(), identity)
+          .writeStream.outputMode("update")
+          .option("checkpointLocation", ck)
+          .foreachBatch { (b: org.apache.spark.sql.Dataset[(String, Long)], id: Long) =>
+            val rows = b.collect() // state folded + store version committed here
+            if (id == 1L && failOnce.getAndSet(false))
+              throw new RuntimeException("injected sink failure: replay drill")
+            rows.foreach { case (k, n) => sink.put(k, n); () }
+          }
+          .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime(0L))
+          .start()
+        val q1 = start()
+        input.addData(batchWords(0): _*)
+        q1.processAllAvailable()
+        input.addData(batchWords(1): _*)
+        try { q1.processAllAvailable(); q1.stop() }
+        catch { case _: Exception => () } // the injected failure kills q1
+        try q1.awaitTermination()
+        catch { case _: Exception => () }
+        val q2 = start() // restart: batch 1 replays against the rolled-back store
+        q2.processAllAvailable()
+        input.addData(batchWords(2): _*)
+        q2.processAllAvailable()
+        q2.stop()
+        import scala.jdk.CollectionConverters._
+        // Update-mode emissions: the latest put per key is its running total
+        sink.asScala.toSeq.map { case (w, n) => (w, n.longValue()) }
+          .toDF("word", "cnt").orderBy("word")
+      } finally {
+        prevProvider match {
+          case Some(p) => s.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+          case None => s.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        }
+      }
+    }),
+
     "q54_rarity_score" -> ((s, dir) =>
       Text.rarityScore(table(s, dir, "documents"), "doc_id", "text", rareBelow = 500L)
         .orderBy("doc_id")),
@@ -1415,6 +1482,9 @@ object SparkEntry {
          JOIN lineitem l ON g.l_orderkey = l.l_orderkey AND g.l_partkey = l.l_partkey
          ORDER BY 1, 2, 4""",
     "q53_persistent_wordcount" ->
+      "SELECT word, CAST(count(*) AS BIGINT) AS cnt FROM (SELECT unnest(list_filter(string_split(text, ' '), x -> x != '')) AS word FROM documents) GROUP BY 1 ORDER BY 1",
+    // same corpus count, state-store tier — identical oracle by design
+    "q53b_wordcount_store" ->
       "SELECT word, CAST(count(*) AS BIGINT) AS cnt FROM (SELECT unnest(list_filter(string_split(text, ' '), x -> x != '')) AS word FROM documents) GROUP BY 1 ORDER BY 1",
     "q54_rarity_score" ->
       """WITH toks AS (SELECT doc_id, unnest(list_filter(string_split(text, ' '), x -> x != '')) AS w FROM documents),
