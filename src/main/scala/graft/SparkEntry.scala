@@ -711,6 +711,18 @@ object SparkEntry {
           "user_id", "ts_us", gapTicks = 1800L * 1000000L, tieBreak = "event_id")
         .orderBy("user_id", "session_seq")),
 
+    "q58b_sessionize_salted" -> ((s, dir) =>
+      // the SKEW-SAFE sessionizer pinned to the same oracle as q58: bucket
+      // pass 1 at 1h (≥ gap, so stitching by adjacency stays exact) — a hot
+      // key's events sessionize in parallel across buckets, then straddling
+      // mini-sessions stitch. Identical output to the plain window form.
+      Temporal.sessionizeSalted(
+          events(s, dir).select(F.col("user_id"),
+            F.expr("ts DIV 1000").as("ts_us"), F.col("event_id")),
+          "user_id", "ts_us", gapTicks = 1800L * 1000000L, tieBreak = "event_id",
+          bucketTicks = 3600L * 1000000L)
+        .orderBy("user_id", "session_seq")),
+
     "q59_hopping_window" -> ((s, dir) =>
       Temporal.hoppingWindows(
           events(s, dir).select(F.expr("ts DIV 1000").as("ts_us"), F.col("value")),
@@ -1519,6 +1531,19 @@ object SparkEntry {
                ROWS UNBOUNDED PRECEDING) AS click_id
            FROM u) WHERE side = 1 ORDER BY 1""",
     "q58_sessionize" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS ts, event_id FROM events),
+         x AS (SELECT user_id, ts,
+             CASE WHEN prev IS NULL OR ts - prev > 1800000000 THEN 1 ELSE 0 END AS nf
+           FROM (SELECT user_id, ts,
+               lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev FROM e)),
+         y AS (SELECT user_id, ts,
+             CAST(sum(nf) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_seq
+           FROM x)
+         SELECT user_id, session_seq, min(ts) AS session_start, max(ts) AS session_end,
+           CAST(count(*) AS BIGINT) AS n_events
+         FROM y GROUP BY 1, 2 ORDER BY 1, 2""",
+    // the salted sessionizer must agree with the plain one exactly
+    "q58b_sessionize_salted" ->
       """WITH e AS (SELECT user_id, epoch_us(ts) AS ts, event_id FROM events),
          x AS (SELECT user_id, ts,
              CASE WHEN prev IS NULL OR ts - prev > 1800000000 THEN 1 ELSE 0 END AS nf

@@ -22,6 +22,41 @@ object Verify {
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
     }
+    // q51 (unsorted FirstN) is content-NONDETERMINISTIC (any n rows) but
+    // not uncheckable: every returned row must exist in the source, with
+    // multiplicity (sub-multiset). Validated here with a membership
+    // anti-join; on violation the q51 dump is deleted so the driver's gate
+    // records a loud per-query failure instead of a quiet rows-only pass.
+    locally {
+      import org.apache.spark.sql.functions.{col, count, lit}
+      val name = "q51_firstn_unsorted"
+      try {
+        val out = spark.read.parquet(s"$outDir/$name")
+        val src = spark.read.parquet(s"$sfDir/lineitem.parquet")
+          .select(col("l_orderkey"), col("l_linenumber"))
+        val violations = out.groupBy("l_orderkey", "l_linenumber")
+          .agg(count(lit(1)).as("n_out"))
+          .join(src.groupBy("l_orderkey", "l_linenumber")
+              .agg(count(lit(1)).as("n_src")),
+            Seq("l_orderkey", "l_linenumber"), "left")
+          .where(col("n_src").isNull || col("n_out") > col("n_src"))
+          .count()
+        val nOut = out.count()
+        if (violations == 0L && nOut == 100L)
+          System.err.println(s"[verify] $name membership: PASS " +
+            s"($nOut rows, sub-multiset of lineitem)")
+        else {
+          System.err.println(s"[verify] $name membership: FAIL " +
+            s"($violations violating keys, $nOut rows) — deleting dump")
+          val dir = Paths.get(s"$outDir/$name")
+          import scala.jdk.CollectionConverters._
+          Files.walk(dir).iterator().asScala.toSeq.reverse
+            .foreach(Files.deleteIfExists(_))
+        }
+      } catch { case e: Throwable =>
+        System.err.println(s"[verify] $name membership check errored: ${e.getMessage}")
+      }
+    }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
     // driver's json.load fail and silently zero the round's correctness.

@@ -300,16 +300,20 @@ object Multimodal {
       val colorspace = params.collectFirst {
         case p if p.startsWith("C") => p
       }.getOrElse("C420")
-      val ySize = w * h
+      // sizes in LONG: at MaxDim, C444's chroma total (2*w*h = 2^31) wraps a
+      // 32-bit Int negative, and a negative frameSize would slip past the
+      // truncation check below on a crafted >=1 GiB payload
+      val ySize = w.toLong * h
       // chroma plane total per frame, by subsampling mode
-      val chromaSize = colorspace match {
-        case c if c.startsWith("C420") => 2 * ((w / 2) * (h / 2))
-        case c if c.startsWith("C422") => 2 * ((w / 2) * h)
-        case c if c.startsWith("C444") => 2 * ySize
-        case "Cmono"                   => 0
+      val chromaSize: Long = colorspace match {
+        case c if c.startsWith("C420") => 2L * ((w / 2).toLong * (h / 2))
+        case c if c.startsWith("C422") => 2L * ((w / 2).toLong * h)
+        case c if c.startsWith("C444") => 2L * ySize
+        case "Cmono"                   => 0L
         case _                         => return None
       }
       val frameSize = ySize + chromaSize
+      if (frameSize <= 0L) return None // defensive: every mode yields >= 1 here
       val hist = new Array[Long](featDim)
       var nFrames = 0
       var pos = nl + 1
@@ -320,23 +324,24 @@ object Multimodal {
           new String(bytes, pos, 5, java.nio.charset.StandardCharsets.US_ASCII) != "FRAME")
           return if (nFrames > 0) emit(w, h, colorspace, hist, nFrames, ySize) else None
         val dataStart = fnl + 1
-        if (dataStart + frameSize > bytes.length) // truncated tail frame
+        if (dataStart.toLong + frameSize > bytes.length) // truncated tail frame
           return if (nFrames > 0) emit(w, h, colorspace, hist, nFrames, ySize) else None
         var i = dataStart
-        val yEnd = dataStart + ySize
+        // frame fits in the array (checked above), so both ends are Int-safe
+        val yEnd = dataStart + ySize.toInt
         while (i < yEnd) {
           val luma = bytes(i) & 0xff
           hist(math.min(featDim - 1, luma * featDim / 256)) += 1
           i += 1
         }
         nFrames += 1
-        pos = dataStart + frameSize
+        pos = dataStart + frameSize.toInt
       }
       if (nFrames > 0) emit(w, h, colorspace, hist, nFrames, ySize) else None
     }
     private def emit(w: Int, h: Int, colorspace: String, hist: Array[Long],
-        nFrames: Int, ySize: Int): Option[Row] = {
-      val n = nFrames.toLong * ySize
+        nFrames: Int, ySize: Long): Option[Row] = {
+      val n = nFrames * ySize
       Some(Row(name, w, h, if (colorspace == "Cmono") 1 else 3,
         hist.map(_ / n.toFloat)))
     }

@@ -9,10 +9,48 @@ import org.apache.spark.sql.{functions => F}
   */
 object Scale {
 
+  /** DETERMINISTIC content salt in [0, buckets): xxhash64 over the row's
+    * HASHABLE columns. Partition-id or monotonic-id salts change when a
+    * task recomputes after a fetch failure, double-counting rows across
+    * (key, salt) groups — the same retry hazard the sampling module bans
+    * rand() for. MapType columns are skipped (Spark's hash functions
+    * reject them at analysis time); if NO column is hashable the salt
+    * degenerates to a single bucket (correct, no spread).
+    *
+    * Known degenerate case (both salted operators): rows identical in
+    * every hashable column share a bucket, so content salting cannot
+    * spread skew made of EXACT duplicate rows — run exact dedup upstream,
+    * or carry a distinguishing column (offset, event_id) into the frame. */
+  private def contentSalt(df: DataFrame, buckets: Int): Column = {
+    import org.apache.spark.sql.types._
+    def hashable(dt: DataType): Boolean = dt match {
+      case _: MapType => false
+      case s: StructType => s.fields.forall(f => hashable(f.dataType))
+      case a: ArrayType => hashable(a.elementType)
+      case _ => true
+    }
+    val cols = df.schema.fields.filter(f => hashable(f.dataType)).map(f => F.col(f.name))
+    if (cols.isEmpty) F.lit(0L)
+    else F.pmod(F.xxhash64(cols.toSeq: _*), F.lit(buckets.toLong))
+  }
+
+  /** A working-column name guaranteed absent from every input schema —
+    * salting a frame that already carries a `__salt` column must not
+    * silently collide with it. */
+  private def freshName(base: String, taken: Iterable[String]): String = {
+    val t = taken.toSet
+    var n = base
+    var i = 0
+    while (t.contains(n)) { i += 1; n = s"$base$i" }
+    n
+  }
+
   /** Two-phase salted aggregation for skewed keys: phase 1 aggregates
     * (key, salt) — spreading a hot key over `saltBuckets` reducers — phase 2
     * combines the per-salt partials. Correct for any commutative/associative
-    * Column aggregate pair (`partial` on rows, `merge` on partials).
+    * Column aggregate pair (`partial` on rows, `merge` on partials). See
+    * [[contentSalt]] for the salt's retry-determinism and its exact-
+    * duplicate-rows degenerate case.
     *
     * {{{
     *   // skew-safe count by user:
@@ -22,16 +60,9 @@ object Scale {
     */
   def saltedAggregate(df: DataFrame, keys: Seq[String], saltBuckets: Int,
                       partial: Column, merge: Column): DataFrame = {
-    // DETERMINISTIC salt (hash of full row content): partition-id or
-    // monotonic-id salts change when a task recomputes after a fetch
-    // failure, double-counting rows across (key, salt) groups — the same
-    // retry hazard the sampling module bans rand() for. Identical rows
-    // share a bucket (they hash alike); that only matters for skew made of
-    // EXACT duplicate rows, which exact-dedup upstream removes anyway.
-    val salted = df.withColumn("__salt",
-      F.pmod(F.xxhash64(df.columns.map(F.col).toSeq: _*), F.lit(saltBuckets.toLong)))
-    salted
-      .groupBy((keys :+ "__salt").map(F.col): _*)
+    val salt = freshName("__salt", df.columns)
+    df.withColumn(salt, contentSalt(df, saltBuckets))
+      .groupBy((keys :+ salt).map(F.col): _*)
       .agg(partial)
       .groupBy(keys.map(F.col): _*)
       .agg(merge)
@@ -88,15 +119,16 @@ object Scale {
 
   def saltedJoin(big: DataFrame, small: DataFrame, bigKey: String,
                  smallKey: String, saltBuckets: Int): DataFrame = {
-    // deterministic content-hash salt — see saltedAggregate for why ids
-    // and partition-ids are retry-unsafe here
-    val saltedBig = big.withColumn("__salt",
-      F.pmod(F.xxhash64(big.columns.map(F.col).toSeq: _*), F.lit(saltBuckets.toLong)))
-    val explodedSmall = small.withColumn("__salt",
+    // deterministic content-hash salt — see contentSalt for why ids and
+    // partition-ids are retry-unsafe here, and for the exact-duplicate-
+    // big-side-rows degenerate case (they re-concentrate in one bucket)
+    val salt = freshName("__salt", big.columns ++ small.columns)
+    val saltedBig = big.withColumn(salt, contentSalt(big, saltBuckets))
+    val explodedSmall = small.withColumn(salt,
       F.explode(F.sequence(F.lit(0L), F.lit(saltBuckets.toLong - 1))))
     saltedBig.join(explodedSmall,
       saltedBig(bigKey) === explodedSmall(smallKey) &&
-        saltedBig("__salt") === explodedSmall("__salt"))
-      .drop("__salt")
+        saltedBig(salt) === explodedSmall(salt))
+      .drop(salt)
   }
 }

@@ -146,4 +146,63 @@ class DRPCServiceSpec extends AnyFunSuite {
       assert(post("slow", "x")._1 == 408)
     } finally svc.stop()
   }
+
+  test("HTTP golden: the reference's DRPC word-count session, served over the JSON wire") {
+    // integration_test.clj:55-86 verbatim: feed two sentence batches into a
+    // persistent word count, then drive execute("words", ...) as an external
+    // client — here through the HTTP face (the reference serves thrift; the
+    // engine serves HTTP/JSON — same execute/result semantics, different
+    // framing, documented in the README's DRPC section).
+    import graft.api._
+    import graft.state._
+    import graft.streaming.StreamRunner
+    import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+    import spark.implicits._
+    MemoryBackingMap.clear("drpc-golden")
+    val state = new OpaqueMap[Long](new MemoryBackingMap[OpaqueValue[Long]]("drpc-golden"))
+    var txid = 0L
+    def feed(sentences: String*): Unit = {
+      val words = sentences.flatMap(_.split(" ")).toDF("word")
+      StreamRunner.applyBatch[Long](words, txid, Fields("word"),
+        F.count(F.lit(1)).as("cnt"), _ + _, state)
+      txid += 1
+    }
+    val tstate = new TridentState[Long](state, "drpc-golden", Fields("word"), "cnt")
+    val drpc = new LocalDRPC(spark)
+    drpc.register("words", args => {
+      // split(args) → stateQuery(word-counts, MapGet) → FilterNull → Sum
+      val counts = tstate.newValuesStream(spark, StructType(Seq(
+        StructField("word", StringType), StructField("cnt", LongType)))).toDF
+      new Stream(spark.createDataset(args.split(" ").toSeq).toDF("word"))
+        .stateQuery(StaticState(counts, Fields("word"), Fields("cnt")),
+          Fields("word"), Fields("cnt"))
+        .filterNull(Fields("cnt"))
+        .aggregate(F.sum("cnt").as("sum"))
+        .toDF
+    })
+    val svc = new DRPCService(drpc, requestTimeoutMs = 30000L).start(workers = 2)
+    val port = svc.startHttp()
+    def post(fn: String, body: String): (Int, String) = {
+      val conn = new java.net.URL(s"http://127.0.0.1:$port/drpc/$fn")
+        .openConnection().asInstanceOf[java.net.HttpURLConnection]
+      conn.setRequestMethod("POST"); conn.setDoOutput(true)
+      conn.getOutputStream.write(body.getBytes("UTF-8"))
+      val code = conn.getResponseCode
+      val is = if (code >= 400) conn.getErrorStream else conn.getInputStream
+      val out = new String(is.readAllBytes(), "UTF-8")
+      (code, out)
+    }
+    try {
+      feed("hello the man said", "the")
+      assert(post("words", "the") == ((200, "[[2]]")))
+      assert(post("words", "hello") == ((200, "[[1]]")))
+      feed("the man on the moon", "where are you")
+      assert(post("words", "the") == ((200, "[[4]]")))
+      assert(post("words", "man") == ((200, "[[2]]")))
+      assert(post("words", "man where you the") == ((200, "[[8]]")))
+    } finally {
+      svc.stop()
+      MemoryBackingMap.clear("drpc-golden")
+    }
+  }
 }

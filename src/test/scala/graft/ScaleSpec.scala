@@ -39,6 +39,34 @@ class ScaleSpec extends AnyFunSuite {
     assert(salted("d1") == 5000L)
   }
 
+  test("salted ops survive a pre-existing __salt column and un-hashable MapType columns") {
+    // __salt collision: the working column must pick a fresh name, and the
+    // user's own __salt column must come through untouched
+    val withSalt = (Seq.fill(1000)(("hot", 7L)) ++ (1 to 50).map(i => (s"k$i", i.toLong)))
+      .toDF("k", "__salt")
+    val agg = Scale.saltedAggregate(withSalt, Seq("k"), 8,
+        F.count(F.lit(1)).as("cnt"), F.sum("cnt").as("cnt"))
+      .as[(String, Long)].collect().toMap
+    assert(agg("hot") == 1000L)
+
+    // MapType is not hashable in Spark: the salt must skip it instead of
+    // failing the plan at analysis time
+    val withMap = (Seq.fill(1000)("hot") ++ (1 to 50).map(i => s"k$i")).toDF("k")
+      .withColumn("m", F.map(F.lit("a"), F.col("k")))
+      .withColumn("tag", F.length(F.col("k"))) // a hashable non-key column
+    val agg2 = Scale.saltedAggregate(withMap, Seq("k"), 8,
+        F.count(F.lit(1)).as("cnt"), F.sum("cnt").as("cnt"))
+      .as[(String, Long)].collect().toMap
+    assert(agg2("hot") == 1000L)
+
+    val dim = (1L to 100L).map(i => (i, s"d$i")).toDF("dk", "name")
+    val factWithSalt = (Seq.fill(500)(1L) ++ (2L to 100L)).toDF("fk")
+      .withColumn("__salt", F.lit(99L))
+    val joined = Scale.saltedJoin(factWithSalt, dim, "fk", "dk", 8)
+    assert(joined.columns.count(_ == "__salt") == 1) // user's column survives
+    assert(joined.where(F.col("name") === "d1").count() == 500L)
+  }
+
   test("partitioned writes prune the scan to the filtered partitions") {
     val docs = (1 to 300).map(i =>
       (i.toLong, s"text $i", if (i % 3 == 0) "de" else "en")).toDF("id", "text", "lang")
