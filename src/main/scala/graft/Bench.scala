@@ -69,19 +69,25 @@ object Bench {
         System.err.println(s"[bench] $name failed: ${e.getMessage}")
       }
       name -> (System.nanoTime() - t0) / 1e9
-    } ++ Seq(streamingWordCount(spark, sfDir),
+    }
+    // streaming topology drills (the reference's headline metric is
+    // streaming tuples/sec — stderr carries the throughput figures). Kept
+    // OUT of "value"/"queries": the oracle runs the same SQL as "queries",
+    // so the suite ratio stays apples-to-apples; these are recorded under
+    // their own key for round-over-round state-tier comparison.
+    val streaming = Seq(streamingWordCount(spark, sfDir),
       streamingWordCountDurable(spark, sfDir),
       streamingWordCountStore(spark, sfDir))
-    // the reference's headline metric is streaming tuples/sec; log it so the
-    // JSON line carries both total seconds and the throughput figure
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
+    val st = streaming.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
     val warmNote =
       if (warmSf.isEmpty || warmSf == sfDir) """"warm":"none","""
       else if (warmFailed == 0) s""""warm":"full-suite@$warmSf","""
       else s""""warm":"partial:$warmFailed/$warmTotal-failed@$warmSf","""
-    println(s"""{"metric":"total","value":$total,"unit":"sec","calib":$calib,$warmNote"queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","calib":$calib,$warmNote"queries":$qs,"streaming":$st,"sf":"$sfDir"}""")
     spark.stop()
   }
 
