@@ -12,7 +12,7 @@ package graft.state
   */
 object StateSerializers {
 
-  private def writeScalar(v: Any): String = v match {
+  private[state] def writeScalar(v: Any): String = v match {
     case null => "null"
     case s: String => "\"" + s.flatMap {
       case '"' => "\\\""
@@ -31,7 +31,7 @@ object StateSerializers {
 
   // A deliberately tiny scalar-JSON reader for the fixed array shapes the
   // serializers emit. Index-based, no general JSON support.
-  private def readScalars(s: String): Vector[Any] = {
+  private[state] def readScalars(s: String): Vector[Any] = {
     require(s.startsWith("[") && s.endsWith("]"), s"bad state payload: $s")
     val out = Vector.newBuilder[Any]
     var i = 1
