@@ -126,7 +126,7 @@ object SparkEntry {
     "q01_project" -> ((s, dir) =>
       st(table(s, dir, "lineitem"))
         .project(Fields("l_orderkey", "l_linenumber", "l_quantity", "l_returnflag"))
-        .toDF.orderBy("l_orderkey", "l_linenumber")),
+        .toDF),
 
     "q02_each_function" -> ((s, dir) =>
       st(table(s, dir, "lineitem"))
@@ -137,14 +137,14 @@ object SparkEntry {
           },
           Fields("revenue_cents"))
         .project(Fields("l_orderkey", "l_linenumber", "revenue_cents"))
-        .toDF.orderBy("l_orderkey", "l_linenumber")),
+        .toDF),
 
     "q03_each_split" -> ((s, dir) =>
       st(table(s, dir, "documents"))
         .project(Fields("doc_id", "text"))
         .each(Fields("text"), SplitFn, Seq(StructField("word", StringType)))
         .project(Fields("doc_id", "word"))
-        .toDF.orderBy("doc_id", "word")),
+        .toDF),
 
     "q04_filter" -> ((s, dir) =>
       st(events(s, dir))
@@ -287,7 +287,7 @@ object SparkEntry {
         .project(Fields("l_orderkey", "l_linenumber", "l_quantity"))
       orders.join(li, Fields("o_orderkey"), Fields("l_orderkey"),
           Fields("orderkey", "priority", "linenumber", "qty"))
-        .toDF.orderBy("orderkey", "linenumber")
+        .toDF
     }),
 
     "q21_join_outer" -> ((s, dir) => {
@@ -299,7 +299,7 @@ object SparkEntry {
         .aggregate(F.count(F.lit(1)).as("n_lines"))
       open.join(lines, Fields("o_orderkey"), Fields("l_orderkey"),
           Fields("orderkey", "totalprice", "n_lines"), "full_outer")
-        .toDF.orderBy("orderkey")
+        .toDF
     }),
 
     "q22_merge" -> ((s, dir) => {
@@ -819,8 +819,11 @@ object SparkEntry {
           F.expr("""stack(3,
             'disc_cents', CAST(round(l_discount * 100) AS BIGINT),
             'price_cents', CAST(round(l_extendedprice * 100) AS BIGINT),
-            'qty', CAST(l_quantity AS BIGINT))""").as(Seq("measure", "val")))
-        .orderBy("l_orderkey", "l_linenumber", "measure")),
+            'qty', CAST(l_quantity AS BIGINT))""").as(Seq("measure", "val")))),
+      // no trailing orderBy: the driver's compare canonicalizes row order
+      // itself (like every other unordered query here), and a global sort
+      // over the 3x-exploded table is exactly what an unpivot at scale
+      // must not do — it was costing more than the unpivot itself.
 
     "q72_topk_native" -> ((s, dir) =>
       // q50's semantics through the custom TopKPerKey physical operator
@@ -1243,11 +1246,11 @@ object SparkEntry {
 
   def oracleSql: Map[String, String] = Map(
     "q01_project" ->
-      "SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag FROM lineitem ORDER BY 1, 2",
+      "SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag FROM lineitem",
     "q02_each_function" ->
-      "SELECT l_orderkey, l_linenumber, CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT) AS revenue_cents FROM lineitem ORDER BY 1, 2",
+      "SELECT l_orderkey, l_linenumber, CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT) AS revenue_cents FROM lineitem",
     "q03_each_split" ->
-      "SELECT doc_id, word FROM (SELECT doc_id, unnest(list_filter(string_split(text, ' '), x -> x != '')) AS word FROM documents) ORDER BY 1, 2",
+      "SELECT doc_id, word FROM (SELECT doc_id, unnest(list_filter(string_split(text, ' '), x -> x != '')) AS word FROM documents)",
     "q04_filter" ->
       "SELECT event_id, user_id, value FROM events WHERE event_type = 'purchase' AND value > 100 ORDER BY 1",
     "q05_equals" ->
@@ -1293,12 +1296,12 @@ object SparkEntry {
       "SELECT word, cnt FROM (SELECT word, CAST(count(*) AS BIGINT) AS cnt FROM (SELECT unnest(list_filter(string_split(text, ' '), x -> x != '')) AS word FROM documents) GROUP BY 1) WHERE cnt >= 100 ORDER BY 1",
     "q20_join_inner" ->
       """SELECT o_orderkey AS orderkey, o_orderpriority AS priority, l_linenumber AS linenumber, l_quantity AS qty
-         FROM orders JOIN lineitem ON o_orderkey = l_orderkey ORDER BY 1, 3""",
+         FROM orders JOIN lineitem ON o_orderkey = l_orderkey""",
     "q21_join_outer" ->
       """SELECT COALESCE(o.o_orderkey, l.l_orderkey) AS orderkey, o.o_totalprice AS totalprice, l.n_lines
          FROM (SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderstatus = 'O') o
          FULL OUTER JOIN (SELECT l_orderkey, CAST(count(*) AS BIGINT) AS n_lines FROM lineitem GROUP BY 1) l
-         ON o.o_orderkey = l.l_orderkey ORDER BY 1""",
+         ON o.o_orderkey = l.l_orderkey""",
     "q22_merge" ->
       "SELECT event_id, user_id, value FROM events WHERE event_type IN ('click', 'purchase') ORDER BY 1",
     "q23_multireduce" ->
@@ -1656,8 +1659,7 @@ object SparkEntry {
              CAST(round(l_extendedprice * 100) AS BIGINT) FROM lineitem
            UNION ALL
            SELECT l_orderkey, l_linenumber, 'qty',
-             CAST(l_quantity AS BIGINT) FROM lineitem)
-         ORDER BY 1, 2, 3""",
+             CAST(l_quantity AS BIGINT) FROM lineitem)""",
     "q72_topk_native" ->
       """SELECT event_type, event_id, value FROM (
            SELECT event_type, event_id, value,
