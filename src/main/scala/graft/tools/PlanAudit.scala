@@ -23,7 +23,10 @@ object PlanAudit {
       // only exist in the post-execution final plan
       val qe = graft.SparkEntry.queries(q)(spark, dir).queryExecution
       try qe.toRdd.count() catch { case _: Throwable => () }
-      val plan = qe.executedPlan.toString
+      // under AQE the plan string carries BOTH the final and the initial
+      // plan; audit only the final one so operator counts aren't doubled
+      val full = qe.executedPlan.toString
+      val plan = full.split("== Initial Plan ==")(0)
     val joins = plan.linesIterator
         .filter(l => l.contains("Join") || l.contains("Cartesian") || l.contains("Generate"))
         .map(_.trim.replaceAll("\\[plan_id=\\d+\\]", "").take(120)).toSeq
