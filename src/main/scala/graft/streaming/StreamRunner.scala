@@ -101,6 +101,24 @@ object StreamRunner {
       }
       .start()
 
+  /** File-sink face of `partitionPersist`: each micro-batch commits to a
+    * [[graft.sources.TransactionalParquetSink]] directory exactly once —
+    * the checkpoint WAL replays a failed batch under the SAME batchId, and
+    * the sink's manifest skips already-committed ids, so crash/restart
+    * cannot duplicate output rows (the durable mirror of [[KvStoreSink]]'s
+    * epoch commit; reference contract `ICommitterTridentSpout.java:24-39`). */
+  def persistFiles(stream: DataFrame, dir: String, queryName: String,
+                   trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+    stream.writeStream
+      .queryName(queryName)
+      .outputMode("append")
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        graft.sources.TransactionalParquetSink.writeBatch(batch, batchId, dir)
+        ()
+      }
+      .start()
+
   /** `partitionPersist(stateFactory, inputFields, StateUpdater, newFields)`
     * — the raw sink tier (`Stream.java:170-193`,
     * `PartitionPersistProcessor.java:36-106`): the user's `StateUpdater`

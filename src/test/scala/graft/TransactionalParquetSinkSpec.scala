@@ -41,6 +41,24 @@ class TransactionalParquetSinkSpec extends AnyFunSuite {
     assert(TransactionalParquetSink.read(spark, dir).count() == 3)
   }
 
+  test("persistFiles: a real streaming query lands micro-batches through the manifest commit") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft-txsink3").toString
+    val input = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[Long]
+    input.addData(1L, 2L, 3L)
+    val q = graft.streaming.StreamRunner.persistFiles(
+      input.toDS().toDF("n"), dir, "sink-drill",
+      org.apache.spark.sql.streaming.Trigger.ProcessingTime(0L))
+    q.processAllAvailable()
+    input.addData(4L, 5L)
+    q.processAllAvailable()
+    q.stop()
+    val got = TransactionalParquetSink.read(spark, dir).as[Long].collect().sorted.toSeq
+    assert(got == Seq(1L, 2L, 3L, 4L, 5L))
+    assert(TransactionalParquetSink.committedBatchIds(dir).size >= 2)
+  }
+
   test("foreachBatch-style drive: a re-run query re-delivering old batches stays exactly-once") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft-txsink2").toString
