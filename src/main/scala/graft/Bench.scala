@@ -42,7 +42,12 @@ object Bench {
     // state store): its runtime is fixed restart machinery, not query work —
     // it runs in Verify's gate; the state tier's THROUGHPUT is benched by
     // the dedicated stream_wordcount_store/_durable entries below.
-    val benchQueries = SparkEntry.queries.removed("q53b_wordcount_store")
+    // q107 is the iterative BPE trainer (numMerges sequential jobs):
+    // trainer machinery, not a query — its per-iteration hot path is the
+    // oracled-and-timed q106 pair-count face.
+    val benchQueries = SparkEntry.queries
+      .removed("q53b_wordcount_store")
+      .removed("q107_bpe_merges")
     // warm-pass failures must be visible: an unreported failed warm would
     // silently skew cross-round steady-state comparisons
     var warmFailed = 0

@@ -870,6 +870,23 @@ object SparkEntry {
         .select("doc_id", "lang").orderBy("doc_id")
     }),
 
+    "q106_bpe_pairs" -> ((s, dir) =>
+      // the BPE trainer's per-iteration counting core, oracled: weighted
+      // adjacent symbol pairs over the word-frequency vocabulary, top 20
+      // under the trainer's deterministic total order
+      functions.Bpe.pairCounts(functions.Bpe.vocabulary(table(s, dir, "documents"), "text"))
+        .orderBy(F.col("freq").desc, F.col("lhs"), F.col("rhs"))
+        .limit(20)),
+
+    "q107_bpe_merges" -> ((s, dir) =>
+      // full greedy trainer (Sennrich order) — no SQL spelling exists for
+      // the iterative merge loop, so this face is rows-only in the gate;
+      // BpeSpec pins the algorithm against a brute-force reference and
+      // q106 oracles the per-iteration core. Excluded from the bench's
+      // timed loop (numMerges sequential Spark jobs = trainer machinery,
+      // not a query; its hot path IS q106).
+      functions.Bpe.train(table(s, dir, "documents"), "text", numMerges = 20)),
+
     "q104_decontaminate" -> ((s, dir) => {
       // eval set = every 100th doc; survivors = corpus docs sharing no
       // 3-gram with any eval doc (exact-duplicate copies of eval docs are
@@ -1693,6 +1710,14 @@ object SparkEntry {
             OR (lang = 'de' AND ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 1000000 < ppm_de)
             OR (lang = 'fr' AND ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 1000000 < ppm_fr)
          ORDER BY 1""",
+    "q106_bpe_pairs" ->
+      """WITH words AS (
+           SELECT unnest(list_filter(string_split_regex(text, '\s+'), x -> x != '')) AS word FROM documents),
+         w AS (SELECT word, count(*) AS cnt FROM words GROUP BY 1),
+         syms AS (SELECT cnt, list_append(string_split(word, ''), '</w>') AS s FROM w),
+         pairs AS (SELECT cnt, unnest(list_zip(s[1:len(s)-1], s[2:len(s)])) AS p FROM syms)
+         SELECT p[1] AS lhs, p[2] AS rhs, CAST(sum(cnt) AS BIGINT) AS freq
+         FROM pairs GROUP BY 1, 2 ORDER BY freq DESC, lhs, rhs LIMIT 20""",
     "q104_decontaminate" ->
       """WITH ws AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x != '') AS ws FROM documents),
          sh AS (SELECT doc_id, unnest(list_transform(generate_series(1, len(ws) - 2), i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS g FROM ws),

@@ -1,0 +1,99 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{functions => F}
+import graft.plans.BpeExpressions
+
+/** Byte-pair-encoding tokenizer training and segmentation — the tokenizer-
+  * fitting stage of a training-data pipeline, Spark-first.
+  *
+  * Algorithm (Sennrich et al. 2016, "Neural Machine Translation of Rare
+  * Words with Subword Units"): start from character symbols per word (plus
+  * an end-of-word marker), repeatedly count adjacent symbol pairs weighted
+  * by word frequency and merge the most frequent pair, recording the merge
+  * order; segmentation replays the merges on new text.
+  *
+  * Scale shape: the CORPUS is scanned exactly once — everything iterative
+  * runs on the word-frequency VOCABULARY (distinct words), which is
+  * corpus-size-independent for natural text. Per merge: one shuffle (pair
+  * counts, partial-aggregated map-side), a 1-row argmax collect (the
+  * trainer's convergence probe — same driver contact as
+  * `duplicateClusters`), and a vocab-local native-expression rewrite with
+  * a per-iteration `localCheckpoint` lineage cut (reliable checkpoint at
+  * cluster scale via `reliableCheckpoint = true`). Industrial vocabularies
+  * (30k+ merges) batch several non-conflicting merges per round to
+  * amortize the shuffle; this implementation keeps the reference
+  * algorithm's strictly-sequential greedy order, which the spec pins
+  * against a brute-force reference.
+  */
+object Bpe {
+
+  val EndOfWord = "</w>"
+
+  /** Word-frequency vocabulary as (cnt, syms) — characters + `</w>`. */
+  def vocabulary(docs: DataFrame, textCol: String): DataFrame =
+    docs
+      .select(F.explode(F.split(F.col(textCol), "\\s+")).as("word"))
+      .where(F.col("word") =!= "")
+      .groupBy("word").agg(F.count(F.lit(1)).as("cnt"))
+      .select(F.col("cnt"),
+        F.concat(F.filter(F.split(F.col("word"), ""), s => s =!= ""),
+          F.array(F.lit(EndOfWord))).as("syms"))
+
+  /** Adjacent-pair counts over a (cnt, syms) vocabulary — the per-iteration
+    * counting core (and the oracled face q106). Deterministic total order:
+    * freq desc, then (lhs, rhs) ascending. */
+  def pairCounts(vocab: DataFrame): DataFrame = {
+    val n = F.size(F.col("syms"))
+    vocab
+      .select(F.col("cnt"), F.explode(F.zip_with(
+        F.slice(F.col("syms"), F.lit(1), n - 1),
+        F.slice(F.col("syms"), F.lit(2), n - 1),
+        (a, b) => F.struct(a.as("lhs"), b.as("rhs")))).as("p"))
+      .groupBy(F.col("p.lhs").as("lhs"), F.col("p.rhs").as("rhs"))
+      .agg(F.sum("cnt").as("freq"))
+  }
+
+  /** Train `numMerges` BPE merges on `docs(textCol)`. Returns the merge
+    * table (rank, lhs, rhs, freq) in learned order; stops early when no
+    * pair reaches `minPairCount`. */
+  def train(docs: DataFrame, textCol: String, numMerges: Int,
+            minPairCount: Long = 2, reliableCheckpoint: Boolean = false): DataFrame = {
+    require(numMerges > 0, s"numMerges must be positive, got $numMerges")
+    val spark = docs.sparkSession
+    def cut(df: DataFrame): DataFrame =
+      if (reliableCheckpoint) df.checkpoint(true) else df.localCheckpoint(true)
+    var vocab = cut(vocabulary(docs, textCol))
+    val merges = Vector.newBuilder[(Int, String, String, Long)]
+    var rank = 0
+    var exhausted = false
+    while (rank < numMerges && !exhausted) {
+      val top = pairCounts(vocab)
+        .orderBy(F.col("freq").desc, F.col("lhs"), F.col("rhs"))
+        .limit(1).collect()
+      if (top.isEmpty || top(0).getLong(2) < minPairCount) exhausted = true
+      else {
+        val (lhs, rhs, freq) = (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
+        merges += ((rank, lhs, rhs, freq))
+        vocab = cut(vocab.withColumn("syms",
+          BpeExpressions.mergePair(F.col("syms"), lhs, rhs)))
+        rank += 1
+      }
+    }
+    import spark.implicits._
+    merges.result().toDF("rank", "lhs", "rhs", "freq")
+      .select(F.col("rank").cast("long").as("rank"),
+        F.col("lhs"), F.col("rhs"), F.col("freq"))
+  }
+
+  /** Segment text under a learned merge table (rank order). */
+  def encode(text: Column, merges: Seq[(String, String)]): Column =
+    BpeExpressions.encode(text, merges, EndOfWord)
+
+  /** Collect a merge DataFrame (rank, lhs, rhs, ...) into the ordered list
+    * `encode` takes. Driver-sized by construction: the merge table has
+    * `numMerges` rows. */
+  def mergeList(merges: DataFrame): Seq[(String, String)] =
+    merges.select("rank", "lhs", "rhs").collect()
+      .sortBy(_.getLong(0)).map(r => (r.getString(1), r.getString(2))).toSeq
+}
