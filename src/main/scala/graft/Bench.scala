@@ -154,19 +154,20 @@ object Bench {
         .crossJoin(spark.range(reps).select(F.col("id").as("rep")))
       val nWords = docs.select(F.sum(F.size(F.split(F.col("text"), " ")))).head().getLong(0)
       val (state, cleanup) = mkState()
-      val t0 = System.nanoTime()
-      // drive the foreachBatch body directly with 4 deterministic slices —
-      // the same code path a running query executes per trigger
-      (0 until 4).foreach { i =>
-        val batch = docs.where(F.pmod(F.col("rep"), F.lit(4L)) === i)
-          .select(F.explode(F.split(F.col("text"), " ")).as("word"))
-        StreamRunner.applyBatch[Long](batch, i.toLong, Fields("word"),
-          F.count(F.lit(1)).as("cnt"), _ + _, state)
-      }
-      val sec = (System.nanoTime() - t0) / 1e9
-      System.err.println(f"[bench] $label: $nWords tuples in $sec%.2fs = ${nWords / sec}%.0f tuples/s")
-      cleanup()
-      label -> sec
+      try {
+        val t0 = System.nanoTime()
+        // drive the foreachBatch body directly with 4 deterministic slices —
+        // the same code path a running query executes per trigger
+        (0 until 4).foreach { i =>
+          val batch = docs.where(F.pmod(F.col("rep"), F.lit(4L)) === i)
+            .select(F.explode(F.split(F.col("text"), " ")).as("word"))
+          StreamRunner.applyBatch[Long](batch, i.toLong, Fields("word"),
+            F.count(F.lit(1)).as("cnt"), _ + _, state)
+        }
+        val sec = (System.nanoTime() - t0) / 1e9
+        System.err.println(f"[bench] $label: $nWords tuples in $sec%.2fs = ${nWords / sec}%.0f tuples/s")
+        label -> sec
+      } finally cleanup() // a failed drill must not leak the opened tier
     } catch { case e: Throwable =>
       System.err.println(s"[bench] $label failed: ${e.getMessage}")
       label -> -1.0
@@ -184,31 +185,16 @@ object Bench {
       spark.conf.set("spark.sql.streaming.stateStore.providerClass",
         "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
       import spark.implicits._
-      implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
       // the driver feeds MemoryStream by definition; addData re-uses the
       // same collected text references per rep, so memory stays ~1 corpus
       val texts = spark.read.parquet(s"$sfDir/documents.parquet")
         .select("text").as[String].collect().toSeq
       val repsPerBatch = 2
       val nWords = texts.iterator.map(_.split(" ").count(_.nonEmpty)).sum.toLong * 4 * repsPerBatch
-      val ck = java.nio.file.Files.createTempDirectory("bench-wc-store").toString
-      val input = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[String]
-      val counts = graft.streaming.StateStoreRunner.runningCount[String, String](
-        input.toDS().flatMap(_.split(" ").iterator.filter(_.nonEmpty)), identity)
-      val q = counts.writeStream.outputMode("update")
-        .option("checkpointLocation", ck)
-        .foreachBatch { (b: org.apache.spark.sql.Dataset[(String, Long)], _: Long) =>
-          b.queryExecution.toRdd.count(); ()
-        }
-        .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime(0L))
-        .start()
-      val t0 = System.nanoTime()
-      (0 until 4).foreach { _ =>
-        input.addData(Seq.fill(repsPerBatch)(texts).flatten: _*)
-        q.processAllAvailable()
-      }
-      val sec = (System.nanoTime() - t0) / 1e9
-      q.stop()
+      // ONE drill spelling shared with the tuning harness (StateStoreBench),
+      // so recorded and tuned numbers are the same code path; it stops the
+      // query on every exit
+      val sec = graft.tools.Drills.storeWordCount(spark, texts, repsPerBatch)
       System.err.println(f"[bench] $label: $nWords tuples in $sec%.2fs = ${nWords / sec}%.0f tuples/s")
       label -> sec
     } catch { case e: Throwable =>

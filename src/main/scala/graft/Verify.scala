@@ -48,10 +48,7 @@ object Verify {
         else {
           System.err.println(s"[verify] $name membership: FAIL " +
             s"($violations violating keys, $nOut rows) — deleting dump")
-          val dir = Paths.get(s"$outDir/$name")
-          import scala.jdk.CollectionConverters._
-          Files.walk(dir).iterator().asScala.toSeq.reverse
-            .foreach(Files.deleteIfExists(_))
+          graft.util.Fs.deleteRecursively(Paths.get(s"$outDir/$name"))
         }
       } catch { case e: Throwable =>
         System.err.println(s"[verify] $name membership check errored: ${e.getMessage}")

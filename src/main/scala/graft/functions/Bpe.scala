@@ -75,8 +75,13 @@ object Bpe {
       else {
         val (lhs, rhs, freq) = (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
         merges += ((rank, lhs, rhs, freq))
+        val prev = vocab
         vocab = cut(vocab.withColumn("syms",
           BpeExpressions.mergePair(F.col("syms"), lhs, rhs)))
+        // the new cut is materialized (eager), so the previous iteration's
+        // cached blocks are dead — release them, or a long training run
+        // pins O(numMerges × vocab) in the block manager
+        prev.unpersist(blocking = false)
         rank += 1
       }
     }

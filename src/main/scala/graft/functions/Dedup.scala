@@ -302,6 +302,10 @@ object Dedup {
     var iter = 0
     var anyChanged = true
     var lastWithFlag: DataFrame = null
+    // the cut whose cached blocks the CURRENT `labels` reads from — each
+    // round's new eager cut makes the previous one dead; release it so a
+    // deep graph doesn't pin O(iterations × labels) in the block manager
+    var liveCut: DataFrame = labels
     while (iter < maxIter && anyChanged) {
       val nbrMin = edges
         .join(labels.withColumnRenamed("id", "dst"), Seq("dst"))
@@ -319,6 +323,8 @@ object Dedup {
       lastWithFlag = cut(next)
       anyChanged = !lastWithFlag.where(F.col("__chg")).isEmpty
       labels = lastWithFlag.drop("__chg")
+      liveCut.unpersist(blocking = false)
+      liveCut = lastWithFlag
       iter += 1
     }
     if (anyChanged) {

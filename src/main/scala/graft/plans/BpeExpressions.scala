@@ -26,7 +26,13 @@ object BpeExpressions {
     * trainer. */
   case class BpeMergePair(child: Expression, lhs: String, rhs: String)
     extends UnaryExpression with CodegenFallback {
-    override def dataType: DataType = ArrayType(StringType, containsNull = false)
+    // null elements pass through untouched, so element nullability is
+    // inherited — declaring containsNull=false here would lie to codegen
+    // for nullable-element inputs
+    override def dataType: DataType = child.dataType match {
+      case ArrayType(_, n) => ArrayType(StringType, containsNull = n)
+      case _ => ArrayType(StringType, containsNull = false)
+    }
     override def prettyName: String = "bpe_merge_pair"
     override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
       case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess

@@ -60,12 +60,28 @@ object TransactionalParquetSink {
     Files.write(tmp, attempt.getBytes(StandardCharsets.UTF_8),
       StandardOpenOption.CREATE_NEW, StandardOpenOption.WRITE)
     try {
-      Files.move(tmp, manifest, StandardCopyOption.ATOMIC_MOVE)
-      true
-    } catch { case _: java.nio.file.FileAlreadyExistsException =>
-      // a concurrent attempt committed first — ours is an orphan for vacuum
+      // put-if-absent, not rename: POSIX rename(2) silently REPLACES an
+      // existing target, so a lost TOCTOU race would overwrite the winning
+      // manifest and orphan its committed data. A hard link to an existing
+      // name fails atomically with FileAlreadyExistsException — the
+      // put-if-absent primitive this commit needs (object stores expose
+      // the same contract as a conditional put).
+      Files.createLink(manifest, tmp)
       Files.deleteIfExists(tmp)
-      false
+      true
+    } catch {
+      case _: java.nio.file.FileAlreadyExistsException =>
+        // a concurrent attempt committed first: drop our tmp AND our
+        // attempt directory (don't wait for vacuum), report not-committed
+        Files.deleteIfExists(tmp)
+        graft.util.Fs.deleteRecursively(Paths.get(dir, attempt))
+        false
+      case _: UnsupportedOperationException =>
+        // filesystem without hard links: ATOMIC_MOVE is the best
+        // available; its lost-race overwrite window is the documented
+        // caveat on such stores
+        Files.move(tmp, manifest, StandardCopyOption.ATOMIC_MOVE)
+        true
     }
   }
 
@@ -93,27 +109,28 @@ object TransactionalParquetSink {
   }
 
   /** Delete attempt directories no manifest points to (failed or lost-race
-    * writes). Safe any time: manifests are the source of truth. Returns
-    * the number of orphan directories removed. */
-  def vacuum(dir: String): Int = {
+    * writes). Committed data is never touched — manifests are the source
+    * of truth — but an attempt directory of an IN-FLIGHT write also has no
+    * manifest yet, so reaping is restricted to directories untouched for
+    * `olderThanMs` (default 1 h, the same retention-window discipline as
+    * any manifest-table VACUUM). Pass 0 only when no writer can be live.
+    * Returns the number of orphan directories removed. */
+  def vacuum(dir: String, olderThanMs: Long = 3600000L): Int = {
     val committed = committedAttempts(dir).toSet
     val root = Paths.get(dir)
     if (!Files.isDirectory(root)) return 0
+    val cutoff = System.currentTimeMillis() - olderThanMs
     val orphans = listDir(root)(_.filter { p =>
       val n = p.getFileName.toString
-      n.startsWith("batch-") && !committed.contains(n)
+      n.startsWith("batch-") && !committed.contains(n) &&
+        Files.getLastModifiedTime(p).toMillis <= cutoff
     }.toSeq)
-    orphans.foreach(deleteRecursively)
+    orphans.foreach(graft.util.Fs.deleteRecursively)
     orphans.size
   }
 
   private def listDir[A](p: Path)(f: Iterator[Path] => A): A = {
     val s = Files.list(p)
     try f(s.iterator().asScala) finally s.close()
-  }
-
-  private def deleteRecursively(p: Path): Unit = {
-    if (Files.isDirectory(p)) listDir(p)(_.toSeq).foreach(deleteRecursively)
-    Files.deleteIfExists(p)
   }
 }

@@ -163,7 +163,7 @@ object ParquetBackingMap {
       segs.foreach(Files.deleteIfExists(_))
       segCount.set(0)
       snapshots().dropRight(1).foreach { case (_, p) =>
-        Files.walk(p).iterator().asScala.toSeq.reverse.foreach(Files.deleteIfExists(_))
+        graft.util.Fs.deleteRecursively(p)
       }
     }
   }

@@ -106,12 +106,23 @@ object StreamRunner {
     * the checkpoint WAL replays a failed batch under the SAME batchId, and
     * the sink's manifest skips already-committed ids, so crash/restart
     * cannot duplicate output rows (the durable mirror of [[KvStoreSink]]'s
-    * epoch commit; reference contract `ICommitterTridentSpout.java:24-39`). */
+    * epoch commit; reference contract `ICommitterTridentSpout.java:24-39`).
+    *
+    * The checkpoint lives INSIDE the sink directory by default
+    * (`dir/_checkpoint`) and is what makes the manifest sound across
+    * process restarts: a fresh/temp checkpoint would renumber batches from
+    * 0 and the persistent manifest would silently swallow the new batches
+    * as replays. Override `checkpointDir` only to relocate it — never to
+    * detach the two lifecycles. */
   def persistFiles(stream: DataFrame, dir: String, queryName: String,
-                   trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+                   trigger: Trigger = Trigger.AvailableNow(),
+                   checkpointDir: String = ""): StreamingQuery =
     stream.writeStream
       .queryName(queryName)
       .outputMode("append")
+      .option("checkpointLocation",
+        if (checkpointDir.nonEmpty) checkpointDir
+        else java.nio.file.Paths.get(dir, "_checkpoint").toString)
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         graft.sources.TransactionalParquetSink.writeBatch(batch, batchId, dir)

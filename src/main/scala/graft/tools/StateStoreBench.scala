@@ -48,38 +48,15 @@ object StateStoreBench {
 
     configs.foreach { case (label, conf) =>
       conf.foreach { case (k, v) => spark.conf.set(k, v) }
-      // untimed warm run then 2 timed runs per config
+      // untimed warm run then 2 timed runs per config; Drills.storeWordCount
+      // is the SAME code path the bench records
       val times = (0 until 3).map { i =>
-        val t = once(spark, texts, reps)
+        val t = Drills.storeWordCount(spark, texts, reps)
         if (i > 0) System.err.println(f"[ssbench] $label run$i: $t%.2fs = ${nWords / t}%.0f tuples/s")
         t
       }
       System.err.println(f"[ssbench] $label best: ${times.drop(1).min}%.2fs")
     }
     spark.stop()
-  }
-
-  private def once(spark: SparkSession, texts: Seq[String], reps: Int): Double = {
-    import spark.implicits._
-    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
-    val ck = java.nio.file.Files.createTempDirectory("ssbench-ck").toString
-    val input = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[String]
-    val counts = graft.streaming.StateStoreRunner.runningCount[String, String](
-      input.toDS().flatMap(_.split(" ").iterator.filter(_.nonEmpty)), identity)
-    val q = counts.writeStream.outputMode("update")
-      .option("checkpointLocation", ck)
-      .foreachBatch { (b: org.apache.spark.sql.Dataset[(String, Long)], _: Long) =>
-        b.queryExecution.toRdd.count(); ()
-      }
-      .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime(0L))
-      .start()
-    val t0 = System.nanoTime()
-    (0 until 4).foreach { _ =>
-      input.addData(Seq.fill(reps)(texts).flatten: _*)
-      q.processAllAvailable()
-    }
-    val sec = (System.nanoTime() - t0) / 1e9
-    q.stop()
-    sec
   }
 }

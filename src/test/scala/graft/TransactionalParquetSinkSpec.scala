@@ -35,8 +35,11 @@ class TransactionalParquetSinkSpec extends AnyFunSuite {
     assert(rows == Seq((0L, "a"), (1L, "b"), (2L, "c"))) // no orphan, no replay dupes
     assert(TransactionalParquetSink.committedBatchIds(dir) == Seq(0L, 1L))
 
-    assert(TransactionalParquetSink.vacuum(dir) == 1) // reaps the crashed attempt
-    assert(TransactionalParquetSink.vacuum(dir) == 0) // idempotent
+    // default retention window protects a possibly-in-flight write...
+    assert(TransactionalParquetSink.vacuum(dir) == 0)
+    // ...retention 0 (no live writers) reaps the crashed attempt
+    assert(TransactionalParquetSink.vacuum(dir, 0) == 1)
+    assert(TransactionalParquetSink.vacuum(dir, 0) == 0) // idempotent
     // committed data untouched by vacuum
     assert(TransactionalParquetSink.read(spark, dir).count() == 3)
   }
@@ -57,6 +60,9 @@ class TransactionalParquetSinkSpec extends AnyFunSuite {
     val got = TransactionalParquetSink.read(spark, dir).as[Long].collect().sorted.toSeq
     assert(got == Seq(1L, 2L, 3L, 4L, 5L))
     assert(TransactionalParquetSink.committedBatchIds(dir).size >= 2)
+    // the checkpoint defaults INTO the sink dir: batch numbering survives a
+    // process restart, so the manifest can't swallow new batches as replays
+    assert(java.nio.file.Files.isDirectory(java.nio.file.Paths.get(dir, "_checkpoint")))
   }
 
   test("foreachBatch-style drive: a re-run query re-delivering old batches stays exactly-once") {
