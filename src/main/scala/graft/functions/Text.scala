@@ -287,4 +287,52 @@ object Text {
     * under ANSI mode (no raw multiply). */
   def fingerprintRolling(text: Column): Column =
     F.aggregate(tokens(text), F.lit(42L), (acc, w) => F.xxhash64(acc, w))
+
+  /** Bigram language-model fluency score per document — the CCNet-style
+    * "LM quality filter" stage of a training-data pipeline: docs whose
+    * word-to-word transitions are common in the corpus score high, word
+    * salad scores low (complementing [[rarityScore]], which sees only
+    * UNIGRAM frequency and cannot tell shuffled text from prose).
+    *
+    * Add-one-smoothed conditional in INTEGER parts-per-million:
+    * `ppm(w1→w2) = (c2(w1,w2) + 1) * 1e6 DIV (c1(w1) + V)` — integer
+    * arithmetic end-to-end, so per-doc sums are order-free and
+    * oracle-exact (the same no-transcendentals discipline as
+    * [[tfidfTopTerms]]; a float ln-perplexity would differ in libm
+    * rounding across engines). Returns (id, n_bigrams, lm_sum_ppm,
+    * lm_avg_ppm); docs with fewer than 2 tokens have no bigram and drop
+    * out, like sub-k-shingle docs in MinHash.
+    *
+    * Scale shape: one explode for bigrams, two map-side-combined counts
+    * (bigram, unigram), a 1-row vocab-size broadcast, and two
+    * co-partitioned joins keyed by the bigram/unigram — the vocabulary
+    * tables carry NO doc ids, so the big joins move ids+counts only.
+    * Long arithmetic holds to ~9e12 occurrences of a single bigram
+    * (c2 * 1e6 < 2^63), far past any real corpus. */
+  def bigramLmScore(df: org.apache.spark.sql.DataFrame, idCol: String,
+                    textCol: String): org.apache.spark.sql.DataFrame = {
+    val ts = tokens(F.col(textCol))
+    val n = F.size(F.col("__ts"))
+    val bi = df.select(F.col(idCol), ts.as("__ts"))
+      .select(F.col(idCol), F.explode(F.zip_with(
+        F.slice(F.col("__ts"), F.lit(1), n - 1),
+        F.slice(F.col("__ts"), F.lit(2), n - 1),
+        (a, b) => F.struct(a.as("w1"), b.as("w2")))).as("__b"))
+      .select(F.col(idCol), F.col("__b.w1").as("__w1"), F.col("__b.w2").as("__w2"))
+    val uni = df.select(F.explode(ts).as("__w1"))
+      .groupBy("__w1").agg(F.count(F.lit(1)).as("__c1"))
+    val big = bi.groupBy("__w1", "__w2").agg(F.count(F.lit(1)).as("__c2"))
+    val v = df.select(F.explode(ts).as("__w"))
+      .agg(F.countDistinct("__w").as("__v"))
+    bi.join(big, Seq("__w1", "__w2"))
+      .join(uni, Seq("__w1"))
+      .crossJoin(F.broadcast(v))
+      .select(F.col(idCol),
+        F.expr("((__c2 + 1) * 1000000) DIV (__c1 + __v)").as("__ppm"))
+      .groupBy(idCol)
+      .agg(F.count(F.lit(1)).as("n_bigrams"),
+        F.sum("__ppm").as("lm_sum_ppm"))
+      .select(F.col(idCol), F.col("n_bigrams"), F.col("lm_sum_ppm"),
+        F.expr("lm_sum_ppm DIV n_bigrams").as("lm_avg_ppm"))
+  }
 }

@@ -384,4 +384,31 @@ class FunctionsSpec extends AnyFunSuite {
     assert(resized.length == 100)
     assert(resized.forall(_ == 'a'.toByte)) // every 4th byte of "abcd"*100
   }
+
+  test("bigramLmScore matches a brute-force reference; word salad scores below prose") {
+    val docs = Seq(
+      (1L, "the cat sat on the mat"),
+      (2L, "the cat sat on the mat"),
+      (3L, "the cat sat on the mat again"),
+      (4L, "mat the on sat cat the"), // same unigrams as 1, shuffled
+      (5L, "solo"))                   // <2 tokens: no bigram, drops out
+    val got = graft.functions.Text.bigramLmScore(docs.toDF("doc_id", "text"), "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+
+    // brute force
+    val toks = docs.map { case (id, t) => id -> t.split(" ").filter(_.nonEmpty).toSeq }
+    val uni = toks.flatMap(_._2).groupBy(identity).map { case (w, ws) => w -> ws.size.toLong }
+    val bis = toks.flatMap { case (id, ws) => ws.zip(ws.drop(1)).map(id -> _) }
+    val big = bis.groupBy(_._2).map { case (p, ps) => p -> ps.size.toLong }
+    val v = uni.size.toLong
+    val want = bis.groupBy(_._1).map { case (id, ps) =>
+      val ppms = ps.map { case (_, p @ (w1, _)) => ((big(p) + 1) * 1000000L) / (uni(w1) + v) }
+      id -> ((ppms.size.toLong, ppms.sum, ppms.sum / ppms.size))
+    }
+    assert(got == want)
+    assert(!got.contains(5L))
+    // the shuffled doc shares doc 1's unigram stats (rarityScore can't
+    // separate them) but its transitions are rare → strictly lower score
+    assert(got(4L)._3 < got(1L)._3)
+  }
 }
