@@ -65,6 +65,33 @@ class TransactionalParquetSinkSpec extends AnyFunSuite {
     assert(java.nio.file.Files.isDirectory(java.nio.file.Paths.get(dir, "_checkpoint")))
   }
 
+  test("concurrent writers racing one batchId: exactly one commits (hard-link put-if-absent)") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-txsink4").toString
+    val nThreads = 6
+    val barrier = new java.util.concurrent.CyclicBarrier(nThreads)
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(nThreads)
+    try {
+      val futures = (0 until nThreads).map { i =>
+        pool.submit(new java.util.concurrent.Callable[Boolean] {
+          def call(): Boolean = {
+            val df = Seq((i.toLong, s"writer-$i")).toDF("k", "v")
+            barrier.await() // maximize the TOCTOU window past the exists() check
+            TransactionalParquetSink.writeBatch(df, 9L, dir)
+          }
+        })
+      }
+      val wins = futures.map(_.get()).count(identity)
+      assert(wins == 1, s"expected exactly one committed writer, got $wins")
+      // the committed table is exactly ONE writer's single row
+      val rows = TransactionalParquetSink.read(spark, dir).as[(Long, String)].collect()
+      assert(rows.length == 1 && rows.head._2.startsWith("writer-"))
+      assert(TransactionalParquetSink.committedBatchIds(dir) == Seq(9L))
+      // losers cleaned their own attempts: nothing left for vacuum
+      assert(TransactionalParquetSink.vacuum(dir, 0) == 0)
+    } finally pool.shutdown()
+  }
+
   test("foreachBatch-style drive: a re-run query re-delivering old batches stays exactly-once") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft-txsink2").toString
