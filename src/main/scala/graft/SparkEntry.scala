@@ -1717,16 +1717,16 @@ object SparkEntry {
          ORDER BY 1""",
     "q108_bigram_lm" ->
       """WITH ts AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x != '') AS t FROM documents),
-         bi AS (SELECT doc_id, p[1] AS w1, p[2] AS w2
+         bi AS (SELECT doc_id, p[1] AS w1, p[1] || ' ' || p[2] AS bg
                 FROM (SELECT doc_id, unnest(list_zip(t[1:len(t)-1], t[2:len(t)])) AS p FROM ts)),
          uni AS (SELECT w1, count(*) AS c1 FROM (SELECT unnest(t) AS w1 FROM ts) GROUP BY 1),
-         big AS (SELECT w1, w2, count(*) AS c2 FROM bi GROUP BY 1, 2),
+         big AS (SELECT bg, count(*) AS c2 FROM bi GROUP BY 1),
          v AS (SELECT count(DISTINCT w1) AS v FROM (SELECT unnest(t) AS w1 FROM ts))
          SELECT bi.doc_id,
            CAST(count(*) AS BIGINT) AS n_bigrams,
            CAST(sum(((big.c2 + 1) * 1000000) // (uni.c1 + v.v)) AS BIGINT) AS lm_sum_ppm,
            CAST(sum(((big.c2 + 1) * 1000000) // (uni.c1 + v.v)) // count(*) AS BIGINT) AS lm_avg_ppm
-         FROM bi JOIN big USING (w1, w2) JOIN uni USING (w1) CROSS JOIN v
+         FROM bi JOIN big USING (bg) JOIN uni USING (w1) CROSS JOIN v
          GROUP BY 1""",
     "q106_bpe_pairs" ->
       """WITH words AS (

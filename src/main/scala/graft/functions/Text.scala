@@ -312,19 +312,20 @@ object Text {
   def bigramLmScore(df: org.apache.spark.sql.DataFrame, idCol: String,
                     textCol: String): org.apache.spark.sql.DataFrame = {
     val ts = tokens(F.col(textCol))
-    val n = F.size(F.col("__ts"))
-    val bi = df.select(F.col(idCol), ts.as("__ts"))
-      .select(F.col(idCol), F.explode(F.zip_with(
-        F.slice(F.col("__ts"), F.lit(1), n - 1),
-        F.slice(F.col("__ts"), F.lit(2), n - 1),
-        (a, b) => F.struct(a.as("w1"), b.as("w2")))).as("__b"))
-      .select(F.col(idCol), F.col("__b.w1").as("__w1"), F.col("__b.w2").as("__w2"))
+    // bigrams as single "w1 w2" strings via the NATIVE shingle pass — the
+    // zip_with/struct spelling interprets its lambda per token on what is
+    // a full-corpus scan; a one-string key also joins cheaper than a
+    // two-column struct. w1 is recovered with codegen'd substring_index
+    // (tokens cannot contain the space separator).
+    val bi = df.select(F.col(idCol),
+      F.explode(Dedup.shingles(F.col(textCol), 2)).as("__bg"))
     val uni = df.select(F.explode(ts).as("__w1"))
       .groupBy("__w1").agg(F.count(F.lit(1)).as("__c1"))
-    val big = bi.groupBy("__w1", "__w2").agg(F.count(F.lit(1)).as("__c2"))
+    val big = bi.groupBy("__bg").agg(F.count(F.lit(1)).as("__c2"))
     val v = df.select(F.explode(ts).as("__w"))
       .agg(F.countDistinct("__w").as("__v"))
-    bi.join(big, Seq("__w1", "__w2"))
+    bi.join(big, Seq("__bg"))
+      .withColumn("__w1", F.substring_index(F.col("__bg"), " ", 1))
       .join(uni, Seq("__w1"))
       .crossJoin(F.broadcast(v))
       .select(F.col(idCol),
