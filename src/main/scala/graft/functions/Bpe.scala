@@ -42,17 +42,21 @@ object Bpe {
 
   /** Adjacent-pair counts over a (cnt, syms) vocabulary — the per-iteration
     * counting core (and the oracled face q106). Deterministic total order:
-    * freq desc, then (lhs, rhs) ascending. */
-  def pairCounts(vocab: DataFrame): DataFrame = {
-    val n = F.size(F.col("syms"))
+    * freq desc, then (lhs, rhs) ascending.
+    *
+    * Pairs ride the NATIVE shingle pass as "lhs rhs" strings (symbols are
+    * whitespace-split word pieces plus `</w>`, so they can never contain
+    * the space separator): an interpreted zip_with lambda here would run
+    * per symbol per vocab word PER MERGE ITERATION — at a 100M-word
+    * vocabulary that is ~1e9 interpreted evals per merge. */
+  def pairCounts(vocab: DataFrame): DataFrame =
     vocab
-      .select(F.col("cnt"), F.explode(F.zip_with(
-        F.slice(F.col("syms"), F.lit(1), n - 1),
-        F.slice(F.col("syms"), F.lit(2), n - 1),
-        (a, b) => F.struct(a.as("lhs"), b.as("rhs")))).as("p"))
-      .groupBy(F.col("p.lhs").as("lhs"), F.col("p.rhs").as("rhs"))
-      .agg(F.sum("cnt").as("freq"))
-  }
+      .select(F.col("cnt"),
+        F.explode(graft.plans.Expressions.shingleArray(F.col("syms"), 2)).as("__pg"))
+      .groupBy("__pg").agg(F.sum("cnt").as("freq"))
+      .select(F.substring_index(F.col("__pg"), " ", 1).as("lhs"),
+        F.substring_index(F.col("__pg"), " ", -1).as("rhs"),
+        F.col("freq"))
 
   /** Train `numMerges` BPE merges on `docs(textCol)`. Returns the merge
     * table (rank, lhs, rhs, freq) in learned order; stops early when no
