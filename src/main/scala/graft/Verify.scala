@@ -51,7 +51,13 @@ object Verify {
           graft.util.Fs.deleteRecursively(Paths.get(s"$outDir/$name"))
         }
       } catch { case e: Throwable =>
-        System.err.println(s"[verify] $name membership check errored: ${e.getMessage}")
+        // an erroring guard must not quietly pass rows-only (schema drift
+        // would otherwise rot this check unnoticed) — drop the dump so the
+        // driver's gate goes red and the breakage is investigated
+        System.err.println(s"[verify] $name membership check errored " +
+          s"(deleting dump): ${e.getMessage}")
+        try graft.util.Fs.deleteRecursively(Paths.get(s"$outDir/$name"))
+        catch { case _: Throwable => () }
       }
     }
     // q76 (HLL sketch) is engine-specific in its ESTIMATES but not
@@ -76,7 +82,12 @@ object Verify {
           graft.util.Fs.deleteRecursively(Paths.get(s"$outDir/$name"))
         }
       } catch { case e: Throwable =>
-        System.err.println(s"[verify] $name estimate-bound check errored: ${e.getMessage}")
+        // same loud-failure rule as the membership guard: an erroring
+        // check deletes the dump rather than quietly passing rows-only
+        System.err.println(s"[verify] $name estimate-bound check errored " +
+          s"(deleting dump): ${e.getMessage}")
+        try graft.util.Fs.deleteRecursively(Paths.get(s"$outDir/$name"))
+        catch { case _: Throwable => () }
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)

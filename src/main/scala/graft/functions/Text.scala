@@ -322,8 +322,9 @@ object Text {
     val uni = df.select(F.explode(ts).as("__w1"))
       .groupBy("__w1").agg(F.count(F.lit(1)).as("__c1"))
     val big = bi.groupBy("__bg").agg(F.count(F.lit(1)).as("__c2"))
-    val v = df.select(F.explode(ts).as("__w"))
-      .agg(F.countDistinct("__w").as("__v"))
+    // V = number of distinct unigrams = the row count of `uni` — reusing it
+    // saves a whole extra corpus explode + distinct-aggregate pass
+    val v = uni.agg(F.count(F.lit(1)).as("__v"))
     bi.join(big, Seq("__bg"))
       .withColumn("__w1", F.substring_index(F.col("__bg"), " ", 1))
       .join(uni, Seq("__w1"))
