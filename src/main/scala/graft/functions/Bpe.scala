@@ -105,4 +105,18 @@ object Bpe {
   def mergeList(merges: DataFrame): Seq[(String, String)] =
     merges.select("rank", "lhs", "rhs").collect()
       .sortBy(_.getLong(0)).map(r => (r.getString(1), r.getString(2))).toSeq
+
+  /** Merge list ↔ one string, for the SQL face (`bpe_encode(text, spec)`):
+    * one "lhs rhs" pair per line, rank order. Unambiguous because symbols
+    * are whitespace-split word pieces — they can contain neither the
+    * space separator nor a newline. */
+  def mergesToSpec(merges: Seq[(String, String)]): String =
+    merges.map { case (a, b) => s"$a $b" }.mkString("\n")
+
+  def parseMergeSpec(spec: String): Seq[(String, String)] =
+    spec.split("\n").toSeq.filter(_.nonEmpty).map { line =>
+      val i = line.indexOf(' ')
+      require(i > 0 && i < line.length - 1, s"bad merge line: '$line'")
+      (line.substring(0, i), line.substring(i + 1))
+    }
 }

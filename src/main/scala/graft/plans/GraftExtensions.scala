@@ -35,6 +35,12 @@ object GraftFunctions {
       s"$what must be an integer literal, got $other")
   }
 
+  private def litStr(e: Expression, what: String): String = e match {
+    case Literal(s: org.apache.spark.unsafe.types.UTF8String, _) => s.toString
+    case other => throw new IllegalArgumentException(
+      s"$what must be a string literal, got $other")
+  }
+
   /** Hamming distance over 64-bit signatures as a Catalyst tree
     * (`cast(bit_count(a ^ b) as bigint)`) — the shape
     * [[HammingZeroRewrite]] recognizes. */
@@ -58,6 +64,12 @@ object GraftFunctions {
     "rhp_bucket" -> (es => Expressions.RhpBucket(
       es(0), lit(es(1), "dim"), lit(es(2), "nBits"),
       if (es.length > 3) litL(es(3), "seed") else 42L)),
+    // merge spec = newline-separated "lhs rhs" lines in rank order
+    // (graft.functions.Bpe.mergesToSpec) — a string literal so the rank
+    // map builds once at plan time, not per row
+    "bpe_encode" -> (es => BpeExpressions.BpeEncode(
+      es(0), graft.functions.Bpe.parseMergeSpec(litStr(es(1), "merges")),
+      graft.functions.Bpe.EndOfWord)),
   )
 
   /** Idempotent imperative registration on a live session. */

@@ -116,6 +116,41 @@ class BpeSpec extends AnyFunSuite {
     }
   }
 
+  test("encode is lossless: tokens concatenate back to the words (+ end markers)") {
+    import spark.implicits._
+    val merges = Bpe.mergeList(Bpe.train(corpus.toDF("text"), "text", numMerges = 10))
+    val rnd = new scala.util.Random(11)
+    // whole codepoints (never lone surrogate halves): multi-byte, a
+    // surrogate-pair emoji, punctuation, quoting hazards
+    val alphabet = Vector("a", "b", "ä", "π", "😀", "х", "1", ".", ";", "|", "\\", "'", "\"")
+    val texts = Vector.fill(50) {
+      Vector.fill(rnd.nextInt(6))(
+        Vector.fill(1 + rnd.nextInt(5))(alphabet(rnd.nextInt(alphabet.size))).mkString
+      ).mkString(" \t ") // odd whitespace between words
+    } ++ corpus
+    val got = texts.toDF("text").select(Bpe.encode(F.col("text"), merges).as("t"))
+      .collect().map(_.getSeq[String](0).mkString(""))
+    val want = texts.map(_.split("\\s+").filter(_.nonEmpty)
+      .map(_ + Bpe.EndOfWord).mkString(""))
+    assert(got.toSeq == want)
+  }
+
+  test("SQL face: bpe_encode(text, spec) matches the Column face") {
+    import spark.implicits._
+    graft.plans.GraftFunctions.register(spark)
+    val merges = Bpe.mergeList(Bpe.train(corpus.toDF("text"), "text", numMerges = 8))
+    val spec = Bpe.mergesToSpec(merges)
+    assert(Bpe.parseMergeSpec(spec) == merges) // spec round-trips
+    val df = corpus.toDF("text")
+    df.createOrReplaceTempView("bpe_docs")
+    val escaped = spec.replace("\\", "\\\\").replace("'", "\\'").replace("\n", "\\n")
+    val viaSql = spark.sql(s"SELECT bpe_encode(text, '$escaped') AS t FROM bpe_docs")
+      .collect().map(_.getSeq[String](0).toSeq).toSeq
+    val viaCol = df.select(Bpe.encode(F.col("text"), merges).as("t"))
+      .collect().map(_.getSeq[String](0).toSeq).toSeq
+    assert(viaSql == viaCol)
+  }
+
   test("unicode: surrogate pairs stay whole symbols") {
     import spark.implicits._
     val docs = Seq("😀x 😀x 😀y").toDF("text")
