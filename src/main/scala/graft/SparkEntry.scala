@@ -870,6 +870,16 @@ object SparkEntry {
         .select("doc_id", "lang").orderBy("doc_id")
     }),
 
+    "q109_semantic_decontaminate" -> ((s, dir) => {
+      // embedding-space mirror of q104: eval = every 50th vector; corpus
+      // survivors have cosine < 0.35 to EVERY eval vector
+      val em = table(s, dir, "embeddings")
+      Similarity.semanticDecontaminate(
+          em.where(F.col("vec_id") % 50 =!= 0), "vec_id", "embedding",
+          em.where(F.col("vec_id") % 50 === 0), "embedding", threshold = 0.35)
+        .select("vec_id")
+    }),
+
     "q108_bigram_lm" -> ((s, dir) =>
       // CCNet-style LM fluency filter: add-one-smoothed bigram conditional
       // in integer ppm (order-free sums — oracle-exact, no libm ln)
@@ -1715,6 +1725,15 @@ object SparkEntry {
             OR (lang = 'de' AND ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 1000000 < ppm_de)
             OR (lang = 'fr' AND ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 1000000 < ppm_fr)
          ORDER BY 1""",
+    "q109_semantic_decontaminate" ->
+      """WITH ev AS (SELECT embedding::DOUBLE[] AS ev FROM embeddings WHERE vec_id % 50 = 0),
+         hits AS (SELECT DISTINCT c.vec_id
+           FROM (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id % 50 <> 0) c
+           CROSS JOIN ev
+           WHERE list_dot_product(c.v, ev.ev) /
+             (sqrt(list_dot_product(c.v, c.v)) * sqrt(list_dot_product(ev.ev, ev.ev))) >= 0.35)
+         SELECT vec_id FROM embeddings
+         WHERE vec_id % 50 <> 0 AND vec_id NOT IN (SELECT vec_id FROM hits)""",
     "q108_bigram_lm" ->
       """WITH ts AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x != '') AS t FROM documents),
          bi AS (SELECT doc_id, p[1] AS w1, p[1] || ' ' || p[2] AS bg

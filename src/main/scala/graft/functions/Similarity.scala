@@ -216,4 +216,27 @@ object Similarity {
           F.lit(0L), (acc, x) => acc + x))
       .select(idCol, "max_abs", "scale", "q_sum")
   }
+
+  /** SEMANTIC decontamination — the embedding-space mirror of
+    * [[Dedup.decontaminate]]'s n-gram form: drop corpus rows whose cosine
+    * to ANY eval-set vector reaches `threshold` (paraphrased benchmark
+    * leakage that exact n-grams cannot catch).
+    *
+    * Scale shape mirrors the n-gram form exactly: the eval set is
+    * broadcast (small by definition), the cosine runs in the corpus scan
+    * stage via the codegen'd [[cosine]] expression, and only contaminated
+    * IDS shuffle for the distinct + anti-join — corpus embeddings never
+    * leave their scan. For eval sets past broadcast size, pre-bucket both
+    * sides with [[rhpBucket]] and intersect buckets first (the LSH
+    * candidate path), then apply this check to candidates only. */
+  def semanticDecontaminate(corpus: DataFrame, idCol: String, embCol: String,
+                            evalSet: DataFrame, evalEmbCol: String,
+                            threshold: Double): DataFrame = {
+    val contaminated = corpus
+      .select(F.col(idCol), F.col(embCol))
+      .crossJoin(F.broadcast(evalSet.select(F.col(evalEmbCol).as("__ev"))))
+      .where(cosine(F.col(embCol), F.col("__ev")) >= threshold)
+      .select(idCol).distinct()
+    corpus.join(contaminated, Seq(idCol), "left_anti")
+  }
 }
