@@ -114,7 +114,10 @@ object Bpe {
     merges.map { case (a, b) => s"$a $b" }.mkString("\n")
 
   def parseMergeSpec(spec: String): Seq[(String, String)] =
-    spec.split("\n").toSeq.filter(_.nonEmpty).map { line =>
+    // CRLF-tolerant: a Windows-edited spec would otherwise leave "\r" on
+    // every rhs — rank lookups silently never match and encoding degrades
+    // to character tokens with no diagnostic
+    spec.split("\r?\n").toSeq.filter(_.nonEmpty).map { line =>
       val i = line.indexOf(' ')
       require(i > 0 && i < line.length - 1, s"bad merge line: '$line'")
       (line.substring(0, i), line.substring(i + 1))

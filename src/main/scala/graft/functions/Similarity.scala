@@ -222,21 +222,20 @@ object Similarity {
     * to ANY eval-set vector reaches `threshold` (paraphrased benchmark
     * leakage that exact n-grams cannot catch).
     *
-    * Scale shape mirrors the n-gram form exactly: the eval set is
-    * broadcast (small by definition), the cosine runs in the corpus scan
-    * stage via the codegen'd [[cosine]] expression, and only contaminated
-    * IDS shuffle for the distinct + anti-join — corpus embeddings never
-    * leave their scan. For eval sets past broadcast size, pre-bucket both
-    * sides with [[rhpBucket]] and intersect buckets first (the LSH
-    * candidate path), then apply this check to candidates only. */
+    * Scale shape mirrors the n-gram form: the eval set is broadcast
+    * (small by definition) and the whole operator is ONE anti-join whose
+    * condition is the codegen'd [[cosine]] expression — zero exchanges,
+    * corpus rows never leave their scan stage. For eval sets past
+    * broadcast size, pre-bucket both sides with [[rhpBucket]] and
+    * intersect buckets first (the LSH candidate path), then apply this
+    * check to candidates only. */
   def semanticDecontaminate(corpus: DataFrame, idCol: String, embCol: String,
                             evalSet: DataFrame, evalEmbCol: String,
-                            threshold: Double): DataFrame = {
-    val contaminated = corpus
-      .select(F.col(idCol), F.col(embCol))
-      .crossJoin(F.broadcast(evalSet.select(F.col(evalEmbCol).as("__ev"))))
-      .where(cosine(F.col(embCol), F.col("__ev")) >= threshold)
-      .select(idCol).distinct()
-    corpus.join(contaminated, Seq(idCol), "left_anti")
-  }
+                            threshold: Double): DataFrame =
+    // ONE broadcast anti-join with the cosine as its condition: zero
+    // exchanges, single corpus pass (a contaminated-ids distinct +
+    // second join would shuffle ids and rescan for nothing — ids are
+    // unique per row here)
+    corpus.join(F.broadcast(evalSet.select(F.col(evalEmbCol).as("__ev"))),
+      cosine(F.col(embCol), F.col("__ev")) >= threshold, "left_anti")
 }
