@@ -1730,8 +1730,10 @@ object SparkEntry {
          hits AS (SELECT DISTINCT c.vec_id
            FROM (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id % 50 <> 0) c
            CROSS JOIN ev
-           WHERE list_dot_product(c.v, ev.ev) /
-             (sqrt(list_dot_product(c.v, c.v)) * sqrt(list_dot_product(ev.ev, ev.ev))) >= 0.35)
+           WHERE NOT isnan(list_dot_product(c.v, ev.ev) /
+               (sqrt(list_dot_product(c.v, c.v)) * sqrt(list_dot_product(ev.ev, ev.ev))))
+             AND list_dot_product(c.v, ev.ev) /
+               (sqrt(list_dot_product(c.v, c.v)) * sqrt(list_dot_product(ev.ev, ev.ev))) >= 0.35)
          SELECT vec_id FROM embeddings
          WHERE vec_id % 50 <> 0 AND vec_id NOT IN (SELECT vec_id FROM hits)""",
     "q108_bigram_lm" ->

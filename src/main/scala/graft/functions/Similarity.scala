@@ -228,14 +228,23 @@ object Similarity {
     * corpus rows never leave their scan stage. For eval sets past
     * broadcast size, pre-bucket both sides with [[rhpBucket]] and
     * intersect buckets first (the LSH candidate path), then apply this
-    * check to candidates only. */
+    * check to candidates only.
+    *
+    * Degenerate embeddings: a zero-norm vector's cosine is NaN, and BOTH
+    * Spark and DuckDB order NaN above every finite threshold — without a
+    * guard such a row silently counts as contaminated by everything. The
+    * condition excludes NaN explicitly: undefined similarity is NOT
+    * contamination (filter degenerate embeddings upstream if they should
+    * be dropped). */
   def semanticDecontaminate(corpus: DataFrame, idCol: String, embCol: String,
                             evalSet: DataFrame, evalEmbCol: String,
-                            threshold: Double): DataFrame =
+                            threshold: Double): DataFrame = {
     // ONE broadcast anti-join with the cosine as its condition: zero
     // exchanges, single corpus pass (a contaminated-ids distinct +
     // second join would shuffle ids and rescan for nothing — ids are
     // unique per row here)
+    val sim = cosine(F.col(embCol), F.col("__ev"))
     corpus.join(F.broadcast(evalSet.select(F.col(evalEmbCol).as("__ev"))),
-      cosine(F.col(embCol), F.col("__ev")) >= threshold, "left_anti")
+      !F.isnan(sim) && sim >= threshold, "left_anti")
+  }
 }

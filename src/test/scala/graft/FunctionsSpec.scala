@@ -385,6 +385,21 @@ class FunctionsSpec extends AnyFunSuite {
     assert(resized.forall(_ == 'a'.toByte)) // every 4th byte of "abcd"*100
   }
 
+  test("semanticDecontaminate: near-dup of an eval vector drops; zero-norm cosine (NaN) never matches") {
+    import graft.functions.Similarity
+    val corpus = Seq(
+      (1L, Array(1.0f, 0.0f)),   // identical to eval vector → dropped
+      (2L, Array(0.9f, 0.1f)),   // cosine ~0.994 → dropped
+      (3L, Array(0.0f, 1.0f)),   // orthogonal → survives
+      (4L, Array(0.0f, 0.0f)))   // zero norm: cosine NaN → survives, no crash
+      .toDF("vec_id", "embedding")
+    val eval_ = Seq((100L, Array(1.0f, 0.0f))).toDF("vec_id", "embedding")
+    val survivors = Similarity.semanticDecontaminate(
+        corpus, "vec_id", "embedding", eval_, "embedding", threshold = 0.9)
+      .select("vec_id").as[Long].collect().sorted.toSeq
+    assert(survivors == Seq(3L, 4L))
+  }
+
   test("bigramLmScore matches a brute-force reference; word salad scores below prose") {
     val docs = Seq(
       (1L, "the cat sat on the mat"),
