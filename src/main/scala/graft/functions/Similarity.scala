@@ -71,12 +71,25 @@ object Similarity {
     * path (seed centroids = first k vectors by id; each iteration is one
     * distributed pass: assign via [[ivfAssign]], re-center with an
     * elementwise mean — `posexplode` + groupBy(cell, dim), never collecting
-    * vectors). Returns (cell, centroid array<double>). */
+    * vectors). Returns (cell, centroid array<double>).
+    *
+    * Each iteration's centroid table is CUT from its lineage (eager
+    * checkpoint of k rows) and the previous iteration's blocks released —
+    * the same discipline as [[Dedup.duplicateClusters]] and `Bpe.train`.
+    * Without the cut, `cents = recentered` re-nests the full
+    * assign+recenter plan every iteration: analysis/optimization cost
+    * balloons and lineage depth grows unboundedly — the wrong shape for
+    * the tens-of-iterations IVF build this is documented as. Set
+    * `reliableCheckpoint = true` on a real cluster (localCheckpoint dies
+    * with an executor; k-row checkpoints are cheap either way). */
   def kmeansCentroids(embeddings: DataFrame, embCol: String, idCol: String,
-                      k: Int, iters: Int): DataFrame = {
-    var cents = embeddings.orderBy(F.col(idCol)).limit(k)
+                      k: Int, iters: Int,
+                      reliableCheckpoint: Boolean = false): DataFrame = {
+    def cut(df: DataFrame): DataFrame =
+      if (reliableCheckpoint) df.checkpoint(true) else df.localCheckpoint(true)
+    var cents = cut(embeddings.orderBy(F.col(idCol)).limit(k)
       .select(F.col(idCol).as("cell"),
-        F.transform(F.col(embCol), x => x.cast("double")).as("cvec"))
+        F.transform(F.col(embCol), x => x.cast("double")).as("cvec")))
     var i = 0
     while (i < iters) {
       val assigned = ivfAssign(embeddings, embCol, idCol, cents, "cell", "cvec")
@@ -90,7 +103,11 @@ object Similarity {
         .agg(F.array_sort(F.collect_list(F.struct(F.col("dim"), F.col("mean")))).as("pairs"))
         .select(F.col("cell"),
           F.transform(F.col("pairs"), p => p.getField("mean")).as("cvec"))
-      cents = recentered
+      val prev = cents
+      cents = cut(recentered)
+      // the new cut is materialized (eager): the previous iteration's
+      // cached blocks are dead — release them
+      prev.unpersist(blocking = false)
       i += 1
     }
     cents

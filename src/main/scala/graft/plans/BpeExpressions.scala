@@ -91,15 +91,23 @@ object BpeExpressions {
     }
     private lazy val eowU = UTF8String.fromString(endOfWord)
 
+    // EXACTLY the regex \s class Bpe.vocabulary splits on at train time
+    // ([ \t\n\x0B\f\r], ASCII-only). Character.isWhitespace would also split
+    // on Unicode separators (u2028, u2003, u001C-u001F) that training
+    // treats as word characters - merges learned over such "words" would
+    // then never apply and segmentation would diverge from training.
+    private def isSplitWs(c: Char): Boolean =
+      c == ' ' || c == '\t' || c == '\n' || c == '\u000B' || c == '\f' || c == '\r'
+
     override def nullSafeEval(input: Any): Any = {
       val text = input.asInstanceOf[UTF8String].toString
       val out = scala.collection.mutable.ArrayBuffer.empty[Any]
       var start = 0
       val len = text.length
       while (start < len) {
-        while (start < len && Character.isWhitespace(text.charAt(start))) start += 1
+        while (start < len && isSplitWs(text.charAt(start))) start += 1
         var end = start
-        while (end < len && !Character.isWhitespace(text.charAt(end))) end += 1
+        while (end < len && !isSplitWs(text.charAt(end))) end += 1
         if (end > start) segmentWord(text, start, end, out)
         start = end
       }

@@ -78,19 +78,44 @@ object TransactionalParquetSink {
         false
       case _: UnsupportedOperationException =>
         // filesystem without hard links: ATOMIC_MOVE is the best
-        // available; its lost-race overwrite window is the documented
-        // caveat on such stores
+        // available primitive, but POSIX rename silently REPLACES an
+        // existing target — a lost race would overwrite the winner's
+        // manifest with ours while both callers believe they committed.
+        // Re-reading the manifest after the move detects that: if it
+        // names another attempt, a concurrent writer moved after us and
+        // we must treat THIS call as lost (their data is the committed
+        // one; ours would be orphaned either way).
         Files.move(tmp, manifest, StandardCopyOption.ATOMIC_MOVE)
-        true
+        val winner =
+          new String(Files.readAllBytes(manifest), StandardCharsets.UTF_8).trim
+        if (winner == attempt) true
+        else {
+          graft.util.Fs.deleteRecursively(Paths.get(dir, attempt))
+          false
+        }
     }
   }
 
   /** The committed table: exactly the manifested batches, whatever orphan
-    * attempt directories crashed writes left behind. */
-  def read(spark: SparkSession, dir: String): DataFrame = {
+    * attempt directories crashed writes left behind.
+    *
+    * PRECONDITION (no-schema overload): at least one committed batch —
+    * parquet cannot infer a schema from zero files. A consumer that may
+    * poll before the first commit should either check
+    * [[committedBatchIds]] first or pass `emptySchema` to get an empty
+    * table for the not-yet-committed state. */
+  def read(spark: SparkSession, dir: String): DataFrame =
+    read(spark, dir, emptySchema = None)
+
+  def read(spark: SparkSession, dir: String,
+           emptySchema: Option[org.apache.spark.sql.types.StructType]): DataFrame = {
     val dirs = committedAttempts(dir).map(a => Paths.get(dir, a).toString)
-    require(dirs.nonEmpty, s"no committed batches under $dir")
-    spark.read.parquet(dirs: _*)
+    if (dirs.isEmpty) emptySchema match {
+      case Some(schema) =>
+        spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+      case None => throw new IllegalStateException(
+        s"no committed batches under $dir (check committedBatchIds, or pass emptySchema)")
+    } else spark.read.parquet(dirs: _*)
   }
 
   def committedBatchIds(dir: String): Seq[Long] = {

@@ -47,15 +47,21 @@ object StateStoreBench {
         "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled" -> "false")))
 
     configs.foreach { case (label, conf) =>
-      conf.foreach { case (k, v) => spark.conf.set(k, v) }
-      // untimed warm run then 2 timed runs per config; Drills.storeWordCount
-      // is the SAME code path the bench records
-      val times = (0 until 3).map { i =>
-        val t = Drills.storeWordCount(spark, texts, reps)
-        if (i > 0) System.err.println(f"[ssbench] $label run$i: $t%.2fs = ${nWords / t}%.0f tuples/s")
-        t
+      // a transient failure in one config (including its warm run) must not
+      // abort the others — the tool exists to produce the comparison
+      try {
+        conf.foreach { case (k, v) => spark.conf.set(k, v) }
+        // untimed warm run then 2 timed runs per config; Drills.storeWordCount
+        // is the SAME code path the bench records
+        val times = (0 until 3).map { i =>
+          val t = Drills.storeWordCount(spark, texts, reps)
+          if (i > 0) System.err.println(f"[ssbench] $label run$i: $t%.2fs = ${nWords / t}%.0f tuples/s")
+          t
+        }
+        System.err.println(f"[ssbench] $label best: ${times.drop(1).min}%.2fs")
+      } catch { case e: Throwable =>
+        System.err.println(s"[ssbench] $label failed: ${e.getMessage}")
       }
-      System.err.println(f"[ssbench] $label best: ${times.drop(1).min}%.2fs")
     }
     spark.stop()
   }

@@ -239,6 +239,20 @@ class FunctionsSpec extends AnyFunSuite {
     assert(hits.subsetOf((0L until 20L by 2).toSet))
   }
 
+  test("kmeans centroid lineage stays flat across iterations (per-iteration cut)") {
+    val vecs = (0 until 20).map { i =>
+      if (i % 2 == 0) (i.toLong, Array(1.0f + i * 0.01f, 0.1f + i * 0.002f, 0.0f))
+      else (i.toLong, Array(0.1f + i * 0.002f, 1.0f + i * 0.01f, 0.0f))
+    }.toDF("vec_id", "embedding")
+    def treeSize(iters: Int): Int =
+      Similarity.kmeansCentroids(vecs, "embedding", "vec_id", k = 2, iters = iters)
+        .queryExecution.analyzed.collect { case p => p }.size
+    // without the cut the analyzed plan grows by the whole assign+recenter
+    // subtree per iteration; with it, 25 iterations end at the SAME
+    // checkpoint-scan-rooted plan as 2
+    assert(treeSize(25) == treeSize(2))
+  }
+
   test("multimodal plumbing: payload meta, frame offsets, stubbed decode") {
     val df = Seq((1L, "abcd" * 100)).toDF("doc_id", "text")
       .select($"doc_id", Multimodal.fakePayload($"text").as("payload"))
