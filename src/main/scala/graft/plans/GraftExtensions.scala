@@ -70,6 +70,40 @@ object GraftFunctions {
     "bpe_encode" -> (es => BpeExpressions.BpeEncode(
       es(0), graft.functions.Bpe.parseMergeSpec(litStr(es(1), "merges")),
       graft.functions.Bpe.EndOfWord)),
+    // Column-tier helpers surfaced as raw Catalyst trees (the Spark 4
+    // Column→Expression bridge yields an unevaluable ColumnNodeExpression
+    // in registry context, so these builders construct the same trees the
+    // Column formulations produce). Parity with Text.tokens /
+    // Dedup.minhash / Temporal.hoppingWindows is pinned by SqlSurfaceSpec.
+    "tokens" -> (es => ArrayRemove(
+      StringSplit(es(0), Literal("\\Q \\E"), Literal(-1)), Literal(""))),
+    "minhash" -> { es =>
+      val seed = lit(es(1), "seed")
+      val s = UnresolvedNamedLambdaVariable(Seq("s"))
+      ArrayMin(ArrayTransform(es(0), LambdaFunction(
+        Md5(Cast(Concat(Seq(Literal(s"$seed|"), s)), org.apache.spark.sql.types.BinaryType)),
+        Seq(s))))
+    },
+    // temporal window keys over raw long ticks (the engine's ns-epoch
+    // convention; Spark's own window()/session_window want TimestampType):
+    // tumbling_window = the window start `ts` falls in; hopping_windows =
+    // ALL starts covering `ts` (explode it, then groupBy — exactly
+    // Temporal.hoppingWindows' per-row expansion); session_window-style
+    // gap sessions need cross-row state and stay DataFrame-tier
+    // (Temporal.sessionize / sessionizeStream)
+    "tumbling_window" -> { es =>
+      val t = Cast(es(0), LongType)
+      Subtract(t, Pmod(t, Literal(litL(es(1), "sizeTicks"))))
+    },
+    "hopping_windows" -> { es =>
+      val size = litL(es(1), "sizeTicks")
+      val slide = litL(es(2), "slideTicks")
+      require(size % slide == 0, "sizeTicks must be a multiple of slideTicks")
+      val t = Cast(es(0), LongType)
+      val anchor = Subtract(t, Pmod(t, Literal(slide)))
+      Sequence(Add(Subtract(anchor, Literal(size)), Literal(slide)), anchor,
+        Some(Literal(slide)), None)
+    },
   )
 
   /** Idempotent imperative registration on a live session. */

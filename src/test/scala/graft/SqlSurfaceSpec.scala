@@ -46,6 +46,46 @@ class SqlSurfaceSpec extends AnyFunSuite {
     assert(viaSql == viaCol)
   }
 
+  test("Column-tier SQL faces: tokens, minhash, tumbling/hopping windows") {
+    import org.apache.spark.sql.{functions => F}
+    val docs = Seq((1L, "the cat sat on the mat")).toDF("id", "text")
+    docs.createOrReplaceTempView("sqlsurface_docs")
+
+    val tok = spark.sql("SELECT tokens(text) AS t FROM sqlsurface_docs")
+      .head().getSeq[String](0)
+    assert(tok == Seq("the", "cat", "sat", "on", "the", "mat"))
+
+    // minhash SQL face == the Column formulation, seed-sensitive
+    val viaSql = spark.sql(
+      "SELECT minhash(shingles(tokens(text), 2), 7) AS mh FROM sqlsurface_docs")
+      .head().getString(0)
+    val viaCol = docs.select(
+      graft.functions.Dedup.minhash(graft.functions.Dedup.shingles($"text", 2), 7))
+      .head().getString(0)
+    assert(viaSql == viaCol)
+    val otherSeed = spark.sql(
+      "SELECT minhash(shingles(tokens(text), 2), 8) AS mh FROM sqlsurface_docs")
+      .head().getString(0)
+    assert(viaSql != otherSeed)
+
+    val w = spark.sql(
+      """SELECT tumbling_window(3605L, 3600) AS tw,
+                hopping_windows(3605L, 3600, 1800) AS hw""").head()
+    assert(w.getLong(0) == 3600L)
+    assert(w.getSeq[Long](1) == Seq(1800L, 3600L)) // both covering hops
+
+    // hopping_windows SQL face agrees with Temporal.hoppingWindows
+    val ev = Seq((1L, 3605L), (2L, 7205L)).toDF("id", "ts")
+    ev.createOrReplaceTempView("sqlsurface_ev")
+    val viaFn = graft.functions.Temporal.hoppingWindows(ev, "ts", 3600L, 1800L)
+      .select("id", "win_start").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val viaSql2 = spark.sql(
+      """SELECT id, explode(hopping_windows(ts, 3600, 1800)) AS win_start
+         FROM sqlsurface_ev""")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(viaFn == viaSql2)
+  }
+
   test("native TopKPerKey operator: matches window form, partial-reduces before the shuffle") {
     import org.apache.spark.sql.{functions => F}
     import org.apache.spark.sql.expressions.Window
