@@ -91,13 +91,17 @@ object Bench {
     // their own key for round-over-round state-tier comparison.
     val streaming = Seq(streamingWordCount(spark, sfDir),
       streamingWordCountDurable(spark, sfDir),
-      streamingWordCountStore(spark, sfDir))
+      streamingWordCountStore(spark, sfDir),
+      continuousLatency(spark))
     // ms precision keeps the JSON line short enough for the driver's parser
     // (r4/r5 artifacts were tail-truncated -> "parsed": null)
     def ms(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
     val qs = results.map { case (k, v) => "\"" + k + "\":" + ms(v) }
       .mkString("{", ",", "}")
-    val st = streaming.map { case (k, v) => "\"" + k + "\":" + ms(v) }
+    // streaming entries keep µs precision: the continuous-latency value is
+    // sub-millisecond and would truncate to 0.000 at ms precision
+    def us(v: Double): String = "%.6f".formatLocal(java.util.Locale.ROOT, v)
+    val st = streaming.map { case (k, v) => "\"" + k + "\":" + us(v) }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
     val warmNote =
@@ -183,6 +187,54 @@ object Bench {
     } catch { case e: Throwable =>
       System.err.println(s"[bench] $label failed: ${e.getMessage}")
       label -> -1.0
+    }
+  }
+
+  /** Continuous-tier per-tuple latency: a `Trigger.Continuous` rate-source
+    * pipeline (the engine's per-tuple low-latency mode, ContinuousRunner's
+    * stateless subset) stamping each row with a per-row wall clock as it
+    * passes the projection. Recorded value = MEAN scheduled-to-processed
+    * latency in SECONDS (with ms-resolution clocks the mean is the only
+    * stat that resolves sub-ms; p50/p99/max go to stderr) — the
+    * reference's per-tuple executor-loop latency analog, comparable
+    * round-over-round. */
+  private def continuousLatency(spark: SparkSession): (String, Double) = {
+    import org.apache.spark.sql.{functions => F}
+    val label = "continuous_latency_mean"
+    val ck = java.nio.file.Files.createTempDirectory("bench-cont").toString
+    try {
+      val nowMs = F.udf(() => System.currentTimeMillis()).asNondeterministic()
+      val q = graft.streaming.ContinuousRunner.runRate(spark,
+        rowsPerSecond = 2000, numPartitions = 4,
+        queryName = "bench_cont", checkpointDir = ck, epochMs = 1000L) { src =>
+        src.select(F.col("timestamp"), nowMs().as("proc_ms"))
+      }
+      try {
+        Thread.sleep(6000L)
+        // skip the ramp-up second (task start + first-epoch scheduling)
+        val t = spark.table("bench_cont")
+          .select(F.col("timestamp").cast("double").as("gen_s"), F.col("proc_ms"))
+        val cut = t.agg(F.min("gen_s")).head().getDouble(0) + 2.0
+        val lat = t.where(F.col("gen_s") >= cut)
+          .select((F.col("proc_ms") - F.col("gen_s") * 1000.0).as("lat_ms"))
+        val r = lat.agg(
+          F.count(F.lit(1)).as("n"),
+          F.avg(F.col("lat_ms")).as("mean"),
+          F.percentile(F.col("lat_ms"), F.lit(0.5)).as("p50"),
+          F.percentile(F.col("lat_ms"), F.lit(0.99)).as("p99"),
+          F.max("lat_ms").as("mx")).head()
+        val (n, mean, p50, p99, mx) =
+          (r.getLong(0), r.getDouble(1), r.getDouble(2), r.getDouble(3), r.getDouble(4))
+        System.err.println(
+          f"[bench] $label: $n tuples, mean $mean%.3fms p50 $p50%.1fms p99 $p99%.1fms max $mx%.1fms")
+        label -> mean / 1000.0
+      } finally q.stop()
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] $label failed: ${e.getMessage}")
+      label -> -1.0
+    } finally {
+      try graft.util.Fs.deleteRecursively(java.nio.file.Paths.get(ck))
+      catch { case _: Throwable => () }
     }
   }
 

@@ -116,6 +116,37 @@ class BpeSpec extends AnyFunSuite {
     }
   }
 
+  test("batched merges (maxMergesPerRound > 1) reproduce sequential order exactly") {
+    import spark.implicits._
+    // fixture corpus: the top pairs are both disjoint (batchable rounds)
+    // and conflicting (fallback rounds) at different stages
+    val docs = corpus.toDF("text")
+    val seq12 = Bpe.train(docs, "text", numMerges = 12)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3))).toSeq
+    Seq(2, 4, 8).foreach { m =>
+      val rounds = new java.util.concurrent.atomic.AtomicInteger(0)
+      val bat = Bpe.train(docs, "text", numMerges = 12, maxMergesPerRound = m,
+          roundCounter = rounds)
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3))).toSeq
+      assert(bat == seq12, s"maxMergesPerRound=$m diverged")
+      // the batch path must actually batch on this fixture — a permanent
+      // fallback-to-1 would make this test vacuous
+      assert(rounds.get() < seq12.length,
+        s"maxMergesPerRound=$m never batched (${rounds.get()} rounds for ${seq12.length} merges)")
+    }
+    // random corpora: batched == brute-force sequential reference
+    val rnd = new scala.util.Random(13)
+    (1 to 3).foreach { _ =>
+      val words = Vector.fill(30)(Vector.fill(1 + rnd.nextInt(6))(
+        ('a' + rnd.nextInt(4)).toChar).mkString)
+      val rdocs = Vector.fill(40)(Vector.fill(1 + rnd.nextInt(8))(
+        words(rnd.nextInt(words.size))).mkString(" "))
+      val got = Bpe.mergeList(Bpe.train(rdocs.toDF("text"), "text",
+        numMerges = 10, maxMergesPerRound = 4))
+      assert(got == refTrain(rdocs, 10).map(m => (m._1, m._2)))
+    }
+  }
+
   test("encode is lossless: tokens concatenate back to the words (+ end markers)") {
     import spark.implicits._
     val merges = Bpe.mergeList(Bpe.train(corpus.toDF("text"), "text", numMerges = 10))

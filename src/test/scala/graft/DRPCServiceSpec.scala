@@ -205,4 +205,73 @@ class DRPCServiceSpec extends AnyFunSuite {
       MemoryBackingMap.clear("drpc-golden")
     }
   }
+
+  test("DRPC over a LIVE streaming query's state store: snapshot-consistent mid-stream reads") {
+    // The reference's stateQuery against a running topology's store, with
+    // beginCommit/commit isolation: a DRPC read sees the last COMMITTED
+    // batch, never a half-applied one. Here the topology is a running
+    // transformWithState word count; the DRPC function reads its store
+    // through the state data source at the checkpoint's last commit.
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val ck = java.nio.file.Files.createTempDirectory("drpc-live-ck").toString
+    val input = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[String]
+    val counts = graft.streaming.StateStoreRunner.runningCount[String, String](
+      input.toDS().flatMap(_.split(" ").iterator.filter(_.nonEmpty)), identity)
+    val q = counts.writeStream.outputMode("update")
+      .option("checkpointLocation", ck)
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[(String, Long)], _: Long) =>
+        b.queryExecution.toRdd.count(); ()
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime(0L))
+      .start()
+    val drpc = new LocalDRPC(spark)
+    // args = space-separated words → [word, count] per word, counts-at-commit
+    graft.drpc.LiveStateDrpc.registerStateQuery(drpc, spark, "wc_live", ck, "agg") {
+      (state, args) =>
+        val asked = spark.createDataset(args.split(" ").toSeq).toDF("word")
+        asked.join(
+          state.select(F.col("key.value").as("word"), F.col("value.value").as("cnt")),
+          Seq("word"), "left")
+          .select(F.col("word"), F.coalesce(F.col("cnt"), F.lit(0L)).as("cnt"))
+          .orderBy("word")
+    }
+    val svc = new DRPCService(drpc, requestTimeoutMs = 30000L).start(workers = 2)
+    val port = svc.startHttp()
+    def post(fn: String, body: String): (Int, String) = {
+      val conn = new java.net.URL(s"http://127.0.0.1:$port/drpc/$fn")
+        .openConnection().asInstanceOf[java.net.HttpURLConnection]
+      conn.setRequestMethod("POST"); conn.setDoOutput(true)
+      conn.getOutputStream.write(body.getBytes("UTF-8"))
+      val code = conn.getResponseCode
+      val is = if (code >= 400) conn.getErrorStream else conn.getInputStream
+      val out = new String(is.readAllBytes(), "UTF-8")
+      (code, out)
+    }
+    try {
+      input.addData("the man the moon")
+      q.processAllAvailable()
+      assert(q.isActive)
+      // mid-stream read: batch-0 state exactly (the=2, man=1, absent=0)
+      assert(post("wc_live", "the man nope") ==
+        ((200, "[[\"man\",1],[\"nope\",0],[\"the\",2]]")))
+      // next commit becomes visible atomically
+      input.addData("the sun")
+      q.processAllAvailable()
+      assert(q.isActive)
+      assert(post("wc_live", "the sun man") ==
+        ((200, "[[\"man\",1],[\"sun\",1],[\"the\",3]]")))
+    } finally {
+      svc.stop()
+      q.stop()
+      prev match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+      graft.util.Fs.deleteRecursively(java.nio.file.Paths.get(ck))
+    }
+  }
 }
