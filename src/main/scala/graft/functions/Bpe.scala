@@ -69,12 +69,17 @@ object Bpe {
     * top pairs in one vocabulary pass, amortizing the per-merge shuffle.
     * The merge TABLE is guaranteed identical to sequential order (BpeSpec
     * pins it): a round's batch is the maximal descending-frequency PREFIX
-    * of candidates that is pairwise symbol-disjoint, and it is accepted
-    * only if a validation probe over the full pair table shows
-    *  (a) every non-batch pair touching a batch symbol or a concatenated
-    *      symbol has freq strictly below the last batch member's — new
-    *      pairs created by a merge are frequency-bounded by old touching
-    *      pairs, so none can outrank a later batch member; and
+    * of candidates with no CROSS-side symbol sharing (rhs of one = lhs of
+    * another — the only sharing that lets occurrences overlap; same-side
+    * sharing is harmless) and no concat collisions, accepted only if a
+    * validation probe over the full pair table shows
+    *  (a) every non-batch pair CHAIN-ADJACENT to a batch pair (lhs in the
+    *      batch's rhs set, or rhs in its lhs set) has freq strictly below
+    *      the last batch member's — every NEW pair identity a merge can
+    *      create is frequency-bounded by such a pair, so none can outrank
+    *      a later batch member (old pairs need no freq check: the prefix
+    *      ordering already sorts them after the batch, and they can only
+    *      lose occurrences); and
     *  (b) no existing pair involves a concatenated symbol (a pre-existing
     *      `lhs+rhs` symbol elsewhere in the vocabulary could GAIN
     *      occurrences from the merge and overtake).
@@ -97,46 +102,88 @@ object Bpe {
     while (rank < numMerges && !exhausted) {
       if (roundCounter != null) roundCounter.incrementAndGet()
       val want = math.min(maxMergesPerRound, numMerges - rank)
-      // collect enough candidates to fill a batch after disjointness skips;
-      // the k-th row's freq is the cutoff below which UNCOLLECTED pairs may
-      // hide (a batch member must stay strictly above it)
+      // collect enough candidates to fill a batch after conflict stops.
+      // No frequency cutoff vs uncollected pairs is needed: they sort
+      // after every collected row, hence after the whole batch prefix, and
+      // old pairs only lose occurrences to batch merges; the new-pair
+      // bound is probed over the FULL table below.
       val k = if (want <= 1) 1 else math.min(want * 4 + 8, 256)
       val pc = pairCounts(vocab)
       val top = pc.orderBy(F.col("freq").desc, F.col("lhs"), F.col("rhs"))
         .limit(k).collect()
       if (top.isEmpty || top(0).getLong(2) < minPairCount) exhausted = true
       else {
-        val fCut = if (top.length == k) top.last.getLong(2) else -1L
-        // greedy disjoint prefix (stop at the first conflict — skipping
-        // would break the prefix ordering the equivalence proof needs)
+        // greedy conflict-free prefix (stop at the first conflict — skipping
+        // would break the prefix ordering the equivalence proof needs).
+        // Conflict = CROSS-side symbol sharing only: merging (a,b) can
+        // destroy or create an occurrence of (c,d) only through chain
+        // overlap ("c d=a b" needs d==a; "a b=c d" needs b==c) or through
+        // the new `ab` symbol. Same-side sharing (a==c or b==d) cannot put
+        // two occurrences on overlapping positions — on natural text the
+        // top pairs overwhelmingly share the end-of-word rhs, so requiring
+        // full disjointness would almost never batch.
         val batch = Vector.newBuilder[(String, String, Long)]
-        val acc = scala.collection.mutable.HashSet.empty[String]
+        val acc = scala.collection.mutable.HashSet.empty[String]     // all batch symbols + concats (probe filter)
+        val lhsAcc = scala.collection.mutable.HashSet.empty[String]
+        val rhsAcc = scala.collection.mutable.HashSet.empty[String]
+        val catAcc = scala.collection.mutable.HashSet.empty[String]
         var size = 0
         var i = 0
         var stop = false
         while (i < top.length && size < want && !stop) {
           val (l, r, f) = (top(i).getString(0), top(i).getString(1), top(i).getLong(2))
           val ok = f >= minPairCount &&
-            (size == 0 || (f > fCut && !acc(l) && !acc(r) && !acc(l + r)))
-          if (ok) { batch += ((l, r, f)); acc += l; acc += r; acc += (l + r); size += 1 }
+            (size == 0 || (
+              !rhsAcc(l) && !lhsAcc(r) &&            // no chain with accepted
+              !catAcc(l) && !catAcc(r) &&            // no symbol = earlier concat
+              !acc(l + r)))                          // concat = no batch string
+          if (ok) {
+            batch += ((l, r, f)); size += 1
+            lhsAcc += l; rhsAcc += r; catAcc += (l + r)
+            acc += l; acc += r; acc += (l + r)
+          }
           else stop = true
           i += 1
         }
         var chosen = batch.result()
         if (chosen.length > 1) {
-          val concats = chosen.map { case (l, r, _) => l + r }
           val batchKeys = chosen.map { case (l, r, _) => s"$l $r" }
           val fm = chosen.last._3
-          val touching = F.col("lhs").isin(acc.toSeq: _*) ||
-            F.col("rhs").isin(acc.toSeq: _*)
-          val inC = F.col("lhs").isin(concats: _*) || F.col("rhs").isin(concats: _*)
+          // Old non-batch pairs can only LOSE occurrences to batch merges,
+          // and the prefix property puts them after the last member in
+          // (freq desc, lhs, rhs) order — ties included, they lose every
+          // later argmax. Strictness is only needed for NEW pairs, whose
+          // frequency is bounded by the pairs CHAIN-ADJACENT to a batch
+          // pair ((x,ab) by (x,a); (ab,y) by (b,y); cascades embed a chain
+          // adjacency too) — so only those must sit strictly below fm.
+          val chainAdj = F.col("lhs").isin(rhsAcc.toSeq: _*) ||
+            F.col("rhs").isin(lhsAcc.toSeq: _*)
+          // a pre-existing symbol string-equal to a concat could GAIN
+          // occurrences (new identity merges into old) — none may exist
+          val inC = F.col("lhs").isin(catAcc.toSeq: _*) ||
+            F.col("rhs").isin(catAcc.toSeq: _*)
           val notBatch = !F.concat_ws(" ", F.col("lhs"), F.col("rhs"))
             .isin(batchKeys: _*)
-          val pr = pc.where(touching && notBatch)
-            .agg(F.coalesce(F.max("freq"), F.lit(-1L)).as("mx"),
+          val pr = pc.where((chainAdj || inC) && notBatch)
+            .agg(F.coalesce(F.max(F.when(chainAdj, F.col("freq"))), F.lit(-1L)).as("mx"),
               F.coalesce(F.sum(F.when(inC, 1L).otherwise(0L)), F.lit(0L)).as("nc"))
             .head()
-          if (!(pr.getLong(0) < fm && pr.getLong(1) == 0L)) chosen = chosen.take(1)
+          if (pr.getLong(1) != 0L) {
+            // concat-symbol collision: can't attribute it to one member
+            // cheaply — sequential round
+            chosen = chosen.take(1)
+          } else if (pr.getLong(0) >= fm) {
+            // a chain-adjacent pair ties/beats the last member: shrink to
+            // the longest prefix strictly above it. maxTouch was computed
+            // for the FULL batch's chain set; a shorter prefix's chain set
+            // is a subset, so the bound stays valid (conservative).
+            chosen = chosen.take(math.max(1,
+              chosen.segmentLength(_._3 > pr.getLong(0))))
+          }
+          if (sys.env.contains("GRAFT_BPE_DEBUG")) System.err.println(
+            s"[bpe] round: batch=${chosen.length} " +
+              s"(tried=$fm maxChain=${pr.getLong(0)} concatPairs=${pr.getLong(1)}) " +
+              chosen.map(c => c._1 + "+" + c._2).mkString(","))
         }
         chosen.foreach { case (l, r, f) => merges += ((rank, l, r, f)); rank += 1 }
         val prev = vocab

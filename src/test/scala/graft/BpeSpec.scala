@@ -134,16 +134,22 @@ class BpeSpec extends AnyFunSuite {
       assert(rounds.get() < seq12.length,
         s"maxMergesPerRound=$m never batched (${rounds.get()} rounds for ${seq12.length} merges)")
     }
-    // random corpora: batched == brute-force sequential reference
+    // random corpora: batched == brute-force sequential reference. The
+    // 2-char-alphabet rounds maximize chain conflicts (rhs of one top pair
+    // = lhs of another) and concat-symbol collisions ("ab" both a merge
+    // result and a pre-existing word) — the adversarial ground for the
+    // cross-side conflict rule and the existence probe.
     val rnd = new scala.util.Random(13)
-    (1 to 3).foreach { _ =>
+    (1 to 6).foreach { it =>
+      val nLetters = if (it <= 3) 4 else 2
       val words = Vector.fill(30)(Vector.fill(1 + rnd.nextInt(6))(
-        ('a' + rnd.nextInt(4)).toChar).mkString)
+        ('a' + rnd.nextInt(nLetters)).toChar).mkString)
       val rdocs = Vector.fill(40)(Vector.fill(1 + rnd.nextInt(8))(
         words(rnd.nextInt(words.size))).mkString(" "))
       val got = Bpe.mergeList(Bpe.train(rdocs.toDF("text"), "text",
         numMerges = 10, maxMergesPerRound = 4))
-      assert(got == refTrain(rdocs, 10).map(m => (m._1, m._2)))
+      assert(got == refTrain(rdocs, 10).map(m => (m._1, m._2)),
+        s"iteration $it (alphabet $nLetters) diverged")
     }
   }
 
