@@ -136,8 +136,10 @@ object Similarity {
     * assignment (the cell doubles as the storage partition key) → probe. */
   def annSearch(embeddings: DataFrame, embCol: String, idCol: String,
                 k: Int, nCells: Int, kmeansIters: Int,
-                query: Seq[Double], nProbe: Int): DataFrame = {
-    val cents = kmeansCentroids(embeddings, embCol, idCol, nCells, kmeansIters)
+                query: Seq[Double], nProbe: Int,
+                reliableCheckpoint: Boolean = false): DataFrame = {
+    val cents = kmeansCentroids(embeddings, embCol, idCol, nCells, kmeansIters,
+      reliableCheckpoint)
     val assigned = ivfAssign(embeddings, embCol, idCol, cents, "cell", "cvec")
       .select(F.col(idCol), F.col("cell"))
       .join(embeddings.select(F.col(idCol), F.col(embCol)), idCol)
