@@ -880,6 +880,30 @@ object SparkEntry {
         .select("vec_id")
     }),
 
+    "q110_winnow" -> ((s, dir) =>
+      // winnowing fingerprint set per doc (MOSS local fingerprints):
+      // 4-gram md5s, window-of-4 minima, distinct sorted
+      table(s, dir, "documents")
+        .where(Text.tokenCount(F.col("text")) >= 4)
+        .select(F.col("doc_id"),
+          Dedup.winnowFingerprints(F.col("text"), 4, 4).as("__fps"))
+        .select(F.col("doc_id"),
+          F.size(F.col("__fps")).cast("long").as("n_fps"),
+          F.element_at(F.col("__fps"), 1).as("min_fp"),
+          F.element_at(F.col("__fps"), -1).as("max_fp"))
+        .orderBy("doc_id")),
+
+    "q111_winnow_overlap" -> ((s, dir) =>
+      // partial-overlap candidates: doc pairs sharing >= 2 winnow
+      // fingerprints. The tight bucket cap (12) is the documented
+      // boilerplate guard — fingerprints common to more docs than that
+      // are template noise, not overlap signal (audit face:
+      // Dedup.winnowOversizeBuckets)
+      Dedup.winnowOverlapCandidates(
+          table(s, dir, "documents"), "doc_id", "text",
+          k = 4, w = 4, minShared = 2L, maxBucketSize = 12)
+        .orderBy("a", "b")),
+
     "q108_bigram_lm" -> ((s, dir) =>
       // CCNet-style LM fluency filter: add-one-smoothed bigram conditional
       // in integer ppm (order-free sums — oracle-exact, no libm ln)
@@ -1725,6 +1749,37 @@ object SparkEntry {
             OR (lang = 'de' AND ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 1000000 < ppm_de)
             OR (lang = 'fr' AND ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 1000000 < ppm_fr)
          ORDER BY 1""",
+    "q110_winnow" ->
+      """WITH t AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x != '') AS ws FROM documents),
+         g AS (SELECT doc_id, list_transform(generate_series(1, len(ws) - 3),
+                 i -> md5(ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3])) AS hs
+               FROM t WHERE len(ws) >= 4),
+         f AS (SELECT doc_id,
+                 CASE WHEN len(hs) <= 4 THEN [list_aggregate(hs, 'min')]
+                      ELSE list_sort(list_distinct(list_transform(
+                        generate_series(1, len(hs) - 3),
+                        i -> list_aggregate(hs[i:i+3], 'min')))) END AS fps
+               FROM g)
+         SELECT doc_id, CAST(len(fps) AS BIGINT) AS n_fps,
+                fps[1] AS min_fp, fps[len(fps)] AS max_fp
+         FROM f ORDER BY doc_id""",
+    "q111_winnow_overlap" ->
+      """WITH t AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x != '') AS ws FROM documents),
+         g AS (SELECT doc_id, list_transform(generate_series(1, len(ws) - 3),
+                 i -> md5(ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3])) AS hs
+               FROM t WHERE len(ws) >= 4),
+         f AS (SELECT doc_id,
+                 unnest(CASE WHEN len(hs) <= 4 THEN [list_aggregate(hs, 'min')]
+                      ELSE list_distinct(list_transform(
+                        generate_series(1, len(hs) - 3),
+                        i -> list_aggregate(hs[i:i+3], 'min'))) END) AS fp
+               FROM g),
+         ok AS (SELECT fp FROM f GROUP BY fp HAVING count(*) > 1 AND count(*) <= 12),
+         m AS (SELECT f.doc_id, f.fp FROM f JOIN ok USING (fp))
+         SELECT l.doc_id AS a, r.doc_id AS b, CAST(count(*) AS BIGINT) AS n_shared
+         FROM m l JOIN m r ON l.fp = r.fp AND l.doc_id < r.doc_id
+         GROUP BY 1, 2 HAVING count(*) >= 2
+         ORDER BY a, b""",
     "q109_semantic_decontaminate" ->
       """WITH ev AS (SELECT embedding::DOUBLE[] AS ev FROM embeddings WHERE vec_id % 50 = 0),
          hits AS (SELECT DISTINCT c.vec_id

@@ -108,6 +108,11 @@ object Bpe {
       // old pairs only lose occurrences to batch merges; the new-pair
       // bound is probed over the FULL table below.
       val k = if (want <= 1) 1 else math.min(want * 4 + 8, 256)
+      // batched rounds read the pair table twice (top-K collect + the
+      // validation probe); recomputing it is measurably cheaper than
+      // caching (the probe's isin filters push into the recomputed scan,
+      // while a persist materializes ALL pairs: 14.8 s vs 12.4 s for the
+      // 107-merge drill) — so no persist here, deliberately
       val pc = pairCounts(vocab)
       val top = pc.orderBy(F.col("freq").desc, F.col("lhs"), F.col("rhs"))
         .limit(k).collect()

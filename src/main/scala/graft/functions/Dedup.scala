@@ -213,6 +213,68 @@ object Dedup {
   def hamming64(a: Column, b: Column): Column =
     F.bit_count(a.bitwiseXOR(b)).cast("long")
 
+  /** Winnowing fingerprint set (Schleimer/Wilkerson/Aiken, SIGMOD'03 —
+    * the MOSS algorithm): md5 per k-gram, minimum per sliding window of
+    * `w` hashes, distinct selections sorted. The LOCAL-overlap tier of the
+    * dedup story: two docs sharing any token run of >= w + k - 1 tokens
+    * share a fingerprint, which whole-document fingerprints
+    * ([[Text.fingerprintMd5]]) and set-similarity signatures (minhash —
+    * global resemblance, not containment) both miss. Null when fewer than
+    * k tokens. Native single-pass expression
+    * ([[graft.plans.Expressions.WinnowMd5]], monotonic min-deque — the
+    * higher-order-function spelling pays `w` interpreted lambda evals per
+    * gram). */
+  def winnowFingerprints(text: Column, k: Int, w: Int): Column =
+    graft.plans.Expressions.winnowMd5(Text.tokens(text), k, w)
+
+  /** Column-tier (transform/slice/array_min) spelling of
+    * [[winnowFingerprints]] — the executable spec the native expression is
+    * parity-tested against (DedupSpec); not the production path. */
+  def winnowFingerprintsColumns(text: Column, k: Int, w: Int): Column = {
+    val hs = F.transform(shingles(text, k), x => F.md5(x))
+    val m = F.size(hs)
+    val mins = F.when(m <= w, F.array(F.array_min(hs)))
+      .otherwise(F.transform(F.sequence(F.lit(1), m - F.lit(w) + 1),
+        i => F.array_min(F.slice(hs, i, F.lit(w)))))
+    F.when(F.size(Text.tokens(text)) >= k,
+      F.array_sort(F.array_distinct(mins)))
+  }
+
+  /** Partial-overlap candidate pairs: docs sharing >= `minShared` winnow
+    * fingerprints, with the shared count. One explode + one shuffle keyed
+    * on the fingerprint — ids only, text never moves — with the same
+    * oversize-bucket discipline as [[lshCandidatePairs]]: a fingerprint
+    * shared by more than `maxBucketSize` docs (boilerplate headers, empty
+    * templates) is dropped from pairing rather than expanded
+    * quadratically; audit the drops with [[winnowOversizeBuckets]]. */
+  def winnowOverlapCandidates(df: DataFrame, idCol: String, textCol: String,
+      k: Int, w: Int, minShared: Long = 1L,
+      maxBucketSize: Int = 10000): DataFrame = {
+    val fps = df
+      .select(F.col(idCol).as("id"),
+        F.explode(winnowFingerprints(F.col(textCol), k, w)).as("fp"))
+    val okFps = fps.groupBy("fp").agg(F.count(F.lit(1)).as("__n"))
+      .where(F.col("__n") > 1 && F.col("__n") <= maxBucketSize)
+      .select("fp")
+    fps.join(okFps, "fp")
+      .groupBy("fp")
+      .agg(F.array_sort(F.collect_list("id")).as("ids"))
+      .select(F.explode(F.expr(
+        "flatten(transform(ids, (x, i) -> transform(slice(ids, i + 2, size(ids)), y -> struct(x AS a, y AS b))))"))
+        .as("p"))
+      .groupBy(F.col("p.a").as("a"), F.col("p.b").as("b"))
+      .agg(F.count(F.lit(1)).as("n_shared"))
+      .where(F.col("n_shared") >= minShared)
+  }
+
+  /** The fingerprint buckets [[winnowOverlapCandidates]] drops at this cap
+    * — the no-silent-caps audit face. */
+  def winnowOversizeBuckets(df: DataFrame, idCol: String, textCol: String,
+      k: Int, w: Int, maxBucketSize: Int = 10000): DataFrame =
+    df.select(F.explode(winnowFingerprints(F.col(textCol), k, w)).as("fp"))
+      .groupBy("fp").agg(F.count(F.lit(1)).as("n_members"))
+      .where(F.col("n_members") > maxBucketSize)
+
   /** Exact-duplicate groups keyed by content fingerprint: canonical id =
     * min id per group. Shuffles only (fingerprint, id) pairs — at 100 TB the
     * text never moves. */

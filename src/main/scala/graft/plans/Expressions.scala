@@ -796,6 +796,112 @@ object Expressions {
     override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
   }
 
+  /** `winnow_md5(tokens, k, w)` → the document's winnowing fingerprint set
+    * (Schleimer/Wilkerson/Aiken, SIGMOD'03 — the MOSS algorithm): md5 each
+    * k-gram, slide a window of `w` hashes, keep each window's MINIMUM,
+    * output the distinct selected values sorted (hex strings — nibble-
+    * monotone, so unsigned-digest comparison == lexicographic hex order,
+    * same engine-portable trick as `shingle_minhash`). Guarantee: two
+    * documents sharing any token run of length >= w + k - 1 share at least
+    * one fingerprint — the LOCAL overlap detector that whole-document
+    * fingerprints (`fingerprint_md5`/rolling) cannot express.
+    *
+    * Shapes: null when fewer than k tokens (mirrors `shingle_minhash`);
+    * when the doc has fewer than `w` k-grams the whole doc is one window
+    * (its global min hash). Fingerprints are deduped by VALUE, which
+    * subsumes the paper's dedupe-by-position (equal selections stringify
+    * equally). One pass, O(grams) via a monotonic min-deque — no per-window
+    * rescans, no interpreted lambdas. */
+  case class WinnowMd5(child: Expression, k: Int, w: Int)
+    extends UnaryExpression with CodegenFallback {
+    require(k > 0, s"shingle size k must be positive, got $k")
+    require(w > 0, s"window size w must be positive, got $w")
+    override def dataType: DataType = ArrayType(StringType, containsNull = false)
+    override def nullable: Boolean = true
+    override def prettyName: String = "winnow_md5"
+    override def checkInputDataTypes(): TypeCheckResult =
+      requireTokenArray(child, prettyName)
+
+    override def nullSafeEval(input: Any): Any = {
+      val arr = input.asInstanceOf[ArrayData]
+      val md = tlMd5.get()
+      val total = arr.numElements()
+      val words = new Array[Array[Byte]](total)
+      var x = 0
+      var n = 0
+      while (x < total) {
+        val u = arr.getUTF8String(x)
+        if (u != null) { words(n) = u.getBytes; n += 1 } // nulls = absent tokens
+        x += 1
+      }
+      if (n < k) return null
+      val m = n - k + 1
+      val digests = new Array[Array[Byte]](m)
+      var i = 0
+      while (i < m) {
+        var len = k - 1
+        var j = 0
+        while (j < k) { len += words(i + j).length; j += 1 }
+        val shingle = new Array[Byte](len)
+        var p = 0
+        j = 0
+        while (j < k) {
+          if (j > 0) { shingle(p) = ' '; p += 1 }
+          val wb = words(i + j)
+          System.arraycopy(wb, 0, shingle, p, wb.length)
+          p += wb.length
+          j += 1
+        }
+        md.reset()
+        md.update(shingle)
+        digests(i) = md.digest()
+        i += 1
+      }
+      val selected = new java.util.TreeSet[String]()
+      if (m <= w) {
+        var min = digests(0)
+        i = 1
+        while (i < m) {
+          if (java.util.Arrays.compareUnsigned(digests(i), min) < 0) min = digests(i)
+          i += 1
+        }
+        selected.add(hexify(min))
+      } else {
+        // monotonic deque of indices: head = current window minimum
+        val dq = new Array[Int](m)
+        var head = 0
+        var tail = 0 // exclusive
+        i = 0
+        while (i < m) {
+          while (tail > head && java.util.Arrays.compareUnsigned(
+            digests(dq(tail - 1)), digests(i)) >= 0) tail -= 1
+          dq(tail) = i; tail += 1
+          if (dq(head) <= i - w) head += 1
+          if (i >= w - 1) selected.add(hexify(digests(dq(head))))
+          i += 1
+        }
+      }
+      val out = new Array[Any](selected.size)
+      val it = selected.iterator()
+      i = 0
+      while (it.hasNext) { out(i) = UTF8String.fromString(it.next()); i += 1 }
+      new GenericArrayData(out)
+    }
+
+    private def hexify(d: Array[Byte]): String = {
+      val out = new Array[Char](32)
+      var i = 0
+      while (i < 16) {
+        out(2 * i) = HexDigits((d(i) >> 4) & 0xf)
+        out(2 * i + 1) = HexDigits(d(i) & 0xf)
+        i += 1
+      }
+      new String(out)
+    }
+
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  }
+
   // ---- Column-facing constructors ----
 
   private def expr(c: Column): Expression =
@@ -835,4 +941,7 @@ object Expressions {
 
   def rhpBucket(emb: Column, dim: Int, nBits: Int, seed: Long): Column =
     column(RhpBucket(expr(emb), dim, nBits, seed))
+
+  def winnowMd5(tokens: Column, k: Int, w: Int): Column =
+    column(WinnowMd5(expr(tokens), k, w))
 }

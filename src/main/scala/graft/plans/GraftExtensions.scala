@@ -55,6 +55,8 @@ object GraftFunctions {
     "shingles" -> (es => Expressions.ShingleArray(es(0), lit(es(1), "k"))),
     "shingle_minhash" -> (es => Expressions.ShingleMinHashMd5(
       es(0), lit(es(1), "k"), lit(es(2), "numHashes"))),
+    "winnow_md5" -> (es => Expressions.WinnowMd5(
+      es(0), lit(es(1), "k"), lit(es(2), "w"))),
     "hamming64" -> (es => hammingExpr(es(0), es(1))),
     "nfc_normalize" -> (es => Expressions.NfcNormalize(es(0))),
     "md5_bucket" -> (es => Expressions.Md5Bucket(es(0), lit(es(1), "buckets").toLong)),

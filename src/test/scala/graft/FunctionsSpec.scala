@@ -184,6 +184,50 @@ class FunctionsSpec extends AnyFunSuite {
     assert(uncapped.count() == 50L * 49L / 2L)
   }
 
+  test("winnowing: native == Column spec; overlap guarantee; candidates find the planted overlap") {
+    // parity: native single-pass expression vs the transform/slice spelling,
+    // across doc shapes (short of k, exactly k, fewer grams than w, long)
+    val rnd = new scala.util.Random(17)
+    val texts = Seq("", "a b c", "a b c d", "a b c d e f g") ++
+      Vector.fill(40)(Vector.fill(1 + rnd.nextInt(30))(
+        ('a' + rnd.nextInt(5)).toChar.toString).mkString(" "))
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("id", "text")
+    val both = df.select(
+      Dedup.winnowFingerprints($"text", 4, 4).as("nat"),
+      Dedup.winnowFingerprintsColumns($"text", 4, 4).as("col"))
+      .collect()
+    both.foreach { r =>
+      assert(r.isNullAt(0) == r.isNullAt(1))
+      if (!r.isNullAt(0)) assert(r.getSeq[String](0) == r.getSeq[String](1))
+    }
+
+    // the winnowing guarantee: two docs sharing a token run of
+    // >= w + k - 1 = 7 tokens share at least one fingerprint
+    val shared = "one two three four five six seven"
+    val docA = s"alpha beta $shared gamma delta"
+    val docB = s"zeta eta theta $shared iota"
+    val docC = "nothing in common with those at all ok then"
+    val fps = Seq((1L, docA), (2L, docB), (3L, docC)).toDF("doc_id", "text")
+      .select($"doc_id", F.explode(Dedup.winnowFingerprints($"text", 4, 4)).as("fp"))
+      .as[(Long, String)].collect().groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    assert((fps(1L) intersect fps(2L)).nonEmpty)
+    assert((fps(1L) intersect fps(3L)).isEmpty)
+
+    // candidate pairs: planted overlap found with its shared count; the
+    // boilerplate cap drops a fingerprint common to too many docs
+    val corpus = Seq((1L, docA), (2L, docB), (3L, docC)) ++
+      (10L to 30L).map(i => (i, s"common boiler plate header row $i"))
+    val cands = Dedup.winnowOverlapCandidates(corpus.toDF("doc_id", "text"),
+        "doc_id", "text", k = 4, w = 4, minShared = 1L, maxBucketSize = 10)
+      .as[(Long, Long, Long)].collect()
+    assert(cands.map(c => (c._1, c._2)).contains((1L, 2L)))
+    // the 21 boilerplate docs share "common boiler plate header" (+ window
+    // variants) — bucket size 21 > cap 10, so no pair among them survives
+    assert(!cands.exists { c => c._1 >= 10L && c._2 >= 10L })
+    assert(Dedup.winnowOversizeBuckets(corpus.toDF("doc_id", "text"),
+      "doc_id", "text", k = 4, w = 4, maxBucketSize = 10).count() > 0L)
+  }
+
   test("simhash: identical docs match, near docs within small hamming distance") {
     val df = Seq(
       ("a b c d e f g h", "a b c d e f g h", "a b c d e f g zz"))
