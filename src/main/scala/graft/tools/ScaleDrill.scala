@@ -85,7 +85,10 @@ object ScaleDrill {
           testPpm = 200000L)
         .groupBy("lang", "split")
         .agg(F.count(F.lit(1)).as("n_docs"))
-    })
+    },
+    "winnow_overlap (q111)" -> (docs =>
+      Dedup.winnowOverlapCandidates(docs, "doc_id", "text",
+        k = 4, w = 4, minShared = 2L, maxBucketSize = 12)))
 
   def pipelineDrill(spark: SparkSession, sfDir: String, sizes: Seq[Int]): Unit = {
     val base = spark.read.parquet(s"$sfDir/documents.parquet")

@@ -68,6 +68,14 @@ class SqlSurfaceSpec extends AnyFunSuite {
       .head().getString(0)
     assert(viaSql != otherSeed)
 
+    // winnow_md5 SQL face == the Column face
+    val winSql = spark.sql(
+      "SELECT winnow_md5(tokens(text), 4, 4) AS fps FROM sqlsurface_docs")
+      .head().getSeq[String](0)
+    val winCol = docs.select(
+      graft.functions.Dedup.winnowFingerprints($"text", 4, 4)).head().getSeq[String](0)
+    assert(winSql == winCol && winSql.nonEmpty)
+
     val w = spark.sql(
       """SELECT tumbling_window(3605L, 3600) AS tw,
                 hopping_windows(3605L, 3600, 1800) AS hw""").head()
