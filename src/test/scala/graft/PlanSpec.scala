@@ -91,6 +91,20 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("Window"), s"window fallback leaked in:\n$p")
   }
 
+  test("q111 winnow overlap: fingerprints computed in the scan stage, ids-only shuffle") {
+    val p = plan("q111_winnow_overlap")
+    val lines = p.linesIterator.toSeq
+    // the native winnow expression must sit BELOW the fp-keyed exchange
+    // (tree prints top-down), i.e. fingerprints are computed in the scan
+    // stage and only (id, fp) rows cross the wire — never the text column
+    val iExchange = lines.indexWhere(l =>
+      l.contains("Exchange hashpartitioning(fp"))
+    val iWinnow = lines.indexWhere(_.contains("winnow_md5"))
+    assert(iExchange >= 0 && iWinnow > iExchange,
+      s"winnow_md5 not in the scan stage below the fp exchange:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("SortMergeJoin"), p)
+  }
+
   test("SPI whole-stream aggregate keeps a real Exchange between partial and final stages") {
     // coalesce(1) here would be a narrow dependency — Spark would collapse
     // the partial stage into the single final task and the per-partition
