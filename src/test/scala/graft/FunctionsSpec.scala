@@ -228,6 +228,36 @@ class FunctionsSpec extends AnyFunSuite {
       "doc_id", "text", k = 4, w = 4, maxBucketSize = 10).count() > 0L)
   }
 
+  test("winnowing: native expression matches a brute-force Scala reference on random docs") {
+    // independent third implementation (the Column spelling shares Spark's
+    // md5/array_min; this one shares nothing with the engine)
+    def refWinnow(tokens: Seq[String], k: Int, w: Int): Option[Seq[String]] = {
+      if (tokens.length < k) return None
+      val md = java.security.MessageDigest.getInstance("MD5")
+      def md5hex(s: String): String =
+        md.digest(s.getBytes("UTF-8")).map(b => f"$b%02x").mkString
+      val hs = tokens.sliding(k).map(g => md5hex(g.mkString(" "))).toVector
+      val sel =
+        if (hs.length <= w) Set(hs.min)
+        else hs.sliding(w).map(_.min).toSet
+      Some(sel.toSeq.sorted)
+    }
+    val rnd = new scala.util.Random(29)
+    for (_ <- 1 to 3; (k, w) <- Seq((3, 4), (4, 4), (2, 6))) {
+      val docs = Vector.fill(30)(Vector.fill(rnd.nextInt(25))(
+        ('a' + rnd.nextInt(4)).toChar.toString).mkString(" "))
+      val got = docs.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("id", "text")
+        .select($"id", Dedup.winnowFingerprints($"text", k, w).as("fps"))
+        .collect().map(r => r.getLong(0) ->
+          (if (r.isNullAt(1)) None else Some(r.getSeq[String](1).toSeq))).toMap
+      docs.zipWithIndex.foreach { case (t, i) =>
+        val want = refWinnow(t.split(" ").filter(_.nonEmpty).toSeq, k, w)
+        assert(got(i.toLong) == want, s"doc $i k=$k w=$w: '$t'")
+      }
+    }
+  }
+
   test("simhash: identical docs match, near docs within small hamming distance") {
     val df = Seq(
       ("a b c d e f g h", "a b c d e f g h", "a b c d e f g zz"))
