@@ -74,15 +74,22 @@ object Bench {
     // transient that doesn't span both, while keeping suite wall time ~2x.
     val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "2").toInt.max(1)
     val results = benchQueries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      // (elapsed, succeeded) per rep: a rep that THROWS fast (transient
+      // I/O, stage kill) must not win the min over a rep that actually
+      // completed — only all-reps-failed falls back to raw elapsed, and
+      // the stderr failure line marks the entry as broken either way.
       val times = (1 to reps).map { _ =>
         val t0 = System.nanoTime()
-        try fn(spark, sfDir).queryExecution.toRdd.count()
-        catch { case e: Throwable =>
-          System.err.println(s"[bench] $name failed: ${e.getMessage}")
-        }
-        (System.nanoTime() - t0) / 1e9
+        val ok =
+          try { fn(spark, sfDir).queryExecution.toRdd.count(); true }
+          catch { case e: Throwable =>
+            System.err.println(s"[bench] $name failed: ${e.getMessage}")
+            false
+          }
+        ((System.nanoTime() - t0) / 1e9, ok)
       }
-      name -> times.min
+      val succeeded = times.collect { case (t, true) => t }
+      name -> (if (succeeded.nonEmpty) succeeded.min else times.map(_._1).min)
     }
     // streaming topology drills (the reference's headline metric is
     // streaming tuples/sec — stderr carries the throughput figures). Kept

@@ -249,10 +249,16 @@ object Dedup {
     * quadratically; audit the drops with [[winnowOversizeBuckets]]. */
   def winnowOverlapCandidates(df: DataFrame, idCol: String, textCol: String,
       k: Int, w: Int, minShared: Long = 1L,
-      maxBucketSize: Int = 10000): DataFrame = {
-    val fps = df
+      maxBucketSize: Int = 10000, reliableCheckpoint: Boolean = false): DataFrame = {
+    // the fps subtree feeds BOTH the bucket-size filter and the join probe
+    // side — without a cut Spark recomputes the winnow scan (md5 per k-gram
+    // over the full text, the dominant cost) twice. The materialized frame
+    // is tiny: (id, 32-char fp) pairs only, the text never leaves its scan.
+    def cut(d: DataFrame): DataFrame =
+      if (reliableCheckpoint) d.checkpoint(true) else d.localCheckpoint(true)
+    val fps = cut(df
       .select(F.col(idCol).as("id"),
-        F.explode(winnowFingerprints(F.col(textCol), k, w)).as("fp"))
+        F.explode(winnowFingerprints(F.col(textCol), k, w)).as("fp")))
     val okFps = fps.groupBy("fp").agg(F.count(F.lit(1)).as("__n"))
       .where(F.col("__n") > 1 && F.col("__n") <= maxBucketSize)
       .select("fp")

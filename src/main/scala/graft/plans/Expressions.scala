@@ -30,6 +30,55 @@ object Expressions {
 
   private val HexDigits = "0123456789abcdef".toCharArray
 
+  /** Lowercase-hex of a 16-byte md5 digest — shared by the fingerprint
+    * expressions so the wire format cannot silently diverge between them. */
+  private def hexifyMd5(d: Array[Byte]): String = {
+    val out = new Array[Char](32)
+    var i = 0
+    while (i < 16) {
+      out(2 * i) = HexDigits((d(i) >> 4) & 0xf)
+      out(2 * i + 1) = HexDigits(d(i) & 0xf)
+      i += 1
+    }
+    new String(out)
+  }
+
+  /** UTF-8 bytes of the non-null tokens, in order; null elements are
+    * skipped (absent tokens), matching the built-in HOF formulations
+    * rather than NPE-ing the stage. Shared by the shingle expressions. */
+  private def tokenBytes(arr: ArrayData): Array[Array[Byte]] = {
+    val total = arr.numElements()
+    val words = new Array[Array[Byte]](total)
+    var w = 0
+    var n = 0
+    while (w < total) {
+      val u = arr.getUTF8String(w)
+      if (u != null) { words(n) = u.getBytes; n += 1 }
+      w += 1
+    }
+    if (n == total) words else java.util.Arrays.copyOf(words, n)
+  }
+
+  /** Space-joined bytes of tokens [i, i+k) — the k-gram serialization every
+    * md5 fingerprint expression hashes. One definition so the separator and
+    * layout stay identical across them. */
+  private def shingleBytes(words: Array[Array[Byte]], i: Int, k: Int): Array[Byte] = {
+    var len = k - 1
+    var j = 0
+    while (j < k) { len += words(i + j).length; j += 1 }
+    val shingle = new Array[Byte](len)
+    var p = 0
+    j = 0
+    while (j < k) {
+      if (j > 0) { shingle(p) = ' '; p += 1 }
+      val wb = words(i + j)
+      System.arraycopy(wb, 0, shingle, p, wb.length)
+      p += wb.length
+      j += 1
+    }
+    shingle
+  }
+
   /** Analysis-time guard shared by the token-array expressions: a wrong
     * SQL argument type fails with a clean message instead of a runtime
     * ClassCastException inside generated code. */
@@ -182,33 +231,12 @@ object Expressions {
       // chars per (shingle × seed) hexification moves out of the hot loop
       // and runs numHashes times total
       val mins = new Array[Array[Byte]](numHashes)
-      // null elements are skipped (absent tokens), matching the built-in
-      // HOF formulations rather than NPE-ing the stage
-      val total = arr.numElements()
-      val words = new Array[Array[Byte]](total)
-      var w = 0
-      var n = 0
-      while (w < total) {
-        val u = arr.getUTF8String(w)
-        if (u != null) { words(n) = u.getBytes; n += 1 }
-        w += 1
-      }
+      val words = tokenBytes(arr)
+      val n = words.length
       if (n < k) return null
       var i = 0
       while (i + k <= n) {
-        var len = k - 1
-        var j = 0
-        while (j < k) { len += words(i + j).length; j += 1 }
-        val shingle = new Array[Byte](len)
-        var p = 0
-        j = 0
-        while (j < k) {
-          if (j > 0) { shingle(p) = ' '; p += 1 }
-          val wb = words(i + j)
-          System.arraycopy(wb, 0, shingle, p, wb.length)
-          p += wb.length
-          j += 1
-        }
+        val shingle = shingleBytes(words, i, k)
         var h = 0
         while (h < numHashes) {
           md.reset()
@@ -221,18 +249,7 @@ object Expressions {
         }
         i += 1
       }
-      new GenericArrayData(mins.map(d => UTF8String.fromString(hexify(d)): Any))
-    }
-
-    private def hexify(d: Array[Byte]): String = {
-      val out = new Array[Char](32)
-      var i = 0
-      while (i < 16) {
-        out(2 * i) = HexDigits((d(i) >> 4) & 0xf)
-        out(2 * i + 1) = HexDigits(d(i) & 0xf)
-        i += 1
-      }
-      new String(out)
+      new GenericArrayData(mins.map(d => UTF8String.fromString(hexifyMd5(d)): Any))
     }
 
     override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
@@ -825,35 +842,15 @@ object Expressions {
     override def nullSafeEval(input: Any): Any = {
       val arr = input.asInstanceOf[ArrayData]
       val md = tlMd5.get()
-      val total = arr.numElements()
-      val words = new Array[Array[Byte]](total)
-      var x = 0
-      var n = 0
-      while (x < total) {
-        val u = arr.getUTF8String(x)
-        if (u != null) { words(n) = u.getBytes; n += 1 } // nulls = absent tokens
-        x += 1
-      }
+      val words = tokenBytes(arr)
+      val n = words.length
       if (n < k) return null
       val m = n - k + 1
       val digests = new Array[Array[Byte]](m)
       var i = 0
       while (i < m) {
-        var len = k - 1
-        var j = 0
-        while (j < k) { len += words(i + j).length; j += 1 }
-        val shingle = new Array[Byte](len)
-        var p = 0
-        j = 0
-        while (j < k) {
-          if (j > 0) { shingle(p) = ' '; p += 1 }
-          val wb = words(i + j)
-          System.arraycopy(wb, 0, shingle, p, wb.length)
-          p += wb.length
-          j += 1
-        }
         md.reset()
-        md.update(shingle)
+        md.update(shingleBytes(words, i, k))
         digests(i) = md.digest()
         i += 1
       }
@@ -865,7 +862,7 @@ object Expressions {
           if (java.util.Arrays.compareUnsigned(digests(i), min) < 0) min = digests(i)
           i += 1
         }
-        selected.add(hexify(min))
+        selected.add(hexifyMd5(min))
       } else {
         // monotonic deque of indices: head = current window minimum
         val dq = new Array[Int](m)
@@ -877,7 +874,7 @@ object Expressions {
             digests(dq(tail - 1)), digests(i)) >= 0) tail -= 1
           dq(tail) = i; tail += 1
           if (dq(head) <= i - w) head += 1
-          if (i >= w - 1) selected.add(hexify(digests(dq(head))))
+          if (i >= w - 1) selected.add(hexifyMd5(digests(dq(head))))
           i += 1
         }
       }
@@ -886,17 +883,6 @@ object Expressions {
       i = 0
       while (it.hasNext) { out(i) = UTF8String.fromString(it.next()); i += 1 }
       new GenericArrayData(out)
-    }
-
-    private def hexify(d: Array[Byte]): String = {
-      val out = new Array[Char](32)
-      var i = 0
-      while (i < 16) {
-        out(2 * i) = HexDigits((d(i) >> 4) & 0xf)
-        out(2 * i + 1) = HexDigits(d(i) & 0xf)
-        i += 1
-      }
-      new String(out)
     }
 
     override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)

@@ -81,18 +81,21 @@ object TransactionalParquetSink {
         // available primitive, but POSIX rename silently REPLACES an
         // existing target — a lost race would overwrite the winner's
         // manifest with ours while both callers believe they committed.
-        // Re-reading the manifest after the move detects that: if it
-        // names another attempt, a concurrent writer moved after us and
-        // we must treat THIS call as lost (their data is the committed
-        // one; ours would be orphaned either way).
+        // Re-reading the manifest after the move NARROWS that window but
+        // cannot close it: the interleaving move(A) read(A) move(B)
+        // read(B) still has both callers observe themselves as winner
+        // (only an atomic put-if-absent primitive — hard link above, or
+        // an object store's conditional put — closes it). Deployments
+        // that need the full guarantee must provide one of those; this
+        // fallback is best-effort for link-less local filesystems.
+        // On detected loss we do NOT delete our attempt dir here: a
+        // reader that listed the manifest during our transient-win
+        // window may hold our attempt name mid-scan — vacuum() reclaims
+        // the orphan after its age threshold instead.
         Files.move(tmp, manifest, StandardCopyOption.ATOMIC_MOVE)
         val winner =
           new String(Files.readAllBytes(manifest), StandardCharsets.UTF_8).trim
-        if (winner == attempt) true
-        else {
-          graft.util.Fs.deleteRecursively(Paths.get(dir, attempt))
-          false
-        }
+        winner == attempt
     }
   }
 

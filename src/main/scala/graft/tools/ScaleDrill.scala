@@ -94,7 +94,16 @@ object ScaleDrill {
     val base = spark.read.parquet(s"$sfDir/documents.parquet")
     val dirs = sizes.map { r =>
       val dir = s"/tmp/graft_scale_docs_x$r"
-      if (!java.nio.file.Files.isDirectory(java.nio.file.Paths.get(dir))) {
+      // trust a cached corpus only if its write completed (_SUCCESS):
+      // a partial dir from a killed prior run would silently time a
+      // fraction of the intended corpus and record a bogus curve
+      val path = java.nio.file.Paths.get(dir)
+      val complete = java.nio.file.Files.isRegularFile(path.resolve("_SUCCESS"))
+      if (java.nio.file.Files.isDirectory(path) && !complete) {
+        System.err.println(s"[scale] discarding partial corpus at $dir")
+        graft.util.Fs.deleteRecursively(path)
+      }
+      if (!complete) {
         replicate(base, r).write.parquet(dir)
         System.err.println(s"[scale] wrote x$r corpus to $dir")
       }

@@ -91,17 +91,21 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("Window"), s"window fallback leaked in:\n$p")
   }
 
-  test("q111 winnow overlap: fingerprints computed in the scan stage, ids-only shuffle") {
+  test("q111 winnow overlap: fingerprints cut to an (id, fp) frame, ids-only shuffle") {
     val p = plan("q111_winnow_overlap")
-    val lines = p.linesIterator.toSeq
-    // the native winnow expression must sit BELOW the fp-keyed exchange
-    // (tree prints top-down), i.e. fingerprints are computed in the scan
-    // stage and only (id, fp) rows cross the wire — never the text column
-    val iExchange = lines.indexWhere(l =>
-      l.contains("Exchange hashpartitioning(fp"))
-    val iWinnow = lines.indexWhere(_.contains("winnow_md5"))
-    assert(iExchange >= 0 && iWinnow > iExchange,
-      s"winnow_md5 not in the scan stage below the fp exchange:\n$p")
+    // the winnow scan is materialized ONCE (localCheckpoint) into a tiny
+    // (id, fp) frame before feeding both the bucket-size filter and the
+    // join probe side — so the join stages read checkpointed RDD leaves,
+    // the text column can never reach an exchange, and the heavy md5 scan
+    // is not recomputed per consumer. The fp-keyed exchange must still be
+    // present (the bucket aggregation), and nothing may degenerate to a
+    // cartesian / sort-merge shape.
+    assert(p.contains("Scan ExistingRDD"),
+      s"fps frame not cut to a checkpointed (id, fp) RDD:\n$p")
+    assert(!p.contains("winnow_md5"),
+      s"winnow scan recomputed above the cut (should run once, inside it):\n$p")
+    assert(p.contains("Exchange hashpartitioning(fp"),
+      s"no fp-keyed bucket exchange:\n$p")
     assert(!p.contains("CartesianProduct") && !p.contains("SortMergeJoin"), p)
   }
 
