@@ -904,6 +904,16 @@ object SparkEntry {
           k = 4, w = 4, minShared = 2L, maxBucketSize = 12)
         .orderBy("a", "b")),
 
+    "q112_dsir_weights" -> ((s, dir) => {
+      // DSIR importance weights: select data resembling the English slice
+      // of the corpus (the paper's domain-selection use case); hashed
+      // unigram+bigram distributions, integer-ppm linearized log-ratio
+      val docs = table(s, dir, "documents")
+      functions.Sampling.dsirWeights(
+          docs, docs.where(F.col("lang") === "en"), "doc_id", "text")
+        .orderBy("doc_id")
+    }),
+
     "q108_bigram_lm" -> ((s, dir) =>
       // CCNet-style LM fluency filter: add-one-smoothed bigram conditional
       // in integer ppm (order-free sums — oracle-exact, no libm ln)
@@ -1780,6 +1790,27 @@ object SparkEntry {
          FROM m l JOIN m r ON l.fp = r.fp AND l.doc_id < r.doc_id
          GROUP BY 1, 2 HAVING count(*) >= 2
          ORDER BY a, b""",
+    "q112_dsir_weights" ->
+      """WITH ts AS (SELECT doc_id, lang, list_filter(string_split(text, ' '), x -> x != '') AS t FROM documents),
+         feats AS (
+           SELECT doc_id, lang, unnest(t) AS f FROM ts
+           UNION ALL
+           SELECT doc_id, lang, p[1] || ' ' || p[2] AS f
+           FROM (SELECT doc_id, lang, unnest(list_zip(t[1:len(t)-1], t[2:len(t)])) AS p FROM ts)),
+         hashed AS (SELECT doc_id, lang,
+             ('0x' || substr(md5(f), 1, 8))::BIGINT % 4096 AS b FROM feats),
+         tgt AS (SELECT b, count(*) AS ct FROM hashed WHERE lang = 'en' GROUP BY 1),
+         src AS (SELECT b, count(*) AS cs FROM hashed GROUP BY 1),
+         nt AS (SELECT sum(ct) AS nt FROM tgt),
+         ns AS (SELECT sum(cs) AS ns FROM src),
+         ratio AS (SELECT src.b,
+             ((coalesce(tgt.ct, 0) + 1) * 1000000) // (nt.nt + 4096)
+             - ((src.cs + 1) * 1000000) // (ns.ns + 4096) AS d
+           FROM src LEFT JOIN tgt USING (b) CROSS JOIN nt CROSS JOIN ns)
+         SELECT h.doc_id, CAST(count(*) AS BIGINT) AS n_features,
+                CAST(sum(r.d) AS BIGINT) AS dsir_weight
+         FROM hashed h JOIN ratio r USING (b)
+         GROUP BY 1 ORDER BY doc_id""",
     "q109_semantic_decontaminate" ->
       """WITH ev AS (SELECT embedding::DOUBLE[] AS ev FROM embeddings WHERE vec_id % 50 = 0),
          hits AS (SELECT DISTINCT c.vec_id

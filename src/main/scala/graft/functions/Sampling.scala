@@ -117,4 +117,61 @@ object Sampling {
         df.withColumn("__h", F.md5(key.cast("string"))),
         Seq(groupCol), "__h", desc = false, tieBreak = Nil, k = n)
       .drop("__h")
+
+  /** DSIR-style importance weights (Xie et al. 2023, "Data Selection for
+    * Language Models via Importance Resampling", arXiv:2302.03169): score
+    * each corpus document by how much better its hashed n-gram bag fits a
+    * TARGET corpus' feature distribution than the corpus' own. Features
+    * are unigrams + bigrams hashed into `buckets` cells, so both
+    * distributions are fixed-size regardless of corpus size — the ratio
+    * table is broadcastable BY CONSTRUCTION at 100 TB. The paper's
+    * per-feature log-probability ratio is linearized to integer
+    * parts-per-million probabilities (add-one smoothed, same denominators
+    * both sides), keeping the score engine-deterministic (no float logs);
+    * documents then resample by weight (e.g. [[fixedSizeSample]] over
+    * weight-ranked buckets).
+    *
+    * Scale shape: two map-side-combined counts whose key space is ≤
+    * `buckets`, one `buckets`-row broadcast ratio table, and a single
+    * shuffle on the doc id for the per-document sum. The text column
+    * never leaves its scan stage. The corpus IS scanned twice (the
+    * distribution pass must complete before the scoring pass can start —
+    * that is DSIR's structure, not a plan accident); checkpointing the
+    * exploded (id, bucket) features to share one scan is deliberately NOT
+    * done — that frame has a row per token occurrence, typically a third
+    * of the corpus size, which is the wrong thing to materialize when the
+    * alternative is re-reading column-pruned parquet. Documents with zero
+    * features (no tokens) produce no row, like their oracle.
+    */
+  def dsirWeights(corpus: DataFrame, target: DataFrame, idCol: String,
+      textCol: String, buckets: Long = 4096L): DataFrame = {
+    def feats(df: DataFrame, extra: Seq[String]): DataFrame = {
+      val uniBi = F.concat(Dedup.shingles(F.col(textCol), 1),
+        Dedup.shingles(F.col(textCol), 2))
+      df.select(extra.map(F.col) :+ F.explode(uniBi).as("__f"): _*)
+        .select(extra.map(F.col) :+
+          graft.plans.Expressions.md5Bucket(F.col("__f"), buckets).as("__b"): _*)
+    }
+    val tgtCounts = feats(target, Nil).groupBy("__b")
+      .agg(F.count(F.lit(1)).as("__ct"))
+    val srcCounts = feats(corpus, Nil).groupBy("__b")
+      .agg(F.count(F.lit(1)).as("__cs"))
+    val nt = tgtCounts.agg(F.sum("__ct").as("__nt"))
+    val ns = srcCounts.agg(F.sum("__cs").as("__ns"))
+    // only buckets that occur in the corpus can ever be joined by a scoring
+    // row, so the ratio table is built from the source side; an absent
+    // target bucket smooths to (0 + 1) / (Nt + buckets)
+    val ratio = srcCounts
+      .join(tgtCounts, Seq("__b"), "left")
+      .na.fill(0L, Seq("__ct"))
+      .crossJoin(F.broadcast(nt)).crossJoin(F.broadcast(ns))
+      .select(F.col("__b"),
+        (F.expr(s"((__ct + 1) * 1000000) DIV (__nt + $buckets)") -
+         F.expr(s"((__cs + 1) * 1000000) DIV (__ns + $buckets)")).as("__d"))
+    feats(corpus, Seq(idCol))
+      .join(F.broadcast(ratio), Seq("__b"))
+      .groupBy(idCol)
+      .agg(F.count(F.lit(1)).as("n_features"),
+        F.sum("__d").as("dsir_weight"))
+  }
 }

@@ -514,4 +514,50 @@ class FunctionsSpec extends AnyFunSuite {
     // separate them) but its transitions are rare → strictly lower score
     assert(got(4L)._3 < got(1L)._3)
   }
+
+  test("dsirWeights matches a brute-force reference; target-like docs score higher") {
+    val corpus = Seq(
+      (1L, "the cat sat on the mat", "en"),
+      (2L, "the cat sat on the mat", "en"),
+      (3L, "the dog sat on the mat", "en"),
+      (4L, "le chat est sur le tapis", "fr"),
+      (5L, "le chien est sur le tapis", "fr"),
+      (6L, "", "fr")).toDF("doc_id", "text", "lang")
+    val buckets = 64L
+    val got = graft.functions.Sampling.dsirWeights(
+        corpus, corpus.where($"lang" === "en"), "doc_id", "text", buckets)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+
+    // brute force with the same md5 bucket hash
+    def bucket(f: String): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(f.getBytes("UTF-8"))
+      val head = ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) |
+        ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
+      head % buckets
+    }
+    val toks = Seq(
+      1L -> "the cat sat on the mat", 2L -> "the cat sat on the mat",
+      3L -> "the dog sat on the mat", 4L -> "le chat est sur le tapis",
+      5L -> "le chien est sur le tapis", 6L -> "")
+      .map { case (id, t) => id -> t.split(" ").filter(_.nonEmpty).toSeq }
+    def feats(ws: Seq[String]): Seq[Long] =
+      (ws ++ ws.zip(ws.drop(1)).map { case (a, b) => s"$a $b" }).map(bucket)
+    val tgtIds = Set(1L, 2L, 3L)
+    val tgt = toks.filter(t => tgtIds(t._1)).flatMap(t => feats(t._2))
+      .groupBy(identity).map { case (b, bs) => b -> bs.size.toLong }
+    val src = toks.flatMap(t => feats(t._2))
+      .groupBy(identity).map { case (b, bs) => b -> bs.size.toLong }
+    val (nt, ns) = (tgt.values.sum, src.values.sum)
+    val want = toks.filter(_._2.nonEmpty).map { case (id, ws) =>
+      val ds = feats(ws).map(b =>
+        ((tgt.getOrElse(b, 0L) + 1) * 1000000L) / (nt + buckets) -
+        ((src(b) + 1) * 1000000L) / (ns + buckets))
+      id -> ((ds.size.toLong, ds.sum))
+    }.toMap
+    assert(got == want)
+    assert(!got.contains(6L))
+    // every English doc outweighs every French doc under the en target
+    assert(tgtIds.map(got(_)._2).min > Set(4L, 5L).map(got(_)._2).max)
+  }
 }
