@@ -919,6 +919,12 @@ object SparkEntry {
       // in integer ppm (order-free sums — oracle-exact, no libm ln)
       functions.Text.bigramLmScore(table(s, dir, "documents"), "doc_id", "text")),
 
+    "q113_ppl_buckets" -> ((s, dir) =>
+      // CCNet head/middle/tail fluency terciles: percentile cutoffs +
+      // broadcast-scalar labeling, never a global ntile sort
+      functions.Text.fluencyBuckets(table(s, dir, "documents"), "doc_id", "text")
+        .orderBy("doc_id")),
+
     "q106_bpe_pairs" -> ((s, dir) =>
       // the BPE trainer's per-iteration counting core, oracled: weighted
       // adjacent symbol pairs over the word-frequency vocabulary, top 20
@@ -1811,6 +1817,24 @@ object SparkEntry {
                 CAST(sum(r.d) AS BIGINT) AS dsir_weight
          FROM hashed h JOIN ratio r USING (b)
          GROUP BY 1 ORDER BY doc_id""",
+    "q113_ppl_buckets" ->
+      """WITH ts AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x != '') AS t FROM documents),
+         bi AS (SELECT doc_id, p[1] AS w1, p[1] || ' ' || p[2] AS bg
+                FROM (SELECT doc_id, unnest(list_zip(t[1:len(t)-1], t[2:len(t)])) AS p FROM ts)),
+         uni AS (SELECT w1, count(*) AS c1 FROM (SELECT unnest(t) AS w1 FROM ts) GROUP BY 1),
+         big AS (SELECT bg, count(*) AS c2 FROM bi GROUP BY 1),
+         v AS (SELECT count(DISTINCT w1) AS v FROM (SELECT unnest(t) AS w1 FROM ts)),
+         lm AS (SELECT bi.doc_id,
+                  CAST(sum(((big.c2 + 1) * 1000000) // (uni.c1 + v.v)) // count(*) AS BIGINT) AS lm_avg_ppm
+                FROM bi JOIN big USING (bg) JOIN uni USING (w1) CROSS JOIN v
+                GROUP BY 1),
+         c AS (SELECT quantile_cont(lm_avg_ppm, 1.0/3) AS c1,
+                      quantile_cont(lm_avg_ppm, 2.0/3) AS c2 FROM lm)
+         SELECT doc_id, lm_avg_ppm,
+           CASE WHEN lm_avg_ppm >= c2 THEN 'head'
+                WHEN lm_avg_ppm >= c1 THEN 'middle'
+                ELSE 'tail' END AS bucket
+         FROM lm CROSS JOIN c ORDER BY doc_id""",
     "q109_semantic_decontaminate" ->
       """WITH ev AS (SELECT embedding::DOUBLE[] AS ev FROM embeddings WHERE vec_id % 50 = 0),
          hits AS (SELECT DISTINCT c.vec_id

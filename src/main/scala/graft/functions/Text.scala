@@ -337,4 +337,29 @@ object Text {
       .select(F.col(idCol), F.col("n_bigrams"), F.col("lm_sum_ppm"),
         F.expr("lm_sum_ppm DIV n_bigrams").as("lm_avg_ppm"))
   }
+
+  /** CCNet-style fluency bucketing: label each document head / middle /
+    * tail by which tercile of the corpus' [[bigramLmScore]] distribution
+    * it falls in (CCNet buckets on LM perplexity; higher avg-ppm here =
+    * more fluent = head). Deliberately NOT an `ntile` window — a global
+    * ntile is a single-partition sort of the whole corpus. Instead the
+    * two tercile cutoffs come from one `percentile` aggregate (exact,
+    * engine-parity with DuckDB `quantile_cont` on integer ppm inputs)
+    * and the labeling is a broadcast-scalar comparison inside the scan:
+    * fully distributed at any corpus size.
+    */
+  def fluencyBuckets(df: org.apache.spark.sql.DataFrame, idCol: String,
+                     textCol: String): org.apache.spark.sql.DataFrame = {
+    val lm = bigramLmScore(df, idCol, textCol)
+      .select(F.col(idCol), F.col("lm_avg_ppm"))
+    val cuts = lm.agg(
+      F.expr("percentile(lm_avg_ppm, array(1.0D/3, 2.0D/3))").as("__c"))
+      .select(F.element_at(F.col("__c"), 1).as("__c1"),
+        F.element_at(F.col("__c"), 2).as("__c2"))
+    lm.crossJoin(F.broadcast(cuts))
+      .select(F.col(idCol), F.col("lm_avg_ppm"),
+        F.when(F.col("lm_avg_ppm") >= F.col("__c2"), "head")
+          .when(F.col("lm_avg_ppm") >= F.col("__c1"), "middle")
+          .otherwise("tail").as("bucket"))
+  }
 }

@@ -515,6 +515,32 @@ class FunctionsSpec extends AnyFunSuite {
     assert(got(4L)._3 < got(1L)._3)
   }
 
+  test("fluencyBuckets: labels partition the scored docs monotonically by score") {
+    val docs = Seq(
+      (1L, "the cat sat on the mat"),
+      (2L, "the cat sat on the mat"),
+      (3L, "the cat sat on the mat again"),
+      (4L, "mat the on sat cat the"),
+      (5L, "a b c d e f g"),
+      (6L, "the dog sat on the mat"),
+      (7L, "solo")) // drops out of the LM score, must drop out here too
+      .toDF("doc_id", "text")
+    val rows = graft.functions.Text.fluencyBuckets(docs, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    assert(rows.map(_._1).sorted.toSeq == Seq(1L, 2L, 3L, 4L, 5L, 6L))
+    val byBucket = rows.groupBy(_._3).view.mapValues(_.map(_._2)).toMap
+    assert(byBucket.keySet.subsetOf(Set("head", "middle", "tail")))
+    // monotone partition: min(head) >= max(middle) >= ... (ties may share)
+    for {
+      h <- byBucket.get("head"); m <- byBucket.get("middle")
+    } assert(h.min >= m.max)
+    for {
+      m <- byBucket.get("middle"); t <- byBucket.get("tail")
+    } assert(m.min >= t.max)
+    // tercile cutoffs: no bucket may hold more than half the docs here
+    assert(byBucket.values.forall(_.length <= 3))
+  }
+
   test("dsirWeights matches a brute-force reference; target-like docs score higher") {
     val corpus = Seq(
       (1L, "the cat sat on the mat", "en"),
