@@ -88,7 +88,10 @@ object ScaleDrill {
     },
     "winnow_overlap (q111)" -> (docs =>
       Dedup.winnowOverlapCandidates(docs, "doc_id", "text",
-        k = 4, w = 4, minShared = 2L, maxBucketSize = 12)))
+        k = 4, w = 4, minShared = 2L, maxBucketSize = 12)),
+    "dsir_weights (q112)" -> (docs =>
+      Sampling.dsirWeights(docs, docs.where(F.col("lang") === "en"),
+        "doc_id", "text")))
 
   def pipelineDrill(spark: SparkSession, sfDir: String, sizes: Seq[Int]): Unit = {
     val base = spark.read.parquet(s"$sfDir/documents.parquet")
