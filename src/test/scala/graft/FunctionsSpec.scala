@@ -541,6 +541,49 @@ class FunctionsSpec extends AnyFunSuite {
     assert(byBucket.values.forall(_.length <= 3))
   }
 
+  test("dsirWeights matches a brute-force reference on random corpora") {
+    def bucket(f: String, buckets: Long): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(f.getBytes("UTF-8"))
+      val head = ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) |
+        ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
+      head % buckets
+    }
+    val rnd = new scala.util.Random(31)
+    for (trial <- 1 to 3) {
+      val buckets = Seq(16L, 64L, 256L)(trial - 1)
+      // small alphabet → hash collisions in the bucketed space actually occur
+      val docs = Vector.tabulate(40) { i =>
+        (i.toLong, Vector.fill(rnd.nextInt(15))(
+          ('a' + rnd.nextInt(6)).toChar.toString).mkString(" "))
+      }
+      val isTgt = docs.map { case (id, _) => id -> (rnd.nextInt(3) == 0) }.toMap
+      val corpus = docs.map { case (id, t) =>
+        (id, t, if (isTgt(id)) "tgt" else "other") }.toDF("doc_id", "text", "lab")
+      val got = graft.functions.Sampling.dsirWeights(
+          corpus, corpus.where($"lab" === "tgt"), "doc_id", "text", buckets)
+        .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+
+      val toks = docs.map { case (id, t) =>
+        id -> t.split(" ").filter(_.nonEmpty).toSeq }
+      def feats(ws: Seq[String]): Seq[Long] =
+        (ws ++ ws.zip(ws.drop(1)).map { case (a, b) => s"$a $b" })
+          .map(bucket(_, buckets))
+      val tgt = toks.filter(t => isTgt(t._1)).flatMap(t => feats(t._2))
+        .groupBy(identity).map { case (b, bs) => b -> bs.size.toLong }
+      val src = toks.flatMap(t => feats(t._2))
+        .groupBy(identity).map { case (b, bs) => b -> bs.size.toLong }
+      val (nt, ns) = (tgt.values.sum, src.values.sum)
+      val want = toks.filter(_._2.nonEmpty).map { case (id, ws) =>
+        val ds = feats(ws).map(b =>
+          ((tgt.getOrElse(b, 0L) + 1) * 1000000L) / (nt + buckets) -
+          ((src(b) + 1) * 1000000L) / (ns + buckets))
+        id -> ((ds.size.toLong, ds.sum))
+      }.toMap
+      assert(got == want, s"trial $trial buckets=$buckets")
+    }
+  }
+
   test("dsirWeights matches a brute-force reference; target-like docs score higher") {
     val corpus = Seq(
       (1L, "the cat sat on the mat", "en"),
