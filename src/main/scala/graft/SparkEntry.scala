@@ -925,6 +925,16 @@ object SparkEntry {
       functions.Text.fluencyBuckets(table(s, dir, "documents"), "doc_id", "text")
         .orderBy("doc_id")),
 
+    "q114_heavy_hitters" -> ((s, dir) =>
+      // exact heavy-hitter words (freq > total/200) via a Misra-Gries
+      // sketch pass + exact count over candidates only — identical result
+      // to plain groupBy+HAVING, but the vocabulary never shuffles
+      functions.Scale.heavyHitters(
+          table(s, dir, "documents")
+            .select(F.explode(functions.Text.tokens(F.col("text"))).as("word")),
+          "word", k = 200)
+        .orderBy("word")),
+
     "q106_bpe_pairs" -> ((s, dir) =>
       // the BPE trainer's per-iteration counting core, oracled: weighted
       // adjacent symbol pairs over the word-frequency vocabulary, top 20
@@ -1835,6 +1845,13 @@ object SparkEntry {
                 WHEN lm_avg_ppm >= c1 THEN 'middle'
                 ELSE 'tail' END AS bucket
          FROM lm CROSS JOIN c ORDER BY doc_id""",
+    "q114_heavy_hitters" ->
+      """WITH w AS (SELECT unnest(list_filter(string_split(text, ' '), x -> x != '')) AS word FROM documents),
+         t AS (SELECT count(*) AS total FROM w)
+         SELECT word, CAST(count(*) AS BIGINT) AS cnt
+         FROM w CROSS JOIN t
+         GROUP BY word, t.total HAVING count(*) * 200 > t.total
+         ORDER BY word""",
     "q109_semantic_decontaminate" ->
       """WITH ev AS (SELECT embedding::DOUBLE[] AS ev FROM embeddings WHERE vec_id % 50 = 0),
          hits AS (SELECT DISTINCT c.vec_id

@@ -131,4 +131,79 @@ object Scale {
         saltedBig(salt) === explodedSmall(salt))
       .drop(salt)
   }
+
+  /** Per-partition Misra-Gries summary: at most `k` surviving keys, with
+    * the classic guarantee that any key occurring more than (partition
+    * rows)/`k` times survives. Decrement-all runs at most N/k times and
+    * costs O(k) each — O(N) amortized per partition. */
+  private[graft] def misraGries(it: Iterator[String], k: Int): Iterator[String] =
+    misraGriesWithTotal(it, k).collect { case (Some(key), _) => key }
+
+  /** As [[misraGries]], plus one trailing `(None, partitionRowCount)` row so
+    * the caller gets the denominator from the SAME pass (survivors are
+    * `(Some(key), 0)` — the MG residual counts are not usable estimates for
+    * the exact path, so they are not surfaced). */
+  private[graft] def misraGriesWithTotal(it: Iterator[String], k: Int)
+      : Iterator[(Option[String], Long)] = {
+    val counters = new scala.collection.mutable.HashMap[String, Long]()
+    var n = 0L
+    while (it.hasNext) {
+      val key = it.next()
+      if (key != null) {
+        n += 1
+        counters.get(key) match {
+          case Some(c) => counters.update(key, c + 1)
+          case None if counters.size < k => counters.update(key, 1L)
+          case None =>
+            // decrement all; drop zeros (no new key added this step)
+            val dead = new scala.collection.mutable.ArrayBuffer[String]()
+            counters.mapValuesInPlace((_, c) => c - 1)
+            counters.foreach { case (s, c) => if (c == 0L) dead += s }
+            dead.foreach(counters.remove)
+        }
+      }
+    }
+    counters.keysIterator.map(key => (Option(key), 0L)) ++
+      Iterator((Option.empty[String], n))
+  }
+
+  /** Exact heavy hitters (keys occurring > total/`k` times) WITHOUT an
+    * unbounded-cardinality shuffle: a single Misra-Gries sketch pass emits
+    * at most `k` candidate keys per partition, then an exact count runs
+    * over the candidate keys only (broadcast semi-join inside the scan).
+    *
+    * Correctness is the pigeonhole argument, not an approximation: if a
+    * key's global count exceeds total/k then its count exceeds (partition
+    * rows)/k in at least one partition, where Misra-Gries guarantees
+    * survival — so the candidate set is a superset of the true heavy
+    * hitters, and the exact counting pass removes false positives. The
+    * result is identical to a plain groupBy + HAVING, but the only wide
+    * ops are a ≤ k+1-rows-per-partition sketch output and a ≤
+    * k×partitions-key exact count: at 100 TB a trillion-key vocabulary
+    * never shuffles, only the sketch survivors do. Two corpus scans total
+    * (the global count rides along in the sketch pass as one extra row
+    * per partition); the sequencing is inherent — candidates must exist
+    * before the counting join can broadcast them.
+    */
+  def heavyHitters(df: DataFrame, keyCol: String, k: Int): DataFrame = {
+    require(k > 1, s"k must be > 1, got $k")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val keys = df.select(F.col(keyCol).cast("string")).as[String]
+    val sketch = keys.mapPartitions(it => misraGriesWithTotal(it, k))
+      .toDF(keyCol, "__n")
+      // tiny frame (≤ k+1 rows per partition) read by two consumers below
+      .localCheckpoint(true)
+    val candidates = sketch.where(F.col(keyCol).isNotNull)
+      .select(keyCol).distinct()
+    val total = sketch.where(F.col(keyCol).isNull)
+      .agg(F.sum("__n").as("__total"))
+    keys.toDF(keyCol).where(F.col(keyCol).isNotNull)
+      .join(F.broadcast(candidates), Seq(keyCol))
+      .groupBy(keyCol)
+      .agg(F.count(F.lit(1)).as("cnt"))
+      .crossJoin(F.broadcast(total))
+      .where(F.col("cnt") * k > F.col("__total"))
+      .drop("__total")
+  }
 }

@@ -235,4 +235,39 @@ class ScaleSpec extends AnyFunSuite {
     assert(plan.contains("first_n"), s"expected bounded first_n aggregate:\n$plan")
     assert(!plan.contains("collect_list"), s"unbounded collect_list present:\n$plan")
   }
+
+  test("misraGries: survivor guarantee and size bound on adversarial orderings") {
+    val rnd = new scala.util.Random(37)
+    for (trial <- 1 to 20) {
+      val k = 2 + rnd.nextInt(8)
+      val n = 50 + rnd.nextInt(400)
+      val stream = Vector.fill(n)(s"k${rnd.nextInt(30)}")
+      // adversarial too: heavy key's occurrences all at the front (maximal
+      // decrement exposure afterwards) and all at the back
+      val heavy = Vector.fill(n)("h")
+      for (s <- Seq(stream, stream ++ heavy, heavy ++ stream)) {
+        val out = Scale.misraGries(s.iterator, k).toSet
+        assert(out.size <= k, s"trial $trial: ${out.size} > k=$k")
+        val exact = s.groupBy(identity).view.mapValues(_.size).toMap
+        exact.foreach { case (key, c) =>
+          if (c * k > s.length)
+            assert(out.contains(key),
+              s"trial $trial k=$k: heavy key $key ($c of ${s.length}) dropped")
+        }
+      }
+    }
+  }
+
+  test("heavyHitters equals plain groupBy+HAVING on skewed multi-partition input") {
+    val rows = Seq.fill(5000)("hot") ++ Seq.fill(900)("warm") ++
+      (1 to 3000).map(i => s"cold${i % 800}")
+    val df = rows.toDF("word").repartition(7)
+    val got = Scale.heavyHitters(df, "word", k = 10)
+      .as[(String, Long)].collect().toMap
+    val total = rows.length.toLong
+    val want = rows.groupBy(identity).view.mapValues(_.size.toLong)
+      .filter { case (_, c) => c * 10 > total }.toMap
+    assert(got == want)
+    assert(got.contains("hot") && got.contains("warm"))
+  }
 }
