@@ -935,6 +935,37 @@ object SparkEntry {
           "word", k = 200)
         .orderBy("word")),
 
+    "q115_bloom_semi_join" -> ((s, dir) =>
+      // exact semi-join with a bloom pre-filter on the probe scan: only
+      // bloom-surviving lineitem rows reach the join exchange — the
+      // non-broadcastable-build-side discipline, hand-rolled face of
+      // Spark's InjectRuntimeFilter
+      functions.Scale.bloomSemiJoin(
+          table(s, dir, "lineitem"),
+          table(s, dir, "orders").where(F.col("o_orderpriority") === "1-URGENT"),
+          "l_orderkey", "o_orderkey")
+        .select("l_orderkey", "l_linenumber", "l_quantity")
+        .orderBy("l_orderkey", "l_linenumber")),
+
+    "q116_split_drift" -> ((s, dir) => {
+      // split QA: did the 20% hash split keep the language mix? per-lang
+      // smoothed probabilities + TV/chi-square terms, bit-reproducible
+      // (no libm transcendentals)
+      val split = functions.Sampling.trainTestSplit(
+        table(s, dir, "documents"), F.col("doc_id"), testPpm = 200000L)
+      functions.Stats.distributionDrift(
+          split.where(F.col("split") === "train"),
+          split.where(F.col("split") === "test"), "lang")
+        .orderBy("lang")
+    }),
+
+    "q117_data_card" -> ((s, dir) =>
+      // per-source release data card: docs/chars/tokens/langs/dup rate in
+      // one pass + one shuffle; document bytes never move (fingerprint-only
+      // distinct)
+      functions.Text.dataCard(table(s, dir, "documents"), "source", "lang", "text")
+        .orderBy("source")),
+
     "q106_bpe_pairs" -> ((s, dir) =>
       // the BPE trainer's per-iteration counting core, oracled: weighted
       // adjacent symbol pairs over the word-frequency vocabulary, top 20
@@ -1852,6 +1883,43 @@ object SparkEntry {
          FROM w CROSS JOIN t
          GROUP BY word, t.total HAVING count(*) * 200 > t.total
          ORDER BY word""",
+    "q115_bloom_semi_join" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
+         WHERE l_orderkey IN (SELECT o_orderkey FROM orders WHERE o_orderpriority = '1-URGENT')
+         ORDER BY 1, 2""",
+    "q116_split_drift" ->
+      """WITH d AS (SELECT lang,
+           CASE WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 1000000 < 200000
+                THEN 'test' ELSE 'train' END AS split
+         FROM documents WHERE lang IS NOT NULL),
+         ca AS (SELECT lang, count(*) AS n_a FROM d WHERE split = 'train' GROUP BY 1),
+         cb AS (SELECT lang, count(*) AS n_b FROM d WHERE split = 'test' GROUP BY 1),
+         j AS (SELECT coalesce(ca.lang, cb.lang) AS lang,
+                      coalesce(n_a, 0) AS n_a, coalesce(n_b, 0) AS n_b
+               FROM ca FULL OUTER JOIN cb ON ca.lang = cb.lang),
+         t AS (SELECT sum(n_a) AS ta, sum(n_b) AS tb, count(*) AS k FROM j)
+         SELECT j.lang, CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+           CAST(n_a + 1 AS DOUBLE) / CAST(ta + k AS DOUBLE) AS p_a,
+           CAST(n_b + 1 AS DOUBLE) / CAST(tb + k AS DOUBLE) AS p_b,
+           abs(CAST(n_a + 1 AS DOUBLE) / CAST(ta + k AS DOUBLE)
+             - CAST(n_b + 1 AS DOUBLE) / CAST(tb + k AS DOUBLE)) / 2 AS tv_term,
+           (CAST(n_a + 1 AS DOUBLE) / CAST(ta + k AS DOUBLE)
+             - CAST(n_b + 1 AS DOUBLE) / CAST(tb + k AS DOUBLE))
+           * (CAST(n_a + 1 AS DOUBLE) / CAST(ta + k AS DOUBLE)
+             - CAST(n_b + 1 AS DOUBLE) / CAST(tb + k AS DOUBLE))
+           / (CAST(n_b + 1 AS DOUBLE) / CAST(tb + k AS DOUBLE)) AS chi_term
+         FROM j CROSS JOIN t ORDER BY lang""",
+    "q117_data_card" ->
+      """SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(length(text)) AS BIGINT) AS n_chars,
+           CAST(sum(len(list_filter(string_split(text, ' '), x -> x != ''))) AS BIGINT) AS n_tokens,
+           CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+           CAST(count(DISTINCT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'))) AS BIGINT) AS n_unique,
+           CAST(count(*) - count(DISTINCT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'))) AS BIGINT) AS dup_docs,
+           CAST(sum(len(list_filter(string_split(text, ' '), x -> x != ''))) AS DOUBLE)
+             / CAST(count(*) AS DOUBLE) AS mean_tokens
+         FROM documents GROUP BY source ORDER BY source""",
     "q109_semantic_decontaminate" ->
       """WITH ev AS (SELECT embedding::DOUBLE[] AS ev FROM embeddings WHERE vec_id % 50 = 0),
          hits AS (SELECT DISTINCT c.vec_id

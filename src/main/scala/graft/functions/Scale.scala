@@ -206,4 +206,70 @@ object Scale {
       .where(F.col("cnt") * k > F.col("__total"))
       .drop("__total")
   }
+
+  /** Spark's runtime bloom filter caps injected filters at 8M bits
+    * (`spark.sql.optimizer.runtime.bloomFilter.maxNumBits` default); the
+    * same cap here bounds the driver-collected sketch to ≤ 8 MB. Past the
+    * cap the filter stays correct — false-positive rate degrades, the
+    * exact finishing join still removes every false positive. */
+  private val MaxBloomBits = 67108864L
+
+  /** Exact semi-join with a bloom-filter pre-filter on the probe side —
+    * the scale discipline for `big SEMI JOIN small` when `small`'s key set
+    * is too large to broadcast: without it, Catalyst falls back to a
+    * sort-merge semi-join that shuffles the ENTIRE probe side; with it,
+    * only bloom-surviving probe rows (true matches + fpp false positives)
+    * reach the join's exchange. This is the hand-rolled face of Spark's
+    * own `InjectRuntimeFilter` (which only fires on selective filters with
+    * column stats); a library caller can demand it.
+    *
+    * Mechanics: one pass over `small`'s distinct keys builds an
+    * `o.a.s.util.sketch.BloomFilter` via the Catalyst
+    * `BloomFilterAggregate` over `xxhash64(key)`; the serialized sketch
+    * (≤ 8 MB, see [[MaxBloomBits]]) ships to executors as a foldable
+    * literal inside `BloomFilterMightContain` — a scan-stage predicate on
+    * `big`, exactly how Spark's runtime filtering injects it. The result
+    * is EXACT (oracle-comparable): the finishing semi-join removes bloom
+    * false positives; rows with a null probe key are dropped per semi-join
+    * semantics. Both keys must share a data type — xxhash64 of an int and
+    * a long differ, so a silent cast would make the bloom reject every
+    * true match.
+    *
+    * Driver-side cost is the sketch itself (one `collect()` of one binary
+    * value) — the same shape as [[heavyHitters]]' candidate set: a
+    * bounded summary, never data rows. */
+  def bloomSemiJoin(big: DataFrame, small: DataFrame, bigKey: String,
+                    smallKey: String, fpp: Double = 0.03): DataFrame = {
+    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
+    import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+    import org.apache.spark.sql.graft.ColumnBridge.{column, expression}
+    import org.apache.spark.util.sketch.BloomFilter
+    require(fpp > 0 && fpp < 1, s"fpp must be in (0,1), got $fpp")
+    val bigType = big.schema(bigKey).dataType
+    val smallType = small.schema(smallKey).dataType
+    require(bigType == smallType,
+      s"key types must match for hash parity: $bigKey is $bigType, $smallKey is $smallType")
+
+    val keys = small.select(F.col(smallKey))
+      .where(F.col(smallKey).isNotNull).distinct()
+    // size the sketch from the real build-side cardinality (one narrow
+    // pass over the DISTINCT keys — the frame the join reuses below)
+    val n = math.max(keys.count(), 1L)
+    val numBits = math.min(BloomFilter.optimalNumOfBits(n, fpp), MaxBloomBits)
+    val agg = column(new BloomFilterAggregate(
+        expression(F.xxhash64(F.col(smallKey))),
+        Literal(n), Literal(numBits)).toAggregateExpression())
+    val bloomBytes = keys.agg(agg.as("bloom")).head.getAs[Array[Byte]](0)
+
+    val filtered =
+      if (bloomBytes == null) big.where(F.lit(false)) // empty build side
+      else big.where(column(BloomFilterMightContain(
+        Literal.create(bloomBytes,
+          org.apache.spark.sql.types.BinaryType),
+        expression(F.xxhash64(big(bigKey))))))
+    // no broadcast hint: at sketch-worthy build sizes the planner's pick
+    // (SMJ over the pre-filtered probe) is the point; at test scale AQE
+    // broadcasts it anyway
+    filtered.join(keys, filtered(bigKey) === keys(smallKey), "left_semi")
+  }
 }

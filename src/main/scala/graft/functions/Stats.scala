@@ -58,4 +58,46 @@ object Stats {
       F.sum(F.col(intCol)).over(w).cast("double") /
         F.count(F.lit(1)).over(w).cast("double"))
   }
+
+  /** Distribution drift between two corpus slices over a categorical
+    * column — the QA gate after any split/sample/mix step: did the test
+    * slice keep the train slice's language (or source, or quality-bucket)
+    * mix? One row per category with both Laplace-smoothed probabilities
+    * (`(n+1)/(N+K)` — absent-in-one-side categories get mass instead of a
+    * zero divide), the total-variation term `|p_a−p_b|/2` and the
+    * chi-square term `(p_a−p_b)²/p_b`; `SUM(tv_term)` / `SUM(chi_term)`
+    * over the result is the distance. No transcendentals (a KL would need
+    * `ln`, whose last-ulp varies by libm — the q108 lesson): counts are
+    * exact integers, and `/`, `−`, `×` on identical doubles are IEEE
+    * correctly-rounded, so the output is bit-reproducible across engines.
+    *
+    * Scale shape: each side is one map-side-combined count on the category
+    * (cardinality ~ languages/sources, tiny), a full outer join of two
+    * tiny frames, and a 1-row category-count scalar — the corpus scans
+    * dominate; nothing wide ever exceeds the category count. */
+  def distributionDrift(a: DataFrame, b: DataFrame, catCol: String): DataFrame = {
+    def counts(df: DataFrame, out: String) =
+      df.where(F.col(catCol).isNotNull)
+        .groupBy(catCol).agg(F.count(F.lit(1)).as(out))
+    val ca = counts(a, "n_a")
+    val cb = counts(b, "n_b")
+    val joined = ca.join(cb, Seq(catCol), "full_outer")
+      .select(F.col(catCol),
+        F.coalesce(F.col("n_a"), F.lit(0L)).as("n_a"),
+        F.coalesce(F.col("n_b"), F.lit(0L)).as("n_b"))
+    val k = F.count(F.lit(1))           // distinct categories (union)
+    val totals = joined.agg(
+      F.sum("n_a").as("__ta"), F.sum("n_b").as("__tb"), k.as("__k"))
+    val pA = (F.col("n_a") + F.lit(1L)).cast("double") /
+      (F.col("__ta") + F.col("__k")).cast("double")
+    val pB = (F.col("n_b") + F.lit(1L)).cast("double") /
+      (F.col("__tb") + F.col("__k")).cast("double")
+    joined.crossJoin(F.broadcast(totals))
+      .withColumn("p_a", pA)
+      .withColumn("p_b", pB)
+      .withColumn("tv_term", F.abs(F.col("p_a") - F.col("p_b")) / F.lit(2.0))
+      .withColumn("chi_term",
+        (F.col("p_a") - F.col("p_b")) * (F.col("p_a") - F.col("p_b")) / F.col("p_b"))
+      .drop("__ta", "__tb", "__k")
+  }
 }

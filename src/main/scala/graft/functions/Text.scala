@@ -362,4 +362,33 @@ object Text {
           .when(F.col("lm_avg_ppm") >= F.col("__c1"), "middle")
           .otherwise("tail").as("bucket"))
   }
+
+  /** Per-source corpus data card — the summary panel a dataset release
+    * ships (docs, chars, tokens, language spread, exact-duplicate rate,
+    * mean length) computed in ONE pass + one shuffle on the source key:
+    * every per-row stat (length, token count, [[fingerprintMd5]]) is a
+    * scan-stage map, the groupBy partial-aggregates map-side, and the two
+    * distinct-counts expand to the standard two-phase plan. Nothing wide
+    * exceeds |sources| × |langs| + |sources| × |distinct fingerprints|
+    * (the dedup-style fingerprint-only shuffle — document bytes never
+    * move). Mean is the one double: exact integer sums divided once at
+    * the end (the module's reproducibility discipline). */
+  def dataCard(df: org.apache.spark.sql.DataFrame, sourceCol: String,
+               langCol: String, textCol: String): org.apache.spark.sql.DataFrame = {
+    val t = F.col(textCol)
+    df.select(F.col(sourceCol), F.col(langCol),
+        F.length(t).cast("long").as("__chars"),
+        tokenCount(t).cast("long").as("__toks"),
+        fingerprintMd5(t).as("__fp"))
+      .groupBy(sourceCol)
+      .agg(
+        F.count(F.lit(1)).as("n_docs"),
+        F.sum("__chars").as("n_chars"),
+        F.sum("__toks").as("n_tokens"),
+        F.countDistinct(F.col(langCol)).as("n_langs"),
+        F.countDistinct(F.col("__fp")).as("n_unique"))
+      .withColumn("dup_docs", F.col("n_docs") - F.col("n_unique"))
+      .withColumn("mean_tokens",
+        F.col("n_tokens").cast("double") / F.col("n_docs").cast("double"))
+  }
 }

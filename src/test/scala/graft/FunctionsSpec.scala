@@ -629,4 +629,41 @@ class FunctionsSpec extends AnyFunSuite {
     // every English doc outweighs every French doc under the en target
     assert(tgtIds.map(got(_)._2).min > Set(4L, 5L).map(got(_)._2).max)
   }
+
+  test("distributionDrift: smoothed probabilities, one-sided categories, identical slices") {
+    val a = (Seq.fill(6)("en") ++ Seq.fill(3)("de") ++ Seq("fr")).toDF("lang")
+    val b = (Seq.fill(4)("en") ++ Seq.fill(1)("zh")).toDF("lang")
+    val got = Stats.distributionDrift(a, b, "lang")
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4),
+          r.getDouble(5), r.getDouble(6)))).toMap
+    // K = 4 union categories; Laplace: p = (n+1)/(N+K)
+    val (ta, tb, k) = (10.0, 5.0, 4.0)
+    def terms(na: Long, nb: Long) = {
+      val pa = (na + 1) / (ta + k); val pb = (nb + 1) / (tb + k)
+      (na, nb, pa, pb, math.abs(pa - pb) / 2, (pa - pb) * (pa - pb) / pb)
+    }
+    assert(got == Map(
+      "en" -> terms(6, 4), "de" -> terms(3, 0),
+      "fr" -> terms(1, 0), "zh" -> terms(0, 1)))
+    // a slice against itself: zero drift in every term
+    val self = Stats.distributionDrift(a, a, "lang")
+      .agg(F.sum("tv_term"), F.sum("chi_term")).head
+    assert(self.getDouble(0) == 0.0 && self.getDouble(1) == 0.0)
+  }
+
+  test("dataCard: per-source docs/chars/tokens/langs/dup counts on a hand fixture") {
+    val df = Seq(
+      (1L, "alpha beta", "en", "web"),
+      (2L, "ALPHA   beta ", "de", "web"),   // same fingerprint as doc 1
+      (3L, "gamma", "en", "web"),
+      (4L, "delta epsilon zeta", "en", "books")
+    ).toDF("doc_id", "text", "lang", "source")
+    val got = Text.dataCard(df, "source", "lang", "text")
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getLong(5), r.getLong(6), r.getDouble(7)))).toMap
+    assert(got("web") == ((3L, 28L, 5L, 2L, 2L, 1L, 5.0 / 3.0)))
+    assert(got("books") == ((1L, 18L, 3L, 1L, 1L, 0L, 3.0)))
+  }
 }

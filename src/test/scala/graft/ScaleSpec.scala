@@ -258,6 +258,41 @@ class ScaleSpec extends AnyFunSuite {
     }
   }
 
+  test("bloomSemiJoin equals plain left_semi; bloom predicate prunes before the join") {
+    // a lossy bloom (fpp .5) over a large-ish domain WILL produce false
+    // positives — equality with the plain semi-join proves the finishing
+    // join removes them; null probe keys must drop per semi-join semantics
+    val big = ((1L to 5000L) ++ Seq.fill(50)(14L)).toDF("k")
+      .union(Seq.empty[Long].toDF("k").select(F.lit(null).cast("long").as("k")))
+      .repartition(5)
+    val small = (1L to 5000L by 13L).toDF("sk")
+    val got = Scale.bloomSemiJoin(big, small, "k", "sk", fpp = 0.5)
+      .as[Long].collect().sorted.toSeq
+    val want = big.join(small, big("k") === small("sk"), "left_semi")
+      .as[Long].collect().sorted.toSeq
+    assert(got == want)
+    assert(got.count(_ == 14L) == 51)  // multiplicity preserved (semi, not inner)
+
+    // the sketch probe sits in a Filter BELOW the join — the pruning is
+    // plan-structural, not incidental. (A non-local probe: over a
+    // LocalRelation, ConvertToLocalRelation folds the filter at plan time
+    // and there is nothing to see.)
+    val rangeBig = spark.range(1L, 5001L).select(F.col("id").as("k"))
+    val plan = Scale.bloomSemiJoin(rangeBig, small, "k", "sk")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("might_contain"), s"no bloom probe in the plan:\n$plan")
+
+    // empty build side → empty result, no crash on the null sketch
+    val none = small.where(F.lit(false))
+    assert(Scale.bloomSemiJoin(big, none, "k", "sk").count() == 0L)
+
+    // mismatched key types would silently hash-diverge: must refuse loudly
+    val intSmall = (1 to 10).toDF("sk")
+    intercept[IllegalArgumentException] {
+      Scale.bloomSemiJoin(big, intSmall, "k", "sk")
+    }
+  }
+
   test("heavyHitters equals plain groupBy+HAVING on skewed multi-partition input") {
     val rows = Seq.fill(5000)("hot") ++ Seq.fill(900)("warm") ++
       (1 to 3000).map(i => s"cold${i % 800}")
