@@ -404,4 +404,40 @@ object Dedup {
     }
     labels
   }
+
+  private def freshFp(taken: Iterable[String]): String =
+    Iterator.from(0).map(i => if (i == 0) "__fp" else s"__fp$i")
+      .find(n => !taken.exists(_ == n)).get
+
+  /** Streaming face of exact dedup: first-seen-wins across micro-batches,
+    * keyed by the same whitespace-normalizing [[Text.fingerprintMd5]] the
+    * batch path (q32) uses — an INGEST-TIME dedup, so a pipeline can drop
+    * duplicates as documents arrive instead of re-scanning the corpus.
+    * State is one fingerprint per distinct document, partitioned by
+    * fingerprint hash in the state store, and grows without bound — the
+    * right face for bounded-vocabulary streams or replay-from-checkpoint
+    * backfills. For unbounded streams use [[streamingExactDedupBounded]].
+    * Exactly-once: `dropDuplicates` state lives in the checkpoint, so a
+    * replayed micro-batch re-drops the same rows (spec-pinned). */
+  def streamingExactDedup(stream: DataFrame, textCol: String): DataFrame = {
+    val fp = freshFp(stream.columns)
+    stream.withColumn(fp, Text.fingerprintMd5(F.col(textCol)))
+      .dropDuplicates(fp)
+      .drop(fp)
+  }
+
+  /** As [[streamingExactDedup]] with BOUNDED state: duplicates are only
+    * tracked inside the watermark horizon (`dropDuplicatesWithinWatermark`),
+    * so the store holds ~rate×delay fingerprints instead of all history —
+    * the 100 TB/day shape. A duplicate arriving after its original has
+    * aged past `delay` is re-admitted (the documented trade; run a batch
+    * [[exactDupGroups]] pass downstream when global uniqueness matters). */
+  def streamingExactDedupBounded(stream: DataFrame, textCol: String,
+                                 tsCol: String, delay: String): DataFrame = {
+    val fp = freshFp(stream.columns)
+    stream.withColumn(fp, Text.fingerprintMd5(F.col(textCol)))
+      .withWatermark(tsCol, delay)
+      .dropDuplicatesWithinWatermark(fp)
+      .drop(fp)
+  }
 }

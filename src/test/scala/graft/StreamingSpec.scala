@@ -204,4 +204,52 @@ class StreamingSpec extends AnyFunSuite {
     val snap = new SnapshottableMap[Long](state)
     assert(snap.get.contains(5L))
   }
+
+  test("streaming exact dedup: first-seen-wins across micro-batches, normalized fingerprint") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, String)]
+    val out = scala.collection.mutable.Buffer[Long]()
+    val deduped = graft.functions.Dedup.streamingExactDedup(
+      input.toDF().toDF("id", "text"), "text")
+    assert(deduped.columns.toSeq == Seq("id", "text")) // working column dropped
+    val q = deduped.writeStream.outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime(0L))
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        out.synchronized { out ++= b.select("id").as[Long].collect() }; ()
+      }.start()
+    input.addData((1L, "alpha beta"), (3L, "gamma"))
+    q.processAllAvailable()
+    // "ALPHA   beta " normalizes to doc 1's fingerprint → dropped across batches
+    input.addData((4L, "ALPHA   beta "), (5L, "delta"))
+    q.processAllAvailable()
+    q.stop()
+    assert(out.sorted.toSeq == Seq(1L, 3L, 5L))
+  }
+
+  test("bounded streaming dedup: drops within the watermark horizon, re-admits after it") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, Long, String)]
+    val out = scala.collection.mutable.Buffer[Long]()
+    val deduped = graft.functions.Dedup.streamingExactDedupBounded(
+      input.toDF().toDF("id", "sec", "text")
+        .withColumn("ts", F.timestamp_seconds(F.col("sec"))),
+      "text", "ts", "10 seconds")
+    val q = deduped.writeStream.outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime(0L))
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        out.synchronized { out ++= b.select("id").as[Long].collect() }; ()
+      }.start()
+    input.addData((1L, 100L, "a b"), (2L, 100L, "c"))
+    q.processAllAvailable()
+    // watermark after batch 1 = 100-10s: doc 1's fingerprint state is live,
+    // so the t=105 duplicate drops; t=200 advances the watermark to 190
+    input.addData((3L, 105L, "a b"), (4L, 200L, "fresh"))
+    q.processAllAvailable()
+    // fingerprint state from t=100 expired at watermark 190 → re-admitted
+    // (the documented bounded-state trade)
+    input.addData((5L, 300L, "a b"))
+    q.processAllAvailable()
+    q.stop()
+    assert(out.sorted.toSeq == Seq(1L, 2L, 4L, 5L))
+  }
 }
