@@ -85,6 +85,9 @@ object Stats {
       .select(F.col(catCol),
         F.coalesce(F.col("n_a"), F.lit(0L)).as("n_a"),
         F.coalesce(F.col("n_b"), F.lit(0L)).as("n_b"))
+      // category-cardinality frame read by TWO consumers (totals + output):
+      // cut it once so the corpus count scans run once, not twice
+      .localCheckpoint(true)
     val k = F.count(F.lit(1))           // distinct categories (union)
     val totals = joined.agg(
       F.sum("n_a").as("__ta"), F.sum("n_b").as("__tb"), k.as("__k"))

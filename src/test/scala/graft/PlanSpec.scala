@@ -109,6 +109,25 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct") && !p.contains("SortMergeJoin"), p)
   }
 
+  test("q115 bloom semi-join: probe-scan bloom filter, pruned scan, broadcast finishing join") {
+    val p = plan("q115_bloom_semi_join")
+    // the sketch probe must be a Filter in the probe's scan stage — the
+    // pruning that keeps non-matching rows out of the join exchange
+    assert(p.contains("might_contain"), s"no bloom probe:\n$p")
+    assert(p.contains("ReadSchema: struct<l_orderkey:bigint,l_linenumber:int,l_quantity:double>"),
+      s"probe scan not pruned to the 3 output columns:\n$p")
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftSemi"),
+      s"finishing join not a broadcast semi at this sf:\n$p")
+  }
+
+  test("q116 drift: category frame cut once; only scalar-broadcast joins above it") {
+    val p = plan("q116_split_drift")
+    assert(p.contains("Scan ExistingRDD"),
+      s"category counts not checkpoint-cut (corpus scans would run twice):\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"full-outer count join must live below the cut:\n$p")
+  }
+
   test("SPI whole-stream aggregate keeps a real Exchange between partial and final stages") {
     // coalesce(1) here would be a narrow dependency — Spark would collapse
     // the partial stage into the single final task and the per-partition
