@@ -966,6 +966,26 @@ object SparkEntry {
       functions.Text.dataCard(table(s, dir, "documents"), "source", "lang", "text")
         .orderBy("source")),
 
+    "q118_containment" -> ((s, dir) =>
+      // asymmetric containment dedup: quote-inclusion pairs symmetric
+      // Jaccard misses — winnow-fingerprint candidates, exact k-gram
+      // containment vs the smaller set, integer ppm
+      Dedup.containmentPairs(table(s, dir, "documents"), "doc_id", "text",
+          k = 4, w = 4, minShared = 2L, maxBucketSize = 12,
+          minContainmentPpm = 300000L)
+        .orderBy("a", "b")),
+
+    "q119_weighted_sample" -> ((s, dir) =>
+      // per-row-rate Bernoulli: keep probability proportional to document
+      // quality proxy (n_chars), deterministic by doc_id — a scan-stage
+      // predicate, zero shuffle
+      functions.Sampling.weightedBernoulliSample(
+          table(s, dir, "documents"), F.col("doc_id"),
+          F.col("n_chars").cast("long") * F.lit(2000L))
+        .select(F.col("doc_id"), F.col("lang"),
+          F.col("n_chars").cast("long").as("n_chars"))
+        .orderBy("doc_id")),
+
     "q106_bpe_pairs" -> ((s, dir) =>
       // the BPE trainer's per-iteration counting core, oracled: weighted
       // adjacent symbol pairs over the word-frequency vocabulary, top 20
@@ -1920,6 +1940,37 @@ object SparkEntry {
            CAST(sum(len(list_filter(string_split(text, ' '), x -> x != ''))) AS DOUBLE)
              / CAST(count(*) AS DOUBLE) AS mean_tokens
          FROM documents GROUP BY source ORDER BY source""",
+    "q118_containment" ->
+      """WITH t AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x != '') AS ws FROM documents),
+         g0 AS (SELECT doc_id, list_transform(generate_series(1, len(ws) - 3),
+                  i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3]) AS gs
+                FROM t WHERE len(ws) >= 4),
+         g AS (SELECT doc_id, gs, list_transform(gs, x -> md5(x)) AS hs FROM g0),
+         f AS (SELECT doc_id,
+                 unnest(CASE WHEN len(hs) <= 4 THEN [list_aggregate(hs, 'min')]
+                      ELSE list_distinct(list_transform(
+                        generate_series(1, len(hs) - 3),
+                        i -> list_aggregate(hs[i:i+3], 'min'))) END) AS fp
+               FROM g),
+         ok AS (SELECT fp FROM f GROUP BY fp HAVING count(*) > 1 AND count(*) <= 12),
+         m AS (SELECT f.doc_id, f.fp FROM f JOIN ok USING (fp)),
+         cand AS (SELECT l.doc_id AS a, r.doc_id AS b
+                  FROM m l JOIN m r ON l.fp = r.fp AND l.doc_id < r.doc_id
+                  GROUP BY 1, 2 HAVING count(*) >= 2),
+         sets AS (SELECT doc_id, list_distinct(gs) AS s FROM g)
+         SELECT c.a, c.b,
+           CAST(len(list_intersect(sa.s, sb.s)) AS BIGINT) AS n_common,
+           CAST(len(sa.s) AS BIGINT) AS n_a,
+           CAST(len(sb.s) AS BIGINT) AS n_b,
+           CAST(len(list_intersect(sa.s, sb.s)) * 1000000 // least(len(sa.s), len(sb.s)) AS BIGINT) AS containment_ppm
+         FROM cand c JOIN sets sa ON c.a = sa.doc_id JOIN sets sb ON c.b = sb.doc_id
+         WHERE len(list_intersect(sa.s, sb.s)) * 1000000 // least(len(sa.s), len(sb.s)) >= 300000
+         ORDER BY a, b""",
+    "q119_weighted_sample" ->
+      """SELECT doc_id, lang, CAST(n_chars AS BIGINT) AS n_chars FROM documents
+         WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 1000000
+               < least(1000000, n_chars * 2000)
+         ORDER BY doc_id""",
     "q109_semantic_decontaminate" ->
       """WITH ev AS (SELECT embedding::DOUBLE[] AS ev FROM embeddings WHERE vec_id % 50 = 0),
          hits AS (SELECT DISTINCT c.vec_id

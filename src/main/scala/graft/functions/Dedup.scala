@@ -273,6 +273,47 @@ object Dedup {
       .where(F.col("n_shared") >= minShared)
   }
 
+  /** Containment near-dup pairs: symmetric resemblance ([[nearDupPairs]])
+    * misses SUBSET duplication — a 50-token doc quoted whole inside a
+    * 500-token doc has Jaccard ≈ 0.1 but containment ≈ 1.0 (Broder's
+    * containment coefficient |S(A)∩S(B)| / |S(A)|). Candidates come from
+    * shared winnow fingerprints — winnowing guarantees any shared token
+    * run of length ≥ w+k-1 shares one, exactly the long-run shape
+    * containment implies — then exact k-gram containment is computed on
+    * candidates only, reported against the SMALLER gram set (the
+    * potentially-contained side).
+    *
+    * Output (a, b, n_common, n_a, n_b, containment_ppm) with
+    * containment_ppm = ⌊1e6·n_common / min(n_a,n_b)⌋ — integer ppm, so the
+    * value is engine-exact (no float fold drift).
+    *
+    * Scale shape: candidate generation is the winnow explode (ids+32-char
+    * fps only, bucket-capped — no all-pairs anywhere); the exact pass joins
+    * distinct-gram arrays for CANDIDATE ids only. Text leaves its scan
+    * stage only as the per-doc gram array.
+    * Reference scope: storm-core has no similarity tooling; this extends
+    * the LSH/winnow dedup family the training-data pipeline needs. */
+  def containmentPairs(df: DataFrame, idCol: String, textCol: String,
+      k: Int = 4, w: Int = 4, minShared: Long = 2L, maxBucketSize: Int = 10000,
+      minContainmentPpm: Long = 300000L): DataFrame = {
+    val base = df.where(F.size(Text.tokens(F.col(textCol))) >= k)
+    val cands = winnowOverlapCandidates(base, idCol, textCol, k, w,
+        minShared, maxBucketSize)
+      .select("a", "b")
+    val sets = base.select(F.col(idCol).as("id"),
+      F.array_distinct(shingles(F.col(textCol), k)).as("__s"))
+    cands
+      .join(sets.select(F.col("id").as("a"), F.col("__s").as("sa")), "a")
+      .join(sets.select(F.col("id").as("b"), F.col("__s").as("sb")), "b")
+      .select(F.col("a"), F.col("b"),
+        F.size(F.array_intersect(F.col("sa"), F.col("sb"))).cast("long").as("n_common"),
+        F.size(F.col("sa")).cast("long").as("n_a"),
+        F.size(F.col("sb")).cast("long").as("n_b"))
+      .withColumn("containment_ppm",
+        F.expr("n_common * 1000000L DIV least(n_a, n_b)"))
+      .where(F.col("containment_ppm") >= minContainmentPpm)
+  }
+
   /** The fingerprint buckets [[winnowOverlapCandidates]] drops at this cap
     * — the no-silent-caps audit face. */
   def winnowOversizeBuckets(df: DataFrame, idCol: String, textCol: String,

@@ -27,6 +27,18 @@ object Sampling {
   def bernoulliSample(df: DataFrame, key: Column, ppm: Long): DataFrame =
     df.where(hashBucket(key) < ppm)
 
+  /** Per-ROW-rate Bernoulli sample: each row is kept with its own
+    * probability `weightPpm/1e6` (clamped to [0, 1e6]) — quality-weighted
+    * downsampling, where a score column sets the keep rate row by row
+    * (e.g. keep high-quality documents at 100%, boilerplate at 5%).
+    * Deterministic by key: the same row survives every retry/backfill, so
+    * downstream incremental jobs see a stable sample. Pure scan-stage
+    * predicate — codegen'd, zero shuffle, pushes past column pruning. */
+  def weightedBernoulliSample(df: DataFrame, key: Column,
+      weightPpm: Column): DataFrame =
+    df.where(hashBucket(key) <
+      F.greatest(F.lit(0L), F.least(F.lit(1000000L), weightPpm.cast("long"))))
+
   /** Stratified sample: per-stratum keep-rate (parts per million), with a
     * default for unlisted strata. One codegen'd CASE — no per-stratum scan,
     * no driver loop. */

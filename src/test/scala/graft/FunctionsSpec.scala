@@ -228,6 +228,55 @@ class FunctionsSpec extends AnyFunSuite {
       "doc_id", "text", k = 4, w = 4, maxBucketSize = 10).count() > 0L)
   }
 
+  test("containmentPairs finds quote-inclusion that symmetric Jaccard misses") {
+    // a 8-token doc quoted whole inside a 40-token doc: containment of the
+    // short side = 1.0 while Jaccard ~ 5/38 — the asymmetric-dup shape
+    val quote = "alpha beta gamma delta epsilon zeta eta theta"
+    val filler = (1 to 32).map(i => s"w$i").mkString(" ")
+    val docs = Seq(
+      (1L, quote),                       // the contained doc
+      (2L, s"$filler $quote"),           // the container
+      (3L, "totally unrelated words here nothing shared at all right"))
+      .toDF("doc_id", "text")
+    val pairs = Dedup.containmentPairs(docs, "doc_id", "text",
+        k = 4, w = 4, minShared = 1L, maxBucketSize = 100,
+        minContainmentPpm = 900000L)
+      .as[(Long, Long, Long, Long, Long, Long)].collect()
+    assert(pairs.length == 1)
+    val (a, b, nCommon, nA, nB, ppm) = pairs.head
+    assert((a, b) == (1L, 2L))
+    assert(nA == 5L && nCommon == 5L) // all 5 of the quote's 4-grams shared
+    assert(nB == 37L)                 // container: 40 tokens -> 37 grams
+    assert(ppm == 1000000L)           // fully contained
+    // symmetric Jaccard on the same pair is far below any dedup threshold
+    assert(nCommon.toDouble / (nA + nB - nCommon) < 0.2)
+
+    // below-threshold containment filtered out
+    assert(Dedup.containmentPairs(docs, "doc_id", "text",
+      k = 4, w = 4, minShared = 1L, maxBucketSize = 100,
+      minContainmentPpm = 1000001L).count() == 0L)
+  }
+
+  test("weightedBernoulliSample: per-row rate, deterministic, clamped") {
+    val df = (0L until 200L).map(i => (i, i * 5000L)).toDF("id", "w")
+    // weight 0 keeps nothing even when hash lands at 0
+    assert(Sampling.weightedBernoulliSample(df.where($"w" === 0L), $"id", $"w")
+      .count() == 0L)
+    // weight >= 1e6 keeps everything (clamp, not overflow)
+    assert(Sampling.weightedBernoulliSample(df, $"id", F.lit(Long.MaxValue))
+      .count() == 200L)
+    // per-row: kept set is exactly the rows whose hash bucket < own weight
+    val kept = Sampling.weightedBernoulliSample(df, $"id", $"w")
+      .select("id").as[Long].collect().toSet
+    val expect = df.select($"id", Sampling.hashBucket($"id").as("h"), $"w")
+      .as[(Long, Long, Long)].collect()
+      .filter { case (_, h, w) => h < math.min(w, 1000000L) }.map(_._1).toSet
+    assert(kept == expect && kept.nonEmpty && kept.size < 200)
+    // determinism: identical on re-run
+    assert(Sampling.weightedBernoulliSample(df, $"id", $"w")
+      .select("id").as[Long].collect().toSet == kept)
+  }
+
   test("winnowing: native expression matches a brute-force Scala reference on random docs") {
     // independent third implementation (the Column spelling shares Spark's
     // md5/array_min; this one shares nothing with the engine)
