@@ -128,6 +128,27 @@ class PlanSpec extends AnyFunSuite {
       s"full-outer count join must live below the cut:\n$p")
   }
 
+  test("q118 containment: candidate cut reused, ppm predicate inside the finishing join, no blowup joins") {
+    val p = plan("q118_containment")
+    assert(p.contains("Scan ExistingRDD"),
+      s"winnow fps not checkpoint-cut (md5 scan would run twice):\n$p")
+    // the containment threshold must ride the join, not a post-join filter
+    // over the materialized pair set
+    assert(p.contains("array_intersect") && p.contains("div least"),
+      s"containment ppm not inlined as the join condition:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("SortMergeJoin"), p)
+  }
+
+  test("q119 weighted sample: scan-stage predicate over a pruned read, no joins, no extra exchange") {
+    val p = plan("q119_weighted_sample")
+    assert(p.contains("md5_bucket"), s"no deterministic hash predicate:\n$p")
+    assert(p.contains("ReadSchema: struct<doc_id:bigint,lang:string,n_chars:bigint>"),
+      s"scan not pruned to the 3 output columns:\n$p")
+    assert(!p.contains("Join"), s"weighted keep must not join:\n$p")
+    // one exchange only: the oracle-parity output sort
+    assert("Exchange".r.findAllIn(p).size <= 2, s"unexpected exchanges:\n$p")
+  }
+
   test("SPI whole-stream aggregate keeps a real Exchange between partial and final stages") {
     // coalesce(1) here would be a narrow dependency — Spark would collapse
     // the partial stage into the single final task and the per-partition
