@@ -986,6 +986,14 @@ object SparkEntry {
           F.col("n_chars").cast("long").as("n_chars"))
         .orderBy("doc_id")),
 
+    "q120_inverted_index" -> ((s, dir) =>
+      // retrieval-index build: term -> exact df + first-8 posting list,
+      // buffer-bounded aggregate (hot term costs 8 heap slots, df exact,
+      // cap flagged), one shuffle on the term
+      functions.Text.invertedIndex(table(s, dir, "documents"), "doc_id", "text",
+          maxPostings = 8)
+        .orderBy("term")),
+
     "q106_bpe_pairs" -> ((s, dir) =>
       // the BPE trainer's per-iteration counting core, oracled: weighted
       // adjacent symbol pairs over the word-frequency vocabulary, top 20
@@ -1971,6 +1979,14 @@ object SparkEntry {
          WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 1000000
                < least(1000000, n_chars * 2000)
          ORDER BY doc_id""",
+    "q120_inverted_index" ->
+      """WITH w AS (SELECT doc_id,
+                      unnest(list_distinct(list_filter(string_split(text, ' '), x -> x != ''))) AS term
+                    FROM documents)
+         SELECT term, CAST(count(*) AS BIGINT) AS df,
+           array_to_string(list_sort(list(doc_id))[1:8], ',') AS postings,
+           count(*) > 8 AS truncated
+         FROM w GROUP BY term ORDER BY term""",
     "q109_semantic_decontaminate" ->
       """WITH ev AS (SELECT embedding::DOUBLE[] AS ev FROM embeddings WHERE vec_id % 50 = 0),
          hits AS (SELECT DISTINCT c.vec_id

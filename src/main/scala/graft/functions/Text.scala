@@ -168,6 +168,28 @@ object Text {
     * small-table sort, and the corpus explode runs ONCE (a per-term
     * aggregate joined back would re-derive tf and re-scan the corpus);
     * N/avgdl ride along as a broadcast scalar. */
+  /** Bounded inverted index: per term, the exact document frequency plus
+    * the first `maxPostings` doc ids ascending — the retrieval-index build
+    * face. One explode of the per-doc DISTINCT token set and ONE shuffle
+    * keyed on the term; the posting-list aggregate is buffer-bounded
+    * ([[graft.plans.Expressions.BoundedFirstN]], partial-merging), so a
+    * stopword term costs `maxPostings` heap entries per task rather than
+    * its full df. No silent caps: `truncated` flags every capped term and
+    * `df` stays exact. Postings surface as a comma-joined string so the
+    * ordering is engine-portable (oracle-exact). */
+  def invertedIndex(df: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String, maxPostings: Int = 8): org.apache.spark.sql.DataFrame =
+    df.select(F.col(idCol).as("__id"),
+        F.explode(F.array_distinct(tokens(F.col(textCol)))).as("term"))
+      .groupBy("term")
+      .agg(F.count(F.lit(1)).as("df"),
+        graft.plans.Expressions.boundedFirstN(
+          F.struct(F.col("__id").as("id")), maxPostings).as("__p"))
+      .select(F.col("term"), F.col("df"),
+        F.array_join(F.expr("transform(__p, s -> cast(s.id as string))"), ",")
+          .as("postings"),
+        (F.col("df") > maxPostings).as("truncated"))
+
   def bm25(df: org.apache.spark.sql.DataFrame, idCol: String, textCol: String,
       queryTerms: Seq[String], k1: Double = 1.2, b: Double = 0.75): org.apache.spark.sql.DataFrame = {
     val docs = df.select(F.col(idCol), F.col(textCol),

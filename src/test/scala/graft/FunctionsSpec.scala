@@ -277,6 +277,20 @@ class FunctionsSpec extends AnyFunSuite {
       .select("id").as[Long].collect().toSet == kept)
   }
 
+  test("invertedIndex: exact df, bounded ascending postings, cap flagged") {
+    val docs = ((1L to 12L).map(i => (i, s"common unique$i")) :+
+      (20L, "common common repeated-inside-one-doc")).toDF("doc_id", "text")
+    val idx = Text.invertedIndex(docs, "doc_id", "text", maxPostings = 8)
+      .as[(String, Long, String, Boolean)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    // 'common' in 13 docs (distinct per doc, even where it repeats):
+    // df exact, postings = first 8 ids ascending, truncated
+    assert(idx("common") == ((13L, (1L to 8L).mkString(","), true)))
+    // a singleton term: full postings, not truncated
+    assert(idx("unique7") == ((1L, "7", false)))
+    assert(idx("repeated-inside-one-doc")._1 == 1L)
+  }
+
   test("winnowing: native expression matches a brute-force Scala reference on random docs") {
     // independent third implementation (the Column spelling shares Spark's
     // md5/array_min; this one shares nothing with the engine)

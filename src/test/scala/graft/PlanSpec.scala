@@ -149,6 +149,17 @@ class PlanSpec extends AnyFunSuite {
     assert("Exchange".r.findAllIn(p).size <= 2, s"unexpected exchanges:\n$p")
   }
 
+  test("q120 inverted index: bounded posting aggregate combines map-side, one term shuffle") {
+    val p = plan("q120_inverted_index")
+    // the posting heap must run as a partial aggregate BEFORE the exchange
+    // — a final-only aggregate would shuffle every (term, doc) pair
+    assert(p.contains("partial_first_n"),
+      s"posting aggregate not map-side combined:\n$p")
+    assert("hashpartitioning\\(term".r.findAllIn(p).size == 1,
+      s"expected exactly one term-keyed exchange:\n$p")
+    assert(!p.contains("Join"), p)
+  }
+
   test("SPI whole-stream aggregate keeps a real Exchange between partial and final stages") {
     // coalesce(1) here would be a narrow dependency — Spark would collapse
     // the partial stage into the single final task and the per-partition
