@@ -273,6 +273,42 @@ object Dedup {
       .where(F.col("n_shared") >= minShared)
   }
 
+  /** Streaming LSH candidate pairs — the incremental face of
+    * [[lshCandidatePairs]]: documents arrive on a stream, minhash band
+    * signatures are computed in the scan (stateless row maps — the same
+    * fused `shingle_minhash` expression as batch), and per-band membership
+    * lives in the state store ([[graft.streaming.StateStoreRunner.BandBucketProcessor]]
+    * — ids only, capped at `maxBucketSize`, first-seen-wins). Each arrival
+    * emits candidate pairs against the band's existing members; the
+    * cross-band duplicate pair is collapsed by a stateful distinct.
+    * Downstream exact verification (jaccard / containment on the pair
+    * stream) is a stream-static or foreachBatch join — candidates never
+    * expand past the bucket cap, matching the batch discipline.
+    *
+    * Cap semantics differ from batch BY NECESSITY (documented on the
+    * processor): batch drops oversize buckets retroactively; the stream
+    * stops pairing at the cap but cannot retract pairs already emitted. */
+  def streamingLshCandidates(stream: DataFrame, idCol: String, textCol: String,
+      k: Int = 3, numHashes: Int = 8, rowsPerBand: Int = 2,
+      maxBucketSize: Int = 1000): DataFrame = {
+    val numBands = numHashes / rowsPerBand
+    val withSig = lshBands(minhashSignature(stream, textCol, k, numHashes),
+      numHashes, rowsPerBand)
+    val spark = stream.sparkSession
+    import spark.implicits._
+    withSig.select(F.explode(F.array((0 until numBands).map(b =>
+        F.struct(F.concat(F.lit(s"$b|"), F.col(s"band$b")).as("bk"),
+          F.col(idCol).cast("long").as("id"))): _*)).as("e"))
+      .select("e.bk", "e.id").as[(String, Long)]
+      .groupByKey(_._1)
+      .transformWithState(
+        new graft.streaming.StateStoreRunner.BandBucketProcessor(maxBucketSize),
+        org.apache.spark.sql.streaming.TimeMode.None(),
+        org.apache.spark.sql.streaming.OutputMode.Append())
+      .toDF("a", "b")
+      .dropDuplicates("a", "b")
+  }
+
   /** Containment near-dup pairs: symmetric resemblance ([[nearDupPairs]])
     * misses SUBSET duplication — a 50-token doc quoted whole inside a
     * 500-token doc has Jaccard ≈ 0.1 but containment ≈ 1.0 (Broder's

@@ -111,6 +111,45 @@ object StateStoreRunner {
     }
   }
 
+  /** Streaming LSH band bucket for [[graft.functions.Dedup.streamingLshCandidates]]:
+    * first-seen-wins membership per band key. Each arriving (band, id)
+    * emits a candidate pair against every id already registered in the
+    * bucket, then registers itself while the bucket is under
+    * `maxBucketSize`. The cap is the batch face's boilerplate discipline
+    * made incremental: `lshCandidatePairs` drops an oversize bucket
+    * RETROACTIVELY (it sees the full bucket before pairing); a stream
+    * cannot retract emitted pairs, so this face stops pairing and
+    * registering once full — pairs already emitted below the cap stand.
+    * Per-bucket output is bounded at cap·(cap−1)/2 pairs for the bucket's
+    * lifetime; state is ids only (the signature/text never enters the
+    * store). Within a batch, ids are processed in sorted order so the
+    * survivor set is retry-deterministic. Pairs emit as (min, max) to
+    * align with the batch face's `a < b`. */
+  class BandBucketProcessor(maxBucketSize: Int)
+    extends StatefulProcessor[String, (String, Long), (Long, Long)] {
+    @transient private var bucket: org.apache.spark.sql.streaming.ListState[Long] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      bucket = getHandle.getListState[Long]("bucket", Encoders.scalaLong, TTLConfig.NONE)
+
+    override def handleInputRows(key: String, rows: Iterator[(String, Long)],
+                                 timerValues: TimerValues): Iterator[(Long, Long)] = {
+      var members = if (bucket.exists()) bucket.get().toVector else Vector.empty[Long]
+      val seen = scala.collection.mutable.HashSet.from(members)
+      val fresh = Vector.newBuilder[Long]
+      val out = Vector.newBuilder[(Long, Long)]
+      rows.map(_._2).toVector.distinct.sorted.foreach { id =>
+        if (!seen.contains(id) && members.size < maxBucketSize) {
+          members.foreach(m => out += ((math.min(m, id), math.max(m, id))))
+          members :+= id; seen += id; fresh += id
+        }
+      }
+      val added = fresh.result()
+      if (added.nonEmpty) bucket.appendList(added.toArray)
+      out.result().iterator
+    }
+  }
+
   /** MapState handle: per-key SUB-keyed counts (e.g. per-user per-word) —
     * the value-generic map face the reference's `MapState` SPI exposes,
     * held in the store instead of an external backing map. Emits only the

@@ -91,7 +91,11 @@ object ScaleDrill {
         k = 4, w = 4, minShared = 2L, maxBucketSize = 12)),
     "dsir_weights (q112)" -> (docs =>
       Sampling.dsirWeights(docs, docs.where(F.col("lang") === "en"),
-        "doc_id", "text")))
+        "doc_id", "text")),
+    "containment (q118)" -> (docs =>
+      Dedup.containmentPairs(docs, "doc_id", "text",
+        k = 4, w = 4, minShared = 2L, maxBucketSize = 12,
+        minContainmentPpm = 300000L)))
 
   def pipelineDrill(spark: SparkSession, sfDir: String, sizes: Seq[Int]): Unit = {
     val base = spark.read.parquet(s"$sfDir/documents.parquet")

@@ -178,6 +178,59 @@ class StateStoreSpec extends AnyFunSuite {
     assert(rows.contains(("a", "data", 2L)))
     assert(rows.contains(("a", "tick", 2L)))
   }
+  test("streaming LSH candidates: cross-batch pairs, batch-face parity, cap stops pairing") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dupA = "alpha beta gamma delta epsilon zeta"
+    val dupB = "alpha beta gamma delta epsilon zeta eta"   // near-dup of dupA
+    val other = "one two three four five six seven eight"  // unrelated
+    val input = MemoryStream[(Long, String)]
+    val cands = graft.functions.Dedup.streamingLshCandidates(
+      input.toDF().toDF("doc_id", "text"), "doc_id", "text",
+      k = 3, numHashes = 4, rowsPerBand = 2, maxBucketSize = 100)
+    val q = cands.writeStream.outputMode("append")
+      .format("memory").queryName("slsh")
+      .trigger(Trigger.ProcessingTime(0L)).start()
+    input.addData((1L, dupA), (2L, other))
+    q.processAllAvailable()
+    val afterB1 = spark.table("slsh").as[(Long, Long)].collect().toSet
+    assert(afterB1.isEmpty) // nothing similar yet
+    input.addData((3L, dupB))   // pairs with doc 1 ACROSS batches
+    q.processAllAvailable()
+    input.addData((4L, dupA))   // identical to 1: pairs with 1 and 3
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("slsh").as[(Long, Long)].collect().toSet
+    assert(streamed.contains((1L, 3L)) && streamed.contains((1L, 4L)) &&
+      streamed.contains((3L, 4L)))
+    assert(!streamed.exists { case (a, b) => a == 2L || b == 2L })
+
+    // parity: same corpus through the batch face yields the same pair set
+    val corpus = Seq((1L, dupA), (2L, other), (3L, dupB), (4L, dupA))
+      .toDF("doc_id", "text")
+    val batch = graft.functions.Dedup.lshCandidatePairs(
+        graft.functions.Dedup.lshBands(
+          graft.functions.Dedup.minhashSignature(corpus, "text", 3, 4), 4, 2),
+        "doc_id", bands = 2)
+      .select("a", "b").as[(Long, Long)].collect().toSet
+    assert(streamed == batch)
+
+    // cap: bucket of 2 stops pairing — a third member emits nothing new
+    val capIn = MemoryStream[(Long, String)]
+    val capped = graft.functions.Dedup.streamingLshCandidates(
+      capIn.toDF().toDF("doc_id", "text"), "doc_id", "text",
+      k = 3, numHashes = 4, rowsPerBand = 2, maxBucketSize = 2)
+    val q2 = capped.writeStream.outputMode("append")
+      .format("memory").queryName("slshcap")
+      .trigger(Trigger.ProcessingTime(0L)).start()
+    capIn.addData((1L, dupA), (2L, dupA))
+    q2.processAllAvailable()
+    capIn.addData((3L, dupA))
+    q2.processAllAvailable()
+    q2.stop()
+    assert(spark.table("slshcap").as[(Long, Long)].collect().toSet ==
+      Set((1L, 2L)))
+  }
 }
 
 object StateStoreSpec {
