@@ -96,7 +96,8 @@ object Bench {
     // OUT of "value"/"queries": the oracle runs the same SQL as "queries",
     // so the suite ratio stays apples-to-apples; these are recorded under
     // their own key for round-over-round state-tier comparison.
-    val streaming = Seq(streamingWordCount(spark, sfDir),
+    val streaming = Seq(streamingLsh(spark, sfDir),
+      streamingWordCount(spark, sfDir),
       streamingWordCountDurable(spark, sfDir),
       streamingWordCountStore(spark, sfDir),
       continuousLatency(spark))
@@ -135,6 +136,39 @@ object Bench {
     }
     once() // warmup
     (1 to 3).map(_ => once()).min
+  }
+
+  /** Streaming LSH candidate generation (ingest-time near-dup detection):
+    * the documents corpus through minhash band signatures + state-store
+    * band buckets across 4 disjoint micro-batches (Drills.streamLshCandidates).
+    * Docs/sec and the emitted pair count go to stderr. */
+  private def streamingLsh(spark: SparkSession, sfDir: String): (String, Double) = {
+    val label = "stream_lsh_candidates"
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    try {
+      spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      import spark.implicits._
+      val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+        .select("doc_id", "text").as[(Long, String)].collect().toSeq
+      // untimed 2-doc drill absorbs JVM-wide one-time costs (RocksDB JNI,
+      // streaming codegen) — same discipline as stream_wordcount_store
+      try graft.tools.Drills.streamLshCandidates(spark, docs.take(2), 1)
+      catch { case _: Throwable => () }
+      val (sec, pairs) = graft.tools.Drills.streamLshCandidates(spark, docs, 4)
+      val n = docs.size.toLong * 4
+      System.err.println(
+        f"[bench] $label: $n docs in $sec%.2fs = ${n / sec}%.0f docs/s, $pairs pairs")
+      label -> sec
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] $label failed: ${e.getMessage}")
+      label -> -1.0
+    } finally {
+      prev match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
   }
 
   /** Streaming word-count topology throughput: the corpus' sentences pumped
