@@ -994,6 +994,20 @@ object SparkEntry {
           maxPostings = 8)
         .orderBy("term")),
 
+    "q121_cms_counts" -> ((s, dir) => {
+      // Count-Min sketch: 4x64 cells regardless of vocabulary size, md5
+      // hashing so the estimates are engine-portable (oracle computes the
+      // SAME sketch); est >= exact always, over only by colliding mass
+      val words = table(s, dir, "documents")
+        .select(F.explode(functions.Text.tokens(F.col("text"))).as("word"))
+      val sketch = functions.Scale.cmsSketch(words, F.col("word"),
+        width = 64, depth = 4)
+      val exact = words.groupBy("word").agg(F.count(F.lit(1)).as("exact"))
+      functions.Scale.cmsEstimate(sketch, exact, "word", width = 64, depth = 4)
+        .join(exact, Seq("word"))
+        .orderBy("word")
+    }),
+
     "q106_bpe_pairs" -> ((s, dir) =>
       // the BPE trainer's per-iteration counting core, oracled: weighted
       // adjacent symbol pairs over the word-frequency vocabulary, top 20
@@ -1987,6 +2001,21 @@ object SparkEntry {
            array_to_string(list_sort(list(doc_id))[1:8], ',') AS postings,
            count(*) > 8 AS truncated
          FROM w GROUP BY term ORDER BY term""",
+    "q121_cms_counts" ->
+      """WITH w AS (SELECT unnest(list_filter(string_split(text, ' '), x -> x != '')) AS word FROM documents),
+         d AS (SELECT unnest([0, 1, 2, 3]) AS d),
+         cells AS (SELECT d.d,
+                     ('0x' || substr(md5(d.d::VARCHAR || '|' || w.word), 1, 8))::BIGINT % 64 AS col,
+                     count(*) AS c
+                   FROM w CROSS JOIN d GROUP BY 1, 2),
+         exact AS (SELECT word, CAST(count(*) AS BIGINT) AS exact FROM w GROUP BY 1),
+         est AS (SELECT e.word, min(c.c) AS est
+                 FROM exact e CROSS JOIN d
+                 JOIN cells c ON c.d = d.d
+                   AND c.col = ('0x' || substr(md5(d.d::VARCHAR || '|' || e.word), 1, 8))::BIGINT % 64
+                 GROUP BY 1)
+         SELECT est.word, CAST(est.est AS BIGINT) AS est, exact.exact
+         FROM est JOIN exact USING (word) ORDER BY word""",
     "q109_semantic_decontaminate" ->
       """WITH ev AS (SELECT embedding::DOUBLE[] AS ev FROM embeddings WHERE vec_id % 50 = 0),
          hits AS (SELECT DISTINCT c.vec_id

@@ -272,4 +272,37 @@ object Scale {
     // broadcasts it anyway
     filtered.join(keys, filtered(bigKey) === keys(smallKey), "left_semi")
   }
+
+  /** Count-Min sketch as a DataFrame: `depth × width` cells, each the
+    * count of keys hashing there under that row's seeded hash. The
+    * bounded-memory approximate counter: state is `depth·width` cells no
+    * matter the key cardinality (contrast [[heavyHitters]], which keeps
+    * exact counts for candidates only). One explode (×depth) + one
+    * cell-keyed shuffle with map-side combine. Engine-portable hashing
+    * (`md5_bucket(d|key)`), so estimates are bit-reproducible — and
+    * oracle-checkable — anywhere md5 exists. */
+  def cmsSketch(df: DataFrame, key: Column, width: Int, depth: Int): DataFrame = {
+    require(width > 1 && depth > 0, s"need width>1, depth>0; got $width, $depth")
+    df.select(F.posexplode(F.array((0 until depth).map(d =>
+        graft.plans.Expressions.md5Bucket(
+          F.concat(F.lit(s"$d|"), key.cast("string")), width)): _*))
+      .as(Seq("d", "col")))
+      .groupBy("d", "col").agg(F.count(F.lit(1)).as("c"))
+  }
+
+  /** Point estimates from a [[cmsSketch]]: for each requested key, the
+    * minimum over the depth rows of its cell counts — the classic CMS
+    * upper bound (never under the true count; over by at most the
+    * colliding mass in the min cell). The sketch is `depth·width` rows, so
+    * it broadcasts; the keys frame never shuffles. */
+  def cmsEstimate(sketch: DataFrame, keys: DataFrame, keyCol: String,
+                  width: Int, depth: Int): DataFrame = {
+    val cells = keys.select(F.col(keyCol),
+      F.posexplode(F.array((0 until depth).map(d =>
+        graft.plans.Expressions.md5Bucket(
+          F.concat(F.lit(s"$d|"), F.col(keyCol).cast("string")), width)): _*))
+      .as(Seq("d", "col")))
+    cells.join(F.broadcast(sketch), Seq("d", "col"))
+      .groupBy(keyCol).agg(F.min("c").as("est"))
+  }
 }

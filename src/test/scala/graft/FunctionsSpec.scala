@@ -291,6 +291,28 @@ class FunctionsSpec extends AnyFunSuite {
     assert(idx("repeated-inside-one-doc")._1 == 1L)
   }
 
+  test("cmsSketch/cmsEstimate: bounded cells, upper-bound property even under heavy collision") {
+    val rnd = new scala.util.Random(23)
+    val keys = Vector.fill(500)(s"k${rnd.nextInt(40)}")
+    val df = keys.map(Tuple1(_)).toDF("k")
+    val exact = keys.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    for ((width, depth) <- Seq((64, 4), (2, 2))) { // (2,2): collisions guaranteed
+      val sketch = Scale.cmsSketch(df, $"k", width, depth)
+      assert(sketch.count() <= width.toLong * depth) // bounded state
+      // every cell count is the sum of its colliding keys' true counts
+      assert(sketch.agg(F.sum("c")).head.getLong(0) == keys.size.toLong * depth)
+      val est = Scale.cmsEstimate(sketch, df.distinct(), "k", width, depth)
+        .as[(String, Long)].collect().toMap
+      assert(est.keySet == exact.keySet)
+      exact.foreach { case (k, n) => assert(est(k) >= n, s"CMS under-counted $k") }
+    }
+    // wide sketch with few keys: most estimates exact
+    val wide = Scale.cmsEstimate(
+      Scale.cmsSketch(df, $"k", 4096, 4), df.distinct(), "k", 4096, 4)
+      .as[(String, Long)].collect().toMap
+    assert(wide == exact)
+  }
+
   test("winnowing: native expression matches a brute-force Scala reference on random docs") {
     // independent third implementation (the Column spelling shares Spark's
     // md5/array_min; this one shares nothing with the engine)
