@@ -994,6 +994,14 @@ object SparkEntry {
           maxPostings = 8)
         .orderBy("term")),
 
+    "q122_fuzzy_pairs" -> ((s, dir) =>
+      // entity canonicalization: part names within edit distance 1, found
+      // via deletion-neighborhood blocking (complete for dist<=1 — the
+      // oracle is a brute-force all-pairs join, so a green row PROVES the
+      // blocking missed nothing), pair universe = distinct vocabulary
+      Dedup.fuzzyDupPairs(table(s, dir, "part"), "p_name", maxDist = 1)
+        .orderBy("a", "b")),
+
     "q121_cms_counts" -> ((s, dir) => {
       // Count-Min sketch: 4x64 cells regardless of vocabulary size, md5
       // hashing so the estimates are engine-portable (oracle computes the
@@ -2001,6 +2009,13 @@ object SparkEntry {
            array_to_string(list_sort(list(doc_id))[1:8], ',') AS postings,
            count(*) > 8 AS truncated
          FROM w GROUP BY term ORDER BY term""",
+    "q122_fuzzy_pairs" ->
+      """WITH n AS (SELECT DISTINCT p_name FROM part WHERE p_name IS NOT NULL)
+         SELECT a.p_name AS a, b.p_name AS b,
+           CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS dist
+         FROM n a JOIN n b
+           ON a.p_name < b.p_name AND levenshtein(a.p_name, b.p_name) <= 1
+         ORDER BY a, b""",
     "q121_cms_counts" ->
       """WITH w AS (SELECT unnest(list_filter(string_split(text, ' '), x -> x != '')) AS word FROM documents),
          d AS (SELECT unnest([0, 1, 2, 3]) AS d),

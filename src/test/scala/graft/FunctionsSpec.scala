@@ -313,6 +313,31 @@ class FunctionsSpec extends AnyFunSuite {
     assert(wide == exact)
   }
 
+  test("fuzzyDupPairs: deletion blocking is complete vs brute-force lev<=1 on random strings") {
+    val rnd = new scala.util.Random(41)
+    // short random strings over a tiny alphabet force every edit shape:
+    // substitutions, inserts, deletes, duplicates-after-distinct, empties
+    val vals = Vector.fill(120)(
+      Vector.fill(rnd.nextInt(6))(('a' + rnd.nextInt(3)).toChar).mkString)
+    val df = vals.map(Tuple1(_)).toDF("s")
+    val got = Dedup.fuzzyDupPairs(df, "s", maxDist = 1)
+      .as[(String, String, Long)].collect().toSet
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1)((i, j) => if (i == 0) j else if (j == 0) i else 0)
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    val distinct = vals.distinct
+    val expect = (for {
+      a <- distinct; b <- distinct if a < b
+      d = lev(a, b) if d <= 1
+    } yield (a, b, d.toLong)).toSet
+    assert(got == expect, s"missing=${expect -- got} extra=${got -- expect}")
+    assert(expect.nonEmpty) // the fixture actually exercises pairs
+  }
+
   test("winnowing: native expression matches a brute-force Scala reference on random docs") {
     // independent third implementation (the Column spelling shares Spark's
     // md5/array_min; this one shares nothing with the engine)
