@@ -139,13 +139,16 @@ object Scale {
   private[graft] def misraGries(it: Iterator[String], k: Int): Iterator[String] =
     misraGriesWithTotal(it, k).collect { case (Some(key), _) => key }
 
-  /** As [[misraGries]], plus one trailing `(None, partitionRowCount)` row so
-    * the caller gets the denominator from the SAME pass (survivors are
-    * `(Some(key), 0)` — the MG residual counts are not usable estimates for
-    * the exact path, so they are not surfaced). */
-  private[graft] def misraGriesWithTotal(it: Iterator[String], k: Int)
-      : Iterator[(Option[String], Long)] = {
-    val counters = new scala.collection.mutable.HashMap[String, Long]()
+  /** One Misra-Gries fold of `it` into an EXISTING sketch (mutated in
+    * place; ≤ k counters maintained) — the mergeable-summary step the
+    * streaming face ([[graft.streaming.StateStoreRunner.MisraGriesProcessor]])
+    * resumes from state. Returns the number of non-null rows folded.
+    * Invariant for any item x after folding n rows total (across all
+    * folds): trueCount(x) - n/k ≤ counter(x) ≤ trueCount(x), with every
+    * x of trueCount > n/k present. */
+  private[graft] def misraGriesFold(
+      counters: scala.collection.mutable.HashMap[String, Long],
+      it: Iterator[String], k: Int): Long = {
     var n = 0L
     while (it.hasNext) {
       val key = it.next()
@@ -155,7 +158,6 @@ object Scale {
           case Some(c) => counters.update(key, c + 1)
           case None if counters.size < k => counters.update(key, 1L)
           case None =>
-            // decrement all; drop zeros (no new key added this step)
             val dead = new scala.collection.mutable.ArrayBuffer[String]()
             counters.mapValuesInPlace((_, c) => c - 1)
             counters.foreach { case (s, c) => if (c == 0L) dead += s }
@@ -163,6 +165,17 @@ object Scale {
         }
       }
     }
+    n
+  }
+
+  /** As [[misraGries]], plus one trailing `(None, partitionRowCount)` row so
+    * the caller gets the denominator from the SAME pass (survivors are
+    * `(Some(key), 0)` — the MG residual counts are not usable estimates for
+    * the exact path, so they are not surfaced). */
+  private[graft] def misraGriesWithTotal(it: Iterator[String], k: Int)
+      : Iterator[(Option[String], Long)] = {
+    val counters = new scala.collection.mutable.HashMap[String, Long]()
+    val n = misraGriesFold(counters, it, k)
     counters.keysIterator.map(key => (Option(key), 0L)) ++
       Iterator((Option.empty[String], n))
   }
@@ -238,6 +251,26 @@ object Scale {
     * Driver-side cost is the sketch itself (one `collect()` of one binary
     * value) — the same shape as [[heavyHitters]]' candidate set: a
     * bounded summary, never data rows. */
+  /** Streaming face of [[heavyHitters]]: per-`keyCol` Misra-Gries sketches
+    * in the state store (ids-and-counters only, ≤ k entries per key no
+    * matter the item cardinality). Emits (key, item, mg_count, total) in
+    * update mode each batch — mg_count carries the MG bound
+    * (true − total/k ≤ mg_count ≤ true; every item above total/k present).
+    * See [[graft.streaming.StateStoreRunner.MisraGriesProcessor]]. */
+  def streamingHeavyHitters(stream: DataFrame, keyCol: String,
+      itemCol: String, k: Int): DataFrame = {
+    val spark = stream.sparkSession
+    import spark.implicits._
+    stream.select(F.col(keyCol).cast("string"), F.col(itemCol).cast("string"))
+      .as[(String, String)]
+      .groupByKey(_._1)
+      .transformWithState(
+        new graft.streaming.StateStoreRunner.MisraGriesProcessor[String](k),
+        org.apache.spark.sql.streaming.TimeMode.None(),
+        org.apache.spark.sql.streaming.OutputMode.Update())
+      .toDF(keyCol, itemCol, "mg_count", "total")
+  }
+
   def bloomSemiJoin(big: DataFrame, small: DataFrame, bigKey: String,
                     smallKey: String, fpp: Double = 0.03): DataFrame = {
     import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}

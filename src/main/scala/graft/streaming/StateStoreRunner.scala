@@ -150,6 +150,45 @@ object StateStoreRunner {
     }
   }
 
+  /** Streaming heavy hitters: a Misra-Gries sketch PER KEY in the state
+    * store — the incremental face of `Scale.heavyHitters`. State is the
+    * sketch's ≤ k counters (+ the running total), bounded regardless of
+    * item cardinality; each batch folds its arrivals into the resumed
+    * sketch (MG summaries compose under sequential folding) and re-emits
+    * the survivors. Emitted `mg_count` is the sketch's residual counter:
+    * trueCount − total/k ≤ mg_count ≤ trueCount, and every item with
+    * trueCount > total/k is guaranteed present — the batch path follows
+    * with an exact count over candidates; a monitoring stream reads the
+    * bounds directly. */
+  class MisraGriesProcessor[K](k: Int)
+    extends StatefulProcessor[K, (K, String), (K, String, Long, Long)] {
+    require(k > 1, s"k must be > 1, got $k")
+    @transient private var sketch: org.apache.spark.sql.streaming.MapState[String, Long] = _
+    @transient private var total: org.apache.spark.sql.streaming.ValueState[Long] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+      sketch = getHandle.getMapState[String, Long]("mg",
+        Encoders.STRING, Encoders.scalaLong, TTLConfig.NONE)
+      total = getHandle.getValueState[Long]("total", Encoders.scalaLong, TTLConfig.NONE)
+    }
+
+    override def handleInputRows(key: K, rows: Iterator[(K, String)],
+                                 timerValues: TimerValues): Iterator[(K, String, Long, Long)] = {
+      val orig: Map[String, Long] =
+        if (sketch.exists()) Map.from(sketch.iterator()) else Map.empty
+      val counters = scala.collection.mutable.HashMap.from(orig)
+      val n = graft.functions.Scale.misraGriesFold(counters, rows.map(_._2), k)
+      val t = (if (total.exists()) total.get() else 0L) + n
+      total.update(t)
+      // diff-aware write-back: the sketch is ≤ k entries anyway, but
+      // only counters that actually changed hit the changelog
+      orig.keysIterator.filterNot(counters.contains).foreach(sketch.removeKey)
+      counters.foreach { case (i, c) =>
+        if (!orig.get(i).contains(c)) sketch.updateValue(i, c) }
+      counters.iterator.map { case (i, c) => (key, i, c, t) }
+    }
+  }
+
   /** MapState handle: per-key SUB-keyed counts (e.g. per-user per-word) —
     * the value-generic map face the reference's `MapState` SPI exposes,
     * held in the store instead of an external backing map. Emits only the
