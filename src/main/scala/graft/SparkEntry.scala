@@ -994,6 +994,16 @@ object SparkEntry {
           maxPostings = 8)
         .orderBy("term")),
 
+    "q123_token_budget_mix" -> ((s, dir) =>
+      // mix to a token budget: each source downsampled (hash-deterministic)
+      // to contribute ~700 tokens; rates solved from exact totals in
+      // integer ppm — the corpora-mixing step of a training recipe
+      functions.Sampling.tokenBudgetMix(
+          table(s, dir, "documents"), F.col("doc_id"), "text", "source",
+          targetTokens = Map.empty, defaultTarget = 700L)
+        .select(F.col("doc_id"), F.col("source"))
+        .orderBy("doc_id")),
+
     "q122_fuzzy_pairs" -> ((s, dir) =>
       // entity canonicalization: part names within edit distance 1, found
       // via deletion-neighborhood blocking (complete for dist<=1 — the
@@ -2009,6 +2019,14 @@ object SparkEntry {
            array_to_string(list_sort(list(doc_id))[1:8], ',') AS postings,
            count(*) > 8 AS truncated
          FROM w GROUP BY term ORDER BY term""",
+    "q123_token_budget_mix" ->
+      """WITH tot AS (SELECT source,
+                        sum(len(list_filter(string_split(text, ' '), x -> x != ''))) AS t
+                      FROM documents GROUP BY 1),
+         rates AS (SELECT source, least(1000000, 700 * 1000000 // t) AS rate FROM tot)
+         SELECT d.doc_id, d.source FROM documents d JOIN rates r USING (source)
+         WHERE ('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8))::BIGINT % 1000000 < r.rate
+         ORDER BY d.doc_id""",
     "q122_fuzzy_pairs" ->
       """WITH n AS (SELECT DISTINCT p_name FROM part WHERE p_name IS NOT NULL)
          SELECT a.p_name AS a, b.p_name AS b,

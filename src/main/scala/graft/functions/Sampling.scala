@@ -84,6 +84,36 @@ object Sampling {
     }.reduce(_.unionByName(_))
   }
 
+  /** TOKEN-budget mixing: per-source keep rates solved from the sources'
+    * exact token totals so each source contributes ≈ its target token
+    * count — the "mix corpora to a token budget" step of a training-data
+    * recipe (contrast [[mixByWeight]], which balances ROW ratios). Rate is
+    * exact integer arithmetic (`ppm = min(10^6, target·10^6 div total)`),
+    * membership is hash-deterministic, so the mix is bit-reproducible.
+    * A source whose total is already under target keeps everything.
+    *
+    * Scale shape: one map-side-combined aggregate for totals (rows:
+    * #sources), broadcast back as the per-row rate; the keep test is a
+    * scan-stage predicate. Two corpus scans total — inherent, the rates
+    * depend on the totals. */
+  def tokenBudgetMix(df: DataFrame, key: Column, textCol: String,
+      sourceCol: String, targetTokens: Map[String, Long],
+      defaultTarget: Long): DataFrame = {
+    val target = targetTokens.foldLeft(F.lit(defaultTarget)) {
+      case (acc, (s, t)) => F.when(F.col(sourceCol) === s, F.lit(t)).otherwise(acc)
+    }
+    // integer DIV keeps the rate engine-exact (oracle-reproducible)
+    val rates = df.groupBy(F.col(sourceCol))
+      .agg(F.sum(Text.tokenCount(F.col(textCol)).cast("long")).as("__t"))
+      .withColumn("__target", target)
+      .select(F.col(sourceCol),
+        F.least(F.lit(1000000L),
+          F.expr("__target * 1000000 DIV __t")).as("__rate"))
+    df.join(F.broadcast(rates), Seq(sourceCol))
+      .where(hashBucket(key) < F.col("__rate"))
+      .drop("__rate")
+  }
+
   /** Deterministic train/test split: adds `split` = 'test' for ~testPpm/1e6
     * of rows, 'train' otherwise. Hash-keyed → membership is stable across
     * runs and resilient to re-partitioning; key on a document/content id so

@@ -338,6 +338,32 @@ class FunctionsSpec extends AnyFunSuite {
     assert(expect.nonEmpty) // the fixture actually exercises pairs
   }
 
+  test("tokenBudgetMix: under-budget sources keep everything, over-budget lands near target") {
+    val rnd = new scala.util.Random(7)
+    def doc(i: Long, src: String, nTok: Int) =
+      (i, src, Vector.fill(nTok)(s"w${rnd.nextInt(50)}").mkString(" "))
+    // 'big': 400 docs x 10 tokens = 4000; 'small': 5 docs x 10 = 50 tokens
+    val docs = ((1L to 400L).map(i => doc(i, "big", 10)) ++
+      (1001L to 1005L).map(i => doc(i, "small", 10))).toDF("id", "source", "text")
+    val kept = Sampling.tokenBudgetMix(docs, $"id", "text", "source",
+      targetTokens = Map("big" -> 1000L), defaultTarget = 100L)
+    val bySrc = kept.groupBy("source")
+      .agg(F.sum(Text.tokenCount($"text").cast("long")).as("t"),
+        F.count(F.lit(1)).as("n"))
+      .as[(String, Long, Long)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    // small is under its 100-token target: all 5 docs survive
+    assert(bySrc("small") == ((50L, 5L)))
+    // big: rate = 1000/4000 -> ~100 of 400 docs, ~1000 tokens (hash noise)
+    val (bigTok, bigN) = bySrc("big")
+    assert(bigN > 60 && bigN < 140, s"kept $bigN of 400")
+    assert(bigTok == bigN * 10)
+    // deterministic: the same mix on re-run
+    val again = Sampling.tokenBudgetMix(docs, $"id", "text", "source",
+      targetTokens = Map("big" -> 1000L), defaultTarget = 100L)
+      .select("id").as[Long].collect().toSet
+    assert(again == kept.select("id").as[Long].collect().toSet)
+  }
+
   test("winnowing: native expression matches a brute-force Scala reference on random docs") {
     // independent third implementation (the Column spelling shares Spark's
     // md5/array_min; this one shares nothing with the engine)
