@@ -160,6 +160,22 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("Join"), p)
   }
 
+  test("q121 CMS: map-side-combined cell aggregate, no joins in the sketch subtree") {
+    val p = plan("q121_cms_counts")
+    // the sketch must partial-aggregate before its exchange — a final-only
+    // aggregate would shuffle every (d, col) pair per input row
+    assert(p.contains("partial_count"), s"cell counts not map-side combined:\n$p")
+    assert(p.contains("md5_bucket"), s"not the engine-portable hash:\n$p")
+  }
+
+  test("q123 token-budget mix: rates broadcast back, keep test stays a scan predicate") {
+    val p = plan("q123_token_budget_mix")
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"),
+      s"rates not broadcast:\n$p")
+    assert(p.contains("md5_bucket"), s"no deterministic keep predicate:\n$p")
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
   test("SPI whole-stream aggregate keeps a real Exchange between partial and final stages") {
     // coalesce(1) here would be a narrow dependency — Spark would collapse
     // the partial stage into the single final task and the per-partition
