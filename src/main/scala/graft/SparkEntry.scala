@@ -1026,6 +1026,39 @@ object SparkEntry {
         .orderBy("word")
     }),
 
+    "q124_semdedup" -> ((s, dir) => {
+      // SemDeDup: cluster-blocked semantic dedup — seed centroids (first 16
+      // vectors) broadcast-assign cells, within-cell cosine>=0.35 pairs drop
+      // the higher id; cells bound the pair work (never all-pairs)
+      val emb = table(s, dir, "embeddings")
+      val cents = emb.orderBy("vec_id").limit(16)
+        .select(F.col("vec_id").as("cid"), F.col("embedding").as("cv"))
+      functions.Similarity.semDedup(emb, "vec_id", "embedding",
+          cents, "cid", "cv", threshold = 0.35)
+        .orderBy("vec_id")
+    }),
+
+    "q125_dup_span_mask" -> ((s, dir) =>
+      // substring-level dedup: corpus-wide duplicated 8-gram windows mask
+      // the positions they cover; boilerplate inside unique docs is removed
+      // — only 32-char fingerprints shuffle, text stays in its scan stage
+      Dedup.maskDuplicatedSpans(table(s, dir, "documents"), "doc_id", "text",
+          n = 8, minCount = 2L)
+        .orderBy("doc_id")),
+
+    "q126_cross_corpus_dedup" -> ((s, dir) => {
+      // incremental-ingest dedup: new-batch docs sharing ANY 8-gram with
+      // the base corpus are dropped; base is corpus-sized so the probe is
+      // a fingerprint-keyed shuffle join (not a broadcast)
+      val docs = table(s, dir, "documents")
+      Dedup.crossCorpusDedup(
+          docs.where(F.col("source") =!= "src0"),
+          docs.where(F.col("source") === "src0"),
+          "doc_id", "text", k = 8)
+        .select(F.col("doc_id"), F.col("source"))
+        .orderBy("doc_id")
+    }),
+
     "q106_bpe_pairs" -> ((s, dir) =>
       // the BPE trainer's per-iteration counting core, oracled: weighted
       // adjacent symbol pairs over the word-frequency vocabulary, top 20
@@ -2049,6 +2082,51 @@ object SparkEntry {
                  GROUP BY 1)
          SELECT est.word, CAST(est.est AS BIGINT) AS est, exact.exact
          FROM est JOIN exact USING (word) ORDER BY word""",
+    "q124_semdedup" ->
+      """WITH c AS (SELECT vec_id AS cid, embedding::DOUBLE[] AS cv FROM embeddings
+                    ORDER BY vec_id LIMIT 16),
+         assign AS (SELECT vec_id, cell, v FROM (
+           SELECT e.vec_id, e.embedding::DOUBLE[] AS v, c.cid AS cell,
+             row_number() OVER (PARTITION BY e.vec_id ORDER BY
+               list_dot_product(e.embedding::DOUBLE[], c.cv) /
+               (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[])) * sqrt(list_dot_product(c.cv, c.cv))) DESC, c.cid) AS rn
+           FROM embeddings e, c) WHERE rn = 1),
+         dups AS (SELECT DISTINCT a.vec_id
+           FROM assign a JOIN assign b ON a.cell = b.cell AND a.vec_id > b.vec_id
+           WHERE NOT isnan(list_dot_product(a.v, b.v) /
+               (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))))
+             AND list_dot_product(a.v, b.v) /
+               (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) >= 0.35)
+         SELECT a.vec_id, a.cell FROM assign a
+         LEFT JOIN dups d ON a.vec_id = d.vec_id
+         WHERE d.vec_id IS NULL ORDER BY a.vec_id""",
+    "q125_dup_span_mask" ->
+      """WITH t AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x != '') AS ws FROM documents),
+         g AS (SELECT doc_id, i, md5(array_to_string(ws[i:i+7], ' ')) AS fp
+               FROM t, unnest(generate_series(1, len(ws) - 7)) AS s(i)
+               WHERE len(ws) >= 8),
+         d AS (SELECT fp FROM g GROUP BY fp HAVING count(*) >= 2),
+         cv AS (SELECT DISTINCT g.doc_id, p
+                FROM g JOIN d USING (fp), unnest(generate_series(g.i, g.i + 7)) AS s2(p)),
+         cov AS (SELECT doc_id, list_sort(list(p)) AS ps FROM cv GROUP BY 1)
+         SELECT t.doc_id, CAST(len(ws) AS BIGINT) AS n_tokens,
+           CAST(coalesce(len(ps), 0) AS BIGINT) AS n_masked,
+           coalesce(array_to_string(list_transform(
+             list_filter(generate_series(1, len(ws)),
+               p -> NOT list_contains(coalesce(ps, []), p)),
+             p -> ws[p]), ' '), '') AS clean_text
+         FROM t LEFT JOIN cov USING (doc_id) ORDER BY doc_id""",
+    "q126_cross_corpus_dedup" ->
+      """WITH t AS (SELECT doc_id, source, list_filter(string_split(text, ' '), x -> x != '') AS ws FROM documents),
+         g AS (SELECT doc_id, source, md5(array_to_string(ws[i:i+7], ' ')) AS fp
+               FROM t, unnest(generate_series(1, len(ws) - 7)) AS s(i)
+               WHERE len(ws) >= 8),
+         base AS (SELECT DISTINCT fp FROM g WHERE source = 'src0'),
+         hit AS (SELECT DISTINCT doc_id FROM g
+                 WHERE source <> 'src0' AND fp IN (SELECT fp FROM base))
+         SELECT d.doc_id, d.source FROM documents d
+         WHERE d.source <> 'src0' AND d.doc_id NOT IN (SELECT doc_id FROM hit)
+         ORDER BY doc_id""",
     "q109_semantic_decontaminate" ->
       """WITH ev AS (SELECT embedding::DOUBLE[] AS ev FROM embeddings WHERE vec_id % 50 = 0),
          hits AS (SELECT DISTINCT c.vec_id

@@ -385,6 +385,66 @@ object Dedup {
       .where(F.col("containment_ppm") >= minContainmentPpm)
   }
 
+  /** Duplicated-span masking (the substring-dedup pass of Lee et al. 2022,
+    * arXiv:2107.06499, re-expressed at word granularity): any `n`-gram
+    * window occurring at least `minCount` times CORPUS-WIDE marks all the
+    * token positions it covers; masked positions are removed and the
+    * cleaned text reassembled. Unlike document-level dedup this deletes
+    * the repeated boilerplate INSIDE otherwise-unique documents. Returns
+    * (id, n_tokens, n_masked, clean_text).
+    *
+    * Scale shape: the corpus-wide count and the dup-window probe shuffle
+    * only (md5 fingerprint, position) pairs — document text never leaves
+    * its scan stage until the final id-keyed join that reassembles the
+    * kept tokens (co-partitioned when the corpus is bucketed by id). The
+    * fingerprint is md5 of the space-joined gram — engine-portable, and
+    * grouping by it instead of the gram string keeps the hot shuffle at a
+    * fixed 32-char key regardless of `n`. Coverage is per-position
+    * (`collect_set`), bounded by the document's own token count. */
+  def maskDuplicatedSpans(df: DataFrame, idCol: String, textCol: String,
+      n: Int = 8, minCount: Long = 2L): DataFrame = {
+    val toks = df.select(F.col(idCol), Text.tokens(F.col(textCol)).as("__t"))
+    val grams = toks.select(F.col(idCol),
+        F.posexplode(graft.plans.Expressions.shingleArray(F.col("__t"), n))
+          .as(Seq("pos", "g")))
+      .select(F.col(idCol), F.col("pos"), F.md5(F.col("g")).as("fp"))
+    val dupFps = grams.groupBy("fp").agg(F.count(F.lit(1)).as("__n"))
+      .where(F.col("__n") >= minCount).select("fp")
+    val covered = grams.join(dupFps, "fp")
+      .select(F.col(idCol),
+        F.explode(F.sequence(F.col("pos"), F.col("pos") + F.lit(n - 1))).as("cp"))
+      .groupBy(idCol).agg(F.collect_set("cp").as("__cov"))
+    toks.join(covered, Seq(idCol), "left")
+      .withColumn("__cov", F.coalesce(F.col("__cov"),
+        F.array().cast("array<int>")))
+      .select(F.col(idCol),
+        F.size(F.col("__t")).cast("long").as("n_tokens"),
+        F.size(F.col("__cov")).cast("long").as("n_masked"),
+        F.array_join(F.filter(F.col("__t"),
+          (x, i) => !F.array_contains(F.col("__cov"), i)), " ").as("clean_text"))
+  }
+
+  /** Cross-corpus n-gram dedup: drop `batch` documents that share ANY
+    * `k`-gram with the `base` corpus — the incremental-ingest face of
+    * dedup (yesterday's corpus is `base`, today's crawl is `batch`).
+    * [[decontaminate]] is the broadcast variant of this check for SMALL
+    * reference sets; here base is another full corpus, so the probe is a
+    * keyed shuffle join on the 32-char gram fingerprint instead — base
+    * text and batch text both stay in their scan stages, only
+    * fingerprints move. Returns the kept batch rows. */
+  def crossCorpusDedup(batch: DataFrame, base: DataFrame,
+      idCol: String, textCol: String, k: Int = 8): DataFrame = {
+    val baseFps = base
+      .select(F.explode(shingles(F.col(textCol), k)).as("g"))
+      .select(F.md5(F.col("g")).as("fp")).distinct()
+    val hit = batch
+      .select(F.col(idCol), F.explode(shingles(F.col(textCol), k)).as("g"))
+      .select(F.col(idCol), F.md5(F.col("g")).as("fp"))
+      .join(baseFps, "fp")
+      .select(idCol).distinct()
+    batch.join(hit, Seq(idCol), "left_anti")
+  }
+
   /** The fingerprint buckets [[winnowOverlapCandidates]] drops at this cap
     * — the no-silent-caps audit face. */
   def winnowOversizeBuckets(df: DataFrame, idCol: String, textCol: String,

@@ -55,13 +55,20 @@ object Similarity {
     val cents = F.broadcast(centroids.select(
       F.col(centIdCol).as("__cid"), F.col(centVecCol).as("__cvec"),
       F.sqrt(dotProd(F.col(centVecCol), F.col(centVecCol))).as("__cnorm")))
+    // zero-norm guard: a degenerate vector's cosine is undefined — NULL
+    // here (ANSI mode makes a raw x/0 throw, not NaN). NULL negScore
+    // sorts first in the min-struct, so such rows land deterministically
+    // in the lowest cell id — the same tie DuckDB's NaN-first DESC sort
+    // produces.
+    val denom = F.col("__enorm") * F.col("__cnorm")
     embeddings
       .withColumn("__enorm", F.sqrt(dotProd(F.col(embCol), F.col(embCol))))
       .join(cents)
       .groupBy(F.col(idCol))
       .agg(F.min(F.struct(
-        (F.lit(-1.0) * (dotProd(F.col(embCol), F.col("__cvec")) /
-          (F.col("__enorm") * F.col("__cnorm")))).as("negScore"),
+        F.when(denom =!= 0.0,
+          F.lit(-1.0) * (dotProd(F.col(embCol), F.col("__cvec")) / denom))
+          .as("negScore"),
         F.col("__cid").as("cid"))).as("best"))
       .select(F.col(idCol), F.col("best.cid").as("cell"),
         (F.lit(-1.0) * F.col("best.negScore")).as("cell_score"))
@@ -265,5 +272,54 @@ object Similarity {
     val sim = cosine(F.col(embCol), F.col("__ev"))
     corpus.join(F.broadcast(evalSet.select(F.col(evalEmbCol).as("__ev"))),
       !F.isnan(sim) && sim >= threshold, "left_anti")
+  }
+
+  /** SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic deduplication
+    * by clustering embeddings and pruning near-identical vectors WITHIN each
+    * cluster — the cluster is the blocking key, so the corpus is never
+    * all-pairs'd. A vector is dropped when some LOWER-id vector in the same
+    * cell reaches `threshold` cosine (the paper's greedy keep-one rule,
+    * made deterministic by keying on id instead of arrival order). Returns
+    * the kept rows as (id, cell).
+    *
+    * Scale shape: assignment is [[ivfAssign]] (broadcast centroids, no
+    * shuffle); the within-cell self-join shuffles on the cell id, and cell
+    * populations are bounded by the centroid count chosen at build time
+    * (the paper uses ~100k clusters at web scale, keeping cells small), so
+    * the pair work per cell stays O(cell²) with a small cell — the same
+    * never-all-pairs discipline as [[embeddingNearDupPairs]]. Norms are
+    * computed once per row, not per pair. NaN cosines (zero-norm vectors)
+    * are explicitly NOT duplicates, mirroring [[semanticDecontaminate]]. */
+  def semDedup(embeddings: DataFrame, idCol: String, embCol: String,
+               centroids: DataFrame, centIdCol: String, centVecCol: String,
+               threshold: Double,
+               reliableCheckpoint: Boolean = false): DataFrame = {
+    import graft.plans.Expressions.dotProd
+    def cut(d: DataFrame): DataFrame =
+      if (reliableCheckpoint) d.checkpoint(true) else d.localCheckpoint(true)
+    // the assignment frame feeds BOTH pair sides and the kept output —
+    // cut it once so the broadcast-assign pass runs once, not three times
+    // (on a real cluster this is the "write the corpus partitioned by
+    // cell" materialization; set reliableCheckpoint there)
+    val assigned = cut(
+      ivfAssign(embeddings, embCol, idCol, centroids, centIdCol, centVecCol)
+        .select(F.col(idCol), F.col("cell"))
+        .join(embeddings.select(F.col(idCol), F.col(embCol)), Seq(idCol))
+        .withColumn("__norm", F.sqrt(dotProd(F.col(embCol), F.col(embCol)))))
+    val l = assigned.select(F.col("cell"), F.col(idCol).as("__a"),
+      F.col(embCol).as("__av"), F.col("__norm").as("__an"))
+    val r = assigned.select(F.col("cell"), F.col(idCol).as("__b"),
+      F.col(embCol).as("__bv"), F.col("__norm").as("__bn"))
+    // ANSI-safe: zero-norm rows get NULL similarity (undefined), which can
+    // never satisfy the threshold — degenerate vectors are not duplicates
+    val denom = F.col("__an") * F.col("__bn")
+    val sim = F.when(denom =!= 0.0,
+      dotProd(F.col("__av"), F.col("__bv")) / denom)
+    val dups = l.join(r,
+        l("cell") === r("cell") && F.col("__a") > F.col("__b") &&
+        !F.isnan(sim) && sim >= F.lit(threshold))
+      .select(F.col("__a").as(idCol)).distinct()
+    assigned.select(F.col(idCol), F.col("cell"))
+      .join(dups, Seq(idCol), "left_anti")
   }
 }

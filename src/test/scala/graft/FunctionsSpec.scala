@@ -802,4 +802,63 @@ class FunctionsSpec extends AnyFunSuite {
     assert(got("web") == ((3L, 28L, 5L, 2L, 2L, 1L, 5.0 / 3.0)))
     assert(got("books") == ((1L, 18L, 3L, 1L, 1L, 0L, 3.0)))
   }
+
+  test("semDedup: within-cell near-dups keep the lowest id; cross-cell twins both survive; NaN never dups") {
+    // two tight clusters on orthogonal axes + one zero vector
+    val emb = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f)),   // centroid 0
+      (1L, Array(0.0f, 1.0f, 0.0f)),   // centroid 1
+      (2L, Array(0.9f, 0.1f, 0.0f)),   // cell 0, near-dup of 0 → dropped
+      (3L, Array(0.0f, 0.95f, 0.1f)),  // cell 1, near-dup of 1 → dropped
+      (4L, Array(0.0f, 0.0f, 0.0f))    // zero norm: NaN cosine → kept
+    ).toDF("vec_id", "embedding")
+    val cents = emb.where($"vec_id" < 2)
+      .select($"vec_id".as("cid"), $"embedding".as("cv"))
+    val kept = Similarity.semDedup(emb, "vec_id", "embedding",
+        cents, "cid", "cv", threshold = 0.9)
+      .select("vec_id").as[Long].collect().toSet
+    assert(kept == Set(0L, 1L, 4L))
+  }
+
+  test("maskDuplicatedSpans: corpus-wide repeated 8-gram masks its positions; short docs untouched") {
+    val boiler = "a b c d e f g h" // the shared 8-gram
+    val docs = Seq(
+      (1L, s"x1 $boiler y1 z1"),
+      (2L, s"x2 x3 $boiler"),
+      (3L, "unique words only here"),          // < 8 tokens → no windows
+      (4L, s"$boiler")                          // exactly the dup gram
+    ).toDF("doc_id", "text")
+    val out = Dedup.maskDuplicatedSpans(docs, "doc_id", "text", n = 8, minCount = 2L)
+      .select($"doc_id", $"n_tokens", $"n_masked", $"clean_text")
+      .as[(Long, Long, Long, String)].collect().map(r => r._1 -> r).toMap
+    assert(out(1L) == ((1L, 11L, 8L, "x1 y1 z1")))
+    assert(out(2L) == ((2L, 10L, 8L, "x2 x3")))
+    assert(out(3L) == ((3L, 4L, 0L, "unique words only here")))
+    assert(out(4L) == ((4L, 8L, 8L, "")))
+  }
+
+  test("maskDuplicatedSpans: overlapping dup windows union their coverage") {
+    // "a b c d e f g h i" appears twice → windows at pos 0 and 1 both dup
+    val s9 = "a b c d e f g h i"
+    val docs = Seq((1L, s"$s9 tail1"), (2L, s"$s9 tail2")).toDF("doc_id", "text")
+    val out = Dedup.maskDuplicatedSpans(docs, "doc_id", "text", n = 8, minCount = 2L)
+      .select($"doc_id", $"n_masked", $"clean_text")
+      .as[(Long, Long, String)].collect().map(r => r._1 -> r).toMap
+    // both 8-gram windows of s9 repeat corpus-wide: 9 positions masked
+    assert(out(1L) == ((1L, 9L, "tail1")))
+    assert(out(2L) == ((2L, 9L, "tail2")))
+  }
+
+  test("crossCorpusDedup: batch doc sharing an 8-gram with base drops; short and clean docs survive") {
+    val shared = "p q r s t u v w"
+    val base = Seq((100L, s"base doc $shared end")).toDF("doc_id", "text")
+    val batch = Seq(
+      (1L, s"new doc with $shared inside"),  // contaminated → dropped
+      (2L, "fresh content nothing shared here at all ok"), // 8 clean tokens
+      (3L, "tiny doc")                        // < 8 tokens → kept
+    ).toDF("doc_id", "text")
+    val kept = Dedup.crossCorpusDedup(batch, base, "doc_id", "text", k = 8)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(2L, 3L))
+  }
 }

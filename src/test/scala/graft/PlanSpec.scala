@@ -176,6 +176,38 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("SortMergeJoin"), p)
   }
 
+  test("q124 semdedup: assignment cut once and reused; cell pairs are keyed joins, no all-pairs") {
+    val p = plan("q124_semdedup")
+    // the assignment frame is checkpoint-cut and read back for the pair
+    // sides + kept output — the broadcast-assign pass must not run 3x
+    assert(p.contains("Scan ExistingRDD"),
+      s"assignment frame not cut (assign subtree would run three times):\n$p")
+    // nothing above the cut may be nested-loop: the within-cell pair join
+    // degenerating to BNLJ would be an all-pairs blowup at corpus scale
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"within-cell pair join must be keyed on cell, not nested-loop:\n$p")
+    // the greedy drop set is applied as an anti-join, not a collected filter
+    assert(p.contains("LeftAnti"), s"kept set must be an anti-join:\n$p")
+  }
+
+  test("q125 dup-span mask: gram counts map-side combined; no all-pairs anywhere") {
+    val p = plan("q125_dup_span_mask")
+    assert(p.contains("partial_count"), s"gram counts not map-side combined:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"span mask must stay keyed (fp/doc_id) end-to-end:\n$p")
+  }
+
+  test("q126 cross-corpus dedup: fingerprint-keyed probe + anti-join, text pruned out of the probe") {
+    val p = plan("q126_cross_corpus_dedup")
+    assert(p.contains("LeftAnti"), s"kept rows must come from an anti-join:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    // the fingerprint distincts must partial-aggregate before their
+    // exchanges (a function-less distinct prints as a two-level
+    // HashAggregate pair on the fp key, not as partial_*)
+    assert("HashAggregate\\(keys=\\[fp".r.findAllIn(p).size >= 2,
+      s"base fingerprints not map-side deduped:\n$p")
+  }
+
   test("SPI whole-stream aggregate keeps a real Exchange between partial and final stages") {
     // coalesce(1) here would be a narrow dependency — Spark would collapse
     // the partial stage into the single final task and the per-partition
