@@ -1059,6 +1059,14 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    "q127_boilerplate_grams" -> ((s, dir) =>
+      // per-source template detection: bigrams present in >=20% of a
+      // source's docs are its boilerplate; doc-frequency (per-doc distinct)
+      // not occurrence count; one (source, gram) shuffle + tiny broadcast
+      functions.Text.boilerplateGrams(table(s, dir, "documents"),
+          "text", "source", n = 2, minDocRatioPpm = 200000L)
+        .orderBy("source", "gram")),
+
     "q106_bpe_pairs" -> ((s, dir) =>
       // the BPE trainer's per-iteration counting core, oracled: weighted
       // adjacent symbol pairs over the word-frequency vocabulary, top 20
@@ -2127,6 +2135,18 @@ object SparkEntry {
          SELECT d.doc_id, d.source FROM documents d
          WHERE d.source <> 'src0' AND d.doc_id NOT IN (SELECT doc_id FROM hit)
          ORDER BY doc_id""",
+    "q127_boilerplate_grams" ->
+      """WITH t AS (SELECT doc_id, source, list_filter(string_split(text, ' '), x -> x != '') AS ws FROM documents),
+         g AS (SELECT DISTINCT doc_id, source, array_to_string(ws[i:i+1], ' ') AS gram
+               FROM t, unnest(generate_series(1, len(ws) - 1)) AS s(i)
+               WHERE len(ws) >= 2),
+         c AS (SELECT source, gram, CAST(count(*) AS BIGINT) AS df FROM g GROUP BY 1, 2),
+         nd AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs FROM documents GROUP BY 1)
+         SELECT c.source, c.gram, c.df, nd.n_docs,
+           CAST(c.df * 1000000 // nd.n_docs AS BIGINT) AS ratio_ppm
+         FROM c JOIN nd USING (source)
+         WHERE c.df * 1000000 // nd.n_docs >= 200000
+         ORDER BY source, gram""",
     "q109_semantic_decontaminate" ->
       """WITH ev AS (SELECT embedding::DOUBLE[] AS ev FROM embeddings WHERE vec_id % 50 = 0),
          hits AS (SELECT DISTINCT c.vec_id

@@ -413,4 +413,30 @@ object Text {
       .withColumn("mean_tokens",
         F.col("n_tokens").cast("double") / F.col("n_docs").cast("double"))
   }
+
+  /** Per-source boilerplate gram detection — the template-removal step of
+    * web-crawl cleaning (CCNet/C4 style): an n-gram present in at least
+    * `minDocRatioPpm` of a SOURCE's documents is that source's navigation/
+    * footer/template text, not content (corpus-wide counts, [[graft.functions.Dedup.maskDuplicatedSpans]],
+    * can't see this — a template unique to one small source drowns in the
+    * global denominator). Returns (source, gram, df, n_docs, ratio_ppm).
+    *
+    * Doc frequency, not occurrence count: grams are per-document
+    * de-duplicated (`array_distinct`) BEFORE the count, so a gram repeated
+    * inside one document counts once. One shuffle keyed (source, gram) with
+    * map-side combine; the per-source doc totals are a broadcast the size
+    * of the source list; ratio in integer ppm (engine-deterministic). */
+  def boilerplateGrams(df: org.apache.spark.sql.DataFrame, textCol: String,
+      sourceCol: String, n: Int = 2,
+      minDocRatioPpm: Long = 200000L): org.apache.spark.sql.DataFrame = {
+    val docGrams = df.select(F.col(sourceCol).as("source"),
+      F.explode(F.array_distinct(Dedup.shingles(F.col(textCol), n))).as("gram"))
+    val dfCounts = docGrams.groupBy("source", "gram")
+      .agg(F.count(F.lit(1)).as("df"))
+    val docsPerSource = df.groupBy(F.col(sourceCol).as("source"))
+      .agg(F.count(F.lit(1)).as("n_docs"))
+    dfCounts.join(F.broadcast(docsPerSource), "source")
+      .withColumn("ratio_ppm", F.expr("df * 1000000L DIV n_docs"))
+      .where(F.col("ratio_ppm") >= minDocRatioPpm)
+  }
 }

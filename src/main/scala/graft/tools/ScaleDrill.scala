@@ -95,7 +95,15 @@ object ScaleDrill {
     "containment (q118)" -> (docs =>
       Dedup.containmentPairs(docs, "doc_id", "text",
         k = 4, w = 4, minShared = 2L, maxBucketSize = 12,
-        minContainmentPpm = 300000L)))
+        minContainmentPpm = 300000L)),
+    // word-salted replicas keep each replica's dup-gram population
+    // disjoint: dup windows (and masked volume) scale linearly with N
+    // summing length(clean_text) keeps the reassembly in the measured
+    // plan (a bare n_masked sum would let Catalyst prune the rebuild out)
+    "dup_span_mask (q125)" -> (docs =>
+      Dedup.maskDuplicatedSpans(docs, "doc_id", "text", n = 8, minCount = 2L)
+        .groupBy().agg(F.sum("n_masked").as("total_masked"),
+          F.sum(F.length(F.col("clean_text")).cast("long")).as("total_clean_chars"))))
 
   def pipelineDrill(spark: SparkSession, sfDir: String, sizes: Seq[Int]): Unit = {
     val base = spark.read.parquet(s"$sfDir/documents.parquet")

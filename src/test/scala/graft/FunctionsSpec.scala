@@ -849,6 +849,22 @@ class FunctionsSpec extends AnyFunSuite {
     assert(out(2L) == ((2L, 9L, "tail2")))
   }
 
+  test("boilerplateGrams: per-source doc-frequency, in-doc repeats count once, below-ratio grams excluded") {
+    val docs = Seq(
+      (1L, "A", "x click here y click here"),  // "click here" twice → df 1
+      (2L, "A", "click here now"),
+      (3L, "A", "nothing shared at all"),
+      (4L, "B", "click here")
+    ).toDF("doc_id", "source", "text")
+    val out = Text.boilerplateGrams(docs, "text", "source",
+        n = 2, minDocRatioPpm = 600000L)
+      .select($"source", $"gram", $"df", $"n_docs", $"ratio_ppm")
+      .as[(String, String, Long, Long, Long)].collect().toSet
+    assert(out == Set(
+      ("A", "click here", 2L, 3L, 666666L),
+      ("B", "click here", 1L, 1L, 1000000L)))
+  }
+
   test("crossCorpusDedup: batch doc sharing an 8-gram with base drops; short and clean docs survive") {
     val shared = "p q r s t u v w"
     val base = Seq((100L, s"base doc $shared end")).toDF("doc_id", "text")

@@ -208,6 +208,13 @@ class PlanSpec extends AnyFunSuite {
       s"base fingerprints not map-side deduped:\n$p")
   }
 
+  test("q127 boilerplate grams: doc-frequency map-side combined, source totals broadcast") {
+    val p = plan("q127_boilerplate_grams")
+    assert(p.contains("partial_count"), s"df counts not map-side combined:\n$p")
+    assert(p.contains("BroadcastHashJoin"), s"source totals not broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"), p)
+  }
+
   test("SPI whole-stream aggregate keeps a real Exchange between partial and final stages") {
     // coalesce(1) here would be a narrow dependency — Spark would collapse
     // the partial stage into the single final task and the per-partition
