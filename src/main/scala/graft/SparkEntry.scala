@@ -1067,6 +1067,21 @@ object SparkEntry {
           "text", "source", n = 2, minDocRatioPpm = 200000L)
         .orderBy("source", "gram")),
 
+    "q128_shard_plan" -> ((s, dir) =>
+      // training-shard layout: per-source running start-offset in id order,
+      // shard = start DIV budget — deterministic, idempotent re-runs; the
+      // window sorts WITHIN a source only
+      functions.Sampling.shardPlan(table(s, dir, "documents"),
+          "doc_id", "text", "source", targetTokens = 500L)
+        .orderBy("source", "doc_id")),
+
+    "q129_trigram_lm" -> ((s, dir) =>
+      // interpolated trigram LM fluency: 0.6/0.3/0.1 over add-one-smoothed
+      // tri/bi/uni conditionals, integer ppm — vocabulary-keyed joins only
+      functions.Text.trigramLmScore(table(s, dir, "documents"),
+          "doc_id", "text")
+        .orderBy("doc_id")),
+
     "q106_bpe_pairs" -> ((s, dir) =>
       // the BPE trainer's per-iteration counting core, oracled: weighted
       // adjacent symbol pairs over the word-frequency vocabulary, top 20
@@ -2147,6 +2162,44 @@ object SparkEntry {
          FROM c JOIN nd USING (source)
          WHERE c.df * 1000000 // nd.n_docs >= 200000
          ORDER BY source, gram""",
+    "q128_shard_plan" ->
+      """WITH t AS (SELECT source, doc_id,
+           CAST(len(list_filter(string_split(text, ' '), x -> x != '')) AS BIGINT) AS n_tokens
+         FROM documents)
+         SELECT source, doc_id, n_tokens,
+           CAST(sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens
+             AS BIGINT) AS start_offset,
+           CAST((sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens) // 500
+             AS BIGINT) AS shard_id
+         FROM t ORDER BY source, doc_id""",
+    "q129_trigram_lm" ->
+      """WITH ts AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x != '') AS t FROM documents),
+         tri AS (SELECT doc_id, t[i] AS w1, t[i+1] AS w2, t[i+2] AS w3
+                 FROM ts, unnest(generate_series(1, len(t) - 2)) AS s(i)
+                 WHERE len(t) >= 3),
+         c3 AS (SELECT w1, w2, w3, count(*) AS c3 FROM tri GROUP BY 1, 2, 3),
+         bi AS (SELECT t[i] AS a, t[i+1] AS b, count(*) AS c2
+                FROM ts, unnest(generate_series(1, len(t) - 1)) AS s(i)
+                WHERE len(t) >= 2 GROUP BY 1, 2),
+         uni AS (SELECT w, count(*) AS c1 FROM (SELECT unnest(t) AS w FROM ts) GROUP BY 1),
+         v AS (SELECT count(*) AS v FROM uni),
+         n AS (SELECT sum(c1) AS n FROM uni),
+         sc AS (SELECT tri.doc_id,
+                 (6 * (((c3.c3 + 1) * 1000000) // (cb.c2 + v.v))
+                + 3 * (((sb.c2 + 1) * 1000000) // (u2.c1 + v.v))
+                + 1 * (((u3.c1 + 1) * 1000000) // (n.n + v.v))) // 10 AS ppm
+                FROM tri JOIN c3 USING (w1, w2, w3)
+                JOIN bi cb ON cb.a = tri.w1 AND cb.b = tri.w2
+                JOIN bi sb ON sb.a = tri.w2 AND sb.b = tri.w3
+                JOIN uni u2 ON u2.w = tri.w2
+                JOIN uni u3 ON u3.w = tri.w3
+                CROSS JOIN v CROSS JOIN n)
+         SELECT doc_id, CAST(count(*) AS BIGINT) AS n_trigrams,
+           CAST(sum(ppm) AS BIGINT) AS lm3_sum_ppm,
+           CAST(sum(ppm) // count(*) AS BIGINT) AS lm3_avg_ppm
+         FROM sc GROUP BY 1 ORDER BY doc_id""",
     "q109_semantic_decontaminate" ->
       """WITH ev AS (SELECT embedding::DOUBLE[] AS ev FROM embeddings WHERE vec_id % 50 = 0),
          hits AS (SELECT DISTINCT c.vec_id

@@ -216,4 +216,27 @@ object Sampling {
       .agg(F.count(F.lit(1)).as("n_features"),
         F.sum("__d").as("dsir_weight"))
   }
+
+  /** Training-shard planning: assign documents to fixed-token-budget output
+    * shards by running start-offset within each group (source) in id order
+    * — the layout step before writing training data as size-bounded files.
+    * A document goes to the shard where it STARTS (`start_offset DIV
+    * target`), so shard token totals land in [target, target + maxDoc).
+    * Deterministic: same corpus → same shard map, so a re-run after a
+    * failure rewrites identical shards (idempotent output commit).
+    *
+    * Scale shape: one window per group key — the sort is WITHIN a source
+    * (each source's documents sort in its own partitions; no global
+    * single-partition sort). At 100 TB shard-plan per source/date bucket
+    * — the window never sees more than one group's rows. */
+  def shardPlan(df: DataFrame, idCol: String, textCol: String,
+      groupCol: String, targetTokens: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(groupCol).orderBy(idCol)
+    df.select(F.col(groupCol), F.col(idCol),
+        Text.tokenCount(F.col(textCol)).cast("long").as("n_tokens"))
+      .withColumn("start_offset",
+        F.sum("n_tokens").over(w) - F.col("n_tokens"))
+      .withColumn("shard_id", F.expr(s"start_offset DIV ${targetTokens}L"))
+  }
 }

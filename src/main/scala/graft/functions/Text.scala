@@ -360,6 +360,56 @@ object Text {
         F.expr("lm_sum_ppm DIV n_bigrams").as("lm_avg_ppm"))
   }
 
+  /** Interpolated trigram LM fluency score — the next modeling tier above
+    * [[bigramLmScore]] (CCNet scores with a 5-gram KenLM; the trigram
+    * interpolation captures the same fluency ordering): per trigram
+    * position, `score = (6·p3 + 3·p2 + 1·p1) DIV 10` where each p is an
+    * add-one-smoothed conditional in integer ppm —
+    * `p3 = (c(w1w2w3)+1)·1e6 DIV (c(w1w2)+V)`,
+    * `p2 = (c(w2w3)+1)·1e6 DIV (c(w2)+V)`,
+    * `p1 = (c(w3)+1)·1e6 DIV (N+V)` — all-integer, engine-deterministic.
+    *
+    * Scale shape mirrors the bigram scorer: count tables are keyed by the
+    * gram string (one map-side-combined shuffle each), the per-trigram
+    * probe joins are all vocabulary-keyed (co-partitioned at scale), V
+    * and N are 1-row broadcasts, and context/suffix/last-word keys are
+    * recovered from the single trigram string with codegen'd
+    * `substring_index` (tokens cannot contain the separator). */
+  def trigramLmScore(df: org.apache.spark.sql.DataFrame, idCol: String,
+                     textCol: String): org.apache.spark.sql.DataFrame = {
+    val ts = tokens(F.col(textCol))
+    val tri = df.select(F.col(idCol),
+      F.explode(Dedup.shingles(F.col(textCol), 3)).as("__tg"))
+    val triC = tri.groupBy("__tg").agg(F.count(F.lit(1)).as("__c3"))
+    val biC = df.select(F.explode(Dedup.shingles(F.col(textCol), 2)).as("__bg"))
+      .groupBy("__bg").agg(F.count(F.lit(1)).as("__c2"))
+    val uniC = df.select(F.explode(ts).as("__w"))
+      .groupBy("__w").agg(F.count(F.lit(1)).as("__c1"))
+    val v = uniC.agg(F.count(F.lit(1)).as("__v"))
+    val n = uniC.agg(F.sum("__c1").as("__n"))
+    tri
+      .join(triC, Seq("__tg"))
+      .withColumn("__ctx", F.substring_index(F.col("__tg"), " ", 2))
+      .withColumn("__suf", F.substring_index(F.col("__tg"), " ", -2))
+      .withColumn("__w2", F.substring_index(F.col("__suf"), " ", 1))
+      .withColumn("__w3", F.substring_index(F.col("__tg"), " ", -1))
+      .join(biC.select(F.col("__bg").as("__ctx"), F.col("__c2").as("__cctx")), Seq("__ctx"))
+      .join(biC.select(F.col("__bg").as("__suf"), F.col("__c2").as("__csuf")), Seq("__suf"))
+      .join(uniC.select(F.col("__w").as("__w2"), F.col("__c1").as("__cw2")), Seq("__w2"))
+      .join(uniC.select(F.col("__w").as("__w3"), F.col("__c1").as("__cw3")), Seq("__w3"))
+      .crossJoin(F.broadcast(v)).crossJoin(F.broadcast(n))
+      .select(F.col(idCol),
+        F.expr("""(6 * (((__c3 + 1) * 1000000) DIV (__cctx + __v))
+                 + 3 * (((__csuf + 1) * 1000000) DIV (__cw2 + __v))
+                 + 1 * (((__cw3 + 1) * 1000000) DIV (__n + __v))) DIV 10""")
+          .as("__ppm"))
+      .groupBy(idCol)
+      .agg(F.count(F.lit(1)).as("n_trigrams"),
+        F.sum("__ppm").as("lm3_sum_ppm"))
+      .select(F.col(idCol), F.col("n_trigrams"), F.col("lm3_sum_ppm"),
+        F.expr("lm3_sum_ppm DIV n_trigrams").as("lm3_avg_ppm"))
+  }
+
   /** CCNet-style fluency bucketing: label each document head / middle /
     * tail by which tercile of the corpus' [[bigramLmScore]] distribution
     * it falls in (CCNet buckets on LM perplexity; higher avg-ppm here =

@@ -803,6 +803,64 @@ class FunctionsSpec extends AnyFunSuite {
     assert(got("books") == ((1L, 18L, 3L, 1L, 1L, 0L, 3.0)))
   }
 
+  test("shardPlan: per-group running offsets in id order; doc goes to the shard where it starts") {
+    val docs = Seq(
+      (1L, "A", "a b c"),        // offset 0  → shard 0
+      (2L, "A", "d e f g"),      // offset 3  → shard 0
+      (3L, "A", "h i"),          // offset 7  → shard 1
+      (4L, "B", "j k l m n o p q r s")  // offset 0 → shard 0
+    ).toDF("doc_id", "source", "text")
+    val out = Sampling.shardPlan(docs, "doc_id", "text", "source", targetTokens = 5L)
+      .select($"doc_id", $"n_tokens", $"start_offset", $"shard_id")
+      .as[(Long, Long, Long, Long)].collect().map(r => r._1 -> r).toMap
+    assert(out(1L) == ((1L, 3L, 0L, 0L)))
+    assert(out(2L) == ((2L, 4L, 3L, 0L)))
+    assert(out(3L) == ((3L, 2L, 7L, 1L)))
+    assert(out(4L) == ((4L, 10L, 0L, 0L)))
+  }
+
+  test("trigramLmScore matches a brute-force reference; repeated phrases score above word salad") {
+    val docs = Seq(
+      (1L, "the cat sat on the mat"),
+      (2L, "the cat sat on the rug"),
+      (3L, "rug mat on cat sat the"),   // same words, scrambled
+      (4L, "xx yy")                      // < 3 tokens → no row
+    ).toDF("doc_id", "text")
+    val out = Text.trigramLmScore(docs, "doc_id", "text")
+      .select($"doc_id", $"n_trigrams", $"lm3_avg_ppm")
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> r).toMap
+
+    // brute-force reference in plain Scala
+    val texts = Map(1L -> "the cat sat on the mat", 2L -> "the cat sat on the rug",
+      3L -> "rug mat on cat sat the", 4L -> "xx yy")
+    val toks = texts.view.mapValues(_.split(" ").toSeq).toMap
+    val allT = toks.values.flatten.toSeq
+    val uni = allT.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val bi = toks.values.flatMap(t => t.sliding(2).filter(_.size == 2).map(_.mkString(" ")))
+      .toSeq.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val tri = toks.values.flatMap(t => t.sliding(3).filter(_.size == 3).map(_.mkString(" ")))
+      .toSeq.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val vv = uni.size.toLong; val nn = allT.size.toLong
+    def score(id: Long): (Long, Long) = {
+      val ws = toks(id)
+      val ppms = ws.sliding(3).filter(_.size == 3).map { w =>
+        val p3 = ((tri(w.mkString(" ")) + 1) * 1000000L) / (bi(w.take(2).mkString(" ")) + vv)
+        val p2 = ((bi(w.drop(1).mkString(" ")) + 1) * 1000000L) / (uni(w(1)) + vv)
+        val p1 = ((uni(w(2)) + 1) * 1000000L) / (nn + vv)
+        (6 * p3 + 3 * p2 + 1 * p1) / 10
+      }.toSeq
+      (ppms.size.toLong, ppms.sum / ppms.size)
+    }
+    for (id <- Seq(1L, 2L, 3L)) {
+      val (n, avg) = score(id)
+      assert(out(id) == ((id, n, avg)), s"doc $id")
+    }
+    assert(!out.contains(4L))
+    // shared trigram mass ("the cat sat", "cat sat on") lifts 1/2 over
+    // the scrambled doc 3, whose trigrams are all singletons
+    assert(out(1L)._3 > out(3L)._3 && out(2L)._3 > out(3L)._3)
+  }
+
   test("semDedup: within-cell near-dups keep the lowest id; cross-cell twins both survive; NaN never dups") {
     // two tight clusters on orthogonal axes + one zero vector
     val emb = Seq(

@@ -215,6 +215,25 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"), p)
   }
 
+  test("q128 shard plan: one window keyed by source, scan pruned to the 3 input columns") {
+    val p = plan("q128_shard_plan")
+    assert(p.contains("Window"), s"no window operator:\n$p")
+    // exactly one window pass (offset + shard both derive from one sum)
+    assert("RunningWindowFunction|Window \\[".r.findAllIn(p).size <= 2, p)
+    assert(p.contains("ReadSchema: struct<doc_id:bigint,text:string,source:string>"),
+      s"scan not pruned:\n$p")
+    assert(!p.contains("Join"), s"shard planning must not join:\n$p")
+  }
+
+  test("q129 trigram LM: all probe joins keyed (vocabulary), count tables map-side combined") {
+    val p = plan("q129_trigram_lm")
+    assert(p.contains("partial_count"), s"count tables not map-side combined:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+    // the only nested-loop joins are the 1-row V and N broadcasts
+    assert("BroadcastNestedLoopJoin".r.findAllIn(p).size <= 2,
+      s"probe joins must be keyed, not nested-loop:\n$p")
+  }
+
   test("SPI whole-stream aggregate keeps a real Exchange between partial and final stages") {
     // coalesce(1) here would be a narrow dependency — Spark would collapse
     // the partial stage into the single final task and the per-partition
