@@ -1082,6 +1082,23 @@ object SparkEntry {
           "doc_id", "text")
         .orderBy("doc_id")),
 
+    "q130_best_of_cluster" -> ((s, dir) => {
+      // quality-aware dedup resolution: among near-identical docs keep the
+      // LONGEST copy (tie: lowest id), not the arbitrary min-id one;
+      // unclustered docs survive; ids-only aggregate + semi-join
+      val docs = table(s, dir, "documents")
+      val pairs = Dedup.nearDupPairs(
+          docs.where(Text.tokenCount(F.col("text")) >= 3),
+          "doc_id", "text", k = 3, numHashes = 4, rowsPerBand = 2,
+          threshold = 0.05)
+        .select("a", "b")
+      val clusters = Dedup.duplicateClusters(pairs, "a", "b")
+      Dedup.keepBestOfClusters(docs, "doc_id", clusters, "id", "cluster_id",
+          "n_chars")
+        .select(F.col("doc_id"), F.col("n_chars").cast("long").as("n_chars"))
+        .orderBy("doc_id")
+    }),
+
     "q106_bpe_pairs" -> ((s, dir) =>
       // the BPE trainer's per-iteration counting core, oracled: weighted
       // adjacent symbol pairs over the word-frequency vocabulary, top 20
@@ -2200,6 +2217,38 @@ object SparkEntry {
            CAST(sum(ppm) AS BIGINT) AS lm3_sum_ppm,
            CAST(sum(ppm) // count(*) AS BIGINT) AS lm3_avg_ppm
          FROM sc GROUP BY 1 ORDER BY doc_id""",
+    "q130_best_of_cluster" ->
+      """WITH RECURSIVE
+         s AS (SELECT doc_id, list_transform(generate_series(1, len(ws) - 2), i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]) AS sh
+               FROM (SELECT doc_id, list_filter(string_split(text, ' '), x -> x != '') AS ws FROM documents)
+               WHERE len(ws) >= 3),
+         b AS (SELECT doc_id, sh,
+           md5(list_aggregate(list_transform(sh, x -> md5('0|' || x)), 'min') || '|' || list_aggregate(list_transform(sh, x -> md5('1|' || x)), 'min')) AS band0,
+           md5(list_aggregate(list_transform(sh, x -> md5('2|' || x)), 'min') || '|' || list_aggregate(list_transform(sh, x -> md5('3|' || x)), 'min')) AS band1
+           FROM s),
+         cand AS (
+           SELECT l.doc_id AS a, r.doc_id AS b FROM b l JOIN b r ON l.band0 = r.band0 AND l.doc_id < r.doc_id
+           UNION
+           SELECT l.doc_id AS a, r.doc_id AS b FROM b l JOIN b r ON l.band1 = r.band1 AND l.doc_id < r.doc_id),
+         pairs AS (
+           SELECT c.a, c.b FROM cand c JOIN b la ON c.a = la.doc_id JOIN b lb ON c.b = lb.doc_id
+           WHERE CAST(len(list_intersect(list_distinct(la.sh), list_distinct(lb.sh))) AS DOUBLE) /
+                 CAST(len(list_distinct(list_concat(list_distinct(la.sh), list_distinct(lb.sh)))) AS DOUBLE) >= 0.05),
+         bi AS (SELECT a AS src, b AS dst FROM pairs UNION SELECT b, a FROM pairs),
+         reach(node, r) AS (
+           SELECT src, src FROM bi
+           UNION
+           SELECT bi.src, reach.r FROM bi JOIN reach ON bi.dst = reach.node),
+         cl AS (SELECT node AS id, min(r) AS cluster_id FROM reach GROUP BY 1),
+         ranked AS (SELECT cl.id, row_number() OVER (PARTITION BY cl.cluster_id
+                      ORDER BY d.n_chars DESC, cl.id) AS rn
+                    FROM cl JOIN documents d ON cl.id = d.doc_id)
+         SELECT d.doc_id, CAST(d.n_chars AS BIGINT) AS n_chars
+         FROM documents d
+         LEFT JOIN cl ON d.doc_id = cl.id
+         LEFT JOIN ranked rk ON d.doc_id = rk.id
+         WHERE cl.id IS NULL OR rk.rn = 1
+         ORDER BY doc_id""",
     "q109_semantic_decontaminate" ->
       """WITH ev AS (SELECT embedding::DOUBLE[] AS ev FROM embeddings WHERE vec_id % 50 = 0),
          hits AS (SELECT DISTINCT c.vec_id

@@ -445,6 +445,33 @@ object Dedup {
     batch.join(hit, Seq(idCol), "left_anti")
   }
 
+  /** Quality-aware duplicate-cluster resolution: keep the BEST document of
+    * each near-dup cluster instead of the arbitrary min-id one — the form
+    * production dedup actually wants (among near-identical crawls, keep
+    * the longest / highest-quality copy; [[dropNearDups]] is the id-keyed
+    * fast path when any representative will do). Best = max `qualityCol`,
+    * ties to the lowest id (fully deterministic). Documents in no cluster
+    * always survive.
+    *
+    * Scale shape: `clusters` is the (id, cluster_id) frame from
+    * [[duplicateClusters]] — ids only. The argmax is one min-struct
+    * aggregate keyed by cluster (map-side combined), the keep set is ids
+    * only, and the corpus meets it in a semi-join — document text never
+    * shuffles. */
+  def keepBestOfClusters(df: DataFrame, idCol: String, clusters: DataFrame,
+      clIdCol: String, clClusterCol: String, qualityCol: String): DataFrame = {
+    val cl = clusters.select(F.col(clIdCol).as(idCol), F.col(clClusterCol).as("__cl"))
+    val withCl = df.join(cl, Seq(idCol), "left")
+    val best = withCl.where(F.col("__cl").isNotNull)
+      .groupBy("__cl")
+      .agg(F.min(F.struct(
+        (F.lit(-1L) * F.col(qualityCol).cast("long")).as("negQ"),
+        F.col(idCol).as("id"))).as("best"))
+      .select(F.col("best.id").as(idCol))
+    withCl.where(F.col("__cl").isNull).drop("__cl")
+      .unionByName(df.join(best, Seq(idCol), "left_semi"))
+  }
+
   /** The fingerprint buckets [[winnowOverlapCandidates]] drops at this cap
     * — the no-silent-caps audit face. */
   def winnowOversizeBuckets(df: DataFrame, idCol: String, textCol: String,

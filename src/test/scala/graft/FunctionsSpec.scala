@@ -923,6 +923,18 @@ class FunctionsSpec extends AnyFunSuite {
       ("B", "click here", 1L, 1L, 1000000L)))
   }
 
+  test("keepBestOfClusters: max quality wins, ties to lowest id, unclustered docs survive") {
+    val docs = Seq(
+      (1L, 5L), (2L, 9L), (3L, 9L),  // cluster 1: 2 and 3 tie on quality → 2
+      (4L, 1L)                        // no cluster → kept
+    ).toDF("doc_id", "quality")
+    val clusters = Seq((1L, 1L), (2L, 1L), (3L, 1L)).toDF("id", "cluster_id")
+    val kept = Dedup.keepBestOfClusters(docs, "doc_id", clusters,
+        "id", "cluster_id", "quality")
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(2L, 4L))
+  }
+
   test("crossCorpusDedup: batch doc sharing an 8-gram with base drops; short and clean docs survive") {
     val shared = "p q r s t u v w"
     val base = Seq((100L, s"base doc $shared end")).toDF("doc_id", "text")

@@ -234,6 +234,13 @@ class PlanSpec extends AnyFunSuite {
       s"probe joins must be keyed, not nested-loop:\n$p")
   }
 
+  test("q130 best-of-cluster: argmax map-side combined; keep set met by semi/anti joins, no text shuffle") {
+    val p = plan("q130_best_of_cluster")
+    assert(p.contains("partial_min"), s"cluster argmax not map-side combined:\n$p")
+    assert(p.contains("LeftSemi"), s"keep set must be a semi-join:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("SPI whole-stream aggregate keeps a real Exchange between partial and final stages") {
     // coalesce(1) here would be a narrow dependency — Spark would collapse
     // the partial stage into the single final task and the per-partition
