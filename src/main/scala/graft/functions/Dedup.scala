@@ -402,12 +402,19 @@ object Dedup {
     * fixed 32-char key regardless of `n`. Coverage is per-position
     * (`collect_set`), bounded by the document's own token count. */
   def maskDuplicatedSpans(df: DataFrame, idCol: String, textCol: String,
-      n: Int = 8, minCount: Long = 2L): DataFrame = {
+      n: Int = 8, minCount: Long = 2L,
+      reliableCheckpoint: Boolean = false): DataFrame = {
+    def cut(d: DataFrame): DataFrame =
+      if (reliableCheckpoint) d.checkpoint(true) else d.localCheckpoint(true)
     val toks = df.select(F.col(idCol), Text.tokens(F.col(textCol)).as("__t"))
-    val grams = toks.select(F.col(idCol),
+    // the grams frame feeds BOTH the dup-count aggregate and the probe
+    // join — cut it ((id, pos, fp) only, text stays behind) so the
+    // dominant tokenize+shingle+md5 scan runs once, not twice (the same
+    // discipline as [[winnowOverlapCandidates]])
+    val grams = cut(toks.select(F.col(idCol),
         F.posexplode(graft.plans.Expressions.shingleArray(F.col("__t"), n))
           .as(Seq("pos", "g")))
-      .select(F.col(idCol), F.col("pos"), F.md5(F.col("g")).as("fp"))
+      .select(F.col(idCol), F.col("pos"), F.md5(F.col("g")).as("fp")))
     val dupFps = grams.groupBy("fp").agg(F.count(F.lit(1)).as("__n"))
       .where(F.col("__n") >= minCount).select("fp")
     val covered = grams.join(dupFps, "fp")
@@ -462,10 +469,14 @@ object Dedup {
       clIdCol: String, clClusterCol: String, qualityCol: String): DataFrame = {
     val cl = clusters.select(F.col(clIdCol).as(idCol), F.col(clClusterCol).as("__cl"))
     val withCl = df.join(cl, Seq(idCol), "left")
+    // argmax via max-struct on (quality, -id, id): quality keeps its native
+    // type (a cast-to-long would floor fractional scores and break the
+    // max-quality contract); -id makes the tie resolve to the LOWEST id
     val best = withCl.where(F.col("__cl").isNotNull)
       .groupBy("__cl")
-      .agg(F.min(F.struct(
-        (F.lit(-1L) * F.col(qualityCol).cast("long")).as("negQ"),
+      .agg(F.max(F.struct(
+        F.col(qualityCol).as("q"),
+        (F.lit(-1L) * F.col(idCol)).as("negId"),
         F.col(idCol).as("id"))).as("best"))
       .select(F.col("best.id").as(idCol))
     withCl.where(F.col("__cl").isNull).drop("__cl")

@@ -231,8 +231,13 @@ object Sampling {
     * — the window never sees more than one group's rows. */
   def shardPlan(df: DataFrame, idCol: String, textCol: String,
       groupCol: String, targetTokens: Long): DataFrame = {
+    require(targetTokens > 0, s"targetTokens must be positive: $targetTokens")
     import org.apache.spark.sql.expressions.Window
+    // ROWS frame, not the orderBy default RANGE: ties in the order key must
+    // get SUCCESSIVE offsets (RANGE would hand peers the same cumulative
+    // sum and shards could overshoot their budget by a whole peer group)
     val w = Window.partitionBy(groupCol).orderBy(idCol)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     df.select(F.col(groupCol), F.col(idCol),
         Text.tokenCount(F.col(textCol)).cast("long").as("n_tokens"))
       .withColumn("start_offset",

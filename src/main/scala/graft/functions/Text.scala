@@ -385,8 +385,9 @@ object Text {
       .groupBy("__bg").agg(F.count(F.lit(1)).as("__c2"))
     val uniC = df.select(F.explode(ts).as("__w"))
       .groupBy("__w").agg(F.count(F.lit(1)).as("__c1"))
-    val v = uniC.agg(F.count(F.lit(1)).as("__v"))
-    val n = uniC.agg(F.sum("__c1").as("__n"))
+    // V and N from ONE aggregate over the unigram table: one scalar
+    // broadcast instead of two redundant aggregation passes + cross joins
+    val vn = uniC.agg(F.count(F.lit(1)).as("__v"), F.sum("__c1").as("__n"))
     tri
       .join(triC, Seq("__tg"))
       .withColumn("__ctx", F.substring_index(F.col("__tg"), " ", 2))
@@ -397,7 +398,7 @@ object Text {
       .join(biC.select(F.col("__bg").as("__suf"), F.col("__c2").as("__csuf")), Seq("__suf"))
       .join(uniC.select(F.col("__w").as("__w2"), F.col("__c1").as("__cw2")), Seq("__w2"))
       .join(uniC.select(F.col("__w").as("__w3"), F.col("__c1").as("__cw3")), Seq("__w3"))
-      .crossJoin(F.broadcast(v)).crossJoin(F.broadcast(n))
+      .crossJoin(F.broadcast(vn))
       .select(F.col(idCol),
         F.expr("""(6 * (((__c3 + 1) * 1000000) DIV (__cctx + __v))
                  + 3 * (((__csuf + 1) * 1000000) DIV (__cw2 + __v))

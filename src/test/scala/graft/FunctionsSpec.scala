@@ -935,6 +935,16 @@ class FunctionsSpec extends AnyFunSuite {
     assert(kept == Set(2L, 4L))
   }
 
+  test("keepBestOfClusters: fractional quality compares exactly (no long truncation)") {
+    // 1.2 vs 1.9 floor to the same long — the argmax must still pick 1.9
+    val docs = Seq((1L, 1.2), (2L, 1.9)).toDF("doc_id", "quality")
+    val clusters = Seq((1L, 1L), (2L, 1L)).toDF("id", "cluster_id")
+    val kept = Dedup.keepBestOfClusters(docs, "doc_id", clusters,
+        "id", "cluster_id", "quality")
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(2L))
+  }
+
   test("crossCorpusDedup: batch doc sharing an 8-gram with base drops; short and clean docs survive") {
     val shared = "p q r s t u v w"
     val base = Seq((100L, s"base doc $shared end")).toDF("doc_id", "text")

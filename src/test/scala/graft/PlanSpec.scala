@@ -190,8 +190,10 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("LeftAnti"), s"kept set must be an anti-join:\n$p")
   }
 
-  test("q125 dup-span mask: gram counts map-side combined; no all-pairs anywhere") {
+  test("q125 dup-span mask: gram frame cut once; counts map-side combined; no all-pairs anywhere") {
     val p = plan("q125_dup_span_mask")
+    assert(p.contains("Scan ExistingRDD"),
+      s"grams frame not cut (tokenize+shingle+md5 scan would run twice):\n$p")
     assert(p.contains("partial_count"), s"gram counts not map-side combined:\n$p")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
       s"span mask must stay keyed (fp/doc_id) end-to-end:\n$p")
@@ -229,14 +231,14 @@ class PlanSpec extends AnyFunSuite {
     val p = plan("q129_trigram_lm")
     assert(p.contains("partial_count"), s"count tables not map-side combined:\n$p")
     assert(!p.contains("CartesianProduct"), p)
-    // the only nested-loop joins are the 1-row V and N broadcasts
-    assert("BroadcastNestedLoopJoin".r.findAllIn(p).size <= 2,
+    // the only nested-loop join is the single 1-row (V, N) broadcast
+    assert("BroadcastNestedLoopJoin".r.findAllIn(p).size <= 1,
       s"probe joins must be keyed, not nested-loop:\n$p")
   }
 
   test("q130 best-of-cluster: argmax map-side combined; keep set met by semi/anti joins, no text shuffle") {
     val p = plan("q130_best_of_cluster")
-    assert(p.contains("partial_min"), s"cluster argmax not map-side combined:\n$p")
+    assert(p.contains("partial_max"), s"cluster argmax not map-side combined:\n$p")
     assert(p.contains("LeftSemi"), s"keep set must be a semi-join:\n$p")
     assert(!p.contains("CartesianProduct"), p)
   }
