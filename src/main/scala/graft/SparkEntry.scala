@@ -1099,6 +1099,16 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    "q131_decontamination_report" -> ((s, dir) => {
+      // the audit trail q104 files next to its cleaned corpus: per
+      // contaminated doc, distinct leaked 3-gram count + the first one
+      val docs = table(s, dir, "documents")
+      Dedup.decontaminationReport(
+          docs.where(F.col("doc_id") % 100 =!= 0), "doc_id", "text",
+          docs.where(F.col("doc_id") % 100 === 0), "text", 3)
+        .orderBy("doc_id")
+    }),
+
     "q106_bpe_pairs" -> ((s, dir) =>
       // the BPE trainer's per-iteration counting core, oracled: weighted
       // adjacent symbol pairs over the word-frequency vocabulary, top 20
@@ -2249,6 +2259,15 @@ object SparkEntry {
          LEFT JOIN ranked rk ON d.doc_id = rk.id
          WHERE cl.id IS NULL OR rk.rn = 1
          ORDER BY doc_id""",
+    "q131_decontamination_report" ->
+      """WITH ws AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x != '') AS ws FROM documents),
+         sh AS (SELECT DISTINCT doc_id, unnest(list_transform(generate_series(1, len(ws) - 2),
+                  i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS g FROM ws),
+         eg AS (SELECT DISTINCT g FROM sh WHERE doc_id % 100 = 0)
+         SELECT doc_id, CAST(count(*) AS BIGINT) AS n_leaked_grams,
+           min(g) AS first_leaked_gram
+         FROM sh WHERE doc_id % 100 <> 0 AND g IN (SELECT g FROM eg)
+         GROUP BY 1 ORDER BY doc_id""",
     "q109_semantic_decontaminate" ->
       """WITH ev AS (SELECT embedding::DOUBLE[] AS ev FROM embeddings WHERE vec_id % 50 = 0),
          hits AS (SELECT DISTINCT c.vec_id

@@ -559,6 +559,29 @@ object Dedup {
     corpus.join(contaminated, Seq(idCol), "left_anti")
   }
 
+  /** The audit face of [[decontaminate]]: for each CONTAMINATED corpus
+    * document, the evidence — how many distinct eval `n`-grams leaked into
+    * it and the lexicographically-first one (a reviewable sample, not the
+    * unbounded full list). [[decontaminate]] answers "what survives";
+    * this answers "what was dropped and WHY" — the report a release
+    * process files next to the cleaned corpus.
+    *
+    * Same scale shape as the drop path: eval grams broadcast, corpus
+    * grams stay in their scan stage, the per-doc aggregate carries one
+    * count and one min-string. */
+  def decontaminationReport(corpus: DataFrame, idCol: String, textCol: String,
+      evalSet: DataFrame, evalTextCol: String, n: Int): DataFrame = {
+    val evalGrams = F.broadcast(
+      evalSet.select(F.explode(shingles(F.col(evalTextCol), n)).as("__g")).distinct())
+    corpus
+      .select(F.col(idCol), F.explode(F.array_distinct(
+        shingles(F.col(textCol), n))).as("__g"))
+      .join(evalGrams, "__g")
+      .groupBy(idCol)
+      .agg(F.count(F.lit(1)).as("n_leaked_grams"),
+        F.min("__g").as("first_leaked_gram"))
+  }
+
   def duplicateClusters(pairs: DataFrame, aCol: String, bCol: String,
       maxIter: Int = 12, reliableCheckpoint: Boolean = false): DataFrame = {
     require(maxIter > 0, s"maxIter must be positive, got $maxIter")

@@ -923,6 +923,21 @@ class FunctionsSpec extends AnyFunSuite {
       ("B", "click here", 1L, 1L, 1000000L)))
   }
 
+  test("decontaminationReport: distinct leaked grams per doc with a first-gram sample; clean docs absent") {
+    val eval = Seq((100L, "a b c d")).toDF("doc_id", "text")
+    val corpus = Seq(
+      (1L, "x a b c y a b c"),   // "a b c" twice in-doc → counts once
+      (2L, "a b c d e"),         // "a b c" + "b c d" leak; "c d e" clean
+      (3L, "totally clean text here")
+    ).toDF("doc_id", "text")
+    val out = Dedup.decontaminationReport(corpus, "doc_id", "text", eval, "text", n = 3)
+      .select($"doc_id", $"n_leaked_grams", $"first_leaked_gram")
+      .as[(Long, Long, String)].collect().map(r => r._1 -> r).toMap
+    assert(out(1L) == ((1L, 1L, "a b c")))
+    assert(out(2L) == ((2L, 2L, "a b c")))
+    assert(!out.contains(3L))
+  }
+
   test("keepBestOfClusters: max quality wins, ties to lowest id, unclustered docs survive") {
     val docs = Seq(
       (1L, 5L), (2L, 9L), (3L, 9L),  // cluster 1: 2 and 3 tie on quality → 2
