@@ -244,4 +244,26 @@ object Sampling {
         F.sum("n_tokens").over(w) - F.col("n_tokens"))
       .withColumn("shard_id", F.expr(s"start_offset DIV ${targetTokens}L"))
   }
+
+  /** Streaming face of [[shardPlan]]: shard assignment at INGEST — the
+    * per-group cumulative token offset lives in the state store and
+    * resumes across micro-batches (within a batch, id order; across
+    * batches, arrival order). Same output columns as the batch face; fed
+    * the same rows in the same order, the two faces agree (pinned in
+    * StateStoreSpec). */
+  def streamingShardPlan(stream: DataFrame, idCol: String, textCol: String,
+      groupCol: String, targetTokens: Long): DataFrame = {
+    require(targetTokens > 0, s"targetTokens must be positive: $targetTokens")
+    val spark = stream.sparkSession
+    import spark.implicits._
+    stream.select(F.col(groupCol).cast("string"), F.col(idCol).cast("long"),
+        Text.tokenCount(F.col(textCol)).cast("long"))
+      .as[(String, Long, Long)]
+      .groupByKey(_._1)
+      .transformWithState(
+        new graft.streaming.StateStoreRunner.RunningOffsetProcessor(targetTokens),
+        org.apache.spark.sql.streaming.TimeMode.None(),
+        org.apache.spark.sql.streaming.OutputMode.Append())
+      .toDF(groupCol, idCol, "n_tokens", "start_offset", "shard_id")
+  }
 }

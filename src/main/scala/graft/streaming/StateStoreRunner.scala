@@ -212,6 +212,37 @@ object StateStoreRunner {
     }
   }
 
+  /** Running per-key token offset — the streaming face of
+    * `Sampling.shardPlan`: documents are laid into fixed-token-budget
+    * output shards AS THEY ARRIVE, the cumulative offset resuming from the
+    * state store across batches. Within a batch, rows are folded in id
+    * order (the iterator's shuffle order is not deterministic; the sort is
+    * per-key-per-batch, bounded by the batch). Cross-batch order is
+    * arrival order — the streaming contract (a replayed batch re-folds
+    * from the last committed offset, so shard ids are exactly-once under
+    * the checkpoint-version argument above). Emits
+    * (key, id, nTokens, startOffset, shardId). */
+  class RunningOffsetProcessor(targetTokens: Long)
+    extends StatefulProcessor[String, (String, Long, Long), (String, Long, Long, Long, Long)] {
+    require(targetTokens > 0, s"targetTokens must be positive: $targetTokens")
+    @transient private var off: org.apache.spark.sql.streaming.ValueState[Long] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      off = getHandle.getValueState[Long]("off", Encoders.scalaLong, TTLConfig.NONE)
+
+    override def handleInputRows(key: String, rows: Iterator[(String, Long, Long)],
+                                 timerValues: TimerValues): Iterator[(String, Long, Long, Long, Long)] = {
+      var cur = if (off.exists()) off.get() else 0L
+      val out = rows.toVector.sortBy(_._2).map { case (_, id, n) =>
+        val start = cur
+        cur += n
+        (key, id, n, start, start / targetTokens)
+      }
+      off.update(cur)
+      out.iterator
+    }
+  }
+
   /** Event-time TIMERS (the reference's tick tuples, `executor.clj` tick
     * stream, on the native transformWithState timer API): each batch
     * re-arms a per-key timer `idleMs` past the current watermark; when the

@@ -269,6 +269,44 @@ class StateStoreSpec extends AnyFunSuite {
     assert(spark.table("slshcap").as[(Long, Long)].collect().toSet ==
       Set((1L, 2L)))
   }
+
+  test("streaming shard plan: offsets resume across batches and match the batch face in id order") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, String, String)] // (doc_id, source, text)
+    input.addData((1L, "A", "a b c"), (2L, "A", "d e f g"), (4L, "B", "j k"))
+
+    val out = functions.Sampling.streamingShardPlan(
+      input.toDF().toDF("doc_id", "source", "text"),
+      "doc_id", "text", "source", targetTokens = 5L)
+    val q = out.writeStream.outputMode("append")
+      .format("memory").queryName("twsshards")
+      .trigger(Trigger.ProcessingTime(0L))
+      .start()
+    q.processAllAvailable()
+    input.addData((3L, "A", "h i"))   // resumes A at offset 7
+    q.processAllAvailable()
+    q.stop()
+
+    val got = spark.table("twsshards")
+      .as[(String, Long, Long, Long, Long)].collect()
+      .map(r => r._2 -> ((r._1, r._3, r._4, r._5))).toMap
+    assert(got(1L) == (("A", 3L, 0L, 0L)))
+    assert(got(2L) == (("A", 4L, 3L, 0L)))
+    assert(got(3L) == (("A", 2L, 7L, 1L)))   // cross-batch resume
+    assert(got(4L) == (("B", 2L, 0L, 0L)))
+
+    // batch-face parity on the same rows in id order
+    val batch = functions.Sampling.shardPlan(
+      Seq((1L, "A", "a b c"), (2L, "A", "d e f g"), (3L, "A", "h i"),
+        (4L, "B", "j k")).toDF("doc_id", "source", "text"),
+      "doc_id", "text", "source", targetTokens = 5L)
+      .select($"doc_id", $"start_offset", $"shard_id")
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    got.foreach { case (id, (_, _, off, sh)) =>
+      assert(batch(id) == ((off, sh)), s"doc $id diverges from batch face")
+    }
+  }
 }
 
 object StateStoreSpec {
