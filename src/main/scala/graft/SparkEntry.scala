@@ -1109,6 +1109,20 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    "q132_chunk_documents" -> ((s, dir) =>
+      // retrieval-passage chunking: 32-token windows every 24 tokens
+      // (8-token overlap), trailing chunk shorter — one scan, no shuffle
+      functions.Text.chunkDocuments(table(s, dir, "documents"),
+          "doc_id", "text", window = 32, stride = 24)
+        .orderBy("doc_id", "chunk_id")),
+
+    "q133_oov_rate" -> ((s, dir) =>
+      // tokenizer-coverage audit: per-doc UNK rate vs the corpus' own
+      // top-20 words (deterministic ties); TopK vocab broadcast
+      functions.Text.oovRate(table(s, dir, "documents"),
+          "doc_id", "text", vocabSize = 20)
+        .orderBy("doc_id")),
+
     "q106_bpe_pairs" -> ((s, dir) =>
       // the BPE trainer's per-iteration counting core, oracled: weighted
       // adjacent symbol pairs over the word-frequency vocabulary, top 20
@@ -2268,6 +2282,25 @@ object SparkEntry {
            min(g) AS first_leaked_gram
          FROM sh WHERE doc_id % 100 <> 0 AND g IN (SELECT g FROM eg)
          GROUP BY 1 ORDER BY doc_id""",
+    "q132_chunk_documents" ->
+      """WITH t AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x != '') AS ws FROM documents),
+         g AS (SELECT doc_id, (s - 1) // 24 AS chunk_id,
+                 array_to_string(ws[s:s + 31], ' ') AS chunk_text,
+                 len(ws[s:s + 31]) AS n
+               FROM t, unnest(generate_series(1, len(ws), 24)) AS u(s))
+         SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id, chunk_text,
+           CAST(n AS BIGINT) AS n_tokens
+         FROM g WHERE n > 0 ORDER BY doc_id, chunk_id""",
+    "q133_oov_rate" ->
+      """WITH w AS (SELECT doc_id, unnest(list_filter(string_split(text, ' '), x -> x != '')) AS w FROM documents),
+         v AS (SELECT w FROM (SELECT w, count(*) AS c FROM w GROUP BY 1
+                              ORDER BY c DESC, w LIMIT 20)),
+         agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+                   CAST(count(*) FILTER (WHERE w.w NOT IN (SELECT w FROM v)) AS BIGINT) AS n_oov
+                 FROM w GROUP BY 1)
+         SELECT doc_id, n_tokens, n_oov,
+           CAST(n_oov * 1000000 // n_tokens AS BIGINT) AS oov_ppm
+         FROM agg ORDER BY doc_id""",
     "q109_semantic_decontaminate" ->
       """WITH ev AS (SELECT embedding::DOUBLE[] AS ev FROM embeddings WHERE vec_id % 50 = 0),
          hits AS (SELECT DISTINCT c.vec_id

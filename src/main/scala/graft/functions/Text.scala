@@ -411,6 +411,51 @@ object Text {
         F.expr("lm3_sum_ppm DIV n_trigrams").as("lm3_avg_ppm"))
   }
 
+  /** Sliding-window document chunking — the passage-splitting step of an
+    * embedding/retrieval pipeline: token windows of `window` words every
+    * `stride` words (overlap = window − stride), the trailing chunk
+    * shorter. Pure scan-stage explode: no shuffle, no state — chunking
+    * 100 TB is exactly one pass. Chunk ids are 0-based and contiguous
+    * per document; empty documents produce no chunks. */
+  def chunkDocuments(df: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String, window: Int, stride: Int): org.apache.spark.sql.DataFrame = {
+    require(window > 0 && stride > 0 && stride <= window,
+      s"need 0 < stride <= window, got window=$window stride=$stride")
+    val starts = F.sequence(F.lit(0),
+      F.greatest(F.size(F.col("__t")) - 1, F.lit(0)), F.lit(stride))
+    df.select(F.col(idCol), tokens(F.col(textCol)).as("__t"))
+      .select(F.col(idCol),
+        F.posexplode(F.transform(starts, s =>
+          F.slice(F.col("__t"), s + 1, F.lit(window)))).as(Seq("chunk_id", "__c")))
+      .where(F.size(F.col("__c")) > 0)
+      .select(F.col(idCol), F.col("chunk_id").cast("long").as("chunk_id"),
+        F.array_join(F.col("__c"), " ").as("chunk_text"),
+        F.size(F.col("__c")).cast("long").as("n_tokens"))
+  }
+
+  /** Tokenizer-coverage audit: per-document out-of-vocabulary rate against
+    * the corpus' own top-`vocabSize` words (ties broken by word — fully
+    * deterministic). The UNK-rate a fixed-vocabulary tokenizer would see.
+    *
+    * Scale shape: the vocabulary is a TakeOrderedAndProject over the word
+    * counts (k rows per partition cross the wire) and broadcasts; the
+    * per-doc pass is one explode + broadcast probe + id-keyed aggregate.
+    * OOV in integer ppm. */
+  def oovRate(df: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String, vocabSize: Int): org.apache.spark.sql.DataFrame = {
+    val words = df.select(F.explode(tokens(F.col(textCol))).as("__w"))
+    val vocab = words.groupBy("__w").agg(F.count(F.lit(1)).as("__c"))
+      .orderBy(F.col("__c").desc, F.col("__w").asc)
+      .limit(vocabSize)
+      .select(F.col("__w"), F.lit(1).as("__in"))
+    df.select(F.col(idCol), F.explode(tokens(F.col(textCol))).as("__w"))
+      .join(F.broadcast(vocab), Seq("__w"), "left")
+      .groupBy(idCol)
+      .agg(F.count(F.lit(1)).as("n_tokens"),
+        F.sum(F.when(F.col("__in").isNull, 1L).otherwise(0L)).as("n_oov"))
+      .withColumn("oov_ppm", F.expr("n_oov * 1000000L DIV n_tokens"))
+  }
+
   /** CCNet-style fluency bucketing: label each document head / middle /
     * tail by which tercile of the corpus' [[bigramLmScore]] distribution
     * it falls in (CCNet buckets on LM perplexity; higher avg-ppm here =

@@ -923,6 +923,30 @@ class FunctionsSpec extends AnyFunSuite {
       ("B", "click here", 1L, 1L, 1000000L)))
   }
 
+  test("chunkDocuments: overlapping windows, short trailing chunk, empty docs produce nothing") {
+    val docs = Seq((1L, "a b c d e f g"), (2L, "")).toDF("doc_id", "text")
+    val out = Text.chunkDocuments(docs, "doc_id", "text", window = 4, stride = 3)
+      .select($"doc_id", $"chunk_id", $"chunk_text", $"n_tokens")
+      .as[(Long, Long, String, Long)].collect().sortBy(r => (r._1, r._2)).toSeq
+    assert(out == Seq(
+      (1L, 0L, "a b c d", 4L),
+      (1L, 1L, "d e f g", 4L),
+      (1L, 2L, "g", 1L)))
+  }
+
+  test("oovRate: corpus top-k vocabulary with deterministic ties; per-doc ppm") {
+    val docs = Seq(
+      (1L, "x x x y z"),   // x:3(+2 below)=5? counts are corpus-wide
+      (2L, "x x y y w")
+    ).toDF("doc_id", "text")
+    // corpus freqs: x=5, y=3, z=1, w=1 → vocab(2) = {x, y}
+    val out = Text.oovRate(docs, "doc_id", "text", vocabSize = 2)
+      .select($"doc_id", $"n_tokens", $"n_oov", $"oov_ppm")
+      .as[(Long, Long, Long, Long)].collect().map(r => r._1 -> r).toMap
+    assert(out(1L) == ((1L, 5L, 1L, 200000L)))
+    assert(out(2L) == ((2L, 5L, 1L, 200000L)))
+  }
+
   test("decontaminationReport: distinct leaked grams per doc with a first-gram sample; clean docs absent") {
     val eval = Seq((100L, "a b c d")).toDF("doc_id", "text")
     val corpus = Seq(

@@ -243,6 +243,19 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("q132 chunking: pure scan-stage explode — no joins, only the output-sort exchange") {
+    val p = plan("q132_chunk_documents")
+    assert(!p.contains("Join"), s"chunking must not join:\n$p")
+    assert("Exchange".r.findAllIn(p).size <= 1, s"chunking must not shuffle:\n$p")
+  }
+
+  test("q133 oov rate: vocabulary as TakeOrdered broadcast, per-doc pass aggregates partially") {
+    val p = plan("q133_oov_rate")
+    assert(p.contains("TakeOrderedAndProject"), s"vocab not a top-k:\n$p")
+    assert(p.contains("BroadcastHashJoin"), s"vocab not broadcast:\n$p")
+    assert(p.contains("partial_count"), s"per-doc aggregate not map-side combined:\n$p")
+  }
+
   test("SPI whole-stream aggregate keeps a real Exchange between partial and final stages") {
     // coalesce(1) here would be a narrow dependency — Spark would collapse
     // the partial stage into the single final task and the per-partition
