@@ -923,6 +923,118 @@ class FunctionsSpec extends AnyFunSuite {
       ("B", "click here", 1L, 1L, 1000000L)))
   }
 
+  test("maskDuplicatedSpans matches a brute-force reference on random corpora") {
+    val rnd = new scala.util.Random(47)
+    for (trial <- 1 to 3) {
+      val n = 3 // small n + tiny alphabet → real cross-doc dup windows
+      val docs = Vector.tabulate(25) { i =>
+        (i.toLong, Vector.fill(rnd.nextInt(12))(
+          ('a' + rnd.nextInt(3)).toChar.toString).mkString(" "))
+      }
+      val got = Dedup.maskDuplicatedSpans(docs.toDF("doc_id", "text"),
+          "doc_id", "text", n = n, minCount = 2L)
+        .collect().map(r => r.getLong(0) ->
+          ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+
+      val toks = docs.map { case (id, t) =>
+        id -> t.split(" ").filter(_.nonEmpty).toVector }.toMap
+      val counts = toks.values.flatMap(_.sliding(n).filter(_.size == n)
+        .map(_.mkString(" "))).groupBy(identity).view.mapValues(_.size).toMap
+      val want = docs.map { case (id, _) =>
+        val ws = toks(id)
+        val cov = ws.sliding(n).zipWithIndex
+          .filter { case (g, _) => g.size == n && counts(g.mkString(" ")) >= 2 }
+          .flatMap { case (_, i) => i until (i + n) }.toSet
+        val clean = ws.zipWithIndex.collect {
+          case (w, i) if !cov.contains(i) => w }.mkString(" ")
+        id -> ((ws.size.toLong, cov.size.toLong, clean))
+      }.toMap
+      assert(got == want, s"trial $trial")
+    }
+  }
+
+  test("chunkDocuments matches a brute-force reference on random docs and strides") {
+    val rnd = new scala.util.Random(53)
+    for (trial <- 1 to 3) {
+      val (window, stride) = Seq((4, 4), (5, 3), (3, 1))(trial - 1)
+      val docs = Vector.tabulate(20) { i =>
+        (i.toLong, Vector.fill(rnd.nextInt(13))(
+          ('a' + rnd.nextInt(5)).toChar.toString).mkString(" "))
+      }
+      val got = Text.chunkDocuments(docs.toDF("doc_id", "text"),
+          "doc_id", "text", window, stride)
+        .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+          ((r.getString(2), r.getLong(3)))).toMap
+      val want = docs.flatMap { case (id, t) =>
+        val ws = t.split(" ").filter(_.nonEmpty).toVector
+        Iterator.from(0).map(_ * stride).takeWhile(_ < ws.size).zipWithIndex
+          .map { case (s, ci) =>
+            val c = ws.slice(s, s + window)
+            (id, ci.toLong) -> ((c.mkString(" "), c.size.toLong)) }
+      }.toMap
+      assert(got == want, s"trial $trial window=$window stride=$stride")
+      // stride == window → chunks partition the tokens exactly
+      if (window == stride) docs.foreach { case (id, t) =>
+        val ws = t.split(" ").filter(_.nonEmpty).toVector
+        val rebuilt = got.toSeq.filter(_._1._1 == id).sortBy(_._1._2)
+          .flatMap(_._2._1.split(" ").filter(_.nonEmpty))
+        assert(rebuilt == ws, s"doc $id not partitioned")
+      }
+    }
+  }
+
+  test("shardPlan matches a brute-force reference; shard budgets hold") {
+    val rnd = new scala.util.Random(59)
+    for (trial <- 1 to 3) {
+      val target = Seq(5L, 9L, 17L)(trial - 1)
+      val docs = Vector.tabulate(30) { i =>
+        (i.toLong, s"g${rnd.nextInt(3)}", Vector.fill(1 + rnd.nextInt(6))("w").mkString(" "))
+      }
+      val got = Sampling.shardPlan(docs.toDF("doc_id", "source", "text"),
+          "doc_id", "text", "source", target)
+        .collect().map(r => r.getLong(1) -> ((r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+      val want = docs.groupBy(_._2).values.flatMap { grp =>
+        var off = 0L
+        grp.sortBy(_._1).map { case (id, _, t) =>
+          val n = t.split(" ").count(_.nonEmpty).toLong
+          val r = id -> ((n, off, off / target)); off += n; r
+        }
+      }.toMap
+      assert(got == want, s"trial $trial target=$target")
+      // every shard's token total reaches target before a new shard opens
+      // (i.e. a doc starts a new shard only past the budget boundary)
+      got.values.foreach { case (_, off, sh) =>
+        assert(off / target == sh && off - sh * target < target)
+      }
+    }
+  }
+
+  test("boilerplateGrams matches a brute-force doc-frequency reference on random corpora") {
+    val rnd = new scala.util.Random(61)
+    for (trial <- 1 to 3) {
+      val docs = Vector.tabulate(24) { i =>
+        (i.toLong, s"s${rnd.nextInt(3)}", Vector.fill(rnd.nextInt(8))(
+          ('a' + rnd.nextInt(3)).toChar.toString).mkString(" "))
+      }
+      val minPpm = 250000L
+      val got = Text.boilerplateGrams(docs.toDF("doc_id", "source", "text"),
+          "text", "source", n = 2, minDocRatioPpm = minPpm)
+        .collect().map(r => (r.getString(0), r.getString(1)) ->
+          ((r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+      val bySrc = docs.groupBy(_._2)
+      val want = bySrc.flatMap { case (src, grp) =>
+        val nDocs = grp.size.toLong
+        grp.flatMap { case (_, _, t) =>
+          val ws = t.split(" ").filter(_.nonEmpty).toVector
+          ws.sliding(2).filter(_.size == 2).map(_.mkString(" ")).toSet
+        }.groupBy(identity).map { case (g, gs) =>
+          (src, g) -> ((gs.size.toLong, nDocs, gs.size.toLong * 1000000L / nDocs)) }
+          .filter(_._2._3 >= minPpm)
+      }
+      assert(got == want.toMap, s"trial $trial")
+    }
+  }
+
   test("chunkDocuments: overlapping windows, short trailing chunk, empty docs produce nothing") {
     val docs = Seq((1L, "a b c d e f g"), (2L, "")).toDF("doc_id", "text")
     val out = Text.chunkDocuments(docs, "doc_id", "text", window = 4, stride = 3)
