@@ -127,4 +127,52 @@ class GoldenPipelineSpec extends AnyFunSuite {
       ("fr", 72L, 4L, 4304L),
       ("zh", 60L, 3L, 3161L)))
   }
+
+  test("golden: round-6 curation pipeline (mask→cross-dedup→best-of-cluster→decontaminate→shard)") {
+    import org.apache.spark.sql.{functions => F}
+    import graft.functions._
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+
+    // 1. strip corpus-wide duplicated 8-gram spans, keep cleaned text
+    val masked = Dedup.maskDuplicatedSpans(docs, "doc_id", "text", n = 8, minCount = 2L)
+      .join(docs.select("doc_id", "source", "lang"), Seq("doc_id"))
+      .select(F.col("doc_id"), F.col("source"), F.col("lang"),
+        F.col("clean_text").as("text"))
+      .where(F.length(F.col("text")) > 0)
+
+    // 2. drop new-batch docs overlapping the base corpus (src0 = base)
+    val deduped = Dedup.crossCorpusDedup(
+      masked.where(F.col("source") =!= "src0"),
+      masked.where(F.col("source") === "src0"),
+      "doc_id", "text", k = 8)
+
+    // 3. near-dup clusters resolved to the LONGEST member
+    val pairs = Dedup.nearDupPairs(
+        deduped.where(Text.tokenCount(F.col("text")) >= 3),
+        "doc_id", "text", k = 3, numHashes = 4, rowsPerBand = 2, threshold = 0.5)
+      .select("a", "b")
+    val clusters = Dedup.duplicateClusters(pairs, "a", "b")
+    val best = Dedup.keepBestOfClusters(
+      deduped.withColumn("n_chars", F.length(F.col("text")).cast("long")),
+      "doc_id", clusters, "id", "cluster_id", "n_chars")
+
+    // 4. decontaminate vs an eval slice, with the audit report alongside
+    val eval = docs.where(F.col("doc_id") % 100 === 0)
+    val survivors = Dedup.decontaminate(best, "doc_id", "text", eval, "text", 3)
+    val report = Dedup.decontaminationReport(best, "doc_id", "text", eval, "text", 3)
+
+    // 5. lay the survivors into 500-token shards per source
+    val shards = Sampling.shardPlan(survivors, "doc_id", "text", "source", 500L)
+
+    // masked: 24 fully-boilerplate docs reduce to empty and drop;
+    // best == deduped: once the shared spans are REMOVED, no near-dup
+    // clusters remain above threshold — masking upstream subsumes them
+    val counts = (docs.count(), masked.count(), deduped.count(),
+      best.count(), survivors.count(), report.count())
+    assert(counts == ((500L, 476L, 455L, 455L, 293L, 162L)),
+      s"pipeline stage counts drifted: $counts")
+    assert(survivors.count() + report.count() == best.count())
+    val nShards = shards.groupBy("source").agg(F.max("shard_id")).collect()
+    assert(nShards.nonEmpty)
+  }
 }
