@@ -1123,6 +1123,18 @@ object SparkEntry {
           "doc_id", "text", vocabSize = 20)
         .orderBy("doc_id")),
 
+    "q134_corpus_diff" -> ((s, dir) => {
+      // snapshot audit between two corpus versions (simulated by id
+      // slices): per source, docs added / removed / in common — id-keyed
+      // anti/semi joins + ONE count shuffle, no full-outer anywhere
+      val docs = table(s, dir, "documents")
+      Dedup.corpusDiff(
+          docs.where(F.col("doc_id") % 7 =!= 0),
+          docs.where(F.col("doc_id") % 5 =!= 0),
+          "doc_id", "source")
+        .orderBy("source")
+    }),
+
     "q106_bpe_pairs" -> ((s, dir) =>
       // the BPE trainer's per-iteration counting core, oracled: weighted
       // adjacent symbol pairs over the word-frequency vocabulary, top 20
@@ -2301,6 +2313,20 @@ object SparkEntry {
          SELECT doc_id, n_tokens, n_oov,
            CAST(n_oov * 1000000 // n_tokens AS BIGINT) AS oov_ppm
          FROM agg ORDER BY doc_id""",
+    "q134_corpus_diff" ->
+      """WITH a AS (SELECT doc_id, source FROM documents WHERE doc_id % 7 <> 0),
+         b AS (SELECT doc_id, source FROM documents WHERE doc_id % 5 <> 0)
+         SELECT source,
+           CAST(count(*) FILTER (WHERE k = 'added') AS BIGINT) AS n_added,
+           CAST(count(*) FILTER (WHERE k = 'removed') AS BIGINT) AS n_removed,
+           CAST(count(*) FILTER (WHERE k = 'common') AS BIGINT) AS n_common
+         FROM (
+           SELECT source, 'added' AS k FROM b WHERE doc_id NOT IN (SELECT doc_id FROM a)
+           UNION ALL
+           SELECT source, 'removed' FROM a WHERE doc_id NOT IN (SELECT doc_id FROM b)
+           UNION ALL
+           SELECT source, 'common' FROM b WHERE doc_id IN (SELECT doc_id FROM a))
+         GROUP BY source ORDER BY source""",
     "q109_semantic_decontaminate" ->
       """WITH ev AS (SELECT embedding::DOUBLE[] AS ev FROM embeddings WHERE vec_id % 50 = 0),
          hits AS (SELECT DISTINCT c.vec_id

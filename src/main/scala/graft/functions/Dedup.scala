@@ -582,6 +582,33 @@ object Dedup {
         F.min("__g").as("first_leaked_gram"))
   }
 
+  /** Corpus snapshot diff — the data-versioning audit between two corpus
+    * versions: per group (source), how many documents were added (in `v2`
+    * only), removed (in `v1` only), and common (both). Ids are the join
+    * key; content comparison belongs to the fingerprint ops upstream.
+    *
+    * Scale shape: three id-keyed joins (anti / anti / semi — each
+    * broadcastable when one snapshot is small, hash-shuffled otherwise;
+    * deliberately NOT a full-outer join, which would force the one
+    * non-broadcastable join shape in Spark), then the three tagged
+    * streams union into ONE per-source count — no count-frame joins.
+    * Only (id, source) pairs move. */
+  def corpusDiff(v1: DataFrame, v2: DataFrame, idCol: String,
+      groupCol: String): DataFrame = {
+    val a = v1.select(F.col(idCol), F.col(groupCol))
+    val b = v2.select(F.col(idCol), F.col(groupCol))
+    def tag(df: DataFrame, k: String): DataFrame =
+      df.select(F.col(groupCol), F.lit(k).as("__k"))
+    tag(b.join(a.select(idCol), Seq(idCol), "left_anti"), "added")
+      .unionByName(tag(a.join(b.select(idCol), Seq(idCol), "left_anti"), "removed"))
+      .unionByName(tag(b.join(a.select(idCol), Seq(idCol), "left_semi"), "common"))
+      .groupBy(groupCol)
+      .agg(
+        F.sum(F.when(F.col("__k") === "added", 1L).otherwise(0L)).as("n_added"),
+        F.sum(F.when(F.col("__k") === "removed", 1L).otherwise(0L)).as("n_removed"),
+        F.sum(F.when(F.col("__k") === "common", 1L).otherwise(0L)).as("n_common"))
+  }
+
   def duplicateClusters(pairs: DataFrame, aCol: String, bCol: String,
       maxIter: Int = 12, reliableCheckpoint: Boolean = false): DataFrame = {
     require(maxIter > 0, s"maxIter must be positive, got $maxIter")

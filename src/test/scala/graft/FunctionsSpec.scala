@@ -1059,6 +1059,18 @@ class FunctionsSpec extends AnyFunSuite {
     assert(out(2L) == ((2L, 5L, 1L, 200000L)))
   }
 
+  test("corpusDiff: added/removed/common per source; absent categories count zero") {
+    val v1 = Seq((1L, "A"), (2L, "A"), (3L, "B")).toDF("doc_id", "source")
+    val v2 = Seq((2L, "A"), (3L, "B"), (4L, "B"), (5L, "C")).toDF("doc_id", "source")
+    val out = Dedup.corpusDiff(v1, v2, "doc_id", "source")
+      .select($"source", $"n_added", $"n_removed", $"n_common")
+      .as[(String, Long, Long, Long)].collect().toSet
+    assert(out == Set(
+      ("A", 0L, 1L, 1L),   // doc 1 removed, doc 2 common
+      ("B", 1L, 0L, 1L),   // doc 4 added, doc 3 common
+      ("C", 1L, 0L, 0L)))  // doc 5 added
+  }
+
   test("decontaminationReport: distinct leaked grams per doc with a first-gram sample; clean docs absent") {
     val eval = Seq((100L, "a b c d")).toDF("doc_id", "text")
     val corpus = Seq(

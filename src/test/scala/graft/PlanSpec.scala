@@ -256,6 +256,14 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("partial_count"), s"per-doc aggregate not map-side combined:\n$p")
   }
 
+  test("q134 corpus diff: anti/semi id joins only — no full-outer SortMergeJoin, one count shuffle") {
+    val p = plan("q134_corpus_diff")
+    assert(p.contains("LeftAnti") && p.contains("LeftSemi"), s"diff must be anti/semi joins:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+      s"count frames must union, not full-outer join:\n$p")
+    assert(p.contains("partial_sum"), s"category counts not map-side combined:\n$p")
+  }
+
   test("SPI whole-stream aggregate keeps a real Exchange between partial and final stages") {
     // coalesce(1) here would be a narrow dependency — Spark would collapse
     // the partial stage into the single final task and the per-partition
