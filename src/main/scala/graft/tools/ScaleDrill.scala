@@ -41,7 +41,8 @@ object ScaleDrill {
       case "bpe" => bpeDrill(spark, sfDir,
         numMerges = args.lift(1).map(_.toInt).getOrElse(120))
       case _ => pipelineDrill(spark, sfDir,
-        args.lift(1).getOrElse("1,10").split(",").map(_.trim.toInt).toSeq)
+        args.lift(1).getOrElse("1,10").split(",").map(_.trim.toInt).toSeq,
+        nameFilter = args.lift(2))
     }
     spark.stop()
   }
@@ -103,9 +104,22 @@ object ScaleDrill {
     "dup_span_mask (q125)" -> (docs =>
       Dedup.maskDuplicatedSpans(docs, "doc_id", "text", n = 8, minCount = 2L)
         .groupBy().agg(F.sum("n_masked").as("total_masked"),
-          F.sum(F.length(F.col("clean_text")).cast("long")).as("total_clean_chars"))))
+          F.sum(F.length(F.col("clean_text")).cast("long")).as("total_clean_chars"))),
+    // word-salting grows the vocabulary linearly with N: this row measures
+    // the vocabulary-keyed join family (count-table builds + probes) as
+    // both corpus AND key cardinality scale
+    "trigram_lm (q129)" -> (docs =>
+      graft.functions.Text.trigramLmScore(docs, "doc_id", "text")
+        .groupBy().agg(F.sum("lm3_sum_ppm").as("total_ppm"),
+          F.sum("n_trigrams").as("total_trigrams"))))
 
-  def pipelineDrill(spark: SparkSession, sfDir: String, sizes: Seq[Int]): Unit = {
+  def pipelineDrill(spark: SparkSession, sfDir: String, sizes: Seq[Int],
+                    nameFilter: Option[String] = None): Unit = {
+    val picked = nameFilter match {
+      case Some(f) => drills.filter(_._1.contains(f))
+      case None => drills
+    }
+    require(picked.nonEmpty, s"no drill matches $nameFilter")
     val base = spark.read.parquet(s"$sfDir/documents.parquet")
     val dirs = sizes.map { r =>
       val dir = s"/tmp/graft_scale_docs_x$r"
@@ -126,11 +140,11 @@ object ScaleDrill {
     }
     // warm pass on the smallest size (codegen/statics, same discipline as Bench)
     val warm = spark.read.parquet(dirs.head._2)
-    drills.foreach { case (_, fn) =>
+    picked.foreach { case (_, fn) =>
       try fn(warm).queryExecution.toRdd.count() catch { case _: Throwable => () }
     }
     println(f"| pipeline | " + sizes.map(r => f"x$r sec").mkString(" | ") + " | ratios |")
-    val results = drills.map { case (name, fn) =>
+    val results = picked.map { case (name, fn) =>
       val times = dirs.map { case (_, dir) =>
         val docs = spark.read.parquet(dir)
         // best of 2 reps — same transient discipline as the recorded bench
