@@ -307,6 +307,39 @@ class StateStoreSpec extends AnyFunSuite {
       assert(batch(id) == ((off, sh)), s"doc $id diverges from batch face")
     }
   }
+
+  test("streaming shard plan kill/restart: offsets resume from the checkpoint, no gap or double-count") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val ck = java.nio.file.Files.createTempDirectory("tws-shard-restart").toString
+    val input = MemoryStream[(Long, String, String)]
+    val sink = new java.util.concurrent.ConcurrentHashMap[java.lang.Long, (Long, Long)]()
+    def startQuery() =
+      functions.Sampling.streamingShardPlan(
+          input.toDF().toDF("doc_id", "source", "text"),
+          "doc_id", "text", "source", targetTokens = 5L)
+        .writeStream.outputMode("append")
+        .option("checkpointLocation", ck)
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+          batch.collect().foreach { r =>
+            sink.put(r.getLong(1), (r.getLong(3), r.getLong(4))); () }
+        }
+        .trigger(Trigger.ProcessingTime(0L))
+        .start()
+
+    val q1 = startQuery()
+    input.addData((1L, "A", "a b c"), (2L, "A", "d e f g")) // A ends at offset 7
+    q1.processAllAvailable()
+    q1.stop()                          // kill mid-stream
+    input.addData((3L, "A", "h i"))    // must resume at 7, not 0
+    val q2 = startQuery()
+    q2.processAllAvailable()
+    q2.stop()
+
+    import scala.jdk.CollectionConverters._
+    val got = sink.asScala.map { case (k, v) => k.longValue() -> v }.toMap
+    assert(got == Map(1L -> ((0L, 0L)), 2L -> ((3L, 0L)), 3L -> ((7L, 1L))))
+  }
 }
 
 object StateStoreSpec {
