@@ -1135,6 +1135,17 @@ object SparkEntry {
         .orderBy("source")
     }),
 
+    "q135_binary_dedup" -> ((s, dir) =>
+      // byte-identical media dedup: payloads (simulated thumbnails =
+      // 40-char text prefixes, which DO collide) grouped by md5 checksum;
+      // only (checksum, id) pairs shuffle — media bytes never move
+      functions.Multimodal.binaryDupGroups(
+          table(s, dir, "documents")
+            .select(F.col("doc_id"), functions.Multimodal.fakePayload(
+              F.substring(F.col("text"), 1, 40)).as("payload")),
+          "doc_id", "payload")
+        .orderBy("checksum")),
+
     "q106_bpe_pairs" -> ((s, dir) =>
       // the BPE trainer's per-iteration counting core, oracled: weighted
       // adjacent symbol pairs over the word-frequency vocabulary, top 20
@@ -2327,6 +2338,11 @@ object SparkEntry {
            UNION ALL
            SELECT source, 'common' FROM b WHERE doc_id IN (SELECT doc_id FROM a))
          GROUP BY source ORDER BY source""",
+    "q135_binary_dedup" ->
+      """SELECT md5(substr(text, 1, 40)) AS checksum,
+           CAST(min(doc_id) AS BIGINT) AS canonical_id,
+           CAST(count(*) AS BIGINT) AS n_copies
+         FROM documents GROUP BY 1 ORDER BY checksum""",
     "q109_semantic_decontaminate" ->
       """WITH ev AS (SELECT embedding::DOUBLE[] AS ev FROM embeddings WHERE vec_id % 50 = 0),
          hits AS (SELECT DISTINCT c.vec_id

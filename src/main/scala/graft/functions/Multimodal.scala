@@ -141,6 +141,18 @@ object Multimodal {
     }(enc)
   }
 
+  /** Byte-identical media dedup — the image/audio analogue of
+    * [[graft.functions.Dedup.exactDupGroups]]: duplicate groups keyed by
+    * the payload's md5 checksum, canonical id = min id per group. The
+    * payload bytes never shuffle — only (32-char checksum, id) pairs move,
+    * which is what makes this viable over terabytes of media. Re-encoded
+    * or resized variants are NOT byte-identical; route those through the
+    * embedding near-dup family instead. */
+  def binaryDupGroups(df: DataFrame, idCol: String, payloadCol: String): DataFrame =
+    df.select(F.md5(F.col(payloadCol)).as("checksum"), F.col(idCol))
+      .groupBy("checksum")
+      .agg(F.min(idCol).as("canonical_id"), F.count(F.lit(1)).as("n_copies"))
+
   // ---- pluggable codec SPI (the non-stub decode path) ----
 
   /** What a codec produces per payload. */

@@ -1059,6 +1059,18 @@ class FunctionsSpec extends AnyFunSuite {
     assert(out(2L) == ((2L, 5L, 1L, 200000L)))
   }
 
+  test("binaryDupGroups: byte-identical payloads group; canonical = min id") {
+    val docs = Seq(
+      (1L, Array[Byte](1, 2, 3)),
+      (2L, Array[Byte](1, 2, 3)),   // dup of 1
+      (3L, Array[Byte](1, 2, 4))
+    ).toDF("doc_id", "payload")
+    val out = Multimodal.binaryDupGroups(docs, "doc_id", "payload")
+      .select($"canonical_id", $"n_copies")
+      .as[(Long, Long)].collect().toSet
+    assert(out == Set((1L, 2L), (3L, 1L)))
+  }
+
   test("corpusDiff: added/removed/common per source; absent categories count zero") {
     val v1 = Seq((1L, "A"), (2L, "A"), (3L, "B")).toDF("doc_id", "source")
     val v2 = Seq((2L, "A"), (3L, "B"), (4L, "B"), (5L, "C")).toDF("doc_id", "source")
