@@ -33,13 +33,27 @@ object SparkEntry {
     tableCache.getOrElseUpdate((s, s"$dir/$name.parquet"),
       s.read.parquet(s"$dir/$name.parquet"))
 
-  /** events.parquet carries TIMESTAMP(NANOS), which Spark's parquet reader
-    * rejects; read nanos-as-long (exact — and ns ordering/arithmetic then
-    * matches the DuckDB oracle's TIMESTAMP_NS precision bit-for-bit). */
+  /** All temporal queries treat `ts` as NANOSECONDS-since-epoch in a LONG:
+    * integer tick arithmetic is exact (ns epochs exceed double precision)
+    * and matches the DuckDB oracle bit-for-bit. The parquet encoding of
+    * events.ts has varied across testdata generations — TIMESTAMP(NANOS)
+    * (readable only via nanosAsLong) and plain µs TIMESTAMP(_NTZ) — so
+    * normalize whatever the file carries to that canonical ns LONG here.
+    * Naive (NTZ) wall-clock is interpreted as UTC, exactly as DuckDB's
+    * `epoch_us(ts)` does; both Verify and Bench pin the session to UTC. */
   private def events(s: SparkSession, dir: String): DataFrame =
     tableCache.getOrElseUpdate((s, s"$dir/events.parquet"), {
       s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      s.read.parquet(s"$dir/events.parquet")
+      val raw = s.read.parquet(s"$dir/events.parquet")
+      raw.schema("ts").dataType match {
+        case org.apache.spark.sql.types.LongType => raw // ns-as-long already
+        case org.apache.spark.sql.types.TimestampType =>
+          raw.withColumn("ts", F.unix_micros(F.col("ts")) * 1000L)
+        case _ => // TIMESTAMP_NTZ: cast via the (UTC) session zone, then µs→ns
+          raw.withColumn("ts",
+            F.unix_micros(F.col("ts").cast(
+              org.apache.spark.sql.types.TimestampType)) * 1000L)
+      }
     })
   private def st(df: DataFrame): Stream = new Stream(df)
 
