@@ -116,8 +116,41 @@ object Bench {
       if (warmSf.isEmpty || warmSf == sfDir) """"warm":"none","""
       else if (warmFailed == 0) s""""warm":"full-suite@$warmSf","""
       else s""""warm":"partial:$warmFailed/$warmTotal-failed@$warmSf","""
-    println(s"""{"metric":"total","value":${ms(total)},"unit":"sec","calib":${ms(calib)},"reps":$reps,$warmNote"queries":$qs,"streaming":$st,"sf":"$sfDir"}""")
+    val json = s"""{"metric":"total","value":${ms(total)},"unit":"sec","calib":${ms(calib)},"reps":$reps,$warmNote"queries":$qs,"streaming":$st,"sf":"$sfDir"}"""
+    // Durable fallback FIRST: r4-r6 driver artifacts were "parsed": null
+    // because async executor logs flushed after the JSON println and pushed
+    // it out of the driver's tail window. The file survives any log race.
+    try java.nio.file.Files.write(
+      java.nio.file.Paths.get("BENCH_SELF.json"),
+      (json + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    catch { case e: Throwable =>
+      System.err.println(s"[bench] BENCH_SELF.json write failed: ${e.getMessage}")
+    }
+    // stop() joins all executor/streaming threads — after it returns nothing
+    // else logs, so the JSON println below is the absolute last stdout line.
     spark.stop()
+    println(json)
+    System.out.flush()
+  }
+
+  /** The continuous-mode stop path ALWAYS aborts the in-flight epoch
+    * (ContinuousWriteRDD logs an ERROR stack per task — expected shutdown
+    * behavior, documented in ContinuousRunner). Those stacks flush from
+    * executor threads AFTER the bench JSON println and buried it in r4-r6
+    * driver artifacts. Bench output is the artifact here, so turn those
+    * loggers off for the drill (not restored — nothing meaningful logs
+    * from them afterwards). */
+  private def quietContinuousStopLogs(): Unit = {
+    import org.apache.logging.log4j.Level
+    import org.apache.logging.log4j.core.config.Configurator
+    Seq(
+      "org.apache.spark.sql.execution.streaming.continuous.ContinuousWriteRDD",
+      "org.apache.spark.sql.execution.streaming.continuous.ContinuousExecution",
+      "org.apache.spark.sql.execution.streaming.continuous.EpochCoordinator",
+      "org.apache.spark.executor.Executor",
+      "org.apache.spark.scheduler.TaskSetManager",
+      "org.apache.spark.scheduler.DAGScheduler"
+    ).foreach(Configurator.setLevel(_, Level.OFF))
   }
 
   /** Constant synthetic workload (no input data): 10M-row range → xxhash64 →
@@ -242,6 +275,7 @@ object Bench {
   private def continuousLatency(spark: SparkSession): (String, Double) = {
     import org.apache.spark.sql.{functions => F}
     val label = "continuous_latency_mean"
+    quietContinuousStopLogs()
     val ck = java.nio.file.Files.createTempDirectory("bench-cont").toString
     try {
       val nowMs = F.udf(() => System.currentTimeMillis()).asNondeterministic()

@@ -44,15 +44,26 @@ object SparkEntry {
   private def events(s: SparkSession, dir: String): DataFrame =
     tableCache.getOrElseUpdate((s, s"$dir/events.parquet"), {
       s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // The NTZ branch below reads naive wall-clock THROUGH the session zone;
+      // any zone but UTC would shift every ts by the offset (and DST makes
+      // some NTZ values ambiguous), so pin it rather than trust the caller.
+      s.conf.set("spark.sql.session.timeZone", "UTC")
       val raw = s.read.parquet(s"$dir/events.parquet")
       raw.schema("ts").dataType match {
         case org.apache.spark.sql.types.LongType => raw // ns-as-long already
         case org.apache.spark.sql.types.TimestampType =>
           raw.withColumn("ts", F.unix_micros(F.col("ts")) * 1000L)
-        case _ => // TIMESTAMP_NTZ: cast via the (UTC) session zone, then µs→ns
+        case org.apache.spark.sql.types.TimestampNTZType =>
+          // naive wall-clock read as UTC (pinned above), then µs→ns
           raw.withColumn("ts",
             F.unix_micros(F.col("ts").cast(
               org.apache.spark.sql.types.TimestampType)) * 1000L)
+        case other =>
+          // a future testdata regen could re-encode ts again (string, int32,
+          // decimal...); a blind cast would yield nulls/garbage silently —
+          // the whole point of this loader is failing loudly on drift
+          sys.error(s"events.ts: unexpected parquet type $other " +
+            "(expected ns-as-LONG, TIMESTAMP, or TIMESTAMP_NTZ)")
       }
     })
   private def st(df: DataFrame): Stream = new Stream(df)

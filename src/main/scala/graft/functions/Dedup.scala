@@ -138,10 +138,11 @@ object Dedup {
       .where(F.col("n_members") > maxBucketSize)
   }
 
-  /** Sessions that already carry the `graft.lsh` WARN listener — the
+  /** Sessions that already carry the `graft.*` drop-WARN listener — the
     * listener itself is passive (fires only when a query with the named
-    * observation completes), so one per session is enough. */
-  private val observeSeq = new java.util.concurrent.atomic.AtomicLong(0L)
+    * observation completes), so one per session is enough. Shared with
+    * [[Similarity.semDedup]]'s cell cap (same counted-drop discipline). */
+  private[functions] val observeSeq = new java.util.concurrent.atomic.AtomicLong(0L)
 
   // weak keys: a stopped session must stay collectable — a static strong
   // set would leak every session (plus its listener graph) for the JVM
@@ -151,17 +152,21 @@ object Dedup {
       java.util.Collections.newSetFromMap(
         new java.util.WeakHashMap[org.apache.spark.sql.SparkSession, java.lang.Boolean]()))
 
-  private def registerDropWarnListener(spark: org.apache.spark.sql.SparkSession): Unit =
+  private[functions] def registerDropWarnListener(spark: org.apache.spark.sql.SparkSession): Unit =
     if (dropWarnRegistered.add(spark)) {
       spark.listenerManager.register(new org.apache.spark.sql.util.QueryExecutionListener {
         override def onSuccess(funcName: String,
             qe: org.apache.spark.sql.execution.QueryExecution, durationNs: Long): Unit =
           qe.observedMetrics.foreach { case (name, row) =>
-            if (name.startsWith("graft.lsh")) {
+            val src =
+              if (name.startsWith("graft.lsh")) Some("lshCandidatePairs", "bucket")
+              else if (name.startsWith("graft.semdedup")) Some("semDedup", "cell")
+              else None
+            src.foreach { case (fn, unit) =>
               val dropped = if (row.isNullAt(0)) 0L else row.getLong(0)
               if (dropped > 0)
                 org.slf4j.LoggerFactory.getLogger("graft.functions.Dedup").warn(
-                  s"lshCandidatePairs: dropped $dropped degenerate bucket(s) over the size cap " +
+                  s"$fn: dropped $dropped degenerate $unit(s) over the size cap " +
                     s"(largest seen: ${row.get(1)} members) — pairs from them are NOT emitted")
             }
           }

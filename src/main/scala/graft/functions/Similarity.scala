@@ -293,8 +293,10 @@ object Similarity {
   def semDedup(embeddings: DataFrame, idCol: String, embCol: String,
                centroids: DataFrame, centIdCol: String, centVecCol: String,
                threshold: Double,
-               reliableCheckpoint: Boolean = false): DataFrame = {
+               reliableCheckpoint: Boolean = false,
+               maxCellSize: Int = 100000): DataFrame = {
     import graft.plans.Expressions.dotProd
+    Dedup.registerDropWarnListener(embeddings.sparkSession)
     def cut(d: DataFrame): DataFrame =
       if (reliableCheckpoint) d.checkpoint(true) else d.localCheckpoint(true)
     // the assignment frame feeds BOTH pair sides and the kept output —
@@ -306,9 +308,31 @@ object Similarity {
         .select(F.col(idCol), F.col("cell"))
         .join(embeddings.select(F.col(idCol), F.col(embCol)), Seq(idCol))
         .withColumn("__norm", F.sqrt(dotProd(F.col(embCol), F.col(embCol)))))
-    val l = assigned.select(F.col("cell"), F.col(idCol).as("__a"),
+    // Oversize-cell guard (same counted-drop discipline as
+    // lshCandidatePairs): cell population is bounded by centroid count at
+    // BUILD time, but a degenerate build (few centroids, or one centroid
+    // swallowing a dense region) makes a cell's O(cell²) pair join explode.
+    // Cells over `maxCellSize` are excluded from pair generation — their
+    // rows are KEPT (not deduped), the drop is counted via `observe`
+    // (`graft.semdedup` → dropped_cells / max_cell, WARN on completion),
+    // and [[semDedupOversizeCells]] is the audit face. Cells of 1 produce
+    // no pairs, so they're filtered here too (plan-size only, not a drop).
+    val okCells = assigned.groupBy("cell").agg(F.count(F.lit(1)).as("__n"))
+      .where(F.col("__n") > 1)
+      .observe(s"graft.semdedup.${Dedup.observeSeq.incrementAndGet()}",
+        F.sum(F.when(F.col("__n") > maxCellSize, 1L).otherwise(0L))
+          .as("dropped_cells"),
+        F.max(F.col("__n")).as("max_cell"))
+      .where(F.col("__n") <= maxCellSize)
+      .select(F.col("cell").as("__okcell"))
+    // distinct key names per side: both sides share lineage through
+    // `assigned`, so `l("cell") === r("cell")` would resolve to ONE
+    // attribute and trip Spark's "trivially true equals predicate" WARN
+    // (masking real self-join bugs elsewhere); renamed keys join cleanly
+    val l = assigned.select(F.col("cell").as("__lcell"), F.col(idCol).as("__a"),
       F.col(embCol).as("__av"), F.col("__norm").as("__an"))
-    val r = assigned.select(F.col("cell"), F.col(idCol).as("__b"),
+      .join(okCells, F.col("__lcell") === F.col("__okcell"), "left_semi")
+    val r = assigned.select(F.col("cell").as("__rcell"), F.col(idCol).as("__b"),
       F.col(embCol).as("__bv"), F.col("__norm").as("__bn"))
     // ANSI-safe: zero-norm rows get NULL similarity (undefined), which can
     // never satisfy the threshold — degenerate vectors are not duplicates
@@ -316,10 +340,22 @@ object Similarity {
     val sim = F.when(denom =!= 0.0,
       dotProd(F.col("__av"), F.col("__bv")) / denom)
     val dups = l.join(r,
-        l("cell") === r("cell") && F.col("__a") > F.col("__b") &&
+        F.col("__lcell") === F.col("__rcell") && F.col("__a") > F.col("__b") &&
         !F.isnan(sim) && sim >= F.lit(threshold))
       .select(F.col("__a").as(idCol)).distinct()
     assigned.select(F.col(idCol), F.col("cell"))
       .join(dups, Seq(idCol), "left_anti")
   }
+
+  /** The cells [[semDedup]] would SKIP at this cap — the audit face of the
+    * "no silent caps" rule (cheap: one count per cell, no pair expansion).
+    * Run it when the WARN-on-completion channel isn't enough — e.g. to
+    * quarantine a dense region for a re-clustered pass with more centroids
+    * instead of leaving it undeduped. */
+  def semDedupOversizeCells(embeddings: DataFrame, idCol: String, embCol: String,
+      centroids: DataFrame, centIdCol: String, centVecCol: String,
+      maxCellSize: Int = 100000): DataFrame =
+    ivfAssign(embeddings, embCol, idCol, centroids, centIdCol, centVecCol)
+      .groupBy("cell").agg(F.count(F.lit(1)).as("n_members"))
+      .where(F.col("n_members") > maxCellSize)
 }

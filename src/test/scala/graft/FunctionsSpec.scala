@@ -878,6 +878,32 @@ class FunctionsSpec extends AnyFunSuite {
     assert(kept == Set(0L, 1L, 4L))
   }
 
+  test("semDedup: cells over maxCellSize skip pair generation (rows kept, counted drop) + audit face") {
+    val emb = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f)),
+      (1L, Array(0.0f, 1.0f, 0.0f)),
+      (2L, Array(0.9f, 0.1f, 0.0f)),   // cell 0 near-dup — would drop uncapped
+      (3L, Array(0.0f, 0.95f, 0.1f))   // cell 1 near-dup — would drop uncapped
+    ).toDF("vec_id", "embedding")
+    val cents = emb.where($"vec_id" < 2)
+      .select($"vec_id".as("cid"), $"embedding".as("cv"))
+    // cap of 1: both 2-member cells are oversize → no pairs emitted, all kept
+    val kept = Similarity.semDedup(emb, "vec_id", "embedding",
+        cents, "cid", "cv", threshold = 0.9, maxCellSize = 1)
+      .select("vec_id").as[Long].collect().toSet
+    assert(kept == Set(0L, 1L, 2L, 3L))
+    // audit face reports exactly those cells with their populations
+    val over = Similarity.semDedupOversizeCells(emb, "vec_id", "embedding",
+        cents, "cid", "cv", maxCellSize = 1)
+      .as[(Long, Long)].collect().toMap
+    assert(over == Map(0L -> 2L, 1L -> 2L))
+    // a generous cap changes nothing (q124's hash-pinned behavior)
+    val keptDefault = Similarity.semDedup(emb, "vec_id", "embedding",
+        cents, "cid", "cv", threshold = 0.9)
+      .select("vec_id").as[Long].collect().toSet
+    assert(keptDefault == Set(0L, 1L))
+  }
+
   test("maskDuplicatedSpans: corpus-wide repeated 8-gram masks its positions; short docs untouched") {
     val boiler = "a b c d e f g h" // the shared 8-gram
     val docs = Seq(
