@@ -1180,12 +1180,13 @@ object SparkEntry {
         .limit(20)),
 
     "q107_bpe_merges" -> ((s, dir) =>
-      // full greedy trainer (Sennrich order) — no SQL spelling exists for
-      // the iterative merge loop, so this face is rows-only in the gate;
-      // BpeSpec pins the algorithm against a brute-force reference and
-      // q106 oracles the per-iteration core. Excluded from the bench's
-      // timed loop (numMerges sequential Spark jobs = trainer machinery,
-      // not a query; its hot path IS q106).
+      // full greedy trainer (Sennrich order) — oracled since round 7 by a
+      // DuckDB recursive CTE replaying the same 20 greedy merges (see
+      // oracleSql); BpeSpec additionally pins the algorithm against a
+      // brute-force reference and q106 oracles the per-iteration core.
+      // Excluded from the bench's timed loop on BOTH engines (numMerges
+      // sequential Spark jobs = trainer machinery, not a query; its hot
+      // path IS q106) — oracle_bench.py mirrors the exclusion.
       functions.Bpe.train(table(s, dir, "documents"), "text", numMerges = 20)),
 
     "q104_decontaminate" -> ((s, dir) => {
@@ -2400,6 +2401,50 @@ object SparkEntry {
          pairs AS (SELECT cnt, unnest(list_zip(s[1:len(s)-1], s[2:len(s)])) AS p FROM syms)
          SELECT p[1] AS lhs, p[2] AS rhs, CAST(sum(cnt) AS BIGINT) AS freq
          FROM pairs GROUP BY 1, 2 ORDER BY freq DESC, lhs, rhs LIMIT 20""",
+    // Full greedy trainer replayed as a recursive CTE: the state is ONE row
+    // per iteration carrying the whole (cnt, syms) vocabulary as a list of
+    // structs (tiny: the vocabulary is distinct WORDS, not the corpus). Per
+    // step a LATERAL recomputes pair counts from the unnested vocabulary and
+    // takes the argmax under the trainer's total order (freq DESC, lhs, rhs);
+    // the merge is applied with a list_reduce fold whose greedy left-to-right
+    // non-overlap matches BpeExpressions.mergePair exactly (a new concat can
+    // never equal lhs, so the fold can't cascade within one application).
+    // Stops at 20 merges or argmax freq < 2 — the trainer's minPairCount.
+    "q107_bpe_merges" ->
+      """WITH RECURSIVE
+         words AS (
+           SELECT unnest(list_filter(string_split_regex(text, '\s+'), x -> x != '')) AS word FROM documents),
+         w AS (SELECT word, count(*) AS cnt FROM words GROUP BY 1),
+         v0 AS (
+           SELECT list(struct_pack(cnt := cnt, syms := list_append(string_split(word, ''), '</w>'))) AS vocab
+           FROM w),
+         steps AS (
+           SELECT 0 AS iter, vocab,
+                  CAST(NULL AS VARCHAR) AS lhs, CAST(NULL AS VARCHAR) AS rhs, CAST(NULL AS BIGINT) AS freq
+           FROM v0
+           UNION ALL
+           SELECT s.iter + 1,
+                  list_transform(s.vocab, e -> struct_pack(cnt := e.cnt,
+                    syms := list_reduce(list_transform(e.syms, y -> [y]),
+                      (acc, x) -> CASE WHEN len(acc) > 0 AND acc[-1] = b.lhs AND x[1] = b.rhs
+                                  THEN list_append(acc[1:len(acc)-1], b.lhs || b.rhs)
+                                  ELSE list_concat(acc, x) END))),
+                  b.lhs, b.rhs, b.freq
+           FROM steps s
+           CROSS JOIN LATERAL (
+             SELECT p.pr[1] AS lhs, p.pr[2] AS rhs, CAST(sum(p.cnt) AS BIGINT) AS freq
+             FROM (
+               SELECT e.cnt AS cnt, unnest(list_zip(e.syms[1:len(e.syms)-1], e.syms[2:len(e.syms)])) AS pr
+               FROM (SELECT unnest(s.vocab) AS e)
+             ) p
+             GROUP BY 1, 2
+             ORDER BY freq DESC, lhs, rhs
+             LIMIT 1
+           ) b
+           WHERE s.iter < 20 AND b.freq >= 2
+         )
+         SELECT CAST(iter - 1 AS BIGINT) AS rank, lhs, rhs, freq
+         FROM steps WHERE iter > 0 ORDER BY rank""",
     "q104_decontaminate" ->
       """WITH ws AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x != '') AS ws FROM documents),
          sh AS (SELECT doc_id, unnest(list_transform(generate_series(1, len(ws) - 2), i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS g FROM ws),
