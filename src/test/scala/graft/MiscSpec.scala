@@ -127,6 +127,65 @@ class MiscSpec extends AnyFunSuite {
     assert(MemoryBackingMap.snapshot[TransactionalValue[Long]]("ms-chars")(Seq("total")).value == (5L + 2L + 2L))
   }
 
+  test("multi-state restart storm: crashes between and inside the two state commits of one batch converge both stores to the same txid") {
+    // The reference's hardest coordination guarantee
+    // (transactional_test.clj:91-659): with MULTIPLE states in one
+    // topology, a crash at ANY point of a batch — before the first state,
+    // between the two states' commits, or inside the second commit after
+    // its writes — must leave the stores reconcilable by replaying the
+    // SAME txid before any later txid runs (failed-commit retry in txid
+    // order). Opaque tier reconciles by prev-rollback, transactional tier
+    // by same-txid skip.
+    MemoryBackingMap.clear("storm-words"); MemoryBackingMap.clear("storm-chars")
+    val words = new CrashingState[Long](
+      new OpaqueMap[Long](new MemoryBackingMap[OpaqueValue[Long]]("storm-words")))
+    val chars = new CrashingState[Long](
+      new TransactionalMap[Long](new MemoryBackingMap[TransactionalValue[Long]]("storm-chars")))
+    val sinks = Seq(
+      StateSink[Long]("words",
+        (b: DataFrame) => b.select(F.explode(F.split(F.col("sentence"), " ")).as("word")),
+        Fields("word"), F.count(F.lit(1)).as("cnt"), _ + _, words),
+      StateSink[Long]("chars",
+        (b: DataFrame) => b.select(F.lit("total").as("k"), F.length(F.col("sentence")).as("n")),
+        Fields("k"), F.sum("n").as("s"), _ + _, chars))
+    // every batch contains "a", so the last txid must land on its stored
+    // value in BOTH stores if commit order is honored
+    val batches = Seq(
+      Seq("a b", "b c"), // txid 0: clean
+      Seq("a", "c c"),   // txid 1: crash between the two commits
+      Seq("a b c"),      // txid 2: crash inside the second state's commit
+      Seq("a a b"))      // txid 3: three consecutive crashes, then success
+      .map(_.toDF("sentence"))
+    def attempt(txid: Long, crash: Option[(CrashingState[Long], String)]): Unit = {
+      crash.foreach { case (st, at) => st.failAt = Some(at) }
+      try {
+        MultiStateRunner.applyBatch(batches(txid.toInt), txid, sinks)
+        assert(crash.isEmpty, s"txid $txid: injected crash did not fire")
+      } catch {
+        case e: org.apache.spark.SparkException
+          if e.getMessage.contains("injected crash") => ()
+        case e: RuntimeException if e.getMessage.contains("injected crash") => ()
+      }
+    }
+    attempt(0L, None)
+    attempt(1L, Some((chars, "begin")))  // words committed txid 1, chars untouched
+    attempt(1L, None)                    // replay: words opaque-rollback, chars applies
+    attempt(2L, Some((chars, "commit"))) // chars WROTE txid 2, commit bracket lost
+    attempt(2L, None)                    // replay: words rollback, chars same-txid skip
+    attempt(3L, Some((words, "begin")))  // nothing applied anywhere
+    attempt(3L, Some((chars, "begin")))  // words committed, chars untouched
+    attempt(3L, Some((chars, "commit"))) // words rollback; chars wrote, commit lost
+    attempt(3L, None)                    // final clean replay
+    // values equal ONE clean application of all four batches
+    val w = MemoryBackingMap.snapshot[OpaqueValue[Long]]("storm-words")
+    assert(w(Seq("a")).curr == 5L && w(Seq("b")).curr == 4L && w(Seq("c")).curr == 4L)
+    val c = MemoryBackingMap.snapshot[TransactionalValue[Long]]("storm-chars")
+    assert(c(Seq("total")).value == (3L + 3L + 1L + 3L + 5L + 5L))
+    // both stores converged to the SAME txid on the keys the last batch
+    // touched — the coordinated-commit invariant the storm was attacking
+    assert(w(Seq("a")).currTxid == 3L && c(Seq("total")).txid == 3L)
+  }
+
   test("partitionCustom routes rows via the user partitioner") {
     val s = new Stream((0 until 40).toDF("n"))
     val routed = s.partitionCustom(4, r => r.getInt(0) % 4)
@@ -253,4 +312,25 @@ object MiscSpec {
   val cleaned = new java.util.concurrent.atomic.AtomicInteger(0)
   val updaterPartitions: java.util.Set[Integer] =
     java.util.concurrent.ConcurrentHashMap.newKeySet[Integer]()
+}
+
+/** Fault-injection wrapper for the restart-storm drill: throws at the
+  * armed commit-bracket point (driver-side begin/commit — where the
+  * reference's coordinator crashes land), then disarms, so each injected
+  * crash fires exactly once. Top-level class: the state handle is
+  * serialized into foreachPartition tasks and must not capture the spec. */
+final class CrashingState[T](inner: MapState[T]) extends MapState[T] {
+  @volatile var failAt: Option[String] = None // "begin" | "commit"
+  private def trip(point: String): Unit =
+    if (failAt.contains(point)) {
+      failAt = None
+      throw new RuntimeException(s"injected crash at $point")
+    }
+  def multiGet(keys: Seq[Seq[Any]]): Seq[Option[T]] = inner.multiGet(keys)
+  def multiUpdate(keys: Seq[Seq[Any]], updaters: Seq[ValueUpdater[T]]): Seq[T] =
+    inner.multiUpdate(keys, updaters)
+  def multiPut(keys: Seq[Seq[Any]], vals: Seq[T]): Unit = inner.multiPut(keys, vals)
+  def beginCommit(txid: Option[Long]): Unit = { trip("begin"); inner.beginCommit(txid) }
+  def commit(txid: Option[Long]): Unit = { trip("commit"); inner.commit(txid) }
+  override def scanAll(): Seq[(Seq[Any], Any)] = inner.scanAll()
 }
