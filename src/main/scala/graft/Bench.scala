@@ -100,6 +100,7 @@ object Bench {
       streamingWordCount(spark, sfDir),
       streamingWordCountDurable(spark, sfDir),
       streamingWordCountStore(spark, sfDir),
+      drpcStateQueryLatency(spark),
       continuousLatency(spark))
     // ms precision keeps the JSON line short enough for the driver's parser
     // (r4/r5 artifacts were tail-truncated -> "parsed": null)
@@ -261,6 +262,39 @@ object Bench {
     } catch { case e: Throwable =>
       System.err.println(s"[bench] $label failed: ${e.getMessage}")
       label -> -1.0
+    }
+  }
+
+  /** DRPC-over-live-state read latency (VERDICT r6 task #4): a RUNNING
+    * transformWithState count at 10k/100k/1M keys served by per-request
+    * statestore reads at the last committed batch
+    * (`LiveStateDrpc.scala:39-43`). Recorded value = mean request
+    * MILLISECONDS at the 1M-key point (the name carries the unit — the
+    * other streaming entries are seconds); the full size curve goes to
+    * stderr. The measured shape is ~flat in state size (request cost is
+    * the Spark job fixed cost, not a state scan), which is the number
+    * behind the "scale-free read path" claim. */
+  private def drpcStateQueryLatency(spark: SparkSession): (String, Double) = {
+    val label = "drpc_statequery_ms"
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    try {
+      spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      val curve = Seq(10000, 100000, 1000000).map { n =>
+        val (mean, mx, setup) = graft.tools.Drills.drpcStateQuery(spark, n, requests = 8)
+        System.err.println(
+          f"[bench] $label: keys=$n%8d setup=$setup%6.1fs mean=$mean%7.1fms max=$mx%7.1fms")
+        mean
+      }
+      label -> curve.last
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] $label failed: ${e.getMessage}")
+      label -> -1.0
+    } finally {
+      prev match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
     }
   }
 

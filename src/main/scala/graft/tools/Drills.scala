@@ -81,4 +81,56 @@ object Drills {
       graft.util.Fs.deleteRecursively(java.nio.file.Paths.get(ck))
     }
   }
+
+  /** DRPC-over-live-state read latency vs state size: a transformWithState
+    * running count holding `nKeys` distinct keys is kept RUNNING while
+    * `requests` single-key DRPC lookups are timed through [[graft.drpc
+    * .LocalDRPC]] (the same per-request re-read of the checkpoint's last
+    * commit the HTTP face serves — LiveStateDrpc.scala:39-43). Returns
+    * (mean ms, max ms, setup sec). The caller sets the RocksDB provider.
+    * Latency is a driver-side Spark job over checkpoint files; the running
+    * query is never locked (MVCC by batch version), which the spec pins by
+    * interleaving requests with live triggers. */
+  def drpcStateQuery(spark: SparkSession, nKeys: Int, requests: Int): (Double, Double, Double) = {
+    import org.apache.spark.sql.{functions => F}
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ck = java.nio.file.Files.createTempDirectory("drpc-sq-ck").toString
+    val input = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[Long]
+    val counts = graft.streaming.StateStoreRunner.runningCount[String, Long](
+      input.toDS(), i => f"k$i%09d")
+    val q = counts.writeStream.outputMode("update")
+      .option("checkpointLocation", ck)
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[(String, Long)], _: Long) =>
+        b.queryExecution.toRdd.count(); ()
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime(0L))
+      .start()
+    try {
+      val t0 = System.nanoTime()
+      input.addData(0L until nKeys.toLong: _*)
+      q.processAllAvailable()
+      val setup = (System.nanoTime() - t0) / 1e9
+      val drpc = new graft.drpc.LocalDRPC(spark)
+      graft.drpc.LiveStateDrpc.registerStateQuery(
+          drpc, spark, "bench_statequery", ck, "agg") { (state, args) =>
+        state.where(F.col("key.value") === args)
+          .select(F.col("value.value").as("cnt"))
+      }
+      drpc.execute("bench_statequery", "k000000000") // warm the read path
+      val step = math.max(1, nKeys / math.max(1, requests))
+      val times = (0 until requests).map { i =>
+        val key = f"k${(i.toLong * step) % nKeys}%09d"
+        val r0 = System.nanoTime()
+        val res = drpc.execute("bench_statequery", key)
+        require(res.contains("[1]"), s"unexpected DRPC result for $key: $res")
+        (System.nanoTime() - r0) / 1e6
+      }
+      require(q.isActive, "streaming query died during DRPC reads")
+      (times.sum / times.size, times.max, setup)
+    } finally {
+      q.stop()
+      graft.util.Fs.deleteRecursively(java.nio.file.Paths.get(ck))
+    }
+  }
 }

@@ -264,6 +264,27 @@ class DRPCServiceSpec extends AnyFunSuite {
       assert(q.isActive)
       assert(post("wc_live", "the sun man") ==
         ((200, "[[\"man\",1],[\"sun\",1],[\"the\",3]]")))
+      // a request must not stall the RUNNING query (and vice versa): hammer
+      // reads from a background thread while five more batches trigger and
+      // commit — every read succeeds with a committed snapshot, and the
+      // stream advances to the final count while reads are in flight
+      val codes = new java.util.concurrent.ConcurrentLinkedQueue[Int]()
+      val reader = new Thread(() =>
+        while (!Thread.interrupted())
+          try codes.add(post("wc_live", "the")._1)
+          catch { case _: InterruptedException => Thread.currentThread().interrupt() })
+      reader.start()
+      try
+        (1 to 5).foreach { _ =>
+          input.addData("the")
+          q.processAllAvailable()
+          assert(q.isActive, "query stalled while DRPC reads were in flight")
+        }
+      finally { reader.interrupt(); reader.join(10000) }
+      assert(codes.size > 0, "no concurrent reads completed")
+      import scala.jdk.CollectionConverters._
+      assert(codes.asScala.forall(_ == 200), s"non-200 during live reads: $codes")
+      assert(post("wc_live", "the") == ((200, "[[\"the\",8]]")))
     } finally {
       svc.stop()
       q.stop()
