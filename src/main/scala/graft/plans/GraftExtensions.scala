@@ -66,6 +66,9 @@ object GraftFunctions {
     "rhp_bucket" -> (es => Expressions.RhpBucket(
       es(0), lit(es(1), "dim"), lit(es(2), "nBits"),
       if (es.length > 3) litL(es(3), "seed") else 42L)),
+    // bounded top-k aggregate (k smallest structs, heap-capped partials);
+    // the analyzer wraps the raw AggregateFunction in an AggregateExpression
+    "first_n" -> (es => Expressions.BoundedFirstN(es(0), lit(es(1), "k"))),
     // merge spec = newline-separated "lhs rhs" lines in rank order
     // (graft.functions.Bpe.mergesToSpec) — a string literal so the rank
     // map builds once at plan time, not per row

@@ -94,6 +94,61 @@ class SqlSurfaceSpec extends AnyFunSuite {
     assert(viaFn == viaSql2)
   }
 
+  test("every GraftFunctions entry is reachable from pure SQL (exhaustive parity sweep)") {
+    import org.apache.spark.sql.{Column, functions => F}
+    import graft.plans.Expressions
+    val df = Seq((5L,
+        "the cat sat on the mat",
+        Seq("a", "b", "a", "b", "c"),
+        Seq(1.0, 2.0), Seq(3.0, 4.0),
+        Array(0.5f, -0.25f, 0.125f)))
+      .toDF("id", "text", "toks", "va", "vb", "emb")
+    df.createOrReplaceTempView("sqlsurface_every")
+    // each check: the SQL spelling and the Column spelling of the SAME
+    // invocation must produce equal values on the same row
+    def parity(sqlExpr: String, colExpr: Column): Unit = {
+      val viaSql = spark.sql(s"SELECT $sqlExpr AS r FROM sqlsurface_every").head().get(0)
+      val viaCol = df.select(colExpr.as("r")).head().get(0)
+      assert(viaSql == viaCol, s"SQL face diverged for `$sqlExpr`: $viaSql != $viaCol")
+    }
+    val checks: Map[String, () => Unit] = Map(
+      "cosine_sim" -> (() => parity("cosine_sim(va, vb)", Expressions.cosineSim($"va", $"vb"))),
+      "dot_prod" -> (() => parity("dot_prod(va, vb)", Expressions.dotProd($"va", $"vb"))),
+      "simhash64" -> (() => parity("simhash64(toks)", Expressions.simhash64($"toks"))),
+      "simhash_md5" -> (() => parity("simhash_md5(toks)", Expressions.simhashMd5($"toks"))),
+      "shingles" -> (() => parity("shingles(toks, 2)", Expressions.shingleArray($"toks", 2))),
+      "shingle_minhash" -> (() => parity("shingle_minhash(toks, 2, 4)",
+        Expressions.shingleMinhash($"toks", 2, 4))),
+      "winnow_md5" -> (() => parity("winnow_md5(toks, 2, 3)",
+        Expressions.winnowMd5($"toks", 2, 3))),
+      "hamming64" -> (() => parity("hamming64(id, 6)",
+        F.bit_count($"id".bitwiseXOR(F.lit(6L))).cast("long"))),
+      "nfc_normalize" -> (() => parity("nfc_normalize(text)", Expressions.nfcNormalize($"text"))),
+      "md5_bucket" -> (() => parity("md5_bucket(text, 1000)", Expressions.md5Bucket($"text", 1000L))),
+      "zorder2" -> (() => parity("zorder2(id, 9)", Expressions.zorder($"id", F.lit(9L)))),
+      "repetition_signals" -> (() => parity("repetition_signals(toks, 2)",
+        Expressions.repetitionSignals($"toks", 2, graft.functions.Text.DefaultStopwords))),
+      "rhp_bucket" -> (() => parity("rhp_bucket(emb, 3, 4)",
+        Expressions.rhpBucket($"emb", 3, 4, 42L))),
+      "first_n" -> (() => parity("first_n(struct(id), 2)",
+        Expressions.boundedFirstN(F.struct($"id"), 2))),
+      "bpe_encode" -> (() => parity("bpe_encode(text, 'a t')",
+        graft.plans.BpeExpressions.encode($"text", Seq(("a", "t")), graft.functions.Bpe.EndOfWord))),
+      "tokens" -> (() => parity("tokens(text)", graft.functions.Text.tokens($"text"))),
+      "minhash" -> (() => parity("minhash(toks, 7)", graft.functions.Dedup.minhash($"toks", 7))),
+      "tumbling_window" -> (() => parity("tumbling_window(id, 2)",
+        $"id" - F.pmod($"id", F.lit(2L)))),
+      "hopping_windows" -> (() => parity("hopping_windows(3605, 3600, 1800)",
+        F.sequence(F.lit(1800L), F.lit(3600L), F.lit(1800L))))
+    )
+    // exhaustive BY CONSTRUCTION: registering a new SQL function without a
+    // parity row here fails this assert, not silently
+    val registered = graft.plans.GraftFunctions.functions.map(_._1).toSet
+    assert(checks.keySet == registered,
+      s"SQL-face spec out of sync: missing=${registered -- checks.keySet} stale=${checks.keySet -- registered}")
+    checks.values.foreach(_())
+  }
+
   test("native TopKPerKey operator: matches window form, partial-reduces before the shuffle") {
     import org.apache.spark.sql.{functions => F}
     import org.apache.spark.sql.expressions.Window
