@@ -150,7 +150,11 @@ object Bench {
       "org.apache.spark.sql.execution.streaming.continuous.EpochCoordinator",
       "org.apache.spark.executor.Executor",
       "org.apache.spark.scheduler.TaskSetManager",
-      "org.apache.spark.scheduler.DAGScheduler"
+      "org.apache.spark.scheduler.DAGScheduler",
+      // "ERROR Utils: Aborting task" + EpochCoordinator-not-found stack at
+      // continuous stop comes from THIS logger, not ContinuousWriteRDD —
+      // it was the one stack still landing next to the JSON line in r7
+      "org.apache.spark.util.Utils"
     ).foreach(Configurator.setLevel(_, Level.OFF))
   }
 

@@ -299,12 +299,26 @@ object Similarity {
     Dedup.registerDropWarnListener(embeddings.sparkSession)
     def cut(d: DataFrame): DataFrame =
       if (reliableCheckpoint) d.checkpoint(true) else d.localCheckpoint(true)
+    // Scan-parallelism guard: the N×k assignment join runs INSIDE the scan
+    // stage (broadcast centroids — no shuffle below it), so input splits
+    // are its ONLY parallelism. Embedding parquet compresses hard (64
+    // floats/row), and a corpus that is one small/unsplittable file would
+    // serialize the densest pass of this pipeline on one core (measured:
+    // 200 s on 1 of 16 cores at 200k×1600 — SCALE.md §1b) while every
+    // later stage fans out through its shuffle. Widening is safe here
+    // because each row's cell is a per-row argmin and the dup predicate is
+    // exact per pair — output is partitioning-independent. (kmeans/search
+    // callers of ivfAssign don't get this automatically: their re-center
+    // means would change float-accumulation order.)
+    val par = embeddings.sparkSession.sparkContext.defaultParallelism
+    val emb0 = if (embeddings.rdd.getNumPartitions < par)
+      embeddings.repartition(par) else embeddings
     // the assignment frame feeds BOTH pair sides and the kept output —
     // cut it once so the broadcast-assign pass runs once, not three times
     // (on a real cluster this is the "write the corpus partitioned by
     // cell" materialization; set reliableCheckpoint there)
     val assigned = cut(
-      ivfAssign(embeddings, embCol, idCol, centroids, centIdCol, centVecCol)
+      ivfAssign(emb0, embCol, idCol, centroids, centIdCol, centVecCol)
         .select(F.col(idCol), F.col("cell"))
         .join(embeddings.select(F.col(idCol), F.col(embCol)), Seq(idCol))
         .withColumn("__norm", F.sqrt(dotProd(F.col(embCol), F.col(embCol)))))

@@ -3,7 +3,7 @@ package graft.tools
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.{functions => F}
 
-import graft.functions.{Dedup, Sampling, Text}
+import graft.functions.{Dedup, Multimodal, Sampling, Similarity, Text}
 
 /** Measured scale curve for the dedup/LSH pipelines (SCALE.md's recipe):
   * replicate the sf0.1 documents table N× and time the q36/q60/q74/q85
@@ -58,6 +58,37 @@ object ScaleDrill {
           .as("text"),
         F.col("lang"), F.col("source"))
 
+  /** N× replication of the embeddings table, salted with a per-replica
+    * deterministic SIGN FLIP (dimension d of replica r is negated when
+    * `hash(r, d)` is odd) — a diagonal ±1 isometry per replica. Within a
+    * replica every pairwise cosine is EXACTLY the base corpus' (isometries
+    * preserve inner products and norms), so each replica reproduces the
+    * original near-dup graph disjointly; across replicas the relative flip
+    * is a random ± pattern, scrambling cosines toward 0 (far below any
+    * dedup threshold). This is the embedding-space analogue of the
+    * word-salting above: pair volume grows exactly linearly by
+    * construction, so the drill measures the ENGINE, not a data pathology
+    * (naive replication would make every vector an exact duplicate of its
+    * N copies and inflate within-cell pair volume quadratically).
+    * Replica 0 is flipped too, so the 1× point has the same shape.
+    *
+    * Written as 64 files: the whole corpus is only ~13 MB at 100× (64
+    * floats/row compress hard), so a single-file write would give the scan
+    * stage ONE split — and [[Similarity.semDedup]]'s N×k assignment join
+    * runs INSIDE the scan stage (broadcast centroids, no shuffle below
+    * it), so the drill would time one core against work that every real
+    * multi-file dataset fans out for free. */
+  def replicateEmb(emb: DataFrame, reps: Int): DataFrame =
+    emb.crossJoin(F.broadcast(
+        emb.sparkSession.range(reps).select(F.col("id").as("__rep"))))
+      .select(
+        (F.col("vec_id") + F.col("__rep") * 10000000L).as("vec_id"),
+        F.transform(F.col("embedding"), (x, i) =>
+          F.when(F.pmod(F.hash(F.col("__rep"), i), F.lit(2)) === 0, x)
+            .otherwise(x * F.lit(-1.0f))).as("embedding"),
+        F.col("label"))
+      .repartition(64)
+
   private def pairs(docs: DataFrame): DataFrame =
     Dedup.nearDupPairs(docs.where(Text.tokenCount(F.col("text")) >= 3),
         "doc_id", "text", k = 3, numHashes = 4, rowsPerBand = 2, threshold = 0.05)
@@ -111,60 +142,124 @@ object ScaleDrill {
     "trigram_lm (q129)" -> (docs =>
       graft.functions.Text.trigramLmScore(docs, "doc_id", "text")
         .groupBy().agg(F.sum("lm3_sum_ppm").as("total_ppm"),
-          F.sum("n_trigrams").as("total_trigrams"))))
+          F.sum("n_trigrams").as("total_trigrams"))),
+    // word-salted replicas keep gram universes disjoint: the base corpus'
+    // fingerprint table and the batch's probe volume both grow linearly,
+    // and the fp-keyed shuffle join is the measured object
+    "cross_corpus (q126)" -> (docs =>
+      Dedup.crossCorpusDedup(
+          docs.where(F.col("source") =!= "src0"),
+          docs.where(F.col("source") === "src0"),
+          "doc_id", "text", k = 8)
+        .select("doc_id", "source")),
+    // source is salted with the replica index (derived from the doc_id
+    // offset) so each replica-source keeps the base's per-source doc-ratio
+    // shape — without it the ratio denominators would grow N× while each
+    // salted gram stays within one replica, and no gram would ever reach
+    // the threshold (the count shuffle would still run, but the row would
+    // measure an always-empty output instead of the base shape at scale)
+    "boilerplate (q127)" -> (docs =>
+      Text.boilerplateGrams(
+          docs.withColumn("source", F.concat_ws("_", F.col("source"),
+            F.floor(F.col("doc_id") / 10000000L).cast("string"))),
+          "text", "source", n = 2, minDocRatioPpm = 200000L)),
+    // id-keyed anti/semi joins; per-source counts — trivially linear by
+    // construction, the row pins that the union+single-count shape holds
+    "corpus_diff (q134)" -> (docs =>
+      Dedup.corpusDiff(docs.where(F.col("doc_id") % 7 =!= 0),
+          docs.where(F.col("doc_id") % 5 =!= 0), "doc_id", "source")),
+    // salted text → salted 40-char payload prefixes: checksum universes
+    // are disjoint per replica, dup-group volume grows linearly; only
+    // (checksum, id) shuffles and the payload bytes stay in the scan
+    "binary_dedup (q135)" -> (docs =>
+      Multimodal.binaryDupGroups(
+          docs.select(F.col("doc_id"), Multimodal.fakePayload(
+            F.substring(F.col("text"), 1, 40)).as("payload")),
+          "doc_id", "payload")))
+
+  /** Drills over the replicated EMBEDDINGS corpus (see [[replicateEmb]]).
+    * Centroids: each replica's first 16 vectors (the base seed of q124,
+    * sign-flipped with its replica), so centroid count grows with N while
+    * per-cell population stays the base's — the SemDeDup contract ("more
+    * data → more clusters, cells stay small"). */
+  def embDrills: Seq[(String, DataFrame => DataFrame)] = Seq(
+    "semdedup (q124)" -> { emb =>
+      val cents = emb.where(F.pmod(F.col("vec_id"), F.lit(10000000L)) < 16)
+        .select(F.col("vec_id").as("cid"), F.col("embedding").as("cv"))
+      Similarity.semDedup(emb, "vec_id", "embedding",
+        cents, "cid", "cv", threshold = 0.35)
+    })
 
   def pipelineDrill(spark: SparkSession, sfDir: String, sizes: Seq[Int],
                     nameFilter: Option[String] = None): Unit = {
-    val picked = nameFilter match {
-      case Some(f) => drills.filter(_._1.contains(f))
-      case None => drills
+    def pick(fam: Seq[(String, DataFrame => DataFrame)]) = nameFilter match {
+      case Some(f) =>
+        val pats = f.split(",").map(_.trim).filter(_.nonEmpty)
+        fam.filter { case (n, _) => pats.exists(n.contains) }
+      case None => fam
     }
-    require(picked.nonEmpty, s"no drill matches $nameFilter")
-    val base = spark.read.parquet(s"$sfDir/documents.parquet")
-    val dirs = sizes.map { r =>
-      val dir = s"/tmp/graft_scale_docs_x$r"
-      // trust a cached corpus only if its write completed (_SUCCESS):
-      // a partial dir from a killed prior run would silently time a
-      // fraction of the intended corpus and record a bogus curve
-      val path = java.nio.file.Paths.get(dir)
-      val complete = java.nio.file.Files.isRegularFile(path.resolve("_SUCCESS"))
-      if (java.nio.file.Files.isDirectory(path) && !complete) {
-        System.err.println(s"[scale] discarding partial corpus at $dir")
-        graft.util.Fs.deleteRecursively(path)
+    val pickedDocs = pick(drills)
+    val pickedEmb = pick(embDrills)
+    require(pickedDocs.nonEmpty || pickedEmb.nonEmpty, s"no drill matches $nameFilter")
+
+    /** Replicated-corpus dirs for one family, cached across runs.
+      * Trust a cached corpus only if its write completed (_SUCCESS): a
+      * partial dir from a killed prior run would silently time a fraction
+      * of the intended corpus and record a bogus curve. */
+    def corpusDirs(tag: String, build: Int => DataFrame): Seq[(Int, String)] =
+      sizes.map { r =>
+        val dir = s"/tmp/graft_scale_${tag}_x$r"
+        val path = java.nio.file.Paths.get(dir)
+        val complete = java.nio.file.Files.isRegularFile(path.resolve("_SUCCESS"))
+        if (java.nio.file.Files.isDirectory(path) && !complete) {
+          System.err.println(s"[scale] discarding partial corpus at $dir")
+          graft.util.Fs.deleteRecursively(path)
+        }
+        if (!complete) {
+          build(r).write.parquet(dir)
+          System.err.println(s"[scale] wrote $tag x$r corpus to $dir")
+        }
+        r -> dir
       }
-      if (!complete) {
-        replicate(base, r).write.parquet(dir)
-        System.err.println(s"[scale] wrote x$r corpus to $dir")
+
+    def timeFamily(picked: Seq[(String, DataFrame => DataFrame)],
+                   dirs: Seq[(Int, String)]): Unit = {
+      // warm pass on the smallest size (codegen/statics, same discipline as Bench)
+      val warm = spark.read.parquet(dirs.head._2)
+      picked.foreach { case (_, fn) =>
+        try fn(warm).queryExecution.toRdd.count() catch { case _: Throwable => () }
       }
-      r -> dir
+      val results = picked.map { case (name, fn) =>
+        val times = dirs.map { case (_, dir) =>
+          val df = spark.read.parquet(dir)
+          // best of 2 reps — same transient discipline as the recorded bench
+          (1 to 2).map { _ =>
+            val t0 = System.nanoTime()
+            fn(df).queryExecution.toRdd.count()
+            (System.nanoTime() - t0) / 1e9
+          }.min
+        }
+        val ratios = times.tail.zip(times).map { case (b, a) => f"${b / a}%.1fx" }
+        println(f"| $name | " + times.map(t => f"$t%.2f").mkString(" | ") +
+          " | " + ratios.mkString(", ") + " |")
+        name -> times
+      }
+      dirs.foreach { case (r, dir) =>
+        System.err.println(s"[scale] x$r rows=" + spark.read.parquet(dir).count())
+      }
+      results.foreach { case (name, times) =>
+        System.err.println(s"[scale] $name: " + times.map(t => f"$t%.3f").mkString(", "))
+      }
     }
-    // warm pass on the smallest size (codegen/statics, same discipline as Bench)
-    val warm = spark.read.parquet(dirs.head._2)
-    picked.foreach { case (_, fn) =>
-      try fn(warm).queryExecution.toRdd.count() catch { case _: Throwable => () }
-    }
+
     println(f"| pipeline | " + sizes.map(r => f"x$r sec").mkString(" | ") + " | ratios |")
-    val results = picked.map { case (name, fn) =>
-      val times = dirs.map { case (_, dir) =>
-        val docs = spark.read.parquet(dir)
-        // best of 2 reps — same transient discipline as the recorded bench
-        (1 to 2).map { _ =>
-          val t0 = System.nanoTime()
-          fn(docs).queryExecution.toRdd.count()
-          (System.nanoTime() - t0) / 1e9
-        }.min
-      }
-      val ratios = times.tail.zip(times).map { case (b, a) => f"${b / a}%.1fx" }
-      println(f"| $name | " + times.map(t => f"$t%.2f").mkString(" | ") +
-        " | " + ratios.mkString(", ") + " |")
-      name -> times
+    if (pickedDocs.nonEmpty) {
+      val base = spark.read.parquet(s"$sfDir/documents.parquet")
+      timeFamily(pickedDocs, corpusDirs("docs", replicate(base, _)))
     }
-    // rows at each size, for the record
-    dirs.foreach { case (r, dir) =>
-      System.err.println(s"[scale] x$r rows=" + spark.read.parquet(dir).count())
-    }
-    results.foreach { case (name, times) =>
-      System.err.println(s"[scale] $name: " + times.map(t => f"$t%.3f").mkString(", "))
+    if (pickedEmb.nonEmpty) {
+      val base = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      timeFamily(pickedEmb, corpusDirs("emb", replicateEmb(base, _)))
     }
   }
 
