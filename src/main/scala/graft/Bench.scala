@@ -323,24 +323,44 @@ object Bench {
         src.select(F.col("timestamp"), nowMs().as("proc_ms"))
       }
       try {
-        Thread.sleep(6000L)
-        // skip the ramp-up second (task start + first-epoch scheduling)
-        val t = spark.table("bench_cont")
-          .select(F.col("timestamp").cast("double").as("gen_s"), F.col("proc_ms"))
-        val cut = t.agg(F.min("gen_s")).head().getDouble(0) + 2.0
-        val lat = t.where(F.col("gen_s") >= cut)
-          .select((F.col("proc_ms") - F.col("gen_s") * 1000.0).as("lat_ms"))
-        val r = lat.agg(
-          F.count(F.lit(1)).as("n"),
-          F.avg(F.col("lat_ms")).as("mean"),
-          F.percentile(F.col("lat_ms"), F.lit(0.5)).as("p50"),
-          F.percentile(F.col("lat_ms"), F.lit(0.99)).as("p99"),
-          F.max("lat_ms").as("mx")).head()
-        val (n, mean, p50, p99, mx) =
-          (r.getLong(0), r.getDouble(1), r.getDouble(2), r.getDouble(3), r.getDouble(4))
-        System.err.println(
-          f"[bench] $label: $n tuples, mean $mean%.3fms p50 $p50%.1fms p99 $p99%.1fms max $mx%.1fms")
-        label -> mean / 1000.0
+        // POLL for post-ramp tuples instead of a fixed sleep: when this
+        // drill follows the full warm sf0.1 suite the rate source can take
+        // most of a fixed 6 s window just to schedule its first epoch, the
+        // sink agg then reads zero rows past the cut, and the NPE fallback
+        // recorded -1.0 (the r7 sf0.1 run). Require >= 1 s of steady
+        // traffic (2000 tuples at the configured rate) before measuring.
+        val deadline = System.nanoTime() + 45L * 1000 * 1000 * 1000
+        var measured: Option[org.apache.spark.sql.Row] = None
+        while (measured.isEmpty && System.nanoTime() < deadline) {
+          Thread.sleep(1500L)
+          val t = spark.table("bench_cont")
+            .select(F.col("timestamp").cast("double").as("gen_s"), F.col("proc_ms"))
+          val minRow = t.agg(F.min("gen_s")).head()
+          if (!minRow.isNullAt(0)) {
+            // skip the ramp-up seconds (task start + first-epoch scheduling)
+            val cut = minRow.getDouble(0) + 2.0
+            val lat = t.where(F.col("gen_s") >= cut)
+              .select((F.col("proc_ms") - F.col("gen_s") * 1000.0).as("lat_ms"))
+            val r = lat.agg(
+              F.count(F.lit(1)).as("n"),
+              F.avg(F.col("lat_ms")).as("mean"),
+              F.percentile(F.col("lat_ms"), F.lit(0.5)).as("p50"),
+              F.percentile(F.col("lat_ms"), F.lit(0.99)).as("p99"),
+              F.max("lat_ms").as("mx")).head()
+            if (!r.isNullAt(1) && r.getLong(0) >= 2000L) measured = Some(r)
+          }
+        }
+        measured match {
+          case Some(r) =>
+            val (n, mean, p50, p99, mx) =
+              (r.getLong(0), r.getDouble(1), r.getDouble(2), r.getDouble(3), r.getDouble(4))
+            System.err.println(
+              f"[bench] $label: $n tuples, mean $mean%.3fms p50 $p50%.1fms p99 $p99%.1fms max $mx%.1fms")
+            label -> mean / 1000.0
+          case None =>
+            System.err.println(s"[bench] $label: no post-ramp tuples within 45s")
+            label -> -1.0
+        }
       } finally q.stop()
     } catch { case e: Throwable =>
       System.err.println(s"[bench] $label failed: ${e.getMessage}")
