@@ -1171,6 +1171,21 @@ object SparkEntry {
           "doc_id", "payload")
         .orderBy("checksum")),
 
+    "q136_classifier_score" -> ((s, dir) =>
+      // fastText-style linear classifier inference over hashed features:
+      // per-doc score + keep verdict, computed entirely in the scan stage
+      // (transform+aggregate over the token array — zero shuffle)
+      functions.Text.classifierScore(table(s, dir, "documents"),
+          "doc_id", "text")
+        .orderBy("doc_id")),
+
+    "q137_temperature_mix" -> ((s, dir) =>
+      // XLM/GPT-3-style alpha=1/2 domain-mixing weights: per-source token
+      // mass -> isqrt -> ppm share; corpus scanned once, |sources| rows after
+      functions.Sampling.temperatureMixWeights(table(s, dir, "documents"),
+          "source", "text")
+        .orderBy("source")),
+
     "q106_bpe_pairs" -> ((s, dir) =>
       // the BPE trainer's per-iteration counting core, oracled: weighted
       // adjacent symbol pairs over the word-frequency vocabulary, top 20
@@ -2369,6 +2384,26 @@ object SparkEntry {
            CAST(min(doc_id) AS BIGINT) AS canonical_id,
            CAST(count(*) AS BIGINT) AS n_copies
          FROM documents GROUP BY 1 ORDER BY checksum""",
+    "q136_classifier_score" ->
+      """WITH t AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x != '') AS toks FROM documents),
+         s AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
+                 CAST(list_aggregate(list_transform(toks, tk ->
+                   (('0x' || substr(md5(tk), 1, 8))::BIGINT % 4096) * 2654435761 % 2001), 'sum') AS BIGINT) AS score_sum
+               FROM t)
+         SELECT doc_id, n_tokens, score_sum,
+           score_sum * 1000 // n_tokens AS score_milli,
+           (score_sum * 1000 // n_tokens) >= 1000 AS keep
+         FROM s WHERE n_tokens > 0 ORDER BY doc_id""",
+    "q137_temperature_mix" ->
+      """WITH s AS (SELECT source,
+                 CAST(count(*) AS BIGINT) AS n_docs,
+                 CAST(sum(len(list_filter(string_split(text, ' '), x -> x != ''))) AS BIGINT) AS n_tokens
+               FROM documents GROUP BY 1),
+         i AS (SELECT *, CAST(floor(sqrt(n_tokens)) AS BIGINT) AS isqrt FROM s),
+         t AS (SELECT CAST(sum(isqrt) AS BIGINT) AS tot FROM i)
+         SELECT source, n_docs, n_tokens, isqrt,
+           isqrt * 1000000 // t.tot AS weight_ppm
+         FROM i, t ORDER BY source""",
     "q109_semantic_decontaminate" ->
       """WITH ev AS (SELECT embedding::DOUBLE[] AS ev FROM embeddings WHERE vec_id % 50 = 0),
          hits AS (SELECT DISTINCT c.vec_id

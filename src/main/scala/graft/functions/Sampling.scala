@@ -266,4 +266,34 @@ object Sampling {
         org.apache.spark.sql.streaming.OutputMode.Append())
       .toDF(groupCol, idCol, "n_tokens", "start_offset", "shard_id")
   }
+
+  /** Temperature-based (α = ½) domain-mixing weights — the multinomial
+    * sampling distribution of XLM / GPT-3-style training mixes:
+    * `p_s ∝ tokens_s^α` flattens the natural distribution so low-resource
+    * sources are upsampled relative to their share. Integer arithmetic
+    * end-to-end for engine parity: `isqrt = ⌊√tokens⌋` (IEEE sqrt of a
+    * long < 2^51 is correctly rounded, so both engines floor the same
+    * double — 100 T tokens per source is still < 2^47), then positive
+    * integer DIV to ppm.
+    *
+    * Scale shape: the corpus is touched ONCE, in the scan stage (per-row
+    * token count feeding a map-side-combined per-source aggregate of
+    * |sources| rows); the 1-row isqrt total then broadcasts back over
+    * that tiny frame. Nothing here grows with corpus bytes except the
+    * scan. */
+  def temperatureMixWeights(df: DataFrame, sourceCol: String,
+      textCol: String): DataFrame = {
+    // cut the |sources|-row frame once: without it the scalar total
+    // re-derives the aggregate from scratch and the CORPUS scans twice
+    // (same q111/q116/q124 discipline — the cut frame is tiny)
+    val perSource = df.groupBy(F.col(sourceCol).as("source"))
+      .agg(F.count(F.lit(1)).as("n_docs"),
+        F.sum(Text.tokenCount(F.col(textCol)).cast("long")).as("n_tokens"))
+      .withColumn("isqrt", F.floor(F.sqrt(F.col("n_tokens"))).cast("long"))
+      .localCheckpoint(true)
+    val total = perSource.agg(F.sum("isqrt").as("__tot"))
+    perSource.crossJoin(F.broadcast(total))
+      .withColumn("weight_ppm", F.expr("isqrt * 1000000L DIV __tot"))
+      .drop("__tot")
+  }
 }

@@ -535,4 +535,38 @@ object Text {
       .withColumn("ratio_ppm", F.expr("df * 1000000L DIV n_docs"))
       .where(F.col("ratio_ppm") >= minDocRatioPpm)
   }
+
+  /** FastText-style linear-classifier INFERENCE over hashed bag-of-token
+    * features — the quality/spam scorer curation pipelines run over every
+    * document. Each token hashes to one of `buckets` feature slots
+    * (engine-portable [[graft.plans.Expressions.Md5Bucket]]) and the
+    * model's weight for that slot accumulates into the document score,
+    * reported per-mille of the token count plus a keep/drop verdict.
+    *
+    * The weight table here is closed-form — `w(b) = (b·2654435761) mod
+    * 2001`, a deterministic stand-in for trained weights that both engines
+    * reproduce exactly — but the SHAPE is the point: a trained model is
+    * the same plan with the (bucket, weight) table collected into a
+    * literal map or broadcast. Either way inference runs ENTIRELY in the
+    * scan stage (`transform` + `aggregate` over the token array — no
+    * explode, no join, no shuffle), which is the optimal 100 TB plan:
+    * model scoring is embarrassingly parallel and the only cost is the
+    * corpus scan itself. Docs with no tokens produce no row (mirrors the
+    * DSIR no-feature rule; also avoids the 0-token division).
+    * Cf. the per-tuple `each(Function)` tier the reference runs scorers
+    * in (`storm-core/src/jvm/storm/trident/Stream.java:207-224`). */
+  def classifierScore(df: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String, buckets: Long = 4096L,
+      keepThresholdMilli: Long = 1000L): org.apache.spark.sql.DataFrame = {
+    val ts = tokens(F.col(textCol))
+    // bucket < 4096 → bucket·2654435761 < 2^43: no ANSI long overflow
+    val wts = F.transform(ts, t =>
+      (graft.plans.Expressions.md5Bucket(t, buckets) * 2654435761L) % 2001L)
+    df.select(F.col(idCol),
+        F.size(ts).cast("long").as("n_tokens"),
+        F.aggregate(wts, F.lit(0L), (acc, x) => acc + x).as("score_sum"))
+      .where(F.col("n_tokens") > 0L)
+      .withColumn("score_milli", F.expr("score_sum * 1000L DIV n_tokens"))
+      .withColumn("keep", F.col("score_milli") >= keepThresholdMilli)
+  }
 }

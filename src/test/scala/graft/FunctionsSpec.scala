@@ -1158,4 +1158,60 @@ class FunctionsSpec extends AnyFunSuite {
       .select("doc_id").as[Long].collect().toSet
     assert(kept == Set(2L, 3L))
   }
+
+  test("classifierScore matches a brute-force hashed-linear-model reference; empty docs drop") {
+    val rnd = new scala.util.Random(67)
+    def w(tok: String): Long =
+      (graft.plans.Expressions.md5Head(
+        tok.getBytes(java.nio.charset.StandardCharsets.UTF_8)) % 4096L) *
+        2654435761L % 2001L
+    for (trial <- 1 to 3) {
+      val docs = Vector.tabulate(20) { i =>
+        (i.toLong, Vector.fill(rnd.nextInt(7))(
+          ('a' + rnd.nextInt(5)).toChar.toString * (1 + rnd.nextInt(3))).mkString(" "))
+      }
+      val got = Text.classifierScore(docs.toDF("doc_id", "text"), "doc_id", "text")
+        .collect().map(r => r.getLong(0) ->
+          ((r.getLong(1), r.getLong(2), r.getLong(3), r.getBoolean(4)))).toMap
+      val want = docs.flatMap { case (id, t) =>
+        val toks = t.split(" ").filter(_.nonEmpty).toVector
+        if (toks.isEmpty) None else {
+          val sum = toks.map(w).sum
+          val milli = sum * 1000L / toks.size
+          Some(id -> ((toks.size.toLong, sum, milli, milli >= 1000L)))
+        }
+      }.toMap
+      assert(got == want, s"trial $trial")
+    }
+  }
+
+  test("temperatureMixWeights: exact isqrt ppm shares; flatter than natural; sums under 1e6") {
+    val rnd = new scala.util.Random(71)
+    val docs = Vector.tabulate(40) { i =>
+      val src = s"s${i % 4}"
+      // s0 gets ~16x the token mass of s3 so flattening is observable
+      val n = 1 + rnd.nextInt(4) * (4 - (i % 4)) * (4 - (i % 4))
+      (i.toLong, src, Vector.fill(n)("w").mkString(" "))
+    }
+    val got = Sampling.temperatureMixWeights(
+        docs.toDF("doc_id", "source", "text"), "source", "text")
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    val toks = docs.groupBy(_._2).view.mapValues(
+      _.map(_._3.split(" ").count(_.nonEmpty).toLong).sum).toMap
+    val isqrts = toks.view.mapValues(t => math.sqrt(t.toDouble).toLong).toMap
+    val tot = isqrts.values.sum
+    got.foreach { case (src, (nDocs, nTokens, isqrt, ppm)) =>
+      assert(nDocs == docs.count(_._2 == src).toLong)
+      assert(nTokens == toks(src))
+      assert(isqrt * isqrt <= nTokens && (isqrt + 1) * (isqrt + 1) > nTokens)
+      assert(ppm == isqrt * 1000000L / tot, src)
+      // alpha=1/2 flattens: every source's share moves toward uniform
+      val natural = nTokens.toDouble / toks.values.sum
+      val mixed = ppm / 1e6
+      val uniform = 1.0 / toks.size
+      assert((mixed - uniform).abs <= (natural - uniform).abs + 1e-6, src)
+    }
+    assert(got.values.map(_._4).sum <= 1000000L)
+  }
 }
