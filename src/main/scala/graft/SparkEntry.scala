@@ -2392,7 +2392,7 @@ object SparkEntry {
                FROM t)
          SELECT doc_id, n_tokens, score_sum,
            score_sum * 1000 // n_tokens AS score_milli,
-           (score_sum * 1000 // n_tokens) >= 1000 AS keep
+           (score_sum * 1000 // n_tokens) >= 1000000 AS keep
          FROM s WHERE n_tokens > 0 ORDER BY doc_id""",
     "q137_temperature_mix" ->
       """WITH s AS (SELECT source,

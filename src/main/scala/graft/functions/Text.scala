@@ -541,7 +541,10 @@ object Text {
     * document. Each token hashes to one of `buckets` feature slots
     * (engine-portable [[graft.plans.Expressions.Md5Bucket]]) and the
     * model's weight for that slot accumulates into the document score,
-    * reported per-mille of the token count plus a keep/drop verdict.
+    * reported as the mean token weight in milli-weight units
+    * (`score_milli = 1000·score_sum/n_tokens`; weights are 0..2000, so
+    * scores center on 1 000 000) plus a keep/drop verdict against
+    * `keepThresholdMilli` (default = the 1 000 000 expected mean).
     *
     * The weight table here is closed-form — `w(b) = (b·2654435761) mod
     * 2001`, a deterministic stand-in for trained weights that both engines
@@ -557,7 +560,7 @@ object Text {
     * in (`storm-core/src/jvm/storm/trident/Stream.java:207-224`). */
   def classifierScore(df: org.apache.spark.sql.DataFrame, idCol: String,
       textCol: String, buckets: Long = 4096L,
-      keepThresholdMilli: Long = 1000L): org.apache.spark.sql.DataFrame = {
+      keepThresholdMilli: Long = 1000000L): org.apache.spark.sql.DataFrame = {
     val ts = tokens(F.col(textCol))
     // bucket < 4096 → bucket·2654435761 < 2^43: no ANSI long overflow
     val wts = F.transform(ts, t =>

@@ -1178,7 +1178,7 @@ class FunctionsSpec extends AnyFunSuite {
         if (toks.isEmpty) None else {
           val sum = toks.map(w).sum
           val milli = sum * 1000L / toks.size
-          Some(id -> ((toks.size.toLong, sum, milli, milli >= 1000L)))
+          Some(id -> ((toks.size.toLong, sum, milli, milli >= 1000000L)))
         }
       }.toMap
       assert(got == want, s"trial $trial")

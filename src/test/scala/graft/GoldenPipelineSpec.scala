@@ -175,4 +175,40 @@ class GoldenPipelineSpec extends AnyFunSuite {
     val nShards = shards.groupBy("source").agg(F.max("shard_id")).collect()
     assert(nShards.nonEmpty)
   }
+
+  test("golden: round-7 curation tail (classifier gate→temperature mix→token-budget sample)") {
+    import org.apache.spark.sql.{functions => F}
+    import graft.functions._
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+
+    // 1. model-based quality gate: hashed-linear classifier, keep >= mean
+    val scored = Text.classifierScore(docs, "doc_id", "text")
+    val kept = docs.join(scored.where(F.col("keep")).select("doc_id"), "doc_id")
+
+    // 2. alpha=1/2 temperature weights over the kept corpus; the weights
+    // frame is |sources| rows — collecting it to build the budget map is
+    // the intended use (a driver-side model config, not a data read)
+    val weights = Sampling.temperatureMixWeights(kept, "source", "text")
+      .select("source", "weight_ppm").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+
+    // 3. materialize the mix: give each source weight_ppm's share of a
+    // 5000-token training budget via the deterministic token-budget sampler
+    val budget = 5000L
+    val targets = weights.map { case (s, ppm) => s -> (budget * ppm / 1000000L) }
+    val mixed = Sampling.tokenBudgetMix(kept, F.col("doc_id"), "text", "source",
+      targets, defaultTarget = 0L)
+
+    assert(scored.count() == 500 && kept.count() == 443)
+    // flattening: every kept source gets a positive share of the budget
+    assert(weights.size == 20 && weights.values.forall(_ > 0))
+    assert(weights.values.sum <= 1000000L)
+    val gotTokens = mixed.groupBy("source")
+      .agg(F.sum(Text.tokenCount(F.col("text")).cast("long")).as("tok"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // deterministic end-to-end: same corpus -> same mixed sample, and the
+    // realized token mass lands under (near) the 5000-token budget
+    assert(mixed.count() == 68, s"mixed count drifted: ${mixed.count()}")
+    assert(gotTokens.values.sum == 4090L, s"token mass drifted: $gotTokens")
+  }
 }
