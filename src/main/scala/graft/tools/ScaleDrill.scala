@@ -163,6 +163,20 @@ object ScaleDrill {
           docs.withColumn("source", F.concat_ws("_", F.col("source"),
             F.floor(F.col("doc_id") / 10000000L).cast("string"))),
           "text", "source", n = 2, minDocRatioPpm = 200000L)),
+    // pure scan-stage model inference (transform+aggregate over tokens,
+    // zero shuffle): the row pins linear-in-bytes scoring; summing
+    // score_sum keeps the whole hash+weight fold in the measured plan
+    "classifier (q136)" -> (docs =>
+      Text.classifierScore(docs, "doc_id", "text")
+        .groupBy().agg(F.sum("score_sum").as("total_score"),
+          F.count(F.lit(1)).as("n_docs"))),
+    // one corpus scan into a |sources|-row aggregate (source salted with
+    // the replica index so the aggregate's cardinality grows with N too)
+    "temperature_mix (q137)" -> (docs =>
+      Sampling.temperatureMixWeights(
+          docs.withColumn("source", F.concat_ws("_", F.col("source"),
+            F.floor(F.col("doc_id") / 10000000L).cast("string"))),
+          "source", "text")),
     // id-keyed anti/semi joins; per-source counts — trivially linear by
     // construction, the row pins that the union+single-count shape holds
     "corpus_diff (q134)" -> (docs =>
