@@ -560,14 +560,50 @@ object Text {
     * in (`storm-core/src/jvm/storm/trident/Stream.java:207-224`). */
   def classifierScore(df: org.apache.spark.sql.DataFrame, idCol: String,
       textCol: String, buckets: Long = 4096L,
-      keepThresholdMilli: Long = 1000000L): org.apache.spark.sql.DataFrame = {
-    val ts = tokens(F.col(textCol))
+      keepThresholdMilli: Long = 1000000L): org.apache.spark.sql.DataFrame =
     // bucket < 4096 → bucket·2654435761 < 2^43: no ANSI long overflow
-    val wts = F.transform(ts, t =>
+    scoreWith(df, idCol, textCol, keepThresholdMilli, t =>
       (graft.plans.Expressions.md5Bucket(t, buckets) * 2654435761L) % 2001L)
+
+  /** Trained-model face of [[classifierScore]]: identical output contract,
+    * but the weights come from a `(bucket, weight)` model table — a
+    * trained classifier's hashed-feature weights — instead of the closed
+    * form. A hashed-feature model is `buckets`-bounded BY CONSTRUCTION (a
+    * model artifact, not data), so it collects to a dense literal array
+    * shipped with the plan and inference stays the same zero-shuffle
+    * scan-stage fold as the closed-form face; buckets absent from the
+    * model weigh 0. For very large models prefer shipping the array via
+    * an explicit broadcast variable or a broadcast join on exploded
+    * tokens — the cap below keeps the literal path honest. */
+  def classifierScoreWithModel(df: org.apache.spark.sql.DataFrame,
+      idCol: String, textCol: String, model: org.apache.spark.sql.DataFrame,
+      bucketCol: String, weightCol: String, buckets: Long = 4096L,
+      keepThresholdMilli: Long = 1000000L): org.apache.spark.sql.DataFrame = {
+    require(buckets > 0 && buckets <= (1L << 22),
+      s"dense literal model is capped at 4M buckets, got $buckets")
+    val w = new Array[Long](buckets.toInt)
+    model.select(F.col(bucketCol).cast("long"), F.col(weightCol).cast("long"))
+      .collect().foreach { r =>
+        val b = r.getLong(0)
+        require(b >= 0 && b < buckets, s"model bucket out of range: $b")
+        w(b.toInt) = r.getLong(1)
+      }
+    val wlit = F.lit(w)
+    scoreWith(df, idCol, textCol, keepThresholdMilli, t =>
+      F.element_at(wlit,
+        (graft.plans.Expressions.md5Bucket(t, buckets) + 1L).cast("int")))
+  }
+
+  /** Shared scoring plumbing for the classifier faces: per-token weight →
+    * scan-stage fold → milli-score + keep verdict. */
+  private def scoreWith(df: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String, keepThresholdMilli: Long,
+      weightOf: Column => Column): org.apache.spark.sql.DataFrame = {
+    val ts = tokens(F.col(textCol))
     df.select(F.col(idCol),
         F.size(ts).cast("long").as("n_tokens"),
-        F.aggregate(wts, F.lit(0L), (acc, x) => acc + x).as("score_sum"))
+        F.aggregate(F.transform(ts, weightOf), F.lit(0L),
+          (acc, x) => acc + x).as("score_sum"))
       .where(F.col("n_tokens") > 0L)
       .withColumn("score_milli", F.expr("score_sum * 1000L DIV n_tokens"))
       .withColumn("keep", F.col("score_milli") >= keepThresholdMilli)

@@ -1185,6 +1185,27 @@ class FunctionsSpec extends AnyFunSuite {
     }
   }
 
+  test("classifierScoreWithModel: a model table carrying the closed-form weights reproduces classifierScore exactly") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    // trained-model face fed the closed form as its weight table: the two
+    // faces must agree bit-for-bit (same hash, same fold, same verdict)
+    val model = spark.range(4096).select(F.col("id").as("bucket"),
+      (F.col("id") * 2654435761L % 2001L).as("weight"))
+    val a = Text.classifierScore(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getBoolean(4)))).toMap
+    val b = Text.classifierScoreWithModel(docs, "doc_id", "text",
+        model, "bucket", "weight")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getBoolean(4)))).toMap
+    assert(a.size == 500 && a == b)
+    // sparse model: missing buckets weigh 0 -> strictly lower scores
+    val sparse = Text.classifierScoreWithModel(docs, "doc_id", "text",
+        model.where(F.col("bucket") % 2L === 0L), "bucket", "weight")
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(sparse.forall { case (id, s) => s <= a(id)._2 })
+  }
+
   test("temperatureMixWeights: exact isqrt ppm shares; flatter than natural; sums under 1e6") {
     val rnd = new scala.util.Random(71)
     val docs = Vector.tabulate(40) { i =>
