@@ -6,7 +6,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.types._
 import graft.api._
 import graft.api.Operations._
-import graft.functions.{Dedup, Multimodal, Sampling, Similarity, Stats, Temporal, Text}
+import graft.functions.{Dedup, Eval, Multimodal, Sampling, Similarity, Stats, Temporal, Text}
 import graft.drpc.LocalDRPC
 import graft.state._
 import graft.streaming.StreamRunner
@@ -1185,6 +1185,67 @@ object SparkEntry {
       functions.Sampling.temperatureMixWeights(table(s, dir, "documents"),
           "source", "text")
         .orderBy("source")),
+
+    "q138_classifier_eval" -> ((s, dir) => {
+      // evaluate the q136 quality classifier against the corpus's lang
+      // label (positive = English): exact Mann-Whitney AUC from a
+      // per-score histogram (no corpus-sized sort) + confusion matrix and
+      // guarded ppm rates at the keep threshold; label side is a pruned
+      // (doc_id, lang) scan, broadcast-joined
+      val docs = table(s, dir, "documents")
+      val scored = Text.classifierScore(docs, "doc_id", "text")
+        .join(docs.select(F.col("doc_id"),
+          (F.col("lang") === "en").as("label")), "doc_id")
+      Eval.binaryEval(scored, "score_milli", "label", 1000000L)
+    }),
+
+    "q139_rrf_fusion" -> ((s, dir) => {
+      // reciprocal-rank fusion per source: length ranking × classifier
+      // ranking, RRF k=60 held exact as 1e9 DIV (60+rank); top 3 per
+      // source — all windows partitioned by source, no global sort
+      val docs = table(s, dir, "documents")
+      val byLength = docs.select(F.col("source"), F.col("doc_id"),
+        F.col("n_chars").as("score"))
+      val byQuality = Text.classifierScore(docs, "doc_id", "text")
+        .join(docs.select("doc_id", "source"), "doc_id")
+        .select(F.col("source"), F.col("doc_id"),
+          F.col("score_milli").as("score"))
+      Eval.rrfFuse(byLength, byQuality, "source", "doc_id", "score", k = 3)
+        .orderBy("source", "fused_rank")
+    }),
+
+    "q140_annotator_kappa" -> ((s, dir) => {
+      // label-quality audit: chance-corrected agreement between the
+      // classifier's keep verdict and the lang=en flag; kappa emitted as
+      // an exact integer fraction (it is legitimately negative below
+      // chance, where integer-division parity across engines breaks)
+      val docs = table(s, dir, "documents")
+      val flags = Text.classifierScore(docs, "doc_id", "text")
+        .join(docs.select(F.col("doc_id"),
+          (F.col("lang") === "en").as("is_en")), "doc_id")
+      Eval.cohenKappa(flags, "keep", "is_en")
+    }),
+
+    "q141_lsh_recall" -> ((s, dir) =>
+      // LSH parameter audit on a 1/16 hash sample: brute-force truth pairs
+      // within the bounded sample vs the production banded-candidate path
+      // (q39's parameters) — measured recall + candidate precision in ppm
+      Dedup.lshRecallAudit(table(s, dir, "documents"), "doc_id", "text",
+        k = 3, numHashes = 4, rowsPerBand = 2, threshold = 0.05,
+        sampleMod = 16L)),
+
+    "q142_retrieval_metrics" -> ((s, dir) => {
+      // per-source retrieval metrics over the classifier ranking with
+      // lang=en relevance: first-relevant rank, reciprocal rank (exact
+      // 1e9-scaled), precision@5 numerator — per-group windows only
+      val docs = table(s, dir, "documents")
+      val cands = Text.classifierScore(docs, "doc_id", "text")
+        .join(docs.select(F.col("doc_id"), F.col("source"),
+          (F.col("lang") === "en").as("rel")), "doc_id")
+      Eval.retrievalMetrics(cands, "source", "doc_id", "score_milli",
+          "rel", k = 5)
+        .orderBy("source")
+    }),
 
     "q106_bpe_pairs" -> ((s, dir) =>
       // the BPE trainer's per-iteration counting core, oracled: weighted
@@ -2404,6 +2465,121 @@ object SparkEntry {
          SELECT source, n_docs, n_tokens, isqrt,
            isqrt * 1000000 // t.tot AS weight_ppm
          FROM i, t ORDER BY source""",
+    "q138_classifier_eval" ->
+      """WITH t AS (SELECT doc_id, lang, list_filter(string_split(text, ' '), x -> x != '') AS toks FROM documents),
+         sc AS (SELECT (lang = 'en') AS label,
+                  CAST(list_aggregate(list_transform(toks, tk ->
+                    (('0x' || substr(md5(tk), 1, 8))::BIGINT % 4096) * 2654435761 % 2001), 'sum') AS BIGINT) * 1000
+                    // CAST(len(toks) AS BIGINT) AS sm
+                FROM t WHERE len(toks) > 0),
+         h AS (SELECT sm AS s,
+                 CAST(sum(CASE WHEN label THEN 1 ELSE 0 END) AS BIGINT) AS pos_n,
+                 CAST(sum(CASE WHEN label THEN 0 ELSE 1 END) AS BIGINT) AS neg_n
+               FROM sc GROUP BY 1),
+         w AS (SELECT *, COALESCE(CAST(sum(neg_n) OVER (ORDER BY s ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0) AS cumneg FROM h),
+         a AS (SELECT CAST(sum(pos_n + neg_n) AS BIGINT) AS n,
+                 CAST(sum(pos_n) AS BIGINT) AS npos,
+                 CAST(sum(neg_n) AS BIGINT) AS nneg,
+                 CAST(sum(pos_n * (2 * cumneg + neg_n)) AS BIGINT) AS auc_x2_num,
+                 CAST(sum(CASE WHEN s >= 1000000 THEN pos_n ELSE 0 END) AS BIGINT) AS tp,
+                 CAST(sum(CASE WHEN s >= 1000000 THEN neg_n ELSE 0 END) AS BIGINT) AS fp,
+                 CAST(sum(CASE WHEN s < 1000000 THEN pos_n ELSE 0 END) AS BIGINT) AS fn,
+                 CAST(sum(CASE WHEN s < 1000000 THEN neg_n ELSE 0 END) AS BIGINT) AS tn
+               FROM w),
+         p AS (SELECT *,
+                 CASE WHEN tp + fp != 0 THEN tp * 1000000 // (tp + fp) END AS precision_ppm,
+                 CASE WHEN npos != 0 THEN tp * 1000000 // npos END AS recall_ppm
+               FROM a)
+         SELECT n, npos, nneg, auc_x2_num, tp, fp, fn, tn,
+           CASE WHEN npos * nneg != 0 THEN auc_x2_num * 1000000 // (2 * npos * nneg) END AS auc_ppm,
+           precision_ppm, recall_ppm,
+           CASE WHEN precision_ppm + recall_ppm > 0
+                THEN 2 * precision_ppm * recall_ppm // (precision_ppm + recall_ppm) END AS f1_ppm
+         FROM p""",
+    "q139_rrf_fusion" ->
+      """WITH a AS (SELECT source, doc_id,
+             CAST(row_number() OVER (PARTITION BY source ORDER BY n_chars DESC, doc_id ASC) AS BIGINT) AS rank_a
+           FROM documents),
+         t AS (SELECT doc_id, source, list_filter(string_split(text, ' '), x -> x != '') AS toks FROM documents),
+         q AS (SELECT doc_id, source,
+                 CAST(list_aggregate(list_transform(toks, tk ->
+                   (('0x' || substr(md5(tk), 1, 8))::BIGINT % 4096) * 2654435761 % 2001), 'sum') AS BIGINT) * 1000
+                   // CAST(len(toks) AS BIGINT) AS sm
+               FROM t WHERE len(toks) > 0),
+         b AS (SELECT source, doc_id,
+             CAST(row_number() OVER (PARTITION BY source ORDER BY sm DESC, doc_id ASC) AS BIGINT) AS rank_b
+           FROM q),
+         f AS (SELECT COALESCE(a.source, b.source) AS source,
+                 COALESCE(a.doc_id, b.doc_id) AS doc_id, a.rank_a, b.rank_b,
+                 CAST(COALESCE(1000000000 // (60 + a.rank_a), 0) +
+                      COALESCE(1000000000 // (60 + b.rank_b), 0) AS BIGINT) AS fused
+               FROM a FULL OUTER JOIN b ON a.source = b.source AND a.doc_id = b.doc_id),
+         r AS (SELECT *, CAST(row_number() OVER (PARTITION BY source ORDER BY fused DESC, doc_id ASC) AS BIGINT) AS fused_rank FROM f)
+         SELECT source, doc_id, rank_a, rank_b, fused, fused_rank
+         FROM r WHERE fused_rank <= 3 ORDER BY source, fused_rank""",
+    "q140_annotator_kappa" ->
+      """WITH t AS (SELECT doc_id, lang, list_filter(string_split(text, ' '), x -> x != '') AS toks FROM documents),
+         s AS (SELECT (lang = 'en') AS is_en,
+                 (CAST(list_aggregate(list_transform(toks, tk ->
+                   (('0x' || substr(md5(tk), 1, 8))::BIGINT % 4096) * 2654435761 % 2001), 'sum') AS BIGINT) * 1000
+                   // CAST(len(toks) AS BIGINT)) >= 1000000 AS keep
+               FROM t WHERE len(toks) > 0),
+         a AS (SELECT CAST(count(*) AS BIGINT) AS n,
+                 CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS a_pos,
+                 CAST(sum(CASE WHEN is_en THEN 1 ELSE 0 END) AS BIGINT) AS b_pos,
+                 CAST(sum(CASE WHEN keep = is_en THEN 1 ELSE 0 END) AS BIGINT) AS agree
+               FROM s),
+         p AS (SELECT *, a_pos * b_pos + (n - a_pos) * (n - b_pos) AS pe_num FROM a)
+         SELECT n, a_pos, b_pos, agree,
+           CASE WHEN n != 0 THEN agree * 1000000 // n END AS po_ppm,
+           CASE WHEN n != 0 THEN pe_num * 1000000 // (n * n) END AS pe_ppm,
+           n * agree - pe_num AS kappa_num,
+           n * n - pe_num AS kappa_den
+         FROM p""",
+    "q141_lsh_recall" ->
+      """WITH samp AS (SELECT doc_id, ws FROM
+           (SELECT doc_id, list_filter(string_split(text, ' '), x -> x != '') AS ws FROM documents
+            WHERE ('0x' || substr(md5('s|' || doc_id), 1, 8))::BIGINT % 16 = 0)
+           WHERE len(ws) >= 3),
+         sh AS (SELECT doc_id, list_transform(generate_series(1, len(ws) - 2), i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]) AS sh FROM samp),
+         truth AS (SELECT l.doc_id AS a, r.doc_id AS b FROM sh l JOIN sh r ON l.doc_id < r.doc_id
+           WHERE CAST(len(list_intersect(list_distinct(l.sh), list_distinct(r.sh))) AS DOUBLE) /
+                 CAST(len(list_distinct(list_concat(list_distinct(l.sh), list_distinct(r.sh)))) AS DOUBLE) >= 0.05),
+         bnd AS (SELECT doc_id,
+           md5(list_aggregate(list_transform(sh, x -> md5('0|' || x)), 'min') || '|' || list_aggregate(list_transform(sh, x -> md5('1|' || x)), 'min')) AS band0,
+           md5(list_aggregate(list_transform(sh, x -> md5('2|' || x)), 'min') || '|' || list_aggregate(list_transform(sh, x -> md5('3|' || x)), 'min')) AS band1
+           FROM sh),
+         cand AS (SELECT l.doc_id AS a, r.doc_id AS b FROM bnd l JOIN bnd r ON l.band0 = r.band0 AND l.doc_id < r.doc_id
+           UNION
+           SELECT l.doc_id AS a, r.doc_id AS b FROM bnd l JOIN bnd r ON l.band1 = r.band1 AND l.doc_id < r.doc_id),
+         caught AS (SELECT c.a, c.b FROM cand c
+           JOIN sh la ON la.doc_id = c.a JOIN sh lb ON lb.doc_id = c.b
+           WHERE CAST(len(list_intersect(list_distinct(la.sh), list_distinct(lb.sh))) AS DOUBLE) /
+                 CAST(len(list_distinct(list_concat(list_distinct(la.sh), list_distinct(lb.sh)))) AS DOUBLE) >= 0.05),
+         agg AS (SELECT (SELECT CAST(count(*) AS BIGINT) FROM samp) AS sampled_docs,
+                        (SELECT CAST(count(*) AS BIGINT) FROM truth) AS truth_pairs,
+                        (SELECT CAST(count(*) AS BIGINT) FROM cand) AS candidate_pairs,
+                        (SELECT CAST(count(*) AS BIGINT) FROM caught) AS caught_pairs)
+         SELECT sampled_docs, truth_pairs, candidate_pairs, caught_pairs,
+           CASE WHEN truth_pairs != 0 THEN caught_pairs * 1000000 // truth_pairs END AS recall_ppm,
+           CASE WHEN candidate_pairs != 0 THEN caught_pairs * 1000000 // candidate_pairs END AS candidate_precision_ppm
+         FROM agg""",
+    "q142_retrieval_metrics" ->
+      """WITH t AS (SELECT doc_id, source, lang, list_filter(string_split(text, ' '), x -> x != '') AS toks FROM documents),
+         q AS (SELECT doc_id, source, (lang = 'en') AS rel,
+                 CAST(list_aggregate(list_transform(toks, tk ->
+                   (('0x' || substr(md5(tk), 1, 8))::BIGINT % 4096) * 2654435761 % 2001), 'sum') AS BIGINT) * 1000
+                   // CAST(len(toks) AS BIGINT) AS sm
+               FROM t WHERE len(toks) > 0),
+         r AS (SELECT source, doc_id, rel,
+                 CAST(row_number() OVER (PARTITION BY source ORDER BY sm DESC, doc_id ASC) AS BIGINT) AS rank
+               FROM q)
+         SELECT source,
+           min(CASE WHEN rel THEN rank END) AS first_rel_rank,
+           CAST(sum(CASE WHEN rel AND rank <= 5 THEN 1 ELSE 0 END) AS BIGINT) AS rel_at_k,
+           CAST(count(*) AS BIGINT) AS n_candidates,
+           CAST(COALESCE(1000000000 // min(CASE WHEN rel THEN rank END), 0) AS BIGINT) AS rr_e9
+         FROM r GROUP BY source ORDER BY source""",
     "q109_semantic_decontaminate" ->
       """WITH ev AS (SELECT embedding::DOUBLE[] AS ev FROM embeddings WHERE vec_id % 50 = 0),
          hits AS (SELECT DISTINCT c.vec_id

@@ -203,6 +203,62 @@ object Dedup {
       .select(F.col("a"), F.col("b"), F.col("jaccard"))
   }
 
+  /** LSH parameter audit: measured RECALL of the banded-candidate stage
+    * against ground truth, on a deterministic hash sample — the tuning
+    * step run BEFORE committing (k, numHashes, rowsPerBand, threshold) to
+    * a 100 TB pass. Ground truth is brute-force all-pairs Jaccard WITHIN
+    * THE SAMPLE (the one place all-pairs is legitimate: the sample is
+    * 1/sampleMod of the corpus by construction, so the quadratic term is
+    * bounded and chosen, not data-dependent); the LSH side runs the exact
+    * production path ([[nearDupPairs]]) on the same sample. Because
+    * verification applies the same Jaccard threshold, the verified LSH
+    * output IS the caught subset of truth — so
+    * `recall_ppm = caught·1e6 DIV truth`, and the pre-verification
+    * candidate count gives candidate precision (how much verification
+    * work the bands create per true pair). One row out:
+    * (sampled_docs, truth_pairs, candidate_pairs, caught_pairs,
+    * recall_ppm, candidate_precision_ppm); rate columns are NULL on a
+    * degenerate sample (no truth / no candidates) rather than an ANSI
+    * divide-by-zero. */
+  def lshRecallAudit(df: DataFrame, idCol: String, textCol: String,
+      k: Int = 3, numHashes: Int = 4, rowsPerBand: Int = 2,
+      threshold: Double = 0.05, sampleMod: Long = 16L): DataFrame = {
+    require(sampleMod > 0, s"sampleMod must be positive, got $sampleMod")
+    // the sample feeds three subplans (truth, candidates, verified) — cut
+    // it once so the corpus scans once, not three times
+    val sample = df
+      .where(graft.plans.Expressions.md5Bucket(
+        F.concat(F.lit("s|"), F.col(idCol).cast("string")), sampleMod) === 0L)
+      .where(Text.tokenCount(F.col(textCol)) >= k)
+      .select(F.col(idCol), F.col(textCol))
+      .localCheckpoint(true)
+    val sh = sample.select(F.col(idCol).as("id"),
+      shingles(F.col(textCol), k).as("sh"))
+    // truth: all pairs within the bounded sample (broadcast nested loop is
+    // the intended plan here — |sample|² is a chosen constant)
+    val truth = sh.select(F.col("id").as("a"), F.col("sh").as("sha"))
+      .join(F.broadcast(sh.select(F.col("id").as("b"), F.col("sh").as("shb"))),
+        F.col("a") < F.col("b"))
+      .where(jaccard(F.col("sha"), F.col("shb")) >= threshold)
+      .select("a", "b")
+    val banded = lshBands(minhashSignature(sample, textCol, k, numHashes),
+      numHashes, rowsPerBand)
+    val candidates = lshCandidatePairs(banded, idCol, numHashes / rowsPerBand)
+    val caught = nearDupPairs(sample, idCol, textCol, k, numHashes,
+      rowsPerBand, threshold)
+    val one = (d: DataFrame, name: String) =>
+      d.agg(F.count(F.lit(1)).as(name))
+    one(sample, "sampled_docs")
+      .crossJoin(one(truth, "truth_pairs"))
+      .crossJoin(one(candidates, "candidate_pairs"))
+      .crossJoin(one(caught, "caught_pairs"))
+      .withColumn("recall_ppm", F.when(F.col("truth_pairs") =!= 0L,
+        F.expr("caught_pairs * 1000000L DIV truth_pairs")))
+      .withColumn("candidate_precision_ppm",
+        F.when(F.col("candidate_pairs") =!= 0L,
+          F.expr("caught_pairs * 1000000L DIV candidate_pairs")))
+  }
+
   /** 64-bit SimHash over token xxhash64s: weighted bit-majority vote,
     * entirely Column-tier (sequence(0,63) bit loop → codegen). Near-dups =
     * small Hamming distance; bucket on rotated prefixes for search. */

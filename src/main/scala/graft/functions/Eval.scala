@@ -1,0 +1,177 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{functions => F}
+import org.apache.spark.sql.expressions.Window
+
+/** Model- and label-quality EVALUATION operators — the audit step a
+  * curation pipeline runs before unleashing a classifier, a ranking, or a
+  * labeling scheme on 100 TB of corpus. Each metric is computed with the
+  * integer discipline used throughout (exact BIGINT accumulators, one
+  * trailing `DIV`), so results are order-independent under any shuffle and
+  * reproducible cell-exact across engines.
+  *
+  * Scale shapes: AUC is computed from a SCORE HISTOGRAM (|distinct scores|
+  * rows shuffle — bounded by the score domain, never the corpus), not a
+  * global row-level rank; ranking metrics use per-group windows (each
+  * query/source sorts independently); agreement is a single global
+  * aggregate. No corpus-sized sort anywhere.
+  *
+  * Cf. the reference's per-tuple scoring tier these evaluations audit:
+  * `storm-core/src/jvm/storm/trident/Stream.java:207-224` (`each`) and the
+  * aggregate tier `Stream.java:383-425` run the producers; the reference
+  * has no evaluation surface — prescribed beyond-reference (SURVEY §2.13).
+  */
+object Eval {
+
+  /** Binary-classification evaluation: ROC AUC (Mann-Whitney with exact
+    * midrank tie handling) plus the confusion matrix and derived rates at
+    * `threshold`, from integer scores in `scoreCol` and boolean labels in
+    * `labelCol`. One corpus pass builds a per-score histogram
+    * (pos_n/neg_n per distinct score); AUC is a cumulative-negatives fold
+    * over the SORTED HISTOGRAM ARRAY — |distinct scores| elements, NOT the
+    * corpus — so the plan has no global row sort, no window, and survives
+    * any corpus size whose score domain is bounded (integer milli-scores
+    * are). All outputs are exact BIGINTs; rate divisions are guarded
+    * `when(den =!= 0)` so degenerate inputs (all-positive, all-negative,
+    * nothing kept) yield NULL rather than an ANSI divide-by-zero.
+    *
+    * AUC identity used (ties get half credit, exact in integers):
+    *   auc_x2_num = Σ_s pos_s · (2·cumneg_<s + neg_s)
+    *   auc_ppm    = auc_x2_num · 1e6 DIV (2·npos·nneg)
+    */
+  def binaryEval(scored: DataFrame, scoreCol: String, labelCol: String,
+      threshold: Long): DataFrame = {
+    val pos = F.when(F.col(labelCol), 1L).otherwise(0L)
+    val hist = scored
+      .groupBy(F.col(scoreCol).cast("long").as("s"))
+      .agg(F.sum(pos).as("pos_n"), F.sum(F.lit(1L) - pos).as("neg_n"))
+    val kept = F.col("s") >= threshold
+    // the cumulative-negatives sweep runs over the HISTOGRAM (score-domain
+    // rows), not the corpus: collect it sorted into one array and fold —
+    // an order-fixed codegen fold, no single-partition window, and the
+    // whole metric set is ONE aggregation over the histogram
+    val aucFold = F.aggregate(
+      F.array_sort(F.collect_list(F.struct(
+        F.col("s"), F.col("pos_n"), F.col("neg_n")))),
+      F.struct(F.lit(0L).as("cumneg"), F.lit(0L).as("auc2")),
+      (acc, x) => F.struct(
+        (acc.getField("cumneg") + x.getField("neg_n")).as("cumneg"),
+        (acc.getField("auc2") + x.getField("pos_n") *
+          (F.lit(2L) * acc.getField("cumneg") + x.getField("neg_n")))
+          .as("auc2")),
+      acc => acc.getField("auc2"))
+    val agg = hist.agg(
+      F.sum(F.col("pos_n") + F.col("neg_n")).as("n"),
+      F.sum("pos_n").as("npos"),
+      F.sum("neg_n").as("nneg"),
+      aucFold.as("auc_x2_num"),
+      F.sum(F.when(kept, F.col("pos_n")).otherwise(0L)).as("tp"),
+      F.sum(F.when(kept, F.col("neg_n")).otherwise(0L)).as("fp"),
+      F.sum(F.when(!kept, F.col("pos_n")).otherwise(0L)).as("fn"),
+      F.sum(F.when(!kept, F.col("neg_n")).otherwise(0L)).as("tn"))
+    agg
+      .withColumn("auc_ppm", F.when(F.col("npos") * F.col("nneg") =!= 0L,
+        F.expr("auc_x2_num * 1000000L DIV (2 * npos * nneg)")))
+      .withColumn("precision_ppm", F.when(F.col("tp") + F.col("fp") =!= 0L,
+        F.expr("tp * 1000000L DIV (tp + fp)")))
+      .withColumn("recall_ppm", F.when(F.col("npos") =!= 0L,
+        F.expr("tp * 1000000L DIV npos")))
+      .withColumn("f1_ppm", F.when(
+        F.col("precision_ppm") + F.col("recall_ppm") > 0L,
+        F.expr("2 * precision_ppm * recall_ppm DIV (precision_ppm + recall_ppm)")))
+  }
+
+  /** Reciprocal-rank fusion of two rankings of the same id space, per
+    * partition group (query / source): each side is ranked independently
+    * (dense per-group `row_number`), then fused with the standard RRF
+    * weight 1/(rrfK + rank), held exact as `1e9 DIV (rrfK + rank)`. Ids
+    * present in only one ranking contribute 0 from the missing side
+    * (full-outer join). Returns the top `k` per group by fused score
+    * (ties broken by id ascending).
+    *
+    * Scale shape: both window sorts and the final top-k are PARTITIONED by
+    * the group column — no global sort; the join is keyed (group, id). At
+    * 100 TB the group is a query id and each group is retrieval-sized
+    * (hundreds of rows), so every stage is bounded per key. */
+  def rrfFuse(a: DataFrame, b: DataFrame, groupCol: String, idCol: String,
+      scoreCol: String, k: Int, rrfK: Long = 60L): DataFrame = {
+    require(k > 0 && rrfK > 0, s"k and rrfK must be positive, got $k/$rrfK")
+    def ranked(df: DataFrame, rankName: String): DataFrame = {
+      val byGroup = Window.partitionBy(groupCol)
+        .orderBy(F.col(scoreCol).desc, F.col(idCol).asc)
+      df.select(F.col(groupCol), F.col(idCol),
+        F.row_number().over(byGroup).cast("long").as(rankName))
+    }
+    val ra = ranked(a, "rank_a")
+    val rb = ranked(b, "rank_b")
+    val fusedCol =
+      F.coalesce(F.expr(s"1000000000L DIV (${rrfK}L + rank_a)"), F.lit(0L)) +
+      F.coalesce(F.expr(s"1000000000L DIV (${rrfK}L + rank_b)"), F.lit(0L))
+    val fused = ra.join(rb, Seq(groupCol, idCol), "full_outer")
+      .withColumn("fused", fusedCol)
+    val byFused = Window.partitionBy(groupCol)
+      .orderBy(F.col("fused").desc, F.col(idCol).asc)
+    fused.withColumn("fused_rank", F.row_number().over(byFused).cast("long"))
+      .where(F.col("fused_rank") <= k)
+  }
+
+  /** Cohen's kappa agreement between two boolean annotator columns — the
+    * label-quality audit run before trusting EITHER labeling scheme at
+    * scale. Single global aggregate (exact counts), and the chance-
+    * corrected kappa is emitted as an exact integer FRACTION
+    * (`kappa_num`/`kappa_den`, kappa = num/den) rather than a divided
+    * value: kappa is legitimately negative below chance agreement, and
+    * floor-vs-truncate division on negatives differs across engines — the
+    * fraction sidesteps that while staying cell-exact. `po_ppm`/`pe_ppm`
+    * (observed / expected agreement) are non-negative and safe to divide.
+    *
+    *   kappa_num = n·agree − (a1·b1 + a0·b0)
+    *   kappa_den = n·n     − (a1·b1 + a0·b0)
+    */
+  def cohenKappa(df: DataFrame, aCol: String, bCol: String): DataFrame = {
+    val a = F.when(F.col(aCol), 1L).otherwise(0L)
+    val b = F.when(F.col(bCol), 1L).otherwise(0L)
+    df.agg(
+        F.count(F.lit(1)).as("n"),
+        F.sum(a).as("a_pos"),
+        F.sum(b).as("b_pos"),
+        F.sum(F.when(F.col(aCol) === F.col(bCol), 1L).otherwise(0L))
+          .as("agree"))
+      .withColumn("pe_num",
+        F.expr("a_pos * b_pos + (n - a_pos) * (n - b_pos)"))
+      .select(
+        F.col("n"), F.col("a_pos"), F.col("b_pos"), F.col("agree"),
+        F.when(F.col("n") =!= 0L, F.expr("agree * 1000000L DIV n"))
+          .as("po_ppm"),
+        F.when(F.col("n") =!= 0L, F.expr("pe_num * 1000000L DIV (n * n)"))
+          .as("pe_ppm"),
+        F.expr("n * agree - pe_num").as("kappa_num"),
+        F.expr("n * n - pe_num").as("kappa_den"))
+  }
+
+  /** Retrieval metrics per query group from a scored candidate list with
+    * boolean relevance: rank of the first relevant hit, reciprocal rank
+    * scaled to 1e9 (`rr_e9 = 1e9 DIV first_rel_rank`, 0 when the group has
+    * no relevant item), and precision@k numerator (`rel_at_k` = relevant
+    * items in the top k). Windows are per-group — retrieval-sized, never
+    * corpus-sized. Mean-reciprocal-rank over queries is `avg(rr_e9)` one
+    * aggregate away; emitting per-group rows keeps the operator
+    * composable (and the oracle face cell-exact on integers). */
+  def retrievalMetrics(df: DataFrame, groupCol: String, idCol: String,
+      scoreCol: String, relCol: String, k: Int): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    val byGroup = Window.partitionBy(groupCol)
+      .orderBy(F.col(scoreCol).desc, F.col(idCol).asc)
+    val ranked = df.select(F.col(groupCol), F.col(idCol), F.col(relCol),
+      F.row_number().over(byGroup).cast("long").as("rank"))
+    ranked.groupBy(groupCol)
+      .agg(
+        F.min(F.when(F.col(relCol), F.col("rank"))).as("first_rel_rank"),
+        F.sum(F.when(F.col(relCol) && F.col("rank") <= k, 1L).otherwise(0L))
+          .as("rel_at_k"),
+        F.count(F.lit(1)).as("n_candidates"))
+      .withColumn("rr_e9", F.coalesce(
+        F.expr("1000000000L DIV first_rel_rank"), F.lit(0L)))
+  }
+}

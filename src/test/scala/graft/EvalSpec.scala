@@ -1,0 +1,165 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{functions => F}
+import org.scalatest.funsuite.AnyFunSuite
+import graft.functions.{Dedup, Eval}
+
+/** Evaluation-operator tests: hand-computed AUC/confusion, kappa sign
+  * behavior, RRF fusion with one-sided rankings, retrieval metrics, and
+  * the LSH recall audit's internal consistency. */
+class EvalSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  import spark.implicits._
+
+  test("binaryEval: midrank-tied AUC and confusion rates, hand-checked") {
+    // pairs credit: pos5/neg5 tie .5, pos5/neg10 0, pos10/neg5 1,
+    // pos10/neg10 .5, pos20 vs both 1+1  => 4 of 6 => AUC 2/3
+    val df = Seq((5L, true), (5L, false), (10L, true), (10L, false),
+      (20L, true)).toDF("score", "label")
+    val r = Eval.binaryEval(df, "score", "label", 10L).head()
+    assert(r.getAs[Long]("n") == 5L)
+    assert(r.getAs[Long]("npos") == 3L)
+    assert(r.getAs[Long]("nneg") == 2L)
+    assert(r.getAs[Long]("auc_x2_num") == 8L)
+    assert(r.getAs[Long]("auc_ppm") == 666666L)   // 8e6 DIV 12
+    assert(r.getAs[Long]("tp") == 2L && r.getAs[Long]("fp") == 1L)
+    assert(r.getAs[Long]("fn") == 1L && r.getAs[Long]("tn") == 1L)
+    assert(r.getAs[Long]("precision_ppm") == 666666L)
+    assert(r.getAs[Long]("recall_ppm") == 666666L)
+    assert(r.getAs[Long]("f1_ppm") == 666666L)
+  }
+
+  test("binaryEval: degenerate inputs yield NULL rates, not div-by-zero") {
+    // all-positive: nneg=0 so AUC undefined; nothing kept: precision/f1 null
+    val allPos = Seq((1L, true), (2L, true)).toDF("score", "label")
+    val r1 = Eval.binaryEval(allPos, "score", "label", 100L).head()
+    assert(r1.isNullAt(r1.fieldIndex("auc_ppm")))
+    assert(r1.isNullAt(r1.fieldIndex("precision_ppm")))
+    assert(r1.isNullAt(r1.fieldIndex("f1_ppm")))
+    assert(r1.getAs[Long]("recall_ppm") == 0L) // npos>0, tp=0
+    val mixed = Seq((1L, true), (2L, false)).toDF("score", "label")
+    val r2 = Eval.binaryEval(mixed, "score", "label", 100L).head()
+    assert(r2.getAs[Long]("auc_ppm") == 0L) // defined: the one pair is wrong-ordered...
+  }
+
+  test("binaryEval: perfect separation scores 1e6 ppm") {
+    val df = Seq((1L, false), (2L, false), (9L, true), (8L, true))
+      .toDF("score", "label")
+    val r = Eval.binaryEval(df, "score", "label", 8L).head()
+    assert(r.getAs[Long]("auc_ppm") == 1000000L)
+    assert(r.getAs[Long]("precision_ppm") == 1000000L)
+    assert(r.getAs[Long]("recall_ppm") == 1000000L)
+    assert(r.getAs[Long]("f1_ppm") == 1000000L)
+  }
+
+  test("cohenKappa: perfect, independent, and below-chance agreement") {
+    val perfect = Seq((true, true), (false, false), (true, true))
+      .toDF("a", "b")
+    val p = Eval.cohenKappa(perfect, "a", "b").head()
+    assert(p.getAs[Long]("kappa_num") == p.getAs[Long]("kappa_den"))
+    assert(p.getAs[Long]("po_ppm") == 1000000L)
+
+    // total disagreement with balanced marginals => kappa = -1 (num = -den):
+    // the reason kappa ships as an exact fraction, not a divided ppm
+    val inverted = Seq((true, false), (true, false), (false, true),
+      (false, true)).toDF("a", "b")
+    val i = Eval.cohenKappa(inverted, "a", "b").head()
+    assert(i.getAs[Long]("agree") == 0L)
+    assert(i.getAs[Long]("kappa_num") == -i.getAs[Long]("kappa_den"))
+    assert(i.getAs[Long]("kappa_num") < 0L)
+  }
+
+  test("rrfFuse: fused ranks, deterministic ties, one-sided ids get 0") {
+    // group g: ids 1,2 in both rankings; id 3 only in A; id 4 only in B
+    val a = Seq(("g", 1L, 100L), ("g", 2L, 50L), ("g", 3L, 10L))
+      .toDF("grp", "id", "score")
+    val b = Seq(("g", 2L, 90L), ("g", 1L, 80L), ("g", 4L, 70L))
+      .toDF("grp", "id", "score")
+    val out = Eval.rrfFuse(a, b, "grp", "id", "score", k = 4, rrfK = 60L)
+      .orderBy("fused_rank")
+      .select("id", "rank_a", "rank_b", "fused", "fused_rank")
+      .collect()
+    // id1: rank_a 1, rank_b 2 -> 1e9/61 + 1e9/62 = 16393442 + 16129032
+    // id2: rank_a 2, rank_b 1 -> same sum (tie) -> id asc breaks it
+    val byId = out.map(r => r.getLong(0) -> r).toMap
+    assert(byId(1L).getLong(3) == 1000000000L / 61 + 1000000000L / 62)
+    assert(byId(1L).getLong(4) == 1L) // tie with id2, id1 wins by id asc
+    assert(byId(2L).getLong(4) == 2L)
+    // one-sided: id3 rank_a=3 only -> 1e9/63; id4 rank_b=3 only -> 1e9/63
+    assert(byId(3L).isNullAt(2) && byId(3L).getLong(3) == 1000000000L / 63)
+    assert(byId(4L).isNullAt(1) && byId(4L).getLong(3) == 1000000000L / 63)
+    assert(byId(3L).getLong(4) == 3L && byId(4L).getLong(4) == 4L)
+  }
+
+  test("retrievalMetrics: first-relevant rank, rr, precision@k numerator") {
+    val df = Seq(
+      ("q1", 1L, 90L, false), ("q1", 2L, 80L, true), ("q1", 3L, 70L, true),
+      ("q2", 4L, 60L, false), ("q2", 5L, 50L, false)).toDF(
+      "grp", "id", "score", "rel")
+    val out = Eval.retrievalMetrics(df, "grp", "id", "score", "rel", k = 2)
+      .collect().map(r => r.getString(0) -> r).toMap
+    val q1 = out("q1")
+    assert(q1.getAs[Long]("first_rel_rank") == 2L)
+    assert(q1.getAs[Long]("rr_e9") == 500000000L)
+    assert(q1.getAs[Long]("rel_at_k") == 1L) // only rank-2 hit inside top 2
+    assert(q1.getAs[Long]("n_candidates") == 3L)
+    val q2 = out("q2")
+    assert(q2.isNullAt(q2.fieldIndex("first_rel_rank")))
+    assert(q2.getAs[Long]("rr_e9") == 0L)
+    assert(q2.getAs[Long]("rel_at_k") == 0L)
+  }
+
+  test("lshRecallAudit: identical-pair corpus scores exact full recall") {
+    // 20 identical-text pairs with pair-disjoint vocabularies (cross-pair
+    // jaccard 0) + unrelated filler; sampleMod=1 keeps every doc, so truth
+    // is EXACTLY the 20 pairs and identical signatures share every band
+    val docs = (0 until 20).flatMap { i =>
+      val t = s"a$i b$i c$i d$i e$i f$i"
+      Seq((2L * i, t), (2L * i + 1, t))
+    } ++ (100 until 110).map(i => (i.toLong, s"zz$i yy$i xx$i ww$i vv$i uu$i"))
+    val df = docs.toDF("id", "text")
+    val r = Dedup.lshRecallAudit(df, "id", "text", k = 3, numHashes = 4,
+      rowsPerBand = 2, threshold = 0.5, sampleMod = 1L).head()
+    assert(r.getAs[Long]("sampled_docs") == 50L)
+    assert(r.getAs[Long]("truth_pairs") == 20L)
+    assert(r.getAs[Long]("candidate_pairs") == 20L)
+    assert(r.getAs[Long]("caught_pairs") == 20L)
+    assert(r.getAs[Long]("recall_ppm") == 1000000L)
+    assert(r.getAs[Long]("candidate_precision_ppm") == 1000000L)
+  }
+
+  test("lshRecallAudit: moderate-similarity pairs report the recall LSH actually achieves") {
+    // shared 9-token prefix differing in the last token: cross-pair
+    // jaccard 6/8 = .75 — exactly the borderline band parameters miss
+    // sometimes; the audit's job is to REPORT that, not hide it
+    val docs = (0 until 20).flatMap { i =>
+      val t = s"alpha bravo charlie delta echo foxtrot golf hotel run$i"
+      Seq((2L * i, t), (2L * i + 1, t + " extra"))
+    }
+    val df = docs.toDF("id", "text")
+    val r = Dedup.lshRecallAudit(df, "id", "text", k = 3, numHashes = 4,
+      rowsPerBand = 2, threshold = 0.5, sampleMod = 1L).head()
+    val truth = r.getAs[Long]("truth_pairs")
+    val cand = r.getAs[Long]("candidate_pairs")
+    val caught = r.getAs[Long]("caught_pairs")
+    assert(truth >= 20L) // the 20 built pairs plus high-overlap cross pairs
+    assert(caught <= truth && caught <= cand)
+    assert(r.getAs[Long]("recall_ppm") == caught * 1000000L / truth)
+    assert(r.getAs[Long]("candidate_precision_ppm") == caught * 1000000L / cand)
+  }
+
+  test("lshRecallAudit: empty truth set yields NULL rates") {
+    val df = (0 until 8).map(i =>
+      (i.toLong, s"aa$i bb$i cc$i dd$i ee$i")).toDF("id", "text")
+    val r = Dedup.lshRecallAudit(df, "id", "text", k = 3, numHashes = 4,
+      rowsPerBand = 2, threshold = 0.5, sampleMod = 1L).head()
+    assert(r.getAs[Long]("truth_pairs") == 0L)
+    assert(r.isNullAt(r.fieldIndex("recall_ppm")))
+  }
+}
