@@ -1227,12 +1227,14 @@ object SparkEntry {
     }),
 
     "q141_lsh_recall" -> ((s, dir) =>
-      // LSH parameter audit on a 1/16 hash sample: brute-force truth pairs
-      // within the bounded sample vs the production banded-candidate path
-      // (q39's parameters) — measured recall + candidate precision in ppm
+      // LSH parameter audit on a 1/2 hash sample: gram-blocked EXACT truth
+      // pairs within the bounded sample (complete for threshold > 0;
+      // jaccard from shared counts, no all-pairs loop) vs the production
+      // banded-candidate path (q39's parameters) — measured recall +
+      // candidate precision in ppm
       Dedup.lshRecallAudit(table(s, dir, "documents"), "doc_id", "text",
         k = 3, numHashes = 4, rowsPerBand = 2, threshold = 0.05,
-        sampleMod = 16L)),
+        sampleMod = 2L)),
 
     "q142_retrieval_metrics" -> ((s, dir) => {
       // per-source retrieval metrics over the classifier ranking with
@@ -2539,12 +2541,17 @@ object SparkEntry {
     "q141_lsh_recall" ->
       """WITH samp AS (SELECT doc_id, ws FROM
            (SELECT doc_id, list_filter(string_split(text, ' '), x -> x != '') AS ws FROM documents
-            WHERE ('0x' || substr(md5('s|' || doc_id), 1, 8))::BIGINT % 16 = 0)
+            WHERE ('0x' || substr(md5('s|' || doc_id), 1, 8))::BIGINT % 2 = 0)
            WHERE len(ws) >= 3),
          sh AS (SELECT doc_id, list_transform(generate_series(1, len(ws) - 2), i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]) AS sh FROM samp),
-         truth AS (SELECT l.doc_id AS a, r.doc_id AS b FROM sh l JOIN sh r ON l.doc_id < r.doc_id
-           WHERE CAST(len(list_intersect(list_distinct(l.sh), list_distinct(r.sh))) AS DOUBLE) /
-                 CAST(len(list_distinct(list_concat(list_distinct(l.sh), list_distinct(r.sh)))) AS DOUBLE) >= 0.05),
+         d AS (SELECT doc_id, list_distinct(sh) AS ds FROM sh),
+         sz AS (SELECT doc_id, CAST(len(ds) AS BIGINT) AS n FROM d),
+         ex AS (SELECT doc_id, unnest(ds) AS g FROM d),
+         cp AS (SELECT l.doc_id AS a, r.doc_id AS b, CAST(count(*) AS BIGINT) AS shared
+                FROM ex l JOIN ex r ON l.g = r.g AND l.doc_id < r.doc_id GROUP BY 1, 2),
+         truth AS (SELECT a, b FROM cp
+           JOIN sz za ON za.doc_id = cp.a JOIN sz zb ON zb.doc_id = cp.b
+           WHERE CAST(shared AS DOUBLE) / CAST(za.n + zb.n - shared AS DOUBLE) >= 0.05),
          bnd AS (SELECT doc_id,
            md5(list_aggregate(list_transform(sh, x -> md5('0|' || x)), 'min') || '|' || list_aggregate(list_transform(sh, x -> md5('1|' || x)), 'min')) AS band0,
            md5(list_aggregate(list_transform(sh, x -> md5('2|' || x)), 'min') || '|' || list_aggregate(list_transform(sh, x -> md5('3|' || x)), 'min')) AS band1
@@ -2552,10 +2559,7 @@ object SparkEntry {
          cand AS (SELECT l.doc_id AS a, r.doc_id AS b FROM bnd l JOIN bnd r ON l.band0 = r.band0 AND l.doc_id < r.doc_id
            UNION
            SELECT l.doc_id AS a, r.doc_id AS b FROM bnd l JOIN bnd r ON l.band1 = r.band1 AND l.doc_id < r.doc_id),
-         caught AS (SELECT c.a, c.b FROM cand c
-           JOIN sh la ON la.doc_id = c.a JOIN sh lb ON lb.doc_id = c.b
-           WHERE CAST(len(list_intersect(list_distinct(la.sh), list_distinct(lb.sh))) AS DOUBLE) /
-                 CAST(len(list_distinct(list_concat(list_distinct(la.sh), list_distinct(lb.sh)))) AS DOUBLE) >= 0.05),
+         caught AS (SELECT c.a, c.b FROM cand c JOIN truth t ON c.a = t.a AND c.b = t.b),
          agg AS (SELECT (SELECT CAST(count(*) AS BIGINT) FROM samp) AS sampled_docs,
                         (SELECT CAST(count(*) AS BIGINT) FROM truth) AS truth_pairs,
                         (SELECT CAST(count(*) AS BIGINT) FROM cand) AS candidate_pairs,

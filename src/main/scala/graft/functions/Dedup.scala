@@ -206,16 +206,21 @@ object Dedup {
   /** LSH parameter audit: measured RECALL of the banded-candidate stage
     * against ground truth, on a deterministic hash sample — the tuning
     * step run BEFORE committing (k, numHashes, rowsPerBand, threshold) to
-    * a 100 TB pass. Ground truth is brute-force all-pairs Jaccard WITHIN
-    * THE SAMPLE (the one place all-pairs is legitimate: the sample is
-    * 1/sampleMod of the corpus by construction, so the quadratic term is
-    * bounded and chosen, not data-dependent); the LSH side runs the exact
-    * production path ([[nearDupPairs]]) on the same sample. Because
-    * verification applies the same Jaccard threshold, the verified LSH
-    * output IS the caught subset of truth — so
-    * `recall_ppm = caught·1e6 DIV truth`, and the pre-verification
-    * candidate count gives candidate precision (how much verification
-    * work the bands create per true pair). One row out:
+    * a 100 TB pass. Ground truth is EXACT Jaccard within the sample,
+    * found by GRAM BLOCKING rather than an all-pairs loop: a pair with
+    * Jaccard ≥ threshold > 0 shares at least one distinct k-shingle, so
+    * joining the sample's (gram, id) postings on gram is provably
+    * complete — and the Jaccard itself is then computed ARITHMETICALLY
+    * from the pair's shared-gram count and the two per-doc distinct-gram
+    * sizes (`j = shared/(na+nb−shared)`), no per-pair set intersection at
+    * all. Blocking cost is Σ df(gram)² within the sample — bounded by the
+    * CHOSEN sample size, and on real text far below it (grams are mostly
+    * rare). The LSH side runs the exact production path
+    * ([[nearDupPairs]]) on the same sample; since verification applies
+    * the same threshold, the verified LSH output IS the caught subset of
+    * truth — `recall_ppm = caught·1e6 DIV truth`, and the
+    * pre-verification candidate count gives candidate precision (how much
+    * verification work the bands create per true pair). One row out:
     * (sampled_docs, truth_pairs, candidate_pairs, caught_pairs,
     * recall_ppm, candidate_precision_ppm); rate columns are NULL on a
     * degenerate sample (no truth / no candidates) rather than an ANSI
@@ -232,14 +237,21 @@ object Dedup {
       .where(Text.tokenCount(F.col(textCol)) >= k)
       .select(F.col(idCol), F.col(textCol))
       .localCheckpoint(true)
-    val sh = sample.select(F.col(idCol).as("id"),
-      shingles(F.col(textCol), k).as("sh"))
-    // truth: all pairs within the bounded sample (broadcast nested loop is
-    // the intended plan here — |sample|² is a chosen constant)
-    val truth = sh.select(F.col("id").as("a"), F.col("sh").as("sha"))
-      .join(F.broadcast(sh.select(F.col("id").as("b"), F.col("sh").as("shb"))),
-        F.col("a") < F.col("b"))
-      .where(jaccard(F.col("sha"), F.col("shb")) >= threshold)
+    val d = sample.select(F.col(idCol).as("id"),
+      F.array_distinct(shingles(F.col(textCol), k)).as("ds"))
+    val sz = d.select(F.col("id"), F.size(F.col("ds")).cast("long").as("n"))
+    val ex = d.select(F.col("id"), F.explode(F.col("ds")).as("g"))
+    val pairShared = ex.select(F.col("id").as("a"), F.col("g").as("__g"))
+      .join(ex.select(F.col("id").as("b"), F.col("g").as("__g")), "__g")
+      .where(F.col("a") < F.col("b"))
+      .groupBy("a", "b").agg(F.count(F.lit(1)).as("shared"))
+    // denominator ≥ max(na, nb) ≥ 1 (k-token filter above), so no 0-div
+    val truth = pairShared
+      .join(sz.select(F.col("id").as("a"), F.col("n").as("na")), "a")
+      .join(sz.select(F.col("id").as("b"), F.col("n").as("nb")), "b")
+      .where(F.col("shared").cast("double") /
+        (F.col("na") + F.col("nb") - F.col("shared")).cast("double")
+        >= threshold)
       .select("a", "b")
     val banded = lshBands(minhashSignature(sample, textCol, k, numHashes),
       numHashes, rowsPerBand)

@@ -3,7 +3,7 @@ package graft.tools
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.{functions => F}
 
-import graft.functions.{Dedup, Multimodal, Sampling, Similarity, Text}
+import graft.functions.{Dedup, Eval, Multimodal, Sampling, Similarity, Text}
 
 /** Measured scale curve for the dedup/LSH pipelines (SCALE.md's recipe):
   * replicate the sf0.1 documents table N× and time the q36/q60/q74/q85
@@ -177,6 +177,41 @@ object ScaleDrill {
           docs.withColumn("source", F.concat_ws("_", F.col("source"),
             F.floor(F.col("doc_id") / 10000000L).cast("string"))),
           "source", "text")),
+    // histogram AUC: the corpus contributes two scans (score fold + pruned
+    // label columns) into a score-domain-sized histogram; the cumulative
+    // fold runs over the histogram array, so the row pins that evaluation
+    // cost is the scan, not a corpus sort
+    "classifier_eval (q138)" -> (docs =>
+      Eval.binaryEval(
+        Text.classifierScore(docs, "doc_id", "text")
+          .join(docs.select(F.col("doc_id"),
+            (F.col("lang") === "en").as("label")), "doc_id"),
+        "score_milli", "label", 1000000L)),
+    // per-source ranking windows + full-outer fusion join; source salted
+    // with the replica index so group sizes stay the base's while group
+    // COUNT grows with N — the retrieval contract (more queries, each
+    // bounded), which is what keeps the window sorts linear overall
+    "rrf_fusion (q139)" -> { docs =>
+      val salted = docs.withColumn("source", F.concat_ws("_",
+        F.col("source"), F.floor(F.col("doc_id") / 10000000L).cast("string")))
+      val byLength = salted.select(F.col("source"), F.col("doc_id"),
+        F.length(F.col("text")).cast("long").as("score"))
+      val byQuality = Text.classifierScore(salted, "doc_id", "text")
+        .join(salted.select("doc_id", "source"), "doc_id")
+        .select(F.col("source"), F.col("doc_id"),
+          F.col("score_milli").as("score"))
+      Eval.rrfFuse(byLength, byQuality, "source", "doc_id", "score", k = 3)
+    },
+    // the audit's contract at scale: sampleMod grows with the corpus so
+    // the SAMPLE (and its chosen gram-blocked truth join) stays a
+    // constant size while the sampling scan grows linearly — the drill
+    // pins that the corpus-sized part of the audit is just the scan
+    "lsh_recall (q141)" -> { docs =>
+      val reps = (docs.agg(F.max(F.col("doc_id") / 10000000L)).head()
+        .getDouble(0).toLong + 1L).max(1L)
+      Dedup.lshRecallAudit(docs, "doc_id", "text", k = 3, numHashes = 4,
+        rowsPerBand = 2, threshold = 0.05, sampleMod = 2L * reps)
+    },
     // id-keyed anti/semi joins; per-source counts — trivially linear by
     // construction, the row pins that the union+single-count shape holds
     "corpus_diff (q134)" -> (docs =>
