@@ -1249,6 +1249,21 @@ object SparkEntry {
         .orderBy("source")
     }),
 
+    "q143_ann_recall" -> ((s, dir) => {
+      // ANN parameter audit, the embedding mirror of q141: recall@10 of
+      // the IVF probe path (7 cells, nProbe=2) vs brute-force truth for a
+      // 1-in-100 query probe set — one corpus scan per side, per-query
+      // top-k through the native heap operator, no corpus sort
+      val emb = table(s, dir, "embeddings")
+      val queries = emb.where(F.col("vec_id") % 100 === 0)
+      val corpus = emb.where(F.col("vec_id") % 100 =!= 0)
+      Similarity.annRecallAudit(corpus, "embedding", "vec_id",
+          queries, "vec_id", "embedding",
+          corpus.where(F.col("vec_id") < 8), "vec_id", "embedding",
+          k = 10, nProbe = 2)
+        .orderBy("qid")
+    }),
+
     "q106_bpe_pairs" -> ((s, dir) =>
       // the BPE trainer's per-iteration counting core, oracled: weighted
       // adjacent symbol pairs over the word-frequency vocabulary, top 20
@@ -2584,6 +2599,31 @@ object SparkEntry {
            CAST(count(*) AS BIGINT) AS n_candidates,
            CAST(COALESCE(1000000000 // min(CASE WHEN rel THEN rank END), 0) AS BIGINT) AS rr_e9
          FROM r GROUP BY source ORDER BY source""",
+    "q143_ann_recall" ->
+      """WITH q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id % 100 = 0),
+         e AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id % 100 <> 0),
+         c AS (SELECT id AS cell, v AS cv FROM e WHERE id < 8),
+         truth AS (SELECT qid, id FROM (
+           SELECT q.qid, e.id, row_number() OVER (PARTITION BY q.qid ORDER BY
+             list_dot_product(e.v, q.qv) / (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(q.qv, q.qv))) DESC, e.id) AS rn
+           FROM e, q) WHERE rn <= 10),
+         probe AS (SELECT qid, cell FROM (
+           SELECT q.qid, c.cell, row_number() OVER (PARTITION BY q.qid ORDER BY
+             list_dot_product(c.cv, q.qv) / (sqrt(list_dot_product(c.cv, c.cv)) * sqrt(list_dot_product(q.qv, q.qv))) DESC, c.cell) AS rn
+           FROM c, q) WHERE rn <= 2),
+         assign AS (SELECT id, cell FROM (
+           SELECT e.id, c.cell, row_number() OVER (PARTITION BY e.id ORDER BY
+             list_dot_product(e.v, c.cv) / (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(c.cv, c.cv))) DESC, c.cell) AS rn
+           FROM e, c) WHERE rn = 1),
+         ann AS (SELECT qid, id FROM (
+           SELECT p.qid, a.id, row_number() OVER (PARTITION BY p.qid ORDER BY
+             list_dot_product(e.v, q.qv) / (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(q.qv, q.qv))) DESC, a.id) AS rn
+           FROM assign a JOIN probe p ON a.cell = p.cell JOIN e ON e.id = a.id JOIN q ON q.qid = p.qid) WHERE rn <= 10),
+         t AS (SELECT qid, CAST(count(*) AS BIGINT) AS n_truth FROM truth GROUP BY 1),
+         h AS (SELECT truth.qid, CAST(count(*) AS BIGINT) AS hits FROM truth JOIN ann ON truth.qid = ann.qid AND truth.id = ann.id GROUP BY 1)
+         SELECT t.qid, t.n_truth, CAST(COALESCE(h.hits, 0) AS BIGINT) AS hits,
+           CAST(COALESCE(h.hits, 0) AS BIGINT) * 1000000 // t.n_truth AS recall_ppm
+         FROM t LEFT JOIN h ON t.qid = h.qid ORDER BY t.qid""",
     "q109_semantic_decontaminate" ->
       """WITH ev AS (SELECT embedding::DOUBLE[] AS ev FROM embeddings WHERE vec_id % 50 = 0),
          hits AS (SELECT DISTINCT c.vec_id

@@ -153,6 +153,69 @@ object Similarity {
     ivfTopK(assigned, embCol, idCol, cents, "cell", "cvec", query, k, nProbe)
   }
 
+  /** ANN parameter audit — the embedding-space mirror of
+    * [[Dedup.lshRecallAudit]]: measured recall@k of the IVF probe path
+    * against exact brute-force truth, per query, for a PROBE SET of query
+    * vectors. The tuning step run before committing (nCells, nProbe) to a
+    * corpus-scale index: IVF recall degrades exactly when a query's true
+    * neighbors straddle a cell boundary its probes miss, and that loss is
+    * a property of THIS corpus's geometry — it has to be measured, not
+    * assumed.
+    *
+    * Cost shape: the query set is an eval artifact (dozens–hundreds of
+    * vectors), broadcast by construction; truth is ONE corpus scan with
+    * |queries| fused dot products per row, reduced by the native
+    * heap-based [[graft.plans.TopK]] operator (per-query top-k with
+    * partial reduction BEFORE the shuffle — only |queries|·k candidate
+    * rows per partition leave the scan stage, never a corpus sort). The
+    * ANN side runs the production path: [[ivfAssign]] + per-query probe
+    * cells + within-cell scoring, reduced the same way. Output one row
+    * per query: (qid, n_truth, hits, recall_ppm = hits·1e6 DIV n_truth);
+    * n_truth = min(k, |corpus|) rows so the rate is honest on small
+    * corpora. */
+  def annRecallAudit(corpus: DataFrame, embCol: String, idCol: String,
+      queries: DataFrame, qIdCol: String, qEmbCol: String,
+      centroids: DataFrame, centIdCol: String, centVecCol: String,
+      k: Int, nProbe: Int): DataFrame = {
+    require(k > 0 && nProbe > 0, s"k and nProbe must be positive, got $k/$nProbe")
+    val qn = F.broadcast(queries.select(
+      F.col(qIdCol).as("qid"), F.col(qEmbCol).as("__qv")))
+    val truthScored = corpus
+      .select(F.col(idCol).as("id"), F.col(embCol).as("__v"))
+      .join(qn)
+      .select(F.col("qid"), F.col("id"),
+        cosine(F.col("__v"), F.col("__qv")).as("score"))
+    val truth = graft.plans.TopK.topKPerKey(truthScored, Seq("qid"), "score",
+      desc = true, tieBreak = Seq("id"), k = k).select("qid", "id")
+    val cents = F.broadcast(centroids.select(
+      F.col(centIdCol).as("cell"), F.col(centVecCol).as("__cv")))
+    val probeScored = queries
+      .select(F.col(qIdCol).as("qid"), F.col(qEmbCol).as("__qv"))
+      .join(cents)
+      .select(F.col("qid"), F.col("cell"),
+        cosine(F.col("__qv"), F.col("__cv")).as("cscore"))
+    val probes = graft.plans.TopK.topKPerKey(probeScored, Seq("qid"), "cscore",
+      desc = true, tieBreak = Seq("cell"), k = nProbe).select("qid", "cell")
+    val assigned = ivfAssign(corpus, embCol, idCol,
+        centroids, centIdCol, centVecCol)
+      .select(F.col(idCol).as("id"), F.col("cell"))
+      .join(corpus.select(F.col(idCol).as("id"), F.col(embCol).as("__v")), "id")
+    val annScored = assigned
+      .join(F.broadcast(probes), "cell")
+      .join(qn, "qid")
+      .select(F.col("qid"), F.col("id"),
+        cosine(F.col("__v"), F.col("__qv")).as("score"))
+    val ann = graft.plans.TopK.topKPerKey(annScored, Seq("qid"), "score",
+      desc = true, tieBreak = Seq("id"), k = k).select("qid", "id")
+    val hits = truth.join(ann, Seq("qid", "id"))
+      .groupBy("qid").agg(F.count(F.lit(1)).as("hits"))
+    truth.groupBy("qid").agg(F.count(F.lit(1)).as("n_truth"))
+      .join(hits, Seq("qid"), "left_outer")
+      .select(F.col("qid"), F.col("n_truth"),
+        F.coalesce(F.col("hits"), F.lit(0L)).as("hits"))
+      .withColumn("recall_ppm", F.expr("hits * 1000000L DIV n_truth"))
+  }
+
   /** Exact near-dup pairs by brute-force self-join — the verification-grade
     * face (bound the input first; the LSH-bucketed
     * [[embeddingNearDupPairs]] is the corpus-scale path). */

@@ -237,6 +237,23 @@ object ScaleDrill {
         .select(F.col("vec_id").as("cid"), F.col("embedding").as("cv"))
       Similarity.semDedup(emb, "vec_id", "embedding",
         cents, "cid", "cv", threshold = 0.35)
+    },
+    // fixed probe-query set AND fixed centroid table (the base replica's
+    // 1-in-100 ids / first 16 vectors): per corpus row the audit does
+    // |queries| truth dots in one scan and |cells| assign dots in the
+    // other, both constants — the row pins that audit cost is the two
+    // scans, ~linear in corpus. (A centroid table growing WITH the corpus
+    // makes assign work quadratic by construction — that regime is
+    // measured and explained in the q124 row; an audit fixes its index.)
+    "ann_recall (q143)" -> { emb =>
+      val queries = emb.where(F.col("vec_id") < 10000000L &&
+        F.col("vec_id") % 100 === 0)
+      val corpus = emb.where(F.col("vec_id") % 100 =!= 0)
+      val cents = corpus.where(F.col("vec_id") < 16)
+        .select(F.col("vec_id").as("cid"), F.col("embedding").as("cv"))
+      Similarity.annRecallAudit(corpus, "embedding", "vec_id",
+        queries, "vec_id", "embedding", cents, "cid", "cv",
+        k = 10, nProbe = 2)
     })
 
   def pipelineDrill(spark: SparkSession, sfDir: String, sizes: Seq[Int],

@@ -154,6 +154,34 @@ class EvalSpec extends AnyFunSuite {
     assert(r.getAs[Long]("candidate_precision_ppm") == caught * 1000000L / cand)
   }
 
+  test("annRecallAudit: hand-checked 2D geometry, including a probe miss") {
+    import graft.functions.Similarity
+    // two cells on the axes; corpus points hug one axis each
+    val corpus = Seq(
+      (10L, Array(1.0, 0.0)), (11L, Array(0.9, 0.1)),
+      (12L, Array(0.0, 1.0)), (13L, Array(0.1, 0.9)))
+      .toDF("vec_id", "embedding")
+    val cents = Seq((0L, Array(1.0, 0.0)), (1L, Array(0.0, 1.0)))
+      .toDF("cell_id", "cvec")
+    val queries = Seq(
+      (100L, Array(1.0, 0.05)),  // x-axis query: truth {10,11} all in cell 0
+      (101L, Array(0.05, 1.0)),  // y-axis query: truth {12,13} all in cell 1
+      (102L, Array(1.0, 1.0)))   // diagonal: truth {11,13} straddles cells
+      .toDF("vec_id", "embedding")
+    val out = Similarity.annRecallAudit(corpus, "embedding", "vec_id",
+        queries, "vec_id", "embedding", cents, "cell_id", "cvec",
+        k = 2, nProbe = 1)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(out(100L).getAs[Long]("n_truth") == 2L)
+    assert(out(100L).getAs[Long]("recall_ppm") == 1000000L)
+    assert(out(101L).getAs[Long]("recall_ppm") == 1000000L)
+    // the diagonal query's two true neighbors (11 and 13, exact cosine
+    // tie) sit in DIFFERENT cells; nProbe=1 probes only cell 0 (tie,
+    // lowest cell wins) and finds just id 11 -> measured recall 50%
+    assert(out(102L).getAs[Long]("hits") == 1L)
+    assert(out(102L).getAs[Long]("recall_ppm") == 500000L)
+  }
+
   test("lshRecallAudit: empty truth set yields NULL rates") {
     val df = (0 until 8).map(i =>
       (i.toLong, s"aa$i bb$i cc$i dd$i ee$i")).toDF("id", "text")
