@@ -209,8 +209,11 @@ object Similarity {
       desc = true, tieBreak = Seq("id"), k = k).select("qid", "id")
     val hits = truth.join(ann, Seq("qid", "id"))
       .groupBy("qid").agg(F.count(F.lit(1)).as("hits"))
+    // both report sides are |queries|-row aggregates, but they sit above
+    // TopK outputs whose stats the planner can't see — hint the broadcast
+    // so the final stitch never falls back to a sort-merge join
     truth.groupBy("qid").agg(F.count(F.lit(1)).as("n_truth"))
-      .join(hits, Seq("qid"), "left_outer")
+      .join(F.broadcast(hits), Seq("qid"), "left_outer")
       .select(F.col("qid"), F.col("n_truth"),
         F.coalesce(F.col("hits"), F.lit(0L)).as("hits"))
       .withColumn("recall_ppm", F.expr("hits * 1000000L DIV n_truth"))
