@@ -150,6 +150,38 @@ object Eval {
         F.expr("n * n - pe_num").as("kappa_den"))
   }
 
+  /** STREAMING face of the confusion tier: running (tp, fp, fn, tn) per
+    * monitoring key (model id, data slice, …) maintained in the state
+    * store as scored-and-labeled rows arrive — online classifier
+    * monitoring, e.g. watching a quality gate drift against delayed
+    * ground-truth labels during a long curation run. Exactly-once under
+    * restart by the same checkpoint-version argument as every
+    * [[graft.streaming.StateStoreRunner]] fold; state per key is four
+    * longs. Rates (precision/recall) are one arithmetic step downstream
+    * of the emitted counts — emitting counts keeps the state mergeable
+    * and the face parity-testable against [[binaryEval]] on the same
+    * rows (StateStoreSpec pins that). AUC is deliberately NOT maintained
+    * here: it needs the score histogram, which is [[binaryEval]]'s batch
+    * job over the accumulated data, not a per-row fold. */
+  def streamingConfusion[K](scored: org.apache.spark.sql.Dataset[(K, Long, Boolean)],
+      threshold: Long)(implicit kEnc: org.apache.spark.sql.Encoder[K],
+      outEnc: org.apache.spark.sql.Encoder[(K, (Long, Long, Long, Long))])
+      : org.apache.spark.sql.Dataset[(K, (Long, Long, Long, Long))] =
+    graft.streaming.StateStoreRunner.runningCombine[K, (K, Long, Boolean),
+        (Long, Long, Long, Long)](
+      scored, _._1, (0L, 0L, 0L, 0L),
+      v => {
+        val kept = v._2 >= threshold
+        (if (kept && v._3) 1L else 0L, if (kept && !v._3) 1L else 0L,
+         if (!kept && v._3) 1L else 0L, if (!kept && !v._3) 1L else 0L)
+      },
+      (a, b) => (a._1 + b._1, a._2 + b._2, a._3 + b._3, a._4 + b._4),
+      org.apache.spark.sql.Encoders.tuple(
+        org.apache.spark.sql.Encoders.scalaLong,
+        org.apache.spark.sql.Encoders.scalaLong,
+        org.apache.spark.sql.Encoders.scalaLong,
+        org.apache.spark.sql.Encoders.scalaLong))
+
   /** Retrieval metrics per query group from a scored candidate list with
     * boolean relevance: rank of the first relevant hit, reciprocal rank
     * scaled to 1e9 (`rr_e9 = 1e9 DIV first_rel_rank`, 0 when the group has

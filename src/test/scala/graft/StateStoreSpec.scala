@@ -340,6 +340,46 @@ class StateStoreSpec extends AnyFunSuite {
     val got = sink.asScala.map { case (k, v) => k.longValue() -> v }.toMap
     assert(got == Map(1L -> ((0L, 0L)), 2L -> ((3L, 0L)), 3L -> ((7L, 1L))))
   }
+
+  test("streaming confusion monitor matches the batch binaryEval counts per slice") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.functions.Eval
+    // (slice, score, label) — slice 'b' never produces a kept row
+    val b1 = Seq(("a", 150L, true), ("a", 90L, true), ("a", 120L, false),
+      ("b", 10L, false))
+    val b2 = Seq(("a", 200L, false), ("b", 80L, true), ("b", 99L, false))
+    val input = MemoryStream[(String, Long, Boolean)]
+    input.addData(b1)
+
+    val monitored = Eval.streamingConfusion(input.toDS(), threshold = 100L)
+      .map { case (k, (tp, fp, fn, tn)) => (k, tp, fp, fn, tn) }
+    val q = monitored.writeStream.outputMode("update")
+      .format("memory").queryName("confmon")
+      .trigger(Trigger.ProcessingTime(0L))
+      .start()
+    q.processAllAvailable()
+    input.addData(b2)
+    q.processAllAvailable()
+    q.stop()
+
+    // latest emission per slice = the running confusion; must equal the
+    // batch face evaluated over everything fed so far
+    // (total processed rows strictly grows per batch, so the row with the
+    // largest count sum is the latest state — collect order isn't pinned)
+    val latest = spark.table("confmon")
+      .as[(String, Long, Long, Long, Long)].collect()
+      .groupBy(_._1).view
+      .mapValues(_.maxBy(r => r._2 + r._3 + r._4 + r._5)).toMap
+    val batch = (b1 ++ b2).toDF("slice", "score", "label")
+    for (slice <- Seq("a", "b")) {
+      val r = Eval.binaryEval(batch.where($"slice" === slice),
+        "score", "label", 100L).head()
+      assert(latest(slice) == ((slice, r.getAs[Long]("tp"),
+        r.getAs[Long]("fp"), r.getAs[Long]("fn"), r.getAs[Long]("tn"))),
+        s"slice $slice drifted from the batch face")
+    }
+  }
 }
 
 object StateStoreSpec {
