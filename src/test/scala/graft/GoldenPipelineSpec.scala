@@ -211,4 +211,53 @@ class GoldenPipelineSpec extends AnyFunSuite {
     assert(mixed.count() == 68, s"mixed count drifted: ${mixed.count()}")
     assert(gotTokens.values.sum == 4090L, s"token mass drifted: $gotTokens")
   }
+
+  test("golden: evaluation tail (eval the gate → agreement → LSH/ANN audits)") {
+    import org.apache.spark.sql.{functions => F}
+    import graft.functions._
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+
+    // 1. evaluate the hashed classifier against the lang=en label: its
+    // weights are content-hash noise w.r.t. language, so AUC pins near
+    // chance — exactly the verdict that tells a pipeline owner NOT to
+    // ship this gate for language filtering
+    val scored = Text.classifierScore(docs, "doc_id", "text")
+    val labeled = scored.join(docs.select(F.col("doc_id"),
+      (F.col("lang") === "en").as("label")), "doc_id")
+    val ev = Eval.binaryEval(labeled, "score_milli", "label", 1000000L).head()
+    assert(ev.getAs[Long]("n") == 500L && ev.getAs[Long]("npos") == 193L)
+    assert(ev.getAs[Long]("auc_ppm") == 480143L)    // ~chance
+    assert(ev.getAs[Long]("recall_ppm") == 860103L) // keeps most of everything
+    assert(ev.getAs[Long]("f1_ppm") == 522011L)
+
+    // 2. agreement between the gate and the label is BELOW chance —
+    // kappa's exact fraction goes negative, the case the ppm-division
+    // encoding can't represent portably
+    val kap = Eval.cohenKappa(
+      labeled.withColumn("is_en", F.col("label")), "keep", "is_en").head()
+    assert(kap.getAs[Long]("kappa_num") == -4998L)
+    assert(kap.getAs[Long]("kappa_den") == 147002L)
+
+    // 3. the dedup-parameter audits over the same corpus: banded LSH
+    // catches all 3 true near-dup pairs in the 1/2 sample (4 candidates),
+    // IVF at nProbe=2 of 7 cells recalls 30-70% per query — measured
+    // numbers a 100 TB run would be tuned against
+    val lsh = Dedup.lshRecallAudit(docs, "doc_id", "text",
+      k = 3, numHashes = 4, rowsPerBand = 2, threshold = 0.05,
+      sampleMod = 2L).head()
+    assert(lsh.getAs[Long]("truth_pairs") == 3L)
+    assert(lsh.getAs[Long]("recall_ppm") == 1000000L)
+    assert(lsh.getAs[Long]("candidate_precision_ppm") == 750000L)
+
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val corpus = emb.where(F.col("vec_id") % 100 =!= 0)
+    val ann = Similarity.annRecallAudit(corpus, "embedding", "vec_id",
+        emb.where(F.col("vec_id") % 100 === 0), "vec_id", "embedding",
+        corpus.where(F.col("vec_id") < 8), "vec_id", "embedding",
+        k = 10, nProbe = 2)
+      .orderBy("qid")
+      .collect().map(r => (r.getLong(0), r.getLong(3))).toSeq
+    assert(ann == Seq((0L, 700000L), (100L, 300000L), (200L, 400000L),
+      (300L, 400000L), (400L, 400000L)), s"ANN recall drifted: $ann")
+  }
 }
