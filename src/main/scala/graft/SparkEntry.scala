@@ -1264,6 +1264,26 @@ object SparkEntry {
         .orderBy("qid")
     }),
 
+    "q144_hard_negatives" -> ((s, dir) => {
+      // contrastive-training data prep: per query, 5 hard negatives drawn
+      // deterministically (md5 order) from cosine ranks 11..30 — the
+      // near-but-not-nearest band; same one-scan cost shape as q143
+      val emb = table(s, dir, "embeddings")
+      Similarity.hardNegatives(
+          emb.where(F.col("vec_id") % 100 =!= 0), "embedding", "vec_id",
+          emb.where(F.col("vec_id") % 100 === 0), "vec_id", "embedding",
+          skipK = 10, poolK = 30, m = 5)
+        .orderBy("qid", "rank")
+    }),
+
+    "q145_length_batches" -> ((s, dir) =>
+      // serving/training padding audit: bucket docs by token count (width
+      // 32), cut 16-doc batches longest-first, report per-batch padding
+      // waste in ppm — per-bucket windows only, one corpus scan
+      Sampling.lengthBucketBatches(table(s, dir, "documents"),
+          "doc_id", "text", bucketWidth = 32L, batchSize = 16)
+        .orderBy("bucket", "batch_id")),
+
     "q106_bpe_pairs" -> ((s, dir) =>
       // the BPE trainer's per-iteration counting core, oracled: weighted
       // adjacent symbol pairs over the word-frequency vocabulary, top 20
@@ -2624,6 +2644,30 @@ object SparkEntry {
          SELECT t.qid, t.n_truth, CAST(COALESCE(h.hits, 0) AS BIGINT) AS hits,
            CAST(COALESCE(h.hits, 0) AS BIGINT) * 1000000 // t.n_truth AS recall_ppm
          FROM t LEFT JOIN h ON t.qid = h.qid ORDER BY t.qid""",
+    "q144_hard_negatives" ->
+      """WITH q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id % 100 = 0),
+         e AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id % 100 <> 0),
+         ranked AS (SELECT qid, id, rank FROM (
+           SELECT q.qid, e.id, CAST(row_number() OVER (PARTITION BY q.qid ORDER BY
+             list_dot_product(e.v, q.qv) / (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(q.qv, q.qv))) DESC, e.id) AS BIGINT) AS rank
+           FROM e, q) WHERE rank > 10 AND rank <= 30),
+         drawn AS (SELECT qid, id, rank,
+             row_number() OVER (PARTITION BY qid ORDER BY md5('hn|' || qid || '|' || id) ASC, id ASC) AS pick
+           FROM ranked)
+         SELECT qid, id, rank FROM drawn WHERE pick <= 5 ORDER BY qid, rank""",
+    "q145_length_batches" ->
+      """WITH t AS (SELECT doc_id, CAST(len(list_filter(string_split(text, ' '), x -> x != '')) AS BIGINT) AS n_tokens
+                    FROM documents),
+         b AS (SELECT doc_id, n_tokens, n_tokens // 32 AS bucket FROM t WHERE n_tokens > 0),
+         r AS (SELECT *, CAST(row_number() OVER (PARTITION BY bucket ORDER BY n_tokens DESC, doc_id ASC) AS BIGINT) AS rn FROM b),
+         g AS (SELECT bucket, (rn - 1) // 16 AS batch_id,
+                 CAST(count(*) AS BIGINT) AS n_docs,
+                 CAST(max(n_tokens) AS BIGINT) AS max_tokens,
+                 CAST(sum(n_tokens) AS BIGINT) AS sum_tokens
+               FROM r GROUP BY 1, 2)
+         SELECT bucket, batch_id, n_docs, max_tokens, sum_tokens,
+           (max_tokens * n_docs - sum_tokens) * 1000000 // (max_tokens * n_docs) AS padding_ppm
+         FROM g ORDER BY bucket, batch_id""",
     "q109_semantic_decontaminate" ->
       """WITH ev AS (SELECT embedding::DOUBLE[] AS ev FROM embeddings WHERE vec_id % 50 = 0),
          hits AS (SELECT DISTINCT c.vec_id

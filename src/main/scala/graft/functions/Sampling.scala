@@ -245,6 +245,40 @@ object Sampling {
       .withColumn("shard_id", F.expr(s"start_offset DIV ${targetTokens}L"))
   }
 
+  /** Length-bucketed batch packing for training/inference serving: docs
+    * padded to their batch's longest member waste `max_len − len` tokens
+    * each, so batching SIMILAR lengths together is the standard padding
+    * optimization — bucket by token count (`n_tokens DIV bucketWidth`),
+    * order within the bucket longest-first (ties by id), and cut
+    * `batchSize`-doc batches. Longest-first makes each batch's max its
+    * FIRST member and monotonically shrinks padding down the bucket.
+    * Returns one row per batch: (bucket, batch_id, n_docs, max_tokens,
+    * sum_tokens, padding_ppm = (max·n − sum)·1e6 DIV (max·n)) — the
+    * padding audit a serving owner reads before picking bucketWidth.
+    * Windows are per-bucket (bounded key space: token-length domain DIV
+    * width); the corpus contributes one scan. Zero-token docs are
+    * excluded (they pad nothing and would div-by-zero the ppm). */
+  def lengthBucketBatches(df: DataFrame, idCol: String, textCol: String,
+      bucketWidth: Long, batchSize: Int): DataFrame = {
+    require(bucketWidth > 0 && batchSize > 0,
+      s"bucketWidth and batchSize must be positive, got $bucketWidth/$batchSize")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("bucket")
+      .orderBy(F.col("n_tokens").desc, F.col(idCol).asc)
+    df.select(F.col(idCol),
+        Text.tokenCount(F.col(textCol)).cast("long").as("n_tokens"))
+      .where(F.col("n_tokens") > 0L)
+      .withColumn("bucket", F.expr(s"n_tokens DIV ${bucketWidth}L"))
+      .withColumn("__rn", F.row_number().over(w).cast("long"))
+      .withColumn("batch_id", F.expr(s"(__rn - 1L) DIV ${batchSize}L"))
+      .groupBy("bucket", "batch_id")
+      .agg(F.count(F.lit(1)).as("n_docs"),
+        F.max("n_tokens").as("max_tokens"),
+        F.sum("n_tokens").as("sum_tokens"))
+      .withColumn("padding_ppm", F.expr(
+        "(max_tokens * n_docs - sum_tokens) * 1000000L DIV (max_tokens * n_docs)"))
+  }
+
   /** Streaming face of [[shardPlan]]: shard assignment at INGEST — the
     * per-group cumulative token offset lives in the state store and
     * resumes across micro-batches (within a batch, id order; across

@@ -219,6 +219,48 @@ object Similarity {
       .withColumn("recall_ppm", F.expr("hits * 1000000L DIV n_truth"))
   }
 
+  /** Hard-negative mining for contrastive training (DPR/retriever data
+    * prep): for each anchor query, the documents ranked just BELOW its
+    * nearest neighbors — similar enough to be informative, far enough to
+    * be (presumed) negatives. Per query: rank the corpus by cosine, take
+    * the (skipK, poolK] band as the hard pool, then pick `m` of them by
+    * smallest md5 of `hn|qid|id` — a deterministic, engine-portable
+    * "random" draw, so reruns and the oracle agree row-for-row.
+    *
+    * Same cost shape as [[annRecallAudit]]'s truth side: one corpus scan
+    * with |queries| fused dots per row, per-query top-poolK through the
+    * native heap operator; the rank/draw windows then run over ≤ poolK
+    * rows per query. Returns (qid, id, rank) — rank within the full
+    * ranking, 1-based, so downstream can weight by hardness. */
+  def hardNegatives(corpus: DataFrame, embCol: String, idCol: String,
+      queries: DataFrame, qIdCol: String, qEmbCol: String,
+      skipK: Int, poolK: Int, m: Int): DataFrame = {
+    require(0 <= skipK && skipK < poolK && m > 0,
+      s"need 0 <= skipK < poolK and m > 0, got skipK=$skipK poolK=$poolK m=$m")
+    val qn = F.broadcast(queries.select(
+      F.col(qIdCol).as("qid"), F.col(qEmbCol).as("__qv")))
+    val scored = corpus
+      .select(F.col(idCol).as("id"), F.col(embCol).as("__v"))
+      .join(qn)
+      .select(F.col("qid"), F.col("id"),
+        cosine(F.col("__v"), F.col("__qv")).as("score"))
+    val top = graft.plans.TopK.topKPerKey(scored, Seq("qid"), "score",
+      desc = true, tieBreak = Seq("id"), k = poolK)
+    val byScore = org.apache.spark.sql.expressions.Window
+      .partitionBy("qid").orderBy(F.col("score").desc, F.col("id").asc)
+    val pool = top
+      .withColumn("rank", F.row_number().over(byScore).cast("long"))
+      .where(F.col("rank") > skipK)
+      .withColumn("__draw", F.md5(F.concat_ws("|",
+        F.lit("hn"), F.col("qid").cast("string"), F.col("id").cast("string"))))
+    val byDraw = org.apache.spark.sql.expressions.Window
+      .partitionBy("qid").orderBy(F.col("__draw").asc, F.col("id").asc)
+    pool
+      .withColumn("__pick", F.row_number().over(byDraw))
+      .where(F.col("__pick") <= m)
+      .select("qid", "id", "rank")
+  }
+
   /** Exact near-dup pairs by brute-force self-join — the verification-grade
     * face (bound the input first; the LSH-bucketed
     * [[embeddingNearDupPairs]] is the corpus-scale path). */

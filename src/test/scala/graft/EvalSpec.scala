@@ -182,6 +182,43 @@ class EvalSpec extends AnyFunSuite {
     assert(out(102L).getAs[Long]("recall_ppm") == 500000L)
   }
 
+  test("hardNegatives: picks come from the (skipK, poolK] band, deterministically") {
+    import graft.functions.Similarity
+    // corpus on a 1D line of descending similarity to the query
+    val corpus = (1 to 40).map(i => (i.toLong, Array(1.0, i.toDouble)))
+      .toDF("vec_id", "embedding")
+    val queries = Seq((100L, Array(1.0, 0.0))).toDF("vec_id", "embedding")
+    val out = Similarity.hardNegatives(corpus, "embedding", "vec_id",
+      queries, "vec_id", "embedding", skipK = 3, poolK = 10, m = 4)
+    val rows = out.collect().map(r => (r.getLong(1), r.getLong(2)))
+    assert(rows.length == 4)
+    // cosine with (1,0) decreases in i, so rank == i: band is ids 4..10
+    assert(rows.forall { case (id, rank) => rank == id && rank > 3 && rank <= 10 })
+    // deterministic: a second run draws the identical set
+    val again = Similarity.hardNegatives(corpus, "embedding", "vec_id",
+      queries, "vec_id", "embedding", skipK = 3, poolK = 10, m = 4)
+      .collect().map(r => (r.getLong(1), r.getLong(2)))
+    assert(rows.sorted.toSeq == again.sorted.toSeq)
+  }
+
+  test("lengthBucketBatches: longest-first batches and exact padding accounting") {
+    import graft.functions.Sampling
+    // bucket 0 (<8 tokens): lengths 7,6,3,2 -> batches of 2: {7,6}, {3,2}
+    val docs = Seq(
+      (1L, "a a a a a a a"), (2L, "b b b b b b"), (3L, "c c c"), (4L, "d d"),
+      (5L, Seq.fill(9)("e").mkString(" ")), // bucket 1, alone
+      (6L, "")).toDF("doc_id", "text")      // zero tokens: excluded
+    val out = Sampling.lengthBucketBatches(docs, "doc_id", "text",
+        bucketWidth = 8L, batchSize = 2)
+      .orderBy("bucket", "batch_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5)))
+    assert(out.toSeq == Seq(
+      (0L, 0L, 2L, 7L, 13L, (14L - 13L) * 1000000L / 14L), // pad 1 of 14
+      (0L, 1L, 2L, 3L, 5L, (6L - 5L) * 1000000L / 6L),     // pad 1 of 6
+      (1L, 0L, 1L, 9L, 9L, 0L)))                           // alone: no pad
+  }
+
   test("lshRecallAudit: empty truth set yields NULL rates") {
     val df = (0 until 8).map(i =>
       (i.toLong, s"aa$i bb$i cc$i dd$i ee$i")).toDF("id", "text")
