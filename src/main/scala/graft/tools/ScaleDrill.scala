@@ -212,6 +212,12 @@ object ScaleDrill {
       Dedup.lshRecallAudit(docs, "doc_id", "text", k = 3, numHashes = 4,
         rowsPerBand = 2, threshold = 0.05, sampleMod = 2L * reps)
     },
+    // one scan into per-bucket windows: bucket key space is the token
+    // domain DIV width (bounded), rows per bucket grow linearly — the row
+    // pins that batch planning is scan + bounded-key windows
+    "length_batches (q145)" -> (docs =>
+      Sampling.lengthBucketBatches(docs, "doc_id", "text",
+        bucketWidth = 32L, batchSize = 16)),
     // id-keyed anti/semi joins; per-source counts — trivially linear by
     // construction, the row pins that the union+single-count shape holds
     "corpus_diff (q134)" -> (docs =>
@@ -254,6 +260,15 @@ object ScaleDrill {
       Similarity.annRecallAudit(corpus, "embedding", "vec_id",
         queries, "vec_id", "embedding", cents, "cid", "cv",
         k = 10, nProbe = 2)
+    },
+    // fixed anchor set, growing corpus: |queries| dots per corpus row in
+    // one scan, pools bounded at poolK per anchor — linear in corpus
+    "hard_negatives (q144)" -> { emb =>
+      val queries = emb.where(F.col("vec_id") < 10000000L &&
+        F.col("vec_id") % 100 === 0)
+      Similarity.hardNegatives(emb.where(F.col("vec_id") % 100 =!= 0),
+        "embedding", "vec_id", queries, "vec_id", "embedding",
+        skipK = 10, poolK = 30, m = 5)
     })
 
   def pipelineDrill(spark: SparkSession, sfDir: String, sizes: Seq[Int],
