@@ -3,7 +3,7 @@ package graft.tools
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.{functions => F}
 
-import graft.functions.{Dedup, Eval, Multimodal, Sampling, Similarity, Text}
+import graft.functions.{Dedup, Eval, Multimodal, Sampling, Similarity, Temporal, Text}
 
 /** Measured scale curve for the dedup/LSH pipelines (SCALE.md's recipe):
   * replicate the sf0.1 documents table N× and time the q36/q60/q74/q85
@@ -271,6 +271,63 @@ object ScaleDrill {
         skipK = 10, poolK = 30, m = 5)
     })
 
+  /** USER-salted N× replication of the events table: each replica's users
+    * are a disjoint universe (`user_id + 10M·rep`), so per-user session /
+    * as-of / funnel volume reproduces the base corpus exactly and total
+    * work grows linearly by construction — window PARTITIONS multiply,
+    * partition SIZE stays the base's, which is the temporal family's
+    * scale contract. `ts` is normalized to epoch-µs LONG here (same
+    * encoding tolerance as `SparkEntry.events`: ns-as-long, TIMESTAMP, or
+    * NTZ-as-UTC) so the drill survives testdata regens. */
+  def replicateEvents(events: DataFrame, reps: Int): DataFrame = {
+    import org.apache.spark.sql.types._
+    val tsUs = events.schema("ts").dataType match {
+      case LongType => F.expr("ts DIV 1000")
+      case TimestampType => F.unix_micros(F.col("ts"))
+      case TimestampNTZType => F.unix_micros(F.col("ts").cast(TimestampType))
+      case other => sys.error(s"unexpected events.ts type: $other")
+    }
+    events.select(F.col("event_id"), tsUs.as("ts_us"), F.col("user_id"),
+        F.col("event_type"), F.col("value"))
+      .crossJoin(F.broadcast(
+        events.sparkSession.range(reps).select(F.col("id").as("__rep"))))
+      .select(
+        (F.col("event_id") + F.col("__rep") * 10000000000L).as("event_id"),
+        F.col("ts_us"),
+        (F.col("user_id") + F.col("__rep") * 10000000L).as("user_id"),
+        F.col("event_type"), F.col("value"))
+  }
+
+  /** Drills over the replicated EVENTS table — the temporal family's
+    * measured curve (sessionize / as-of / funnel shapes). All three are
+    * one shuffle keyed on user_id with per-user windows; user-salted
+    * replication keeps every window base-sized. */
+  def eventDrills: Seq[(String, DataFrame => DataFrame)] = Seq(
+    "sessionize (q58)" -> (ev =>
+      Temporal.sessionize(ev, "user_id", "ts_us",
+        gapTicks = 1800L * 1000000L, tieBreak = "event_id")),
+    "asof_join (q57)" -> { ev =>
+      val clicks = ev.where(F.col("event_type") === "click")
+        .select("user_id", "ts_us", "event_id")
+      val purchases = ev.where(F.col("event_type") === "purchase")
+        .select(F.col("user_id"), F.col("ts_us"), F.col("value"))
+      Temporal.asofJoinBackward(clicks, purchases, "user_id",
+        "ts_us", "ts_us", "value", "last_purchase_value")
+    },
+    "funnel (q102)" -> { ev =>
+      val clicks = ev.where(F.col("event_type") === "click")
+        .select("user_id", "ts_us")
+      val purchases = ev.where(F.col("event_type") === "purchase")
+        .select(F.col("user_id"), F.col("ts_us"), F.col("ts_us").as("p_ts"))
+      val day = 86400L * 1000000L
+      Temporal.asofJoinForward(clicks, purchases, "user_id",
+          "ts_us", "ts_us", "p_ts", "next_p_ts")
+        .agg(F.countDistinct("user_id").as("n_click_users"),
+          F.countDistinct(F.when(
+            F.col("next_p_ts") - F.col("ts_us") <= day, F.col("user_id")))
+            .as("n_converted_users"))
+    })
+
   def pipelineDrill(spark: SparkSession, sfDir: String, sizes: Seq[Int],
                     nameFilter: Option[String] = None): Unit = {
     def pick(fam: Seq[(String, DataFrame => DataFrame)]) = nameFilter match {
@@ -281,7 +338,9 @@ object ScaleDrill {
     }
     val pickedDocs = pick(drills)
     val pickedEmb = pick(embDrills)
-    require(pickedDocs.nonEmpty || pickedEmb.nonEmpty, s"no drill matches $nameFilter")
+    val pickedEv = pick(eventDrills)
+    require(pickedDocs.nonEmpty || pickedEmb.nonEmpty || pickedEv.nonEmpty,
+      s"no drill matches $nameFilter")
 
     /** Replicated-corpus dirs for one family, cached across runs.
       * Trust a cached corpus only if its write completed (_SUCCESS): a
@@ -341,6 +400,12 @@ object ScaleDrill {
     if (pickedEmb.nonEmpty) {
       val base = spark.read.parquet(s"$sfDir/embeddings.parquet")
       timeFamily(pickedEmb, corpusDirs("emb", replicateEmb(base, _)))
+    }
+    if (pickedEv.nonEmpty) {
+      // NTZ naive wall-clock reads through the session zone (pinned UTC in
+      // main(), same as SparkEntry.events)
+      val base = spark.read.parquet(s"$sfDir/events.parquet")
+      timeFamily(pickedEv, corpusDirs("events", replicateEvents(base, _)))
     }
   }
 
