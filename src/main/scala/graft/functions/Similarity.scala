@@ -207,7 +207,9 @@ object Similarity {
         cosine(F.col("__v"), F.col("__qv")).as("score"))
     val ann = graft.plans.TopK.topKPerKey(annScored, Seq("qid"), "score",
       desc = true, tieBreak = Seq("id"), k = k).select("qid", "id")
-    val hits = truth.join(ann, Seq("qid", "id"))
+    // ann is ≤ |queries|·k rows by construction — broadcast it so the
+    // intersection is the right plan even before AQE sees runtime sizes
+    val hits = truth.join(F.broadcast(ann), Seq("qid", "id"))
       .groupBy("qid").agg(F.count(F.lit(1)).as("hits"))
     // both report sides are |queries|-row aggregates, but they sit above
     // TopK outputs whose stats the planner can't see — hint the broadcast

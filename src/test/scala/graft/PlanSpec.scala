@@ -264,6 +264,39 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("partial_sum"), s"category counts not map-side combined:\n$p")
   }
 
+  test("q138 classifier eval: label side pruned to (doc_id, lang) and broadcast; no window") {
+    val p = plan("q138_classifier_eval")
+    assert(p.contains("ReadSchema: struct<doc_id:bigint,lang:string>"),
+      s"label scan not pruned:\n$p")
+    assert(p.contains("BroadcastHashJoin"), s"label join must broadcast:\n$p")
+    // the AUC sweep is an array fold over the histogram, never a window
+    assert(!p.contains("WindowExec") && !p.contains("Window "),
+      s"AUC must not plan a window:\n$p")
+  }
+
+  test("q141 LSH recall audit: sample cut once (ExistingRDD), truth is keyed joins, no cartesian") {
+    val p = plan("q141_lsh_recall")
+    assert(p.contains("Scan ExistingRDD"), s"sample not lineage-cut:\n$p")
+    assert(!p.contains("CartesianProduct"),
+      s"gram-blocked truth must not plan a cartesian:\n$p")
+    assert(p.contains("partial_count"), s"shared-gram counts not map-side combined:\n$p")
+  }
+
+  test("q143 ANN recall audit: per-query top-k via the native heap operator, stitch broadcast") {
+    val p = plan("q143_ann_recall")
+    assert(p.contains("TopKPartial") && p.contains("TopKFinal"),
+      s"per-query top-k must use the native operator:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"the |queries|-row report stitch must broadcast:\n$p")
+  }
+
+  test("q145 length batches: no joins at all — one scan into per-bucket windows") {
+    val p = plan("q145_length_batches")
+    assert(!p.contains("Join"), s"batch packing must not join:\n$p")
+    assert(p.contains("ReadSchema: struct<doc_id:bigint,text:string>"),
+      s"scan not pruned to (doc_id, text):\n$p")
+  }
+
   test("SPI whole-stream aggregate keeps a real Exchange between partial and final stages") {
     // coalesce(1) here would be a narrow dependency — Spark would collapse
     // the partial stage into the single final task and the per-partition
