@@ -58,6 +58,27 @@ class EvalSpec extends AnyFunSuite {
     assert(r.getAs[Long]("f1_ppm") == 1000000L)
   }
 
+  test("binaryEval: histogram-fold AUC equals brute-force pair counting on random fixtures") {
+    // the histogram identity auc_x2 = Σ pos_s·(2·cumneg_<s + neg_s) vs the
+    // definitional 2·wins + ties over all (pos, neg) pairs — 12 seeded
+    // random fixtures with heavy score ties to stress the midrank path
+    val rnd = new scala.util.Random(7)
+    for (trial <- 1 to 12) {
+      val n = 5 + rnd.nextInt(40)
+      val rows = Seq.fill(n)((rnd.nextInt(6).toLong, rnd.nextBoolean()))
+      val pos = rows.filter(_._2).map(_._1)
+      val neg = rows.filterNot(_._2).map(_._1)
+      val aucX2 = (for { p <- pos; q <- neg } yield
+        if (p > q) 2L else if (p == q) 1L else 0L).sum
+      val r = Eval.binaryEval(rows.toDF("score", "label"),
+        "score", "label", 3L).head()
+      assert(r.getAs[Long]("auc_x2_num") == aucX2,
+        s"trial $trial: fold ${r.getAs[Long]("auc_x2_num")} != brute $aucX2 ($rows)")
+      assert(r.getAs[Long]("tp") == rows.count(x => x._1 >= 3L && x._2))
+      assert(r.getAs[Long]("tn") == rows.count(x => x._1 < 3L && !x._2))
+    }
+  }
+
   test("cohenKappa: perfect, independent, and below-chance agreement") {
     val perfect = Seq((true, true), (false, false), (true, true))
       .toDF("a", "b")
