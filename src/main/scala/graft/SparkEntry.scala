@@ -1284,6 +1284,26 @@ object SparkEntry {
           "doc_id", "text", bucketWidth = 32L, batchSize = 16)
         .orderBy("bucket", "batch_id")),
 
+    "q146_squeeze_repeats" -> ((s, dir) =>
+      // degenerate-generation cleanup: collapse consecutive identical
+      // token runs, keep before/after counts — pure scan-stage filter
+      // lambda, the only exchange is the output sort
+      Text.squeezeRepeatTokens(table(s, dir, "documents"), "doc_id", "text")
+        .where(F.col("n_after") < F.col("n_before"))
+        .orderBy("doc_id")),
+
+    "q147_calibration_bins" -> ((s, dir) => {
+      // reliability table for the q136 scores vs the lang=en label:
+      // 200k-milli bins, observed positive rate per bin — one map-side-
+      // combined aggregation over the scoring scan
+      val docs = table(s, dir, "documents")
+      val scored = Text.classifierScore(docs, "doc_id", "text")
+        .join(docs.select(F.col("doc_id"),
+          (F.col("lang") === "en").as("label")), "doc_id")
+      Eval.calibrationBins(scored, "score_milli", "label", 200000L)
+        .orderBy("bin")
+    }),
+
     "q106_bpe_pairs" -> ((s, dir) =>
       // the BPE trainer's per-iteration counting core, oracled: weighted
       // adjacent symbol pairs over the word-frequency vocabulary, top 20
@@ -2668,6 +2688,26 @@ object SparkEntry {
          SELECT bucket, batch_id, n_docs, max_tokens, sum_tokens,
            (max_tokens * n_docs - sum_tokens) * 1000000 // (max_tokens * n_docs) AS padding_ppm
          FROM g ORDER BY bucket, batch_id""",
+    "q146_squeeze_repeats" ->
+      """WITH t AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x != '') AS ts FROM documents),
+         k AS (SELECT doc_id, ts, list_filter(ts, (x, i) -> i = 1 OR x != ts[i - 1]) AS keep FROM t)
+         SELECT doc_id, CAST(len(ts) AS BIGINT) AS n_before,
+           CAST(len(keep) AS BIGINT) AS n_after,
+           COALESCE(array_to_string(keep, ' '), '') AS clean_text
+         FROM k WHERE len(keep) < len(ts) ORDER BY doc_id""",
+    "q147_calibration_bins" ->
+      """WITH t AS (SELECT doc_id, lang, list_filter(string_split(text, ' '), x -> x != '') AS toks FROM documents),
+         s AS (SELECT (lang = 'en') AS label,
+                 CAST(list_aggregate(list_transform(toks, tk ->
+                   (('0x' || substr(md5(tk), 1, 8))::BIGINT % 4096) * 2654435761 % 2001), 'sum') AS BIGINT) * 1000
+                   // CAST(len(toks) AS BIGINT) AS sm
+               FROM t WHERE len(toks) > 0)
+         SELECT sm // 200000 AS bin, (sm // 200000) * 200000 AS bin_lo,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CASE WHEN label THEN 1 ELSE 0 END) AS BIGINT) AS npos,
+           CAST(sum(CASE WHEN label THEN 1 ELSE 0 END) AS BIGINT) * 1000000 // CAST(count(*) AS BIGINT) AS pos_rate_ppm,
+           CAST(sum(sm) AS BIGINT) // CAST(count(*) AS BIGINT) AS avg_score
+         FROM s GROUP BY 1 ORDER BY bin""",
     "q109_semantic_decontaminate" ->
       """WITH ev AS (SELECT embedding::DOUBLE[] AS ev FROM embeddings WHERE vec_id % 50 = 0),
          hits AS (SELECT DISTINCT c.vec_id

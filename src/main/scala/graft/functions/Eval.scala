@@ -150,6 +150,27 @@ object Eval {
         F.expr("n * n - pe_num").as("kappa_den"))
   }
 
+  /** Calibration (reliability) bins: integer scores grouped into
+    * fixed-width bins with positive counts and the observed positive rate
+    * per bin — the reliability-diagram table, read before trusting a
+    * score as a probability (or a threshold as a rate contract). One
+    * map-side-combined aggregation; bin count is score-domain DIV width,
+    * never corpus-sized. `avg_score` is the exact integer floor mean,
+    * reproducible across engines. */
+  def calibrationBins(scored: DataFrame, scoreCol: String, labelCol: String,
+      binWidth: Long): DataFrame = {
+    require(binWidth > 0, s"binWidth must be positive, got $binWidth")
+    val pos = F.when(F.col(labelCol), 1L).otherwise(0L)
+    scored
+      .groupBy(F.expr(s"CAST($scoreCol AS BIGINT) DIV ${binWidth}L").as("bin"))
+      .agg(F.count(F.lit(1)).as("n"), F.sum(pos).as("npos"),
+        F.sum(F.col(scoreCol).cast("long")).as("__sum"))
+      .select(F.col("bin"), (F.col("bin") * binWidth).as("bin_lo"),
+        F.col("n"), F.col("npos"),
+        F.expr("npos * 1000000L DIV n").as("pos_rate_ppm"),
+        F.expr("__sum DIV n").as("avg_score"))
+  }
+
   /** STREAMING face of the confusion tier: running (tp, fp, fn, tn) per
     * monitoring key (model id, data slice, …) maintained in the state
     * store as scored-and-labeled rows arrive — online classifier

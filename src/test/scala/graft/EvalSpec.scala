@@ -79,6 +79,30 @@ class EvalSpec extends AnyFunSuite {
     }
   }
 
+  test("squeezeRepeatTokens: collapses runs, keeps non-consecutive repeats") {
+    import graft.functions.Text
+    val df = Seq((1L, "a a b a c c c"), (2L, "x y z"), (3L, ""))
+      .toDF("id", "text")
+    val out = Text.squeezeRepeatTokens(df, "id", "text")
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getString(3))).toMap
+    assert(out(1L) == ((7L, 4L, "a b a c"))) // runs squeezed, 'a' at pos 4 kept
+    assert(out(2L) == ((3L, 3L, "x y z")))   // untouched
+    assert(out(3L) == ((0L, 0L, "")))        // empty stays empty
+  }
+
+  test("calibrationBins: exact per-bin positive rates and floor means") {
+    val df = Seq((50L, true), (60L, false), (250L, true), (260L, true),
+      (270L, false)).toDF("score", "label")
+    val out = Eval.calibrationBins(df, "score", "label", 100L)
+      .orderBy("bin").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    assert(out.toSeq == Seq(
+      (0L, 0L, 2L, 1L, 500000L, 55L),
+      (2L, 200L, 3L, 2L, 666666L, 260L)))
+  }
+
   test("cohenKappa: perfect, independent, and below-chance agreement") {
     val perfect = Seq((true, true), (false, false), (true, true))
       .toDF("a", "b")
