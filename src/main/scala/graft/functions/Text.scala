@@ -612,18 +612,19 @@ object Text {
   /** Collapse runs of consecutive IDENTICAL tokens to a single occurrence —
     * the cleaning pass for degenerate-generation artifacts ("the the the
     * the …") that repetition SIGNALS ([[repetitionSignals]]) only detect.
-    * Pure scan-stage Column work (an indexed `filter` lambda over the
-    * token array — codegen, no explode, no shuffle); returns per doc the
-    * cleaned text plus before/after token counts so the removal volume is
-    * auditable. Non-consecutive repeats are untouched — this is run
-    * squeezing, not deduplication. */
+    * Pure scan-stage work via the native single-pass
+    * [[graft.plans.Expressions.SqueezeRuns]] (the indexed higher-order
+    * `filter` spelling re-evaluates the outer tokenization per element
+    * inside its interpreted lambda — measured ~15× slower; see the
+    * expression's scaladoc); returns per doc the cleaned text plus
+    * before/after token counts so the removal volume is auditable.
+    * Non-consecutive repeats are untouched — this is run squeezing, not
+    * deduplication. */
   def squeezeRepeatTokens(df: org.apache.spark.sql.DataFrame, idCol: String,
       textCol: String): org.apache.spark.sql.DataFrame =
     df.select(F.col(idCol), tokens(F.col(textCol)).as("__ts"))
-      // filter's lambda index is 0-based; element_at is 1-based, so
-      // element_at(__ts, i) at index i IS the previous element
       .withColumn("__keep",
-        F.expr("filter(__ts, (x, i) -> i = 0 OR x != element_at(__ts, i))"))
+        graft.plans.Expressions.squeezeRuns(F.col("__ts")))
       .select(F.col(idCol),
         F.size(F.col("__ts")).cast("long").as("n_before"),
         F.size(F.col("__keep")).cast("long").as("n_after"),

@@ -292,6 +292,44 @@ object Expressions {
     override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
   }
 
+  /** `squeeze_runs(tokens)` → the token array with runs of consecutive
+    * identical tokens collapsed to one occurrence. One imperative pass —
+    * the higher-order `filter((x, i) -> x != ts[i-1])` spelling
+    * re-evaluates the OUTER array expression per element inside the
+    * interpreted lambda (O(n²) per row, and the optimizer inlines the
+    * tokenization into every use), which measured ~15× slower at sf0.1. */
+  case class SqueezeRuns(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = ArrayType(StringType, containsNull = true)
+    override def prettyName: String = "squeeze_runs"
+    override def checkInputDataTypes(): TypeCheckResult =
+      requireTokenArray(child, prettyName)
+
+    override def nullSafeEval(input: Any): Any = {
+      val arr = input.asInstanceOf[ArrayData]
+      val total = arr.numElements()
+      val out = new Array[Any](total)
+      var prev: UTF8String = null
+      var first = true
+      var n = 0
+      var i = 0
+      while (i < total) {
+        val u = arr.getUTF8String(i)
+        // null tokens are kept with the same run semantics (null-run → one null)
+        val isRepeat = !first && (if (u == null) prev == null
+          else u == prev)
+        if (!isRepeat) { out(n) = u; n += 1 }
+        prev = u
+        first = false
+        i += 1
+      }
+      new GenericArrayData(java.util.Arrays.copyOf(
+        out.asInstanceOf[Array[AnyRef]], n))
+    }
+
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  }
+
   /** `simhash64(tokens)` → 64-bit SimHash from xxhash64(seed=42) of each
     * token with per-bit majority vote — same output as the Column-tier
     * formulation, ~100× fewer expression evals. */
@@ -898,6 +936,8 @@ object Expressions {
 
   def shingleArray(tokens: Column, k: Int): Column =
     column(ShingleArray(expr(tokens), k))
+
+  def squeezeRuns(tokens: Column): Column = column(SqueezeRuns(expr(tokens)))
 
   def simhash64(tokens: Column): Column = column(SimHash64(expr(tokens)))
 

@@ -212,6 +212,20 @@ object ScaleDrill {
       Dedup.lshRecallAudit(docs, "doc_id", "text", k = 3, numHashes = 4,
         rowsPerBand = 2, threshold = 0.05, sampleMod = 2L * reps)
     },
+    // pure scan-stage indexed filter; summing counts keeps the squeeze in
+    // the measured plan (a bare count would prune the rebuild out)
+    "squeeze_repeats (q146)" -> (docs =>
+      Text.squeezeRepeatTokens(docs, "doc_id", "text")
+        .groupBy().agg(F.sum("n_before").as("tb"), F.sum("n_after").as("ta"),
+          F.sum(F.length(F.col("clean_text")).cast("long")).as("chars"))),
+    // q138's scoring scan into a |bins|-row aggregate — bin count is the
+    // score domain DIV width, never the corpus
+    "calibration_bins (q147)" -> (docs =>
+      Eval.calibrationBins(
+        Text.classifierScore(docs, "doc_id", "text")
+          .join(docs.select(F.col("doc_id"),
+            (F.col("lang") === "en").as("label")), "doc_id"),
+        "score_milli", "label", 200000L)),
     // one scan into per-bucket windows: bucket key space is the token
     // domain DIV width (bounded), rows per bucket grow linearly — the row
     // pins that batch planning is scan + bounded-key windows

@@ -89,6 +89,18 @@ class EvalSpec extends AnyFunSuite {
     assert(out(1L) == ((7L, 4L, "a b a c"))) // runs squeezed, 'a' at pos 4 kept
     assert(out(2L) == ((3L, 3L, "x y z")))   // untouched
     assert(out(3L) == ((0L, 0L, "")))        // empty stays empty
+
+    // native single-pass expression == the executable higher-order
+    // spelling (which is the spec, but ~15x slower — see SqueezeRuns doc)
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val native = Text.squeezeRepeatTokens(docs, "doc_id", "text")
+    val columnTier = docs
+      .select(F.col("doc_id"), F.expr(
+        "filter(filter(split(text, ' '), x -> x != ''), (x, i) -> i = 0 OR x != element_at(filter(split(text, ' '), x -> x != ''), i))")
+        .as("__keep"))
+      .select(F.col("doc_id"), F.array_join(F.col("__keep"), " ").as("clean_text"))
+    assert(native.select("doc_id", "clean_text").except(columnTier).count() == 0)
+    assert(columnTier.except(native.select("doc_id", "clean_text")).count() == 0)
   }
 
   test("calibrationBins: exact per-bin positive rates and floor means") {
