@@ -60,6 +60,7 @@ object GraftFunctions {
     "hamming64" -> (es => hammingExpr(es(0), es(1))),
     "nfc_normalize" -> (es => Expressions.NfcNormalize(es(0))),
     "md5_bucket" -> (es => Expressions.Md5Bucket(es(0), lit(es(1), "buckets").toLong)),
+    "squeeze_runs" -> (es => Expressions.SqueezeRuns(es(0))),
     "zorder2" -> (es => Expressions.ZOrder2(es(0), es(1))),
     "repetition_signals" -> (es => Expressions.RepetitionSignals(
       es(0), lit(es(1), "k"), graft.functions.Text.DefaultStopwords)),

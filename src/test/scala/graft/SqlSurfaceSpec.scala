@@ -126,6 +126,8 @@ class SqlSurfaceSpec extends AnyFunSuite {
       "nfc_normalize" -> (() => parity("nfc_normalize(text)", Expressions.nfcNormalize($"text"))),
       "md5_bucket" -> (() => parity("md5_bucket(text, 1000)", Expressions.md5Bucket($"text", 1000L))),
       "zorder2" -> (() => parity("zorder2(id, 9)", Expressions.zorder($"id", F.lit(9L)))),
+      "squeeze_runs" -> (() => parity("squeeze_runs(toks)",
+        Expressions.squeezeRuns($"toks"))),
       "repetition_signals" -> (() => parity("repetition_signals(toks, 2)",
         Expressions.repetitionSignals($"toks", 2, graft.functions.Text.DefaultStopwords))),
       "rhp_bucket" -> (() => parity("rhp_bucket(emb, 3, 4)",
