@@ -1304,6 +1304,19 @@ object SparkEntry {
         .orderBy("bin")
     }),
 
+    "q148_eval_by_source" -> ((s, dir) => {
+      // q138's evaluation sliced per source domain — a gate that looks
+      // fine globally can be chance on the slice that matters; per-group
+      // histograms, each fold bounded by the score domain
+      val docs = table(s, dir, "documents")
+      val scored = Text.classifierScore(docs, "doc_id", "text")
+        .join(docs.select(F.col("doc_id"), F.col("source"),
+          (F.col("lang") === "en").as("label")), "doc_id")
+      Eval.binaryEvalByGroup(scored, "source", "score_milli", "label",
+          1000000L)
+        .orderBy("source")
+    }),
+
     "q106_bpe_pairs" -> ((s, dir) =>
       // the BPE trainer's per-iteration counting core, oracled: weighted
       // adjacent symbol pairs over the word-frequency vocabulary, top 20
@@ -2553,6 +2566,38 @@ object SparkEntry {
            CASE WHEN precision_ppm + recall_ppm > 0
                 THEN 2 * precision_ppm * recall_ppm // (precision_ppm + recall_ppm) END AS f1_ppm
          FROM p""",
+    "q148_eval_by_source" ->
+      """WITH t AS (SELECT doc_id, source, lang, list_filter(string_split(text, ' '), x -> x != '') AS toks FROM documents),
+         sc AS (SELECT source, (lang = 'en') AS label,
+                  CAST(list_aggregate(list_transform(toks, tk ->
+                    (('0x' || substr(md5(tk), 1, 8))::BIGINT % 4096) * 2654435761 % 2001), 'sum') AS BIGINT) * 1000
+                    // CAST(len(toks) AS BIGINT) AS sm
+                FROM t WHERE len(toks) > 0),
+         h AS (SELECT source, sm AS s,
+                 CAST(sum(CASE WHEN label THEN 1 ELSE 0 END) AS BIGINT) AS pos_n,
+                 CAST(sum(CASE WHEN label THEN 0 ELSE 1 END) AS BIGINT) AS neg_n
+               FROM sc GROUP BY 1, 2),
+         w AS (SELECT *, COALESCE(CAST(sum(neg_n) OVER (PARTITION BY source ORDER BY s ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0) AS cumneg FROM h),
+         a AS (SELECT source,
+                 CAST(sum(pos_n + neg_n) AS BIGINT) AS n,
+                 CAST(sum(pos_n) AS BIGINT) AS npos,
+                 CAST(sum(neg_n) AS BIGINT) AS nneg,
+                 CAST(sum(pos_n * (2 * cumneg + neg_n)) AS BIGINT) AS auc_x2_num,
+                 CAST(sum(CASE WHEN s >= 1000000 THEN pos_n ELSE 0 END) AS BIGINT) AS tp,
+                 CAST(sum(CASE WHEN s >= 1000000 THEN neg_n ELSE 0 END) AS BIGINT) AS fp,
+                 CAST(sum(CASE WHEN s < 1000000 THEN pos_n ELSE 0 END) AS BIGINT) AS fn,
+                 CAST(sum(CASE WHEN s < 1000000 THEN neg_n ELSE 0 END) AS BIGINT) AS tn
+               FROM w GROUP BY 1),
+         p AS (SELECT *,
+                 CASE WHEN tp + fp != 0 THEN tp * 1000000 // (tp + fp) END AS precision_ppm,
+                 CASE WHEN npos != 0 THEN tp * 1000000 // npos END AS recall_ppm
+               FROM a)
+         SELECT source, n, npos, nneg, auc_x2_num, tp, fp, fn, tn,
+           CASE WHEN npos * nneg != 0 THEN auc_x2_num * 1000000 // (2 * npos * nneg) END AS auc_ppm,
+           precision_ppm, recall_ppm,
+           CASE WHEN precision_ppm + recall_ppm > 0
+                THEN 2 * precision_ppm * recall_ppm // (precision_ppm + recall_ppm) END AS f1_ppm
+         FROM p ORDER BY source""",
     "q139_rrf_fusion" ->
       """WITH a AS (SELECT source, doc_id,
              CAST(row_number() OVER (PARTITION BY source ORDER BY n_chars DESC, doc_id ASC) AS BIGINT) AS rank_a

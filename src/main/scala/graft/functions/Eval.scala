@@ -41,10 +41,26 @@ object Eval {
     *   auc_ppm    = auc_x2_num · 1e6 DIV (2·npos·nneg)
     */
   def binaryEval(scored: DataFrame, scoreCol: String, labelCol: String,
-      threshold: Long): DataFrame = {
+      threshold: Long): DataFrame =
+    evalImpl(scored, Nil, scoreCol, labelCol, threshold)
+
+  /** Per-group face of [[binaryEval]] — the audit as it actually runs at
+    * scale: one AUC/confusion row per data slice (source domain, language,
+    * snapshot …), because a gate that scores 0.8 AUC globally can still be
+    * chance on the one domain that matters. Identical metrics and
+    * arithmetic; the histogram is keyed (group, score) and each group's
+    * fold runs over ITS score histogram only, so the heaviest per-group
+    * state is score-domain-sized regardless of slice skew. */
+  def binaryEvalByGroup(scored: DataFrame, groupCol: String,
+      scoreCol: String, labelCol: String, threshold: Long): DataFrame =
+    evalImpl(scored, Seq(groupCol), scoreCol, labelCol, threshold)
+
+  private def evalImpl(scored: DataFrame, groupCols: Seq[String],
+      scoreCol: String, labelCol: String, threshold: Long): DataFrame = {
     val pos = F.when(F.col(labelCol), 1L).otherwise(0L)
+    val histKeys = groupCols.map(F.col) :+ F.col(scoreCol).cast("long").as("s")
     val hist = scored
-      .groupBy(F.col(scoreCol).cast("long").as("s"))
+      .groupBy(histKeys: _*)
       .agg(F.sum(pos).as("pos_n"), F.sum(F.lit(1L) - pos).as("neg_n"))
     val kept = F.col("s") >= threshold
     // the cumulative-negatives sweep runs over the HISTOGRAM (score-domain
@@ -61,7 +77,7 @@ object Eval {
           (F.lit(2L) * acc.getField("cumneg") + x.getField("neg_n")))
           .as("auc2")),
       acc => acc.getField("auc2"))
-    val agg = hist.agg(
+    val metricAggs = Seq(
       F.sum(F.col("pos_n") + F.col("neg_n")).as("n"),
       F.sum("pos_n").as("npos"),
       F.sum("neg_n").as("nneg"),
@@ -70,6 +86,10 @@ object Eval {
       F.sum(F.when(kept, F.col("neg_n")).otherwise(0L)).as("fp"),
       F.sum(F.when(!kept, F.col("pos_n")).otherwise(0L)).as("fn"),
       F.sum(F.when(!kept, F.col("neg_n")).otherwise(0L)).as("tn"))
+    val agg =
+      if (groupCols.isEmpty) hist.agg(metricAggs.head, metricAggs.tail: _*)
+      else hist.groupBy(groupCols.map(F.col): _*)
+        .agg(metricAggs.head, metricAggs.tail: _*)
     agg
       .withColumn("auc_ppm", F.when(F.col("npos") * F.col("nneg") =!= 0L,
         F.expr("auc_x2_num * 1000000L DIV (2 * npos * nneg)")))

@@ -115,6 +115,23 @@ class EvalSpec extends AnyFunSuite {
       (2L, 200L, 3L, 2L, 666666L, 260L)))
   }
 
+  test("binaryEvalByGroup: each group row equals binaryEval on that slice alone") {
+    val rnd = new scala.util.Random(11)
+    val rows = Seq.fill(60)((Seq("a", "b", "c")(rnd.nextInt(3)),
+      rnd.nextInt(8).toLong, rnd.nextBoolean()))
+    val df = rows.toDF("grp", "score", "label")
+    val grouped = Eval.binaryEvalByGroup(df, "grp", "score", "label", 4L)
+      .collect().map(r => r.getString(0) -> r).toMap
+    for (g <- Seq("a", "b", "c")) {
+      val solo = Eval.binaryEval(df.where($"grp" === g), "score", "label", 4L).head()
+      for (c <- Seq("n", "npos", "nneg", "auc_x2_num", "tp", "fp", "fn", "tn"))
+        assert(grouped(g).getAs[Long](c) == solo.getAs[Long](c),
+          s"group $g column $c diverged from the solo face")
+      assert(grouped(g).getAs[Any]("auc_ppm") == solo.getAs[Any]("auc_ppm"))
+      assert(grouped(g).getAs[Any]("f1_ppm") == solo.getAs[Any]("f1_ppm"))
+    }
+  }
+
   test("cohenKappa: perfect, independent, and below-chance agreement") {
     val perfect = Seq((true, true), (false, false), (true, true))
       .toDF("a", "b")
