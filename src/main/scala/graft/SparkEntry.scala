@@ -2747,7 +2747,8 @@ object SparkEntry {
                    (('0x' || substr(md5(tk), 1, 8))::BIGINT % 4096) * 2654435761 % 2001), 'sum') AS BIGINT) * 1000
                    // CAST(len(toks) AS BIGINT) AS sm
                FROM t WHERE len(toks) > 0)
-         SELECT sm // 200000 AS bin, (sm // 200000) * 200000 AS bin_lo,
+         SELECT (sm - ((sm % 200000) + 200000) % 200000) // 200000 AS bin,
+           ((sm - ((sm % 200000) + 200000) % 200000) // 200000) * 200000 AS bin_lo,
            CAST(count(*) AS BIGINT) AS n,
            CAST(sum(CASE WHEN label THEN 1 ELSE 0 END) AS BIGINT) AS npos,
            CAST(sum(CASE WHEN label THEN 1 ELSE 0 END) AS BIGINT) * 1000000 // CAST(count(*) AS BIGINT) AS pos_rate_ppm,

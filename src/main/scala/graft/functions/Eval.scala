@@ -60,6 +60,11 @@ object Eval {
     val pos = F.when(F.col(labelCol), 1L).otherwise(0L)
     val histKeys = groupCols.map(F.col) :+ F.col(scoreCol).cast("long").as("s")
     val hist = scored
+      // a NULL score can be threshold-compared by neither engine and a
+      // NULL label belongs to neither class: excluded by rule, so
+      // n == tp+fp+fn+tn always holds (counting them in n but no
+      // confusion cell would silently skew recall and the AUC histogram)
+      .where(F.col(scoreCol).isNotNull && F.col(labelCol).isNotNull)
       .groupBy(histKeys: _*)
       .agg(F.sum(pos).as("pos_n"), F.sum(F.lit(1L) - pos).as("neg_n"))
     val kept = F.col("s") >= threshold
@@ -90,13 +95,18 @@ object Eval {
       if (groupCols.isEmpty) hist.agg(metricAggs.head, metricAggs.tail: _*)
       else hist.groupBy(groupCols.map(F.col): _*)
         .agg(metricAggs.head, metricAggs.tail: _*)
+    // auc_x2_num ≤ 2·npos·nneg keeps the FOLD inside a long up to ~4e9
+    // rows per group, but the trailing ·1e6 would overflow at ~4.3M
+    // balanced rows (ANSI mode throws, it doesn't wrap) — widen that one
+    // step through DECIMAL(38,0); `DIV` on positives floors identically
+    // to the all-long path, so in-range results are bit-identical
     agg
       .withColumn("auc_ppm", F.when(F.col("npos") * F.col("nneg") =!= 0L,
-        F.expr("auc_x2_num * 1000000L DIV (2 * npos * nneg)")))
+        F.expr("CAST(CAST(auc_x2_num AS DECIMAL(38,0)) * 1000000 DIV (2 * npos * nneg) AS BIGINT)")))
       .withColumn("precision_ppm", F.when(F.col("tp") + F.col("fp") =!= 0L,
-        F.expr("tp * 1000000L DIV (tp + fp)")))
+        F.expr("CAST(CAST(tp AS DECIMAL(38,0)) * 1000000 DIV (tp + fp) AS BIGINT)")))
       .withColumn("recall_ppm", F.when(F.col("npos") =!= 0L,
-        F.expr("tp * 1000000L DIV npos")))
+        F.expr("CAST(CAST(tp AS DECIMAL(38,0)) * 1000000 DIV npos AS BIGINT)")))
       .withColumn("f1_ppm", F.when(
         F.col("precision_ppm") + F.col("recall_ppm") > 0L,
         F.expr("2 * precision_ppm * recall_ppm DIV (precision_ppm + recall_ppm)")))
@@ -108,7 +118,11 @@ object Eval {
     * weight 1/(rrfK + rank), held exact as `1e9 DIV (rrfK + rank)`. Ids
     * present in only one ranking contribute 0 from the missing side
     * (full-outer join). Returns the top `k` per group by fused score
-    * (ties broken by id ascending).
+    * (ties broken by id ascending). PRECONDITION: each input holds at
+    * most one row per (group, id) — a duplicated id would be ranked
+    * twice and the join would fan out, double-weighting it in the fused
+    * top-k; dedupe upstream (a fan-out is an upstream bug this operator
+    * must not silently absorb).
     *
     * Scale shape: both window sorts and the final top-k are PARTITIONED by
     * the group column — no global sort; the join is keyed (group, id). At
@@ -152,19 +166,30 @@ object Eval {
   def cohenKappa(df: DataFrame, aCol: String, bCol: String): DataFrame = {
     val a = F.when(F.col(aCol), 1L).otherwise(0L)
     val b = F.when(F.col(bCol), 1L).otherwise(0L)
-    df.agg(
+    // a NULL verdict is not a negative vote: counting it negative in the
+    // marginals but non-agreeing in `agree` would bias kappa down —
+    // unlabeled rows are excluded by rule instead
+    df.where(F.col(aCol).isNotNull && F.col(bCol).isNotNull)
+      .agg(
         F.count(F.lit(1)).as("n"),
         F.sum(a).as("a_pos"),
         F.sum(b).as("b_pos"),
         F.sum(F.when(F.col(aCol) === F.col(bCol), 1L).otherwise(0L))
           .as("agree"))
+      // the O(n²) quantities (pe_num, kappa fraction) fit a long exactly
+      // up to n ≈ 3e9 annotated rows — the operator's documented bound;
+      // the ×1e6 ppm steps would throw a decade earlier (~3e6) under
+      // ANSI, so THOSE go through DECIMAL(38,0) (in-range results are
+      // bit-identical: DIV floors the same on positives)
       .withColumn("pe_num",
         F.expr("a_pos * b_pos + (n - a_pos) * (n - b_pos)"))
       .select(
         F.col("n"), F.col("a_pos"), F.col("b_pos"), F.col("agree"),
-        F.when(F.col("n") =!= 0L, F.expr("agree * 1000000L DIV n"))
+        F.when(F.col("n") =!= 0L,
+          F.expr("CAST(CAST(agree AS DECIMAL(38,0)) * 1000000 DIV n AS BIGINT)"))
           .as("po_ppm"),
-        F.when(F.col("n") =!= 0L, F.expr("pe_num * 1000000L DIV (n * n)"))
+        F.when(F.col("n") =!= 0L, F.expr(
+          "CAST(CAST(pe_num AS DECIMAL(38,0)) * 1000000 DIV (n * n) AS BIGINT)"))
           .as("pe_ppm"),
         F.expr("n * agree - pe_num").as("kappa_num"),
         F.expr("n * n - pe_num").as("kappa_den"))
@@ -175,19 +200,33 @@ object Eval {
     * per bin — the reliability-diagram table, read before trusting a
     * score as a probability (or a threshold as a rate contract). One
     * map-side-combined aggregation; bin count is score-domain DIV width,
-    * never corpus-sized. `avg_score` is the exact integer floor mean,
-    * reproducible across engines. */
+    * never corpus-sized. Bins FLOOR (uniform width for signed scores);
+    * `avg_score` is the exact integer mean truncated toward zero (= floor
+    * on non-negative scores), reproducible across engines; rows with a
+    * NULL score or label are excluded by rule. */
   def calibrationBins(scored: DataFrame, scoreCol: String, labelCol: String,
       binWidth: Long): DataFrame = {
     require(binWidth > 0, s"binWidth must be positive, got $binWidth")
     val pos = F.when(F.col(labelCol), 1L).otherwise(0L)
+    val s = F.col(scoreCol).cast("long")
+    // FLOOR bins, not truncated: plain `DIV` would give bin 0 double
+    // width on signed scores (logits) and make bin_lo a non-bound for
+    // negatives — `(s - pmod(s, w)) DIV w` floors exactly in integers
+    // (the pmod-adjusted numerator is an exact multiple, so truncating
+    // DIV is floor; never divide-then-cast, longs exceed double's 2^53)
+    // and both engines agree (DuckDB: (s - ((s % w) + w) % w) // w)
     scored
-      .groupBy(F.expr(s"CAST($scoreCol AS BIGINT) DIV ${binWidth}L").as("bin"))
+      .where(s.isNotNull && F.col(labelCol).isNotNull)
+      .withColumn("__s", s)
+      .withColumn("bin",
+        F.expr(s"(__s - pmod(__s, ${binWidth}L)) DIV ${binWidth}L"))
+      .groupBy("bin")
       .agg(F.count(F.lit(1)).as("n"), F.sum(pos).as("npos"),
-        F.sum(F.col(scoreCol).cast("long")).as("__sum"))
+        F.sum(F.col("__s")).as("__sum"))
       .select(F.col("bin"), (F.col("bin") * binWidth).as("bin_lo"),
         F.col("n"), F.col("npos"),
-        F.expr("npos * 1000000L DIV n").as("pos_rate_ppm"),
+        F.expr("CAST(CAST(npos AS DECIMAL(38,0)) * 1000000 DIV n AS BIGINT)")
+          .as("pos_rate_ppm"),
         F.expr("__sum DIV n").as("avg_score"))
   }
 

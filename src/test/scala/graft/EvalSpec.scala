@@ -113,6 +113,28 @@ class EvalSpec extends AnyFunSuite {
     assert(out.toSeq == Seq(
       (0L, 0L, 2L, 1L, 500000L, 55L),
       (2L, 200L, 3L, 2L, 666666L, 260L)))
+
+    // signed scores (logits) bin by FLOOR: -150 belongs to bin -2
+    // [-200,-100), not a double-width bin 0 — and bin_lo stays a bound
+    val signed = Seq((-150L, true), (-99L, false), (99L, true))
+      .toDF("score", "label")
+    val sb = Eval.calibrationBins(signed, "score", "label", 100L)
+      .orderBy("bin").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(sb.toSeq == Seq((-2L, -200L), (-1L, -100L), (0L, 0L)))
+  }
+
+  test("eval operators exclude NULL scores/labels by rule, keeping counts consistent") {
+    val df = Seq[(java.lang.Long, java.lang.Boolean)](
+      (10L, true), (5L, false), (null, true), (7L, null))
+      .toDF("score", "label")
+    val r = Eval.binaryEval(df, "score", "label", 8L).head()
+    assert(r.getAs[Long]("n") == 2L) // null-score + null-label rows dropped
+    assert(r.getAs[Long]("tp") + r.getAs[Long]("fp") +
+      r.getAs[Long]("fn") + r.getAs[Long]("tn") == r.getAs[Long]("n"))
+    val k = Eval.cohenKappa(Seq[(java.lang.Boolean, java.lang.Boolean)](
+      (true, true), (null, false), (false, null), (false, false))
+      .toDF("a", "b"), "a", "b").head()
+    assert(k.getAs[Long]("n") == 2L && k.getAs[Long]("agree") == 2L)
   }
 
   test("binaryEvalByGroup: each group row equals binaryEval on that slice alone") {
