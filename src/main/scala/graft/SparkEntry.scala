@@ -6,7 +6,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.types._
 import graft.api._
 import graft.api.Operations._
-import graft.functions.{Dedup, Eval, Multimodal, Sampling, Similarity, Stats, Temporal, Text}
+import graft.functions.{Dedup, Eval, Graph, Multimodal, Sampling, Similarity, Stats, Temporal, Text}
 import graft.drpc.LocalDRPC
 import graft.state._
 import graft.streaming.StreamRunner
@@ -1317,6 +1317,20 @@ object SparkEntry {
         .orderBy("source")
     }),
 
+    "q149_pagerank" -> ((s, dir) => {
+      // centrality over the near-dup candidate graph (q39's verified
+      // pairs): which documents anchor big duplicate families. 3 damped
+      // iterations, integer-ppm arithmetic — cell-exact on both engines
+      val pairs = Dedup.nearDupPairs(
+          table(s, dir, "documents").where(Text.tokenCount(F.col("text")) >= 3),
+          "doc_id", "text", k = 3, numHashes = 4, rowsPerBand = 2,
+          threshold = 0.05)
+        .select("a", "b")
+      Graph.pageRankPpm(pairs, "a", "b", iters = 3)
+        .select(F.col("node").as("doc_id"), F.col("deg"), F.col("rank_ppm"))
+        .orderBy("doc_id")
+    }),
+
     "q106_bpe_pairs" -> ((s, dir) =>
       // the BPE trainer's per-iteration counting core, oracled: weighted
       // adjacent symbol pairs over the word-frequency vocabulary, top 20
@@ -2598,6 +2612,40 @@ object SparkEntry {
            CASE WHEN precision_ppm + recall_ppm > 0
                 THEN 2 * precision_ppm * recall_ppm // (precision_ppm + recall_ppm) END AS f1_ppm
          FROM p ORDER BY source""",
+    "q149_pagerank" ->
+      """WITH s AS (SELECT doc_id, list_transform(generate_series(1, len(ws) - 2), i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]) AS sh
+               FROM (SELECT doc_id, list_filter(string_split(text, ' '), x -> x != '') AS ws FROM documents)
+               WHERE len(ws) >= 3),
+         b AS (SELECT doc_id, sh,
+           md5(list_aggregate(list_transform(sh, x -> md5('0|' || x)), 'min') || '|' || list_aggregate(list_transform(sh, x -> md5('1|' || x)), 'min')) AS band0,
+           md5(list_aggregate(list_transform(sh, x -> md5('2|' || x)), 'min') || '|' || list_aggregate(list_transform(sh, x -> md5('3|' || x)), 'min')) AS band1
+           FROM s),
+         cand AS (
+           SELECT l.doc_id AS a, r.doc_id AS b FROM b l JOIN b r ON l.band0 = r.band0 AND l.doc_id < r.doc_id
+           UNION
+           SELECT l.doc_id AS a, r.doc_id AS b FROM b l JOIN b r ON l.band1 = r.band1 AND l.doc_id < r.doc_id),
+         pairs AS (
+           SELECT c.a, c.b FROM cand c JOIN b la ON c.a = la.doc_id JOIN b lb ON c.b = lb.doc_id
+           WHERE CAST(len(list_intersect(list_distinct(la.sh), list_distinct(lb.sh))) AS DOUBLE) /
+                 CAST(len(list_distinct(list_concat(list_distinct(la.sh), list_distinct(lb.sh)))) AS DOUBLE) >= 0.05),
+         bi AS (SELECT a AS src, b AS dst FROM pairs UNION SELECT b, a FROM pairs),
+         deg AS (SELECT src, CAST(count(*) AS BIGINT) AS deg FROM bi GROUP BY 1),
+         n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM deg),
+         pr0 AS (SELECT src AS node, 1000000 // n.n AS r FROM deg, n),
+         c1 AS (SELECT bi.dst AS node, CAST(sum(pr0.r // deg.deg) AS BIGINT) AS c
+                FROM bi JOIN pr0 ON bi.src = pr0.node JOIN deg ON bi.src = deg.src GROUP BY 1),
+         pr1 AS (SELECT d.src AS node, 150000 // n.n + 850000 * COALESCE(c1.c, 0) // 1000000 AS r
+                 FROM deg d LEFT JOIN c1 ON d.src = c1.node, n),
+         c2 AS (SELECT bi.dst AS node, CAST(sum(pr1.r // deg.deg) AS BIGINT) AS c
+                FROM bi JOIN pr1 ON bi.src = pr1.node JOIN deg ON bi.src = deg.src GROUP BY 1),
+         pr2 AS (SELECT d.src AS node, 150000 // n.n + 850000 * COALESCE(c2.c, 0) // 1000000 AS r
+                 FROM deg d LEFT JOIN c2 ON d.src = c2.node, n),
+         c3 AS (SELECT bi.dst AS node, CAST(sum(pr2.r // deg.deg) AS BIGINT) AS c
+                FROM bi JOIN pr2 ON bi.src = pr2.node JOIN deg ON bi.src = deg.src GROUP BY 1),
+         pr3 AS (SELECT d.src AS node, 150000 // n.n + 850000 * COALESCE(c3.c, 0) // 1000000 AS r
+                 FROM deg d LEFT JOIN c3 ON d.src = c3.node, n)
+         SELECT p.node AS doc_id, deg.deg AS deg, CAST(p.r AS BIGINT) AS rank_ppm
+         FROM pr3 p JOIN deg ON p.node = deg.src ORDER BY 1""",
     "q139_rrf_fusion" ->
       """WITH a AS (SELECT source, doc_id,
              CAST(row_number() OVER (PARTITION BY source ORDER BY n_chars DESC, doc_id ASC) AS BIGINT) AS rank_a
