@@ -1331,6 +1331,13 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    "q150_source_similarity" -> ((s, dir) =>
+      // mixture-design input: cosine between per-source unigram ppm
+      // distributions, shipped as an exact integer fraction + floor-sqrt
+      // cosine — deterministic on both engines
+      Text.sourceSimilarity(table(s, dir, "documents"), "source", "text")
+        .orderBy("src_a", "src_b")),
+
     "q106_bpe_pairs" -> ((s, dir) =>
       // the BPE trainer's per-iteration counting core, oracled: weighted
       // adjacent symbol pairs over the word-frequency vocabulary, top 20
@@ -2646,6 +2653,19 @@ object SparkEntry {
                  FROM deg d LEFT JOIN c3 ON d.src = c3.node, n)
          SELECT p.node AS doc_id, deg.deg AS deg, CAST(p.r AS BIGINT) AS rank_ppm
          FROM pr3 p JOIN deg ON p.node = deg.src ORDER BY 1""",
+    "q150_source_similarity" ->
+      """WITH tok AS (SELECT source AS g, unnest(list_filter(string_split(text, ' '), x -> x != '')) AS w FROM documents),
+         cnt AS (SELECT g, w, CAST(count(*) AS BIGINT) AS c FROM tok GROUP BY 1, 2),
+         tot AS (SELECT g, CAST(sum(c) AS BIGINT) AS t FROM cnt GROUP BY 1),
+         tf AS (SELECT g, w, c * 1000000 // t AS f FROM cnt JOIN tot USING (g)),
+         norms AS (SELECT g, CAST(sum(f * f) AS BIGINT) AS n2 FROM tf GROUP BY 1),
+         dots AS (SELECT l.g AS src_a, r.g AS src_b, CAST(sum(l.f * r.f) AS BIGINT) AS dot
+                  FROM tf l JOIN tf r ON l.w = r.w AND l.g < r.g GROUP BY 1, 2)
+         SELECT d.src_a, d.src_b, d.dot, na.n2 AS norm_a2, nb.n2 AS norm_b2,
+           CASE WHEN CAST(floor(sqrt(na.n2)) AS BIGINT) * CAST(floor(sqrt(nb.n2)) AS BIGINT) != 0
+                THEN d.dot * 1000000 // (CAST(floor(sqrt(na.n2)) AS BIGINT) * CAST(floor(sqrt(nb.n2)) AS BIGINT)) END AS cos_ppm
+         FROM dots d JOIN norms na ON d.src_a = na.g JOIN norms nb ON d.src_b = nb.g
+         ORDER BY 1, 2""",
     "q139_rrf_fusion" ->
       """WITH a AS (SELECT source, doc_id,
              CAST(row_number() OVER (PARTITION BY source ORDER BY n_chars DESC, doc_id ASC) AS BIGINT) AS rank_a

@@ -510,6 +510,59 @@ object Text {
         F.col("n_tokens").cast("double") / F.col("n_docs").cast("double"))
   }
 
+  /** Pairwise source-distribution similarity — the mixture-design input:
+    * how lexically close two data domains are, measured as cosine between
+    * their unigram term-frequency distributions. Used to pick mixture
+    * weights (near-identical domains shouldn't both get full weight) and
+    * to catch a source whose distribution drifted between crawls.
+    *
+    * Exactness: each group's distribution is integer ppm term frequencies
+    * (`cnt * 1e6 DIV total`, the corpus-scale count widened through
+    * DECIMAL(38,0) per the standing overflow recipe). Because ppm
+    * frequencies sum to ≤ 1e6 per group, every derived sum is bounded by
+    * (Σf)² = 1e12 — dot products and squared norms can NEVER overflow a
+    * BIGINT regardless of vocabulary size. The output ships the exact
+    * fraction (dot, norm_a2, norm_b2) plus `cos_ppm` with floor-sqrt
+    * norms (exact per the IEEE-sqrt recipe since norm2 ≤ 1e12 < 2^51);
+    * NULL when a degenerate group's floored frequencies are all zero.
+    *
+    * Scale shape (100 TB): one (group, term) count shuffle with map-side
+    * combine — the only corpus-sized exchange; totals and norms are
+    * |groups| rows and broadcast. The pair join is vocabulary-keyed with
+    * per-term fan-out |groups containing t|² — sized for domain-level
+    * group counts (tens to thousands), not per-document keys. The tf
+    * table feeds three consumers (both join sides + norms), so it is
+    * lineage-cut once rather than recomputed per use. */
+  def sourceSimilarity(df: org.apache.spark.sql.DataFrame, groupCol: String,
+      textCol: String): org.apache.spark.sql.DataFrame = {
+    val cnt = df
+      .select(F.col(groupCol).as("__g"), F.explode(tokens(F.col(textCol))).as("__w"))
+      .groupBy("__g", "__w").agg(F.count(F.lit(1)).as("__c"))
+    val totals = cnt.groupBy("__g").agg(F.sum("__c").as("__t"))
+    val tf = cnt.join(F.broadcast(totals), "__g")
+      .select(F.col("__g"), F.col("__w"),
+        F.expr("CAST(CAST(__c AS DECIMAL(38,0)) * 1000000 DIV __t AS BIGINT)").as("__f"))
+      .localCheckpoint(true)
+    val norms = tf.groupBy("__g").agg(F.sum(F.expr("__f * __f")).as("__n2"))
+    val dots = tf.select(F.col("__g").as("src_a"), F.col("__w"), F.col("__f").as("__fa"))
+      .join(tf.select(F.col("__g").as("src_b"), F.col("__w"), F.col("__f").as("__fb")),
+        "__w")
+      .where(F.col("src_a") < F.col("src_b"))
+      .groupBy("src_a", "src_b").agg(F.sum(F.expr("__fa * __fb")).as("dot"))
+    dots
+      .join(F.broadcast(norms.select(F.col("__g").as("src_a"),
+        F.col("__n2").as("norm_a2"))), "src_a")
+      .join(F.broadcast(norms.select(F.col("__g").as("src_b"),
+        F.col("__n2").as("norm_b2"))), "src_b")
+      .select(F.col("src_a"), F.col("src_b"), F.col("dot"),
+        F.col("norm_a2"), F.col("norm_b2"),
+        F.expr("""CASE WHEN CAST(floor(sqrt(norm_a2)) AS BIGINT) *
+                            CAST(floor(sqrt(norm_b2)) AS BIGINT) != 0
+                  THEN dot * 1000000 DIV (CAST(floor(sqrt(norm_a2)) AS BIGINT) *
+                                          CAST(floor(sqrt(norm_b2)) AS BIGINT))
+                  END""").as("cos_ppm"))
+  }
+
   /** Per-source boilerplate gram detection — the template-removal step of
     * web-crawl cleaning (CCNet/C4 style): an n-gram present in at least
     * `minDocRatioPpm` of a SOURCE's documents is that source's navigation/

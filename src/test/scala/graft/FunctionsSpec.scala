@@ -803,6 +803,28 @@ class FunctionsSpec extends AnyFunSuite {
     assert(got("books") == ((1L, 18L, 3L, 1L, 1L, 0L, 3.0)))
   }
 
+  test("sourceSimilarity: hand-computed ppm vectors; identity and disjoint edges") {
+    // A: x2 y1 (t=3) -> fx=666666, fy=333333; B: x1 z1 (t=2) -> f=500000 each
+    // dot = 666666*500000; normA2 = 666666^2 + 333333^2; normB2 = 2*500000^2
+    val df = Seq(("A", "x x y"), ("B", "x z"), ("C", "q q")).toDF("source", "text")
+    val rows = Text.sourceSimilarity(df, "source", "text")
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+    val (dot, na2, nb2) = (333333000000L, 555554444445L, 500000000000L)
+    val cos = dot * 1000000L /
+      (math.sqrt(na2.toDouble).floor.toLong * math.sqrt(nb2.toDouble).floor.toLong)
+    assert(rows(("A", "B")) == ((dot, na2, nb2, cos)))
+    assert(cos > 600000L && cos < 700000L) // ~0.632 — sanity on the formula
+    // C shares no term with A or B: no pair row at all (inner join semantics)
+    assert(rows.size == 1)
+    // identical distributions: floor-sqrt cosine is >= 1e6 (exactly 1e6 up
+    // to the floor on sqrt), never below
+    val twin = Seq(("A", "x y"), ("B", "x y")).toDF("source", "text")
+    val c = Text.sourceSimilarity(twin, "source", "text")
+      .collect().head.getLong(5)
+    assert(c >= 1000000L && c < 1000100L)
+  }
+
   test("shardPlan: per-group running offsets in id order; doc goes to the shard where it starts") {
     val docs = Seq(
       (1L, "A", "a b c"),        // offset 0  → shard 0
