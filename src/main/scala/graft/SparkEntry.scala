@@ -1338,6 +1338,17 @@ object SparkEntry {
       Text.sourceSimilarity(table(s, dir, "documents"), "source", "text")
         .orderBy("src_a", "src_b")),
 
+    "q151_epoch_schedule" -> ((s, dir) =>
+      // the training playlist: q128's shard manifest stride-scheduled so
+      // each source's shards spread evenly through the epoch
+      Sampling.interleaveShards(
+          Sampling.shardPlan(table(s, dir, "documents"),
+            "doc_id", "text", "source", targetTokens = 500L),
+          "source", "shard_id")
+        .select("source", "shard_id", "n_shards", "total_shards",
+          "stride_key", "epoch_pos")
+        .orderBy("epoch_pos")),
+
     "q106_bpe_pairs" -> ((s, dir) =>
       // the BPE trainer's per-iteration counting core, oracled: weighted
       // adjacent symbol pairs over the word-frequency vocabulary, top 20
@@ -2666,6 +2677,23 @@ object SparkEntry {
                 THEN d.dot * 1000000 // (CAST(floor(sqrt(na.n2)) AS BIGINT) * CAST(floor(sqrt(nb.n2)) AS BIGINT)) END AS cos_ppm
          FROM dots d JOIN norms na ON d.src_a = na.g JOIN norms nb ON d.src_b = nb.g
          ORDER BY 1, 2""",
+    "q151_epoch_schedule" ->
+      """WITH t AS (SELECT source, doc_id,
+             CAST(len(list_filter(string_split(text, ' '), x -> x != '')) AS BIGINT) AS n_tokens
+           FROM documents),
+         p AS (SELECT source,
+             CAST((sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens) // 500
+               AS BIGINT) AS shard_id
+           FROM t),
+         sh AS (SELECT DISTINCT source, shard_id FROM p),
+         c AS (SELECT source, CAST(count(*) AS BIGINT) AS n_shards FROM sh GROUP BY 1),
+         tt AS (SELECT CAST(sum(n_shards) AS BIGINT) AS total_shards FROM c)
+         SELECT sh.source, sh.shard_id, c.n_shards, tt.total_shards,
+           (sh.shard_id + 1) * tt.total_shards // c.n_shards AS stride_key,
+           CAST(row_number() OVER (ORDER BY (sh.shard_id + 1) * tt.total_shards // c.n_shards, sh.source, sh.shard_id) AS BIGINT) AS epoch_pos
+         FROM sh JOIN c USING (source), tt
+         ORDER BY epoch_pos""",
     "q139_rrf_fusion" ->
       """WITH a AS (SELECT source, doc_id,
              CAST(row_number() OVER (PARTITION BY source ORDER BY n_chars DESC, doc_id ASC) AS BIGINT) AS rank_a

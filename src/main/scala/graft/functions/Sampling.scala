@@ -245,6 +245,43 @@ object Sampling {
       .withColumn("shard_id", F.expr(s"start_offset DIV ${targetTokens}L"))
   }
 
+  /** Epoch interleave schedule over the shard manifest — the "training
+    * playlist": stride scheduling spreads each source's shards evenly
+    * through the epoch in proportion to its share, so the model never sees
+    * a long single-source run (the data-ordering half of mixture design;
+    * [[shardPlan]] decides WHAT a shard holds, this decides WHEN it's
+    * read).
+    *
+    * Stride key: for shard `rn` (1-based within its group, ordered by
+    * `shardCol`) of a group holding `n_g` of `total` shards, `key = rn *
+    * total DIV n_g` — group g's shards land at evenly spaced positions
+    * `total/n_g, 2·total/n_g, …` of the epoch. The multiply is widened
+    * through DECIMAL(38,0) (rn·total can exceed BIGINT at corpus scale);
+    * ties across groups break by (group, rn), so the order is total and
+    * deterministic.
+    *
+    * Scale shape: this operates on the shard MANIFEST (≈ corpus tokens /
+    * shard budget — ~10⁵-10⁶ rows at 100 TB), not on documents; the
+    * epoch-position window runs over that manifest-sized frame. The window
+    * partitions by the (constant-by-construction) `total` column rather
+    * than an empty spec — same single ordered pass, but explicit. Group
+    * counts and the total broadcast. */
+  def interleaveShards(shards: DataFrame, groupCol: String,
+      shardCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val per = shards.select(F.col(groupCol), F.col(shardCol)).distinct()
+    val counts = per.groupBy(groupCol).agg(F.count(F.lit(1)).as("n_shards"))
+    per
+      .join(F.broadcast(counts), Seq(groupCol))
+      .join(F.broadcast(counts.agg(F.sum("n_shards").as("total_shards"))))
+      .withColumn("stride_key", F.expr(
+        s"CAST(CAST(($shardCol + 1) AS DECIMAL(38,0)) * total_shards DIV n_shards AS BIGINT)"))
+      .withColumn("epoch_pos", F.row_number().over(
+        Window.partitionBy("total_shards")
+          .orderBy(F.col("stride_key"), F.col(groupCol), F.col(shardCol)))
+        .cast("long"))
+  }
+
   /** Length-bucketed batch packing for training/inference serving: docs
     * padded to their batch's longest member waste `max_len − len` tokens
     * each, so batching SIMILAR lengths together is the standard padding

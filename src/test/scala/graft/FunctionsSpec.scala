@@ -825,6 +825,23 @@ class FunctionsSpec extends AnyFunSuite {
     assert(c >= 1000000L && c < 1000100L)
   }
 
+  test("interleaveShards: stride keys spread each group through the epoch") {
+    // A holds 3 of 4 shards, B holds 1: A keys 4/3,8/3,12/3 -> 1,2,4;
+    // B key 4. Tie at 4 breaks by group: A's third shard, then B's.
+    val m = Seq(("A", 0L), ("A", 1L), ("A", 2L), ("B", 0L)).toDF("source", "shard_id")
+    val got = Sampling.interleaveShards(m, "source", "shard_id")
+      .select($"source", $"shard_id", $"stride_key", $"epoch_pos")
+      .as[(String, Long, Long, Long)].collect().sortBy(_._4).toSeq
+    assert(got == Seq(("A", 0L, 1L, 1L), ("A", 1L, 2L, 2L),
+      ("A", 2L, 4L, 3L), ("B", 0L, 4L, 4L)))
+    // balanced groups alternate perfectly
+    val b = Seq(("A", 0L), ("A", 1L), ("B", 0L), ("B", 1L)).toDF("source", "shard_id")
+    val order = Sampling.interleaveShards(b, "source", "shard_id")
+      .select($"source", $"epoch_pos").as[(String, Long)]
+      .collect().sortBy(_._2).map(_._1).toSeq
+    assert(order == Seq("A", "B", "A", "B"))
+  }
+
   test("shardPlan: per-group running offsets in id order; doc goes to the shard where it starts") {
     val docs = Seq(
       (1L, "A", "a b c"),        // offset 0  → shard 0
