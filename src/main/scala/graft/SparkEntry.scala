@@ -1349,6 +1349,27 @@ object SparkEntry {
           "stride_key", "epoch_pos")
         .orderBy("epoch_pos")),
 
+    "q152_simhash_pairs" -> ((s, dir) =>
+      // banded hamming<=3 SimHash pairs; the all-pairs DuckDB oracle
+      // proves the pigeonhole banding loses nothing
+      Dedup.simhashNearPairs(table(s, dir, "documents"), "doc_id", "text",
+          maxHamming = 3)
+        .orderBy("a", "b")),
+
+    "q153_dedup_agreement" -> ((s, dir) => {
+      // method-agreement audit: minhash-LSH verified pairs vs SimHash
+      // hamming<=3 pairs as one row of pair-set arithmetic
+      val docs = table(s, dir, "documents")
+      val lsh = Dedup.nearDupPairs(
+          docs.where(Text.tokenCount(F.col("text")) >= 3),
+          "doc_id", "text", k = 3, numHashes = 4, rowsPerBand = 2,
+          threshold = 0.05)
+        .select("a", "b")
+      val sim = Dedup.simhashNearPairs(docs, "doc_id", "text", maxHamming = 3)
+        .select("a", "b")
+      Dedup.pairSetAgreement(lsh, sim)
+    }),
+
     "q106_bpe_pairs" -> ((s, dir) =>
       // the BPE trainer's per-iteration counting core, oracled: weighted
       // adjacent symbol pairs over the word-frequency vocabulary, top 20
@@ -2694,6 +2715,56 @@ object SparkEntry {
            CAST(row_number() OVER (ORDER BY (sh.shard_id + 1) * tt.total_shards // c.n_shards, sh.source, sh.shard_id) AS BIGINT) AS epoch_pos
          FROM sh JOIN c USING (source), tt
          ORDER BY epoch_pos""",
+    "q152_simhash_pairs" ->
+      """WITH tok AS (SELECT doc_id, unnest(list_filter(string_split(text, ' '), x -> x != '')) AS w FROM documents),
+         h AS (SELECT doc_id, ('0x' || substr(md5(w), 1, 15))::BIGINT AS hv FROM tok),
+         bits AS (SELECT doc_id, b.b AS b,
+             CASE WHEN sum(CASE WHEN (hv >> b.b) & 1 = 1 THEN 1 ELSE -1 END) > 0
+                  THEN (1::BIGINT << b.b) ELSE 0 END AS bit
+           FROM h, (SELECT unnest(generate_series(0, 59)) AS b) b
+           GROUP BY doc_id, b.b),
+         sg AS (SELECT doc_id, CAST(sum(bit) AS BIGINT) AS s FROM bits GROUP BY 1)
+         SELECT l.doc_id AS a, r.doc_id AS b,
+           CAST(bit_count(xor(l.s, r.s)) AS BIGINT) AS hamming
+         FROM sg l JOIN sg r ON l.doc_id < r.doc_id
+         WHERE bit_count(xor(l.s, r.s)) <= 3
+         ORDER BY 1, 2""",
+    "q153_dedup_agreement" ->
+      """WITH s AS (SELECT doc_id, list_transform(generate_series(1, len(ws) - 2), i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]) AS sh
+               FROM (SELECT doc_id, list_filter(string_split(text, ' '), x -> x != '') AS ws FROM documents)
+               WHERE len(ws) >= 3),
+         b AS (SELECT doc_id, sh,
+           md5(list_aggregate(list_transform(sh, x -> md5('0|' || x)), 'min') || '|' || list_aggregate(list_transform(sh, x -> md5('1|' || x)), 'min')) AS band0,
+           md5(list_aggregate(list_transform(sh, x -> md5('2|' || x)), 'min') || '|' || list_aggregate(list_transform(sh, x -> md5('3|' || x)), 'min')) AS band1
+           FROM s),
+         cand AS (
+           SELECT l.doc_id AS a, r.doc_id AS b FROM b l JOIN b r ON l.band0 = r.band0 AND l.doc_id < r.doc_id
+           UNION
+           SELECT l.doc_id AS a, r.doc_id AS b FROM b l JOIN b r ON l.band1 = r.band1 AND l.doc_id < r.doc_id),
+         lshp AS (
+           SELECT c.a, c.b FROM cand c JOIN b la ON c.a = la.doc_id JOIN b lb ON c.b = lb.doc_id
+           WHERE CAST(len(list_intersect(list_distinct(la.sh), list_distinct(lb.sh))) AS DOUBLE) /
+                 CAST(len(list_distinct(list_concat(list_distinct(la.sh), list_distinct(lb.sh)))) AS DOUBLE) >= 0.05),
+         tok AS (SELECT doc_id, unnest(list_filter(string_split(text, ' '), x -> x != '')) AS w FROM documents),
+         h AS (SELECT doc_id, ('0x' || substr(md5(w), 1, 15))::BIGINT AS hv FROM tok),
+         bits AS (SELECT doc_id, bb.b AS b,
+             CASE WHEN sum(CASE WHEN (hv >> bb.b) & 1 = 1 THEN 1 ELSE -1 END) > 0
+                  THEN (1::BIGINT << bb.b) ELSE 0 END AS bit
+           FROM h, (SELECT unnest(generate_series(0, 59)) AS b) bb
+           GROUP BY doc_id, bb.b),
+         sg AS (SELECT doc_id, CAST(sum(bit) AS BIGINT) AS sig FROM bits GROUP BY 1),
+         simp AS (SELECT l.doc_id AS a, r.doc_id AS b
+                  FROM sg l JOIN sg r ON l.doc_id < r.doc_id
+                  WHERE bit_count(xor(l.sig, r.sig)) <= 3),
+         u AS (SELECT a AS pa, b AS pb, 1 AS fl, 0 AS fr FROM lshp
+               UNION ALL SELECT a, b, 0, 1 FROM simp),
+         g AS (SELECT pa, pb, CAST(max(fl) AS BIGINT) AS fl, CAST(max(fr) AS BIGINT) AS fr FROM u GROUP BY 1, 2)
+         SELECT CAST(sum(fl) AS BIGINT) AS n_left,
+           CAST(sum(fr) AS BIGINT) AS n_right,
+           CAST(sum(fl * fr) AS BIGINT) AS n_both,
+           CAST(CASE WHEN sum(fl) + sum(fr) - sum(fl * fr) != 0
+                THEN sum(fl * fr) * 1000000 // (sum(fl) + sum(fr) - sum(fl * fr)) END AS BIGINT) AS agreement_ppm
+         FROM g""",
     "q139_rrf_fusion" ->
       """WITH a AS (SELECT source, doc_id,
              CAST(row_number() OVER (PARTITION BY source ORDER BY n_chars DESC, doc_id ASC) AS BIGINT) AS rank_a

@@ -286,6 +286,79 @@ object Dedup {
   def hamming64(a: Column, b: Column): Column =
     F.bit_count(a.bitwiseXOR(b)).cast("long")
 
+  /** SimHash near-dup pairs at scale: all pairs with Hamming distance
+    * <= `maxHamming` on the 60-bit portable signature, found WITHOUT an
+    * all-pairs join. Pigeonhole: split the signature into `maxHamming+1`
+    * disjoint bit bands — any pair within distance d must agree EXACTLY on
+    * at least one band — so banding is provably complete; candidates
+    * equi-join on (band index, band value) and an exact [[hamming64]]
+    * check verifies. Returns (a, b, hamming) with a < b.
+    *
+    * Scale shape: signatures are computed once in the scan stage and
+    * lineage-cut (id + one long per doc — text never shuffles); the
+    * candidate stage reuses [[lshCandidatePairs]]' single-exchange bucket
+    * machinery including the counted oversize-bucket cap (a degenerate
+    * band value shared by > `maxBucketSize` docs — e.g. the all-zeros
+    * signature of empty docs — drops with a WARN total, never expands
+    * quadratically). Band width = 60/(maxHamming+1) bits: wider bands
+    * (small d) give sparser buckets; past d=5 the 10-bit bands start
+    * colliding on volume — use winnowing/minhash tiers for looser
+    * similarity instead. */
+  def simhashNearPairs(df: DataFrame, idCol: String, textCol: String,
+      maxHamming: Int = 3, maxBucketSize: Int = 10000,
+      reliableCheckpoint: Boolean = false): DataFrame = {
+    val nBands = maxHamming + 1
+    require(maxHamming >= 0 && 60 % nBands == 0,
+      s"maxHamming+1 must divide 60, got $maxHamming")
+    val width = 60 / nBands
+    val mask = (1L << width) - 1
+    def cut(d: DataFrame): DataFrame =
+      if (reliableCheckpoint) d.checkpoint(true) else d.localCheckpoint(true)
+    // reused three times (band build + both verify sides): cut once
+    val sigs = cut(df.select(F.col(idCol).as("id"),
+      simhashPortable(F.col(textCol)).as("__sig")))
+    val banded = sigs.withColumns((0 until nBands).map { i =>
+      s"band$i" -> F.expr(s"(__sig >> ${i * width}) & ${mask}L")
+    }.toMap)
+    lshCandidatePairs(banded, "id", nBands, maxBucketSize)
+      .join(sigs.select(F.col("id").as("a"), F.col("__sig").as("__sa")), "a")
+      .join(sigs.select(F.col("id").as("b"), F.col("__sig").as("__sb")), "b")
+      .withColumn("hamming", hamming64(F.col("__sa"), F.col("__sb")))
+      .where(F.col("hamming") <= maxHamming)
+      .select("a", "b", "hamming")
+  }
+
+  /** Dedup-method agreement audit: given two candidate/verified PAIR sets
+    * (e.g. minhash-LSH vs SimHash over the same corpus), one row of set
+    * arithmetic — how much of each method's output the other reproduces.
+    * The cheap sanity check before trusting a single method's recall at
+    * 100 TB: two methods with near-zero overlap are measuring different
+    * similarity notions, not confirming each other.
+    *
+    * Implementation is the union-tag shape (same discipline as
+    * [[corpusDiff]]): tag each set, one hash aggregate on the pair key,
+    * flags max-combine — no full-outer join. Pairs are normalized to
+    * a < b so orientation differences can't split a pair. Output:
+    * (n_left, n_right, n_both, agreement_ppm) where agreement is Jaccard
+    * of the two pair SETS; NULL when both sets are empty. */
+  def pairSetAgreement(left: DataFrame, right: DataFrame,
+      aCol: String = "a", bCol: String = "b"): DataFrame = {
+    def norm(df: DataFrame, tag: Int): DataFrame = df.select(
+      F.least(F.col(aCol), F.col(bCol)).as("__a"),
+      F.greatest(F.col(aCol), F.col(bCol)).as("__b"),
+      F.lit(tag).as("__t"))
+    norm(left, 0).unionByName(norm(right, 1))
+      .groupBy("__a", "__b")
+      .agg(F.max(F.when(F.col("__t") === 0, 1L).otherwise(0L)).as("__l"),
+        F.max(F.when(F.col("__t") === 1, 1L).otherwise(0L)).as("__r"))
+      .agg(F.sum("__l").as("n_left"), F.sum("__r").as("n_right"),
+        F.sum(F.expr("__l * __r")).as("n_both"))
+      .select(F.col("n_left"), F.col("n_right"), F.col("n_both"),
+        F.when(F.col("n_left") + F.col("n_right") - F.col("n_both") =!= 0L,
+          F.expr("n_both * 1000000L DIV (n_left + n_right - n_both)"))
+          .as("agreement_ppm"))
+  }
+
   /** Winnowing fingerprint set (Schleimer/Wilkerson/Aiken, SIGMOD'03 —
     * the MOSS algorithm): md5 per k-gram, minimum per sliding window of
     * `w` hashes, distinct selections sorted. The LOCAL-overlap tier of the

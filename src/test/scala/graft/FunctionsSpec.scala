@@ -184,6 +184,51 @@ class FunctionsSpec extends AnyFunSuite {
     assert(uncapped.count() == 50L * 49L / 2L)
   }
 
+  test("simhashNearPairs: banding matches brute-force hamming truth; cap drops identical floods") {
+    // 12 docs around two templates + noise; brute-force all-pairs hamming
+    // over the same portable signature is the ground truth the pigeonhole
+    // banding must reproduce exactly
+    val texts = Seq(
+      "alpha beta gamma delta epsilon zeta eta theta",
+      "alpha beta gamma delta epsilon zeta eta iota",
+      "alpha beta gamma delta epsilon zeta mu theta",
+      "one two three four five six seven eight",
+      "one two three four five six seven nine",
+      "totally different content here nothing shared",
+      "yet another unrelated document body text",
+      "alpha beta gamma delta epsilon zeta eta theta extra",
+      "one two three four five six ten eight",
+      "mixed alpha two gamma four epsilon six",
+      "short words",
+      "alpha beta gamma delta epsilon zeta eta theta")
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    val got = Dedup.simhashNearPairs(df, "doc_id", "text", maxHamming = 3)
+      .as[(Long, Long, Long)].collect().toSet
+    val sigs = df.select($"doc_id", Dedup.simhashPortable($"text").as("s"))
+      .as[(Long, Long)].collect()
+    val truth = (for {
+      (a, sa) <- sigs; (b, sb) <- sigs if a < b
+      h = java.lang.Long.bitCount(sa ^ sb) if h <= 3
+    } yield (a, b, h.toLong)).toSet
+    assert(got == truth)
+    assert(truth.exists(_._3 == 0L)) // the planted identical pair is in there
+    // a flood of identical docs: every band bucket exceeds the cap, pairs
+    // drop counted instead of expanding quadratically
+    val flood = (1L to 50L).map(i => (i, "same text every single time")).toDF("doc_id", "text")
+    assert(Dedup.simhashNearPairs(flood, "doc_id", "text", 3, maxBucketSize = 10).count() == 0L)
+  }
+
+  test("pairSetAgreement: orientation-normalized set arithmetic; empty edge") {
+    val l = Seq((1L, 2L), (3L, 4L), (5L, 6L)).toDF("a", "b")
+    val r = Seq((2L, 1L), (4L, 3L), (7L, 8L)).toDF("a", "b") // two shared, flipped
+    val row = Dedup.pairSetAgreement(l, r).head()
+    assert(row.getLong(0) == 3L && row.getLong(1) == 3L && row.getLong(2) == 2L)
+    assert(row.getLong(3) == 500000L) // 2 of 4 distinct pairs
+    val empty = Seq.empty[(Long, Long)].toDF("a", "b")
+    val e = Dedup.pairSetAgreement(empty, empty).head()
+    assert(e.isNullAt(3)) // no pairs at all -> NULL, not div-by-zero
+  }
+
   test("winnowing: native == Column spec; overlap guarantee; candidates find the planted overlap") {
     // parity: native single-pass expression vs the transform/slice spelling,
     // across doc shapes (short of k, exactly k, fewer grams than w, long)
