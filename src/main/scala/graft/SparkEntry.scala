@@ -1349,6 +1349,13 @@ object SparkEntry {
           "stride_key", "epoch_pos")
         .orderBy("epoch_pos")),
 
+    "q154_vocab_coverage" -> ((s, dir) =>
+      // tokenizer-design audit: corpus-token coverage of the top-r terms;
+      // bounded top-k + in-row array fold, never a vocab-wide sort
+      Text.vocabCoverage(table(s, dir, "documents"), "text",
+          Seq(1L, 2L, 5L, 10L, 20L, 50L, 100L))
+        .orderBy("rank")),
+
     "q152_simhash_pairs" -> ((s, dir) =>
       // banded hamming<=3 SimHash pairs; the all-pairs DuckDB oracle
       // proves the pigeonhole banding loses nothing
@@ -2765,6 +2772,19 @@ object SparkEntry {
            CAST(CASE WHEN sum(fl) + sum(fr) - sum(fl * fr) != 0
                 THEN sum(fl * fr) * 1000000 // (sum(fl) + sum(fr) - sum(fl * fr)) END AS BIGINT) AS agreement_ppm
          FROM g""",
+    "q154_vocab_coverage" ->
+      """WITH tok AS (SELECT unnest(list_filter(string_split(text, ' '), x -> x != '')) AS w FROM documents),
+         cnt AS (SELECT w, CAST(count(*) AS BIGINT) AS c FROM tok GROUP BY 1),
+         rk AS (SELECT *, row_number() OVER (ORDER BY c DESC, w) AS rn FROM cnt),
+         t AS (SELECT CAST(sum(c) AS BIGINT) AS tot, CAST(count(*) AS BIGINT) AS n_terms FROM cnt),
+         ks AS (SELECT unnest([1, 2, 5, 10, 20, 50, 100]) AS r)
+         SELECT CAST(ks.r AS BIGINT) AS rank,
+           CAST(sum(rk.c) AS BIGINT) AS covered_tokens,
+           t.tot AS total_tokens, t.n_terms,
+           CAST(sum(rk.c) * 1000000 // t.tot AS BIGINT) AS covered_ppm
+         FROM ks JOIN rk ON rk.rn <= ks.r, t
+         GROUP BY ks.r, t.tot, t.n_terms
+         ORDER BY 1""",
     "q139_rrf_fusion" ->
       """WITH a AS (SELECT source, doc_id,
              CAST(row_number() OVER (PARTITION BY source ORDER BY n_chars DESC, doc_id ASC) AS BIGINT) AS rank_a

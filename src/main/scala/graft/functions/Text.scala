@@ -510,6 +510,44 @@ object Text {
         F.col("n_tokens").cast("double") / F.col("n_docs").cast("double"))
   }
 
+  /** Vocabulary coverage curve — the tokenizer-design audit: what fraction
+    * of all corpus tokens the top-`r` most frequent terms cover, for each
+    * requested rank `r`. Read before choosing a vocab size / BPE merge
+    * budget: the knee of this curve is where added vocab stops paying.
+    *
+    * Scale shape (100 TB): one term-count shuffle with map-side combine —
+    * the only corpus-sized exchange — then a bounded global top-`max(r)`
+    * (TakeOrdered, never a vocab-wide sort) whose result is folded as an
+    * in-row array (array_sort + slice + aggregate — no single-partition
+    * window). Ties order by (count desc, term asc), deterministic on both
+    * engines. The coverage numerator is corpus-scale, so its ×1e6 step is
+    * widened through DECIMAL(38,0) per the standing overflow recipe.
+    * Output: (rank, covered_tokens, total_tokens, n_terms, covered_ppm);
+    * ranks past the vocabulary size cover everything (ppm = 1e6). */
+  def vocabCoverage(df: org.apache.spark.sql.DataFrame, textCol: String,
+      ranks: Seq[Long]): org.apache.spark.sql.DataFrame = {
+    require(ranks.nonEmpty && ranks.forall(_ > 0), s"ranks must be positive: $ranks")
+    val maxR = ranks.max.toInt
+    val counts = df.select(F.explode(tokens(F.col(textCol))).as("__w"))
+      .groupBy("__w").agg(F.count(F.lit(1)).as("__c"))
+      .localCheckpoint(true) // feeds the totals AND the top-k — count once
+    val totals = counts.agg(F.sum("__c").as("__tot"),
+      F.count(F.lit(1)).as("n_terms"))
+    val top = counts.orderBy(F.col("__c").desc, F.col("__w")).limit(maxR)
+      .agg(F.array_sort(F.collect_list(F.struct(
+        (-F.col("__c")).as("nc"), F.col("__w").as("w"), F.col("__c").as("c"))))
+        .as("__s"))
+    top.join(totals) // two 1-row frames
+      .select(F.explode(F.array(ranks.map(F.lit(_)): _*)).as("rank"),
+        F.col("__s"), F.col("__tot"), F.col("n_terms"))
+      .select(F.col("rank"),
+        F.expr("aggregate(slice(__s, 1, CAST(rank AS INT)), CAST(0 AS BIGINT), (acc, x) -> acc + x.c)")
+          .as("covered_tokens"),
+        F.col("__tot").as("total_tokens"), F.col("n_terms"))
+      .withColumn("covered_ppm", F.expr(
+        "CAST(CAST(covered_tokens AS DECIMAL(38,0)) * 1000000 DIV total_tokens AS BIGINT)"))
+  }
+
   /** Pairwise source-distribution similarity — the mixture-design input:
     * how lexically close two data domains are, measured as cosine between
     * their unigram term-frequency distributions. Used to pick mixture

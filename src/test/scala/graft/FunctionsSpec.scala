@@ -848,6 +848,23 @@ class FunctionsSpec extends AnyFunSuite {
     assert(got("books") == ((1L, 18L, 3L, 1L, 1L, 0L, 3.0)))
   }
 
+  test("vocabCoverage: hand-counted curve; rank past vocab covers everything") {
+    // counts: a=4, b=3, c=2, d=1 (total 10, 4 terms)
+    val df = Seq("a a b c", "a b c d", "a b").toDF("text")
+    val got = Text.vocabCoverage(df, "text", Seq(1L, 2L, 3L, 10L))
+      .select($"rank", $"covered_tokens", $"total_tokens", $"n_terms", $"covered_ppm")
+      .as[(Long, Long, Long, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(got == Seq(
+      (1L, 4L, 10L, 4L, 400000L),
+      (2L, 7L, 10L, 4L, 700000L),
+      (3L, 9L, 10L, 4L, 900000L),
+      (10L, 10L, 10L, 4L, 1000000L)))
+    // tie at the cut: counts b=2,a=2,c=1 -> rank1 takes 'a' (term asc)
+    val tie = Seq("b a b a c").toDF("text")
+    val r1 = Text.vocabCoverage(tie, "text", Seq(1L)).head()
+    assert(r1.getAs[Long]("covered_tokens") == 2L)
+  }
+
   test("sourceSimilarity: hand-computed ppm vectors; identity and disjoint edges") {
     // A: x2 y1 (t=3) -> fx=666666, fy=333333; B: x1 z1 (t=2) -> f=500000 each
     // dot = 666666*500000; normA2 = 666666^2 + 333333^2; normB2 = 2*500000^2
