@@ -237,6 +237,31 @@ object ScaleDrill {
     "corpus_diff (q134)" -> (docs =>
       Dedup.corpusDiff(docs.where(F.col("doc_id") % 7 =!= 0),
           docs.where(F.col("doc_id") % 5 =!= 0), "doc_id", "source")),
+    // word-salted replicas keep each replica's dup graph disjoint: nodes
+    // and edges grow linearly, iteration count is fixed — the row pins
+    // that the per-iteration contribution shuffle (the only per-round
+    // exchange) scales with the edge list
+    "pagerank (q149)" -> (docs =>
+      graft.functions.Graph.pageRankPpm(pairs(docs), "a", "b", iters = 3)),
+    // source salted with the replica index: group count grows with N
+    // while per-group vocab stays the base's (words salted too), so the
+    // (group, term) count table AND the term-keyed pair join both grow
+    // linearly — cross-replica groups share no term and produce no pair
+    "source_sim (q150)" -> (docs =>
+      Text.sourceSimilarity(
+        docs.withColumn("source", F.concat_ws("_", F.col("source"),
+          F.floor(F.col("doc_id") / 10000000L).cast("string"))),
+        "source", "text")),
+    // salted words → per-replica signature populations: band buckets stay
+    // the base's size while bucket COUNT grows with N; the row pins the
+    // single-exchange bucket stage + id-keyed verify joins
+    "simhash_pairs (q152)" -> (docs =>
+      Dedup.simhashNearPairs(docs, "doc_id", "text", maxHamming = 3)),
+    // one term-count shuffle (vocab grows linearly under word salting)
+    // into a bounded top-100 TakeOrdered — the row pins that the curve's
+    // cost is the count shuffle, not the vocab-wide tail
+    "vocab_coverage (q154)" -> (docs =>
+      Text.vocabCoverage(docs, "text", Seq(1L, 10L, 100L))),
     // salted text → salted 40-char payload prefixes: checksum universes
     // are disjoint per replica, dup-group volume grows linearly; only
     // (checksum, id) shuffles and the payload bytes stay in the scan
