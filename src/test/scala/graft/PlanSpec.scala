@@ -297,6 +297,49 @@ class PlanSpec extends AnyFunSuite {
       s"scan not pruned to (doc_id, text):\n$p")
   }
 
+  test("q149 pagerank: iterations behind lineage cuts; rank stitch keyed, no cartesian") {
+    // the final plan must stitch PRE-COMPUTED iteration results (ExistingRDD
+    // from the per-round cut), not replay 3 rounds of joins in one tree.
+    // Execute first: the cut frames carry no stats, so the INITIAL plan
+    // hedges to SortMergeJoin and AQE converts to broadcast at runtime.
+    val df = SparkEntry.queries("q149_pagerank")(spark, dir)
+    df.collect()
+    val full = df.queryExecution.executedPlan.toString
+    // the adaptive dump appends the pre-AQE "== Initial Plan ==" (which
+    // legitimately hedges to SMJ) — assert on the final section only
+    val p = full.split("== Initial Plan ==").head
+    assert(p.contains("Scan ExistingRDD"),
+      s"iteration results must come from the lineage cut:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("SortMergeJoin"),
+      s"rank/degree stitch must be a keyed broadcast join (post-AQE):\n$p")
+  }
+
+  test("q150 source similarity: tf cut once; pair join term-keyed; norms broadcast") {
+    val p = plan("q150_source_similarity")
+    // the (group, term) tf table is lineage-cut (it feeds both pair-join
+    // sides and the norms) — the corpus scan ran once, inside the cut
+    assert(p.contains("Scan ExistingRDD"),
+      s"tf table must be lineage-cut (corpus scanned once):\n$p")
+    assert(!p.contains("CartesianProduct"), s"pair join must be term-keyed:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"group-level norms/totals must broadcast:\n$p")
+  }
+
+  test("q152 simhash pairs: hamming verify rides in the join condition; one bucket exchange family") {
+    val p = plan("q152_simhash_pairs")
+    assert(p.contains("bit_count"),
+      s"exact hamming verify must be in the join/filter, not a later stage:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"banding must make every join an equi-join:\n$p")
+  }
+
+  test("q154 vocab coverage: bounded TakeOrdered top-k, no vocab-wide sort or window") {
+    val p = plan("q154_vocab_coverage")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"top-k must be the bounded TakeOrdered, not a global sort:\n$p")
+    assert(!p.contains("Window"), s"no window allowed (array fold):\n$p")
+  }
+
   test("SPI whole-stream aggregate keeps a real Exchange between partial and final stages") {
     // coalesce(1) here would be a narrow dependency — Spark would collapse
     // the partial stage into the single final task and the per-partition
