@@ -1349,6 +1349,14 @@ object SparkEntry {
           "stride_key", "epoch_pos")
         .orderBy("epoch_pos")),
 
+    "q155_minhash_calibration" -> ((s, dir) =>
+      // estimator-calibration audit: per signature-agreement level, the
+      // exact-jaccard distribution of candidate pairs at numHashes=8
+      Dedup.minhashCalibration(
+          table(s, dir, "documents").where(Text.tokenCount(F.col("text")) >= 3),
+          "doc_id", "text", k = 3, numHashes = 8, rowsPerBand = 2)
+        .orderBy("n_agree")),
+
     "q154_vocab_coverage" -> ((s, dir) =>
       // tokenizer-design audit: corpus-token coverage of the top-r terms;
       // bounded top-k + in-row array fold, never a vocab-wide sort
@@ -2772,6 +2780,44 @@ object SparkEntry {
            CAST(CASE WHEN sum(fl) + sum(fr) - sum(fl * fr) != 0
                 THEN sum(fl * fr) * 1000000 // (sum(fl) + sum(fr) - sum(fl * fr)) END AS BIGINT) AS agreement_ppm
          FROM g""",
+    "q155_minhash_calibration" ->
+      """WITH s AS (SELECT doc_id, list_transform(generate_series(1, len(ws) - 2), i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]) AS sh
+               FROM (SELECT doc_id, list_filter(string_split(text, ' '), x -> x != '') AS ws FROM documents)
+               WHERE len(ws) >= 3),
+         m AS (SELECT doc_id, sh,
+           list_aggregate(list_transform(sh, x -> md5('0|' || x)), 'min') AS mh0,
+           list_aggregate(list_transform(sh, x -> md5('1|' || x)), 'min') AS mh1,
+           list_aggregate(list_transform(sh, x -> md5('2|' || x)), 'min') AS mh2,
+           list_aggregate(list_transform(sh, x -> md5('3|' || x)), 'min') AS mh3,
+           list_aggregate(list_transform(sh, x -> md5('4|' || x)), 'min') AS mh4,
+           list_aggregate(list_transform(sh, x -> md5('5|' || x)), 'min') AS mh5,
+           list_aggregate(list_transform(sh, x -> md5('6|' || x)), 'min') AS mh6,
+           list_aggregate(list_transform(sh, x -> md5('7|' || x)), 'min') AS mh7
+           FROM s),
+         b AS (SELECT *,
+           md5(mh0 || '|' || mh1) AS band0, md5(mh2 || '|' || mh3) AS band1,
+           md5(mh4 || '|' || mh5) AS band2, md5(mh6 || '|' || mh7) AS band3
+           FROM m),
+         cand AS (
+           SELECT l.doc_id AS a, r.doc_id AS b FROM b l JOIN b r ON l.band0 = r.band0 AND l.doc_id < r.doc_id
+           UNION SELECT l.doc_id AS a, r.doc_id AS b FROM b l JOIN b r ON l.band1 = r.band1 AND l.doc_id < r.doc_id
+           UNION SELECT l.doc_id AS a, r.doc_id AS b FROM b l JOIN b r ON l.band2 = r.band2 AND l.doc_id < r.doc_id
+           UNION SELECT l.doc_id AS a, r.doc_id AS b FROM b l JOIN b r ON l.band3 = r.band3 AND l.doc_id < r.doc_id),
+         p AS (SELECT
+             (CASE WHEN la.mh0 = lb.mh0 THEN 1 ELSE 0 END + CASE WHEN la.mh1 = lb.mh1 THEN 1 ELSE 0 END +
+              CASE WHEN la.mh2 = lb.mh2 THEN 1 ELSE 0 END + CASE WHEN la.mh3 = lb.mh3 THEN 1 ELSE 0 END +
+              CASE WHEN la.mh4 = lb.mh4 THEN 1 ELSE 0 END + CASE WHEN la.mh5 = lb.mh5 THEN 1 ELSE 0 END +
+              CASE WHEN la.mh6 = lb.mh6 THEN 1 ELSE 0 END + CASE WHEN la.mh7 = lb.mh7 THEN 1 ELSE 0 END) AS n_agree,
+             len(list_intersect(list_distinct(la.sh), list_distinct(lb.sh))) * 1000000
+               // len(list_distinct(list_concat(la.sh, lb.sh))) AS exact_ppm
+           FROM cand c JOIN b la ON c.a = la.doc_id JOIN b lb ON c.b = lb.doc_id)
+         SELECT CAST(n_agree AS BIGINT) AS n_agree,
+           CAST(n_agree * 1000000 // 8 AS BIGINT) AS est_ppm,
+           CAST(count(*) AS BIGINT) AS n_pairs,
+           CAST(sum(exact_ppm) // count(*) AS BIGINT) AS mean_exact_ppm,
+           CAST(min(exact_ppm) AS BIGINT) AS min_exact_ppm,
+           CAST(max(exact_ppm) AS BIGINT) AS max_exact_ppm
+         FROM p GROUP BY n_agree ORDER BY 1""",
     "q154_vocab_coverage" ->
       """WITH tok AS (SELECT unnest(list_filter(string_split(text, ' '), x -> x != '')) AS w FROM documents),
          cnt AS (SELECT w, CAST(count(*) AS BIGINT) AS c FROM tok GROUP BY 1),

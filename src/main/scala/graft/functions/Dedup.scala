@@ -271,6 +271,60 @@ object Dedup {
           F.expr("caught_pairs * 1000000L DIV candidate_pairs")))
   }
 
+  /** MinHash estimator calibration — the companion audit to
+    * [[lshRecallAudit]]: for each signature-AGREEMENT level (0..numHashes
+    * matching components), how the TRUE Jaccard of candidate pairs
+    * distributes. The estimator's whole premise is
+    * `P(mh_i(a) = mh_i(b)) = J(a,b)`; this table shows, at the chosen
+    * `numHashes`, how tight that is in practice — the direct input to
+    * "do I need 8 hashes or 64" before a corpus-scale pass.
+    *
+    * All-integer output (no float sums): per pair, exact Jaccard in ppm
+    * from intersection/union COUNTS (per-doc bounded, so plain BIGINT),
+    * then per-level n / mean / min / max. Candidate pairs come from the
+    * production banding path ([[lshCandidatePairs]], same caps), so the
+    * table describes exactly the population the dedup will see.
+    * Scale shape: the signature frame is computed once and lineage-cut
+    * (it feeds the banding and both pair sides); only ids, signatures and
+    * shingle arrays of CANDIDATE pairs move; the output is at most
+    * `numHashes+1` rows. */
+  def minhashCalibration(df: DataFrame, idCol: String, textCol: String,
+      k: Int = 3, numHashes: Int = 8, rowsPerBand: Int = 2,
+      maxBucketSize: Int = 10000): DataFrame = {
+    require(numHashes % rowsPerBand == 0, "numHashes must divide into bands")
+    val sigCols = (0 until numHashes).map(i => F.col(s"mh$i"))
+    val sigd = minhashSignature(df.select(F.col(idCol), F.col(textCol)),
+      textCol, k, numHashes).localCheckpoint(true)
+    val withSig = lshBands(sigd, numHashes, rowsPerBand)
+    val cands = lshCandidatePairs(withSig, idCol, numHashes / rowsPerBand,
+      maxBucketSize)
+    val side = sigd.select(F.col(idCol),
+      F.array_distinct(shingles(F.col(textCol), k)).as("__sh"),
+      F.array(sigCols: _*).as("__mhs"))
+    cands
+      .join(side.select(F.col(idCol).as("a"), F.col("__sh").as("sha"),
+        F.col("__mhs").as("mha")), "a")
+      .join(side.select(F.col(idCol).as("b"), F.col("__sh").as("shb"),
+        F.col("__mhs").as("mhb")), "b")
+      .select(
+        F.expr("aggregate(zip_with(mha, mhb, (x, y) -> CASE WHEN x = y THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END), CAST(0 AS BIGINT), (acc, v) -> acc + v)")
+          .as("n_agree"),
+        // candidates always hold >= k tokens (null bands never bucket), so
+        // the union is non-empty and the ANSI division cannot hit zero
+        F.expr("CAST(size(array_intersect(sha, shb)) AS BIGINT) * 1000000 DIV CAST(size(array_union(sha, shb)) AS BIGINT)")
+          .as("exact_ppm"))
+      .groupBy("n_agree")
+      .agg(F.count(F.lit(1)).as("n_pairs"),
+        F.sum("exact_ppm").as("__sum"),
+        F.min("exact_ppm").as("min_exact_ppm"),
+        F.max("exact_ppm").as("max_exact_ppm"))
+      .select(F.col("n_agree"),
+        F.expr(s"n_agree * 1000000 DIV ${numHashes}L").as("est_ppm"),
+        F.col("n_pairs"),
+        F.expr("__sum DIV n_pairs").as("mean_exact_ppm"),
+        F.col("min_exact_ppm"), F.col("max_exact_ppm"))
+  }
+
   /** 64-bit SimHash over token xxhash64s: weighted bit-majority vote,
     * entirely Column-tier (sequence(0,63) bit loop → codegen). Near-dups =
     * small Hamming distance; bucket on rotated prefixes for search. */

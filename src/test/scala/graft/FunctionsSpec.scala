@@ -218,6 +218,27 @@ class FunctionsSpec extends AnyFunSuite {
     assert(Dedup.simhashNearPairs(flood, "doc_id", "text", 3, maxBucketSize = 10).count() == 0L)
   }
 
+  test("minhashCalibration: identical pair pins the top level; levels internally consistent") {
+    val base = "the quick brown fox jumps over the lazy dog again and again today"
+    val df = Seq(
+      (1L, base), (2L, base),                      // identical: agree=8, J=1
+      (3L, base.replace("today", "tomorrow")),     // near
+      (4L, "completely different words in this one nothing shared at all here")
+    ).toDF("doc_id", "text")
+    val rows = Dedup.minhashCalibration(df, "doc_id", "text",
+        k = 2, numHashes = 8, rowsPerBand = 2)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))))
+      .toMap
+    val top = rows(8L)
+    assert(top._1 == 1000000L)           // est_ppm at full agreement
+    assert(top._3 == 1000000L && top._4 == 1000000L && top._5 == 1000000L)
+    rows.foreach { case (agree, (est, n, mean, mn, mx)) =>
+      assert(est == agree * 1000000L / 8L)
+      assert(n > 0L && mn <= mean && mean <= mx)
+    }
+  }
+
   test("pairSetAgreement: orientation-normalized set arithmetic; empty edge") {
     val l = Seq((1L, 2L), (3L, 4L), (5L, 6L)).toDF("a", "b")
     val r = Seq((2L, 1L), (4L, 3L), (7L, 8L)).toDF("a", "b") // two shared, flipped

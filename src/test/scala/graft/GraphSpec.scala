@@ -36,6 +36,33 @@ class GraphSpec extends AnyFunSuite {
     assert((2L to 6L).map(rows).toSet.size == 1) // leaves identical
   }
 
+  test("pageRankPpm: exact match against a driver-side integer reference on random graphs") {
+    val rnd = new scala.util.Random(42)
+    for (trial <- 1 to 5) {
+      val n = 4 + rnd.nextInt(8)
+      val raw = (for (_ <- 1 to n * 2)
+        yield (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong)).filter(p => p._1 != p._2)
+      if (raw.nonEmpty) {
+        val iters = 1 + rnd.nextInt(3)
+        // reference: same integer-ppm recurrence, plain Scala maps
+        val edges = raw.flatMap(p => Seq(p, p.swap)).distinct
+        val nodes = edges.map(_._1).distinct.sorted
+        val deg = edges.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+        val nn = nodes.size.toLong
+        var rank = nodes.map(_ -> 1000000L / nn).toMap
+        for (_ <- 1 to iters) {
+          val contrib = edges.groupBy(_._2).view.mapValues(
+            _.map { case (s, _) => rank(s) / deg(s) }.sum).toMap
+          rank = nodes.map(v =>
+            v -> (150000L / nn + 850000L * contrib.getOrElse(v, 0L) / 1000000L)).toMap
+        }
+        val got = Graph.pageRankPpm(raw.toDF("a", "b"), "a", "b", iters)
+          .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+        assert(got == rank, s"trial $trial (n=$n iters=$iters): $got vs $rank")
+      }
+    }
+  }
+
   test("pageRankPpm: pair orientation doesn't matter (undirected edges)") {
     val fwd = Seq((1L, 2L), (2L, 3L), (3L, 4L)).toDF("a", "b")
     val mixed = Seq((2L, 1L), (2L, 3L), (4L, 3L)).toDF("a", "b")
