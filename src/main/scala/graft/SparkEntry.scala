@@ -1349,6 +1349,15 @@ object SparkEntry {
           "stride_key", "epoch_pos")
         .orderBy("epoch_pos")),
 
+    "q156_bpe_pretokenize" -> ((s, dir) => {
+      // BPE-ish regex pre-tokenization over the events' JSON props — mixed
+      // letters/digits/punctuation where whitespace counting undercounts
+      val stats = Text.bpePretokenStats(F.col("props"))
+      events(s, dir).select(
+          F.col("event_id") +: stats.map { case (n, c) => c.as(n) }: _*)
+        .orderBy("event_id")
+    }),
+
     "q155_minhash_calibration" -> ((s, dir) =>
       // estimator-calibration audit: per signature-agreement level, the
       // exact-jaccard distribution of candidate pairs at numHashes=8
@@ -2780,6 +2789,13 @@ object SparkEntry {
            CAST(CASE WHEN sum(fl) + sum(fr) - sum(fl * fr) != 0
                 THEN sum(fl * fr) * 1000000 // (sum(fl) + sum(fr) - sum(fl * fr)) END AS BIGINT) AS agreement_ppm
          FROM g""",
+    "q156_bpe_pretokenize" ->
+      """SELECT event_id,
+           CAST(len(regexp_extract_all(props, '''(s|t|re|ve|m|ll|d)|\p{L}+|\p{N}+|[^\s\p{L}\p{N}]+')) AS BIGINT) AS n_pretokens,
+           CAST(len(regexp_extract_all(props, '\p{L}+')) AS BIGINT) AS n_letter_runs,
+           CAST(len(regexp_extract_all(props, '\p{N}+')) AS BIGINT) AS n_digit_runs,
+           regexp_extract_all(props, '''(s|t|re|ve|m|ll|d)|\p{L}+|\p{N}+|[^\s\p{L}\p{N}]+')[1] AS first_pretoken
+         FROM events ORDER BY 1""",
     "q155_minhash_calibration" ->
       """WITH s AS (SELECT doc_id, list_transform(generate_series(1, len(ws) - 2), i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]) AS sh
                FROM (SELECT doc_id, list_filter(string_split(text, ' '), x -> x != '') AS ws FROM documents)

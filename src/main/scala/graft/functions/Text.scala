@@ -510,6 +510,31 @@ object Text {
         F.col("n_tokens").cast("double") / F.col("n_docs").cast("double"))
   }
 
+  /** BPE-style pre-tokenization (GPT-2-family pattern, RE2-safe subset):
+    * contraction suffixes, letter runs, digit runs, and non-space symbol
+    * runs each become one pre-token — the segmentation BPE merge training
+    * runs inside. The canonical GPT-2 pattern's space-lookahead is dropped
+    * (RE2/oracle engines lack lookahead); leading spaces separate rather
+    * than attach, which only shifts token boundaries, not counts, on
+    * space-separated text. Pure scan-stage `regexp_extract_all`
+    * (codegen'd), no explode. */
+  val bpePretokenPattern: String = "'(s|t|re|ve|m|ll|d)|\\p{L}+|\\p{N}+|[^\\s\\p{L}\\p{N}]+"
+
+  def bpePretokenize(text: Column): Column =
+    F.regexp_extract_all(text, F.lit(bpePretokenPattern), F.lit(0))
+
+  /** Pre-token statistics per row: total runs, letter/digit/symbol run
+    * counts and the first pre-token — the token-counting face over mixed
+    * text (JSON, code, punctuated prose) where whitespace counting
+    * undercounts badly. */
+  def bpePretokenStats(text: Column): Seq[(String, Column)] = Seq(
+    "n_pretokens" -> F.size(bpePretokenize(text)).cast("long"),
+    "n_letter_runs" -> F.size(F.regexp_extract_all(text,
+      F.lit("\\p{L}+"), F.lit(0))).cast("long"),
+    "n_digit_runs" -> F.size(F.regexp_extract_all(text,
+      F.lit("\\p{N}+"), F.lit(0))).cast("long"),
+    "first_pretoken" -> F.element_at(bpePretokenize(text), 1))
+
   /** Vocabulary coverage curve — the tokenizer-design audit: what fraction
     * of all corpus tokens the top-`r` most frequent terms cover, for each
     * requested rank `r`. Read before choosing a vocab size / BPE merge

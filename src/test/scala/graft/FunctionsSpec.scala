@@ -218,6 +218,21 @@ class FunctionsSpec extends AnyFunSuite {
     assert(Dedup.simhashNearPairs(flood, "doc_id", "text", 3, maxBucketSize = 10).count() == 0L)
   }
 
+  test("bpePretokenize: contractions, digit runs, symbol runs, empty input") {
+    val rows = Seq(
+      """{"a": 12, "b": "don't stop"}""",
+      "hello world",
+      "x=3.14;y=42",
+      "").toDF("text")
+      .select(Text.bpePretokenize($"text").as("t"))
+      .as[Seq[String]].collect()
+    assert(rows(0) == Seq("{\"", "a", "\":", "12", ",", "\"", "b", "\":",
+      "\"", "don", "'t", "stop", "\"}"))
+    assert(rows(1) == Seq("hello", "world"))
+    assert(rows(2) == Seq("x", "=", "3", ".", "14", ";", "y", "=", "42"))
+    assert(rows(3) == Seq.empty)
+  }
+
   test("minhashCalibration: identical pair pins the top level; levels internally consistent") {
     val base = "the quick brown fox jumps over the lazy dog again and again today"
     val df = Seq(
