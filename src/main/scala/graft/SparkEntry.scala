@@ -1349,6 +1349,23 @@ object SparkEntry {
           "stride_key", "epoch_pos")
         .orderBy("epoch_pos")),
 
+    "q157_crossmodal_agreement" -> ((s, dir) => {
+      // do lexical (minhash) and semantic (embedding-cosine) near-dup
+      // notions agree on this corpus? Pair-set arithmetic on the shared
+      // id space, on a bounded id sample (audit discipline: the exact
+      // embedding side is brute-force, so the sample bounds its cost)
+      val docs = table(s, dir, "documents")
+        .where(F.col("doc_id") < 500 && Text.tokenCount(F.col("text")) >= 3)
+      val textPairs = Dedup.nearDupPairs(docs, "doc_id", "text",
+          k = 3, numHashes = 4, rowsPerBand = 2, threshold = 0.05)
+        .select("a", "b")
+      val embPairs = Similarity.bruteForceNearDupPairs(
+          table(s, dir, "embeddings").where(F.col("vec_id") < 500),
+          "embedding", "vec_id", threshold = 0.35)
+        .select("a", "b")
+      Dedup.pairSetAgreement(textPairs, embPairs)
+    }),
+
     "q156_bpe_pretokenize" -> ((s, dir) => {
       // BPE-ish regex pre-tokenization over the events' JSON props — mixed
       // letters/digits/punctuation where whitespace counting undercounts
@@ -2782,6 +2799,35 @@ object SparkEntry {
                   WHERE bit_count(xor(l.sig, r.sig)) <= 3),
          u AS (SELECT a AS pa, b AS pb, 1 AS fl, 0 AS fr FROM lshp
                UNION ALL SELECT a, b, 0, 1 FROM simp),
+         g AS (SELECT pa, pb, CAST(max(fl) AS BIGINT) AS fl, CAST(max(fr) AS BIGINT) AS fr FROM u GROUP BY 1, 2)
+         SELECT CAST(sum(fl) AS BIGINT) AS n_left,
+           CAST(sum(fr) AS BIGINT) AS n_right,
+           CAST(sum(fl * fr) AS BIGINT) AS n_both,
+           CAST(CASE WHEN sum(fl) + sum(fr) - sum(fl * fr) != 0
+                THEN sum(fl * fr) * 1000000 // (sum(fl) + sum(fr) - sum(fl * fr)) END AS BIGINT) AS agreement_ppm
+         FROM g""",
+    "q157_crossmodal_agreement" ->
+      """WITH s AS (SELECT doc_id, list_transform(generate_series(1, len(ws) - 2), i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]) AS sh
+               FROM (SELECT doc_id, list_filter(string_split(text, ' '), x -> x != '') AS ws FROM documents WHERE doc_id < 500)
+               WHERE len(ws) >= 3),
+         b AS (SELECT doc_id, sh,
+           md5(list_aggregate(list_transform(sh, x -> md5('0|' || x)), 'min') || '|' || list_aggregate(list_transform(sh, x -> md5('1|' || x)), 'min')) AS band0,
+           md5(list_aggregate(list_transform(sh, x -> md5('2|' || x)), 'min') || '|' || list_aggregate(list_transform(sh, x -> md5('3|' || x)), 'min')) AS band1
+           FROM s),
+         cand AS (
+           SELECT l.doc_id AS a, r.doc_id AS b FROM b l JOIN b r ON l.band0 = r.band0 AND l.doc_id < r.doc_id
+           UNION
+           SELECT l.doc_id AS a, r.doc_id AS b FROM b l JOIN b r ON l.band1 = r.band1 AND l.doc_id < r.doc_id),
+         lshp AS (
+           SELECT c.a, c.b FROM cand c JOIN b la ON c.a = la.doc_id JOIN b lb ON c.b = lb.doc_id
+           WHERE CAST(len(list_intersect(list_distinct(la.sh), list_distinct(lb.sh))) AS DOUBLE) /
+                 CAST(len(list_distinct(list_concat(list_distinct(la.sh), list_distinct(lb.sh)))) AS DOUBLE) >= 0.05),
+         e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id < 500),
+         embp AS (SELECT a.vec_id AS a, b.vec_id AS b
+                  FROM e a JOIN e b ON a.vec_id < b.vec_id
+                  WHERE list_dot_product(a.v, b.v) / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) >= 0.35),
+         u AS (SELECT a AS pa, b AS pb, 1 AS fl, 0 AS fr FROM lshp
+               UNION ALL SELECT a, b, 0, 1 FROM embp),
          g AS (SELECT pa, pb, CAST(max(fl) AS BIGINT) AS fl, CAST(max(fr) AS BIGINT) AS fr FROM u GROUP BY 1, 2)
          SELECT CAST(sum(fl) AS BIGINT) AS n_left,
            CAST(sum(fr) AS BIGINT) AS n_right,
