@@ -1349,6 +1349,12 @@ object SparkEntry {
           "stride_key", "epoch_pos")
         .orderBy("epoch_pos")),
 
+    "q158_content_novelty" -> ((s, dir) =>
+      // first-occurrence gram fraction per doc in corpus id order — the
+      // incremental-value signal dedup tiers don't see
+      Dedup.contentNovelty(table(s, dir, "documents"), "doc_id", "text", k = 3)
+        .orderBy("doc_id")),
+
     "q157_crossmodal_agreement" -> ((s, dir) => {
       // do lexical (minhash) and semantic (embedding-cosine) near-dup
       // notions agree on this corpus? Pair-set arithmetic on the shared
@@ -2806,6 +2812,18 @@ object SparkEntry {
            CAST(CASE WHEN sum(fl) + sum(fr) - sum(fl * fr) != 0
                 THEN sum(fl * fr) * 1000000 // (sum(fl) + sum(fr) - sum(fl * fr)) END AS BIGINT) AS agreement_ppm
          FROM g""",
+    "q158_content_novelty" ->
+      """WITH s AS (SELECT doc_id, list_distinct(list_transform(generate_series(1, len(ws) - 2), i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS sh
+               FROM (SELECT doc_id, list_filter(string_split(text, ' '), x -> x != '') AS ws FROM documents)
+               WHERE len(ws) >= 3),
+         g AS (SELECT doc_id, unnest(sh) AS gr FROM s),
+         f AS (SELECT gr, min(doc_id) AS first FROM g GROUP BY 1)
+         SELECT g.doc_id,
+           CAST(count(*) AS BIGINT) AS n_grams,
+           CAST(sum(CASE WHEN f.first = g.doc_id THEN 1 ELSE 0 END) AS BIGINT) AS n_novel,
+           CAST(sum(CASE WHEN f.first = g.doc_id THEN 1 ELSE 0 END) * 1000000 // count(*) AS BIGINT) AS novelty_ppm
+         FROM g JOIN f ON g.gr = f.gr
+         GROUP BY 1 ORDER BY 1""",
     "q157_crossmodal_agreement" ->
       """WITH s AS (SELECT doc_id, list_transform(generate_series(1, len(ws) - 2), i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]) AS sh
                FROM (SELECT doc_id, list_filter(string_split(text, ' '), x -> x != '') AS ws FROM documents WHERE doc_id < 500)

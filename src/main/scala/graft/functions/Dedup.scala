@@ -271,6 +271,33 @@ object Dedup {
           F.expr("caught_pairs * 1000000L DIV candidate_pairs")))
   }
 
+  /** Per-document content novelty: what fraction of a document's distinct
+    * k-grams appear for the FIRST time at that document, in corpus id
+    * order. The incremental-value signal between exact dedup (novelty 0 =
+    * a pure re-shuffle of seen text) and near-dup (a doc can dodge every
+    * similarity tier yet contribute nothing new); also the marginal-gain
+    * curve for "how much does ingesting source X actually add".
+    *
+    * Scale shape: one (gram, id) explode feeding a gram-keyed min
+    * (map-side combined) and a gram-keyed join back — the gram table is
+    * built once and lineage-cut; only 32-char-bounded grams + ids move,
+    * text stays in its scan. The ×1e6 is per-doc bounded (a doc's own
+    * gram count), so plain BIGINT. Docs with fewer than k tokens have no
+    * grams and are absent from the output. */
+  def contentNovelty(df: DataFrame, idCol: String, textCol: String,
+      k: Int = 3): DataFrame = {
+    val grams = df.select(F.col(idCol),
+      F.explode(F.array_distinct(shingles(F.col(textCol), k))).as("__g"))
+      .localCheckpoint(true)
+    val first = grams.groupBy("__g").agg(F.min(idCol).as("__first"))
+    grams.join(first, "__g")
+      .groupBy(idCol)
+      .agg(F.count(F.lit(1)).as("n_grams"),
+        F.sum(F.when(F.col("__first") === F.col(idCol), 1L).otherwise(0L))
+          .as("n_novel"))
+      .withColumn("novelty_ppm", F.expr("n_novel * 1000000L DIV n_grams"))
+  }
+
   /** MinHash estimator calibration — the companion audit to
     * [[lshRecallAudit]]: for each signature-AGREEMENT level (0..numHashes
     * matching components), how the TRUE Jaccard of candidate pairs

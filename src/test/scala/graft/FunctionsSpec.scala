@@ -218,6 +218,24 @@ class FunctionsSpec extends AnyFunSuite {
     assert(Dedup.simhashNearPairs(flood, "doc_id", "text", 3, maxBucketSize = 10).count() == 0L)
   }
 
+  test("contentNovelty: first doc fully novel, exact copy fully stale, overlap partial") {
+    val df = Seq(
+      (1L, "a b c d"),     // grams: "a b c","b c d" — both first here
+      (2L, "a b c d"),     // exact copy: novelty 0
+      (3L, "b c d e f")    // "b c d" seen; "c d e","d e f" novel -> 2/3
+    ).toDF("doc_id", "text")
+    val got = Dedup.contentNovelty(df, "doc_id", "text", k = 3)
+      .select($"doc_id", $"n_grams", $"n_novel", $"novelty_ppm")
+      .as[(Long, Long, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(got == Seq(
+      (1L, 2L, 2L, 1000000L),
+      (2L, 2L, 0L, 0L),
+      (3L, 3L, 2L, 666666L)))
+    // sub-k-token docs are absent, not zero-novelty rows
+    val short = Seq((1L, "x y")).toDF("doc_id", "text")
+    assert(Dedup.contentNovelty(short, "doc_id", "text", k = 3).count() == 0L)
+  }
+
   test("bpePretokenize: contractions, digit runs, symbol runs, empty input") {
     val rows = Seq(
       """{"a": 12, "b": "don't stop"}""",
