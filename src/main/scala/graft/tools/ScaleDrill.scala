@@ -262,6 +262,18 @@ object ScaleDrill {
     // cost is the count shuffle, not the vocab-wide tail
     "vocab_coverage (q154)" -> (docs =>
       Text.vocabCoverage(docs, "text", Seq(1L, 10L, 100L))),
+    // same candidate population as the production banding (salted words
+    // keep replicas' candidates disjoint — linear); the calibration output
+    // is at most numHashes+1 rows regardless of N
+    "minhash_calib (q155)" -> (docs =>
+      Dedup.minhashCalibration(
+        docs.where(Text.tokenCount(F.col("text")) >= 3),
+        "doc_id", "text", k = 3, numHashes = 8, rowsPerBand = 2)),
+    // gram-keyed min + join-back; salted words keep gram universes
+    // disjoint per replica so first-occurrence volume grows linearly
+    "novelty (q158)" -> (docs =>
+      Dedup.contentNovelty(docs, "doc_id", "text", k = 3)
+        .groupBy().agg(F.sum("n_novel").as("tn"), F.sum("n_grams").as("tg"))),
     // salted text → salted 40-char payload prefixes: checksum universes
     // are disjoint per replica, dup-group volume grows linearly; only
     // (checksum, id) shuffles and the payload bytes stay in the scan
