@@ -1355,6 +1355,37 @@ object SparkEntry {
       Dedup.contentNovelty(table(s, dir, "documents"), "doc_id", "text", k = 3)
         .orderBy("doc_id")),
 
+    "q159_ivf_cell_balance" -> ((s, dir) => {
+      // index-skew audit over the q41 IVF assignment: per-cell member
+      // count and corpus share in ppm — the re-cluster trigger
+      val emb = table(s, dir, "embeddings")
+      Similarity.ivfCellBalance(emb, "embedding", "vec_id",
+          emb.where(F.col("vec_id") < 8), "vec_id", "embedding")
+        .orderBy("cell")
+    }),
+
+    "q160_shard_balance" -> ((s, dir) =>
+      // shard-manifest audit over the q128 layout: per-shard doc count,
+      // token total, and budget fill in ppm (tail shards underfill)
+      Sampling.shardBalance(table(s, dir, "documents"),
+          "doc_id", "text", "source", targetTokens = 500L)
+        .orderBy("source", "shard_id")),
+
+    "q161_source_divergence" -> ((s, dir) =>
+      // pairwise total-variation distance between source unigram
+      // distributions (integer ppm) — the metric complement of q150's
+      // cosine, which saturates on shared stopword mass
+      functions.Text.sourceDivergence(table(s, dir, "documents"),
+          "source", "text")
+        .orderBy("src_a", "src_b")),
+
+    "q162_length_quantiles" -> ((s, dir) =>
+      // per-source token-length data card: exact p25/p50/p75/p95 over
+      // integer token counts (percentile == quantile_cont parity)
+      functions.Text.lengthQuantiles(table(s, dir, "documents"),
+          "source", "text")
+        .orderBy("source")),
+
     "q157_crossmodal_agreement" -> ((s, dir) => {
       // do lexical (minhash) and semantic (embedding-cosine) near-dup
       // notions agree on this corpus? Pair-set arithmetic on the shared
@@ -2824,6 +2855,59 @@ object SparkEntry {
            CAST(sum(CASE WHEN f.first = g.doc_id THEN 1 ELSE 0 END) * 1000000 // count(*) AS BIGINT) AS novelty_ppm
          FROM g JOIN f ON g.gr = f.gr
          GROUP BY 1 ORDER BY 1""",
+    "q159_ivf_cell_balance" ->
+      """WITH c AS (SELECT vec_id AS cid, embedding::DOUBLE[] AS cv FROM embeddings WHERE vec_id < 8),
+         assign AS (SELECT vec_id, cell FROM (
+           SELECT e.vec_id, c.cid AS cell,
+             row_number() OVER (PARTITION BY e.vec_id ORDER BY
+               list_dot_product(e.embedding::DOUBLE[], c.cv) /
+               (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[])) * sqrt(list_dot_product(c.cv, c.cv))) DESC, c.cid) AS rn
+           FROM embeddings e, c)
+         WHERE rn = 1),
+         cnt AS (SELECT cell, count(*) AS n_vecs FROM assign GROUP BY 1),
+         tot AS (SELECT sum(n_vecs) AS t FROM cnt)
+         SELECT cell, CAST(n_vecs AS BIGINT) AS n_vecs,
+           CAST(CAST(n_vecs AS HUGEINT) * 1000000 // t AS BIGINT) AS share_ppm
+         FROM cnt, tot ORDER BY cell""",
+    "q160_shard_balance" ->
+      """WITH t AS (SELECT source, doc_id,
+           CAST(len(list_filter(string_split(text, ' '), x -> x != '')) AS BIGINT) AS n_tokens
+         FROM documents),
+         plan AS (SELECT source, doc_id, n_tokens,
+           CAST((sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens) // 500
+             AS BIGINT) AS shard_id
+         FROM t)
+         SELECT source, shard_id, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS shard_tokens,
+           CAST(CAST(sum(n_tokens) AS HUGEINT) * 1000000 // 500 AS BIGINT) AS fill_ppm
+         FROM plan GROUP BY 1, 2 ORDER BY 1, 2""",
+    "q161_source_divergence" ->
+      """WITH tok AS (SELECT source, unnest(list_filter(string_split(text, ' '), x -> x != '')) AS w FROM documents),
+         c AS (SELECT source, w, count(*) AS cnt FROM tok GROUP BY 1, 2),
+         tot AS (SELECT source, sum(cnt) AS t FROM c GROUP BY 1),
+         ppm AS (SELECT c.source, c.w,
+             CAST(CAST(c.cnt AS HUGEINT) * 1000000 // tot.t AS BIGINT) AS p
+           FROM c JOIN tot ON c.source = tot.source),
+         mass AS (SELECT source, CAST(sum(p) AS BIGINT) AS m FROM ppm GROUP BY 1),
+         sh AS (SELECT l.source AS src_a, r.source AS src_b,
+             CAST(sum(abs(l.p - r.p) - l.p - r.p) AS BIGINT) AS s
+           FROM ppm l JOIN ppm r ON l.w = r.w AND l.source < r.source
+           GROUP BY 1, 2)
+         SELECT a.source AS src_a, b.source AS src_b,
+           CAST((COALESCE(sh.s, 0) + a.m + b.m) // 2 AS BIGINT) AS tv_ppm
+         FROM mass a JOIN mass b ON a.source < b.source
+         LEFT JOIN sh ON sh.src_a = a.source AND sh.src_b = b.source
+         ORDER BY 1, 2""",
+    "q162_length_quantiles" ->
+      """WITH t AS (SELECT source,
+           CAST(len(list_filter(string_split(text, ' '), x -> x != '')) AS BIGINT) AS n
+         FROM documents)
+         SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n) AS BIGINT) AS total_tokens,
+           quantile_cont(n, 0.25) AS p25, quantile_cont(n, 0.50) AS p50,
+           quantile_cont(n, 0.75) AS p75, quantile_cont(n, 0.95) AS p95
+         FROM t GROUP BY 1 ORDER BY 1""",
     "q157_crossmodal_agreement" ->
       """WITH s AS (SELECT doc_id, list_transform(generate_series(1, len(ws) - 2), i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]) AS sh
                FROM (SELECT doc_id, list_filter(string_split(text, ' '), x -> x != '') AS ws FROM documents WHERE doc_id < 500)

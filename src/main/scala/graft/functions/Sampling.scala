@@ -367,4 +367,26 @@ object Sampling {
       .withColumn("weight_ppm", F.expr("isqrt * 1000000L DIV __tot"))
       .drop("__tot")
   }
+
+  /** Shard-balance audit over [[shardPlan]]'s manifest: per (group, shard),
+    * its doc count, token total, and budget fill in ppm. The layout fills
+    * shards to `targetTokens` with at most one document of overshoot and
+    * one underfull tail shard per group — this audit is the proof: every
+    * non-tail shard's `fill_ppm` sits in [1e6, 1e6 + maxDocTokens·1e6/
+    * budget), and a long tail of underfull shards means the budget is
+    * mis-sized for the corpus (stragglers in the training read path).
+    *
+    * Scale shape: [[shardPlan]]'s per-group running window (partitions =
+    * groups, linear) into ONE (group, shard) count aggregate — manifest
+    * rows, never corpus rows, reach the output. The ×1e6 step widens
+    * through DECIMAL(38,0): shard_tokens ≈ budget, but the audit must not
+    * overflow when someone audits petascale budgets. */
+  def shardBalance(df: DataFrame, idCol: String, textCol: String,
+      groupCol: String, targetTokens: Long): DataFrame =
+    shardPlan(df, idCol, textCol, groupCol, targetTokens)
+      .groupBy(F.col(groupCol), F.col("shard_id"))
+      .agg(F.count(F.lit(1)).as("n_docs"),
+        F.sum("n_tokens").as("shard_tokens"))
+      .withColumn("fill_ppm",
+        F.expr(s"CAST(CAST(shard_tokens AS DECIMAL(38,0)) * 1000000 DIV ${targetTokens}L AS BIGINT)"))
 }

@@ -482,4 +482,30 @@ object Similarity {
     ivfAssign(embeddings, embCol, idCol, centroids, centIdCol, centVecCol)
       .groupBy("cell").agg(F.count(F.lit(1)).as("n_members"))
       .where(F.col("n_members") > maxCellSize)
+
+  /** IVF index cell-balance audit: per cell, its member count and corpus
+    * share in ppm. A skewed index serves most queries from a few huge
+    * cells (probe cost ∝ cell size) while the rest sit empty — this is
+    * the number you check before shipping centroids built by
+    * [[kmeansCentroids]], and the re-cluster trigger for dense regions
+    * (the same signal [[semDedupOversizeCells]] caps on).
+    *
+    * Scale shape: the assignment is [[ivfAssign]]'s broadcast-centroid
+    * scan (no shuffle); the only exchange is the |cells|-row count
+    * aggregate, which is cut once so the corpus scan doesn't run twice
+    * for the total. The ×1e6 step widens through DECIMAL(38,0): a cell's
+    * count is corpus-scale, exactly the range the ANSI overflow audit
+    * flagged for plain `x * 1000000L`. */
+  def ivfCellBalance(embeddings: DataFrame, embCol: String, idCol: String,
+      centroids: DataFrame, centIdCol: String, centVecCol: String): DataFrame = {
+    val counts = ivfAssign(embeddings, embCol, idCol,
+        centroids, centIdCol, centVecCol)
+      .groupBy("cell").agg(F.count(F.lit(1)).as("n_vecs"))
+      .localCheckpoint(true)
+    val total = counts.agg(F.sum("n_vecs").as("__t"))
+    counts.crossJoin(F.broadcast(total))
+      .select(F.col("cell"), F.col("n_vecs"),
+        F.expr("CAST(CAST(n_vecs AS DECIMAL(38,0)) * 1000000 DIV __t AS BIGINT)")
+          .as("share_ppm"))
+  }
 }

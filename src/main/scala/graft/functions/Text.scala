@@ -745,4 +745,81 @@ object Text {
         F.size(F.col("__ts")).cast("long").as("n_before"),
         F.size(F.col("__keep")).cast("long").as("n_after"),
         F.array_join(F.col("__keep"), " ").as("clean_text"))
+
+  /** Pairwise total-variation distance between per-group unigram
+    * distributions, in ppm — the metric half of mixture design that
+    * [[sourceSimilarity]]'s cosine misses: cosine saturates near 1 for any
+    * two large natural-language sources (shared stopword mass dominates
+    * the dot product), while TV distance `½·Σ|p−q|` stays sensitive to
+    * the content-word tail and is a proper metric (triangle inequality
+    * holds, so the matrix supports clustering sources).
+    *
+    * Exactness: distributions are integer ppm (`cnt·1e6 DIV total`,
+    * corpus-scale counts widened through DECIMAL(38,0)). The vocab-pair
+    * sum runs over SHARED terms only: `2·TV = Σ_shared(|p−q| − p − q) +
+    * Tₐ + T_b` where `T_g = Σ p_g` over g's whole vocabulary — terms the
+    * other source lacks contribute their full mass through the `T`s, so
+    * a full-outer join over the union vocabulary never happens. The
+    * shared-term summand is negative but the final numerator is ≥ 0 by
+    * construction, so the closing `DIV 2` floors identically in both
+    * engines (DIV/`//` agree on non-negatives only).
+    *
+    * Scale shape (100 TB): one (group, term) count shuffle with map-side
+    * combine — the only corpus-sized exchange; the ppm table feeds three
+    * consumers (both pair-join sides + per-group masses), so it is
+    * lineage-cut once. Pair fan-out per term is |groups containing t|²,
+    * sized for domain-level group counts like [[sourceSimilarity]].
+    * Output has a row for EVERY group pair (via the broadcast mass
+    * table), including pairs sharing no term (TV = (Tₐ+T_b) DIV 2). */
+  def sourceDivergence(df: org.apache.spark.sql.DataFrame, groupCol: String,
+      textCol: String): org.apache.spark.sql.DataFrame = {
+    val cnt = df
+      .select(F.col(groupCol).as("__g"), F.explode(tokens(F.col(textCol))).as("__w"))
+      .groupBy("__g", "__w").agg(F.count(F.lit(1)).as("__c"))
+    val totals = cnt.groupBy("__g").agg(F.sum("__c").as("__t"))
+    val ppm = cnt.join(F.broadcast(totals), "__g")
+      .select(F.col("__g"), F.col("__w"),
+        F.expr("CAST(CAST(__c AS DECIMAL(38,0)) * 1000000 DIV __t AS BIGINT)").as("__p"))
+      .localCheckpoint(true)
+    val mass = ppm.groupBy("__g").agg(F.sum("__p").as("__m"))
+    val shared = ppm.select(F.col("__g").as("src_a"), F.col("__w"), F.col("__p").as("__pa"))
+      .join(ppm.select(F.col("__g").as("src_b"), F.col("__w"), F.col("__p").as("__pb")),
+        "__w")
+      .where(F.col("src_a") < F.col("src_b"))
+      .groupBy("src_a", "src_b")
+      .agg(F.sum(F.expr("abs(__pa - __pb) - __pa - __pb")).as("__s"))
+    F.broadcast(mass.select(F.col("__g").as("src_a"), F.col("__m").as("__ma")))
+      .join(F.broadcast(mass.select(F.col("__g").as("src_b"), F.col("__m").as("__mb"))),
+        F.col("src_a") < F.col("src_b"))
+      .join(shared, Seq("src_a", "src_b"), "left")
+      .select(F.col("src_a"), F.col("src_b"),
+        F.expr("(coalesce(__s, 0L) + __ma + __mb) DIV 2").as("tv_ppm"))
+  }
+
+  /** Per-group token-length distribution: doc count, token total, and
+    * exact quantiles (p25/p50/p75/p95) of per-document token counts — the
+    * first chart on any corpus data card, and the number that sizes
+    * sequence-packing budgets ([[sequencePack]]) and length-bucket batches
+    * before a training run. Exact `percentile` over integer token counts,
+    * not an approximate sketch: bit-identical to DuckDB `quantile_cont`
+    * (the established integer-input parity), so it oracles cell-exact.
+    *
+    * Scale shape: one scan computing each doc's token count, one
+    * group-keyed aggregate. Exact percentile buffers a group's count LIST
+    * on the reducer — per-GROUP rows, the one deliberate non-streaming
+    * aggregate here; for corpus-scale groups at 100 TB swap in a fixed
+    * integer histogram (token counts are bounded small ints, histogram
+    * quantiles are exact) — same output, bounded state. At data-card
+    * group counts (sources/languages) the list path is both exact and
+    * cheap. */
+  def lengthQuantiles(df: org.apache.spark.sql.DataFrame, groupCol: String,
+      textCol: String): org.apache.spark.sql.DataFrame =
+    df.select(F.col(groupCol), tokenCount(F.col(textCol)).cast("long").as("__n"))
+      .groupBy(groupCol)
+      .agg(F.count(F.lit(1)).as("n_docs"),
+        F.sum("__n").as("total_tokens"),
+        F.expr("percentile(__n, 0.25)").as("p25"),
+        F.expr("percentile(__n, 0.50)").as("p50"),
+        F.expr("percentile(__n, 0.75)").as("p75"),
+        F.expr("percentile(__n, 0.95)").as("p95"))
 }

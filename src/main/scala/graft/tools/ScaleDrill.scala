@@ -274,6 +274,30 @@ object ScaleDrill {
     "novelty (q158)" -> (docs =>
       Dedup.contentNovelty(docs, "doc_id", "text", k = 3)
         .groupBy().agg(F.sum("n_novel").as("tn"), F.sum("n_grams").as("tg"))),
+    // replica-salted group key (same construction as source_sim): group
+    // count and vocab grow linearly, per-group vocab stays the base's, and
+    // cross-replica groups share no term — the pair join stays linear
+    "source_div (q161)" -> (docs =>
+      Text.sourceDivergence(
+        docs.withColumn("source", F.concat_ws("_", F.col("source"),
+          F.floor(F.col("doc_id") / 10000000L).cast("string"))),
+        "source", "text")),
+    // replica-salted groups: window partition COUNT grows, partition SIZE
+    // stays the base's (the shardPlan scale contract); the audit adds one
+    // manifest-sized aggregate on top
+    "shard_balance (q160)" -> (docs =>
+      Sampling.shardBalance(
+        docs.withColumn("source", F.concat_ws("_", F.col("source"),
+          F.floor(F.col("doc_id") / 10000000L).cast("string"))),
+        "doc_id", "text", "source", targetTokens = 500L)),
+    // replica-salted groups keep the exact-percentile buffer at the base
+    // group's row count while group count grows — the scale-safe usage
+    // the scaladoc prescribes (fixed groups at 100 TB -> histogram path)
+    "length_quantiles (q162)" -> (docs =>
+      Text.lengthQuantiles(
+        docs.withColumn("source", F.concat_ws("_", F.col("source"),
+          F.floor(F.col("doc_id") / 10000000L).cast("string"))),
+        "source", "text")),
     // salted text → salted 40-char payload prefixes: checksum universes
     // are disjoint per replica, dup-group volume grows linearly; only
     // (checksum, id) shuffles and the payload bytes stay in the scan
@@ -320,6 +344,14 @@ object ScaleDrill {
       Similarity.hardNegatives(emb.where(F.col("vec_id") % 100 =!= 0),
         "embedding", "vec_id", queries, "vec_id", "embedding",
         skipK = 10, poolK = 30, m = 5)
+    },
+    // fixed centroid table (the audit fixes its index, q143 discipline):
+    // per corpus row the assign does |cells| dots in one scan; the count
+    // aggregate is |cells| rows — the row pins assign-scan linearity
+    "cell_balance (q159)" -> { emb =>
+      val cents = emb.where(F.col("vec_id") < 16)
+        .select(F.col("vec_id").as("cid"), F.col("embedding").as("cv"))
+      Similarity.ivfCellBalance(emb, "embedding", "vec_id", cents, "cid", "cv")
     })
 
   /** USER-salted N× replication of the events table: each replica's users

@@ -1390,4 +1390,63 @@ class FunctionsSpec extends AnyFunSuite {
     }
     assert(got.values.map(_._4).sum <= 1000000L)
   }
+
+  test("ivfCellBalance: per-cell counts and ppm shares on the clustered fixture") {
+    val vecs = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f)),
+      (1L, Array(0.9f, 0.1f, 0.0f)),
+      (2L, Array(0.0f, 1.0f, 0.0f)),
+      (3L, Array(0.1f, 0.9f, 0.0f)),
+      (4L, Array(0.0f, 0.0f, 1.0f))).toDF("vec_id", "embedding")
+    val cents = vecs.where($"vec_id".isin(0L, 2L, 4L))
+    val got = Similarity.ivfCellBalance(vecs, "embedding", "vec_id",
+        cents, "vec_id", "embedding")
+      .as[(Long, Long, Long)].collect().sortBy(_._1).toSeq
+    // cells: 0 <- {0,1}, 2 <- {2,3}, 4 <- {4}; shares 2/5, 2/5, 1/5
+    assert(got == Seq((0L, 2L, 400000L), (2L, 2L, 400000L), (4L, 1L, 200000L)))
+  }
+
+  test("shardBalance: fills, one-doc overshoot, and the underfull tail shard") {
+    // A tokens 3,3,3 budget 5: offsets 0,3,6 -> shards 0,0,1
+    val df = Seq(
+      (1L, "a b c", "A"), (2L, "d e f", "A"), (3L, "g h i", "A"),
+      (4L, "x", "B")).toDF("doc_id", "text", "source")
+    val got = Sampling.shardBalance(df, "doc_id", "text", "source", targetTokens = 5L)
+      .select($"source", $"shard_id", $"n_docs", $"shard_tokens", $"fill_ppm")
+      .as[(String, Long, Long, Long, Long)].collect().sortBy(r => (r._1, r._2)).toSeq
+    assert(got == Seq(
+      ("A", 0L, 2L, 6L, 1200000L),   // overshoot: budget + (3-2) extra tokens
+      ("A", 1L, 1L, 3L, 600000L),    // underfull tail
+      ("B", 0L, 1L, 1L, 200000L)))
+  }
+
+  test("sourceDivergence: hand-computed TV ppm incl. a no-shared-term pair") {
+    // A: x 666666, y 333333 (mass 999999); B: x 500000, z 500000 (mass 1e6);
+    // C: q 1000000. TV(A,B) = (|666666-500000| + 333333 + 500000)/2 = 499999
+    val df = Seq(("A", "x x y"), ("B", "x z"), ("C", "q q")).toDF("source", "text")
+    val got = Text.sourceDivergence(df, "source", "text")
+      .as[(String, String, Long)].collect().map(r => (r._1, r._2) -> r._3).toMap
+    assert(got(("A", "B")) == 499999L)
+    assert(got(("A", "C")) == 999999L)    // disjoint: (999999 + 1000000) DIV 2
+    assert(got(("B", "C")) == 1000000L)   // disjoint, full masses
+    assert(got.size == 3)                 // every pair appears exactly once
+    // identical distributions: TV is 0 exactly
+    val twin = Seq(("A", "x y"), ("B", "x y")).toDF("source", "text")
+    assert(Text.sourceDivergence(twin, "source", "text")
+      .head().getAs[Long]("tv_ppm") == 0L)
+  }
+
+  test("lengthQuantiles: interpolated quartiles over integer token counts") {
+    val df = Seq(
+      (1L, "a", "A"), (2L, "a b", "A"), (3L, "a b c", "A"), (4L, "a b c d", "A"))
+      .toDF("doc_id", "text", "source")
+    val r = Text.lengthQuantiles(df, "source", "text").head()
+    assert(r.getAs[Long]("n_docs") == 4L)
+    assert(r.getAs[Long]("total_tokens") == 10L)
+    // quantile_cont over [1,2,3,4]: linear interpolation at h = p*(n-1)
+    assert(r.getAs[Double]("p25") == 1.75)
+    assert(r.getAs[Double]("p50") == 2.5)
+    assert(r.getAs[Double]("p75") == 3.25)
+    assert(math.abs(r.getAs[Double]("p95") - 3.85) < 1e-12)
+  }
 }
