@@ -1386,6 +1386,27 @@ object SparkEntry {
           "source", "text")
         .orderBy("source")),
 
+    "q163_cluster_sizes" -> ((s, dir) => {
+      // dedup-payoff histogram over the q60 clustering: clusters per size
+      // and the documents they hold
+      val pairs = Dedup.nearDupPairs(
+          table(s, dir, "documents").where(Text.tokenCount(F.col("text")) >= 3),
+          "doc_id", "text", k = 3, numHashes = 4, rowsPerBand = 2, threshold = 0.05)
+        .select("a", "b")
+      Dedup.clusterSizeHistogram(
+          Dedup.duplicateClusters(pairs, "a", "b"), "cluster_id")
+        .orderBy("cluster_size")
+    }),
+
+    "q164_cross_source_dup" -> ((s, dir) =>
+      // provenance matrix: verified near-dup pairs rolled up by unordered
+      // source pair — off-diagonal spikes = shared crawl ancestry
+      Dedup.crossSourceDupMatrix(
+          table(s, dir, "documents").where(Text.tokenCount(F.col("text")) >= 3),
+          "doc_id", "text", "source",
+          k = 3, numHashes = 4, rowsPerBand = 2, threshold = 0.05)
+        .orderBy("src_a", "src_b")),
+
     "q157_crossmodal_agreement" -> ((s, dir) => {
       // do lexical (minhash) and semantic (embedding-cosine) near-dup
       // notions agree on this corpus? Pair-set arithmetic on the shared
@@ -2908,6 +2929,56 @@ object SparkEntry {
            quantile_cont(n, 0.25) AS p25, quantile_cont(n, 0.50) AS p50,
            quantile_cont(n, 0.75) AS p75, quantile_cont(n, 0.95) AS p95
          FROM t GROUP BY 1 ORDER BY 1""",
+    "q163_cluster_sizes" ->
+      """WITH RECURSIVE
+         s AS (SELECT doc_id, list_transform(generate_series(1, len(ws) - 2), i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]) AS sh
+               FROM (SELECT doc_id, list_filter(string_split(text, ' '), x -> x != '') AS ws FROM documents)
+               WHERE len(ws) >= 3),
+         b AS (SELECT doc_id, sh,
+           md5(list_aggregate(list_transform(sh, x -> md5('0|' || x)), 'min') || '|' || list_aggregate(list_transform(sh, x -> md5('1|' || x)), 'min')) AS band0,
+           md5(list_aggregate(list_transform(sh, x -> md5('2|' || x)), 'min') || '|' || list_aggregate(list_transform(sh, x -> md5('3|' || x)), 'min')) AS band1
+           FROM s),
+         cand AS (
+           SELECT l.doc_id AS a, r.doc_id AS b FROM b l JOIN b r ON l.band0 = r.band0 AND l.doc_id < r.doc_id
+           UNION
+           SELECT l.doc_id AS a, r.doc_id AS b FROM b l JOIN b r ON l.band1 = r.band1 AND l.doc_id < r.doc_id),
+         pairs AS (
+           SELECT c.a, c.b FROM cand c JOIN b la ON c.a = la.doc_id JOIN b lb ON c.b = lb.doc_id
+           WHERE CAST(len(list_intersect(list_distinct(la.sh), list_distinct(lb.sh))) AS DOUBLE) /
+                 CAST(len(list_distinct(list_concat(list_distinct(la.sh), list_distinct(lb.sh)))) AS DOUBLE) >= 0.05),
+         bi AS (SELECT a AS src, b AS dst FROM pairs UNION SELECT b, a FROM pairs),
+         reach(node, r) AS (
+           SELECT src, src FROM bi
+           UNION
+           SELECT bi.src, reach.r FROM bi JOIN reach ON bi.dst = reach.node),
+         lbl AS (SELECT node, min(r) AS cluster_id FROM reach GROUP BY 1),
+         sz AS (SELECT cluster_id, count(*) AS cs FROM lbl GROUP BY 1)
+         SELECT CAST(cs AS BIGINT) AS cluster_size,
+           CAST(count(*) AS BIGINT) AS n_clusters,
+           CAST(cs * count(*) AS BIGINT) AS n_docs
+         FROM sz GROUP BY cs ORDER BY 1""",
+    "q164_cross_source_dup" ->
+      """WITH s AS (SELECT doc_id, list_transform(generate_series(1, len(ws) - 2), i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]) AS sh
+               FROM (SELECT doc_id, list_filter(string_split(text, ' '), x -> x != '') AS ws FROM documents)
+               WHERE len(ws) >= 3),
+         b AS (SELECT doc_id, sh,
+           md5(list_aggregate(list_transform(sh, x -> md5('0|' || x)), 'min') || '|' || list_aggregate(list_transform(sh, x -> md5('1|' || x)), 'min')) AS band0,
+           md5(list_aggregate(list_transform(sh, x -> md5('2|' || x)), 'min') || '|' || list_aggregate(list_transform(sh, x -> md5('3|' || x)), 'min')) AS band1
+           FROM s),
+         cand AS (
+           SELECT l.doc_id AS a, r.doc_id AS b FROM b l JOIN b r ON l.band0 = r.band0 AND l.doc_id < r.doc_id
+           UNION
+           SELECT l.doc_id AS a, r.doc_id AS b FROM b l JOIN b r ON l.band1 = r.band1 AND l.doc_id < r.doc_id),
+         pairs AS (
+           SELECT c.a, c.b FROM cand c JOIN b la ON c.a = la.doc_id JOIN b lb ON c.b = lb.doc_id
+           WHERE CAST(len(list_intersect(list_distinct(la.sh), list_distinct(lb.sh))) AS DOUBLE) /
+                 CAST(len(list_distinct(list_concat(list_distinct(la.sh), list_distinct(lb.sh)))) AS DOUBLE) >= 0.05)
+         SELECT least(da.source, db.source) AS src_a,
+           greatest(da.source, db.source) AS src_b,
+           CAST(count(*) AS BIGINT) AS n_pairs
+         FROM pairs p JOIN documents da ON p.a = da.doc_id
+           JOIN documents db ON p.b = db.doc_id
+         GROUP BY 1, 2 ORDER BY 1, 2""",
     "q157_crossmodal_agreement" ->
       """WITH s AS (SELECT doc_id, list_transform(generate_series(1, len(ws) - 2), i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]) AS sh
                FROM (SELECT doc_id, list_filter(string_split(text, ' '), x -> x != '') AS ws FROM documents WHERE doc_id < 500)

@@ -298,6 +298,50 @@ object Dedup {
       .withColumn("novelty_ppm", F.expr("n_novel * 1000000L DIV n_grams"))
   }
 
+  /** Cluster-size histogram over a [[duplicateClusters]] labeling: for
+    * each cluster SIZE, how many clusters have it and how many documents
+    * they hold. This is the shape that decides the dedup strategy's
+    * payoff — a corpus whose mass sits in a few giant clusters (template
+    * farms, mirror sites) dedups to a fraction of its size, one whose
+    * histogram is all 2s barely shrinks — and the giant-cluster tail is
+    * the skew the per-cluster resolution steps must survive.
+    *
+    * Scale shape: two count aggregates — (cluster → size) over label
+    * rows, then (size → n_clusters) over cluster rows — each strictly
+    * smaller than its input; nothing corpus-sized leaves the first
+    * map-side-combined count. */
+  def clusterSizeHistogram(clusters: DataFrame, clusterCol: String): DataFrame =
+    clusters.groupBy(clusterCol).agg(F.count(F.lit(1)).as("__cs"))
+      .groupBy(F.col("__cs").as("cluster_size"))
+      .agg(F.count(F.lit(1)).as("n_clusters"))
+      .withColumn("n_docs", F.col("cluster_size") * F.col("n_clusters"))
+
+  /** Cross-source duplication matrix: verified near-dup pairs rolled up
+    * by the (unordered) source pair — which sources copy from which. The
+    * provenance question behind mixture design: an off-diagonal spike
+    * means two "independent" sources share a crawl ancestry and their
+    * mixture weights double-count the same text; the diagonal is each
+    * source's internal redundancy.
+    *
+    * Scale shape: the pair list is [[nearDupPairs]]' banded-LSH output
+    * (bucketed, capped — never all-pairs); attaching sources is two
+    * id-keyed joins against an (id, source) projection — text never
+    * moves; the final aggregate is |sources|² rows. */
+  def crossSourceDupMatrix(df: DataFrame, idCol: String, textCol: String,
+      sourceCol: String, k: Int = 3, numHashes: Int = 8, rowsPerBand: Int = 2,
+      threshold: Double = 0.7): DataFrame = {
+    val pairs = nearDupPairs(df, idCol, textCol, k, numHashes, rowsPerBand,
+      threshold).select("a", "b")
+    val src = df.select(F.col(idCol).as("__id"), F.col(sourceCol).as("__src"))
+    pairs
+      .join(src.select(F.col("__id").as("a"), F.col("__src").as("__sa")), "a")
+      .join(src.select(F.col("__id").as("b"), F.col("__src").as("__sb")), "b")
+      .groupBy(
+        F.least(F.col("__sa"), F.col("__sb")).as("src_a"),
+        F.greatest(F.col("__sa"), F.col("__sb")).as("src_b"))
+      .agg(F.count(F.lit(1)).as("n_pairs"))
+  }
+
   /** MinHash estimator calibration — the companion audit to
     * [[lshRecallAudit]]: for each signature-AGREEMENT level (0..numHashes
     * matching components), how the TRUE Jaccard of candidate pairs

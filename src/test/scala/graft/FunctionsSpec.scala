@@ -1436,6 +1436,25 @@ class FunctionsSpec extends AnyFunSuite {
       .head().getAs[Long]("tv_ppm") == 0L)
   }
 
+  test("clusterSizeHistogram: sizes, cluster counts, and doc totals") {
+    val lbl = Seq((1L, 1L), (2L, 1L), (3L, 1L), (4L, 4L), (5L, 4L), (6L, 6L))
+      .toDF("id", "cluster_id")
+    val got = Dedup.clusterSizeHistogram(lbl, "cluster_id")
+      .as[(Long, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(got == Seq((1L, 1L, 1L), (2L, 1L, 2L), (3L, 1L, 3L)))
+  }
+
+  test("crossSourceDupMatrix: unordered source pairs incl. the diagonal") {
+    val df = Seq(
+      (1L, "x y z w", "A"), (2L, "x y z w", "B"),     // cross-source dup
+      (3L, "p q r s", "A"), (4L, "p q r s", "A"),     // within-source dup
+      (5L, "totally unrelated filler words here", "B"))
+      .toDF("doc_id", "text", "source")
+    val got = Dedup.crossSourceDupMatrix(df, "doc_id", "text", "source")
+      .as[(String, String, Long)].collect().map(r => (r._1, r._2) -> r._3).toMap
+    assert(got == Map(("A", "A") -> 1L, ("A", "B") -> 1L))
+  }
+
   test("lengthQuantiles: interpolated quartiles over integer token counts") {
     val df = Seq(
       (1L, "a", "A"), (2L, "a b", "A"), (3L, "a b c", "A"), (4L, "a b c d", "A"))

@@ -340,6 +340,54 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("Window"), s"no window allowed (array fold):\n$p")
   }
 
+  test("q159 cell balance: broadcast centroids; counts cut so the corpus scans once") {
+    val p = plan("q159_ivf_cell_balance")
+    val scans = "Scan parquet".r.findAllIn(p).size
+    assert(scans <= 2, s"corpus must not re-scan for the total (got $scans):\n$p")
+    assert(p.contains("Scan ExistingRDD"),
+      s"the |cells|-row count frame must be lineage-cut:\n$p")
+  }
+
+  test("q160 shard balance: per-group window, partial-aggregated manifest rollup") {
+    val p = plan("q160_shard_balance")
+    assert(p.contains("Window"), s"running offset must be a window:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"no join belongs in this plan:\n$p")
+    assert(p.contains("partial_"), s"the shard rollup must map-side combine:\n$p")
+  }
+
+  test("q161 source divergence: ppm table cut once; pair join term-keyed; masses broadcast") {
+    val p = plan("q161_source_divergence")
+    assert(p.contains("Scan ExistingRDD"),
+      s"ppm table must be lineage-cut (corpus scanned once):\n$p")
+    assert(!p.contains("CartesianProduct"),
+      s"shared-term join must be term-keyed:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"per-group totals must broadcast:\n$p")
+  }
+
+  test("q162 length quantiles: one scan, one keyed aggregate, no window or join") {
+    val p = plan("q162_length_quantiles")
+    val scans = "Scan parquet".r.findAllIn(p).size
+    assert(scans == 1, s"exactly one corpus scan (got $scans):\n$p")
+    assert(!p.contains("Window") && !p.contains("Join"),
+      s"data card is scan + aggregate only:\n$p")
+  }
+
+  test("q163 cluster sizes: label propagation stays cut; histogram adds no corpus scan") {
+    val p = plan("q163_cluster_sizes")
+    assert(p.contains("Scan ExistingRDD"),
+      s"cluster labels must come from the cut iteration output:\n$p")
+    assert(!p.contains("CartesianProduct"), s"no all-pairs anywhere:\n$p")
+  }
+
+  test("q164 cross-source matrix: id-keyed source attach, no cartesian") {
+    val p = plan("q164_cross_source_dup")
+    assert(!p.contains("CartesianProduct"), s"no all-pairs anywhere:\n$p")
+    assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin"),
+      s"source attach must be an id-keyed equi-join:\n$p")
+  }
+
   test("SPI whole-stream aggregate keeps a real Exchange between partial and final stages") {
     // coalesce(1) here would be a narrow dependency — Spark would collapse
     // the partial stage into the single final task and the per-partition
