@@ -1407,6 +1407,31 @@ object SparkEntry {
           k = 3, numHashes = 4, rowsPerBand = 2, threshold = 0.05)
         .orderBy("src_a", "src_b")),
 
+    "q165_incremental_novelty" -> ((s, dir) => {
+      // crawl-valuation: per NEW doc (doc_id % 3 == 0), the fraction of
+      // its grams absent from the BASE corpus (the other two thirds)
+      val docs = table(s, dir, "documents")
+      Dedup.incrementalNovelty(
+          docs.where(F.col("doc_id") % 3 === 0),
+          docs.where(F.col("doc_id") % 3 =!= 0), "doc_id", "text", k = 3)
+        .orderBy("doc_id")
+    }),
+
+    "q166_gate_funnel" -> ((s, dir) => {
+      // curation observability: every doc charged to the FIRST gate it
+      // fails; one corpus scan + tiny-frame arithmetic
+      import org.apache.spark.sql.expressions.Window
+      val docs = table(s, dir, "documents").withColumn("__first",
+        F.col("doc_id") === F.min("doc_id").over(
+          Window.partitionBy(F.md5(F.col("text")))))
+      Text.gateFunnel(docs, Seq(
+          "min_tokens" -> (Text.tokenCount(F.col("text")) >= 5),
+          "lang_en" -> (F.col("lang") === "en"),
+          "quality" -> Text.qualityKeep(F.col("text")),
+          "exact_unique" -> F.col("__first")))
+        .orderBy("gate_idx")
+    }),
+
     "q157_crossmodal_agreement" -> ((s, dir) => {
       // do lexical (minhash) and semantic (embedding-cosine) near-dup
       // notions agree on this corpus? Pair-set arithmetic on the shared
@@ -2979,6 +3004,38 @@ object SparkEntry {
          FROM pairs p JOIN documents da ON p.a = da.doc_id
            JOIN documents db ON p.b = db.doc_id
          GROUP BY 1, 2 ORDER BY 1, 2""",
+    "q165_incremental_novelty" ->
+      """WITH s AS (SELECT doc_id, list_distinct(list_transform(generate_series(1, len(ws) - 2), i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS sh
+               FROM (SELECT doc_id, list_filter(string_split(text, ' '), x -> x != '') AS ws FROM documents)
+               WHERE len(ws) >= 3),
+         base AS (SELECT DISTINCT unnest(sh) AS g FROM s WHERE doc_id % 3 != 0),
+         g AS (SELECT doc_id, unnest(sh) AS gr FROM s WHERE doc_id % 3 = 0)
+         SELECT g.doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+           CAST(sum(CASE WHEN b.g IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_new,
+           CAST(sum(CASE WHEN b.g IS NULL THEN 1 ELSE 0 END) * 1000000 // count(*) AS BIGINT) AS novelty_ppm
+         FROM g LEFT JOIN base b ON g.gr = b.g
+         GROUP BY 1 ORDER BY 1""",
+    "q166_gate_funnel" ->
+      """WITH f AS (SELECT doc_id, lang, text,
+           len(list_filter(string_split(text, ' '), x -> x != '')) AS nt,
+           length(regexp_replace(text, '[^[:punct:]]', '', 'g')) AS np,
+           (doc_id = min(doc_id) OVER (PARTITION BY md5(text))) AS keep_first
+         FROM documents),
+         ff AS (SELECT CASE
+             WHEN NOT (nt >= 5) THEN 0
+             WHEN NOT (lang = 'en') THEN 1
+             WHEN NOT (nt BETWEEN 5 AND 100000 AND np * 1000 <= length(text) * 300) THEN 2
+             WHEN NOT keep_first THEN 3
+             ELSE 4 END AS ffail FROM f),
+         d AS (SELECT ffail, count(*) AS dn FROM ff GROUP BY 1),
+         tot AS (SELECT sum(dn) AS n FROM d),
+         gates AS (SELECT * FROM (VALUES (0, 'min_tokens'), (1, 'lang_en'), (2, 'quality'), (3, 'exact_unique')) AS v(gate_idx, gate))
+         SELECT CAST(g.gate_idx AS BIGINT) AS gate_idx, g.gate,
+           CAST(t.n - COALESCE(sum(CASE WHEN d.ffail < g.gate_idx THEN d.dn END), 0) AS BIGINT) AS n_in,
+           CAST(t.n - COALESCE(sum(CASE WHEN d.ffail < g.gate_idx THEN d.dn END), 0)
+                - COALESCE(sum(CASE WHEN d.ffail = g.gate_idx THEN d.dn END), 0) AS BIGINT) AS n_out
+         FROM gates g CROSS JOIN tot t LEFT JOIN d ON d.ffail <= g.gate_idx
+         GROUP BY 1, 2, t.n ORDER BY 1""",
     "q157_crossmodal_agreement" ->
       """WITH s AS (SELECT doc_id, list_transform(generate_series(1, len(ws) - 2), i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]) AS sh
                FROM (SELECT doc_id, list_filter(string_split(text, ' '), x -> x != '') AS ws FROM documents WHERE doc_id < 500)

@@ -298,6 +298,35 @@ object Dedup {
       .withColumn("novelty_ppm", F.expr("n_novel * 1000000L DIV n_grams"))
   }
 
+  /** Incremental novelty against a BASE corpus: for each candidate
+    * document, the fraction of its distinct k-grams absent from the base
+    * — the "is this crawl worth ingesting" number. [[contentNovelty]]
+    * ranks documents within one corpus; this values a NEW batch against
+    * what the pipeline already holds, per document (the doc-level score
+    * [[crossCorpusDedup]]'s binary dup flag collapses away).
+    *
+    * Scale shape: the base contributes only its DISTINCT gram set, and
+    * the probe is a gram-keyed left join marking presence — the exact
+    * mirror of [[crossCorpusDedup]]'s keyed join (non-broadcast: the
+    * base is corpus-sized). Only gram strings and ids shuffle; at 100 TB
+    * store the base side as a bucketed gram table so re-probes skip its
+    * shuffle entirely. */
+  def incrementalNovelty(newDf: DataFrame, baseDf: DataFrame, idCol: String,
+      textCol: String, k: Int = 3): DataFrame = {
+    val baseGrams = baseDf
+      .select(F.explode(F.array_distinct(shingles(F.col(textCol), k))).as("__g"))
+      .distinct()
+      .withColumn("__seen", F.lit(1L))
+    newDf
+      .select(F.col(idCol),
+        F.explode(F.array_distinct(shingles(F.col(textCol), k))).as("__g"))
+      .join(baseGrams, Seq("__g"), "left")
+      .groupBy(idCol)
+      .agg(F.count(F.lit(1)).as("n_grams"),
+        F.sum(F.when(F.col("__seen").isNull, 1L).otherwise(0L)).as("n_new"))
+      .withColumn("novelty_ppm", F.expr("n_new * 1000000L DIV n_grams"))
+  }
+
   /** Cluster-size histogram over a [[duplicateClusters]] labeling: for
     * each cluster SIZE, how many clusters have it and how many documents
     * they hold. This is the shape that decides the dedup strategy's

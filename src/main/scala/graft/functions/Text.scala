@@ -746,6 +746,47 @@ object Text {
         F.size(F.col("__keep")).cast("long").as("n_after"),
         F.array_join(F.col("__keep"), " ").as("clean_text"))
 
+  /** Quality-gate funnel report: documents flow through an ORDERED gate
+    * sequence and each is charged to the FIRST gate it fails — the
+    * pipeline-observability face of curation (every real corpus run ends
+    * with "where did my documents go?"). Returns one row per gate:
+    * (gate_idx, gate, n_in, n_out). Gates are arbitrary boolean Columns,
+    * so precomputed flags (a dedup keep flag, a classifier verdict) chain
+    * with scan-stage predicates in one funnel.
+    *
+    * Scale shape: ONE corpus scan computing the first-failing-gate index
+    * per row into a ≤|gates|+1-row count; everything after (cumulative
+    * in/out arithmetic) happens on that tiny cut frame — the non-equi
+    * joins below are |gates|×|gates| nested loops over broadcast rows,
+    * never corpus rows. */
+  def gateFunnel(df: org.apache.spark.sql.DataFrame,
+      gates: Seq[(String, Column)]): org.apache.spark.sql.DataFrame = {
+    require(gates.nonEmpty, "gateFunnel needs at least one gate")
+    val firstFail = gates.zipWithIndex.drop(1)
+      .foldLeft(F.when(!gates.head._2, 0)) { case (acc, ((_, p), i)) =>
+        acc.when(!p, i) }
+      .otherwise(gates.size)
+    val dropped = df.select(firstFail.cast("long").as("__ff"))
+      .groupBy("__ff").agg(F.count(F.lit(1)).as("__d"))
+      .localCheckpoint(true)
+    val total = dropped.agg(F.coalesce(F.sum("__d"), F.lit(0L)).as("__n"))
+    val s = df.sparkSession
+    import s.implicits._
+    val gdf = gates.zipWithIndex
+      .map { case ((name, _), i) => (i.toLong, name) }.toDF("gate_idx", "gate")
+    gdf.join(F.broadcast(dropped), F.col("__ff") <= F.col("gate_idx"), "left")
+      .groupBy("gate_idx", "gate")
+      .agg(
+        F.coalesce(F.sum(F.when(F.col("__ff") < F.col("gate_idx"), F.col("__d"))),
+          F.lit(0L)).as("__before"),
+        F.coalesce(F.sum(F.when(F.col("__ff") === F.col("gate_idx"), F.col("__d"))),
+          F.lit(0L)).as("__at"))
+      .crossJoin(F.broadcast(total))
+      .select(F.col("gate_idx"), F.col("gate"),
+        (F.col("__n") - F.col("__before")).as("n_in"),
+        (F.col("__n") - F.col("__before") - F.col("__at")).as("n_out"))
+  }
+
   /** Pairwise total-variation distance between per-group unigram
     * distributions, in ppm — the metric half of mixture design that
     * [[sourceSimilarity]]'s cosine misses: cosine saturates near 1 for any

@@ -298,6 +298,36 @@ object ScaleDrill {
         docs.withColumn("source", F.concat_ws("_", F.col("source"),
           F.floor(F.col("doc_id") / 10000000L).cast("string"))),
         "source", "text")),
+    // gram-keyed left join of new-third grams against base-thirds distinct
+    // grams; salted words keep both gram universes linear and disjoint
+    // across replicas — the probe join volume grows linearly
+    "incr_novelty (q165)" -> (docs =>
+      Dedup.incrementalNovelty(
+          docs.where(F.col("doc_id") % 3 === 0),
+          docs.where(F.col("doc_id") % 3 =!= 0), "doc_id", "text", k = 3)
+        .groupBy().agg(F.sum("n_new").as("tn"), F.sum("n_grams").as("tg"))),
+    // one scan computing the first-failing gate per row into a <=5-row
+    // count; the md5 first-seen window partitions on the checksum
+    // (partition count grows, size stays bounded by dup-group size)
+    "gate_funnel (q166)" -> { docs =>
+      import org.apache.spark.sql.expressions.Window
+      val flagged = docs.withColumn("__first",
+        F.col("doc_id") === F.min("doc_id").over(
+          Window.partitionBy(F.md5(F.col("text")))))
+      Text.gateFunnel(flagged, Seq(
+        "min_tokens" -> (Text.tokenCount(F.col("text")) >= 5),
+        "quality" -> Text.qualityKeep(F.col("text")),
+        "exact_unique" -> F.col("__first")))
+    },
+    // the drilled LSH pair stage plus two id-keyed source joins; salted
+    // words keep pair volume linear, the source rollup is |sources|² rows
+    "cross_source (q164)" -> (docs =>
+      Dedup.crossSourceDupMatrix(
+        docs.where(Text.tokenCount(F.col("text")) >= 3)
+          .withColumn("source", F.concat_ws("_", F.col("source"),
+            F.floor(F.col("doc_id") / 10000000L).cast("string"))),
+        "doc_id", "text", "source",
+        k = 3, numHashes = 4, rowsPerBand = 2, threshold = 0.05)),
     // salted text → salted 40-char payload prefixes: checksum universes
     // are disjoint per replica, dup-group volume grows linearly; only
     // (checksum, id) shuffles and the payload bytes stay in the scan

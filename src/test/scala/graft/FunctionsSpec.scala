@@ -1455,6 +1455,38 @@ class FunctionsSpec extends AnyFunSuite {
     assert(got == Map(("A", "A") -> 1L, ("A", "B") -> 1L))
   }
 
+  test("incrementalNovelty: per-doc unseen-gram fraction vs a base corpus") {
+    // base grams: {a b c, b c d} from doc 10. new doc 1 "a b c d e":
+    // grams {a b c, b c d, c d e} -> 1 new of 3. new doc 2 all-new.
+    val base = Seq((10L, "a b c d")).toDF("doc_id", "text")
+    val nw = Seq((1L, "a b c d e"), (2L, "x y z w")).toDF("doc_id", "text")
+    val got = Dedup.incrementalNovelty(nw, base, "doc_id", "text", k = 3)
+      .as[(Long, Long, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(got == Seq(
+      (1L, 3L, 1L, 333333L),
+      (2L, 2L, 2L, 1000000L)))
+  }
+
+  test("gateFunnel: first-fail charging, cumulative in/out, all-pass tail") {
+    val df = Seq(
+      (1L, "ok en long enough text", "en"),     // passes all
+      (2L, "short", "en"),                      // fails gate 0 (min_tokens)
+      (3L, "this is long enough text", "de"),   // fails gate 1 (lang)
+      (4L, "a b c d e ! ! ! ! ! ! ! !", "en"),  // fails gate 2 (punct-heavy)
+      (5L, "short", "de"))                      // fails gate 0 FIRST (charged there)
+      .toDF("doc_id", "text", "lang")
+    val got = Text.gateFunnel(df, Seq(
+        "min_tokens" -> (Text.tokenCount($"text") >= 5),
+        "lang_en" -> ($"lang" === "en"),
+        "quality" -> Text.qualityKeep($"text")))
+      .select($"gate_idx", $"gate", $"n_in", $"n_out")
+      .as[(Long, String, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(got == Seq(
+      (0L, "min_tokens", 5L, 3L),
+      (1L, "lang_en", 3L, 2L),
+      (2L, "quality", 2L, 1L)))
+  }
+
   test("lengthQuantiles: interpolated quartiles over integer token counts") {
     val df = Seq(
       (1L, "a", "A"), (2L, "a b", "A"), (3L, "a b c", "A"), (4L, "a b c d", "A"))

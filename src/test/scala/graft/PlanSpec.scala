@@ -388,6 +388,22 @@ class PlanSpec extends AnyFunSuite {
       s"source attach must be an id-keyed equi-join:\n$p")
   }
 
+  test("q165 incremental novelty: gram-keyed probe join, map-side-combined rollup") {
+    val p = plan("q165_incremental_novelty")
+    assert(!p.contains("CartesianProduct"), s"probe must be gram-keyed:\n$p")
+    assert(p.contains("partial_count"), s"per-doc rollup must map-side combine:\n$p")
+  }
+
+  test("q166 gate funnel: gate arithmetic touches only the cut tiny frame") {
+    val p = plan("q166_gate_funnel")
+    // the single corpus scan runs eagerly INSIDE the localCheckpoint of
+    // the first-fail count; the output plan reads only the cut RDD
+    val scans = "Scan parquet".r.findAllIn(p).size
+    assert(scans == 0, s"no corpus scan may survive into the output plan (got $scans):\n$p")
+    assert(p.contains("Scan ExistingRDD"),
+      s"the first-fail count frame must be lineage-cut:\n$p")
+  }
+
   test("SPI whole-stream aggregate keeps a real Exchange between partial and final stages") {
     // coalesce(1) here would be a narrow dependency — Spark would collapse
     // the partial stage into the single final task and the per-partition
