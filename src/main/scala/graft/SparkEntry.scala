@@ -1417,6 +1417,16 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    "q167_eval_span_mask" -> ((s, dir) => {
+      // surgical decontamination: mask eval-overlapping 8-gram spans in
+      // the corpus (q104's eval split) instead of dropping whole docs
+      val docs = table(s, dir, "documents")
+      Dedup.maskEvalSpans(
+          docs.where(F.col("doc_id") % 100 =!= 0), "doc_id", "text",
+          docs.where(F.col("doc_id") % 100 === 0), "text", n = 8)
+        .orderBy("doc_id")
+    }),
+
     "q166_gate_funnel" -> ((s, dir) => {
       // curation observability: every doc charged to the FIRST gate it
       // fails; one corpus scan + tiny-frame arithmetic
@@ -3015,6 +3025,25 @@ object SparkEntry {
            CAST(sum(CASE WHEN b.g IS NULL THEN 1 ELSE 0 END) * 1000000 // count(*) AS BIGINT) AS novelty_ppm
          FROM g LEFT JOIN base b ON g.gr = b.g
          GROUP BY 1 ORDER BY 1""",
+    "q167_eval_span_mask" ->
+      """WITH t AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x != '') AS ws FROM documents WHERE doc_id % 100 != 0),
+         ev AS (SELECT DISTINCT md5(array_to_string(ws[i:i+7], ' ')) AS fp
+               FROM (SELECT list_filter(string_split(text, ' '), x -> x != '') AS ws FROM documents WHERE doc_id % 100 = 0) e,
+                 unnest(generate_series(1, len(ws) - 7)) AS s(i)
+               WHERE len(ws) >= 8),
+         g AS (SELECT doc_id, i, md5(array_to_string(ws[i:i+7], ' ')) AS fp
+               FROM t, unnest(generate_series(1, len(ws) - 7)) AS s(i)
+               WHERE len(ws) >= 8),
+         cv AS (SELECT DISTINCT g.doc_id, p
+                FROM g JOIN ev USING (fp), unnest(generate_series(g.i, g.i + 7)) AS s2(p)),
+         cov AS (SELECT doc_id, list_sort(list(p)) AS ps FROM cv GROUP BY 1)
+         SELECT t.doc_id, CAST(len(ws) AS BIGINT) AS n_tokens,
+           CAST(coalesce(len(ps), 0) AS BIGINT) AS n_masked,
+           coalesce(array_to_string(list_transform(
+             list_filter(generate_series(1, len(ws)),
+               p -> NOT list_contains(coalesce(ps, []), p)),
+             p -> ws[p]), ' '), '') AS clean_text
+         FROM t LEFT JOIN cov USING (doc_id) ORDER BY doc_id""",
     "q166_gate_funnel" ->
       """WITH f AS (SELECT doc_id, lang, text,
            len(list_filter(string_split(text, ' '), x -> x != '')) AS nt,

@@ -731,6 +731,44 @@ object Dedup {
           (x, i) => !F.array_contains(F.col("__cov"), i)), " ").as("clean_text"))
   }
 
+  /** Span-level decontamination: mask (not drop) the token positions of a
+    * document covered by any `n`-gram that appears in the EVAL set — the
+    * "mask the leak, keep the doc" policy. [[decontaminate]] drops whole
+    * documents (right for verbatim eval copies, wasteful for a long doc
+    * quoting one benchmark sentence); this is the surgical variant:
+    * the quote disappears, the surrounding training text survives.
+    *
+    * Scale shape: eval grams are a broadcast fingerprint set (eval suites
+    * are small by definition — the [[decontaminate]] premise), so the
+    * probe is a scan-stage broadcast join on (id, pos, fp) rows; corpus
+    * text never shuffles, and the only wide op is the per-doc
+    * covered-position collect, bounded by document length. Mirrors
+    * [[maskDuplicatedSpans]] with the dup-count aggregate replaced by the
+    * broadcast eval set. */
+  def maskEvalSpans(df: DataFrame, idCol: String, textCol: String,
+      eval: DataFrame, evalTextCol: String, n: Int = 8): DataFrame = {
+    val toks = df.select(F.col(idCol), Text.tokens(F.col(textCol)).as("__t"))
+    val evalFps = F.broadcast(eval
+      .select(F.explode(shingles(F.col(evalTextCol), n)).as("__g"))
+      .select(F.md5(F.col("__g")).as("fp")).distinct())
+    val grams = toks.select(F.col(idCol),
+        F.posexplode(graft.plans.Expressions.shingleArray(F.col("__t"), n))
+          .as(Seq("pos", "g")))
+      .select(F.col(idCol), F.col("pos"), F.md5(F.col("g")).as("fp"))
+    val covered = grams.join(evalFps, "fp")
+      .select(F.col(idCol),
+        F.explode(F.sequence(F.col("pos"), F.col("pos") + F.lit(n - 1))).as("cp"))
+      .groupBy(idCol).agg(F.collect_set("cp").as("__cov"))
+    toks.join(covered, Seq(idCol), "left")
+      .withColumn("__cov", F.coalesce(F.col("__cov"),
+        F.array().cast("array<int>")))
+      .select(F.col(idCol),
+        F.size(F.col("__t")).cast("long").as("n_tokens"),
+        F.size(F.col("__cov")).cast("long").as("n_masked"),
+        F.array_join(F.filter(F.col("__t"),
+          (x, i) => !F.array_contains(F.col("__cov"), i)), " ").as("clean_text"))
+  }
+
   /** Cross-corpus n-gram dedup: drop `batch` documents that share ANY
     * `k`-gram with the `base` corpus — the incremental-ingest face of
     * dedup (yesterday's corpus is `base`, today's crawl is `batch`).

@@ -298,6 +298,15 @@ object ScaleDrill {
         docs.withColumn("source", F.concat_ws("_", F.col("source"),
           F.floor(F.col("doc_id") / 10000000L).cast("string"))),
         "source", "text")),
+    // FIXED eval set (base replica's 1-in-100 — the audit-knob rule):
+    // the broadcast probe does one fp lookup per corpus gram position,
+    // linear in corpus bytes; covered-position collects stay doc-bounded
+    "eval_span_mask (q167)" -> (docs =>
+      Dedup.maskEvalSpans(
+          docs.where(F.col("doc_id") % 100 =!= 0), "doc_id", "text",
+          docs.where(F.col("doc_id") < 10000000L && F.col("doc_id") % 100 === 0),
+          "text", n = 8)
+        .groupBy().agg(F.sum("n_masked").as("tm"), F.sum("n_tokens").as("tt"))),
     // gram-keyed left join of new-third grams against base-thirds distinct
     // grams; salted words keep both gram universes linear and disjoint
     // across replicas — the probe join volume grows linearly

@@ -1487,6 +1487,19 @@ class FunctionsSpec extends AnyFunSuite {
       (2L, "quality", 2L, 1L)))
   }
 
+  test("maskEvalSpans: masks exactly the eval-overlapping window positions") {
+    val eval = Seq((100L, "a b c")).toDF("doc_id", "text")
+    val corpus = Seq(
+      (1L, "x a b c y"),          // window at pos 1 -> positions 1..3 masked
+      (2L, "p q r s t"))          // untouched
+      .toDF("doc_id", "text")
+    val got = Dedup.maskEvalSpans(corpus, "doc_id", "text", eval, "text", n = 3)
+      .as[(Long, Long, Long, String)].collect().sortBy(_._1).toSeq
+    assert(got == Seq(
+      (1L, 5L, 3L, "x y"),
+      (2L, 5L, 0L, "p q r s t")))
+  }
+
   test("lengthQuantiles: interpolated quartiles over integer token counts") {
     val df = Seq(
       (1L, "a", "A"), (2L, "a b", "A"), (3L, "a b c", "A"), (4L, "a b c d", "A"))

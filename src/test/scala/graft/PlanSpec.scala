@@ -404,6 +404,19 @@ class PlanSpec extends AnyFunSuite {
       s"the first-fail count frame must be lineage-cut:\n$p")
   }
 
+  test("q167 eval span mask: eval fingerprints broadcast; corpus text never shuffles") {
+    val p = plan("q167_eval_span_mask")
+    assert(p.contains("BroadcastHashJoin"),
+      s"the eval fp probe must be a broadcast join:\n$p")
+    assert(!p.contains("CartesianProduct"), s"no all-pairs anywhere:\n$p")
+    // the fp exchange inside the eval-side distinct is eval-sized and
+    // sits under its BroadcastExchange; the corpus side must reach the
+    // probe join without an fp shuffle (SortMergeJoin would mean both
+    // sides shuffled on fp — corpus-sized)
+    assert(!p.contains("SortMergeJoin"),
+      s"the corpus gram probe must not shuffle on fp:\n$p")
+  }
+
   test("SPI whole-stream aggregate keeps a real Exchange between partial and final stages") {
     // coalesce(1) here would be a narrow dependency — Spark would collapse
     // the partial stage into the single final task and the per-partition
