@@ -1417,6 +1417,14 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    "q168_threshold_calibration" -> ((s, dir) =>
+      // per-source quality-gate thresholds that realize 50/25/10% keep
+      // rates — the knob table a token-budget run reads before filtering
+      functions.Text.thresholdCalibration(table(s, dir, "documents"),
+          "doc_id", "text", "source",
+          Seq("keep50" -> 0.50, "keep25" -> 0.75, "keep10" -> 0.90))
+        .orderBy("source")),
+
     "q167_eval_span_mask" -> ((s, dir) => {
       // surgical decontamination: mask eval-overlapping 8-gram spans in
       // the corpus (q104's eval split) instead of dropping whole docs
@@ -3025,6 +3033,19 @@ object SparkEntry {
            CAST(sum(CASE WHEN b.g IS NULL THEN 1 ELSE 0 END) * 1000000 // count(*) AS BIGINT) AS novelty_ppm
          FROM g LEFT JOIN base b ON g.gr = b.g
          GROUP BY 1 ORDER BY 1""",
+    "q168_threshold_calibration" ->
+      """WITH t AS (SELECT doc_id, source, list_filter(string_split(text, ' '), x -> x != '') AS toks FROM documents),
+         s AS (SELECT doc_id, source, CAST(len(toks) AS BIGINT) AS n_tokens,
+                 CAST(list_aggregate(list_transform(toks, tk ->
+                   (('0x' || substr(md5(tk), 1, 8))::BIGINT % 4096) * 2654435761 % 2001), 'sum') AS BIGINT) AS score_sum
+               FROM t),
+         sc AS (SELECT doc_id, source, score_sum * 1000 // n_tokens AS score_milli
+                FROM s WHERE n_tokens > 0)
+         SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+           quantile_cont(score_milli, 0.50) AS thr_keep50,
+           quantile_cont(score_milli, 0.75) AS thr_keep25,
+           quantile_cont(score_milli, 0.90) AS thr_keep10
+         FROM sc GROUP BY 1 ORDER BY 1""",
     "q167_eval_span_mask" ->
       """WITH t AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x != '') AS ws FROM documents WHERE doc_id % 100 != 0),
          ev AS (SELECT DISTINCT md5(array_to_string(ws[i:i+7], ' ')) AS fp

@@ -759,14 +759,22 @@ object Text {
     * in/out arithmetic) happens on that tiny cut frame — the non-equi
     * joins below are |gates|×|gates| nested loops over broadcast rows,
     * never corpus rows. */
-  def gateFunnel(df: org.apache.spark.sql.DataFrame,
-      gates: Seq[(String, Column)]): org.apache.spark.sql.DataFrame = {
-    require(gates.nonEmpty, "gateFunnel needs at least one gate")
-    val firstFail = gates.zipWithIndex.drop(1)
+  /** The per-row charging rule of [[gateFunnel]] as a standalone Column:
+    * index of the FIRST failing gate, or `gates.size` if all pass. The
+    * streaming funnel monitor keys its running state-store counts on
+    * this (StateStoreSpec pins stream-vs-batch parity). */
+  def firstFailGate(gates: Seq[(String, Column)]): Column = {
+    require(gates.nonEmpty, "need at least one gate")
+    gates.zipWithIndex.drop(1)
       .foldLeft(F.when(!gates.head._2, 0)) { case (acc, ((_, p), i)) =>
         acc.when(!p, i) }
       .otherwise(gates.size)
-    val dropped = df.select(firstFail.cast("long").as("__ff"))
+  }
+
+  def gateFunnel(df: org.apache.spark.sql.DataFrame,
+      gates: Seq[(String, Column)]): org.apache.spark.sql.DataFrame = {
+    require(gates.nonEmpty, "gateFunnel needs at least one gate")
+    val dropped = df.select(firstFailGate(gates).cast("long").as("__ff"))
       .groupBy("__ff").agg(F.count(F.lit(1)).as("__d"))
       .localCheckpoint(true)
     val total = dropped.agg(F.coalesce(F.sum("__d"), F.lit(0L)).as("__n"))
@@ -785,6 +793,36 @@ object Text {
       .select(F.col("gate_idx"), F.col("gate"),
         (F.col("__n") - F.col("__before")).as("n_in"),
         (F.col("__n") - F.col("__before") - F.col("__at")).as("n_out"))
+  }
+
+  /** Per-source keep-threshold calibration for [[classifierScore]]: the
+    * exact score quantile that realizes each TARGET keep rate, per group.
+    * A global threshold keeps wildly different fractions of different
+    * sources (their score distributions differ); this table is how a
+    * token-budget run picks per-source thresholds BEFORE the filtering
+    * pass — set `thr_keep25` as the gate and ~25% of that source
+    * survives, by construction of the quantile.
+    *
+    * Output: (group, n_docs, thr_<name> ...) — one exact `percentile`
+    * per requested (name, quantile) pair over integer milli scores
+    * (bit-identical to DuckDB `quantile_cont`, the established parity).
+    *
+    * Scale shape: the scoring scan (zero-shuffle, q136's shape) joined
+    * id-keyed to the (id, group) projection — co-partitioned at scale —
+    * into one grouped aggregate; the exact-percentile buffer holds a
+    * GROUP's scores, the same bounded-groups caveat (and histogram
+    * fallback) as [[lengthQuantiles]]. */
+  def thresholdCalibration(df: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String, groupCol: String,
+      quantiles: Seq[(String, Double)]): org.apache.spark.sql.DataFrame = {
+    require(quantiles.nonEmpty, "need at least one (name, quantile) pair")
+    val scored = classifierScore(df, idCol, textCol)
+      .join(df.select(F.col(idCol), F.col(groupCol)), Seq(idCol))
+    scored.groupBy(groupCol).agg(
+      F.count(F.lit(1)).as("n_docs"),
+      quantiles.map { case (name, q) =>
+        F.expr(s"percentile(score_milli, $q)").as(s"thr_$name")
+      }: _*)
   }
 
   /** Pairwise total-variation distance between per-group unigram

@@ -298,6 +298,15 @@ object ScaleDrill {
         docs.withColumn("source", F.concat_ws("_", F.col("source"),
           F.floor(F.col("doc_id") / 10000000L).cast("string"))),
         "source", "text")),
+    // the q136 scoring scan + id-keyed source join into a grouped
+    // percentile; replica-salted groups keep each percentile buffer at
+    // the base group's row count while group count grows (q162 regime)
+    "thr_calibration (q168)" -> (docs =>
+      Text.thresholdCalibration(
+        docs.withColumn("source", F.concat_ws("_", F.col("source"),
+          F.floor(F.col("doc_id") / 10000000L).cast("string"))),
+        "doc_id", "text", "source",
+        Seq("keep50" -> 0.50, "keep25" -> 0.75, "keep10" -> 0.90))),
     // FIXED eval set (base replica's 1-in-100 — the audit-knob rule):
     // the broadcast probe does one fp lookup per corpus gram position,
     // linear in corpus bytes; covered-position collects stay doc-bounded

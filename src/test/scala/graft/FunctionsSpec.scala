@@ -1487,6 +1487,28 @@ class FunctionsSpec extends AnyFunSuite {
       (2L, "quality", 2L, 1L)))
   }
 
+  test("thresholdCalibration: thresholds bracket the target keep rates") {
+    // 40 docs, 2 sources, distinct texts -> spread score distribution
+    val df = (0 until 40).map { i =>
+      (i.toLong, s"w$i x$i y${i * 7 % 13} z${i * 5 % 11} q$i", if (i % 2 == 0) "A" else "B")
+    }.toDF("doc_id", "text", "source")
+    val thr = Text.thresholdCalibration(df, "doc_id", "text", "source",
+        Seq("keep50" -> 0.50, "keep25" -> 0.75))
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getDouble(2), r.getDouble(3)))).toMap
+    val scores = Text.classifierScore(df, "doc_id", "text")
+      .join(df.select($"doc_id", $"source"), "doc_id")
+      .select($"source", $"score_milli").as[(String, Long)].collect()
+    for ((src, (n, t50, t25)) <- thr) {
+      assert(n == 20L)
+      val s = scores.filter(_._1 == src).map(_._2)
+      // quantile_cont bracketing: #(x > Q(p)) <= (1-p)·n <= #(x >= Q(p))
+      assert(s.count(_ > t50) <= n / 2 && s.count(_ >= t50) >= n / 2, src)
+      assert(s.count(_ > t25) <= n / 4 && s.count(_ >= t25) >= n / 4, src)
+      assert(t25 >= t50, src)
+    }
+  }
+
   test("maskEvalSpans: masks exactly the eval-overlapping window positions") {
     val eval = Seq((100L, "a b c")).toDF("doc_id", "text")
     val corpus = Seq(

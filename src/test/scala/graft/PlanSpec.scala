@@ -417,6 +417,13 @@ class PlanSpec extends AnyFunSuite {
       s"the corpus gram probe must not shuffle on fp:\n$p")
   }
 
+  test("q168 threshold calibration: keyed score join, partial percentile aggregate") {
+    val p = plan("q168_threshold_calibration")
+    assert(!p.contains("CartesianProduct"), s"score-source attach must be id-keyed:\n$p")
+    assert(p.contains("partial_percentile"),
+      s"the grouped percentile must combine map-side:\n$p")
+  }
+
   test("SPI whole-stream aggregate keeps a real Exchange between partial and final stages") {
     // coalesce(1) here would be a narrow dependency — Spark would collapse
     // the partial stage into the single final task and the per-partition

@@ -380,6 +380,34 @@ class StateStoreSpec extends AnyFunSuite {
         s"slice $slice drifted from the batch face")
     }
   }
+
+  test("streaming gate-funnel monitor: running per-gate charges match the batch funnel") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.functions.Text
+    val gates = Seq(
+      "min_tokens" -> (Text.tokenCount(F.col("text")) >= 3),
+      "lang_en" -> (F.col("lang") === "en"))
+    val b1 = Seq((1L, "a b c d", "en"), (2L, "x", "en"))
+    val b2 = Seq((3L, "p q r", "de"), (4L, "m n o", "en"))
+    val input = MemoryStream[(Long, String, String)]
+    val ff = input.toDS().toDF("doc_id", "text", "lang")
+      .select(Text.firstFailGate(gates).cast("long").as("ff")).as[Long]
+    val counts = StateStoreRunner.runningCount[Long, Long](ff, identity)
+    val q = counts.writeStream.outputMode("update").format("memory")
+      .queryName("funnelmon").trigger(Trigger.ProcessingTime(0L)).start()
+    input.addData(b1: _*); q.processAllAvailable()
+    input.addData(b2: _*); q.processAllAvailable()
+    q.stop()
+    val latest = spark.table("funnelmon").as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).max).toMap
+    // batch face on the union: per-gate charged = n_in - n_out
+    val charged = Text.gateFunnel((b1 ++ b2).toDF("doc_id", "text", "lang"), gates)
+      .select($"gate_idx", $"n_in" - $"n_out").as[(Long, Long)].collect().toMap
+    assert(latest.getOrElse(0L, 0L) == charged(0L))
+    assert(latest.getOrElse(1L, 0L) == charged(1L))
+    assert(latest(gates.size.toLong) == 2L)   // survivors: docs 1 and 4
+  }
 }
 
 object StateStoreSpec {
