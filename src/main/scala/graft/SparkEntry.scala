@@ -1417,6 +1417,13 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    "q169_sentence_dedup" -> ((s, dir) =>
+      // C4-style sentence dedup: repeated sentences survive only at their
+      // (min doc, min pos) first occurrence
+      Dedup.dedupSentencesKeepFirst(table(s, dir, "documents"),
+          "doc_id", "text")
+        .orderBy("doc_id")),
+
     "q168_threshold_calibration" -> ((s, dir) =>
       // per-source quality-gate thresholds that realize 50/25/10% keep
       // rates — the knob table a token-budget run reads before filtering
@@ -3033,6 +3040,22 @@ object SparkEntry {
            CAST(sum(CASE WHEN b.g IS NULL THEN 1 ELSE 0 END) * 1000000 // count(*) AS BIGINT) AS novelty_ppm
          FROM g LEFT JOIN base b ON g.gr = b.g
          GROUP BY 1 ORDER BY 1""",
+    "q169_sentence_dedup" ->
+      """WITH s AS (SELECT doc_id, string_split(text, '. ') AS ss FROM documents),
+         u AS (SELECT doc_id, i - 1 AS pos, ss[i] AS sent
+               FROM s, unnest(generate_series(1, len(ss))) AS t(i)),
+         f1 AS (SELECT sent, min(doc_id) AS d0 FROM u GROUP BY 1),
+         f2 AS (SELECT u.sent, u.doc_id AS d0, min(u.pos) AS p0
+                FROM u JOIN f1 ON u.sent = f1.sent AND u.doc_id = f1.d0
+                GROUP BY 1, 2),
+         k AS (SELECT u.doc_id, u.pos, u.sent,
+                 (f2.d0 IS NOT NULL) AS keep
+               FROM u LEFT JOIN f2 ON u.sent = f2.sent
+                 AND u.doc_id = f2.d0 AND u.pos = f2.p0)
+         SELECT doc_id, CAST(count(*) AS BIGINT) AS n_sents,
+           CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           coalesce(array_to_string(list(sent ORDER BY pos) FILTER (WHERE keep), '. '), '') AS clean_text
+         FROM k GROUP BY 1 ORDER BY 1""",
     "q168_threshold_calibration" ->
       """WITH t AS (SELECT doc_id, source, list_filter(string_split(text, ' '), x -> x != '') AS toks FROM documents),
          s AS (SELECT doc_id, source, CAST(len(toks) AS BIGINT) AS n_tokens,

@@ -327,6 +327,41 @@ object Dedup {
       .withColumn("novelty_ppm", F.expr("n_new * 1000000L DIV n_grams"))
   }
 
+  /** First-occurrence sentence dedup (the C4 policy): a sentence repeated
+    * anywhere in the corpus survives ONLY at its first occurrence — the
+    * (min doc_id, min pos) site — and is dropped everywhere else.
+    * [[maskDuplicatedSpans]] masks EVERY occurrence of a repeated window
+    * (right for boilerplate that should vanish entirely); this keeps one
+    * copy, the right call for content sentences that happen to be quoted
+    * around. Returns (id, n_sents, n_kept, clean_text).
+    *
+    * Scale shape: one (sentence → min site) aggregate and one
+    * sentence-keyed join back — sentences and (id, pos) pairs shuffle,
+    * never whole documents; reassembly is a per-doc bounded sort fold
+    * (document length), the q79 sequence-pack discipline. At 100 TB,
+    * fingerprint the sentence (md5) for the shuffle key exactly as the
+    * span-mask path does — kept as plain text here so the oracle pins
+    * the policy itself. */
+  def dedupSentencesKeepFirst(df: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
+    val sents = df.select(F.col(idCol),
+      F.posexplode(F.split(F.col(textCol), "\\. ")).as(Seq("pos", "sent")))
+    val first = sents.groupBy("sent")
+      .agg(F.min(F.struct(F.col(idCol), F.col("pos"))).as("__f"))
+    sents.join(first, "sent")
+      .withColumn("__keep",
+        F.struct(F.col(idCol), F.col("pos")) === F.col("__f"))
+      .groupBy(idCol)
+      .agg(F.count(F.lit(1)).as("n_sents"),
+        F.sum(F.when(F.col("__keep"), 1L).otherwise(0L)).as("n_kept"),
+        F.array_join(F.transform(
+          F.filter(
+            F.array_sort(F.collect_list(F.struct(F.col("pos"),
+              F.col("__keep").as("k"), F.col("sent").as("s")))),
+            x => x.getField("k")),
+          x => x.getField("s")), ". ").as("clean_text"))
+  }
+
   /** Cluster-size histogram over a [[duplicateClusters]] labeling: for
     * each cluster SIZE, how many clusters have it and how many documents
     * they hold. This is the shape that decides the dedup strategy's

@@ -298,6 +298,13 @@ object ScaleDrill {
         docs.withColumn("source", F.concat_ws("_", F.col("source"),
           F.floor(F.col("doc_id") / 10000000L).cast("string"))),
         "source", "text")),
+    // sentence-keyed min + join-back (the q158 shape at sentence
+    // granularity); salted words keep sentence universes disjoint per
+    // replica so both exchanges grow linearly
+    "sentence_dedup (q169)" -> (docs =>
+      Dedup.dedupSentencesKeepFirst(docs, "doc_id", "text")
+        .groupBy().agg(F.sum("n_kept").as("tk"), F.sum("n_sents").as("ts"),
+          F.sum(F.length(F.col("clean_text")).cast("long")).as("chars"))),
     // the q136 scoring scan + id-keyed source join into a grouped
     // percentile; replica-salted groups keep each percentile buffer at
     // the base group's row count while group count grows (q162 regime)

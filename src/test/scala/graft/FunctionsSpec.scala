@@ -1509,6 +1509,18 @@ class FunctionsSpec extends AnyFunSuite {
     }
   }
 
+  test("dedupSentencesKeepFirst: repeated sentences survive only at (min doc, min pos)") {
+    val df = Seq(
+      (1L, "alpha beta. gamma delta. alpha beta"),  // within-doc repeat dropped
+      (2L, "gamma delta. epsilon"))                 // cross-doc repeat dropped
+      .toDF("doc_id", "text")
+    val got = Dedup.dedupSentencesKeepFirst(df, "doc_id", "text")
+      .as[(Long, Long, Long, String)].collect().sortBy(_._1).toSeq
+    assert(got == Seq(
+      (1L, 3L, 2L, "alpha beta. gamma delta"),
+      (2L, 2L, 1L, "epsilon")))
+  }
+
   test("maskEvalSpans: masks exactly the eval-overlapping window positions") {
     val eval = Seq((100L, "a b c")).toDF("doc_id", "text")
     val corpus = Seq(

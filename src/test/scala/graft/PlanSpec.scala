@@ -424,6 +424,13 @@ class PlanSpec extends AnyFunSuite {
       s"the grouped percentile must combine map-side:\n$p")
   }
 
+  test("q169 sentence dedup: sentence-keyed first-site aggregate, no cartesian") {
+    val p = plan("q169_sentence_dedup")
+    assert(!p.contains("CartesianProduct"), s"join-back must be sentence-keyed:\n$p")
+    assert(p.contains("partial_min"),
+      s"the first-site struct min must combine map-side:\n$p")
+  }
+
   test("SPI whole-stream aggregate keeps a real Exchange between partial and final stages") {
     // coalesce(1) here would be a narrow dependency — Spark would collapse
     // the partial stage into the single final task and the per-partition
