@@ -1417,6 +1417,13 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    "q170_budget_projection" -> ((s, dir) =>
+      // the calibration loop closed: apply each source's keep-25% score
+      // threshold and report the doc/token yield it actually buys
+      functions.Text.budgetProjection(table(s, dir, "documents"),
+          "doc_id", "text", "source", quantile = 0.75)
+        .orderBy("source")),
+
     "q169_sentence_dedup" -> ((s, dir) =>
       // C4-style sentence dedup: repeated sentences survive only at their
       // (min doc, min pos) first occurrence
@@ -3040,6 +3047,22 @@ object SparkEntry {
            CAST(sum(CASE WHEN b.g IS NULL THEN 1 ELSE 0 END) * 1000000 // count(*) AS BIGINT) AS novelty_ppm
          FROM g LEFT JOIN base b ON g.gr = b.g
          GROUP BY 1 ORDER BY 1""",
+    "q170_budget_projection" ->
+      """WITH t AS (SELECT doc_id, source, list_filter(string_split(text, ' '), x -> x != '') AS toks FROM documents),
+         s AS (SELECT doc_id, source, CAST(len(toks) AS BIGINT) AS n_tokens,
+                 CAST(list_aggregate(list_transform(toks, tk ->
+                   (('0x' || substr(md5(tk), 1, 8))::BIGINT % 4096) * 2654435761 % 2001), 'sum') AS BIGINT) AS score_sum
+               FROM t),
+         sc AS (SELECT doc_id, source, n_tokens, score_sum * 1000 // n_tokens AS score_milli
+                FROM s WHERE n_tokens > 0),
+         thr AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+                   quantile_cont(score_milli, 0.75) AS thr
+                 FROM sc GROUP BY 1)
+         SELECT sc.source, thr.n_docs,
+           CAST(sum(CASE WHEN sc.score_milli >= thr.thr THEN 1 ELSE 0 END) AS BIGINT) AS docs_kept,
+           CAST(sum(CASE WHEN sc.score_milli >= thr.thr THEN sc.n_tokens ELSE 0 END) AS BIGINT) AS tokens_kept
+         FROM sc JOIN thr ON sc.source = thr.source
+         GROUP BY 1, 2 ORDER BY 1""",
     "q169_sentence_dedup" ->
       """WITH s AS (SELECT doc_id, string_split(text, '. ') AS ss FROM documents),
          u AS (SELECT doc_id, i - 1 AS pos, ss[i] AS sent

@@ -825,6 +825,41 @@ object Text {
       }: _*)
   }
 
+  /** Budget projection for a calibrated gate: apply each group's
+    * [[thresholdCalibration]] threshold and report what survives —
+    * (group, n_docs, docs_kept, tokens_kept). The closing of the
+    * calibration loop: q168 answers "what threshold hits 25%?", this
+    * answers "and how many tokens does that actually buy me?" (doc keep
+    * RATE is set by the quantile; TOKEN yield is not, because score and
+    * length correlate — the projection is the number the budget planner
+    * needs).
+    *
+    * Scale shape: the scoring scan joined id-keyed to the (id, group)
+    * projection, a grouped percentile (the q168 aggregate), and ONE more
+    * pass of the same scored frame against the broadcast |groups|-row
+    * threshold table. The scored frame feeds both passes, so it is
+    * lineage-cut once — corpus text tokenizes once, not twice. */
+  def budgetProjection(df: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String, groupCol: String,
+      quantile: Double): org.apache.spark.sql.DataFrame = {
+    val scored = classifierScore(df, idCol, textCol)
+      .join(df.select(F.col(idCol), F.col(groupCol)), Seq(idCol))
+      .select(F.col(groupCol), F.col("score_milli"), F.col("n_tokens"))
+      .localCheckpoint(true)
+    val thr = scored.groupBy(groupCol).agg(
+      F.count(F.lit(1)).as("n_docs"),
+      F.expr(s"percentile(score_milli, $quantile)").as("__thr"))
+    scored.join(F.broadcast(thr), Seq(groupCol))
+      .groupBy(F.col(groupCol), F.col("n_docs"))
+      .agg(
+        F.sum(F.when(F.col("score_milli") >= F.col("__thr"), 1L).otherwise(0L))
+          .as("docs_kept"),
+        F.sum(F.when(F.col("score_milli") >= F.col("__thr"), F.col("n_tokens"))
+          .otherwise(0L)).as("tokens_kept"))
+      .select(F.col(groupCol), F.col("n_docs"), F.col("docs_kept"),
+        F.col("tokens_kept"))
+  }
+
   /** Pairwise total-variation distance between per-group unigram
     * distributions, in ppm — the metric half of mixture design that
     * [[sourceSimilarity]]'s cosine misses: cosine saturates near 1 for any

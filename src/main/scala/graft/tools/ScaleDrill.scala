@@ -298,6 +298,14 @@ object ScaleDrill {
         docs.withColumn("source", F.concat_ws("_", F.col("source"),
           F.floor(F.col("doc_id") / 10000000L).cast("string"))),
         "source", "text")),
+    // the q168 aggregate plus one more pass of the CUT scored frame
+    // against broadcast thresholds — the corpus tokenizes once; salted
+    // groups keep percentile buffers at the base group's size
+    "budget_projection (q170)" -> (docs =>
+      Text.budgetProjection(
+        docs.withColumn("source", F.concat_ws("_", F.col("source"),
+          F.floor(F.col("doc_id") / 10000000L).cast("string"))),
+        "doc_id", "text", "source", quantile = 0.75)),
     // sentence-keyed min + join-back (the q158 shape at sentence
     // granularity); salted words keep sentence universes disjoint per
     // replica so both exchanges grow linearly

@@ -1521,6 +1521,22 @@ class FunctionsSpec extends AnyFunSuite {
       (2L, 2L, 1L, "epsilon")))
   }
 
+  test("budgetProjection: kept docs bracket the quantile rate; yields are consistent") {
+    val df = (0 until 40).map { i =>
+      (i.toLong, s"w$i x$i y${i * 7 % 13} z${i * 5 % 11} q$i", if (i % 2 == 0) "A" else "B")
+    }.toDF("doc_id", "text", "source")
+    val got = Text.budgetProjection(df, "doc_id", "text", "source", 0.75)
+      .as[(String, Long, Long, Long)].collect().map(r => r._1 -> r).toMap
+    for ((src, (_, n, kept, toks)) <- got) {
+      assert(n == 20L)
+      // quantile_cont bracketing: #(x >= Q(0.75)) >= n/4; #(x > Q) <= n/4
+      assert(kept >= n / 4, s"$src kept=$kept")
+      assert(kept <= n, src)
+      assert(toks >= kept * 5, s"$src: every doc has 5 tokens")  // 5-token docs
+      assert(toks == kept * 5L, src)
+    }
+  }
+
   test("maskEvalSpans: masks exactly the eval-overlapping window positions") {
     val eval = Seq((100L, "a b c")).toDF("doc_id", "text")
     val corpus = Seq(

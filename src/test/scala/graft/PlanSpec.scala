@@ -431,6 +431,15 @@ class PlanSpec extends AnyFunSuite {
       s"the first-site struct min must combine map-side:\n$p")
   }
 
+  test("q170 budget projection: scored frame cut once; thresholds broadcast back") {
+    val p = plan("q170_budget_projection")
+    assert(p.contains("Scan ExistingRDD"),
+      s"the scored frame must be lineage-cut (corpus tokenizes once):\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"the |groups|-row threshold table must broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"), s"no all-pairs anywhere:\n$p")
+  }
+
   test("SPI whole-stream aggregate keeps a real Exchange between partial and final stages") {
     // coalesce(1) here would be a narrow dependency — Spark would collapse
     // the partial stage into the single final task and the per-partition
