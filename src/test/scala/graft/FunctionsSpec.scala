@@ -1550,6 +1550,30 @@ class FunctionsSpec extends AnyFunSuite {
       (2L, 5L, 0L, "p q r s t")))
   }
 
+  test("report ops: degenerate inputs (empty frames, single group, no delimiter)") {
+    val empty = Seq.empty[(Long, String, String)].toDF("doc_id", "text", "lang")
+    // empty corpus: every gate reports 0 in / 0 out (total coalesces to 0)
+    val funnel = Text.gateFunnel(empty, Seq(
+        "min_tokens" -> (Text.tokenCount($"text") >= 3),
+        "lang_en" -> ($"lang" === "en")))
+      .select($"gate_idx", $"n_in", $"n_out")
+      .as[(Long, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(funnel == Seq((0L, 0L, 0L), (1L, 0L, 0L)))
+    // single source: divergence matrix has no pairs
+    val one = Seq(("A", "x y z")).toDF("source", "text")
+    assert(Text.sourceDivergence(one, "source", "text").count() == 0L)
+    // no sentence delimiter: the whole text is one kept sentence
+    val nodelim = Seq((1L, "alpha beta gamma")).toDF("doc_id", "text")
+    val r = Dedup.dedupSentencesKeepFirst(nodelim, "doc_id", "text").head()
+    assert(r.getAs[Long]("n_sents") == 1L && r.getAs[Long]("n_kept") == 1L)
+    assert(r.getAs[String]("clean_text") == "alpha beta gamma")
+    // empty embedding set: cell balance is empty, not a crash
+    val noVecs = Seq.empty[(Long, Array[Float])].toDF("vec_id", "embedding")
+    val cents = Seq((0L, Array(1.0f, 0.0f))).toDF("vec_id", "embedding")
+    assert(Similarity.ivfCellBalance(noVecs, "embedding", "vec_id",
+      cents, "vec_id", "embedding").count() == 0L)
+  }
+
   test("lengthQuantiles: interpolated quartiles over integer token counts") {
     val df = Seq(
       (1L, "a", "A"), (2L, "a b", "A"), (3L, "a b c", "A"), (4L, "a b c d", "A"))
