@@ -1417,6 +1417,15 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    "q171_signature_dedup" -> ((s, dir) =>
+      // perceptual-hash-style media dedup on the stub signature: groups
+      // keyed by the 8-bin byte-value histogram (catches reordered bytes)
+      Multimodal.signatureDupGroups(
+          table(s, dir, "documents").select(F.col("doc_id"),
+            Multimodal.fakePayload(F.col("text")).as("payload")),
+          "doc_id", "payload", bins = 8)
+        .orderBy("sig")),
+
     "q170_budget_projection" -> ((s, dir) =>
       // the calibration loop closed: apply each source's keep-25% score
       // threshold and report the doc/token yield it actually buys
@@ -3047,6 +3056,14 @@ object SparkEntry {
            CAST(sum(CASE WHEN b.g IS NULL THEN 1 ELSE 0 END) * 1000000 // count(*) AS BIGINT) AS novelty_ppm
          FROM g LEFT JOIN base b ON g.gr = b.g
          GROUP BY 1 ORDER BY 1""",
+    "q171_signature_dedup" ->
+      """WITH p AS (SELECT doc_id, regexp_extract_all(text, '.') AS cs FROM documents),
+         s AS (SELECT doc_id, array_to_string(list_transform(generate_series(0, 7), i ->
+                 len(list_filter(cs, c -> unicode(c) % 8 = i))), '_') AS sig
+               FROM p)
+         SELECT sig, CAST(count(*) AS BIGINT) AS n_copies,
+           CAST(min(doc_id) AS BIGINT) AS canonical_id
+         FROM s GROUP BY 1 HAVING count(*) >= 2 ORDER BY 1""",
     "q170_budget_projection" ->
       """WITH t AS (SELECT doc_id, source, list_filter(string_split(text, ' '), x -> x != '') AS toks FROM documents),
          s AS (SELECT doc_id, source, CAST(len(toks) AS BIGINT) AS n_tokens,

@@ -388,4 +388,30 @@ object Multimodal {
       }
     }(enc)
   }
+
+  /** Signature-keyed (perceptual-hash-style) media dedup: duplicate groups
+    * keyed by a decoder-derived CONTENT signature — here the stub decode's
+    * `bins`-bucket byte-value histogram, all-integer — instead of the raw
+    * checksum. [[binaryDupGroups]] catches byte-identical copies only; a
+    * signature key also groups payloads whose bytes were reordered or
+    * re-containerized but whose content statistics match — the stub
+    * stand-in for a real pHash/chromaprint, with the grouping machinery
+    * (signature in the scan stage, only (sig, id) shuffles) identical to
+    * what the production hash drops into. Returns groups with >= 2
+    * members: (sig, n_copies, canonical_id = min id).
+    *
+    * All-integer signature (counts, not normalized floats) so the output
+    * is engine-exact — the float histogram of [[decodeStub]] is for ANN
+    * tiers, not for exact grouping. */
+  def signatureDupGroups(df: DataFrame, idCol: String, payloadCol: String,
+      bins: Int = 8): DataFrame = {
+    val sig = F.array_join(F.expr(
+      s"""transform(sequence(0, ${bins - 1}), i ->
+            size(filter(regexp_extract_all(cast($payloadCol as string), '.', 0),
+                        c -> pmod(ascii(c), $bins) = i)))"""), "_")
+    df.select(F.col(idCol), sig.as("sig"))
+      .groupBy("sig")
+      .agg(F.count(F.lit(1)).as("n_copies"), F.min(idCol).as("canonical_id"))
+      .where(F.col("n_copies") >= 2)
+  }
 }

@@ -1550,6 +1550,19 @@ class FunctionsSpec extends AnyFunSuite {
       (2L, 5L, 0L, "p q r s t")))
   }
 
+  test("signatureDupGroups: histogram key groups reordered bytes, not different content") {
+    val df = Seq(
+      (1L, "abc"), (2L, "cba"),      // same chars reordered -> same signature
+      (3L, "abd"),                   // different content -> alone, no group
+      (4L, "abc"))                   // identical -> joins group of 1,2
+      .toDF("doc_id", "text")
+      .select($"doc_id", Multimodal.fakePayload($"text").as("payload"))
+    val got = Multimodal.signatureDupGroups(df, "doc_id", "payload", bins = 8)
+      .as[(String, Long, Long)].collect().toSeq
+    assert(got.size == 1)
+    assert(got.head._2 == 3L && got.head._3 == 1L)  // {1,2,4}, canonical 1
+  }
+
   test("report ops: degenerate inputs (empty frames, single group, no delimiter)") {
     val empty = Seq.empty[(Long, String, String)].toDF("doc_id", "text", "lang")
     // empty corpus: every gate reports 0 in / 0 out (total coalesces to 0)
