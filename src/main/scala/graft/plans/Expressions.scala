@@ -330,6 +330,36 @@ object Expressions {
     override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
   }
 
+  /** `byte_histogram(payload, bins)` → `bins`-bucket histogram of byte
+    * values (b mod bins), as array<long> — the integer content signature
+    * [[graft.functions.Multimodal.signatureDupGroups]] keys on. One pass
+    * over the payload bytes; the Column-tier formulation (regex char
+    * extraction + per-bin lambdas) costs a regex table per row and
+    * O(bins) lambda evals per char. */
+  case class ByteHistogram(child: Expression, bins: Int)
+    extends UnaryExpression with CodegenFallback {
+    require(bins > 0 && bins <= 4096, s"bins out of range: $bins")
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def prettyName: String = "byte_histogram"
+    override def checkInputDataTypes(): TypeCheckResult =
+      if (child.dataType == BinaryType) TypeCheckResult.TypeCheckSuccess
+      else TypeCheckResult.TypeCheckFailure(
+        s"$prettyName needs BINARY input, got ${child.dataType.sql}")
+
+    override def nullSafeEval(input: Any): Any = {
+      val bytes = input.asInstanceOf[Array[Byte]]
+      val hist = new Array[Long](bins)
+      var i = 0
+      while (i < bytes.length) {
+        hist((bytes(i) & 0xff) % bins) += 1L
+        i += 1
+      }
+      new GenericArrayData(hist)
+    }
+
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  }
+
   /** `simhash64(tokens)` → 64-bit SimHash from xxhash64(seed=42) of each
     * token with per-bit majority vote — same output as the Column-tier
     * formulation, ~100× fewer expression evals. */
@@ -940,6 +970,9 @@ object Expressions {
   def squeezeRuns(tokens: Column): Column = column(SqueezeRuns(expr(tokens)))
 
   def simhash64(tokens: Column): Column = column(SimHash64(expr(tokens)))
+
+  def byteHistogram(payload: Column, bins: Int): Column =
+    column(ByteHistogram(expr(payload), bins))
 
   def simhashMd5(tokens: Column): Column = column(SimHashMd5(expr(tokens)))
 

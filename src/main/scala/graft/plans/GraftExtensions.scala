@@ -61,6 +61,8 @@ object GraftFunctions {
     "nfc_normalize" -> (es => Expressions.NfcNormalize(es(0))),
     "md5_bucket" -> (es => Expressions.Md5Bucket(es(0), lit(es(1), "buckets").toLong)),
     "squeeze_runs" -> (es => Expressions.SqueezeRuns(es(0))),
+    "byte_histogram" -> (es => Expressions.ByteHistogram(
+      es(0), lit(es(1), "bins"))),
     "zorder2" -> (es => Expressions.ZOrder2(es(0), es(1))),
     "repetition_signals" -> (es => Expressions.RepetitionSignals(
       es(0), lit(es(1), "k"), graft.functions.Text.DefaultStopwords)),

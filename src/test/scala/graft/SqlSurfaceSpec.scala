@@ -128,6 +128,8 @@ class SqlSurfaceSpec extends AnyFunSuite {
       "zorder2" -> (() => parity("zorder2(id, 9)", Expressions.zorder($"id", F.lit(9L)))),
       "squeeze_runs" -> (() => parity("squeeze_runs(toks)",
         Expressions.squeezeRuns($"toks"))),
+      "byte_histogram" -> (() => parity("byte_histogram(encode(text, 'utf-8'), 4)",
+        Expressions.byteHistogram(F.encode($"text", "UTF-8"), 4))),
       "repetition_signals" -> (() => parity("repetition_signals(toks, 2)",
         Expressions.repetitionSignals($"toks", 2, graft.functions.Text.DefaultStopwords))),
       "rhp_bucket" -> (() => parity("rhp_bucket(emb, 3, 4)",
