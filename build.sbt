@@ -11,6 +11,20 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The driver parses the bench JSON from the LAST stdout line of
+// `sbt "runMain graft.Bench"`. sbt's "[success] Total time: ..." banner
+// prints AFTER the forked program exits and displaced the JSON for 7
+// straight rounds ("parsed": null in BENCH_r01-r07) — suppress it.
+ThisBuild / showSuccess := false
+// showSuccess is consumed by sbt's command engine, not a task — the
+// lintUnused warning is a false positive (verified: the banner is gone)
+Global / excludeLintKeys += showSuccess
+// Forked run output otherwise goes through sbt's logger, which prefixes
+// every stdout line with "[info] " (breaking the driver's JSON parse) and
+// re-routes the program's STDERR onto sbt's stdout as "[error]" lines —
+// where a late-flushing log line can land AFTER the bench JSON. Plain
+// passthrough keeps stdout/stderr separate and unprefixed.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

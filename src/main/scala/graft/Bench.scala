@@ -45,9 +45,16 @@ object Bench {
     // q107 is the iterative BPE trainer (numMerges sequential jobs):
     // trainer machinery, not a query — its per-iteration hot path is the
     // oracled-and-timed q106 pair-count face.
-    val benchQueries = SparkEntry.queries
+    val benchQueries0 = SparkEntry.queries
       .removed("q53b_wordcount_store")
       .removed("q107_bpe_merges")
+    // local-iteration knobs (unset on driver runs): substring filter over
+    // query names, and a switch to skip the streaming drills — together
+    // they make an end-to-end output-shape check take seconds, not minutes
+    val benchQueries = sys.env.get("SPARK_GRAFT_BENCH_FILTER") match {
+      case Some(f) if f.nonEmpty => benchQueries0.filter(_._1.contains(f))
+      case _ => benchQueries0
+    }
     // warm-pass failures must be visible: an unreported failed warm would
     // silently skew cross-round steady-state comparisons
     var warmFailed = 0
@@ -96,12 +103,14 @@ object Bench {
     // OUT of "value"/"queries": the oracle runs the same SQL as "queries",
     // so the suite ratio stays apples-to-apples; these are recorded under
     // their own key for round-over-round state-tier comparison.
-    val streaming = Seq(streamingLsh(spark, sfDir),
-      streamingWordCount(spark, sfDir),
-      streamingWordCountDurable(spark, sfDir),
-      streamingWordCountStore(spark, sfDir),
-      drpcStateQueryLatency(spark),
-      continuousLatency(spark))
+    val streaming =
+      if (sys.env.get("SPARK_GRAFT_BENCH_SKIP_STREAMING").contains("1")) Seq.empty
+      else Seq(streamingLsh(spark, sfDir),
+        streamingWordCount(spark, sfDir),
+        streamingWordCountDurable(spark, sfDir),
+        streamingWordCountStore(spark, sfDir),
+        drpcStateQueryLatency(spark),
+        continuousLatency(spark))
     // ms precision keeps the JSON line short enough for the driver's parser
     // (r4/r5 artifacts were tail-truncated -> "parsed": null)
     def ms(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
@@ -117,20 +126,78 @@ object Bench {
       if (warmSf.isEmpty || warmSf == sfDir) """"warm":"none","""
       else if (warmFailed == 0) s""""warm":"full-suite@$warmSf","""
       else s""""warm":"partial:$warmFailed/$warmTotal-failed@$warmSf","""
-    val json = s"""{"metric":"total","value":${ms(total)},"unit":"sec","calib":${ms(calib)},"reps":$reps,$warmNote"queries":$qs,"streaming":$st,"sf":"$sfDir"}"""
-    // Durable fallback FIRST: r4-r6 driver artifacts were "parsed": null
-    // because async executor logs flushed after the JSON println and pushed
-    // it out of the driver's tail window. The file survives any log race.
+    // Window-degradation guard (VERDICT r7 #6): calib is a data-independent
+    // machine-speed probe, so "this run's calib is >1.3x the calib recorded
+    // in the standing BENCH_SELF.json" means the VM window is degraded, not
+    // the code — flag the artifact and keep the healthier BENCH_SELF.
+    val prevCalib: Option[Double] =
+      try {
+        val p = java.nio.file.Paths.get("BENCH_SELF.json")
+        if (java.nio.file.Files.exists(p)) {
+          val s = new String(java.nio.file.Files.readAllBytes(p),
+            java.nio.charset.StandardCharsets.UTF_8)
+          """"calib":([0-9.]+)""".r.findFirstMatchIn(s).map(_.group(1).toDouble)
+        } else None
+      } catch { case _: Throwable => None }
+    val degraded = prevCalib.exists(b => calib > 1.3 * b)
+    val degradedNote = if (degraded) """"degraded":true,""" else ""
+    val json = s"""{"metric":"total","value":${ms(total)},"unit":"sec","calib":${ms(calib)},"reps":$reps,$degradedNote$warmNote"queries":$qs,"streaming":$st,"sf":"$sfDir"}"""
+    // Durable full-fidelity artifact FIRST: r4-r6 driver artifacts were
+    // "parsed": null because async executor logs flushed after the JSON
+    // println and pushed it out of the driver's tail window. The file
+    // survives any log race AND keeps full query names + 3-decimal values
+    // (the stdout line below is length-capped). On a degraded window the
+    // standing BENCH_SELF (measured at a healthier calib) is kept and the
+    // run lands in BENCH_SELF_DEGRADED.json instead — r7's end-of-round
+    // snapshot overwrote a 62.0s measurement with an 86.6s one this way.
+    val selfTarget =
+      if (degraded) {
+        System.err.println(f"[bench] degraded window: calib $calib%.3f > 1.3x " +
+          f"standing ${prevCalib.get}%.3f — keeping BENCH_SELF.json, writing " +
+          "BENCH_SELF_DEGRADED.json")
+        "BENCH_SELF_DEGRADED.json"
+      } else "BENCH_SELF.json"
     try java.nio.file.Files.write(
-      java.nio.file.Paths.get("BENCH_SELF.json"),
+      java.nio.file.Paths.get(selfTarget),
       (json + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     catch { case e: Throwable =>
-      System.err.println(s"[bench] BENCH_SELF.json write failed: ${e.getMessage}")
+      System.err.println(s"[bench] $selfTarget write failed: ${e.getMessage}")
     }
+    // The driver keeps only the LAST ~2000 stdout chars and parses the final
+    // line. The full-name JSON is ~4.8KB — head-truncated past recovery even
+    // with sbt's success banner suppressed. Emit a compact line instead:
+    // numeric query ids (the qNN prefix), integer milliseconds
+    // ("qunit":"ms"), short streaming keys; full names/precision live in
+    // BENCH_SELF.json ("names" points there). Tiered fallback keeps the
+    // line under the window even as the suite grows.
+    val stShort = Map(
+      "stream_lsh_candidates" -> "lsh", "stream_wordcount" -> "wc",
+      "stream_wordcount_durable" -> "wcd", "stream_wordcount_store" -> "wcs",
+      "drpc_statequery_ms" -> "drpc_ms", "continuous_latency_mean" -> "cont")
+    def qid(name: String): String = {
+      val m = "^q([0-9]+[a-z]?)_".r.findFirstMatchIn(name)
+      m.map(_.group(1)).getOrElse(name)
+    }
+    val stC = streaming.map { case (k, v) => "\"" + stShort.getOrElse(k, k) + "\":" + us(v) }
+      .mkString("{", ",", "}")
+    def compactLine(foldBelowMs: Long): String = {
+      val (slow, fast) = results.partition(_._2 * 1000 >= foldBelowMs)
+      val q = slow.map { case (k, v) => "\"" + qid(k) + "\":" + math.round(v * 1000) }
+        .mkString("{", ",", "}")
+      val foldNote = if (fast.isEmpty) ""
+        else s""""q_folded_below_ms":$foldBelowMs,"q_folded_n":${fast.size},"q_folded_ms":${math.round(fast.map(_._2).sum * 1000)},"""
+      s"""{"metric":"total","value":${ms(total)},"unit":"sec","calib":${ms(calib)},"reps":$reps,$degradedNote$warmNote"qunit":"ms",$foldNote"names":"BENCH_SELF.json","queries":$q,"streaming":$stC,"sf":"$sfDir"}"""
+    }
+    val budget = 1950 // driver tail window is 2000 chars incl. trailing newline
+    val stdoutJson = (json +: // full fidelity, in case the window ever grows
+      Seq(0L, 25L, 50L, 100L, 250L, 1000L).map(compactLine) :+
+      s"""{"metric":"total","value":${ms(total)},"unit":"sec","calib":${ms(calib)},"reps":$reps,$degradedNote$warmNote"queries":"see BENCH_SELF.json","streaming":$stC,"sf":"$sfDir"}""")
+      .find(_.length <= budget)
+      .getOrElse(s"""{"metric":"total","value":${ms(total)},"unit":"sec","sf":"$sfDir"}""")
     // stop() joins all executor/streaming threads — after it returns nothing
     // else logs, so the JSON println below is the absolute last stdout line.
     spark.stop()
-    println(json)
+    println(stdoutJson)
     System.out.flush()
   }
 

@@ -29,44 +29,10 @@ object Verify {
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
     }
-    // q51 (unsorted FirstN) is content-NONDETERMINISTIC (any n rows) but
-    // not uncheckable: every returned row must exist in the source, with
-    // multiplicity (sub-multiset). Validated here with a membership
-    // anti-join; on violation the q51 dump is deleted so the driver's gate
-    // records a loud per-query failure instead of a quiet rows-only pass.
-    locally {
-      import org.apache.spark.sql.functions.{col, count, lit}
-      val name = "q51_firstn_unsorted"
-      try {
-        val out = spark.read.parquet(s"$outDir/$name")
-        val src = spark.read.parquet(s"$sfDir/lineitem.parquet")
-          .select(col("l_orderkey"), col("l_linenumber"))
-        val violations = out.groupBy("l_orderkey", "l_linenumber")
-          .agg(count(lit(1)).as("n_out"))
-          .join(src.groupBy("l_orderkey", "l_linenumber")
-              .agg(count(lit(1)).as("n_src")),
-            Seq("l_orderkey", "l_linenumber"), "left")
-          .where(col("n_src").isNull || col("n_out") > col("n_src"))
-          .count()
-        val nOut = out.count()
-        if (violations == 0L && nOut == 100L)
-          System.err.println(s"[verify] $name membership: PASS " +
-            s"($nOut rows, sub-multiset of lineitem)")
-        else {
-          System.err.println(s"[verify] $name membership: FAIL " +
-            s"($violations violating keys, $nOut rows) — deleting dump")
-          graft.util.Fs.deleteRecursively(Paths.get(s"$outDir/$name"))
-        }
-      } catch { case e: Throwable =>
-        // an erroring guard must not quietly pass rows-only (schema drift
-        // would otherwise rot this check unnoticed) — drop the dump so the
-        // driver's gate goes red and the breakage is investigated
-        System.err.println(s"[verify] $name membership check errored " +
-          s"(deleting dump): ${e.getMessage}")
-        try graft.util.Fs.deleteRecursively(Paths.get(s"$outDir/$name"))
-        catch { case _: Throwable => () }
-      }
-    }
+    // q51's unsorted-FirstN membership guard (r1-r7) retired: the judged
+    // face is now deterministic (md5-hash-ordered limit) and carries a
+    // full DuckDB oracle; the any-n API contract stays spec-covered in
+    // StreamApiSpec.
     // q76 (HLL sketch) is engine-specific in its ESTIMATES but not
     // uncheckable either: the dump carries the exact distinct next to the
     // sketch, so every estimate must sit within the sketch's error bound

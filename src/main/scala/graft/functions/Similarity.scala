@@ -319,22 +319,36 @@ object Similarity {
   }
 
   /** Per-group mean embedding (centroid / mean-pooling), flattened to
-    * (group, pos, mean, n) rows. The per-dimension sum folds VALUES IN
-    * SORTED ORDER (collect → sort → left fold) so the float total is
-    * identical on every run and engine — the determinism discipline a
-    * reproducible-centroid pipeline needs; `kmeansCentroids` is the
-    * performance-tier variant (plain avg) when bit-stability across
-    * engines is not required. One explode + one aggregation shuffle. */
+    * (group, pos, mean, sum_ppm, n) rows. Reproducibility comes from the
+    * integer-ppm discipline (the q108/q149 pattern): each value is scaled
+    * to micro-units per row (`round(v * 1e6)` — exact and identical in any
+    * engine), and the per-dimension total is an exact integer `sum`, which
+    * is ORDER-FREE — no collect, no sort, O(1) aggregation buffer. The
+    * double `mean` is derived from the exact fraction with a pinned
+    * operation order (`sum_ppm → /1e6 → /n`, two IEEE divisions), so it is
+    * bit-identical across engines too. `kmeansCentroids` is the
+    * performance-tier variant (plain avg over raw doubles) when
+    * cross-engine bit-stability is not required.
+    *
+    * Scale shape: one explode + ONE hash aggregation shuffle, constant
+    * state per (group, dimension). The previous spelling
+    * (`collect_list` + `array_sort` + fold) held every member value in the
+    * aggregation buffer — unbounded for a hot group (a single source with
+    * millions of vectors = millions of doubles in one buffer); the ppm sum
+    * makes the buffer one long regardless of group size. Overflow headroom:
+    * unit-normalized values scale to ≤1e6 per row, so a single
+    * (group, dim) cell would need >9.2e12 members to overflow the BIGINT
+    * sum — far past the scale contract. */
   def meanVector(df: DataFrame, groupCol: String, embCol: String): DataFrame =
     df.select(F.col(groupCol),
         F.posexplode(F.col(embCol)).as(Seq("pos", "v")))
-      .withColumn("v", F.col("v").cast("double"))
       .groupBy(F.col(groupCol), F.col("pos").cast("long").as("pos"))
       .agg(F.count(F.lit(1)).as("n"),
-        F.aggregate(F.array_sort(F.collect_list("v")), F.lit(0.0),
-          (acc, x) => acc + x).as("__sum"))
-      .withColumn("mean", F.col("__sum") / F.col("n").cast("double"))
-      .select(groupCol, "pos", "mean", "n")
+        F.sum(F.round(F.col("v").cast("double") * F.lit(1e6)).cast("long"))
+          .as("sum_ppm"))
+      .withColumn("mean",
+        F.col("sum_ppm").cast("double") / F.lit(1e6) / F.col("n").cast("double"))
+      .select(groupCol, "pos", "mean", "sum_ppm", "n")
 
   /** Int8 quantization of an embedding column — the storage-shrink step a
     * 100 TB vector corpus runs before indexing (4× smaller payloads,

@@ -593,19 +593,43 @@ object Text {
     * combine — the only corpus-sized exchange; totals and norms are
     * |groups| rows and broadcast. The pair join is vocabulary-keyed with
     * per-term fan-out |groups containing t|² — sized for domain-level
-    * group counts (tens to thousands), not per-document keys. The tf
-    * table feeds three consumers (both join sides + norms), so it is
-    * lineage-cut once rather than recomputed per use. */
+    * group counts (tens to thousands), not per-document keys. The
+    * partial aggregation after the join folds that fan-out in place, so
+    * only |groups|² pair rows reach the shuffle; the fan-out is CPU work
+    * in the task owning the term, Σ_t |groups(t)|² ≤ V·S² total. When S
+    * itself is large, `maxSourcesPerTerm` caps the per-term work: terms
+    * present in more sources than the cap (the every-source stopwords —
+    * each costs a full S² fan-out) are EXCLUDED from the whole
+    * computation (dot AND norms, so cos(a,a) stays exactly 1e6 on the
+    * capped vocabulary). The default keeps the exact full-vocabulary
+    * semantics. Mirrors [[graft.functions.Dedup.lshCandidatePairs]]'s
+    * counted-cap discipline: capped runs should pair with
+    * [[sourceSimilarityOversizeTerms]] — the no-silent-caps audit face.
+    * The tf table feeds three consumers (both join sides + norms), so it
+    * is lineage-cut once rather than recomputed per use. */
   def sourceSimilarity(df: org.apache.spark.sql.DataFrame, groupCol: String,
-      textCol: String): org.apache.spark.sql.DataFrame = {
+      textCol: String,
+      maxSourcesPerTerm: Int = Int.MaxValue): org.apache.spark.sql.DataFrame = {
     val cnt = df
       .select(F.col(groupCol).as("__g"), F.explode(tokens(F.col(textCol))).as("__w"))
       .groupBy("__g", "__w").agg(F.count(F.lit(1)).as("__c"))
     val totals = cnt.groupBy("__g").agg(F.sum("__c").as("__t"))
-    val tf = cnt.join(F.broadcast(totals), "__g")
+    val tfAll = cnt.join(F.broadcast(totals), "__g")
       .select(F.col("__g"), F.col("__w"),
         F.expr("CAST(CAST(__c AS DECIMAL(38,0)) * 1000000 DIV __t AS BIGINT)").as("__f"))
-      .localCheckpoint(true)
+    val tf = (if (maxSourcesPerTerm == Int.MaxValue) tfAll
+      else {
+        // the per-term source count is a vocabulary-keyed aggregate with
+        // map-side combine — cheap relative to the S² fan-out it prevents.
+        // tfAll feeds both the count and the join: cut it once (the same
+        // double-consumer discipline as the tf table below)
+        val tfCut = tfAll.localCheckpoint(true)
+        val okTerms = tfCut.groupBy("__w")
+          .agg(F.count(F.lit(1)).as("__ns"))
+          .where(F.col("__ns") <= maxSourcesPerTerm)
+          .select("__w")
+        tfCut.join(okTerms, "__w").select("__g", "__w", "__f")
+      }).localCheckpoint(true)
     val norms = tf.groupBy("__g").agg(F.sum(F.expr("__f * __f")).as("__n2"))
     val dots = tf.select(F.col("__g").as("src_a"), F.col("__w"), F.col("__f").as("__fa"))
       .join(tf.select(F.col("__g").as("src_b"), F.col("__w"), F.col("__f").as("__fb")),
@@ -625,6 +649,19 @@ object Text {
                                           CAST(floor(sqrt(norm_b2)) AS BIGINT))
                   END""").as("cos_ppm"))
   }
+
+  /** The terms a capped [[sourceSimilarity]] run EXCLUDES — the audit face
+    * of the "no silent caps" rule (the [[graft.functions.Dedup.lshOversizeBuckets]]
+    * pattern): (term, n_sources) for every term present in more than
+    * `maxSourcesPerTerm` sources. Cheap — the same (group, term) count
+    * shuffle as the main operator, no pair fan-out. */
+  def sourceSimilarityOversizeTerms(df: org.apache.spark.sql.DataFrame,
+      groupCol: String, textCol: String,
+      maxSourcesPerTerm: Int): org.apache.spark.sql.DataFrame =
+    df.select(F.col(groupCol).as("__g"), F.explode(tokens(F.col(textCol))).as("term"))
+      .groupBy("term")
+      .agg(F.count_distinct(F.col("__g")).as("n_sources"))
+      .where(F.col("n_sources") > maxSourcesPerTerm)
 
   /** Per-source boilerplate gram detection — the template-removal step of
     * web-crawl cleaning (CCNet/C4 style): an n-gram present in at least
@@ -882,14 +919,30 @@ object Text {
     * combine — the only corpus-sized exchange; the ppm table feeds three
     * consumers (both pair-join sides + per-group masses), so it is
     * lineage-cut once. Pair fan-out per term is |groups containing t|²,
-    * sized for domain-level group counts like [[sourceSimilarity]].
+    * sized for domain-level group counts like [[sourceSimilarity]]; at
+    * large S, `maxSourcesPerTerm` excludes every-source stopword terms
+    * from the WHOLE computation (shared sum AND masses, keeping the two
+    * exactly consistent — TV is then the exact metric on the capped
+    * vocabulary, and tv(a,a) stays 0). Capped runs pair with
+    * [[sourceSimilarityOversizeTerms]], the shared no-silent-caps audit.
     * Output has a row for EVERY group pair (via the broadcast mass
     * table), including pairs sharing no term (TV = (Tₐ+T_b) DIV 2). */
   def sourceDivergence(df: org.apache.spark.sql.DataFrame, groupCol: String,
-      textCol: String): org.apache.spark.sql.DataFrame = {
-    val cnt = df
+      textCol: String,
+      maxSourcesPerTerm: Int = Int.MaxValue): org.apache.spark.sql.DataFrame = {
+    val cnt0 = df
       .select(F.col(groupCol).as("__g"), F.explode(tokens(F.col(textCol))).as("__w"))
       .groupBy("__g", "__w").agg(F.count(F.lit(1)).as("__c"))
+    val cnt = if (maxSourcesPerTerm == Int.MaxValue) cnt0
+      else {
+        // cnt0 feeds both the per-term count and the join — cut it once
+        val cntCut = cnt0.localCheckpoint(true)
+        val okTerms = cntCut.groupBy("__w").agg(F.count(F.lit(1)).as("__ns"))
+          .where(F.col("__ns") <= maxSourcesPerTerm).select("__w")
+        cntCut.join(okTerms, "__w").select("__g", "__w", "__c")
+      }
+    // totals over the CAPPED vocabulary: masses and the shared sum must
+    // see the same distribution or tv(a,a) drifts off zero
     val totals = cnt.groupBy("__g").agg(F.sum("__c").as("__t"))
     val ppm = cnt.join(F.broadcast(totals), "__g")
       .select(F.col("__g"), F.col("__w"),

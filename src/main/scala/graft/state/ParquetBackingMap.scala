@@ -108,6 +108,17 @@ object ParquetBackingMap {
         p.getFileName.toString.stripPrefix("seg-").takeWhile(_.isDigit).toLong)
         .getOrElse(-1L))
 
+    /** Replays snapshot + WAL into the DRIVER-LOCAL cache — the whole key
+      * space lives in driver memory by design. This tier is the durable
+      * SPI test/reference store (exactly-once semantics over a filesystem,
+      * no external service); its capacity bound is the driver heap, i.e.
+      * ~state tables in the low millions of keys. The SCALE tier for
+      * corpus-sized state is the RocksDB `transformWithState` path
+      * (`streaming/StateStoreRunner.scala`) where state is partitioned
+      * across executors and spilled by the store. The warn threshold below
+      * (`spark.graft.parquetMap.warnKeys`, default 4M — the same bound as
+      * `classifierScoreWithModel`'s driver-collected model) makes a
+      * mis-tiered deployment loud instead of an eventual driver OOM. */
     def load(): Unit = {
       cache.clear()
       val snaps = snapshots()
@@ -115,6 +126,13 @@ object ParquetBackingMap {
         spark.read.parquet(p.toString).collect()
           .foreach(r => cache.put(r.getString(0), r.getString(1)))
       }
+      val warnKeys = spark.conf.getOption("spark.graft.parquetMap.warnKeys")
+        .map(_.toLong).getOrElse(4000000L)
+      if (cache.size >= warnKeys)
+        System.err.println(s"[graft] ParquetBackingMap($dir): ${cache.size} keys " +
+          s"in the driver-local cache (warn threshold $warnKeys) — this tier is " +
+          "driver-bounded; migrate corpus-scale state to the RocksDB " +
+          "transformWithState tier (StateStoreRunner)")
       segments().foreach { seg =>
         Files.readAllLines(seg, StandardCharsets.UTF_8).asScala.foreach { line =>
           val tab = line.indexOf('\t')

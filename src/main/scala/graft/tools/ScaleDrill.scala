@@ -423,7 +423,16 @@ object ScaleDrill {
       val cents = emb.where(F.col("vec_id") < 16)
         .select(F.col("vec_id").as("cid"), F.col("embedding").as("cv"))
       Similarity.ivfCellBalance(emb, "embedding", "vec_id", cents, "cid", "cv")
-    })
+    },
+    // ADVERSARIAL single hot group: every replica's vectors forced into ONE
+    // (group, dim) cell, so group population grows with N. The ppm-sum
+    // spelling keeps the aggregation buffer one long regardless — the row
+    // pins linearity exactly where the old collect_list spelling held the
+    // whole group in one buffer (VERDICT r7 #3)
+    "mean_pooling_hot_group (q94)" -> (emb =>
+      Similarity.meanVector(
+        emb.select(F.lit(0L).as("label"), F.col("embedding")),
+        "label", "embedding")))
 
   /** USER-salted N× replication of the events table: each replica's users
     * are a disjoint universe (`user_id + 10M·rep`), so per-user session /

@@ -941,6 +941,40 @@ class FunctionsSpec extends AnyFunSuite {
     assert(c >= 1000000L && c < 1000100L)
   }
 
+  test("sourceSimilarity/sourceDivergence maxSourcesPerTerm: an every-source stopword is capped out; audit reports it") {
+    // 'the' appears in ALL three sources (the S² fan-out term, VERDICT r7
+    // #7); content words separate the sources
+    val df = Seq(("A", "the the cat"), ("B", "the dog"), ("C", "the cat"))
+      .toDF("source", "text")
+    // cap = 2: 'the' (3 sources) is excluded; 'cat' (2 sources) survives
+    val capped = Text.sourceSimilarity(df, "source", "text", maxSourcesPerTerm = 2)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    // capped vocabulary: A={cat:1/3->333333}, B={dog:1/2->500000},
+    // C={cat:1/2->500000}; only (A,C) shares a term
+    assert(capped.keySet == Set(("A", "C")))
+    assert(capped(("A", "C")) == 333333L * 500000L)
+    // self-consistency on the capped vocabulary: identical sources stay
+    // cosine ~1e6 even when the cap bites
+    val twin = Seq(("A", "the x"), ("B", "the x"), ("C", "the q")).toDF("source", "text")
+    val cTwin = Text.sourceSimilarity(twin, "source", "text", maxSourcesPerTerm = 2)
+      .where($"src_a" === "A" && $"src_b" === "B").collect().head.getLong(5)
+    assert(cTwin >= 1000000L && cTwin < 1000100L)
+    // audit face: exactly the capped term, with its source count
+    val audit = Text.sourceSimilarityOversizeTerms(df, "source", "text", 2)
+      .as[(String, Long)].collect().toSeq
+    assert(audit == Seq(("the", 3L)))
+    // divergence under the cap: capped vocab A={cat:1e6}, C={cat:1e6} ->
+    // tv=0; A vs B share nothing -> (1e6+1e6) DIV 2 = 1e6
+    val tv = Text.sourceDivergence(df, "source", "text", maxSourcesPerTerm = 2)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(tv(("A", "C")) == 0L)
+    assert(tv(("A", "B")) == 1000000L)
+    // uncapped runs are unchanged by the new parameter's default
+    val uncapped = Text.sourceSimilarity(df, "source", "text")
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(uncapped == Set(("A", "B"), ("A", "C"), ("B", "C")))
+  }
+
   test("interleaveShards: stride keys spread each group through the epoch") {
     // A holds 3 of 4 shards, B holds 1: A keys 4/3,8/3,12/3 -> 1,2,4;
     // B key 4. Tie at 4 breaks by group: A's third shard, then B's.

@@ -325,6 +325,19 @@ class PlanSpec extends AnyFunSuite {
       s"group-level norms/totals must broadcast:\n$p")
   }
 
+  test("capped sourceSimilarity: term cap adds no cartesian and keeps the term-keyed pair join") {
+    // the maxSourcesPerTerm guard (VERDICT r7 #7): the ok-terms filter is
+    // an equi-join on the term key and the double-consumed tf table is
+    // lineage-cut — the capped plan keeps q150's scale shape
+    val p = graft.functions.Text.sourceSimilarity(
+      spark.read.parquet(s"$dir/documents.parquet"), "source", "text",
+      maxSourcesPerTerm = 64).queryExecution.executedPlan.toString
+    assert(p.contains("Scan ExistingRDD"),
+      s"capped tf table must be lineage-cut:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"cap filter and pair join must stay key-equi:\n$p")
+  }
+
   test("q152 simhash pairs: hamming verify rides in the join condition; one bucket exchange family") {
     val p = plan("q152_simhash_pairs")
     assert(p.contains("bit_count"),

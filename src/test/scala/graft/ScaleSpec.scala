@@ -305,4 +305,33 @@ class ScaleSpec extends AnyFunSuite {
     assert(got == want)
     assert(got.contains("hot") && got.contains("warm"))
   }
+
+  test("meanVector: single hot group stays an O(1)-buffer hash aggregate and matches brute force") {
+    import graft.functions.Similarity
+    // adversarial shape from VERDICT r7 #3: EVERY vector in one group, so a
+    // collect_list spelling would hold all 1000 values per dimension in a
+    // single aggregation buffer
+    val emb = (1 to 1000).map(i =>
+        (0L, Array(i.toFloat / 1000f, -i.toFloat / 700f)))
+      .toDF("label", "embedding")
+    val out = Similarity.meanVector(emb, "label", "embedding")
+    val rows = out.orderBy("pos").collect()
+    assert(rows.length == 2)
+    // Spark's round(double) is BigDecimal HALF_UP — replay it exactly
+    def ppm(v: Float): Long =
+      BigDecimal(v.toDouble * 1e6).setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+    val exp0 = (1 to 1000).map(i => ppm(i.toFloat / 1000f)).sum
+    val exp1 = (1 to 1000).map(i => ppm(-i.toFloat / 700f)).sum
+    assert(rows(0).getAs[Long]("sum_ppm") == exp0)
+    assert(rows(1).getAs[Long]("sum_ppm") == exp1)
+    assert(rows(0).getAs[Long]("n") == 1000L)
+    // the derived mean uses the pinned two-division order
+    assert(rows(0).getAs[Double]("mean") == exp0.toDouble / 1e6 / 1000.0)
+    // plan shape: plain codegen HashAggregate over sum/count — no
+    // ObjectHashAggregate (the collect_list buffer holder) anywhere
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("HashAggregate"), s"no hash aggregate:\n$plan")
+    assert(!plan.contains("ObjectHashAggregate") && !plan.contains("collect_list"),
+      s"unbounded aggregation buffer in plan:\n$plan")
+  }
 }
