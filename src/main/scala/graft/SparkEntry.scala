@@ -1425,14 +1425,34 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
-    "q171_signature_dedup" -> ((s, dir) =>
-      // perceptual-hash-style media dedup on the stub signature: groups
-      // keyed by the 8-bin byte-value histogram (catches reordered bytes)
-      Multimodal.signatureDupGroups(
-          table(s, dir, "documents").select(F.col("doc_id"),
-            Multimodal.fakePayload(F.col("text")).as("payload")),
-          "doc_id", "payload", bins = 8)
-        .orderBy("sig")),
+    "q171_perceptual_dedup" -> ((s, dir) => {
+      // perceptual-hash media dedup (real aHash pipeline, r8): 64-bit
+      // average-hash over the codec's luma grid, groups keyed by the bit
+      // string. The corpus is unioned with a synthetic RE-ENCODE of every
+      // doc — bytes reversed WITHIN each of the 64 hash cells, which
+      // changes the byte stream (and its md5) but not any cell's byte
+      // multiset, the invariance class of the average-hash — so each doc
+      // must group with its re-encode. The oracle computes each base
+      // doc's sig cell-for-cell and asserts sig(re-encode) == sig(base)
+      // BY the hash-compare: a drift in either the hash arithmetic or the
+      // invariance breaks the match. Swapping in ImageIOCodec changes
+      // only the codec argument (spec-covered PNG↔BMP re-encode dedup).
+      val docs = table(s, dir, "documents")
+        .where(F.length(F.col("text")) > 0)
+        .select(F.col("doc_id"), F.col("text"))
+      val reenc = docs.select(
+        (F.col("doc_id") + F.lit(100000000L)).as("doc_id"),
+        F.expr("""array_join(transform(array_sort(transform(split(text, ''),
+            (ch, i) -> struct(CAST(i AS BIGINT) * 64 DIV length(text) AS c,
+                              -i AS k, ch AS ch))),
+          s -> s.ch), '')""").as("text"))
+      Multimodal.perceptualDupGroups(
+          docs.unionByName(reenc)
+            .select(F.col("doc_id"),
+              Multimodal.fakePayload(F.col("text")).as("payload")),
+          "doc_id", "payload")
+        .orderBy("sig")
+    }),
 
     "q170_budget_projection" -> ((s, dir) =>
       // the calibration loop closed: apply each source's keep-25% score
@@ -3073,14 +3093,33 @@ object SparkEntry {
            CAST(sum(CASE WHEN b.g IS NULL THEN 1 ELSE 0 END) * 1000000 // count(*) AS BIGINT) AS novelty_ppm
          FROM g LEFT JOIN base b ON g.gr = b.g
          GROUP BY 1 ORDER BY 1""",
-    "q171_signature_dedup" ->
-      """WITH p AS (SELECT doc_id, regexp_extract_all(text, '.') AS cs FROM documents),
-         s AS (SELECT doc_id, array_to_string(list_transform(generate_series(0, 7), i ->
-                 len(list_filter(cs, c -> unicode(c) % 8 = i))), '_') AS sig
-               FROM p)
+    "q171_perceptual_dedup" ->
+      // the stub aHash replayed exactly: 64 floor-binned byte segments
+      // (cell = pos*64//n), floor-average cell values, threshold =
+      // floor-mean of the 64 cells (absent cells count 0), bit = v > thr
+      """WITH p AS (SELECT doc_id, regexp_extract_all(text, '.') AS cs
+                    FROM documents WHERE len(text) > 0),
+         b AS (SELECT doc_id, i - 1 AS pos, unicode(cs[i]) AS v, len(cs) AS n
+               FROM (SELECT doc_id, cs, unnest(generate_series(1, len(cs))) AS i FROM p)),
+         cv AS (SELECT doc_id, pos * 64 // n AS s, sum(v) // count(*) AS val
+                FROM b GROUP BY 1, 2),
+         g AS (SELECT d.doc_id, t.s FROM (SELECT DISTINCT doc_id FROM p) d,
+                 (SELECT unnest(generate_series(0, 63)) AS s) t),
+         f AS (SELECT g.doc_id, g.s, coalesce(cv.val, 0) AS val
+               FROM g LEFT JOIN cv ON g.doc_id = cv.doc_id AND g.s = cv.s),
+         m AS (SELECT doc_id, sum(val) // 64 AS thr FROM f GROUP BY 1),
+         sg AS (SELECT f.doc_id,
+                  string_agg(CASE WHEN f.val > m.thr THEN '1' ELSE '0' END, ''
+                    ORDER BY f.s) AS sig
+                FROM f JOIN m USING (doc_id) GROUP BY f.doc_id),
+         -- within-cell reversal preserves every cell's byte multiset, so
+         -- the re-encoded copy's sig IS the base sig (the invariance the
+         -- Spark side must reproduce by actually hashing the re-encode)
+         allsg AS (SELECT doc_id, sig FROM sg
+                   UNION ALL SELECT doc_id + 100000000, sig FROM sg)
          SELECT sig, CAST(count(*) AS BIGINT) AS n_copies,
            CAST(min(doc_id) AS BIGINT) AS canonical_id
-         FROM s GROUP BY 1 HAVING count(*) >= 2 ORDER BY 1""",
+         FROM allsg GROUP BY 1 HAVING count(*) >= 2 ORDER BY 1""",
     "q170_budget_projection" ->
       """WITH t AS (SELECT doc_id, source, list_filter(string_split(text, ' '), x -> x != '') AS toks FROM documents),
          s AS (SELECT doc_id, source, CAST(len(toks) AS BIGINT) AS n_tokens,

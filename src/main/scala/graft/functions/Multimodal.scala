@@ -172,6 +172,13 @@ object Multimodal {
     def name: String
     def init(): Unit = ()
     def decode(bytes: Array[Byte], featDim: Int): Option[Row]
+    /** `grid`×`grid` integer luma grid (row-major, values 0..255) for
+      * perceptual hashing — the decoded image downscaled by per-cell
+      * floor-average. None when this codec can't produce one (undecodable
+      * bytes, or a modality where a luma grid is meaningless — audio's
+      * perceptual fingerprints are chromaprint-shaped, not aHash-shaped).
+      * Cells that map to no pixel (source smaller than the grid) are 0. */
+    def lumaGrid(bytes: Array[Byte], grid: Int): Option[Array[Int]] = None
   }
 
   /** REAL image codec on the JVM's built-in ImageIO (PNG/JPEG/GIF/BMP —
@@ -208,6 +215,41 @@ object Multimodal {
         val n = (w.toLong * h).toFloat
         Some(Row(name, w, h, img.getColorModel.getNumComponents,
           hist.map(_ / n)))
+      }
+    }
+
+    /** True pixel luma grid: cell (gy, gx) floor-averages the integer
+      * Rec.601 luma over pixel block [gy·h/g, (gy+1)·h/g) × [gx·w/g,
+      * (gx+1)·w/g). Encoding-invariant by construction: PNG and BMP of
+      * the same pixels decode to the same ARGB and hence the same grid —
+      * which is exactly what makes the derived average-hash catch
+      * re-encoded copies that [[binaryDupGroups]]' checksum misses. */
+    override def lumaGrid(bytes: Array[Byte], grid: Int): Option[Array[Int]] = {
+      val img =
+        try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+        catch { case scala.util.control.NonFatal(_) => null }
+      if (img == null) None
+      else {
+        val (w, h) = (img.getWidth, img.getHeight)
+        val sums = new Array[Long](grid * grid)
+        val cnts = new Array[Long](grid * grid)
+        var y = 0
+        while (y < h) {
+          val gy = (y.toLong * grid / h).toInt
+          var x = 0
+          while (x < w) {
+            val gx = (x.toLong * grid / w).toInt
+            val rgb = img.getRGB(x, y)
+            val luma = (299 * ((rgb >> 16) & 0xff) + 587 * ((rgb >> 8) & 0xff) +
+              114 * (rgb & 0xff)) / 1000
+            sums(gy * grid + gx) += luma
+            cnts(gy * grid + gx) += 1
+            x += 1
+          }
+          y += 1
+        }
+        Some(Array.tabulate(grid * grid)(i =>
+          if (cnts(i) == 0) 0 else (sums(i) / cnts(i)).toInt))
       }
     }
   }
@@ -292,7 +334,9 @@ object Multimodal {
       try decodeUnsafe(bytes, featDim)
       catch { case scala.util.control.NonFatal(_) => None }
 
-    private def decodeUnsafe(bytes: Array[Byte], featDim: Int): Option[Row] = {
+    /** Shared guarded header parse: (w, h, colorspace, ySize, frameSize,
+      * header-newline index), or None for non-Y4M / corrupt headers. */
+    private def parseHeader(bytes: Array[Byte]): Option[(Int, Int, String, Long, Long, Int)] = {
       if (bytes.length < Magic.length + 1 ||
         !java.util.Arrays.equals(bytes, 0, Magic.length, Magic, 0, Magic.length))
         return None
@@ -326,6 +370,55 @@ object Multimodal {
       }
       val frameSize = ySize + chromaSize
       if (frameSize <= 0L) return None // defensive: every mode yields >= 1 here
+      Some((w, h, colorspace, ySize, frameSize, nl))
+    }
+
+    /** Per-frame temporal-average luma grid over every frame's Y plane —
+      * the video face of perceptual hashing (an aHash of the clip's mean
+      * frame; re-containerized or chroma-resampled copies with identical
+      * Y planes hash identically). Same cell binning as the image codec. */
+    override def lumaGrid(bytes: Array[Byte], grid: Int): Option[Array[Int]] =
+      try {
+        val (w, h, _, ySize, frameSize, nl) = parseHeader(bytes).getOrElse(return None)
+        val sums = new Array[Long](grid * grid)
+        val cnts = new Array[Long](grid * grid)
+        var nFrames = 0
+        var pos = nl + 1
+        var done = false
+        while (!done && pos < bytes.length) {
+          val fnl = bytes.indexOf('\n'.toByte, pos)
+          if (fnl < 0 || fnl - pos < 5 ||
+            new String(bytes, pos, 5, java.nio.charset.StandardCharsets.US_ASCII) != "FRAME")
+            done = true
+          else {
+            val dataStart = fnl + 1
+            if (dataStart.toLong + frameSize > bytes.length) done = true // truncated tail
+            else {
+              var y = 0
+              while (y < h) {
+                val gy = (y.toLong * grid / h).toInt
+                var x = 0
+                while (x < w) {
+                  val gx = (x.toLong * grid / w).toInt
+                  sums(gy * grid + gx) += bytes(dataStart + y * w + x) & 0xff
+                  cnts(gy * grid + gx) += 1
+                  x += 1
+                }
+                y += 1
+              }
+              nFrames += 1
+              pos = dataStart + frameSize.toInt
+            }
+          }
+        }
+        if (nFrames == 0) None
+        else Some(Array.tabulate(grid * grid)(i =>
+          if (cnts(i) == 0) 0 else (sums(i) / cnts(i)).toInt))
+      } catch { case scala.util.control.NonFatal(_) => None }
+
+    private def decodeUnsafe(bytes: Array[Byte], featDim: Int): Option[Row] = {
+      val (w, h, colorspace, ySize, frameSize, nl) =
+        parseHeader(bytes).getOrElse(return None)
       val hist = new Array[Long](featDim)
       var nFrames = 0
       var pos = nl + 1
@@ -367,6 +460,30 @@ object Multimodal {
       val s = decodeStub(bytes, featDim)
       Some(Row(name, 0, 0, 0, s.getAs[Array[Float]](4)))
     }
+
+    /** Deterministic stand-in grid: the payload's bytes as a 1-D "image",
+      * segmented into grid² contiguous cells (byte i → cell i·g²/n, the
+      * same floor binning the 2-D codecs use per axis), each cell the
+      * floor-average unsigned byte value. Fully integer and byte-order
+      * sensitive only WITHIN a cell — and, unlike the real codecs,
+      * replayable cell-for-cell by the DuckDB oracle over the fake
+      * payloads' source text (byte == codepoint on ASCII). Empty payload
+      * → None (no content to hash). */
+    override def lumaGrid(bytes: Array[Byte], grid: Int): Option[Array[Int]] = {
+      val n = bytes.length
+      if (n == 0) return None
+      val cells = grid * grid
+      val sums = new Array[Long](cells)
+      val cnts = new Array[Long](cells)
+      var i = 0
+      while (i < n) {
+        val c = (i.toLong * cells / n).toInt
+        sums(c) += bytes(i) & 0xff
+        cnts(c) += 1
+        i += 1
+      }
+      Some(Array.tabulate(cells)(c => if (cnts(c) == 0) 0 else (sums(c) / cnts(c)).toInt))
+    }
   }
 
   /** Partition-batched decode through a pluggable [[MediaCodec]] — same
@@ -403,6 +520,117 @@ object Multimodal {
     * All-integer signature (counts, not normalized floats) so the output
     * is engine-exact — the float histogram of [[decodeStub]] is for ANN
     * tiers, not for exact grouping. */
+  // ---- perceptual hashing (average-hash over codec luma grids) ----
+
+  /** Average-hash bit vector from a luma grid (the aHash construction):
+    * threshold = floor-mean of the grid cells, bit i = 1 iff cell i >
+    * threshold. All-integer (cells are 0..255 floor-averages), so the
+    * same grid yields the same bits in any engine — the stub codec's
+    * grids are replayed cell-for-cell by the DuckDB oracle. */
+  def averageHashBits(cells: Array[Int]): Array[Int] = {
+    var s = 0L
+    cells.foreach(s += _)
+    val m = s / cells.length
+    cells.map(c => if (c > m) 1 else 0)
+  }
+
+  /** Bits (LSB-first) packed into a signed 64-bit hash — the banding/
+    * hamming representation. Bit 63 lands in the sign bit by design (the
+    * value is an opaque bit bag, not a number). */
+  def bitsToLong(bits: Array[Int]): Long = {
+    require(bits.length <= 64, s"${bits.length} bits don't fit a long")
+    var acc = 0L
+    var i = 0
+    while (i < bits.length) { if (bits(i) == 1) acc |= 1L << i; i += 1 }
+    acc
+  }
+
+  /** Partition-batched perceptual hash over a binary column: appends
+    * `phash` (64-bit average-hash, LSB = cell 0) and `phash_bits` (the
+    * same bits as a '0'/'1' string — the oracle-friendly group key: a
+    * 64-bit hash with bit 63 set is a NEGATIVE long, and DuckDB's `<<`
+    * refuses `1::BIGINT << 63`, so cross-engine faces key on the string).
+    * Both null when the codec can't grid the payload. Same mapPartitions
+    * batch shape as [[decodeFeatures]] — the hash is computed in the scan
+    * stage and payload bytes never shuffle. */
+  def perceptualHashes(df: DataFrame, payloadCol: String,
+      codec: MediaCodec = StubCodec, grid: Int = 8): DataFrame = {
+    require(grid > 0 && grid * grid <= 64, s"grid² must fit 64 bits, got $grid")
+    val idx = df.columns.indexOf(payloadCol)
+    require(idx >= 0, s"no column $payloadCol")
+    val outSchema = StructType(df.schema.fields ++ Seq(
+      StructField("phash", LongType), StructField("phash_bits", StringType)))
+    val enc = Encoders.row(outSchema)
+    df.mapPartitions { it =>
+      codec.init()
+      it.map { r =>
+        val bytes = r.getAs[Array[Byte]](idx)
+        val hashed = if (bytes == null) None else codec.lumaGrid(bytes, grid)
+          .map(averageHashBits)
+          .map(bits => Seq(bitsToLong(bits), bits.mkString("")))
+        Row.fromSeq(r.toSeq ++ hashed.getOrElse(Seq(null, null)))
+      }
+    }(enc)
+  }
+
+  /** Perceptual-hash media dedup — the operator [[signatureDupGroups]]
+    * stood in for until r8: duplicate groups keyed by the codec's
+    * average-hash, so re-ENCODED copies (PNG↔BMP of the same pixels,
+    * re-containerized video with identical Y planes) group together even
+    * though their bytes — and hence [[binaryDupGroups]]' checksums —
+    * differ. Group key = the bit STRING (engine-exact; see
+    * [[perceptualHashes]]); returns groups with >= 2 members as
+    * (sig, n_copies, canonical_id = min id). Near-miss variants (small
+    * hamming distance, e.g. resized images) are [[perceptualNearPairs]]'
+    * job — equality grouping keeps this face one hash aggregate.
+    *
+    * Scale shape: hash in the scan stage; only (sig ≤ 64 chars, id)
+    * shuffles, payload bytes never leave their partition. */
+  def perceptualDupGroups(df: DataFrame, idCol: String, payloadCol: String,
+      codec: MediaCodec = StubCodec, grid: Int = 8): DataFrame =
+    perceptualHashes(df.select(F.col(idCol), F.col(payloadCol)),
+        payloadCol, codec, grid)
+      .where(F.col("phash_bits").isNotNull)
+      .select(F.col("phash_bits").as("sig"), F.col(idCol))
+      .groupBy("sig")
+      .agg(F.count(F.lit(1)).as("n_copies"), F.min(idCol).as("canonical_id"))
+      .where(F.col("n_copies") >= 2)
+
+  /** Near-duplicate media pairs at hamming distance <= `maxHamming` on the
+    * 64-bit average-hash — the resized/slightly-edited tier that exact
+    * [[perceptualDupGroups]] equality misses. Same provably-complete
+    * pigeonhole banding as [[graft.functions.Dedup.simhashNearPairs]]
+    * (maxHamming+1 disjoint bands over 64 bits; a pair within distance d
+    * agrees exactly on some band), candidates through
+    * [[graft.functions.Dedup.lshCandidatePairs]]' counted-cap bucket
+    * machinery, exact hamming verify on the pair. Returns (a, b, hamming),
+    * a < b. Hashes are computed once in the scan stage and lineage-cut —
+    * payloads never shuffle. */
+  def perceptualNearPairs(df: DataFrame, idCol: String, payloadCol: String,
+      codec: MediaCodec = StubCodec, maxHamming: Int = 3,
+      maxBucketSize: Int = 10000): DataFrame = {
+    val nBands = maxHamming + 1
+    require(maxHamming >= 0 && 64 % nBands == 0,
+      s"maxHamming+1 must divide 64, got $maxHamming")
+    val width = 64 / nBands
+    val mask = if (width == 64) -1L else (1L << width) - 1
+    val sigs = perceptualHashes(df.select(F.col(idCol), F.col(payloadCol)),
+        payloadCol, codec)
+      .where(F.col("phash").isNotNull)
+      .select(F.col(idCol).as("id"), F.col("phash").as("__sig"))
+      .localCheckpoint(true)
+    val banded = sigs.withColumns((0 until nBands).map { i =>
+      s"band$i" -> F.shiftrightunsigned(F.col("__sig"), i * width)
+        .bitwiseAND(F.lit(mask))
+    }.toMap)
+    Dedup.lshCandidatePairs(banded, "id", nBands, maxBucketSize)
+      .join(sigs.select(F.col("id").as("a"), F.col("__sig").as("__sa")), "a")
+      .join(sigs.select(F.col("id").as("b"), F.col("__sig").as("__sb")), "b")
+      .withColumn("hamming", Dedup.hamming64(F.col("__sa"), F.col("__sb")))
+      .where(F.col("hamming") <= maxHamming)
+      .select("a", "b", "hamming")
+  }
+
   def signatureDupGroups(df: DataFrame, idCol: String, payloadCol: String,
       bins: Int = 8): DataFrame = {
     // native single-pass histogram over the payload BYTES (the q146

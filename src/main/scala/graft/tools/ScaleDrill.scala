@@ -361,14 +361,14 @@ object ScaleDrill {
             F.floor(F.col("doc_id") / 10000000L).cast("string"))),
         "doc_id", "text", "source",
         k = 3, numHashes = 4, rowsPerBand = 2, threshold = 0.05)),
-    // scan-stage signature (8 filter-counts over the payload chars) into
-    // a (sig, id) shuffle; salted text keeps signature universes disjoint
-    // per replica so group volume grows linearly
-    "signature_dedup (q171)" -> (docs =>
-      Multimodal.signatureDupGroups(
+    // scan-stage 64-bit average-hash (stub luma grid) into a (sig, id)
+    // shuffle; salted text keeps hash universes disjoint per replica so
+    // group volume grows linearly
+    "perceptual_dedup (q171)" -> (docs =>
+      Multimodal.perceptualDupGroups(
           docs.select(F.col("doc_id"), Multimodal.fakePayload(
             F.substring(F.col("text"), 1, 40)).as("payload")),
-          "doc_id", "payload", bins = 8)),
+          "doc_id", "payload")),
     // salted text → salted 40-char payload prefixes: checksum universes
     // are disjoint per replica, dup-group volume grows linearly; only
     // (checksum, id) shuffles and the payload bytes stay in the scan

@@ -1597,6 +1597,67 @@ class FunctionsSpec extends AnyFunSuite {
     assert(got.head._2 == 3L && got.head._3 == 1L)  // {1,2,4}, canonical 1
   }
 
+  test("perceptualDupGroups: re-encoded (PNG->BMP) image dedups; distinct image doesn't; checksum dedup can't see it") {
+    import java.awt.image.BufferedImage
+    // 64x64 gray checkerboard in 8x8 blocks; seed shifts the phase so
+    // make(1) is a genuinely different picture, not a re-encode
+    def make(seed: Int): BufferedImage = {
+      val im = new BufferedImage(64, 64, BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until 64; x <- 0 until 64) {
+        val v = if (((x / 8) + (y / 8) + seed) % 2 == 0) 230 else 20
+        im.setRGB(x, y, (v << 16) | (v << 8) | v)
+      }
+      im
+    }
+    def enc(im: BufferedImage, fmt: String): Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(im, fmt, bos)
+      bos.toByteArray
+    }
+    val a = make(0)
+    val (png, bmp, other) = (enc(a, "png"), enc(a, "bmp"), enc(make(1), "png"))
+    // the pair is re-ENCODED, not byte-identical — so the md5 tier misses it
+    assert(!java.util.Arrays.equals(png, bmp))
+    val df = Seq((1L, png), (2L, bmp), (3L, other)).toDF("id", "payload")
+    assert(Multimodal.binaryDupGroups(df, "id", "payload")
+      .where($"n_copies" >= 2).count() == 0)
+    // ...while the decoded-pixel average-hash groups exactly {png, bmp}
+    val groups = Multimodal.perceptualDupGroups(df, "id", "payload",
+      Multimodal.ImageIOCodec).collect()
+    assert(groups.length == 1)
+    assert(groups(0).getAs[Long]("n_copies") == 2L)
+    assert(groups(0).getAs[Long]("canonical_id") == 1L)
+  }
+
+  test("perceptualHashes stub face matches hand-computed aHash; near-pairs finds the 1-bit neighbor") {
+    // 32 'a' (97) + 32 'z' (122): n=64 so each byte is its own cell;
+    // threshold = (32*97 + 32*122)/64 = 109 -> bits 0^32 1^32
+    val base = "a" * 32 + "z" * 32
+    val hashed = Multimodal.perceptualHashes(
+        Seq(Tuple1(base)).toDF("text")
+          .select(Multimodal.fakePayload($"text").as("payload")),
+        "payload")
+      .select("phash", "phash_bits").collect().head
+    assert(hashed.getString(1) == "0" * 32 + "1" * 32)
+    // LSB-first packing: high 32 bits set
+    assert(hashed.getLong(0) == 0xFFFFFFFF00000000L)
+    // empty payload: no content to hash -> nulls
+    val nul = Multimodal.perceptualHashes(
+        Seq(Tuple1("")).toDF("text")
+          .select(Multimodal.fakePayload($"text").as("payload")),
+        "payload").collect().head
+    assert(nul.isNullAt(1) && nul.isNullAt(2))
+    // flipping byte 5 to 'z' moves one cell over the threshold: hamming 1
+    val near = base.updated(5, 'z')
+    val far = "a" * 64 // all below threshold -> hamming 32 from base
+    val df = Seq((1L, base), (2L, near), (3L, far)).toDF("id", "text")
+      .select($"id", Multimodal.fakePayload($"text").as("payload"))
+    val pairs = Multimodal.perceptualNearPairs(df, "id", "payload",
+        maxHamming = 3)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(pairs == Set((1L, 2L, 1L)))
+  }
+
   test("report ops: degenerate inputs (empty frames, single group, no delimiter)") {
     val empty = Seq.empty[(Long, String, String)].toDF("doc_id", "text", "lang")
     // empty corpus: every gate reports 0 in / 0 out (total coalesces to 0)
