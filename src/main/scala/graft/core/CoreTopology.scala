@@ -1,0 +1,408 @@
+package graft.core
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.{functions => F}
+import org.apache.spark.sql.types._
+import graft.api.Fields
+import scala.collection.mutable
+
+/** Core-Storm per-tuple topology façade: the `TopologyBuilder` / `IRichSpout`
+  * / `IRichBolt` porting surface (reference:
+  * `storm-core/src/jvm/backtype/storm/topology/TopologyBuilder.java:47-81`,
+  * `.../topology/IRichBolt.java`, `.../task/OutputCollector.java`), so a
+  * core-topology user can TRANSLITERATE their spouts and bolts before
+  * migrating to the declarative Stream/Trident surface.
+  *
+  * Execution model (Spark-first, not a worker emulation):
+  *  - A component's tuples live in a DataFrame of
+  *    `(task INT, seq BIGINT, payload BINARY)` rows; `payload` is the
+  *    java-serialized value list (bolts are arbitrary JVM code, so the
+  *    engine cannot know a columnar schema for their tuples).
+  *  - A GROUPING is a task-assignment function
+  *    (fields-hash / round-robin / 0 / replicate — the same routing
+  *    semantics as `Stream.partitionBy/shuffle/global/broadcast`), applied
+  *    as a column transform; the bolt stage is then
+  *    `repartition(parallelism, task)` + `sortWithinPartitions(task, seq)`
+  *    + `mapPartitions`, with ONE BOLT INSTANCE PER TASK created inside the
+  *    partition (prepare → execute per tuple in seq order → cleanup) — the
+  *    documented per-partition-imperative-code path, because the
+  *    `IRichBolt.execute` contract IS arbitrary per-tuple imperative code.
+  *  - Per-task arrival order: Storm guarantees pairwise order between two
+  *    tasks; here every tuple carries a global `seq` derived from its
+  *    source tuple (`src_seq · 1e6 + emission_index`, sources interleaved
+  *    by `seq · n_sources + source_index`), and the within-partition sort
+  *    reproduces pairwise order for every source task at once.
+  *
+  * Acking (reference `integration_test.clj:28-60` + SURVEY §2.10 mapping):
+  * the XOR ack tree exists in Storm to detect completion of a tuple's
+  * emission tree under partial failure. Under Spark the batch's stage DAG
+  * is that tree — a job that returns HAS processed every derived tuple, a
+  * task that dies is re-run from lineage — so `OutputCollector.ack/fail`
+  * here only maintain per-component counters (surfaced in
+  * [[LocalTopology.Results]]), `emit(anchor, ...)` accepts and ignores the
+  * anchor, and every spout msgId is acked after the run completes (batch
+  * completion == tree completion). At-least-once REPLAY across process
+  * death is the checkpoint/WAL tier (`sources/BatchLogSource.scala`), and
+  * per-tuple low latency is `streaming/ContinuousRunner.scala`; this
+  * façade is the API-compat tier, sized for topology-logic porting and
+  * tests, not the 100 TB data path (that is the Stream/Trident surface —
+  * tuples here pay java serialization by design).
+  */
+final case class TopologyContext(componentId: String, taskIndex: Int,
+    parallelism: Int)
+
+/** Dynamic tuple face handed to bolts (reference `storm-core/src/jvm/
+  * backtype/storm/tuple/Tuple.java` accessor subset). */
+final class CoreTuple private[core] (val sourceComponent: String,
+    val fields: Seq[String], val values: Seq[Any],
+    private[core] val seq: Long) extends Serializable {
+  def size: Int = values.size
+  def getValue(i: Int): Any = values(i)
+  def getValueByField(f: String): Any = {
+    val i = fields.indexOf(f)
+    require(i >= 0, s"no field $f in (${fields.mkString(", ")})")
+    values(i)
+  }
+  def getString(i: Int): String = values(i).asInstanceOf[String]
+  def getStringByField(f: String): String = getValueByField(f).asInstanceOf[String]
+  def getLong(i: Int): Long = values(i) match {
+    case l: Long => l
+    case x: Int => x.toLong
+    case other => other.asInstanceOf[Long]
+  }
+  override def toString: String = values.mkString("(", ", ", ")")
+}
+
+/** Bolt-side collector: buffers emissions for the engine, counts acks.
+  * `emit(anchor, values)` keeps the reference signature — anchoring
+  * information is not needed because replay is lineage-level (see the
+  * file doc). */
+final class OutputCollector private[core] (
+    buf: mutable.Buffer[(Long, Seq[Any])]) {
+  private[core] var currentSeq: Long = 0L
+  private[core] var emitIdx: Int = 0
+  private[core] var acked: Long = 0L
+  private[core] var failed: Long = 0L
+  def emit(values: Seq[Any]): Unit = {
+    require(emitIdx < 1000000, "over 1e6 emissions from one input tuple")
+    buf += ((currentSeq * 1000000L + emitIdx, values))
+    emitIdx += 1
+  }
+  def emit(anchor: CoreTuple, values: Seq[Any]): Unit = emit(values)
+  def ack(t: CoreTuple): Unit = acked += 1
+  def fail(t: CoreTuple): Unit = failed += 1
+}
+
+/** Auto-ack collector for [[IBasicBolt]] (reference
+  * `topology/BasicOutputCollector.java`). */
+final class BasicOutputCollector private[core] (oc: OutputCollector) {
+  def emit(values: Seq[Any]): Unit = oc.emit(values)
+}
+
+/** Spout-side collector (reference `spout/SpoutOutputCollector.java`):
+  * driver-side buffer; msgIds are remembered so the run can ack them on
+  * batch completion. */
+final class SpoutOutputCollector private[core] () {
+  private[core] val emitted = mutable.Buffer[(Seq[Any], Any)]()
+  def emit(values: Seq[Any]): Unit = emit(values, null)
+  def emit(values: Seq[Any], msgId: Any): Unit = emitted += ((values, msgId))
+}
+
+/** Reference `topology/IRichSpout.java` lifecycle. Spouts run (pumped) on
+  * the driver — the per-tuple source loop is inherently sequential
+  * imperative code; distributed sources belong to the Trident/source tier. */
+trait IRichSpout extends Serializable {
+  def declareOutputFields: Fields
+  def open(context: TopologyContext, collector: SpoutOutputCollector): Unit = ()
+  def nextTuple(): Unit
+  def ack(msgId: Any): Unit = ()
+  def fail(msgId: Any): Unit = ()
+  def close(): Unit = ()
+}
+
+/** Reference `topology/IRichBolt.java` lifecycle: manual ack, collector
+  * handed at prepare. Instances must be serializable (they ship inside the
+  * mapPartitions closure) and are instantiated per TASK via
+  * java-serialization cloning, so per-task state never aliases. */
+trait IRichBolt extends Serializable {
+  def declareOutputFields: Fields
+  def prepare(context: TopologyContext, collector: OutputCollector): Unit = ()
+  def execute(input: CoreTuple): Unit
+  def cleanup(): Unit = ()
+}
+
+/** Reference `topology/IBasicBolt.java`: emissions auto-anchored, ack
+  * implicit after a successful execute. */
+trait IBasicBolt extends Serializable {
+  def declareOutputFields: Fields
+  def prepare(context: TopologyContext): Unit = ()
+  def execute(input: CoreTuple, collector: BasicOutputCollector): Unit
+  def cleanup(): Unit = ()
+}
+
+/** Reference `topology/BasicBoltExecutor.java`: the rich-bolt adapter that
+  * acks after each successful basic execute. */
+final class BasicBoltExecutor(val bolt: IBasicBolt) extends IRichBolt {
+  @transient private var oc: OutputCollector = _
+  @transient private var bc: BasicOutputCollector = _
+  def declareOutputFields: Fields = bolt.declareOutputFields
+  override def prepare(context: TopologyContext, collector: OutputCollector): Unit = {
+    oc = collector
+    bc = new BasicOutputCollector(collector)
+    bolt.prepare(context)
+  }
+  def execute(input: CoreTuple): Unit = {
+    bolt.execute(input, bc)
+    oc.ack(input)
+  }
+  override def cleanup(): Unit = bolt.cleanup()
+}
+
+private[core] sealed trait Grouping
+private[core] object Grouping {
+  final case class FieldsG(fields: Seq[String]) extends Grouping
+  case object Shuffle extends Grouping
+  case object Global extends Grouping
+  case object All extends Grouping
+}
+
+/** Reference `TopologyBuilder.java:47-81`: component ids → components,
+  * declarers wiring bolt inputs. Groupings: shuffle / fields / global /
+  * all / none (none routes like shuffle, as in the reference). Direct
+  * grouping is an internal mechanism with no engine mapping here —
+  * unsupported, loudly. */
+final class TopologyBuilder {
+  private[core] final case class SpoutSpec(spout: IRichSpout, parallelism: Int)
+  private[core] final case class BoltSpec(bolt: IRichBolt, parallelism: Int,
+      inputs: mutable.LinkedHashMap[String, Grouping])
+  private[core] val spouts = mutable.LinkedHashMap[String, SpoutSpec]()
+  private[core] val bolts = mutable.LinkedHashMap[String, BoltSpec]()
+
+  private def checkId(id: String): Unit =
+    require(!spouts.contains(id) && !bolts.contains(id), s"duplicate component id $id")
+
+  def setSpout(id: String, spout: IRichSpout, parallelism: Int = 1): Unit = {
+    checkId(id)
+    require(parallelism >= 1, "parallelism must be >= 1")
+    spouts(id) = SpoutSpec(spout, parallelism)
+  }
+
+  def setBolt(id: String, bolt: IRichBolt, parallelism: Int): BoltDeclarer = {
+    checkId(id)
+    require(parallelism >= 1, "parallelism must be >= 1")
+    bolts(id) = BoltSpec(bolt, parallelism, mutable.LinkedHashMap())
+    new BoltDeclarer(id)
+  }
+  def setBolt(id: String, bolt: IRichBolt): BoltDeclarer = setBolt(id, bolt, 1)
+  def setBolt(id: String, bolt: IBasicBolt, parallelism: Int): BoltDeclarer =
+    setBolt(id, new BasicBoltExecutor(bolt), parallelism)
+  def setBolt(id: String, bolt: IBasicBolt): BoltDeclarer =
+    setBolt(id, new BasicBoltExecutor(bolt), 1)
+
+  final class BoltDeclarer private[core] (id: String) {
+    private def add(src: String, g: Grouping): BoltDeclarer = {
+      require(!bolts(id).inputs.contains(src),
+        s"bolt $id already declares an input from $src")
+      bolts(id).inputs(src) = g
+      this
+    }
+    def shuffleGrouping(src: String): BoltDeclarer = add(src, Grouping.Shuffle)
+    def noneGrouping(src: String): BoltDeclarer = add(src, Grouping.Shuffle)
+    def fieldsGrouping(src: String, fields: Fields): BoltDeclarer =
+      add(src, Grouping.FieldsG(fields.names))
+    def globalGrouping(src: String): BoltDeclarer = add(src, Grouping.Global)
+    def allGrouping(src: String): BoltDeclarer = add(src, Grouping.All)
+    def directGrouping(src: String): BoltDeclarer =
+      throw new UnsupportedOperationException(
+        "direct grouping is an internal transport mechanism with no " +
+          "user-facing semantics here — use fields/shuffle/global/all")
+  }
+}
+
+/** Local batch-complete topology run — the `complete-topology` test-harness
+  * face of the reference (`testing.clj`): feed finite spout inputs, run the
+  * whole DAG, read every component's tuples back. */
+object LocalTopology {
+  final case class Results(tuples: Map[String, Seq[Seq[Any]]],
+      acked: Map[String, Long], failed: Map[String, Long]) {
+    /** reference `read-tuples`: one component's emissions, in (task, seq)
+      * order — per-task sequential order, tasks concatenated. */
+    def readTuples(component: String): Seq[Seq[Any]] = tuples(component)
+  }
+
+  private val tupleSchema = StructType(Seq(
+    StructField("task", IntegerType, nullable = false),
+    StructField("seq", LongType, nullable = false),
+    StructField("payload", BinaryType, nullable = false)))
+
+  private def ser(v: Seq[Any]): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    val o = new java.io.ObjectOutputStream(bos)
+    o.writeObject(v.toList); o.close()
+    bos.toByteArray
+  }
+  private def deser(b: Array[Byte]): Seq[Any] =
+    new java.io.ObjectInputStream(new java.io.ByteArrayInputStream(b))
+      .readObject().asInstanceOf[List[Any]]
+  /** Per-task bolt instance via serialization cloning (what a real worker
+    * does when deserializing the shipped topology). */
+  private def cloneViaSer[T <: Serializable](t: T): T =
+    new java.io.ObjectInputStream(new java.io.ByteArrayInputStream({
+      val bos = new java.io.ByteArrayOutputStream()
+      val o = new java.io.ObjectOutputStream(bos)
+      o.writeObject(t); o.close()
+      bos.toByteArray
+    })).readObject().asInstanceOf[T]
+
+  /** Run the topology to completion: mocked spouts (`mockSources`, the
+    * reference's `:mock-sources`) or driver-pumped real spouts (stopping
+    * after a full quiescent round — every spout task's `nextTuple` emitting
+    * nothing — or `maxSpoutCalls`). Returns every component's tuples. */
+  def completeTopology(spark: SparkSession, builder: TopologyBuilder,
+      mockSources: Map[String, Seq[Seq[Any]]] = Map.empty,
+      maxSpoutCalls: Int = 100000): Results = {
+    import scala.jdk.CollectionConverters._
+    mockSources.keys.foreach(id => require(builder.spouts.contains(id),
+      s"mock source $id is not a declared spout"))
+    val outFields = mutable.Map[String, Seq[String]]()
+    val outputs = mutable.LinkedHashMap[String, DataFrame]()
+    val ackCounts = mutable.Map[String, Long]()
+    val failCounts = mutable.Map[String, Long]()
+
+    // ---- spouts: driver-pumped (or mocked), round-robin across tasks ----
+    val pendingAcks = mutable.Buffer[(IRichSpout, Any)]()
+    builder.spouts.foreach { case (id, spec) =>
+      outFields(id) = spec.spout.declareOutputFields.names
+      val tuples: Seq[Seq[Any]] = mockSources.get(id) match {
+        case Some(mock) => mock
+        case None =>
+          val tasks = (0 until spec.parallelism).map { i =>
+            val inst = cloneViaSer(spec.spout)
+            val col = new SpoutOutputCollector()
+            inst.open(TopologyContext(id, i, spec.parallelism), col)
+            (inst, col)
+          }
+          val all = mutable.Buffer[Seq[Any]]()
+          var calls = 0
+          var quiet = false
+          while (!quiet && calls < maxSpoutCalls) {
+            quiet = true
+            tasks.foreach { case (inst, col) =>
+              if (calls < maxSpoutCalls) {
+                val before = col.emitted.size
+                inst.nextTuple()
+                calls += 1
+                if (col.emitted.size > before) quiet = false
+              }
+            }
+          }
+          tasks.foreach { case (inst, col) =>
+            col.emitted.foreach { case (v, msgId) =>
+              all += v
+              if (msgId != null) pendingAcks += ((inst, msgId))
+            }
+            inst.close()
+          }
+          all.toSeq
+        }
+      val rows = tuples.zipWithIndex.map { case (v, i) =>
+        Row((i % spec.parallelism), i.toLong, ser(v))
+      }
+      outputs(id) = spark.createDataFrame(rows.asJava, tupleSchema)
+        .localCheckpoint(true) // consumed by several bolts: cut once
+    }
+
+    // ---- bolts in topological order ----
+    val remaining = mutable.LinkedHashMap(builder.bolts.toSeq: _*)
+    while (remaining.nonEmpty) {
+      val readyOpt = remaining.find(_._2.inputs.keys.forall(outputs.contains))
+      val (id, spec) = readyOpt.getOrElse(throw new IllegalArgumentException(
+        s"topology cycle or missing input among: ${remaining.keys.mkString(", ")}"))
+      remaining.remove(id)
+      val bolt = spec.bolt
+      outFields(id) = bolt.declareOutputFields.names
+      val nSrc = spec.inputs.size
+      // route every input to target tasks; interleave sources so each
+      // source's pairwise order survives the global seq sort
+      val routedInputs = spec.inputs.zipWithIndex.map {
+        case ((src, grouping), srcIdx) =>
+          val srcFields = outFields(src)
+          val p = spec.parallelism
+          val srcName = src
+          outputs(src).toDF().rdd // row-level routing; payload is opaque binary
+            .flatMap { r =>
+              val seq = r.getLong(1) * nSrc + srcIdx
+              val payload = r.getAs[Array[Byte]](2)
+              grouping match {
+                case Grouping.Global => Iterator.single(Row(0, seq, srcName, payload))
+                case Grouping.Shuffle =>
+                  Iterator.single(Row(math.floorMod(r.getLong(1), p.toLong).toInt,
+                    seq, srcName, payload))
+                case Grouping.All =>
+                  Iterator.tabulate(p)(t => Row(t, seq, srcName, payload))
+                case Grouping.FieldsG(fs) =>
+                  val values = deser(payload)
+                  val key = fs.map(f => values(srcFields.indexOf(f)))
+                  Iterator.single(Row(math.floorMod(key.hashCode, p), seq,
+                    srcName, payload))
+              }
+            }
+      }.toSeq
+      val inSchema = StructType(tupleSchema.fields.patch(2,
+        Seq(StructField("src", StringType, nullable = false)), 0))
+      val inputDF = routedInputs.map(spark.createDataFrame(_, inSchema))
+        .reduce(_.unionByName(_))
+      val fieldsBySrc = spec.inputs.keys.map(s => s -> outFields(s)).toMap
+      val ctxId = id
+      val par = spec.parallelism
+      val ackAcc = spark.sparkContext.longAccumulator(s"graft.core.$id.acked")
+      val failAcc = spark.sparkContext.longAccumulator(s"graft.core.$id.failed")
+      val out = inputDF
+        .repartition(par, F.col("task"))
+        .sortWithinPartitions("task", "seq")
+        .mapPartitions { it =>
+          // one bolt instance per TASK in this partition, in tuple order
+          val live = mutable.LinkedHashMap[Int, (IRichBolt, OutputCollector,
+            mutable.Buffer[(Long, Seq[Any])])]()
+          val outRows = mutable.Buffer[Row]()
+          it.foreach { r =>
+            val task = r.getInt(0)
+            val (inst, col, buf) = live.getOrElseUpdate(task, {
+              val buf = mutable.Buffer[(Long, Seq[Any])]()
+              val col = new OutputCollector(buf)
+              val inst = cloneViaSer(bolt)
+              inst.prepare(TopologyContext(ctxId, task, par), col)
+              (inst, col, buf)
+            })
+            col.currentSeq = r.getLong(1)
+            col.emitIdx = 0
+            inst.execute(new CoreTuple(r.getString(2),
+              fieldsBySrc(r.getString(2)), deser(r.getAs[Array[Byte]](3)),
+              r.getLong(1)))
+            buf.foreach { case (s, v) => outRows += Row(task, s, ser(v)) }
+            buf.clear()
+          }
+          live.values.foreach { case (inst, col, _) =>
+            inst.cleanup()
+            ackAcc.add(col.acked)
+            failAcc.add(col.failed)
+          }
+          outRows.iterator
+        }(org.apache.spark.sql.Encoders.row(tupleSchema))
+        .toDF()
+        .localCheckpoint(true) // materialize: run the bolt exactly once
+      outputs(id) = out
+      ackCounts(id) = ackAcc.value
+      failCounts(id) = failAcc.value
+    }
+
+    // batch completion == tuple-tree completion: ack every spout msgId
+    pendingAcks.foreach { case (spout, msgId) => spout.ack(msgId) }
+
+    val tuples = outputs.map { case (id, df) =>
+      id -> df.orderBy("task", "seq").collect()
+        .map(r => deser(r.getAs[Array[Byte]](2))).toSeq
+    }.toMap
+    Results(tuples, ackCounts.toMap, failCounts.toMap)
+  }
+}

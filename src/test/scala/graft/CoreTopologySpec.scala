@@ -1,0 +1,185 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+import graft.api.Fields
+import graft.core._
+import scala.collection.mutable
+
+// The test components live at top level: bolts are serialization-cloned
+// per task, so they must not capture the (non-serializable) suite.
+
+/** reference `testing/TestWordCounter.java`: per-task running count per
+  * word, emits (word, count) — a BASIC bolt (auto-ack). */
+private class TestWordCounter extends IBasicBolt {
+  private var counts: mutable.Map[String, Int] = _
+  def declareOutputFields: Fields = Fields("word", "count")
+  override def prepare(context: TopologyContext): Unit =
+    counts = mutable.Map().withDefaultValue(0)
+  def execute(input: CoreTuple, collector: BasicOutputCollector): Unit = {
+    val w = input.getString(0)
+    counts(w) += 1
+    collector.emit(Seq(w, counts(w)))
+  }
+}
+
+/** reference `testing/TestGlobalCount.java`: running count of every tuple
+  * seen — a RICH bolt with manual ack. */
+private class TestGlobalCount extends IRichBolt {
+  private var count = 0
+  @transient private var col: OutputCollector = _
+  def declareOutputFields: Fields = Fields("global-count")
+  override def prepare(context: TopologyContext, collector: OutputCollector): Unit = {
+    col = collector
+    count = 0
+  }
+  def execute(input: CoreTuple): Unit = {
+    count += 1
+    col.emit(input, Seq(count))
+    col.ack(input)
+  }
+}
+
+/** reference `testing/TestAggregatesCounter.java`: tracks the latest count
+  * per word, emits the sum across words after every input. */
+private class TestAggregatesCounter extends IRichBolt {
+  private var counts: mutable.Map[String, Int] = _
+  @transient private var col: OutputCollector = _
+  def declareOutputFields: Fields = Fields("agg-global")
+  override def prepare(context: TopologyContext, collector: OutputCollector): Unit = {
+    col = collector
+    counts = mutable.Map()
+  }
+  def execute(input: CoreTuple): Unit = {
+    counts(input.getString(0)) = input.getValue(1).asInstanceOf[Int]
+    col.emit(input, Seq(counts.values.sum))
+    col.ack(input)
+  }
+}
+
+/** reference `integration_test.clj` emit-task-id bolt: emits the task
+  * index for every input. */
+private class EmitTaskId extends IRichBolt {
+  @transient private var col: OutputCollector = _
+  private var tid = -1
+  def declareOutputFields: Fields = Fields("tid")
+  override def prepare(context: TopologyContext, collector: OutputCollector): Unit = {
+    col = collector
+    tid = context.taskIndex
+  }
+  def execute(input: CoreTuple): Unit = {
+    col.emit(input, Seq(tid))
+    col.ack(input)
+  }
+}
+
+/** Spout placeholder for mocked sources (only declareOutputFields runs). */
+private class WordSpoutStub extends IRichSpout {
+  def declareOutputFields: Fields = Fields("word")
+  def nextTuple(): Unit = ()
+}
+
+/** Driver-side ack registry: the run clones spouts per task, so instance
+  * state set by ack() would land on a clone — record acks statically. */
+private object AckLog { val ids: mutable.Set[Any] = mutable.Set() }
+
+/** A FixedTupleSpout analog (reference `testing/FixedTupleSpout.java`):
+  * emits its tuples once with msgIds, then goes quiet; acks are recorded
+  * in [[AckLog]]. */
+private class LoggingFixedSpout(tuples: Seq[Seq[Any]]) extends IRichSpout {
+  @transient private var col: SpoutOutputCollector = _
+  private var i = 0
+  def declareOutputFields: Fields = Fields("word")
+  override def open(context: TopologyContext, collector: SpoutOutputCollector): Unit =
+    col = collector
+  def nextTuple(): Unit = if (i < tuples.size) {
+    col.emit(tuples(i), s"msg$i")
+    i += 1
+  }
+  override def ack(msgId: Any): Unit = AckLog.ids += msgId
+}
+
+/** Identity basic bolt. */
+private class IdentityWord extends IBasicBolt {
+  def declareOutputFields: Fields = Fields("word")
+  def execute(input: CoreTuple, collector: BasicOutputCollector): Unit =
+    collector.emit(Seq(input.getValue(0)))
+}
+
+/** Port of the reference's core-topology integration tests
+  * (`storm-core/test/clj/backtype/storm/integration_test.clj:28-60`,
+  * test-basic-topology + the multi-task distribution check) onto the
+  * [[graft.core.LocalTopology]] façade: same spout input, same three
+  * bolts (per-word counter on a fields grouping, global counter on a
+  * global grouping, aggregates counter chained off the word counts),
+  * same expected tuples. */
+class CoreTopologySpec extends AnyFunSuite {
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  test("basic topology: word counter / global count / aggregates (integration_test.clj:28-45)") {
+    val b = new TopologyBuilder
+    b.setSpout("1", new WordSpoutStub, parallelism = 3)
+    b.setBolt("2", new TestWordCounter, 4).fieldsGrouping("1", Fields("word"))
+    b.setBolt("3", new TestGlobalCount).globalGrouping("1")
+    b.setBolt("4", new TestAggregatesCounter).globalGrouping("2")
+    val results = LocalTopology.completeTopology(spark, b,
+      mockSources = Map("1" -> Seq(Seq("nathan"), Seq("bob"), Seq("joey"), Seq("nathan"))))
+    // spout tuples, as a multiset (ms= in the reference)
+    assert(results.readTuples("1").groupBy(identity).view.mapValues(_.size).toMap ==
+      Map(Seq("nathan") -> 2, Seq("bob") -> 1, Seq("joey") -> 1))
+    // word counts, as a multiset: nathan counted twice in order
+    assert(results.readTuples("2").groupBy(identity).view.mapValues(_.size).toMap ==
+      Map(Seq("nathan", 1) -> 1, Seq("nathan", 2) -> 1,
+        Seq("bob", 1) -> 1, Seq("joey", 1) -> 1))
+    // global count: strictly ordered 1..4 (single task, spout order)
+    assert(results.readTuples("3") == Seq(Seq(1), Seq(2), Seq(3), Seq(4)))
+    // aggregates: running sum over latest per-word counts is 1,2,3,4 in
+    // every arrival order the pairwise-order guarantee allows
+    assert(results.readTuples("4") == Seq(Seq(1), Seq(2), Seq(3), Seq(4)))
+    // basic bolt auto-acked every input; rich bolts acked manually
+    assert(results.acked("2") == 4L && results.acked("3") == 4L && results.acked("4") == 4L)
+    assert(results.failed.values.forall(_ == 0L))
+  }
+
+  test("shuffle grouping distributes round-robin across tasks (multi-task distribution, integration_test.clj:47-60)") {
+    val b = new TopologyBuilder
+    b.setSpout("1", new WordSpoutStub)
+    b.setBolt("2", new EmitTaskId, 6).shuffleGrouping("1")
+    val results = LocalTopology.completeTopology(spark, b,
+      mockSources = Map("1" -> Seq.fill(6)(Seq("a"))))
+    assert(results.readTuples("2").map(_.head).toSet == Set(0, 1, 2, 3, 4, 5))
+  }
+
+  test("driver-pumped rich spout: open/nextTuple/ack lifecycle, all grouping, quiescence stop") {
+    AckLog.ids.clear()
+    val b = new TopologyBuilder
+    b.setSpout("1", new LoggingFixedSpout(Seq(Seq("x"), Seq("y"))))
+    b.setBolt("2", new IdentityWord, 3).allGrouping("1")
+    val results = LocalTopology.completeTopology(spark, b)
+    assert(results.readTuples("1").toSet == Set(Seq("x"), Seq("y")))
+    // all grouping: every task sees every tuple -> 2 tuples x 3 tasks
+    assert(results.readTuples("2").size == 6)
+    // batch completion == tuple-tree completion: every msgId acked
+    assert(AckLog.ids == Set("msg0", "msg1"))
+  }
+
+  test("builder validation: duplicate ids, direct grouping, cycles") {
+    val b = new TopologyBuilder
+    b.setSpout("s", new WordSpoutStub)
+    intercept[IllegalArgumentException] { b.setSpout("s", new WordSpoutStub) }
+    intercept[UnsupportedOperationException] {
+      b.setBolt("d", new IdentityWord).directGrouping("s")
+    }
+    val c = new TopologyBuilder
+    c.setSpout("s", new WordSpoutStub)
+    c.setBolt("a", new IdentityWord).shuffleGrouping("b")
+    c.setBolt("b", new IdentityWord).shuffleGrouping("a")
+    intercept[IllegalArgumentException] {
+      LocalTopology.completeTopology(spark, c, Map("s" -> Seq(Seq("x"))))
+    }
+  }
+}
