@@ -1454,6 +1454,15 @@ object SparkEntry {
         .orderBy("sig")
     }),
 
+    "q172_repetition_profile" -> ((s, dir) =>
+      // Gopher-family repetition gates (complement of q88's scalar
+      // signals): top-word / top-bigram / duplicate-trigram fractions
+      // (integer ppm) + longest token run — one corpus scan, one
+      // tagged-gram shuffle
+      functions.Text.repetitionProfile(table(s, dir, "documents"),
+          "doc_id", "text")
+        .orderBy("doc_id")),
+
     "q170_budget_projection" -> ((s, dir) =>
       // the calibration loop closed: apply each source's keep-25% score
       // threshold and report the doc/token yield it actually buys
@@ -3120,6 +3129,39 @@ object SparkEntry {
          SELECT sig, CAST(count(*) AS BIGINT) AS n_copies,
            CAST(min(doc_id) AS BIGINT) AS canonical_id
          FROM allsg GROUP BY 1 HAVING count(*) >= 2 ORDER BY 1""",
+    "q172_repetition_profile" ->
+      // gaps-and-islands for the run length; gram families replayed as
+      // unnest+group (mirrors the tagged-explode, engine-exact ppm)
+      """WITH base AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x != '') AS toks FROM documents),
+         t AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n, toks FROM base),
+         pos AS (SELECT doc_id, i, toks[i] AS w
+                 FROM (SELECT doc_id, toks, unnest(generate_series(1, len(toks))) AS i
+                       FROM t WHERE len(toks) > 0)),
+         wc AS (SELECT doc_id, w, count(*) AS c FROM pos GROUP BY 1, 2),
+         wmax AS (SELECT doc_id, max(c) AS topw FROM wc GROUP BY 1),
+         b2 AS (SELECT doc_id, g, count(*) AS c FROM (
+                 SELECT doc_id, unnest(list_transform(generate_series(1, len(toks) - 1),
+                   i -> toks[i] || ' ' || toks[i+1])) AS g
+                 FROM t WHERE len(toks) >= 2) GROUP BY 1, 2),
+         bmax AS (SELECT doc_id, max(c) AS topb FROM b2 GROUP BY 1),
+         g3 AS (SELECT doc_id, g, count(*) AS c FROM (
+                 SELECT doc_id, unnest(list_transform(generate_series(1, len(toks) - 2),
+                   i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS g
+                 FROM t WHERE len(toks) >= 3) GROUP BY 1, 2),
+         t3 AS (SELECT doc_id, sum(c) AS nt, count(*) AS dt FROM g3 GROUP BY 1),
+         rgrp AS (SELECT doc_id, w, i - row_number() OVER (PARTITION BY doc_id, w ORDER BY i) AS grp
+                  FROM pos),
+         runs AS (SELECT doc_id, CAST(max(c) AS BIGINT) AS max_run FROM (
+                   SELECT doc_id, w, grp, count(*) AS c FROM rgrp GROUP BY 1, 2, 3)
+                  GROUP BY 1)
+         SELECT t.doc_id, t.n AS n_tokens,
+           CASE WHEN t.n > 0 THEN CAST(wmax.topw * 1000000 // t.n AS BIGINT) END AS top_word_ppm,
+           CASE WHEN t.n >= 2 THEN CAST(bmax.topb * 1000000 // (t.n - 1) AS BIGINT) END AS top_bigram_ppm,
+           CASE WHEN t.n >= 3 THEN CAST((t3.nt - t3.dt) * 1000000 // t3.nt AS BIGINT) END AS dup_trigram_ppm,
+           CAST(coalesce(runs.max_run, 0) AS BIGINT) AS max_run_len
+         FROM t LEFT JOIN wmax USING (doc_id) LEFT JOIN bmax USING (doc_id)
+           LEFT JOIN t3 USING (doc_id) LEFT JOIN runs USING (doc_id)
+         ORDER BY 1""",
     "q170_budget_projection" ->
       """WITH t AS (SELECT doc_id, source, list_filter(string_split(text, ' '), x -> x != '') AS toks FROM documents),
          s AS (SELECT doc_id, source, CAST(len(toks) AS BIGINT) AS n_tokens,

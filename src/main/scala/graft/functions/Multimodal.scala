@@ -262,7 +262,26 @@ object Multimodal {
     * over the first channel's samples. Undecodable bytes → None. */
   object WavCodec extends MediaCodec {
     override def name: String = "wav"
-    override def decode(bytes: Array[Byte], featDim: Int): Option[Row] = {
+
+    /** Decoded PCM stream: (data, frameSize, bits, signed8, bigEndian,
+      * channels, sampleRate). None for non-linear-PCM / undecodable. */
+    private final case class Pcm(data: Array[Byte], frameSize: Int, bits: Int,
+        signed8: Boolean, bigEndian: Boolean, channels: Int, rate: Int) {
+      def nFrames: Int = if (frameSize > 0) data.length / frameSize else 0
+      /** Channel-0 normalized |amplitude| of frame i, in [0, 1]. */
+      def amp(i: Int): Double = {
+        val off = i * frameSize // channel 0 sample starts the frame
+        if (bits == 8) {
+          if (signed8) math.abs(data(off).toInt) / 128.0
+          else math.abs((data(off) & 0xff) - 128) / 128.0
+        } else {
+          val (lo, hi) = if (bigEndian) (off + 1, off) else (off, off + 1)
+          math.abs((data(hi) << 8 | (data(lo) & 0xff)).toShort / 32768.0)
+        }
+      }
+    }
+
+    private def readPcm(bytes: Array[Byte]): Option[Pcm] = {
       val stream =
         try javax.sound.sampled.AudioSystem.getAudioInputStream(
           new java.io.ByteArrayInputStream(bytes))
@@ -283,34 +302,57 @@ object Multimodal {
         if (enc != Encoding.PCM_SIGNED && enc != Encoding.PCM_UNSIGNED) return None
         if (bits != 8 && bits != 16) return None // non-PCM widths out of scope
         if (bits == 16 && enc != Encoding.PCM_SIGNED) return None // 16-bit unsigned: out of scope
-        val signed8 = bits == 8 && enc == Encoding.PCM_SIGNED
-        val frameSize = fmt.getFrameSize
-        val channels = fmt.getChannels
-        val data = stream.readAllBytes()
-        val nFrames = if (frameSize > 0) data.length / frameSize else 0
+        Some(Pcm(stream.readAllBytes(), fmt.getFrameSize, bits,
+          bits == 8 && enc == Encoding.PCM_SIGNED, fmt.isBigEndian,
+          fmt.getChannels, math.round(fmt.getSampleRate)))
+      } finally stream.close()
+    }
+
+    override def decode(bytes: Array[Byte], featDim: Int): Option[Row] =
+      readPcm(bytes).map { pcm =>
+        val nFrames = pcm.nFrames
         val hist = new Array[Long](featDim)
         var i = 0
         while (i < nFrames) {
-          val off = i * frameSize // channel 0 sample starts the frame
-          // normalized |amplitude| in [0, 1]
-          val amp =
-            if (bits == 8) {
-              if (signed8) math.abs(data(off).toInt) / 128.0
-              else math.abs((data(off) & 0xff) - 128) / 128.0
-            } else {
-              val (lo, hi) = if (fmt.isBigEndian) (off + 1, off) else (off, off + 1)
-              math.abs((data(hi) << 8 | (data(lo) & 0xff)).toShort / 32768.0)
-            }
-          hist(math.min(featDim - 1, (amp * featDim).toInt)) += 1
+          hist(math.min(featDim - 1, (pcm.amp(i) * featDim).toInt)) += 1
           i += 1
         }
-        val rate = math.round(fmt.getSampleRate)
         val durationMs =
-          if (rate > 0 && nFrames > 0) math.round(nFrames * 1000.0 / rate).toInt else 0
+          if (pcm.rate > 0 && nFrames > 0) math.round(nFrames * 1000.0 / pcm.rate).toInt else 0
         val denom = math.max(1L, nFrames).toFloat
-        Some(Row(name, rate, durationMs, channels, hist.map(_ / denom)))
-      } finally stream.close()
-    }
+        Row(name, pcm.rate, durationMs, pcm.channels, hist.map(_ / denom))
+      }
+
+    /** Audio "grid" for perceptual hashing: the ENERGY ENVELOPE — frames
+      * segmented into grid² time cells (same floor binning as the image
+      * cells), each the floor-average of channel-0 |amplitude| scaled to
+      * 0..255. CONTAINER-invariant: WAV and AIFF/AU of the same PCM
+      * samples decode to the same amplitudes (the byte-order and
+      * signedness differences are normalized in [[Pcm.amp]]), so a
+      * re-containerized clip average-hashes identically — the audio
+      * mirror of the image codec's PNG↔BMP invariance. A true
+      * spectral/chroma fingerprint needs an FFT; the envelope is the
+      * deterministic zero-dependency tier behind the same SPI. */
+    override def lumaGrid(bytes: Array[Byte], grid: Int): Option[Array[Int]] =
+      readPcm(bytes).flatMap { pcm =>
+        val n = pcm.nFrames
+        if (n == 0) None
+        else {
+          val cells = grid * grid
+          val sums = new Array[Long](cells)
+          val cnts = new Array[Long](cells)
+          var i = 0
+          while (i < n) {
+            val c = (i.toLong * cells / n).toInt
+            val v = math.min(255, (pcm.amp(i) * 256.0).toInt)
+            sums(c) += v
+            cnts(c) += 1
+            i += 1
+          }
+          Some(Array.tabulate(cells)(c =>
+            if (cnts(c) == 0) 0 else (sums(c) / cnts(c)).toInt))
+        }
+      }
   }
 
   /** REAL video codec for YUV4MPEG2 (`.y4m`) — the uncompressed planar

@@ -33,6 +33,79 @@ object Text {
   def distinctTokenCount(text: Column): Column =
     F.size(F.array_distinct(tokens(text)))
 
+  /** Per-document repetition PROFILE — the Gopher-family (Rae et al. 2021,
+    * arXiv:2112.11446 §A1.1.2) quality gates a curation pipeline runs
+    * before training: machine-generated and template spam is REPETITIVE in
+    * ways length/stopword stats don't see. Complements the scalar
+    * [[repetitionSignals]] (modal-k-gram + stopword fractions, q88) with
+    * the count-exact gates that need a gram aggregation rather than a
+    * per-row pass. Exact integer definitions (engine-reproducible, all
+    * ppm via DIV on non-negatives):
+    *
+    *  - `top_word_ppm`    — occurrences of the most frequent token ·1e6
+    *                        DIV n_tokens (the "fraction in most common
+    *                        word" gate); NULL when no tokens.
+    *  - `top_bigram_ppm`  — same for 2-grams over n−1 bigram slots; NULL
+    *                        when n < 2.
+    *  - `dup_trigram_ppm` — occurrences of repeated 3-grams beyond each
+    *                        first (= n_grams − n_distinct) ·1e6 DIV
+    *                        n_grams (the "fraction in duplicate n-grams"
+    *                        gate); NULL when n < 3.
+    *  - `max_run_len`     — longest consecutive run of one token ("a a a
+    *                        a" spam); 0 for empty docs.
+    *
+    * Scale shape (100 TB): ONE corpus scan — the three gram families are
+    * tagged (kind 0/1/2) and exploded together, so there is one
+    * (id, kind, gram) count shuffle with map-side combine and a tiny
+    * per-id rollup; `max_run_len` is a linear array fold computed in the
+    * scan stage and carried through the aggregation as a grouping key
+    * (functionally dependent on the id). Text never shuffles — only
+    * grams. */
+  def repetitionProfile(df: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String): org.apache.spark.sql.DataFrame = {
+    val toks = tokens(F.col(textCol))
+    val n = F.size(toks)
+    // neighbor-equality fold: zip the array against its own 1-shift (both
+    // slices computed ONCE as arguments — an indexed lambda re-reading the
+    // outer array would be O(n²) interpreted, the q146 lesson)
+    val runFold = F.aggregate(
+      F.zip_with(F.slice(toks, F.lit(1), n - 1), F.slice(toks, F.lit(2), n - 1),
+        (a, b) => a === b),
+      F.struct(F.lit(1L).as("cur"), F.lit(1L).as("best")),
+      (acc, e) => {
+        val cur = F.when(e, acc.getField("cur") + 1).otherwise(F.lit(1L))
+        F.struct(cur.as("cur"),
+          F.greatest(acc.getField("best"), cur).as("best"))
+      },
+      acc => acc.getField("best"))
+    val maxRun = F.when(n === 0, F.lit(0L)).when(n === 1, F.lit(1L))
+      .otherwise(runFold)
+    def tag(kind: Int, grams: Column): Column =
+      F.transform(grams, g => F.struct(F.lit(kind).as("k"), g.as("g")))
+    val tagged = F.concat(
+      tag(0, toks),
+      tag(1, Dedup.shingles(F.col(textCol), 2)),
+      tag(2, Dedup.shingles(F.col(textCol), 3)))
+    df.select(F.col(idCol), n.cast("long").as("n_tokens"), maxRun.as("max_run_len"),
+        F.explode_outer(tagged).as("kg")) // outer: empty docs keep their row
+      .groupBy(idCol, "n_tokens", "max_run_len", "kg")
+      .agg(F.count(F.lit(1)).as("c"))
+      .groupBy(idCol, "n_tokens", "max_run_len")
+      .agg(
+        F.max(F.when(F.col("kg.k") === 0, F.col("c"))).as("__topw"),
+        F.max(F.when(F.col("kg.k") === 1, F.col("c"))).as("__topb"),
+        F.sum(F.when(F.col("kg.k") === 2, F.col("c"))).as("__nt"),
+        F.sum(F.when(F.col("kg.k") === 2, 1L)).as("__dt"))
+      .select(F.col(idCol), F.col("n_tokens"),
+        F.when(F.col("n_tokens") > 0,
+          F.expr("__topw * 1000000L DIV n_tokens")).as("top_word_ppm"),
+        F.when(F.col("n_tokens") >= 2,
+          F.expr("__topb * 1000000L DIV (n_tokens - 1)")).as("top_bigram_ppm"),
+        F.when(F.col("n_tokens") >= 3,
+          F.expr("(__nt - __dt) * 1000000L DIV __nt")).as("dup_trigram_ppm"),
+        F.col("max_run_len"))
+  }
+
   /** Type-token ratio scaled to integer per-mille (exact integer math for
     * cross-engine determinism). */
   def typeTokenRatioPerMille(text: Column): Column =

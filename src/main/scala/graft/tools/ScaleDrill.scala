@@ -361,6 +361,10 @@ object ScaleDrill {
             F.floor(F.col("doc_id") / 10000000L).cast("string"))),
         "doc_id", "text", "source",
         k = 3, numHashes = 4, rowsPerBand = 2, threshold = 0.05)),
+    // one tagged-gram explode + (id, kind, gram) count shuffle per doc;
+    // per-doc work is corpus-independent, so the row pins scan linearity
+    "repetition_profile (q172)" -> (docs =>
+      Text.repetitionProfile(docs, "doc_id", "text")),
     // scan-stage 64-bit average-hash (stub luma grid) into a (sig, id)
     // shuffle; salted text keeps hash universes disjoint per replica so
     // group volume grows linearly

@@ -1597,6 +1597,29 @@ class FunctionsSpec extends AnyFunSuite {
     assert(got.head._2 == 3L && got.head._3 == 1L)  // {1,2,4}, canonical 1
   }
 
+  test("repetitionProfile: hand-computed Gopher gates incl. degenerate docs") {
+    val df = Seq(
+      (1L, "a a a b a b x"), // n=7: a=4 -> topw 4e6/7; "a a"x2,"a b"x2 of 6
+                            // bigrams -> 333333; 5 distinct trigrams -> 0;
+                            // run "a a a" -> 3
+      (2L, ""),             // empty: nulls, run 0
+      (3L, "w"),            // single token: topw 1e6, bigram/trigram null
+      (4L, "w w"),          // topw 1e6; one bigram slot, count 1 -> 1e6
+      (5L, "s p s p s p"))  // template spam: trigrams "s p s"x2,"p s p"x2
+                            // of 4 slots -> dup (4-2)/4 = 500000
+      .toDF("doc_id", "text")
+    val got = Text.repetitionProfile(df, "doc_id", "text")
+      .orderBy("doc_id")
+      .as[(Long, Long, Option[Long], Option[Long], Option[Long], Long)]
+      .collect().toSeq
+    assert(got == Seq(
+      (1L, 7L, Some(4000000L / 7), Some(2000000L / 6), Some(0L), 3L),
+      (2L, 0L, None, None, None, 0L),
+      (3L, 1L, Some(1000000L), None, None, 1L),
+      (4L, 2L, Some(1000000L), Some(1000000L), None, 2L),
+      (5L, 6L, Some(500000L), Some(3000000L / 5), Some(500000L), 1L)))
+  }
+
   test("perceptualDupGroups: re-encoded (PNG->BMP) image dedups; distinct image doesn't; checksum dedup can't see it") {
     import java.awt.image.BufferedImage
     // 64x64 gray checkerboard in 8x8 blocks; seed shifts the phase so
@@ -1624,6 +1647,47 @@ class FunctionsSpec extends AnyFunSuite {
     // ...while the decoded-pixel average-hash groups exactly {png, bmp}
     val groups = Multimodal.perceptualDupGroups(df, "id", "payload",
       Multimodal.ImageIOCodec).collect()
+    assert(groups.length == 1)
+    assert(groups(0).getAs[Long]("n_copies") == 2L)
+    assert(groups(0).getAs[Long]("canonical_id") == 1L)
+  }
+
+  test("perceptualDupGroups audio: re-containerized (WAV->AIFF) clip dedups on the envelope hash; different clip doesn't") {
+    import javax.sound.sampled._
+    // same logical PCM written into two containers: WAV is 16-bit LE,
+    // AIFF is 16-bit BE — different bytes, same samples
+    def encode(samples: Array[Short], typ: AudioFileFormat.Type,
+        bigEndian: Boolean): Array[Byte] = {
+      val fmt = new AudioFormat(AudioFormat.Encoding.PCM_SIGNED,
+        8000f, 16, 1, 2, 8000f, bigEndian)
+      val data = new Array[Byte](samples.length * 2)
+      samples.indices.foreach { i =>
+        val s = samples(i)
+        if (bigEndian) { data(2 * i) = (s >> 8).toByte; data(2 * i + 1) = s.toByte }
+        else { data(2 * i) = s.toByte; data(2 * i + 1) = (s >> 8).toByte }
+      }
+      val ais = new AudioInputStream(
+        new java.io.ByteArrayInputStream(data), fmt, samples.length.toLong)
+      val bos = new java.io.ByteArrayOutputStream()
+      AudioSystem.write(ais, typ, bos)
+      bos.toByteArray
+    }
+    // block-alternating loud/quiet envelope (1000-frame blocks over 8000
+    // frames = 8 grid cells per block): a flat envelope would leave every
+    // cell at the threshold and the hash bits arbitrary
+    def blocks(phase: Int): Array[Short] = Array.tabulate(8000) { i =>
+      val amp = if ((i / 1000 + phase) % 2 == 0) 20000 else 1000
+      (if (i % 2 == 0) amp else -amp).toShort
+    }
+    val wav = encode(blocks(0), AudioFileFormat.Type.WAVE, bigEndian = false)
+    val aiff = encode(blocks(0), AudioFileFormat.Type.AIFF, bigEndian = true)
+    val otherWav = encode(blocks(1), AudioFileFormat.Type.WAVE, bigEndian = false)
+    assert(!java.util.Arrays.equals(wav, aiff))
+    val df = Seq((1L, wav), (2L, aiff), (3L, otherWav)).toDF("id", "payload")
+    assert(Multimodal.binaryDupGroups(df, "id", "payload")
+      .where($"n_copies" >= 2).count() == 0)
+    val groups = Multimodal.perceptualDupGroups(df, "id", "payload",
+      Multimodal.WavCodec).collect()
     assert(groups.length == 1)
     assert(groups(0).getAs[Long]("n_copies") == 2L)
     assert(groups(0).getAs[Long]("canonical_id") == 1L)

@@ -325,6 +325,14 @@ class PlanSpec extends AnyFunSuite {
       s"group-level norms/totals must broadcast:\n$p")
   }
 
+  test("q172 repetition profile: one corpus scan, partial-aggregated gram counts, no join") {
+    val p = plan("q172_repetition_profile")
+    val scans = "Scan parquet".r.findAllIn(p).size
+    assert(scans == 1, s"exactly one corpus scan (got $scans):\n$p")
+    assert(!p.contains("Join"), s"no join belongs in this plan:\n$p")
+    assert(p.contains("partial_"), s"gram counts must map-side combine:\n$p")
+  }
+
   test("capped sourceSimilarity: term cap adds no cartesian and keeps the term-keyed pair join") {
     // the maxSourcesPerTerm guard (VERDICT r7 #7): the ok-terms filter is
     // an equi-join on the term key and the double-consumed tf table is
