@@ -54,57 +54,29 @@ object Text {
     *  - `max_run_len`     — longest consecutive run of one token ("a a a
     *                        a" spam); 0 for empty docs.
     *
-    * Scale shape (100 TB): ONE corpus scan — the three gram families are
-    * tagged (kind 0/1/2) and exploded together, so there is one
-    * (id, kind, gram) count shuffle with map-side combine and a tiny
-    * per-id rollup; `max_run_len` is a linear array fold computed in the
-    * scan stage and carried through the aggregation as a grouping key
-    * (functionally dependent on the id). Text never shuffles — only
-    * grams. */
+    * Scale shape (100 TB): every statistic here is PER-DOCUMENT, so the
+    * whole operator is one scan-stage pass — the native
+    * [[graft.plans.Expressions.RepetitionProfile]] expression computes
+    * the six counts imperatively per row (doc-bounded hashmaps), and the
+    * ppm ratios are Column arithmetic over the struct. ZERO shuffles; no
+    * gram ever leaves its row. (A tagged-gram explode + aggregation
+    * spelling also works but shuffles every gram for per-doc answers and
+    * pays interpreted HOF evaluation — measured unusably slow on the
+    * 500k-doc drill, see the expression's scaladoc.) */
   def repetitionProfile(df: org.apache.spark.sql.DataFrame, idCol: String,
-      textCol: String): org.apache.spark.sql.DataFrame = {
-    val toks = tokens(F.col(textCol))
-    val n = F.size(toks)
-    // neighbor-equality fold: zip the array against its own 1-shift (both
-    // slices computed ONCE as arguments — an indexed lambda re-reading the
-    // outer array would be O(n²) interpreted, the q146 lesson)
-    val runFold = F.aggregate(
-      F.zip_with(F.slice(toks, F.lit(1), n - 1), F.slice(toks, F.lit(2), n - 1),
-        (a, b) => a === b),
-      F.struct(F.lit(1L).as("cur"), F.lit(1L).as("best")),
-      (acc, e) => {
-        val cur = F.when(e, acc.getField("cur") + 1).otherwise(F.lit(1L))
-        F.struct(cur.as("cur"),
-          F.greatest(acc.getField("best"), cur).as("best"))
-      },
-      acc => acc.getField("best"))
-    val maxRun = F.when(n === 0, F.lit(0L)).when(n === 1, F.lit(1L))
-      .otherwise(runFold)
-    def tag(kind: Int, grams: Column): Column =
-      F.transform(grams, g => F.struct(F.lit(kind).as("k"), g.as("g")))
-    val tagged = F.concat(
-      tag(0, toks),
-      tag(1, Dedup.shingles(F.col(textCol), 2)),
-      tag(2, Dedup.shingles(F.col(textCol), 3)))
-    df.select(F.col(idCol), n.cast("long").as("n_tokens"), maxRun.as("max_run_len"),
-        F.explode_outer(tagged).as("kg")) // outer: empty docs keep their row
-      .groupBy(idCol, "n_tokens", "max_run_len", "kg")
-      .agg(F.count(F.lit(1)).as("c"))
-      .groupBy(idCol, "n_tokens", "max_run_len")
-      .agg(
-        F.max(F.when(F.col("kg.k") === 0, F.col("c"))).as("__topw"),
-        F.max(F.when(F.col("kg.k") === 1, F.col("c"))).as("__topb"),
-        F.sum(F.when(F.col("kg.k") === 2, F.col("c"))).as("__nt"),
-        F.sum(F.when(F.col("kg.k") === 2, 1L)).as("__dt"))
-      .select(F.col(idCol), F.col("n_tokens"),
-        F.when(F.col("n_tokens") > 0,
-          F.expr("__topw * 1000000L DIV n_tokens")).as("top_word_ppm"),
-        F.when(F.col("n_tokens") >= 2,
-          F.expr("__topb * 1000000L DIV (n_tokens - 1)")).as("top_bigram_ppm"),
-        F.when(F.col("n_tokens") >= 3,
-          F.expr("(__nt - __dt) * 1000000L DIV __nt")).as("dup_trigram_ppm"),
-        F.col("max_run_len"))
-  }
+      textCol: String): org.apache.spark.sql.DataFrame =
+    df.select(F.col(idCol),
+        graft.plans.Expressions.repetitionProfile(tokens(F.col(textCol))).as("__p"))
+      .select(F.col(idCol),
+        F.col("__p.n_tokens").as("n_tokens"),
+        F.when(F.col("__p.n_tokens") > 0,
+          F.expr("__p.top_word * 1000000L DIV __p.n_tokens")).as("top_word_ppm"),
+        F.when(F.col("__p.n_tokens") >= 2,
+          F.expr("__p.top_bigram * 1000000L DIV (__p.n_tokens - 1)")).as("top_bigram_ppm"),
+        F.when(F.col("__p.n_tokens") >= 3,
+          F.expr("(__p.n_trigrams - __p.distinct_trigrams) * 1000000L DIV __p.n_trigrams"))
+          .as("dup_trigram_ppm"),
+        F.col("__p.max_run").as("max_run_len"))
 
   /** Type-token ratio scaled to integer per-mille (exact integer math for
     * cross-engine determinism). */

@@ -822,6 +822,89 @@ object Expressions {
     override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
   }
 
+  /** `repetition_profile(tokens)` → struct(n_tokens, top_word, top_bigram,
+    * n_trigrams, distinct_trigrams, max_run): the count side of the
+    * Gopher-family repetition gates ([[graft.functions.Text.repetitionProfile]]
+    * derives the ppm ratios). ONE imperative pass per document with
+    * doc-bounded hashmaps — every statistic here is per-document, so no
+    * gram ever needs to leave its row, let alone shuffle. (The first
+    * spelling was a tagged-gram explode + two aggregations; beyond the
+    * needless shuffle it also re-evaluated the inlined tokenizer per HOF
+    * reference interpreted — the q146 lesson — and a single-task scan of
+    * the 500k-doc drill corpus ran for an hour before this rewrite.) */
+  case class RepetitionProfile(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = StructType(Seq(
+      StructField("n_tokens", LongType, nullable = false),
+      StructField("top_word", LongType, nullable = false),
+      StructField("top_bigram", LongType, nullable = false),
+      StructField("n_trigrams", LongType, nullable = false),
+      StructField("distinct_trigrams", LongType, nullable = false),
+      StructField("max_run", LongType, nullable = false)))
+    override def prettyName: String = "repetition_profile"
+    override def checkInputDataTypes(): TypeCheckResult =
+      requireTokenArray(child, prettyName)
+
+    override def nullSafeEval(input: Any): Any = {
+      val arr = input.asInstanceOf[ArrayData]
+      val total = arr.numElements()
+      val words = new Array[String](total)
+      var n = 0
+      var w = 0
+      while (w < total) {
+        val u = arr.getUTF8String(w)
+        if (u != null) { words(n) = u.toString; n += 1 } // nulls = absent tokens
+        w += 1
+      }
+      val one = java.lang.Long.valueOf(1L)
+      val add = new java.util.function.BiFunction[java.lang.Long, java.lang.Long, java.lang.Long] {
+        def apply(a: java.lang.Long, b: java.lang.Long): java.lang.Long =
+          java.lang.Long.valueOf(a.longValue() + b.longValue())
+      }
+      // words + run lengths in one sweep
+      var topW = 0L
+      var maxRun = 0L
+      var run = 0L
+      val wc = new java.util.HashMap[String, java.lang.Long](math.max(16, n * 2))
+      var i = 0
+      while (i < n) {
+        val c = wc.merge(words(i), one, add)
+        if (c.longValue() > topW) topW = c.longValue()
+        run = if (i > 0 && words(i) == words(i - 1)) run + 1 else 1L
+        if (run > maxRun) maxRun = run
+        i += 1
+      }
+      // modal bigram
+      var topB = 0L
+      if (n >= 2) {
+        val bc = new java.util.HashMap[String, java.lang.Long](n * 2)
+        i = 0
+        while (i < n - 1) {
+          val c = bc.merge(words(i) + " " + words(i + 1), one, add)
+          if (c.longValue() > topB) topB = c.longValue()
+          i += 1
+        }
+      }
+      // trigram total vs distinct
+      var nt = 0L
+      var dt = 0L
+      if (n >= 3) {
+        val tc = new java.util.HashSet[String](n * 2)
+        i = 0
+        while (i < n - 2) {
+          tc.add(words(i) + " " + words(i + 1) + " " + words(i + 2))
+          i += 1
+        }
+        nt = (n - 2).toLong
+        dt = tc.size.toLong
+      }
+      new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+        Array[Any](n.toLong, topW, topB, nt, dt, maxRun))
+    }
+
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  }
+
   /** `rhp_bucket(emb, dim, nBits, seed)` → 64-bit random-hyperplane LSH
     * bucket: bit `b` is set iff the dot product of the vector with the
     * deterministic ±1 hyperplane `sign(xxhash64(seed, b, i) & 1)` is > 0 —
@@ -997,6 +1080,9 @@ object Expressions {
 
   def repetitionSignals(tokens: Column, k: Int, stopwords: Seq[String]): Column =
     column(RepetitionSignals(expr(tokens), k, stopwords))
+
+  def repetitionProfile(tokens: Column): Column =
+    column(RepetitionProfile(expr(tokens)))
 
   def rhpBucket(emb: Column, dim: Int, nBits: Int, seed: Long): Column =
     column(RhpBucket(expr(emb), dim, nBits, seed))

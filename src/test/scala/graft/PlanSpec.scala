@@ -325,12 +325,14 @@ class PlanSpec extends AnyFunSuite {
       s"group-level norms/totals must broadcast:\n$p")
   }
 
-  test("q172 repetition profile: one corpus scan, partial-aggregated gram counts, no join") {
+  test("q172 repetition profile: pure scan-stage pass — one scan, no explode, only the output sort exchanges") {
     val p = plan("q172_repetition_profile")
     val scans = "Scan parquet".r.findAllIn(p).size
     assert(scans == 1, s"exactly one corpus scan (got $scans):\n$p")
-    assert(!p.contains("Join"), s"no join belongs in this plan:\n$p")
-    assert(p.contains("partial_"), s"gram counts must map-side combine:\n$p")
+    assert(!p.contains("Join") && !p.contains("Generate"),
+      s"per-doc stats must not join or explode:\n$p")
+    val exchanges = "Exchange".r.findAllIn(p).size
+    assert(exchanges <= 1, s"only the orderBy may exchange (got $exchanges):\n$p")
   }
 
   test("capped sourceSimilarity: term cap adds no cartesian and keeps the term-keyed pair join") {
