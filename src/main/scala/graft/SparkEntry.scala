@@ -1454,6 +1454,14 @@ object SparkEntry {
         .orderBy("sig")
     }),
 
+    "q173_kmv_distinct" -> ((s, dir) =>
+      // engine-reproducible approximate distinct: the KMV sketch (k
+      // smallest md5s of the distinct users) oracles CELL-EXACT — the
+      // estimate q76's HLL can only bound-guard
+      functions.Scale.kmvDistinct(events(s, dir), "event_type", "user_id",
+          k = 64)
+        .orderBy("event_type")),
+
     "q172_repetition_profile" -> ((s, dir) =>
       // Gopher-family repetition gates (complement of q88's scalar
       // signals): top-word / top-bigram / duplicate-trigram fractions
@@ -3129,6 +3137,18 @@ object SparkEntry {
          SELECT sig, CAST(count(*) AS BIGINT) AS n_copies,
            CAST(min(doc_id) AS BIGINT) AS canonical_id
          FROM allsg GROUP BY 1 HAVING count(*) >= 2 ORDER BY 1""",
+    "q173_kmv_distinct" ->
+      """WITH h AS (SELECT DISTINCT event_type, md5(CAST(user_id AS VARCHAR)) AS h FROM events),
+         r AS (SELECT event_type, h, row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn FROM h),
+         s AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_min, max(h) AS kth
+               FROM r WHERE rn <= 64 GROUP BY 1)
+         SELECT event_type, n_min,
+           CAST(('0x' || substr(kth, 1, 15))::BIGINT AS BIGINT) AS kth_60,
+           CAST(CASE WHEN n_min < 64 THEN n_min
+                     ELSE least(63::HUGEINT * 1152921504606846976 //
+                                greatest(('0x' || substr(kth, 1, 15))::BIGINT, 1),
+                                4611686018427387904::HUGEINT) END AS BIGINT) AS est
+         FROM s ORDER BY 1""",
     "q172_repetition_profile" ->
       // gaps-and-islands for the run length; gram families replayed as
       // unnest+group (mirrors the tagged-explode, engine-exact ppm)

@@ -338,4 +338,47 @@ object Scale {
     cells.join(F.broadcast(sketch), Seq("d", "col"))
       .groupBy(keyCol).agg(F.min("c").as("est"))
   }
+
+  /** KMV (k-minimum-values) distinct sketch per group — the
+    * ENGINE-REPRODUCIBLE approximate distinct (Bar-Yossef et al. 2002;
+    * Beyer et al. SIGMOD'07 unbiased estimator `(k−1)/F(v_k)`). HLL
+    * (q76) is sketch-internal to the engine, so its estimates can only
+    * be bound-guarded; KMV's state is just "the k lexicographically
+    * smallest md5 values of the distinct items", which any engine
+    * replays bit-for-bit — the ESTIMATE itself oracles cell-exact
+    * (q173). Output per group: `n_min` (how many of the k slots
+    * filled), `kth_60` (the k-th smallest hash's first 60 bits as a
+    * uint), `est` (= exact `n_min` when the group has < k distinct
+    * values; else `(k−1)·2^60 DIV v_k`, widened through DECIMAL(38,0)
+    * per the standing overflow recipe and capped at 2^62 against the
+    * astronomically-unlikely tiny-v_k blowup — ANSI would otherwise
+    * throw on the cast).
+    *
+    * Scale shape: distinct on (group, 32-char hash) — the one
+    * corpus-sized exchange, map-side combined — then the native
+    * [[graft.plans.TopK]] bounded heap (≤ k rows per group per partition
+    * cross the shuffle) and |groups|-row finishing arithmetic. Sketches
+    * from disjoint corpus slices MERGE by construction (union → same
+    * TopK), the property that lets a 100 TB scan build per-partition
+    * sketches and combine. */
+  def kmvDistinct(df: DataFrame, groupCol: String, valueCol: String,
+                  k: Int = 64): DataFrame = {
+    require(k >= 2, s"k must be >= 2, got $k")
+    val hashed = df.select(F.col(groupCol),
+        F.md5(F.col(valueCol).cast("string")).as("__h"))
+      .distinct()
+    graft.plans.TopK.topKPerKey(hashed, Seq(groupCol), "__h",
+        desc = false, tieBreak = Nil, k = k)
+      .groupBy(groupCol)
+      .agg(F.count(F.lit(1)).as("n_min"),
+        F.max("__h").as("__kth")) // max of the k smallest = the k-th smallest
+      .select(F.col(groupCol), F.col("n_min"),
+        F.expr("CAST(conv(substring(__kth, 1, 15), 16, 10) AS BIGINT)").as("kth_60"))
+      .select(F.col(groupCol), F.col("n_min"), F.col("kth_60"),
+        F.when(F.col("n_min") < k, F.col("n_min")).otherwise(F.expr(
+          s"""CAST(least(CAST(${k - 1} AS DECIMAL(38,0)) * 1152921504606846976
+                         DIV greatest(kth_60, 1L),
+                    CAST(4611686018427387904 AS DECIMAL(38,0))) AS BIGINT)"""))
+          .as("est"))
+  }
 }
