@@ -1440,12 +1440,27 @@ object SparkEntry {
       val docs = table(s, dir, "documents")
         .where(F.length(F.col("text")) > 0)
         .select(F.col("doc_id"), F.col("text"))
-      val reenc = docs.select(
-        (F.col("doc_id") + F.lit(100000000L)).as("doc_id"),
-        F.expr("""array_join(transform(array_sort(transform(split(text, ''),
-            (ch, i) -> struct(CAST(i AS BIGINT) * 64 DIV length(text) AS c,
-                              -i AS k, ch AS ch))),
-          s -> s.ch), '')""").as("text"))
+      // input synthesis (not an operator): per-row imperative reversal in
+      // a typed map — the HOF spelling (array_sort of per-char structs)
+      // cost 2s+ of interpreted eval at sf0.1 for a test-input build
+      val reenc = locally {
+        import s.implicits._
+        docs.as[(Long, String)].map { case (id, t) =>
+          val n = t.length
+          val sb = new java.lang.StringBuilder(n)
+          var c = 0
+          while (c < 64) {
+            // cell c spans [ceil(c·n/64), ceil((c+1)·n/64)) — the positions
+            // i with i·64 DIV n = c, matching the stub grid's binning
+            val lo = ((c.toLong * n + 63) / 64).toInt
+            val hi = (((c + 1).toLong * n + 63) / 64).toInt
+            var i = hi - 1
+            while (i >= lo) { sb.append(t.charAt(i)); i -= 1 }
+            c += 1
+          }
+          (id + 100000000L, sb.toString)
+        }.toDF("doc_id", "text")
+      }
       Multimodal.perceptualDupGroups(
           docs.unionByName(reenc)
             .select(F.col("doc_id"),
