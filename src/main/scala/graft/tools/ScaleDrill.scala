@@ -3,7 +3,7 @@ package graft.tools
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.{functions => F}
 
-import graft.functions.{Dedup, Eval, Multimodal, Sampling, Similarity, Temporal, Text}
+import graft.functions.{Dedup, Eval, Multimodal, Sampling, Scale, Similarity, Temporal, Text}
 
 /** Measured scale curve for the dedup/LSH pipelines (SCALE.md's recipe):
   * replicate the sf0.1 documents table N× and time the q36/q60/q74/q85
@@ -481,6 +481,11 @@ object ScaleDrill {
       Temporal.asofJoinBackward(clicks, purchases, "user_id",
         "ts_us", "ts_us", "value", "last_purchase_value")
     },
+    // distinct (map-side combined) + native TopK bounded heap: <= k rows
+    // per (group, partition) cross the shuffle regardless of N; salted
+    // users grow distinct volume linearly, sketch output stays 5 rows
+    "kmv_distinct (q173)" -> (ev =>
+      Scale.kmvDistinct(ev, "event_type", "user_id", k = 64)),
     "funnel (q102)" -> { ev =>
       val clicks = ev.where(F.col("event_type") === "click")
         .select("user_id", "ts_us")

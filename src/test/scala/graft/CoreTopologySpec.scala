@@ -167,6 +167,39 @@ class CoreTopologySpec extends AnyFunSuite {
     assert(AckLog.ids == Set("msg0", "msg1"))
   }
 
+  test("two-source bolt: per-source pairwise order survives the interleave") {
+    // a bolt fed by TWO spouts must see each source's tuples in that
+    // source's order (Storm's pairwise guarantee); the global-count bolt
+    // emits 1..n, so per-source subsequences of its input expose any
+    // order violation
+    val b = new TopologyBuilder
+    b.setSpout("s1", new WordSpoutStub)
+    b.setSpout("s2", new WordSpoutStub)
+    b.setBolt("i", new IdentityWord).globalGrouping("s1").globalGrouping("s2")
+    val results = LocalTopology.completeTopology(spark, b, mockSources = Map(
+      "s1" -> Seq(Seq("a1"), Seq("a2"), Seq("a3")),
+      "s2" -> Seq(Seq("b1"), Seq("b2"))))
+    val out = results.readTuples("i").map(_.head.asInstanceOf[String])
+    assert(out.length == 5 && out.toSet == Set("a1", "a2", "a3", "b1", "b2"))
+    // each source's subsequence arrives in that source's emission order
+    assert(out.filter(_.startsWith("a")) == Seq("a1", "a2", "a3"))
+    assert(out.filter(_.startsWith("b")) == Seq("b1", "b2"))
+    // word counts across both sources: every word once, plus a shared
+    // word run to check cross-source counting
+    val results2 = LocalTopology.completeTopology(spark, {
+      val t = new TopologyBuilder
+      t.setSpout("s1", new WordSpoutStub)
+      t.setSpout("s2", new WordSpoutStub)
+      t.setBolt("w", new TestWordCounter, 2)
+        .fieldsGrouping("s1", Fields("word")).fieldsGrouping("s2", Fields("word"))
+      t
+    }, mockSources = Map(
+      "s1" -> Seq(Seq("x"), Seq("x")),
+      "s2" -> Seq(Seq("x"))))
+    // fields grouping routes every "x" to ONE task: counts reach 3
+    assert(results2.readTuples("w").map(_(1)).toSet == Set(1, 2, 3))
+  }
+
   test("builder validation: duplicate ids, direct grouping, cycles") {
     val b = new TopologyBuilder
     b.setSpout("s", new WordSpoutStub)
