@@ -638,6 +638,26 @@ object Multimodal {
       .agg(F.count(F.lit(1)).as("n_copies"), F.min(idCol).as("canonical_id"))
       .where(F.col("n_copies") >= 2)
 
+  /** Ingest-time perceptual media dedup — the STREAMING face of
+    * [[perceptualDupGroups]]: the first payload per average-hash passes,
+    * later re-encodes (same luma grid, different bytes) are dropped
+    * across micro-batches, with the seen-hash set in the state store
+    * keyed by the 64-cell bit string. For bounded state compose the hash
+    * column with `withWatermark` + `dropDuplicatesWithinWatermark`
+    * instead (the [[graft.functions.Dedup.streamingExactDedupBounded]]
+    * trade). Payloads the codec can't grid pass through UN-deduped — a
+    * blind `dropDuplicates` would collapse every undecodable payload
+    * into one row because the state key treats nulls as equal; the
+    * undecodable branch re-reads the source per trigger (two branches of
+    * one stream), which is the price of keeping them. */
+  def streamingPerceptualDedup(stream: DataFrame, payloadCol: String,
+      codec: MediaCodec = StubCodec, grid: Int = 8): DataFrame = {
+    val hashed = perceptualHashes(stream, payloadCol, codec, grid)
+    hashed.where(F.col("phash_bits").isNotNull).dropDuplicates("phash_bits")
+      .unionByName(hashed.where(F.col("phash_bits").isNull))
+      .drop("phash", "phash_bits")
+  }
+
   /** Near-duplicate media pairs at hamming distance <= `maxHamming` on the
     * 64-bit average-hash — the resized/slightly-edited tier that exact
     * [[perceptualDupGroups]] equality misses. Same provably-complete

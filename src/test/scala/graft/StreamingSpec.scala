@@ -252,4 +252,46 @@ class StreamingSpec extends AnyFunSuite {
     q.stop()
     assert(out.sorted.toSeq == Seq(1L, 2L, 4L, 5L))
   }
+
+  test("streaming perceptual dedup: a later re-encode drops on the hash; undecodables pass through") {
+    import graft.functions.Multimodal
+    implicit val sqlCtx = spark.sqlContext
+    // within-cell byte reversal (the q171 re-encode): different bytes,
+    // identical average-hash by construction
+    def cellReverse(t: String): String = {
+      val n = t.length
+      val sb = new java.lang.StringBuilder(n)
+      var c = 0
+      while (c < 64) {
+        val lo = ((c.toLong * n + 63) / 64).toInt
+        val hi = (((c + 1).toLong * n + 63) / 64).toInt
+        var i = hi - 1
+        while (i >= lo) { sb.append(t.charAt(i)); i -= 1 }
+        c += 1
+      }
+      sb.toString
+    }
+    val base = "az" * 64 // 128 chars: every 2-char cell "az" reverses to "za"
+    assert(cellReverse(base) != base) // genuinely re-encoded, not byte-identical
+    val input = MemoryStream[(Long, String)]
+    val out = scala.collection.mutable.Buffer[Long]()
+    val deduped = Multimodal.streamingPerceptualDedup(
+      input.toDF().toDF("id", "text")
+        .select(F.col("id"), Multimodal.fakePayload(F.col("text")).as("payload")),
+      "payload")
+    assert(deduped.columns.toSeq == Seq("id", "payload")) // hash columns dropped
+    val q = deduped.writeStream.outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime(0L))
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        out.synchronized { out ++= b.select("id").as[Long].collect() }; ()
+      }.start()
+    input.addData((1L, base), (2L, "b" * 64 + "y" * 64))
+    q.processAllAvailable()
+    // the re-encode of doc 1 (different bytes, same 64-cell hash) drops
+    // across micro-batches; two EMPTY payloads are undecodable → BOTH pass
+    input.addData((3L, cellReverse(base)), (4L, ""), (5L, ""))
+    q.processAllAvailable()
+    q.stop()
+    assert(out.sorted.toSeq == Seq(1L, 2L, 4L, 5L))
+  }
 }
