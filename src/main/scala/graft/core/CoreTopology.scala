@@ -91,6 +91,14 @@ final class OutputCollector private[core] (
   def emit(anchor: CoreTuple, values: Seq[Any]): Unit = emit(values)
   def ack(t: CoreTuple): Unit = acked += 1
   def fail(t: CoreTuple): Unit = failed += 1
+  /** Drop what the CURRENT input tuple emitted so far — the failed-execute
+    * cleanup [[BasicBoltExecutor]] needs (a failed tuple's partial
+    * emissions must not reach downstream). */
+  private[core] def discardCurrentEmissions(): Unit = {
+    val keep = buf.filterNot(_._1 / 1000000L == currentSeq)
+    buf.clear()
+    buf ++= keep
+  }
 }
 
 /** Auto-ack collector for [[IBasicBolt]] (reference
@@ -140,8 +148,17 @@ trait IBasicBolt extends Serializable {
   def cleanup(): Unit = ()
 }
 
+/** Reference `utils/FailedException.java`: a basic bolt throws this to
+  * FAIL the input tuple (counted, tuple dropped) instead of crashing the
+  * topology — any other exception still propagates and fails the job. */
+class FailedException(msg: String = "") extends RuntimeException(msg)
+
 /** Reference `topology/BasicBoltExecutor.java`: the rich-bolt adapter that
-  * acks after each successful basic execute. */
+  * acks after each successful basic execute, and converts a thrown
+  * [[FailedException]] into a `fail` of the input (the reference's
+  * per-tuple give-up signal; replay-on-failure is the lineage tier's
+  * concern, so here the tuple is simply not acked and its emissions from
+  * the failed execute are discarded). */
 final class BasicBoltExecutor(val bolt: IBasicBolt) extends IRichBolt {
   @transient private var oc: OutputCollector = _
   @transient private var bc: BasicOutputCollector = _
@@ -151,10 +168,15 @@ final class BasicBoltExecutor(val bolt: IBasicBolt) extends IRichBolt {
     bc = new BasicOutputCollector(collector)
     bolt.prepare(context)
   }
-  def execute(input: CoreTuple): Unit = {
-    bolt.execute(input, bc)
-    oc.ack(input)
-  }
+  def execute(input: CoreTuple): Unit =
+    try {
+      bolt.execute(input, bc)
+      oc.ack(input)
+    } catch {
+      case _: FailedException =>
+        oc.discardCurrentEmissions()
+        oc.fail(input)
+    }
   override def cleanup(): Unit = bolt.cleanup()
 }
 

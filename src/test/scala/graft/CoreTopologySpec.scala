@@ -106,6 +106,16 @@ private class IdentityWord extends IBasicBolt {
     collector.emit(Seq(input.getValue(0)))
 }
 
+/** Basic bolt that EMITS then throws FailedException on a marker word —
+  * the partial emission must be discarded with the failed tuple. */
+private class FailOnPoison extends IBasicBolt {
+  def declareOutputFields: Fields = Fields("word")
+  def execute(input: CoreTuple, collector: BasicOutputCollector): Unit = {
+    collector.emit(Seq(input.getValue(0)))
+    if (input.getString(0) == "poison") throw new FailedException("bad tuple")
+  }
+}
+
 /** Port of the reference's core-topology integration tests
   * (`storm-core/test/clj/backtype/storm/integration_test.clj:28-60`,
   * test-basic-topology + the multi-task distribution check) onto the
@@ -198,6 +208,17 @@ class CoreTopologySpec extends AnyFunSuite {
       "s2" -> Seq(Seq("x"))))
     // fields grouping routes every "x" to ONE task: counts reach 3
     assert(results2.readTuples("w").map(_(1)).toSet == Set(1, 2, 3))
+  }
+
+  test("FailedException in a basic bolt fails the tuple and discards its partial emissions (BasicBoltExecutor.java contract)") {
+    val b = new TopologyBuilder
+    b.setSpout("s", new WordSpoutStub)
+    b.setBolt("f", new FailOnPoison).globalGrouping("s")
+    val results = LocalTopology.completeTopology(spark, b, mockSources = Map(
+      "s" -> Seq(Seq("ok1"), Seq("poison"), Seq("ok2"))))
+    // the poison tuple's emission (made BEFORE the throw) must not leak
+    assert(results.readTuples("f") == Seq(Seq("ok1"), Seq("ok2")))
+    assert(results.acked("f") == 2L && results.failed("f") == 1L)
   }
 
   test("builder validation: duplicate ids, direct grouping, cycles") {
