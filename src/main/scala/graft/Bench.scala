@@ -111,16 +111,6 @@ object Bench {
         streamingWordCountStore(spark, sfDir),
         drpcStateQueryLatency(spark),
         continuousLatency(spark))
-    // ms precision keeps the JSON line short enough for the driver's parser
-    // (r4/r5 artifacts were tail-truncated -> "parsed": null)
-    def ms(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + ms(v) }
-      .mkString("{", ",", "}")
-    // streaming entries keep µs precision: the continuous-latency value is
-    // sub-millisecond and would truncate to 0.000 at ms precision
-    def us(v: Double): String = "%.6f".formatLocal(java.util.Locale.ROOT, v)
-    val st = streaming.map { case (k, v) => "\"" + k + "\":" + us(v) }
-      .mkString("{", ",", "}")
     val total = results.map(_._2).sum
     val warmNote =
       if (warmSf.isEmpty || warmSf == sfDir) """"warm":"none","""
@@ -140,8 +130,8 @@ object Bench {
         } else None
       } catch { case _: Throwable => None }
     val degraded = prevCalib.exists(b => calib > 1.3 * b)
-    val degradedNote = if (degraded) """"degraded":true,""" else ""
-    val json = s"""{"metric":"total","value":${ms(total)},"unit":"sec","calib":${ms(calib)},"reps":$reps,$degradedNote$warmNote"queries":$qs,"streaming":$st,"sf":"$sfDir"}"""
+    val json = BenchFormat.fullJson(results, streaming, calib, reps,
+      degraded, warmNote, sfDir)
     // Durable full-fidelity artifact FIRST: r4-r6 driver artifacts were
     // "parsed": null because async executor logs flushed after the JSON
     // println and pushed it out of the driver's tail window. The file
@@ -163,37 +153,8 @@ object Bench {
     catch { case e: Throwable =>
       System.err.println(s"[bench] $selfTarget write failed: ${e.getMessage}")
     }
-    // The driver keeps only the LAST ~2000 stdout chars and parses the final
-    // line. The full-name JSON is ~4.8KB — head-truncated past recovery even
-    // with sbt's success banner suppressed. Emit a compact line instead:
-    // numeric query ids (the qNN prefix), integer milliseconds
-    // ("qunit":"ms"), short streaming keys; full names/precision live in
-    // BENCH_SELF.json ("names" points there). Tiered fallback keeps the
-    // line under the window even as the suite grows.
-    val stShort = Map(
-      "stream_lsh_candidates" -> "lsh", "stream_wordcount" -> "wc",
-      "stream_wordcount_durable" -> "wcd", "stream_wordcount_store" -> "wcs",
-      "drpc_statequery_ms" -> "drpc_ms", "continuous_latency_mean" -> "cont")
-    def qid(name: String): String = {
-      val m = "^q([0-9]+[a-z]?)_".r.findFirstMatchIn(name)
-      m.map(_.group(1)).getOrElse(name)
-    }
-    val stC = streaming.map { case (k, v) => "\"" + stShort.getOrElse(k, k) + "\":" + us(v) }
-      .mkString("{", ",", "}")
-    def compactLine(foldBelowMs: Long): String = {
-      val (slow, fast) = results.partition(_._2 * 1000 >= foldBelowMs)
-      val q = slow.map { case (k, v) => "\"" + qid(k) + "\":" + math.round(v * 1000) }
-        .mkString("{", ",", "}")
-      val foldNote = if (fast.isEmpty) ""
-        else s""""q_folded_below_ms":$foldBelowMs,"q_folded_n":${fast.size},"q_folded_ms":${math.round(fast.map(_._2).sum * 1000)},"""
-      s"""{"metric":"total","value":${ms(total)},"unit":"sec","calib":${ms(calib)},"reps":$reps,$degradedNote$warmNote"qunit":"ms",$foldNote"names":"BENCH_SELF.json","queries":$q,"streaming":$stC,"sf":"$sfDir"}"""
-    }
-    val budget = 1950 // driver tail window is 2000 chars incl. trailing newline
-    val stdoutJson = (json +: // full fidelity, in case the window ever grows
-      Seq(0L, 25L, 50L, 100L, 250L, 1000L).map(compactLine) :+
-      s"""{"metric":"total","value":${ms(total)},"unit":"sec","calib":${ms(calib)},"reps":$reps,$degradedNote$warmNote"queries":"see BENCH_SELF.json","streaming":$stC,"sf":"$sfDir"}""")
-      .find(_.length <= budget)
-      .getOrElse(s"""{"metric":"total","value":${ms(total)},"unit":"sec","sf":"$sfDir"}""")
+    val stdoutJson = BenchFormat.stdoutLine(results, streaming, calib, reps,
+      degraded, warmNote, sfDir)
     // stop() joins all executor/streaming threads — after it returns nothing
     // else logs, so the JSON println below is the absolute last stdout line.
     spark.stop()

@@ -1,0 +1,71 @@
+package graft
+
+/** Bench artifact encoding, factored out of [[Bench]] so the one invariant
+  * the driver depends on — THE LAST STDOUT LINE PARSES AND FITS THE
+  * DRIVER'S 2000-CHAR TAIL WINDOW — is unit-testable (BenchFormatSpec)
+  * instead of discovered per round. Two encodings:
+  *
+  *  - [[fullJson]]: full query names, 3-decimal seconds, µs streaming —
+  *    the durable `BENCH_SELF.json` artifact (~5 KB, unbounded).
+  *  - [[stdoutLine]]: the driver-facing line. Numeric query ids (the qNN
+  *    prefix), integer milliseconds (`"qunit":"ms"`), short streaming
+  *    keys; tiered degradation folds sub-threshold queries (25/50/100/
+  *    250/1000 ms) into one counted bucket as the suite grows, and the
+  *    last resort drops per-query data entirely — the line NEVER exceeds
+  *    [[Budget]].
+  */
+object BenchFormat {
+  /** Driver tail window is 2000 chars including the trailing newline;
+    * 1950 leaves margin for the newline and any final-line jitter. */
+  val Budget = 1950
+
+  def ms(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
+  // streaming entries keep µs precision: the continuous-latency value is
+  // sub-millisecond and would truncate to 0.000 at ms precision
+  def us(v: Double): String = "%.6f".formatLocal(java.util.Locale.ROOT, v)
+
+  private val stShort = Map(
+    "stream_lsh_candidates" -> "lsh", "stream_wordcount" -> "wc",
+    "stream_wordcount_durable" -> "wcd", "stream_wordcount_store" -> "wcs",
+    "drpc_statequery_ms" -> "drpc_ms", "continuous_latency_mean" -> "cont")
+
+  /** "q108_bigram_lm" → "108"; names without the qNN prefix pass through. */
+  def qid(name: String): String =
+    "^q([0-9]+[a-z]?)_".r.findFirstMatchIn(name).map(_.group(1)).getOrElse(name)
+
+  private def degradedNote(degraded: Boolean): String =
+    if (degraded) """"degraded":true,""" else ""
+
+  def fullJson(results: Seq[(String, Double)], streaming: Seq[(String, Double)],
+      calib: Double, reps: Int, degraded: Boolean, warmNote: String,
+      sfDir: String): String = {
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + ms(v) }
+      .mkString("{", ",", "}")
+    val st = streaming.map { case (k, v) => "\"" + k + "\":" + us(v) }
+      .mkString("{", ",", "}")
+    s"""{"metric":"total","value":${ms(results.map(_._2).sum)},"unit":"sec","calib":${ms(calib)},"reps":$reps,${degradedNote(degraded)}$warmNote"queries":$qs,"streaming":$st,"sf":"$sfDir"}"""
+  }
+
+  def stdoutLine(results: Seq[(String, Double)], streaming: Seq[(String, Double)],
+      calib: Double, reps: Int, degraded: Boolean, warmNote: String,
+      sfDir: String): String = {
+    val total = results.map(_._2).sum
+    val dn = degradedNote(degraded)
+    val stC = streaming.map { case (k, v) =>
+      "\"" + stShort.getOrElse(k, k) + "\":" + us(v)
+    }.mkString("{", ",", "}")
+    def compactLine(foldBelowMs: Long): String = {
+      val (slow, fast) = results.partition(_._2 * 1000 >= foldBelowMs)
+      val q = slow.map { case (k, v) => "\"" + qid(k) + "\":" + math.round(v * 1000) }
+        .mkString("{", ",", "}")
+      val foldNote = if (fast.isEmpty) ""
+        else s""""q_folded_below_ms":$foldBelowMs,"q_folded_n":${fast.size},"q_folded_ms":${math.round(fast.map(_._2).sum * 1000)},"""
+      s"""{"metric":"total","value":${ms(total)},"unit":"sec","calib":${ms(calib)},"reps":$reps,$dn$warmNote"qunit":"ms",$foldNote"names":"BENCH_SELF.json","queries":$q,"streaming":$stC,"sf":"$sfDir"}"""
+    }
+    (fullJson(results, streaming, calib, reps, degraded, warmNote, sfDir) +:
+      Seq(0L, 25L, 50L, 100L, 250L, 1000L).map(compactLine) :+
+      s"""{"metric":"total","value":${ms(total)},"unit":"sec","calib":${ms(calib)},"reps":$reps,$dn$warmNote"queries":"see BENCH_SELF.json","streaming":$stC,"sf":"$sfDir"}""")
+      .find(_.length <= Budget)
+      .getOrElse(s"""{"metric":"total","value":${ms(total)},"unit":"sec","sf":"$sfDir"}""")
+  }
+}
