@@ -49,7 +49,7 @@ import scala.collection.mutable
   * tuples here pay java serialization by design).
   */
 final case class TopologyContext(componentId: String, taskIndex: Int,
-    parallelism: Int)
+    parallelism: Int, conf: Map[String, Any] = Map.empty)
 
 /** Dynamic tuple face handed to bolts (reference `storm-core/src/jvm/
   * backtype/storm/tuple/Tuple.java` accessor subset). */
@@ -282,7 +282,8 @@ object LocalTopology {
     * nothing — or `maxSpoutCalls`). Returns every component's tuples. */
   def completeTopology(spark: SparkSession, builder: TopologyBuilder,
       mockSources: Map[String, Seq[Seq[Any]]] = Map.empty,
-      maxSpoutCalls: Int = 100000): Results = {
+      maxSpoutCalls: Int = 100000,
+      conf: Map[String, Any] = Map.empty): Results = {
     import scala.jdk.CollectionConverters._
     mockSources.keys.foreach(id => require(builder.spouts.contains(id),
       s"mock source $id is not a declared spout"))
@@ -301,7 +302,7 @@ object LocalTopology {
           val tasks = (0 until spec.parallelism).map { i =>
             val inst = cloneViaSer(spec.spout)
             val col = new SpoutOutputCollector()
-            inst.open(TopologyContext(id, i, spec.parallelism), col)
+            inst.open(TopologyContext(id, i, spec.parallelism, conf), col)
             (inst, col)
           }
           val all = mutable.Buffer[Seq[Any]]()
@@ -377,6 +378,7 @@ object LocalTopology {
       val fieldsBySrc = spec.inputs.keys.map(s => s -> outFields(s)).toMap
       val ctxId = id
       val par = spec.parallelism
+      val topoConf = conf
       val ackAcc = spark.sparkContext.longAccumulator(s"graft.core.$id.acked")
       val failAcc = spark.sparkContext.longAccumulator(s"graft.core.$id.failed")
       val out = inputDF
@@ -393,7 +395,7 @@ object LocalTopology {
               val buf = mutable.Buffer[(Long, Seq[Any])]()
               val col = new OutputCollector(buf)
               val inst = cloneViaSer(bolt)
-              inst.prepare(TopologyContext(ctxId, task, par), col)
+              inst.prepare(TopologyContext(ctxId, task, par, topoConf), col)
               (inst, col, buf)
             })
             col.currentSeq = r.getLong(1)

@@ -693,6 +693,37 @@ class FunctionsSpec extends AnyFunSuite {
     assert(partial == Seq(0.5f, 0f, 0.5f, 0f)) // only frames 1+2 counted
   }
 
+  test("perceptualDupGroups video: re-containerized (framerate-retagged) Y4M clip dedups; different clip doesn't") {
+    // 8x8 C420 clip whose Y plane is a left/right split (128 left, 16
+    // right) — a non-uniform grid so the aHash bits are well off the
+    // threshold; 2 frames
+    def clip(left: Int, right: Int, header: String): Array[Byte] = {
+      val buf = new java.io.ByteArrayOutputStream()
+      buf.write(header.getBytes("US-ASCII"))
+      for (_ <- 0 until 2) {
+        buf.write("FRAME\n".getBytes("US-ASCII"))
+        for (_ <- 0 until 8; x <- 0 until 8)
+          buf.write(if (x < 4) left else right) // Y plane
+        buf.write(Array.fill(2 * 4 * 4)(64.toByte)) // U + V planes
+      }
+      buf.toByteArray
+    }
+    // the "re-container": same planes, different header metadata
+    // (framerate/aspect retag — what a remux does) -> different BYTES
+    val a = clip(128, 16, "YUV4MPEG2 W8 H8 F25:1 Ip A1:1 C420jpeg\n")
+    val aRemux = clip(128, 16, "YUV4MPEG2 W8 H8 F30:1 Ip A16:9 C420jpeg\n")
+    val other = clip(16, 128, "YUV4MPEG2 W8 H8 F25:1 Ip A1:1 C420jpeg\n")
+    assert(!java.util.Arrays.equals(a, aRemux))
+    val df = Seq((1L, a), (2L, aRemux), (3L, other)).toDF("id", "payload")
+    assert(Multimodal.binaryDupGroups(df, "id", "payload")
+      .where($"n_copies" >= 2).count() == 0)
+    val groups = Multimodal.perceptualDupGroups(df, "id", "payload",
+      Multimodal.Y4mCodec).collect()
+    assert(groups.length == 1)
+    assert(groups(0).getAs[Long]("n_copies") == 2L)
+    assert(groups(0).getAs[Long]("canonical_id") == 1L)
+  }
+
   test("multimodal frame sampling and stubbed resize keep the batch contract") {
     val df = Seq((1L, "abcd" * 100)).toDF("doc_id", "text") // 400 bytes
       .select($"doc_id", Multimodal.fakePayload($"text").as("payload"))
