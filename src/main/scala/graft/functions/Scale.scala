@@ -364,7 +364,12 @@ object Scale {
   def kmvDistinct(df: DataFrame, groupCol: String, valueCol: String,
                   k: Int = 64): DataFrame = {
     require(k >= 2, s"k must be >= 2, got $k")
-    val hashed = df.select(F.col(groupCol),
+    // null values carry no identity to count — and they MUST be dropped
+    // before the heap: a null hash sorts FIRST in Spark's ascending order
+    // but LAST in DuckDB's, so a surviving null would silently skew the
+    // k-minima differently per engine
+    val hashed = df.where(F.col(valueCol).isNotNull)
+      .select(F.col(groupCol),
         F.md5(F.col(valueCol).cast("string")).as("__h"))
       .distinct()
     graft.plans.TopK.topKPerKey(hashed, Seq(groupCol), "__h",

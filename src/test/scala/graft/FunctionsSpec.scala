@@ -1724,6 +1724,48 @@ class FunctionsSpec extends AnyFunSuite {
     assert(groups(0).getAs[Long]("canonical_id") == 1L)
   }
 
+  test("aHash invariance property: any within-cell permutation preserves the hash; cross-cell moves change it when sums differ") {
+    // seeded generative sweep over payload sizes incl. cell-boundary edge
+    // cases (n < 64, n == 64, n % 64 != 0)
+    val rnd = new scala.util.Random(41)
+    def permuteWithinCells(b: Array[Byte]): Array[Byte] = {
+      val n = b.length
+      val out = b.clone()
+      val cells = (0 until n).groupBy(i => (i.toLong * 64 / n).toInt)
+      cells.values.foreach { idxs =>
+        val shuffled = rnd.shuffle(idxs.map(b(_)).toVector)
+        idxs.zip(shuffled).foreach { case (i, v) => out(i) = v }
+      }
+      out
+    }
+    def hashOf(payloads: Seq[Array[Byte]]): Seq[String] = {
+      val df = payloads.zipWithIndex.map { case (p, i) => (i.toLong, p) }
+        .toDF("id", "payload")
+      Multimodal.perceptualHashes(df, "payload")
+        .orderBy("id").select("phash_bits").as[String].collect().toSeq
+    }
+    val sizes = Seq(1, 7, 63, 64, 65, 128, 301, 1000)
+    val payloads = sizes.map { n =>
+      Array.tabulate(n)(i => ((rnd.nextInt(26)) + 'a').toByte)
+    }
+    val permuted = payloads.map(permuteWithinCells)
+    assert(hashOf(payloads) == hashOf(permuted))
+    // and the hash is NOT trivially constant: a high-contrast payload
+    // reversed whole (bytes cross cells) changes it
+    val contrast = ("a" * 100 + "z" * 100).getBytes("UTF-8")
+    val rev = contrast.reverse
+    assert(hashOf(Seq(contrast)) != hashOf(Seq(rev)))
+  }
+
+  test("repetitionProfile: null text rows yield null counts, not a crash") {
+    val df = Seq((1L, "a a b"), (2L, null: String)).toDF("doc_id", "text")
+    val got = Text.repetitionProfile(df, "doc_id", "text")
+      .orderBy("doc_id").collect()
+    assert(got(0).getLong(1) == 3L)
+    // null text -> tokenizer null -> whole profile null (rows survive)
+    assert(got(1).isNullAt(1) && got(1).isNullAt(2) && got(1).isNullAt(5))
+  }
+
   test("perceptualHashes stub face matches hand-computed aHash; near-pairs finds the 1-bit neighbor") {
     // 32 'a' (97) + 32 'z' (122): n=64 so each byte is its own cell;
     // threshold = (32*97 + 32*122)/64 = 109 -> bits 0^32 1^32

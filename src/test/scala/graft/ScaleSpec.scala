@@ -334,6 +334,21 @@ class ScaleSpec extends AnyFunSuite {
     assert(p.contains("TopKPartial") && p.contains("TopKFinal"),
       s"native TopK not planned:\n$p")
     assert(!p.contains("Window"), s"window fallback leaked in:\n$p")
+    // null values carry no identity: they neither count nor poison the
+    // k-minima (Spark sorts null hashes first, DuckDB last — a surviving
+    // null would diverge the engines)
+    val withNulls = (vals.map(v => ("big", v)) :+ (("big", null: String)) :+
+      (("onlynull", null: String))).toDF("g", "v")
+    val gotN = Scale.kmvDistinct(withNulls, "g", "v", k = 4)
+      .as[(String, Long, Long, Long)].collect().map(r => r._1 -> r).toMap
+    assert(gotN("big") == got("big"))
+    assert(!gotN.contains("onlynull"))
+    // statistical sanity at scale: 20k distinct values, k=256 -> the
+    // estimator should land within ~20% (3 sigma of 1/sqrt(k))
+    val many = (1 to 20000).map(i => ("g", s"value$i")).toDF("g", "v")
+    val est = Scale.kmvDistinct(many, "g", "v", k = 256)
+      .select("est").as[Long].head()
+    assert(est > 16000L && est < 24000L, s"KMV estimate $est for 20000 distinct")
   }
 
   test("meanVector: single hot group stays an O(1)-buffer hash aggregate and matches brute force") {
