@@ -667,10 +667,20 @@ object Multimodal {
     * [[graft.functions.Dedup.lshCandidatePairs]]' counted-cap bucket
     * machinery, exact hamming verify on the pair. Returns (a, b, hamming),
     * a < b. Hashes are computed once in the scan stage and lineage-cut —
-    * payloads never shuffle. */
+    * payloads never shuffle.
+    *
+    * The cap default is DELIBERATELY tighter than the text-LSH tiers: a
+    * 64-bit aHash has low entropy on degenerate inputs (payloads shorter
+    * than the 64 cells hash by LENGTH PATTERN more than content, so
+    * same-length shorts all share a hash), and a single surviving
+    * b-member bucket expands to b²/2 candidate pairs — at the text tier's
+    * 10k cap that is 5·10⁷ pairs per degenerate bucket (measured: OOM on
+    * the 500k-doc drill). 1000 bounds any bucket at 5·10⁵ pairs; genuinely
+    * oversize buckets drop WITH the counted WARN, and equality-dup volume
+    * belongs to [[perceptualDupGroups]] anyway. */
   def perceptualNearPairs(df: DataFrame, idCol: String, payloadCol: String,
       codec: MediaCodec = StubCodec, maxHamming: Int = 3,
-      maxBucketSize: Int = 10000): DataFrame = {
+      maxBucketSize: Int = 1000): DataFrame = {
     val nBands = maxHamming + 1
     require(maxHamming >= 0 && 64 % nBands == 0,
       s"maxHamming+1 must divide 64, got $maxHamming")

@@ -365,6 +365,17 @@ object ScaleDrill {
     // per-doc work is corpus-independent, so the row pins scan linearity
     "repetition_profile (q172)" -> (docs =>
       Text.repetitionProfile(docs, "doc_id", "text")),
+    // hamming<=3 banding (4 x 16-bit bands) over scan-stage hashes through
+    // the counted-cap bucket machinery. Payload = 120-char prefix so the
+    // 64 cells hold ~2 bytes each and the hash carries CONTENT (a <64-byte
+    // payload hashes by length pattern — all same-length shorts collide
+    // into one degenerate bucket; that regime is what the tightened cap +
+    // oversize WARN are for, and it OOM'd this drill before the cap fix)
+    "perceptual_near_pairs" -> (docs =>
+      Multimodal.perceptualNearPairs(
+        docs.select(F.col("doc_id"), Multimodal.fakePayload(
+          F.substring(F.col("text"), 1, 120)).as("payload")),
+        "doc_id", "payload", maxHamming = 3)),
     // scan-stage 64-bit average-hash (stub luma grid) into a (sig, id)
     // shuffle; salted text keeps hash universes disjoint per replica so
     // group volume grows linearly

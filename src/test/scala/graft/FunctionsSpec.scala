@@ -1757,6 +1757,33 @@ class FunctionsSpec extends AnyFunSuite {
     assert(hashOf(Seq(contrast)) != hashOf(Seq(rev)))
   }
 
+  test("perceptualNearPairs degenerate buckets: same-length shorts collapse to one hash and the cap drops them loudly, not quadratically") {
+    // 500 DISTINCT payloads with a provably identical hash: per-doc
+    // within-cell flips of "az"-cells (cells 0..8 encode the doc number,
+    // every cell's byte multiset is {a, z}) — the whole set lands in ONE
+    // band bucket, the measured OOM regime at drill scale. The cap must
+    // drop it (no 500²/2 pair expansion).
+    def variant(i: Int): String =
+      (0 until 64).map(c => if (((i >> (c % 9)) & 1) == 1) "za" else "az")
+        .mkString("")
+    val shorts = (1 to 500).map(i => (i.toLong, variant(i)))
+      .toDF("id", "text")
+      .select($"id", Multimodal.fakePayload($"text").as("payload"))
+    val pairs = Multimodal.perceptualNearPairs(shorts, "id", "payload",
+      maxHamming = 3, maxBucketSize = 100)
+    assert(pairs.count() == 0L) // the one degenerate bucket dropped
+    // while a genuine near-pair in a healthy bucket still surfaces
+    val base = "a" * 32 + "z" * 32
+    val near = base.updated(5, 'z')
+    val mixed = shorts.unionByName(
+      Seq((9001L, base), (9002L, near)).toDF("id", "text")
+        .select($"id", Multimodal.fakePayload($"text").as("payload")))
+    val got = Multimodal.perceptualNearPairs(mixed, "id", "payload",
+        maxHamming = 3, maxBucketSize = 100)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got == Set((9001L, 9002L, 1L)))
+  }
+
   test("repetitionProfile: null text rows yield null counts, not a crash") {
     val df = Seq((1L, "a a b"), (2L, null: String)).toDF("doc_id", "text")
     val got = Text.repetitionProfile(df, "doc_id", "text")
