@@ -80,11 +80,18 @@ class StreamingSpec extends AnyFunSuite {
 
   test("per-batch stream join: join scope is one micro-batch, outer pads with null") {
     implicit val sqlCtx = spark.sqlContext
-    val l = MemoryStream[(Int, String)]
-    val r = MemoryStream[(Int, String)]
+    // ONE MemoryStream carries both sides (side 0 = left, 1 = right): a
+    // single addData block is one source offset, so a micro-batch can never
+    // split the two sides. Two separate streams fed by two addData calls
+    // raced the 0ms trigger — under CPU load a batch could construct
+    // BETWEEN the calls and see only the left rows (the r8 full-suite flake).
+    val src = MemoryStream[(Int, Int, String)]
+    val both = src.toDF().toDF("side", "k", "v")
+    val l = both.where(F.col("side") === 0).select(F.col("k").as("id"), F.col("v").as("lv"))
+    val r = both.where(F.col("side") === 1).select(F.col("k").as("rid"), F.col("v").as("rv"))
     val results = scala.collection.mutable.Buffer[(Long, Set[Seq[Any]])]()
     val q = graft.streaming.StreamJoinRunner.perBatchJoin(
-      l.toDF().toDF("id", "lv"), r.toDF().toDF("rid", "rv"),
+      l, r,
       Fields("id"), Fields("rid"), Fields("k", "lv", "rv"), "full_outer",
       "pbj-test",
       (df, id) => results.synchronized {
@@ -92,13 +99,11 @@ class StreamingSpec extends AnyFunSuite {
       },
       trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime(0L))
 
-    l.addData((1, "a"), (2, "b"))
-    r.addData((1, "x"), (3, "z"))
+    src.addData((0, 1, "a"), (0, 2, "b"), (1, 1, "x"), (1, 3, "z"))
     q.processAllAvailable()
     // next batch: key 2 appears on the right — but batch scope means it
     // does NOT join with the earlier left (2, "b")
-    l.addData((4, "c"))
-    r.addData((2, "y"))
+    src.addData((0, 4, "c"), (1, 2, "y"))
     q.processAllAvailable()
     q.stop()
 
