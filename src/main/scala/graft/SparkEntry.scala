@@ -1941,13 +1941,24 @@ object SparkEntry {
         .orderBy("c_mktsegment")
     }),
 
-    "q76_hll_distinct" -> ((s, dir) =>
-      // approximate-distinct sketch face (HyperLogLog++): rows-only check —
-      // sketch estimates are engine-specific by nature, so no value oracle
-      events(s, dir)
-        .groupBy("event_type")
-        .agg(F.approx_count_distinct("user_id").as("approx_users"),
-          F.countDistinct("user_id").as("exact_users"))
+    "q76_kmv_userdays" -> ((s, dir) =>
+      // approximate distinct USER-DAYS per event type (the daily-active
+      // face) on the engine-reproducible KMV sketch at a second
+      // (k, column) config vs q173's (64, user_id) — the ESTIMATE oracles
+      // cell-exact, so the judged suite carries zero bound-guard-only
+      // rows. The HLL API (approx_count_distinct) stays available and
+      // spec-covered with its 15% error bound in ScaleSpec; HLL register
+      // contents are engine-internal, which is why the judged sketch face
+      // is KMV. ts DIV 1000 DIV 86400000000 = epoch-day from the loader's
+      // ns LONG (positive domain, so Spark DIV == DuckDB // exactly).
+      functions.Scale.kmvDistinct(
+        events(s, dir)
+          .where(F.col("user_id").isNotNull && F.col("ts").isNotNull)
+          .select(F.col("event_type"),
+            F.concat(F.col("user_id").cast("string"), F.lit(":"),
+              F.expr("CAST(ts DIV 1000 DIV 86400000000 AS STRING)"))
+              .as("user_day")),
+        "event_type", "user_day", k = 128)
         .orderBy("event_type")),
 
     "q74_neardup_pipeline" -> ((s, dir) => {
@@ -3847,6 +3858,26 @@ object SparkEntry {
     "q77_salted_agg" ->
       """SELECT event_type, CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents
          FROM events GROUP BY 1 ORDER BY 1""",
+    "q76_kmv_userdays" ->
+      // replays the KMV sketch cell-exact at (k=128, user-day): same
+      // HUGEINT estimator recipe as q173 (hex prefix of the k-th md5 →
+      // 60-bit int; (k-1)*2^60 // kth, capped at 2^62). epoch_us // day-µs
+      // matches Spark's ts DIV 1000 DIV 86400000000 on the positive domain.
+      """WITH v AS (SELECT event_type,
+               CAST(user_id AS VARCHAR) || ':' ||
+               CAST(epoch_us(ts) // 86400000000 AS VARCHAR) AS ud
+             FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+         h AS (SELECT DISTINCT event_type, md5(ud) AS h FROM v),
+         r AS (SELECT event_type, h, row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn FROM h),
+         s AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_min, max(h) AS kth
+               FROM r WHERE rn <= 128 GROUP BY 1)
+         SELECT event_type, n_min,
+           CAST(('0x' || substr(kth, 1, 15))::BIGINT AS BIGINT) AS kth_60,
+           CAST(CASE WHEN n_min < 128 THEN n_min
+                     ELSE least(127::HUGEINT * 1152921504606846976 //
+                                greatest(('0x' || substr(kth, 1, 15))::BIGINT, 1),
+                                4611686018427387904::HUGEINT) END AS BIGINT) AS est
+         FROM s ORDER BY 1""",
     "q75_semi_anti_join" ->
       """SELECT c_mktsegment,
            CAST(sum(CASE WHEN EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey) THEN 1 ELSE 0 END) AS BIGINT) AS n_with,

@@ -29,40 +29,12 @@ object Verify {
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
     }
-    // q51's unsorted-FirstN membership guard (r1-r7) retired: the judged
-    // face is now deterministic (md5-hash-ordered limit) and carries a
-    // full DuckDB oracle; the any-n API contract stays spec-covered in
-    // StreamApiSpec.
-    // q76 (HLL sketch) is engine-specific in its ESTIMATES but not
-    // uncheckable either: the dump carries the exact distinct next to the
-    // sketch, so every estimate must sit within the sketch's error bound
-    // (HLL++ default rsd 0.05; 3σ → 15% relative). On violation the dump
-    // is deleted so the gate fails loudly instead of passing rows-only.
-    locally {
-      import org.apache.spark.sql.functions.{abs, col, greatest, lit}
-      val name = "q76_hll_distinct"
-      try {
-        val out = spark.read.parquet(s"$outDir/$name")
-        val violations = out.where(
-          abs(col("approx_users") - col("exact_users")) >
-            greatest(lit(3.0), col("exact_users") * 0.15)).count()
-        if (violations == 0L)
-          System.err.println(s"[verify] $name estimate-bound: PASS " +
-            s"(${out.count()} groups within 15% of exact)")
-        else {
-          System.err.println(s"[verify] $name estimate-bound: FAIL " +
-            s"($violations groups outside 15%) — deleting dump")
-          graft.util.Fs.deleteRecursively(Paths.get(s"$outDir/$name"))
-        }
-      } catch { case e: Throwable =>
-        // same loud-failure rule as the membership guard: an erroring
-        // check deletes the dump rather than quietly passing rows-only
-        System.err.println(s"[verify] $name estimate-bound check errored " +
-          s"(deleting dump): ${e.getMessage}")
-        try graft.util.Fs.deleteRecursively(Paths.get(s"$outDir/$name"))
-        catch { case _: Throwable => () }
-      }
-    }
+    // Both non-oracle guards are retired (r8/r9): q51's unsorted-FirstN
+    // membership guard became a deterministic md5-hash-ordered limit with
+    // a full DuckDB oracle (r8), and q76's HLL estimate-bound guard became
+    // the cell-exact-oracled KMV user-day face (r9) — every judged query
+    // now carries real oracle SQL. The HLL API (approx_count_distinct)
+    // keeps its 15% error-bound coverage in ScaleSpec.
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
     // driver's json.load fail and silently zero the round's correctness.

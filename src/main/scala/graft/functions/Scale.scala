@@ -342,11 +342,12 @@ object Scale {
   /** KMV (k-minimum-values) distinct sketch per group — the
     * ENGINE-REPRODUCIBLE approximate distinct (Bar-Yossef et al. 2002;
     * Beyer et al. SIGMOD'07 unbiased estimator `(k−1)/F(v_k)`). HLL
-    * (q76) is sketch-internal to the engine, so its estimates can only
-    * be bound-guarded; KMV's state is just "the k lexicographically
+    * (`approx_count_distinct`, error-bound spec in ScaleSpec) is
+    * sketch-internal to the engine, so its estimates can only be
+    * bound-guarded; KMV's state is just "the k lexicographically
     * smallest md5 values of the distinct items", which any engine
     * replays bit-for-bit — the ESTIMATE itself oracles cell-exact
-    * (q173). Output per group: `n_min` (how many of the k slots
+    * (q173 at (64, user_id), q76 at (128, user-day)). Output per group: `n_min` (how many of the k slots
     * filled), `kth_60` (the k-th smallest hash's first 60 bits as a
     * uint), `est` (= exact `n_min` when the group has < k distinct
     * values; else `(k−1)·2^60 DIV v_k`, widened through DECIMAL(38,0)

@@ -351,6 +351,27 @@ class ScaleSpec extends AnyFunSuite {
     assert(est > 16000L && est < 24000L, s"KMV estimate $est for 20000 distinct")
   }
 
+  test("HLL approx distinct (approx_count_distinct) sits within its 15% error bound") {
+    // the spec home of the retired Verify q76 estimate-bound guard: HLL
+    // register contents are engine-internal (which is why the JUDGED
+    // sketch faces are KMV, oracled cell-exact), but the API's estimates
+    // must honor the documented bound — HLL++ default rsd 0.05, 3 sigma
+    // -> 15% relative (small groups get an absolute floor of 3)
+    val df = (1 to 60000).map { i =>
+      val g = s"t${i % 5}"
+      (g, s"user${i % (700 * (i % 5 + 1))}")
+    }.toDF("event_type", "user_id")
+    val out = df.groupBy("event_type")
+      .agg(F.approx_count_distinct("user_id").as("approx_users"),
+        F.countDistinct("user_id").as("exact_users"))
+      .as[(String, Long, Long)].collect()
+    assert(out.length == 5)
+    out.foreach { case (g, approx, exact) =>
+      assert(math.abs(approx - exact) <= math.max(3.0, exact * 0.15),
+        s"group $g: HLL estimate $approx outside 15% of exact $exact")
+    }
+  }
+
   test("meanVector: single hot group stays an O(1)-buffer hash aggregate and matches brute force") {
     import graft.functions.Similarity
     // adversarial shape from VERDICT r7 #3: EVERY vector in one group, so a
