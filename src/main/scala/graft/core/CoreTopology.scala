@@ -51,11 +51,37 @@ import scala.collection.mutable
 final case class TopologyContext(componentId: String, taskIndex: Int,
     parallelism: Int, conf: Map[String, Any] = Map.empty)
 
+/** Stream-id constants (reference `utils/Utils.java` DEFAULT_STREAM_ID and
+  * `Constants.java` system ids). */
+object CoreStreams {
+  val Default = "default"
+  val SystemComponent = "__system"
+  val TickStream = "__tick"
+  /** reference `Config.TOPOLOGY_TICK_TUPLE_FREQ_SECS` */
+  val TickFreqConf = "topology.tick.tuple.freq.secs"
+}
+
+/** Reference `topology/OutputFieldsDeclarer.java`: a component declares one
+  * or more named output streams; `declare` is `declareStream("default")`.
+  * Multi-stream components (e.g. the reference's `drpc/PrepareRequest.java:
+  * 32-51` splitting args / return-info / id into three streams) override
+  * the declarer overload of `declareOutputFields`. */
+final class OutputFieldsDeclarer private[core] () {
+  private[core] val streams = mutable.LinkedHashMap[String, Seq[String]]()
+  def declare(fields: Fields): Unit = declareStream(CoreStreams.Default, fields)
+  def declareStream(streamId: String, fields: Fields): Unit = {
+    require(!streams.contains(streamId),
+      s"stream $streamId declared twice")
+    streams(streamId) = fields.names
+  }
+}
+
 /** Dynamic tuple face handed to bolts (reference `storm-core/src/jvm/
   * backtype/storm/tuple/Tuple.java` accessor subset). */
 final class CoreTuple private[core] (val sourceComponent: String,
     val fields: Seq[String], val values: Seq[Any],
-    private[core] val seq: Long) extends Serializable {
+    private[core] val seq: Long,
+    val sourceStreamId: String = CoreStreams.Default) extends Serializable {
   def size: Int = values.size
   def getValue(i: Int): Any = values(i)
   def getValueByField(f: String): Any = {
@@ -76,19 +102,34 @@ final class CoreTuple private[core] (val sourceComponent: String,
 /** Bolt-side collector: buffers emissions for the engine, counts acks.
   * `emit(anchor, values)` keeps the reference signature — anchoring
   * information is not needed because replay is lineage-level (see the
-  * file doc). */
+  * file doc). `emit(streamId, ...)` targets a named output stream
+  * declared via [[OutputFieldsDeclarer.declareStream]]. */
 final class OutputCollector private[core] (
-    buf: mutable.Buffer[(Long, Seq[Any])]) {
+    buf: mutable.Buffer[(Long, String, Seq[Any])],
+    declaredStreams: Set[String]) {
   private[core] var currentSeq: Long = 0L
   private[core] var emitIdx: Int = 0
   private[core] var acked: Long = 0L
   private[core] var failed: Long = 0L
-  def emit(values: Seq[Any]): Unit = {
+  def emit(values: Seq[Any]): Unit = emit(CoreStreams.Default, values)
+  def emit(streamId: String, values: Seq[Any]): Unit = {
+    require(declaredStreams.contains(streamId),
+      s"emit to undeclared stream $streamId (declared: ${declaredStreams.mkString(", ")})")
     require(emitIdx < 1000000, "over 1e6 emissions from one input tuple")
-    buf += ((currentSeq * 1000000L + emitIdx, values))
+    // the child seq is currentSeq·1e6 + emitIdx: each bolt hop multiplies
+    // the seq space by ~1e6·nSrc, so a deep topology would silently wrap
+    // Long and corrupt both per-task ordering and the seq-recovery
+    // division in discardCurrentEmissions — fail loudly instead
+    require(currentSeq >= 0 && currentSeq < (Long.MaxValue - 999999L) / 1000000L,
+      s"tuple seq $currentSeq would overflow Long at this depth: the seq " +
+        "space grows ~1e6x per bolt hop; restructure the topology to fewer " +
+        "emission-tree levels")
+    buf += ((currentSeq * 1000000L + emitIdx, streamId, values))
     emitIdx += 1
   }
   def emit(anchor: CoreTuple, values: Seq[Any]): Unit = emit(values)
+  def emit(streamId: String, anchor: CoreTuple, values: Seq[Any]): Unit =
+    emit(streamId, values)
   def ack(t: CoreTuple): Unit = acked += 1
   def fail(t: CoreTuple): Unit = failed += 1
   /** Drop what the CURRENT input tuple emitted so far — the failed-execute
@@ -102,18 +143,23 @@ final class OutputCollector private[core] (
 }
 
 /** Auto-ack collector for [[IBasicBolt]] (reference
-  * `topology/BasicOutputCollector.java`). */
+  * `topology/BasicOutputCollector.java`, incl. the named-stream emit the
+  * reference's `PrepareRequest` uses). */
 final class BasicOutputCollector private[core] (oc: OutputCollector) {
   def emit(values: Seq[Any]): Unit = oc.emit(values)
+  def emit(streamId: String, values: Seq[Any]): Unit = oc.emit(streamId, values)
 }
 
 /** Spout-side collector (reference `spout/SpoutOutputCollector.java`):
   * driver-side buffer; msgIds are remembered so the run can ack them on
   * batch completion. */
 final class SpoutOutputCollector private[core] () {
-  private[core] val emitted = mutable.Buffer[(Seq[Any], Any)]()
+  private[core] val emitted = mutable.Buffer[(String, Seq[Any], Any)]()
   def emit(values: Seq[Any]): Unit = emit(values, null)
-  def emit(values: Seq[Any], msgId: Any): Unit = emitted += ((values, msgId))
+  def emit(values: Seq[Any], msgId: Any): Unit =
+    emit(CoreStreams.Default, values, msgId)
+  def emit(streamId: String, values: Seq[Any], msgId: Any): Unit =
+    emitted += ((streamId, values, msgId))
 }
 
 /** Reference `topology/IRichSpout.java` lifecycle. Spouts run (pumped) on
@@ -121,6 +167,11 @@ final class SpoutOutputCollector private[core] () {
   * imperative code; distributed sources belong to the Trident/source tier. */
 trait IRichSpout extends Serializable {
   def declareOutputFields: Fields
+  /** Multi-stream declaration (reference `OutputFieldsDeclarer`): override
+    * to declare named streams; the default declares [[declareOutputFields]]
+    * on the `default` stream. */
+  def declareOutputFields(declarer: OutputFieldsDeclarer): Unit =
+    declarer.declare(declareOutputFields)
   def open(context: TopologyContext, collector: SpoutOutputCollector): Unit = ()
   def nextTuple(): Unit
   def ack(msgId: Any): Unit = ()
@@ -134,6 +185,11 @@ trait IRichSpout extends Serializable {
   * java-serialization cloning, so per-task state never aliases. */
 trait IRichBolt extends Serializable {
   def declareOutputFields: Fields
+  /** Multi-stream declaration (reference `OutputFieldsDeclarer`): override
+    * to declare named streams (see `drpc/PrepareRequest.java:32-51`); the
+    * default declares [[declareOutputFields]] on the `default` stream. */
+  def declareOutputFields(declarer: OutputFieldsDeclarer): Unit =
+    declarer.declare(declareOutputFields)
   def prepare(context: TopologyContext, collector: OutputCollector): Unit = ()
   def execute(input: CoreTuple): Unit
   def cleanup(): Unit = ()
@@ -143,6 +199,9 @@ trait IRichBolt extends Serializable {
   * implicit after a successful execute. */
 trait IBasicBolt extends Serializable {
   def declareOutputFields: Fields
+  /** Multi-stream declaration — see [[IRichBolt.declareOutputFields]]. */
+  def declareOutputFields(declarer: OutputFieldsDeclarer): Unit =
+    declarer.declare(declareOutputFields)
   def prepare(context: TopologyContext): Unit = ()
   def execute(input: CoreTuple, collector: BasicOutputCollector): Unit
   def cleanup(): Unit = ()
@@ -163,6 +222,8 @@ final class BasicBoltExecutor(val bolt: IBasicBolt) extends IRichBolt {
   @transient private var oc: OutputCollector = _
   @transient private var bc: BasicOutputCollector = _
   def declareOutputFields: Fields = bolt.declareOutputFields
+  override def declareOutputFields(declarer: OutputFieldsDeclarer): Unit =
+    bolt.declareOutputFields(declarer)
   override def prepare(context: TopologyContext, collector: OutputCollector): Unit = {
     oc = collector
     bc = new BasicOutputCollector(collector)
@@ -196,7 +257,7 @@ private[core] object Grouping {
 final class TopologyBuilder {
   private[core] final case class SpoutSpec(spout: IRichSpout, parallelism: Int)
   private[core] final case class BoltSpec(bolt: IRichBolt, parallelism: Int,
-      inputs: mutable.LinkedHashMap[String, Grouping])
+      inputs: mutable.LinkedHashMap[(String, String), Grouping])
   private[core] val spouts = mutable.LinkedHashMap[String, SpoutSpec]()
   private[core] val bolts = mutable.LinkedHashMap[String, BoltSpec]()
 
@@ -222,18 +283,35 @@ final class TopologyBuilder {
     setBolt(id, new BasicBoltExecutor(bolt), 1)
 
   final class BoltDeclarer private[core] (id: String) {
-    private def add(src: String, g: Grouping): BoltDeclarer = {
-      require(!bolts(id).inputs.contains(src),
-        s"bolt $id already declares an input from $src")
-      bolts(id).inputs(src) = g
+    private def add(src: String, stream: String, g: Grouping): BoltDeclarer = {
+      require(!bolts(id).inputs.contains((src, stream)),
+        s"bolt $id already declares an input from $src/$stream")
+      bolts(id).inputs((src, stream)) = g
       this
     }
-    def shuffleGrouping(src: String): BoltDeclarer = add(src, Grouping.Shuffle)
-    def noneGrouping(src: String): BoltDeclarer = add(src, Grouping.Shuffle)
+    // single-stream faces subscribe to the source's `default` stream;
+    // the streamId overloads are the reference's
+    // `declarer.xGrouping(component, streamId)` subscriptions
+    def shuffleGrouping(src: String): BoltDeclarer =
+      shuffleGrouping(src, CoreStreams.Default)
+    def shuffleGrouping(src: String, streamId: String): BoltDeclarer =
+      add(src, streamId, Grouping.Shuffle)
+    def noneGrouping(src: String): BoltDeclarer =
+      noneGrouping(src, CoreStreams.Default)
+    def noneGrouping(src: String, streamId: String): BoltDeclarer =
+      add(src, streamId, Grouping.Shuffle)
     def fieldsGrouping(src: String, fields: Fields): BoltDeclarer =
-      add(src, Grouping.FieldsG(fields.names))
-    def globalGrouping(src: String): BoltDeclarer = add(src, Grouping.Global)
-    def allGrouping(src: String): BoltDeclarer = add(src, Grouping.All)
+      fieldsGrouping(src, CoreStreams.Default, fields)
+    def fieldsGrouping(src: String, streamId: String, fields: Fields): BoltDeclarer =
+      add(src, streamId, Grouping.FieldsG(fields.names))
+    def globalGrouping(src: String): BoltDeclarer =
+      globalGrouping(src, CoreStreams.Default)
+    def globalGrouping(src: String, streamId: String): BoltDeclarer =
+      add(src, streamId, Grouping.Global)
+    def allGrouping(src: String): BoltDeclarer =
+      allGrouping(src, CoreStreams.Default)
+    def allGrouping(src: String, streamId: String): BoltDeclarer =
+      add(src, streamId, Grouping.All)
     def directGrouping(src: String): BoltDeclarer =
       throw new UnsupportedOperationException(
         "direct grouping is an internal transport mechanism with no " +
@@ -246,15 +324,23 @@ final class TopologyBuilder {
   * whole DAG, read every component's tuples back. */
 object LocalTopology {
   final case class Results(tuples: Map[String, Seq[Seq[Any]]],
+      streamTuples: Map[(String, String), Seq[Seq[Any]]],
       acked: Map[String, Long], failed: Map[String, Long]) {
-    /** reference `read-tuples`: one component's emissions, in (task, seq)
-      * order — per-task sequential order, tasks concatenated. */
+    /** reference `read-tuples`: one component's DEFAULT-stream emissions,
+      * in (task, seq) order — per-task sequential order, tasks
+      * concatenated. */
     def readTuples(component: String): Seq[Seq[Any]] = tuples(component)
+    /** reference `read-tuples` with a stream id: one named stream's
+      * emissions in the same order. */
+    def readTuples(component: String, streamId: String): Seq[Seq[Any]] =
+      streamTuples.getOrElse((component, streamId),
+        throw new NoSuchElementException(s"no stream $component/$streamId"))
   }
 
   private val tupleSchema = StructType(Seq(
     StructField("task", IntegerType, nullable = false),
     StructField("seq", LongType, nullable = false),
+    StructField("stream", StringType, nullable = false),
     StructField("payload", BinaryType, nullable = false)))
 
   private def ser(v: Seq[Any]): Array[Byte] = {
@@ -277,27 +363,60 @@ object LocalTopology {
     })).readObject().asInstanceOf[T]
 
   /** Run the topology to completion: mocked spouts (`mockSources`, the
-    * reference's `:mock-sources`) or driver-pumped real spouts (stopping
-    * after a full quiescent round — every spout task's `nextTuple` emitting
-    * nothing — or `maxSpoutCalls`). Returns every component's tuples. */
+    * reference's `:mock-sources`; mock tuples feed the `default` stream) or
+    * driver-pumped real spouts (stopping after a full quiescent round —
+    * every spout task's `nextTuple` emitting nothing — or `maxSpoutCalls`).
+    * Returns every component's tuples per stream.
+    *
+    * Tick tuples (reference `executor.clj:295-312` `setup-ticks!`): when
+    * `conf` carries `topology.tick.tuple.freq.secs` and
+    * `simulatedTimeSecs > 0`, each bolt task receives
+    * `simulatedTimeSecs / freq` system tuples (component `__system`,
+    * stream `__tick`, values `[freq]`) AFTER its data tuples — the
+    * deterministic batch-run analog of the reference's simulated-time
+    * harness, where a quiescent topology keeps receiving ticks (the
+    * common flush-on-tick pattern exercises exactly this tail position).
+    * Ticks are delivered to tasks that received at least one data tuple
+    * (a task with no input has no instance in a batch run). */
   def completeTopology(spark: SparkSession, builder: TopologyBuilder,
       mockSources: Map[String, Seq[Seq[Any]]] = Map.empty,
       maxSpoutCalls: Int = 100000,
-      conf: Map[String, Any] = Map.empty): Results = {
+      conf: Map[String, Any] = Map.empty,
+      simulatedTimeSecs: Long = 0L): Results = {
     import scala.jdk.CollectionConverters._
     mockSources.keys.foreach(id => require(builder.spouts.contains(id),
       s"mock source $id is not a declared spout"))
-    val outFields = mutable.Map[String, Seq[String]]()
-    val outputs = mutable.LinkedHashMap[String, DataFrame]()
+    val tickFreq: Long = conf.get(CoreStreams.TickFreqConf).map {
+      case i: Int => i.toLong
+      case l: Long => l
+      case s: String => s.toLong
+      case other => throw new IllegalArgumentException(
+        s"${CoreStreams.TickFreqConf} must be numeric, got $other")
+    }.getOrElse(0L)
+    val nTicks: Long =
+      if (tickFreq > 0 && simulatedTimeSecs > 0) simulatedTimeSecs / tickFreq
+      else 0L
+    // declared streams per component, in declaration order
+    val declared = mutable.LinkedHashMap[String, Seq[(String, Seq[String])]]()
+    def runDeclarer(id: String, declare: OutputFieldsDeclarer => Unit): Unit = {
+      val d = new OutputFieldsDeclarer()
+      declare(d)
+      require(d.streams.nonEmpty, s"component $id declares no output streams")
+      declared(id) = d.streams.toSeq
+    }
+    val outFields = mutable.Map[(String, String), Seq[String]]()
+    val outputs = mutable.LinkedHashMap[(String, String), DataFrame]()
+    val doneComponents = mutable.Set[String]()
     val ackCounts = mutable.Map[String, Long]()
     val failCounts = mutable.Map[String, Long]()
 
     // ---- spouts: driver-pumped (or mocked), round-robin across tasks ----
     val pendingAcks = mutable.Buffer[(IRichSpout, Any)]()
     builder.spouts.foreach { case (id, spec) =>
-      outFields(id) = spec.spout.declareOutputFields.names
-      val tuples: Seq[Seq[Any]] = mockSources.get(id) match {
-        case Some(mock) => mock
+      runDeclarer(id, (d: OutputFieldsDeclarer) => spec.spout.declareOutputFields(d))
+      declared(id).foreach { case (st, fs) => outFields((id, st)) = fs }
+      val tuples: Seq[(String, Seq[Any])] = mockSources.get(id) match {
+        case Some(mock) => mock.map((CoreStreams.Default, _))
         case None =>
           val tasks = (0 until spec.parallelism).map { i =>
             val inst = cloneViaSer(spec.spout)
@@ -305,7 +424,6 @@ object LocalTopology {
             inst.open(TopologyContext(id, i, spec.parallelism, conf), col)
             (inst, col)
           }
-          val all = mutable.Buffer[Seq[Any]]()
           var calls = 0
           var quiet = false
           while (!quiet && calls < maxSpoutCalls) {
@@ -319,55 +437,83 @@ object LocalTopology {
               }
             }
           }
+          val all = mutable.Buffer[(String, Seq[Any])]()
           tasks.foreach { case (inst, col) =>
-            col.emitted.foreach { case (v, msgId) =>
-              all += v
+            col.emitted.foreach { case (st, v, msgId) =>
+              all += ((st, v))
               if (msgId != null) pendingAcks += ((inst, msgId))
             }
             inst.close()
           }
           all.toSeq
         }
-      val rows = tuples.zipWithIndex.map { case (v, i) =>
-        Row((i % spec.parallelism), i.toLong, ser(v))
+      val declaredSet = declared(id).map(_._1).toSet
+      tuples.foreach { case (st, _) => require(declaredSet.contains(st),
+        s"spout $id emitted to undeclared stream $st") }
+      val rows = tuples.zipWithIndex.map { case ((st, v), i) =>
+        Row((i % spec.parallelism), i.toLong, st, ser(v))
       }
-      outputs(id) = spark.createDataFrame(rows.asJava, tupleSchema)
+      val df = spark.createDataFrame(rows.asJava, tupleSchema)
         .localCheckpoint(true) // consumed by several bolts: cut once
+      declared(id).foreach { case (st, _) =>
+        outputs((id, st)) = df.where(F.col("stream") === st)
+      }
+      doneComponents += id
+    }
+
+    // wiring validation: every subscription names a component and one of
+    // its declared streams (declarers run up front so a bad stream id
+    // fails before any work runs)
+    builder.bolts.foreach { case (id, spec) =>
+      runDeclarer(id, (d: OutputFieldsDeclarer) => spec.bolt.declareOutputFields(d))
+      declared(id).foreach { case (st, fs) => outFields((id, st)) = fs }
+      require(spec.inputs.nonEmpty, s"bolt $id declares no inputs")
+    }
+    builder.bolts.foreach { case (id, spec) =>
+      spec.inputs.keys.foreach { case (src, st) =>
+        require(declared.contains(src),
+          s"bolt $id subscribes to unknown component $src")
+        require(declared(src).exists(_._1 == st),
+          s"bolt $id subscribes to undeclared stream $src/$st " +
+            s"(declared: ${declared(src).map(_._1).mkString(", ")})")
+      }
     }
 
     // ---- bolts in topological order ----
     val remaining = mutable.LinkedHashMap(builder.bolts.toSeq: _*)
     while (remaining.nonEmpty) {
-      val readyOpt = remaining.find(_._2.inputs.keys.forall(outputs.contains))
+      val readyOpt = remaining.find(_._2.inputs.keys
+        .forall { case (src, _) => doneComponents.contains(src) })
       val (id, spec) = readyOpt.getOrElse(throw new IllegalArgumentException(
         s"topology cycle or missing input among: ${remaining.keys.mkString(", ")}"))
       remaining.remove(id)
       val bolt = spec.bolt
-      outFields(id) = bolt.declareOutputFields.names
       val nSrc = spec.inputs.size
       // route every input to target tasks; interleave sources so each
       // source's pairwise order survives the global seq sort
       val routedInputs = spec.inputs.zipWithIndex.map {
-        case ((src, grouping), srcIdx) =>
-          val srcFields = outFields(src)
+        case (((src, stream), grouping), srcIdx) =>
+          val srcFields = outFields((src, stream))
           val p = spec.parallelism
           val srcName = src
-          outputs(src).toDF().rdd // row-level routing; payload is opaque binary
+          val streamName = stream
+          outputs((src, stream)).toDF().rdd // row-level routing; payload is opaque binary
             .flatMap { r =>
               val seq = r.getLong(1) * nSrc + srcIdx
-              val payload = r.getAs[Array[Byte]](2)
+              val payload = r.getAs[Array[Byte]](3)
               grouping match {
-                case Grouping.Global => Iterator.single(Row(0, seq, srcName, payload))
+                case Grouping.Global =>
+                  Iterator.single(Row(0, seq, srcName, streamName, payload))
                 case Grouping.Shuffle =>
                   Iterator.single(Row(math.floorMod(r.getLong(1), p.toLong).toInt,
-                    seq, srcName, payload))
+                    seq, srcName, streamName, payload))
                 case Grouping.All =>
-                  Iterator.tabulate(p)(t => Row(t, seq, srcName, payload))
+                  Iterator.tabulate(p)(t => Row(t, seq, srcName, streamName, payload))
                 case Grouping.FieldsG(fs) =>
                   val values = deser(payload)
                   val key = fs.map(f => values(srcFields.indexOf(f)))
                   Iterator.single(Row(math.floorMod(key.hashCode, p), seq,
-                    srcName, payload))
+                    srcName, streamName, payload))
               }
             }
       }.toSeq
@@ -375,10 +521,14 @@ object LocalTopology {
         Seq(StructField("src", StringType, nullable = false)), 0))
       val inputDF = routedInputs.map(spark.createDataFrame(_, inSchema))
         .reduce(_.unionByName(_))
-      val fieldsBySrc = spec.inputs.keys.map(s => s -> outFields(s)).toMap
+      val fieldsBySrcStream = spec.inputs.keys
+        .map { case (s, st) => (s, st) -> outFields((s, st)) }.toMap
+      val declaredSet = declared(id).map(_._1).toSet
       val ctxId = id
       val par = spec.parallelism
       val topoConf = conf
+      val taskTicks = nTicks
+      val tickRate = tickFreq
       val ackAcc = spark.sparkContext.longAccumulator(s"graft.core.$id.acked")
       val failAcc = spark.sparkContext.longAccumulator(s"graft.core.$id.failed")
       val out = inputDF
@@ -387,26 +537,43 @@ object LocalTopology {
         .mapPartitions { it =>
           // one bolt instance per TASK in this partition, in tuple order
           val live = mutable.LinkedHashMap[Int, (IRichBolt, OutputCollector,
-            mutable.Buffer[(Long, Seq[Any])])]()
+            mutable.Buffer[(Long, String, Seq[Any])])]()
+          val maxSeq = mutable.Map[Int, Long]()
           val outRows = mutable.Buffer[Row]()
+          def drain(task: Int, buf: mutable.Buffer[(Long, String, Seq[Any])]): Unit = {
+            buf.foreach { case (s, st, v) => outRows += Row(task, s, st, ser(v)) }
+            buf.clear()
+          }
           it.foreach { r =>
             val task = r.getInt(0)
             val (inst, col, buf) = live.getOrElseUpdate(task, {
-              val buf = mutable.Buffer[(Long, Seq[Any])]()
-              val col = new OutputCollector(buf)
+              val buf = mutable.Buffer[(Long, String, Seq[Any])]()
+              val col = new OutputCollector(buf, declaredSet)
               val inst = cloneViaSer(bolt)
               inst.prepare(TopologyContext(ctxId, task, par, topoConf), col)
               (inst, col, buf)
             })
             col.currentSeq = r.getLong(1)
             col.emitIdx = 0
+            maxSeq(task) = math.max(maxSeq.getOrElse(task, 0L), r.getLong(1))
             inst.execute(new CoreTuple(r.getString(2),
-              fieldsBySrc(r.getString(2)), deser(r.getAs[Array[Byte]](3)),
-              r.getLong(1)))
-            buf.foreach { case (s, v) => outRows += Row(task, s, ser(v)) }
-            buf.clear()
+              fieldsBySrcStream((r.getString(2), r.getString(3))),
+              deser(r.getAs[Array[Byte]](4)),
+              r.getLong(1), r.getString(3)))
+            drain(task, buf)
           }
-          live.values.foreach { case (inst, col, _) =>
+          live.foreach { case (task, (inst, col, buf)) =>
+            // quiescent-time tick tuples, after the task's data
+            var k = 0L
+            while (k < taskTicks) {
+              col.currentSeq = maxSeq(task) + 1 + k
+              col.emitIdx = 0
+              inst.execute(new CoreTuple(CoreStreams.SystemComponent,
+                Seq("rate_secs"), Seq(tickRate),
+                col.currentSeq, CoreStreams.TickStream))
+              drain(task, buf)
+              k += 1
+            }
             inst.cleanup()
             ackAcc.add(col.acked)
             failAcc.add(col.failed)
@@ -415,7 +582,10 @@ object LocalTopology {
         }(org.apache.spark.sql.Encoders.row(tupleSchema))
         .toDF()
         .localCheckpoint(true) // materialize: run the bolt exactly once
-      outputs(id) = out
+      declared(id).foreach { case (st, _) =>
+        outputs((id, st)) = out.where(F.col("stream") === st)
+      }
+      doneComponents += id
       ackCounts(id) = ackAcc.value
       failCounts(id) = failAcc.value
     }
@@ -423,10 +593,13 @@ object LocalTopology {
     // batch completion == tuple-tree completion: ack every spout msgId
     pendingAcks.foreach { case (spout, msgId) => spout.ack(msgId) }
 
-    val tuples = outputs.map { case (id, df) =>
-      id -> df.orderBy("task", "seq").collect()
-        .map(r => deser(r.getAs[Array[Byte]](2))).toSeq
+    val streamTuples = outputs.map { case ((id, st), df) =>
+      (id, st) -> df.orderBy("task", "seq").collect()
+        .map(r => deser(r.getAs[Array[Byte]](3))).toSeq
     }.toMap
-    Results(tuples, ackCounts.toMap, failCounts.toMap)
+    val tuples = declared.keys
+      .map(id => id -> streamTuples.getOrElse((id, CoreStreams.Default), Nil))
+      .toMap
+    Results(tuples, streamTuples, ackCounts.toMap, failCounts.toMap)
   }
 }

@@ -116,6 +116,70 @@ private class FailOnPoison extends IBasicBolt {
   }
 }
 
+/** Port of the reference's `drpc/PrepareRequest.java:32-51` multi-stream
+  * shape: one input tuple (args, return-info) splits into THREE named
+  * streams — (request, args) on the default stream, (request, return) on
+  * "ret", (request) on "id". Deterministic request ids (input seq order)
+  * instead of the reference's Random so the spec can assert exact rows. */
+private class PrepareRequestBolt extends IBasicBolt {
+  private var nextId = 0L
+  def declareOutputFields: Fields = Fields("request", "args")
+  override def declareOutputFields(d: OutputFieldsDeclarer): Unit = {
+    d.declare(declareOutputFields) // ARGS_STREAM == the default stream id
+    d.declareStream("ret", Fields("request", "return"))
+    d.declareStream("id", Fields("request"))
+  }
+  def execute(input: CoreTuple, collector: BasicOutputCollector): Unit = {
+    val requestId = nextId
+    nextId += 1
+    collector.emit(Seq(requestId, input.getString(0)))
+    collector.emit("ret", Seq(requestId, input.getString(1)))
+    collector.emit("id", Seq(requestId))
+  }
+}
+
+/** Echoes (value, sourceStreamId) — proves subscribers see the stream id. */
+private class EchoStreamId extends IBasicBolt {
+  def declareOutputFields: Fields = Fields("v", "stream")
+  def execute(input: CoreTuple, collector: BasicOutputCollector): Unit =
+    collector.emit(Seq(input.getValue(0), input.sourceStreamId))
+}
+
+/** Counts data tuples and `__tick` system tuples separately (the
+  * flush-on-tick pattern: emits the data count on each tick). */
+private class TickCountingBolt extends IRichBolt {
+  @transient private var col: OutputCollector = _
+  private var dataSeen = 0
+  def declareOutputFields: Fields = Fields("kind", "n")
+  override def prepare(context: TopologyContext, collector: OutputCollector): Unit = {
+    col = collector
+    dataSeen = 0
+  }
+  def execute(input: CoreTuple): Unit = {
+    if (input.sourceComponent == CoreStreams.SystemComponent &&
+        input.sourceStreamId == CoreStreams.TickStream) {
+      col.emit(Seq("tick", input.getLong(0)))
+    } else {
+      dataSeen += 1
+      col.emit(Seq("data", dataSeen.toLong))
+    }
+    col.ack(input)
+  }
+}
+
+/** Emits to a stream it never declared — must fail loudly at emit. */
+private class GhostStreamBolt extends IBasicBolt {
+  def declareOutputFields: Fields = Fields("w")
+  def execute(input: CoreTuple, collector: BasicOutputCollector): Unit =
+    collector.emit("ghost", Seq(input.getValue(0)))
+}
+
+/** Spout stub declaring the DRPC request fields. */
+private class RpcSpoutStub extends IRichSpout {
+  def declareOutputFields: Fields = Fields("args", "return-info")
+  def nextTuple(): Unit = ()
+}
+
 /** Port of the reference's core-topology integration tests
   * (`storm-core/test/clj/backtype/storm/integration_test.clj:28-60`,
   * test-basic-topology + the multi-task distribution check) onto the
@@ -219,6 +283,69 @@ class CoreTopologySpec extends AnyFunSuite {
     // the poison tuple's emission (made BEFORE the throw) must not leak
     assert(results.readTuples("f") == Seq(Seq("ok1"), Seq("ok2")))
     assert(results.acked("f") == 2L && results.failed("f") == 1L)
+  }
+
+  test("declareStream: PrepareRequest 3-way split with per-stream groupings (PrepareRequest.java:32-51)") {
+    val b = new TopologyBuilder
+    b.setSpout("rpc", new RpcSpoutStub)
+    b.setBolt("prep", new PrepareRequestBolt).globalGrouping("rpc")
+    // each subscriber picks ONE named stream of the same component
+    b.setBolt("args", new EchoStreamId).shuffleGrouping("prep") // default stream
+    b.setBolt("ret", new EchoStreamId).fieldsGrouping("prep", "ret", Fields("request"))
+    b.setBolt("ids", new EchoStreamId, 2).globalGrouping("prep", "id")
+    val results = LocalTopology.completeTopology(spark, b, mockSources = Map(
+      "rpc" -> Seq(Seq("q1", "host-a"), Seq("q2", "host-b"))))
+    // the three streams carry the split payloads with shared request ids
+    assert(results.readTuples("prep") == Seq(Seq(0L, "q1"), Seq(1L, "q2")))
+    assert(results.readTuples("prep", "ret") ==
+      Seq(Seq(0L, "host-a"), Seq(1L, "host-b")))
+    assert(results.readTuples("prep", "id") == Seq(Seq(0L), Seq(1L)))
+    // subscribers saw only their stream, with the right source stream id
+    assert(results.readTuples("args").map(_(1)).toSet == Set("default"))
+    assert(results.readTuples("args").map(_(0)).toSet == Set(0L, 1L))
+    assert(results.readTuples("ret").map(_(1)).toSet == Set("ret"))
+    assert(results.readTuples("ids").map(_(1)).toSet == Set("id"))
+    assert(results.readTuples("ids").size == 2) // global: one task got both
+    // default-stream alias: readTuples(c) == readTuples(c, "default")
+    assert(results.readTuples("prep") == results.readTuples("prep", "default"))
+  }
+
+  test("subscribing to an undeclared stream fails loudly before any work") {
+    val b = new TopologyBuilder
+    b.setSpout("s", new WordSpoutStub)
+    b.setBolt("x", new IdentityWord).shuffleGrouping("s", "nope")
+    val e = intercept[IllegalArgumentException] {
+      LocalTopology.completeTopology(spark, b, Map("s" -> Seq(Seq("a"))))
+    }
+    assert(e.getMessage.contains("undeclared stream s/nope"))
+    // emitting to an undeclared stream also fails loudly
+    val c = new TopologyBuilder
+    c.setSpout("s", new WordSpoutStub)
+    c.setBolt("x", new GhostStreamBolt).shuffleGrouping("s")
+    intercept[Exception] {
+      LocalTopology.completeTopology(spark, c, Map("s" -> Seq(Seq("a"))))
+    }
+  }
+
+  test("tick tuples: conf-driven __system/__tick system tuples reach bolts (executor.clj:295-312)") {
+    val b = new TopologyBuilder
+    b.setSpout("s", new WordSpoutStub)
+    b.setBolt("t", new TickCountingBolt).globalGrouping("s")
+    val results = LocalTopology.completeTopology(spark, b,
+      mockSources = Map("s" -> Seq(Seq("a"), Seq("b"), Seq("c"))),
+      conf = Map(CoreStreams.TickFreqConf -> 10),
+      simulatedTimeSecs = 30L)
+    // 3 data tuples in order, then 30s/10s = 3 quiescent-time ticks
+    // carrying the configured rate (reference tick values = [freq-secs])
+    assert(results.readTuples("t") == Seq(
+      Seq("data", 1L), Seq("data", 2L), Seq("data", 3L),
+      Seq("tick", 10L), Seq("tick", 10L), Seq("tick", 10L)))
+    // ticks are acked like any tuple
+    assert(results.acked("t") == 6L)
+    // no conf -> no ticks, even with simulated time
+    val r2 = LocalTopology.completeTopology(spark, b,
+      mockSources = Map("s" -> Seq(Seq("a"))), simulatedTimeSecs = 30L)
+    assert(r2.readTuples("t") == Seq(Seq("data", 1L)))
   }
 
   test("builder validation: duplicate ids, direct grouping, cycles") {
