@@ -576,6 +576,42 @@ object Multimodal {
     cells.map(c => if (c > m) 1 else 0)
   }
 
+  /** Difference-hash (dHash) bit vector from a luma grid: bit (r, c) = 1
+    * iff cell (r, c) < its row-circular right neighbor (r, (c+1) mod g).
+    * Compares ADJACENT cells instead of cells-vs-global-mean, so the bits
+    * are invariant under ANY monotone per-pixel intensity map — brightness
+    * offsets, contrast stretches, gamma curves — the exact edits that
+    * flip [[averageHashBits]] cells across the global mean (the classic
+    * reason production perceptual dedup prefers dHash/pHash to aHash).
+    * The row-circular wrap keeps g×g cells → g² bits on the SAME lumaGrid
+    * SPI payload the other hashes use (classic dHash asks for a (g+1)×g
+    * grid; the wrap variant trades its last column for SPI reuse). */
+  def differenceHashBits(cells: Array[Int]): Array[Int] = {
+    val g = math.sqrt(cells.length.toDouble).toInt
+    require(g * g == cells.length, s"non-square grid of ${cells.length} cells")
+    Array.tabulate(cells.length) { i =>
+      val r = i / g
+      val c = i % g
+      if (cells(i) < cells(r * g + (c + 1) % g)) 1 else 0
+    }
+  }
+
+  /** Hash choice for the perceptual tier: [[Average]] (aHash — the q171
+    * judged face, replayed cell-for-cell by the DuckDB oracle) or
+    * [[Difference]] (dHash — robust to monotone brightness/gamma/contrast
+    * edits; see [[differenceHashBits]]). */
+  sealed trait PerceptualHash extends Serializable {
+    def bits(cells: Array[Int]): Array[Int]
+  }
+  object PerceptualHash {
+    case object Average extends PerceptualHash {
+      def bits(cells: Array[Int]): Array[Int] = averageHashBits(cells)
+    }
+    case object Difference extends PerceptualHash {
+      def bits(cells: Array[Int]): Array[Int] = differenceHashBits(cells)
+    }
+  }
+
   /** Bits (LSB-first) packed into a signed 64-bit hash — the banding/
     * hamming representation. Bit 63 lands in the sign bit by design (the
     * value is an opaque bit bag, not a number). */
@@ -596,7 +632,8 @@ object Multimodal {
     * batch shape as [[decodeFeatures]] — the hash is computed in the scan
     * stage and payload bytes never shuffle. */
   def perceptualHashes(df: DataFrame, payloadCol: String,
-      codec: MediaCodec = StubCodec, grid: Int = 8): DataFrame = {
+      codec: MediaCodec = StubCodec, grid: Int = 8,
+      hasher: PerceptualHash = PerceptualHash.Average): DataFrame = {
     require(grid > 0 && grid * grid <= 64, s"grid² must fit 64 bits, got $grid")
     val idx = df.columns.indexOf(payloadCol)
     require(idx >= 0, s"no column $payloadCol")
@@ -608,7 +645,7 @@ object Multimodal {
       it.map { r =>
         val bytes = r.getAs[Array[Byte]](idx)
         val hashed = if (bytes == null) None else codec.lumaGrid(bytes, grid)
-          .map(averageHashBits)
+          .map(hasher.bits)
           .map(bits => Seq(bitsToLong(bits), bits.mkString("")))
         Row.fromSeq(r.toSeq ++ hashed.getOrElse(Seq(null, null)))
       }
@@ -629,9 +666,10 @@ object Multimodal {
     * Scale shape: hash in the scan stage; only (sig ≤ 64 chars, id)
     * shuffles, payload bytes never leave their partition. */
   def perceptualDupGroups(df: DataFrame, idCol: String, payloadCol: String,
-      codec: MediaCodec = StubCodec, grid: Int = 8): DataFrame =
+      codec: MediaCodec = StubCodec, grid: Int = 8,
+      hasher: PerceptualHash = PerceptualHash.Average): DataFrame =
     perceptualHashes(df.select(F.col(idCol), F.col(payloadCol)),
-        payloadCol, codec, grid)
+        payloadCol, codec, grid, hasher)
       .where(F.col("phash_bits").isNotNull)
       .select(F.col("phash_bits").as("sig"), F.col(idCol))
       .groupBy("sig")
@@ -651,8 +689,9 @@ object Multimodal {
     * undecodable branch re-reads the source per trigger (two branches of
     * one stream), which is the price of keeping them. */
   def streamingPerceptualDedup(stream: DataFrame, payloadCol: String,
-      codec: MediaCodec = StubCodec, grid: Int = 8): DataFrame = {
-    val hashed = perceptualHashes(stream, payloadCol, codec, grid)
+      codec: MediaCodec = StubCodec, grid: Int = 8,
+      hasher: PerceptualHash = PerceptualHash.Average): DataFrame = {
+    val hashed = perceptualHashes(stream, payloadCol, codec, grid, hasher)
     hashed.where(F.col("phash_bits").isNotNull).dropDuplicates("phash_bits")
       .unionByName(hashed.where(F.col("phash_bits").isNull))
       .drop("phash", "phash_bits")
@@ -680,14 +719,15 @@ object Multimodal {
     * belongs to [[perceptualDupGroups]] anyway. */
   def perceptualNearPairs(df: DataFrame, idCol: String, payloadCol: String,
       codec: MediaCodec = StubCodec, maxHamming: Int = 3,
-      maxBucketSize: Int = 1000): DataFrame = {
+      maxBucketSize: Int = 1000,
+      hasher: PerceptualHash = PerceptualHash.Average): DataFrame = {
     val nBands = maxHamming + 1
     require(maxHamming >= 0 && 64 % nBands == 0,
       s"maxHamming+1 must divide 64, got $maxHamming")
     val width = 64 / nBands
     val mask = if (width == 64) -1L else (1L << width) - 1
     val sigs = perceptualHashes(df.select(F.col(idCol), F.col(payloadCol)),
-        payloadCol, codec)
+        payloadCol, codec, hasher = hasher)
       .where(F.col("phash").isNotNull)
       .select(F.col(idCol).as("id"), F.col("phash").as("__sig"))
       .localCheckpoint(true)

@@ -1822,6 +1822,57 @@ class FunctionsSpec extends AnyFunSuite {
     assert(pairs == Set((1L, 2L, 1L)))
   }
 
+  test("dHash tier: a gamma-edited PNG copy groups under Difference but not Average; order invariance is exact") {
+    import java.awt.image.BufferedImage
+    // 64x64 gray image of 8x8 uniform blocks: one block per lumaGrid(8)
+    // cell, and Rec.601 luma of gray (v,v,v) is exactly v — so the cell
+    // values ARE the block values below. 54 dark cells (10), 2 mid (30),
+    // 8 bright (250): base mean = 40, so the mid cells sit BELOW it.
+    val cellVals = Array.fill(64)(10)
+    cellVals(20) = 30; cellVals(43) = 30
+    (0 until 8).foreach(i => cellVals(i * 8 + 7) = 250)
+    def img(vals: Array[Int]): Array[Byte] = {
+      val im = new BufferedImage(64, 64, BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until 64; x <- 0 until 64) {
+        val v = vals((y / 8) * 8 + (x / 8))
+        im.setRGB(x, y, (v << 16) | (v << 8) | v)
+      }
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(im, "png", bos)
+      bos.toByteArray
+    }
+    // gamma 0.5 (a brightness lift): monotone, NON-affine — 10->50,
+    // 30->87, 250->252; the new mean is 76, so the mid cells cross it
+    def gamma(v: Int): Int = math.sqrt(v.toDouble * 255.0).toInt
+    assert(Seq(10, 30, 250).map(gamma) == Seq(50, 87, 252))
+    val base = img(cellVals)
+    val edited = img(cellVals.map(gamma))
+    val other = img(cellVals.reverse) // genuinely different picture
+    val df = Seq((1L, base), (2L, edited), (3L, other)).toDF("id", "payload")
+    // aHash: the mid cells flipped across the global mean -> no group
+    assert(Multimodal.perceptualDupGroups(df, "id", "payload",
+      Multimodal.ImageIOCodec).count() == 0)
+    // dHash compares neighbors, and a monotone map preserves every
+    // pairwise order -> the edited copy groups with the base
+    val groups = Multimodal.perceptualDupGroups(df, "id", "payload",
+      Multimodal.ImageIOCodec,
+      hasher = Multimodal.PerceptualHash.Difference).collect()
+    assert(groups.length == 1)
+    assert(groups(0).getAs[Long]("n_copies") == 2L)
+    assert(groups(0).getAs[Long]("canonical_id") == 1L)
+    // hand-check the bit construction on a tiny 2x2 grid:
+    // rows (5, 9) and (7, 7): bits = 5<9, 9<5(wrap), 7<7, 7<7 = 1,0,0,0
+    assert(Multimodal.differenceHashBits(Array(5, 9, 7, 7)).toSeq ==
+      Seq(1, 0, 0, 0))
+    // near-pairs accepts the hash choice: base and its gamma edit are
+    // hamming-0 neighbors under Difference
+    val pairs = Multimodal.perceptualNearPairs(df, "id", "payload",
+        Multimodal.ImageIOCodec, maxHamming = 3,
+        hasher = Multimodal.PerceptualHash.Difference)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L, 0L)))
+  }
+
   test("report ops: degenerate inputs (empty frames, single group, no delimiter)") {
     val empty = Seq.empty[(Long, String, String)].toDF("doc_id", "text", "lang")
     // empty corpus: every gate reports 0 in / 0 out (total coalesces to 0)
