@@ -103,14 +103,21 @@ object Bench {
     // OUT of "value"/"queries": the oracle runs the same SQL as "queries",
     // so the suite ratio stays apples-to-apples; these are recorded under
     // their own key for round-over-round state-tier comparison.
+    // Median-of-N for the latency-shaped block (VERDICT r8 #4): these
+    // drills were single-shot and swung 1.7-3.8x between VM windows on
+    // unchanged code (drpc_ms 533ms vs 2011ms). N=3 medians bound the
+    // swing while keeping every recorded value a real measurement.
+    val streamReps =
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_STREAM_REPS", "3").toInt.max(1)
     val streaming =
       if (sys.env.get("SPARK_GRAFT_BENCH_SKIP_STREAMING").contains("1")) Seq.empty
-      else Seq(streamingLsh(spark, sfDir),
-        streamingWordCount(spark, sfDir),
-        streamingWordCountDurable(spark, sfDir),
-        streamingWordCountStore(spark, sfDir),
-        drpcStateQueryLatency(spark),
-        continuousLatency(spark))
+      else Seq(
+        medianOfRuns(streamReps)(() => streamingLsh(spark, sfDir)),
+        medianOfRuns(streamReps)(() => streamingWordCount(spark, sfDir)),
+        medianOfRuns(streamReps)(() => streamingWordCountDurable(spark, sfDir)),
+        medianOfRuns(streamReps)(() => streamingWordCountStore(spark, sfDir)),
+        drpcStateQueryLatency(spark, streamReps),
+        medianOfRuns(streamReps)(() => continuousLatency(spark)))
     val total = results.map(_._2).sum
     val warmNote =
       if (warmSf.isEmpty || warmSf == sfDir) """"warm":"none","""
@@ -141,7 +148,16 @@ object Bench {
     // run lands in BENCH_SELF_DEGRADED.json instead — r7's end-of-round
     // snapshot overwrote a 62.0s measurement with an 86.6s one this way.
     val selfTarget =
-      if (degraded) {
+      // a local-iteration run (query filter / streaming skip) measures a
+      // PARTIAL suite: writing it to BENCH_SELF.json would corrupt the
+      // standing full-suite artifact that round comparisons and the calib
+      // degradation baseline read — land it in BENCH_SELF_LOCAL.json
+      if (sys.env.get("SPARK_GRAFT_BENCH_FILTER").exists(_.nonEmpty) ||
+          sys.env.get("SPARK_GRAFT_BENCH_SKIP_STREAMING").contains("1")) {
+        System.err.println("[bench] local-iteration knobs set — writing " +
+          "BENCH_SELF_LOCAL.json, leaving BENCH_SELF.json untouched")
+        "BENCH_SELF_LOCAL.json"
+      } else if (degraded) {
         System.err.println(f"[bench] degraded window: calib $calib%.3f > 1.3x " +
           f"standing ${prevCalib.get}%.3f — keeping BENCH_SELF.json, writing " +
           "BENCH_SELF_DEGRADED.json")
@@ -160,6 +176,24 @@ object Bench {
     spark.stop()
     println(stdoutJson)
     System.out.flush()
+  }
+
+  /** Median of N runs of a latency/throughput drill: failed runs (-1.0)
+    * are excluded unless every run failed; even N takes the LOWER median
+    * so the recorded value is always a real measurement, never an
+    * average of two windows. Per-run figures still land on stderr. */
+  private def medianOfRuns(n: Int)(run: () => (String, Double)): (String, Double) = {
+    val runs = (1 to n).map(_ => run())
+    val label = runs.head._1
+    val ok = runs.map(_._2).filter(_ >= 0.0).sorted
+    if (ok.isEmpty) label -> -1.0
+    else {
+      val med = ok((ok.size - 1) / 2)
+      if (n > 1)
+        System.err.println(f"[bench] $label median-of-${ok.size}: $med%.3f " +
+          s"(runs: ${ok.map(v => f"$v%.3f").mkString(", ")})")
+      label -> med
+    }
   }
 
   /** The continuous-mode stop path ALWAYS aborts the in-flight epoch
@@ -306,19 +340,32 @@ object Bench {
     * stderr. The measured shape is ~flat in state size (request cost is
     * the Spark job fixed cost, not a state scan), which is the number
     * behind the "scale-free read path" claim. */
-  private def drpcStateQueryLatency(spark: SparkSession): (String, Double) = {
+  private def drpcStateQueryLatency(spark: SparkSession, reps: Int = 1): (String, Double) = {
     val label = "drpc_statequery_ms"
     val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
     try {
       spark.conf.set("spark.sql.streaming.stateStore.providerClass",
         "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
-      val curve = Seq(10000, 100000, 1000000).map { n =>
+      def point(n: Int): Double = {
         val (mean, mx, setup) = graft.tools.Drills.drpcStateQuery(spark, n, requests = 8)
         System.err.println(
           f"[bench] $label: keys=$n%8d setup=$setup%6.1fs mean=$mean%7.1fms max=$mx%7.1fms")
         mean
       }
-      label -> curve.last
+      // size curve once (stderr record: the ~flat shape IS the claim);
+      // the RECORDED 1M-key point re-runs `reps` times -> lower median,
+      // same discipline as medianOfRuns (each rep pays its own setup, so
+      // the median covers the whole fresh-query cost, not a warm cache)
+      Seq(10000, 100000).foreach(point)
+      val meds = (1 to reps).map(_ => point(1000000)).filter(_ >= 0.0).sorted
+      if (meds.isEmpty) label -> -1.0
+      else {
+        val med = meds((meds.size - 1) / 2)
+        if (reps > 1)
+          System.err.println(f"[bench] $label median-of-${meds.size}: $med%.1fms " +
+            s"(runs: ${meds.map(v => f"$v%.1f").mkString(", ")})")
+        label -> med
+      }
     } catch { case e: Throwable =>
       System.err.println(s"[bench] $label failed: ${e.getMessage}")
       label -> -1.0

@@ -1437,8 +1437,14 @@ object SparkEntry {
       // BY the hash-compare: a drift in either the hash arithmetic or the
       // invariance breaks the match. Swapping in ImageIOCodec changes
       // only the codec argument (spec-covered PNG↔BMP re-encode dedup).
+      // ASCII-only input, ENFORCED (ADVICE r8 #3): the within-cell
+      // reversal below bins by Java char count while the stub codec bins
+      // UTF-8 bytes — byte == char only holds on ASCII, and a non-ASCII
+      // doc would silently break the asserted sig(re-encode) == sig(base)
+      // invariance (chars == bytes ⇔ all-ASCII)
       val docs = table(s, dir, "documents")
-        .where(F.length(F.col("text")) > 0)
+        .where(F.length(F.col("text")) > 0 &&
+          F.expr("length(text) = octet_length(text)"))
         .select(F.col("doc_id"), F.col("text"))
       // input synthesis (not an operator): per-row imperative reversal in
       // a typed map — the HOF spelling (array_sort of per-char structs)
@@ -3141,7 +3147,8 @@ object SparkEntry {
       // (cell = pos*64//n), floor-average cell values, threshold =
       // floor-mean of the 64 cells (absent cells count 0), bit = v > thr
       """WITH p AS (SELECT doc_id, regexp_extract_all(text, '.') AS cs
-                    FROM documents WHERE len(text) > 0),
+                    FROM documents
+                    WHERE len(text) > 0 AND strlen(text) = len(text)),
          b AS (SELECT doc_id, i - 1 AS pos, unicode(cs[i]) AS v, len(cs) AS n
                FROM (SELECT doc_id, cs, unnest(generate_series(1, len(cs))) AS i FROM p)),
          cv AS (SELECT doc_id, pos * 64 // n AS s, sum(v) // count(*) AS val

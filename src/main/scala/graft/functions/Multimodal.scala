@@ -680,10 +680,10 @@ object Multimodal {
     * [[perceptualDupGroups]]: the first payload per average-hash passes,
     * later re-encodes (same luma grid, different bytes) are dropped
     * across micro-batches, with the seen-hash set in the state store
-    * keyed by the 64-cell bit string. For bounded state compose the hash
-    * column with `withWatermark` + `dropDuplicatesWithinWatermark`
-    * instead (the [[graft.functions.Dedup.streamingExactDedupBounded]]
-    * trade). Payloads the codec can't grid pass through UN-deduped — a
+    * keyed by the 64-cell bit string. For bounded state use
+    * [[streamingPerceptualDedupBounded]] (the
+    * [[graft.functions.Dedup.streamingExactDedupBounded]] trade on the
+    * hash column). Payloads the codec can't grid pass through UN-deduped — a
     * blind `dropDuplicates` would collapse every undecodable payload
     * into one row because the state key treats nulls as equal; the
     * undecodable branch re-reads the source per trigger (two branches of
@@ -693,6 +693,27 @@ object Multimodal {
       hasher: PerceptualHash = PerceptualHash.Average): DataFrame = {
     val hashed = perceptualHashes(stream, payloadCol, codec, grid, hasher)
     hashed.where(F.col("phash_bits").isNotNull).dropDuplicates("phash_bits")
+      .unionByName(hashed.where(F.col("phash_bits").isNull))
+      .drop("phash", "phash_bits")
+  }
+
+  /** [[streamingPerceptualDedup]] with BOUNDED state: re-encode hashes are
+    * only tracked inside the watermark horizon
+    * (`dropDuplicatesWithinWatermark` on the bit string), so the store
+    * holds ~rate×delay hashes instead of all history — the 100 TB/day
+    * ingest shape. A re-encode arriving after its original aged past
+    * `delay` is re-admitted (the documented trade; run a batch
+    * [[perceptualDupGroups]] pass downstream when global uniqueness
+    * matters). Undecodable payloads pass through un-deduped, as in the
+    * unbounded face. */
+  def streamingPerceptualDedupBounded(stream: DataFrame, payloadCol: String,
+      tsCol: String, delay: String,
+      codec: MediaCodec = StubCodec, grid: Int = 8,
+      hasher: PerceptualHash = PerceptualHash.Average): DataFrame = {
+    val hashed = perceptualHashes(stream, payloadCol, codec, grid, hasher)
+    hashed.where(F.col("phash_bits").isNotNull)
+      .withWatermark(tsCol, delay)
+      .dropDuplicatesWithinWatermark("phash_bits")
       .unionByName(hashed.where(F.col("phash_bits").isNull))
       .drop("phash", "phash_bits")
   }

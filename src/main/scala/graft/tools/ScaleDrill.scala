@@ -361,8 +361,10 @@ object ScaleDrill {
             F.floor(F.col("doc_id") / 10000000L).cast("string"))),
         "doc_id", "text", "source",
         k = 3, numHashes = 4, rowsPerBand = 2, threshold = 0.05)),
-    // one tagged-gram explode + (id, kind, gram) count shuffle per doc;
-    // per-doc work is corpus-independent, so the row pins scan linearity
+    // one native single-pass expression per doc (doc-bounded hashmaps in
+    // the scan stage — the tagged-gram explode spelling this replaced ran
+    // >1h on the 500k drill), ZERO shuffle; per-doc work is
+    // corpus-independent, so the row pins scan linearity
     "repetition_profile (q172)" -> (docs =>
       Text.repetitionProfile(docs, "doc_id", "text")),
     // hamming<=3 banding (4 x 16-bit bands) over scan-stage hashes through

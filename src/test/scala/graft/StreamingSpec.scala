@@ -299,4 +299,51 @@ class StreamingSpec extends AnyFunSuite {
     q.stop()
     assert(out.sorted.toSeq == Seq(1L, 2L, 4L, 5L))
   }
+
+  test("bounded streaming perceptual dedup: re-encode drops within the watermark horizon, re-admits after it") {
+    import graft.functions.Multimodal
+    implicit val sqlCtx = spark.sqlContext
+    // same cell-reversal re-encode construction as the unbounded test
+    def cellReverse(t: String): String = {
+      val n = t.length
+      val sb = new java.lang.StringBuilder(n)
+      var c = 0
+      while (c < 64) {
+        val lo = ((c.toLong * n + 63) / 64).toInt
+        val hi = (((c + 1).toLong * n + 63) / 64).toInt
+        var i = hi - 1
+        while (i >= lo) { sb.append(t.charAt(i)); i -= 1 }
+        c += 1
+      }
+      sb.toString
+    }
+    val base = "az" * 64
+    val input = MemoryStream[(Long, Long, String)]
+    val out = scala.collection.mutable.Buffer[Long]()
+    val deduped = Multimodal.streamingPerceptualDedupBounded(
+      input.toDF().toDF("id", "sec", "text")
+        .select(F.col("id"), F.timestamp_seconds(F.col("sec")).as("ts"),
+          Multimodal.fakePayload(F.col("text")).as("payload")),
+      "payload", "ts", "10 seconds")
+    assert(deduped.columns.toSeq == Seq("id", "ts", "payload"))
+    val q = deduped.writeStream.outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime(0L))
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        out.synchronized { out ++= b.select("id").as[Long].collect() }; ()
+      }.start()
+    input.addData((1L, 100L, base), (2L, 100L, "b" * 64 + "y" * 64))
+    q.processAllAvailable()
+    // watermark after batch 1 = 90: doc 1's hash state is live, so the
+    // t=105 re-encode drops; t=200 advances the watermark to 190; the
+    // empty payload is undecodable and passes regardless
+    input.addData((3L, 105L, cellReverse(base)), (4L, 200L, "fresh" * 30),
+      (5L, 105L, ""))
+    q.processAllAvailable()
+    // hash state from t=100 expired at watermark 190 → the late re-encode
+    // is re-admitted (the documented bounded-state trade)
+    input.addData((6L, 300L, cellReverse(base)))
+    q.processAllAvailable()
+    q.stop()
+    assert(out.sorted.toSeq == Seq(1L, 2L, 4L, 5L, 6L))
+  }
 }
