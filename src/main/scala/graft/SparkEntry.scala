@@ -1483,6 +1483,38 @@ object SparkEntry {
           k = 64)
         .orderBy("event_type")),
 
+    "q174_dhash_dedup" -> ((s, dir) => {
+      // oracled face of the dHash tier (r9): 64-bit difference-hash
+      // (row-circular cell-vs-right-neighbor gradient) over the stub
+      // codec's byte-segment grid, groups keyed by the bit string. The
+      // corpus is unioned with a +1 BYTE-SHIFTED re-encode of every doc:
+      // a uniform shift moves every floor-averaged cell by exactly +1
+      // (floor((sum + n)/n) = floor(sum/n) + 1), preserving all pairwise
+      // cell orders — the dHash invariance class — while changing every
+      // byte (and the md5). The oracle computes the base doc's dHash sig
+      // cell-for-cell and asserts sig(shift) == sig(base) BY the
+      // hash-compare. The base is filtered to chars <= 0x7d so the
+      // shifted text stays ASCII (the q171 byte==char discipline).
+      val docs = table(s, dir, "documents")
+        .where(F.length(F.col("text")) > 0 &&
+          F.expr("length(text) = octet_length(text)") &&
+          !F.col("text").rlike("[\\x7e\\x7f]"))
+        .select(F.col("doc_id"), F.col("text"))
+      val reenc = locally {
+        import s.implicits._
+        docs.as[(Long, String)].map { case (id, t) =>
+          (id + 100000000L, t.map(c => (c + 1).toChar))
+        }.toDF("doc_id", "text")
+      }
+      Multimodal.perceptualDupGroups(
+          docs.unionByName(reenc)
+            .select(F.col("doc_id"),
+              Multimodal.fakePayload(F.col("text")).as("payload")),
+          "doc_id", "payload",
+          hasher = Multimodal.PerceptualHash.Difference)
+        .orderBy("sig")
+    }),
+
     "q172_repetition_profile" -> ((s, dir) =>
       // Gopher-family repetition gates (complement of q88's scalar
       // signals): top-word / top-bigram / duplicate-trigram fractions
@@ -3165,6 +3197,36 @@ object SparkEntry {
          -- within-cell reversal preserves every cell's byte multiset, so
          -- the re-encoded copy's sig IS the base sig (the invariance the
          -- Spark side must reproduce by actually hashing the re-encode)
+         allsg AS (SELECT doc_id, sig FROM sg
+                   UNION ALL SELECT doc_id + 100000000, sig FROM sg)
+         SELECT sig, CAST(count(*) AS BIGINT) AS n_copies,
+           CAST(min(doc_id) AS BIGINT) AS canonical_id
+         FROM allsg GROUP BY 1 HAVING count(*) >= 2 ORDER BY 1""",
+    "q174_dhash_dedup" ->
+      // the stub dHash replayed exactly: q171's cell pipeline (64
+      // floor-binned byte segments, floor-average values, absent cells 0)
+      // then bit s = cell s < cell at (s//8)*8 + (s%8+1)%8 — the
+      // row-circular right neighbor. A +1 byte shift moves every cell by
+      // exactly +1, so the shifted copy's sig IS the base sig (the
+      // invariance the Spark side must reproduce by hashing the shift)
+      """WITH p AS (SELECT doc_id, regexp_extract_all(text, '.') AS cs
+                    FROM documents
+                    WHERE len(text) > 0 AND strlen(text) = len(text)
+                      AND NOT regexp_matches(text, '[\x7e\x7f]')),
+         b AS (SELECT doc_id, i - 1 AS pos, unicode(cs[i]) AS v, len(cs) AS n
+               FROM (SELECT doc_id, cs, unnest(generate_series(1, len(cs))) AS i FROM p)),
+         cv AS (SELECT doc_id, pos * 64 // n AS s, sum(v) // count(*) AS val
+                FROM b GROUP BY 1, 2),
+         g AS (SELECT d.doc_id, t.s FROM (SELECT DISTINCT doc_id FROM p) d,
+                 (SELECT unnest(generate_series(0, 63)) AS s) t),
+         f AS (SELECT g.doc_id, g.s, coalesce(cv.val, 0) AS val
+               FROM g LEFT JOIN cv ON g.doc_id = cv.doc_id AND g.s = cv.s),
+         sg AS (SELECT f.doc_id,
+                  string_agg(CASE WHEN f.val < fn.val THEN '1' ELSE '0' END, ''
+                    ORDER BY f.s) AS sig
+                FROM f JOIN f fn ON fn.doc_id = f.doc_id
+                  AND fn.s = (f.s // 8) * 8 + ((f.s % 8) + 1) % 8
+                GROUP BY f.doc_id),
          allsg AS (SELECT doc_id, sig FROM sg
                    UNION ALL SELECT doc_id + 100000000, sig FROM sg)
          SELECT sig, CAST(count(*) AS BIGINT) AS n_copies,

@@ -330,9 +330,14 @@ object Multimodal {
       * samples decode to the same amplitudes (the byte-order and
       * signedness differences are normalized in [[Pcm.amp]]), so a
       * re-containerized clip average-hashes identically — the audio
-      * mirror of the image codec's PNG↔BMP invariance. A true
-      * spectral/chroma fingerprint needs an FFT; the envelope is the
-      * deterministic zero-dependency tier behind the same SPI. */
+      * mirror of the image codec's PNG↔BMP invariance. Gain edits
+      * (volume scaling, companding, normalization) are monotone maps on
+      * the envelope cells, so [[PerceptualHash.Difference]] over this
+      * grid groups gain-edited clips too (spec-proven) — the same
+      * division of labor as the image tier. A true spectral/chroma
+      * fingerprint (pitch content, time-shift alignment) needs an FFT;
+      * the envelope is the deterministic zero-dependency tier behind the
+      * same SPI. */
     override def lumaGrid(bytes: Array[Byte], grid: Int): Option[Array[Int]] =
       readPcm(bytes).flatMap { pcm =>
         val n = pcm.nFrames

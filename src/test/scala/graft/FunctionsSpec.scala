@@ -1724,6 +1724,53 @@ class FunctionsSpec extends AnyFunSuite {
     assert(groups(0).getAs[Long]("canonical_id") == 1L)
   }
 
+  test("dHash audio: a gain-companded (monotone non-affine) clip groups under Difference but not Average") {
+    import javax.sound.sampled._
+    def encode(samples: Array[Short]): Array[Byte] = {
+      val fmt = new AudioFormat(AudioFormat.Encoding.PCM_SIGNED,
+        8000f, 16, 1, 2, 8000f, false)
+      val data = new Array[Byte](samples.length * 2)
+      samples.indices.foreach { i =>
+        val s = samples(i)
+        data(2 * i) = s.toByte; data(2 * i + 1) = (s >> 8).toByte
+      }
+      val ais = new AudioInputStream(
+        new java.io.ByteArrayInputStream(data), fmt, samples.length.toLong)
+      val bos = new java.io.ByteArrayOutputStream()
+      AudioSystem.write(ais, AudioFileFormat.Type.WAVE, bos)
+      bos.toByteArray
+    }
+    // 64 constant-amplitude blocks of 64 frames -> one envelope cell per
+    // block with cell value floor(amp/128) EXACTLY. 54 quiet cells (8),
+    // 2 mid (24), 8 loud (200): aHash mean = 32, mid cells BELOW it.
+    val cellAmps = Array.fill(64)(1024)
+    cellAmps(20) = 3072; cellAmps(43) = 3072
+    (0 until 8).foreach(i => cellAmps(i * 8 + 7) = 25600)
+    def clip(amps: Array[Int]): Array[Byte] = encode(Array.tabulate(4096) { i =>
+      val a = amps(i / 64)
+      (if (i % 2 == 0) a else -a).toShort // alternate sign: constant |amp|
+    })
+    // sqrt companding (an upward compressor / normalizer): monotone on
+    // |amplitude|, NON-affine — cell values become 45 / 78 / 226, the new
+    // mean is 68, and the mid cells cross it
+    def compand(a: Int): Int = math.sqrt(a.toDouble * 32768.0).toInt
+    assert(Seq(1024, 3072, 25600).map(a => compand(a) / 128) == Seq(45, 78, 226))
+    val base = clip(cellAmps)
+    val companded = clip(cellAmps.map(compand))
+    val other = clip(cellAmps.reverse)
+    val df = Seq((1L, base), (2L, companded), (3L, other)).toDF("id", "payload")
+    // aHash: the mid cells flipped across the global mean -> no group
+    assert(Multimodal.perceptualDupGroups(df, "id", "payload",
+      Multimodal.WavCodec).count() == 0)
+    // dHash: monotone gain preserves every pairwise envelope order
+    val groups = Multimodal.perceptualDupGroups(df, "id", "payload",
+      Multimodal.WavCodec,
+      hasher = Multimodal.PerceptualHash.Difference).collect()
+    assert(groups.length == 1)
+    assert(groups(0).getAs[Long]("n_copies") == 2L)
+    assert(groups(0).getAs[Long]("canonical_id") == 1L)
+  }
+
   test("aHash invariance property: any within-cell permutation preserves the hash; cross-cell moves change it when sums differ") {
     // seeded generative sweep over payload sizes incl. cell-boundary edge
     // cases (n < 64, n == 64, n % 64 != 0)
