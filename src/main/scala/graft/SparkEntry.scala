@@ -1475,6 +1475,25 @@ object SparkEntry {
         .orderBy("sig")
     }),
 
+    "q175_pii_redact" -> ((s, dir) => {
+      // anonymization audit before a corpus release: per doc, the spans
+      // each PII category masked + the md5 of the redacted text (the
+      // cross-engine witness that the replacement OUTPUT matches, not
+      // just the counts). Input synthesis: every third doc gets a
+      // deterministic contact line appended — the corpus itself is
+      // synthetic word salad, so redaction would otherwise be all-zero
+      val docs = table(s, dir, "documents")
+        .select(F.col("doc_id"),
+          F.concat(F.col("text"),
+            F.when(F.col("doc_id") % 3 === 0,
+              F.concat(F.lit(" reach user"), F.col("doc_id").cast("string"),
+                F.lit("@mail.example.org or +1 (555) 010-"),
+                F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0")))
+              .otherwise(F.lit(""))).as("text"))
+      functions.Text.redactPiiReport(docs, "doc_id", "text")
+        .orderBy("doc_id")
+    }),
+
     "q173_kmv_distinct" -> ((s, dir) =>
       // engine-reproducible approximate distinct: the KMV sketch (k
       // smallest md5s of the distinct users) oracles CELL-EXACT — the
@@ -3202,6 +3221,25 @@ object SparkEntry {
          SELECT sig, CAST(count(*) AS BIGINT) AS n_copies,
            CAST(min(doc_id) AS BIGINT) AS canonical_id
          FROM allsg GROUP BY 1 HAVING count(*) >= 2 ORDER BY 1""",
+    "q175_pii_redact" ->
+      // same synthesis, same replace chain: emails counted on the raw
+      // text, phones on the email-redacted text; DuckDB regexp_replace
+      // needs the 'g' flag (Spark replaces all matches by default)
+      """WITH d AS (SELECT doc_id,
+               text || CASE WHEN doc_id % 3 = 0
+                 THEN ' reach user' || CAST(doc_id AS VARCHAR) ||
+                      '@mail.example.org or +1 (555) 010-' ||
+                      lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                 ELSE '' END AS text
+             FROM documents),
+         e AS (SELECT doc_id, text,
+               regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g') AS after_email
+             FROM d)
+         SELECT doc_id,
+           CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
+           CAST(len(regexp_extract_all(after_email, '[0-9][0-9 ()+-]{6,}[0-9]')) AS BIGINT) AS n_phones,
+           md5(regexp_replace(after_email, '[0-9][0-9 ()+-]{6,}[0-9]', '<PHONE>', 'g')) AS redacted_fp
+         FROM e ORDER BY doc_id""",
     "q174_dhash_dedup" ->
       // the stub dHash replayed exactly: q171's cell pipeline (64
       // floor-binned byte segments, floor-average values, absent cells 0)

@@ -337,8 +337,32 @@ object Text {
     * subset every engine agrees on. */
   def redactPii(text: Column): Column =
     F.regexp_replace(
-      F.regexp_replace(text, "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>"),
-      "[0-9][0-9 ()+-]{6,}[0-9]", "<PHONE>")
+      F.regexp_replace(text, PiiEmailRe, "<EMAIL>"),
+      PiiPhoneRe, "<PHONE>")
+
+  private val PiiEmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  private val PiiPhoneRe = "[0-9][0-9 ()+-]{6,}[0-9]"
+
+  /** Redaction REPORT — the audit face of [[redactPii]] a corpus release
+    * needs next to the anonymized text: per doc, how many spans each
+    * category masked plus the md5 of the redacted text (the cheap
+    * cross-engine witness that the replacement output itself is
+    * identical, not just the counts). Emails are counted on the raw
+    * text; phone runs on the email-redacted text, matching the replace
+    * chain's order (a digit run inside an email must not count twice).
+    * Pure scan-stage regex work — zero shuffle, linear in corpus bytes;
+    * patterns stay in the leftmost-greedy subset Java regex and RE2
+    * evaluate identically. */
+  def redactPiiReport(df: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String): org.apache.spark.sql.DataFrame = {
+    val afterEmail = F.regexp_replace(F.col(textCol), PiiEmailRe, "<EMAIL>")
+    df.select(F.col(idCol),
+      F.size(F.regexp_extract_all(F.col(textCol), F.lit(PiiEmailRe), F.lit(0)))
+        .cast("long").as("n_emails"),
+      F.size(F.regexp_extract_all(afterEmail, F.lit(PiiPhoneRe), F.lit(0)))
+        .cast("long").as("n_phones"),
+      F.md5(F.regexp_replace(afterEmail, PiiPhoneRe, "<PHONE>")).as("redacted_fp"))
+  }
 
   /** Document fingerprint, oracle-parity tier: md5 of the normalized text
     * (lowercased, squeezed whitespace) — stable across engines. The squeeze

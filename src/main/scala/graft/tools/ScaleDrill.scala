@@ -361,6 +361,11 @@ object ScaleDrill {
             F.floor(F.col("doc_id") / 10000000L).cast("string"))),
         "doc_id", "text", "source",
         k = 3, numHashes = 4, rowsPerBand = 2, threshold = 0.05)),
+    // pure scan-stage regex chain (two extract_all + two replace per
+    // doc), zero shuffle — the row pins that the regex NFA cost stays
+    // linear in corpus bytes
+    "pii_redact (q175)" -> (docs =>
+      Text.redactPiiReport(docs, "doc_id", "text")),
     // one native single-pass expression per doc (doc-bounded hashmaps in
     // the scan stage — the tagged-gram explode spelling this replaced ran
     // >1h on the 500k drill), ZERO shuffle; per-doc work is
@@ -386,6 +391,14 @@ object ScaleDrill {
           docs.select(F.col("doc_id"), Multimodal.fakePayload(
             F.substring(F.col("text"), 1, 40)).as("payload")),
           "doc_id", "payload")),
+    // same scan-stage-hash shape as q171 with the gradient bit formula —
+    // the row pins that the hasher choice doesn't change the scale curve
+    "dhash_dedup (q174)" -> (docs =>
+      Multimodal.perceptualDupGroups(
+          docs.select(F.col("doc_id"), Multimodal.fakePayload(
+            F.substring(F.col("text"), 1, 40)).as("payload")),
+          "doc_id", "payload",
+          hasher = Multimodal.PerceptualHash.Difference)),
     // salted text → salted 40-char payload prefixes: checksum universes
     // are disjoint per replica, dup-group volume grows linearly; only
     // (checksum, id) shuffles and the payload bytes stay in the scan

@@ -164,6 +164,26 @@ class TemporalSpec extends AnyFunSuite {
     assert(clean == "regular text with numbers 42 and 7")
   }
 
+  test("redactPiiReport: per-category span counts + checksum of the actual redacted text") {
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+    val df = Seq(
+      (1L, "mail a@b.co and c.d@e.org, call 555-123-4567"),
+      (2L, "no pii here"),
+      (3L, "digits 12 34 only")).toDF("doc_id", "text")
+    val out = Text.redactPiiReport(df, "doc_id", "text")
+      .orderBy("doc_id").collect()
+    assert(out(0).getAs[Long]("n_emails") == 2L)
+    assert(out(0).getAs[Long]("n_phones") == 1L)
+    assert(out(0).getAs[String]("redacted_fp") ==
+      md5hex("mail <EMAIL> and <EMAIL>, call <PHONE>"))
+    // short digit runs (< 8 chars) are not phone-shaped; prose untouched
+    assert(out(1).getAs[Long]("n_emails") == 0L && out(1).getAs[Long]("n_phones") == 0L)
+    assert(out(1).getAs[String]("redacted_fp") == md5hex("no pii here"))
+    assert(out(2).getAs[Long]("n_phones") == 0L)
+  }
+
   test("operator argument validation fails fast with named errors") {
     val df = Seq((1L, 2L)).toDF("a", "b")
     val e1 = intercept[IllegalArgumentException] {
