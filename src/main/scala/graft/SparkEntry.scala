@@ -1475,6 +1475,16 @@ object SparkEntry {
         .orderBy("sig")
     }),
 
+    "q176_embedding_moments" -> ((s, dir) =>
+      // covariance/whitening prep (PCA sufficient statistics): exact
+      // integer-ppm pairwise co-moments of the embedding corpus — the
+      // moments MERGE across corpus slices (they just add), which is the
+      // 100 TB accumulation property; covariance derives downstream as
+      // (n·sum_prod − sum_i·sum_j)/(n²·1e12)
+      functions.Similarity.coMomentMatrix(
+          table(s, dir, "embeddings"), "embedding")
+        .orderBy("i", "j")),
+
     "q175_pii_redact" -> ((s, dir) => {
       // anonymization audit before a corpus release: per doc, the spans
       // each PII category masked + the md5 of the redacted text (the
@@ -3221,6 +3231,24 @@ object SparkEntry {
          SELECT sig, CAST(count(*) AS BIGINT) AS n_copies,
            CAST(min(doc_id) AS BIGINT) AS canonical_id
          FROM allsg GROUP BY 1 HAVING count(*) >= 2 ORDER BY 1""",
+    "q176_embedding_moments" ->
+      // integer-ppm components (round of the exact float->double widening
+      // is engine-identical), self-join within vec_id for the i<=j pairs,
+      // HUGEINT-capable sums cast back to BIGINT (sf-sized; the Spark
+      // side accumulates through DECIMAL(38,0) the same way)
+      """WITH q AS (SELECT vec_id,
+               list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS q
+             FROM embeddings WHERE embedding IS NOT NULL),
+         u AS (SELECT vec_id, i - 1 AS i, q[i] AS qi
+               FROM (SELECT vec_id, q, unnest(generate_series(1, len(q))) AS i FROM q)),
+         p AS (SELECT a.i AS i, b.i AS j, a.qi AS qi, b.qi AS qj
+               FROM u a JOIN u b ON a.vec_id = b.vec_id AND b.i >= a.i)
+         SELECT CAST(i AS BIGINT) AS i, CAST(j AS BIGINT) AS j,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(qi * qj) AS BIGINT) AS sum_prod,
+           CAST(sum(qi) AS BIGINT) AS sum_i,
+           CAST(sum(qj) AS BIGINT) AS sum_j
+         FROM p GROUP BY 1, 2 ORDER BY 1, 2""",
     "q175_pii_redact" ->
       // same synthesis, same replace chain: emails counted on the raw
       // text, phones on the email-redacted text; DuckDB regexp_replace

@@ -350,6 +350,40 @@ object Similarity {
         F.col("sum_ppm").cast("double") / F.lit(1e6) / F.col("n").cast("double"))
       .select(groupCol, "pos", "mean", "sum_ppm", "n")
 
+  /** Pairwise co-moment matrix of an embedding column — the exact
+    * sufficient statistics for covariance/whitening (PCA prep): per
+    * dimension pair (i <= j), `n`, `sum_prod` = Σ qᵢqⱼ, `sum_i` = Σ qᵢ,
+    * `sum_j` = Σ qⱼ over integer-ppm components `q = round(x·1e6)` (the
+    * [[meanVector]] discipline — exact and identical in any engine).
+    * Covariance follows as `(n·sum_prod − sum_i·sum_j) / (n²·1e12)` in
+    * consumer space; shipping the integer moments instead of the divided
+    * double keeps the face cell-exact AND mergeable (moments from corpus
+    * slices just add — the property that lets a 100 TB scan accumulate
+    * per-partition moments and combine).
+    *
+    * Scale shape: the n·d² pair generation runs INSIDE the scan stage
+    * (two codegen'd Generates, no data crosses), and the only exchange
+    * moves d(d+1)/2 partial aggregates per partition — map-side combine
+    * makes the shuffle O(d²), corpus-size-free. The per-pair products
+    * (≤1e12 for unit-normalized inputs) sum through DECIMAL(38,0), so
+    * the accumulator has ~1e26 rows of headroom (a plain BIGINT sum
+    * overflows past ~9.2e6 worst-case rows); the sf-sized face casts the
+    * result back to BIGINT for the oracle compare. */
+  def coMomentMatrix(df: DataFrame, embCol: String): DataFrame =
+    df.where(F.col(embCol).isNotNull)
+      .select(F.transform(F.col(embCol),
+        x => F.round(x.cast("double") * F.lit(1e6)).cast("long")).as("__q"))
+      .select(F.posexplode(F.col("__q")).as(Seq("i", "qi")), F.col("__q"))
+      .select(F.col("i"), F.col("qi"),
+        F.posexplode(F.col("__q")).as(Seq("j", "qj")))
+      .where(F.col("j") >= F.col("i"))
+      .groupBy(F.col("i").cast("long").as("i"), F.col("j").cast("long").as("j"))
+      .agg(F.count(F.lit(1)).as("n"),
+        F.sum((F.col("qi") * F.col("qj")).cast("decimal(38,0)"))
+          .cast("long").as("sum_prod"),
+        F.sum("qi").as("sum_i"),
+        F.sum("qj").as("sum_j"))
+
   /** Int8 quantization of an embedding column — the storage-shrink step a
     * 100 TB vector corpus runs before indexing (4× smaller payloads,
     * integer-SIMD dot products). Per-vector symmetric scale `127 / max|x|`;

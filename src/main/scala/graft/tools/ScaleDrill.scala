@@ -414,6 +414,11 @@ object ScaleDrill {
     * per-cell population stays the base's — the SemDeDup contract ("more
     * data → more clusters, cells stay small"). */
   def embDrills: Seq[(String, DataFrame => DataFrame)] = Seq(
+    // n·d² pair generation inside the scan stage; the one exchange moves
+    // d(d+1)/2 partials per partition — the row pins that the shuffle is
+    // corpus-size-free and the scan work row-linear (d is fixed)
+    "embedding_moments (q176)" -> (emb =>
+      Similarity.coMomentMatrix(emb, "embedding")),
     "semdedup (q124)" -> { emb =>
       val cents = emb.where(F.pmod(F.col("vec_id"), F.lit(10000000L)) < 16)
         .select(F.col("vec_id").as("cid"), F.col("embedding").as("cv"))

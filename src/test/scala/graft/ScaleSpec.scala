@@ -372,6 +372,44 @@ class ScaleSpec extends AnyFunSuite {
     }
   }
 
+  test("coMomentMatrix: hand-computed moments, covariance identity, O(d²) shuffle shape") {
+    import graft.functions.Similarity
+    // v1 = (0.1, -0.2, 0.3), v2 = (0.0, 0.5, -0.1) -> ppm components
+    // q1 = (1e5, -2e5, 3e5), q2 = (0, 5e5, -1e5)
+    val emb = Seq(
+      (1L, Array(0.1f, -0.2f, 0.3f)),
+      (2L, Array(0.0f, 0.5f, -0.1f))).toDF("vec_id", "embedding")
+    val out = Similarity.coMomentMatrix(emb, "embedding")
+      .orderBy("i", "j")
+      .as[(Long, Long, Long, Long, Long, Long)].collect()
+    assert(out.length == 6) // d(d+1)/2 upper-triangle pairs for d=3
+    val m = out.map(r => (r._1, r._2) -> r).toMap
+    assert(m((0L, 0L)) == (0L, 0L, 2L, 10000000000L, 100000L, 100000L))
+    assert(m((0L, 1L)) == (0L, 1L, 2L, -20000000000L, 100000L, 300000L))
+    assert(m((1L, 2L)) == (1L, 2L, 2L, -110000000000L, 300000L, 200000L))
+    assert(m((2L, 2L)) == (2L, 2L, 2L, 100000000000L, 200000L, 200000L))
+    // covariance identity: dim-0 population variance from the moments
+    // (n·sum_prod − sum_i²) / (n²·1e12) == var of {0.1, 0.0} == 0.0025
+    val (_, _, n, sp, si, _) = m((0L, 0L))
+    assert((n * sp - si * si).toDouble / (n.toDouble * n * 1e12) == 0.0025)
+    // moments MERGE: computing each vector separately and adding gives
+    // the corpus moments (the 100 TB slice-accumulation property)
+    val half1 = Similarity.coMomentMatrix(emb.where($"vec_id" === 1L), "embedding")
+    val half2 = Similarity.coMomentMatrix(emb.where($"vec_id" === 2L), "embedding")
+    val merged = half1.unionByName(half2).groupBy("i", "j")
+      .agg(F.sum("n").as("n"), F.sum("sum_prod").as("sum_prod"),
+        F.sum("sum_i").as("sum_i"), F.sum("sum_j").as("sum_j"))
+      .orderBy("i", "j")
+      .as[(Long, Long, Long, Long, Long, Long)].collect()
+    assert(merged.toSeq == out.toSeq)
+    // plan: pair generation stays in the scan stage; the one exchange
+    // moves d² partial aggregates (map-side combine), no object buffers
+    val plan = Similarity.coMomentMatrix(emb, "embedding")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("HashAggregate"), s"no hash aggregate:\n$plan")
+    assert(!plan.contains("ObjectHashAggregate"), s"object buffer leaked:\n$plan")
+  }
+
   test("meanVector: single hot group stays an O(1)-buffer hash aggregate and matches brute force") {
     import graft.functions.Similarity
     // adversarial shape from VERDICT r7 #3: EVERY vector in one group, so a
