@@ -1475,6 +1475,29 @@ object SparkEntry {
         .orderBy("sig")
     }),
 
+    "q177_interval_join" -> ((s, dir) => {
+      // concurrency analysis: for every event, how many user sessions
+      // (q58's 30-min-gap sessionization, any user) were active at its
+      // instant — a genuine fact-to-fact range join, planned as a KEYED
+      // equi-join via the bucket-exploded spelling (1h buckets ≈ the
+      // session scale) instead of the BroadcastNestedLoop a raw BETWEEN
+      // condition forces. Every event sits inside its own session, so
+      // n_active >= 1 for all events.
+      val evus = events(s, dir)
+        .select(F.col("user_id"), F.expr("ts DIV 1000").as("ts_us"),
+          F.col("event_id"))
+      val sessions = Temporal.sessionize(evus, "user_id", "ts_us",
+          gapTicks = 1800L * 1000000L, tieBreak = "event_id")
+        .select(F.col("session_start"), F.col("session_end"))
+      Temporal.intervalJoin(
+          evus.select(F.col("event_id"), F.col("ts_us")), "ts_us",
+          sessions, "session_start", "session_end",
+          bucketTicks = 3600L * 1000000L)
+        .groupBy("event_id")
+        .agg(F.count(F.lit(1)).as("n_active"))
+        .orderBy("event_id")
+    }),
+
     "q176_embedding_moments" -> ((s, dir) =>
       // covariance/whitening prep (PCA sufficient statistics): exact
       // integer-ppm pairwise co-moments of the embedding corpus — the
@@ -3231,6 +3254,24 @@ object SparkEntry {
          SELECT sig, CAST(count(*) AS BIGINT) AS n_copies,
            CAST(min(doc_id) AS BIGINT) AS canonical_id
          FROM allsg GROUP BY 1 HAVING count(*) >= 2 ORDER BY 1""",
+    "q177_interval_join" ->
+      // q58's session bounds, then a plain BETWEEN range join (DuckDB's
+      // IEJoin plans it directly; the Spark side's bucket explode is the
+      // distributed-equi-join spelling of the same predicate)
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS ts, event_id FROM events),
+         x AS (SELECT user_id, ts,
+             CASE WHEN prev IS NULL OR ts - prev > 1800000000 THEN 1 ELSE 0 END AS nf
+           FROM (SELECT user_id, ts,
+               lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev FROM e)),
+         y AS (SELECT user_id, ts,
+             CAST(sum(nf) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_seq
+           FROM x),
+         sess AS (SELECT min(ts) AS s, max(ts) AS e2
+                  FROM y GROUP BY user_id, session_seq)
+         SELECT ev.event_id, CAST(count(*) AS BIGINT) AS n_active
+         FROM (SELECT event_id, epoch_us(ts) AS t FROM events) ev
+         JOIN sess ON ev.t BETWEEN sess.s AND sess.e2
+         GROUP BY 1 ORDER BY 1""",
     "q176_embedding_moments" ->
       // integer-ppm components (round of the exact float->double widening
       // is engine-identical), self-join within vec_id for the i<=j pairs,

@@ -290,4 +290,35 @@ object Temporal {
     df.join(F.broadcast(bands),
       F.col(valueCol) >= F.col(loCol) && F.col(valueCol) < F.col(hiCol),
       joinType)
+
+  /** Interval (point-in-range) join, the SCALE-SAFE spelling: a raw
+    * `t BETWEEN start AND end` join has no equi-key, so Catalyst can only
+    * plan BroadcastNestedLoop (fine for [[bandJoin]]'s tiny broadcast band
+    * table, fatal for fact-to-fact). Here each interval EXPLODES to the
+    * coarse time buckets it covers (`sequence(start DIV b, end DIV b)`)
+    * and each point probes its ONE bucket — the join becomes a keyed
+    * equi-join on the bucket with the exact range predicate carried in
+    * the join condition, so it shuffles/broadcasts like any other keyed
+    * join and every qualifying (point, interval) pair meets EXACTLY once
+    * (a point has one bucket; an interval covers it once). `bucketTicks`
+    * trades explode volume (≈ interval length / bucket + 1 rows per
+    * interval) against bucket selectivity (points per bucket compared
+    * against unrelated intervals); pick it near the typical interval
+    * length. Inner join; both inputs keep all their columns. */
+  def intervalJoin(points: DataFrame, ptsCol: String,
+      intervals: DataFrame, startCol: String, endCol: String,
+      bucketTicks: Long): DataFrame = {
+    require(bucketTicks > 0, "bucketTicks must be > 0")
+    val iv = intervals
+      .where(F.col(startCol).isNotNull && F.col(endCol).isNotNull &&
+        F.col(startCol) <= F.col(endCol))
+      .withColumn("__bk", F.explode(F.expr(
+        s"sequence($startCol DIV $bucketTicks, $endCol DIV $bucketTicks)")))
+    points
+      .where(F.col(ptsCol).isNotNull)
+      .withColumn("__bk", F.expr(s"$ptsCol DIV $bucketTicks"))
+      .join(iv, Seq("__bk"))
+      .where(F.col(ptsCol) >= F.col(startCol) && F.col(ptsCol) <= F.col(endCol))
+      .drop("__bk")
+  }
 }

@@ -501,6 +501,26 @@ object ScaleDrill {
     * one shuffle keyed on user_id with per-user windows; user-salted
     * replication keeps every window base-sized. */
   def eventDrills: Seq[(String, DataFrame => DataFrame)] = Seq(
+    // sessionize + bucket-exploded range join back onto the events. The
+    // drill TIME-SHIFTS each replica by 31 days (> the data range, rep
+    // id recovered from the user salt) so per-instant session
+    // concurrency — and hence TRUE pair volume — stays base-sized and
+    // the row measures the operator's linear join cost. Un-shifted
+    // replication stacks every replica on the same instants: concurrency
+    // grows ∝N, qualifying pairs ∝N² — measured 45.8x on the x100
+    // decade, the inherent answer-volume regime, not a plan failure
+    // (documented in SCALE.md next to the IVF quadratic regime).
+    "interval_join (q177)" -> { ev =>
+      val shifted = ev.withColumn("ts_us",
+        F.col("ts_us") + F.expr("user_id DIV 10000000") * 2678400000000L)
+      val sessions = Temporal.sessionize(shifted, "user_id", "ts_us",
+          gapTicks = 1800L * 1000000L, tieBreak = "event_id")
+        .select(F.col("session_start"), F.col("session_end"))
+      Temporal.intervalJoin(shifted.select("event_id", "ts_us"), "ts_us",
+          sessions, "session_start", "session_end",
+          bucketTicks = 3600L * 1000000L)
+        .groupBy("event_id").agg(F.count(F.lit(1)).as("n_active"))
+    },
     "sessionize (q58)" -> (ev =>
       Temporal.sessionize(ev, "user_id", "ts_us",
         gapTicks = 1800L * 1000000L, tieBreak = "event_id")),

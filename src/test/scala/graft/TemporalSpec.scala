@@ -164,6 +164,38 @@ class TemporalSpec extends AnyFunSuite {
     assert(clean == "regular text with numbers 42 and 7")
   }
 
+  test("intervalJoin: bucket-exploded equi-join matches brute force, pairs meet exactly once, no nested-loop plan") {
+    val points = Seq((1L, 3L), (2L, 7L), (3L, 15L), (4L, 20L), (5L, 21L))
+      .toDF("pid", "t")
+    // [0,10] and [5,20] overlap; [5,20] straddles bucket boundaries at 4
+    val ivs = Seq((10L, 0L, 10L), (20L, 5L, 20L)).toDF("iid", "s", "e")
+    val got = Temporal.intervalJoin(points, "t", ivs, "s", "e", bucketTicks = 4L)
+      .select("pid", "iid").as[(Long, Long)].collect().toSeq
+    // brute force: t=3 -> [0,10]; t=7 -> both; t=15 -> [5,20];
+    // t=20 -> [5,20] (END-INCLUSIVE); t=21 -> none. Seq (not Set):
+    // duplicates from an interval covering several buckets would show
+    val brute = Set((1L, 10L), (2L, 10L), (2L, 20L), (3L, 20L), (4L, 20L))
+    assert(got.toSet == brute && got.size == brute.size)
+    // bucket granularity never changes the answer (coarser than every
+    // interval, finer than every gap)
+    Seq(1L, 7L, 100L).foreach { b =>
+      val g = Temporal.intervalJoin(points, "t", ivs, "s", "e", bucketTicks = b)
+        .select("pid", "iid").as[(Long, Long)].collect()
+      assert(g.toSet == brute && g.length == brute.size, s"bucket $b")
+    }
+    // degenerate single-instant interval [9, 9]
+    val inst = Temporal.intervalJoin(Seq((9L, 9L)).toDF("pid", "t"), "t",
+      Seq((1L, 9L, 9L)).toDF("iid", "s", "e"), "s", "e", bucketTicks = 4L)
+    assert(inst.count() == 1L)
+    // the plan is a KEYED join on the bucket — a raw BETWEEN condition
+    // would force BroadcastNestedLoop, which is exactly what this
+    // spelling exists to avoid on fact-to-fact inputs
+    val plan = Temporal.intervalJoin(points, "t", ivs, "s", "e", 4L)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("Cartesian"),
+      s"nested-loop leaked into the interval join:\n$plan")
+  }
+
   test("redactPiiReport: per-category span counts + checksum of the actual redacted text") {
     def md5hex(s: String): String =
       java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
