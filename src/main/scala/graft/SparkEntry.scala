@@ -1475,6 +1475,15 @@ object SparkEntry {
         .orderBy("sig")
     }),
 
+    "q178_embedding_robust_stats" -> ((s, dir) =>
+      // rank-based complement of q176's moment tier: per-dimension median
+      // and MAD in doubled/quadrupled ppm (even-integer scaling makes the
+      // exact-percentile midpoint interpolation integral, so the face is
+      // all-BIGINT and cell-exact)
+      functions.Similarity.dimensionRobustStats(
+          table(s, dir, "embeddings"), "embedding")
+        .orderBy("pos")),
+
     "q177_interval_join" -> ((s, dir) => {
       // concurrency analysis: for every event, how many user sessions
       // (q58's 30-min-gap sessionization, any user) were active at its
@@ -3254,6 +3263,23 @@ object SparkEntry {
          SELECT sig, CAST(count(*) AS BIGINT) AS n_copies,
            CAST(min(doc_id) AS BIGINT) AS canonical_id
          FROM allsg GROUP BY 1 HAVING count(*) >= 2 ORDER BY 1""",
+    "q178_embedding_robust_stats" ->
+      // doubled-ppm components keep quantile_cont's midpoint integral
+      // (even ints), deviations double again for the MAD percentile —
+      // Spark percentile == DuckDB quantile_cont bit-exact on integers
+      """WITH q AS (SELECT vec_id,
+               list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT) * 2) AS q2
+             FROM embeddings WHERE embedding IS NOT NULL),
+         c AS (SELECT i - 1 AS pos, q2[i] AS q2
+               FROM (SELECT vec_id, q2, unnest(generate_series(1, len(q2))) AS i FROM q)),
+         m AS (SELECT pos, CAST(count(*) AS BIGINT) AS n,
+                 CAST(quantile_cont(q2, 0.5) AS BIGINT) AS med_ppm2
+               FROM c GROUP BY 1),
+         d AS (SELECT c.pos, m.n, m.med_ppm2, abs(c.q2 - m.med_ppm2) * 2 AS dev4
+               FROM c JOIN m USING (pos))
+         SELECT CAST(pos AS BIGINT) AS pos, n, med_ppm2,
+           CAST(quantile_cont(dev4, 0.5) AS BIGINT) AS mad_ppm4
+         FROM d GROUP BY 1, 2, 3 ORDER BY 1""",
     "q177_interval_join" ->
       // q58's session bounds, then a plain BETWEEN range join (DuckDB's
       // IEJoin plans it directly; the Spark side's bucket explode is the

@@ -384,6 +384,41 @@ object Similarity {
         F.sum("qi").as("sum_i"),
         F.sum("qj").as("sum_j"))
 
+  /** Per-dimension ROBUST location/scale of an embedding column — median
+    * and MAD (median absolute deviation), the outlier-insensitive
+    * standardization prep that complements [[coMomentMatrix]]'s moment
+    * tier (a handful of corrupt vectors move a mean/variance arbitrarily
+    * far; they move rank statistics by one rank). All-integer outputs
+    * for cell-exact cross-engine parity: components scale to DOUBLED ppm
+    * (`q2 = 2·round(x·1e6)` — even integers, so the n-even midpoint
+    * interpolation of the exact percentile is itself an integer), and
+    * deviations double again before the MAD percentile for the same
+    * reason. Output per dimension: `n`, `med_ppm2` (= 2·median in ppm),
+    * `mad_ppm4` (= 4·MAD in ppm) — divide by 2e6/4e6 downstream.
+    *
+    * Scale shape: one explode in the scan stage, two percentile
+    * aggregations keyed by dimension (d groups — corpus-size-free
+    * output) with the d-row median table broadcast back between them.
+    * Exact percentiles hold each dimension's values in the aggregation
+    * buffer (n·8 bytes per dimension-partition); at true 100 TB scale
+    * swap the inner percentile for a fixed-width histogram sketch —
+    * the rank arithmetic is unchanged. */
+  def dimensionRobustStats(df: DataFrame, embCol: String): DataFrame = {
+    val comps = df.where(F.col(embCol).isNotNull)
+      .select(F.posexplode(F.col(embCol)).as(Seq("pos", "v")))
+      .select(F.col("pos").cast("long").as("pos"),
+        (F.round(F.col("v").cast("double") * F.lit(1e6)).cast("long") * 2L)
+          .as("q2"))
+    val med = comps.groupBy("pos")
+      .agg(F.count(F.lit(1)).as("n"),
+        F.percentile(F.col("q2"), F.lit(0.5)).cast("long").as("med_ppm2"))
+    comps.join(F.broadcast(med), "pos")
+      .select(F.col("pos"), F.col("n"), F.col("med_ppm2"),
+        (F.abs(F.col("q2") - F.col("med_ppm2")) * 2L).as("__dev4"))
+      .groupBy("pos", "n", "med_ppm2")
+      .agg(F.percentile(F.col("__dev4"), F.lit(0.5)).cast("long").as("mad_ppm4"))
+  }
+
   /** Int8 quantization of an embedding column — the storage-shrink step a
     * 100 TB vector corpus runs before indexing (4× smaller payloads,
     * integer-SIMD dot products). Per-vector symmetric scale `127 / max|x|`;

@@ -419,6 +419,12 @@ object ScaleDrill {
     // corpus-size-free and the scan work row-linear (d is fixed)
     "embedding_moments (q176)" -> (emb =>
       Similarity.coMomentMatrix(emb, "embedding")),
+    // explode + two exact-percentile aggregations keyed on the d
+    // dimensions (output corpus-size-free); the percentile buffers hold
+    // each dimension's n values — the documented swap-for-histogram
+    // point past memory scale, with the curve below pinning row-linearity
+    "embedding_robust_stats (q178)" -> (emb =>
+      Similarity.dimensionRobustStats(emb, "embedding")),
     "semdedup (q124)" -> { emb =>
       val cents = emb.where(F.pmod(F.col("vec_id"), F.lit(10000000L)) < 16)
         .select(F.col("vec_id").as("cid"), F.col("embedding").as("cv"))

@@ -410,6 +410,27 @@ class ScaleSpec extends AnyFunSuite {
     assert(!plan.contains("ObjectHashAggregate"), s"object buffer leaked:\n$plan")
   }
 
+  test("dimensionRobustStats: hand-computed median/MAD, outlier insensitivity vs the moment tier") {
+    import graft.functions.Similarity
+    // dim 0 values: 0.1, 0.2, 0.3, 100.0 (a corrupt vector) ->
+    // q2 = 2e5, 4e5, 6e5, 2e8; median(q2) = (4e5+6e5)/2 = 5e5 (even-int
+    // midpoint, exact); deviations*2 |q2-med|*2 = 6e5, 2e5, 2e5, 3.99e8
+    // -> MAD4 = (2e5+6e5)/2 = 4e5
+    val emb = Seq(
+      (1L, Array(0.1f, 1.0f)), (2L, Array(0.2f, 1.0f)),
+      (3L, Array(0.3f, 1.0f)), (4L, Array(100.0f, 1.0f)))
+      .toDF("vec_id", "embedding")
+    val out = Similarity.dimensionRobustStats(emb, "embedding")
+      .orderBy("pos").as[(Long, Long, Long, Long)].collect()
+    assert(out(0) == (0L, 4L, 500000L, 400000L))
+    // constant dimension: median = value, MAD = 0
+    assert(out(1) == (1L, 4L, 2000000L, 0L))
+    // the robust location barely moved off the clean median (0.25 ppm2
+    // scale = 5e5) while the MEAN was dragged to ~25.15 — the reason
+    // this face complements q176's moments
+    assert(out(0)._3 / 2e6 == 0.25)
+  }
+
   test("meanVector: single hot group stays an O(1)-buffer hash aggregate and matches brute force") {
     import graft.functions.Similarity
     // adversarial shape from VERDICT r7 #3: EVERY vector in one group, so a

@@ -196,6 +196,33 @@ class TemporalSpec extends AnyFunSuite {
       s"nested-loop leaked into the interval join:\n$plan")
   }
 
+  test("intervalJoin property: seeded random intervals/points match brute force at any bucket size") {
+    val rnd = new scala.util.Random(97)
+    (1 to 6).foreach { trial =>
+      val nP = 30 + rnd.nextInt(40)
+      val nI = 10 + rnd.nextInt(20)
+      // negative domain included: bucket ids come from truncating DIV,
+      // which is monotone — the property pins that the spelling survives
+      // the negative range where floor and trunc diverge
+      val pts = (1 to nP).map(i => (i.toLong, rnd.between(-50L, 150L)))
+      val ivs = (1 to nI).map { i =>
+        val a = rnd.between(-60L, 140L)
+        (i.toLong, a, a + rnd.nextInt(30).toLong)
+      }
+      val brute = (for {
+        (p, t) <- pts
+        (iid, s, e) <- ivs if t >= s && t <= e
+      } yield (p, iid)).toSet
+      Seq(1L, 7L, 64L).foreach { b =>
+        val got = Temporal.intervalJoin(pts.toDF("pid", "t"), "t",
+            ivs.toDF("iid", "s", "e"), "s", "e", bucketTicks = b)
+          .select("pid", "iid").as[(Long, Long)].collect()
+        assert(got.toSet == brute && got.length == brute.size,
+          s"trial $trial bucket $b: got ${got.length}, want ${brute.size}")
+      }
+    }
+  }
+
   test("redactPiiReport: per-category span counts + checksum of the actual redacted text") {
     def md5hex(s: String): String =
       java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
