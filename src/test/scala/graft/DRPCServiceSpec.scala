@@ -25,14 +25,21 @@ class DRPCServiceSpec extends AnyFunSuite {
         F.length(F.lit(args)).cast("long").as("len"))
     })
     drpc.register("slow", { args =>
-      Thread.sleep(3000L)
+      // sleeps far past every test's request timeout (2.5 s): the timeout
+      // sweeper must fire first with wide margin even on a loaded VM; the
+      // worker thread holding this sleep is a daemon, so stop() never
+      // waits on it
+      Thread.sleep(10000L)
       spark.range(1).select(F.lit(args).as("args"))
     })
     drpc
   }
 
   test("two concurrent requests are isolated; a slow one times out") {
-    val svc = new DRPCService(newDrpc(), requestTimeoutMs = 800L).start(workers = 3)
+    // 2.5 s timeout: >> a warm wordlen collect (~50 ms) even under CPU
+    // contention, << the slow handler's 10 s sleep — load-independent in
+    // both directions (the r9 flake-hardening pass)
+    val svc = new DRPCService(newDrpc(), requestTimeoutMs = 2500L).start(workers = 3)
     try {
       import scala.concurrent.{Await, Future}
       import scala.concurrent.duration._
@@ -128,7 +135,7 @@ class DRPCServiceSpec extends AnyFunSuite {
   }
 
   test("HTTP face: 200 on success, 404 unknown, 408 timeout") {
-    val svc = new DRPCService(newDrpc(), requestTimeoutMs = 800L).start(workers = 2)
+    val svc = new DRPCService(newDrpc(), requestTimeoutMs = 2500L).start(workers = 2)
     val port = svc.startHttp()
     def post(fn: String, body: String): (Int, String) = {
       val conn = new java.net.URL(s"http://127.0.0.1:$port/drpc/$fn")
