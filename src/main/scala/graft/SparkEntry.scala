@@ -1475,6 +1475,17 @@ object SparkEntry {
         .orderBy("sig")
     }),
 
+    "q179_principal_direction" -> ((s, dir) =>
+      // the eigensolve step downstream of q176's moments: top principal
+      // direction of the embedding covariance by 12 pinned power
+      // iterations in all-integer arithmetic (sign·abs-DIV normalization
+      // to ±1e6 per iterate) — corpus-sized work is the moment
+      // accumulation; the d×d iteration is a bounded driver loop, and
+      // the oracle replays the identical recurrence as a recursive CTE
+      functions.Similarity.principalDirection(
+          table(s, dir, "embeddings"), "embedding", iters = 12)
+        .orderBy("dim")),
+
     "q178_embedding_robust_stats" -> ((s, dir) =>
       // rank-based complement of q176's moment tier: per-dimension median
       // and MAD in doubled/quadrupled ppm (even-integer scaling makes the
@@ -3263,6 +3274,41 @@ object SparkEntry {
          SELECT sig, CAST(count(*) AS BIGINT) AS n_copies,
            CAST(min(doc_id) AS BIGINT) AS canonical_id
          FROM allsg GROUP BY 1 HAVING count(*) >= 2 ORDER BY 1""",
+    "q179_principal_direction" ->
+      // same recurrence, recursive-CTE form: Gram entries are
+      // sign·(|n·sp − si·sj| // n²) in HUGEINT (the only signed-division
+      // form both engines share), each iterate renormalizes to ±1e6 by
+      // sign·(|w|·1e6 // max|w|); 12 iterations from the all-ones start
+      """WITH RECURSIVE
+         q AS (SELECT vec_id, list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS q
+               FROM embeddings WHERE embedding IS NOT NULL),
+         u AS (SELECT vec_id, i - 1 AS i, q[i] AS qi
+               FROM (SELECT vec_id, q, unnest(generate_series(1, len(q))) AS i FROM q)),
+         mom AS (SELECT a.i AS i, b.i AS j, count(*) AS n, sum(a.qi*b.qi) AS sp, sum(a.qi) AS si, sum(b.qi) AS sj
+                 FROM u a JOIN u b ON a.vec_id = b.vec_id GROUP BY 1, 2),
+         g AS (SELECT i, j,
+                 CASE WHEN n*sp - si*sj >= 0 THEN 1 ELSE -1 END *
+                   (abs(CAST(n AS HUGEINT)*sp - CAST(si AS HUGEINT)*sj) // (CAST(n AS HUGEINT)*n)) AS gij
+               FROM mom),
+         it AS (
+           SELECT 0 AS iter,
+             list_transform(generate_series(1, (SELECT CAST(max(i) + 1 AS BIGINT) FROM g)),
+               x -> 1000000::HUGEINT) AS v
+           UNION ALL
+           SELECT s.iter + 1, b.newv
+           FROM it s
+           CROSS JOIN LATERAL (
+             SELECT list(CASE WHEN m = 0 THEN s.v[i + 1]
+                              ELSE (CASE WHEN w >= 0 THEN 1 ELSE -1 END) * ((abs(w) * 1000000) // m) END
+                         ORDER BY i) AS newv
+             FROM (SELECT i, w, max(abs(w)) OVER () AS m
+                   FROM (SELECT g.i AS i, sum(g.gij * s.v[g.j + 1]) AS w FROM g GROUP BY 1))
+           ) b
+           WHERE s.iter < 12
+         )
+         SELECT CAST(dim - 1 AS BIGINT) AS dim, CAST(v[dim] AS BIGINT) AS v_ppm
+         FROM (SELECT v, unnest(generate_series(1, len(v))) AS dim FROM it WHERE iter = 12)
+         ORDER BY 1""",
     "q178_embedding_robust_stats" ->
       // doubled-ppm components keep quantile_cont's midpoint integral
       // (even ints), deviations double again for the MAD percentile —

@@ -384,6 +384,65 @@ object Similarity {
         F.sum("qi").as("sum_i"),
         F.sum("qj").as("sum_j"))
 
+  /** Top principal direction of the embedding covariance — fixed-K power
+    * iteration over [[coMomentMatrix]]'s integer sufficient statistics,
+    * the eigensolve step of whitening/PCA prep (what a 100 TB corpus runs
+    * before decorrelating or compressing its vectors). ALL-INTEGER so the
+    * result is cell-exact in any engine: the covariance numerator
+    * `C = n·sum_prod − sum_i·sum_j` stays un-divided (BigInt), the Gram
+    * entry is `sign(C)·(|C| / n²)` (sign·abs-division — truncating and
+    * flooring division agree on non-negatives, the only form Spark `DIV`
+    * and DuckDB `//` share for signed values), and each iterate
+    * re-normalizes to ±1e6 by `sign(w)·(|w|·1e6 / max|w|)`. K iterations
+    * from the fixed all-ones start are pinned — convergence is a property
+    * of the data, determinism is a property of the algorithm, and the
+    * oracle replays the identical recurrence (recursive CTE).
+    *
+    * Scale shape: the corpus-sized work is [[coMomentMatrix]] (pair
+    * generation in the scan stage, O(d²) corpus-size-free shuffle); the
+    * d×d eigensolve itself is O(K·d²) integer ops on the driver over the
+    * collected d(d+1)/2 moment rows — a bounded collect of the same class
+    * as the BPE vocab table (d ≤ a few thousand by embedding-model
+    * construction, 64 here). At 100 TB the moments accumulate
+    * per-partition and merge; the eigensolve cost never changes. */
+  def principalDirection(df: DataFrame, embCol: String,
+                         iters: Int = 12): DataFrame = {
+    require(iters >= 1, s"iters must be >= 1, got $iters")
+    val spark = df.sparkSession
+    val moments = coMomentMatrix(df, embCol)
+      .select("i", "j", "n", "sum_prod", "sum_i", "sum_j").collect()
+    require(moments.nonEmpty, "principalDirection: empty embedding corpus")
+    val d = moments.iterator.map(_.getLong(1)).max.toInt + 1
+    val gram = Array.ofDim[BigInt](d, d)
+    moments.foreach { r =>
+      val (i, j) = (r.getLong(0).toInt, r.getLong(1).toInt)
+      val n = BigInt(r.getLong(2))
+      val c = n * BigInt(r.getLong(3)) -
+        BigInt(r.getLong(4)) * BigInt(r.getLong(5))
+      val g = c.signum * (c.abs / (n * n))
+      gram(i)(j) = g; gram(j)(i) = g
+    }
+    var v = Array.fill[BigInt](d)(BigInt(1000000))
+    var it = 0
+    var live = true
+    while (it < iters && live) {
+      val w = Array.tabulate(d) { i =>
+        var acc = BigInt(0)
+        var j = 0
+        while (j < d) { acc += gram(i)(j) * v(j); j += 1 }
+        acc
+      }
+      val m = w.iterator.map(_.abs).max
+      if (m.signum == 0) live = false
+      else v = w.map(x => x.signum * (x.abs * 1000000 / m))
+      it += 1
+    }
+    import spark.implicits._
+    v.toSeq.zipWithIndex
+      .map { case (x, i) => (i.toLong, x.toLong) }
+      .toDF("dim", "v_ppm")
+  }
+
   /** Per-dimension ROBUST location/scale of an embedding column — median
     * and MAD (median absolute deviation), the outlier-insensitive
     * standardization prep that complements [[coMomentMatrix]]'s moment

@@ -431,6 +431,48 @@ class ScaleSpec extends AnyFunSuite {
     assert(out(0)._3 / 2e6 == 0.25)
   }
 
+  test("principalDirection: diagonal case exact, rank-1 axis recovery, translation/duplication invariance") {
+    import graft.functions.Similarity
+    // diagonal covariance diag(0.16, 0.01): gram = (1.6e11, 1e10), ratio
+    // exactly 16, so the off-axis iterate floors 1e6 -> 62500 -> 3906 ->
+    // 244 -> 15 -> 0 and the result is EXACTLY the dominant basis vector
+    val diag = Seq(
+      (1L, Array(0.4f, 0.1f)), (2L, Array(-0.4f, 0.1f)),
+      (3L, Array(0.4f, -0.1f)), (4L, Array(-0.4f, -0.1f)))
+      .toDF("vec_id", "embedding")
+    val dOut = Similarity.principalDirection(diag, "embedding")
+      .orderBy("dim").as[(Long, Long)].collect()
+    assert(dOut.toSeq == Seq((0L, 1000000L), (1L, 0L)))
+    // rank-1 corpus t·(0.1, 0.2, 0.3): the single eigen-direction is the
+    // axis itself, normalized to max-component 1e6 (ratios 1:2:3 up to
+    // the per-iterate integer floor)
+    val ts = Seq(1.0f, -1.0f, 0.5f, -0.25f)
+    val base = ts.zipWithIndex.map { case (t, i) =>
+      (i.toLong, Array(0.1f * t, 0.2f * t, 0.3f * t)) }
+    val emb = base.toDF("vec_id", "embedding")
+    val v = Similarity.principalDirection(emb, "embedding")
+      .orderBy("dim").as[(Long, Long)].collect().map(_._2)
+    assert(v(2) == 1000000L, s"dominant axis not normalized: ${v.toSeq}")
+    assert(math.abs(v(1) - 666667L) <= 3 && math.abs(v(0) - 333333L) <= 3,
+      s"axis ratios off: ${v.toSeq}")
+    // translation invariance — the covariance numerator n·sp − si·sj
+    // cancels a uniform +0.05 shift EXACTLY (integer ppm offsets are
+    // additive constants), so the direction is bit-identical
+    val shifted = base.map { case (id, a) => (id, a.map(_ + 0.05f)) }
+      .toDF("vec_id", "embedding")
+    val vShift = Similarity.principalDirection(shifted, "embedding")
+      .orderBy("dim").as[(Long, Long)].collect().map(_._2)
+    assert(vShift.toSeq == v.toSeq)
+    // duplication invariance — doubling the corpus scales C and n² by
+    // the same 4x, so the gram (and every iterate) is bit-identical:
+    // the slice-merge property in eigensolve form
+    val doubled = emb.unionByName(
+      base.map { case (id, a) => (id + 100L, a) }.toDF("vec_id", "embedding"))
+    val vDup = Similarity.principalDirection(doubled, "embedding")
+      .orderBy("dim").as[(Long, Long)].collect().map(_._2)
+    assert(vDup.toSeq == v.toSeq)
+  }
+
   test("meanVector: single hot group stays an O(1)-buffer hash aggregate and matches brute force") {
     import graft.functions.Similarity
     // adversarial shape from VERDICT r7 #3: EVERY vector in one group, so a
