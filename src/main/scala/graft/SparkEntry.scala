@@ -1475,6 +1475,17 @@ object SparkEntry {
         .orderBy("sig")
     }),
 
+    "q181_kmv_shard_merge" -> ((s, dir) =>
+      // the sketch-merge identity as a judged face: per-shard KMV
+      // sketches (shard = event_id % 8 — the same user lands in MANY
+      // shards, so the merge's union→distinct→re-TopK is genuinely
+      // exercised) merged to a global estimate; the oracle computes the
+      // single-pass global sketch directly, and the cell-exact match
+      // proves the 100 TB accumulate-then-combine path lossless
+      functions.Scale.kmvDistinctSharded(events(s, dir), "event_type",
+          "user_id", F.col("event_id") % 8, k = 48)
+        .orderBy("event_type")),
+
     "q179_principal_direction" -> ((s, dir) =>
       // the eigensolve step downstream of q176's moments: top principal
       // direction of the embedding covariance by 12 pinned power
@@ -3274,6 +3285,20 @@ object SparkEntry {
          SELECT sig, CAST(count(*) AS BIGINT) AS n_copies,
            CAST(min(doc_id) AS BIGINT) AS canonical_id
          FROM allsg GROUP BY 1 HAVING count(*) >= 2 ORDER BY 1""",
+    "q181_kmv_shard_merge" ->
+      // the oracle is the DIRECT global sketch (q173's shape at k=48):
+      // per-shard k-minima merged == global k-minima, bit-for-bit
+      """WITH h AS (SELECT DISTINCT event_type, md5(CAST(user_id AS VARCHAR)) AS h FROM events),
+         r AS (SELECT event_type, h, row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn FROM h),
+         s AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_min, max(h) AS kth
+               FROM r WHERE rn <= 48 GROUP BY 1)
+         SELECT event_type, n_min,
+           CAST(('0x' || substr(kth, 1, 15))::BIGINT AS BIGINT) AS kth_60,
+           CAST(CASE WHEN n_min < 48 THEN n_min
+                     ELSE least(47::HUGEINT * 1152921504606846976 //
+                                greatest(('0x' || substr(kth, 1, 15))::BIGINT, 1),
+                                4611686018427387904::HUGEINT) END AS BIGINT) AS est
+         FROM s ORDER BY 1""",
     "q179_principal_direction" ->
       // same recurrence, recursive-CTE form: Gram entries are
       // sign·(|n·sp − si·sj| // n²) in HUGEINT (the only signed-division

@@ -351,6 +351,30 @@ class ScaleSpec extends AnyFunSuite {
     assert(est > 16000L && est < 24000L, s"KMV estimate $est for 20000 distinct")
   }
 
+  test("kmvDistinctSharded: merged sketch is bit-identical to the direct global sketch") {
+    import graft.functions.Scale
+    // values deliberately SPAN shards (shard = a value-independent tag),
+    // so the same value's hash survives in several per-shard sketches
+    // and the merge's union->distinct->re-TopK is genuinely exercised
+    val rows = (1 to 500).flatMap { i =>
+      val g = if (i % 3 == 0) "a" else "b"
+      (0 until (i % 4) + 1).map(rep => (g, s"u${i % 120}", (i + rep).toLong))
+    }
+    val df = rows.toDF("g", "v", "tag")
+    val direct = Scale.kmvDistinct(df, "g", "v", k = 16)
+      .orderBy("g").as[(String, Long, Long, Long)].collect().toSeq
+    for (nShards <- Seq(2, 7, 32)) {
+      val merged = Scale.kmvDistinctSharded(df, "g", "v",
+          F.col("tag") % nShards, k = 16)
+        .orderBy("g").as[(String, Long, Long, Long)].collect().toSeq
+      assert(merged == direct, s"shard split $nShards diverged from direct")
+    }
+    // degenerate: one shard = the direct form trivially
+    val one = Scale.kmvDistinctSharded(df, "g", "v", F.lit(0), k = 16)
+      .orderBy("g").as[(String, Long, Long, Long)].collect().toSeq
+    assert(one == direct)
+  }
+
   test("HLL approx distinct (approx_count_distinct) sits within its 15% error bound") {
     // the spec home of the retired Verify q76 estimate-bound guard: HLL
     // register contents are engine-internal (which is why the JUDGED
