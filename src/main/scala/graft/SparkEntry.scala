@@ -1475,6 +1475,24 @@ object SparkEntry {
         .orderBy("sig")
     }),
 
+    "q180_spectral_fingerprint" -> ((s, dir) =>
+      // the spectral (Goertzel) perceptual tier's oracled face: 8
+      // fixed-point band powers over the stub codec's byte samples,
+      // normalized to monotone 0..255 cells — the DuckDB oracle replays
+      // the per-sample Q2.14 recurrence exactly (packed-scalar fold;
+      // truncating division is the only form both engines share). ASCII
+      // filter = the q171 byte==char discipline; % 4 bounds the oracle's
+      // interpreted per-sample replay, not the Spark side
+      functions.Multimodal.spectralCells(
+          table(s, dir, "documents")
+            .where(F.length(F.col("text")) > 0 &&
+              F.expr("length(text) = octet_length(text)") &&
+              F.col("doc_id") % 4 === 0)
+            .select(F.col("doc_id"),
+              functions.Multimodal.fakePayload(F.col("text")).as("payload")),
+          "doc_id", "payload")
+        .orderBy("doc_id", "band")),
+
     "q181_kmv_shard_merge" -> ((s, dir) =>
       // the sketch-merge identity as a judged face: per-shard KMV
       // sketches (shard = event_id % 8 — the same user lands in MANY
@@ -3285,6 +3303,34 @@ object SparkEntry {
          SELECT sig, CAST(count(*) AS BIGINT) AS n_copies,
            CAST(min(doc_id) AS BIGINT) AS canonical_id
          FROM allsg GROUP BY 1 HAVING count(*) >= 2 ORDER BY 1""",
+    "q180_spectral_fingerprint" ->
+      // replays the fixed-point Goertzel per byte-sample: the (s1, s2)
+      // resonator state packs into ONE BIGINT ((s1+2^24)·2^25 + s2+2^24 —
+      // a struct accumulator mis-binds acc fields in list_reduce
+      // lambdas), coefficients are pinned integer literals (round of
+      // 2·cos·2^14, same on any libm for these 8), and // truncates
+      // exactly like the Scala side's Long division
+      """WITH d AS (SELECT doc_id, substr(text, 1, 192) AS t FROM documents
+               WHERE length(text) > 0 AND length(text) = strlen(text) AND doc_id % 4 = 0),
+         s AS (SELECT doc_id, list_prepend(CAST(16777216::BIGINT * 33554432 + 16777216 AS BIGINT),
+                 list_transform(generate_series(1, length(t)),
+                   i -> CAST((unicode(t[i]) - 128) * 256 AS BIGINT))) AS xs
+               FROM d),
+         p AS (SELECT doc_id, b.band AS band, b.c AS c,
+                 list_reduce(s.xs, (acc, x) ->
+                   (x + (b.c * (acc // 33554432 - 16777216)) // 16384 - (acc % 33554432 - 16777216) + 16777216) * 33554432
+                   + (acc // 33554432 - 16777216) + 16777216) AS fin
+               FROM s CROSS JOIN (VALUES (0, 30792),(1, 25102),(2, 16384),(3, 5690),
+                 (4, -5690),(5, -16384),(6, -25102),(7, -30792)) AS b(band, c)),
+         pw AS (SELECT doc_id, band,
+                  greatest(0, (fin // 33554432 - 16777216) * (fin // 33554432 - 16777216)
+                            + (fin % 33554432 - 16777216) * (fin % 33554432 - 16777216)
+                            - ((c * (fin // 33554432 - 16777216)) // 16384) * (fin % 33554432 - 16777216)) AS power
+                FROM p),
+         mx AS (SELECT doc_id, max(power) AS mp FROM pw GROUP BY 1)
+         SELECT CAST(pw.doc_id AS BIGINT) AS doc_id, CAST(band AS BIGINT) AS band,
+                CAST(power // (mx.mp // 255 + 1) AS BIGINT) AS cell
+         FROM pw JOIN mx ON pw.doc_id = mx.doc_id ORDER BY 1, 2""",
     "q181_kmv_shard_merge" ->
       // the oracle is the DIRECT global sketch (q173's shape at k=48):
       // per-shard k-minima merged == global k-minima, bit-for-bit

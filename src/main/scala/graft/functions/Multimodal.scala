@@ -179,6 +179,67 @@ object Multimodal {
       * perceptual fingerprints are chromaprint-shaped, not aHash-shaped).
       * Cells that map to no pixel (source smaller than the grid) are 0. */
     def lumaGrid(bytes: Array[Byte], grid: Int): Option[Array[Int]] = None
+    /** `cells` spectral band powers scaled to 0..255 by a MONOTONE
+      * per-payload normalization (order between bands is the signal; a
+      * gradient hash over this grid is gain-invariant) — the
+      * frequency-domain fingerprint for modalities where the time/space
+      * grid confuses layout with content (audio: a time-shifted clip has
+      * a different energy envelope but the same spectrum). None when the
+      * codec has no spectral story (images, undecodable bytes). */
+    def spectralGrid(bytes: Array[Byte], cells: Int): Option[Array[Int]] = None
+  }
+
+  /** Fixed-point Goertzel band powers over an integer sample stream —
+    * the shared core of the codecs' [[MediaCodec.spectralGrid]]s. Band k
+    * resonates at normalized frequency `(k+1)/(2·(bands+1))`, coefficient
+    * `round(2·cos(2πf)·2¹⁴)` (Q2.14), recurrence
+    * `s₀ = x + c·s₁/2¹⁴ − s₂` with TRUNCATING division (Scala `/` ==
+    * DuckDB `//` == Spark `DIV` on the same operands — an arithmetic
+    * shift floors instead, and the two round differently on negative
+    * products; the oracle replays this recurrence, so the division must
+    * be the one both engines share). Power = `s₁² + s₂² − (c·s₁/2¹⁴)·s₂`,
+    * clamped at 0 against truncation undershoot. Caller bounds `n` so
+    * `|s| ≤ amp·n` keeps every product far from Long overflow. */
+  private[functions] def goertzelPowers(sample: Int => Int, n: Int,
+      bands: Int): Array[Long] =
+    Array.tabulate(bands) { k =>
+      val f = (k + 1).toDouble / (2.0 * (bands + 1))
+      val c = math.round(2.0 * math.cos(2.0 * math.Pi * f) * 16384.0)
+      var s1 = 0L
+      var s2 = 0L
+      var i = 0
+      while (i < n) {
+        val s0 = sample(i) + (c * s1) / 16384L - s2
+        s2 = s1
+        s1 = s0
+        i += 1
+      }
+      math.max(0L, s1 * s1 + s2 * s2 - ((c * s1) / 16384L) * s2)
+    }
+
+  /** Band powers → 0..255 grid cells by integer division with a fixed
+    * per-payload divisor (`max/255 + 1`) — MONOTONE, so the gradient
+    * hash over the cells only sees band ORDER (the gain-invariant
+    * signal), and exactly replayable by the oracle. */
+  private[functions] def spectralCellsOf(powers: Array[Long]): Array[Int] = {
+    val div = powers.max / 255L + 1L
+    powers.map(p => (p / div).toInt)
+  }
+
+  /** View of a codec whose luma grid IS its spectral grid — plugs the
+    * frequency-domain fingerprint into every `lumaGrid` consumer
+    * ([[perceptualHashes]], [[perceptualDupGroups]],
+    * [[perceptualNearPairs]], the streaming dedup faces) without a
+    * second SPI: `spectralView(WavCodec)` with
+    * [[PerceptualHash.Difference]] is the gain- and time-shift-robust
+    * audio tier. */
+  def spectralView(codec: MediaCodec): MediaCodec = new MediaCodec {
+    override def name: String = codec.name + "_spectral"
+    override def init(): Unit = codec.init()
+    override def decode(bytes: Array[Byte], featDim: Int): Option[Row] =
+      codec.decode(bytes, featDim)
+    override def lumaGrid(bytes: Array[Byte], grid: Int): Option[Array[Int]] =
+      codec.spectralGrid(bytes, grid * grid)
   }
 
   /** REAL image codec on the JVM's built-in ImageIO (PNG/JPEG/GIF/BMP —
@@ -268,6 +329,20 @@ object Multimodal {
     private final case class Pcm(data: Array[Byte], frameSize: Int, bits: Int,
         signed8: Boolean, bigEndian: Boolean, channels: Int, rate: Int) {
       def nFrames: Int = if (frameSize > 0) data.length / frameSize else 0
+      /** Channel-0 SIGNED integer sample of frame i, normalized to the
+        * 16-bit range [-32768, 32767] (8-bit widths shift up by 8) —
+        * the fixed-point Goertzel input. Container-invariant like
+        * [[amp]]: byte order and 8-bit signedness normalize away. */
+      def intSample(i: Int): Int = {
+        val off = i * frameSize
+        if (bits == 8) {
+          if (signed8) data(off).toInt << 8
+          else ((data(off) & 0xff) - 128) << 8
+        } else {
+          val (lo, hi) = if (bigEndian) (off + 1, off) else (off, off + 1)
+          (data(hi) << 8 | (data(lo) & 0xff)).toShort.toInt
+        }
+      }
       /** Channel-0 normalized |amplitude| of frame i, in [0, 1]. */
       def amp(i: Int): Double = {
         val off = i * frameSize // channel 0 sample starts the frame
@@ -357,6 +432,27 @@ object Multimodal {
           Some(Array.tabulate(cells)(c =>
             if (cnts(c) == 0) 0 else (sums(c) / cnts(c)).toInt))
         }
+      }
+
+    /** SPECTRAL fingerprint grid: [[goertzelPowers]] over the channel-0
+      * integer samples — all-integer, so the same PCM yields the same
+      * grid on any JVM. Powers normalize via [[spectralCellsOf]]
+      * (monotone), which makes a [[PerceptualHash.Difference]] gradient
+      * over this grid invariant to uniform GAIN (every band power scales
+      * together) and robust to TIME SHIFT (a circularly shifted clip has
+      * the same global spectral content, while its energy ENVELOPE — the
+      * [[lumaGrid]] tier — rearranges; spec-proven both ways). Analysis
+      * window = first 8192 frames: bounds resonator magnitude (|s| ≤
+      * amp·window < 2³⁰, so powers stay far from Long overflow) and makes
+      * the fingerprint O(1) per clip regardless of duration — the same
+      * bounded-work discipline as the envelope cells. A true chromaprint
+      * adds octave folding and frame alignment; this is the deterministic
+      * zero-dependency spectral tier behind the same SPI. */
+    override def spectralGrid(bytes: Array[Byte], cells: Int): Option[Array[Int]] =
+      readPcm(bytes).flatMap { pcm =>
+        val n = math.min(pcm.nFrames, 8192)
+        if (n == 0 || cells <= 0) None
+        else Some(spectralCellsOf(goertzelPowers(pcm.intSample, n, cells)))
       }
   }
 
@@ -531,6 +627,20 @@ object Multimodal {
       }
       Some(Array.tabulate(cells)(c => if (cnts(c) == 0) 0 else (sums(c) / cnts(c)).toInt))
     }
+
+    /** Stub spectral grid: [[goertzelPowers]] over the payload's bytes as
+      * centered 16-bit samples (`(b − 128)·256`), first 192 bytes (the
+      * bounded-window discipline — and what keeps the DuckDB replay of
+      * the per-sample recurrence cheap). Like [[lumaGrid]], the point is
+      * that the oracle can replay it cell-for-cell over the fake
+      * payloads' source text; the REAL spectral path is
+      * [[WavCodec.spectralGrid]]. */
+    override def spectralGrid(bytes: Array[Byte], cells: Int): Option[Array[Int]] = {
+      val n = math.min(bytes.length, 192)
+      if (n == 0 || cells <= 0) None
+      else Some(spectralCellsOf(goertzelPowers(
+        i => ((bytes(i) & 0xff) - 128) * 256, n, cells)))
+    }
   }
 
   /** Partition-batched decode through a pluggable [[MediaCodec]] — same
@@ -653,6 +763,37 @@ object Multimodal {
           .map(hasher.bits)
           .map(bits => Seq(bitsToLong(bits), bits.mkString("")))
         Row.fromSeq(r.toSeq ++ hashed.getOrElse(Seq(null, null)))
+      }
+    }(enc)
+  }
+
+  /** Per-payload spectral fingerprint as (id, band, cell) rows — the
+    * oracle-facing face of [[MediaCodec.spectralGrid]]: `bands` Goertzel
+    * band powers normalized to 0..255 cells ([[spectralCellsOf]]).
+    * Payloads the codec can't read emit no rows. Same mapPartitions
+    * batch shape as [[perceptualHashes]]: the fingerprint is computed in
+    * the scan stage over a bounded sample window, and only
+    * (id, band, cell) longs ever leave the partition — payload bytes
+    * never shuffle, the property that matters at media scale. For
+    * grouping/dedup use [[spectralView]] + the perceptual faces; this
+    * face exposes the raw grid a downstream ANN or audit reads. */
+  def spectralCells(df: DataFrame, idCol: String, payloadCol: String,
+      codec: MediaCodec = StubCodec, bands: Int = 8): DataFrame = {
+    val idIdx = df.columns.indexOf(idCol)
+    val pIdx = df.columns.indexOf(payloadCol)
+    require(idIdx >= 0, s"no column $idCol")
+    require(pIdx >= 0, s"no column $payloadCol")
+    val outSchema = StructType(Seq(StructField(idCol, LongType),
+      StructField("band", LongType), StructField("cell", LongType)))
+    val enc = Encoders.row(outSchema)
+    df.mapPartitions { it =>
+      codec.init()
+      it.flatMap { r =>
+        val bytes = r.getAs[Array[Byte]](pIdx)
+        val id = r.getLong(idIdx)
+        (if (bytes == null) None else codec.spectralGrid(bytes, bands))
+          .iterator.flatMap(cells => cells.iterator.zipWithIndex.map {
+            case (c, b) => Row(id, b.toLong, c.toLong) })
       }
     }(enc)
   }

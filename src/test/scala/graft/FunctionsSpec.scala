@@ -1771,6 +1771,87 @@ class FunctionsSpec extends AnyFunSuite {
     assert(groups(0).getAs[Long]("canonical_id") == 1L)
   }
 
+  test("spectralCells stub: bounded 192-byte window, full band rows, empty payload emits nothing") {
+    val head = ("The quick brown fox jumps over the lazy dog. " * 5).take(192)
+    val p1 = (head + "tail one after the analysis window").getBytes("UTF-8")
+    val p2 = (head + "a completely different suffix beyond 192").getBytes("UTF-8")
+    val p3 = ("Entirely different content inside the window " * 5).take(220).getBytes("UTF-8")
+    val df = Seq((1L, p1), (2L, p2), (3L, p3), (4L, Array.empty[Byte]))
+      .toDF("id", "payload")
+    val out = Multimodal.spectralCells(df, "id", "payload")
+      .as[(Long, Long, Long)].collect()
+    // empty payload: no rows; others: exactly 8 band rows each
+    val byId = out.groupBy(_._1)
+    assert(!byId.contains(4L))
+    assert(byId(1L).length == 8 && byId(2L).length == 8 && byId(3L).length == 8)
+    assert(out.forall { case (_, b, c) => b >= 0 && b < 8 && c >= 0 && c <= 255 })
+    // the fingerprint reads ONLY the first 192 bytes: p1 and p2 share
+    // cells exactly; p3 (different window content) does not
+    def cells(id: Long) = byId(id).sortBy(_._2).map(_._3).toSeq
+    assert(cells(1L) == cells(2L))
+    assert(cells(1L) != cells(3L))
+    // the dominant band normalizes to just under 255 (floor divisor)
+    assert(cells(1L).max >= 200L)
+  }
+
+  test("spectral tier: time-shifted and gain-scaled clips group under spectralView dHash; envelope tier misses the shift") {
+    import javax.sound.sampled._
+    def encode(samples: Array[Short]): Array[Byte] = {
+      val fmt = new AudioFormat(AudioFormat.Encoding.PCM_SIGNED,
+        8000f, 16, 1, 2, 8000f, false)
+      val data = new Array[Byte](samples.length * 2)
+      samples.indices.foreach { i =>
+        val s = samples(i)
+        data(2 * i) = s.toByte; data(2 * i + 1) = (s >> 8).toByte
+      }
+      val ais = new AudioInputStream(
+        new java.io.ByteArrayInputStream(data), fmt, samples.length.toLong)
+      val bos = new java.io.ByteArrayOutputStream()
+      AudioSystem.write(ais, AudioFileFormat.Type.WAVE, bos)
+      bos.toByteArray
+    }
+    // NON-STATIONARY clip: a loud low tone (band 11 of the 64-band
+    // ladder f=k/130) in the first half only, a quiet high tone (band
+    // 47) throughout. A circular TIME SHIFT moves the loud region to
+    // the middle — the energy ENVELOPE (lumaGrid cells) rearranges, but
+    // the global spectral content is the same two peaks
+    val n = 4096
+    def tone(i: Int, f: Double, a: Double): Double =
+      a * math.sin(2.0 * math.Pi * f * i)
+    def mk(shift: Int, num: Int, den: Int, loBand: Int, hiBand: Int): Array[Short] =
+      Array.tabulate(n) { j =>
+        val i = (j + shift) % n
+        val loud = if (i < n / 2) tone(i, loBand / 130.0, 18000) else 0.0
+        val quiet = tone(i, hiBand / 130.0, 3000)
+        ((loud + quiet).toInt * num / den).toShort
+      }
+    val base = encode(mk(0, 1, 1, 12, 48))
+    val shifted = encode(mk(1024, 1, 1, 12, 48))
+    val gained = encode(mk(0, 1, 2, 12, 48)) // uniform half gain
+    // control peaks at DIFFERENT bands (a loud/quiet swap at the same
+    // two bands keeps both bands local maxima — invisible to a gradient
+    // hash; moving the peaks changes which cells rise above neighbors)
+    val other = encode(mk(0, 1, 1, 21, 34))
+    val df = Seq((1L, base), (2L, shifted), (3L, gained), (4L, other))
+      .toDF("id", "payload")
+    // envelope tier (time-domain lumaGrid): the shift rearranges the
+    // loud cells, so base and shifted carry DIFFERENT signatures
+    val envSigs = Multimodal.perceptualHashes(df, "payload",
+        Multimodal.WavCodec,
+        hasher = Multimodal.PerceptualHash.Difference)
+      .select($"id", $"phash_bits").as[(Long, String)].collect().toMap
+    assert(envSigs(1L) != envSigs(2L),
+      "envelope dHash should change under the time shift")
+    // spectral tier: base, shifted and gained all carry the same
+    // band-gradient signature; the swapped-peaks clip does not
+    val spec = Multimodal.perceptualDupGroups(df, "id", "payload",
+        Multimodal.spectralView(Multimodal.WavCodec),
+        hasher = Multimodal.PerceptualHash.Difference).collect()
+    assert(spec.length == 1, s"expected one spectral group: ${spec.toSeq}")
+    assert(spec(0).getAs[Long]("n_copies") == 3L)
+    assert(spec(0).getAs[Long]("canonical_id") == 1L)
+  }
+
   test("aHash invariance property: any within-cell permutation preserves the hash; cross-cell moves change it when sums differ") {
     // seeded generative sweep over payload sizes incl. cell-boundary edge
     // cases (n < 64, n == 64, n % 64 != 0)
