@@ -1475,6 +1475,21 @@ object SparkEntry {
         .orderBy("sig")
     }),
 
+    "q182_principal_projection" -> ((s, dir) => {
+      // the APPLY half of the q179 pipeline — and the broadcast-model
+      // pattern generally: the d-long direction computed once on the
+      // driver rides into the scan as a literal array, and the corpus
+      // pass is one codegen'd zip_with/aggregate dot per vector, zero
+      // shuffle. proj = Σ v[k]·q[k] in integer ppm² — cell-exact
+      val emb = table(s, dir, "embeddings")
+      val direction = functions.Similarity
+        .principalDirection(emb, "embedding", iters = 12)
+        .orderBy("dim").collect().map(_.getLong(1))
+      functions.Similarity.principalProjection(
+          emb, "vec_id", "embedding", direction)
+        .orderBy("vec_id")
+    }),
+
     "q180_spectral_fingerprint" -> ((s, dir) =>
       // the spectral (Goertzel) perceptual tier's oracled face: 8
       // fixed-point band powers over the stub codec's byte samples,
@@ -3303,6 +3318,41 @@ object SparkEntry {
          SELECT sig, CAST(count(*) AS BIGINT) AS n_copies,
            CAST(min(doc_id) AS BIGINT) AS canonical_id
          FROM allsg GROUP BY 1 HAVING count(*) >= 2 ORDER BY 1""",
+    "q182_principal_projection" ->
+      // q179's recursive CTE re-derives the direction, then one
+      // list_transform dot per vector (HUGEINT, cast to BIGINT)
+      """WITH RECURSIVE
+         q AS (SELECT vec_id, list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS q
+               FROM embeddings WHERE embedding IS NOT NULL),
+         u AS (SELECT vec_id, i - 1 AS i, q[i] AS qi
+               FROM (SELECT vec_id, q, unnest(generate_series(1, len(q))) AS i FROM q)),
+         mom AS (SELECT a.i AS i, b.i AS j, count(*) AS n, sum(a.qi*b.qi) AS sp, sum(a.qi) AS si, sum(b.qi) AS sj
+                 FROM u a JOIN u b ON a.vec_id = b.vec_id GROUP BY 1, 2),
+         g AS (SELECT i, j,
+                 CASE WHEN n*sp - si*sj >= 0 THEN 1 ELSE -1 END *
+                   (abs(CAST(n AS HUGEINT)*sp - CAST(si AS HUGEINT)*sj) // (CAST(n AS HUGEINT)*n)) AS gij
+               FROM mom),
+         it AS (
+           SELECT 0 AS iter,
+             list_transform(generate_series(1, (SELECT CAST(max(i) + 1 AS BIGINT) FROM g)),
+               x -> 1000000::HUGEINT) AS v
+           UNION ALL
+           SELECT s.iter + 1, b.newv
+           FROM it s
+           CROSS JOIN LATERAL (
+             SELECT list(CASE WHEN m = 0 THEN s.v[i + 1]
+                              ELSE (CASE WHEN w >= 0 THEN 1 ELSE -1 END) * ((abs(w) * 1000000) // m) END
+                         ORDER BY i) AS newv
+             FROM (SELECT i, w, max(abs(w)) OVER () AS m
+                   FROM (SELECT g.i AS i, sum(g.gij * s.v[g.j + 1]) AS w FROM g GROUP BY 1))
+           ) b
+           WHERE s.iter < 12
+         ),
+         vfin AS (SELECT v FROM it WHERE iter = 12)
+         SELECT CAST(q.vec_id AS BIGINT) AS vec_id,
+           CAST(list_sum(list_transform(generate_series(1, len(q.q)),
+             k -> vf.v[k] * q.q[k])) AS BIGINT) AS proj
+         FROM q CROSS JOIN vfin vf ORDER BY 1""",
     "q180_spectral_fingerprint" ->
       // replays the fixed-point Goertzel per byte-sample: the (s1, s2)
       // resonator state packs into ONE BIGINT ((s1+2^24)·2^25 + s2+2^24 —

@@ -443,6 +443,29 @@ object Similarity {
       .toDF("dim", "v_ppm")
   }
 
+  /** Distributed projection of every embedding onto a driver-computed
+    * integer direction (the [[principalDirection]] output) — the APPLY
+    * half of the PCA-prep pipeline, and the general broadcast-model
+    * shape: a tiny model (d longs) computed once rides into the scan
+    * stage as a literal, and the corpus-sized work is one codegen'd
+    * pass with zero shuffle. Output `proj` is the exact integer dot
+    * `Σ v[k]·q[k]` over ppm components (`q = round(x·1e6)` — the
+    * [[coMomentMatrix]] discipline), so "score along the principal
+    * axis" is cell-exact in any engine; divide by 1e12 for the
+    * real-valued projection downstream. Bounds: |v| ≤ 1e6, |q| ≤ ~1e6
+    * ⇒ |proj| ≤ d·1e12 — safe in a Long through d ~ 9e6. */
+  def principalProjection(df: DataFrame, idCol: String, embCol: String,
+                          direction: Array[Long]): DataFrame = {
+    require(direction.nonEmpty, "empty direction")
+    val dirCol = F.array(direction.map(F.lit): _*)
+    df.where(F.col(embCol).isNotNull)
+      .select(F.col(idCol),
+        F.aggregate(
+          F.zip_with(dirCol, F.col(embCol), (v, x) =>
+            v * F.round(x.cast("double") * F.lit(1e6)).cast("long")),
+          F.lit(0L), (acc, p) => acc + p).as("proj"))
+  }
+
   /** Per-dimension ROBUST location/scale of an embedding column — median
     * and MAD (median absolute deviation), the outlier-insensitive
     * standardization prep that complements [[coMomentMatrix]]'s moment

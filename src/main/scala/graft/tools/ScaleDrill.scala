@@ -399,6 +399,14 @@ object ScaleDrill {
             F.substring(F.col("text"), 1, 40)).as("payload")),
           "doc_id", "payload",
           hasher = Multimodal.PerceptualHash.Difference)),
+    // Goertzel over a BOUNDED 192-byte window per doc: O(1) work per row
+    // in the scan stage, zero shuffle (the (id, band, cell) rows feed
+    // the count directly) — the row pins per-doc-bounded linearity
+    "spectral_fingerprint (q180)" -> (docs =>
+      Multimodal.spectralCells(
+        docs.select(F.col("doc_id"),
+          Multimodal.fakePayload(F.col("text")).as("payload")),
+        "doc_id", "payload")),
     // salted text → salted 40-char payload prefixes: checksum universes
     // are disjoint per replica, dup-group volume grows linearly; only
     // (checksum, id) shuffles and the payload bytes stay in the scan
@@ -425,6 +433,18 @@ object ScaleDrill {
     // point past memory scale, with the curve below pinning row-linearity
     "embedding_robust_stats (q178)" -> (emb =>
       Similarity.dimensionRobustStats(emb, "embedding")),
+    // the corpus-scale work is the q176 moment pass (row-linear, O(d²)
+    // corpus-free shuffle); the driver-side eigensolve is K·d² integer
+    // ops whatever the corpus — the row pins that the whole operator
+    // tracks the moment scan
+    "principal_direction (q179)" -> (emb =>
+      Similarity.principalDirection(emb, "embedding")),
+    // FIXED direction (the audit-fixes-its-index discipline): the drill
+    // measures the broadcast-model apply — one codegen'd dot per row,
+    // zero shuffle, trivially row-linear
+    "principal_projection (q182)" -> (emb =>
+      Similarity.principalProjection(emb, "vec_id", "embedding",
+        Array.tabulate(64)(i => (i + 1).toLong * 1000))),
     "semdedup (q124)" -> { emb =>
       val cents = emb.where(F.pmod(F.col("vec_id"), F.lit(10000000L)) < 16)
         .select(F.col("vec_id").as("cid"), F.col("embedding").as("cv"))
@@ -543,6 +563,11 @@ object ScaleDrill {
     // users grow distinct volume linearly, sketch output stays 5 rows
     "kmv_distinct (q173)" -> (ev =>
       Scale.kmvDistinct(ev, "event_type", "user_id", k = 64)),
+    // per-(group, shard) heaps then the k·|shards|-row merge: the same
+    // bounded-shuffle contract as kmv_distinct with one extra tiny stage
+    "kmv_shard_merge (q181)" -> (ev =>
+      Scale.kmvDistinctSharded(ev, "event_type", "user_id",
+        F.col("event_id") % 8, k = 48)),
     "funnel (q102)" -> { ev =>
       val clicks = ev.where(F.col("event_type") === "click")
         .select("user_id", "ts_us")

@@ -497,6 +497,35 @@ class ScaleSpec extends AnyFunSuite {
     assert(vDup.toSeq == v.toSeq)
   }
 
+  test("principalProjection: exact integer dot, self-projection ranks the rank-1 corpus, zero exchange") {
+    import graft.functions.Similarity
+    // hand-check: v = (2, -3, 1)·1e... direction entries are plain longs
+    val emb = Seq(
+      (1L, Array(0.1f, 0.2f, 0.3f)),
+      (2L, Array(-0.5f, 0.0f, 0.25f))).toDF("vec_id", "embedding")
+    val dir = Array(2L, -3L, 1L)
+    val got = Similarity.principalProjection(emb, "vec_id", "embedding", dir)
+      .orderBy("vec_id").as[(Long, Long)].collect()
+    // q1 = (1e5, 2e5, 3e5): 2·1e5 − 3·2e5 + 1·3e5 = −1e5
+    // q2 = (−5e5, 0, 25e4): 2·(−5e5) + 25e4 = −75e4
+    assert(got.toSeq == Seq((1L, -100000L), (2L, -750000L)))
+    // self-projection on a rank-1 corpus: |proj| orders by |t| exactly
+    val ts = Seq(1.0f, -1.0f, 0.5f, -0.25f)
+    val base = ts.zipWithIndex.map { case (t, i) =>
+      (i.toLong, Array(0.1f * t, 0.2f * t, 0.3f * t)) }.toDF("vec_id", "embedding")
+    val v = Similarity.principalDirection(base, "embedding")
+      .orderBy("dim").as[(Long, Long)].collect().map(_._2)
+    val projs = Similarity.principalProjection(base, "vec_id", "embedding", v)
+      .as[(Long, Long)].collect().toMap
+    assert(math.abs(projs(0L)) > math.abs(projs(2L)) &&
+      math.abs(projs(2L)) > math.abs(projs(3L)))
+    assert(projs(0L) == -projs(1L)) // t = ±1 mirror exactly
+    // plan: the model is a literal, the pass is one scan — no exchange
+    val plan = Similarity.principalProjection(emb, "vec_id", "embedding", dir)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"projection shuffled:\n$plan")
+  }
+
   test("meanVector: single hot group stays an O(1)-buffer hash aggregate and matches brute force") {
     import graft.functions.Similarity
     // adversarial shape from VERDICT r7 #3: EVERY vector in one group, so a
