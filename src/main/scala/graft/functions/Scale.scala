@@ -271,6 +271,27 @@ object Scale {
       .toDF(keyCol, itemCol, "mg_count", "total")
   }
 
+  /** Streaming face of [[kmvDistinct]]: per-key KMV sketches in the
+    * state store (≤ k 32-char hashes per key), re-merged each batch —
+    * lossless by the q181 merge identity, so the running estimate always
+    * equals what the batch face would compute over everything that has
+    * arrived. Emits (group, n_min, kth_60, est) in update mode. See
+    * [[graft.streaming.StateStoreRunner.KmvSketchProcessor]]. */
+  def streamingKmvDistinct(stream: DataFrame, groupCol: String,
+      valueCol: String, k: Int = 64): DataFrame = {
+    val spark = stream.sparkSession
+    import spark.implicits._
+    stream.where(F.col(valueCol).isNotNull)
+      .select(F.col(groupCol).cast("string"), F.col(valueCol).cast("string"))
+      .as[(String, String)]
+      .groupByKey(_._1)
+      .transformWithState(
+        new graft.streaming.StateStoreRunner.KmvSketchProcessor(k),
+        org.apache.spark.sql.streaming.TimeMode.None(),
+        org.apache.spark.sql.streaming.OutputMode.Update())
+      .toDF(groupCol, "n_min", "kth_60", "est")
+  }
+
   def bloomSemiJoin(big: DataFrame, small: DataFrame, bigKey: String,
                     smallKey: String, fpp: Double = 0.03): DataFrame = {
     import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}

@@ -150,6 +150,45 @@ object StateStoreRunner {
     }
   }
 
+  /** Streaming KMV distinct sketch PER KEY — the incremental face of
+    * `Scale.kmvDistinct`: state is the ≤ k lexicographically smallest
+    * md5 hashes of the distinct values seen (k strings per key, bounded
+    * whatever the value cardinality). Each batch unions its arrivals'
+    * hashes with the resumed minima and re-takes the k smallest — the
+    * same union→distinct→re-TopK merge the sharded batch face (q181)
+    * proves LOSSLESS, so the sketch after any batch sequence is
+    * bit-identical to the batch sketch over the union of all arrivals
+    * (spec-pinned against `Scale.kmvDistinct` on the same data). Emits
+    * the refreshed (key, n_min, kth_60, est) row per touched key in
+    * update mode — `est` uses the identical `(k−1)·2⁶⁰ / v_k` estimator
+    * arithmetic, so a monitoring stream reads the same numbers the
+    * batch face would report. */
+  class KmvSketchProcessor(k: Int)
+    extends StatefulProcessor[String, (String, String), (String, Long, Long, Long)] {
+    require(k >= 2, s"k must be >= 2, got $k")
+    @transient private var minima: org.apache.spark.sql.streaming.ListState[String] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      minima = getHandle.getListState[String]("kmv", Encoders.STRING, TTLConfig.NONE)
+
+    override def handleInputRows(key: String, rows: Iterator[(String, String)],
+                                 timerValues: TimerValues): Iterator[(String, Long, Long, Long)] = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      def md5hex(s: String): String =
+        md.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      val cur = if (minima.exists()) minima.get().toVector else Vector.empty[String]
+      val merged = (cur ++ rows.map(r => md5hex(r._2))).distinct.sorted.take(k)
+      if (merged != cur) minima.put(merged.toArray)
+      val nMin = merged.size.toLong
+      val kth60 = java.lang.Long.parseLong(merged.last.take(15), 16)
+      val est =
+        if (nMin < k) nMin
+        else (BigInt(k - 1) * BigInt(1152921504606846976L) /
+          BigInt(math.max(kth60, 1L))).min(BigInt(4611686018427387904L)).toLong
+      Iterator.single((key, nMin, kth60, est))
+    }
+  }
+
   /** Streaming heavy hitters: a Misra-Gries sketch PER KEY in the state
     * store — the incremental face of `Scale.heavyHitters`. State is the
     * sketch's ≤ k counters (+ the running total), bounded regardless of

@@ -45,6 +45,36 @@ class StateStoreSpec extends AnyFunSuite {
     assert(latest("moon") == 1L)
   }
 
+  test("streaming KMV sketch: every emitted row equals the batch sketch over the arrivals so far") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(String, String)]
+    val out = graft.functions.Scale.streamingKmvDistinct(
+      input.toDS().toDF("g", "v"), "g", "v", k = 4)
+    val q = out.writeStream.outputMode("update").format("memory")
+      .queryName("kmvstream").trigger(Trigger.ProcessingTime(0L)).start()
+    val batch1 = Seq(("big", "u1"), ("big", "u2"), ("big", "u3"), ("small", "a"))
+    // batch 2 overlaps batch 1 (u2 again) and pushes "big" past k=4
+    // distinct values, so the estimator path engages on the merged sketch
+    val batch2 = Seq(("big", "u2"), ("big", "u4"), ("big", "u5"),
+      ("big", "u6"), ("small", "a"), ("small", "b"))
+    input.addData(batch1: _*)
+    q.processAllAvailable()
+    input.addData(batch2: _*)
+    q.processAllAvailable()
+    q.stop()
+    def batchFace(rows: Seq[(String, String)]) =
+      graft.functions.Scale.kmvDistinct(rows.toDF("g", "v"), "g", "v", k = 4)
+        .as[(String, Long, Long, Long)].collect().toSet
+    // update-mode emissions: after batch 1 each group carries the batch-1
+    // sketch; after batch 2 the RE-MERGED sketch must equal the batch
+    // face over the UNION — the lossless-merge identity, incrementally
+    val expected = batchFace(batch1) ++ batchFace(batch1 ++ batch2)
+    val got = spark.table("kmvstream").as[(String, Long, Long, Long)]
+      .collect().toSet
+    assert(got == expected, s"streaming sketch diverged:\ngot $got\nwant $expected")
+  }
+
   test("kill/restart replay: RocksDB word count survives and hash-matches the MapState path") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
