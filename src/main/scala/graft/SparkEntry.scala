@@ -3322,13 +3322,13 @@ object SparkEntry {
       // q179's recursive CTE re-derives the direction, then one
       // list_transform dot per vector (HUGEINT, cast to BIGINT)
       """WITH RECURSIVE
-         q AS (SELECT vec_id, list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS q
+         q AS MATERIALIZED (SELECT vec_id, list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS q
                FROM embeddings WHERE embedding IS NOT NULL),
          u AS (SELECT vec_id, i - 1 AS i, q[i] AS qi
                FROM (SELECT vec_id, q, unnest(generate_series(1, len(q))) AS i FROM q)),
          mom AS (SELECT a.i AS i, b.i AS j, count(*) AS n, sum(a.qi*b.qi) AS sp, sum(a.qi) AS si, sum(b.qi) AS sj
                  FROM u a JOIN u b ON a.vec_id = b.vec_id GROUP BY 1, 2),
-         g AS (SELECT i, j,
+         g AS MATERIALIZED (SELECT i, j,
                  CASE WHEN n*sp - si*sj >= 0 THEN 1 ELSE -1 END *
                    (abs(CAST(n AS HUGEINT)*sp - CAST(si AS HUGEINT)*sj) // (CAST(n AS HUGEINT)*n)) AS gij
                FROM mom),
@@ -3401,13 +3401,13 @@ object SparkEntry {
       // form both engines share), each iterate renormalizes to ±1e6 by
       // sign·(|w|·1e6 // max|w|); 12 iterations from the all-ones start
       """WITH RECURSIVE
-         q AS (SELECT vec_id, list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS q
+         q AS MATERIALIZED (SELECT vec_id, list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS q
                FROM embeddings WHERE embedding IS NOT NULL),
          u AS (SELECT vec_id, i - 1 AS i, q[i] AS qi
                FROM (SELECT vec_id, q, unnest(generate_series(1, len(q))) AS i FROM q)),
          mom AS (SELECT a.i AS i, b.i AS j, count(*) AS n, sum(a.qi*b.qi) AS sp, sum(a.qi) AS si, sum(b.qi) AS sj
                  FROM u a JOIN u b ON a.vec_id = b.vec_id GROUP BY 1, 2),
-         g AS (SELECT i, j,
+         g AS MATERIALIZED (SELECT i, j,
                  CASE WHEN n*sp - si*sj >= 0 THEN 1 ELSE -1 END *
                    (abs(CAST(n AS HUGEINT)*sp - CAST(si AS HUGEINT)*sj) // (CAST(n AS HUGEINT)*n)) AS gij
                FROM mom),
