@@ -1508,6 +1508,44 @@ object SparkEntry {
           "doc_id", "payload")
         .orderBy("doc_id", "band")),
 
+    "q183_sketch_join_estimate" -> ((s, dir) =>
+      // the sketch-side join planner: for every pair of event types,
+      // estimate the distinct-user union/intersection/Jaccard from the
+      // KMV sketches alone (Beyer'07 set-op estimator), alongside the
+      // exact pairwise truth and a signed error — the distinct-key
+      // overlap a CBO wants before committing a 100 TB equi-join,
+      // computed from |G|·k sketch rows instead of either full table
+      functions.Scale.kmvPairOverlap(events(s, dir), "event_type",
+          "user_id", k = 64)
+        .orderBy("g1", "g2")),
+
+    "q184_join_skew_forecast" -> ((s, dir) => {
+      // pre-flight for the funnel join: engagement events (click/view)
+      // vs purchases on user_id — exact output cardinality Σ cL·cR from
+      // the two per-key count tables (one row per DISTINCT key crosses
+      // the join, not per input row), worst-key contribution, and the
+      // salt factor saltedJoin would need to level it
+      val ev = events(s, dir)
+      functions.Scale.joinSkewForecast(
+          ev.where(F.col("event_type").isin("click", "view")),
+          ev.where(F.col("event_type") === "purchase"),
+          "user_id", "user_id", topN = 5)
+        .orderBy(F.col("contrib").desc, F.col("key"))
+    }),
+
+    "q185_column_stats" -> ((s, dir) =>
+      // the ANALYZE pass: per-column row/null counts, typed min/max, and
+      // the engine-reproducible KMV NDV estimate over events — doubles
+      // enter as cents and the timestamp as epoch-ns so nothing
+      // float-formatted crosses the md5; one tagged-explode scan
+      functions.Scale.tableColumnStats(
+          events(s, dir).select(F.col("event_id"), F.col("user_id"),
+            F.col("ts"), F.round(F.col("value") * 100).cast("long")
+              .as("value_cents"), F.col("event_type")),
+          bigCols = Seq("event_id", "user_id", "ts", "value_cents"),
+          strCols = Seq("event_type"), k = 64)
+        .orderBy("col_name")),
+
     "q181_kmv_shard_merge" -> ((s, dir) =>
       // the sketch-merge identity as a judged face: per-shard KMV
       // sketches (shard = event_id % 8 — the same user lands in MANY
@@ -3381,6 +3419,89 @@ object SparkEntry {
          SELECT CAST(pw.doc_id AS BIGINT) AS doc_id, CAST(band AS BIGINT) AS band,
                 CAST(power // (mx.mp // 255 + 1) AS BIGINT) AS cell
          FROM pw JOIN mx ON pw.doc_id = mx.doc_id ORDER BY 1, 2""",
+    "q183_sketch_join_estimate" ->
+      // replay the per-type KMV sketches as sorted lists, merge each pair
+      // by distinct-union-sort-slice, and apply the Beyer'07 estimators
+      // in HUGEINT; the truth tier is the exact distinct (type,user)
+      // self-join on the hash
+      """WITH h AS (SELECT DISTINCT event_type AS g, md5(CAST(user_id AS VARCHAR)) AS h
+                    FROM events WHERE user_id IS NOT NULL),
+         r AS (SELECT g, h, row_number() OVER (PARTITION BY g ORDER BY h) AS rn FROM h),
+         sk AS (SELECT g, list(h ORDER BY h) AS sk, CAST(count(*) AS BIGINT) AS n
+                FROM r WHERE rn <= 64 GROUP BY 1),
+         tr AS (SELECT a.g AS g1, b.g AS g2, CAST(count(*) AS BIGINT) AS truth_common
+                FROM h a JOIN h b ON a.h = b.h AND a.g < b.g GROUP BY 1, 2),
+         p AS (SELECT a.g AS g1, b.g AS g2, a.n AS n1, b.n AS n2,
+                 list_sort(list_distinct(a.sk || b.sk))[1:64] AS l,
+                 a.sk AS ska, b.sk AS skb
+               FROM sk a, sk b WHERE a.g < b.g),
+         q AS (SELECT g1, g2, n1, n2,
+                 CAST(len(l) AS BIGINT) AS union_filled,
+                 CAST(('0x' || substr(l[len(l)], 1, 15))::BIGINT AS BIGINT) AS kth_60,
+                 CAST(len(list_filter(l, x -> list_contains(ska, x) AND list_contains(skb, x))) AS BIGINT) AS k_common
+               FROM p),
+         e AS (SELECT *, CAST(CASE WHEN union_filled < 64 THEN union_filled
+                  ELSE least(63::HUGEINT * 1152921504606846976 // greatest(kth_60, 1),
+                             4611686018427387904::HUGEINT) END AS BIGINT) AS union_est
+               FROM q),
+         f AS (SELECT *,
+                 CAST(CASE WHEN union_filled < 64 THEN k_common
+                      ELSE k_common::HUGEINT * union_est // 64 END AS BIGINT) AS inter_est,
+                 k_common * 1000000 // union_filled AS jaccard_ppm
+               FROM e)
+         SELECT f.g1, f.g2, n1, n2, union_filled, kth_60, union_est, k_common,
+           inter_est, jaccard_ppm,
+           CAST(COALESCE(tr.truth_common, 0) AS BIGINT) AS truth_common,
+           CAST((inter_est::HUGEINT - COALESCE(tr.truth_common, 0)) * 1000000
+                // greatest(COALESCE(tr.truth_common, 0), 1) AS BIGINT) AS err_ppm
+         FROM f LEFT JOIN tr ON f.g1 = tr.g1 AND f.g2 = tr.g2
+         ORDER BY 1, 2""",
+    "q184_join_skew_forecast" ->
+      """WITH cl AS (SELECT user_id AS key, CAST(count(*) AS BIGINT) AS c_left
+                     FROM events WHERE event_type IN ('click', 'view') GROUP BY 1),
+         cr AS (SELECT user_id AS key, CAST(count(*) AS BIGINT) AS c_right
+                FROM events WHERE event_type = 'purchase' GROUP BY 1),
+         j AS (SELECT cl.key, c_left, c_right, c_left * c_right AS contrib
+               FROM cl JOIN cr ON cl.key = cr.key),
+         t AS (SELECT CAST(sum(contrib) AS BIGINT) AS rows_out,
+                 CAST(count(*) AS BIGINT) AS n_shared_keys,
+                 CAST(max(contrib) AS BIGINT) AS max_contrib
+               FROM j)
+         SELECT key, c_left, c_right, CAST(contrib AS BIGINT) AS contrib,
+           CAST(contrib::HUGEINT * 1000000 // greatest(rows_out, 1) AS BIGINT) AS contrib_ppm,
+           rows_out, n_shared_keys, max_contrib,
+           CAST(greatest(1::HUGEINT, max_contrib::HUGEINT * n_shared_keys
+                // greatest(rows_out, 1)) AS BIGINT) AS salt_rec
+         FROM j, t
+         ORDER BY contrib DESC, key LIMIT 5""",
+    "q185_column_stats" ->
+      // the 5-branch tagged union replays the explode; ts enters as
+      // epoch-ns and value as cents, matching the Spark projection
+      """WITH u AS (
+           SELECT 'event_id' AS col_name, CAST(event_id AS BIGINT) AS bigv, NULL::VARCHAR AS strv FROM events
+           UNION ALL SELECT 'user_id', CAST(user_id AS BIGINT), NULL FROM events
+           UNION ALL SELECT 'ts', epoch_us(ts) * 1000, NULL FROM events
+           UNION ALL SELECT 'value_cents', CAST(round(value * 100) AS BIGINT), NULL FROM events
+           UNION ALL SELECT 'event_type', NULL, event_type FROM events),
+         base AS (SELECT col_name, CAST(count(*) AS BIGINT) AS n_rows,
+                    CAST(sum(CASE WHEN bigv IS NULL AND strv IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+                    min(bigv) AS min_big, max(bigv) AS max_big,
+                    min(strv) AS min_str, max(strv) AS max_str
+                  FROM u GROUP BY 1),
+         h AS (SELECT DISTINCT col_name, md5(COALESCE(CAST(bigv AS VARCHAR), strv)) AS h
+               FROM u WHERE bigv IS NOT NULL OR strv IS NOT NULL),
+         r AS (SELECT col_name, h, row_number() OVER (PARTITION BY col_name ORDER BY h) AS rn FROM h),
+         s AS (SELECT col_name, CAST(count(*) AS BIGINT) AS n_min, max(h) AS kth
+               FROM r WHERE rn <= 64 GROUP BY 1)
+         SELECT base.col_name, n_rows, n_null, min_big, max_big, min_str, max_str,
+           s.n_min,
+           CAST(('0x' || substr(kth, 1, 15))::BIGINT AS BIGINT) AS kth_60,
+           CAST(CASE WHEN s.n_min < 64 THEN s.n_min
+                     ELSE least(63::HUGEINT * 1152921504606846976 //
+                                greatest(('0x' || substr(kth, 1, 15))::BIGINT, 1),
+                                4611686018427387904::HUGEINT) END AS BIGINT) AS ndv_est
+         FROM base LEFT JOIN s ON base.col_name = s.col_name
+         ORDER BY base.col_name""",
     "q181_kmv_shard_merge" ->
       // the oracle is the DIRECT global sketch (q173's shape at k=48):
       // per-shard k-minima merged == global k-minima, bit-for-bit

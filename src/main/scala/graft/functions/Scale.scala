@@ -393,9 +393,11 @@ object Scale {
     val hashed = df.where(F.col(valueCol).isNotNull)
       .select(F.col(groupCol),
         F.md5(F.col(valueCol).cast("string")).as("__h"))
-      .distinct()
+    // distinct-heap TopK: duplicates collapse INSIDE the partial stage,
+    // so the exchange moves ≤ k rows per (group, partition) — no full
+    // distinct shuffle of the corpus's distinct volume ever happens
     finishKmv(graft.plans.TopK.topKPerKey(hashed, Seq(groupCol), "__h",
-      desc = false, tieBreak = Nil, k = k), groupCol, k)
+      desc = false, tieBreak = Nil, k = k, distinct = true), groupCol, k)
   }
 
   /** The sharded/merged form of [[kmvDistinct]] — the 100 TB deployment
@@ -409,25 +411,29 @@ object Scale {
     * the cell-exact match proves the merge lossless, not approximately
     * compatible.
     *
-    * Scale shape: the per-shard stage is [[kmvDistinct]]'s (distinct +
-    * bounded TopK heap, ≤ k rows per (group, shard) cross the wire);
-    * the merge moves ≤ k·|shards| rows per group — corpus-size-free.
-    * The intermediate distinct after the union matters: the same value
-    * lands in ONE shard here (hash-partitioned), but in a re-ingestion
-    * or multi-day overlap the same hash survives in several shards, and
-    * double-counted slots would shrink v_k and bias the estimate up. */
+    * Scale shape: the per-shard stage is [[kmvDistinct]]'s distinct-heap
+    * TopK (duplicates collapse in the partial heaps; ≤ k rows per
+    * (group, shard) cross the wire); the merge moves ≤ k·|shards| rows
+    * per group — corpus-size-free. The merge stage's dedupe matters: the
+    * same value lands in ONE shard here (hash-partitioned), but in a
+    * re-ingestion or multi-day overlap the same hash survives in several
+    * shards, and double-counted slots would shrink v_k and bias the
+    * estimate up. */
   def kmvDistinctSharded(df: DataFrame, groupCol: String, valueCol: String,
                          shard: Column, k: Int = 64): DataFrame = {
     require(k >= 2, s"k must be >= 2, got $k")
     val hashed = df.where(F.col(valueCol).isNotNull)
       .select(F.col(groupCol), shard.as("__shard"),
         F.md5(F.col(valueCol).cast("string")).as("__h"))
-      .distinct()
     val perShard = graft.plans.TopK.topKPerKey(hashed,
-      Seq(groupCol, "__shard"), "__h", desc = false, tieBreak = Nil, k = k)
-    val merged = perShard.select(F.col(groupCol), F.col("__h")).distinct()
+      Seq(groupCol, "__shard"), "__h", desc = false, tieBreak = Nil, k = k,
+      distinct = true)
+    // the merge's distinct-heap re-TopK also ABSORBS cross-shard repeats
+    // (re-ingestion / multi-day overlap): double-counted slots would
+    // shrink v_k and bias the estimate up
+    val merged = perShard.select(F.col(groupCol), F.col("__h"))
     finishKmv(graft.plans.TopK.topKPerKey(merged, Seq(groupCol), "__h",
-      desc = false, tieBreak = Nil, k = k), groupCol, k)
+      desc = false, tieBreak = Nil, k = k, distinct = true), groupCol, k)
   }
 
   /** Estimator tail shared by the direct and sharded KMV forms: count
@@ -447,4 +453,167 @@ object Scale {
                          DIV greatest(kth_60, 1L),
                     CAST(4611686018427387904 AS DECIMAL(38,0))) AS BIGINT)"""))
           .as("est"))
+
+  /** Pairwise KMV set-operation estimates — the sketch-side join-planning
+    * statistic: for every unordered pair of groups, estimate the distinct
+    * union / intersection / Jaccard of their value sets FROM THE SKETCHES
+    * ALONE (Beyer et al. SIGMOD'07 §5: the union sketch of two KMV
+    * sketches is the k smallest of their merged hashes, `K∩` counts union
+    * slots present in BOTH input sketches, and `|A∩B| ≈ (K∩/k)·Û`).
+    * This is what a planner consults before committing a 100 TB equi-join:
+    * distinct-key overlap bounds the PK-FK match rate without touching
+    * either full table — the sketches are |groups|·k rows total.
+    *
+    * The face also carries the EXACT pairwise intersection (`truth_common`)
+    * and signed `err_ppm`, making it an estimator-calibration audit in the
+    * q141/q143/q155 family: at sf the truth join is cheap, and at 100 TB
+    * you'd drop the truth columns and keep the sketch path, whose cost is
+    * the same one distinct+TopK scan [[kmvDistinct]] already pays.
+    *
+    * All arithmetic is engine-portable: md5 hex strings order identically
+    * in Spark and DuckDB, the union merge is `array_union → sort → slice`,
+    * and the estimates use the standing DECIMAL(38,0)-widened
+    * `(k−1)·2^60 DIV v_k` spelling capped at 2^62. Group-pair fan-out is
+    * |G|²/2 rows of ≤ k-element arrays — driver-safe for any real G; the
+    * pair join is a broadcast. */
+  def kmvPairOverlap(df: DataFrame, groupCol: String, valueCol: String,
+                     k: Int = 64): DataFrame = {
+    require(k >= 2, s"k must be >= 2, got $k")
+    val hashedRaw = df.where(F.col(valueCol).isNotNull)
+      .select(F.col(groupCol), F.md5(F.col(valueCol).cast("string")).as("__h"))
+    // sketch tier: distinct-heap TopK straight off the raw scan — no
+    // full-distinct shuffle on the sketch path
+    val sk = graft.plans.TopK.topKPerKey(hashedRaw, Seq(groupCol), "__h",
+        desc = false, tieBreak = Nil, k = k, distinct = true)
+      .groupBy(groupCol)
+      // bounded buffer: ≤ k hashes per group by construction of the heap
+      .agg(F.sort_array(F.collect_list("__h")).as("__sk"),
+        F.count(F.lit(1)).as("__n"))
+    // exact truth: distinct (group, hash) self-joined on the hash — the
+    // audit tier (the only consumer that pays the full distinct shuffle;
+    // at 100 TB you drop it and keep the sketch path); co-partitioned on
+    // the hash key
+    val hashed = hashedRaw.distinct()
+    val truth = hashed.select(F.col(groupCol).as("g1"), F.col("__h"))
+      .join(hashed.select(F.col(groupCol).as("g2"), F.col("__h")), Seq("__h"))
+      .where(F.col("g1") < F.col("g2"))
+      .groupBy("g1", "g2").agg(F.count(F.lit(1)).as("truth_common"))
+    val a = sk.select(F.col(groupCol).as("g1"), F.col("__sk").as("__ska"),
+      F.col("__n").as("n1"))
+    val b = sk.select(F.col(groupCol).as("g2"), F.col("__sk").as("__skb"),
+      F.col("__n").as("n2"))
+    a.crossJoin(F.broadcast(b)).where(F.col("g1") < F.col("g2"))
+      .withColumn("__l",
+        F.slice(F.array_sort(F.array_union(F.col("__ska"), F.col("__skb"))), 1, k))
+      .withColumn("union_filled", F.size(F.col("__l")).cast("long"))
+      .withColumn("__kth",
+        F.element_at(F.col("__l"), F.col("union_filled").cast("int")))
+      .withColumn("kth_60",
+        F.expr("CAST(conv(substring(__kth, 1, 15), 16, 10) AS BIGINT)"))
+      .withColumn("k_common", F.size(F.array_intersect(
+        F.array_intersect(F.col("__l"), F.col("__ska")), F.col("__skb")))
+        .cast("long"))
+      .withColumn("union_est",
+        F.when(F.col("union_filled") < k, F.col("union_filled")).otherwise(F.expr(
+          s"""CAST(least(CAST(${k - 1} AS DECIMAL(38,0)) * 1152921504606846976
+                         DIV greatest(kth_60, 1L),
+                    CAST(4611686018427387904 AS DECIMAL(38,0))) AS BIGINT)""")))
+      // below k filled slots the union sketch IS the union, so K∩ is exact
+      .withColumn("inter_est",
+        F.when(F.col("union_filled") < k, F.col("k_common")).otherwise(F.expr(
+          s"CAST(CAST(k_common AS DECIMAL(38,0)) * union_est DIV $k AS BIGINT)")))
+      .withColumn("jaccard_ppm",
+        F.expr("k_common * 1000000 DIV union_filled"))
+      .join(truth, Seq("g1", "g2"), "left")
+      .na.fill(0L, Seq("truth_common"))
+      .withColumn("err_ppm", F.expr(
+        """CAST((CAST(inter_est AS DECIMAL(38,0)) - truth_common) * 1000000
+               DIV greatest(truth_common, 1L) AS BIGINT)"""))
+      .select("g1", "g2", "n1", "n2", "union_filled", "kth_60", "union_est",
+        "k_common", "inter_est", "jaccard_ppm", "truth_common", "err_ppm")
+  }
+
+  /** Join-size forecast + skew audit — the pre-flight a 100 TB equi-join
+    * deserves before it runs: per-key row counts on each side (two
+    * map-side-combined aggregations), joined on the key (co-partitioned —
+    * this join moves one row per DISTINCT key, not per input row), give
+    * the EXACT output cardinality `Σ cL·cR`, the single worst key's
+    * contribution, and a salt-factor recommendation
+    * `max(1, max_contrib·n_keys DIV rows_out)` — the worst key's
+    * contribution as a multiple of the average, i.e. how many ways
+    * [[saltedJoin]] must split it so no task sees more than an average
+    * key's work. Returns the top-`topN` keys by contribution
+    * (deterministic tie-break on the key), each row carrying the global
+    * totals via a 1-row broadcast.
+    *
+    * Per-key products stay in BIGINT (a single key with >3e9 rows on BOTH
+    * sides overflows — but that join's 9e18-row output is already
+    * unrunnable; ANSI mode fails loudly rather than wrapping). */
+  def joinSkewForecast(left: DataFrame, right: DataFrame,
+                       leftKey: String, rightKey: String,
+                       topN: Int = 5): DataFrame = {
+    val cl = left.where(F.col(leftKey).isNotNull)
+      .groupBy(F.col(leftKey).as("key")).agg(F.count(F.lit(1)).as("c_left"))
+    val cr = right.where(F.col(rightKey).isNotNull)
+      .groupBy(F.col(rightKey).as("key")).agg(F.count(F.lit(1)).as("c_right"))
+    val joined = cl.join(cr, Seq("key"))
+      .withColumn("contrib", F.expr("c_left * c_right"))
+    val totals = joined.agg(
+      F.sum("contrib").as("rows_out"),
+      F.count(F.lit(1)).as("n_shared_keys"),
+      F.max("contrib").as("max_contrib"))
+      .withColumn("salt_rec", F.expr(
+        """CAST(greatest(CAST(1 AS DECIMAL(38,0)),
+                 CAST(max_contrib AS DECIMAL(38,0)) * n_shared_keys
+                 DIV greatest(rows_out, 1L)) AS BIGINT)"""))
+    joined.orderBy(F.col("contrib").desc, F.col("key")).limit(topN)
+      .crossJoin(F.broadcast(totals))
+      .withColumn("contrib_ppm", F.expr(
+        """CAST(CAST(contrib AS DECIMAL(38,0)) * 1000000
+               DIV greatest(rows_out, 1L) AS BIGINT)"""))
+      .select("key", "c_left", "c_right", "contrib", "contrib_ppm",
+        "rows_out", "n_shared_keys", "max_contrib", "salt_rec")
+  }
+
+  /** ANALYZE-style column statistics with KMV NDV — the CBO input pass:
+    * per column, row/null counts, typed min/max, and the
+    * engine-reproducible [[kmvDistinct]] NDV estimate. Columns are fed as
+    * two tiers: `bigCols` (anything already reduced to BIGINT — ids,
+    * epoch instants, money cents) and `strCols` (categorical strings);
+    * doubles should be pre-projected to cents/ppm by the caller so no
+    * float formatting crosses the hash.
+    *
+    * Scale shape: ONE corpus scan exploding each row into |cols| tagged
+    * (col_name, value) entries — the explode factor is the honest price
+    * of per-column DISTINCT sketches (plain min/max/count would fold into
+    * one wide aggregate, but NDV needs a per-column distinct stream), and
+    * both downstream aggregations map-side combine on |cols| keys. */
+  def tableColumnStats(df: DataFrame, bigCols: Seq[String],
+                       strCols: Seq[String], k: Int = 64): DataFrame = {
+    require(bigCols.nonEmpty || strCols.nonEmpty, "no columns given")
+    val entries =
+      bigCols.map(c => F.struct(F.lit(c).as("col_name"),
+        F.col(c).cast("long").as("bigv"),
+        F.lit(null).cast("string").as("strv"))) ++
+      strCols.map(c => F.struct(F.lit(c).as("col_name"),
+        F.lit(null).cast("long").as("bigv"),
+        F.col(c).cast("string").as("strv")))
+    val exploded = df.select(F.explode(F.array(entries: _*)).as("e"))
+      .select("e.*")
+    val base = exploded.groupBy("col_name").agg(
+      F.count(F.lit(1)).as("n_rows"),
+      F.sum(F.when(F.col("bigv").isNull && F.col("strv").isNull, 1L)
+        .otherwise(0L)).as("n_null"),
+      F.min("bigv").as("min_big"), F.max("bigv").as("max_big"),
+      F.min("strv").as("min_str"), F.max("strv").as("max_str"))
+    val ndv = kmvDistinct(
+      exploded.withColumn("__v",
+        F.coalesce(F.col("bigv").cast("string"), F.col("strv"))),
+      "col_name", "__v", k)
+      .select(F.col("col_name"), F.col("n_min"), F.col("kth_60"),
+        F.col("est").as("ndv_est"))
+    base.join(ndv, Seq("col_name"), "left")
+      .select("col_name", "n_rows", "n_null", "min_big", "max_big",
+        "min_str", "max_str", "n_min", "kth_60", "ndv_est")
+  }
 }

@@ -31,9 +31,13 @@ import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy, UnaryExecNode}
   */
 object TopK {
 
-  /** Logical marker node; all expressions pre-resolved against the child. */
+  /** Logical marker node; all expressions pre-resolved against the child.
+    * `distinct` = keep the k best rows DISTINCT UNDER THE SORT ORDER —
+    * order-equal rows collapse to one survivor INSIDE the partial heap, so
+    * a KMV caller needs no `.distinct()` pre-pass and the exchange moves
+    * ≤ k·partitions rows per key no matter how duplicated the input is. */
   case class TopKPerKey(keys: Seq[Expression], order: Seq[SortOrder], k: Int,
-      child: LogicalPlan) extends UnaryNode {
+      distinct: Boolean, child: LogicalPlan) extends UnaryNode {
     override def output: Seq[Attribute] = child.output
     override protected def withNewChildInternal(newChild: LogicalPlan): TopKPerKey =
       copy(child = newChild)
@@ -44,37 +48,59 @@ object TopK {
     * survivor and a better row evicts it in O(log k). When `emitSorted`,
     * each key's survivors are emitted in the SortOrder (cheap: ≤ k rows per
     * key, already heap-ordered) — the final stage uses this so callers see
-    * rank order within each group, matching the window `row_number` form. */
+    * rank order within each group, matching the window `row_number` form.
+    * When `distinct`, the per-key structure is a TreeSet under the same
+    * ordering: an order-equal row is a no-op insert (O(log k) dedupe), so
+    * duplicates neither occupy slots nor shift the kth survivor. */
   private def heapPerKey(iter: Iterator[InternalRow], keys: Seq[Expression],
       order: Seq[SortOrder], k: Int, output: Seq[Attribute],
-      emitSorted: Boolean = false): Iterator[InternalRow] = {
+      distinct: Boolean, emitSorted: Boolean = false): Iterator[InternalRow] = {
     val keyProj = UnsafeProjection.create(keys, output)
     val ord = RowOrdering.create(order, output)
-    val heaps = new java.util.HashMap[InternalRow, scala.collection.mutable.PriorityQueue[InternalRow]]()
-    iter.foreach { row =>
-      val key = keyProj(row)
-      var heap = heaps.get(key)
-      if (heap == null) {
-        heap = scala.collection.mutable.PriorityQueue.empty[InternalRow](ord)
-        heaps.put(key.copy(), heap)
-      }
-      if (heap.size < k) heap.enqueue(row.copy())
-      else if (ord.lt(row, heap.head)) { heap.dequeue(); heap.enqueue(row.copy()) }
-    }
     import scala.jdk.CollectionConverters._
-    if (emitSorted)
-      // dequeueAll drains worst-first (max-first heap); reverse = rank order
-      heaps.values().iterator().asScala.flatMap(_.dequeueAll.reverseIterator)
-    else heaps.values().iterator().asScala.flatMap(_.iterator)
+    if (distinct) {
+      val sets = new java.util.HashMap[InternalRow, scala.collection.mutable.TreeSet[InternalRow]]()
+      iter.foreach { row =>
+        val key = keyProj(row)
+        var set = sets.get(key)
+        if (set == null) {
+          set = scala.collection.mutable.TreeSet.empty[InternalRow](ord)
+          sets.put(key.copy(), set)
+        }
+        if (set.size < k) set.add(row.copy())
+        else if (ord.lt(row, set.last)) {
+          // add() is false when an order-equal row already survives
+          if (set.add(row.copy())) set.remove(set.last)
+        }
+      }
+      // TreeSet iterates ascending = rank order already
+      sets.values().iterator().asScala.flatMap(_.iterator)
+    } else {
+      val heaps = new java.util.HashMap[InternalRow, scala.collection.mutable.PriorityQueue[InternalRow]]()
+      iter.foreach { row =>
+        val key = keyProj(row)
+        var heap = heaps.get(key)
+        if (heap == null) {
+          heap = scala.collection.mutable.PriorityQueue.empty[InternalRow](ord)
+          heaps.put(key.copy(), heap)
+        }
+        if (heap.size < k) heap.enqueue(row.copy())
+        else if (ord.lt(row, heap.head)) { heap.dequeue(); heap.enqueue(row.copy()) }
+      }
+      if (emitSorted)
+        // dequeueAll drains worst-first (max-first heap); reverse = rank order
+        heaps.values().iterator().asScala.flatMap(_.dequeueAll.reverseIterator)
+      else heaps.values().iterator().asScala.flatMap(_.iterator)
+    }
   }
 
   /** Pre-shuffle stage: per input partition, keep ≤ k rows per key. */
   case class TopKPartialExec(keys: Seq[Expression], order: Seq[SortOrder],
-      k: Int, child: SparkPlan) extends UnaryExecNode {
+      k: Int, distinct: Boolean, child: SparkPlan) extends UnaryExecNode {
     override def output: Seq[Attribute] = child.output
     override def outputPartitioning: Partitioning = child.outputPartitioning
     override protected def doExecute(): RDD[InternalRow] =
-      child.execute().mapPartitions(heapPerKey(_, keys, order, k, output))
+      child.execute().mapPartitions(heapPerKey(_, keys, order, k, output, distinct))
     override protected def withNewChildInternal(c: SparkPlan): TopKPartialExec =
       copy(child = c)
   }
@@ -83,7 +109,7 @@ object TopK {
     * required clustering makes EnsureRequirements insert the hash
     * exchange); merge them into the final top-K. */
   case class TopKFinalExec(keys: Seq[Expression], order: Seq[SortOrder],
-      k: Int, child: SparkPlan) extends UnaryExecNode {
+      k: Int, distinct: Boolean, child: SparkPlan) extends UnaryExecNode {
     override def output: Seq[Attribute] = child.output
     override def outputPartitioning: Partitioning = child.outputPartitioning
     override def requiredChildDistribution: Seq[Distribution] =
@@ -92,16 +118,16 @@ object TopK {
       else ClusteredDistribution(keys) :: Nil
     override protected def doExecute(): RDD[InternalRow] =
       child.execute().mapPartitions(
-        heapPerKey(_, keys, order, k, output, emitSorted = true))
+        heapPerKey(_, keys, order, k, output, distinct, emitSorted = true))
     override protected def withNewChildInternal(c: SparkPlan): TopKFinalExec =
       copy(child = c)
   }
 
   object TopKStrategy extends SparkStrategy {
     override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-      case TopKPerKey(keys, order, k, child) =>
-        TopKFinalExec(keys, order, k,
-          TopKPartialExec(keys, order, k, planLater(child))) :: Nil
+      case TopKPerKey(keys, order, k, distinct, child) =>
+        TopKFinalExec(keys, order, k, distinct,
+          TopKPartialExec(keys, order, k, distinct, planLater(child))) :: Nil
       case _ => Nil
     }
   }
@@ -118,7 +144,8 @@ object TopK {
     * `row_number <= k` form; physically heap-based with partial reduction
     * before the shuffle. */
   def topKPerKey(df: DataFrame, keyCols: Seq[String], orderCol: String,
-      desc: Boolean, tieBreak: Seq[String], k: Int): DataFrame = {
+      desc: Boolean, tieBreak: Seq[String], k: Int,
+      distinct: Boolean = false): DataFrame = {
     require(k > 0, s"k must be positive, got $k")
     val spark = df.sparkSession
     register(spark)
@@ -130,6 +157,6 @@ object TopK {
       SortOrder(attr(orderCol), if (desc) Descending else Ascending) +:
         tieBreak.map(t => SortOrder(attr(t), Ascending))
     org.apache.spark.sql.graft.ColumnBridge.ofRows(spark,
-      TopKPerKey(keyCols.map(attr), order, k, analyzed))
+      TopKPerKey(keyCols.map(attr), order, k, distinct, analyzed))
   }
 }

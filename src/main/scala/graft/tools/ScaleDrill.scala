@@ -568,6 +568,28 @@ object ScaleDrill {
     "kmv_shard_merge (q181)" -> (ev =>
       Scale.kmvDistinctSharded(ev, "event_type", "user_id",
         F.col("event_id") % 8, k = 48)),
+    // sketch tier is the q173 bounded-heap shape; the truth tier's
+    // hash self-join moves one row per distinct (type,user) — linear in
+    // distinct volume, co-partitioned on the hash
+    "kmv_pair_overlap (q183)" -> (ev =>
+      Scale.kmvPairOverlap(ev, "event_type", "user_id", k = 64)),
+    // two map-side-combined per-key counts + a join that moves one row
+    // per DISTINCT key: the forecast costs two count scans, never the
+    // join it predicts
+    "join_skew_forecast (q184)" -> (ev =>
+      Scale.joinSkewForecast(
+        ev.where(F.col("event_type").isin("click", "view")),
+        ev.where(F.col("event_type") === "purchase"),
+        "user_id", "user_id", topN = 5)),
+    // one scan exploding each row into |cols| tagged entries; both
+    // downstream aggregations combine on |cols| keys
+    "column_stats (q185)" -> (ev =>
+      Scale.tableColumnStats(
+        ev.select(F.col("event_id"), F.col("user_id"), F.col("ts_us"),
+          F.round(F.col("value") * 100).cast("long").as("value_cents"),
+          F.col("event_type")),
+        bigCols = Seq("event_id", "user_id", "ts_us", "value_cents"),
+        strCols = Seq("event_type"), k = 64)),
     "funnel (q102)" -> { ev =>
       val clicks = ev.where(F.col("event_type") === "click")
         .select("user_id", "ts_us")

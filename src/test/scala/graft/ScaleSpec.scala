@@ -526,6 +526,114 @@ class ScaleSpec extends AnyFunSuite {
     assert(!plan.contains("Exchange"), s"projection shuffled:\n$plan")
   }
 
+  test("kmvPairOverlap: exact below k, hand-replayed Beyer estimators above k, order independence") {
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+    // below-k tier: union sketch IS the union, so K-cap counts are EXACT
+    val small = (Seq("p", "q", "r").map(("x", _)) ++
+      Seq("q", "r", "s").map(("y", _)) ++ Seq(("y", "q"))).toDF("g", "v")
+    val sm = Scale.kmvPairOverlap(small, "g", "v", k = 8).collect().head
+    assert(sm.getAs[String]("g1") == "x" && sm.getAs[String]("g2") == "y")
+    assert(sm.getAs[Long]("union_filled") == 4L)
+    assert(sm.getAs[Long]("union_est") == 4L)
+    assert(sm.getAs[Long]("k_common") == 2L)
+    assert(sm.getAs[Long]("inter_est") == 2L)
+    assert(sm.getAs[Long]("truth_common") == 2L)
+    assert(sm.getAs[Long]("err_ppm") == 0L)
+    assert(sm.getAs[Long]("jaccard_ppm") == 2L * 1000000L / 4L)
+    // estimate tier at k=8: two 40-element sets sharing 20 — replay the
+    // sketch algebra by hand on md5 strings
+    val k = 8
+    val aVals = (1 to 40).map(i => s"user$i")
+    val bVals = (21 to 60).map(i => s"user$i")
+    val big = (aVals.map(("a", _)) ++ bVals.map(("b", _))).toDF("g", "v")
+    val got = Scale.kmvPairOverlap(big, "g", "v", k = k).collect().head
+    val ska = aVals.map(md5hex).sorted.take(k)
+    val skb = bVals.map(md5hex).sorted.take(k)
+    val l = (ska ++ skb).distinct.sorted.take(k)
+    val kth60 = java.lang.Long.parseLong(l.last.take(15), 16)
+    val unionEst = (BigInt(k - 1) * BigInt(2).pow(60) / kth60).toLong
+    val kCommon = l.count(h => ska.contains(h) && skb.contains(h)).toLong
+    val interEst = (BigInt(kCommon) * unionEst / k).toLong
+    // n1/n2 are sketch FILL counts (min(distinct, k)) — the k-cap is the
+    // whole point of the bounded sketch
+    assert(got.getAs[Long]("n1") == k.toLong && got.getAs[Long]("n2") == k.toLong)
+    assert(got.getAs[Long]("union_filled") == k.toLong)
+    assert(got.getAs[Long]("kth_60") == kth60)
+    assert(got.getAs[Long]("union_est") == unionEst)
+    assert(got.getAs[Long]("k_common") == kCommon)
+    assert(got.getAs[Long]("inter_est") == interEst)
+    assert(got.getAs[Long]("truth_common") == 20L)
+    assert(got.getAs[Long]("err_ppm") == (BigInt(interEst - 20L) * 1000000 / 20).toLong)
+    // row placement must not matter (heap merge property)
+    val shuffled = Scale.kmvPairOverlap(big.orderBy(F.rand(11)), "g", "v", k = k)
+      .collect().head
+    assert(shuffled == got)
+    // pair fan-out: G groups -> C(G,2) rows, g1 < g2 everywhere
+    val multi = (1 to 200).map(i => (s"g${i % 5}", s"v${i % 37}")).toDF("g", "v")
+    val pairs = Scale.kmvPairOverlap(multi, "g", "v", k = 4)
+      .select("g1", "g2").as[(String, String)].collect()
+    assert(pairs.length == 10 && pairs.forall { case (a, b) => a < b })
+  }
+
+  test("joinSkewForecast: exact output cardinality, worst-key salt factor, topN tie-break") {
+    // hot key 1: 100x100; keys 2,3: 1x1 -> rows_out 10002, salt_rec =
+    // floor(10000*3/10002) = 2 (the hot key carries 2x an average key's work)
+    val left = (Seq.fill(100)(1L) ++ Seq(2L, 3L) ++ Seq(9L))
+      .toDF("lk") // key 9 unmatched: must not count
+    val right = (Seq.fill(100)(1L) ++ Seq(2L, 3L) ++ Seq(8L)).toDF("rk")
+    val out = Scale.joinSkewForecast(left, right, "lk", "rk", topN = 2).collect()
+    assert(out.length == 2) // topN caps the detail rows
+    val top = out.head
+    assert(top.getAs[Long]("key") == 1L)
+    assert(top.getAs[Long]("c_left") == 100L && top.getAs[Long]("c_right") == 100L)
+    assert(top.getAs[Long]("contrib") == 10000L)
+    assert(top.getAs[Long]("rows_out") == 10002L)
+    assert(top.getAs[Long]("n_shared_keys") == 3L)
+    assert(top.getAs[Long]("max_contrib") == 10000L)
+    assert(top.getAs[Long]("salt_rec") == 2L)
+    assert(top.getAs[Long]("contrib_ppm") == 10000L * 1000000L / 10002L)
+    // ties break on the key ascending (2 before 3)
+    assert(out(1).getAs[Long]("key") == 2L)
+    // forecast equals the real join's count — the whole point
+    val real = left.join(right, F.col("lk") === F.col("rk")).count()
+    assert(real == 10002L)
+    // null keys never match in an equi-join: excluded from the forecast
+    val withNulls = (Seq[java.lang.Long](1L, null, null))
+      .toDF("lk")
+    val f2 = Scale.joinSkewForecast(withNulls, right, "lk", "rk", topN = 5)
+      .collect()
+    assert(f2.length == 1 && f2.head.getAs[Long]("rows_out") == 100L)
+  }
+
+  test("tableColumnStats: per-column counts/min-max/NDV exact below k, null accounting") {
+    val df = Seq(
+      (Some(5L), Some("beta")), (Some(-3L), None),
+      (None, Some("alpha")), (Some(5L), Some("alpha")))
+      .toDF("num", "cat")
+    val out = Scale.tableColumnStats(df, bigCols = Seq("num"),
+        strCols = Seq("cat"), k = 8)
+      .collect().map(r => r.getAs[String]("col_name") -> r).toMap
+    val num = out("num")
+    assert(num.getAs[Long]("n_rows") == 4L && num.getAs[Long]("n_null") == 1L)
+    assert(num.getAs[Long]("min_big") == -3L && num.getAs[Long]("max_big") == 5L)
+    assert(num.isNullAt(num.fieldIndex("min_str")))
+    assert(num.getAs[Long]("n_min") == 2L) // distinct {5, -3}
+    assert(num.getAs[Long]("ndv_est") == 2L) // below k -> exact
+    val cat = out("cat")
+    assert(cat.getAs[Long]("n_rows") == 4L && cat.getAs[Long]("n_null") == 1L)
+    assert(cat.getAs[String]("min_str") == "alpha")
+    assert(cat.getAs[String]("max_str") == "beta")
+    assert(cat.isNullAt(cat.fieldIndex("min_big")))
+    assert(cat.getAs[Long]("ndv_est") == 2L)
+    // estimator tier engages above k and stays in the KMV bound family
+    val wide = (1 to 5000).map(i => Tuple1(s"val$i")).toDF("s")
+    val est = Scale.tableColumnStats(wide, Nil, Seq("s"), k = 256)
+      .select("ndv_est").as[Long].head()
+    assert(est > 4000L && est < 6000L, s"NDV estimate $est for 5000 distinct")
+  }
+
   test("meanVector: single hot group stays an O(1)-buffer hash aggregate and matches brute force") {
     import graft.functions.Similarity
     // adversarial shape from VERDICT r7 #3: EVERY vector in one group, so a

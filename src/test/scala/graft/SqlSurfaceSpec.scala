@@ -186,6 +186,38 @@ class SqlSurfaceSpec extends AnyFunSuite {
     assert(global.collect().map(_.toSeq).toSet == expect.collect().map(_.toSeq).toSet)
   }
 
+  test("distinct-heap TopKPerKey: order-equal rows collapse in the PARTIAL stage") {
+    import org.apache.spark.sql.{functions => F}
+    // heavy duplication: 60 distinct values, each repeated ~100x across
+    // partitions — the regime where a .distinct() pre-pass would shuffle
+    // 100x the survivor volume
+    val df = spark.range(6000).repartition(8).select(
+      F.pmod(F.col("id"), F.lit(3L)).as("k"),
+      F.concat(F.lit("v"), F.lpad(F.pmod(F.xxhash64(F.pmod(F.col("id"), F.lit(60L))),
+        F.lit(1000L)).cast("string"), 4, "0")).as("v"))
+    val native = graft.plans.TopK.topKPerKey(df, Seq("k"), "v",
+      desc = false, tieBreak = Nil, k = 5, distinct = true)
+    // reference: explicit distinct then plain TopK
+    val ref = graft.plans.TopK.topKPerKey(df.distinct(), Seq("k"), "v",
+      desc = false, tieBreak = Nil, k = 5)
+    assert(native.collect().map(_.toSeq).toSet == ref.collect().map(_.toSeq).toSet)
+    assert(native.count() == 15) // 5 DISTINCT minima per key, dupes don't eat slots
+    // the distinct form needs no pre-aggregation: exactly one exchange,
+    // no HashAggregate anywhere in the plan
+    val physical = native.queryExecution.executedPlan.toString
+    assert(physical.contains("TopKPartial") && physical.contains("TopKFinal"), physical)
+    // no HashAggregate anywhere = no distinct pre-pass; the only exchange
+    // is TopKFinal's required clustering (AQE prints it twice — initial
+    // and final plan sections — so no line-count assertion)
+    assert(!physical.contains("HashAggregate"), s"distinct pre-pass leaked in:\n$physical")
+    // global form dedupes too
+    val global = graft.plans.TopK.topKPerKey(df, Nil, "v",
+      desc = false, tieBreak = Nil, k = 4, distinct = true)
+    val gRef = df.select("v").distinct().orderBy("v").limit(4)
+    assert(global.select("v").collect().map(_.getString(0)).sorted.toSeq ==
+      gRef.collect().map(_.getString(0)).toSeq)
+  }
+
   test("HammingZeroRewrite turns hamming64(a,b)=0 joins into equi-joins") {
     val l = spark.range(100).select($"id".as("sig_a"))
     val r = spark.range(100).select($"id".as("sig_b"))
