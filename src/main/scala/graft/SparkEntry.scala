@@ -3452,8 +3452,11 @@ object SparkEntry {
          SELECT f.g1, f.g2, n1, n2, union_filled, kth_60, union_est, k_common,
            inter_est, jaccard_ppm,
            CAST(COALESCE(tr.truth_common, 0) AS BIGINT) AS truth_common,
-           CAST((inter_est::HUGEINT - COALESCE(tr.truth_common, 0)) * 1000000
-                // greatest(COALESCE(tr.truth_common, 0), 1) AS BIGINT) AS err_ppm
+           CAST(CASE WHEN inter_est >= COALESCE(tr.truth_common, 0)
+                THEN (inter_est::HUGEINT - COALESCE(tr.truth_common, 0)) * 1000000
+                     // greatest(COALESCE(tr.truth_common, 0), 1)
+                ELSE -((COALESCE(tr.truth_common, 0)::HUGEINT - inter_est) * 1000000
+                       // greatest(COALESCE(tr.truth_common, 0), 1)) END AS BIGINT) AS err_ppm
          FROM f LEFT JOIN tr ON f.g1 = tr.g1 AND f.g2 = tr.g2
          ORDER BY 1, 2""",
     "q184_join_skew_forecast" ->

@@ -526,9 +526,14 @@ object Scale {
         F.expr("k_common * 1000000 DIV union_filled"))
       .join(truth, Seq("g1", "g2"), "left")
       .na.fill(0L, Seq("truth_common"))
+      // sign-symmetric: divide the MAGNITUDE (Spark DIV truncates toward
+      // zero, DuckDB // floors — they only agree on non-negatives)
       .withColumn("err_ppm", F.expr(
-        """CAST((CAST(inter_est AS DECIMAL(38,0)) - truth_common) * 1000000
-               DIV greatest(truth_common, 1L) AS BIGINT)"""))
+        """CAST(CASE WHEN inter_est >= truth_common
+                THEN CAST(inter_est - truth_common AS DECIMAL(38,0)) * 1000000
+                     DIV greatest(truth_common, 1L)
+                ELSE -(CAST(truth_common - inter_est AS DECIMAL(38,0)) * 1000000
+                       DIV greatest(truth_common, 1L)) END AS BIGINT)"""))
       .select("g1", "g2", "n1", "n2", "union_filled", "kth_60", "union_est",
         "k_common", "inter_est", "jaccard_ppm", "truth_common", "err_ppm")
   }
