@@ -1546,6 +1546,15 @@ object SparkEntry {
           strCols = Seq("event_type"), k = 64)
         .orderBy("col_name")),
 
+    "q186_range_partition_plan" -> ((s, dir) =>
+      // the layout pass: equi-depth range boundaries over user_id from
+      // the 256 rows with smallest md5(event_id) — a deterministic,
+      // engine-reproducible stand-in for RangePartitioner's reservoir —
+      // plus the per-bucket actual/estimated counts and exact signed error
+      functions.Scale.rangePartitionPlan(events(s, dir), "user_id",
+          "event_id", buckets = 8, k = 256)
+        .orderBy("bucket")),
+
     "q181_kmv_shard_merge" -> ((s, dir) =>
       // the sketch-merge identity as a judged face: per-shard KMV
       // sketches (shard = event_id % 8 — the same user lands in MANY
@@ -3505,6 +3514,40 @@ object SparkEntry {
                                 4611686018427387904::HUGEINT) END AS BIGINT) AS ndv_est
          FROM base LEFT JOIN s ON base.col_name = s.col_name
          ORDER BY base.col_name""",
+    "q186_range_partition_plan" ->
+      // same deterministic sample (256 smallest md5(event_id)), same
+      // rank-picked boundaries, same closed-form bucket assignment; lists
+      // are 1-based on both engines via element_at/[] parity
+      """WITH s AS (SELECT md5(CAST(event_id AS VARCHAR)) AS h, user_id AS key
+                    FROM events WHERE user_id IS NOT NULL),
+         r AS (SELECT key, row_number() OVER (ORDER BY h) AS rn FROM s),
+         samp AS (SELECT list(key ORDER BY key) AS sk,
+                    CAST(count(*) AS BIGINT) AS n_samp
+                  FROM r WHERE rn <= 256),
+         m AS (SELECT sk, n_samp,
+                 list_transform(range(1, 8),
+                   i -> sk[greatest(1, (i * n_samp) // 8)]) AS bs
+               FROM samp),
+         asg AS (SELECT len(list_filter(m.bs, b -> b <= e.user_id)) AS bucket
+                 FROM events e, m WHERE e.user_id IS NOT NULL),
+         c AS (SELECT bucket, CAST(count(*) AS BIGINT) AS cnt FROM asg GROUP BY 1),
+         t AS (SELECT CAST(sum(cnt) AS BIGINT) AS n_total FROM c),
+         bks AS (SELECT unnest(range(0, 8)) AS b, m.bs, m.sk, m.n_samp FROM m),
+         f AS (SELECT b, bs, sk, n_samp,
+                 COALESCE(c.cnt, 0) AS cnt, t.n_total,
+                 CAST(len(list_filter(sk,
+                   x -> len(list_filter(bs, bv -> bv <= x)) = b)) AS BIGINT) AS samp_cnt
+               FROM bks LEFT JOIN c ON bks.b = c.bucket, t)
+         SELECT CAST(b AS BIGINT) AS bucket,
+           CASE WHEN b > 0 THEN bs[b] END AS lo,
+           CASE WHEN b < 7 THEN bs[b + 1] END AS hi,
+           cnt,
+           CAST(cnt::HUGEINT * 1000000 // greatest(n_total, 1) AS BIGINT) AS share_ppm,
+           samp_cnt,
+           CAST(samp_cnt::HUGEINT * n_total // greatest(n_samp, 1) AS BIGINT) AS est_cnt,
+           CAST(samp_cnt::HUGEINT * n_total // greatest(n_samp, 1) - cnt AS BIGINT) AS err_cnt
+         FROM f ORDER BY 1""",
+
     "q181_kmv_shard_merge" ->
       // the oracle is the DIRECT global sketch (q173's shape at k=48):
       // per-shard k-minima merged == global k-minima, bit-for-bit

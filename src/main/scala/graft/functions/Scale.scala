@@ -580,6 +580,78 @@ object Scale {
         "rows_out", "n_shared_keys", "max_contrib", "salt_rec")
   }
 
+  /** Range-partition boundary plan + balance audit — the layout pass a
+    * 100 TB sort / range-partitioned write / Z-order job runs first: pick
+    * `buckets`−1 split points so each range holds ~1/buckets of the rows,
+    * from a DETERMINISTIC uniform sample (the `k` rows whose `md5(id)` is
+    * smallest — KMV's hash-order trick reused as sampling, so the sample
+    * is reproducible in any engine, unlike `TABLESAMPLE`/reservoir draws).
+    * This is what Spark's own `RangePartitioner` does with a random
+    * reservoir; the hash-ordered form makes the whole plan oracle-exact.
+    *
+    * Output: one row per bucket with its `[lo, hi)` boundary keys (null at
+    * the open ends), the ACTUAL row count and share_ppm (the audit tier —
+    * at 100 TB this is the layout job's own pass, it reads the corpus
+    * anyway), the sample count in the bucket, the sample-extrapolated
+    * `est_cnt`, and the signed exact `err_cnt = est_cnt − cnt` (a plain
+    * difference — no signed division crosses the engines).
+    *
+    * Scale shape: the sample tier is one distinct-heap TopK scan
+    * (≤ k rows per partition reach the single merge); the boundary math
+    * runs on k rows; the audit tier is one more scan with the boundary
+    * array riding in as a broadcast literal (a ≤ buckets-element HOF per
+    * row, no shuffle beyond the `buckets`-key count). Duplicate boundary
+    * values under heavy key skew leave interior buckets empty — visible
+    * in the output rather than silently rebalanced, which is exactly what
+    * the layout planner needs to see. */
+  def rangePartitionPlan(df: DataFrame, keyCol: String, idCol: String,
+                         buckets: Int = 8, k: Int = 256): DataFrame = {
+    require(buckets >= 2, s"buckets must be >= 2, got $buckets")
+    require(k >= buckets, s"sample k=$k must be >= buckets=$buckets")
+    val keyed = df.where(F.col(keyCol).isNotNull)
+      .select(F.col(keyCol).cast("long").as("__key"))
+    val sampled = graft.plans.TopK.topKPerKey(
+      df.where(F.col(keyCol).isNotNull)
+        .select(F.md5(F.col(idCol).cast("string")).as("__h"),
+          F.col(keyCol).cast("long").as("__key")),
+      Nil, "__h", desc = false, tieBreak = Nil, k = k, distinct = true)
+    // 1-row model: sorted sample keys + the rank-picked boundary array;
+    // checkpoint-cut so the two consumers don't each re-run the sample scan
+    val model = sampled
+      .agg(F.sort_array(F.collect_list("__key")).as("__sk"),
+        F.count(F.lit(1)).as("n_samp"))
+      .withColumn("__bs", F.expr(
+        s"""transform(sequence(1, ${buckets - 1}),
+              i -> element_at(__sk, greatest(1, CAST((i * n_samp) DIV $buckets AS INT))))"""))
+      .localCheckpoint()
+    val counts = keyed.crossJoin(F.broadcast(model.select("__bs")))
+      .withColumn("bucket",
+        F.expr("CAST(size(filter(__bs, b -> b <= __key)) AS BIGINT)"))
+      .groupBy("bucket").agg(F.count(F.lit(1)).as("cnt"))
+      .localCheckpoint()
+    val totals = counts.agg(F.sum("cnt").as("n_total"))
+    model
+      .select(F.explode(F.sequence(F.lit(0), F.lit(buckets - 1))).as("__b"),
+        F.col("__bs"), F.col("__sk"), F.col("n_samp"))
+      .withColumn("bucket", F.col("__b").cast("long"))
+      .join(counts, Seq("bucket"), "left").na.fill(0L, Seq("cnt"))
+      .crossJoin(F.broadcast(totals))
+      .withColumn("lo", F.expr(s"CASE WHEN __b > 0 THEN element_at(__bs, __b) END"))
+      .withColumn("hi", F.expr(
+        s"CASE WHEN __b < ${buckets - 1} THEN element_at(__bs, __b + 1) END"))
+      .withColumn("share_ppm", F.expr(
+        """CAST(CAST(cnt AS DECIMAL(38,0)) * 1000000
+               DIV greatest(n_total, 1L) AS BIGINT)"""))
+      .withColumn("samp_cnt", F.expr(
+        "CAST(size(filter(__sk, x -> size(filter(__bs, b -> b <= x)) = __b)) AS BIGINT)"))
+      .withColumn("est_cnt", F.expr(
+        """CAST(CAST(samp_cnt AS DECIMAL(38,0)) * n_total
+               DIV greatest(n_samp, 1L) AS BIGINT)"""))
+      .withColumn("err_cnt", F.expr("est_cnt - cnt"))
+      .select("bucket", "lo", "hi", "cnt", "share_ppm", "samp_cnt",
+        "est_cnt", "err_cnt")
+  }
+
   /** ANALYZE-style column statistics with KMV NDV — the CBO input pass:
     * per column, row/null counts, typed min/max, and the
     * engine-reproducible [[kmvDistinct]] NDV estimate. Columns are fed as

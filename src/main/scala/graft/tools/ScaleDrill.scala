@@ -581,6 +581,12 @@ object ScaleDrill {
         ev.where(F.col("event_type").isin("click", "view")),
         ev.where(F.col("event_type") === "purchase"),
         "user_id", "user_id", topN = 5)),
+    // sample tier = one bounded distinct-heap TopK scan; audit tier = one
+    // more scan with the 7-element boundary array riding as a broadcast
+    // literal HOF — two corpus scans, no shuffle beyond the 8-key count
+    "range_partition_plan (q186)" -> (ev =>
+      Scale.rangePartitionPlan(ev, "user_id", "event_id",
+        buckets = 8, k = 256)),
     // one scan exploding each row into |cols| tagged entries; both
     // downstream aggregations combine on |cols| keys
     "column_stats (q185)" -> (ev =>

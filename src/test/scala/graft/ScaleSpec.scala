@@ -607,6 +607,62 @@ class ScaleSpec extends AnyFunSuite {
     assert(f2.length == 1 && f2.head.getAs[Long]("rows_out") == 100L)
   }
 
+  test("rangePartitionPlan: exact when sample covers, hand-replayed sample tier, skew leaves empty buckets visible") {
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+    // full-coverage tier: k >= n, so boundaries are exact ranks and
+    // est_cnt == cnt everywhere
+    val full = (1L to 100L).map(i => (i, i * 10)).toDF("k", "id")
+    val out = Scale.rangePartitionPlan(full, "k", "id", buckets = 4, k = 100)
+      .collect()
+    assert(out.map(_.getAs[Long]("bucket")).toSeq == (0L to 3L))
+    assert(out.map(r => Option(r.getAs[Any]("lo"))).toSeq ==
+      Seq(None, Some(25L), Some(50L), Some(75L)))
+    assert(out.map(r => Option(r.getAs[Any]("hi"))).toSeq ==
+      Seq(Some(25L), Some(50L), Some(75L), None))
+    assert(out.map(_.getAs[Long]("cnt")).toSeq == Seq(24L, 25L, 25L, 26L))
+    assert(out.forall(r => r.getAs[Long]("err_cnt") == 0L))
+    assert(out.map(_.getAs[Long]("share_ppm")).toSeq ==
+      Seq(240000L, 250000L, 250000L, 260000L))
+    // sampled tier: hand-replay the 20-smallest-md5 sample over 400 rows
+    val n = 400
+    val rows = (1 to n).map(i => (i.toLong % 57, i.toLong))
+    val df = rows.toDF("k", "id")
+    val kSamp = 20
+    val sampKeys = rows.sortBy(r => md5hex(r._2.toString)).take(kSamp)
+      .map(_._1).sorted
+    val bs = (1 to 3).map(i => sampKeys(math.max(1, i * kSamp / 4) - 1))
+    def bucket(x: Long): Int = bs.count(_ <= x)
+    val expCnt = rows.groupBy(r => bucket(r._1)).view.mapValues(_.size.toLong).toMap
+    val expSamp = sampKeys.groupBy(bucket).view.mapValues(_.size.toLong).toMap
+    val got = Scale.rangePartitionPlan(df, "k", "id", buckets = 4, k = kSamp)
+      .collect()
+    got.foreach { r =>
+      val b = r.getAs[Long]("bucket").toInt
+      assert(r.getAs[Long]("cnt") == expCnt.getOrElse(b, 0L), s"cnt bucket $b")
+      assert(r.getAs[Long]("samp_cnt") == expSamp.getOrElse(b, 0L), s"samp bucket $b")
+      assert(r.getAs[Long]("est_cnt") ==
+        expSamp.getOrElse(b, 0L) * n / kSamp, s"est bucket $b")
+      assert(r.getAs[Long]("err_cnt") ==
+        r.getAs[Long]("est_cnt") - r.getAs[Long]("cnt"))
+    }
+    assert(got.map(_.getAs[Long]("cnt")).sum == n.toLong)
+    // row placement must not matter
+    val shuffled = Scale.rangePartitionPlan(df.orderBy(F.rand(7)), "k", "id",
+      buckets = 4, k = kSamp).collect()
+    assert(shuffled.map(_.toSeq).toSeq == got.map(_.toSeq).toSeq)
+    // skew: one key dominates -> duplicate boundaries -> interior buckets
+    // EMPTY and visible (not silently rebalanced)
+    val skew = ((1 to 97).map(_ => (42L, 0L)) ++ Seq((1L, 1L), (99L, 2L)))
+      .zipWithIndex.map { case ((k0, _), i) => (k0, i.toLong) }.toDF("k", "id")
+    val sk = Scale.rangePartitionPlan(skew, "k", "id", buckets = 4, k = 99)
+      .collect()
+    assert(sk.count(_.getAs[Long]("cnt") == 0L) >= 2,
+      sk.map(r => (r.getAs[Long]("bucket"), r.getAs[Long]("cnt"))).mkString(","))
+    assert(sk.map(_.getAs[Long]("cnt")).sum == 99L)
+  }
+
   test("tableColumnStats: per-column counts/min-max/NDV exact below k, null accounting") {
     val df = Seq(
       (Some(5L), Some("beta")), (Some(-3L), None),
