@@ -1546,6 +1546,20 @@ object SparkEntry {
           strCols = Seq("event_type"), k = 64)
         .orderBy("col_name")),
 
+    "q187_digest_manifest" -> ((s, dir) =>
+      // the copy-verification manifest: 16 shard rows, each an exact sum
+      // of 60-bit row-content hashes — both sides of a 100 TB migration
+      // compute this and re-copy only mismatched shards; doubles enter as
+      // cents and ts as epoch-ns so no float formatting reaches the hash
+      functions.Scale.digestManifest(
+          events(s, dir).select(F.col("event_id"), F.col("user_id"),
+            F.col("ts"), F.round(F.col("value") * 100).cast("long")
+              .as("value_cents"), F.col("event_type")),
+          idCol = "event_id",
+          cols = Seq("event_id", "user_id", "ts", "value_cents", "event_type"),
+          shards = 16)
+        .orderBy("shard")),
+
     "q186_range_partition_plan" -> ((s, dir) =>
       // the layout pass: equi-depth range boundaries over user_id from
       // the 256 rows with smallest md5(event_id) — a deterministic,
@@ -3514,6 +3528,30 @@ object SparkEntry {
                                 4611686018427387904::HUGEINT) END AS BIGINT) AS ndv_est
          FROM base LEFT JOIN s ON base.col_name = s.col_name
          ORDER BY base.col_name""",
+    "q187_digest_manifest" ->
+      // same canonicalization (chr(1) field separator, chr(2) null
+      // sentinel, ts as epoch-ns, value as cents), same 60-bit row hash;
+      // the HUGEINT sum splits into hi/lo BIGINTs exactly like Spark's
+      // DECIMAL(38,0) DIV/remainder
+      """WITH p AS (SELECT event_id, user_id, epoch_us(ts) * 1000 AS ts_ns,
+                      CAST(round(value * 100) AS BIGINT) AS value_cents, event_type
+                    FROM events),
+         h AS (SELECT ('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 8))::BIGINT % 16 AS shard,
+                 ('0x' || substr(md5(concat_ws(chr(1),
+                    coalesce(CAST(event_id AS VARCHAR), chr(2)),
+                    coalesce(CAST(user_id AS VARCHAR), chr(2)),
+                    coalesce(CAST(ts_ns AS VARCHAR), chr(2)),
+                    coalesce(CAST(value_cents AS VARCHAR), chr(2)),
+                    coalesce(event_type, chr(2)))), 1, 15))::BIGINT AS h
+               FROM p),
+         g AS (SELECT shard, CAST(count(*) AS BIGINT) AS cnt,
+                 sum(h::HUGEINT) AS s
+               FROM h GROUP BY 1)
+         SELECT CAST(shard AS BIGINT) AS shard, cnt,
+           CAST(s // 1152921504606846976 AS BIGINT) AS digest_hi,
+           CAST(s % 1152921504606846976 AS BIGINT) AS digest_lo
+         FROM g ORDER BY 1""",
+
     "q186_range_partition_plan" ->
       // same deterministic sample (256 smallest md5(event_id)), same
       // rank-picked boundaries, same closed-form bucket assignment; lists

@@ -580,6 +580,48 @@ object Scale {
         "rows_out", "n_shared_keys", "max_contrib", "salt_rec")
   }
 
+  /** Per-shard order-independent content digest — the integrity manifest
+    * for verifying a 100 TB copy/migration: both sides compute the same
+    * manifest (shard = `md5_bucket(id)`, digest = exact sum of per-row
+    * 60-bit content hashes), compare the handful of manifest rows, and
+    * re-copy only mismatched shards. The digest is a SUM, so it is
+    * order- and partition-independent, map-side combines, and is
+    * slice-mergeable (manifest(A ∪ B) = elementwise manifest(A) +
+    * manifest(B)) — an incremental ingest updates its manifest without
+    * rereading history.
+    *
+    * Row canonicalization: columns cast to string, NULL encoded as the
+    * `\u0002` sentinel (a real value equal to the sentinel collides —
+    * acceptable for a corruption check, documented), joined with
+    * `\u0001`, md5'd, first 15 hex digits → 60-bit non-negative long.
+    * The exact DECIMAL(38,0) sum (overflows only past ~10^19 rows) ships
+    * as two BIGINTs (`digest_hi`/`digest_lo` = sum DIV/mod 2^60) so no
+    * wide-decimal value crosses an engine boundary. Callers pre-project
+    * doubles/timestamps to integers (cents, epoch-ns) — float formatting
+    * must never reach the hash. */
+  def digestManifest(df: DataFrame, idCol: String, cols: Seq[String],
+                     shards: Int = 16): DataFrame = {
+    require(cols.nonEmpty, "no columns given")
+    require(shards >= 1, s"shards must be >= 1, got $shards")
+    val canon = cols.map(c =>
+      F.coalesce(F.col(c).cast("string"), F.lit("\u0002")))
+    df.select(
+        graft.plans.Expressions.md5Bucket(F.col(idCol).cast("string"),
+          shards.toLong).as("shard"),
+        F.conv(F.substring(F.md5(F.concat_ws("\u0001", canon: _*)), 1, 15),
+          16, 10).cast("long").as("__h"))
+      .groupBy("shard")
+      .agg(F.count(F.lit(1)).as("cnt"),
+        F.sum(F.expr("CAST(__h AS DECIMAL(38,0))")).as("__s"))
+      .withColumn("digest_hi",
+        F.expr("CAST(__s DIV 1152921504606846976 AS BIGINT)"))
+      // decimal remainder, not hi*2^60 re-multiply — that product overflows
+      // LONG (DIV returns LongType) for any manifest past ~8 rows
+      .withColumn("digest_lo",
+        F.expr("CAST(__s % 1152921504606846976 AS BIGINT)"))
+      .select("shard", "cnt", "digest_hi", "digest_lo")
+  }
+
   /** Range-partition boundary plan + balance audit — the layout pass a
     * 100 TB sort / range-partitioned write / Z-order job runs first: pick
     * `buckets`−1 split points so each range holds ~1/buckets of the rows,

@@ -581,6 +581,16 @@ object ScaleDrill {
         ev.where(F.col("event_type").isin("click", "view")),
         ev.where(F.col("event_type") === "purchase"),
         "user_id", "user_id", topN = 5)),
+    // one scan, all hashing in the scan stage, 16 map-side-combined
+    // partials per partition — the whole shuffle is 16·P tiny rows
+    "digest_manifest (q187)" -> (ev =>
+      Scale.digestManifest(
+        ev.select(F.col("event_id"), F.col("user_id"), F.col("ts_us"),
+          F.round(F.col("value") * 100).cast("long").as("value_cents"),
+          F.col("event_type")),
+        idCol = "event_id",
+        cols = Seq("event_id", "user_id", "ts_us", "value_cents", "event_type"),
+        shards = 16)),
     // sample tier = one bounded distinct-heap TopK scan; audit tier = one
     // more scan with the 7-element boundary array riding as a broadcast
     // literal HOF — two corpus scans, no shuffle beyond the 8-key count

@@ -607,6 +607,45 @@ class ScaleSpec extends AnyFunSuite {
     assert(f2.length == 1 && f2.head.getAs[Long]("rows_out") == 100L)
   }
 
+  test("digestManifest: order-independent, corruption-localizing, slice-additive, null-distinct") {
+    def digests(rows: Array[org.apache.spark.sql.Row]): Map[Long, (Long, BigInt)] =
+      rows.map(r => r.getAs[Long]("shard") ->
+        (r.getAs[Long]("cnt"),
+          BigInt(r.getAs[Long]("digest_hi")) * BigInt(2).pow(60) +
+            r.getAs[Long]("digest_lo"))).toMap
+    val base = (1L to 500L).map(i => (i, s"v$i", i * 7 % 93)).toDF("id", "s", "n")
+    val m1 = digests(Scale.digestManifest(base, "id", Seq("id", "s", "n"), 8).collect())
+    // order and partitioning must not matter (the digest is a sum)
+    val m2 = digests(Scale.digestManifest(base.orderBy(F.rand(5)).repartition(13),
+      "id", Seq("id", "s", "n"), 8).collect())
+    assert(m1 == m2)
+    assert(m1.values.map(_._1).sum == 500L)
+    // flip ONE cell: exactly the owning shard's digest moves, cnt stays
+    val corrupt = base.withColumn("n",
+      F.when(F.col("id") === 137L, F.lit(-1L)).otherwise(F.col("n")))
+    val mc = digests(Scale.digestManifest(corrupt, "id", Seq("id", "s", "n"), 8).collect())
+    val changed = m1.keySet.filter(k => m1(k)._2 != mc(k)._2)
+    assert(changed.size == 1, s"changed shards: $changed")
+    assert(m1(changed.head)._1 == mc(changed.head)._1) // cnt unchanged
+    assert((m1.keySet - changed.head).forall(k => m1(k) == mc(k)))
+    // slice additivity: manifest(A union B) == manifest(A) + manifest(B)
+    val a = base.where(F.col("id") <= 250L)
+    val b = base.where(F.col("id") > 250L)
+    val ma = digests(Scale.digestManifest(a, "id", Seq("id", "s", "n"), 8).collect())
+    val mb = digests(Scale.digestManifest(b, "id", Seq("id", "s", "n"), 8).collect())
+    (ma.keySet ++ mb.keySet).foreach { k =>
+      val (ca, da) = ma.getOrElse(k, (0L, BigInt(0)))
+      val (cb, db) = mb.getOrElse(k, (0L, BigInt(0)))
+      assert(m1(k) == (ca + cb, da + db), s"shard $k not additive")
+    }
+    // a NULL cell digests differently from empty string (sentinel encoding)
+    val withNull = Seq((1L, null.asInstanceOf[String]), (2L, "x")).toDF("id", "s")
+    val withEmpty = Seq((1L, ""), (2L, "x")).toDF("id", "s")
+    val dn = digests(Scale.digestManifest(withNull, "id", Seq("id", "s"), 1).collect())
+    val de = digests(Scale.digestManifest(withEmpty, "id", Seq("id", "s"), 1).collect())
+    assert(dn(0L)._2 != de(0L)._2)
+  }
+
   test("rangePartitionPlan: exact when sample covers, hand-replayed sample tier, skew leaves empty buckets visible") {
     def md5hex(s: String): String =
       java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
