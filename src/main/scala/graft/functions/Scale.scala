@@ -292,6 +292,26 @@ object Scale {
       .toDF(groupCol, "n_min", "kth_60", "est")
   }
 
+  /** Streaming face of [[digestManifest]]: the per-shard (cnt, hi, lo)
+    * accumulator lives in the state store and each batch folds its
+    * arrivals' row hashes in — since the digest is a plain exact sum,
+    * the emitted manifest after any batch sequence equals the batch face
+    * over the union of all arrivals (spec-pinned). Emits
+    * (shard, cnt, digest_hi, digest_lo) in update mode. */
+  def streamingDigestManifest(stream: DataFrame, idCol: String,
+                              cols: Seq[String], shards: Int = 16): DataFrame = {
+    val spark = stream.sparkSession
+    import spark.implicits._
+    digestProjection(stream, idCol, cols, shards)
+      .as[(Long, Long)]
+      .groupByKey(_._1)
+      .transformWithState(
+        new graft.streaming.StateStoreRunner.DigestProcessor,
+        org.apache.spark.sql.streaming.TimeMode.None(),
+        org.apache.spark.sql.streaming.OutputMode.Update())
+      .toDF("shard", "cnt", "digest_hi", "digest_lo")
+  }
+
   def bloomSemiJoin(big: DataFrame, small: DataFrame, bigKey: String,
                     smallKey: String, fpp: Double = 0.03): DataFrame = {
     import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
@@ -599,17 +619,24 @@ object Scale {
     * wide-decimal value crosses an engine boundary. Callers pre-project
     * doubles/timestamps to integers (cents, epoch-ns) — float formatting
     * must never reach the hash. */
-  def digestManifest(df: DataFrame, idCol: String, cols: Seq[String],
-                     shards: Int = 16): DataFrame = {
+  /** Shared (shard, 60-bit row hash) projection of [[digestManifest]] and
+    * [[streamingDigestManifest]] — one canonicalization, two faces. */
+  private[graft] def digestProjection(df: DataFrame, idCol: String,
+                                      cols: Seq[String], shards: Int): DataFrame = {
     require(cols.nonEmpty, "no columns given")
     require(shards >= 1, s"shards must be >= 1, got $shards")
     val canon = cols.map(c =>
       F.coalesce(F.col(c).cast("string"), F.lit("\u0002")))
     df.select(
-        graft.plans.Expressions.md5Bucket(F.col(idCol).cast("string"),
-          shards.toLong).as("shard"),
-        F.conv(F.substring(F.md5(F.concat_ws("\u0001", canon: _*)), 1, 15),
-          16, 10).cast("long").as("__h"))
+      graft.plans.Expressions.md5Bucket(F.col(idCol).cast("string"),
+        shards.toLong).as("shard"),
+      F.conv(F.substring(F.md5(F.concat_ws("\u0001", canon: _*)), 1, 15),
+        16, 10).cast("long").as("__h"))
+  }
+
+  def digestManifest(df: DataFrame, idCol: String, cols: Seq[String],
+                     shards: Int = 16): DataFrame = {
+    digestProjection(df, idCol, cols, shards)
       .groupBy("shard")
       .agg(F.count(F.lit(1)).as("cnt"),
         F.sum(F.expr("CAST(__h AS DECIMAL(38,0))")).as("__s"))

@@ -189,6 +189,36 @@ object StateStoreRunner {
     }
   }
 
+  /** Streaming incremental content digest PER SHARD — the incremental
+    * face of `Scale.digestManifest`: state is (cnt, digest_hi, digest_lo),
+    * the exact running sum of 60-bit row hashes carried as two longs
+    * (recombined through BigInt for the carry; hi stays ≤ cnt, far from
+    * overflow). Because the digest is a plain sum, folding each batch
+    * into the resumed accumulator is EXACTLY the batch manifest over
+    * everything arrived (spec-pinned) — a live ingest keeps its
+    * copy-verification manifest current without ever rereading history. */
+  class DigestProcessor
+    extends StatefulProcessor[Long, (Long, Long), (Long, Long, Long, Long)] {
+    @transient private var acc: org.apache.spark.sql.streaming.ValueState[(Long, Long, Long)] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      acc = getHandle.getValueState[(Long, Long, Long)]("digest",
+        Encoders.product[(Long, Long, Long)], TTLConfig.NONE)
+
+    override def handleInputRows(key: Long, rows: Iterator[(Long, Long)],
+                                 timerValues: TimerValues): Iterator[(Long, Long, Long, Long)] = {
+      val C = BigInt(1152921504606846976L)
+      val (c0, h0, l0) = if (acc.exists()) acc.get() else (0L, 0L, 0L)
+      var cnt = c0
+      var sum = BigInt(h0) * C + l0
+      rows.foreach { r => cnt += 1; sum += r._2 }
+      val hi = (sum / C).toLong
+      val lo = (sum % C).toLong
+      acc.update((cnt, hi, lo))
+      Iterator.single((key, cnt, hi, lo))
+    }
+  }
+
   /** Streaming heavy hitters: a Misra-Gries sketch PER KEY in the state
     * store — the incremental face of `Scale.heavyHitters`. State is the
     * sketch's ≤ k counters (+ the running total), bounded regardless of

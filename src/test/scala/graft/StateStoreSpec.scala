@@ -75,6 +75,34 @@ class StateStoreSpec extends AnyFunSuite {
     assert(got == expected, s"streaming sketch diverged:\ngot $got\nwant $expected")
   }
 
+  test("streaming digest manifest: every emission equals the batch manifest over the arrivals so far") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, String)]
+    val out = graft.functions.Scale.streamingDigestManifest(
+      input.toDS().toDF("id", "s"), "id", Seq("id", "s"), shards = 2)
+    val q = out.writeStream.outputMode("update").format("memory")
+      .queryName("digeststream").trigger(Trigger.ProcessingTime(0L)).start()
+    val batch1 = (1L to 20L).map(i => (i, s"v$i"))
+    val batch2 = (21L to 35L).map(i => (i, s"w$i"))
+    input.addData(batch1: _*)
+    q.processAllAvailable()
+    input.addData(batch2: _*)
+    q.processAllAvailable()
+    q.stop()
+    def batchFace(rows: Seq[(Long, String)]) =
+      graft.functions.Scale.digestManifest(rows.toDF("id", "s"), "id",
+          Seq("id", "s"), shards = 2)
+        .as[(Long, Long, Long, Long)].collect().toSet
+    // update-mode emissions: after each batch the touched shards carry
+    // exactly the batch manifest over everything arrived — the digest is
+    // a plain sum, so incremental == batch by construction, proven here
+    val expected = batchFace(batch1) ++ batchFace(batch1 ++ batch2)
+    val got = spark.table("digeststream").as[(Long, Long, Long, Long)]
+      .collect().toSet
+    assert(got == expected, s"streaming digest diverged:\ngot $got\nwant $expected")
+  }
+
   test("kill/restart replay: RocksDB word count survives and hash-matches the MapState path") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
