@@ -1546,6 +1546,26 @@ object SparkEntry {
           strCols = Seq("event_type"), k = 64)
         .orderBy("col_name")),
 
+    "q188_copy_repair_plan" -> ((s, dir) => {
+      // manifests disagree -> localize: a synthetic diverged copy (every
+      // 997th id dropped, every 991st value corrupted, every 983rd id
+      // re-inserted under a new id) diffed shard-locally against the
+      // source — the repair pass whose cost scales with the damage
+      val p = events(s, dir).select(F.col("event_id"), F.col("user_id"),
+        F.col("ts"), F.round(F.col("value") * 100).cast("long")
+          .as("value_cents"), F.col("event_type"))
+      val copy = p.where(F.pmod(F.col("event_id"), F.lit(997L)) =!= 0L)
+        .withColumn("value_cents",
+          F.when(F.pmod(F.col("event_id"), F.lit(991L)) === 0L,
+            F.col("value_cents") * 2L + 1L).otherwise(F.col("value_cents")))
+        .unionByName(p.where(F.pmod(F.col("event_id"), F.lit(983L)) === 0L)
+          .withColumn("event_id", F.col("event_id") + 1000000000L))
+      functions.Scale.copyRepairPlan(p, copy, "event_id",
+          Seq("event_id", "user_id", "ts", "value_cents", "event_type"),
+          shards = 16)
+        .orderBy("shard")
+    }),
+
     "q187_digest_manifest" -> ((s, dir) =>
       // the copy-verification manifest: 16 shard rows, each an exact sum
       // of 60-bit row-content hashes — both sides of a 100 TB migration
@@ -3528,6 +3548,66 @@ object SparkEntry {
                                 4611686018427387904::HUGEINT) END AS BIGINT) AS ndv_est
          FROM base LEFT JOIN s ON base.col_name = s.col_name
          ORDER BY base.col_name""",
+    "q188_copy_repair_plan" ->
+      // replay the synthetic divergence and both manifest+diff tiers;
+      // manifest mismatch compares the raw HUGEINT sums (equivalent to
+      // the hi/lo split), the row tier full-joins on the unique id
+      """WITH p AS (SELECT event_id, user_id, epoch_us(ts) * 1000 AS ts_ns,
+                      CAST(round(value * 100) AS BIGINT) AS value_cents, event_type
+                    FROM events),
+         c AS (SELECT event_id, user_id, ts_ns,
+                 CASE WHEN event_id % 991 = 0 THEN value_cents * 2 + 1
+                      ELSE value_cents END AS value_cents, event_type
+               FROM p WHERE event_id % 997 != 0
+               UNION ALL
+               SELECT event_id + 1000000000, user_id, ts_ns, value_cents, event_type
+               FROM p WHERE event_id % 983 = 0),
+         hs AS (SELECT ('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 8))::BIGINT % 16 AS shard,
+                  event_id AS id,
+                  ('0x' || substr(md5(concat_ws(chr(1),
+                     coalesce(CAST(event_id AS VARCHAR), chr(2)),
+                     coalesce(CAST(user_id AS VARCHAR), chr(2)),
+                     coalesce(CAST(ts_ns AS VARCHAR), chr(2)),
+                     coalesce(CAST(value_cents AS VARCHAR), chr(2)),
+                     coalesce(event_type, chr(2)))), 1, 15))::BIGINT AS h
+                FROM p),
+         hd AS (SELECT ('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 8))::BIGINT % 16 AS shard,
+                  event_id AS id,
+                  ('0x' || substr(md5(concat_ws(chr(1),
+                     coalesce(CAST(event_id AS VARCHAR), chr(2)),
+                     coalesce(CAST(user_id AS VARCHAR), chr(2)),
+                     coalesce(CAST(ts_ns AS VARCHAR), chr(2)),
+                     coalesce(CAST(value_cents AS VARCHAR), chr(2)),
+                     coalesce(event_type, chr(2)))), 1, 15))::BIGINT AS h
+                FROM c),
+         ms AS (SELECT shard, CAST(count(*) AS BIGINT) AS cnt, sum(h::HUGEINT) AS s
+                FROM hs GROUP BY 1),
+         md AS (SELECT shard, CAST(count(*) AS BIGINT) AS cnt, sum(h::HUGEINT) AS s
+                FROM hd GROUP BY 1),
+         bad AS (SELECT COALESCE(ms.shard, md.shard) AS shard,
+                   COALESCE(ms.cnt, 0) AS src_cnt, COALESCE(md.cnt, 0) AS dst_cnt
+                 FROM ms FULL JOIN md ON ms.shard = md.shard
+                 WHERE COALESCE(ms.cnt, 0) != COALESCE(md.cnt, 0)
+                    OR COALESCE(ms.s, 0) != COALESCE(md.s, 0)),
+         sj AS (SELECT hs.* FROM hs JOIN bad ON hs.shard = bad.shard),
+         dj AS (SELECT hd.* FROM hd JOIN bad ON hd.shard = bad.shard),
+         df AS (SELECT COALESCE(sj.id, dj.id) AS id,
+                  CASE WHEN dj.id IS NULL THEN 1 ELSE 0 END AS miss,
+                  CASE WHEN sj.id IS NULL THEN 1 ELSE 0 END AS extra,
+                  CASE WHEN sj.id IS NOT NULL AND dj.id IS NOT NULL
+                        AND sj.h != dj.h THEN 1 ELSE 0 END AS chg
+                FROM sj FULL JOIN dj ON sj.id = dj.id),
+         g AS (SELECT ('0x' || substr(md5(CAST(id AS VARCHAR)), 1, 8))::BIGINT % 16 AS shard,
+                 CAST(sum(miss) AS BIGINT) AS n_missing,
+                 CAST(sum(extra) AS BIGINT) AS n_extra,
+                 CAST(sum(chg) AS BIGINT) AS n_changed
+               FROM df GROUP BY 1)
+         SELECT CAST(bad.shard AS BIGINT) AS shard, bad.src_cnt, bad.dst_cnt,
+           COALESCE(g.n_missing, 0) AS n_missing,
+           COALESCE(g.n_extra, 0) AS n_extra,
+           COALESCE(g.n_changed, 0) AS n_changed
+         FROM bad LEFT JOIN g ON bad.shard = g.shard ORDER BY 1""",
+
     "q187_digest_manifest" ->
       // same canonicalization (chr(1) field separator, chr(2) null
       // sentinel, ts as epoch-ns, value as cents), same 60-bit row hash;

@@ -634,6 +634,74 @@ object Scale {
         16, 10).cast("long").as("__h"))
   }
 
+  /** [[digestProjection]] with the id retained — (shard, __id, __h), the
+    * row-level tier [[copyRepairPlan]] diffs on. */
+  private def digestRowProjection(df: DataFrame, idCol: String,
+                                  cols: Seq[String], shards: Int): DataFrame = {
+    require(cols.nonEmpty, "no columns given")
+    require(shards >= 1, s"shards must be >= 1, got $shards")
+    val canon = cols.map(c =>
+      F.coalesce(F.col(c).cast("string"), F.lit("\u0002")))
+    df.select(
+      graft.plans.Expressions.md5Bucket(F.col(idCol).cast("string"),
+        shards.toLong).as("shard"),
+      F.col(idCol).cast("long").as("__id"),
+      F.conv(F.substring(F.md5(F.concat_ws("\u0001", canon: _*)), 1, 15),
+        16, 10).cast("long").as("__h"))
+  }
+
+  /** Shard-localized repair plan for a diverged copy — the second half of
+    * the [[digestManifest]] migration story: compare the two manifests,
+    * and ONLY for shards whose (cnt, digest) disagree, run the row-level
+    * diff — ids missing from the copy, ids extra in the copy, ids present
+    * on both sides with different content hashes. Returns one row per
+    * mismatched shard with all six counts; clean shards never reach the
+    * row tier.
+    *
+    * Scale shape: the manifest tier is [[digestManifest]] twice (16-row
+    * shuffles); the row tier semi-joins each side against the broadcast
+    * mismatched-shard list BEFORE the id-keyed full-outer diff join, so
+    * with a shard-clustered layout the diff reads only corrupt shards —
+    * the repair cost scales with the damage, not the corpus. `idCol` must
+    * be a unique key on each side (a primary-key diff; duplicate ids
+    * would need a multiset diff on (id, h)). */
+  def copyRepairPlan(src: DataFrame, dst: DataFrame, idCol: String,
+                     cols: Seq[String], shards: Int = 16): DataFrame = {
+    val mSrc = digestManifest(src, idCol, cols, shards)
+      .select(F.col("shard"), F.col("cnt").as("src_cnt"),
+        F.col("digest_hi").as("__sh"), F.col("digest_lo").as("__sl"))
+    val mDst = digestManifest(dst, idCol, cols, shards)
+      .select(F.col("shard"), F.col("cnt").as("dst_cnt"),
+        F.col("digest_hi").as("__dh"), F.col("digest_lo").as("__dl"))
+    val bad = mSrc.join(mDst, Seq("shard"), "full")
+      .na.fill(0L, Seq("src_cnt", "dst_cnt", "__sh", "__sl", "__dh", "__dl"))
+      .where(F.col("src_cnt") =!= F.col("dst_cnt") ||
+        F.col("__sh") =!= F.col("__dh") || F.col("__sl") =!= F.col("__dl"))
+      .select("shard", "src_cnt", "dst_cnt")
+      .localCheckpoint()
+    val s = digestRowProjection(src, idCol, cols, shards)
+      .join(F.broadcast(bad.select("shard")), Seq("shard"))
+      .select(F.col("__id"), F.col("__h").as("__hs"))
+    val d = digestRowProjection(dst, idCol, cols, shards)
+      .join(F.broadcast(bad.select("shard")), Seq("shard"))
+      .select(F.col("__id"), F.col("__h").as("__hd"))
+    val diff = s.join(d, Seq("__id"), "full")
+      .select(
+        graft.plans.Expressions.md5Bucket(F.col("__id").cast("string"),
+          shards.toLong).as("shard"),
+        F.when(F.col("__hd").isNull, 1L).otherwise(0L).as("__miss"),
+        F.when(F.col("__hs").isNull, 1L).otherwise(0L).as("__extra"),
+        F.when(F.col("__hs").isNotNull && F.col("__hd").isNotNull &&
+          F.col("__hs") =!= F.col("__hd"), 1L).otherwise(0L).as("__chg"))
+      .groupBy("shard")
+      .agg(F.sum("__miss").as("n_missing"), F.sum("__extra").as("n_extra"),
+        F.sum("__chg").as("n_changed"))
+    bad.join(diff, Seq("shard"), "left")
+      .na.fill(0L, Seq("n_missing", "n_extra", "n_changed"))
+      .select("shard", "src_cnt", "dst_cnt", "n_missing", "n_extra",
+        "n_changed")
+  }
+
   def digestManifest(df: DataFrame, idCol: String, cols: Seq[String],
                      shards: Int = 16): DataFrame = {
     digestProjection(df, idCol, cols, shards)

@@ -581,6 +581,25 @@ object ScaleDrill {
         ev.where(F.col("event_type").isin("click", "view")),
         ev.where(F.col("event_type") === "purchase"),
         "user_id", "user_id", topN = 5)),
+    // manifest tier twice + the shard-filtered row diff; damage RATE is
+    // fixed (1/997 etc.) so every shard stays mismatched and the row tier
+    // reads the whole corpus — the measured curve is the WORST case
+    // (all-shards-corrupt); with bounded damage the diff reads only the
+    // damaged shards
+    "copy_repair_plan (q188)" -> { ev =>
+      val p = ev.select(F.col("event_id"), F.col("user_id"), F.col("ts_us"),
+        F.round(F.col("value") * 100).cast("long").as("value_cents"),
+        F.col("event_type"))
+      val copy = p.where(F.pmod(F.col("event_id"), F.lit(997L)) =!= 0L)
+        .withColumn("value_cents",
+          F.when(F.pmod(F.col("event_id"), F.lit(991L)) === 0L,
+            F.col("value_cents") * 2L + 1L).otherwise(F.col("value_cents")))
+        .unionByName(p.where(F.pmod(F.col("event_id"), F.lit(983L)) === 0L)
+          .withColumn("event_id", F.col("event_id") + 4000000000L))
+      Scale.copyRepairPlan(p, copy, "event_id",
+        Seq("event_id", "user_id", "ts_us", "value_cents", "event_type"),
+        shards = 16)
+    },
     // one scan, all hashing in the scan stage, 16 map-side-combined
     // partials per partition — the whole shuffle is 16·P tiny rows
     "digest_manifest (q187)" -> (ev =>

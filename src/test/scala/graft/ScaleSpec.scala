@@ -646,6 +646,35 @@ class ScaleSpec extends AnyFunSuite {
     assert(dn(0L)._2 != de(0L)._2)
   }
 
+  test("copyRepairPlan: localizes missing/extra/changed to their shards, clean copy yields no rows") {
+    def md5Head(s: String): Long =
+      java.lang.Long.parseLong(
+        java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+          .map("%02x".format(_)).mkString.take(8), 16)
+    def shardOf(id: Long, shards: Int): Long = md5Head(id.toString) % shards
+    val src = (1L to 100L).map(i => (i, s"payload$i")).toDF("id", "s")
+    val copy = ((1L to 100L).filter(_ != 13L).map(i =>
+        (i, if (i == 27L) "CORRUPT" else s"payload$i")) :+ (1000L, "ghost"))
+      .toDF("id", "s")
+    val out = Scale.copyRepairPlan(src, copy, "id", Seq("id", "s"), shards = 4)
+      .collect().map(r => r.getAs[Long]("shard") -> r).toMap
+    val touched = Seq(13L, 27L, 1000L).map(shardOf(_, 4)).toSet
+    assert(out.keySet == touched, s"shards ${out.keySet} vs expected $touched")
+    val sMiss = shardOf(13L, 4); val sChg = shardOf(27L, 4); val sExt = shardOf(1000L, 4)
+    assert(out(sMiss).getAs[Long]("n_missing") == 1L)
+    assert(out(sChg).getAs[Long]("n_changed") == 1L)
+    assert(out(sExt).getAs[Long]("n_extra") == 1L)
+    assert(out.values.map(_.getAs[Long]("n_missing")).sum == 1L)
+    assert(out.values.map(_.getAs[Long]("n_extra")).sum == 1L)
+    assert(out.values.map(_.getAs[Long]("n_changed")).sum == 1L)
+    // src/dst counts reflect the shard totals on each side
+    assert(out(sMiss).getAs[Long]("src_cnt") ==
+      (1L to 100L).count(shardOf(_, 4) == sMiss).toLong)
+    // an identical copy produces an EMPTY plan (no shard reaches the row tier)
+    assert(Scale.copyRepairPlan(src, src.orderBy(F.rand(3)), "id",
+      Seq("id", "s"), shards = 4).count() == 0L)
+  }
+
   test("rangePartitionPlan: exact when sample covers, hand-replayed sample tier, skew leaves empty buckets visible") {
     def md5hex(s: String): String =
       java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
