@@ -1546,6 +1546,22 @@ object SparkEntry {
           strCols = Seq("event_type"), k = 64)
         .orderBy("col_name")),
 
+    "q189_k_anonymity" -> ((s, dir) =>
+      // the re-identification gate: quasi-identifiers = event type x
+      // minute-of-day x 5-dollar value band; size-1 classes are unique
+      // fingerprints, classes below k=5 are the violations. The value
+      // band uses the sign-safe floor spelling (x - pmod) so the band
+      // matches DuckDB's flooring // even if a regen introduces negatives
+      functions.Stats.kAnonymityAudit(
+        events(s, dir).select(
+          F.col("event_type"),
+          F.expr("pmod(ts DIV 60000000000, 1440L)").as("minute_of_day"),
+          F.expr("""(CAST(round(value * 100) AS BIGINT)
+                     - pmod(CAST(round(value * 100) AS BIGINT), 500))
+                    DIV 500""").as("value_band")),
+        Seq("event_type", "minute_of_day", "value_band"), k = 5)
+        .orderBy("size_class")),
+
     "q188_copy_repair_plan" -> ((s, dir) => {
       // manifests disagree -> localize: a synthetic diverged copy (every
       // 997th id dropped, every 991st value corrupted, every 983rd id
@@ -3548,6 +3564,23 @@ object SparkEntry {
                                 4611686018427387904::HUGEINT) END AS BIGINT) AS ndv_est
          FROM base LEFT JOIN s ON base.col_name = s.col_name
          ORDER BY base.col_name""",
+    "q189_k_anonymity" ->
+      """WITH q AS (SELECT event_type,
+                      (epoch_us(ts) // 60000000) % 1440 AS minute_of_day,
+                      CAST(round(value * 100) AS BIGINT) // 500 AS value_band
+                    FROM events),
+         g AS (SELECT event_type, minute_of_day, value_band,
+                 CAST(count(*) AS BIGINT) AS cnt
+               FROM q GROUP BY 1, 2, 3),
+         c AS (SELECT least(cnt, 5) AS size_class,
+                 CAST(count(*) AS BIGINT) AS n_groups,
+                 CAST(sum(cnt) AS BIGINT) AS n_rows
+               FROM g GROUP BY 1),
+         t AS (SELECT CAST(sum(n_rows) AS BIGINT) AS tot FROM c)
+         SELECT CAST(size_class AS BIGINT) AS size_class, n_groups, n_rows,
+           CAST(n_rows::HUGEINT * 1000000 // greatest(t.tot, 1) AS BIGINT) AS rows_ppm
+         FROM c, t ORDER BY 1""",
+
     "q188_copy_repair_plan" ->
       // replay the synthetic divergence and both manifest+diff tiers;
       // manifest mismatch compares the raw HUGEINT sums (equivalent to

@@ -103,4 +103,40 @@ object Stats {
         (F.col("p_a") - F.col("p_b")) * (F.col("p_a") - F.col("p_b")) / F.col("p_b"))
       .drop("__ta", "__tb", "__k")
   }
+
+  /** k-anonymity audit — the re-identification gate a corpus release
+    * runs over its quasi-identifier columns (the attribute combination
+    * an adversary could link on): group rows by the quasi-identifier
+    * tuple and report, per group-size class (1, 2, …, ≥k), how many
+    * groups and rows sit there. Rows in classes below `k` are the
+    * k-anonymity violations — size-1 classes are outright unique
+    * fingerprints. The caller pre-projects/coarsens the quasi columns
+    * (banding, truncation) and re-runs the audit to pick the coarsening
+    * that clears the gate; NULL is a legitimate quasi value and groups
+    * as itself on both engines.
+    *
+    * Scale shape: one map-side-combined groupBy on the quasi tuple (the
+    * only corpus-sized shuffle), then a ≤k-row class aggregate,
+    * checkpoint-cut so the totals cross doesn't re-run the corpus scan.
+    * Integer ppm via the DECIMAL(38,0)-widened spelling (corpus-scale
+    * numerator). */
+  def kAnonymityAudit(df: DataFrame, quasiCols: Seq[String],
+                      k: Int = 5): DataFrame = {
+    require(quasiCols.nonEmpty, "no quasi-identifier columns given")
+    require(k >= 2, s"k must be >= 2, got $k")
+    val classes = df
+      .groupBy(quasiCols.map(F.col): _*)
+      .agg(F.count(F.lit(1)).as("__cnt"))
+      .select(F.least(F.col("__cnt"), F.lit(k.toLong)).as("size_class"),
+        F.col("__cnt"))
+      .groupBy("size_class")
+      .agg(F.count(F.lit(1)).as("n_groups"), F.sum("__cnt").as("n_rows"))
+      .localCheckpoint()
+    val totals = classes.agg(F.sum("n_rows").as("__tot"))
+    classes.crossJoin(F.broadcast(totals))
+      .withColumn("rows_ppm", F.expr(
+        """CAST(CAST(n_rows AS DECIMAL(38,0)) * 1000000
+               DIV greatest(__tot, 1L) AS BIGINT)"""))
+      .select("size_class", "n_groups", "n_rows", "rows_ppm")
+  }
 }

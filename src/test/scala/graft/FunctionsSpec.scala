@@ -2038,4 +2038,30 @@ class FunctionsSpec extends AnyFunSuite {
     assert(r.getAs[Double]("p75") == 3.25)
     assert(math.abs(r.getAs[Double]("p95") - 3.85) < 1e-12)
   }
+
+  test("kAnonymityAudit: size classes, k-cap, null quasi values, ppm accounting") {
+    // group sizes by quasi tuple: 1, 1, 2, 3, 5, 7 -> classes 1/2/3/5
+    val rows =
+      Seq(("a", 1L), ("b", 2L)) ++            // two singletons
+      Seq.fill(2)(("c", 3L)) ++               // one pair
+      Seq.fill(3)(("d", 4L)) ++               // one triple
+      Seq.fill(5)(("e", 5L)) ++ Seq.fill(7)(("f", 6L))  // two >= k groups
+    val out = Stats.kAnonymityAudit(rows.toDF("q1", "q2"), Seq("q1", "q2"), k = 5)
+      .collect().map(r => r.getAs[Long]("size_class") -> r).toMap
+    assert(out.keySet == Set(1L, 2L, 3L, 5L))
+    assert(out(1L).getAs[Long]("n_groups") == 2L && out(1L).getAs[Long]("n_rows") == 2L)
+    assert(out(2L).getAs[Long]("n_groups") == 1L && out(2L).getAs[Long]("n_rows") == 2L)
+    assert(out(3L).getAs[Long]("n_groups") == 1L && out(3L).getAs[Long]("n_rows") == 3L)
+    // the k class absorbs everything at or above k
+    assert(out(5L).getAs[Long]("n_groups") == 2L && out(5L).getAs[Long]("n_rows") == 12L)
+    assert(out(1L).getAs[Long]("rows_ppm") == 2L * 1000000L / 19L)
+    assert(out.values.map(_.getAs[Long]("n_rows")).sum == 19L)
+    // NULL is a quasi value: two null-q1 rows form ONE group of size 2
+    val withNull = Seq((null.asInstanceOf[String], 1L),
+      (null.asInstanceOf[String], 1L), ("x", 1L)).toDF("q1", "q2")
+    val nOut = Stats.kAnonymityAudit(withNull, Seq("q1", "q2"), k = 3)
+      .collect().map(r => r.getAs[Long]("size_class") -> r).toMap
+    assert(nOut(2L).getAs[Long]("n_groups") == 1L)
+    assert(nOut(1L).getAs[Long]("n_rows") == 1L)
+  }
 }
