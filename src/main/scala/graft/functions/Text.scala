@@ -1058,4 +1058,44 @@ object Text {
         F.expr("percentile(__n, 0.50)").as("p50"),
         F.expr("percentile(__n, 0.75)").as("p75"),
         F.expr("percentile(__n, 0.95)").as("p95"))
+
+  /** Per-document compression-ratio quality signal — the deflate test
+    * used alongside the repetition/quality gates: highly compressible
+    * text (boilerplate, repeated blocks, machine-generated filler)
+    * lands at a LOW ratio, random/encrypted/base64 junk at a HIGH one,
+    * and natural prose in between; corpora gate on both tails. Emits
+    * (id, raw_bytes, comp_bytes, ratio_ppm) per document.
+    *
+    * Deterministic for a fixed zlib (level 6, nowrap): same input, same
+    * sizes — but the exact byte count is a zlib implementation detail,
+    * so this face is SPEC-pinned by ordering/bounds rather than
+    * DuckDB-oracled (no zlib on the oracle side). Scale shape: zero
+    * shuffle — one typed mapPartitions with a per-partition reused
+    * Deflater and doc-bounded buffers (the per-row statistic discipline;
+    * an empty/null doc reports ratio 1e6, neutral to both gates). */
+  def compressionProfile(df: org.apache.spark.sql.DataFrame, idCol: String,
+                         textCol: String): org.apache.spark.sql.DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(F.col(idCol).cast("long"), F.col(textCol).cast("string"))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        val deflater =
+          new java.util.zip.Deflater(java.util.zip.Deflater.DEFAULT_COMPRESSION, true)
+        val buf = new Array[Byte](64 * 1024)
+        it.map { case (id, text) =>
+          val raw =
+            if (text == null) Array.emptyByteArray else text.getBytes("UTF-8")
+          if (raw.length == 0) (id, 0L, 0L, 1000000L)  // skip deflate: even
+          else {                // empty input emits a 2-byte final block
+            deflater.reset()
+            deflater.setInput(raw)
+            deflater.finish()
+            var comp = 0L
+            while (!deflater.finished()) comp += deflater.deflate(buf)
+            (id, raw.length.toLong, comp, comp * 1000000L / raw.length)
+          }
+        }
+      }.toDF(idCol, "raw_bytes", "comp_bytes", "ratio_ppm")
+  }
 }

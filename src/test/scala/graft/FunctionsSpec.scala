@@ -2064,4 +2064,29 @@ class FunctionsSpec extends AnyFunSuite {
     assert(nOut(2L).getAs[Long]("n_groups") == 1L)
     assert(nOut(1L).getAs[Long]("n_rows") == 1L)
   }
+
+  test("compressionProfile: repetitive text compresses far below prose, random far above; deterministic") {
+    val rnd = new scala.util.Random(42)
+    val docs = Seq(
+      (1L, "ab" * 2000),                                     // repetitive
+      (2L, Seq.fill(80)("the quick brown fox jumps over a lazy dog near the river bank at dawn").mkString(" ")), // prose-ish but repeated sentence
+      (3L, Array.fill(4000)(rnd.nextPrintableChar()).mkString), // random
+      (4L, ""), (5L, null.asInstanceOf[String]))
+    val out = Text.compressionProfile(docs.toDF("doc_id", "text"), "doc_id", "text")
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("raw_bytes"), r.getAs[Long]("comp_bytes"),
+          r.getAs[Long]("ratio_ppm"))).toMap
+    assert(out(1L)._3 < 30000L, s"repetitive ratio ${out(1L)._3}")   // < 3%
+    assert(out(3L)._3 > 700000L, s"random ratio ${out(3L)._3}")      // > 70%
+    assert(out(1L)._3 < out(2L)._3 && out(2L)._3 < out(3L)._3)
+    assert(out(4L) == (0L, 0L, 1000000L) && out(5L) == (0L, 0L, 1000000L))
+    assert(out(1L)._1 == 4000L)
+    // deterministic across runs and partitionings
+    val again = Text.compressionProfile(
+      docs.toDF("doc_id", "text").repartition(3), "doc_id", "text")
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("raw_bytes"), r.getAs[Long]("comp_bytes"),
+          r.getAs[Long]("ratio_ppm"))).toMap
+    assert(again == out)
+  }
 }
