@@ -581,6 +581,16 @@ object ScaleDrill {
         ev.where(F.col("event_type").isin("click", "view")),
         ev.where(F.col("event_type") === "purchase"),
         "user_id", "user_id", topN = 5)),
+    // one map-side-combined quasi-tuple groupBy (the only corpus-sized
+    // shuffle) into a <=k-row class aggregate
+    "k_anonymity (q189)" -> (ev =>
+      graft.functions.Stats.kAnonymityAudit(
+        ev.select(F.col("event_type"),
+          F.expr("pmod(ts_us DIV 60000000, 1440L)").as("minute_of_day"),
+          F.expr("""(CAST(round(value * 100) AS BIGINT)
+                     - pmod(CAST(round(value * 100) AS BIGINT), 500))
+                    DIV 500""").as("value_band")),
+        Seq("event_type", "minute_of_day", "value_band"), k = 5)),
     // manifest tier twice + the shard-filtered row diff; damage RATE is
     // fixed (1/997 etc.) so every shard stays mismatched and the row tier
     // reads the whole corpus — the measured curve is the WORST case
