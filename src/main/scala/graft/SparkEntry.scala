@@ -1546,6 +1546,22 @@ object SparkEntry {
           strCols = Seq("event_type"), k = 64)
         .orderBy("col_name")),
 
+    "q190_dependency_audit" -> ((s, dir) =>
+      // the CBO correlation pass: functional-dependency strength and
+      // independence violation (total-variation mass) per column pair —
+      // exactly what a product-of-selectivities estimator needs to know
+      // it's wrong about; same banded projections as q189
+      functions.Stats.dependencyAudit(
+        events(s, dir).select(
+          F.col("event_type"),
+          F.expr("pmod(ts DIV 3600000000000, 24L)").as("hour_of_day"),
+          F.expr("""(CAST(round(value * 100) AS BIGINT)
+                     - pmod(CAST(round(value * 100) AS BIGINT), 500))
+                    DIV 500""").as("value_band")),
+        Seq(("event_type", "hour_of_day"), ("event_type", "value_band"),
+          ("hour_of_day", "value_band")))
+        .orderBy("a_col", "b_col")),
+
     "q189_k_anonymity" -> ((s, dir) =>
       // the re-identification gate: quasi-identifiers = event type x
       // minute-of-day x 5-dollar value band; size-1 classes are unique
@@ -3564,6 +3580,69 @@ object SparkEntry {
                                 4611686018427387904::HUGEINT) END AS BIGINT) AS ndv_est
          FROM base LEFT JOIN s ON base.col_name = s.col_name
          ORDER BY base.col_name""",
+    "q190_dependency_audit" ->
+      // one CTE block per pair over the shared banded base; HUGEINT
+      // mirrors the DECIMAL(38,0) arithmetic; absent joint cells enter
+      // via the n^2 - sum(ca*cb) term
+      """WITH base AS (SELECT event_type,
+                (epoch_us(ts) // 3600000000) % 24 AS hour_of_day,
+                CAST(round(value * 100) AS BIGINT) // 500 AS value_band
+              FROM events),
+         p1 AS (SELECT coalesce(event_type, chr(2)) AS a,
+                  coalesce(CAST(hour_of_day AS VARCHAR), chr(2)) AS b FROM base),
+         p2 AS (SELECT coalesce(event_type, chr(2)) AS a,
+                  coalesce(CAST(value_band AS VARCHAR), chr(2)) AS b FROM base),
+         p3 AS (SELECT coalesce(CAST(hour_of_day AS VARCHAR), chr(2)) AS a,
+                  coalesce(CAST(value_band AS VARCHAR), chr(2)) AS b FROM base),
+         j1 AS (SELECT a, b, CAST(count(*) AS BIGINT) AS c FROM p1 GROUP BY 1, 2),
+         j2 AS (SELECT a, b, CAST(count(*) AS BIGINT) AS c FROM p2 GROUP BY 1, 2),
+         j3 AS (SELECT a, b, CAST(count(*) AS BIGINT) AS c FROM p3 GROUP BY 1, 2),
+         t1 AS (SELECT CAST(sum(c) AS BIGINT) AS n, CAST(count(*) AS BIGINT) AS ndv_ab,
+                  CAST(count(DISTINCT a) AS BIGINT) AS ndv_a,
+                  CAST(count(DISTINCT b) AS BIGINT) AS ndv_b FROM j1),
+         t2 AS (SELECT CAST(sum(c) AS BIGINT) AS n, CAST(count(*) AS BIGINT) AS ndv_ab,
+                  CAST(count(DISTINCT a) AS BIGINT) AS ndv_a,
+                  CAST(count(DISTINCT b) AS BIGINT) AS ndv_b FROM j2),
+         t3 AS (SELECT CAST(sum(c) AS BIGINT) AS n, CAST(count(*) AS BIGINT) AS ndv_ab,
+                  CAST(count(DISTINCT a) AS BIGINT) AS ndv_a,
+                  CAST(count(DISTINCT b) AS BIGINT) AS ndv_b FROM j3),
+         v1 AS (SELECT sum(abs(j.c::HUGEINT * t.n - ca.ca::HUGEINT * cb.cb)) AS num,
+                  sum(ca.ca::HUGEINT * cb.cb) AS sp
+                FROM j1 j
+                JOIN (SELECT a, CAST(sum(c) AS BIGINT) AS ca FROM j1 GROUP BY 1) ca ON j.a = ca.a
+                JOIN (SELECT b, CAST(sum(c) AS BIGINT) AS cb FROM j1 GROUP BY 1) cb ON j.b = cb.b,
+                t1 t),
+         v2 AS (SELECT sum(abs(j.c::HUGEINT * t.n - ca.ca::HUGEINT * cb.cb)) AS num,
+                  sum(ca.ca::HUGEINT * cb.cb) AS sp
+                FROM j2 j
+                JOIN (SELECT a, CAST(sum(c) AS BIGINT) AS ca FROM j2 GROUP BY 1) ca ON j.a = ca.a
+                JOIN (SELECT b, CAST(sum(c) AS BIGINT) AS cb FROM j2 GROUP BY 1) cb ON j.b = cb.b,
+                t2 t),
+         v3 AS (SELECT sum(abs(j.c::HUGEINT * t.n - ca.ca::HUGEINT * cb.cb)) AS num,
+                  sum(ca.ca::HUGEINT * cb.cb) AS sp
+                FROM j3 j
+                JOIN (SELECT a, CAST(sum(c) AS BIGINT) AS ca FROM j3 GROUP BY 1) ca ON j.a = ca.a
+                JOIN (SELECT b, CAST(sum(c) AS BIGINT) AS cb FROM j3 GROUP BY 1) cb ON j.b = cb.b,
+                t3 t)
+         SELECT 'event_type' AS a_col, 'hour_of_day' AS b_col, n, ndv_a, ndv_b, ndv_ab,
+           CAST(ndv_a::HUGEINT * 1000000 // ndv_ab AS BIGINT) AS fd_ab_ppm,
+           CAST(ndv_b::HUGEINT * 1000000 // ndv_ab AS BIGINT) AS fd_ba_ppm,
+           CAST((num + n::HUGEINT * n - sp) * 1000000 // (2::HUGEINT * n * n) AS BIGINT) AS tv_ppm
+         FROM t1, v1
+         UNION ALL
+         SELECT 'event_type', 'value_band', n, ndv_a, ndv_b, ndv_ab,
+           CAST(ndv_a::HUGEINT * 1000000 // ndv_ab AS BIGINT),
+           CAST(ndv_b::HUGEINT * 1000000 // ndv_ab AS BIGINT),
+           CAST((num + n::HUGEINT * n - sp) * 1000000 // (2::HUGEINT * n * n) AS BIGINT)
+         FROM t2, v2
+         UNION ALL
+         SELECT 'hour_of_day', 'value_band', n, ndv_a, ndv_b, ndv_ab,
+           CAST(ndv_a::HUGEINT * 1000000 // ndv_ab AS BIGINT),
+           CAST(ndv_b::HUGEINT * 1000000 // ndv_ab AS BIGINT),
+           CAST((num + n::HUGEINT * n - sp) * 1000000 // (2::HUGEINT * n * n) AS BIGINT)
+         FROM t3, v3
+         ORDER BY 1, 2""",
+
     "q189_k_anonymity" ->
       """WITH q AS (SELECT event_type,
                       (epoch_us(ts) // 60000000) % 1440 AS minute_of_day,

@@ -139,4 +139,67 @@ object Stats {
                DIV greatest(__tot, 1L) AS BIGINT)"""))
       .select("size_class", "n_groups", "n_rows", "rows_ppm")
   }
+
+  /** Column dependency/correlation audit — the statistic pair a CBO needs
+    * beyond per-column NDV (q185): selectivity estimators multiply
+    * per-column selectivities ASSUMING INDEPENDENCE, and correlated or
+    * functionally dependent columns are exactly where that goes wrong.
+    * For each ordered column pair (a → b) this reports:
+    *   - `ndv_a`, `ndv_ab`: distinct counts of a and of the (a,b) tuple —
+    *     `fd_ppm = ndv_a·1e6 DIV ndv_ab` hits 1,000,000 iff a
+    *     functionally determines b (every a value maps to one b);
+    *   - `tv_ppm`: total-variation distance between the joint
+    *     distribution and the product of marginals,
+    *     `Σ|c_ab·n − c_a·c_b| · 1e6 DIV (2n²)` — 0 iff independent, the
+    *     exact mass a product-of-selectivities estimate misplaces.
+    * All-integer (exact counts; the only divisions are non-negative and
+    * DECIMAL(38,0)-widened), so the audit oracles cell-exact.
+    *
+    * NULL is treated as a category (inputs are sentinel-coalesced
+    * strings) so null-heavy columns don't silently drop joint cells at
+    * the marginal joins. Scale shape: per pair, ONE map-side-combined
+    * corpus groupBy on the (a,b) tuple; every downstream join/aggregate
+    * runs on the checkpoint-cut joint table, whose size is the
+    * CATEGORICAL cross-cardinality, not the corpus. Feed it banded/
+    * coarsened columns (the q189 discipline) — a near-unique column
+    * would make the joint table corpus-sized, and its NDV already says
+    * so via q185. */
+  def dependencyAudit(df: DataFrame, pairs: Seq[(String, String)]): DataFrame = {
+    require(pairs.nonEmpty, "no column pairs given")
+    val frames = pairs.map { case (a, b) =>
+      val joint = df
+        .select(F.coalesce(F.col(a).cast("string"), F.lit("\u0002")).as("__a"),
+          F.coalesce(F.col(b).cast("string"), F.lit("\u0002")).as("__b"))
+        .groupBy("__a", "__b").agg(F.count(F.lit(1)).as("__c"))
+        .localCheckpoint()
+      val ma = joint.groupBy("__a").agg(F.sum("__c").as("__ca"))
+      val mb = joint.groupBy("__b").agg(F.sum("__c").as("__cb"))
+      val tot = joint.agg(F.sum("__c").as("n"),
+        F.count(F.lit(1)).as("ndv_ab"),
+        F.countDistinct("__a").as("ndv_a"),
+        F.countDistinct("__b").as("ndv_b"))
+      // TV needs the ABSENT cells too (joint 0, product > 0): their mass
+      // is n^2 - sum over present cells of ca*cb, added below
+      val tv = joint.join(ma, Seq("__a")).join(mb, Seq("__b"))
+        .crossJoin(F.broadcast(tot.select("n")))
+        .agg(F.sum(F.expr(
+          """abs(CAST(__c AS DECIMAL(38,0)) * n
+                 - CAST(__ca AS DECIMAL(38,0)) * __cb)""")).as("__num"),
+          F.sum(F.expr(
+            "CAST(__ca AS DECIMAL(38,0)) * __cb")).as("__sp"))
+      tot.crossJoin(F.broadcast(tv))
+        .withColumn("tv_ppm", F.expr(
+          """CAST((__num + CAST(n AS DECIMAL(38,0)) * n - __sp) * 1000000 DIV
+                 (CAST(2 AS DECIMAL(38,0)) * n * n) AS BIGINT)"""))
+        .select(
+          F.lit(a).as("a_col"), F.lit(b).as("b_col"), F.col("n"),
+          F.col("ndv_a"), F.col("ndv_b"), F.col("ndv_ab"),
+          F.expr("""CAST(CAST(ndv_a AS DECIMAL(38,0)) * 1000000
+                        DIV ndv_ab AS BIGINT)""").as("fd_ab_ppm"),
+          F.expr("""CAST(CAST(ndv_b AS DECIMAL(38,0)) * 1000000
+                        DIV ndv_ab AS BIGINT)""").as("fd_ba_ppm"),
+          F.col("tv_ppm"))
+    }
+    frames.reduce(_.unionByName(_))
+  }
 }

@@ -581,6 +581,17 @@ object ScaleDrill {
         ev.where(F.col("event_type").isin("click", "view")),
         ev.where(F.col("event_type") === "purchase"),
         "user_id", "user_id", topN = 5)),
+    // per pair one map-side-combined (a,b) groupBy; everything downstream
+    // runs on the checkpoint-cut joint table (categorical cross-size)
+    "dependency_audit (q190)" -> (ev =>
+      graft.functions.Stats.dependencyAudit(
+        ev.select(F.col("event_type"),
+          F.expr("pmod(ts_us DIV 3600000000, 24L)").as("hour_of_day"),
+          F.expr("""(CAST(round(value * 100) AS BIGINT)
+                     - pmod(CAST(round(value * 100) AS BIGINT), 500))
+                    DIV 500""").as("value_band")),
+        Seq(("event_type", "hour_of_day"), ("event_type", "value_band"),
+          ("hour_of_day", "value_band")))),
     // one map-side-combined quasi-tuple groupBy (the only corpus-sized
     // shuffle) into a <=k-row class aggregate
     "k_anonymity (q189)" -> (ev =>

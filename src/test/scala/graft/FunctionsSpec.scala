@@ -2089,4 +2089,32 @@ class FunctionsSpec extends AnyFunSuite {
           r.getAs[Long]("ratio_ppm"))).toMap
     assert(again == out)
   }
+
+  test("dependencyAudit: FD detection, independence -> tv 0, hand-computed TV, null category") {
+    // b = f(a): fd a->b exact; counts (x,p)x4, (y,q)x6
+    val fd = (Seq.fill(4)(("x", "p")) ++ Seq.fill(6)(("y", "q"))).toDF("a", "b")
+    val r1 = Stats.dependencyAudit(fd, Seq(("a", "b"))).collect().head
+    assert(r1.getAs[Long]("n") == 10L && r1.getAs[Long]("ndv_ab") == 2L)
+    assert(r1.getAs[Long]("fd_ab_ppm") == 1000000L)
+    assert(r1.getAs[Long]("fd_ba_ppm") == 1000000L) // here b determines a too
+    // hand TV: joint {.4,.6}, product {.16,.24,.24,.36} -> TV = .48
+    assert(r1.getAs[Long]("tv_ppm") == 480000L)
+    // independent uniform 2x2 -> tv exactly 0, no FD either way
+    val ind = (for { a <- Seq("x", "y"); b <- Seq("p", "q"); _ <- 1 to 5 }
+      yield (a, b)).toDF("a", "b")
+    val r2 = Stats.dependencyAudit(ind, Seq(("a", "b"))).collect().head
+    assert(r2.getAs[Long]("tv_ppm") == 0L)
+    assert(r2.getAs[Long]("ndv_ab") == 4L)
+    assert(r2.getAs[Long]("fd_ab_ppm") == 2L * 1000000L / 4L)
+    // NULL is a category: (null, p) and (null, q) are two joint cells
+    val wn = Seq((null.asInstanceOf[String], "p"), (null.asInstanceOf[String], "q"),
+      ("x", "p")).toDF("a", "b")
+    val r3 = Stats.dependencyAudit(wn, Seq(("a", "b"))).collect().head
+    assert(r3.getAs[Long]("ndv_a") == 2L && r3.getAs[Long]("ndv_ab") == 3L)
+    // multiple pairs -> one row each, labeled
+    val multi = Stats.dependencyAudit(fd.withColumn("c", F.lit("z")),
+      Seq(("a", "b"), ("a", "c"))).collect()
+    assert(multi.map(r => (r.getAs[String]("a_col"), r.getAs[String]("b_col"))).toSet ==
+      Set(("a", "b"), ("a", "c")))
+  }
 }
