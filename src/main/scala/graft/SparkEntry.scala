@@ -1546,6 +1546,24 @@ object SparkEntry {
           strCols = Seq("event_type"), k = 64)
         .orderBy("col_name")),
 
+    "q191_watermark_audit" -> ((s, dir) =>
+      // pick the watermark delay FROM the data: events flow through 8
+      // simulated ingest channels whose arrival order shuffles each
+      // 256-id block (block-padded md5 arrival key — deterministic,
+      // tie-free); the report is the lateness-band trade-off curve a
+      // watermark of delay d would drop. Bands: in-order / <=10min /
+      // <=1h / beyond
+      functions.Temporal.watermarkAudit(
+        events(s, dir).select(
+          F.pmod(F.col("event_id"), F.lit(8L)).as("channel"),
+          F.concat(
+            F.lpad(F.expr("CAST(event_id DIV 256 AS STRING)"), 10, "0"),
+            F.md5(F.col("event_id").cast("string"))).as("arrival"),
+          F.col("ts")),
+        "channel", "arrival", "ts",
+        Seq(0L, 600000000000L, 3600000000000L))
+        .orderBy("band")),
+
     "q190_dependency_audit" -> ((s, dir) =>
       // the CBO correlation pass: functional-dependency strength and
       // independence violation (total-variation mass) per column pair —
@@ -3580,6 +3598,27 @@ object SparkEntry {
                                 4611686018427387904::HUGEINT) END AS BIGINT) AS ndv_est
          FROM base LEFT JOIN s ON base.col_name = s.col_name
          ORDER BY base.col_name""",
+    "q191_watermark_audit" ->
+      """WITH e AS (SELECT event_id % 8 AS channel,
+                lpad(CAST(event_id // 256 AS VARCHAR), 10, '0')
+                  || md5(CAST(event_id AS VARCHAR)) AS arrival,
+                epoch_us(ts) * 1000 AS tsn
+              FROM events),
+         l AS (SELECT channel,
+                 max(tsn) OVER (PARTITION BY channel ORDER BY arrival
+                                ROWS UNBOUNDED PRECEDING) - tsn AS late
+               FROM e),
+         b AS (SELECT len(list_filter([0, 600000000000, 3600000000000],
+                 x -> x < late)) AS band, late FROM l),
+         g AS (SELECT band, CAST(count(*) AS BIGINT) AS n_rows,
+                 CAST(max(late) AS BIGINT) AS max_late
+               FROM b GROUP BY 1),
+         t AS (SELECT CAST(sum(n_rows) AS BIGINT) AS tot FROM g)
+         SELECT CAST(band AS BIGINT) AS band, n_rows,
+           CAST(n_rows::HUGEINT * 1000000 // greatest(t.tot, 1) AS BIGINT) AS rows_ppm,
+           max_late
+         FROM g, t ORDER BY 1""",
+
     "q190_dependency_audit" ->
       // one CTE block per pair over the shared banded base; HUGEINT
       // mirrors the DECIMAL(38,0) arithmetic; absent joint cells enter

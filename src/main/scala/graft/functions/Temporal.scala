@@ -321,4 +321,45 @@ object Temporal {
       .where(F.col(ptsCol) >= F.col(startCol) && F.col(ptsCol) <= F.col(endCol))
       .drop("__bk")
   }
+
+  /** Watermark audit — measure the corpus's actual event-time disorder
+    * so the streaming watermark delay is chosen FROM DATA rather than
+    * guessed: per key, walk events in arrival order (`arrivalCol`, e.g.
+    * an ingest-assigned id) keeping the running max of event time; each
+    * event's `lateness = running_max − ts` is how far behind the
+    * frontier it arrived (0 = in order). Report one row per lateness
+    * band (`bands` are inclusive upper bounds in tick units; band 0 is
+    * the in-order mass, the last band is everything beyond the largest
+    * bound): row count, rows_ppm, and the band's max lateness. A
+    * watermark of delay d drops exactly the mass in bands above d —
+    * this report IS that trade-off curve.
+    *
+    * Scale shape: one shuffle on the key into per-key windows (running
+    * max is a single ordered pass), then a ≤|bands|+1-key aggregate;
+    * all-integer tick arithmetic. */
+  def watermarkAudit(df: DataFrame, keyCol: String, arrivalCol: String,
+                     tsCol: String, bands: Seq[Long]): DataFrame = {
+    require(bands.nonEmpty && bands == bands.sorted,
+      s"bands must be non-empty ascending, got $bands")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(keyCol).orderBy(arrivalCol)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val bandArr = bands.mkString("array(", "L, ", "L)")
+    val late = df
+      .select(F.col(keyCol), F.col(arrivalCol),
+        F.col(tsCol).cast("long").as("__ts"))
+      .withColumn("__late", F.max("__ts").over(w) - F.col("__ts"))
+      .select(F.expr(
+        s"CAST(size(filter($bandArr, b -> b < __late)) AS BIGINT)")
+        .as("band"), F.col("__late"))
+    val byBand = late.groupBy("band")
+      .agg(F.count(F.lit(1)).as("n_rows"), F.max("__late").as("max_late"))
+      .localCheckpoint()
+    val totals = byBand.agg(F.sum("n_rows").as("__tot"))
+    byBand.crossJoin(F.broadcast(totals))
+      .withColumn("rows_ppm", F.expr(
+        """CAST(CAST(n_rows AS DECIMAL(38,0)) * 1000000
+               DIV greatest(__tot, 1L) AS BIGINT)"""))
+      .select("band", "n_rows", "rows_ppm", "max_late")
+  }
 }

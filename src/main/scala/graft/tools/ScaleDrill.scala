@@ -581,6 +581,17 @@ object ScaleDrill {
         ev.where(F.col("event_type").isin("click", "view")),
         ev.where(F.col("event_type") === "purchase"),
         "user_id", "user_id", topN = 5)),
+    // one channel-keyed shuffle into per-key ordered windows, then a
+    // <=|bands|+1-key aggregate
+    "watermark_audit (q191)" -> (ev =>
+      graft.functions.Temporal.watermarkAudit(
+        ev.select(F.pmod(F.col("event_id"), F.lit(8L)).as("channel"),
+          F.concat(
+            F.lpad(F.expr("CAST(event_id DIV 256 AS STRING)"), 10, "0"),
+            F.md5(F.col("event_id").cast("string"))).as("arrival"),
+          F.col("ts_us")),
+        "channel", "arrival", "ts_us",
+        Seq(0L, 600000000L, 3600000000L))),
     // per pair one map-side-combined (a,b) groupBy; everything downstream
     // runs on the checkpoint-cut joint table (categorical cross-size)
     "dependency_audit (q190)" -> (ev =>

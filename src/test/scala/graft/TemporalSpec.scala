@@ -340,4 +340,30 @@ class TemporalSpec extends AnyFunSuite {
     assert(mix.collect().map(_.getLong(0)).sorted
       .sameElements(again.collect().map(_.getLong(0)).sorted))
   }
+
+  test("watermarkAudit: running-frontier lateness bands, per-key isolation, ppm accounting") {
+    import spark.implicits._
+    // key A arrivals 1..5 with ts [10, 5, 20, 19, 30]:
+    // frontier [10,10,20,20,30] -> lateness [0,5,0,1,0]
+    // key B fully ordered -> all lateness 0
+    val rows = Seq(("A", 1L, 10L), ("A", 2L, 5L), ("A", 3L, 20L),
+      ("A", 4L, 19L), ("A", 5L, 30L),
+      ("B", 1L, 1L), ("B", 2L, 2L), ("B", 3L, 3L))
+    val out = graft.functions.Temporal.watermarkAudit(
+      rows.toDF("k", "arr", "ts"), "k", "arr", "ts", Seq(0L, 2L, 10L))
+      .collect().map(r => r.getAs[Long]("band") -> r).toMap
+    // band 0: lateness 0 (3 from A + 3 from B); band 1: late 1; band 2: late 5
+    assert(out.keySet == Set(0L, 1L, 2L))
+    assert(out(0L).getAs[Long]("n_rows") == 6L && out(0L).getAs[Long]("max_late") == 0L)
+    assert(out(1L).getAs[Long]("n_rows") == 1L && out(1L).getAs[Long]("max_late") == 1L)
+    assert(out(2L).getAs[Long]("n_rows") == 1L && out(2L).getAs[Long]("max_late") == 5L)
+    assert(out(0L).getAs[Long]("rows_ppm") == 6L * 1000000L / 8L)
+    assert(out.values.map(_.getAs[Long]("n_rows")).sum == 8L)
+    // partitioning/order independence of the input frame
+    val shuffled = graft.functions.Temporal.watermarkAudit(
+      rows.toDF("k", "arr", "ts").repartition(5).orderBy(F.rand(9)),
+      "k", "arr", "ts", Seq(0L, 2L, 10L))
+      .collect().map(r => r.getAs[Long]("band") -> r.getAs[Long]("n_rows")).toMap
+    assert(shuffled == out.view.mapValues(_.getAs[Long]("n_rows")).toMap)
+  }
 }
