@@ -1546,6 +1546,14 @@ object SparkEntry {
           strCols = Seq("event_type"), k = 64)
         .orderBy("col_name")),
 
+    "q192_vocab_growth" -> ((s, dir) =>
+      // Heaps'-law audit: the corpus as 10 deterministic ingest slices;
+      // a flattening new-vocabulary curve says more similar data stops
+      // buying vocabulary — the corpus-internal counterpart of q165
+      functions.Text.vocabularyGrowth(table(s, dir, "documents"),
+          "doc_id", "text", batches = 10)
+        .orderBy("batch")),
+
     "q191_watermark_audit" -> ((s, dir) =>
       // pick the watermark delay FROM the data: events flow through 8
       // simulated ingest channels whose arrival order shuffles each
@@ -3598,6 +3606,28 @@ object SparkEntry {
                                 4611686018427387904::HUGEINT) END AS BIGINT) AS ndv_est
          FROM base LEFT JOIN s ON base.col_name = s.col_name
          ORDER BY base.col_name""",
+    "q192_vocab_growth" ->
+      """WITH tk AS (SELECT ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 10 AS b,
+                unnest(list_distinct(list_filter(string_split(text, ' '), x -> x != ''))) AS t
+              FROM documents),
+         fs AS (SELECT t, min(b) AS batch FROM tk GROUP BY 1),
+         pb AS (SELECT batch, CAST(count(*) AS BIGINT) AS new_tokens FROM fs GROUP BY 1),
+         oc AS (SELECT ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 10 AS batch,
+                  CAST(sum(len(list_filter(string_split(text, ' '), x -> x != ''))) AS BIGINT) AS batch_tokens
+                FROM documents GROUP BY 1),
+         base AS (SELECT unnest(range(0, 10)) AS batch),
+         j AS (SELECT base.batch, COALESCE(pb.new_tokens, 0) AS new_tokens,
+                 COALESCE(oc.batch_tokens, 0) AS batch_tokens
+               FROM base LEFT JOIN pb ON base.batch = pb.batch
+                         LEFT JOIN oc ON base.batch = oc.batch),
+         c AS (SELECT a.batch, a.new_tokens, a.batch_tokens,
+                 CAST(sum(b.new_tokens) AS BIGINT) AS cum_vocab
+               FROM j a JOIN j b ON b.batch <= a.batch GROUP BY 1, 2, 3),
+         t AS (SELECT CAST(sum(new_tokens) AS BIGINT) AS tv FROM pb)
+         SELECT CAST(c.batch AS BIGINT) AS batch, new_tokens, batch_tokens, cum_vocab,
+           CAST(new_tokens::HUGEINT * 1000000 // greatest(t.tv, 1) AS BIGINT) AS new_ppm
+         FROM c, t ORDER BY 1""",
+
     "q191_watermark_audit" ->
       """WITH e AS (SELECT event_id % 8 AS channel,
                 lpad(CAST(event_id // 256 AS VARCHAR), 10, '0')

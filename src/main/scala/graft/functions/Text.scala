@@ -1098,4 +1098,50 @@ object Text {
         }
       }.toDF(idCol, "raw_bytes", "comp_bytes", "ratio_ppm")
   }
+
+  /** Vocabulary-growth curve (Heaps'-law audit) — the crawl-valuation
+    * report over a corpus treated as `batches` ingest slices (slice =
+    * md5-bucket of the doc id, a deterministic stand-in for arrival
+    * batches): per slice, how many DISTINCT tokens appear for the first
+    * time (`new_tokens`), the slice's total token volume, the running
+    * vocabulary size, and each slice's share of the final vocabulary.
+    * A flattening curve says additional similar data stops buying new
+    * vocabulary — the corpus-internal counterpart of q165's
+    * new-corpus-vs-base novelty probe.
+    *
+    * Scale shape: one token explode into a vocabulary-keyed `min(batch)`
+    * aggregate (the §1 gram-exchange family — shuffle volume is the
+    * distinct-token list, map-side combined), then everything downstream
+    * runs on ≤`batches` rows (the cumulative sum is a tiny triangular
+    * self-join, not a single-partition window). */
+  def vocabularyGrowth(df: org.apache.spark.sql.DataFrame, idCol: String,
+                       textCol: String,
+                       batches: Int = 10): org.apache.spark.sql.DataFrame = {
+    require(batches >= 2, s"batches must be >= 2, got $batches")
+    val bucket = graft.plans.Expressions.md5Bucket(
+      F.col(idCol).cast("string"), batches.toLong)
+    val perBatch = df
+      .select(bucket.as("__b"),
+        F.explode(F.array_distinct(tokens(F.col(textCol)))).as("__t"))
+      .groupBy("__t").agg(F.min("__b").as("batch"))
+      .groupBy("batch").agg(F.count(F.lit(1)).as("new_tokens"))
+    val occ = df.select(bucket.as("batch"), tokenCount(F.col(textCol)).as("__c"))
+      .groupBy("batch").agg(F.sum(F.col("__c").cast("long")).as("batch_tokens"))
+    val base = df.sparkSession.range(batches).select(F.col("id").as("batch"))
+    val joined = base
+      .join(perBatch, Seq("batch"), "left").na.fill(0L, Seq("new_tokens"))
+      .join(occ, Seq("batch"), "left").na.fill(0L, Seq("batch_tokens"))
+      .localCheckpoint()
+    val rhs = joined.select(F.col("batch").as("__b2"),
+      F.col("new_tokens").as("__nt2"))
+    val totals = joined.agg(F.sum("new_tokens").as("__tv"))
+    joined.join(rhs, F.col("__b2") <= F.col("batch"))
+      .groupBy("batch", "new_tokens", "batch_tokens")
+      .agg(F.sum("__nt2").as("cum_vocab"))
+      .crossJoin(F.broadcast(totals))
+      .withColumn("new_ppm", F.expr(
+        """CAST(CAST(new_tokens AS DECIMAL(38,0)) * 1000000
+               DIV greatest(__tv, 1L) AS BIGINT)"""))
+      .select("batch", "new_tokens", "batch_tokens", "cum_vocab", "new_ppm")
+  }
 }

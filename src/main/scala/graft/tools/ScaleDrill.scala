@@ -97,6 +97,13 @@ object ScaleDrill {
   /** The four pipeline shapes of the recorded bench (sans final sorts —
     * the drill times pipeline work, not output ordering). */
   def drills: Seq[(String, DataFrame => DataFrame)] = Seq(
+    // one token explode into a vocabulary-keyed min(batch) aggregate
+    // (gram-exchange family); everything downstream runs on 10 rows.
+    // NOTE the word-salted replicas grow vocabulary linearly with N,
+    // so new_tokens volume grows with the corpus by construction
+    "vocab_growth (q192)" -> (docs =>
+      graft.functions.Text.vocabularyGrowth(docs, "doc_id", "text",
+        batches = 10)),
     "minhash_sig (q36)" -> (docs =>
       Dedup.minhashSignature(docs.where(Text.tokenCount(F.col("text")) >= 3),
         "text", 3, 2).select("doc_id", "mh0", "mh1")),

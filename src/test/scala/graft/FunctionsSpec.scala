@@ -2117,4 +2117,36 @@ class FunctionsSpec extends AnyFunSuite {
     assert(multi.map(r => (r.getAs[String]("a_col"), r.getAs[String]("b_col"))).toSet ==
       Set(("a", "b"), ("a", "c")))
   }
+
+  test("vocabularyGrowth: first-seen accounting, cumulative curve, empty batches, totals") {
+    def bucket(id: Long, m: Int): Long = {
+      val h = java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(h.take(8), 16) % m
+    }
+    // build docs whose tokens we can attribute by hand via the bucket fn
+    val docs = (1L to 40L).map(i =>
+      (i, s"common tok${i % 7} extra${i}")).toDF("doc_id", "text")
+    val out = graft.functions.Text.vocabularyGrowth(docs, "doc_id", "text", batches = 4)
+      .collect().sortBy(_.getAs[Long]("batch"))
+    assert(out.map(_.getAs[Long]("batch")).toSeq == (0L to 3L))
+    // replay first-seen by hand
+    val byBatch = (1L to 40L).groupBy(bucket(_, 4))
+    val firstSeen = scala.collection.mutable.Map[String, Long]()
+    (0L to 3L).foreach { b =>
+      byBatch.getOrElse(b, Seq.empty).foreach { i =>
+        Seq("common", s"tok${i % 7}", s"extra$i").foreach { t =>
+          if (!firstSeen.contains(t)) firstSeen(t) = b } } }
+    val expNew = (0L to 3L).map(b => firstSeen.values.count(_ == b).toLong)
+    assert(out.map(_.getAs[Long]("new_tokens")).toSeq == expNew)
+    // cumulative = running sum; final cum = total vocab
+    // (1 "common" + 7 "tokN" + 40 "extraN" = 48 distinct)
+    assert(out.map(_.getAs[Long]("cum_vocab")).toSeq == expNew.scanLeft(0L)(_ + _).tail)
+    assert(out.last.getAs[Long]("cum_vocab") == 48L)
+    // batch token volume: 3 tokens per doc
+    assert(out.map(_.getAs[Long]("batch_tokens")).sum == 120L)
+    // ppm shares sum to ~1e6 (floor rounding)
+    val ppm = out.map(_.getAs[Long]("new_ppm")).sum
+    assert(ppm <= 1000000L && ppm > 999900L, s"ppm sum $ppm")
+  }
 }
