@@ -1546,6 +1546,22 @@ object SparkEntry {
           strCols = Seq("event_type"), k = 64)
         .orderBy("col_name")),
 
+    "q193_stats_drift" -> ((s, dir) => {
+      // the data-contract monitor: ANALYZE stats of the month's first
+      // half vs second half (cut at 2024-01-16T00:00Z) — null-rate
+      // jumps, NDV collapse, and range escapes surface here before they
+      // poison a training run
+      val p = events(s, dir).select(F.col("event_id"), F.col("user_id"),
+        F.col("ts"), F.round(F.col("value") * 100).cast("long")
+          .as("value_cents"), F.col("event_type"))
+      val cut = 1705363200000000000L // 2024-01-16T00:00:00Z as epoch-ns
+      functions.Scale.columnStatsDrift(
+          p.where(F.col("ts") < cut), p.where(F.col("ts") >= cut),
+          bigCols = Seq("event_id", "user_id", "ts", "value_cents"),
+          strCols = Seq("event_type"), k = 64)
+        .orderBy("col_name")
+    }),
+
     "q192_vocab_growth" -> ((s, dir) =>
       // Heaps'-law audit: the corpus as 10 deterministic ingest slices;
       // a flattening new-vocabulary curve says more similar data stops
@@ -3606,6 +3622,70 @@ object SparkEntry {
                                 4611686018427387904::HUGEINT) END AS BIGINT) AS ndv_est
          FROM base LEFT JOIN s ON base.col_name = s.col_name
          ORDER BY base.col_name""",
+    "q193_stats_drift" ->
+      // q185's stats pass replayed per half (cut at 2024-01-16T00:00Z;
+      // ns < cut == timestamp < cut since ts is exact µs), then joined
+      """WITH ua AS (
+           SELECT 'event_id' AS col_name, CAST(event_id AS BIGINT) AS bigv, NULL::VARCHAR AS strv FROM events WHERE ts < TIMESTAMP '2024-01-16 00:00:00'
+           UNION ALL SELECT 'user_id', CAST(user_id AS BIGINT), NULL FROM events WHERE ts < TIMESTAMP '2024-01-16 00:00:00'
+           UNION ALL SELECT 'ts', epoch_us(ts) * 1000, NULL FROM events WHERE ts < TIMESTAMP '2024-01-16 00:00:00'
+           UNION ALL SELECT 'value_cents', CAST(round(value * 100) AS BIGINT), NULL FROM events WHERE ts < TIMESTAMP '2024-01-16 00:00:00'
+           UNION ALL SELECT 'event_type', NULL, event_type FROM events WHERE ts < TIMESTAMP '2024-01-16 00:00:00'),
+         ub AS (
+           SELECT 'event_id' AS col_name, CAST(event_id AS BIGINT) AS bigv, NULL::VARCHAR AS strv FROM events WHERE ts >= TIMESTAMP '2024-01-16 00:00:00'
+           UNION ALL SELECT 'user_id', CAST(user_id AS BIGINT), NULL FROM events WHERE ts >= TIMESTAMP '2024-01-16 00:00:00'
+           UNION ALL SELECT 'ts', epoch_us(ts) * 1000, NULL FROM events WHERE ts >= TIMESTAMP '2024-01-16 00:00:00'
+           UNION ALL SELECT 'value_cents', CAST(round(value * 100) AS BIGINT), NULL FROM events WHERE ts >= TIMESTAMP '2024-01-16 00:00:00'
+           UNION ALL SELECT 'event_type', NULL, event_type FROM events WHERE ts >= TIMESTAMP '2024-01-16 00:00:00'),
+         ba AS (SELECT col_name, CAST(count(*) AS BIGINT) AS n_rows,
+                  CAST(sum(CASE WHEN bigv IS NULL AND strv IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+                  min(bigv) AS min_big, max(bigv) AS max_big
+                FROM ua GROUP BY 1),
+         bb AS (SELECT col_name, CAST(count(*) AS BIGINT) AS n_rows,
+                  CAST(sum(CASE WHEN bigv IS NULL AND strv IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+                  min(bigv) AS min_big, max(bigv) AS max_big
+                FROM ub GROUP BY 1),
+         ra AS (SELECT col_name, h, row_number() OVER (PARTITION BY col_name ORDER BY h) AS rn
+                FROM (SELECT DISTINCT col_name, md5(COALESCE(CAST(bigv AS VARCHAR), strv)) AS h
+                      FROM ua WHERE bigv IS NOT NULL OR strv IS NOT NULL)),
+         rb AS (SELECT col_name, h, row_number() OVER (PARTITION BY col_name ORDER BY h) AS rn
+                FROM (SELECT DISTINCT col_name, md5(COALESCE(CAST(bigv AS VARCHAR), strv)) AS h
+                      FROM ub WHERE bigv IS NOT NULL OR strv IS NOT NULL)),
+         sa AS (SELECT col_name, CAST(count(*) AS BIGINT) AS n_min, max(h) AS kth
+                FROM ra WHERE rn <= 64 GROUP BY 1),
+         sb AS (SELECT col_name, CAST(count(*) AS BIGINT) AS n_min, max(h) AS kth
+                FROM rb WHERE rn <= 64 GROUP BY 1),
+         ea AS (SELECT ba.col_name, ba.n_rows AS n_rows_a, ba.n_null AS nna,
+                  ba.min_big AS min_a, ba.max_big AS max_a,
+                  CAST(CASE WHEN sa.n_min < 64 THEN sa.n_min
+                       ELSE least(63::HUGEINT * 1152921504606846976 //
+                                  greatest(('0x' || substr(sa.kth, 1, 15))::BIGINT, 1),
+                                  4611686018427387904::HUGEINT) END AS BIGINT) AS ndv_a
+                FROM ba LEFT JOIN sa ON ba.col_name = sa.col_name),
+         eb AS (SELECT bb.col_name, bb.n_rows AS n_rows_b, bb.n_null AS nnb,
+                  bb.min_big AS min_b, bb.max_big AS max_b,
+                  CAST(CASE WHEN sb.n_min < 64 THEN sb.n_min
+                       ELSE least(63::HUGEINT * 1152921504606846976 //
+                                  greatest(('0x' || substr(sb.kth, 1, 15))::BIGINT, 1),
+                                  4611686018427387904::HUGEINT) END AS BIGINT) AS ndv_b
+                FROM bb LEFT JOIN sb ON bb.col_name = sb.col_name),
+         f AS (SELECT ea.col_name, n_rows_a, n_rows_b,
+                 CAST(n_rows_b::HUGEINT * 1000000 // greatest(n_rows_a, 1) AS BIGINT) AS rows_ratio_ppm,
+                 CAST(nna::HUGEINT * 1000000 // greatest(n_rows_a, 1) AS BIGINT) AS null_ppm_a,
+                 CAST(nnb::HUGEINT * 1000000 // greatest(n_rows_b, 1) AS BIGINT) AS null_ppm_b,
+                 ndv_a, ndv_b,
+                 CAST(ndv_b::HUGEINT * 1000000 // greatest(ndv_a, 1) AS BIGINT) AS ndv_ratio_ppm,
+                 min_a, max_a, min_b, max_b
+               FROM ea FULL JOIN eb ON ea.col_name = eb.col_name)
+         SELECT col_name, n_rows_a, n_rows_b, rows_ratio_ppm,
+           null_ppm_a, null_ppm_b,
+           CAST(null_ppm_b - null_ppm_a AS BIGINT) AS null_delta_ppm,
+           ndv_a, ndv_b, ndv_ratio_ppm, min_a, max_a, min_b, max_b,
+           CAST(CASE WHEN (min_b IS NOT NULL AND min_a IS NOT NULL AND min_b < min_a)
+                      OR (max_b IS NOT NULL AND max_a IS NOT NULL AND max_b > max_a)
+                THEN 1 ELSE 0 END AS BIGINT) AS range_widened
+         FROM f ORDER BY col_name""",
+
     "q192_vocab_growth" ->
       """WITH tk AS (SELECT ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 10 AS b,
                 unnest(list_distinct(list_filter(string_split(text, ' '), x -> x != ''))) AS t

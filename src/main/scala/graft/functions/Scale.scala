@@ -312,6 +312,53 @@ object Scale {
       .toDF("shard", "cnt", "digest_hi", "digest_lo")
   }
 
+  /** Column-stats drift between two table versions — the data-contract
+    * monitor a scheduled pipeline runs between yesterday's and today's
+    * snapshot (or two halves of a backfill): [[tableColumnStats]] on each
+    * side joined per column, reporting row-count ratio, null-rate delta,
+    * NDV ratio, and whether the value range widened. A violated contract
+    * (null rate jumping, NDV collapsing, range escaping its envelope) is
+    * how upstream schema/semantic breaks surface before they poison a
+    * training run. All-integer: ratios are non-negative ppm divisions,
+    * the null-rate delta is a plain signed difference (no signed
+    * division crosses the engines).
+    *
+    * Scale shape: two q185 passes (one tagged-explode scan each, bounded
+    * sketches) joined on |cols| rows. */
+  def columnStatsDrift(a: DataFrame, b: DataFrame, bigCols: Seq[String],
+                       strCols: Seq[String], k: Int = 64): DataFrame = {
+    val sa = tableColumnStats(a, bigCols, strCols, k)
+      .select(F.col("col_name"), F.col("n_rows").as("n_rows_a"),
+        F.col("n_null").as("__nna"), F.col("min_big").as("min_a"),
+        F.col("max_big").as("max_a"), F.col("ndv_est").as("ndv_a"))
+    val sb = tableColumnStats(b, bigCols, strCols, k)
+      .select(F.col("col_name"), F.col("n_rows").as("n_rows_b"),
+        F.col("n_null").as("__nnb"), F.col("min_big").as("min_b"),
+        F.col("max_big").as("max_b"), F.col("ndv_est").as("ndv_b"))
+    sa.join(sb, Seq("col_name"), "full")
+      .withColumn("rows_ratio_ppm", F.expr(
+        """CAST(CAST(n_rows_b AS DECIMAL(38,0)) * 1000000
+               DIV greatest(n_rows_a, 1L) AS BIGINT)"""))
+      .withColumn("null_ppm_a", F.expr(
+        """CAST(CAST(__nna AS DECIMAL(38,0)) * 1000000
+               DIV greatest(n_rows_a, 1L) AS BIGINT)"""))
+      .withColumn("null_ppm_b", F.expr(
+        """CAST(CAST(__nnb AS DECIMAL(38,0)) * 1000000
+               DIV greatest(n_rows_b, 1L) AS BIGINT)"""))
+      .withColumn("null_delta_ppm", F.expr("null_ppm_b - null_ppm_a"))
+      .withColumn("ndv_ratio_ppm", F.expr(
+        """CAST(CAST(ndv_b AS DECIMAL(38,0)) * 1000000
+               DIV greatest(ndv_a, 1L) AS BIGINT)"""))
+      .withColumn("range_widened", F.expr(
+        """CAST(CASE WHEN (min_b IS NOT NULL AND min_a IS NOT NULL AND min_b < min_a)
+                      OR (max_b IS NOT NULL AND max_a IS NOT NULL AND max_b > max_a)
+                THEN 1 ELSE 0 END AS BIGINT)"""))
+      .select("col_name", "n_rows_a", "n_rows_b", "rows_ratio_ppm",
+        "null_ppm_a", "null_ppm_b", "null_delta_ppm",
+        "ndv_a", "ndv_b", "ndv_ratio_ppm",
+        "min_a", "max_a", "min_b", "max_b", "range_widened")
+  }
+
   def bloomSemiJoin(big: DataFrame, small: DataFrame, bigKey: String,
                     smallKey: String, fpp: Double = 0.03): DataFrame = {
     import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}

@@ -588,6 +588,17 @@ object ScaleDrill {
         ev.where(F.col("event_type").isin("click", "view")),
         ev.where(F.col("event_type") === "purchase"),
         "user_id", "user_id", topN = 5)),
+    // two q185 tagged-explode passes (bounded sketches) joined on 5 rows
+    "stats_drift (q193)" -> { ev =>
+      val p = ev.select(F.col("event_id"), F.col("user_id"), F.col("ts_us"),
+        F.round(F.col("value") * 100).cast("long").as("value_cents"),
+        F.col("event_type"))
+      Scale.columnStatsDrift(
+        p.where(F.pmod(F.col("event_id"), F.lit(2L)) === 0L),
+        p.where(F.pmod(F.col("event_id"), F.lit(2L)) === 1L),
+        bigCols = Seq("event_id", "user_id", "ts_us", "value_cents"),
+        strCols = Seq("event_type"), k = 64)
+    },
     // one channel-keyed shuffle into per-key ordered windows, then a
     // <=|bands|+1-key aggregate
     "watermark_audit (q191)" -> (ev =>

@@ -786,4 +786,34 @@ class ScaleSpec extends AnyFunSuite {
     assert(!plan.contains("ObjectHashAggregate") && !plan.contains("collect_list"),
       s"unbounded aggregation buffer in plan:\n$plan")
   }
+
+  test("columnStatsDrift: row ratio, null-rate delta, NDV collapse, range escape") {
+    val a = (1L to 100L).map(i => (Some(i), s"cat${i % 4}")).toDF("num", "cat")
+    // version b: half the rows, 10 nulls, range escapes above, categories collapse
+    val b = ((1L to 40L).map(i => (Some(i * 3), s"cat${i % 2}")) ++
+      (1 to 10).map(_ => (None: Option[Long], "cat0"))).toDF("num", "cat")
+    val out = Scale.columnStatsDrift(a, b, Seq("num"), Seq("cat"), k = 256)
+      .collect().map(r => r.getAs[String]("col_name") -> r).toMap
+    val n = out("num")
+    assert(n.getAs[Long]("n_rows_a") == 100L && n.getAs[Long]("n_rows_b") == 50L)
+    assert(n.getAs[Long]("rows_ratio_ppm") == 500000L)
+    assert(n.getAs[Long]("null_ppm_a") == 0L)
+    assert(n.getAs[Long]("null_ppm_b") == 10L * 1000000L / 50L)
+    assert(n.getAs[Long]("null_delta_ppm") == 200000L)
+    assert(n.getAs[Long]("ndv_a") == 100L && n.getAs[Long]("ndv_b") == 40L)
+    assert(n.getAs[Long]("ndv_ratio_ppm") == 400000L)
+    assert(n.getAs[Long]("max_b") == 120L && n.getAs[Long]("range_widened") == 1L)
+    val c = out("cat")
+    assert(c.getAs[Long]("ndv_a") == 4L && c.getAs[Long]("ndv_b") == 2L)
+    assert(c.getAs[Long]("ndv_ratio_ppm") == 500000L)
+    // string columns carry no numeric range: never flags widening
+    assert(c.getAs[Long]("range_widened") == 0L)
+    // identical versions -> neutral report
+    val same = Scale.columnStatsDrift(a, a, Seq("num"), Seq("cat"), k = 256)
+      .collect().map(r => r.getAs[String]("col_name") -> r).toMap
+    assert(same("num").getAs[Long]("rows_ratio_ppm") == 1000000L)
+    assert(same("num").getAs[Long]("null_delta_ppm") == 0L)
+    assert(same("num").getAs[Long]("ndv_ratio_ppm") == 1000000L)
+    assert(same("num").getAs[Long]("range_widened") == 0L)
+  }
 }
