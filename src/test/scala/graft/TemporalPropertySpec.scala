@@ -243,4 +243,24 @@ object TemporalPropertySpec extends Properties("TemporalOps") {
       }
       out == expected
     }
+
+  private val kvGen = for {
+    k <- Gen.choose(0L, 2L)
+    v <- Gen.choose(0L, 15L)   // heavy collisions: values repeat a lot
+  } yield (k, s"v$v")
+
+  property("distinct-heap TopKPerKey agrees with distinct+sort+take on arbitrary duplicated input") =
+    Prop.forAll(Gen.listOfN(60, kvGen), Gen.choose(1, 6)) { (rows, k) =>
+      import spark.implicits._
+      val df = rows.toDF("k", "v").repartition(5)
+      val got = graft.plans.TopK.topKPerKey(df, Seq("k"), "v",
+          desc = false, tieBreak = Nil, k = k, distinct = true)
+        .collect().map(r => (r.getAs[Long]("k"), r.getAs[String]("v")))
+        .groupBy(_._1).view.mapValues(_.map(_._2).sorted.toList).toMap
+      val want = rows.groupBy(_._1).map { case (key, rs) =>
+        key -> rs.map(_._2).distinct.sorted.take(k).toList
+      }
+      got == want
+    }
+
 }
