@@ -1546,6 +1546,15 @@ object SparkEntry {
           strCols = Seq("event_type"), k = 64)
         .orderBy("col_name")),
 
+    "q194_embedding_outliers" -> ((s, dir) =>
+      // the index pre-flight: top-10 vectors by summed per-dimension
+      // robust z (|x - median| / MAD in ppm, capped at 10 MADs per dim);
+      // rank statistics shrug off the outliers being hunted, and the
+      // d-long stats ride into the scan as a broadcast model
+      functions.Similarity.robustOutliers(
+          table(s, dir, "embeddings"), "vec_id", "embedding", topN = 10)
+        .orderBy(F.col("score").desc, F.col("vec_id"))),
+
     "q193_stats_drift" -> ((s, dir) => {
       // the data-contract monitor: ANALYZE stats of the month's first
       // half vs second half (cut at 2024-01-16T00:00Z) — null-rate
@@ -3622,6 +3631,30 @@ object SparkEntry {
                                 4611686018427387904::HUGEINT) END AS BIGINT) AS ndv_est
          FROM base LEFT JOIN s ON base.col_name = s.col_name
          ORDER BY base.col_name""",
+    "q194_embedding_outliers" ->
+      // q178's median/MAD tier extended with the per-vector z-sum; the
+      // doubled/quadrupled ppm scales keep every quantile midpoint
+      // integral, HUGEINT widens the x1e6 step, ties cut on vec_id
+      """WITH q AS (SELECT vec_id,
+               list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT) * 2) AS q2
+             FROM embeddings WHERE embedding IS NOT NULL),
+         c AS (SELECT vec_id, i - 1 AS pos, q2[i] AS q2
+               FROM (SELECT vec_id, q2, unnest(generate_series(1, len(q2))) AS i FROM q)),
+         m AS (SELECT pos, CAST(quantile_cont(q2, 0.5) AS BIGINT) AS med2
+               FROM c GROUP BY 1),
+         dv AS (SELECT c.pos, abs(c.q2 - m.med2) * 2 AS dev4
+                FROM c JOIN m USING (pos)),
+         mad AS (SELECT pos, CAST(quantile_cont(dev4, 0.5) AS BIGINT) AS mad4
+                 FROM dv GROUP BY 1),
+         z AS (SELECT c.vec_id,
+                 least(CAST(abs(c.q2 - m.med2)::HUGEINT * 2 * 1000000
+                            // greatest(mad.mad4, 1) AS BIGINT),
+                       10000000) AS zp
+               FROM c JOIN m USING (pos) JOIN mad USING (pos)),
+         sc AS (SELECT vec_id, CAST(sum(zp) AS BIGINT) AS score FROM z GROUP BY 1)
+         SELECT CAST(vec_id AS BIGINT) AS vec_id, score
+         FROM sc ORDER BY score DESC, vec_id LIMIT 10""",
+
     "q193_stats_drift" ->
       // q185's stats pass replayed per half (cut at 2024-01-16T00:00Z;
       // ns < cut == timestamp < cut since ts is exact µs), then joined

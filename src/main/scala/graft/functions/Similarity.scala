@@ -501,6 +501,48 @@ object Similarity {
       .agg(F.percentile(F.col("__dev4"), F.lit(0.5)).cast("long").as("mad_ppm4"))
   }
 
+  /** Robust embedding outlier audit — flag corrupt, degenerate, or
+    * out-of-distribution vectors before they poison an index or a
+    * training mix: per dimension, the corpus median and MAD (the
+    * [[dimensionRobustStats]] tier — rank statistics shrug off the very
+    * outliers being hunted, unlike mean/variance); per vector, the sum
+    * of per-dimension robust z-scores in ppm
+    * (`|x−median| / MAD`, capped at `capPpm` so one dead dimension with
+    * MAD≈0 can't saturate the score alone); output the `topN` highest
+    * scores. All-integer in the q178 doubled/quadrupled-ppm scales, so
+    * the face oracles cell-exact.
+    *
+    * Scale shape: the stats tier is q178's (posexplode into d-keyed
+    * percentile aggregates); the d-long median/MAD arrays then ride into
+    * the scan as a broadcast model (the q182 train-small/apply-everywhere
+    * shape) — one codegen'd fold per vector, and the only corpus-sized
+    * exchange is the bounded TopK heap (≤ topN·partitions rows). */
+  def robustOutliers(df: DataFrame, idCol: String, embCol: String,
+                     topN: Int = 10, capPpm: Long = 10000000L): DataFrame = {
+    require(topN > 0 && capPpm > 0)
+    val model = dimensionRobustStats(df, embCol)
+      .agg(F.sort_array(F.collect_list(
+        F.struct(F.col("pos"), F.col("med_ppm2"), F.col("mad_ppm4")))).as("__s"))
+      .select(F.expr("transform(__s, x -> x.med_ppm2)").as("__med2"),
+        F.expr("transform(__s, x -> x.mad_ppm4)").as("__mad4"))
+      .localCheckpoint()
+    val scored = df.where(F.col(embCol).isNotNull)
+      .select(F.col(idCol), F.col(embCol).as("__e"))
+      .crossJoin(F.broadcast(model))
+      .withColumn("score", F.expr(
+        s"""aggregate(sequence(1, size(__med2)), 0L, (acc, i) ->
+              acc + least(
+                CAST(CAST(abs(CAST(round(CAST(element_at(__e, i) AS DOUBLE)
+                                         * 1000000) AS BIGINT) * 2
+                              - element_at(__med2, i)) * 2 AS DECIMAL(38,0))
+                     * 1000000 DIV greatest(element_at(__mad4, i), 1L)
+                     AS BIGINT),
+                ${capPpm}L))"""))
+      .select(F.col(idCol), F.col("score"))
+    graft.plans.TopK.topKPerKey(scored, Nil, "score",
+      desc = true, tieBreak = Seq(idCol), k = topN)
+  }
+
   /** Int8 quantization of an embedding column — the storage-shrink step a
     * 100 TB vector corpus runs before indexing (4× smaller payloads,
     * integer-SIMD dot products). Per-vector symmetric scale `127 / max|x|`;

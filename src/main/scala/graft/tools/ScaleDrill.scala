@@ -440,6 +440,10 @@ object ScaleDrill {
     // point past memory scale, with the curve below pinning row-linearity
     "embedding_robust_stats (q178)" -> (emb =>
       Similarity.dimensionRobustStats(emb, "embedding")),
+    // stats tier = q178; the apply tier is a broadcast-model fold per
+    // vector with the bounded TopK heap as the only corpus-sized exchange
+    "embedding_outliers (q194)" -> (emb =>
+      Similarity.robustOutliers(emb, "vec_id", "embedding", topN = 10)),
     // the corpus-scale work is the q176 moment pass (row-linear, O(d²)
     // corpus-free shuffle); the driver-side eigensolve is K·d² integer
     // ops whatever the corpus — the row pins that the whole operator

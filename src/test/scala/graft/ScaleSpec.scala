@@ -816,4 +816,44 @@ class ScaleSpec extends AnyFunSuite {
     assert(same("num").getAs[Long]("ndv_ratio_ppm") == 1000000L)
     assert(same("num").getAs[Long]("range_widened") == 0L)
   }
+
+  test("robustOutliers: brute-force replay of median/MAD z-scores, cap on dead dims, topN cut") {
+    import graft.functions.Similarity
+    // dim 0 has spread (MAD > 0); dim 1 is constant except the outlier
+    // (MAD 0 -> that dim's contribution must CAP, not saturate)
+    val vecs: Map[Long, Seq[Double]] =
+      ((1L to 9L).map(i => i -> Seq(i * 0.001, 0.5)) :+ (10L -> Seq(1.0, 0.9))).toMap
+    val cap = 10000000L
+    def med(xs: Seq[Long]): Long = {
+      val s = xs.sorted; val n = s.size
+      if (n % 2 == 1) s(n / 2) else (s(n / 2 - 1) + s(n / 2)) / 2
+    }
+    val d = 2
+    val q2 = vecs.view.mapValues(_.map(x => Math.round(x * 1e6) * 2L)).toMap
+    val expected = vecs.keys.map { id =>
+      id -> (0 until d).map { p =>
+        val col = q2.values.map(_(p)).toSeq
+        val m = med(col)
+        val mad4 = med(col.map(v => (v - m).abs * 2L))
+        math.min((BigInt((q2(id)(p) - m).abs * 2L) * 1000000 /
+          BigInt(math.max(mad4, 1L))).toLong, cap)
+      }.sum
+    }.toMap
+    val df = vecs.toSeq.map { case (id, v) => (id, v.map(_.toFloat).toArray) }
+      .toDF("vec_id", "embedding")
+    val got = Similarity.robustOutliers(df, "vec_id", "embedding", topN = 3)
+      .collect().map(r => r.getAs[Long]("vec_id") -> r.getAs[Long]("score")).toMap
+    // topN = 3 highest expected scores (desc, id tiebreak)
+    val want = expected.toSeq.sortBy { case (id, sc) => (-sc, id) }.take(3).toMap
+    assert(got == want, s"got $got want $want")
+    assert(got.contains(10L)) // the planted outlier survives
+    // the dead dim contributes exactly the cap for the outlier
+    val outlierDim1 = {
+      val col = q2.values.map(_(1)).toSeq
+      val m = med(col); val mad4 = med(col.map(v => (v - m).abs * 2L))
+      assert(mad4 == 0L, s"dim 1 should be MAD-0, got $mad4")
+      cap
+    }
+    assert(expected(10L) >= outlierDim1)
+  }
 }
