@@ -322,6 +322,27 @@ object Temporal {
       .drop("__bk")
   }
 
+  /** Streaming face of [[watermarkAudit]]: the per-channel event-time
+    * frontier lives in the state store; each batch's arrivals fold
+    * through it (sorted by the arrival key within the batch) and emit
+    * (channel, arrival, lateness) rows — the same lateness the batch
+    * audit assigns, incrementally. See
+    * [[graft.streaming.StateStoreRunner.WatermarkAuditProcessor]]. */
+  def streamingLateness(stream: DataFrame, keyCol: String,
+                        arrivalCol: String, tsCol: String): DataFrame = {
+    val spark = stream.sparkSession
+    import spark.implicits._
+    stream.select(F.col(keyCol).cast("string"),
+        F.col(arrivalCol).cast("string"), F.col(tsCol).cast("long"))
+      .as[(String, String, Long)]
+      .groupByKey(_._1)
+      .transformWithState(
+        new graft.streaming.StateStoreRunner.WatermarkAuditProcessor,
+        org.apache.spark.sql.streaming.TimeMode.None(),
+        org.apache.spark.sql.streaming.OutputMode.Update())
+      .toDF(keyCol, arrivalCol, "lateness")
+  }
+
   /** Watermark audit — measure the corpus's actual event-time disorder
     * so the streaming watermark delay is chosen FROM DATA rather than
     * guessed: per key, walk events in arrival order (`arrivalCol`, e.g.

@@ -219,6 +219,36 @@ object StateStoreRunner {
     }
   }
 
+  /** Streaming event-time frontier / lateness monitor PER CHANNEL — the
+    * live face of `Temporal.watermarkAudit`: state is the channel's
+    * running event-time frontier (max ts seen); each batch sorts its
+    * arrivals by the arrival key (so intra-batch order matches the batch
+    * face's total order), folds them through the frontier, and emits one
+    * row per arrival with its lateness — a monitoring stream aggregates
+    * these into the same band report the batch audit computes, and the
+    * running numbers agree with the batch face over everything arrived
+    * (spec-pinned; holds whenever the stream delivers arrivals in
+    * arrival-key order across batches, which is what "arrival" means). */
+  class WatermarkAuditProcessor
+    extends StatefulProcessor[String, (String, String, Long), (String, String, Long)] {
+    @transient private var frontier: org.apache.spark.sql.streaming.ValueState[Long] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      frontier = getHandle.getValueState[Long]("frontier",
+        Encoders.scalaLong, TTLConfig.NONE)
+
+    override def handleInputRows(key: String, rows: Iterator[(String, String, Long)],
+                                 timerValues: TimerValues): Iterator[(String, String, Long)] = {
+      var f = if (frontier.exists()) frontier.get() else Long.MinValue
+      val out = rows.toVector.sortBy(_._2).map { case (_, arr, ts) =>
+        f = math.max(f, ts)
+        (key, arr, f - ts)
+      }
+      frontier.update(f)
+      out.iterator
+    }
+  }
+
   /** Streaming heavy hitters: a Misra-Gries sketch PER KEY in the state
     * store — the incremental face of `Scale.heavyHitters`. State is the
     * sketch's ≤ k counters (+ the running total), bounded regardless of

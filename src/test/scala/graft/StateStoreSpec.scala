@@ -103,6 +103,36 @@ class StateStoreSpec extends AnyFunSuite {
     assert(got == expected, s"streaming digest diverged:\ngot $got\nwant $expected")
   }
 
+  test("streaming lateness: per-arrival lateness equals the batch watermark-audit assignment") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(String, String, Long)]
+    val out = graft.functions.Temporal.streamingLateness(
+      input.toDS().toDF("ch", "arr", "ts"), "ch", "arr", "ts")
+    val q = out.writeStream.outputMode("update").format("memory")
+      .queryName("latestream").trigger(Trigger.ProcessingTime(0L)).start()
+    // arrival keys a01..: batch 2 continues the arrival order of batch 1
+    val batch1 = Seq(("A", "a01", 10L), ("A", "a02", 5L), ("A", "a03", 20L),
+      ("B", "a01", 7L))
+    val batch2 = Seq(("A", "a04", 19L), ("A", "a05", 30L), ("B", "a02", 3L))
+    input.addData(batch1: _*)
+    q.processAllAvailable()
+    input.addData(batch2: _*)
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("latestream").as[(String, String, Long)]
+      .collect().map(r => (r._1, r._2) -> r._3).toMap
+    // batch-face reference over ALL rows (single frame, same arrival order)
+    val all = (batch1 ++ batch2).toDF("ch", "arr", "ts")
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("ch")
+      .orderBy("arr").rowsBetween(Long.MinValue, 0)
+    val ref = all.withColumn("late", F.max("ts").over(w) - F.col("ts"))
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getAs[Long]("late")).toMap
+    assert(got == ref, s"streaming lateness diverged:\ngot $got\nref $ref")
+    // the A frontier survived the batch boundary: a04 is 1 behind a03's 20
+    assert(got(("A", "a04")) == 1L)
+  }
+
   test("kill/restart replay: RocksDB word count survives and hash-matches the MapState path") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
