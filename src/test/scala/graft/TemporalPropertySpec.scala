@@ -263,4 +263,58 @@ object TemporalPropertySpec extends Properties("TemporalOps") {
       got == want
     }
 
+
+  private val digestRowGen = for {
+    id <- Gen.choose(1L, 40L)
+    p <- Gen.choose(0L, 9L)
+  } yield (id, s"p$p")
+
+  property("digestManifest is slice-additive and partition-independent on arbitrary inputs") =
+    Prop.forAll(Gen.listOfN(30, digestRowGen), Gen.listOfN(30, digestRowGen)) { (ra, rb) =>
+      import spark.implicits._
+      def m(rows: Seq[(Long, String)], parts: Int): Map[Long, (Long, BigInt)] =
+        graft.functions.Scale.digestManifest(
+            rows.toDF("id", "s").repartition(parts), "id", Seq("id", "s"), 4)
+          .collect().map(r => r.getAs[Long]("shard") ->
+            (r.getAs[Long]("cnt"),
+              BigInt(r.getAs[Long]("digest_hi")) * BigInt(2).pow(60) +
+                r.getAs[Long]("digest_lo"))).toMap
+      val ma = m(ra, 3)
+      val mb = m(rb, 5)
+      val mu = m(ra ++ rb, 2)
+      val additive = (ma.keySet ++ mb.keySet).forall { k =>
+        val (c1, d1) = ma.getOrElse(k, (0L, BigInt(0)))
+        val (c2, d2) = mb.getOrElse(k, (0L, BigInt(0)))
+        mu.getOrElse(k, (0L, BigInt(0))) == (c1 + c2, d1 + d2)
+      }
+      additive && mu.values.map(_._1).sum == (ra.size + rb.size).toLong
+    }
+
+  private val latenessRowGen = for {
+    ch <- Gen.choose(0L, 1L)
+    arr <- Gen.choose(10L, 99L)
+    ts <- Gen.choose(0L, 50L)
+  } yield (ch, arr, ts)
+
+  property("watermarkAudit agrees with a brute-force frontier walk on arbitrary inputs") =
+    Prop.forAll(Gen.listOfN(25, latenessRowGen), Gen.choose(1L, 20L)) { (rows0, band1) =>
+      import spark.implicits._
+      // arrival keys must be tie-free per channel (the operator's contract)
+      val rows = rows0.groupBy(r => (r._1, r._2)).values.map(_.head).toSeq
+      val bands = Seq(0L, band1)
+      val got = graft.functions.Temporal.watermarkAudit(
+          rows.toDF("ch", "arr", "ts").repartition(4), "ch", "arr", "ts", bands)
+        .collect().map(r => r.getAs[Long]("band") ->
+          (r.getAs[Long]("n_rows"), r.getAs[Long]("max_late"))).toMap
+      val lates = rows.groupBy(_._1).values.flatMap { chRows =>
+        var f = Long.MinValue
+        chRows.sortBy(_._2).map { case (_, _, ts) =>
+          f = math.max(f, ts); f - ts
+        }
+      }.toSeq
+      val want = lates.groupBy(l => bands.count(_ < l).toLong)
+        .view.mapValues(ls => (ls.size.toLong, ls.max)).toMap
+      got == want
+    }
+
 }
