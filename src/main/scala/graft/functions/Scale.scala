@@ -804,9 +804,12 @@ object Scale {
     val model = sampled
       .agg(F.sort_array(F.collect_list("__key")).as("__sk"),
         F.count(F.lit(1)).as("n_samp"))
+      // try_element_at: an EMPTY input (nothing non-null to sample) yields
+      // all-null boundaries and a degenerate-but-valid plan instead of an
+      // ANSI INVALID_ARRAY_INDEX crash
       .withColumn("__bs", F.expr(
         s"""transform(sequence(1, ${buckets - 1}),
-              i -> element_at(__sk, greatest(1, CAST((i * n_samp) DIV $buckets AS INT))))"""))
+              i -> try_element_at(__sk, greatest(1, CAST((i * n_samp) DIV $buckets AS INT))))"""))
       .localCheckpoint()
     val counts = keyed.crossJoin(F.broadcast(model.select("__bs")))
       .withColumn("bucket",
@@ -820,9 +823,9 @@ object Scale {
       .withColumn("bucket", F.col("__b").cast("long"))
       .join(counts, Seq("bucket"), "left").na.fill(0L, Seq("cnt"))
       .crossJoin(F.broadcast(totals))
-      .withColumn("lo", F.expr(s"CASE WHEN __b > 0 THEN element_at(__bs, __b) END"))
+      .withColumn("lo", F.expr(s"CASE WHEN __b > 0 THEN try_element_at(__bs, __b) END"))
       .withColumn("hi", F.expr(
-        s"CASE WHEN __b < ${buckets - 1} THEN element_at(__bs, __b + 1) END"))
+        s"CASE WHEN __b < ${buckets - 1} THEN try_element_at(__bs, __b + 1) END"))
       .withColumn("share_ppm", F.expr(
         """CAST(CAST(cnt AS DECIMAL(38,0)) * 1000000
                DIV greatest(n_total, 1L) AS BIGINT)"""))

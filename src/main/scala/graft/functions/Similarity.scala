@@ -510,7 +510,9 @@ object Similarity {
     * (`|x−median| / MAD`, capped at `capPpm` so one dead dimension with
     * MAD≈0 can't saturate the score alone); output the `topN` highest
     * scores. All-integer in the q178 doubled/quadrupled-ppm scales, so
-    * the face oracles cell-exact.
+    * the face oracles cell-exact. Vectors must share one dimensionality
+    * (the corpus contract every embedding table already has) — a shorter
+    * vector would fault on the model fold.
     *
     * Scale shape: the stats tier is q178's (posexplode into d-keyed
     * percentile aggregates); the d-long median/MAD arrays then ride into

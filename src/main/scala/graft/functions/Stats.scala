@@ -194,10 +194,12 @@ object Stats {
         .select(
           F.lit(a).as("a_col"), F.lit(b).as("b_col"), F.col("n"),
           F.col("ndv_a"), F.col("ndv_b"), F.col("ndv_ab"),
+          // greatest-guard: an empty input pair has ndv_ab = 0 and must
+          // degrade to a null-ish row, not an ANSI divide-by-zero
           F.expr("""CAST(CAST(ndv_a AS DECIMAL(38,0)) * 1000000
-                        DIV ndv_ab AS BIGINT)""").as("fd_ab_ppm"),
+                        DIV greatest(ndv_ab, 1L) AS BIGINT)""").as("fd_ab_ppm"),
           F.expr("""CAST(CAST(ndv_b AS DECIMAL(38,0)) * 1000000
-                        DIV ndv_ab AS BIGINT)""").as("fd_ba_ppm"),
+                        DIV greatest(ndv_ab, 1L) AS BIGINT)""").as("fd_ba_ppm"),
           F.col("tv_ppm"))
     }
     frames.reduce(_.unionByName(_))

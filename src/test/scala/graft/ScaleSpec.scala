@@ -729,6 +729,16 @@ class ScaleSpec extends AnyFunSuite {
     assert(sk.count(_.getAs[Long]("cnt") == 0L) >= 2,
       sk.map(r => (r.getAs[Long]("bucket"), r.getAs[Long]("cnt"))).mkString(","))
     assert(sk.map(_.getAs[Long]("cnt")).sum == 99L)
+    // empty input (nothing non-null to sample): degenerate-but-valid plan,
+    // all buckets present with zero counts and null boundaries — no ANSI
+    // array-index crash
+    val empty = Scale.rangePartitionPlan(
+      Seq((Option.empty[Long], 1L)).toDF("k", "id").where(F.col("k").isNotNull),
+      "k", "id", buckets = 4, k = 8).collect()
+    assert(empty.map(_.getAs[Long]("bucket")).toSeq == (0L to 3L))
+    assert(empty.forall(r => r.getAs[Long]("cnt") == 0L))
+    assert(empty.forall(r => r.isNullAt(r.fieldIndex("lo")) ||
+      r.getAs[Long]("bucket") == 0L))
   }
 
   test("tableColumnStats: per-column counts/min-max/NDV exact below k, null accounting") {
