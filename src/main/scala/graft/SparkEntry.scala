@@ -1546,6 +1546,14 @@ object SparkEntry {
           strCols = Seq("event_type"), k = 64)
         .orderBy("col_name")),
 
+    "q195_dup_token_mass" -> ((s, dir) =>
+      // the corpus-accounting headline: per source, the token mass locked
+      // in exact-duplicate docs beyond each text's corpus-wide first copy
+      // — the number that justifies (or not) the dedup pass
+      functions.Dedup.dupTokenMass(table(s, dir, "documents"),
+          "doc_id", "text", "source")
+        .orderBy("source")),
+
     "q194_embedding_outliers" -> ((s, dir) =>
       // the index pre-flight: top-10 vectors by summed per-dimension
       // robust z (|x - median| / MAD in ppm, capped at 10 MADs per dim);
@@ -3631,6 +3639,23 @@ object SparkEntry {
                                 4611686018427387904::HUGEINT) END AS BIGINT) AS ndv_est
          FROM base LEFT JOIN s ON base.col_name = s.col_name
          ORDER BY base.col_name""",
+    "q195_dup_token_mass" ->
+      """WITH b AS (SELECT source, doc_id, md5(text) AS h,
+                CAST(len(list_filter(string_split(text, ' '), x -> x != '')) AS BIGINT) AS c
+              FROM documents WHERE text IS NOT NULL),
+         f AS (SELECT h, min(doc_id) AS first_id FROM b GROUP BY 1),
+         j AS (SELECT b.source, b.c,
+                 CASE WHEN b.doc_id != f.first_id THEN 1 ELSE 0 END AS dup
+               FROM b JOIN f ON b.h = f.h),
+         g AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+                 CAST(sum(dup) AS BIGINT) AS n_dup_docs,
+                 CAST(sum(c) AS BIGINT) AS tokens_total,
+                 CAST(sum(dup * c) AS BIGINT) AS tokens_dup
+               FROM j GROUP BY 1)
+         SELECT source, n_docs, n_dup_docs, tokens_total, tokens_dup,
+           CAST(tokens_dup::HUGEINT * 1000000 // greatest(tokens_total, 1) AS BIGINT) AS dup_token_ppm
+         FROM g ORDER BY 1""",
+
     "q194_embedding_outliers" ->
       // q178's median/MAD tier extended with the per-vector z-sum; the
       // doubled/quadrupled ppm scales keep every quantile midpoint

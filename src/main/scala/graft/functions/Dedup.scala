@@ -1073,4 +1073,40 @@ object Dedup {
       .dropDuplicatesWithinWatermark(fp)
       .drop(fp)
   }
+
+  /** Duplicate token mass — the headline corpus-accounting statistic
+    * ("X% of the crawl is duplicate mass"): per source, how many tokens
+    * sit in EXACT-duplicate documents beyond each text's first copy
+    * (first = lowest id CORPUS-WIDE, so a source that re-crawls another
+    * source's pages carries the waste, not the origin). Reports docs,
+    * duplicate docs, total/duplicate token counts, and duplicate-token
+    * ppm — the number that decides whether exact dedup is worth a pass
+    * before the expensive near-dup tiers.
+    *
+    * Scale shape: one scan hashing text and counting tokens in the scan
+    * stage; the only corpus-sized exchange is the md5-keyed min-id
+    * aggregate (map-side combined, one row per distinct text) joined
+    * back on the hash (co-partitioned); the per-source report is a
+    * |sources|-key aggregate. */
+  def dupTokenMass(df: DataFrame, idCol: String, textCol: String,
+                   srcCol: String): DataFrame = {
+    val base = df.where(F.col(textCol).isNotNull)
+      .select(F.col(srcCol).as("source"), F.col(idCol).cast("long").as("__id"),
+        F.md5(F.col(textCol)).as("__h"),
+        graft.functions.Text.tokenCount(F.col(textCol)).cast("long").as("__c"))
+    val first = base.groupBy("__h").agg(F.min("__id").as("__first"))
+    base.join(first, Seq("__h"))
+      .withColumn("__dup", F.when(F.col("__id") =!= F.col("__first"), 1L)
+        .otherwise(0L))
+      .groupBy("source")
+      .agg(F.count(F.lit(1)).as("n_docs"),
+        F.sum("__dup").as("n_dup_docs"),
+        F.sum("__c").as("tokens_total"),
+        F.sum(F.expr("__dup * __c")).as("tokens_dup"))
+      .withColumn("dup_token_ppm", F.expr(
+        """CAST(CAST(tokens_dup AS DECIMAL(38,0)) * 1000000
+               DIV greatest(tokens_total, 1L) AS BIGINT)"""))
+      .select("source", "n_docs", "n_dup_docs", "tokens_total",
+        "tokens_dup", "dup_token_ppm")
+  }
 }

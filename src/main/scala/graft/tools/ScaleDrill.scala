@@ -104,6 +104,10 @@ object ScaleDrill {
     "vocab_growth (q192)" -> (docs =>
       graft.functions.Text.vocabularyGrowth(docs, "doc_id", "text",
         batches = 10)),
+    // one scan (hash + token count in the scan stage), one md5-keyed
+    // min-id aggregate joined back co-partitioned, |sources|-key report
+    "dup_token_mass (q195)" -> (docs =>
+      graft.functions.Dedup.dupTokenMass(docs, "doc_id", "text", "source")),
     "minhash_sig (q36)" -> (docs =>
       Dedup.minhashSignature(docs.where(Text.tokenCount(F.col("text")) >= 3),
         "text", 3, 2).select("doc_id", "mh0", "mh1")),

@@ -2149,4 +2149,32 @@ class FunctionsSpec extends AnyFunSuite {
     val ppm = out.map(_.getAs[Long]("new_ppm")).sum
     assert(ppm <= 1000000L && ppm > 999900L, s"ppm sum $ppm")
   }
+
+  test("dupTokenMass: corpus-wide first-copy attribution, per-source waste accounting") {
+    // src A owns the originals (low ids); src B re-crawls two of them and
+    // adds one unique doc; a duplicate WITHIN A counts against A
+    val docs = Seq(
+      (1L, "alpha beta gamma", "A"),     // 3 tokens, original
+      (2L, "delta epsilon", "A"),        // 2 tokens, original
+      (3L, "alpha beta gamma", "A"),     // dup of 1 -> A's waste (3 tokens)
+      (10L, "alpha beta gamma", "B"),    // dup of 1 -> B's waste (3)
+      (11L, "delta epsilon", "B"),       // dup of 2 -> B's waste (2)
+      (12L, "zeta", "B"))                // unique
+      .toDF("doc_id", "text", "source")
+    val out = graft.functions.Dedup.dupTokenMass(docs, "doc_id", "text", "source")
+      .collect().map(r => r.getAs[String]("source") -> r).toMap
+    val a = out("A")
+    assert(a.getAs[Long]("n_docs") == 3L && a.getAs[Long]("n_dup_docs") == 1L)
+    assert(a.getAs[Long]("tokens_total") == 8L && a.getAs[Long]("tokens_dup") == 3L)
+    assert(a.getAs[Long]("dup_token_ppm") == 3L * 1000000L / 8L)
+    val b = out("B")
+    assert(b.getAs[Long]("n_docs") == 3L && b.getAs[Long]("n_dup_docs") == 2L)
+    assert(b.getAs[Long]("tokens_total") == 6L && b.getAs[Long]("tokens_dup") == 5L)
+    assert(b.getAs[Long]("dup_token_ppm") == 5L * 1000000L / 6L)
+    // order independence: first copy is by ID, not arrival
+    val shuffled = graft.functions.Dedup.dupTokenMass(
+      docs.orderBy(F.rand(3)).repartition(4), "doc_id", "text", "source")
+      .collect().map(r => r.getAs[String]("source") -> r.toSeq).toMap
+    assert(shuffled == out.view.mapValues(_.toSeq).toMap)
+  }
 }
