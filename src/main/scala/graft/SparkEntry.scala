@@ -1739,9 +1739,12 @@ object SparkEntry {
       // integer-ppm pairwise co-moments of the embedding corpus — the
       // moments MERGE across corpus slices (they just add), which is the
       // 100 TB accumulation property; covariance derives downstream as
-      // (n·sum_prod − sum_i·sum_j)/(n²·1e12)
+      // (n·sum_prod − sum_i·sum_j)/(n²·1e12). The operator emits
+      // sum_prod as DECIMAL(38,0) (mergeable headroom); this sf-sized
+      // face owns the BIGINT cast for the oracle compare.
       functions.Similarity.coMomentMatrix(
           table(s, dir, "embeddings"), "embedding")
+        .withColumn("sum_prod", F.col("sum_prod").cast("long"))
         .orderBy("i", "j")),
 
     "q175_pii_redact" -> ((s, dir) => {

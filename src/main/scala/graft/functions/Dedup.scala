@@ -1090,8 +1090,13 @@ object Dedup {
     * |sources|-key aggregate. */
   def dupTokenMass(df: DataFrame, idCol: String, textCol: String,
                    srcCol: String): DataFrame = {
+    // "first copy" = lowest id in the id's NATURAL order — no long cast:
+    // a string-keyed corpus under CAST(id AS BIGINT) yields null ids,
+    // every __id =!= __first compares null, and the report silently
+    // claims zero duplicate mass. Raw-typed min keeps string corpora
+    // correct (first = lexicographic min, a policy choice, not a bug).
     val base = df.where(F.col(textCol).isNotNull)
-      .select(F.col(srcCol).as("source"), F.col(idCol).cast("long").as("__id"),
+      .select(F.col(srcCol).as("source"), F.col(idCol).as("__id"),
         F.md5(F.col(textCol)).as("__h"),
         graft.functions.Text.tokenCount(F.col(textCol)).cast("long").as("__c"))
     val first = base.groupBy("__h").agg(F.min("__id").as("__first"))

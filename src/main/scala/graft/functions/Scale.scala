@@ -620,7 +620,14 @@ object Scale {
     *
     * Per-key products stay in BIGINT (a single key with >3e9 rows on BOTH
     * sides overflows — but that join's 9e18-row output is already
-    * unrunnable; ANSI mode fails loudly rather than wrapping). */
+    * unrunnable; ANSI mode fails loudly rather than wrapping). The
+    * CROSS-KEY total `rows_out = Σ contrib` is NOT so bounded — many
+    * mid-sized keys can sum past BIGINT even when every per-key product
+    * fits — so it accumulates through DECIMAL(38,0) like the other
+    * corpus-scale numerators; `salt_rec`/`contrib_ppm` divide the
+    * decimal, and the emitted BIGINT `rows_out` saturates at Long.Max
+    * (a forecast pinned at the ceiling reads as "do not run this join"
+    * rather than an ANSI abort of the pre-flight itself). */
   def joinSkewForecast(left: DataFrame, right: DataFrame,
                        leftKey: String, rightKey: String,
                        topN: Int = 5): DataFrame = {
@@ -631,18 +638,21 @@ object Scale {
     val joined = cl.join(cr, Seq("key"))
       .withColumn("contrib", F.expr("c_left * c_right"))
     val totals = joined.agg(
-      F.sum("contrib").as("rows_out"),
+      F.sum(F.expr("CAST(contrib AS DECIMAL(38,0))")).as("__ro"),
       F.count(F.lit(1)).as("n_shared_keys"),
       F.max("contrib").as("max_contrib"))
+      .withColumn("rows_out", F.expr(
+        """CAST(least(__ro, CAST(9223372036854775807 AS DECIMAL(38,0)))
+               AS BIGINT)"""))
       .withColumn("salt_rec", F.expr(
         """CAST(greatest(CAST(1 AS DECIMAL(38,0)),
                  CAST(max_contrib AS DECIMAL(38,0)) * n_shared_keys
-                 DIV greatest(rows_out, 1L)) AS BIGINT)"""))
+                 DIV greatest(__ro, CAST(1 AS DECIMAL(38,0)))) AS BIGINT)"""))
     joined.orderBy(F.col("contrib").desc, F.col("key")).limit(topN)
       .crossJoin(F.broadcast(totals))
       .withColumn("contrib_ppm", F.expr(
         """CAST(CAST(contrib AS DECIMAL(38,0)) * 1000000
-               DIV greatest(rows_out, 1L) AS BIGINT)"""))
+               DIV greatest(__ro, CAST(1 AS DECIMAL(38,0))) AS BIGINT)"""))
       .select("key", "c_left", "c_right", "contrib", "contrib_ppm",
         "rows_out", "n_shared_keys", "max_contrib", "salt_rec")
   }
@@ -682,7 +692,12 @@ object Scale {
   }
 
   /** [[digestProjection]] with the id retained — (shard, __id, __h), the
-    * row-level tier [[copyRepairPlan]] diffs on. */
+    * row-level tier [[copyRepairPlan]] diffs on. The id is carried as
+    * its RAW string rendering (the exact value `md5Bucket` sharded on),
+    * never cast through long: a non-numeric or zero-padded id under a
+    * long cast yields null or a different string, so the diff's join
+    * keys would never match and the recomputed shard would disagree
+    * with the manifest tier. */
   private def digestRowProjection(df: DataFrame, idCol: String,
                                   cols: Seq[String], shards: Int): DataFrame = {
     require(cols.nonEmpty, "no columns given")
@@ -692,7 +707,7 @@ object Scale {
     df.select(
       graft.plans.Expressions.md5Bucket(F.col(idCol).cast("string"),
         shards.toLong).as("shard"),
-      F.col(idCol).cast("long").as("__id"),
+      F.col(idCol).cast("string").as("__id"),
       F.conv(F.substring(F.md5(F.concat_ws("\u0001", canon: _*)), 1, 15),
         16, 10).cast("long").as("__h"))
   }
@@ -728,14 +743,15 @@ object Scale {
       .localCheckpoint()
     val s = digestRowProjection(src, idCol, cols, shards)
       .join(F.broadcast(bad.select("shard")), Seq("shard"))
-      .select(F.col("__id"), F.col("__h").as("__hs"))
+      .select(F.col("shard").as("__ss"), F.col("__id"), F.col("__h").as("__hs"))
     val d = digestRowProjection(dst, idCol, cols, shards)
       .join(F.broadcast(bad.select("shard")), Seq("shard"))
-      .select(F.col("__id"), F.col("__h").as("__hd"))
+      .select(F.col("shard").as("__sd"), F.col("__id"), F.col("__h").as("__hd"))
+    // carry the shard each side was bucketed under (they agree — same
+    // md5Bucket over the same raw id) instead of recomputing it here
     val diff = s.join(d, Seq("__id"), "full")
       .select(
-        graft.plans.Expressions.md5Bucket(F.col("__id").cast("string"),
-          shards.toLong).as("shard"),
+        F.coalesce(F.col("__ss"), F.col("__sd")).as("shard"),
         F.when(F.col("__hd").isNull, 1L).otherwise(0L).as("__miss"),
         F.when(F.col("__hs").isNull, 1L).otherwise(0L).as("__extra"),
         F.when(F.col("__hs").isNotNull && F.col("__hd").isNotNull &&

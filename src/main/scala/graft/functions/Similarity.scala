@@ -366,9 +366,11 @@ object Similarity {
     * moves d(d+1)/2 partial aggregates per partition — map-side combine
     * makes the shuffle O(d²), corpus-size-free. The per-pair products
     * (≤1e12 for unit-normalized inputs) sum through DECIMAL(38,0), so
-    * the accumulator has ~1e26 rows of headroom (a plain BIGINT sum
-    * overflows past ~9.2e6 worst-case rows); the sf-sized face casts the
-    * result back to BIGINT for the oracle compare. */
+    * the accumulator has ~1e26 rows of headroom — and `sum_prod` is
+    * EMITTED as DECIMAL(38,0) so that headroom survives the operator
+    * boundary (an in-operator BIGINT cast would cap it at ~9.2e6
+    * worst-case rows, contradicting the mergeable-at-100TB story);
+    * sf-sized oracle-facing callers cast to BIGINT themselves. */
   def coMomentMatrix(df: DataFrame, embCol: String): DataFrame =
     df.where(F.col(embCol).isNotNull)
       .select(F.transform(F.col(embCol),
@@ -380,7 +382,7 @@ object Similarity {
       .groupBy(F.col("i").cast("long").as("i"), F.col("j").cast("long").as("j"))
       .agg(F.count(F.lit(1)).as("n"),
         F.sum((F.col("qi") * F.col("qj")).cast("decimal(38,0)"))
-          .cast("long").as("sum_prod"),
+          .as("sum_prod"),
         F.sum("qi").as("sum_i"),
         F.sum("qj").as("sum_j"))
 
@@ -417,7 +419,8 @@ object Similarity {
     moments.foreach { r =>
       val (i, j) = (r.getLong(0).toInt, r.getLong(1).toInt)
       val n = BigInt(r.getLong(2))
-      val c = n * BigInt(r.getLong(3)) -
+      // sum_prod arrives as DECIMAL(38,0) — read it wide, never getLong
+      val c = n * BigInt(r.getDecimal(3).toBigInteger) -
         BigInt(r.getLong(4)) * BigInt(r.getLong(5))
       val g = c.signum * (c.abs / (n * n))
       gram(i)(j) = g; gram(j)(i) = g

@@ -327,20 +327,43 @@ object Temporal {
     * through it (sorted by the arrival key within the batch) and emit
     * (channel, arrival, lateness) rows — the same lateness the batch
     * audit assigns, incrementally. See
-    * [[graft.streaming.StateStoreRunner.WatermarkAuditProcessor]]. */
+    * [[graft.streaming.StateStoreRunner.WatermarkAuditProcessor]].
+    *
+    * The intra-batch fold sorts by the arrival key in the SAME total
+    * order the batch face's `orderBy(arrivalCol)` uses: integral /
+    * date / timestamp arrival columns route through a Long-keyed
+    * processor (numeric order — 9 before 10, not "10" before "9");
+    * everything else sorts as a string, which equals the batch order
+    * only when the column's lexicographic order IS its logical order
+    * (e.g. zero-padded ids — the caller's contract for string keys). */
   def streamingLateness(stream: DataFrame, keyCol: String,
                         arrivalCol: String, tsCol: String): DataFrame = {
     val spark = stream.sparkSession
     import spark.implicits._
-    stream.select(F.col(keyCol).cast("string"),
-        F.col(arrivalCol).cast("string"), F.col(tsCol).cast("long"))
-      .as[(String, String, Long)]
-      .groupByKey(_._1)
-      .transformWithState(
-        new graft.streaming.StateStoreRunner.WatermarkAuditProcessor,
-        org.apache.spark.sql.streaming.TimeMode.None(),
-        org.apache.spark.sql.streaming.OutputMode.Update())
-      .toDF(keyCol, arrivalCol, "lateness")
+    import org.apache.spark.sql.types._
+    val tm = org.apache.spark.sql.streaming.TimeMode.None()
+    val om = org.apache.spark.sql.streaming.OutputMode.Update()
+    stream.schema(arrivalCol).dataType match {
+      case _: ByteType | _: ShortType | _: IntegerType | _: LongType |
+           _: DateType | _: TimestampType | _: TimestampNTZType =>
+        stream.select(F.col(keyCol).cast("string"),
+            F.col(arrivalCol).cast("long"), F.col(tsCol).cast("long"))
+          .as[(String, Long, Long)]
+          .groupByKey(_._1)
+          .transformWithState(
+            new graft.streaming.StateStoreRunner.WatermarkAuditProcessor[Long],
+            tm, om)
+          .toDF(keyCol, arrivalCol, "lateness")
+      case _ =>
+        stream.select(F.col(keyCol).cast("string"),
+            F.col(arrivalCol).cast("string"), F.col(tsCol).cast("long"))
+          .as[(String, String, Long)]
+          .groupByKey(_._1)
+          .transformWithState(
+            new graft.streaming.StateStoreRunner.WatermarkAuditProcessor[String],
+            tm, om)
+          .toDF(keyCol, arrivalCol, "lateness")
+    }
   }
 
   /** Watermark audit — measure the corpus's actual event-time disorder

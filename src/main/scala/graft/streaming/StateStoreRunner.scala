@@ -228,17 +228,25 @@ object StateStoreRunner {
     * these into the same band report the batch audit computes, and the
     * running numbers agree with the batch face over everything arrived
     * (spec-pinned; holds whenever the stream delivers arrivals in
-    * arrival-key order across batches, which is what "arrival" means). */
-  class WatermarkAuditProcessor
-    extends StatefulProcessor[String, (String, String, Long), (String, String, Long)] {
+    * arrival-key order across batches, which is what "arrival" means).
+    *
+    * Generic in the arrival-key type `A` so the intra-batch sort runs in
+    * the key's NATURAL order — the same total order the batch face's
+    * `orderBy(arrivalCol)` uses. A numeric arrival key (the usual
+    * ingest-assigned id) goes through `A = Long`; routing it through the
+    * string face would sort "10" before "9" and emit lateness values the
+    * batch audit never assigns. [[graft.functions.Temporal.streamingLateness]]
+    * picks the face from the column's type. */
+  class WatermarkAuditProcessor[A: Ordering]
+    extends StatefulProcessor[String, (String, A, Long), (String, A, Long)] {
     @transient private var frontier: org.apache.spark.sql.streaming.ValueState[Long] = _
 
     override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
       frontier = getHandle.getValueState[Long]("frontier",
         Encoders.scalaLong, TTLConfig.NONE)
 
-    override def handleInputRows(key: String, rows: Iterator[(String, String, Long)],
-                                 timerValues: TimerValues): Iterator[(String, String, Long)] = {
+    override def handleInputRows(key: String, rows: Iterator[(String, A, Long)],
+                                 timerValues: TimerValues): Iterator[(String, A, Long)] = {
       var f = if (frontier.exists()) frontier.get() else Long.MinValue
       val out = rows.toVector.sortBy(_._2).map { case (_, arr, ts) =>
         f = math.max(f, ts)

@@ -2177,4 +2177,22 @@ class FunctionsSpec extends AnyFunSuite {
       .collect().map(r => r.getAs[String]("source") -> r.toSeq).toMap
     assert(shuffled == out.view.mapValues(_.toSeq).toMap)
   }
+
+  test("dupTokenMass: string doc ids keep their natural order — no silent zero-duplicate report") {
+    // non-numeric ids cast-to-long are null; the old min-over-cast made
+    // every __id =!= __first comparison null and reported ZERO dup mass.
+    // Raw-typed min: first copy = lexicographic-min id.
+    val docs = Seq(
+      ("crawl/a", "alpha beta gamma", "A"),  // first copy (lexicographic)
+      ("crawl/b", "alpha beta gamma", "B"),  // dup -> B's waste, 3 tokens
+      ("crawl/c", "delta", "B"))             // unique
+      .toDF("doc_id", "text", "source")
+    val out = graft.functions.Dedup.dupTokenMass(docs, "doc_id", "text", "source")
+      .collect().map(r => r.getAs[String]("source") -> r).toMap
+    assert(out("A").getAs[Long]("n_dup_docs") == 0L)
+    assert(out("A").getAs[Long]("tokens_dup") == 0L)
+    assert(out("B").getAs[Long]("n_dup_docs") == 1L)
+    assert(out("B").getAs[Long]("tokens_dup") == 3L)
+    assert(out("B").getAs[Long]("dup_token_ppm") == 3L * 1000000L / 4L)
+  }
 }

@@ -404,6 +404,7 @@ class ScaleSpec extends AnyFunSuite {
       (1L, Array(0.1f, -0.2f, 0.3f)),
       (2L, Array(0.0f, 0.5f, -0.1f))).toDF("vec_id", "embedding")
     val out = Similarity.coMomentMatrix(emb, "embedding")
+      .withColumn("sum_prod", $"sum_prod".cast("long")) // DECIMAL(38,0) face
       .orderBy("i", "j")
       .as[(Long, Long, Long, Long, Long, Long)].collect()
     assert(out.length == 6) // d(d+1)/2 upper-triangle pairs for d=3
@@ -423,6 +424,7 @@ class ScaleSpec extends AnyFunSuite {
     val merged = half1.unionByName(half2).groupBy("i", "j")
       .agg(F.sum("n").as("n"), F.sum("sum_prod").as("sum_prod"),
         F.sum("sum_i").as("sum_i"), F.sum("sum_j").as("sum_j"))
+      .withColumn("sum_prod", $"sum_prod".cast("long"))
       .orderBy("i", "j")
       .as[(Long, Long, Long, Long, Long, Long)].collect()
     assert(merged.toSeq == out.toSeq)
@@ -672,6 +674,33 @@ class ScaleSpec extends AnyFunSuite {
       (1L to 100L).count(shardOf(_, 4) == sMiss).toLong)
     // an identical copy produces an EMPTY plan (no shard reaches the row tier)
     assert(Scale.copyRepairPlan(src, src.orderBy(F.rand(3)), "id",
+      Seq("id", "s"), shards = 4).count() == 0L)
+  }
+
+  test("copyRepairPlan: string ids (non-numeric, zero-padded) diff on the raw id and land on the manifest's shards") {
+    def shardOf(id: String, shards: Int): Long =
+      java.lang.Long.parseLong(
+        java.security.MessageDigest.getInstance("MD5").digest(id.getBytes("UTF-8"))
+          .map("%02x".format(_)).mkString.take(8), 16) % shards
+    // zero-padded ids ("doc-007") would cast-to-long as null: under the
+    // old long-cast diff every row counted both missing AND extra and
+    // the recomputed shard disagreed with the manifest tier
+    val src = (1 to 60).map(i => (f"doc-$i%03d", s"payload$i")).toDF("id", "s")
+    val copy = ((1 to 60).filter(_ != 7).map(i =>
+        (f"doc-$i%03d", if (i == 21) "CORRUPT" else s"payload$i")) :+ ("ghost-id", "ghost"))
+      .toDF("id", "s")
+    val out = Scale.copyRepairPlan(src, copy, "id", Seq("id", "s"), shards = 4)
+      .collect().map(r => r.getAs[Long]("shard") -> r).toMap
+    val touched = Seq("doc-007", "doc-021", "ghost-id").map(shardOf(_, 4)).toSet
+    assert(out.keySet == touched, s"shards ${out.keySet} vs expected $touched")
+    assert(out.values.map(_.getAs[Long]("n_missing")).sum == 1L)
+    assert(out.values.map(_.getAs[Long]("n_extra")).sum == 1L)
+    assert(out.values.map(_.getAs[Long]("n_changed")).sum == 1L)
+    assert(out(shardOf("doc-007", 4)).getAs[Long]("n_missing") == 1L)
+    assert(out(shardOf("doc-021", 4)).getAs[Long]("n_changed") == 1L)
+    assert(out(shardOf("ghost-id", 4)).getAs[Long]("n_extra") == 1L)
+    // identical string-keyed copy: clean
+    assert(Scale.copyRepairPlan(src, src.orderBy(F.rand(7)), "id",
       Seq("id", "s"), shards = 4).count() == 0L)
   }
 

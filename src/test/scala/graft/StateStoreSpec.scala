@@ -133,6 +133,34 @@ class StateStoreSpec extends AnyFunSuite {
     assert(got(("A", "a04")) == 1L)
   }
 
+  test("streaming lateness: NUMERIC arrival keys fold in numeric order (9 before 10), matching the batch face") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(String, Long, Long)]
+    val out = graft.functions.Temporal.streamingLateness(
+      input.toDS().toDF("ch", "arr", "ts"), "ch", "arr", "ts")
+    val q = out.writeStream.outputMode("update").format("memory")
+      .queryName("latestream_num").trigger(Trigger.ProcessingTime(0L)).start()
+    // arrivals 8..11 in ONE batch: lexicographic order would fold 10,11
+    // BEFORE 8,9 ("10" < "8") and assign arrival 9 a lateness of 21
+    // (behind 10's frontier 30) — numeric order assigns 11 (behind 8's
+    // 20), which is what the batch face's natural orderBy computes
+    val batch = Seq(("A", 8L, 20L), ("A", 9L, 9L), ("A", 10L, 30L),
+      ("A", 11L, 25L))
+    input.addData(batch: _*)
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("latestream_num").as[(String, Long, Long)]
+      .collect().map(r => (r._1, r._2) -> r._3).toMap
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("ch")
+      .orderBy("arr").rowsBetween(Long.MinValue, 0)
+    val ref = batch.toDF("ch", "arr", "ts")
+      .withColumn("late", F.max("ts").over(w) - F.col("ts"))
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getAs[Long]("late")).toMap
+    assert(got == ref, s"numeric-arrival lateness diverged:\ngot $got\nref $ref")
+    assert(got(("A", 9L)) == 11L) // the lexicographic fold would say 21
+  }
+
   test("kill/restart replay: RocksDB word count survives and hash-matches the MapState path") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
