@@ -80,12 +80,20 @@ object Bench {
     // queries by 2.6-15x that way. The min of 2 reps is robust to any
     // transient that doesn't span both, while keeping suite wall time ~2x.
     val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "2").toInt.max(1)
+    // Adaptive third rep (VERDICT r9 #2): min-of-2 back-to-back reps let
+    // ONE degraded window stretch hit both reps of a contiguous run of
+    // queries (r9 driver artifact: q75-q80 inflated 2.7-8.3x on untouched
+    // code). Entries whose best rep still exceeds this threshold get one
+    // extra rep — the heavy ~40 entries become min-of-3 for ~60s of suite
+    // time, while the sub-500ms majority stays at 2 reps.
+    val extraRepMs =
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_EXTRA_REP_MS", "500").toInt
     val results = benchQueries.toSeq.sortBy(_._1).map { case (name, fn) =>
       // (elapsed, succeeded) per rep: a rep that THROWS fast (transient
       // I/O, stage kill) must not win the min over a rep that actually
       // completed — only all-reps-failed falls back to raw elapsed, and
       // the stderr failure line marks the entry as broken either way.
-      val times = (1 to reps).map { _ =>
+      def rep(): (Double, Boolean) = {
         val t0 = System.nanoTime()
         val ok =
           try { fn(spark, sfDir).queryExecution.toRdd.count(); true }
@@ -95,9 +103,21 @@ object Bench {
           }
         ((System.nanoTime() - t0) / 1e9, ok)
       }
+      val base = (1 to reps).map(_ => rep())
+      val needExtra = reps > 1 &&
+        base.collect { case (t, true) => t }
+          .minOption.forall(_ * 1000 >= extraRepMs)
+      val times = if (needExtra) base :+ rep() else base
       val succeeded = times.collect { case (t, true) => t }
       name -> (if (succeeded.nonEmpty) succeeded.min else times.map(_._1).min)
     }
+    // Self-normalizing denominator (VERDICT r9 #1): run the DuckDB oracle
+    // suite back-to-back IN THIS WINDOW, so every bench artifact carries
+    // its own 2x-gate ratio. calib (a pure-codegen probe) can't see the
+    // I/O/load contention that inflated the r9 driver window 39% vs the
+    // builder's same-suite run — a same-window DuckDB pair can.
+    val batchTotal = results.map(_._2).sum
+    val oracleNote = oraclePair(sfDir, benchQueries.keySet, batchTotal)
     // streaming topology drills (the reference's headline metric is
     // streaming tuples/sec — stderr carries the throughput figures). Kept
     // OUT of "value"/"queries": the oracle runs the same SQL as "queries",
@@ -138,7 +158,7 @@ object Bench {
       } catch { case _: Throwable => None }
     val degraded = prevCalib.exists(b => calib > 1.3 * b)
     val json = BenchFormat.fullJson(results, streaming, calib, reps,
-      degraded, warmNote, sfDir)
+      degraded, warmNote, sfDir, oracleNote)
     // Durable full-fidelity artifact FIRST: r4-r6 driver artifacts were
     // "parsed": null because async executor logs flushed after the JSON
     // println and pushed it out of the driver's tail window. The file
@@ -170,7 +190,7 @@ object Bench {
       System.err.println(s"[bench] $selfTarget write failed: ${e.getMessage}")
     }
     val stdoutJson = BenchFormat.stdoutLine(results, streaming, calib, reps,
-      degraded, warmNote, sfDir)
+      degraded, warmNote, sfDir, oracleNote)
     // stop() joins all executor/streaming threads — after it returns nothing
     // else logs, so the JSON println below is the absolute last stdout line.
     spark.stop()
@@ -218,6 +238,62 @@ object Bench {
       // it was the one stack still landing next to the JSON line in r7
       "org.apache.spark.util.Utils"
     ).foreach(Configurator.setLevel(_, Level.OFF))
+  }
+
+  /** Same-window DuckDB oracle pair (VERDICT r9 #1): dump the bench
+    * queries' oracle SQL and run `tools/oracle_bench.py` (driver-side
+    * python3 + duckdb) immediately after the timed Spark loop, returning
+    * a pre-rendered `"duck_total":..,"duck_n":..,"ratio":..,` JSON
+    * fragment — or "" when the harness is unavailable (no python/duckdb,
+    * script missing) or disabled via SPARK_GRAFT_BENCH_ORACLE=0. The
+    * subprocess's stdout is captured to OUR stderr: nothing may print to
+    * stdout after the bench JSON line, and nothing extra before it
+    * matters either way. */
+  private def oraclePair(sfDir: String, benchNames: Set[String],
+                         sparkTotal: Double): String = {
+    if (sys.env.get("SPARK_GRAFT_BENCH_ORACLE").contains("0")) return ""
+    try {
+      val script = java.nio.file.Paths.get("tools/oracle_bench.py")
+      if (!java.nio.file.Files.exists(script)) {
+        System.err.println("[bench] tools/oracle_bench.py not found — no in-window oracle pair")
+        return ""
+      }
+      val sql = SparkEntry.oracleSql.view.filterKeys(benchNames).toMap
+      val tmp = java.nio.file.Files.createTempFile("bench_oracle_sql", ".json")
+      java.nio.file.Files.write(tmp,
+        graft.util.JsonText.obj(sql).getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      val out = new StringBuilder
+      val logger = scala.sys.process.ProcessLogger(
+        line => { out.append(line).append('\n'); System.err.println(s"[oracle] $line") },
+        line => System.err.println(s"[oracle] $line"))
+      val t0 = System.nanoTime()
+      val rc = scala.sys.process.Process(
+        Seq("python3", script.toString, sfDir, tmp.toString)).!(logger)
+      java.nio.file.Files.deleteIfExists(tmp)
+      if (rc != 0) {
+        System.err.println(s"[bench] oracle_bench.py exited $rc — no in-window pair")
+        return ""
+      }
+      // the script's last line is {"metric":"oracle_total","value":...,"n":...}
+      val last = out.toString.linesIterator.toSeq.reverse
+        .find(_.contains("\"oracle_total\"")).getOrElse("")
+      val duck = """"value":\s*([0-9.eE+-]+)""".r.findFirstMatchIn(last).map(_.group(1).toDouble)
+      val n = """"n":\s*([0-9]+)""".r.findFirstMatchIn(last).map(_.group(1).toInt)
+      (duck, n) match {
+        case (Some(d), Some(nn)) if d > 0.0 =>
+          val ratio = sparkTotal / d
+          System.err.println(
+            f"[bench] same-window pair: spark $sparkTotal%.2fs vs duckdb $d%.2fs = $ratio%.2fx " +
+            f"($nn oracle entries, ${(System.nanoTime() - t0) / 1e9}%.1fs oracle wall)")
+          s""""duck_total":${BenchFormat.ms(d)},"duck_n":$nn,"ratio":${BenchFormat.ms(ratio)},"""
+        case _ =>
+          System.err.println("[bench] oracle_bench.py output unparseable — no in-window pair")
+          ""
+      }
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] in-window oracle pair failed: ${e.getMessage}")
+      ""
+    }
   }
 
   /** Constant synthetic workload (no input data): 10M-row range → xxhash64 →

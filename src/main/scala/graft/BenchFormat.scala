@@ -36,19 +36,23 @@ object BenchFormat {
   private def degradedNote(degraded: Boolean): String =
     if (degraded) """"degraded":true,""" else ""
 
+  /** `oracleNote` is the pre-rendered same-window DuckDB pair fragment
+    * (`"duck_total":..,"duck_n":..,"ratio":..,` or "") — it rides next to
+    * the warm note in EVERY tier, so even the deepest fold still carries
+    * the artifact's own 2x-gate denominator. */
   def fullJson(results: Seq[(String, Double)], streaming: Seq[(String, Double)],
       calib: Double, reps: Int, degraded: Boolean, warmNote: String,
-      sfDir: String): String = {
+      sfDir: String, oracleNote: String = ""): String = {
     val qs = results.map { case (k, v) => "\"" + k + "\":" + ms(v) }
       .mkString("{", ",", "}")
     val st = streaming.map { case (k, v) => "\"" + k + "\":" + us(v) }
       .mkString("{", ",", "}")
-    s"""{"metric":"total","value":${ms(results.map(_._2).sum)},"unit":"sec","calib":${ms(calib)},"reps":$reps,${degradedNote(degraded)}$warmNote"queries":$qs,"streaming":$st,"sf":"$sfDir"}"""
+    s"""{"metric":"total","value":${ms(results.map(_._2).sum)},"unit":"sec","calib":${ms(calib)},"reps":$reps,${degradedNote(degraded)}$warmNote$oracleNote"queries":$qs,"streaming":$st,"sf":"$sfDir"}"""
   }
 
   def stdoutLine(results: Seq[(String, Double)], streaming: Seq[(String, Double)],
       calib: Double, reps: Int, degraded: Boolean, warmNote: String,
-      sfDir: String): String = {
+      sfDir: String, oracleNote: String = ""): String = {
     val total = results.map(_._2).sum
     val dn = degradedNote(degraded)
     val stC = streaming.map { case (k, v) =>
@@ -60,11 +64,11 @@ object BenchFormat {
         .mkString("{", ",", "}")
       val foldNote = if (fast.isEmpty) ""
         else s""""q_folded_below_ms":$foldBelowMs,"q_folded_n":${fast.size},"q_folded_ms":${math.round(fast.map(_._2).sum * 1000)},"""
-      s"""{"metric":"total","value":${ms(total)},"unit":"sec","calib":${ms(calib)},"reps":$reps,$dn$warmNote"qunit":"ms",$foldNote"names":"BENCH_SELF.json","queries":$q,"streaming":$stC,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${ms(total)},"unit":"sec","calib":${ms(calib)},"reps":$reps,$dn$warmNote$oracleNote"qunit":"ms",$foldNote"names":"BENCH_SELF.json","queries":$q,"streaming":$stC,"sf":"$sfDir"}"""
     }
-    (fullJson(results, streaming, calib, reps, degraded, warmNote, sfDir) +:
+    (fullJson(results, streaming, calib, reps, degraded, warmNote, sfDir, oracleNote) +:
       Seq(0L, 25L, 50L, 100L, 250L, 1000L).map(compactLine) :+
-      s"""{"metric":"total","value":${ms(total)},"unit":"sec","calib":${ms(calib)},"reps":$reps,$dn$warmNote"queries":"see BENCH_SELF.json","streaming":$stC,"sf":"$sfDir"}""")
+      s"""{"metric":"total","value":${ms(total)},"unit":"sec","calib":${ms(calib)},"reps":$reps,$dn$warmNote$oracleNote"queries":"see BENCH_SELF.json","streaming":$stC,"sf":"$sfDir"}""")
       .find(_.length <= Budget)
       .getOrElse(s"""{"metric":"total","value":${ms(total)},"unit":"sec","sf":"$sfDir"}""")
   }

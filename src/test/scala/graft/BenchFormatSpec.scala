@@ -76,6 +76,24 @@ class BenchFormatSpec extends AnyFunSuite {
     }
   }
 
+  test("same-window oracle pair note survives every tier, line still fits") {
+    val note = """"duck_total":76.830,"duck_n":195,"ratio":1.060,"""
+    import org.json4s._
+    implicit val fmts: Formats = DefaultFormats
+    for (n <- Seq(8, 175, 3000)) {
+      val line = BenchFormat.stdoutLine(suite(n, if (n > 600) 9.9 else 0.4),
+        streaming, calib = 0.1, reps = 2, degraded = false,
+        """"warm":"none",""", "/sf", note)
+      assert(line.length <= BenchFormat.Budget, s"n=$n len ${line.length}")
+      val j = parse(line)
+      assert((j \ "duck_total").extract[Double] == 76.83, s"n=$n")
+      assert((j \ "ratio").extract[Double] == 1.06, s"n=$n")
+    }
+    val full = parse(BenchFormat.fullJson(suite(10, 0.4), streaming,
+      0.1, 2, false, """"warm":"none",""", "/sf", note))
+    assert((full \ "duck_n").extract[Long] == 195L)
+  }
+
   test("fullJson carries every name at full precision (the BENCH_SELF face)") {
     val j = parse(BenchFormat.fullJson(suite(175, 0.41), streaming,
       0.114, 2, degraded = false, """"warm":"none",""", "/sf"))
