@@ -276,9 +276,19 @@ object Scale {
     * lossless by the q181 merge identity, so the running estimate always
     * equals what the batch face would compute over everything that has
     * arrived. Emits (group, n_min, kth_60, est) in update mode. See
-    * [[graft.streaming.StateStoreRunner.KmvSketchProcessor]]. */
+    * [[graft.streaming.StateStoreRunner.KmvSketchProcessor]].
+    *
+    * The sketch is bounded PER GROUP but the group keyspace is not —
+    * `ttl` evicts groups idle past the horizon (the reference's
+    * RotatingMap expiry discipline): a group arriving after eviction is
+    * re-admitted FRESH, so its estimate covers arrivals since
+    * re-admission (batch-face parity holds over the retained horizon;
+    * run the batch sketch downstream when all-history distincts
+    * matter). */
   def streamingKmvDistinct(stream: DataFrame, groupCol: String,
-      valueCol: String, k: Int = 64): DataFrame = {
+      valueCol: String, k: Int = 64,
+      ttl: org.apache.spark.sql.streaming.TTLConfig =
+        org.apache.spark.sql.streaming.TTLConfig.NONE): DataFrame = {
     val spark = stream.sparkSession
     import spark.implicits._
     stream.where(F.col(valueCol).isNotNull)
@@ -286,8 +296,8 @@ object Scale {
       .as[(String, String)]
       .groupByKey(_._1)
       .transformWithState(
-        new graft.streaming.StateStoreRunner.KmvSketchProcessor(k),
-        org.apache.spark.sql.streaming.TimeMode.None(),
+        new graft.streaming.StateStoreRunner.KmvSketchProcessor(k, ttl),
+        graft.streaming.StateStoreRunner.ttlTimeMode(ttl),
         org.apache.spark.sql.streaming.OutputMode.Update())
       .toDF(groupCol, "n_min", "kth_60", "est")
   }

@@ -337,11 +337,16 @@ object Temporal {
     * only when the column's lexicographic order IS its logical order
     * (e.g. zero-padded ids — the caller's contract for string keys). */
   def streamingLateness(stream: DataFrame, keyCol: String,
-                        arrivalCol: String, tsCol: String): DataFrame = {
+                        arrivalCol: String, tsCol: String,
+                        ttl: org.apache.spark.sql.streaming.TTLConfig =
+                          org.apache.spark.sql.streaming.TTLConfig.NONE): DataFrame = {
     val spark = stream.sparkSession
     import spark.implicits._
     import org.apache.spark.sql.types._
-    val tm = org.apache.spark.sql.streaming.TimeMode.None()
+    // per-channel frontier state grows with the channel keyspace — ttl
+    // evicts channels idle past the horizon (frontier restarts from
+    // MinValue on re-admission, i.e. the channel's audit resets)
+    val tm = graft.streaming.StateStoreRunner.ttlTimeMode(ttl)
     val om = org.apache.spark.sql.streaming.OutputMode.Update()
     stream.schema(arrivalCol).dataType match {
       case _: ByteType | _: ShortType | _: IntegerType | _: LongType |
@@ -351,7 +356,7 @@ object Temporal {
           .as[(String, Long, Long)]
           .groupByKey(_._1)
           .transformWithState(
-            new graft.streaming.StateStoreRunner.WatermarkAuditProcessor[Long],
+            new graft.streaming.StateStoreRunner.WatermarkAuditProcessor[Long](ttl),
             tm, om)
           .toDF(keyCol, arrivalCol, "lateness")
       case _ =>
@@ -360,7 +365,7 @@ object Temporal {
           .as[(String, String, Long)]
           .groupByKey(_._1)
           .transformWithState(
-            new graft.streaming.StateStoreRunner.WatermarkAuditProcessor[String],
+            new graft.streaming.StateStoreRunner.WatermarkAuditProcessor[String](ttl),
             tm, om)
           .toDF(keyCol, arrivalCol, "lateness")
     }

@@ -45,14 +45,22 @@ object StateStoreRunner {
 
   /** CombinerAggregator fold per key, typed state: state ←
     * combine(state, init(row)) (reference `MapCombinerAggStateUpdater`
-    * semantics, any value type). */
+    * semantics, any value type).
+    *
+    * `ttl` bounds the keyspace for unbounded-cardinality keys (the
+    * reference's `RotatingMap`/`LRUMemoryMapState` expiry tier,
+    * utils/RotatingMap.java:36-68): a key idle past the TTL is evicted
+    * and RE-ADMITTED FRESH on its next arrival — the documented trade
+    * (run the batch face downstream when all-history totals matter).
+    * Requires TimeMode.ProcessingTime at the transformWithState call. */
   class CombinerProcessor[K, V, S](zero: S, initV: V => S, combine: (S, S) => S,
-                                   stateEnc: Encoder[S])
+                                   stateEnc: Encoder[S],
+                                   ttl: TTLConfig = TTLConfig.NONE)
     extends StatefulProcessor[K, V, (K, S)] {
     @transient private var state: org.apache.spark.sql.streaming.ValueState[S] = _
 
     override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
-      state = getHandle.getValueState[S]("agg", stateEnc, TTLConfig.NONE)
+      state = getHandle.getValueState[S]("agg", stateEnc, ttl)
 
     override def handleInputRows(key: K, rows: Iterator[V],
                                  timerValues: TimerValues): Iterator[(K, S)] = {
@@ -163,13 +171,13 @@ object StateStoreRunner {
     * update mode — `est` uses the identical `(k−1)·2⁶⁰ / v_k` estimator
     * arithmetic, so a monitoring stream reads the same numbers the
     * batch face would report. */
-  class KmvSketchProcessor(k: Int)
+  class KmvSketchProcessor(k: Int, ttl: TTLConfig = TTLConfig.NONE)
     extends StatefulProcessor[String, (String, String), (String, Long, Long, Long)] {
     require(k >= 2, s"k must be >= 2, got $k")
     @transient private var minima: org.apache.spark.sql.streaming.ListState[String] = _
 
     override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
-      minima = getHandle.getListState[String]("kmv", Encoders.STRING, TTLConfig.NONE)
+      minima = getHandle.getListState[String]("kmv", Encoders.STRING, ttl)
 
     override def handleInputRows(key: String, rows: Iterator[(String, String)],
                                  timerValues: TimerValues): Iterator[(String, Long, Long, Long)] = {
@@ -237,13 +245,13 @@ object StateStoreRunner {
     * string face would sort "10" before "9" and emit lateness values the
     * batch audit never assigns. [[graft.functions.Temporal.streamingLateness]]
     * picks the face from the column's type. */
-  class WatermarkAuditProcessor[A: Ordering]
+  class WatermarkAuditProcessor[A: Ordering](ttl: TTLConfig = TTLConfig.NONE)
     extends StatefulProcessor[String, (String, A, Long), (String, A, Long)] {
     @transient private var frontier: org.apache.spark.sql.streaming.ValueState[Long] = _
 
     override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
       frontier = getHandle.getValueState[Long]("frontier",
-        Encoders.scalaLong, TTLConfig.NONE)
+        Encoders.scalaLong, ttl)
 
     override def handleInputRows(key: String, rows: Iterator[(String, A, Long)],
                                  timerValues: TimerValues): Iterator[(String, A, Long)] = {
@@ -395,25 +403,37 @@ object StateStoreRunner {
   }
 
   /** `groupBy(key).persistentAggregate(Count)` on the state store: emits the
-    * running count per key each batch. */
-  def runningCount[K: Encoder, V](grouped: Dataset[V], key: V => K)
+    * running count per key each batch. Optional `ttl` evicts idle keys
+    * (unbounded-vocabulary discipline — see [[CombinerProcessor]]). */
+  def runningCount[K: Encoder, V](grouped: Dataset[V], key: V => K,
+                                  ttl: TTLConfig = TTLConfig.NONE)
                                  (implicit outEnc: Encoder[(K, Long)]): Dataset[(K, Long)] =
-    runningCombine[K, V, Long](grouped, key, 0L, _ => 1L, _ + _, Encoders.scalaLong)
+    runningCombine[K, V, Long](grouped, key, 0L, _ => 1L, _ + _, Encoders.scalaLong, ttl)
 
   /** Long-valued combiner fold — kept as the common fast path. */
   def runningFold[K: Encoder, V](grouped: Dataset[V], key: V => K, init: V => Long,
-                                 combine: (Long, Long) => Long)
+                                 combine: (Long, Long) => Long,
+                                 ttl: TTLConfig = TTLConfig.NONE)
                                 (implicit outEnc: Encoder[(K, Long)]): Dataset[(K, Long)] =
-    runningCombine[K, V, Long](grouped, key, 0L, init, combine, Encoders.scalaLong)
+    runningCombine[K, V, Long](grouped, key, 0L, init, combine, Encoders.scalaLong, ttl)
 
-  /** Value-generic combiner fold: any state type with an Encoder. */
+  /** Value-generic combiner fold: any state type with an Encoder. A
+    * non-NONE ttl switches the query to TimeMode.ProcessingTime (the
+    * mode state TTL requires). */
   def runningCombine[K: Encoder, V, S](grouped: Dataset[V], key: V => K, zero: S,
                                        init: V => S, combine: (S, S) => S,
-                                       stateEnc: Encoder[S])
+                                       stateEnc: Encoder[S],
+                                       ttl: TTLConfig = TTLConfig.NONE)
                                       (implicit outEnc: Encoder[(K, S)]): Dataset[(K, S)] =
     grouped.groupByKey(key)
-      .transformWithState(new CombinerProcessor[K, V, S](zero, init, combine, stateEnc),
-        TimeMode.None(), OutputMode.Update())
+      .transformWithState(new CombinerProcessor[K, V, S](zero, init, combine, stateEnc, ttl),
+        ttlTimeMode(ttl), OutputMode.Update())
+
+  /** State TTL is only honored under processing-time mode; TimeMode.None
+    * keeps the historical no-timer plans byte-identical when no TTL is
+    * requested. */
+  private[graft] def ttlTimeMode(ttl: TTLConfig): TimeMode =
+    if (ttl == TTLConfig.NONE) TimeMode.None() else TimeMode.ProcessingTime()
 
   /** Value-generic reducer fold (no combine step). */
   def runningReduce[K: Encoder, V, S](grouped: Dataset[V], key: V => K,

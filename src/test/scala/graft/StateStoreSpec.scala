@@ -75,6 +75,89 @@ class StateStoreSpec extends AnyFunSuite {
     assert(got == expected, s"streaming sketch diverged:\ngot $got\nwant $expected")
   }
 
+  /** TimeMode.ProcessingTime queries (the mode state TTL requires)
+    * re-trigger no-data batches continuously, so `processAllAvailable`
+    * never observes a quiescent point — poll the memory sink for the
+    * expected emission count instead (update-mode sinks only grow when
+    * real data arrives, so the counts are stable targets). */
+  private def awaitCount(table: String, n: Long, timeoutMs: Long = 30000): Unit = {
+    val t0 = System.currentTimeMillis
+    while (spark.table(table).count() < n &&
+           System.currentTimeMillis - t0 < timeoutMs) Thread.sleep(50)
+    assert(spark.table(table).count() >= n,
+      s"timed out waiting for $n rows in $table")
+  }
+
+  test("KMV TTL: idle group evicted past the horizon and re-admitted fresh; within-horizon state survives") {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.TTLConfig
+    implicit val sqlCtx = spark.sqlContext
+    def batchFace(rows: Seq[(String, String)]) =
+      graft.functions.Scale.kmvDistinct(rows.toDF("g", "v"), "g", "v", k = 4)
+        .as[(String, Long, Long, Long)].collect().toSet
+    // eviction face: a 500ms TTL with a 2s idle gap between batches —
+    // the group's sketch is gone, so the second emission equals the
+    // batch face over BATCH 2 ALONE (re-admitted fresh), not the union
+    val in1 = MemoryStream[(String, String)]
+    val evicted = graft.functions.Scale.streamingKmvDistinct(
+      in1.toDS().toDF("g", "v"), "g", "v", k = 4,
+      ttl = TTLConfig(java.time.Duration.ofMillis(500)))
+    val q1 = evicted.writeStream.outputMode("update").format("memory")
+      .queryName("kmvttl").trigger(Trigger.ProcessingTime(100L)).start()
+    val b1 = Seq(("g", "u1"), ("g", "u2"))
+    val b2 = Seq(("g", "u3"))
+    in1.addData(b1: _*)
+    awaitCount("kmvttl", 1)
+    Thread.sleep(2000) // > 4x the TTL: expiry is guaranteed, not racy
+    in1.addData(b2: _*)
+    awaitCount("kmvttl", 2)
+    q1.stop()
+    val got1 = spark.table("kmvttl").as[(String, Long, Long, Long)].collect().toSet
+    assert(got1 == batchFace(b1) ++ batchFace(b2),
+      s"expected fresh re-admission after TTL:\ngot $got1")
+    // within-horizon face: a 1h TTL can't elapse mid-test — the merged
+    // second emission equals the batch face over the UNION (parity holds
+    // over the retained horizon, the documented contract)
+    val in2 = MemoryStream[(String, String)]
+    val kept = graft.functions.Scale.streamingKmvDistinct(
+      in2.toDS().toDF("g", "v"), "g", "v", k = 4,
+      ttl = TTLConfig(java.time.Duration.ofHours(1)))
+    val q2 = kept.writeStream.outputMode("update").format("memory")
+      .queryName("kmvttl2").trigger(Trigger.ProcessingTime(100L)).start()
+    in2.addData(b1: _*)
+    awaitCount("kmvttl2", 1)
+    in2.addData(b2: _*)
+    awaitCount("kmvttl2", 2)
+    q2.stop()
+    val got2 = spark.table("kmvttl2").as[(String, Long, Long, Long)].collect().toSet
+    assert(got2 == batchFace(b1) ++ batchFace(b1 ++ b2),
+      s"within-horizon merge diverged:\ngot $got2")
+  }
+
+  test("runningCount TTL: idle key resets past the horizon (RotatingMap expiry discipline)") {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.TTLConfig
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[String]
+    val counts = StateStoreRunner.runningCount[String, String](
+      input.toDS().flatMap(_.split(" ")), identity,
+      ttl = TTLConfig(java.time.Duration.ofMillis(500)))
+    val q = counts.writeStream.outputMode("update").format("memory")
+      .queryName("cntttl").trigger(Trigger.ProcessingTime(100L)).start()
+    input.addData("a a b")
+    awaitCount("cntttl", 2)
+    Thread.sleep(2000)
+    input.addData("a")
+    awaitCount("cntttl", 3)
+    q.stop()
+    val emitted = spark.table("cntttl").as[(String, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).sorted.toSeq).toMap
+    // batch 1 emitted a->2; after the idle gap the count RESTARTS at 1
+    // (evicted + re-admitted), so the emission multiset is {2, 1}
+    assert(emitted("a") == Seq(1L, 2L), s"a emissions: ${emitted("a")}")
+    assert(emitted("b") == Seq(1L))
+  }
+
   test("streaming digest manifest: every emission equals the batch manifest over the arrivals so far") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
