@@ -137,6 +137,7 @@ object Bench {
         medianOfRuns(streamReps)(() => streamingWordCountDurable(spark, sfDir)),
         medianOfRuns(streamReps)(() => streamingWordCountStore(spark, sfDir)),
         drpcStateQueryLatency(spark, streamReps),
+        drpcConcurrentLatency(spark, streamReps),
         medianOfRuns(streamReps)(() => continuousLatency(spark)))
     val total = results.map(_._2).sum
     val warmNote =
@@ -434,6 +435,47 @@ object Bench {
       // the median covers the whole fresh-query cost, not a warm cache)
       Seq(10000, 100000).foreach(point)
       val meds = (1 to reps).map(_ => point(1000000)).filter(_ >= 0.0).sorted
+      if (meds.isEmpty) label -> -1.0
+      else {
+        val med = meds((meds.size - 1) / 2)
+        if (reps > 1)
+          System.err.println(f"[bench] $label median-of-${meds.size}: $med%.1fms " +
+            s"(runs: ${meds.map(v => f"$v%.1f").mkString(", ")})")
+        label -> med
+      }
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] $label failed: ${e.getMessage}")
+      label -> -1.0
+    } finally {
+      prev match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
+  /** Concurrent-DRPC fairness drill (VERDICT r9 #4; reference
+    * `KeyedFairBolt.java:93`): 8 threads fire 48 single-key lookups at a
+    * live 100k-key state store; the RECORDED value is the p99 latency in
+    * ms (lower median of `reps` fresh-setup runs, same discipline as the
+    * single-stream drpc drill) — a p99 staying within a small multiple
+    * of the single-stream mean is the no-starvation evidence. p50 and
+    * setup go to stderr per run. */
+  private def drpcConcurrentLatency(spark: SparkSession, reps: Int): (String, Double) = {
+    val label = "drpc_concurrent_p99_ms"
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    try {
+      spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      def point(): Double = {
+        val (p50, p99, setup) =
+          graft.tools.Drills.drpcStateQueryConcurrent(spark, 100000, 8, 48)
+        System.err.println(
+          f"[bench] $label: keys=100000 threads=8 reqs=48 setup=$setup%5.1fs " +
+          f"p50=$p50%7.1fms p99=$p99%7.1fms")
+        p99
+      }
+      val meds = (1 to reps).map(_ => point()).filter(_ >= 0.0).sorted
       if (meds.isEmpty) label -> -1.0
       else {
         val med = meds((meds.size - 1) / 2)

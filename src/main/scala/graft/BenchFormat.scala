@@ -27,7 +27,8 @@ object BenchFormat {
   private val stShort = Map(
     "stream_lsh_candidates" -> "lsh", "stream_wordcount" -> "wc",
     "stream_wordcount_durable" -> "wcd", "stream_wordcount_store" -> "wcs",
-    "drpc_statequery_ms" -> "drpc_ms", "continuous_latency_mean" -> "cont")
+    "drpc_statequery_ms" -> "drpc_ms", "drpc_concurrent_p99_ms" -> "drpcc_ms",
+    "continuous_latency_mean" -> "cont")
 
   /** "q108_bigram_lm" → "108"; names without the qNN prefix pass through. */
   def qid(name: String): String =

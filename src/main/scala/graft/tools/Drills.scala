@@ -91,6 +91,78 @@ object Drills {
     * Latency is a driver-side Spark job over checkpoint files; the running
     * query is never locked (MVCC by batch version), which the spec pins by
     * interleaving requests with live triggers. */
+  /** CONCURRENT DRPC-over-live-state: the reference serves many DRPC
+    * clients at once and guards per-request fairness with
+    * `KeyedFairBolt` (drpc/KeyedFairBolt.java:93 — round-robins pending
+    * requests so one slow request stream can't starve the rest); here
+    * concurrency is `threads` JVM threads each firing timed single-key
+    * lookups against the SAME running query's state (Spark schedules the
+    * per-request driver jobs FAIR across threads). Returns
+    * (p50 ms, p99 ms, setup sec) over all `requests` — a bounded p99
+    * under concurrency is the fairness evidence. Setup (state build) is
+    * paid once; the caller decides how many measurement rounds to run. */
+  def drpcStateQueryConcurrent(spark: SparkSession, nKeys: Int,
+                               threads: Int, requests: Int): (Double, Double, Double) = {
+    import org.apache.spark.sql.{functions => F}
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ck = java.nio.file.Files.createTempDirectory("drpc-cc-ck").toString
+    val input = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[Long]
+    val counts = graft.streaming.StateStoreRunner.runningCount[String, Long](
+      input.toDS(), i => f"k$i%09d")
+    val q = counts.writeStream.outputMode("update")
+      .option("checkpointLocation", ck)
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[(String, Long)], _: Long) =>
+        b.queryExecution.toRdd.count(); ()
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime(0L))
+      .start()
+    try {
+      val t0 = System.nanoTime()
+      input.addData(0L until nKeys.toLong: _*)
+      q.processAllAvailable()
+      val setup = (System.nanoTime() - t0) / 1e9
+      val drpc = new graft.drpc.LocalDRPC(spark)
+      graft.drpc.LiveStateDrpc.registerStateQuery(
+          drpc, spark, "bench_statequery_cc", ck, "agg") { (state, args) =>
+        state.where(F.col("key.value") === args)
+          .select(F.col("value.value").as("cnt"))
+      }
+      drpc.execute("bench_statequery_cc", "k000000000") // warm the read path
+      val step = math.max(1, nKeys / math.max(1, requests))
+      val lat = new java.util.concurrent.ConcurrentLinkedQueue[java.lang.Double]()
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(threads)
+      val next = new java.util.concurrent.atomic.AtomicInteger(0)
+      val futures = (0 until threads).map { _ =>
+        pool.submit(new Runnable {
+          override def run(): Unit = {
+            var i = next.getAndIncrement()
+            while (i < requests) {
+              val key = f"k${(i.toLong * step) % nKeys}%09d"
+              val r0 = System.nanoTime()
+              val res = drpc.execute("bench_statequery_cc", key)
+              require(res.contains("[1]"), s"unexpected DRPC result for $key: $res")
+              lat.add((System.nanoTime() - r0) / 1e6)
+              i = next.getAndIncrement()
+            }
+          }
+        })
+      }
+      futures.foreach(_.get())
+      pool.shutdown()
+      require(q.isActive, "streaming query died during concurrent DRPC reads")
+      import scala.jdk.CollectionConverters._
+      val sorted = lat.asScala.map(_.doubleValue).toVector.sorted
+      require(sorted.size == requests, s"lost latencies: ${sorted.size}/$requests")
+      def pct(p: Double): Double =
+        sorted(math.min(sorted.size - 1, (p * (sorted.size - 1)).round.toInt))
+      (pct(0.50), pct(0.99), setup)
+    } finally {
+      q.stop()
+      graft.util.Fs.deleteRecursively(java.nio.file.Paths.get(ck))
+    }
+  }
+
   def drpcStateQuery(spark: SparkSession, nKeys: Int, requests: Int): (Double, Double, Double) = {
     import org.apache.spark.sql.{functions => F}
     import spark.implicits._

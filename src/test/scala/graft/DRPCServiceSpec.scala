@@ -213,6 +213,27 @@ class DRPCServiceSpec extends AnyFunSuite {
     }
   }
 
+  test("concurrent DRPC lookups against live state: all 12 requests answer, percentiles ordered") {
+    // the bench's drpc_concurrent drill (KeyedFairBolt fairness face) at
+    // spec size: 4 threads x 12 single-key lookups over a live 300-key
+    // store — every request must verify its [1] payload (the drill
+    // REQUIREs it), and the order statistics must be sane
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val (p50, p99, setup) =
+        graft.tools.Drills.drpcStateQueryConcurrent(spark, 300, 4, 12)
+      assert(p50 > 0.0 && p99 >= p50, s"p50=$p50 p99=$p99")
+      assert(setup > 0.0)
+    } finally {
+      prev match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("DRPC over a LIVE streaming query's state store: snapshot-consistent mid-stream reads") {
     // The reference's stateQuery against a running topology's store, with
     // beginCommit/commit isolation: a DRPC read sees the last COMMITTED
