@@ -377,12 +377,23 @@ object LocalTopology {
     * harness, where a quiescent topology keeps receiving ticks (the
     * common flush-on-tick pattern exercises exactly this tail position).
     * Ticks are delivered to tasks that received at least one data tuple
-    * (a task with no input has no instance in a batch run). */
+    * (a task with no input has no instance in a batch run).
+    *
+    * TEST HARNESS, NOT A DATA PATH. This ports the reference's OWN test
+    * harness `complete-topology` (testing.clj:436-483), which likewise
+    * returns every emitted tuple to the caller — so the final step
+    * COLLECTS ALL EMITTED TUPLES TO THE DRIVER. Never wire a production
+    * topology through it: the streaming runners
+    * ([[graft.streaming.StreamRunner]] / StateStoreRunner) are the data
+    * path, and their state/output stays distributed. `maxResultTuples`
+    * (override deliberately for a large assertion corpus) fails loudly
+    * before a driver-sized collect can OOM the JVM. */
   def completeTopology(spark: SparkSession, builder: TopologyBuilder,
       mockSources: Map[String, Seq[Seq[Any]]] = Map.empty,
       maxSpoutCalls: Int = 100000,
       conf: Map[String, Any] = Map.empty,
-      simulatedTimeSecs: Long = 0L): Results = {
+      simulatedTimeSecs: Long = 0L,
+      maxResultTuples: Long = 1000000L): Results = {
     import scala.jdk.CollectionConverters._
     mockSources.keys.foreach(id => require(builder.spouts.contains(id),
       s"mock source $id is not a declared spout"))
@@ -593,6 +604,15 @@ object LocalTopology {
     // batch completion == tuple-tree completion: ack every spout msgId
     pendingAcks.foreach { case (spout, msgId) => spout.ack(msgId) }
 
+    // harness-only collect (see scaladoc): guard it so a mis-wired "real"
+    // topology fails with a pointed message instead of a driver OOM
+    val totalOut = outputs.valuesIterator.map(_.count()).sum
+    require(totalOut <= maxResultTuples,
+      s"completeTopology collected $totalOut emitted tuples > cap " +
+      s"$maxResultTuples — this is a TEST HARNESS (it ports testing.clj's " +
+      "complete-topology, which returns all tuples to the caller); run " +
+      "production flows on the streaming runners, or raise maxResultTuples " +
+      "deliberately for a large assertion corpus")
     val streamTuples = outputs.map { case ((id, st), df) =>
       (id, st) -> df.orderBy("task", "seq").collect()
         .map(r => deser(r.getAs[Array[Byte]](3))).toSeq

@@ -163,15 +163,31 @@ object Stats {
     * CATEGORICAL cross-cardinality, not the corpus. Feed it banded/
     * coarsened columns (the q189 discipline) — a near-unique column
     * would make the joint table corpus-sized, and its NDV already says
-    * so via q185. */
-  def dependencyAudit(df: DataFrame, pairs: Seq[(String, String)]): DataFrame = {
+    * so via q185.
+    *
+    * That discipline is ENFORCED, not just documented (the counted-cap
+    * pattern of the dedup bucket joins): the joint table materializes
+    * at the checkpoint cut anyway (map-side-combined — building it is
+    * safe), so its cell count is free, and a pair whose joint exceeds
+    * `maxJointCells` fails LOUDLY before any corpus-sized marginal
+    * join/aggregate runs on it. Raise the cap deliberately when a huge
+    * categorical cross really is intended. */
+  def dependencyAudit(df: DataFrame, pairs: Seq[(String, String)],
+                      maxJointCells: Long = 10000000L): DataFrame = {
     require(pairs.nonEmpty, "no column pairs given")
+    require(maxJointCells >= 1, s"maxJointCells must be >= 1, got $maxJointCells")
     val frames = pairs.map { case (a, b) =>
       val joint = df
         .select(F.coalesce(F.col(a).cast("string"), F.lit("\u0002")).as("__a"),
           F.coalesce(F.col(b).cast("string"), F.lit("\u0002")).as("__b"))
         .groupBy("__a", "__b").agg(F.count(F.lit(1)).as("__c"))
         .localCheckpoint()
+      val cells = joint.count()
+      require(cells <= maxJointCells,
+        s"dependencyAudit: pair ($a, $b) has $cells joint cells > cap " +
+        s"$maxJointCells — a near-unique column reached the audit; band/" +
+        "coarsen it first (the q189 discipline; tableColumnStats' NDV " +
+        "predicts this), or raise maxJointCells deliberately")
       val ma = joint.groupBy("__a").agg(F.sum("__c").as("__ca"))
       val mb = joint.groupBy("__b").agg(F.sum("__c").as("__cb"))
       val tot = joint.agg(F.sum("__c").as("n"),

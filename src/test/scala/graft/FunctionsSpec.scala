@@ -2118,6 +2118,24 @@ class FunctionsSpec extends AnyFunSuite {
       Set(("a", "b"), ("a", "c")))
   }
 
+  test("dependencyAudit: joint-cell cap fails loudly on a near-unique column; exact below the cap") {
+    // a near-unique column (every row its own id) makes the joint table
+    // corpus-sized — the guard must trip BEFORE any marginal join runs
+    val nearUnique = (1 to 50).map(i => (s"id$i", s"b${i % 3}")).toDF("a", "b")
+    val e = intercept[IllegalArgumentException] {
+      Stats.dependencyAudit(nearUnique, Seq(("a", "b")), maxJointCells = 20L)
+        .collect()
+    }
+    assert(e.getMessage.contains("joint cells > cap"), e.getMessage)
+    assert(e.getMessage.contains("(a, b)"), e.getMessage)
+    // the SAME data under a sufficient cap still audits exactly: 50 joint
+    // cells, a determines b (each id maps to one bucket)
+    val ok = Stats.dependencyAudit(nearUnique, Seq(("a", "b")),
+      maxJointCells = 50L).collect().head
+    assert(ok.getAs[Long]("ndv_ab") == 50L)
+    assert(ok.getAs[Long]("fd_ab_ppm") == 1000000L)
+  }
+
   test("vocabularyGrowth: first-seen accounting, cumulative curve, empty batches, totals") {
     def bucket(id: Long, m: Int): Long = {
       val h = java.security.MessageDigest.getInstance("MD5")
