@@ -40,11 +40,76 @@ object ScaleDrill {
     mode match {
       case "bpe" => bpeDrill(spark, sfDir,
         numMerges = args.lift(1).map(_.toInt).getOrElse(120))
+      case "skewjoin" => skewJoinDrill(spark,
+        args.lift(1).getOrElse("1,10").split(",").map(_.trim.toInt).toSeq)
       case _ => pipelineDrill(spark, sfDir,
         args.lift(1).getOrElse("1,10").split(",").map(_.trim.toInt).toSeq,
         nameFilter = args.lift(2))
     }
     spark.stop()
+  }
+
+  /** AQE-skew-split composition drill (VERDICT r9 #6): the engine's manual
+    * salting (q58b/q86, `Scale.saltedJoin`, q184's salt_rec forecast) must
+    * COMPOSE with Spark's own runtime skew machinery, not replace it — a
+    * 100 TB operator can't assume its caller pre-salted. Per size N the
+    * same skewed equi-join (hot key = half the fact side; dim side too big
+    * to broadcast, so a real shuffle join) runs three ways in fresh
+    * sessions:
+    *   1. `noaqe`  — static planning, skew lands on one task (the straggler
+    *     baseline);
+    *   2. `aqe`    — `spark.sql.adaptive.skewJoin.enabled` with thresholds
+    *     sized to the drill (prod defaults are 256MB partitions; the drill
+    *     asserts the executed plan actually carries `skew=true`, same pin
+    *     as ScaleSpec's unit face);
+    *   3. `salted` — `Scale.saltedJoin` at the q184-forecast salt factor,
+    *     AQE skew OFF.
+    * All three must return the same row count. The recorded crossover goes
+    * in SCALE.md. */
+  def skewJoinDrill(spark: SparkSession, sizes: Seq[Int]): Unit = {
+    def mkSession(skewJoin: Boolean, aqe: Boolean): SparkSession = {
+      val s = spark.newSession()
+      s.conf.set("spark.sql.adaptive.enabled", aqe.toString)
+      s.conf.set("spark.sql.adaptive.skewJoin.enabled", skewJoin.toString)
+      if (skewJoin) {
+        // scale the byte thresholds to drill-sized shuffles the same way
+        // the unit face does (prod keeps the 256MB defaults)
+        s.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+        s.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "4MB")
+        s.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "4MB")
+      }
+      s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force shuffle join
+      s
+    }
+    def fact(s: SparkSession, n: Int): DataFrame =
+      s.range(n.toLong * 2000000L).select(
+        F.when(F.col("id") % 2 === 0, 0L)
+          .otherwise(F.pmod(F.xxhash64(F.col("id")), F.lit(n.toLong * 1000000L)))
+          .as("k"),
+        F.col("id").as("payload"))
+    def dim(s: SparkSession, n: Int): DataFrame =
+      s.range(n.toLong * 1000000L).select(F.col("id").as("k"),
+        (F.col("id") * 3).as("v"))
+    sizes.foreach { n =>
+      def timeIt(df: DataFrame): (Double, Long, String) = {
+        val t0 = System.nanoTime()
+        val rows = df.queryExecution.toRdd.count()
+        ((System.nanoTime() - t0) / 1e9, rows, df.queryExecution.executedPlan.toString)
+      }
+      val sNo = mkSession(skewJoin = false, aqe = false)
+      val (tNo, rNo, _) = timeIt(fact(sNo, n).join(dim(sNo, n), "k"))
+      val sAqe = mkSession(skewJoin = true, aqe = true)
+      val (tAqe, rAqe, planAqe) = timeIt(fact(sAqe, n).join(dim(sAqe, n), "k"))
+      val skewEngaged = planAqe.contains("skew=true")
+      val sSalt = mkSession(skewJoin = false, aqe = false)
+      val (tSalt, rSalt, _) = timeIt(Scale.saltedJoin(
+        fact(sSalt, n), dim(sSalt, n), "k", "k", 16).select("payload", "v"))
+      require(rNo == rAqe && rAqe == rSalt,
+        s"row counts diverged: noaqe=$rNo aqe=$rAqe salted=$rSalt")
+      System.err.println(
+        f"[scale] skewjoin x$n%-4d rows_out=$rNo%11d  noaqe=$tNo%7.1fs  " +
+        f"aqe=$tAqe%7.1fs (skew=true: $skewEngaged)  salted=$tSalt%7.1fs")
+    }
   }
 
   /** Word-salted N× replication of the documents table (see object doc). */
