@@ -1554,6 +1554,37 @@ object SparkEntry {
           "doc_id", "text", "source")
         .orderBy("source")),
 
+    "q196_column_histogram" -> ((s, dir) =>
+      // CBO range-selectivity input: 16 equi-width bins over extendedprice
+      // cents with per-bin TIGHT bounds (lo_act/hi_act) and visible empty
+      // bins; one corpus groupBy on <= 16 keys after a 1-row min/max agg
+      functions.Scale.columnHistogram(
+          table(s, dir, "lineitem").select(
+            F.round(F.col("l_extendedprice") * 100).cast("long").as("price_c")),
+          "price_c", buckets = 16)
+        .orderBy("bucket")),
+
+    "q197_selectivity_audit" -> ((s, dir) =>
+      // closes the stats->planner loop: per probe range, actual count
+      // (one conditional aggregate, one scan) vs the uniform-assumption
+      // estimate from (n, min, max); the big-error probes are where
+      // q196's per-bin counts must replace the uniform guess
+      functions.Scale.selectivityAudit(
+          table(s, dir, "lineitem").select(
+            F.round(F.col("l_extendedprice") * 100).cast("long").as("price_c")),
+          "price_c",
+          Seq((0L, 1000000L), (1000000L, 3000000L), (3000000L, 6000000L),
+            (9000000L, 20000000L)))
+        .orderBy("probe_lo")),
+
+    "q198_unigram_concentration" -> ((s, dir) =>
+      // log-free lexical-diversity signal: per-source Simpson index and
+      // effective vocabulary in exact integer ppm (Shannon-entropy
+      // rankings without ln — no libm crosses the oracle boundary)
+      functions.Text.unigramConcentration(
+          table(s, dir, "documents"), "source", "text")
+        .orderBy("source")),
+
     "q194_embedding_outliers" -> ((s, dir) =>
       // the index pre-flight: top-10 vectors by summed per-dimension
       // robust z (|x - median| / MAD in ppm, capped at 10 MADs per dim);
@@ -3658,6 +3689,72 @@ object SparkEntry {
          SELECT source, n_docs, n_dup_docs, tokens_total, tokens_dup,
            CAST(tokens_dup::HUGEINT * 1000000 // greatest(tokens_total, 1) AS BIGINT) AS dup_token_ppm
          FROM g ORDER BY 1""",
+
+    "q196_column_histogram" ->
+      // same all-integer bin arithmetic: (v-mn)*16 // (mx-mn+1) with the
+      // product HUGEINT-widened (Spark side uses DECIMAL(38,0)); empty
+      // bins via a generate_series frame LEFT JOIN, nominal edges floored
+      // the same way on both engines (everything non-negative, so // == DIV)
+      """WITH v AS (SELECT CAST(round(l_extendedprice * 100) AS BIGINT) AS v
+              FROM lineitem WHERE l_extendedprice IS NOT NULL),
+         t AS (SELECT CAST(count(*) AS BIGINT) AS n_total, min(v) AS mn, max(v) AS mx FROM v),
+         b AS (SELECT CAST((v.v - t.mn)::HUGEINT * 16 // (t.mx::HUGEINT - t.mn + 1) AS BIGINT) AS bucket,
+                 CAST(count(*) AS BIGINT) AS cnt, min(v.v) AS lo_act, max(v.v) AS hi_act
+               FROM v, t GROUP BY 1),
+         f AS (SELECT t.n_total, t.mn, t.mx, CAST(g.generate_series AS BIGINT) AS bucket
+               FROM t, generate_series(0, 15) g)
+         SELECT f.bucket,
+           CAST(f.mn + f.bucket::HUGEINT * (f.mx::HUGEINT - f.mn + 1) // 16 AS BIGINT) AS lo,
+           CAST(f.mn + (f.bucket + 1)::HUGEINT * (f.mx::HUGEINT - f.mn + 1) // 16 - 1 AS BIGINT) AS hi,
+           b.lo_act, b.hi_act, COALESCE(b.cnt, 0) AS cnt,
+           CAST(COALESCE(b.cnt, 0)::HUGEINT * 1000000 // greatest(f.n_total, 1) AS BIGINT) AS share_ppm
+         FROM f LEFT JOIN b USING (bucket) ORDER BY 1""",
+
+    "q197_selectivity_audit" ->
+      // one conditional-sum scan for all four probes; est = uniform
+      // assumption over [mn,mx]; err is a PLAIN signed difference and
+      // abs_err_ppm divides a non-negative (the signed-DIV lesson)
+      """WITH v AS (SELECT CAST(round(l_extendedprice * 100) AS BIGINT) AS v
+              FROM lineitem WHERE l_extendedprice IS NOT NULL),
+         t AS (SELECT CAST(count(*) AS BIGINT) AS n, min(v) AS mn, max(v) AS mx,
+                 CAST(sum(CASE WHEN v BETWEEN 0 AND 1000000 THEN 1 ELSE 0 END) AS BIGINT) AS a0,
+                 CAST(sum(CASE WHEN v BETWEEN 1000000 AND 3000000 THEN 1 ELSE 0 END) AS BIGINT) AS a1,
+                 CAST(sum(CASE WHEN v BETWEEN 3000000 AND 6000000 THEN 1 ELSE 0 END) AS BIGINT) AS a2,
+                 CAST(sum(CASE WHEN v BETWEEN 9000000 AND 20000000 THEN 1 ELSE 0 END) AS BIGINT) AS a3
+               FROM v),
+         p AS (SELECT * FROM (VALUES
+                 (CAST(0 AS BIGINT), CAST(1000000 AS BIGINT), 0),
+                 (CAST(1000000 AS BIGINT), CAST(3000000 AS BIGINT), 1),
+                 (CAST(3000000 AS BIGINT), CAST(6000000 AS BIGINT), 2),
+                 (CAST(9000000 AS BIGINT), CAST(20000000 AS BIGINT), 3))
+               AS x(probe_lo, probe_hi, idx)),
+         r AS (SELECT p.probe_lo, p.probe_hi, t.n,
+                 CASE p.idx WHEN 0 THEN t.a0 WHEN 1 THEN t.a1
+                            WHEN 2 THEN t.a2 ELSE t.a3 END AS actual,
+                 CAST(t.n::HUGEINT *
+                      greatest(least(p.probe_hi, t.mx) - greatest(p.probe_lo, t.mn) + 1, 0)
+                      // (t.mx::HUGEINT - t.mn + 1) AS BIGINT) AS est
+               FROM p, t)
+         SELECT probe_lo, probe_hi, n, actual, est,
+           est - actual AS err,
+           CAST(abs(est - actual)::HUGEINT * 1000000 // greatest(n, 1) AS BIGINT) AS abs_err_ppm
+         FROM r ORDER BY probe_lo""",
+
+    "q198_unigram_concentration" ->
+      // Simpson index: sum of squared word counts over squared token
+      // count, both HUGEINT-widened; same tokenizer as every text oracle
+      """WITH w AS (SELECT source,
+               unnest(list_filter(string_split(text, ' '), x -> x != '')) AS w
+             FROM documents WHERE text IS NOT NULL),
+         c AS (SELECT source, w, count(*) AS c FROM w GROUP BY 1, 2),
+         s AS (SELECT source, CAST(count(*) AS BIGINT) AS vocab,
+                 CAST(sum(c) AS BIGINT) AS n_tokens,
+                 sum(c::HUGEINT * c) AS c2
+               FROM c GROUP BY 1)
+         SELECT source, n_tokens, vocab,
+           CAST(c2 * 1000000 // greatest(n_tokens::HUGEINT * n_tokens, 1) AS BIGINT) AS simpson_ppm,
+           CAST(n_tokens::HUGEINT * n_tokens // greatest(c2, 1) AS BIGINT) AS eff_vocab
+         FROM s ORDER BY source""",
 
     "q194_embedding_outliers" ->
       // q178's median/MAD tier extended with the per-vector z-sum; the

@@ -865,6 +865,109 @@ object Scale {
         "est_cnt", "err_cnt")
   }
 
+  /** Equi-WIDTH column histogram — the CBO's range-selectivity input,
+    * complementing [[rangePartitionPlan]] (equi-depth from a sample) and
+    * [[tableColumnStats]] (NDV/min/max): `buckets` fixed-width bins over
+    * a BIGINT column's [min, max], each reporting its count, corpus
+    * share, and the ACTUAL min/max inside the bin (tight per-bin bounds
+    * prune range predicates harder than nominal edges — an empty stretch
+    * inside a bin is visible as `hi_act < hi`). Empty bins emit with
+    * cnt = 0 (a skewed column's holes are the finding, same discipline
+    * as q186's empty buckets). All-integer: the bin index is
+    * `(v − min) · buckets DIV (max − min + 1)` with the product widened
+    * through DECIMAL(38,0) — an epoch-ns column's range (~1e18) times
+    * even 16 buckets overflows BIGINT.
+    *
+    * Scale shape: one min/max/count aggregate (1-row broadcast), then
+    * ONE map-side-combined groupBy on ≤ `buckets` keys — the histogram
+    * build moves `buckets` rows per partition, corpus-size-free; the
+    * bin frame left-joins a broadcast `sequence(0, buckets−1)` explode
+    * so empties materialize without a second scan. */
+  def columnHistogram(df: DataFrame, col: String, buckets: Int = 16): DataFrame = {
+    require(buckets >= 1, s"buckets must be >= 1, got $buckets")
+    val vals = df.where(F.col(col).isNotNull)
+      .select(F.col(col).cast("long").as("__v"))
+    val totals = vals.agg(F.count(F.lit(1)).as("n_total"),
+      F.min("__v").as("__mn"), F.max("__v").as("__mx"))
+      .localCheckpoint()
+    val binned = vals.crossJoin(F.broadcast(totals))
+      .withColumn("bucket", F.expr(
+        s"""CAST(CAST(__v - __mn AS DECIMAL(38,0)) * $buckets DIV
+               (CAST(__mx AS DECIMAL(38,0)) - __mn + 1) AS BIGINT)"""))
+      .groupBy("bucket")
+      .agg(F.count(F.lit(1)).as("cnt"),
+        F.min("__v").as("lo_act"), F.max("__v").as("hi_act"))
+    val frame = totals.select(F.col("n_total"), F.col("__mn"), F.col("__mx"),
+        F.explode(F.sequence(F.lit(0L), F.lit(buckets.toLong - 1))).as("bucket"))
+    // boundary arithmetic stays ENTIRELY in DECIMAL: `DIV` on decimals
+    // returns LongType, and the last bucket's quotient k·range/buckets
+    // equals the full range (up to 2^64 for a full-domain column) —
+    // past BIGINT. Exact floor division without DIV: subtract the
+    // decimal remainder first, then the division is exact (an integer),
+    // so the (rounded) decimal divide introduces no error.
+    def floorDiv(numer: String): String =
+      s"(($numer) - (($numer) % $buckets)) / $buckets"
+    val range = "(CAST(__mx AS DECIMAL(38,0)) - __mn + 1)"
+    frame.join(binned, Seq("bucket"), "left")
+      .na.fill(0L, Seq("cnt"))
+      .withColumn("lo", F.expr(
+        s"""CAST(CAST(__mn AS DECIMAL(38,0)) +
+               ${floorDiv(s"CAST(bucket AS DECIMAL(38,0)) * $range")} AS BIGINT)"""))
+      .withColumn("hi", F.expr(
+        s"""CAST(CAST(__mn AS DECIMAL(38,0)) +
+               ${floorDiv(s"CAST(bucket + 1 AS DECIMAL(38,0)) * $range")} - 1 AS BIGINT)"""))
+      .withColumn("share_ppm", F.expr(
+        """CAST(CAST(cnt AS DECIMAL(38,0)) * 1000000
+               DIV greatest(n_total, 1L) AS BIGINT)"""))
+      .select("bucket", "lo", "hi", "lo_act", "hi_act", "cnt", "share_ppm")
+  }
+
+  /** Range-selectivity audit — closes the CBO loop the statistics tier
+    * opens: for each probe range [lo, hi] over a BIGINT column, the
+    * ACTUAL row count (all probes counted in ONE conditional aggregate
+    * over one scan) next to the UNIFORM-assumption estimate a planner
+    * derives from (n, min, max):
+    * `est = n · overlap(range, [min,max]) DIV (max − min + 1)`.
+    * The error ships as the plain signed difference `err = est − actual`
+    * plus a non-negative `abs_err_ppm` of the corpus (signed division
+    * never crosses engines — the q183 lesson); a large error on a probe
+    * is exactly where [[columnHistogram]]'s per-bin counts (or a salted
+    * replan) must replace the uniform guess.
+    *
+    * Scale shape: one scan, |probes| conditional sums folded in a single
+    * map-side-combined aggregate; probes are literals, never joined. */
+  def selectivityAudit(df: DataFrame, col: String,
+                       probes: Seq[(Long, Long)]): DataFrame = {
+    require(probes.nonEmpty, "no probe ranges given")
+    probes.foreach { case (lo, hi) =>
+      require(lo <= hi, s"probe range [$lo, $hi] is inverted") }
+    val vals = df.where(F.col(col).isNotNull)
+      .select(F.col(col).cast("long").as("__v"))
+    val aggs = F.count(F.lit(1)).as("n") +:
+      F.min("__v").as("mn") +: F.max("__v").as("mx") +:
+      probes.zipWithIndex.map { case ((lo, hi), i) =>
+        F.sum(F.when(F.col("__v").between(lo, hi), 1L).otherwise(0L))
+          .as(s"__a$i")
+      }
+    val one = vals.agg(aggs.head, aggs.tail: _*).localCheckpoint()
+    val rows = probes.zipWithIndex.map { case ((lo, hi), i) =>
+      one.select(
+        F.lit(lo).as("probe_lo"), F.lit(hi).as("probe_hi"),
+        F.col("n"), F.col(s"__a$i").as("actual"),
+        F.expr(
+          s"""CAST(CAST(n AS DECIMAL(38,0)) *
+                 greatest(least($hi, mx) - greatest($lo, mn) + 1, 0L) DIV
+                 (CAST(mx AS DECIMAL(38,0)) - mn + 1) AS BIGINT)""").as("est"))
+    }
+    rows.reduce(_.unionByName(_))
+      .withColumn("err", F.expr("est - actual"))
+      .withColumn("abs_err_ppm", F.expr(
+        """CAST(CAST(abs(est - actual) AS DECIMAL(38,0)) * 1000000
+               DIV greatest(n, 1L) AS BIGINT)"""))
+      .select("probe_lo", "probe_hi", "n", "actual", "est", "err",
+        "abs_err_ppm")
+  }
+
   /** ANALYZE-style column statistics with KMV NDV — the CBO input pass:
     * per column, row/null counts, typed min/max, and the
     * engine-reproducible [[kmvDistinct]] NDV estimate. Columns are fed as

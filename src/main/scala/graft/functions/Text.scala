@@ -1144,4 +1144,40 @@ object Text {
                DIV greatest(__tv, 1L) AS BIGINT)"""))
       .select("batch", "new_tokens", "batch_tokens", "cum_vocab", "new_ppm")
   }
+
+  /** Per-source unigram concentration (Simpson index) — the LOG-FREE
+    * lexical-diversity quality signal: per source,
+    * `simpson_ppm = Σ c_w² · 1e6 DIV n²` (the probability two random
+    * tokens are the same word — high = templated/spammy text) and its
+    * inverse `eff_vocab = n² DIV Σ c_w²` (the "effective vocabulary":
+    * how many equally-frequent words would produce this concentration).
+    * Shannon entropy says the same thing through `ln` — which no two
+    * libms compute bit-identically, so it can never oracle cell-exact;
+    * Simpson is pure integer arithmetic and does (the q108 no-libm
+    * discipline). A source whose eff_vocab collapses against its peers
+    * is the boilerplate/SEO-spam finding.
+    *
+    * Scale shape: tokenize in the scan stage, ONE map-side-combined
+    * (source, word) count, then a per-source aggregate whose c² sum
+    * runs through DECIMAL(38,0) (a 1e12-token source's Σc² reaches
+    * ~1e24 when concentrated — far past BIGINT, inside DECIMAL's
+    * range); the output is |sources| rows. */
+  def unigramConcentration(df: org.apache.spark.sql.DataFrame,
+                           srcCol: String, textCol: String): org.apache.spark.sql.DataFrame =
+    df.where(F.col(textCol).isNotNull)
+      .select(F.col(srcCol).as("source"),
+        F.explode(tokens(F.col(textCol))).as("__w"))
+      .groupBy("source", "__w").agg(F.count(F.lit(1)).as("__c"))
+      .groupBy("source")
+      .agg(F.count(F.lit(1)).as("vocab"),
+        F.sum("__c").as("n_tokens"),
+        F.sum(F.expr("CAST(__c AS DECIMAL(38,0)) * __c")).as("__c2"))
+      .withColumn("simpson_ppm", F.expr(
+        """CAST(__c2 * 1000000 DIV
+               greatest(CAST(n_tokens AS DECIMAL(38,0)) * n_tokens,
+                        CAST(1 AS DECIMAL(38,0))) AS BIGINT)"""))
+      .withColumn("eff_vocab", F.expr(
+        """CAST(CAST(n_tokens AS DECIMAL(38,0)) * n_tokens DIV
+               greatest(__c2, CAST(1 AS DECIMAL(38,0))) AS BIGINT)"""))
+      .select("source", "n_tokens", "vocab", "simpson_ppm", "eff_vocab")
 }

@@ -895,4 +895,73 @@ class ScaleSpec extends AnyFunSuite {
     }
     assert(expected(10L) >= outlierDim1)
   }
+
+  test("columnHistogram: hand-computed bins, empty bins visible, tight bounds, epoch-ns range safe") {
+    import graft.functions.Scale
+    // values 0..9 and 90..99 over 4 bins of nominal width 25 ([0,24],
+    // [25,49], [50,74], [75,99]): bins 1 and 2 are EMPTY holes
+    val vals = ((0L to 9L) ++ (90L to 99L)).toDF("v")
+    val out = Scale.columnHistogram(vals, "v", buckets = 4)
+      .orderBy("bucket").collect()
+    assert(out.length == 4)
+    assert(out.map(_.getAs[Long]("cnt")).toSeq == Seq(10L, 0L, 0L, 10L))
+    assert(out(0).getAs[Long]("lo") == 0L && out(0).getAs[Long]("hi") == 24L)
+    assert(out(3).getAs[Long]("lo") == 75L && out(3).getAs[Long]("hi") == 99L)
+    // tight actual bounds expose the hole inside the nominal bin
+    assert(out(0).getAs[Long]("lo_act") == 0L && out(0).getAs[Long]("hi_act") == 9L)
+    assert(out(3).getAs[Long]("lo_act") == 90L)
+    assert(out(1).isNullAt(out(1).fieldIndex("lo_act"))) // empty bin
+    assert(out.map(_.getAs[Long]("share_ppm")).sum == 1000000L)
+    // epoch-ns-scale range: (v-mn)*buckets would overflow BIGINT without
+    // the DECIMAL widening (range ~4.6e18, x16 = 7e19)
+    val ns = Seq(-4611686018427387904L, 0L, 4611686018427387903L).toDF("v")
+    val big = Scale.columnHistogram(ns, "v", buckets = 16)
+      .orderBy("bucket").collect()
+    assert(big.map(_.getAs[Long]("cnt")).sum == 3L)
+    assert(big.head.getAs[Long]("lo") == -4611686018427387904L)
+  }
+
+  test("selectivityAudit: exact actuals, uniform estimates, clamped probe, signed error") {
+    import graft.functions.Scale
+    // uniform 0..99 (100 rows): the uniform assumption is EXACT here
+    val uni = (0L to 99L).toDF("v")
+    val r1 = Scale.selectivityAudit(uni, "v", Seq((10L, 29L), (90L, 150L)))
+      .orderBy("probe_lo").collect()
+    assert(r1(0).getAs[Long]("actual") == 20L && r1(0).getAs[Long]("est") == 20L)
+    assert(r1(0).getAs[Long]("err") == 0L && r1(0).getAs[Long]("abs_err_ppm") == 0L)
+    // probe extends past max: overlap clamps to [90,99] -> est 10
+    assert(r1(1).getAs[Long]("actual") == 10L && r1(1).getAs[Long]("est") == 10L)
+    // skewed data: half the mass at 0, rest uniform 1..50 — the uniform
+    // estimate misses badly on [0,0] and the signed error shows direction
+    val skew = (Seq.fill(50)(0L) ++ (1L to 50L)).toDF("v")
+    val r2 = Scale.selectivityAudit(skew, "v", Seq((0L, 0L), (1L, 50L)))
+      .orderBy("probe_lo").collect()
+    assert(r2(0).getAs[Long]("actual") == 50L)
+    assert(r2(0).getAs[Long]("est") == 100L / 51L) // n*1 DIV 51 = 1
+    assert(r2(0).getAs[Long]("err") == r2(0).getAs[Long]("est") - 50L) // underestimate -> negative
+    assert(r2(1).getAs[Long]("actual") == 50L)
+  }
+
+  test("unigramConcentration: hand-computed Simpson index and effective vocabulary") {
+    import graft.functions.Text
+    // A: "x x x y" twice -> counts x=6, y=2, n=8, c2=40
+    //    simpson = 40e6 DIV 64 = 625000; eff_vocab = 64 DIV 40 = 1
+    // B: 8 distinct words -> c2 = 8, simpson = 8e6 DIV 64 = 125000, eff 8
+    val docs = Seq(
+      ("A", "x x x y"), ("A", "x x x y"),
+      ("B", "a b c d"), ("B", "e f g h"))
+      .toDF("source", "text")
+    val out = Text.unigramConcentration(docs, "source", "text")
+      .collect().map(r => r.getAs[String]("source") -> r).toMap
+    val a = out("A")
+    assert(a.getAs[Long]("n_tokens") == 8L && a.getAs[Long]("vocab") == 2L)
+    assert(a.getAs[Long]("simpson_ppm") == 625000L)
+    assert(a.getAs[Long]("eff_vocab") == 1L)
+    val b = out("B")
+    assert(b.getAs[Long]("n_tokens") == 8L && b.getAs[Long]("vocab") == 8L)
+    assert(b.getAs[Long]("simpson_ppm") == 125000L)
+    assert(b.getAs[Long]("eff_vocab") == 8L)
+    // the quality ordering the metric exists for: templated < diverse
+    assert(a.getAs[Long]("eff_vocab") < b.getAs[Long]("eff_vocab"))
+  }
 }
