@@ -169,6 +169,19 @@ object ScaleDrill {
     "vocab_growth (q192)" -> (docs =>
       graft.functions.Text.vocabularyGrowth(docs, "doc_id", "text",
         batches = 10)),
+    // one min/max agg + one 16-key map-side-combined groupBy; the doc_id
+    // domain stands in for any BIGINT column at corpus scale
+    "column_histogram (q196)" -> (docs =>
+      Scale.columnHistogram(docs.select(F.col("doc_id")), "doc_id", 16)),
+    // one conditional-sum scan for all probes, corpus-size-free output
+    "selectivity_audit (q197)" -> (docs =>
+      Scale.selectivityAudit(docs.select(F.col("doc_id")), "doc_id",
+        Seq((0L, 2000000L), (2000000L, 20000000L), (50000000L, 900000000L)))),
+    // (source, word) map-side-combined count -> |sources|-key aggregate;
+    // word-salted replicas grow the vocabulary linearly with N, so the
+    // count table grows linearly by construction (the honest shape)
+    "unigram_concentration (q198)" -> (docs =>
+      graft.functions.Text.unigramConcentration(docs, "source", "text")),
     // one scan (hash + token count in the scan stage), one md5-keyed
     // min-id aggregate joined back co-partitioned, |sources|-key report
     "dup_token_mass (q195)" -> (docs =>
