@@ -389,4 +389,31 @@ object Sampling {
         F.sum("n_tokens").as("shard_tokens"))
       .withColumn("fill_ppm",
         F.expr(s"CAST(CAST(shard_tokens AS DECIMAL(38,0)) * 1000000 DIV ${targetTokens}L AS BIGINT)"))
+
+  /** EXACT-count per-group cap: keep the `k` rows per group whose
+    * `md5(id)` sorts first — "no source dominates the mix" as a
+    * deterministic primitive. Rate-based faces ([[bernoulliSample]],
+    * [[stratifiedSample]]) give each group a ppm, so a 100× bigger
+    * source still contributes 100× the rows; this caps the COUNT
+    * exactly. Hash order makes the pick uniform over the group
+    * (independent of layout/arrival), reproducible across runs and
+    * engines, and stable under appends ONLY in the sense that a re-run
+    * re-derives the same answer from the same corpus — an appended row
+    * with a small hash can displace a previous member (cap semantics,
+    * not reservoir semantics; run it per snapshot).
+    *
+    * Scale shape: the native TopK heap operator — each input partition
+    * reduces to ≤ k rows per group BEFORE the exchange (never the
+    * window row_number form, which sorts full partitions), so the
+    * shuffle moves ≤ k·partitions rows per group regardless of group
+    * size. `idCol` must be unique per row (the usual primary key). */
+  def groupCapSample(df: DataFrame, groupCol: String, idCol: String,
+                     k: Int): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    val rk = graft.functions.Scale.freshName("__rk", df.columns)
+    graft.plans.TopK.topKPerKey(
+        df.withColumn(rk, F.md5(F.col(idCol).cast("string"))),
+        Seq(groupCol), rk, desc = false, tieBreak = Seq.empty, k = k)
+      .drop(rk)
+  }
 }

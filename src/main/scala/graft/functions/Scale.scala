@@ -37,7 +37,7 @@ object Scale {
   /** A working-column name guaranteed absent from every input schema —
     * salting a frame that already carries a `__salt` column must not
     * silently collide with it. */
-  private def freshName(base: String, taken: Iterable[String]): String = {
+  private[functions] def freshName(base: String, taken: Iterable[String]): String = {
     val t = taken.toSet
     var n = base
     var i = 0
