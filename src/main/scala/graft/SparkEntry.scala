@@ -1585,17 +1585,6 @@ object SparkEntry {
           table(s, dir, "documents"), "source", "text")
         .orderBy("source")),
 
-    "q199_group_cap_sample" -> ((s, dir) =>
-      // "no source dominates": exact k-per-source cap, hash-ordered so
-      // the pick is uniform, deterministic, and engine-reproducible;
-      // runs on the native TopK heap (<= k rows per group cross the
-      // exchange from each partition — never a full window sort)
-      functions.Sampling.groupCapSample(
-          table(s, dir, "documents").select("doc_id", "source"),
-          "source", "doc_id", k = 20)
-        .select("source", "doc_id")
-        .orderBy("source", "doc_id")),
-
     "q194_embedding_outliers" -> ((s, dir) =>
       // the index pre-flight: top-10 vectors by summed per-dimension
       // robust z (|x - median| / MAD in ppm, capped at 10 MADs per dim);
@@ -3766,16 +3755,6 @@ object SparkEntry {
            CAST(c2 * 1000000 // greatest(n_tokens::HUGEINT * n_tokens, 1) AS BIGINT) AS simpson_ppm,
            CAST(n_tokens::HUGEINT * n_tokens // greatest(c2, 1) AS BIGINT) AS eff_vocab
          FROM s ORDER BY source""",
-
-    "q199_group_cap_sample" ->
-      // same md5-over-id-string order; ids are unique so the order is
-      // tie-free and the k-prefix identical in both engines
-      """SELECT source, doc_id FROM (
-           SELECT source, doc_id,
-             row_number() OVER (PARTITION BY source
-                                ORDER BY md5(CAST(doc_id AS VARCHAR))) AS rn
-           FROM documents)
-         WHERE rn <= 20 ORDER BY source, doc_id""",
 
     "q194_embedding_outliers" ->
       // q178's median/MAD tier extended with the per-vector z-sum; the

@@ -625,7 +625,9 @@ object Dedup {
     * stops pairing at the cap but cannot retract pairs already emitted. */
   def streamingLshCandidates(stream: DataFrame, idCol: String, textCol: String,
       k: Int = 3, numHashes: Int = 8, rowsPerBand: Int = 2,
-      maxBucketSize: Int = 1000): DataFrame = {
+      maxBucketSize: Int = 1000,
+      ttl: org.apache.spark.sql.streaming.TTLConfig =
+        org.apache.spark.sql.streaming.TTLConfig.NONE): DataFrame = {
     val numBands = numHashes / rowsPerBand
     val withSig = lshBands(minhashSignature(stream, textCol, k, numHashes),
       numHashes, rowsPerBand)
@@ -637,8 +639,8 @@ object Dedup {
       .select("e.bk", "e.id").as[(String, Long)]
       .groupByKey(_._1)
       .transformWithState(
-        new graft.streaming.StateStoreRunner.BandBucketProcessor(maxBucketSize),
-        org.apache.spark.sql.streaming.TimeMode.None(),
+        new graft.streaming.StateStoreRunner.BandBucketProcessor(maxBucketSize, ttl),
+        graft.streaming.StateStoreRunner.ttlTimeMode(ttl),
         org.apache.spark.sql.streaming.OutputMode.Append())
       .toDF("a", "b")
       .dropDuplicates("a", "b")

@@ -323,7 +323,9 @@ object Sampling {
     * the same rows in the same order, the two faces agree (pinned in
     * StateStoreSpec). */
   def streamingShardPlan(stream: DataFrame, idCol: String, textCol: String,
-      groupCol: String, targetTokens: Long): DataFrame = {
+      groupCol: String, targetTokens: Long,
+      ttl: org.apache.spark.sql.streaming.TTLConfig =
+        org.apache.spark.sql.streaming.TTLConfig.NONE): DataFrame = {
     require(targetTokens > 0, s"targetTokens must be positive: $targetTokens")
     val spark = stream.sparkSession
     import spark.implicits._
@@ -332,8 +334,8 @@ object Sampling {
       .as[(String, Long, Long)]
       .groupByKey(_._1)
       .transformWithState(
-        new graft.streaming.StateStoreRunner.RunningOffsetProcessor(targetTokens),
-        org.apache.spark.sql.streaming.TimeMode.None(),
+        new graft.streaming.StateStoreRunner.RunningOffsetProcessor(targetTokens, ttl),
+        graft.streaming.StateStoreRunner.ttlTimeMode(ttl),
         org.apache.spark.sql.streaming.OutputMode.Append())
       .toDF(groupCol, idCol, "n_tokens", "start_offset", "shard_id")
   }
@@ -390,30 +392,4 @@ object Sampling {
       .withColumn("fill_ppm",
         F.expr(s"CAST(CAST(shard_tokens AS DECIMAL(38,0)) * 1000000 DIV ${targetTokens}L AS BIGINT)"))
 
-  /** EXACT-count per-group cap: keep the `k` rows per group whose
-    * `md5(id)` sorts first — "no source dominates the mix" as a
-    * deterministic primitive. Rate-based faces ([[bernoulliSample]],
-    * [[stratifiedSample]]) give each group a ppm, so a 100× bigger
-    * source still contributes 100× the rows; this caps the COUNT
-    * exactly. Hash order makes the pick uniform over the group
-    * (independent of layout/arrival), reproducible across runs and
-    * engines, and stable under appends ONLY in the sense that a re-run
-    * re-derives the same answer from the same corpus — an appended row
-    * with a small hash can displace a previous member (cap semantics,
-    * not reservoir semantics; run it per snapshot).
-    *
-    * Scale shape: the native TopK heap operator — each input partition
-    * reduces to ≤ k rows per group BEFORE the exchange (never the
-    * window row_number form, which sorts full partitions), so the
-    * shuffle moves ≤ k·partitions rows per group regardless of group
-    * size. `idCol` must be unique per row (the usual primary key). */
-  def groupCapSample(df: DataFrame, groupCol: String, idCol: String,
-                     k: Int): DataFrame = {
-    require(k > 0, s"k must be positive, got $k")
-    val rk = graft.functions.Scale.freshName("__rk", df.columns)
-    graft.plans.TopK.topKPerKey(
-        df.withColumn(rk, F.md5(F.col(idCol).cast("string"))),
-        Seq(groupCol), rk, desc = false, tieBreak = Seq.empty, k = k)
-      .drop(rk)
-  }
 }

@@ -37,7 +37,7 @@ object Scale {
   /** A working-column name guaranteed absent from every input schema —
     * salting a frame that already carries a `__salt` column must not
     * silently collide with it. */
-  private[functions] def freshName(base: String, taken: Iterable[String]): String = {
+  private def freshName(base: String, taken: Iterable[String]): String = {
     val t = taken.toSet
     var n = base
     var i = 0
@@ -258,15 +258,17 @@ object Scale {
     * (true − total/k ≤ mg_count ≤ true; every item above total/k present).
     * See [[graft.streaming.StateStoreRunner.MisraGriesProcessor]]. */
   def streamingHeavyHitters(stream: DataFrame, keyCol: String,
-      itemCol: String, k: Int): DataFrame = {
+      itemCol: String, k: Int,
+      ttl: org.apache.spark.sql.streaming.TTLConfig =
+        org.apache.spark.sql.streaming.TTLConfig.NONE): DataFrame = {
     val spark = stream.sparkSession
     import spark.implicits._
     stream.select(F.col(keyCol).cast("string"), F.col(itemCol).cast("string"))
       .as[(String, String)]
       .groupByKey(_._1)
       .transformWithState(
-        new graft.streaming.StateStoreRunner.MisraGriesProcessor[String](k),
-        org.apache.spark.sql.streaming.TimeMode.None(),
+        new graft.streaming.StateStoreRunner.MisraGriesProcessor[String](k, ttl),
+        graft.streaming.StateStoreRunner.ttlTimeMode(ttl),
         org.apache.spark.sql.streaming.OutputMode.Update())
       .toDF(keyCol, itemCol, "mg_count", "total")
   }

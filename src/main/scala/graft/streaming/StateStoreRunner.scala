@@ -74,12 +74,13 @@ object StateStoreRunner {
   /** ReducerAggregator fold per key (`ReducerAggStateUpdater` semantics):
     * no combine step — rows fold directly into the typed state. */
   class ReducerProcessor[K, V, S](zero: () => S, reduce: (S, V) => S,
-                                  stateEnc: Encoder[S])
+                                  stateEnc: Encoder[S],
+                                  ttl: TTLConfig = TTLConfig.NONE)
     extends StatefulProcessor[K, V, (K, S)] {
     @transient private var state: org.apache.spark.sql.streaming.ValueState[S] = _
 
     override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
-      state = getHandle.getValueState[S]("acc", stateEnc, TTLConfig.NONE)
+      state = getHandle.getValueState[S]("acc", stateEnc, ttl)
 
     override def handleInputRows(key: K, rows: Iterator[V],
                                  timerValues: TimerValues): Iterator[(K, S)] = {
@@ -93,12 +94,13 @@ object StateStoreRunner {
   /** ListState handle: bounded per-key event history (the state-store
     * spelling of `TupleCollectionGet` — last `maxLen` values per key,
     * oldest dropped). Emits the key's full history each batch. */
-  class HistoryProcessor[K, V](maxLen: Int, valEnc: Encoder[V])
+  class HistoryProcessor[K, V](maxLen: Int, valEnc: Encoder[V],
+                               ttl: TTLConfig = TTLConfig.NONE)
     extends StatefulProcessor[K, V, (K, Seq[V])] {
     @transient private var hist: org.apache.spark.sql.streaming.ListState[V] = _
 
     override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
-      hist = getHandle.getListState[V]("hist", valEnc, TTLConfig.NONE)
+      hist = getHandle.getListState[V]("hist", valEnc, ttl)
 
     override def handleInputRows(key: K, rows: Iterator[V],
                                  timerValues: TimerValues): Iterator[(K, Seq[V])] = {
@@ -133,12 +135,12 @@ object StateStoreRunner {
     * store). Within a batch, ids are processed in sorted order so the
     * survivor set is retry-deterministic. Pairs emit as (min, max) to
     * align with the batch face's `a < b`. */
-  class BandBucketProcessor(maxBucketSize: Int)
+  class BandBucketProcessor(maxBucketSize: Int, ttl: TTLConfig = TTLConfig.NONE)
     extends StatefulProcessor[String, (String, Long), (Long, Long)] {
     @transient private var bucket: org.apache.spark.sql.streaming.ListState[Long] = _
 
     override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
-      bucket = getHandle.getListState[Long]("bucket", Encoders.scalaLong, TTLConfig.NONE)
+      bucket = getHandle.getListState[Long]("bucket", Encoders.scalaLong, ttl)
 
     override def handleInputRows(key: String, rows: Iterator[(String, Long)],
                                  timerValues: TimerValues): Iterator[(Long, Long)] = {
@@ -275,7 +277,7 @@ object StateStoreRunner {
     * trueCount > total/k is guaranteed present — the batch path follows
     * with an exact count over candidates; a monitoring stream reads the
     * bounds directly. */
-  class MisraGriesProcessor[K](k: Int)
+  class MisraGriesProcessor[K](k: Int, ttl: TTLConfig = TTLConfig.NONE)
     extends StatefulProcessor[K, (K, String), (K, String, Long, Long)] {
     require(k > 1, s"k must be > 1, got $k")
     @transient private var sketch: org.apache.spark.sql.streaming.MapState[String, Long] = _
@@ -283,8 +285,8 @@ object StateStoreRunner {
 
     override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
       sketch = getHandle.getMapState[String, Long]("mg",
-        Encoders.STRING, Encoders.scalaLong, TTLConfig.NONE)
-      total = getHandle.getValueState[Long]("total", Encoders.scalaLong, TTLConfig.NONE)
+        Encoders.STRING, Encoders.scalaLong, ttl)
+      total = getHandle.getValueState[Long]("total", Encoders.scalaLong, ttl)
     }
 
     override def handleInputRows(key: K, rows: Iterator[(K, String)],
@@ -308,12 +310,13 @@ object StateStoreRunner {
     * the value-generic map face the reference's `MapState` SPI exposes,
     * held in the store instead of an external backing map. Emits only the
     * sub-keys touched this batch. */
-  class SubKeyCountProcessor[K, SK](subEnc: Encoder[SK])
+  class SubKeyCountProcessor[K, SK](subEnc: Encoder[SK],
+                                    ttl: TTLConfig = TTLConfig.NONE)
     extends StatefulProcessor[K, (K, SK), (K, SK, Long)] {
     @transient private var m: org.apache.spark.sql.streaming.MapState[SK, Long] = _
 
     override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
-      m = getHandle.getMapState[SK, Long]("counts", subEnc, Encoders.scalaLong, TTLConfig.NONE)
+      m = getHandle.getMapState[SK, Long]("counts", subEnc, Encoders.scalaLong, ttl)
 
     override def handleInputRows(key: K, rows: Iterator[(K, SK)],
                                  timerValues: TimerValues): Iterator[(K, SK, Long)] = {
@@ -337,13 +340,14 @@ object StateStoreRunner {
     * from the last committed offset, so shard ids are exactly-once under
     * the checkpoint-version argument above). Emits
     * (key, id, nTokens, startOffset, shardId). */
-  class RunningOffsetProcessor(targetTokens: Long)
+  class RunningOffsetProcessor(targetTokens: Long,
+                               ttl: TTLConfig = TTLConfig.NONE)
     extends StatefulProcessor[String, (String, Long, Long), (String, Long, Long, Long, Long)] {
     require(targetTokens > 0, s"targetTokens must be positive: $targetTokens")
     @transient private var off: org.apache.spark.sql.streaming.ValueState[Long] = _
 
     override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
-      off = getHandle.getValueState[Long]("off", Encoders.scalaLong, TTLConfig.NONE)
+      off = getHandle.getValueState[Long]("off", Encoders.scalaLong, ttl)
 
     override def handleInputRows(key: String, rows: Iterator[(String, Long, Long)],
                                  timerValues: TimerValues): Iterator[(String, Long, Long, Long, Long)] = {
@@ -446,18 +450,19 @@ object StateStoreRunner {
 
   /** Bounded per-key history via the ListState handle. */
   def history[K: Encoder, V](ds: Dataset[V], key: V => K, maxLen: Int,
-                             valEnc: Encoder[V])
+                             valEnc: Encoder[V], ttl: TTLConfig = TTLConfig.NONE)
                             (implicit outEnc: Encoder[(K, Seq[V])]): Dataset[(K, Seq[V])] =
     ds.groupByKey(key)
-      .transformWithState(new HistoryProcessor[K, V](maxLen, valEnc),
-        TimeMode.None(), OutputMode.Update())
+      .transformWithState(new HistoryProcessor[K, V](maxLen, valEnc, ttl),
+        ttlTimeMode(ttl), OutputMode.Update())
 
   /** Per-key sub-keyed running counts via the MapState handle. */
-  def subKeyCounts[K: Encoder, SK](ds: Dataset[(K, SK)], subEnc: Encoder[SK])
+  def subKeyCounts[K: Encoder, SK](ds: Dataset[(K, SK)], subEnc: Encoder[SK],
+                                   ttl: TTLConfig = TTLConfig.NONE)
                                   (implicit outEnc: Encoder[(K, SK, Long)]): Dataset[(K, SK, Long)] =
     ds.groupByKey(_._1)
-      .transformWithState(new SubKeyCountProcessor[K, SK](subEnc),
-        TimeMode.None(), OutputMode.Update())
+      .transformWithState(new SubKeyCountProcessor[K, SK](subEnc, ttl),
+        ttlTimeMode(ttl), OutputMode.Update())
 
   /** Idle-key ticks on event-time timers; `ds` = (key, event timestamp)
     * with a watermark already set on the timestamp column. */

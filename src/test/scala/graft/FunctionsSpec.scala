@@ -2196,31 +2196,32 @@ class FunctionsSpec extends AnyFunSuite {
     assert(shuffled == out.view.mapValues(_.toSeq).toMap)
   }
 
-  test("groupCapSample: exact k per group, hash-uniform pick, layout-independent, heap plan") {
+  test("fixedSizeSamplePerGroup: exact k cap, md5-prefix pick, layout-independent, heap plan") {
     def md5hex(s: String): String =
       java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
         .map("%02x".format(_)).mkString
-    // groups of size 50, 3, 0-over-cap: cap k=5
+    def sample(d: org.apache.spark.sql.DataFrame) =
+      graft.functions.Sampling.fixedSizeSamplePerGroup(
+        d, "source", F.col("doc_id"), 5)
+    // groups of size 50 and 3 under a cap of 5
     val rows = (1L to 50L).map(i => (i, "big")) ++
       (101L to 103L).map(i => (i, "small"))
     val df = rows.toDF("doc_id", "source")
-    val out = graft.functions.Sampling.groupCapSample(df, "source", "doc_id", 5)
+    val out = sample(df)
       .collect().map(r => r.getAs[String]("source") -> r.getAs[Long]("doc_id"))
     val bySrc = out.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
     assert(bySrc("big").size == 5)          // capped exactly
     assert(bySrc("small") == Set(101L, 102L, 103L)) // under-cap keeps all
-    // the pick is the md5-order prefix (engine-reproducible, the oracle's
-    // row_number spelling)
+    // the pick is the md5-order prefix (engine-reproducible — the q90
+    // oracle's row_number spelling)
     val expectBig = (1L to 50L).sortBy(i => md5hex(i.toString)).take(5).toSet
     assert(bySrc("big") == expectBig)
     // layout independence: shuffled + repartitioned input, same answer
-    val shuffled = graft.functions.Sampling.groupCapSample(
-      df.orderBy(F.rand(11)).repartition(7), "source", "doc_id", 5)
+    val shuffled = sample(df.orderBy(F.rand(11)).repartition(7))
       .collect().map(r => r.getAs[String]("source") -> r.getAs[Long]("doc_id")).toSet
     assert(shuffled == out.toSet)
     // plan: the native heap operator, not a window sort
-    val plan = graft.functions.Sampling.groupCapSample(df, "source", "doc_id", 5)
-      .queryExecution.executedPlan.toString
+    val plan = sample(df).queryExecution.executedPlan.toString
     assert(plan.contains("TopKPartial") && plan.contains("TopKFinal"),
       s"expected native TopK partial/final:\n$plan")
     assert(!plan.contains("Window"), s"window leaked into the plan:\n$plan")
