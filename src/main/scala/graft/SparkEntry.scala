@@ -3693,8 +3693,9 @@ object SparkEntry {
     "q196_column_histogram" ->
       // same all-integer bin arithmetic: (v-mn)*16 // (mx-mn+1) with the
       // product HUGEINT-widened (Spark side uses DECIMAL(38,0)); empty
-      // bins via a generate_series frame LEFT JOIN, nominal edges floored
-      // the same way on both engines (everything non-negative, so // == DIV)
+      // bins via a generate_series frame LEFT JOIN; edges are CEIL
+      // ((x+15)//16 — the exact value-set bounds of the DIV assignment;
+      // everything non-negative, so // == DIV)
       """WITH v AS (SELECT CAST(round(l_extendedprice * 100) AS BIGINT) AS v
               FROM lineitem WHERE l_extendedprice IS NOT NULL),
          t AS (SELECT CAST(count(*) AS BIGINT) AS n_total, min(v) AS mn, max(v) AS mx FROM v),
@@ -3704,8 +3705,8 @@ object SparkEntry {
          f AS (SELECT t.n_total, t.mn, t.mx, CAST(g.generate_series AS BIGINT) AS bucket
                FROM t, generate_series(0, 15) g)
          SELECT f.bucket,
-           CAST(f.mn + f.bucket::HUGEINT * (f.mx::HUGEINT - f.mn + 1) // 16 AS BIGINT) AS lo,
-           CAST(f.mn + (f.bucket + 1)::HUGEINT * (f.mx::HUGEINT - f.mn + 1) // 16 - 1 AS BIGINT) AS hi,
+           CAST(f.mn + (f.bucket::HUGEINT * (f.mx::HUGEINT - f.mn + 1) + 15) // 16 AS BIGINT) AS lo,
+           CAST(f.mn + ((f.bucket + 1)::HUGEINT * (f.mx::HUGEINT - f.mn + 1) + 15) // 16 - 1 AS BIGINT) AS hi,
            b.lo_act, b.hi_act, COALESCE(b.cnt, 0) AS cnt,
            CAST(COALESCE(b.cnt, 0)::HUGEINT * 1000000 // greatest(f.n_total, 1) AS BIGINT) AS share_ppm
          FROM f LEFT JOIN b USING (bucket) ORDER BY 1""",

@@ -912,23 +912,33 @@ object Scale {
         F.min("__v").as("lo_act"), F.max("__v").as("hi_act"))
     val frame = totals.select(F.col("n_total"), F.col("__mn"), F.col("__mx"),
         F.explode(F.sequence(F.lit(0L), F.lit(buckets.toLong - 1))).as("bucket"))
-    // boundary arithmetic stays ENTIRELY in DECIMAL: `DIV` on decimals
+    // Boundary arithmetic stays ENTIRELY in DECIMAL: `DIV` on decimals
     // returns LongType, and the last bucket's quotient k·range/buckets
     // equals the full range (up to 2^64 for a full-domain column) —
     // past BIGINT. Exact floor division without DIV: subtract the
     // decimal remainder first, then the division is exact (an integer),
     // so the (rounded) decimal divide introduces no error.
+    //
+    // The edge function is CEIL, not floor: bin k holds exactly
+    // {v : k·range ≤ (v−mn)·B < (k+1)·range}, i.e. v−mn ∈
+    // [⌈k·range/B⌉, ⌈(k+1)·range/B⌉ − 1] (floor edges exclude real
+    // members whenever B doesn't divide the range — a scalacheck
+    // counterexample, range 1 bucket 2, caught it). With ceil edges the
+    // bins tile [mn, mx] exactly (last hi = mx) and a degenerate
+    // narrower-than-1 bin shows honestly as lo > hi.
     def floorDiv(numer: String): String =
       s"(($numer) - (($numer) % $buckets)) / $buckets"
+    def ceilDiv(numer: String): String =
+      floorDiv(s"($numer) + ${buckets - 1}")
     val range = "(CAST(__mx AS DECIMAL(38,0)) - __mn + 1)"
     frame.join(binned, Seq("bucket"), "left")
       .na.fill(0L, Seq("cnt"))
       .withColumn("lo", F.expr(
         s"""CAST(CAST(__mn AS DECIMAL(38,0)) +
-               ${floorDiv(s"CAST(bucket AS DECIMAL(38,0)) * $range")} AS BIGINT)"""))
+               ${ceilDiv(s"CAST(bucket AS DECIMAL(38,0)) * $range")} AS BIGINT)"""))
       .withColumn("hi", F.expr(
         s"""CAST(CAST(__mn AS DECIMAL(38,0)) +
-               ${floorDiv(s"CAST(bucket + 1 AS DECIMAL(38,0)) * $range")} - 1 AS BIGINT)"""))
+               ${ceilDiv(s"CAST(bucket + 1 AS DECIMAL(38,0)) * $range")} - 1 AS BIGINT)"""))
       .withColumn("share_ppm", F.expr(
         """CAST(CAST(cnt AS DECIMAL(38,0)) * 1000000
                DIV greatest(n_total, 1L) AS BIGINT)"""))

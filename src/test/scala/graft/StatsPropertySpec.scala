@@ -1,0 +1,100 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalacheck.{Gen, Prop, Properties, Test}
+import graft.functions.{Scale, Text}
+
+/** Property-based contracts for the round-10 planner-statistics operators:
+  * the distributed faces must agree with brute-force in-memory references
+  * on arbitrary inputs (negative values, constant columns, duplicate-heavy
+  * data, probes outside the domain). Spark cases are capped per property
+  * to keep the suite fast. */
+object StatsPropertySpec extends Properties("StatsOps") {
+
+  override def overrideParameters(p: Test.Parameters): Test.Parameters =
+    p.withMinSuccessfulTests(10)
+
+  private lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  property("columnHistogram: bins partition the corpus; every value lands in its bin's bounds") =
+    Prop.forAll(Gen.nonEmptyListOf(Gen.choose(-1000L, 1000L)),
+                Gen.choose(1, 8)) { (vs, buckets) =>
+      import spark.implicits._
+      val out = Scale.columnHistogram(vs.toDF("v"), "v", buckets)
+        .collect().map(r => (r.getAs[Long]("bucket"), r.getAs[Long]("lo"),
+          r.getAs[Long]("hi"), r.getAs[Long]("cnt"),
+          Option(r.getAs[java.lang.Long]("lo_act")).map(_.toLong),
+          Option(r.getAs[java.lang.Long]("hi_act")).map(_.toLong)))
+      val mn = vs.min; val mx = vs.max
+      // counts partition the corpus exactly
+      val total = out.map(_._4).sum == vs.size.toLong &&
+        out.length == buckets
+      // nominal bins tile [mn, mx] contiguously: first lo = mn, each hi+1
+      // = next lo, last hi >= mx
+      val sorted = out.sortBy(_._1)
+      val tiles = sorted.head._2 == mn && sorted.last._3 >= mx &&
+        sorted.sliding(2).forall {
+          case Array(a, b) => a._3 + 1 == b._2
+          case _ => true
+        }
+      // every non-empty bin's actual bounds sit inside its nominal bounds,
+      // and replaying the bin assignment in BigInt agrees with the counts
+      val range = BigInt(mx) - mn + 1
+      val ref = vs.groupBy(v => ((BigInt(v) - mn) * buckets / range).toLong)
+        .view.mapValues(g => (g.size.toLong, g.min, g.max)).toMap
+      val bins = sorted.forall { case (b, lo, hi, cnt, loA, hiA) =>
+        ref.get(b) match {
+          case Some((c, lo2, hi2)) =>
+            cnt == c && loA.contains(lo2) && hiA.contains(hi2) &&
+              lo <= lo2 && hi2 <= hi
+          case None => cnt == 0L && loA.isEmpty && hiA.isEmpty
+        }
+      }
+      total && tiles && bins
+    }
+
+  property("selectivityAudit: actuals exact, estimates in [0, n], uniform data within one row per bucket") =
+    Prop.forAll(Gen.nonEmptyListOf(Gen.choose(-200L, 200L)),
+                Gen.listOfN(3, Gen.zip(Gen.choose(-300L, 300L), Gen.choose(0L, 200L)))) {
+      (vs, rawProbes) =>
+        import spark.implicits._
+        val probes = rawProbes.map { case (lo, w) => (lo, lo + w) }.distinct
+        val out = Scale.selectivityAudit(vs.toDF("v"), "v", probes)
+          .collect().map(r => (r.getAs[Long]("probe_lo"), r.getAs[Long]("probe_hi"),
+            r.getAs[Long]("actual"), r.getAs[Long]("est"), r.getAs[Long]("err")))
+        val n = vs.size.toLong
+        out.length == probes.size && out.forall { case (lo, hi, actual, est, err) =>
+          actual == vs.count(v => v >= lo && v <= hi).toLong &&
+            est >= 0L && est <= n && err == est - actual
+        }
+    }
+
+  property("unigramConcentration: Simpson ppm matches the brute-force count table; bounds hold") =
+    Prop.forAll(Gen.nonEmptyListOf(Gen.zip(
+      Gen.oneOf("s1", "s2"),
+      Gen.nonEmptyListOf(Gen.oneOf("a", "b", "c", "d")).map(_.mkString(" "))))) { docs =>
+      import spark.implicits._
+      val out = Text.unigramConcentration(docs.toDF("source", "text"),
+          "source", "text")
+        .collect().map(r => r.getAs[String]("source") ->
+          (r.getAs[Long]("n_tokens"), r.getAs[Long]("vocab"),
+            r.getAs[Long]("simpson_ppm"), r.getAs[Long]("eff_vocab"))).toMap
+      val ref = docs.groupBy(_._1).view.mapValues { ds =>
+        val words = ds.flatMap(_._2.split(" ")).filter(_.nonEmpty)
+        val counts = words.groupBy(identity).view.mapValues(_.size.toLong).toMap
+        val n = BigInt(words.size)
+        val c2 = counts.values.map(c => BigInt(c) * c).sum
+        (words.size.toLong, counts.size.toLong,
+          (c2 * 1000000 / (n * n)).toLong, ((n * n) / c2).toLong)
+      }.toMap
+      out == ref && out.values.forall { case (n, vocab, sppm, eff) =>
+        // Simpson in [1e6/vocab, 1e6]; effective vocab in [1, vocab]
+        sppm >= 1000000L / math.max(vocab, 1L) - 1 && sppm <= 1000000L &&
+          eff >= 1L && eff <= math.max(vocab, 1L)
+      }
+    }
+}
