@@ -1554,6 +1554,26 @@ object SparkEntry {
           "doc_id", "text", "source")
         .orderBy("source")),
 
+    "q199_json_field_audit" -> ((s, dir) => {
+      // JSONL ingest gate: field coverage over a synthesized JSON drop
+      // (id always, score on every 5th doc, every 7th doc truncated ->
+      // invalid) — one conditional aggregate, per-field unpivot
+      val base = table(s, dir, "documents")
+      val j1 = F.concat(
+        F.lit("{\"id\":"), F.col("doc_id").cast("string"),
+        F.lit(",\"lang\":\""), F.col("lang"), F.lit("\""),
+        F.when(F.col("doc_id") % 5 === 0,
+          F.concat(F.lit(",\"score\":"), (F.col("doc_id") % 100).cast("string")))
+          .otherwise(F.lit("")),
+        F.lit("}"))
+      val payload = F.when(F.col("doc_id") % 7 === 0, F.substring(j1, 1, 9))
+        .otherwise(j1)
+      functions.Expectations.jsonFieldAudit(
+          base.select(payload.as("j")), "j",
+          Seq("id", "lang", "score", "missing"))
+        .orderBy("field")
+    }),
+
     "q196_column_histogram" -> ((s, dir) =>
       // CBO range-selectivity input: 16 equi-width bins over extendedprice
       // cents with per-bin TIGHT bounds (lo_act/hi_act) and visible empty
@@ -3689,6 +3709,32 @@ object SparkEntry {
          SELECT source, n_docs, n_dup_docs, tokens_total, tokens_dup,
            CAST(tokens_dup::HUGEINT * 1000000 // greatest(tokens_total, 1) AS BIGINT) AS dup_token_ppm
          FROM g ORDER BY 1""",
+
+    "q199_json_field_audit" ->
+      // identical byte-level JSON synthesis; DuckDB json functions THROW
+      // on invalid input, so every extraction guards behind json_valid
+      // (Spark's get_json_object is null-safe by itself)
+      """WITH j0 AS (SELECT doc_id,
+               '{"id":' || CAST(doc_id AS VARCHAR) || ',"lang":"' || lang || '"' ||
+               CASE WHEN doc_id % 5 = 0
+                    THEN ',"score":' || CAST(doc_id % 100 AS VARCHAR) ELSE '' END ||
+               '}' AS j1
+             FROM documents),
+         p AS (SELECT CASE WHEN doc_id % 7 = 0 THEN substr(j1, 1, 9) ELSE j1 END AS j FROM j0),
+         t AS (SELECT CAST(count(*) AS BIGINT) AS n_rows,
+                 CAST(sum(CASE WHEN json_valid(j) THEN 1 ELSE 0 END) AS BIGINT) AS n_valid,
+                 CAST(sum(CASE WHEN json_valid(j) AND json_extract_string(j, '$.id') IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS p0,
+                 CAST(sum(CASE WHEN json_valid(j) AND json_extract_string(j, '$.lang') IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS p1,
+                 CAST(sum(CASE WHEN json_valid(j) AND json_extract_string(j, '$.score') IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS p2,
+                 CAST(sum(CASE WHEN json_valid(j) AND json_extract_string(j, '$.missing') IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS p3
+               FROM p),
+         u AS (SELECT 'id' AS field, n_rows, n_valid, p0 AS n_present FROM t
+               UNION ALL SELECT 'lang', n_rows, n_valid, p1 FROM t
+               UNION ALL SELECT 'score', n_rows, n_valid, p2 FROM t
+               UNION ALL SELECT 'missing', n_rows, n_valid, p3 FROM t)
+         SELECT field, n_rows, n_valid, n_present,
+           CAST(n_present::HUGEINT * 1000000 // greatest(n_valid, 1) AS BIGINT) AS present_ppm
+         FROM u ORDER BY field""",
 
     "q196_column_histogram" ->
       // same all-integer bin arithmetic: (v-mn)*16 // (mx-mn+1) with the

@@ -2168,6 +2168,31 @@ class FunctionsSpec extends AnyFunSuite {
     assert(ppm <= 1000000L && ppm > 999900L, s"ppm sum $ppm")
   }
 
+  test("jsonFieldAudit: validity, field coverage, JSON null absent, object value present, invalid rows") {
+    val rows = Seq(
+      """{"id":1,"lang":"en","score":5}""",      // all three
+      """{"id":2,"lang":"de"}""",                // score missing
+      """{"id":3,"lang":null,"score":7}""",      // JSON null lang -> absent
+      """{"id":4,"lang":{"code":"fr"},"score":8}""", // object value -> present
+      """{"id":5,"lang":"en","score":""",        // truncated -> invalid
+      "not json at all")                         // invalid
+    val out = graft.functions.Expectations.jsonFieldAudit(
+        rows.toDF("j"), "j", Seq("id", "lang", "score", "absent"))
+      .collect().map(r => r.getAs[String]("field") ->
+        (r.getAs[Long]("n_rows"), r.getAs[Long]("n_valid"),
+          r.getAs[Long]("n_present"), r.getAs[Long]("present_ppm"))).toMap
+    assert(out.keySet == Set("id", "lang", "score", "absent"))
+    assert(out("id") == (6L, 4L, 4L, 1000000L))
+    assert(out("lang") == (6L, 4L, 3L, 750000L))  // JSON null counts absent
+    assert(out("score") == (6L, 4L, 3L, 750000L)) // one valid row lacks it
+    assert(out("absent") == (6L, 4L, 0L, 0L))
+    // field names are validated (a path injection must fail loudly)
+    intercept[IllegalArgumentException] {
+      graft.functions.Expectations.jsonFieldAudit(rows.toDF("j"), "j",
+        Seq("a.b"))
+    }
+  }
+
   test("dupTokenMass: corpus-wide first-copy attribution, per-source waste accounting") {
     // src A owns the originals (low ids); src B re-crawls two of them and
     // adds one unique doc; a duplicate WITHIN A counts against A
