@@ -1554,6 +1554,17 @@ object SparkEntry {
           "doc_id", "text", "source")
         .orderBy("source")),
 
+    "q200_fixed_bin_histogram" -> ((s, dir) =>
+      // the mergeable drift-monitor histogram: fixed quantity boundaries,
+      // bins (-inf,10) [10,20) [20,30) [30,40) [40,inf); counts from
+      // slices/batches just add (the property q196's equi-width bins
+      // can't have); scan-stage band fold + <=5-key groupBy
+      functions.Scale.fixedBinHistogram(
+          table(s, dir, "lineitem").select(
+            F.col("l_quantity").cast("long").as("qty")),
+          "qty", Seq(10L, 20L, 30L, 40L))
+        .orderBy("bin")),
+
     "q199_json_field_audit" -> ((s, dir) => {
       // JSONL ingest gate: field coverage over a synthesized JSON drop
       // (id always, score on every 5th doc, every 7th doc truncated ->
@@ -3709,6 +3720,26 @@ object SparkEntry {
          SELECT source, n_docs, n_dup_docs, tokens_total, tokens_dup,
            CAST(tokens_dup::HUGEINT * 1000000 // greatest(tokens_total, 1) AS BIGINT) AS dup_token_ppm
          FROM g ORDER BY 1""",
+
+    "q200_fixed_bin_histogram" ->
+      // same band fold (len of list_filter) and frame LEFT JOIN; the
+      // lo/hi frame is literal VALUES rows
+      """WITH v AS (SELECT CAST(l_quantity AS BIGINT) AS v FROM lineitem
+              WHERE l_quantity IS NOT NULL),
+         b AS (SELECT CAST(len(list_filter([10, 20, 30, 40], x -> x <= v)) AS BIGINT) AS bin,
+                 CAST(count(*) AS BIGINT) AS cnt
+               FROM v GROUP BY 1),
+         f AS (SELECT * FROM (VALUES
+                 (CAST(0 AS BIGINT), CAST(NULL AS BIGINT), CAST(10 AS BIGINT)),
+                 (1, 10, 20), (2, 20, 30), (3, 30, 40),
+                 (4, 40, CAST(NULL AS BIGINT)))
+               AS x(bin, lo, hi)),
+         j AS (SELECT f.bin, f.lo, f.hi, COALESCE(b.cnt, 0) AS cnt
+               FROM f LEFT JOIN b USING (bin)),
+         t AS (SELECT CAST(sum(cnt) AS BIGINT) AS tot FROM j)
+         SELECT j.bin, j.lo, j.hi, j.cnt,
+           CAST(j.cnt::HUGEINT * 1000000 // greatest(t.tot, 1) AS BIGINT) AS share_ppm
+         FROM j, t ORDER BY j.bin""",
 
     "q199_json_field_audit" ->
       // identical byte-level JSON synthesis; DuckDB json functions THROW

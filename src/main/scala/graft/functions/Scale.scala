@@ -945,6 +945,73 @@ object Scale {
       .select("bucket", "lo", "hi", "lo_act", "hi_act", "cnt", "share_ppm")
   }
 
+  /** FIXED-boundary histogram — the mergeable/streamable complement of
+    * [[columnHistogram]]: bins are `(-∞,b₀) [b₀,b₁) … [b_{k−1},∞)` over
+    * caller-chosen ascending `boundaries`, so counts from corpus slices
+    * (or micro-batches — [[streamingFixedBinHistogram]]) just ADD — the
+    * property the equi-width face cannot have (its bins depend on the
+    * global min/max). This is the classic drift-monitor input: compare
+    * two snapshots' fixed-bin counts per bin and a distribution shift is
+    * a per-bin subtraction, no re-binning. Empty bins emit with cnt 0;
+    * `lo` is null for the first bin and `hi` (exclusive) null for the
+    * last.
+    *
+    * Scale shape: the bin index is a scan-stage fold over the boundary
+    * literal array (q191's band pattern), then ONE map-side-combined
+    * groupBy on ≤ |boundaries|+1 keys; the bin frame joins by broadcast. */
+  def fixedBinHistogram(df: DataFrame, col: String,
+                        boundaries: Seq[Long]): DataFrame = {
+    require(boundaries.nonEmpty && boundaries == boundaries.sorted &&
+      boundaries.distinct == boundaries,
+      s"boundaries must be non-empty strictly ascending, got $boundaries")
+    val bArr = boundaries.mkString("array(", "L, ", "L)")
+    val binned = df.where(F.col(col).isNotNull)
+      .select(F.col(col).cast("long").as("__v"))
+      .select(F.expr(
+        s"CAST(size(filter($bArr, b -> b <= __v)) AS BIGINT)").as("bin"))
+      .groupBy("bin").agg(F.count(F.lit(1)).as("cnt"))
+    val spark = df.sparkSession
+    import spark.implicits._
+    val frame = boundaries.indices.map(_.toLong).map { i =>
+      (i, if (i == 0) None else Some(boundaries((i - 1).toInt)),
+        Some(boundaries(i.toInt)))
+    } :+ ((boundaries.size.toLong, Some(boundaries.last), None))
+    val frameDf = frame.toDF("bin", "lo", "hi")
+    val withCnt = frameDf.join(binned, Seq("bin"), "left")
+      .na.fill(0L, Seq("cnt"))
+      .localCheckpoint()
+    val totals = withCnt.agg(F.sum("cnt").as("__tot"))
+    withCnt.crossJoin(F.broadcast(totals))
+      .withColumn("share_ppm", F.expr(
+        """CAST(CAST(cnt AS DECIMAL(38,0)) * 1000000
+               DIV greatest(__tot, 1L) AS BIGINT)"""))
+      .select("bin", "lo", "hi", "cnt", "share_ppm")
+  }
+
+  /** Streaming face of [[fixedBinHistogram]]: per-bin running counts in
+    * the state store (the bin universe is ≤ |boundaries|+1, bounded by
+    * construction — no TTL needed). Each emission carries a bin's
+    * running count; after any batch sequence the latest emissions equal
+    * the batch face's counts over everything arrived (fixed bins make
+    * the merge a plain sum — spec-pinned). */
+  def streamingFixedBinHistogram(stream: DataFrame, col: String,
+                                 boundaries: Seq[Long]): DataFrame = {
+    require(boundaries.nonEmpty && boundaries == boundaries.sorted &&
+      boundaries.distinct == boundaries,
+      s"boundaries must be non-empty strictly ascending, got $boundaries")
+    val bArr = boundaries.mkString("array(", "L, ", "L)")
+    val spark = stream.sparkSession
+    import spark.implicits._
+    graft.streaming.StateStoreRunner.runningCount[Long, Long](
+        stream.where(F.col(col).isNotNull)
+          .select(F.col(col).cast("long").as("__v"))
+          .select(F.expr(
+            s"CAST(size(filter($bArr, b -> b <= __v)) AS BIGINT)").as("bin"))
+          .as[Long],
+        identity)
+      .toDF("bin", "cnt")
+  }
+
   /** Range-selectivity audit — closes the CBO loop the statistics tier
     * opens: for each probe range [lo, hi] over a BIGINT column, the
     * ACTUAL row count (all probes counted in ONE conditional aggregate

@@ -921,6 +921,34 @@ class ScaleSpec extends AnyFunSuite {
     assert(big.head.getAs[Long]("lo") == -4611686018427387904L)
   }
 
+  test("fixedBinHistogram: hand-computed bins, open ends, empties, slice-merge property") {
+    import graft.functions.Scale
+    val vals = Seq(-5L, 3L, 10L, 15L, 99L).toDF("v")
+    val out = Scale.fixedBinHistogram(vals, "v", Seq(0L, 10L, 50L))
+      .orderBy("bin").collect()
+    assert(out.length == 4)
+    // bins: (-inf,0) [0,10) [10,50) [50,inf)
+    assert(out.map(_.getAs[Long]("cnt")).toSeq == Seq(1L, 1L, 2L, 1L))
+    assert(out(0).isNullAt(out(0).fieldIndex("lo")) &&
+      out(0).getAs[Long]("hi") == 0L)
+    assert(out(3).getAs[Long]("lo") == 50L &&
+      out(3).isNullAt(out(3).fieldIndex("hi")))
+    assert(out.map(_.getAs[Long]("share_ppm")).sum == 1000000L)
+    // MERGE property (the reason this face exists): per-bin counts of two
+    // slices add to the whole — fixed bins never re-bin
+    val a = Seq(-5L, 3L).toDF("v"); val b = Seq(10L, 15L, 99L).toDF("v")
+    def counts(d: org.apache.spark.sql.DataFrame) =
+      Scale.fixedBinHistogram(d, "v", Seq(0L, 10L, 50L))
+        .collect().map(r => r.getAs[Long]("bin") -> r.getAs[Long]("cnt")).toMap
+    val merged = (counts(a).keySet ++ counts(b).keySet).map(k =>
+      k -> (counts(a).getOrElse(k, 0L) + counts(b).getOrElse(k, 0L))).toMap
+    assert(merged == counts(vals))
+    // boundaries must be strictly ascending
+    intercept[IllegalArgumentException] {
+      Scale.fixedBinHistogram(vals, "v", Seq(10L, 10L))
+    }
+  }
+
   test("selectivityAudit: exact actuals, uniform estimates, clamped probe, signed error") {
     import graft.functions.Scale
     // uniform 0..99 (100 rows): the uniform assumption is EXACT here

@@ -158,6 +158,32 @@ class StateStoreSpec extends AnyFunSuite {
     assert(emitted("b") == Seq(1L))
   }
 
+  test("streaming fixed-bin histogram: running per-bin counts equal the batch face over arrivals") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Long]
+    val out = graft.functions.Scale.streamingFixedBinHistogram(
+      input.toDS().toDF("v"), "v", Seq(0L, 10L, 50L))
+    val q = out.writeStream.outputMode("update").format("memory")
+      .queryName("fbhstream").trigger(Trigger.ProcessingTime(0L)).start()
+    val b1 = Seq(-5L, 3L, 10L)
+    val b2 = Seq(15L, 99L, 3L)
+    input.addData(b1: _*)
+    q.processAllAvailable()
+    input.addData(b2: _*)
+    q.processAllAvailable()
+    q.stop()
+    // latest emission per bin = the running count; must equal the batch
+    // face over b1 ++ b2 (fixed bins merge by plain addition)
+    val got = spark.table("fbhstream").as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).max).toMap
+    val batch = graft.functions.Scale.fixedBinHistogram(
+        (b1 ++ b2).toDF("v"), "v", Seq(0L, 10L, 50L))
+      .where(F.col("cnt") > 0)
+      .collect().map(r => r.getAs[Long]("bin") -> r.getAs[Long]("cnt")).toMap
+    assert(got == batch, s"streaming histogram diverged:\ngot $got\nwant $batch")
+  }
+
   test("streaming digest manifest: every emission equals the batch manifest over the arrivals so far") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
