@@ -1554,6 +1554,20 @@ object SparkEntry {
           "doc_id", "text", "source")
         .orderBy("source")),
 
+    "q201_histogram_drift" -> ((s, dir) => {
+      // the drift subtraction q200's fixed bins exist for: quantity
+      // distribution of returned-flag lineitems vs the rest — per-bin
+      // share deltas + the corpus TV headline, all exact integers
+      val li = table(s, dir, "lineitem")
+        .select(F.col("l_quantity").cast("long").as("qty"),
+          F.col("l_returnflag"))
+      functions.Scale.histogramDrift(
+          li.where(F.col("l_returnflag") === "R").select("qty"),
+          li.where(F.col("l_returnflag") =!= "R").select("qty"),
+          "qty", Seq(10L, 20L, 30L, 40L))
+        .orderBy("bin")
+    }),
+
     "q200_fixed_bin_histogram" -> ((s, dir) =>
       // the mergeable drift-monitor histogram: fixed quantity boundaries,
       // bins (-inf,10) [10,20) [20,30) [30,40) [40,inf); counts from
@@ -3720,6 +3734,39 @@ object SparkEntry {
          SELECT source, n_docs, n_dup_docs, tokens_total, tokens_dup,
            CAST(tokens_dup::HUGEINT * 1000000 // greatest(tokens_total, 1) AS BIGINT) AS dup_token_ppm
          FROM g ORDER BY 1""",
+
+    "q201_histogram_drift" ->
+      // two fixed-bin histograms joined per bin; delta is a PLAIN signed
+      // difference and tv sums |delta| (non-negative) DIV 2
+      """WITH li AS (SELECT CAST(l_quantity AS BIGINT) AS v, l_returnflag FROM lineitem
+              WHERE l_quantity IS NOT NULL),
+         f AS (SELECT * FROM (VALUES
+                 (CAST(0 AS BIGINT), CAST(NULL AS BIGINT), CAST(10 AS BIGINT)),
+                 (1, 10, 20), (2, 20, 30), (3, 30, 40),
+                 (4, 40, CAST(NULL AS BIGINT)))
+               AS x(bin, lo, hi)),
+         ha AS (SELECT f.bin, f.lo, f.hi, COALESCE(c.cnt, 0) AS cnt_a,
+                  CAST(COALESCE(c.cnt, 0)::HUGEINT * 1000000
+                       // greatest((SELECT count(*) FROM li WHERE l_returnflag = 'R'), 1) AS BIGINT) AS share_a_ppm
+                FROM f LEFT JOIN (
+                  SELECT CAST(len(list_filter([10, 20, 30, 40], x -> x <= v)) AS BIGINT) AS bin,
+                    CAST(count(*) AS BIGINT) AS cnt
+                  FROM li WHERE l_returnflag = 'R' GROUP BY 1) c USING (bin)),
+         hb AS (SELECT f.bin, COALESCE(c.cnt, 0) AS cnt_b,
+                  CAST(COALESCE(c.cnt, 0)::HUGEINT * 1000000
+                       // greatest((SELECT count(*) FROM li WHERE l_returnflag != 'R'), 1) AS BIGINT) AS share_b_ppm
+                FROM f LEFT JOIN (
+                  SELECT CAST(len(list_filter([10, 20, 30, 40], x -> x <= v)) AS BIGINT) AS bin,
+                    CAST(count(*) AS BIGINT) AS cnt
+                  FROM li WHERE l_returnflag != 'R' GROUP BY 1) c USING (bin)),
+         j AS (SELECT ha.bin, ha.lo, ha.hi, ha.cnt_a, hb.cnt_b,
+                 ha.share_a_ppm, hb.share_b_ppm,
+                 ha.share_a_ppm - hb.share_b_ppm AS delta_ppm
+               FROM ha JOIN hb USING (bin)),
+         t AS (SELECT CAST(sum(abs(delta_ppm)) // 2 AS BIGINT) AS tv_ppm FROM j)
+         SELECT j.bin, j.lo, j.hi, j.cnt_a, j.cnt_b, j.share_a_ppm,
+           j.share_b_ppm, j.delta_ppm, t.tv_ppm
+         FROM j, t ORDER BY j.bin""",
 
     "q200_fixed_bin_histogram" ->
       // same band fold (len of list_filter) and frame LEFT JOIN; the

@@ -988,6 +988,38 @@ object Scale {
       .select("bin", "lo", "hi", "cnt", "share_ppm")
   }
 
+  /** Distribution drift between two snapshots over a FIXED binning — the
+    * subtraction [[fixedBinHistogram]] exists to enable: per bin, both
+    * snapshots' counts and ppm shares, the signed share delta (plain
+    * difference — no signed division crosses engines), and the corpus
+    * headline `tv_ppm = Σ|share_a − share_b| / 2` (total-variation
+    * distance between the binned distributions, the same statistic q190
+    * uses for categorical dependence) repeated on every row via a 1-row
+    * broadcast. A bin whose share moved is WHERE the distribution
+    * shifted; tv_ppm is the alert threshold a scheduled contract
+    * monitor pages on (the numeric complement of q193's sketch-stats
+    * drift).
+    *
+    * Scale shape: two [[fixedBinHistogram]] passes (each one scan + a
+    * ≤bins-key map-side-combined groupBy), joined on ≤ |bins| rows. */
+  def histogramDrift(a: DataFrame, b: DataFrame, col: String,
+                     boundaries: Seq[Long]): DataFrame = {
+    val ha = fixedBinHistogram(a, col, boundaries)
+      .select(F.col("bin"), F.col("lo"), F.col("hi"),
+        F.col("cnt").as("cnt_a"), F.col("share_ppm").as("share_a_ppm"))
+    val hb = fixedBinHistogram(b, col, boundaries)
+      .select(F.col("bin"), F.col("cnt").as("cnt_b"),
+        F.col("share_ppm").as("share_b_ppm"))
+    val joined = ha.join(hb, Seq("bin"))
+      .withColumn("delta_ppm", F.expr("share_a_ppm - share_b_ppm"))
+      .localCheckpoint()
+    val tv = joined.agg(
+      F.expr("CAST(sum(abs(delta_ppm)) DIV 2 AS BIGINT)").as("tv_ppm"))
+    joined.crossJoin(F.broadcast(tv))
+      .select("bin", "lo", "hi", "cnt_a", "cnt_b", "share_a_ppm",
+        "share_b_ppm", "delta_ppm", "tv_ppm")
+  }
+
   /** Streaming face of [[fixedBinHistogram]]: per-bin running counts in
     * the state store (the bin universe is ≤ |boundaries|+1, bounded by
     * construction — no TTL needed). Each emission carries a bin's

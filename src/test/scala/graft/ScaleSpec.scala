@@ -949,6 +949,26 @@ class ScaleSpec extends AnyFunSuite {
     }
   }
 
+  test("histogramDrift: hand-computed per-bin deltas and total variation; identical snapshots drift 0") {
+    import graft.functions.Scale
+    // a: 4 rows -> shares (0.25, 0.5, 0.25); b: 2 rows -> (0.5, 0.5, 0)
+    // deltas ppm: -250000, 0, +250000 -> TV = 250000
+    val a = Seq(-1L, 5L, 5L, 20L).toDF("v")
+    val b = Seq(-3L, 7L).toDF("v")
+    val out = Scale.histogramDrift(a, b, "v", Seq(0L, 10L))
+      .orderBy("bin").collect()
+    assert(out.length == 3)
+    assert(out.map(_.getAs[Long]("cnt_a")).toSeq == Seq(1L, 2L, 1L))
+    assert(out.map(_.getAs[Long]("cnt_b")).toSeq == Seq(1L, 1L, 0L))
+    assert(out.map(_.getAs[Long]("delta_ppm")).toSeq ==
+      Seq(-250000L, 0L, 250000L))
+    assert(out.forall(_.getAs[Long]("tv_ppm") == 250000L))
+    // no drift between identical snapshots
+    val same = Scale.histogramDrift(a, a, "v", Seq(0L, 10L)).collect()
+    assert(same.forall(r => r.getAs[Long]("tv_ppm") == 0L &&
+      r.getAs[Long]("delta_ppm") == 0L))
+  }
+
   test("selectivityAudit: exact actuals, uniform estimates, clamped probe, signed error") {
     import graft.functions.Scale
     // uniform 0..99 (100 rows): the uniform assumption is EXACT here
