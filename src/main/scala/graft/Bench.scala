@@ -19,7 +19,10 @@ object Bench {
       // the concurrent-DRPC drill's p99 measures FIFO BACKLOG (the last
       // of 48 queued driver jobs waits for all prior ones — measured
       // median p99 28s), not per-request fairness. Context-level setting,
-      // so it must be here, not in the drill. Batch queries are
+      // so it must be here, not in the drill — AND each drill thread sets
+      // its own spark.scheduler.pool (Drills.drpcStateQueryConcurrent):
+      // with no allocation file the default pool is internally FIFO, so
+      // FAIR only bites across DISTINCT pools. Batch queries are
       // unaffected (one job at a time).
       .config("spark.scheduler.mode", "FAIR")
       .config("spark.sql.session.timeZone", "UTC")

@@ -1554,6 +1554,20 @@ object SparkEntry {
           "doc_id", "text", "source")
         .orderBy("source")),
 
+    "q202_selectivity_hist" -> ((s, dir) =>
+      // closes the q196/q200 -> q197 loop: per probe, actual vs BOTH the
+      // uniform estimate and the histogram-interpolated estimate; the
+      // bin-aligned probes ([0,999999], [1000000,2999999]) come back
+      // err_hist = 0 while err_uniform smears — the histogram paying off
+      functions.Scale.selectivityAuditHist(
+          table(s, dir, "lineitem").select(
+            F.round(F.col("l_extendedprice") * 100).cast("long").as("price_c")),
+          "price_c",
+          Seq((0L, 999999L), (1000000L, 2999999L), (2000000L, 7000000L),
+            (9000000L, 20000000L)),
+          Seq(1000000L, 3000000L, 6000000L, 9000000L))
+        .orderBy("probe_lo")),
+
     "q201_histogram_drift" -> ((s, dir) => {
       // the drift subtraction q200's fixed bins exist for: quantity
       // distribution of returned-flag lineitems vs the rest — per-bin
@@ -3734,6 +3748,57 @@ object SparkEntry {
          SELECT source, n_docs, n_dup_docs, tokens_total, tokens_dup,
            CAST(tokens_dup::HUGEINT * 1000000 // greatest(tokens_total, 1) AS BIGINT) AS dup_token_ppm
          FROM g ORDER BY 1""",
+
+    "q202_selectivity_hist" ->
+      // one conditional-sum scan folds probes AND bins; est_hist sums
+      // per-bin floor-divided interpolation (HUGEINT // mirrors Spark's
+      // DECIMAL (p - p%w)/w — both exact floor on non-negatives); edge
+      // bins clamp to the observed mn/mx; err columns are PLAIN signed
+      // differences
+      """WITH v AS (SELECT CAST(round(l_extendedprice * 100) AS BIGINT) AS v
+              FROM lineitem WHERE l_extendedprice IS NOT NULL),
+         t AS (SELECT CAST(count(*) AS BIGINT) AS n, min(v) AS mn, max(v) AS mx,
+                 CAST(sum(CASE WHEN v BETWEEN 0 AND 999999 THEN 1 ELSE 0 END) AS BIGINT) AS a0,
+                 CAST(sum(CASE WHEN v BETWEEN 1000000 AND 2999999 THEN 1 ELSE 0 END) AS BIGINT) AS a1,
+                 CAST(sum(CASE WHEN v BETWEEN 2000000 AND 7000000 THEN 1 ELSE 0 END) AS BIGINT) AS a2,
+                 CAST(sum(CASE WHEN v BETWEEN 9000000 AND 20000000 THEN 1 ELSE 0 END) AS BIGINT) AS a3,
+                 CAST(sum(CASE WHEN v < 1000000 THEN 1 ELSE 0 END) AS BIGINT) AS b0,
+                 CAST(sum(CASE WHEN v >= 1000000 AND v < 3000000 THEN 1 ELSE 0 END) AS BIGINT) AS b1,
+                 CAST(sum(CASE WHEN v >= 3000000 AND v < 6000000 THEN 1 ELSE 0 END) AS BIGINT) AS b2,
+                 CAST(sum(CASE WHEN v >= 6000000 AND v < 9000000 THEN 1 ELSE 0 END) AS BIGINT) AS b3,
+                 CAST(sum(CASE WHEN v >= 9000000 THEN 1 ELSE 0 END) AS BIGINT) AS b4
+               FROM v),
+         bins AS (SELECT t.n, t.mn, t.mx, x.j,
+                 CASE x.j WHEN 0 THEN t.b0 WHEN 1 THEN t.b1 WHEN 2 THEN t.b2
+                          WHEN 3 THEN t.b3 ELSE t.b4 END AS cnt,
+                 CASE x.j WHEN 0 THEN t.mn WHEN 1 THEN 1000000 WHEN 2 THEN 3000000
+                          WHEN 3 THEN 6000000 ELSE 9000000 END AS blo,
+                 CASE x.j WHEN 0 THEN 999999 WHEN 1 THEN 2999999 WHEN 2 THEN 5999999
+                          WHEN 3 THEN 8999999 ELSE t.mx END AS bhi
+               FROM t, (VALUES (0), (1), (2), (3), (4)) x(j)),
+         p AS (SELECT * FROM (VALUES
+                 (CAST(0 AS BIGINT), CAST(999999 AS BIGINT), 0),
+                 (CAST(1000000 AS BIGINT), CAST(2999999 AS BIGINT), 1),
+                 (CAST(2000000 AS BIGINT), CAST(7000000 AS BIGINT), 2),
+                 (CAST(9000000 AS BIGINT), CAST(20000000 AS BIGINT), 3))
+               AS x(probe_lo, probe_hi, idx)),
+         h AS (SELECT p.probe_lo, p.probe_hi, p.idx,
+                 CAST(sum(CASE WHEN bins.bhi - bins.blo + 1 < 1 THEN 0
+                       ELSE bins.cnt::HUGEINT *
+                            greatest(least(p.probe_hi, bins.bhi) - greatest(p.probe_lo, bins.blo) + 1, 0)
+                            // (bins.bhi::HUGEINT - bins.blo + 1) END) AS BIGINT) AS est_hist
+               FROM p, bins GROUP BY 1, 2, 3),
+         r AS (SELECT h.probe_lo, h.probe_hi, t.n,
+                 CASE h.idx WHEN 0 THEN t.a0 WHEN 1 THEN t.a1
+                            WHEN 2 THEN t.a2 ELSE t.a3 END AS actual,
+                 CAST(t.n::HUGEINT *
+                      greatest(least(h.probe_hi, t.mx) - greatest(h.probe_lo, t.mn) + 1, 0)
+                      // (t.mx::HUGEINT - t.mn + 1) AS BIGINT) AS est_uniform,
+                 h.est_hist
+               FROM h, t)
+         SELECT probe_lo, probe_hi, n, actual, est_uniform, est_hist,
+           est_uniform - actual AS err_uniform, est_hist - actual AS err_hist
+         FROM r ORDER BY probe_lo""",
 
     "q201_histogram_drift" ->
       // two fixed-bin histograms joined per bin; delta is a PLAIN signed

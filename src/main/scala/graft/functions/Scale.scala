@@ -1076,9 +1076,15 @@ object Scale {
       one.select(
         F.lit(lo).as("probe_lo"), F.lit(hi).as("probe_hi"),
         F.col("n"), F.col(s"__a$i").as("actual"),
+        // the overlap subtraction runs in DECIMAL(38,0): in BIGINT,
+        // probe/domain combinations spanning near the full long range
+        // (lo near Long.MinValue, mx large) abort under ANSI instead of
+        // degrading — same widening the numerator already uses
         F.expr(
           s"""CAST(CAST(n AS DECIMAL(38,0)) *
-                 greatest(least($hi, mx) - greatest($lo, mn) + 1, 0L) DIV
+                 greatest(least(CAST($hi AS DECIMAL(38,0)), mx) -
+                          greatest(CAST($lo AS DECIMAL(38,0)), mn) + 1,
+                          CAST(0 AS DECIMAL(38,0))) DIV
                  (CAST(mx AS DECIMAL(38,0)) - mn + 1) AS BIGINT)""").as("est"))
     }
     rows.reduce(_.unionByName(_))
@@ -1088,6 +1094,86 @@ object Scale {
                DIV greatest(n, 1L) AS BIGINT)"""))
       .select("probe_lo", "probe_hi", "n", "actual", "est", "err",
         "abs_err_ppm")
+  }
+
+  /** Histogram-backed range-selectivity audit — CLOSES the q196/q200 →
+    * q197 loop: for each probe range over a BIGINT column, the actual
+    * count next to BOTH planner estimates — the uniform guess from
+    * (n, min, max) and the histogram-interpolated estimate from the
+    * fixed bins' per-bin counts (`Σ_bin cnt · |probe ∩ bin| DIV |bin|`,
+    * linear interpolation inside each bin; the open edge bins clamp to
+    * the observed min/max). A probe aligned to a bin is estimated
+    * EXACTLY (overlap == width ⇒ the bin contributes its whole count and
+    * no other bin contributes — spec-pinned), which is precisely why a
+    * CBO keeps histograms: est_uniform smears the corpus across
+    * [min,max] while est_hist respects where the mass actually sits.
+    * Errors ship as plain signed differences (the q183 lesson); all
+    * interpolation runs in DECIMAL(38,0) with per-bin floor division —
+    * integer-exact in every engine, never float.
+    *
+    * Scale shape: ONE scan folding probes AND bins in a single
+    * map-side-combined conditional aggregate (|probes| + |bins| + 3
+    * sums); estimates are literal arithmetic over the 1-row frame. */
+  def selectivityAuditHist(df: DataFrame, col: String,
+                           probes: Seq[(Long, Long)],
+                           boundaries: Seq[Long]): DataFrame = {
+    require(probes.nonEmpty, "no probe ranges given")
+    probes.foreach { case (lo, hi) =>
+      require(lo <= hi, s"probe range [$lo, $hi] is inverted") }
+    require(boundaries.nonEmpty && boundaries == boundaries.sorted &&
+      boundaries.distinct == boundaries,
+      s"boundaries must be non-empty strictly ascending, got $boundaries")
+    val m = boundaries.size
+    val vals = df.where(F.col(col).isNotNull)
+      .select(F.col(col).cast("long").as("__v"))
+    val binConds = (0 to m).map { j =>
+      if (j == 0) F.col("__v") < boundaries(0)
+      else if (j == m) F.col("__v") >= boundaries(m - 1)
+      else F.col("__v") >= boundaries(j - 1) && F.col("__v") < boundaries(j)
+    }
+    val aggs = F.count(F.lit(1)).as("n") +:
+      F.min("__v").as("mn") +: F.max("__v").as("mx") +:
+      (probes.zipWithIndex.map { case ((lo, hi), i) =>
+        F.sum(F.when(F.col("__v").between(lo, hi), 1L).otherwise(0L))
+          .as(s"__a$i")
+      } ++ binConds.zipWithIndex.map { case (c, j) =>
+        F.sum(F.when(c, 1L).otherwise(0L)).as(s"__b$j")
+      })
+    val one = vals.agg(aggs.head, aggs.tail: _*).localCheckpoint()
+    def dec(s: String) = s"CAST($s AS DECIMAL(38,0))"
+    val rows = probes.zipWithIndex.map { case ((lo, hi), i) =>
+      val terms = (0 to m).map { j =>
+        // edge bins clamp to the OBSERVED domain; interior bins are the
+        // literal [b_{j-1}, b_j) half-open ranges as inclusive ints
+        val blo = if (j == 0) dec("mn") else dec(boundaries(j - 1).toString)
+        val bhi = if (j == m) dec("mx")
+          else s"(${dec(boundaries(j).toString)} - 1)"
+        val w = s"($bhi - $blo + 1)"
+        val ov = s"""greatest(least(${dec(hi.toString)}, $bhi) -
+                     greatest(${dec(lo.toString)}, $blo) + 1, ${dec("0")})"""
+        val p = s"(${dec(s"__b$j")} * $ov)"
+        // decimal floor division via (p - p%w)/w — DIV on DECIMAL
+        // returns LongType and can overflow at full-domain widths; an
+        // empty clamped edge bin (w < 1) contributes nothing
+        s"""(CASE WHEN $w < 1 THEN ${dec("0")}
+             ELSE CAST(($p - $p % $w) / $w AS DECIMAL(38,0)) END)"""
+      }
+      one.select(
+        F.lit(lo).as("probe_lo"), F.lit(hi).as("probe_hi"),
+        F.col("n"), F.col(s"__a$i").as("actual"),
+        F.expr(
+          s"""CAST(${dec("n")} *
+                 greatest(least(${dec(hi.toString)}, mx) -
+                          greatest(${dec(lo.toString)}, mn) + 1,
+                          ${dec("0")}) DIV
+                 (${dec("mx")} - mn + 1) AS BIGINT)""").as("est_uniform"),
+        F.expr(s"CAST(${terms.mkString(" + ")} AS BIGINT)").as("est_hist"))
+    }
+    rows.reduce(_.unionByName(_))
+      .withColumn("err_uniform", F.expr("est_uniform - actual"))
+      .withColumn("err_hist", F.expr("est_hist - actual"))
+      .select("probe_lo", "probe_hi", "n", "actual", "est_uniform",
+        "est_hist", "err_uniform", "err_hist")
   }
 
   /** ANALYZE-style column statistics with KMV NDV — the CBO input pass:

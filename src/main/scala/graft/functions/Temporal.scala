@@ -348,11 +348,23 @@ object Temporal {
     // MinValue on re-admission, i.e. the channel's audit resets)
     val tm = graft.streaming.StateStoreRunner.ttlTimeMode(ttl)
     val om = org.apache.spark.sql.streaming.OutputMode.Update()
+    // DATE and TIMESTAMP_NTZ reject CAST(... AS BIGINT) under ANSI
+    // (DATATYPE_MISMATCH in Spark 4) — route DATE through unix_date
+    // (days since epoch, its natural tick) and NTZ through the
+    // TIMESTAMP cast (session-tz reinterpretation — monotonic, so the
+    // fold order and lateness differences are unaffected) to the same
+    // epoch-seconds ticks TIMESTAMP already uses.
+    def longTicks(c: String): org.apache.spark.sql.Column =
+      stream.schema(c).dataType match {
+        case _: DateType         => F.unix_date(F.col(c)).cast("long")
+        case _: TimestampNTZType => F.col(c).cast("timestamp").cast("long")
+        case _                   => F.col(c).cast("long")
+      }
     stream.schema(arrivalCol).dataType match {
       case _: ByteType | _: ShortType | _: IntegerType | _: LongType |
            _: DateType | _: TimestampType | _: TimestampNTZType =>
         stream.select(F.col(keyCol).cast("string"),
-            F.col(arrivalCol).cast("long"), F.col(tsCol).cast("long"))
+            longTicks(arrivalCol), longTicks(tsCol))
           .as[(String, Long, Long)]
           .groupByKey(_._1)
           .transformWithState(
@@ -361,7 +373,7 @@ object Temporal {
           .toDF(keyCol, arrivalCol, "lateness")
       case _ =>
         stream.select(F.col(keyCol).cast("string"),
-            F.col(arrivalCol).cast("string"), F.col(tsCol).cast("long"))
+            F.col(arrivalCol).cast("string"), longTicks(tsCol))
           .as[(String, String, Long)]
           .groupByKey(_._1)
           .transformWithState(

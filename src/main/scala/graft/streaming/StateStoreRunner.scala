@@ -107,9 +107,13 @@ object StateStoreRunner {
       val newRows = rows.toVector
       val existing = if (hist.exists()) hist.get().toVector else Vector.empty[V]
       val appended = existing ++ newRows
-      if (appended.size <= maxLen) {
-        // no truncation → append only the arrivals: per-batch store writes
-        // scale with arrival rate, not history length
+      if (appended.size <= maxLen && ttl == TTLConfig.NONE) {
+        // no truncation, no TTL → append only the arrivals: per-batch
+        // store writes scale with arrival rate, not history length.
+        // Under TTL the put branch below runs instead: ListState TTL is
+        // per element, so an append-only write-back would let a live
+        // key's older history entries expire individually — the
+        // documented contract is whole-key idle eviction.
         if (newRows.nonEmpty)
           hist.appendList(newRows.toArray[Any].asInstanceOf[Array[V]])
         Iterator.single((key, appended))
@@ -155,7 +159,17 @@ object StateStoreRunner {
         }
       }
       val added = fresh.result()
-      if (added.nonEmpty) bucket.appendList(added.toArray)
+      if (ttl == TTLConfig.NONE) {
+        // no TTL: append-only keeps per-batch store writes proportional
+        // to NEW members, not bucket size
+        if (added.nonEmpty) bucket.appendList(added.toArray)
+      } else if (members.nonEmpty) {
+        // ListState TTL is PER ELEMENT: a full (or all-seen) bucket under
+        // active traffic would never refresh and silently expire — then
+        // re-admit empty and re-emit pairs. Rewrite the whole bucket on
+        // every touch (≤ maxBucketSize longs) so TTL tracks activity.
+        bucket.put(members.toArray)
+      }
       out.result().iterator
     }
   }
@@ -188,7 +202,12 @@ object StateStoreRunner {
         md.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
       val cur = if (minima.exists()) minima.get().toVector else Vector.empty[String]
       val merged = (cur ++ rows.map(r => md5hex(r._2))).distinct.sorted.take(k)
-      if (merged != cur) minima.put(merged.toArray)
+      // ListState TTL is PER ELEMENT, not per key: a saturated sketch on
+      // an actively-arriving key would silently expire under a
+      // changed-only write-back (merged == cur skips the put, so nothing
+      // refreshes the elements' TTL). Rewrite on every batch touch so
+      // TTL tracks key ACTIVITY — ≤ k strings per touched key per batch.
+      minima.put(merged.toArray)
       val nMin = merged.size.toLong
       val kth60 = java.lang.Long.parseLong(merged.last.take(15), 16)
       val est =
@@ -297,11 +316,13 @@ object StateStoreRunner {
       val n = graft.functions.Scale.misraGriesFold(counters, rows.map(_._2), k)
       val t = (if (total.exists()) total.get() else 0L) + n
       total.update(t)
-      // diff-aware write-back: the sketch is ≤ k entries anyway, but
-      // only counters that actually changed hit the changelog
+      // MapState TTL is PER ENTRY, not per key: a diff-aware write-back
+      // would let STABLE counters expire while `total` keeps refreshing,
+      // silently breaking the trueCount − total/k lower bound on an
+      // actively-arriving key. Rewrite every counter on each batch touch
+      // so TTL tracks key activity — the sketch is ≤ k entries anyway.
       orig.keysIterator.filterNot(counters.contains).foreach(sketch.removeKey)
-      counters.foreach { case (i, c) =>
-        if (!orig.get(i).contains(c)) sketch.updateValue(i, c) }
+      counters.foreach { case (i, c) => sketch.updateValue(i, c) }
       counters.iterator.map { case (i, c) => (key, i, c, t) }
     }
   }
@@ -309,7 +330,13 @@ object StateStoreRunner {
   /** MapState handle: per-key SUB-keyed counts (e.g. per-user per-word) —
     * the value-generic map face the reference's `MapState` SPI exposes,
     * held in the store instead of an external backing map. Emits only the
-    * sub-keys touched this batch. */
+    * sub-keys touched this batch.
+    *
+    * TTL here is PER SUB-KEY (MapState TTL is per entry), deliberately:
+    * the unbounded keyspace is key×subkey, so an idle SUB-key expires
+    * individually and restarts from 0 on its next arrival even while
+    * its parent key stays active — unlike the sketch processors above,
+    * which rewrite whole state per touch so TTL tracks KEY activity. */
   class SubKeyCountProcessor[K, SK](subEnc: Encoder[SK],
                                     ttl: TTLConfig = TTLConfig.NONE)
     extends StatefulProcessor[K, (K, SK), (K, SK, Long)] {

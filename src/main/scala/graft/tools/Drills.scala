@@ -132,31 +132,46 @@ object Drills {
       val step = math.max(1, nKeys / math.max(1, requests))
       val lat = new java.util.concurrent.ConcurrentLinkedQueue[java.lang.Double]()
       val pool = java.util.concurrent.Executors.newFixedThreadPool(threads)
-      val next = new java.util.concurrent.atomic.AtomicInteger(0)
-      val futures = (0 until threads).map { _ =>
-        pool.submit(new Runnable {
-          override def run(): Unit = {
-            var i = next.getAndIncrement()
-            while (i < requests) {
-              val key = f"k${(i.toLong * step) % nKeys}%09d"
-              val r0 = System.nanoTime()
-              val res = drpc.execute("bench_statequery_cc", key)
-              require(res.contains("[1]"), s"unexpected DRPC result for $key: $res")
-              lat.add((System.nanoTime() - r0) / 1e6)
-              i = next.getAndIncrement()
+      try {
+        val next = new java.util.concurrent.atomic.AtomicInteger(0)
+        val futures = (0 until threads).zipWithIndex.map { case (_, tid) =>
+          pool.submit(new Runnable {
+            override def run(): Unit = {
+              // spark.scheduler.mode=FAIR alone is not enough: all jobs
+              // land in the DEFAULT pool, whose internal mode is FIFO —
+              // thread-level fairness needs one pool PER drill thread
+              // (undeclared pools get weight 1 / minShare 0, and FAIR
+              // scheduling applies ACROSS pools). Local property, so it
+              // scopes to this thread's jobs only.
+              spark.sparkContext.setLocalProperty(
+                "spark.scheduler.pool", s"drpc-cc-$tid")
+              try {
+                var i = next.getAndIncrement()
+                while (i < requests) {
+                  val key = f"k${(i.toLong * step) % nKeys}%09d"
+                  val r0 = System.nanoTime()
+                  val res = drpc.execute("bench_statequery_cc", key)
+                  require(res.contains("[1]"), s"unexpected DRPC result for $key: $res")
+                  lat.add((System.nanoTime() - r0) / 1e6)
+                  i = next.getAndIncrement()
+                }
+              } finally spark.sparkContext.setLocalProperty("spark.scheduler.pool", null)
             }
-          }
-        })
+          })
+        }
+        futures.foreach(_.get())
+        require(q.isActive, "streaming query died during concurrent DRPC reads")
+        import scala.jdk.CollectionConverters._
+        val sorted = lat.asScala.map(_.doubleValue).toVector.sorted
+        require(sorted.size == requests, s"lost latencies: ${sorted.size}/$requests")
+        def pct(p: Double): Double =
+          sorted(math.min(sorted.size - 1, (p * (sorted.size - 1)).round.toInt))
+        (pct(0.50), pct(0.99), setup)
+      } finally {
+        // a failed require above must not leak non-daemon executor threads
+        // that keep the bench JVM alive past spark.stop()
+        pool.shutdownNow(); ()
       }
-      futures.foreach(_.get())
-      pool.shutdown()
-      require(q.isActive, "streaming query died during concurrent DRPC reads")
-      import scala.jdk.CollectionConverters._
-      val sorted = lat.asScala.map(_.doubleValue).toVector.sorted
-      require(sorted.size == requests, s"lost latencies: ${sorted.size}/$requests")
-      def pct(p: Double): Double =
-        sorted(math.min(sorted.size - 1, (p * (sorted.size - 1)).round.toInt))
-      (pct(0.50), pct(0.99), setup)
     } finally {
       q.stop()
       graft.util.Fs.deleteRecursively(java.nio.file.Paths.get(ck))

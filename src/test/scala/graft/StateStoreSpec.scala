@@ -270,6 +270,35 @@ class StateStoreSpec extends AnyFunSuite {
     assert(got(("A", 9L)) == 11L) // the lexicographic fold would say 21
   }
 
+  test("streaming lateness: DATE arrival column folds without ANSI cast errors, matching the batch face") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // CAST(DATE AS BIGINT) throws DATATYPE_MISMATCH under ANSI —
+    // streamingLateness must route DATE through unix_date instead
+    val input = MemoryStream[(String, java.sql.Date, Long)]
+    val out = graft.functions.Temporal.streamingLateness(
+      input.toDS().toDF("ch", "arr", "ts"), "ch", "arr", "ts")
+    val q = out.writeStream.outputMode("update").format("memory")
+      .queryName("latestream_date").trigger(Trigger.ProcessingTime(0L)).start()
+    def d(s: String) = java.sql.Date.valueOf(s)
+    val batch = Seq(("A", d("2024-01-08"), 20L), ("A", d("2024-01-09"), 9L),
+      ("A", d("2024-01-10"), 30L), ("A", d("2024-01-11"), 25L))
+    input.addData(batch: _*)
+    q.processAllAvailable()
+    q.stop()
+    // arrival emits as unix_date ticks (days since epoch)
+    val got = spark.table("latestream_date").as[(String, Long, Long)]
+      .collect().map(r => (r._1, r._2) -> r._3).toMap
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("ch")
+      .orderBy("arr").rowsBetween(Long.MinValue, 0)
+    val ref = batch.toDF("ch", "arr", "ts")
+      .withColumn("late", F.max("ts").over(w) - F.col("ts"))
+      .select(F.col("ch"), F.unix_date(F.col("arr")).cast("long"), F.col("late"))
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getAs[Long]("late")).toMap
+    assert(got == ref, s"date-arrival lateness diverged:\ngot $got\nref $ref")
+    assert(got(("A", d("2024-01-09").toLocalDate.toEpochDay)) == 11L)
+  }
+
   test("kill/restart replay: RocksDB word count survives and hash-matches the MapState path") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext

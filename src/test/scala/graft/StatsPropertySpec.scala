@@ -73,6 +73,44 @@ object StatsPropertySpec extends Properties("StatsOps") {
         }
     }
 
+  property("selectivityAuditHist: bin-aligned probes estimated EXACTLY; est_hist in [0, n]; brute interpolation agrees") =
+    Prop.forAll(Gen.nonEmptyListOf(Gen.choose(-200L, 200L)),
+                Gen.choose(-150L, 0L), Gen.choose(1L, 80L)) { (vs, b0, w) =>
+      import spark.implicits._
+      // strictly ascending boundaries; probe 0 is EXACTLY interior bin 1
+      // ([b0, b0+w-1]), probe 1 straddles bins
+      val bs = Seq(b0, b0 + w, b0 + 2 * w)
+      val probes = Seq((b0, b0 + w - 1), (b0 - w / 2, b0 + w + w / 2))
+      val out = Scale.selectivityAuditHist(vs.toDF("v"), "v", probes, bs)
+        .collect().map(r => (r.getAs[Long]("probe_lo"), r.getAs[Long]("probe_hi")) ->
+          (r.getAs[Long]("actual"), r.getAs[Long]("est_uniform"),
+            r.getAs[Long]("est_hist"), r.getAs[Long]("err_hist"))).toMap
+      val n = vs.size.toLong
+      val mn = vs.min; val mx = vs.max
+      // brute reference of the interpolation contract
+      def binOf(v: Long) = bs.count(_ <= v)
+      val cnt = (0 to bs.size).map(j => vs.count(binOf(_) == j).toLong)
+      def bloOf(j: Int) = if (j == 0) mn else bs(j - 1)
+      def bhiOf(j: Int) = if (j == bs.size) mx else bs(j) - 1
+      def estHist(lo: Long, hi: Long): Long = (0 to bs.size).map { j =>
+        val (blo, bhi) = (bloOf(j), bhiOf(j))
+        val width = bhi - blo + 1
+        if (width < 1) BigInt(0)
+        else BigInt(cnt(j)) *
+          (math.min(hi, bhi) - math.max(lo, blo) + 1).max(0L) / width
+      }.sum.toLong
+      out.size == probes.size && probes.forall { case (lo, hi) =>
+        val (actual, estU, estH, errH) = out((lo, hi))
+        actual == vs.count(v => v >= lo && v <= hi).toLong &&
+          estH == estHist(lo, hi) && estH >= 0L && estH <= n &&
+          estU >= 0L && estU <= n && errH == estH - actual &&
+          // a probe EXACTLY covering interior bin 1 is estimated with
+          // zero error: its overlap == width and every other bin's
+          // overlap is 0 (or the clamped edge bin is empty)
+          ((lo, hi) != (b0, b0 + w - 1) || estH == actual)
+      }
+    }
+
   property("unigramConcentration: Simpson ppm matches the brute-force count table; bounds hold") =
     Prop.forAll(Gen.nonEmptyListOf(Gen.zip(
       Gen.oneOf("s1", "s2"),
