@@ -1554,6 +1554,50 @@ object SparkEntry {
           "doc_id", "text", "source")
         .orderBy("source")),
 
+    "q205_range_plan_sketch" -> ((s, dir) => {
+      // the ONE-PASS layout variant of q186: boundaries planned purely
+      // from a pre-built bottom-k sketch (no corpus audit pass) — the
+      // 100 TB shape where the sketch arrived from shards or a stream
+      val sk = functions.Scale.quantileSketch(
+        events(s, dir).select(F.lit("g").as("g"),
+          F.col("event_id"), F.col("user_id")),
+        "g", "event_id", "user_id", k = 256)
+      functions.Scale.rangePlanFromSketch(sk, buckets = 8)
+        .orderBy("bucket")
+    }),
+
+    "q204_quantile_shard_merge" -> ((s, dir) => {
+      // the quantile-sketch merge identity as a judged face (q181's
+      // pattern): per-shard bottom-k samples (shard = rid % 8) merged by
+      // union->re-TopK; the oracle computes the single-pass GLOBAL
+      // sample directly — cell-exact match proves the 100 TB
+      // accumulate-then-combine path lossless for ranks, not just counts
+      val li = table(s, dir, "lineitem").select(
+        F.col("l_returnflag").as("flag"),
+        (F.col("l_orderkey") * 10 + F.col("l_linenumber")).as("rid"),
+        F.round(F.col("l_extendedprice") * 100).cast("long").as("price_c"))
+      functions.Scale.quantileEstimate(
+          functions.Scale.quantileSketchSharded(li, "flag", "rid",
+            "price_c", F.col("rid") % 8, k = 128),
+          "flag", Seq(250000L, 500000L, 750000L, 900000L))
+        .orderBy("flag", "q_ppm")
+    }),
+
+    "q203_quantile_sketch" -> ((s, dir) => {
+      // the mergeable quantile sketch: per-flag bottom-128 samples by
+      // md5(rid) over extendedprice cents, quantiles read at the
+      // lower-nearest rank — hash-deterministic, so the ESTIMATES
+      // themselves oracle cell-exact (the KMV-vs-HLL argument, for ranks)
+      val li = table(s, dir, "lineitem").select(
+        F.col("l_returnflag").as("flag"),
+        (F.col("l_orderkey") * 10 + F.col("l_linenumber")).as("rid"),
+        F.round(F.col("l_extendedprice") * 100).cast("long").as("price_c"))
+      functions.Scale.quantileEstimate(
+          functions.Scale.quantileSketch(li, "flag", "rid", "price_c", k = 128),
+          "flag", Seq(250000L, 500000L, 750000L, 900000L))
+        .orderBy("flag", "q_ppm")
+    }),
+
     "q202_selectivity_hist" -> ((s, dir) =>
       // closes the q196/q200 -> q197 loop: per probe, actual vs BOTH the
       // uniform estimate and the histogram-interpolated estimate; the
@@ -3748,6 +3792,61 @@ object SparkEntry {
          SELECT source, n_docs, n_dup_docs, tokens_total, tokens_dup,
            CAST(tokens_dup::HUGEINT * 1000000 // greatest(tokens_total, 1) AS BIGINT) AS dup_token_ppm
          FROM g ORDER BY 1""",
+
+    "q205_range_plan_sketch" ->
+      // same deterministic sample as q186 (256 smallest md5(event_id)),
+      // same rank-picked boundaries — but NO corpus audit pass: the plan
+      // reads the sketch alone
+      """WITH s AS (SELECT md5(CAST(event_id AS VARCHAR)) AS h, user_id AS v
+                    FROM events WHERE user_id IS NOT NULL AND event_id IS NOT NULL),
+         r AS (SELECT v, row_number() OVER (ORDER BY h) AS rn FROM s),
+         samp AS (SELECT list(v ORDER BY v) AS sk,
+                    CAST(count(*) AS BIGINT) AS n_samp
+                  FROM r WHERE rn <= 256),
+         m AS (SELECT sk, n_samp,
+                 list_transform(range(1, 8),
+                   i -> sk[greatest(1, (i * n_samp) // 8)]) AS bs
+               FROM samp),
+         bks AS (SELECT unnest(range(0, 8)) AS b, m.bs, m.n_samp FROM m)
+         SELECT CAST(b AS BIGINT) AS bucket,
+           CASE WHEN b > 0 THEN bs[b] END AS lo,
+           CASE WHEN b < 7 THEN bs[b + 1] END AS hi,
+           n_samp
+         FROM bks ORDER BY 1""",
+
+    "q204_quantile_shard_merge" ->
+      // the oracle is the DIRECT global bottom-k sample (q203's shape):
+      // per-shard samples merged == global sample, bit-for-bit — ranks
+      // survive accumulate-then-combine losslessly
+      """WITH v AS (SELECT DISTINCT l_returnflag AS flag,
+               md5(CAST(l_orderkey * 10 + l_linenumber AS VARCHAR)) AS h,
+               CAST(round(l_extendedprice * 100) AS BIGINT) AS v
+             FROM lineitem WHERE l_extendedprice IS NOT NULL),
+         r AS (SELECT flag, v, row_number() OVER (PARTITION BY flag ORDER BY h, v) AS rn FROM v),
+         s AS (SELECT flag, list_sort(list(v)) AS vs, CAST(count(*) AS BIGINT) AS n_samp
+               FROM r WHERE rn <= 128 GROUP BY flag),
+         q AS (SELECT * FROM (VALUES (CAST(250000 AS BIGINT)), (500000),
+                 (750000), (900000)) x(q_ppm))
+         SELECT s.flag, q.q_ppm, s.n_samp,
+           s.vs[CAST(q.q_ppm * (s.n_samp - 1) // 1000000 AS INT) + 1] AS est
+         FROM s, q ORDER BY flag, q_ppm""",
+
+    "q203_quantile_sketch" ->
+      // identical bottom-k sample (128 smallest md5(rid) per flag) and
+      // lower-nearest-rank read; md5 hex order and list indexing (1-based
+      // element_at/[]) agree across engines
+      """WITH v AS (SELECT DISTINCT l_returnflag AS flag,
+               md5(CAST(l_orderkey * 10 + l_linenumber AS VARCHAR)) AS h,
+               CAST(round(l_extendedprice * 100) AS BIGINT) AS v
+             FROM lineitem WHERE l_extendedprice IS NOT NULL),
+         r AS (SELECT flag, v, row_number() OVER (PARTITION BY flag ORDER BY h, v) AS rn FROM v),
+         s AS (SELECT flag, list_sort(list(v)) AS vs, CAST(count(*) AS BIGINT) AS n_samp
+               FROM r WHERE rn <= 128 GROUP BY flag),
+         q AS (SELECT * FROM (VALUES (CAST(250000 AS BIGINT)), (500000),
+                 (750000), (900000)) x(q_ppm))
+         SELECT s.flag, q.q_ppm, s.n_samp,
+           s.vs[CAST(q.q_ppm * (s.n_samp - 1) // 1000000 AS INT) + 1] AS est
+         FROM s, q ORDER BY flag, q_ppm""",
 
     "q202_selectivity_hist" ->
       // one conditional-sum scan folds probes AND bins; est_hist sums

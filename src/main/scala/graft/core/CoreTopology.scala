@@ -241,12 +241,25 @@ final class BasicBoltExecutor(val bolt: IBasicBolt) extends IRichBolt {
   override def cleanup(): Unit = bolt.cleanup()
 }
 
+/** Reference `backtype/storm/grouping/CustomStreamGrouping.java:26-42`,
+  * façade-idiom signature (no thrift context / GlobalStreamId):
+  * `prepare` receives the target task ids once at build time;
+  * `chooseTasks` routes each tuple's values to one OR MORE of them
+  * (returning several tasks multicasts, as the reference's NGrouping
+  * does). Implementations must be serializable and `chooseTasks` pure —
+  * it runs inside the routing stage on executors. */
+trait CustomStreamGrouping extends Serializable {
+  def prepare(targetTasks: Seq[Int]): Unit = ()
+  def chooseTasks(values: Seq[Any]): Seq[Int]
+}
+
 private[core] sealed trait Grouping
 private[core] object Grouping {
   final case class FieldsG(fields: Seq[String]) extends Grouping
   case object Shuffle extends Grouping
   case object Global extends Grouping
   case object All extends Grouping
+  final case class CustomG(g: CustomStreamGrouping) extends Grouping
 }
 
 /** Reference `TopologyBuilder.java:47-81`: component ids → components,
@@ -312,6 +325,27 @@ final class TopologyBuilder {
       allGrouping(src, CoreStreams.Default)
     def allGrouping(src: String, streamId: String): BoltDeclarer =
       add(src, streamId, Grouping.All)
+    /** Reference `InputDeclarer.java:26-27` / `executor.clj:71-77`: pick
+      * an in-worker target task when one exists, else shuffle — the
+      * stock Storm throughput recommendation (skips serialization on the
+      * local hop). Here the engine has no worker/task placement to
+      * exploit: routing compiles to ONE repartition exchange either way,
+      * and Spark's shuffle already writes map-local blocks that
+      * same-executor reducers read without the network. Semantically
+      * local-or-shuffle only promises "some load-spreading task, no key
+      * contract", which is exactly shuffle — so it routes as shuffle. */
+    def localOrShuffleGrouping(src: String): BoltDeclarer =
+      localOrShuffleGrouping(src, CoreStreams.Default)
+    def localOrShuffleGrouping(src: String, streamId: String): BoltDeclarer =
+      add(src, streamId, Grouping.Shuffle)
+    /** Reference `InputDeclarer.java:40-41` (`executor.clj:83-88` routes
+      * via the grouping's chooseTasks): user-supplied task choice, one
+      * row to one OR MANY target tasks (NGrouping-style multicast). */
+    def customGrouping(src: String, grouping: CustomStreamGrouping): BoltDeclarer =
+      customGrouping(src, CoreStreams.Default, grouping)
+    def customGrouping(src: String, streamId: String,
+                       grouping: CustomStreamGrouping): BoltDeclarer =
+      add(src, streamId, Grouping.CustomG(grouping))
     def directGrouping(src: String): BoltDeclarer =
       throw new UnsupportedOperationException(
         "direct grouping is an internal transport mechanism with no " +
@@ -508,6 +542,13 @@ object LocalTopology {
           val p = spec.parallelism
           val srcName = src
           val streamName = stream
+          // custom groupings are prepared ONCE, driver-side, with the
+          // target task list (reference prepares once per worker) — the
+          // prepared instance then serializes into the routing closure
+          grouping match {
+            case Grouping.CustomG(g) => g.prepare(0 until p)
+            case _ => ()
+          }
           outputs((src, stream)).toDF().rdd // row-level routing; payload is opaque binary
             .flatMap { r =>
               val seq = r.getLong(1) * nSrc + srcIdx
@@ -525,6 +566,12 @@ object LocalTopology {
                   val key = fs.map(f => values(srcFields.indexOf(f)))
                   Iterator.single(Row(math.floorMod(key.hashCode, p), seq,
                     srcName, streamName, payload))
+                case Grouping.CustomG(g) =>
+                  val values = deser(payload)
+                  val tasks = g.chooseTasks(values)
+                  require(tasks.nonEmpty && tasks.forall(t => t >= 0 && t < p),
+                    s"customGrouping chose tasks $tasks outside [0, $p) for $values")
+                  tasks.iterator.map(t => Row(t, seq, srcName, streamName, payload))
               }
             }
       }.toSeq

@@ -304,6 +304,35 @@ object Scale {
       .toDF(groupCol, "n_min", "kth_60", "est")
   }
 
+  /** Streaming face of [[quantileSketch]]: per-key bottom-k samples in
+    * the state store, re-merged each batch (lossless by the q204 merge
+    * identity — the running sample always equals the batch sketch over
+    * everything arrived) and read out as the same lower-nearest-rank
+    * quantiles [[quantileEstimate]] computes. Emits
+    * (group, q_ppm, n_samp, est) per requested quantile in update mode.
+    * `ttl` evicts groups idle past the horizon (RotatingMap discipline —
+    * re-admitted groups restart their sample fresh); the sketch itself
+    * is bounded at k pairs per group. */
+  def streamingQuantileSketch(stream: DataFrame, groupCol: String,
+      idCol: String, valueCol: String, k: Int = 256,
+      quantilesPpm: Seq[Long] = Seq(250000L, 500000L, 750000L),
+      ttl: org.apache.spark.sql.streaming.TTLConfig =
+        org.apache.spark.sql.streaming.TTLConfig.NONE): DataFrame = {
+    val spark = stream.sparkSession
+    import spark.implicits._
+    stream.where(F.col(valueCol).isNotNull && F.col(idCol).isNotNull)
+      .select(F.col(groupCol).cast("string"), F.col(idCol).cast("string"),
+        F.col(valueCol).cast("long"))
+      .as[(String, String, Long)]
+      .groupByKey(_._1)
+      .transformWithState(
+        new graft.streaming.StateStoreRunner.QuantileSketchProcessor(
+          k, quantilesPpm, ttl),
+        graft.streaming.StateStoreRunner.ttlTimeMode(ttl),
+        org.apache.spark.sql.streaming.OutputMode.Update())
+      .toDF(groupCol, "q_ppm", "n_samp", "est")
+  }
+
   /** Streaming face of [[digestManifest]]: the per-shard (cnt, hi, lo)
     * accumulator lives in the state store and each batch folds its
     * arrivals' row hashes in — since the digest is a plain exact sum,
@@ -865,6 +894,133 @@ object Scale {
       .withColumn("err_cnt", F.expr("est_cnt - cnt"))
       .select("bucket", "lo", "hi", "cnt", "share_ppm", "samp_cnt",
         "est_cnt", "err_cnt")
+  }
+
+  /** Mergeable bottom-k quantile sketch per group — the quantile member
+    * of the engine-reproducible sketch tier ([[kmvDistinct]] counts
+    * distincts, Misra-Gries finds heavy hitters, CMS counts, this one
+    * ranks): the sketch is "the `k` rows with the lexicographically
+    * smallest `md5(id)`, carrying their values" — a hash-deterministic
+    * uniform row sample (bottom-k sampling, Cohen & Kaplan 2007), so
+    * any engine replays it bit-for-bit and quantile reads off the
+    * sorted sample are EXACT integer arithmetic, never an internal
+    * reservoir (the same determinism argument as [[kmvDistinct]] vs
+    * HLL, and the same sample [[rangePartitionPlan]] already draws
+    * inline). Rank error is the sampling error O(1/√k) — k=256 reads
+    * percentiles to a few points, k=4096 to sub-point.
+    *
+    * MERGEABLE by the KMV identity: the k smallest hashes of a union
+    * are found among each part's k smallest, so per-shard sketches
+    * combine by union → re-take-k and the merged sketch is
+    * BIT-IDENTICAL to the single-pass global sketch
+    * ([[quantileSketchSharded]] is the judged proof, q181's pattern).
+    *
+    * Output: the sketch itself as rows (`groupCol`, `__h`, `__v`), ≤ k
+    * per group — feed [[quantileEstimate]] / [[rangePlanFromSketch]],
+    * or persist and merge with later slices.
+    *
+    * Scale shape: ONE scan into the native distinct-heap TopK (≤ k rows
+    * per (group, partition) cross the exchange — corpus-size-free), the
+    * identical plan to [[kmvDistinct]]'s sketch stage. The heap orders
+    * on (hash, value) — `idCol` SHOULD identify rows, but when it
+    * collides (synthetic keys, re-ingested rows) the value tie-break
+    * keeps the selection DETERMINISTIC: identical (id, value) rows
+    * collapse to one slot, a collided id with distinct values occupies
+    * one slot per value — either way every engine picks the same rows
+    * (a hash-only order would keep whichever duplicate arrived first,
+    * which is partition-order-dependent — caught by the q203 oracle on
+    * this corpus's repeated (orderkey, linenumber) pairs). */
+  def quantileSketch(df: DataFrame, groupCol: String, idCol: String,
+                     valueCol: String, k: Int = 256): DataFrame = {
+    require(k >= 2, s"k must be >= 2, got $k")
+    val hashed = df
+      .where(F.col(valueCol).isNotNull && F.col(idCol).isNotNull)
+      .select(F.col(groupCol),
+        F.md5(F.col(idCol).cast("string")).as("__h"),
+        F.col(valueCol).cast("long").as("__v"))
+    graft.plans.TopK.topKPerKey(hashed, Seq(groupCol), "__h",
+      desc = false, tieBreak = Seq("__v"), k = k, distinct = true)
+  }
+
+  /** The sharded/merged form of [[quantileSketch]] — the 100 TB
+    * accumulate-then-combine path as an operator: each shard (ingest
+    * partition, day, datacenter) builds its own bottom-k sketch, the
+    * merge re-takes the k smallest hashes of the union. Lossless by the
+    * KMV identity; the judged face (q204) estimates quantiles from the
+    * MERGED sketch while the oracle computes the single-pass global
+    * sketch — the cell-exact match is the proof, exactly q181's shape.
+    * The merge's distinct heap also absorbs cross-shard repeats
+    * (re-ingestion overlap) — a duplicated sample row would otherwise
+    * occupy two slots and bias ranks. */
+  def quantileSketchSharded(df: DataFrame, groupCol: String, idCol: String,
+                            valueCol: String, shard: Column,
+                            k: Int = 256): DataFrame = {
+    require(k >= 2, s"k must be >= 2, got $k")
+    val hashed = df
+      .where(F.col(valueCol).isNotNull && F.col(idCol).isNotNull)
+      .select(F.col(groupCol), shard.as("__shard"),
+        F.md5(F.col(idCol).cast("string")).as("__h"),
+        F.col(valueCol).cast("long").as("__v"))
+    val perShard = graft.plans.TopK.topKPerKey(hashed,
+      Seq(groupCol, "__shard"), "__h", desc = false, tieBreak = Seq("__v"),
+      k = k, distinct = true)
+    graft.plans.TopK.topKPerKey(
+      perShard.select(F.col(groupCol), F.col("__h"), F.col("__v")),
+      Seq(groupCol), "__h", desc = false, tieBreak = Seq("__v"), k = k,
+      distinct = true)
+  }
+
+  /** Quantile reads off a [[quantileSketch]] (direct, sharded-merged, or
+    * streaming-accumulated): per group and requested quantile (ppm), the
+    * value at rank `(q_ppm · (n_samp − 1)) DIV 10⁶` of the ASCENDING
+    * sample values (lower nearest-rank — integer-exact, both engines).
+    * Output: (group, q_ppm, n_samp, est), one row per (group, quantile).
+    *
+    * Scale shape: the sketch is ≤ k rows per group, so the collect_list
+    * buffer is bounded by construction; |quantiles| literal rank picks
+    * per group afterwards. */
+  def quantileEstimate(sketch: DataFrame, groupCol: String,
+                       quantilesPpm: Seq[Long]): DataFrame = {
+    require(quantilesPpm.nonEmpty && quantilesPpm == quantilesPpm.sorted &&
+      quantilesPpm.forall(q => q >= 0L && q <= 1000000L),
+      s"quantiles must be ascending ppm in [0, 1000000], got $quantilesPpm")
+    val agg = sketch.groupBy(groupCol)
+      .agg(F.expr("array_sort(collect_list(__v))").as("__vs"),
+        F.count(F.lit(1)).as("n_samp"))
+      .localCheckpoint() // one sketch scan feeds every quantile row
+    quantilesPpm.map { q =>
+      agg.select(F.col(groupCol), F.lit(q).as("q_ppm"), F.col("n_samp"),
+        F.expr(
+          s"element_at(__vs, CAST(($q * (n_samp - 1)) DIV 1000000 AS INT) + 1)")
+          .as("est"))
+    }.reduce(_.unionByName(_))
+  }
+
+  /** Range-partition boundaries from a PRE-BUILT [[quantileSketch]] — the
+    * one-pass variant of [[rangePartitionPlan]]: where q186 draws its
+    * sample and then re-scans the corpus for the audit counts, this
+    * plans the layout purely from the sketch (possibly merged from
+    * shards or accumulated by the streaming face) — at 100 TB the
+    * boundary decision costs ≤ k rows, no corpus pass at all. Same
+    * rank-pick and bucket conventions as [[rangePartitionPlan]]
+    * (boundary i = sample value at rank `i·n DIV buckets`, lo
+    * inclusive / hi exclusive, open ends null). Output:
+    * (bucket, lo, hi, n_samp). */
+  def rangePlanFromSketch(sketch: DataFrame, buckets: Int): DataFrame = {
+    require(buckets >= 2, s"buckets must be >= 2, got $buckets")
+    sketch
+      .agg(F.sort_array(F.collect_list("__v")).as("__sk"),
+        F.count(F.lit(1)).as("n_samp"))
+      .withColumn("__bs", F.expr(
+        s"""transform(sequence(1, ${buckets - 1}),
+              i -> try_element_at(__sk, greatest(1, CAST((i * n_samp) DIV $buckets AS INT))))"""))
+      .select(F.explode(F.sequence(F.lit(0), F.lit(buckets - 1))).as("__b"),
+        F.col("__bs"), F.col("n_samp"))
+      .withColumn("bucket", F.col("__b").cast("long"))
+      .withColumn("lo", F.expr("CASE WHEN __b > 0 THEN try_element_at(__bs, __b) END"))
+      .withColumn("hi", F.expr(
+        s"CASE WHEN __b < ${buckets - 1} THEN try_element_at(__bs, __b + 1) END"))
+      .select("bucket", "lo", "hi", "n_samp")
   }
 
   /** Equi-WIDTH column histogram — the CBO's range-selectivity input,

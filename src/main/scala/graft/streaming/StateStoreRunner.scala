@@ -218,6 +218,51 @@ object StateStoreRunner {
     }
   }
 
+  /** Streaming bottom-k quantile sketch PER KEY — the incremental face
+    * of `Scale.quantileSketch`: state is the ≤ k (md5(id), value) pairs
+    * with the smallest hashes among everything arrived. Each batch
+    * unions its arrivals with the resumed sample and re-takes the k
+    * hash-smallest — the same union→re-TopK merge the sharded batch
+    * face (q204) proves LOSSLESS, so after any batch sequence the
+    * sample is bit-identical to the batch sketch over the union of all
+    * arrivals (spec-pinned against `Scale.quantileSketch` +
+    * `quantileEstimate` on the same data). Emits one
+    * (key, q_ppm, n_samp, est) row per requested quantile per touched
+    * key, the identical lower-nearest-rank read the batch face uses.
+    * State is rewritten on EVERY batch touch (≤ k pairs) so per-element
+    * TTL tracks key activity, not slot churn. */
+  class QuantileSketchProcessor(k: Int, quantilesPpm: Seq[Long],
+                                ttl: TTLConfig = TTLConfig.NONE)
+    extends StatefulProcessor[String, (String, String, Long), (String, Long, Long, Long)] {
+    require(k >= 2, s"k must be >= 2, got $k")
+    require(quantilesPpm.nonEmpty &&
+      quantilesPpm.forall(q => q >= 0L && q <= 1000000L),
+      s"quantiles must be ppm in [0, 1000000], got $quantilesPpm")
+    @transient private var samp: org.apache.spark.sql.streaming.ListState[(String, Long)] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      samp = getHandle.getListState[(String, Long)]("qsketch",
+        Encoders.product[(String, Long)], ttl)
+
+    override def handleInputRows(key: String, rows: Iterator[(String, String, Long)],
+                                 timerValues: TimerValues): Iterator[(String, Long, Long, Long)] = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      def md5hex(s: String): String =
+        md.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      val cur = if (samp.exists()) samp.get().toVector else Vector.empty[(String, Long)]
+      // (hash, value) pair order — the batch face's deterministic
+      // collision tie-break (identical pairs collapse via distinct)
+      val merged = (cur ++ rows.map(r => (md5hex(r._2), r._3)))
+        .distinct.sorted.take(k)
+      samp.put(merged.toArray)
+      val vs = merged.map(_._2).sorted
+      val n = vs.size.toLong
+      quantilesPpm.iterator.map { q =>
+        (key, q, n, vs(((q * (n - 1)) / 1000000L).toInt))
+      }
+    }
+  }
+
   /** Streaming incremental content digest PER SHARD — the incremental
     * face of `Scale.digestManifest`: state is (cnt, digest_hi, digest_lo),
     * the exact running sum of 60-bit row hashes carried as two longs

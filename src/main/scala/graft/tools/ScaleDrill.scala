@@ -186,6 +186,46 @@ object ScaleDrill {
     // min-id aggregate joined back co-partitioned, |sources|-key report
     "dup_token_mass (q195)" -> (docs =>
       graft.functions.Dedup.dupTokenMass(docs, "doc_id", "text", "source")),
+    // per-row JSON synthesis + get_json_object in the scan stage, ONE
+    // conditional aggregate, |fields|-row unpivot — corpus-size-free out
+    "json_field_audit (q199)" -> { docs =>
+      val j1 = F.concat(F.lit("{\"id\":"), F.col("doc_id").cast("string"),
+        F.lit(",\"lang\":\""), F.col("lang"), F.lit("\""),
+        F.when(F.col("doc_id") % 5 === 0, F.concat(F.lit(",\"score\":"),
+          (F.col("doc_id") % 100).cast("string"))).otherwise(F.lit("")),
+        F.lit("}"))
+      val payload = F.when(F.col("doc_id") % 7 === 0, F.substring(j1, 1, 9))
+        .otherwise(j1)
+      graft.functions.Expectations.jsonFieldAudit(
+        docs.select(payload.as("j")), "j", Seq("id", "lang", "score", "missing"))
+    },
+    // fixed-boundary band fold + a <=|bins|+1-key map-side-combined
+    // groupBy; bins never grow with the corpus
+    "fixed_bin_histogram (q200)" -> (docs =>
+      Scale.fixedBinHistogram(docs.select(F.col("doc_id")), "doc_id",
+        Seq(2000000L, 20000000L, 50000000L, 200000000L))),
+    // two fixed-bin passes + a <=|bins|-row join; the split recreates
+    // q201's returned-vs-rest slicing on a corpus column
+    "histogram_drift (q201)" -> (docs =>
+      Scale.histogramDrift(
+        docs.where(F.col("doc_id") % 3 === 0).select(F.col("doc_id")),
+        docs.where(F.col("doc_id") % 3 =!= 0).select(F.col("doc_id")),
+        "doc_id", Seq(2000000L, 20000000L, 50000000L, 200000000L))),
+    // one scan into the distinct-heap TopK (≤ k rows per (group,
+    // partition) cross the exchange) + a ≤k-row rank read — the KMV
+    // sketch shape carrying a value payload
+    "quantile_sketch (q203)" -> (docs =>
+      Scale.quantileEstimate(
+        Scale.quantileSketch(docs.select(F.col("lang"), F.col("doc_id"),
+          F.length(F.col("text")).cast("long").as("len")),
+          "lang", "doc_id", "len", k = 256),
+        "lang", Seq(250000L, 500000L, 750000L))),
+    // probes AND bins folded in ONE conditional-sum scan; estimates are
+    // literal arithmetic on the 1-row frame — corpus-size-free output
+    "selectivity_hist (q202)" -> (docs =>
+      Scale.selectivityAuditHist(docs.select(F.col("doc_id")), "doc_id",
+        Seq((0L, 2000000L), (2000000L, 20000000L), (50000000L, 900000000L)),
+        Seq(2000000L, 20000000L, 50000000L, 200000000L))),
     "minhash_sig (q36)" -> (docs =>
       Dedup.minhashSignature(docs.where(Text.tokenCount(F.col("text")) >= 3),
         "text", 3, 2).select("doc_id", "mh0", "mh1")),

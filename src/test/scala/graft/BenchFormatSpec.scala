@@ -8,14 +8,21 @@ import org.scalatest.funsuite.AnyFunSuite
 class BenchFormatSpec extends AnyFunSuite {
   private def parse(s: String) = org.json4s.jackson.JsonMethods.parse(s)
   private val streaming = Seq(
-    "stream_lsh_candidates" -> 7.575893, "stream_wordcount" -> 1.155435,
-    "stream_wordcount_durable" -> 0.969665, "stream_wordcount_store" -> 3.578634,
-    "drpc_statequery_ms" -> 560.192436, "continuous_latency_mean" -> 0.000245)
+    ("stream_lsh_candidates", 7.575893, Seq(7.575893, 8.1, 7.2)),
+    ("stream_wordcount", 1.155435, Seq(1.2, 1.155435, 1.4)),
+    ("stream_wordcount_durable", 0.969665, Seq(0.969665, 1.1, -1.0)),
+    ("stream_wordcount_store", 3.578634, Seq(21.57, 3.578634, 2.9)),
+    ("drpc_statequery_ms", 560.192436, Seq(560.192436, 2011.0, 533.0)),
+    ("continuous_latency_mean", 0.000245, Seq(0.000245, 0.000251, 0.000240)))
   private def suite(n: Int, sec: Double): Seq[(String, Double)] =
     (1 to n).map(i => s"q${i}_some_operator_name" -> sec)
 
-  test("realistic suite: all-queries tier fits and parses; values are int ms") {
-    val line = BenchFormat.stdoutLine(suite(175, 0.41), streaming,
+  test("realistic suite: slow queries stay visible at int ms AND streaming runs survive") {
+    // 140 fast + 35 slow — the real suite's shape; the fold tier absorbs
+    // the fast tail while the slow entries and the runs arrays both fit
+    val mixed = (1 to 140).map(i => s"q${i}_fast" -> 0.08) ++
+      (141 to 175).map(i => s"q${i}_slow" -> 0.8)
+    val line = BenchFormat.stdoutLine(mixed, streaming,
       calib = 0.114, reps = 2, degraded = false, """"warm":"none",""", "/sf")
     assert(line.length <= BenchFormat.Budget, s"len ${line.length}")
     val j = parse(line)
@@ -24,8 +31,9 @@ class BenchFormatSpec extends AnyFunSuite {
     assert((j \ "metric").extract[String] == "total")
     assert((j \ "qunit").extract[String] == "ms")
     val qs = (j \ "queries").extract[Map[String, Long]]
-    assert(qs.size == 175 && qs("1") == 410L)
-    assert(math.abs((j \ "value").extract[Double] - 175 * 0.41) < 0.01)
+    assert(qs.size >= 35 && qs("141") == 800L)
+    assert((j \ "streaming" \ "wcs" \ "runs").extract[Seq[Double]].size == 3)
+    assert(math.abs((j \ "value").extract[Double] - (140 * 0.08 + 35 * 0.8)) < 0.01)
   }
 
   test("oversized suite: folding tiers engage, line still fits and parses") {
@@ -101,7 +109,45 @@ class BenchFormatSpec extends AnyFunSuite {
     implicit val fmts: Formats = DefaultFormats
     val qs = (j \ "queries").extract[Map[String, Double]]
     assert(qs.size == 175 && qs("q1_some_operator_name") == 0.41)
-    val st = (j \ "streaming").extract[Map[String, Double]]
-    assert(st("continuous_latency_mean") == 0.000245)
+    // streaming entries carry BOTH the recorded median and the raw runs
+    // (failures stay visible as -1) — VERDICT r10 #1
+    assert((j \ "streaming" \ "continuous_latency_mean" \ "med")
+      .extract[Double] == 0.000245)
+    assert((j \ "streaming" \ "stream_wordcount_store" \ "runs")
+      .extract[Seq[Double]] == Seq(21.57, 3.578634, 2.9))
+    assert((j \ "streaming" \ "stream_wordcount_durable" \ "runs")
+      .extract[Seq[Double]].contains(-1.0))
+  }
+
+  test("stdout line carries streaming med+runs in every tier and still fits") {
+    import org.json4s._
+    implicit val fmts: Formats = DefaultFormats
+    for (n <- Seq(8, 175, 3000)) {
+      val line = BenchFormat.stdoutLine(suite(n, if (n > 600) 9.9 else 0.4),
+        streaming, calib = 0.1, reps = 2, degraded = false,
+        """"warm":"none",""", "/sf")
+      assert(line.length <= BenchFormat.Budget, s"n=$n len ${line.length}")
+      val j = parse(line)
+      val key = if (n == 8) "stream_wordcount_store" else "wcs"
+      // the budgeted face rounds seconds-scale values to 3 decimals
+      assert(math.abs((j \ "streaming" \ key \ "med").extract[Double] - 3.578634)
+        < 0.001, s"n=$n")
+      assert((j \ "streaming" \ key \ "runs").extract[Seq[Double]].size == 3, s"n=$n")
+    }
+  }
+
+  test("fullJson full-only note (duck_queries) lands in BENCH_SELF, not stdout") {
+    import org.json4s._
+    implicit val fmts: Formats = DefaultFormats
+    val dq = """"duck_queries":{"q1_x":0.012,"q2_y":1.503},"""
+    val full = parse(BenchFormat.fullJson(suite(10, 0.4), streaming,
+      0.1, 2, false, """"warm":"none",""", "/sf",
+      """"duck_total":76.830,"duck_n":195,"ratio":1.060,""", dq))
+    assert((full \ "duck_queries" \ "q2_y").extract[Double] == 1.503)
+    val line = BenchFormat.stdoutLine(suite(175, 0.41), streaming,
+      0.1, 2, false, """"warm":"none",""", "/sf",
+      """"duck_total":76.830,"duck_n":195,"ratio":1.060,""")
+    assert(!line.contains("duck_queries"))
+    assert(line.length <= BenchFormat.Budget)
   }
 }

@@ -99,6 +99,23 @@ private class LoggingFixedSpout(tuples: Seq[Seq[Any]]) extends IRichSpout {
   override def ack(msgId: Any): Unit = AckLog.ids += msgId
 }
 
+/** reference `testing/NGrouping.java`: routes every tuple to the FIRST n
+  * target tasks — the stock custom-grouping test fixture (multicast). */
+private class NGrouping(n: Int) extends CustomStreamGrouping {
+  private var targets: Seq[Int] = Seq.empty
+  override def prepare(targetTasks: Seq[Int]): Unit = targets = targetTasks.take(n)
+  def chooseTasks(values: Seq[Any]): Seq[Int] = targets
+}
+
+/** Custom grouping keyed on the word's LENGTH — proves chooseTasks sees
+  * the tuple values, not just metadata. */
+private class LengthGrouping extends CustomStreamGrouping {
+  private var p = 0
+  override def prepare(targetTasks: Seq[Int]): Unit = p = targetTasks.size
+  def chooseTasks(values: Seq[Any]): Seq[Int] =
+    Seq(values.head.asInstanceOf[String].length % p)
+}
+
 /** Identity basic bolt. */
 private class IdentityWord extends IBasicBolt {
   def declareOutputFields: Fields = Fields("word")
@@ -226,6 +243,62 @@ class CoreTopologySpec extends AnyFunSuite {
     val results = LocalTopology.completeTopology(spark, b,
       mockSources = Map("1" -> Seq.fill(6)(Seq("a"))))
     assert(results.readTuples("2").map(_.head).toSet == Set(0, 1, 2, 3, 4, 5))
+  }
+
+  test("custom groupings: NGrouping multicasts to the first n tasks (grouping_test.clj:56-79)") {
+    // the reference test: spout emits [a], [b]; bolt "2" under
+    // NGrouping(2) at p=4 reads each tuple twice, bolt "3" under
+    // NGrouping(3) at p=6 reads each three times (multiset compare)
+    val b = new TopologyBuilder
+    b.setSpout("1", new WordSpoutStub)
+    b.setBolt("2", new IdentityWord, 4).customGrouping("1", new NGrouping(2))
+    b.setBolt("3", new IdentityWord, 6).customGrouping("1", new NGrouping(3))
+    val results = LocalTopology.completeTopology(spark, b,
+      mockSources = Map("1" -> Seq(Seq("a"), Seq("b"))))
+    assert(results.readTuples("2").groupBy(identity).view.mapValues(_.size).toMap ==
+      Map(Seq("a") -> 2, Seq("b") -> 2))
+    assert(results.readTuples("3").groupBy(identity).view.mapValues(_.size).toMap ==
+      Map(Seq("a") -> 3, Seq("b") -> 3))
+  }
+
+  test("custom grouping sees tuple VALUES: same-key tuples land on one task") {
+    val b = new TopologyBuilder
+    b.setSpout("1", new WordSpoutStub)
+    b.setBolt("2", new EmitTaskId, 4).customGrouping("1", new LengthGrouping)
+    val results = LocalTopology.completeTopology(spark, b, mockSources =
+      Map("1" -> Seq(Seq("aa"), Seq("bb"), Seq("xyz"), Seq("pqr"), Seq("aa"))))
+    // len-2 words share a task; len-3 words share a different one
+    val byLen = results.readTuples("2").map(_.head.asInstanceOf[Int])
+    assert(byLen.toSet.size == 2)
+  }
+
+  test("localOrShuffleGrouping routes like shuffle: all tasks covered, every tuple exactly once") {
+    val b = new TopologyBuilder
+    b.setSpout("1", new WordSpoutStub)
+    b.setBolt("2", new EmitTaskId, 6).localOrShuffleGrouping("1")
+    val results = LocalTopology.completeTopology(spark, b,
+      mockSources = Map("1" -> Seq.fill(12)(Seq("a"))))
+    assert(results.readTuples("2").size == 12)
+    assert(results.readTuples("2").map(_.head).toSet == Set(0, 1, 2, 3, 4, 5))
+  }
+
+  test("custom grouping choosing an out-of-range task fails loudly") {
+    val b = new TopologyBuilder
+    b.setSpout("1", new WordSpoutStub)
+    b.setBolt("2", new IdentityWord, 2).customGrouping("1", new NGrouping(5))
+    // NGrouping(5).prepare sees only tasks 0,1 (take(5) of 2) — legal;
+    // a grouping that INVENTS a task id is the loud-failure case
+    val bad = new TopologyBuilder
+    bad.setSpout("1", new WordSpoutStub)
+    bad.setBolt("2", new IdentityWord, 2).customGrouping("1",
+      new CustomStreamGrouping {
+        def chooseTasks(values: Seq[Any]): Seq[Int] = Seq(7)
+      })
+    val e = intercept[Exception] {
+      LocalTopology.completeTopology(spark, bad,
+        mockSources = Map("1" -> Seq(Seq("a"))))
+    }
+    assert(e.getMessage != null)
   }
 
   test("driver-pumped rich spout: open/nextTuple/ack lifecycle, all grouping, quiescence stop") {

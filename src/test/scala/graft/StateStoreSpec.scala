@@ -75,6 +75,40 @@ class StateStoreSpec extends AnyFunSuite {
     assert(got == expected, s"streaming sketch diverged:\ngot $got\nwant $expected")
   }
 
+  test("streaming quantile sketch: every emitted row equals the batch estimate over the arrivals so far") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(String, Long, Long)]
+    val qs = Seq(250000L, 500000L, 750000L)
+    val out = graft.functions.Scale.streamingQuantileSketch(
+      input.toDS().toDF("g", "id", "v"), "g", "id", "v", k = 6, qs)
+    val q = out.writeStream.outputMode("update").format("memory")
+      .queryName("qskstream").trigger(Trigger.ProcessingTime(0L)).start()
+    // batch 2 overlaps batch 1 (id 3 again — identical pair collapses)
+    // and pushes "big" past k=6 rows, so the bottom-k eviction engages
+    // on the merged sample
+    val batch1 = (1L to 5L).map(i => ("big", i, i * 100L)) :+ (("small", 1L, 7L))
+    val batch2 = Seq(("big", 3L, 300L), ("big", 6L, 600L), ("big", 7L, 700L),
+      ("big", 8L, 800L), ("small", 2L, 9L))
+    input.addData(batch1: _*)
+    q.processAllAvailable()
+    input.addData(batch2: _*)
+    q.processAllAvailable()
+    q.stop()
+    def batchFace(rows: Seq[(String, Long, Long)]) =
+      graft.functions.Scale.quantileEstimate(
+          graft.functions.Scale.quantileSketch(rows.toDF("g", "id", "v"),
+            "g", "id", "v", k = 6), "g", qs)
+        .as[(String, Long, Long, Long)].collect().toSet
+    // update-mode emissions: after each batch the touched groups carry
+    // exactly the batch face's estimates over the union of arrivals —
+    // the lossless bottom-k merge identity, incrementally
+    val expected = batchFace(batch1) ++ batchFace(batch1 ++ batch2)
+    val got = spark.table("qskstream").as[(String, Long, Long, Long)]
+      .collect().toSet
+    assert(got == expected, s"streaming quantile sketch diverged:\ngot $got\nwant $expected")
+  }
+
   /** TimeMode.ProcessingTime queries (the mode state TTL requires)
     * re-trigger no-data batches continuously, so `processAllAvailable`
     * never observes a quiescent point — poll the memory sink for the

@@ -111,6 +111,33 @@ object StatsPropertySpec extends Properties("StatsOps") {
       }
     }
 
+  property("quantileSketch: sharded merge == direct (lossless); estimates are sample values, monotone in q") =
+    Prop.forAll(Gen.nonEmptyListOf(Gen.zip(
+      Gen.oneOf("g1", "g2"), Gen.choose(0L, 40L), Gen.choose(-500L, 500L)))) { rows =>
+      import spark.implicits._
+      // ids COLLIDE on purpose (0..40 over up-to-100 rows): the (hash,
+      // value) tie-break must keep the selection deterministic
+      val df = rows.toDF("g", "id", "v")
+      val qs = Seq(0L, 250000L, 500000L, 750000L, 1000000L)
+      def read(d: org.apache.spark.sql.DataFrame) =
+        Scale.quantileEstimate(d, "g", qs)
+          .collect().map(r => (r.getString(0), r.getLong(1)) ->
+            (r.getLong(2), r.getLong(3))).toMap
+      val direct = read(Scale.quantileSketch(df, "g", "id", "v", k = 8))
+      val merged = read(Scale.quantileSketchSharded(df, "g", "id", "v",
+        org.apache.spark.sql.functions.col("id") % 3, k = 8))
+      val inputVals = rows.groupBy(_._1).view.mapValues(_.map(_._3).toSet).toMap
+      direct == merged && direct.forall { case ((g, _), (n, est)) =>
+        n >= 1L && n <= 8L && inputVals(g).contains(est)
+      } && direct.keys.map(_._1).toSet.forall { g =>
+        // estimates never decrease as q grows
+        qs.map(q => direct((g, q))._2).sliding(2).forall {
+          case Seq(a, b) => a <= b
+          case _ => true
+        }
+      }
+    }
+
   property("unigramConcentration: Simpson ppm matches the brute-force count table; bounds hold") =
     Prop.forAll(Gen.nonEmptyListOf(Gen.zip(
       Gen.oneOf("s1", "s2"),

@@ -36,8 +36,12 @@ def main(sfdir, oracle_path):
         total += dt
     for name, dt in sorted(times.items(), key=lambda kv: -kv[1])[:10]:
         print(f"{dt:8.2f}s  {name}")
+    # per-query times ride in the JSON line so graft.Bench can land a
+    # duck_queries map in BENCH_SELF.json — a judge can then name the
+    # weak queries by same-window RATIO instead of by wall-time
     print(json.dumps({"metric": "oracle_total", "value": total, "unit": "sec",
-                      "n": len(times), "sf": sfdir}))
+                      "n": len(times), "sf": sfdir,
+                      "queries": {k: round(v, 4) for k, v in sorted(times.items())}}))
 
 if __name__ == "__main__":
     main(sys.argv[1], sys.argv[2])
