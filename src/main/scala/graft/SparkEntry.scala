@@ -1554,6 +1554,27 @@ object SparkEntry {
           "doc_id", "text", "source")
         .orderBy("source")),
 
+    "q207_sketch_cdf_audit" -> ((s, dir) =>
+      // rank-estimator calibration: exact count(<=probe) from one
+      // conditional-sum scan vs the bottom-k sketch's extrapolated CDF —
+      // the evidence tier for trusting the sketch's ranks at 100 TB
+      functions.Scale.quantileSketchCdfAudit(
+          events(s, dir).select(F.col("event_id"), F.col("user_id")),
+          "event_id", "user_id",
+          Seq(1000L, 5000L, 20000L, 100000L), k = 128)
+        .orderBy("probe")),
+
+    "q206_join_size_hist" -> ((s, dir) =>
+      // the other classic histogram consumer: equi-join size estimated
+      // per shared bin (cnt_a*cnt_b DIV width, union-domain-clamped edge
+      // bins) vs the exact join count — orders FK x customer PK, where
+      // near-uniform keys make the containment-free estimate land close
+      functions.Scale.histogramJoinEstimate(
+          table(s, dir, "orders").select(F.col("o_custkey")), "o_custkey",
+          table(s, dir, "customer").select(F.col("c_custkey")), "c_custkey",
+          Seq(300L, 600L, 900L, 1200L))
+        .orderBy("bin")),
+
     "q205_range_plan_sketch" -> ((s, dir) => {
       // the ONE-PASS layout variant of q186: boundaries planned purely
       // from a pre-built bottom-k sketch (no corpus audit pass) — the
@@ -3792,6 +3813,78 @@ object SparkEntry {
          SELECT source, n_docs, n_dup_docs, tokens_total, tokens_dup,
            CAST(tokens_dup::HUGEINT * 1000000 // greatest(tokens_total, 1) AS BIGINT) AS dup_token_ppm
          FROM g ORDER BY 1""",
+
+    "q207_sketch_cdf_audit" ->
+      // same deterministic bottom-128 (h, v) sample (pair-distinct,
+      // (h, v) order) and the same HUGEINT // extrapolation; exact side
+      // is one conditional-sum scan
+      """WITH v AS (SELECT CAST(user_id AS BIGINT) AS v, event_id FROM events
+              WHERE user_id IS NOT NULL AND event_id IS NOT NULL),
+         sk0 AS (SELECT DISTINCT md5(CAST(event_id AS VARCHAR)) AS h, v FROM v),
+         r AS (SELECT v, row_number() OVER (ORDER BY h, v) AS rn FROM sk0),
+         sk AS (SELECT list_sort(list(v)) AS vs, CAST(count(*) AS BIGINT) AS n_samp
+                FROM r WHERE rn <= 128),
+         t AS (SELECT CAST(count(*) AS BIGINT) AS n,
+                 CAST(sum(CASE WHEN v <= 1000 THEN 1 ELSE 0 END) AS BIGINT) AS a0,
+                 CAST(sum(CASE WHEN v <= 5000 THEN 1 ELSE 0 END) AS BIGINT) AS a1,
+                 CAST(sum(CASE WHEN v <= 20000 THEN 1 ELSE 0 END) AS BIGINT) AS a2,
+                 CAST(sum(CASE WHEN v <= 100000 THEN 1 ELSE 0 END) AS BIGINT) AS a3
+               FROM v),
+         p AS (SELECT * FROM (VALUES (CAST(1000 AS BIGINT), 0), (5000, 1),
+                 (20000, 2), (100000, 3)) x(probe, idx)),
+         rr AS (SELECT p.probe, t.n,
+                 CASE p.idx WHEN 0 THEN t.a0 WHEN 1 THEN t.a1
+                            WHEN 2 THEN t.a2 ELSE t.a3 END AS actual_le,
+                 sk.n_samp,
+                 CAST(len(list_filter(sk.vs, x -> x <= p.probe)) AS BIGINT) AS samp_le
+               FROM p, t, sk)
+         SELECT probe, n, actual_le, n_samp, samp_le,
+           CAST(n::HUGEINT * samp_le // greatest(n_samp, 1) AS BIGINT) AS est_le,
+           CAST(n::HUGEINT * samp_le // greatest(n_samp, 1) - actual_le AS BIGINT) AS err
+         FROM rr ORDER BY probe""",
+
+    "q206_join_size_hist" ->
+      // one conditional-sum scan per side; per-bin HUGEINT // floor
+      // division mirrors Spark's DECIMAL (p - p%w)/w; edge bins clamp to
+      // the union domain; the truth join is the calibration tier
+      """WITH va AS (SELECT CAST(o_custkey AS BIGINT) AS v FROM orders
+              WHERE o_custkey IS NOT NULL),
+         vb AS (SELECT CAST(c_custkey AS BIGINT) AS v FROM customer
+              WHERE c_custkey IS NOT NULL),
+         ta AS (SELECT min(v) AS mn_a, max(v) AS mx_a,
+                 CAST(sum(CASE WHEN v < 300 THEN 1 ELSE 0 END) AS BIGINT) AS a0,
+                 CAST(sum(CASE WHEN v >= 300 AND v < 600 THEN 1 ELSE 0 END) AS BIGINT) AS a1,
+                 CAST(sum(CASE WHEN v >= 600 AND v < 900 THEN 1 ELSE 0 END) AS BIGINT) AS a2,
+                 CAST(sum(CASE WHEN v >= 900 AND v < 1200 THEN 1 ELSE 0 END) AS BIGINT) AS a3,
+                 CAST(sum(CASE WHEN v >= 1200 THEN 1 ELSE 0 END) AS BIGINT) AS a4
+               FROM va),
+         tb AS (SELECT min(v) AS mn_b, max(v) AS mx_b,
+                 CAST(sum(CASE WHEN v < 300 THEN 1 ELSE 0 END) AS BIGINT) AS b0,
+                 CAST(sum(CASE WHEN v >= 300 AND v < 600 THEN 1 ELSE 0 END) AS BIGINT) AS b1,
+                 CAST(sum(CASE WHEN v >= 600 AND v < 900 THEN 1 ELSE 0 END) AS BIGINT) AS b2,
+                 CAST(sum(CASE WHEN v >= 900 AND v < 1200 THEN 1 ELSE 0 END) AS BIGINT) AS b3,
+                 CAST(sum(CASE WHEN v >= 1200 THEN 1 ELSE 0 END) AS BIGINT) AS b4
+               FROM vb),
+         bins AS (SELECT x.j,
+                 CASE x.j WHEN 0 THEN ta.a0 WHEN 1 THEN ta.a1 WHEN 2 THEN ta.a2
+                          WHEN 3 THEN ta.a3 ELSE ta.a4 END AS cnt_a,
+                 CASE x.j WHEN 0 THEN tb.b0 WHEN 1 THEN tb.b1 WHEN 2 THEN tb.b2
+                          WHEN 3 THEN tb.b3 ELSE tb.b4 END AS cnt_b,
+                 CASE x.j WHEN 0 THEN least(ta.mn_a, tb.mn_b) WHEN 1 THEN 300
+                          WHEN 2 THEN 600 WHEN 3 THEN 900 ELSE 1200 END AS blo,
+                 CASE x.j WHEN 0 THEN 299 WHEN 1 THEN 599 WHEN 2 THEN 899
+                          WHEN 3 THEN 1199 ELSE greatest(ta.mx_a, tb.mx_b) END AS bhi
+               FROM ta, tb, (VALUES (0), (1), (2), (3), (4)) x(j)),
+         pb AS (SELECT CAST(j AS BIGINT) AS bin, cnt_a, cnt_b,
+                 CAST(CASE WHEN bhi - blo + 1 < 1 THEN 0
+                   ELSE cnt_a::HUGEINT * cnt_b // (bhi::HUGEINT - blo + 1) END AS BIGINT) AS est
+               FROM bins),
+         tot AS (SELECT CAST(sum(est) AS BIGINT) AS est_total FROM pb),
+         act AS (SELECT CAST(count(*) AS BIGINT) AS actual
+                 FROM va JOIN vb ON va.v = vb.v)
+         SELECT pb.bin, pb.cnt_a, pb.cnt_b, pb.est, tot.est_total, act.actual,
+           tot.est_total - act.actual AS err
+         FROM pb, tot, act ORDER BY pb.bin""",
 
     "q205_range_plan_sketch" ->
       // same deterministic sample as q186 (256 smallest md5(event_id)),

@@ -1332,6 +1332,120 @@ object Scale {
         "est_hist", "err_uniform", "err_hist")
   }
 
+  /** Equi-join size estimate from two fixed-bin histograms — the OTHER
+    * classic histogram consumer next to q202's range selectivity: per
+    * shared bin b, the textbook containment-free estimate
+    * `est_b = cnt_a(b) · cnt_b(b) DIV width(b)` (values uniform over the
+    * bin's integer positions ⇒ each of cnt_a·cnt_b cross pairs matches
+    * with probability 1/width), edge bins clamped to the UNION domain
+    * [min(mn_a,mn_b), max(mx_a,mx_b)]. The face carries the EXACT join
+    * count (`actual`, repeated per row) and the plain signed headline
+    * error — the calibration tier a planner reads at sf and drops at
+    * 100 TB, where only the two histogram scans remain.
+    *
+    * All arithmetic DECIMAL(38,0): cnt_a·cnt_b reaches n² and the
+    * per-bin floor division is the established (p − p%w)/w spelling.
+    *
+    * Scale shape: ONE conditional-sum aggregate per side (bins + min/max
+    * + count in a single scan each), a 1-row × 1-row cross of the two
+    * frames, ≤|bins| output rows; the truth tier is the only join. */
+  def histogramJoinEstimate(a: DataFrame, aCol: String,
+                            b: DataFrame, bCol: String,
+                            boundaries: Seq[Long]): DataFrame = {
+    require(boundaries.nonEmpty && boundaries == boundaries.sorted &&
+      boundaries.distinct == boundaries,
+      s"boundaries must be non-empty strictly ascending, got $boundaries")
+    val m = boundaries.size
+    def oneSide(df: DataFrame, col: String, tag: String): DataFrame = {
+      val v = df.where(F.col(col).isNotNull)
+        .select(F.col(col).cast("long").as("__v"))
+      val binAggs = (0 to m).map { j =>
+        val c =
+          if (j == 0) F.col("__v") < boundaries(0)
+          else if (j == m) F.col("__v") >= boundaries(m - 1)
+          else F.col("__v") >= boundaries(j - 1) && F.col("__v") < boundaries(j)
+        F.sum(F.when(c, 1L).otherwise(0L)).as(s"__c$j")
+      }
+      val aggs = F.min("__v").as(s"mn_$tag") +: F.max("__v").as(s"mx_$tag") +:
+        binAggs
+      v.agg(aggs.head, aggs.tail: _*)
+        .select(F.col(s"mn_$tag"), F.col(s"mx_$tag"),
+          F.array((0 to m).map(j => F.col(s"__c$j")): _*).as(s"cnts_$tag"))
+    }
+    val ha = oneSide(a, aCol, "a").localCheckpoint()
+    val hb = oneSide(b, bCol, "b").localCheckpoint()
+    val actual = a.select(F.col(aCol).cast("long").as("__k"))
+      .where(F.col("__k").isNotNull)
+      .join(b.select(F.col(bCol).cast("long").as("__k"))
+        .where(F.col("__k").isNotNull), Seq("__k"))
+      .agg(F.count(F.lit(1)).as("actual"))
+    def dec(s: String) = s"CAST($s AS DECIMAL(38,0))"
+    val perBin = ha.crossJoin(hb)
+      .select(F.explode(F.sequence(F.lit(0), F.lit(m))).as("__b"),
+        F.col("mn_a"), F.col("mx_a"), F.col("mn_b"), F.col("mx_b"),
+        F.col("cnts_a"), F.col("cnts_b"))
+      .withColumn("bin", F.col("__b").cast("long"))
+      .withColumn("cnt_a", F.expr("element_at(cnts_a, CAST(__b AS INT) + 1)"))
+      .withColumn("cnt_b", F.expr("element_at(cnts_b, CAST(__b AS INT) + 1)"))
+      // clamped integer bin bounds over the UNION domain
+      .withColumn("__blo", F.expr(
+        (1 to m).foldRight(s"least(${dec("mn_a")}, ${dec("mn_b")})") { (j, acc) =>
+          s"CASE WHEN __b = $j THEN ${dec(boundaries(j - 1).toString)} ELSE $acc END"
+        }))
+      .withColumn("__bhi", F.expr(
+        (0 until m).foldRight(s"greatest(${dec("mx_a")}, ${dec("mx_b")})") { (j, acc) =>
+          s"CASE WHEN __b = $j THEN ${dec(boundaries(j).toString)} - 1 ELSE $acc END"
+        }))
+      .withColumn("__w", F.expr("__bhi - __blo + 1"))
+      .withColumn("est", F.expr(
+        s"""CAST(CASE WHEN __w < 1 THEN ${dec("0")}
+              ELSE (${dec("cnt_a")} * cnt_b - (${dec("cnt_a")} * cnt_b) % __w) / __w
+            END AS BIGINT)"""))
+      .select("bin", "cnt_a", "cnt_b", "est")
+      .localCheckpoint()
+    val headline = perBin.agg(F.sum("est").as("est_total"))
+    perBin.crossJoin(F.broadcast(headline))
+      .crossJoin(F.broadcast(actual))
+      .withColumn("err", F.expr("est_total - actual"))
+      .select("bin", "cnt_a", "cnt_b", "est", "est_total", "actual", "err")
+  }
+
+  /** CDF calibration audit of a [[quantileSketch]] — per boundary value
+    * b, the EXACT count of rows ≤ b (one conditional-sum scan, all
+    * probes folded) next to the sketch-extrapolated count
+    * `est_le = n · |{sample ≤ b}| DIV n_samp`, with the plain signed
+    * error. This is the estimator-calibration tier (q141/q155 family)
+    * for ranks: at sf the truth scan is cheap; at 100 TB the sketch
+    * side costs ≤ k rows and this audit is the evidence for trusting it.
+    * Output: (probe, n, actual_le, n_samp, samp_le, est_le, err). */
+  def quantileSketchCdfAudit(df: DataFrame, idCol: String, valueCol: String,
+                             probes: Seq[Long], k: Int = 256): DataFrame = {
+    require(probes.nonEmpty && probes == probes.sorted,
+      s"probes must be non-empty ascending, got $probes")
+    val sketch = quantileSketch(
+      df.select(F.lit("g").as("__g"), F.col(idCol), F.col(valueCol)),
+      "__g", idCol, valueCol, k)
+    val sk = sketch.agg(F.sort_array(F.collect_list("__v")).as("__vs"),
+      F.count(F.lit(1)).as("n_samp")).localCheckpoint()
+    val vals = df.where(F.col(valueCol).isNotNull && F.col(idCol).isNotNull)
+      .select(F.col(valueCol).cast("long").as("__v"))
+    val aggs = F.count(F.lit(1)).as("n") +: probes.zipWithIndex.map {
+      case (p, i) => F.sum(F.when(F.col("__v") <= p, 1L).otherwise(0L)).as(s"__a$i")
+    }
+    val one = vals.agg(aggs.head, aggs.tail: _*).localCheckpoint()
+    probes.zipWithIndex.map { case (p, i) =>
+      one.crossJoin(F.broadcast(sk)).select(
+        F.lit(p).as("probe"), F.col("n"), F.col(s"__a$i").as("actual_le"),
+        F.col("n_samp"),
+        F.expr(s"CAST(size(filter(__vs, x -> x <= ${p}L)) AS BIGINT)").as("samp_le"))
+    }.reduce(_.unionByName(_))
+      .withColumn("est_le", F.expr(
+        """CAST(CAST(n AS DECIMAL(38,0)) * samp_le
+               DIV greatest(n_samp, 1L) AS BIGINT)"""))
+      .withColumn("err", F.expr("est_le - actual_le"))
+      .select("probe", "n", "actual_le", "n_samp", "samp_le", "est_le", "err")
+  }
+
   /** ANALYZE-style column statistics with KMV NDV — the CBO input pass:
     * per column, row/null counts, typed min/max, and the
     * engine-reproducible [[kmvDistinct]] NDV estimate. Columns are fed as

@@ -211,6 +211,19 @@ object ScaleDrill {
         docs.where(F.col("doc_id") % 3 === 0).select(F.col("doc_id")),
         docs.where(F.col("doc_id") % 3 =!= 0).select(F.col("doc_id")),
         "doc_id", Seq(2000000L, 20000000L, 50000000L, 200000000L))),
+    // one conditional-sum scan per side + a 1x1 cross; the truth join is
+    // the calibration tier (kept in the drill — it IS the corpus cost)
+    "join_size_hist (q206)" -> (docs =>
+      Scale.histogramJoinEstimate(
+        docs.select(F.col("doc_id")), "doc_id",
+        docs.select((F.col("doc_id") * 2).as("d2")), "d2",
+        Seq(2000000L, 20000000L, 50000000L, 200000000L))),
+    // sketch build (distinct-heap TopK) + one conditional-sum truth scan
+    "sketch_cdf_audit (q207)" -> (docs =>
+      Scale.quantileSketchCdfAudit(
+        docs.select(F.col("doc_id"),
+          F.length(F.col("text")).cast("long").as("len")),
+        "doc_id", "len", Seq(200L, 800L, 2000L, 8000L), k = 128)),
     // one scan into the distinct-heap TopK (≤ k rows per (group,
     // partition) cross the exchange) + a ≤k-row rank read — the KMV
     // sketch shape carrying a value payload

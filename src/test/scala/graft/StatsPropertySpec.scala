@@ -138,6 +138,33 @@ object StatsPropertySpec extends Properties("StatsOps") {
       }
     }
 
+  property("histogramJoinEstimate: per-bin estimate matches brute interpolation; actual is the exact join count") =
+    Prop.forAll(Gen.nonEmptyListOf(Gen.choose(-50L, 150L)),
+                Gen.nonEmptyListOf(Gen.choose(-50L, 150L))) { (as, bs) =>
+      import spark.implicits._
+      val bounds = Seq(0L, 40L, 80L)
+      val out = Scale.histogramJoinEstimate(as.toDF("x"), "x", bs.toDF("y"), "y", bounds)
+        .collect().map(r => r.getLong(0) ->
+          (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))
+        .toMap
+      def binOf(v: Long) = bounds.count(_ <= v)
+      val ca = (0 to bounds.size).map(j => as.count(binOf(_) == j).toLong)
+      val cb = (0 to bounds.size).map(j => bs.count(binOf(_) == j).toLong)
+      val mnU = math.min(as.min, bs.min); val mxU = math.max(as.max, bs.max)
+      def bloOf(j: Int) = if (j == 0) mnU else bounds(j - 1)
+      def bhiOf(j: Int) = if (j == bounds.size) mxU else bounds(j) - 1
+      val refEst = (0 to bounds.size).map { j =>
+        val w = bhiOf(j) - bloOf(j) + 1
+        if (w < 1) 0L else (BigInt(ca(j)) * cb(j) / w).toLong
+      }
+      val actual = as.map(a => bs.count(_ == a).toLong).sum
+      out.size == bounds.size + 1 && (0 to bounds.size).forall { j =>
+        val (cntA, cntB, est, estTot, act) = out(j.toLong)
+        cntA == ca(j) && cntB == cb(j) && est == refEst(j) &&
+          estTot == refEst.sum && act == actual
+      }
+    }
+
   property("unigramConcentration: Simpson ppm matches the brute-force count table; bounds hold") =
     Prop.forAll(Gen.nonEmptyListOf(Gen.zip(
       Gen.oneOf("s1", "s2"),
