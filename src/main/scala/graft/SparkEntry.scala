@@ -1554,6 +1554,17 @@ object SparkEntry {
           "doc_id", "text", "source")
         .orderBy("source")),
 
+    "q208_join_size_ndv" -> ((s, dir) => {
+      // the System-R refinement of q206: per-bin est = cnt_a*cnt_b DIV
+      // max(ndv) with NDV from per-bin KMV sketches — right where the
+      // width assumption fails (sparse ids); self-join co-engagement
+      // sizing on events.user_id, exact blowup as the calibration tier
+      val ev = events(s, dir).select(F.col("user_id"))
+      functions.Scale.histogramJoinEstimateNdv(ev, "user_id", ev, "user_id",
+          Seq(1000L, 5000L, 20000L, 100000L), k = 32)
+        .orderBy("bin")
+    }),
+
     "q207_sketch_cdf_audit" -> ((s, dir) =>
       // rank-estimator calibration: exact count(<=probe) from one
       // conditional-sum scan vs the bottom-k sketch's extrapolated CDF —
@@ -3813,6 +3824,40 @@ object SparkEntry {
          SELECT source, n_docs, n_dup_docs, tokens_total, tokens_dup,
            CAST(tokens_dup::HUGEINT * 1000000 // greatest(tokens_total, 1) AS BIGINT) AS dup_token_ppm
          FROM g ORDER BY 1""",
+
+    "q208_join_size_ndv" ->
+      // per-bin KMV NDV (q173's exact-below-k / (k-1)*2^60 // v_k
+      // spelling at k=32) into the System-R per-bin estimate; the
+      // self-join truth is the sum of squared per-key counts
+      """WITH v AS (SELECT CAST(user_id AS BIGINT) AS v FROM events
+              WHERE user_id IS NOT NULL),
+         bv AS (SELECT CAST(len(list_filter([1000, 5000, 20000, 100000],
+                  b -> b <= v)) AS BIGINT) AS bin, v FROM v),
+         c AS (SELECT bin, CAST(count(*) AS BIGINT) AS cnt FROM bv GROUP BY 1),
+         h AS (SELECT DISTINCT bin, md5(CAST(v AS VARCHAR)) AS h FROM bv),
+         r AS (SELECT bin, h, row_number() OVER (PARTITION BY bin ORDER BY h) AS rn FROM h),
+         nd AS (SELECT bin, CAST(count(*) AS BIGINT) AS n_min, max(h) AS kth
+                FROM r WHERE rn <= 32 GROUP BY 1),
+         ndv AS (SELECT bin,
+                  CAST(CASE WHEN n_min < 32 THEN n_min
+                        ELSE least(31::HUGEINT * 1152921504606846976 //
+                                   greatest(('0x' || substr(kth, 1, 15))::BIGINT, 1),
+                              4611686018427387904::HUGEINT) END AS BIGINT) AS ndv
+                FROM nd),
+         f AS (SELECT CAST(g.generate_series AS BIGINT) AS bin
+               FROM generate_series(0, 4) g),
+         pb AS (SELECT f.bin,
+                 COALESCE(c.cnt, 0) AS cnt_a, COALESCE(c.cnt, 0) AS cnt_b,
+                 COALESCE(ndv.ndv, 0) AS ndv_a, COALESCE(ndv.ndv, 0) AS ndv_b,
+                 CAST(COALESCE(c.cnt, 0)::HUGEINT * COALESCE(c.cnt, 0)
+                      // greatest(COALESCE(ndv.ndv, 0), 1) AS BIGINT) AS est
+               FROM f LEFT JOIN c USING (bin) LEFT JOIN ndv USING (bin)),
+         tot AS (SELECT CAST(sum(est) AS BIGINT) AS est_total FROM pb),
+         act AS (SELECT CAST(sum(cc * cc) AS BIGINT) AS actual FROM
+                  (SELECT count(*) AS cc FROM v GROUP BY v))
+         SELECT pb.bin, pb.cnt_a, pb.cnt_b, pb.ndv_a, pb.ndv_b, pb.est,
+           tot.est_total, act.actual, tot.est_total - act.actual AS err
+         FROM pb, tot, act ORDER BY pb.bin""",
 
     "q207_sketch_cdf_audit" ->
       // same deterministic bottom-128 (h, v) sample (pair-distinct,

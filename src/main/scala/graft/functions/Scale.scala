@@ -333,6 +333,39 @@ object Scale {
       .toDF(groupCol, "q_ppm", "n_samp", "est")
   }
 
+  /** Streaming histogram-shift monitor — the live face of the
+    * q200→q201 drift story: per fixed bin, each micro-batch emits the
+    * batch's own count next to the running historical count, so a
+    * monitoring stream can ask "does this drop look like the corpus so
+    * far?" the moment it lands (per-bin shares and the TV statistic are
+    * a trivial downstream fold over the ≤|bins|+1 emitted rows — exactly
+    * [[histogramDrift]]'s arithmetic). The bin universe is bounded by
+    * construction, so no TTL is needed; counts resume across restarts
+    * from the checkpoint. Emits (bin, cnt_batch, cnt_total) in update
+    * mode; after any batch sequence the latest cnt_total per bin equals
+    * [[fixedBinHistogram]]'s counts over everything arrived
+    * (spec-pinned). */
+  def streamingHistogramShift(stream: DataFrame, col: String,
+                              boundaries: Seq[Long]): DataFrame = {
+    require(boundaries.nonEmpty && boundaries == boundaries.sorted &&
+      boundaries.distinct == boundaries,
+      s"boundaries must be non-empty strictly ascending, got $boundaries")
+    val bArr = boundaries.mkString("array(", "L, ", "L)")
+    val spark = stream.sparkSession
+    import spark.implicits._
+    stream.where(F.col(col).isNotNull)
+      .select(F.col(col).cast("long").as("__v"))
+      .select(F.expr(
+        s"CAST(size(filter($bArr, b -> b <= __v)) AS BIGINT)").as("bin"))
+      .as[Long]
+      .groupByKey(identity)
+      .transformWithState(
+        new graft.streaming.StateStoreRunner.BatchAndTotalCountProcessor[Long],
+        org.apache.spark.sql.streaming.TimeMode.None(),
+        org.apache.spark.sql.streaming.OutputMode.Update())
+      .toDF("bin", "cnt_batch", "cnt_total")
+  }
+
   /** Streaming face of [[digestManifest]]: the per-shard (cnt, hi, lo)
     * accumulator lives in the state store and each batch folds its
     * arrivals' row hashes in — since the digest is a plain exact sum,
@@ -1408,6 +1441,62 @@ object Scale {
       .crossJoin(F.broadcast(actual))
       .withColumn("err", F.expr("est_total - actual"))
       .select("bin", "cnt_a", "cnt_b", "est", "est_total", "actual", "err")
+  }
+
+  /** NDV-aware histogram join-size estimate — the System-R refinement of
+    * [[histogramJoinEstimate]]: per shared bin,
+    * `est_b = cnt_a · cnt_b DIV greatest(ndv_a, ndv_b, 1)` with each
+    * side's per-bin distinct-key count coming from a [[kmvDistinct]]
+    * sketch (exact below k, the oracle-reproducible `(k−1)·2⁶⁰ DIV v_k`
+    * above). Width-based interpolation (q206) assumes keys fill the
+    * bin's integer positions — right for dense surrogate keys, badly
+    * wrong for sparse ids; the NDV form estimates from the keys that
+    * are actually THERE, which is what a real planner does. Composes
+    * two sketch tiers (fixed bins × KMV) with no corpus key shuffle —
+    * the per-bin sketches move ≤ k rows per (bin, partition).
+    *
+    * Output per bin: counts, both NDV estimates, est, plus the exact
+    * join count and plain signed err as the calibration tier. */
+  def histogramJoinEstimateNdv(a: DataFrame, aCol: String,
+                               b: DataFrame, bCol: String,
+                               boundaries: Seq[Long], k: Int = 32): DataFrame = {
+    require(boundaries.nonEmpty && boundaries == boundaries.sorted &&
+      boundaries.distinct == boundaries,
+      s"boundaries must be non-empty strictly ascending, got $boundaries")
+    val m = boundaries.size
+    val bArr = boundaries.mkString("array(", "L, ", "L)")
+    def side(df: DataFrame, col: String, tag: String): DataFrame = {
+      val binned = df.where(F.col(col).isNotNull)
+        .select(F.col(col).cast("long").as("__v"))
+        .withColumn("bin", F.expr(
+          s"CAST(size(filter($bArr, b -> b <= __v)) AS BIGINT)"))
+      val cnts = binned.groupBy("bin").agg(F.count(F.lit(1)).as(s"cnt_$tag"))
+      val ndv = kmvDistinct(binned, "bin", "__v", k)
+        .select(F.col("bin"), F.col("est").as(s"ndv_$tag"))
+      cnts.join(ndv, Seq("bin")) // ≤ |bins|+1 rows each side
+    }
+    val spark = a.sparkSession
+    import spark.implicits._
+    val frame = (0 to m).map(_.toLong).toDF("bin")
+    val perBin = frame
+      .join(F.broadcast(side(a, aCol, "a")), Seq("bin"), "left")
+      .join(F.broadcast(side(b, bCol, "b")), Seq("bin"), "left")
+      .na.fill(0L, Seq("cnt_a", "ndv_a", "cnt_b", "ndv_b"))
+      .withColumn("est", F.expr(
+        """CAST(CAST(cnt_a AS DECIMAL(38,0)) * cnt_b
+               DIV greatest(ndv_a, ndv_b, 1L) AS BIGINT)"""))
+      .localCheckpoint()
+    val actual = a.select(F.col(aCol).cast("long").as("__k"))
+      .where(F.col("__k").isNotNull)
+      .join(b.select(F.col(bCol).cast("long").as("__k"))
+        .where(F.col("__k").isNotNull), Seq("__k"))
+      .agg(F.count(F.lit(1)).as("actual"))
+    val headline = perBin.agg(F.sum("est").as("est_total"))
+    perBin.crossJoin(F.broadcast(headline))
+      .crossJoin(F.broadcast(actual))
+      .withColumn("err", F.expr("est_total - actual"))
+      .select("bin", "cnt_a", "cnt_b", "ndv_a", "ndv_b", "est",
+        "est_total", "actual", "err")
   }
 
   /** CDF calibration audit of a [[quantileSketch]] — per boundary value

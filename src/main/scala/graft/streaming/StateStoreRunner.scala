@@ -218,6 +218,29 @@ object StateStoreRunner {
     }
   }
 
+  /** Per-key (batch count, running total) pair — the shift-monitor fold
+    * behind `Scale.streamingHistogramShift`: each batch emits how much
+    * mass THIS batch put on the key next to the key's all-history total,
+    * so a drift monitor compares new arrivals against the accumulated
+    * distribution without a second pass. Key universe is the caller's
+    * bounded bin set — no TTL. */
+  class BatchAndTotalCountProcessor[K]
+    extends StatefulProcessor[K, K, (K, Long, Long)] {
+    @transient private var total: org.apache.spark.sql.streaming.ValueState[Long] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      total = getHandle.getValueState[Long]("n", Encoders.scalaLong, TTLConfig.NONE)
+
+    override def handleInputRows(key: K, rows: Iterator[K],
+                                 timerValues: TimerValues): Iterator[(K, Long, Long)] = {
+      var n = 0L
+      rows.foreach(_ => n += 1)
+      val t = (if (total.exists()) total.get() else 0L) + n
+      total.update(t)
+      Iterator.single((key, n, t))
+    }
+  }
+
   /** Streaming bottom-k quantile sketch PER KEY — the incremental face
     * of `Scale.quantileSketch`: state is the ≤ k (md5(id), value) pairs
     * with the smallest hashes among everything arrived. Each batch

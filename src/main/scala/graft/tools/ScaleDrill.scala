@@ -218,6 +218,14 @@ object ScaleDrill {
         docs.select(F.col("doc_id")), "doc_id",
         docs.select((F.col("doc_id") * 2).as("d2")), "d2",
         Seq(2000000L, 20000000L, 50000000L, 200000000L))),
+    // per-bin counts + per-bin KMV sketches per side (distinct-heap TopK
+    // moves ≤ k rows per (bin, partition)); the self-join truth tier is
+    // the one corpus join
+    "join_size_ndv (q208)" -> (docs =>
+      Scale.histogramJoinEstimateNdv(
+        docs.select(F.col("doc_id")), "doc_id",
+        docs.select(F.col("doc_id")), "doc_id",
+        Seq(2000000L, 20000000L, 50000000L, 200000000L), k = 32)),
     // sketch build (distinct-heap TopK) + one conditional-sum truth scan
     "sketch_cdf_audit (q207)" -> (docs =>
       Scale.quantileSketchCdfAudit(

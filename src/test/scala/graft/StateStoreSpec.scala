@@ -109,6 +109,35 @@ class StateStoreSpec extends AnyFunSuite {
     assert(got == expected, s"streaming quantile sketch diverged:\ngot $got\nwant $expected")
   }
 
+  test("streaming histogram shift: per-bin batch counts + running totals match the batch face per prefix") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Long]
+    val bounds = Seq(10L, 20L)
+    val out = graft.functions.Scale.streamingHistogramShift(
+      input.toDS().toDF("v"), "v", bounds)
+    val q = out.writeStream.outputMode("update").format("memory")
+      .queryName("histshift").trigger(Trigger.ProcessingTime(0L)).start()
+    val batch1 = Seq(5L, 15L, 15L, 25L)
+    val batch2 = Seq(5L, 5L, 25L, 25L, 15L)
+    input.addData(batch1: _*)
+    q.processAllAvailable()
+    input.addData(batch2: _*)
+    q.processAllAvailable()
+    q.stop()
+    def bins(vs: Seq[Long]) =
+      vs.groupBy(v => bounds.count(_ <= v).toLong).view.mapValues(_.size.toLong).toMap
+    val h1 = bins(batch1); val h2 = bins(batch2); val hu = bins(batch1 ++ batch2)
+    // update-mode: batch 1 emits (bin, cnt_b1, cnt_b1); batch 2 emits
+    // (bin, cnt_b2, cnt_union) — the running totals ARE the fixed-bin
+    // histogram over everything arrived, per prefix
+    val expected =
+      h1.map { case (b, n) => (b, n, n) }.toSet ++
+      h2.map { case (b, n) => (b, n, hu(b)) }.toSet
+    val got = spark.table("histshift").as[(Long, Long, Long)].collect().toSet
+    assert(got == expected, s"histogram shift diverged:\ngot $got\nwant $expected")
+  }
+
   /** TimeMode.ProcessingTime queries (the mode state TTL requires)
     * re-trigger no-data batches continuously, so `processAllAvailable`
     * never observes a quiescent point — poll the memory sink for the
