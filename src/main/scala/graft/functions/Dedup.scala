@@ -764,8 +764,10 @@ object Dedup {
       .select(F.col(idCol),
         F.size(F.col("__t")).cast("long").as("n_tokens"),
         F.size(F.col("__cov")).cast("long").as("n_masked"),
-        F.array_join(F.filter(F.col("__t"),
-          (x, i) => !F.array_contains(F.col("__cov"), i)), " ").as("clean_text"))
+        // native single-pass mask+join: the indexed-HOF spelling re-scans
+        // __cov per token (O(len·|cov|) per row, interpreted)
+        graft.plans.Expressions.maskJoin(F.col("__t"), F.col("__cov"))
+          .as("clean_text"))
   }
 
   /** Span-level decontamination: mask (not drop) the token positions of a
@@ -802,8 +804,10 @@ object Dedup {
       .select(F.col(idCol),
         F.size(F.col("__t")).cast("long").as("n_tokens"),
         F.size(F.col("__cov")).cast("long").as("n_masked"),
-        F.array_join(F.filter(F.col("__t"),
-          (x, i) => !F.array_contains(F.col("__cov"), i)), " ").as("clean_text"))
+        // native single-pass mask+join: the indexed-HOF spelling re-scans
+        // __cov per token (O(len·|cov|) per row, interpreted)
+        graft.plans.Expressions.maskJoin(F.col("__t"), F.col("__cov"))
+          .as("clean_text"))
   }
 
   /** Cross-corpus n-gram dedup: drop `batch` documents that share ANY

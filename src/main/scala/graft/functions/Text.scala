@@ -446,13 +446,24 @@ object Text {
     * `substring_index` (tokens cannot contain the separator). */
   def trigramLmScore(df: org.apache.spark.sql.DataFrame, idCol: String,
                      textCol: String): org.apache.spark.sql.DataFrame = {
-    val ts = tokens(F.col(textCol))
-    val tri = df.select(F.col(idCol),
-      F.explode(Dedup.shingles(F.col(textCol), 3)).as("__tg"))
+    // tokenize ONCE and cut: the tri/bi/uni tables and the per-doc probe
+    // otherwise each re-scan the corpus and re-run the regex tokenizer
+    // (4 passes — measured 1.35 s → 1.17 s at sf0.1; the remaining cost
+    // is the gram-keyed probe joins, which are the operator). The
+    // materialized frame is (id, tokens) ≈ corpus text size — at 100 TB
+    // swap the localCheckpoint for a persisted stage or accept the
+    // re-scans (DSIR's trade at Sampling.scala:176 goes the other way
+    // because ITS reuse frame is per-token, 3× larger than this one).
+    val base = df
+      .select(F.col(idCol), tokens(F.col(textCol)).as("__ts"))
+      .localCheckpoint()
+    val tri = base.select(F.col(idCol),
+      F.explode(graft.plans.Expressions.shingleArray(F.col("__ts"), 3)).as("__tg"))
     val triC = tri.groupBy("__tg").agg(F.count(F.lit(1)).as("__c3"))
-    val biC = df.select(F.explode(Dedup.shingles(F.col(textCol), 2)).as("__bg"))
+    val biC = base.select(
+        F.explode(graft.plans.Expressions.shingleArray(F.col("__ts"), 2)).as("__bg"))
       .groupBy("__bg").agg(F.count(F.lit(1)).as("__c2"))
-    val uniC = df.select(F.explode(ts).as("__w"))
+    val uniC = base.select(F.explode(F.col("__ts")).as("__w"))
       .groupBy("__w").agg(F.count(F.lit(1)).as("__c1"))
     // V and N from ONE aggregate over the unigram table: one scalar
     // broadcast instead of two redundant aggregation passes + cross joins

@@ -292,6 +292,63 @@ object Expressions {
     override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
   }
 
+  /** `mask_join(tokens, positions)` → the tokens whose 0-based index is
+    * NOT in `positions`, joined by a single space. One imperative pass
+    * with a hash set of positions — the higher-order
+    * `array_join(filter(ts, (x, i) -> !array_contains(cov, i)))` spelling
+    * re-scans the coverage array PER TOKEN in the interpreted lambda
+    * (O(len·|cov|) per row — the q146/q172 indexed-HOF trap, measured on
+    * q125's final stage). Null position elements are ignored; a null in
+    * `tokens` is skipped like the shingle expressions do. */
+  case class MaskJoin(left: Expression, right: Expression)
+    extends BinaryExpression with CodegenFallback {
+    override def dataType: DataType = StringType
+    override def prettyName: String = "mask_join"
+    override def checkInputDataTypes(): TypeCheckResult = {
+      val tokOk = left.dataType match {
+        case ArrayType(StringType, _) => true
+        case _ => false
+      }
+      val posOk = right.dataType match {
+        case ArrayType(IntegerType, _) | ArrayType(LongType, _) => true
+        case _ => false
+      }
+      if (tokOk && posOk) TypeCheckResult.TypeCheckSuccess
+      else TypeCheckResult.TypeCheckFailure(
+        s"$prettyName needs (array<string>, array<int|bigint>), got " +
+          s"(${left.dataType.catalogString}, ${right.dataType.catalogString})")
+    }
+
+    override def nullSafeEval(toks: Any, pos: Any): Any = {
+      val arr = toks.asInstanceOf[ArrayData]
+      val ps = pos.asInstanceOf[ArrayData]
+      val masked = new java.util.HashSet[Long]()
+      val isLong = right.dataType.asInstanceOf[ArrayType].elementType == LongType
+      var i = 0
+      while (i < ps.numElements()) {
+        if (!ps.isNullAt(i))
+          masked.add(if (isLong) ps.getLong(i) else ps.getInt(i).toLong)
+        i += 1
+      }
+      val sb = new java.lang.StringBuilder
+      var w = 0
+      var first = true
+      while (w < arr.numElements()) {
+        val u = arr.getUTF8String(w)
+        if (u != null && !masked.contains(w.toLong)) {
+          if (!first) sb.append(' ')
+          sb.append(u.toString)
+          first = false
+        }
+        w += 1
+      }
+      UTF8String.fromString(sb.toString)
+    }
+
+    override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+      copy(left = l, right = r)
+  }
+
   /** `squeeze_runs(tokens)` → the token array with runs of consecutive
     * identical tokens collapsed to one occurrence. One imperative pass —
     * the higher-order `filter((x, i) -> x != ts[i-1])` spelling
@@ -1051,6 +1108,9 @@ object Expressions {
     column(ShingleArray(expr(tokens), k))
 
   def squeezeRuns(tokens: Column): Column = column(SqueezeRuns(expr(tokens)))
+
+  def maskJoin(tokens: Column, positions: Column): Column =
+    column(MaskJoin(expr(tokens), expr(positions)))
 
   def simhash64(tokens: Column): Column = column(SimHash64(expr(tokens)))
 

@@ -1153,6 +1153,23 @@ class FunctionsSpec extends AnyFunSuite {
     assert(out(2L) == ((2L, 9L, "tail2")))
   }
 
+  test("maskJoin expression: int and bigint positions, null tokens skipped, empty coverage = plain join") {
+    val df = Seq((Seq("a", "b", "c", "d"), Seq(1, 3))).toDF("t", "p")
+    assert(df.select(graft.plans.Expressions.maskJoin($"t", $"p"))
+      .as[String].head() == "a c")
+    val dfL = Seq((Seq("a", "b", "c"), Seq(0L))).toDF("t", "p")
+    assert(dfL.select(graft.plans.Expressions.maskJoin($"t", $"p"))
+      .as[String].head() == "b c")
+    val dfE = Seq((Seq("a", "b"), Seq.empty[Int])).toDF("t", "p")
+    assert(dfE.select(graft.plans.Expressions.maskJoin($"t", $"p"))
+      .as[String].head() == "a b")
+    // a null token is absent (the shingle expressions' convention); its
+    // INDEX still counts for masking, matching filter's (x, i) indexing
+    val dfN = Seq((Seq[String]("a", null, "c"), Seq(2))).toDF("t", "p")
+    assert(dfN.select(graft.plans.Expressions.maskJoin($"t", $"p"))
+      .as[String].head() == "a")
+  }
+
   test("boilerplateGrams: per-source doc-frequency, in-doc repeats count once, below-ratio grams excluded") {
     val docs = Seq(
       (1L, "A", "x click here y click here"),  // "click here" twice → df 1
