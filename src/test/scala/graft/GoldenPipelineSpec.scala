@@ -260,4 +260,40 @@ class GoldenPipelineSpec extends AnyFunSuite {
     assert(ann == Seq((0L, 700000L), (100L, 300000L), (200L, 400000L),
       (300L, 400000L), (400L, 400000L)), s"ANN recall drifted: $ann")
   }
+
+  test("golden: one-pass layout pipeline (shard sketches → merge → plan) equals the corpus-pass planner") {
+    import spark.implicits._
+    import graft.functions.Scale
+    // skewed synthetic corpus: unique ids, values quadratically bunched
+    val df = spark.range(1, 20001)
+      .select(F.col("id"), ((F.col("id") * F.col("id")) % 99991L).as("key"))
+    // the 100 TB path: per-shard bottom-k sketches (8 "ingest shards"),
+    // merged losslessly, boundaries planned WITHOUT a corpus audit pass
+    val merged = Scale.quantileSketchSharded(
+      df.select(F.lit("g").as("g"), F.col("id"), F.col("key")),
+      "g", "id", "key", F.col("id") % 8, k = 256)
+    val fromSketch = Scale.rangePlanFromSketch(merged, buckets = 8)
+      .orderBy("bucket")
+      .collect().map(r => (r.getLong(0),
+        Option(r.getAs[java.lang.Long]("lo")).map(_.toLong),
+        Option(r.getAs[java.lang.Long]("hi")).map(_.toLong)))
+    // the corpus-pass planner (q186) over the same data, same k — the
+    // bottom-k sample is a pure function of md5(id), so the one-pass
+    // sketch path must pick THE SAME boundaries
+    val full = Scale.rangePartitionPlan(df, "key", "id", buckets = 8, k = 256)
+      .orderBy("bucket")
+      .collect().map(r => (r.getLong(0),
+        Option(r.getAs[java.lang.Long]("lo")).map(_.toLong),
+        Option(r.getAs[java.lang.Long]("hi")).map(_.toLong),
+        r.getAs[Long]("cnt")))
+    assert(fromSketch.toSeq == full.map(t => (t._1, t._2, t._3)).toSeq,
+      s"sketch-planned boundaries diverged from the corpus-pass planner:\n" +
+        s"sketch: ${fromSketch.toSeq}\nfull:   ${full.toSeq}")
+    // and the layout is genuinely equi-depth-ish: every bucket within
+    // 3x of the ideal share (sampling error at k=256), none empty
+    val counts = full.map(_._4)
+    val ideal = counts.sum / 8
+    assert(counts.forall(c => c > 0 && c < ideal * 3),
+      s"bucket balance off: ${counts.toSeq} vs ideal $ideal")
+  }
 }

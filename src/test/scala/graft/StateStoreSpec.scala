@@ -197,6 +197,38 @@ class StateStoreSpec extends AnyFunSuite {
       s"within-horizon merge diverged:\ngot $got2")
   }
 
+  test("quantile sketch TTL: idle group's sample evicted past the horizon and re-admitted fresh") {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.TTLConfig
+    implicit val sqlCtx = spark.sqlContext
+    val qs = Seq(500000L)
+    def batchFace(rows: Seq[(String, Long, Long)]) =
+      graft.functions.Scale.quantileEstimate(
+          graft.functions.Scale.quantileSketch(rows.toDF("g", "id", "v"),
+            "g", "id", "v", k = 4), "g", qs)
+        .as[(String, Long, Long, Long)].collect().toSet
+    val input = MemoryStream[(String, Long, Long)]
+    val out = graft.functions.Scale.streamingQuantileSketch(
+      input.toDS().toDF("g", "id", "v"), "g", "id", "v", k = 4, qs,
+      ttl = TTLConfig(java.time.Duration.ofMillis(500)))
+    val q = out.writeStream.outputMode("update").format("memory")
+      .queryName("qskttl").trigger(Trigger.ProcessingTime(100L)).start()
+    val b1 = Seq(("g", 1L, 100L), ("g", 2L, 200L))
+    val b2 = Seq(("g", 3L, 999L))
+    input.addData(b1: _*)
+    awaitCount("qskttl", 1)
+    Thread.sleep(2000) // > 4x the TTL: expiry guaranteed, not racy
+    input.addData(b2: _*)
+    awaitCount("qskttl", 2)
+    q.stop()
+    // the sketch state is REWRITTEN on every touch (per-element ListState
+    // TTL tracks group activity), and an idle group evicts whole: the
+    // post-gap emission is the batch face over BATCH 2 ALONE
+    val got = spark.table("qskttl").as[(String, Long, Long, Long)].collect().toSet
+    assert(got == batchFace(b1) ++ batchFace(b2),
+      s"expected fresh re-admission after TTL:\ngot $got")
+  }
+
   test("runningCount TTL: idle key resets past the horizon (RotatingMap expiry discipline)") {
     import spark.implicits._
     import org.apache.spark.sql.streaming.TTLConfig
