@@ -1554,6 +1554,20 @@ object SparkEntry {
           "doc_id", "text", "source")
         .orderBy("source")),
 
+    "q209_sketch_ks" -> ((s, dir) => {
+      // bin-free drift: two-sample KS distance between returned-flag and
+      // other lineitems' price distributions, read ENTIRELY from two
+      // bottom-128 sketches — two scans + O(k^2) one-row arithmetic,
+      // the shift-sensitive complement of q201's fixed-bin TV
+      val li = table(s, dir, "lineitem").select(
+        F.col("l_returnflag").as("flag"),
+        (F.col("l_orderkey") * 10 + F.col("l_linenumber")).as("rid"),
+        F.round(F.col("l_extendedprice") * 100).cast("long").as("price_c"))
+      functions.Scale.sketchKsDistance(
+        li.where(F.col("flag") === "R"), "rid", "price_c",
+        li.where(F.col("flag") =!= "R"), "rid", "price_c", k = 128)
+    }),
+
     "q208_join_size_ndv" -> ((s, dir) => {
       // the System-R refinement of q206: per-bin est = cnt_a*cnt_b DIV
       // max(ndv) with NDV from per-bin KMV sketches — right where the
@@ -3824,6 +3838,42 @@ object SparkEntry {
          SELECT source, n_docs, n_dup_docs, tokens_total, tokens_dup,
            CAST(tokens_dup::HUGEINT * 1000000 // greatest(tokens_total, 1) AS BIGINT) AS dup_token_ppm
          FROM g ORDER BY 1""",
+
+    "q209_sketch_ks" ->
+      // identical bottom-128 (h, v) samples per side; CDF reads are
+      // le*1e6 // n_samp (non-negative floors agree); DuckDB's indexed
+      // lambdas are 1-based where Spark's are 0-based (element_at
+      // bridges); at_value ties break to the smallest value
+      """WITH va AS (SELECT DISTINCT
+               md5(CAST(l_orderkey * 10 + l_linenumber AS VARCHAR)) AS h,
+               CAST(round(l_extendedprice * 100) AS BIGINT) AS v
+             FROM lineitem WHERE l_extendedprice IS NOT NULL AND l_returnflag = 'R'),
+         ra AS (SELECT v, row_number() OVER (ORDER BY h, v) AS rn FROM va),
+         sa AS (SELECT list_sort(list(v)) AS vs_a, CAST(count(*) AS BIGINT) AS n_samp_a
+                FROM ra WHERE rn <= 128),
+         vb AS (SELECT DISTINCT
+               md5(CAST(l_orderkey * 10 + l_linenumber AS VARCHAR)) AS h,
+               CAST(round(l_extendedprice * 100) AS BIGINT) AS v
+             FROM lineitem WHERE l_extendedprice IS NOT NULL AND l_returnflag != 'R'),
+         rb AS (SELECT v, row_number() OVER (ORDER BY h, v) AS rn FROM vb),
+         sb AS (SELECT list_sort(list(v)) AS vs_b, CAST(count(*) AS BIGINT) AS n_samp_b
+                FROM rb WHERE rn <= 128),
+         cn AS (SELECT CAST(sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+                 CAST(sum(CASE WHEN l_returnflag != 'R' THEN 1 ELSE 0 END) AS BIGINT) AS n_b
+               FROM lineitem WHERE l_extendedprice IS NOT NULL),
+         m AS (SELECT sa.vs_a, sa.n_samp_a, sb.vs_b, sb.n_samp_b, cn.n_a, cn.n_b,
+                 list_sort(list_distinct(list_concat(sa.vs_a, sb.vs_b))) AS u
+               FROM sa, sb, cn),
+         d AS (SELECT *, list_transform(u, v -> abs(
+                 CAST(len(list_filter(vs_a, x -> x <= v)) AS BIGINT) * 1000000
+                   // greatest(n_samp_a, 1) -
+                 CAST(len(list_filter(vs_b, x -> x <= v)) AS BIGINT) * 1000000
+                   // greatest(n_samp_b, 1))) AS dd
+               FROM m)
+         SELECT n_a, n_b, n_samp_a, n_samp_b,
+           CAST(list_max(dd) AS BIGINT) AS d_ppm,
+           CAST(list_min(list_filter(u, (v, i) -> dd[i] = list_max(dd))) AS BIGINT) AS at_value
+         FROM d""",
 
     "q208_join_size_ndv" ->
       // per-bin KMV NDV (q173's exact-below-k / (k-1)*2^60 // v_k

@@ -1542,6 +1542,48 @@ object Scale {
       .select("probe", "n", "actual_le", "n_samp", "samp_le", "est_le", "err")
   }
 
+  /** Two-sample Kolmogorov–Smirnov distance from two [[quantileSketch]]
+    * samples — the BIN-FREE drift statistic next to [[histogramDrift]]'s
+    * fixed-bin total variation: `D = max_v |CDF_a(v) − CDF_b(v)|` with
+    * both CDFs read from the (hash-deterministic) bottom-k samples, the
+    * max taken over the union of sample values. Integer ppm throughout
+    * (each CDF is `le·10⁶ DIV n_samp` — non-negative, so the floor
+    * agrees across engines), `at_value` is the SMALLEST value attaining
+    * the max (deterministic tie-break). Two corpora compare in two
+    * scans + O(k²) one-row arithmetic — no bins to choose, no corpus
+    * co-shuffle; KS is the statistic to reach for when the drift is a
+    * SHIFT (quantiles slide but fixed bins blur it).
+    *
+    * Output: 1 row — (n_a, n_b, n_samp_a, n_samp_b, d_ppm, at_value). */
+  def sketchKsDistance(a: DataFrame, aId: String, aVal: String,
+                       b: DataFrame, bId: String, bVal: String,
+                       k: Int = 256): DataFrame = {
+    def sampled(df: DataFrame, id: String, v: String, tag: String): DataFrame =
+      quantileSketch(df.select(F.lit("g").as("__g"), F.col(id), F.col(v)),
+          "__g", id, v, k)
+        .agg(F.sort_array(F.collect_list("__v")).as(s"vs_$tag"),
+          F.count(F.lit(1)).as(s"n_samp_$tag"))
+    val na = a.where(F.col(aVal).isNotNull && F.col(aId).isNotNull)
+      .agg(F.count(F.lit(1)).as("n_a"))
+    val nb = b.where(F.col(bVal).isNotNull && F.col(bId).isNotNull)
+      .agg(F.count(F.lit(1)).as("n_b"))
+    sampled(a, aId, aVal, "a").crossJoin(F.broadcast(sampled(b, bId, bVal, "b")))
+      .crossJoin(F.broadcast(na)).crossJoin(F.broadcast(nb))
+      .withColumn("__u", F.expr("array_sort(array_union(vs_a, vs_b))"))
+      // one row, ≤2k elements: the nested filter is O(k²) scalar work,
+      // not a per-corpus-row lambda
+      .withColumn("__d", F.expr(
+        """transform(__u, v -> abs(
+             CAST(size(filter(vs_a, x -> x <= v)) AS BIGINT) * 1000000
+               DIV greatest(n_samp_a, 1L) -
+             CAST(size(filter(vs_b, x -> x <= v)) AS BIGINT) * 1000000
+               DIV greatest(n_samp_b, 1L)))"""))
+      .withColumn("d_ppm", F.expr("array_max(__d)"))
+      .withColumn("at_value", F.expr(
+        "array_min(filter(__u, (v, i) -> element_at(__d, i + 1) = d_ppm))"))
+      .select("n_a", "n_b", "n_samp_a", "n_samp_b", "d_ppm", "at_value")
+  }
+
   /** ANALYZE-style column statistics with KMV NDV — the CBO input pass:
     * per column, row/null counts, typed min/max, and the
     * engine-reproducible [[kmvDistinct]] NDV estimate. Columns are fed as

@@ -226,6 +226,15 @@ object ScaleDrill {
         docs.select(F.col("doc_id")), "doc_id",
         docs.select(F.col("doc_id")), "doc_id",
         Seq(2000000L, 20000000L, 50000000L, 200000000L), k = 32)),
+    // two sketch builds (each a distinct-heap TopK scan) + O(k^2)
+    // one-row arithmetic; no bins, no corpus co-shuffle
+    "sketch_ks (q209)" -> (docs =>
+      Scale.sketchKsDistance(
+        docs.where(F.col("doc_id") % 3 === 0).select(F.col("doc_id"),
+          F.length(F.col("text")).cast("long").as("len")), "doc_id", "len",
+        docs.where(F.col("doc_id") % 3 =!= 0).select(F.col("doc_id"),
+          F.length(F.col("text")).cast("long").as("len")), "doc_id", "len",
+        k = 128)),
     // sketch build (distinct-heap TopK) + one conditional-sum truth scan
     "sketch_cdf_audit (q207)" -> (docs =>
       Scale.quantileSketchCdfAudit(

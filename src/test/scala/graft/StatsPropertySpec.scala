@@ -165,6 +165,36 @@ object StatsPropertySpec extends Properties("StatsOps") {
       }
     }
 
+  property("sketchKsDistance: zero on identical inputs; bounded; matches brute CDF-gap on the samples") =
+    Prop.forAll(Gen.nonEmptyListOf(Gen.zip(Gen.choose(0L, 30L), Gen.choose(-100L, 100L))),
+                Gen.nonEmptyListOf(Gen.zip(Gen.choose(0L, 30L), Gen.choose(-100L, 100L)))) {
+      (as, bs) =>
+        import spark.implicits._
+        val da = as.toDF("id", "v"); val db = bs.toDF("id", "v")
+        def row(x: org.apache.spark.sql.DataFrame) = {
+          val r = x.head()
+          (r.getAs[Long]("n_samp_a"), r.getAs[Long]("n_samp_b"),
+            r.getAs[Long]("d_ppm"), r.getAs[Long]("at_value"))
+        }
+        val (_, _, dSelf, _) = row(Scale.sketchKsDistance(da, "id", "v", da, "id", "v", k = 8))
+        val (nsa, nsb, d, at) = row(Scale.sketchKsDistance(da, "id", "v", db, "id", "v", k = 8))
+        // brute reference over the SAME deterministic samples
+        def samp(rows: Seq[(Long, Long)]) =
+          rows.map { case (id, v) =>
+            (java.security.MessageDigest.getInstance("MD5")
+              .digest(id.toString.getBytes("UTF-8")).map("%02x".format(_)).mkString, v)
+          }.distinct.sorted.take(8).map(_._2)
+        val sa = samp(as); val sb = samp(bs)
+        val u = (sa ++ sb).distinct.sorted
+        val gaps = u.map(v => math.abs(
+          sa.count(_ <= v).toLong * 1000000 / sa.size -
+          sb.count(_ <= v).toLong * 1000000 / sb.size))
+        val dRef = gaps.max
+        val atRef = u(gaps.indexOf(dRef))
+        dSelf == 0L && d == dRef && at == atRef &&
+          d >= 0L && d <= 1000000L && nsa == sa.size.toLong && nsb == sb.size.toLong
+    }
+
   property("unigramConcentration: Simpson ppm matches the brute-force count table; bounds hold") =
     Prop.forAll(Gen.nonEmptyListOf(Gen.zip(
       Gen.oneOf("s1", "s2"),
