@@ -366,6 +366,32 @@ object Scale {
       .toDF("bin", "cnt_batch", "cnt_total")
   }
 
+  /** Streaming face of [[sketchKsDistance]] against a FIXED reference
+    * sample: per key, the running bottom-k sample's KS distance to
+    * `refSorted` (ship the reference corpus's sketch values — ≤ k longs
+    * — not the corpus), re-emitted every batch in update mode. The
+    * "page when the live distribution stops looking like the accepted
+    * one" monitor; `ttl` evicts idle keys (fresh sample on
+    * re-admission). Emits (group, n_samp, d_ppm, at_value). */
+  def streamingKsAgainstReference(stream: DataFrame, groupCol: String,
+      idCol: String, valueCol: String, refSorted: Seq[Long], k: Int = 256,
+      ttl: org.apache.spark.sql.streaming.TTLConfig =
+        org.apache.spark.sql.streaming.TTLConfig.NONE): DataFrame = {
+    val spark = stream.sparkSession
+    import spark.implicits._
+    stream.where(F.col(valueCol).isNotNull && F.col(idCol).isNotNull)
+      .select(F.col(groupCol).cast("string"), F.col(idCol).cast("string"),
+        F.col(valueCol).cast("long"))
+      .as[(String, String, Long)]
+      .groupByKey(_._1)
+      .transformWithState(
+        new graft.streaming.StateStoreRunner.KsAgainstReferenceProcessor(
+          k, refSorted, ttl),
+        graft.streaming.StateStoreRunner.ttlTimeMode(ttl),
+        org.apache.spark.sql.streaming.OutputMode.Update())
+      .toDF(groupCol, "n_samp", "d_ppm", "at_value")
+  }
+
   /** Streaming face of [[digestManifest]]: the per-shard (cnt, hi, lo)
     * accumulator lives in the state store and each batch folds its
     * arrivals' row hashes in — since the digest is a plain exact sum,

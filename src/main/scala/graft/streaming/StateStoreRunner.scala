@@ -286,6 +286,52 @@ object StateStoreRunner {
     }
   }
 
+  /** Streaming KS drift alarm PER KEY — the live face of
+    * `Scale.sketchKsDistance` against a FIXED reference sample (e.g.
+    * last month's accepted corpus, shipped as the ≤ k sorted values of
+    * its bottom-k sketch): the key's running bottom-k sample accumulates
+    * exactly like [[QuantileSketchProcessor]], and each batch emits the
+    * two-sample KS distance between the running sample and the
+    * reference — the "page when today's drop stops looking like the
+    * reference" gate, incrementally. Same integer-ppm CDF arithmetic as
+    * the batch face (non-negative floors, max over the value union,
+    * smallest value reported on ties). Emits
+    * (key, n_samp, d_ppm, at_value). */
+  class KsAgainstReferenceProcessor(k: Int, refSorted: Seq[Long],
+                                    ttl: TTLConfig = TTLConfig.NONE)
+    extends StatefulProcessor[String, (String, String, Long), (String, Long, Long, Long)] {
+    require(k >= 2, s"k must be >= 2, got $k")
+    require(refSorted.nonEmpty && refSorted == refSorted.sorted,
+      "reference sample must be non-empty ascending")
+    @transient private var samp: org.apache.spark.sql.streaming.ListState[(String, Long)] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      samp = getHandle.getListState[(String, Long)]("kssample",
+        Encoders.product[(String, Long)], ttl)
+
+    override def handleInputRows(key: String, rows: Iterator[(String, String, Long)],
+                                 timerValues: TimerValues): Iterator[(String, Long, Long, Long)] = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      def md5hex(s: String): String =
+        md.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      val cur = if (samp.exists()) samp.get().toVector else Vector.empty[(String, Long)]
+      val merged = (cur ++ rows.map(r => (md5hex(r._2), r._3)))
+        .distinct.sorted.take(k)
+      samp.put(merged.toArray)
+      val vs = merged.map(_._2).sorted
+      val n = vs.size.toLong
+      val nr = refSorted.size.toLong
+      val union = (vs ++ refSorted).distinct.sorted
+      val gaps = union.map { v =>
+        math.abs(vs.count(_ <= v).toLong * 1000000L / n -
+          refSorted.count(_ <= v).toLong * 1000000L / nr)
+      }
+      val d = gaps.max
+      val at = union(gaps.indexOf(d)) // first index = smallest value
+      Iterator.single((key, n, d, at))
+    }
+  }
+
   /** Streaming incremental content digest PER SHARD — the incremental
     * face of `Scale.digestManifest`: state is (cnt, digest_hi, digest_lo),
     * the exact running sum of 60-bit row hashes carried as two longs

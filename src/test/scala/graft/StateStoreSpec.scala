@@ -109,6 +109,43 @@ class StateStoreSpec extends AnyFunSuite {
     assert(got == expected, s"streaming quantile sketch diverged:\ngot $got\nwant $expected")
   }
 
+  test("streaming KS-vs-reference: each batch's distance equals the batch face on the running sample") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val ref = Seq(100L, 200L, 300L, 400L)
+    val input = MemoryStream[(String, Long, Long)]
+    val out = graft.functions.Scale.streamingKsAgainstReference(
+      input.toDS().toDF("g", "id", "v"), "g", "id", "v", ref, k = 4)
+    val q = out.writeStream.outputMode("update").format("memory")
+      .queryName("ksref").trigger(Trigger.ProcessingTime(0L)).start()
+    val b1 = Seq(("g", 1L, 110L), ("g", 2L, 210L))
+    val b2 = Seq(("g", 3L, 900L), ("g", 4L, 950L), ("g", 5L, 980L))
+    input.addData(b1: _*)
+    q.processAllAvailable()
+    input.addData(b2: _*)
+    q.processAllAvailable()
+    q.stop()
+    // brute reference per prefix: running bottom-4 sample (same md5
+    // fold as the batch sketch) vs ref, integer-ppm CDF gaps
+    def expect(rows: Seq[(String, Long, Long)]): (String, Long, Long, Long) = {
+      val vs = rows.map { case (_, id, v) =>
+        (java.security.MessageDigest.getInstance("MD5")
+          .digest(id.toString.getBytes("UTF-8")).map("%02x".format(_)).mkString, v)
+      }.distinct.sorted.take(4).map(_._2).sorted
+      val u = (vs ++ ref).distinct.sorted
+      val gaps = u.map(v => math.abs(
+        vs.count(_ <= v).toLong * 1000000L / vs.size -
+        ref.count(_ <= v).toLong * 1000000L / ref.size))
+      ("g", vs.size.toLong, gaps.max, u(gaps.indexOf(gaps.max)))
+    }
+    val got = spark.table("ksref").as[(String, Long, Long, Long)].collect().toSet
+    val want = Set(expect(b1), expect(b1 ++ b2))
+    assert(got == want, s"streaming KS diverged:\ngot $got\nwant $want")
+    // the second prefix's sample is dominated by 900-980 values the
+    // reference never reaches — the alarm fires with a large distance
+    assert(expect(b1 ++ b2)._3 >= 500000L)
+  }
+
   test("streaming histogram shift: per-bin batch counts + running totals match the batch face per prefix") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
