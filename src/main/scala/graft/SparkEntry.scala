@@ -1554,6 +1554,30 @@ object SparkEntry {
           "doc_id", "text", "source")
         .orderBy("source")),
 
+    "q211_group_ks_audit" -> ((s, dir) =>
+      // mixture monitoring: per language, KS distance between its token-
+      // length distribution and the CORPUS-GLOBAL one, both read from
+      // bottom-128 sketches — the "which subcorpus stopped looking like
+      // the corpus" ranking
+      functions.Scale.groupedKsVsGlobal(
+          table(s, dir, "documents").select(F.col("lang"), F.col("doc_id"),
+            Text.tokenCount(F.col("text")).cast("long").as("len")),
+          "lang", "doc_id", "len", k = 128)
+        .orderBy("lang")),
+
+    "q210_token_mass_quantiles" -> ((s, dir) => {
+      // token-MASS length quantiles per source (q162's doc-count
+      // quantiles weigh every doc equally; mixture/curriculum decisions
+      // weigh by tokens): smallest length at which cumulative token
+      // weight reaches q - exact, all-integer, value-domain-bounded
+      val d = table(s, dir, "documents").select(F.col("source"),
+        Text.tokenCount(F.col("text")).cast("long").as("len"))
+      functions.Scale.weightedQuantiles(
+          d.withColumn("w", F.col("len")), "source", "len", "w",
+          Seq(250000L, 500000L, 750000L, 950000L))
+        .orderBy("source", "q_ppm")
+    }),
+
     "q209_sketch_ks" -> ((s, dir) => {
       // bin-free drift: two-sample KS distance between returned-flag and
       // other lineitems' price distributions, read ENTIRELY from two
@@ -3838,6 +3862,56 @@ object SparkEntry {
          SELECT source, n_docs, n_dup_docs, tokens_total, tokens_dup,
            CAST(tokens_dup::HUGEINT * 1000000 // greatest(tokens_total, 1) AS BIGINT) AS dup_token_ppm
          FROM g ORDER BY 1""",
+
+    "q211_group_ks_audit" ->
+      // per-group bottom-128 samples (partition by lang) vs the global
+      // bottom-128 over ALL distinct (h, v); same ppm CDF-gap fold as
+      // q209 with 1-based DuckDB lambda indices
+      """WITH d AS (SELECT lang, doc_id,
+               CAST(len(list_filter(string_split(text, ' '), x -> x != '')) AS BIGINT) AS v
+             FROM documents WHERE text IS NOT NULL AND doc_id IS NOT NULL),
+         hg AS (SELECT DISTINCT lang, md5(CAST(doc_id AS VARCHAR)) AS h, v FROM d),
+         rg AS (SELECT lang, v, row_number() OVER (PARTITION BY lang ORDER BY h, v) AS rn FROM hg),
+         sg AS (SELECT lang, list_sort(list(v)) AS vs_g, CAST(count(*) AS BIGINT) AS n_samp
+                FROM rg WHERE rn <= 128 GROUP BY lang),
+         ha AS (SELECT DISTINCT md5(CAST(doc_id AS VARCHAR)) AS h, v FROM d),
+         ra AS (SELECT v, row_number() OVER (ORDER BY h, v) AS rn FROM ha),
+         sa AS (SELECT list_sort(list(v)) AS vs_all, CAST(count(*) AS BIGINT) AS n_samp_all
+                FROM ra WHERE rn <= 128),
+         m AS (SELECT sg.lang, sg.vs_g, sg.n_samp, sa.vs_all, sa.n_samp_all,
+                 list_sort(list_distinct(list_concat(sg.vs_g, sa.vs_all))) AS u
+               FROM sg, sa),
+         dd AS (SELECT *, list_transform(u, v -> abs(
+                 CAST(len(list_filter(vs_g, x -> x <= v)) AS BIGINT) * 1000000
+                   // greatest(n_samp, 1) -
+                 CAST(len(list_filter(vs_all, x -> x <= v)) AS BIGINT) * 1000000
+                   // greatest(n_samp_all, 1))) AS g
+               FROM m)
+         SELECT lang, n_samp, n_samp_all,
+           CAST(list_max(g) AS BIGINT) AS d_ppm,
+           CAST(list_min(list_filter(u, (v, i) -> g[i] = list_max(g))) AS BIGINT) AS at_value
+         FROM dd ORDER BY lang""",
+
+    "q210_token_mass_quantiles" ->
+      // exact weight-CDF pick: per (source, len) token sums, window
+      // cumsum over the value-sorted distinct-length table, smallest
+      // length whose cumulative weight reaches ceil(q*total/1e6)
+      """WITH d AS (SELECT source,
+               CAST(len(list_filter(string_split(text, ' '), x -> x != '')) AS BIGINT) AS v
+             FROM documents WHERE text IS NOT NULL),
+         gv AS (SELECT source, v, CAST(sum(v) AS BIGINT) AS w
+                FROM d WHERE v > 0 GROUP BY 1, 2),
+         c AS (SELECT source, v, w,
+                 CAST(sum(w) OVER (PARTITION BY source ORDER BY v) AS BIGINT) AS cum,
+                 CAST(sum(w) OVER (PARTITION BY source) AS BIGINT) AS total_w
+               FROM gv),
+         q AS (SELECT * FROM (VALUES (CAST(250000 AS BIGINT)), (500000),
+                 (750000), (950000)) x(q_ppm))
+         SELECT c.source, q.q_ppm, any_value(c.total_w) AS total_w,
+           CAST(min(CASE WHEN c.cum >=
+               (q.q_ppm::HUGEINT * c.total_w + 999999) // 1000000
+             THEN c.v END) AS BIGINT) AS est
+         FROM c, q GROUP BY c.source, q.q_ppm ORDER BY c.source, q.q_ppm""",
 
     "q209_sketch_ks" ->
       // identical bottom-128 (h, v) samples per side; CDF reads are

@@ -1610,6 +1610,87 @@ object Scale {
       .select("n_a", "n_b", "n_samp_a", "n_samp_b", "d_ppm", "at_value")
   }
 
+  /** EXACT weighted quantiles per group — the token-mass complement of
+    * q162's doc-count quantiles: the value at which the CUMULATIVE
+    * WEIGHT first reaches `q·Σw` ("the median training TOKEN lives in a
+    * document of length X" — mixture and curriculum decisions weigh by
+    * tokens, not docs; q195's dup-token-mass is the same world-view for
+    * dedup). Lower nearest-rank on the weight CDF: the smallest value v
+    * with `cumw(v) ≥ ceil(q_ppm · Σw / 10⁶)` — all-integer, exact.
+    *
+    * Scale shape: ONE map-side-combined (group, value) weight-sum
+    * shuffle (key space = distinct values, NOT rows), then a per-group
+    * fold over the value-sorted (v, w) array — the collect_list buffer
+    * is bounded by the group's DISTINCT-value count (token lengths,
+    * score bands: thousands), never its row count. Corpus rows never
+    * sort. */
+  def weightedQuantiles(df: DataFrame, groupCol: String, valueCol: String,
+                        weightCol: String,
+                        quantilesPpm: Seq[Long]): DataFrame = {
+    require(quantilesPpm.nonEmpty && quantilesPpm == quantilesPpm.sorted &&
+      quantilesPpm.forall(q => q >= 1L && q <= 1000000L),
+      s"quantiles must be ascending ppm in [1, 1000000], got $quantilesPpm")
+    val gv = df
+      .where(F.col(valueCol).isNotNull && F.col(weightCol).isNotNull &&
+        F.col(weightCol).cast("long") > 0L)
+      .groupBy(F.col(groupCol), F.col(valueCol).cast("long").as("__v"))
+      .agg(F.sum(F.col(weightCol).cast("long")).as("__w"))
+    val agg = gv.groupBy(groupCol)
+      .agg(F.expr("sort_array(collect_list(struct(__v, __w)))").as("__vw"),
+        F.sum("__w").as("total_w"))
+      .localCheckpoint() // one distinct-value pass feeds every quantile row
+    quantilesPpm.map { q =>
+      // target = ceil(q·Σw / 1e6) through DECIMAL (Σw·1e6 overflows
+      // BIGINT past ~9e12 total weight); the fold takes the FIRST value
+      // whose running weight reaches it
+      agg.select(F.col(groupCol), F.lit(q).as("q_ppm"), F.col("total_w"),
+        F.expr(
+          s"""aggregate(__vw,
+                named_struct('acc', 0L, 'ans', CAST(NULL AS BIGINT)),
+                (s, x) -> named_struct(
+                  'acc', s.acc + x.__w,
+                  'ans', CASE WHEN s.ans IS NULL AND s.acc + x.__w >=
+                      CAST((CAST($q AS DECIMAL(38,0)) * total_w + 999999)
+                           DIV 1000000 AS BIGINT)
+                    THEN x.__v ELSE s.ans END),
+                s -> s.ans)""").as("est"))
+    }.reduce(_.unionByName(_))
+      .select(groupCol, "q_ppm", "total_w", "est")
+  }
+
+  /** Per-group KS distance against the GLOBAL distribution — "which
+    * subcorpus is most atypical": each group's bottom-k sample compared
+    * to the whole corpus's bottom-k sample with [[sketchKsDistance]]'s
+    * integer-ppm CDF-gap arithmetic. The mixture-monitoring face: a
+    * language/source whose d_ppm spikes stopped looking like the
+    * corpus. Two sketch scans (per-group + global), then ≤ |groups|
+    * rows of O(k²) arithmetic against the broadcast global sample.
+    * Output: (group, n_samp, n_samp_all, d_ppm, at_value). */
+  def groupedKsVsGlobal(df: DataFrame, groupCol: String, idCol: String,
+                        valueCol: String, k: Int = 256): DataFrame = {
+    val perG = quantileSketch(df, groupCol, idCol, valueCol, k)
+      .groupBy(groupCol)
+      .agg(F.expr("array_sort(collect_list(__v))").as("vs_g"),
+        F.count(F.lit(1)).as("n_samp"))
+    val global = quantileSketch(
+        df.select(F.lit("g").as("__g"), F.col(idCol), F.col(valueCol)),
+        "__g", idCol, valueCol, k)
+      .agg(F.expr("array_sort(collect_list(__v))").as("vs_all"),
+        F.count(F.lit(1)).as("n_samp_all"))
+    perG.crossJoin(F.broadcast(global))
+      .withColumn("__u", F.expr("array_sort(array_union(vs_g, vs_all))"))
+      .withColumn("__d", F.expr(
+        """transform(__u, v -> abs(
+             CAST(size(filter(vs_g, x -> x <= v)) AS BIGINT) * 1000000
+               DIV greatest(n_samp, 1L) -
+             CAST(size(filter(vs_all, x -> x <= v)) AS BIGINT) * 1000000
+               DIV greatest(n_samp_all, 1L)))"""))
+      .withColumn("d_ppm", F.expr("array_max(__d)"))
+      .withColumn("at_value", F.expr(
+        "array_min(filter(__u, (v, i) -> element_at(__d, i + 1) = d_ppm))"))
+      .select(groupCol, "n_samp", "n_samp_all", "d_ppm", "at_value")
+  }
+
   /** ANALYZE-style column statistics with KMV NDV — the CBO input pass:
     * per column, row/null counts, typed min/max, and the
     * engine-reproducible [[kmvDistinct]] NDV estimate. Columns are fed as

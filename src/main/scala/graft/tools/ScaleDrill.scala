@@ -226,6 +226,21 @@ object ScaleDrill {
         docs.select(F.col("doc_id")), "doc_id",
         docs.select(F.col("doc_id")), "doc_id",
         Seq(2000000L, 20000000L, 50000000L, 200000000L), k = 32)),
+    // one (group, value) weight-sum shuffle (key space = distinct
+    // values, not rows) + a per-group fold over the bounded value table
+    "token_mass_quantiles (q210)" -> (docs =>
+      Scale.weightedQuantiles(
+        docs.select(F.col("source"),
+          graft.functions.Text.tokenCount(F.col("text")).cast("long").as("len"))
+          .withColumn("w", F.col("len")),
+        "source", "len", "w", Seq(250000L, 500000L, 750000L, 950000L))),
+    // per-group sketches + one global sketch (two distinct-heap TopK
+    // scans), then <=|groups| rows of O(k^2) arithmetic
+    "group_ks_audit (q211)" -> (docs =>
+      Scale.groupedKsVsGlobal(
+        docs.select(F.col("lang"), F.col("doc_id"),
+          F.length(F.col("text")).cast("long").as("len")),
+        "lang", "doc_id", "len", k = 128)),
     // two sketch builds (each a distinct-heap TopK scan) + O(k^2)
     // one-row arithmetic; no bins, no corpus co-shuffle
     "sketch_ks (q209)" -> (docs =>

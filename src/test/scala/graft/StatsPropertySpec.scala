@@ -195,6 +195,35 @@ object StatsPropertySpec extends Properties("StatsOps") {
           d >= 0L && d <= 1000000L && nsa == sa.size.toLong && nsb == sb.size.toLong
     }
 
+  property("weightedQuantiles: exact weight-CDF pick matches brute force; q=1e6 hits the max value") =
+    Prop.forAll(Gen.nonEmptyListOf(Gen.zip(
+      Gen.oneOf("g1", "g2"), Gen.choose(-50L, 50L), Gen.choose(1L, 20L)))) { rows =>
+      import spark.implicits._
+      val qs = Seq(250000L, 500000L, 1000000L)
+      val out = Scale.weightedQuantiles(rows.toDF("g", "v", "w"),
+          "g", "v", "w", qs)
+        .collect().map(r => (r.getString(0), r.getLong(1)) ->
+          (r.getLong(2), r.getLong(3))).toMap
+      val ref = rows.groupBy(_._1).flatMap { case (g, rs) =>
+        val byV = rs.groupBy(_._2).view.mapValues(_.map(_._3).sum)
+          .toSeq.sortBy(_._1)
+        val tot = byV.map(_._2).sum
+        qs.map { q =>
+          val target = (BigInt(q) * tot + 999999) / 1000000
+          var acc = 0L
+          var ans = Option.empty[Long]
+          byV.foreach { case (v, w) =>
+            acc += w
+            if (ans.isEmpty && acc >= target) ans = Some(v)
+          }
+          (g, q) -> (tot, ans.get)
+        }
+      }.toMap
+      out == ref && out.collect { case ((g, 1000000L), (_, est)) =>
+        est == rows.filter(_._1 == g).map(_._2).max
+      }.forall(identity)
+    }
+
   property("unigramConcentration: Simpson ppm matches the brute-force count table; bounds hold") =
     Prop.forAll(Gen.nonEmptyListOf(Gen.zip(
       Gen.oneOf("s1", "s2"),
