@@ -1554,6 +1554,21 @@ object SparkEntry {
           "doc_id", "text", "source")
         .orderBy("source")),
 
+    "q212_l_diversity" -> ((s, dir) =>
+      // q189's homogeneity-attack partner: same quasi identifiers
+      // (event type x minute-of-day), sensitive = the 5-dollar value
+      // band — class-1 groups disclose the band outright even when
+      // they clear k-anonymity
+      functions.Stats.lDiversityAudit(
+        events(s, dir).select(
+          F.col("event_type"),
+          F.expr("pmod(ts DIV 60000000000, 1440L)").as("minute_of_day"),
+          F.expr("""(CAST(round(value * 100) AS BIGINT)
+                     - pmod(CAST(round(value * 100) AS BIGINT), 500))
+                    DIV 500""").as("value_band")),
+        Seq("event_type", "minute_of_day"), "value_band", l = 3)
+        .orderBy("diversity_class")),
+
     "q211_group_ks_audit" -> ((s, dir) =>
       // mixture monitoring: per language, KS distance between its token-
       // length distribution and the CORPUS-GLOBAL one, both read from
@@ -3862,6 +3877,29 @@ object SparkEntry {
          SELECT source, n_docs, n_dup_docs, tokens_total, tokens_dup,
            CAST(tokens_dup::HUGEINT * 1000000 // greatest(tokens_total, 1) AS BIGINT) AS dup_token_ppm
          FROM g ORDER BY 1""",
+
+    "q212_l_diversity" ->
+      // same quasi tuple as q189; sensitive distinct counts collapse in
+      // the (quasi, sensitive) groupBy before any class arithmetic
+      """WITH q AS (SELECT event_type,
+                      (epoch_us(ts) // 60000000) % 1440 AS minute_of_day,
+                      CAST(round(value * 100) AS BIGINT) // 500 AS value_band
+                    FROM events),
+         gs AS (SELECT event_type, minute_of_day, value_band,
+                  CAST(count(*) AS BIGINT) AS cnt
+                FROM q GROUP BY 1, 2, 3),
+         g AS (SELECT event_type, minute_of_day,
+                 CAST(count(*) AS BIGINT) AS ndv,
+                 CAST(sum(cnt) AS BIGINT) AS rows_g
+               FROM gs GROUP BY 1, 2),
+         c AS (SELECT least(ndv, 3) AS diversity_class,
+                 CAST(count(*) AS BIGINT) AS n_groups,
+                 CAST(sum(rows_g) AS BIGINT) AS n_rows
+               FROM g GROUP BY 1),
+         t AS (SELECT CAST(sum(n_rows) AS BIGINT) AS tot FROM c)
+         SELECT CAST(diversity_class AS BIGINT) AS diversity_class, n_groups, n_rows,
+           CAST(n_rows::HUGEINT * 1000000 // greatest(t.tot, 1) AS BIGINT) AS rows_ppm
+         FROM c, t ORDER BY 1""",
 
     "q211_group_ks_audit" ->
       // per-group bottom-128 samples (partition by lang) vs the global

@@ -140,6 +140,46 @@ object Stats {
       .select("size_class", "n_groups", "n_rows", "rows_ppm")
   }
 
+  /** l-diversity audit — [[kAnonymityAudit]]'s homogeneity-attack
+    * partner (Machanavajjhala et al. 2007): a quasi-identifier group can
+    * clear k-anonymity yet leak the SENSITIVE attribute outright when
+    * every row in it shares one sensitive value. Per quasi group, count
+    * the DISTINCT sensitive values; report per diversity class
+    * (1, 2, …, ≥l) how many groups and rows sit there — class-1 groups
+    * are full disclosures, classes below `l` are the violations. Same
+    * caller loop as the k audit: coarsen the quasi columns, re-run,
+    * release when the low classes empty. NULL is a legitimate value on
+    * both axes and groups as itself.
+    *
+    * Scale shape: one map-side-combined groupBy on (quasi, sensitive) —
+    * duplicates collapse BEFORE the wire — then a per-quasi aggregate
+    * (distinct count = row count of the collapsed frame) and a ≤l-row
+    * class aggregate; checkpoint-cut before the totals cross. */
+  def lDiversityAudit(df: DataFrame, quasiCols: Seq[String],
+                      sensitiveCol: String, l: Int = 3): DataFrame = {
+    require(quasiCols.nonEmpty, "no quasi-identifier columns given")
+    require(!quasiCols.contains(sensitiveCol),
+      s"sensitive column $sensitiveCol cannot also be a quasi-identifier")
+    require(l >= 2, s"l must be >= 2, got $l")
+    val collapsed = df
+      .groupBy((quasiCols :+ sensitiveCol).map(F.col): _*)
+      .agg(F.count(F.lit(1)).as("__cnt"))
+    val classes = collapsed
+      .groupBy(quasiCols.map(F.col): _*)
+      .agg(F.count(F.lit(1)).as("__ndv"), F.sum("__cnt").as("__rows"))
+      .select(F.least(F.col("__ndv"), F.lit(l.toLong)).as("diversity_class"),
+        F.col("__rows"))
+      .groupBy("diversity_class")
+      .agg(F.count(F.lit(1)).as("n_groups"), F.sum("__rows").as("n_rows"))
+      .localCheckpoint()
+    val totals = classes.agg(F.sum("n_rows").as("__tot"))
+    classes.crossJoin(F.broadcast(totals))
+      .withColumn("rows_ppm", F.expr(
+        """CAST(CAST(n_rows AS DECIMAL(38,0)) * 1000000
+               DIV greatest(__tot, 1L) AS BIGINT)"""))
+      .select("diversity_class", "n_groups", "n_rows", "rows_ppm")
+  }
+
   /** Column dependency/correlation audit — the statistic pair a CBO needs
     * beyond per-column NDV (q185): selectivity estimators multiply
     * per-column selectivities ASSUMING INDEPENDENCE, and correlated or

@@ -802,6 +802,16 @@ object ScaleDrill {
                      - pmod(CAST(round(value * 100) AS BIGINT), 500))
                     DIV 500""").as("value_band")),
         Seq("event_type", "minute_of_day", "value_band"), k = 5)),
+    // (quasi, sensitive) groupBy collapses duplicates before the wire,
+    // then per-quasi distinct counts into a <=l-row class aggregate
+    "l_diversity (q212)" -> (ev =>
+      graft.functions.Stats.lDiversityAudit(
+        ev.select(F.col("event_type"),
+          F.expr("pmod(ts_us DIV 60000000, 1440L)").as("minute_of_day"),
+          F.expr("""(CAST(round(value * 100) AS BIGINT)
+                     - pmod(CAST(round(value * 100) AS BIGINT), 500))
+                    DIV 500""").as("value_band")),
+        Seq("event_type", "minute_of_day"), "value_band", l = 3)),
     // manifest tier twice + the shard-filtered row diff; damage RATE is
     // fixed (1/997 etc.) so every shard stays mismatched and the row tier
     // reads the whole corpus — the measured curve is the WORST case

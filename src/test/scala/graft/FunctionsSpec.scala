@@ -2082,6 +2082,32 @@ class FunctionsSpec extends AnyFunSuite {
     assert(nOut(1L).getAs[Long]("n_rows") == 1L)
   }
 
+  test("lDiversityAudit: diversity classes, l-cap, duplicate sensitive values collapse, homogeneous group flagged") {
+    // quasi group "a": 4 rows, ONE sensitive value -> class 1 (the
+    // homogeneity disclosure even though it clears k=4 anonymity);
+    // "b": 3 rows, 2 distinct values -> class 2;
+    // "c": 5 rows, 4 distinct values -> capped at class l=3
+    val rows =
+      Seq.fill(4)(("a", "s1")) ++
+      Seq(("b", "s1"), ("b", "s1"), ("b", "s2")) ++
+      Seq(("c", "s1"), ("c", "s2"), ("c", "s3"), ("c", "s4"), ("c", "s4"))
+    val out = Stats.lDiversityAudit(rows.toDF("q", "s"), Seq("q"), "s", l = 3)
+      .collect().map(r => r.getAs[Long]("diversity_class") -> r).toMap
+    assert(out.keySet == Set(1L, 2L, 3L))
+    assert(out(1L).getAs[Long]("n_groups") == 1L && out(1L).getAs[Long]("n_rows") == 4L)
+    assert(out(2L).getAs[Long]("n_groups") == 1L && out(2L).getAs[Long]("n_rows") == 3L)
+    assert(out(3L).getAs[Long]("n_groups") == 1L && out(3L).getAs[Long]("n_rows") == 5L)
+    assert(out(1L).getAs[Long]("rows_ppm") == 4L * 1000000L / 12L)
+    // sensitive NULL is a value: a group of {null, null} is class 1
+    val withNull = Seq(("a", null.asInstanceOf[String]),
+      ("a", null.asInstanceOf[String]), ("b", "x"), ("b", null.asInstanceOf[String]))
+      .toDF("q", "s")
+    val nOut = Stats.lDiversityAudit(withNull, Seq("q"), "s", l = 2)
+      .collect().map(r => r.getAs[Long]("diversity_class") -> r).toMap
+    assert(nOut(1L).getAs[Long]("n_rows") == 2L)
+    assert(nOut(2L).getAs[Long]("n_rows") == 2L)
+  }
+
   test("compressionProfile: repetitive text compresses far below prose, random far above; deterministic") {
     val rnd = new scala.util.Random(42)
     val docs = Seq(
