@@ -1554,6 +1554,21 @@ object SparkEntry {
           "doc_id", "text", "source")
         .orderBy("source")),
 
+    "q213_t_closeness" -> ((s, dir) =>
+      // the trio's third gate: per quasi group, exact TV distance of its
+      // value-band distribution from the corpus-global one, banded —
+      // large diverse groups still leak when their distribution skews
+      functions.Stats.tClosenessAudit(
+        events(s, dir).select(
+          F.col("event_type"),
+          F.expr("pmod(ts DIV 60000000000, 1440L)").as("minute_of_day"),
+          F.expr("""(CAST(round(value * 100) AS BIGINT)
+                     - pmod(CAST(round(value * 100) AS BIGINT), 500))
+                    DIV 500""").as("value_band")),
+        Seq("event_type", "minute_of_day"), "value_band",
+        Seq(200000L, 400000L, 700000L))
+        .orderBy("band")),
+
     "q212_l_diversity" -> ((s, dir) =>
       // q189's homogeneity-attack partner: same quasi identifiers
       // (event type x minute-of-day), sensitive = the 5-dollar value
@@ -3877,6 +3892,44 @@ object SparkEntry {
          SELECT source, n_docs, n_dup_docs, tokens_total, tokens_dup,
            CAST(tokens_dup::HUGEINT * 1000000 // greatest(tokens_total, 1) AS BIGINT) AS dup_token_ppm
          FROM g ORDER BY 1""",
+
+    "q213_t_closeness" ->
+      // per-group exact TV vs global in HUGEINT (Spark DECIMAL(38,0)):
+      // present terms |c_gs*n - c_s*n_g| summed, ABSENT sensitive mass
+      // added as n_g*(n - sum_present c_s); bands via the q200 fold
+      """WITH q AS (SELECT event_type,
+                      (epoch_us(ts) // 60000000) % 1440 AS minute_of_day,
+                      CAST(round(value * 100) AS BIGINT) // 500 AS value_band
+                    FROM events),
+         gs AS (SELECT event_type, minute_of_day, value_band,
+                  CAST(count(*) AS BIGINT) AS cgs
+                FROM q GROUP BY 1, 2, 3),
+         st AS (SELECT value_band, CAST(sum(cgs) AS BIGINT) AS cs FROM gs GROUP BY 1),
+         gt AS (SELECT event_type, minute_of_day, CAST(sum(cgs) AS BIGINT) AS ng
+                FROM gs GROUP BY 1, 2),
+         n AS (SELECT CAST(sum(cs) AS BIGINT) AS n FROM st),
+         pg AS (SELECT gs.event_type, gs.minute_of_day,
+                  any_value(gt.ng) AS ng, any_value(n.n) AS n,
+                  sum(abs(gs.cgs::HUGEINT * n.n - st.cs::HUGEINT * gt.ng)) AS present,
+                  CAST(sum(st.cs) AS BIGINT) AS cs_present
+                FROM gs JOIN st USING (value_band)
+                  JOIN gt USING (event_type, minute_of_day), n
+                GROUP BY 1, 2),
+         tv AS (SELECT event_type, minute_of_day, ng,
+                  CAST((present + ng::HUGEINT * (n - cs_present)) * 1000000
+                       // (2 * ng::HUGEINT * n) AS BIGINT) AS tv_ppm
+                FROM pg),
+         c AS (SELECT CAST(len(list_filter([200000, 400000, 700000],
+                   b -> b < tv_ppm)) AS BIGINT) AS band,
+                 CAST(count(*) AS BIGINT) AS n_groups,
+                 CAST(sum(ng) AS BIGINT) AS n_rows,
+                 CAST(max(tv_ppm) AS BIGINT) AS max_tv_ppm
+               FROM tv GROUP BY 1),
+         t AS (SELECT CAST(sum(n_rows) AS BIGINT) AS tot FROM c)
+         SELECT c.band, c.n_groups, c.n_rows,
+           CAST(c.n_rows::HUGEINT * 1000000 // greatest(t.tot, 1) AS BIGINT) AS rows_ppm,
+           c.max_tv_ppm
+         FROM c, t ORDER BY c.band""",
 
     "q212_l_diversity" ->
       // same quasi tuple as q189; sensitive distinct counts collapse in

@@ -180,6 +180,73 @@ object Stats {
       .select("diversity_class", "n_groups", "n_rows", "rows_ppm")
   }
 
+  /** t-closeness audit — the third member of the release-gate trio
+    * ([[kAnonymityAudit]] group sizes, [[lDiversityAudit]] distinct
+    * sensitive values, this one DISTRIBUTIONS): a group can be large and
+    * diverse yet still leak when its sensitive-value distribution skews
+    * far from the corpus's (Li et al. 2007). Per quasi group, the exact
+    * total-variation distance between the group's sensitive distribution
+    * and the global one, in integer ppm —
+    * `tv = Σ_s |c_gs·n − c_s·n_g| · 10⁶ DIV (2·n_g·n)` with the ABSENT
+    * sensitive values' mass added explicitly (`n_g·(n − Σ_present c_s)`
+    * — the q190 absent-cell lesson: present-only sums understate). Groups
+    * report banded (`bandsPpm` ascending upper bounds; the last band is
+    * everything above), per band: group/row counts and the band's max
+    * tv — the release decision reads the top band.
+    *
+    * Scale shape: ONE corpus-sized map-side-combined (quasi, sensitive)
+    * groupBy; marginals derive from it (no second corpus scan); the
+    * per-group fold joins on the sensitive key (co-partitioned at
+    * scale) and every product runs in DECIMAL(38,0) (c·n reaches n²).
+    */
+  def tClosenessAudit(df: DataFrame, quasiCols: Seq[String],
+                      sensitiveCol: String,
+                      bandsPpm: Seq[Long]): DataFrame = {
+    require(quasiCols.nonEmpty, "no quasi-identifier columns given")
+    require(!quasiCols.contains(sensitiveCol),
+      s"sensitive column $sensitiveCol cannot also be a quasi-identifier")
+    require(bandsPpm.nonEmpty && bandsPpm == bandsPpm.sorted &&
+      bandsPpm.forall(b => b >= 0L && b <= 1000000L),
+      s"bands must be ascending ppm in [0, 1000000], got $bandsPpm")
+    val gs = df
+      .groupBy((quasiCols :+ sensitiveCol).map(F.col): _*)
+      .agg(F.count(F.lit(1)).as("__cgs"))
+      .localCheckpoint() // marginals + the fold all derive from this
+    val sTot = gs.groupBy(sensitiveCol).agg(F.sum("__cgs").as("__cs"))
+    val gTot = gs.groupBy(quasiCols.map(F.col): _*)
+      .agg(F.sum("__cgs").as("__ng"))
+    val nTot = sTot.agg(F.sum("__cs").as("__n"))
+    val perGroup = gs
+      .join(sTot, Seq(sensitiveCol))
+      .join(gTot, quasiCols)
+      .crossJoin(F.broadcast(nTot))
+      .groupBy(quasiCols.map(F.col): _*)
+      .agg(
+        F.first("__ng").as("__ng"), F.first("__n").as("__n"),
+        F.expr("""sum(abs(CAST(__cgs AS DECIMAL(38,0)) * __n -
+                          CAST(__cs AS DECIMAL(38,0)) * __ng))""").as("__present"),
+        F.sum("__cs").as("__cs_present"))
+      .withColumn("tv_ppm", F.expr(
+        """CAST((__present +
+                 CAST(__ng AS DECIMAL(38,0)) * (__n - __cs_present)) * 1000000
+               DIV (2 * CAST(__ng AS DECIMAL(38,0)) * __n) AS BIGINT)"""))
+    val bArr = bandsPpm.mkString("array(", "L, ", "L)")
+    val classes = perGroup
+      .select(F.expr(
+          s"CAST(size(filter($bArr, b -> b < tv_ppm)) AS BIGINT)").as("band"),
+        F.col("__ng"), F.col("tv_ppm"))
+      .groupBy("band")
+      .agg(F.count(F.lit(1)).as("n_groups"), F.sum("__ng").as("n_rows"),
+        F.max("tv_ppm").as("max_tv_ppm"))
+      .localCheckpoint()
+    val totals = classes.agg(F.sum("n_rows").as("__tot"))
+    classes.crossJoin(F.broadcast(totals))
+      .withColumn("rows_ppm", F.expr(
+        """CAST(CAST(n_rows AS DECIMAL(38,0)) * 1000000
+               DIV greatest(__tot, 1L) AS BIGINT)"""))
+      .select("band", "n_groups", "n_rows", "rows_ppm", "max_tv_ppm")
+  }
+
   /** Column dependency/correlation audit — the statistic pair a CBO needs
     * beyond per-column NDV (q185): selectivity estimators multiply
     * per-column selectivities ASSUMING INDEPENDENCE, and correlated or

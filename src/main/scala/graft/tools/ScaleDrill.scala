@@ -812,6 +812,17 @@ object ScaleDrill {
                      - pmod(CAST(round(value * 100) AS BIGINT), 500))
                     DIV 500""").as("value_band")),
         Seq("event_type", "minute_of_day"), "value_band", l = 3)),
+    // one (quasi, sensitive) groupBy; marginals derive from it, the fold
+    // joins on the sensitive key — no second corpus scan
+    "t_closeness (q213)" -> (ev =>
+      graft.functions.Stats.tClosenessAudit(
+        ev.select(F.col("event_type"),
+          F.expr("pmod(ts_us DIV 60000000, 1440L)").as("minute_of_day"),
+          F.expr("""(CAST(round(value * 100) AS BIGINT)
+                     - pmod(CAST(round(value * 100) AS BIGINT), 500))
+                    DIV 500""").as("value_band")),
+        Seq("event_type", "minute_of_day"), "value_band",
+        Seq(200000L, 400000L, 700000L))),
     // manifest tier twice + the shard-filtered row diff; damage RATE is
     // fixed (1/997 etc.) so every shard stays mismatched and the row tier
     // reads the whole corpus — the measured curve is the WORST case

@@ -2108,6 +2108,26 @@ class FunctionsSpec extends AnyFunSuite {
     assert(nOut(2L).getAs[Long]("n_rows") == 2L)
   }
 
+  test("tClosenessAudit: hand-computed TV incl. absent-value mass; balanced group lands in band 0") {
+    // a: point mass on s1; b: point mass on s2; c: the global mix.
+    // global = {s1: 5, s2: 5}, n = 10. a's TV: present |4*10 - 5*4| = 20,
+    // absent s2 mass 4*(10-5) = 20 -> (20+20)*1e6 / (2*4*10) = 500000.
+    // b symmetric; c matches the global exactly -> 0.
+    val rows = Seq.fill(4)(("a", "s1")) ++ Seq.fill(4)(("b", "s2")) ++
+      Seq(("c", "s1"), ("c", "s2"))
+    val out = Stats.tClosenessAudit(rows.toDF("q", "s"), Seq("q"), "s",
+        Seq(300000L))
+      .collect().map(r => r.getAs[Long]("band") -> r).toMap
+    assert(out.keySet == Set(0L, 1L))
+    assert(out(0L).getAs[Long]("n_groups") == 1L &&
+      out(0L).getAs[Long]("n_rows") == 2L &&
+      out(0L).getAs[Long]("max_tv_ppm") == 0L)
+    assert(out(1L).getAs[Long]("n_groups") == 2L &&
+      out(1L).getAs[Long]("n_rows") == 8L &&
+      out(1L).getAs[Long]("max_tv_ppm") == 500000L)
+    assert(out(1L).getAs[Long]("rows_ppm") == 800000L)
+  }
+
   test("compressionProfile: repetitive text compresses far below prose, random far above; deterministic") {
     val rnd = new scala.util.Random(42)
     val docs = Seq(
