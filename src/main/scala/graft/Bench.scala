@@ -159,18 +159,41 @@ object Bench {
     // machine-speed probe, so "this run's calib is >1.3x the calib recorded
     // in the standing BENCH_SELF.json" means the VM window is degraded, not
     // the code — flag the artifact and keep the healthier BENCH_SELF.
-    val prevCalib: Option[Double] =
+    val standing: Option[org.json4s.JValue] =
       try {
         val p = java.nio.file.Paths.get("BENCH_SELF.json")
         if (java.nio.file.Files.exists(p)) {
           val s = new String(java.nio.file.Files.readAllBytes(p),
             java.nio.charset.StandardCharsets.UTF_8)
-          """"calib":([0-9.]+)""".r.findFirstMatchIn(s).map(_.group(1).toDouble)
+          Some(org.json4s.jackson.JsonMethods.parse(s))
         } else None
       } catch { case _: Throwable => None }
+    def standingNum(field: String): Option[Double] = standing.map(_ \ field).collect {
+      case org.json4s.JDouble(d) => d
+      case org.json4s.JInt(i) => i.toDouble
+      case org.json4s.JDecimal(d) => d.toDouble
+    }
+    val prevCalib: Option[Double] = standingNum("calib")
     val degraded = prevCalib.exists(b => calib > 1.3 * b)
+    // Degraded-window stamp (VERDICT r11 wrong #1 / next #4): a degraded
+    // run's per-query times read as fake regressions in the round artifact
+    // the driver archives. When the flag is set, stamp the STANDING
+    // BENCH_SELF pair (measured at a healthy calib) into both faces so the
+    // comparable headline is always in the archived file itself.
+    val standingNote =
+      if (!degraded) ""
+      else (standingNum("value"), standingNum("calib")) match {
+        case (Some(v), Some(c)) =>
+          val duckPart = (standingNum("duck_total"), standingNum("ratio")) match {
+            case (Some(dt), Some(r)) =>
+              s""","duck_total":${BenchFormat.ms(dt)},"ratio":${BenchFormat.ms(r)}"""
+            case _ => ""
+          }
+          s""""standing":{"value":${BenchFormat.ms(v)},"calib":${BenchFormat.ms(c)}$duckPart},"""
+        case _ => ""
+      }
     val json = BenchFormat.fullJson(results, streaming, calib, reps,
-      degraded, warmNote, sfDir, oracleNote, duckQueriesNote)
+      degraded, warmNote, sfDir, oracleNote + standingNote, duckQueriesNote)
     // Durable full-fidelity artifact FIRST: r4-r6 driver artifacts were
     // "parsed": null because async executor logs flushed after the JSON
     // println and pushed it out of the driver's tail window. The file
@@ -202,7 +225,7 @@ object Bench {
       System.err.println(s"[bench] $selfTarget write failed: ${e.getMessage}")
     }
     val stdoutJson = BenchFormat.stdoutLine(results, streaming, calib, reps,
-      degraded, warmNote, sfDir, oracleNote)
+      degraded, warmNote, sfDir, oracleNote + standingNote)
     // stop() joins all executor/streaming threads — after it returns nothing
     // else logs, so the JSON println below is the absolute last stdout line.
     spark.stop()
@@ -216,18 +239,18 @@ object Bench {
     * average of two windows. The RAW runs (execution order, failures as
     * -1) ride along into the JSON artifact (VERDICT r10 #1) so a judge
     * can see the spread without re-running the drill. */
-  private def medianOfRuns(n: Int)(run: () => (String, Double)): (String, Double, Seq[Double]) = {
+  private def medianOfRuns(n: Int)(run: () => (String, Double)): BenchFormat.StEntry = {
     val runs = (1 to n).map(_ => run())
     val label = runs.head._1
     val raw = runs.map(_._2)
     val ok = raw.filter(_ >= 0.0).sorted
-    if (ok.isEmpty) (label, -1.0, raw)
+    if (ok.isEmpty) BenchFormat.StEntry(label, -1.0, raw)
     else {
       val med = ok((ok.size - 1) / 2)
       if (n > 1)
         System.err.println(f"[bench] $label median-of-${ok.size}: $med%.3f " +
           s"(runs: ${ok.map(v => f"$v%.3f").mkString(", ")})")
-      (label, med, raw)
+      BenchFormat.StEntry(label, med, raw)
     }
   }
 
@@ -290,11 +313,22 @@ object Bench {
         return ("", "")
       }
       // the script's last line is {"metric":"oracle_total","value":...,
-      // "n":...,"queries":{name:sec}}
+      // "n":...,"queries":{name:sec}} — parsed with a real JSON parser
+      // (ADVICE r11 #4: the old brace-regex would silently drop or corrupt
+      // duck_queries if the emitted map ever nested)
       val last = out.toString.linesIterator.toSeq.reverse
         .find(_.contains("\"oracle_total\"")).getOrElse("")
-      val duck = """"value":\s*([0-9.eE+-]+)""".r.findFirstMatchIn(last).map(_.group(1).toDouble)
-      val n = """"n":\s*([0-9]+)""".r.findFirstMatchIn(last).map(_.group(1).toInt)
+      import org.json4s._
+      import org.json4s.jackson.JsonMethods.{parse => jparse, compact, render}
+      val parsed: Option[JValue] =
+        try Some(jparse(last)) catch { case _: Throwable => None }
+      def num(j: JValue): Option[Double] = j match {
+        case JDouble(d) => Some(d); case JInt(i) => Some(i.toDouble)
+        case JLong(l) => Some(l.toDouble); case JDecimal(d) => Some(d.toDouble)
+        case _ => None
+      }
+      val duck = parsed.flatMap(j => num(j \ "value"))
+      val n = parsed.flatMap(j => num(j \ "n")).map(_.toInt)
       (duck, n) match {
         case (Some(d), Some(nn)) if d > 0.0 =>
           val ratio = sparkTotal / d
@@ -304,8 +338,14 @@ object Bench {
           // the per-query duck map (VERDICT r10 #7) goes ONLY to the
           // unbounded BENCH_SELF face — ~205 extra entries would defeat
           // the stdout line's 2000-char tail budget
-          val perQ = """"queries":\s*(\{[^}]*\})""".r.findFirstMatchIn(last)
-            .map(m => s""""duck_queries":${m.group(1)},""").getOrElse("")
+          val perQ = parsed.map(_ \ "queries") match {
+            case Some(q @ JObject(fs)) if fs.nonEmpty =>
+              s""""duck_queries":${compact(render(q))},"""
+            case _ =>
+              System.err.println(
+                "[bench] oracle line carries no per-query map — duck_queries omitted")
+              ""
+          }
           (s""""duck_total":${BenchFormat.ms(d)},"duck_n":$nn,"ratio":${BenchFormat.ms(ratio)},""",
             perQ)
         case _ =>
@@ -438,7 +478,7 @@ object Bench {
     * stderr. The measured shape is ~flat in state size (request cost is
     * the Spark job fixed cost, not a state scan), which is the number
     * behind the "scale-free read path" claim. */
-  private def drpcStateQueryLatency(spark: SparkSession, reps: Int = 1): (String, Double, Seq[Double]) = {
+  private def drpcStateQueryLatency(spark: SparkSession, reps: Int = 1): BenchFormat.StEntry = {
     val label = "drpc_statequery_ms"
     val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
     try {
@@ -457,17 +497,17 @@ object Bench {
       Seq(10000, 100000).foreach(point)
       val raw = (1 to reps).map(_ => point(1000000))
       val meds = raw.filter(_ >= 0.0).sorted
-      if (meds.isEmpty) (label, -1.0, raw)
+      if (meds.isEmpty) BenchFormat.StEntry(label, -1.0, raw)
       else {
         val med = meds((meds.size - 1) / 2)
         if (reps > 1)
           System.err.println(f"[bench] $label median-of-${meds.size}: $med%.1fms " +
             s"(runs: ${meds.map(v => f"$v%.1f").mkString(", ")})")
-        (label, med, raw)
+        BenchFormat.StEntry(label, med, raw)
       }
     } catch { case e: Throwable =>
       System.err.println(s"[bench] $label failed: ${e.getMessage}")
-      (label, -1.0, Seq.empty[Double])
+      BenchFormat.StEntry(label, -1.0, Seq.empty[Double])
     } finally {
       prev match {
         case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
@@ -481,35 +521,41 @@ object Bench {
     * live 100k-key state store; the RECORDED value is the p99 latency in
     * ms (lower median of `reps` fresh-setup runs, same discipline as the
     * single-stream drpc drill) — a p99 staying within a small multiple
-    * of the single-stream mean is the no-starvation evidence. p50 and
-    * setup go to stderr per run. */
-  private def drpcConcurrentLatency(spark: SparkSession, reps: Int): (String, Double, Seq[Double]) = {
+    * of the single-stream mean is the no-starvation evidence. Each run's
+    * p50 rides in the artifact as `p50_runs` (index-aligned with `runs`)
+    * so the §4b p99/p50 fairness ratio is checkable without the stderr
+    * tail (VERDICT r11 wrong #2). */
+  private def drpcConcurrentLatency(spark: SparkSession, reps: Int): BenchFormat.StEntry = {
     val label = "drpc_concurrent_p99_ms"
     val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
     try {
       spark.conf.set("spark.sql.streaming.stateStore.providerClass",
         "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
-      def point(): Double = {
+      def point(): (Double, Double) = {
         val (p50, p99, setup) =
           graft.tools.Drills.drpcStateQueryConcurrent(spark, 100000, 8, 24)
         System.err.println(
           f"[bench] $label: keys=100000 threads=8 reqs=24 setup=$setup%5.1fs " +
           f"p50=$p50%7.1fms p99=$p99%7.1fms")
-        p99
+        (p50, p99)
       }
-      val raw = (1 to reps).map(_ => point())
+      val pairs = (1 to reps).map(_ => point())
+      val raw = pairs.map(_._2)
+      val p50s = pairs.map(_._1)
+      val extra = ",\"p50_runs\":[" +
+        p50s.map(v => "%.1f".formatLocal(java.util.Locale.ROOT, v)).mkString(",") + "]"
       val meds = raw.filter(_ >= 0.0).sorted
-      if (meds.isEmpty) (label, -1.0, raw)
+      if (meds.isEmpty) BenchFormat.StEntry(label, -1.0, raw, extra)
       else {
         val med = meds((meds.size - 1) / 2)
         if (reps > 1)
           System.err.println(f"[bench] $label median-of-${meds.size}: $med%.1fms " +
             s"(runs: ${meds.map(v => f"$v%.1f").mkString(", ")})")
-        (label, med, raw)
+        BenchFormat.StEntry(label, med, raw, extra)
       }
     } catch { case e: Throwable =>
       System.err.println(s"[bench] $label failed: ${e.getMessage}")
-      (label, -1.0, Seq.empty[Double])
+      BenchFormat.StEntry(label, -1.0, Seq.empty[Double])
     } finally {
       prev match {
         case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)

@@ -3912,8 +3912,11 @@ object SparkEntry {
                   any_value(gt.ng) AS ng, any_value(n.n) AS n,
                   sum(abs(gs.cgs::HUGEINT * n.n - st.cs::HUGEINT * gt.ng)) AS present,
                   CAST(sum(st.cs) AS BIGINT) AS cs_present
-                FROM gs JOIN st USING (value_band)
-                  JOIN gt USING (event_type, minute_of_day), n
+                FROM gs JOIN st
+                    ON gs.value_band IS NOT DISTINCT FROM st.value_band
+                  JOIN gt
+                    ON gs.event_type IS NOT DISTINCT FROM gt.event_type
+                   AND gs.minute_of_day IS NOT DISTINCT FROM gt.minute_of_day, n
                 GROUP BY 1, 2),
          tv AS (SELECT event_type, minute_of_day, ng,
                   CAST((present + ng::HUGEINT * (n - cs_present)) * 1000000
@@ -4149,10 +4152,12 @@ object SparkEntry {
     "q205_range_plan_sketch" ->
       // same deterministic sample as q186 (256 smallest md5(event_id)),
       // same rank-picked boundaries — but NO corpus audit pass: the plan
-      // reads the sketch alone
-      """WITH s AS (SELECT md5(CAST(event_id AS VARCHAR)) AS h, user_id AS v
+      // reads the sketch alone. DISTINCT (h, v) + ORDER BY h, v mirrors
+      // quantileSketch's dedup-and-tie-break spelling (the q203/q204
+      // discipline) so repeated event_ids would pick the same sample
+      """WITH s AS (SELECT DISTINCT md5(CAST(event_id AS VARCHAR)) AS h, user_id AS v
                     FROM events WHERE user_id IS NOT NULL AND event_id IS NOT NULL),
-         r AS (SELECT v, row_number() OVER (ORDER BY h) AS rn FROM s),
+         r AS (SELECT v, row_number() OVER (ORDER BY h, v) AS rn FROM s),
          samp AS (SELECT list(v ORDER BY v) AS sk,
                     CAST(count(*) AS BIGINT) AS n_samp
                   FROM r WHERE rn <= 256),

@@ -244,10 +244,12 @@ final class BasicBoltExecutor(val bolt: IBasicBolt) extends IRichBolt {
 /** Reference `backtype/storm/grouping/CustomStreamGrouping.java:26-42`,
   * façade-idiom signature (no thrift context / GlobalStreamId):
   * `prepare` receives the target task ids once at build time;
-  * `chooseTasks` routes each tuple's values to one OR MORE of them
+  * `chooseTasks` routes each tuple's values to ZERO OR MORE of them
   * (returning several tasks multicasts, as the reference's NGrouping
-  * does). Implementations must be serializable and `chooseTasks` pure —
-  * it runs inside the routing stage on executors. */
+  * does; returning an empty list drops the tuple — the reference
+  * contract permits filtering groupings). Implementations must be
+  * serializable and `chooseTasks` pure — it runs inside the routing
+  * stage on executors. */
 trait CustomStreamGrouping extends Serializable {
   def prepare(targetTasks: Seq[Int]): Unit = ()
   def chooseTasks(values: Seq[Any]): Seq[Int]
@@ -569,7 +571,10 @@ object LocalTopology {
                 case Grouping.CustomG(g) =>
                   val values = deser(payload)
                   val tasks = g.chooseTasks(values)
-                  require(tasks.nonEmpty && tasks.forall(t => t >= 0 && t < p),
+                  // reference contract permits an EMPTY task list — the
+                  // tuple is routed to no task (a grouping-level drop),
+                  // not an error; only out-of-range ids are rejected
+                  require(tasks.forall(t => t >= 0 && t < p),
                     s"customGrouping chose tasks $tasks outside [0, $p) for $values")
                   tasks.iterator.map(t => Row(t, seq, srcName, streamName, payload))
               }

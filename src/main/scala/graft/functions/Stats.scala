@@ -198,6 +198,11 @@ object Stats {
     * groupBy; marginals derive from it (no second corpus scan); the
     * per-group fold joins on the sensitive key (co-partitioned at
     * scale) and every product runs in DECIMAL(38,0) (c·n reaches n²).
+    *
+    * NULL is a legitimate value on both axes, matching the other two
+    * gates: the marginal joins are null-SAFE (`<=>`), so a group whose
+    * quasi tuple contains NULL still reports, and NULL-sensitive rows
+    * count as a present value rather than leaking into the absent term.
     */
   def tClosenessAudit(df: DataFrame, quasiCols: Seq[String],
                       sensitiveCol: String,
@@ -212,13 +217,21 @@ object Stats {
       .groupBy((quasiCols :+ sensitiveCol).map(F.col): _*)
       .agg(F.count(F.lit(1)).as("__cgs"))
       .localCheckpoint() // marginals + the fold all derive from this
+    // marginal joins are null-safe: an equi-join on the raw columns would
+    // silently drop NULL-quasi groups and shunt NULL-sensitive mass into
+    // the absent term, contradicting the trio's NULL-is-a-value contract
     val sTot = gs.groupBy(sensitiveCol).agg(F.sum("__cgs").as("__cs"))
-    val gTot = gs.groupBy(quasiCols.map(F.col): _*)
-      .agg(F.sum("__cgs").as("__ng"))
+      .withColumnRenamed(sensitiveCol, "__sk")
+    val gTot = quasiCols.zipWithIndex.foldLeft(
+        gs.groupBy(quasiCols.map(F.col): _*).agg(F.sum("__cgs").as("__ng"))) {
+      case (d, (q, i)) => d.withColumnRenamed(q, s"__qk$i")
+    }
     val nTot = sTot.agg(F.sum("__cs").as("__n"))
     val perGroup = gs
-      .join(sTot, Seq(sensitiveCol))
-      .join(gTot, quasiCols)
+      .join(sTot, F.col(sensitiveCol) <=> F.col("__sk"))
+      .join(gTot, quasiCols.zipWithIndex
+        .map { case (q, i) => F.col(q) <=> F.col(s"__qk$i") }
+        .reduce(_ && _))
       .crossJoin(F.broadcast(nTot))
       .groupBy(quasiCols.map(F.col): _*)
       .agg(

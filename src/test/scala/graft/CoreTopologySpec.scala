@@ -282,6 +282,21 @@ class CoreTopologySpec extends AnyFunSuite {
     assert(results.readTuples("2").map(_.head).toSet == Set(0, 1, 2, 3, 4, 5))
   }
 
+  test("custom grouping returning an EMPTY task list drops the tuple (reference contract)") {
+    // a filtering grouping: route only len-2 words, drop the rest —
+    // the reference CustomStreamGrouping contract permits empty results
+    val b = new TopologyBuilder
+    b.setSpout("1", new WordSpoutStub)
+    b.setBolt("2", new IdentityWord, 3).customGrouping("1",
+      new CustomStreamGrouping {
+        def chooseTasks(values: Seq[Any]): Seq[Int] =
+          if (values.head.asInstanceOf[String].length == 2) Seq(0) else Seq.empty
+      })
+    val results = LocalTopology.completeTopology(spark, b,
+      mockSources = Map("1" -> Seq(Seq("aa"), Seq("xyz"), Seq("bb"), Seq("pqrs"))))
+    assert(results.readTuples("2").toSet == Set(Seq("aa"), Seq("bb")))
+  }
+
   test("custom grouping choosing an out-of-range task fails loudly") {
     val b = new TopologyBuilder
     b.setSpout("1", new WordSpoutStub)

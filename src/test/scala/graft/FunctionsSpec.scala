@@ -2128,6 +2128,28 @@ class FunctionsSpec extends AnyFunSuite {
     assert(out(1L).getAs[Long]("rows_ppm") == 800000L)
   }
 
+  test("tClosenessAudit: NULL quasi groups report and NULL sensitive counts as a present value") {
+    // global = {s1: 3, NULL: 3}, n = 6. Group q=NULL (2x s1):
+    // present |2*6 - 3*2| = 6, absent 2*(6-3) = 6 -> tv = 12e6/24 = 500000.
+    // Group a (2x NULL-sensitive): symmetric -> 500000. Group b (one of
+    // each) matches the global mix -> 0. A null-UNSAFE marginal join
+    // would drop the q=NULL group and misplace the NULL-sensitive mass.
+    val rows = Seq(
+      (null.asInstanceOf[String], "s1"), (null.asInstanceOf[String], "s1"),
+      ("a", null.asInstanceOf[String]), ("a", null.asInstanceOf[String]),
+      ("b", "s1"), ("b", null.asInstanceOf[String]))
+    val out = Stats.tClosenessAudit(rows.toDF("q", "s"), Seq("q"), "s",
+        Seq(300000L))
+      .collect().map(r => r.getAs[Long]("band") -> r).toMap
+    assert(out.keySet == Set(0L, 1L))
+    assert(out(0L).getAs[Long]("n_groups") == 1L &&
+      out(0L).getAs[Long]("n_rows") == 2L &&
+      out(0L).getAs[Long]("max_tv_ppm") == 0L)
+    assert(out(1L).getAs[Long]("n_groups") == 2L &&
+      out(1L).getAs[Long]("n_rows") == 4L &&
+      out(1L).getAs[Long]("max_tv_ppm") == 500000L)
+  }
+
   test("compressionProfile: repetitive text compresses far below prose, random far above; deterministic") {
     val rnd = new scala.util.Random(42)
     val docs = Seq(
