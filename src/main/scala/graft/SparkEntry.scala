@@ -1554,6 +1554,41 @@ object SparkEntry {
           "doc_id", "text", "source")
         .orderBy("source")),
 
+    "q214_conjunctive_selectivity" -> ((s, dir) =>
+      // the CBO loop's last edge (VERDICT r11 #1): per 2D probe over the
+      // hierarchically-dependent value bands (fine DIV 10 = coarse — the
+      // city->state FD shape), actual count vs est_uniform-product vs
+      // est_hist-product vs the NDV-dependency-corrected product; the
+      // aligned-hierarchy probes show the correction recovering the mass
+      // independence throws away
+      functions.Scale.conjunctiveSelectivityAudit(
+        events(s, dir).select(
+          F.expr("CAST(round(value * 100) AS BIGINT) DIV 10000").as("value_coarse"),
+          F.expr("CAST(round(value * 100) AS BIGINT) DIV 1000").as("value_fine")),
+        "value_coarse", "value_fine",
+        Seq((0L, 0L, 0L, 9L), (1L, 1L, 10L, 19L), (0L, 0L, 20L, 39L),
+          (0L, 4L, 0L, 49L), (2L, 4L, 20L, 49L), (0L, 1L, 5L, 14L)),
+        Seq(1L, 2L, 3L, 4L), Seq(8L, 16L, 24L, 32L))
+        .orderBy("a_lo", "a_hi", "b_lo", "b_hi")),
+
+    "q215_qerror_scoreboard" -> ((s, dir) =>
+      // the CE-benchmark summary over q214's probe workload: per
+      // estimator, lower-median and max q-error (ppm) and the
+      // within-2x count — the one-line "which estimator should the
+      // planner trust" scoreboard
+      functions.Scale.qErrorScoreboard(
+        functions.Scale.conjunctiveSelectivityAudit(
+          events(s, dir).select(
+            F.expr("CAST(round(value * 100) AS BIGINT) DIV 10000").as("value_coarse"),
+            F.expr("CAST(round(value * 100) AS BIGINT) DIV 1000").as("value_fine")),
+          "value_coarse", "value_fine",
+          Seq((0L, 0L, 0L, 9L), (1L, 1L, 10L, 19L), (0L, 0L, 20L, 39L),
+            (0L, 4L, 0L, 49L), (2L, 4L, 20L, 49L), (0L, 1L, 5L, 14L)),
+          Seq(1L, 2L, 3L, 4L), Seq(8L, 16L, 24L, 32L)),
+        Seq(("corrected", "qerr_corrected_ppm"), ("hist", "qerr_hist_ppm"),
+          ("uniform", "qerr_uniform_ppm")))
+        .orderBy("estimator")),
+
     "q213_t_closeness" -> ((s, dir) =>
       // the trio's third gate: per quasi group, exact TV distance of its
       // value-band distribution from the corpus-global one, banded —
@@ -3892,6 +3927,211 @@ object SparkEntry {
          SELECT source, n_docs, n_dup_docs, tokens_total, tokens_dup,
            CAST(tokens_dup::HUGEINT * 1000000 // greatest(tokens_total, 1) AS BIGINT) AS dup_token_ppm
          FROM g ORDER BY 1""",
+
+    "q214_conjunctive_selectivity" ->
+      // mirrors conjunctiveSelectivityAudit exactly: joint (a,b) counts,
+      // marginal fixed-bin histograms + uniform smears per column, the
+      // product estimators over n, the NDV correction min-clamped, and
+      // integer-ppm q-errors — every division HUGEINT // on
+      // non-negatives (== Spark DECIMAL(38,0) floor spellings)
+      """WITH j AS (SELECT CAST(round(value * 100) AS BIGINT) // 10000 AS a,
+                      CAST(round(value * 100) AS BIGINT) // 1000 AS b,
+                      CAST(count(*) AS BIGINT) AS c
+                    FROM events WHERE value IS NOT NULL GROUP BY 1, 2),
+         t AS (SELECT CAST(sum(c) AS BIGINT) AS n,
+                 min(a) AS mn_a, max(a) AS mx_a, min(b) AS mn_b, max(b) AS mx_b,
+                 CAST(count(DISTINCT a) AS BIGINT) AS ndv_a,
+                 CAST(count(DISTINCT b) AS BIGINT) AS ndv_b,
+                 CAST(count(*) AS BIGINT) AS ndv_ab,
+                 CAST(sum(CASE WHEN a < 1 THEN c ELSE 0 END) AS BIGINT) AS ca0,
+                 CAST(sum(CASE WHEN a >= 1 AND a < 2 THEN c ELSE 0 END) AS BIGINT) AS ca1,
+                 CAST(sum(CASE WHEN a >= 2 AND a < 3 THEN c ELSE 0 END) AS BIGINT) AS ca2,
+                 CAST(sum(CASE WHEN a >= 3 AND a < 4 THEN c ELSE 0 END) AS BIGINT) AS ca3,
+                 CAST(sum(CASE WHEN a >= 4 THEN c ELSE 0 END) AS BIGINT) AS ca4,
+                 CAST(sum(CASE WHEN b < 8 THEN c ELSE 0 END) AS BIGINT) AS cb0,
+                 CAST(sum(CASE WHEN b >= 8 AND b < 16 THEN c ELSE 0 END) AS BIGINT) AS cb1,
+                 CAST(sum(CASE WHEN b >= 16 AND b < 24 THEN c ELSE 0 END) AS BIGINT) AS cb2,
+                 CAST(sum(CASE WHEN b >= 24 AND b < 32 THEN c ELSE 0 END) AS BIGINT) AS cb3,
+                 CAST(sum(CASE WHEN b >= 32 THEN c ELSE 0 END) AS BIGINT) AS cb4,
+                 CAST(sum(CASE WHEN a BETWEEN 0 AND 0 AND b BETWEEN 0 AND 9 THEN c ELSE 0 END) AS BIGINT) AS p0,
+                 CAST(sum(CASE WHEN a BETWEEN 1 AND 1 AND b BETWEEN 10 AND 19 THEN c ELSE 0 END) AS BIGINT) AS p1,
+                 CAST(sum(CASE WHEN a BETWEEN 0 AND 0 AND b BETWEEN 20 AND 39 THEN c ELSE 0 END) AS BIGINT) AS p2,
+                 CAST(sum(CASE WHEN a BETWEEN 0 AND 4 AND b BETWEEN 0 AND 49 THEN c ELSE 0 END) AS BIGINT) AS p3,
+                 CAST(sum(CASE WHEN a BETWEEN 2 AND 4 AND b BETWEEN 20 AND 49 THEN c ELSE 0 END) AS BIGINT) AS p4,
+                 CAST(sum(CASE WHEN a BETWEEN 0 AND 1 AND b BETWEEN 5 AND 14 THEN c ELSE 0 END) AS BIGINT) AS p5
+               FROM j),
+         abins AS (SELECT x.j,
+                 CASE x.j WHEN 0 THEN t.ca0 WHEN 1 THEN t.ca1 WHEN 2 THEN t.ca2
+                          WHEN 3 THEN t.ca3 ELSE t.ca4 END AS cnt,
+                 CASE x.j WHEN 0 THEN t.mn_a WHEN 1 THEN 1 WHEN 2 THEN 2
+                          WHEN 3 THEN 3 ELSE 4 END AS blo,
+                 CASE x.j WHEN 0 THEN 0 WHEN 1 THEN 1 WHEN 2 THEN 2
+                          WHEN 3 THEN 3 ELSE t.mx_a END AS bhi
+               FROM t, (VALUES (0), (1), (2), (3), (4)) x(j)),
+         bbins AS (SELECT x.j,
+                 CASE x.j WHEN 0 THEN t.cb0 WHEN 1 THEN t.cb1 WHEN 2 THEN t.cb2
+                          WHEN 3 THEN t.cb3 ELSE t.cb4 END AS cnt,
+                 CASE x.j WHEN 0 THEN t.mn_b WHEN 1 THEN 8 WHEN 2 THEN 16
+                          WHEN 3 THEN 24 ELSE 32 END AS blo,
+                 CASE x.j WHEN 0 THEN 7 WHEN 1 THEN 15 WHEN 2 THEN 23
+                          WHEN 3 THEN 31 ELSE t.mx_b END AS bhi
+               FROM t, (VALUES (0), (1), (2), (3), (4)) x(j)),
+         p AS (SELECT * FROM (VALUES
+                 (CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(9 AS BIGINT), 0),
+                 (1, 1, 10, 19, 1),
+                 (0, 0, 20, 39, 2),
+                 (0, 4, 0, 49, 3),
+                 (2, 4, 20, 49, 4),
+                 (0, 1, 5, 14, 5))
+               AS x(a_lo, a_hi, b_lo, b_hi, idx)),
+         ha AS (SELECT p.idx,
+                 CAST(sum(CASE WHEN abins.bhi - abins.blo + 1 < 1 THEN 0
+                       ELSE abins.cnt::HUGEINT *
+                            greatest(least(p.a_hi, abins.bhi) - greatest(p.a_lo, abins.blo) + 1, 0)
+                            // (abins.bhi::HUGEINT - abins.blo + 1) END) AS BIGINT) AS ea_h
+               FROM p, abins GROUP BY 1),
+         hb AS (SELECT p.idx,
+                 CAST(sum(CASE WHEN bbins.bhi - bbins.blo + 1 < 1 THEN 0
+                       ELSE bbins.cnt::HUGEINT *
+                            greatest(least(p.b_hi, bbins.bhi) - greatest(p.b_lo, bbins.blo) + 1, 0)
+                            // (bbins.bhi::HUGEINT - bbins.blo + 1) END) AS BIGINT) AS eb_h
+               FROM p, bbins GROUP BY 1),
+         r AS (SELECT p.a_lo, p.a_hi, p.b_lo, p.b_hi,
+                 t.n, t.ndv_a, t.ndv_b, t.ndv_ab,
+                 CASE p.idx WHEN 0 THEN t.p0 WHEN 1 THEN t.p1 WHEN 2 THEN t.p2
+                            WHEN 3 THEN t.p3 WHEN 4 THEN t.p4 ELSE t.p5 END AS actual,
+                 CAST(t.n::HUGEINT *
+                      greatest(least(p.a_hi, t.mx_a) - greatest(p.a_lo, t.mn_a) + 1, 0)
+                      // (t.mx_a::HUGEINT - t.mn_a + 1) AS BIGINT) AS ea_u,
+                 CAST(t.n::HUGEINT *
+                      greatest(least(p.b_hi, t.mx_b) - greatest(p.b_lo, t.mn_b) + 1, 0)
+                      // (t.mx_b::HUGEINT - t.mn_b + 1) AS BIGINT) AS eb_u,
+                 ha.ea_h, hb.eb_h
+               FROM p, t
+                 JOIN ha ON ha.idx = p.idx JOIN hb ON hb.idx = p.idx),
+         f AS (SELECT a_lo, a_hi, b_lo, b_hi, n, ndv_a, ndv_b, ndv_ab, actual,
+                 CAST(ea_u::HUGEINT * eb_u // greatest(n, 1) AS BIGINT) AS est_indep_uniform,
+                 CAST(ea_h::HUGEINT * eb_h // greatest(n, 1) AS BIGINT) AS est_indep_hist,
+                 CAST(least(
+                   (ea_h::HUGEINT * eb_h // greatest(n, 1)) * ndv_a * ndv_b
+                     // greatest(ndv_ab, 1),
+                   least(ea_h, eb_h)::HUGEINT) AS BIGINT) AS est_corrected
+               FROM r)
+         SELECT a_lo, a_hi, b_lo, b_hi, n, ndv_a, ndv_b, ndv_ab, actual,
+           est_indep_uniform, est_indep_hist, est_corrected,
+           CAST(greatest(est_indep_uniform, actual, 1)::HUGEINT * 1000000
+                // greatest(least(est_indep_uniform, actual), 1) AS BIGINT) AS qerr_uniform_ppm,
+           CAST(greatest(est_indep_hist, actual, 1)::HUGEINT * 1000000
+                // greatest(least(est_indep_hist, actual), 1) AS BIGINT) AS qerr_hist_ppm,
+           CAST(greatest(est_corrected, actual, 1)::HUGEINT * 1000000
+                // greatest(least(est_corrected, actual), 1) AS BIGINT) AS qerr_corrected_ppm
+         FROM f ORDER BY a_lo, a_hi, b_lo, b_hi""",
+
+    "q215_qerror_scoreboard" ->
+      // q214's frame folded per estimator: lower-median via 1-based
+      // sorted-list pick ((n+1)//2 == Spark element_at((n+1) DIV 2)),
+      // max, and the within-2x count
+      """WITH j AS (SELECT CAST(round(value * 100) AS BIGINT) // 10000 AS a,
+                      CAST(round(value * 100) AS BIGINT) // 1000 AS b,
+                      CAST(count(*) AS BIGINT) AS c
+                    FROM events WHERE value IS NOT NULL GROUP BY 1, 2),
+         t AS (SELECT CAST(sum(c) AS BIGINT) AS n,
+                 min(a) AS mn_a, max(a) AS mx_a, min(b) AS mn_b, max(b) AS mx_b,
+                 CAST(count(DISTINCT a) AS BIGINT) AS ndv_a,
+                 CAST(count(DISTINCT b) AS BIGINT) AS ndv_b,
+                 CAST(count(*) AS BIGINT) AS ndv_ab,
+                 CAST(sum(CASE WHEN a < 1 THEN c ELSE 0 END) AS BIGINT) AS ca0,
+                 CAST(sum(CASE WHEN a >= 1 AND a < 2 THEN c ELSE 0 END) AS BIGINT) AS ca1,
+                 CAST(sum(CASE WHEN a >= 2 AND a < 3 THEN c ELSE 0 END) AS BIGINT) AS ca2,
+                 CAST(sum(CASE WHEN a >= 3 AND a < 4 THEN c ELSE 0 END) AS BIGINT) AS ca3,
+                 CAST(sum(CASE WHEN a >= 4 THEN c ELSE 0 END) AS BIGINT) AS ca4,
+                 CAST(sum(CASE WHEN b < 8 THEN c ELSE 0 END) AS BIGINT) AS cb0,
+                 CAST(sum(CASE WHEN b >= 8 AND b < 16 THEN c ELSE 0 END) AS BIGINT) AS cb1,
+                 CAST(sum(CASE WHEN b >= 16 AND b < 24 THEN c ELSE 0 END) AS BIGINT) AS cb2,
+                 CAST(sum(CASE WHEN b >= 24 AND b < 32 THEN c ELSE 0 END) AS BIGINT) AS cb3,
+                 CAST(sum(CASE WHEN b >= 32 THEN c ELSE 0 END) AS BIGINT) AS cb4,
+                 CAST(sum(CASE WHEN a BETWEEN 0 AND 0 AND b BETWEEN 0 AND 9 THEN c ELSE 0 END) AS BIGINT) AS p0,
+                 CAST(sum(CASE WHEN a BETWEEN 1 AND 1 AND b BETWEEN 10 AND 19 THEN c ELSE 0 END) AS BIGINT) AS p1,
+                 CAST(sum(CASE WHEN a BETWEEN 0 AND 0 AND b BETWEEN 20 AND 39 THEN c ELSE 0 END) AS BIGINT) AS p2,
+                 CAST(sum(CASE WHEN a BETWEEN 0 AND 4 AND b BETWEEN 0 AND 49 THEN c ELSE 0 END) AS BIGINT) AS p3,
+                 CAST(sum(CASE WHEN a BETWEEN 2 AND 4 AND b BETWEEN 20 AND 49 THEN c ELSE 0 END) AS BIGINT) AS p4,
+                 CAST(sum(CASE WHEN a BETWEEN 0 AND 1 AND b BETWEEN 5 AND 14 THEN c ELSE 0 END) AS BIGINT) AS p5
+               FROM j),
+         abins AS (SELECT x.j,
+                 CASE x.j WHEN 0 THEN t.ca0 WHEN 1 THEN t.ca1 WHEN 2 THEN t.ca2
+                          WHEN 3 THEN t.ca3 ELSE t.ca4 END AS cnt,
+                 CASE x.j WHEN 0 THEN t.mn_a WHEN 1 THEN 1 WHEN 2 THEN 2
+                          WHEN 3 THEN 3 ELSE 4 END AS blo,
+                 CASE x.j WHEN 0 THEN 0 WHEN 1 THEN 1 WHEN 2 THEN 2
+                          WHEN 3 THEN 3 ELSE t.mx_a END AS bhi
+               FROM t, (VALUES (0), (1), (2), (3), (4)) x(j)),
+         bbins AS (SELECT x.j,
+                 CASE x.j WHEN 0 THEN t.cb0 WHEN 1 THEN t.cb1 WHEN 2 THEN t.cb2
+                          WHEN 3 THEN t.cb3 ELSE t.cb4 END AS cnt,
+                 CASE x.j WHEN 0 THEN t.mn_b WHEN 1 THEN 8 WHEN 2 THEN 16
+                          WHEN 3 THEN 24 ELSE 32 END AS blo,
+                 CASE x.j WHEN 0 THEN 7 WHEN 1 THEN 15 WHEN 2 THEN 23
+                          WHEN 3 THEN 31 ELSE t.mx_b END AS bhi
+               FROM t, (VALUES (0), (1), (2), (3), (4)) x(j)),
+         p AS (SELECT * FROM (VALUES
+                 (CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(9 AS BIGINT), 0),
+                 (1, 1, 10, 19, 1),
+                 (0, 0, 20, 39, 2),
+                 (0, 4, 0, 49, 3),
+                 (2, 4, 20, 49, 4),
+                 (0, 1, 5, 14, 5))
+               AS x(a_lo, a_hi, b_lo, b_hi, idx)),
+         ha AS (SELECT p.idx,
+                 CAST(sum(CASE WHEN abins.bhi - abins.blo + 1 < 1 THEN 0
+                       ELSE abins.cnt::HUGEINT *
+                            greatest(least(p.a_hi, abins.bhi) - greatest(p.a_lo, abins.blo) + 1, 0)
+                            // (abins.bhi::HUGEINT - abins.blo + 1) END) AS BIGINT) AS ea_h
+               FROM p, abins GROUP BY 1),
+         hb AS (SELECT p.idx,
+                 CAST(sum(CASE WHEN bbins.bhi - bbins.blo + 1 < 1 THEN 0
+                       ELSE bbins.cnt::HUGEINT *
+                            greatest(least(p.b_hi, bbins.bhi) - greatest(p.b_lo, bbins.blo) + 1, 0)
+                            // (bbins.bhi::HUGEINT - bbins.blo + 1) END) AS BIGINT) AS eb_h
+               FROM p, bbins GROUP BY 1),
+         r AS (SELECT p.idx, t.n, t.ndv_a, t.ndv_b, t.ndv_ab,
+                 CASE p.idx WHEN 0 THEN t.p0 WHEN 1 THEN t.p1 WHEN 2 THEN t.p2
+                            WHEN 3 THEN t.p3 WHEN 4 THEN t.p4 ELSE t.p5 END AS actual,
+                 CAST(t.n::HUGEINT *
+                      greatest(least(p.a_hi, t.mx_a) - greatest(p.a_lo, t.mn_a) + 1, 0)
+                      // (t.mx_a::HUGEINT - t.mn_a + 1) AS BIGINT) AS ea_u,
+                 CAST(t.n::HUGEINT *
+                      greatest(least(p.b_hi, t.mx_b) - greatest(p.b_lo, t.mn_b) + 1, 0)
+                      // (t.mx_b::HUGEINT - t.mn_b + 1) AS BIGINT) AS eb_u,
+                 ha.ea_h, hb.eb_h
+               FROM p, t
+                 JOIN ha ON ha.idx = p.idx JOIN hb ON hb.idx = p.idx),
+         f AS (SELECT actual,
+                 CAST(ea_u::HUGEINT * eb_u // greatest(n, 1) AS BIGINT) AS est_indep_uniform,
+                 CAST(ea_h::HUGEINT * eb_h // greatest(n, 1) AS BIGINT) AS est_indep_hist,
+                 CAST(least(
+                   (ea_h::HUGEINT * eb_h // greatest(n, 1)) * ndv_a * ndv_b
+                     // greatest(ndv_ab, 1),
+                   least(ea_h, eb_h)::HUGEINT) AS BIGINT) AS est_corrected
+               FROM r),
+         q AS (SELECT 'uniform' AS estimator,
+                 CAST(greatest(est_indep_uniform, actual, 1)::HUGEINT * 1000000
+                      // greatest(least(est_indep_uniform, actual), 1) AS BIGINT) AS qe
+               FROM f
+               UNION ALL
+               SELECT 'hist',
+                 CAST(greatest(est_indep_hist, actual, 1)::HUGEINT * 1000000
+                      // greatest(least(est_indep_hist, actual), 1) AS BIGINT)
+               FROM f
+               UNION ALL
+               SELECT 'corrected',
+                 CAST(greatest(est_corrected, actual, 1)::HUGEINT * 1000000
+                      // greatest(least(est_corrected, actual), 1) AS BIGINT)
+               FROM f)
+         SELECT estimator, CAST(count(*) AS BIGINT) AS n_probes,
+           CAST(list_sort(list(qe))[(count(*) + 1) // 2] AS BIGINT) AS p50_qerr_ppm,
+           CAST(max(qe) AS BIGINT) AS max_qerr_ppm,
+           CAST(sum(CASE WHEN qe <= 2000000 THEN 1 ELSE 0 END) AS BIGINT) AS n_within_2x
+         FROM q GROUP BY 1 ORDER BY 1""",
 
     "q213_t_closeness" ->
       // per-group exact TV vs global in HUGEINT (Spark DECIMAL(38,0)):

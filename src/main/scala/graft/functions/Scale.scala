@@ -1732,4 +1732,171 @@ object Scale {
       .select("col_name", "n_rows", "n_null", "min_big", "max_big",
         "min_str", "max_str", "n_min", "kth_60", "ndv_est")
   }
+
+  /** Conjunctive (two-column AND) selectivity audit — the CBO loop's
+    * last edge past [[selectivityAuditHist]] (single column) and
+    * [[histogramJoinEstimate]]/[[ndvJoinEstimate]] (joins): per probe
+    * `a IN [aLo,aHi] AND b IN [bLo,bHi]`, the exact conjunctive count
+    * next to THREE estimators —
+    *   - `est_indep_uniform`: product of the per-column UNIFORM
+    *     estimates over n (`est_a·est_b DIV n`, each side q202's
+    *     (n, min, max) smear) — what a statistics-free planner guesses;
+    *   - `est_indep_hist`: the same product from the per-column
+    *     fixed-bin HISTOGRAM estimates (q202's interpolation) — better
+    *     marginals, still assuming independence;
+    *   - `est_corrected`: the histogram product scaled by the measured
+    *     DEPENDENCY factor `ndv_a·ndv_b DIV ndv_ab` (≥ 1; the exact
+    *     NDV counterpart of q190's fd_ppm — equals 1 iff the joint
+    *     support is the full cross), clamped to `min(est_a, est_b)`
+    *     (a conjunction can never exceed either conjunct) — where
+    *     correlated columns stop fooling the product.
+    * Each estimator ships its per-probe q-error
+    * `greatest(est, actual, 1)·10⁶ DIV greatest(least(est, actual), 1)`
+    * (the standard CE-benchmark statistic, 1,000,000 = exact) — feed
+    * the frame to [[qErrorScoreboard]] for the workload summary.
+    *
+    * All arithmetic integer/DECIMAL(38,0) with the established
+    * non-negative floor divisions, so the audit oracles cell-exact.
+    *
+    * Scale shape: ONE corpus-sized map-side-combined groupBy on the
+    * (a, b) tuple (the q190 discipline — feed BANDED columns; the
+    * `maxJointCells` cap fails loudly before any downstream work);
+    * every statistic (marginal bins, NDVs, probe actuals) folds over
+    * the checkpoint-cut joint table in one conditional-sum aggregate,
+    * and estimates are literal arithmetic over that 1-row frame. */
+  def conjunctiveSelectivityAudit(df: DataFrame, aCol: String, bCol: String,
+      probes: Seq[(Long, Long, Long, Long)],
+      aBoundaries: Seq[Long], bBoundaries: Seq[Long],
+      maxJointCells: Long = 10000000L): DataFrame = {
+    require(probes.nonEmpty, "no probe ranges given")
+    probes.foreach { case (alo, ahi, blo, bhi) =>
+      require(alo <= ahi && blo <= bhi,
+        s"probe range ([$alo,$ahi],[$blo,$bhi]) is inverted") }
+    Seq(aBoundaries, bBoundaries).foreach { bs =>
+      require(bs.nonEmpty && bs == bs.sorted && bs.distinct == bs,
+        s"boundaries must be non-empty strictly ascending, got $bs") }
+    val joint = df
+      .where(F.col(aCol).isNotNull && F.col(bCol).isNotNull)
+      .select(F.col(aCol).cast("long").as("__a"),
+        F.col(bCol).cast("long").as("__b"))
+      .groupBy("__a", "__b").agg(F.count(F.lit(1)).as("__c"))
+      .localCheckpoint()
+    val cells = joint.count()
+    require(cells <= maxJointCells,
+      s"conjunctiveSelectivityAudit: ($aCol, $bCol) has $cells joint cells " +
+      s"> cap $maxJointCells — band/coarsen first (the q189/q190 " +
+      "discipline), or raise maxJointCells deliberately")
+    def binConds(col: String, bs: Seq[Long]): Seq[Column] =
+      (0 to bs.size).map { j =>
+        if (j == 0) F.col(col) < bs(0)
+        else if (j == bs.size) F.col(col) >= bs(bs.size - 1)
+        else F.col(col) >= bs(j - 1) && F.col(col) < bs(j)
+      }
+    val aggs =
+      F.sum("__c").as("n") +:
+      F.min("__a").as("mn_a") +: F.max("__a").as("mx_a") +:
+      F.min("__b").as("mn_b") +: F.max("__b").as("mx_b") +:
+      F.countDistinct("__a").as("ndv_a") +:
+      F.countDistinct("__b").as("ndv_b") +:
+      F.count(F.lit(1)).as("ndv_ab") +:
+      (binConds("__a", aBoundaries).zipWithIndex.map { case (c, j) =>
+        F.sum(F.when(c, F.col("__c")).otherwise(0L)).as(s"__ca$j")
+      } ++ binConds("__b", bBoundaries).zipWithIndex.map { case (c, j) =>
+        F.sum(F.when(c, F.col("__c")).otherwise(0L)).as(s"__cb$j")
+      } ++ probes.zipWithIndex.map { case ((alo, ahi, blo, bhi), i) =>
+        F.sum(F.when(F.col("__a").between(alo, ahi) &&
+            F.col("__b").between(blo, bhi), F.col("__c")).otherwise(0L))
+          .as(s"__p$i")
+      })
+    val one = joint.agg(aggs.head, aggs.tail: _*).localCheckpoint()
+    def dec(s: String) = s"CAST($s AS DECIMAL(38,0))"
+    // q202's per-column histogram interpolation, as a SQL string over the
+    // 1-row frame: Σ_bin cnt·|probe ∩ bin| floor-DIV width, edge bins
+    // clamped to the column's observed domain
+    def histEst(lo: Long, hi: Long, bs: Seq[Long], cnt: Int => String,
+        mn: String, mx: String): String = {
+      val m = bs.size
+      (0 to m).map { j =>
+        val blo = if (j == 0) dec(mn) else dec(bs(j - 1).toString)
+        val bhi = if (j == m) dec(mx) else s"(${dec(bs(j).toString)} - 1)"
+        val w = s"($bhi - $blo + 1)"
+        val ov = s"""greatest(least(${dec(hi.toString)}, $bhi) -
+                     greatest(${dec(lo.toString)}, $blo) + 1, ${dec("0")})"""
+        val p = s"(${dec(cnt(j))} * $ov)"
+        s"""(CASE WHEN $w < 1 THEN ${dec("0")}
+             ELSE CAST(($p - $p % $w) / $w AS DECIMAL(38,0)) END)"""
+      }.mkString(" + ")
+    }
+    def unifEst(lo: Long, hi: Long, mn: String, mx: String): String =
+      s"""(${dec("n")} * greatest(least(${dec(hi.toString)}, $mx) -
+              greatest(${dec(lo.toString)}, $mn) + 1, ${dec("0")})
+           DIV (${dec(mx)} - $mn + 1))"""
+    def qerr(est: String): Column = F.expr(
+      s"""CAST(CAST(greatest($est, actual, 1L) AS DECIMAL(38,0)) * 1000000
+             DIV greatest(least($est, actual), 1L) AS BIGINT)""")
+    val rows = probes.zipWithIndex.map { case ((alo, ahi, blo, bhi), i) =>
+      one.select(
+        F.lit(alo).as("a_lo"), F.lit(ahi).as("a_hi"),
+        F.lit(blo).as("b_lo"), F.lit(bhi).as("b_hi"),
+        F.col("n"), F.col("ndv_a"), F.col("ndv_b"), F.col("ndv_ab"),
+        F.col(s"__p$i").as("actual"),
+        // per-column estimates first (each a BIGINT ≤ n), THEN the
+        // product DIV n — staged so nothing exceeds n² in the decimals
+        F.expr(s"CAST(${unifEst(alo, ahi, "mn_a", "mx_a")} AS BIGINT)").as("__ea_u"),
+        F.expr(s"CAST(${unifEst(blo, bhi, "mn_b", "mx_b")} AS BIGINT)").as("__eb_u"),
+        F.expr(s"CAST(${histEst(alo, ahi, aBoundaries, j => s"__ca$j", "mn_a", "mx_a")} AS BIGINT)").as("__ea_h"),
+        F.expr(s"CAST(${histEst(blo, bhi, bBoundaries, j => s"__cb$j", "mn_b", "mx_b")} AS BIGINT)").as("__eb_h"))
+    }
+    rows.reduce(_.unionByName(_))
+      .withColumn("est_indep_uniform", F.expr(
+        s"""CAST(${dec("__ea_u")} * __eb_u DIV greatest(n, 1L) AS BIGINT)"""))
+      .withColumn("est_indep_hist", F.expr(
+        s"""CAST(${dec("__ea_h")} * __eb_h DIV greatest(n, 1L) AS BIGINT)"""))
+      .withColumn("est_corrected", F.expr(
+        // staged: (hist product DIV n) × dependency factor, clamped to
+        // min(est_a, est_b). The pre-clamp quotient can exceed BIGINT at
+        // corpus scale (n·min_ndv), so floor it in DECIMAL via the
+        // (p - p%w)/w spelling and clamp BEFORE the final cast
+        s"""CAST(least(
+              CAST((CAST(est_indep_hist AS DECIMAL(38,0)) * ndv_a * ndv_b
+                    - CAST(est_indep_hist AS DECIMAL(38,0)) * ndv_a * ndv_b
+                      % greatest(ndv_ab, 1L))
+                   / greatest(ndv_ab, 1L) AS DECIMAL(38,0)),
+              CAST(least(__ea_h, __eb_h) AS DECIMAL(38,0))) AS BIGINT)"""))
+      .withColumn("qerr_uniform_ppm", qerr("est_indep_uniform"))
+      .withColumn("qerr_hist_ppm", qerr("est_indep_hist"))
+      .withColumn("qerr_corrected_ppm", qerr("est_corrected"))
+      .select("a_lo", "a_hi", "b_lo", "b_hi", "n", "ndv_a", "ndv_b",
+        "ndv_ab", "actual", "est_indep_uniform", "est_indep_hist",
+        "est_corrected", "qerr_uniform_ppm", "qerr_hist_ppm",
+        "qerr_corrected_ppm")
+  }
+
+  /** Q-error scoreboard over a probe workload — the CE-benchmark summary
+    * grading estimators side by side: per estimator column, the probe
+    * count, the LOWER-MEDIAN and max q-error (integer ppm; 1,000,000 =
+    * every probe exact), and how many probes landed within 2× — the
+    * one-line answer to "which estimator should the planner trust".
+    * Works over any audit frame carrying per-probe q-error columns
+    * ([[conjunctiveSelectivityAudit]]'s three, or a custom set). The
+    * lower median is an array-sort pick (exact on both engines); the
+    * input is ≤ |probes| rows, so everything is driver-scale. */
+  def qErrorScoreboard(audit: DataFrame,
+      estimators: Seq[(String, String)]): DataFrame = {
+    require(estimators.nonEmpty, "no estimator columns given")
+    estimators.map { case (name, qerrCol) =>
+      audit.select(F.lit(name).as("estimator"),
+        F.col(qerrCol).cast("long").as("__q"))
+    }.reduce(_.unionByName(_))
+      .groupBy("estimator")
+      .agg(
+        F.count(F.lit(1)).as("n_probes"),
+        F.expr("""element_at(array_sort(collect_list(__q)),
+                    CAST((count(1) + 1) DIV 2 AS INT))""").as("p50_qerr_ppm"),
+        F.max("__q").as("max_qerr_ppm"),
+        F.sum(F.when(F.col("__q") <= 2000000L, 1L).otherwise(0L))
+          .as("n_within_2x"))
+      .select("estimator", "n_probes", "p50_qerr_ppm", "max_qerr_ppm",
+        "n_within_2x")
+  }
 }

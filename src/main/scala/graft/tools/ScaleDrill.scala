@@ -271,6 +271,19 @@ object ScaleDrill {
       Scale.selectivityAuditHist(docs.select(F.col("doc_id")), "doc_id",
         Seq((0L, 2000000L), (2000000L, 20000000L), (50000000L, 900000000L)),
         Seq(2000000L, 20000000L, 50000000L, 200000000L))),
+    // ONE (a,b) map-side-combined groupBy (joint key space fixed at 1000
+    // cells by the modular banding, whatever N is) feeds every statistic;
+    // estimators are literal arithmetic on the 1-row frame. q215's
+    // scoreboard is a ≤|probes|-row fold over this output — no separate
+    // drill needed
+    "conjunctive_selectivity (q214)" -> (docs =>
+      Scale.conjunctiveSelectivityAudit(
+        docs.select(F.expr("pmod(doc_id, 1000L) DIV 10").as("ca"),
+          F.expr("pmod(doc_id, 1000L)").as("fb")),
+        "ca", "fb",
+        Seq((0L, 9L, 0L, 99L), (10L, 19L, 100L, 199L), (0L, 9L, 500L, 999L),
+          (0L, 99L, 0L, 999L)),
+        Seq(25L, 50L, 75L), Seq(250L, 500L, 750L))),
     "minhash_sig (q36)" -> (docs =>
       Dedup.minhashSignature(docs.where(Text.tokenCount(F.col("text")) >= 3),
         "text", 3, 2).select("doc_id", "mh0", "mh1")),

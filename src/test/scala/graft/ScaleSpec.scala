@@ -990,6 +990,59 @@ class ScaleSpec extends AnyFunSuite {
     assert(r2(1).getAs[Long]("actual") == 50L)
   }
 
+  test("conjunctiveSelectivityAudit: hand-computed estimators, NDV correction + clamp, q-errors; joint-cell cap") {
+    import graft.functions.Scale
+    // a = b DIV 2 (perfect FD b->a, correction factor ndv_a*ndv_b/ndv_ab
+    // = 3*4/4 = 3); pairs (0,0)x4 (0,1)x2 (1,2)x3 (2,5)x1, n = 10
+    val rows = Seq.fill(4)((0L, 0L)) ++ Seq.fill(2)((0L, 1L)) ++
+      Seq.fill(3)((1L, 2L)) ++ Seq((2L, 5L))
+    val df = rows.toDF("a", "b")
+    val out = Scale.conjunctiveSelectivityAudit(df, "a", "b",
+        Seq((0L, 0L, 0L, 1L), (1L, 2L, 2L, 5L)), Seq(1L, 2L), Seq(2L, 4L))
+      .orderBy("a_lo").collect()
+    // probe 1 (a=[0,0], b=[0,1]): actual 6; uniform 3*3 DIV 10 = 0;
+    // hist 6*6 DIV 10 = 3; corrected floor(3*3) = 9 clamped to
+    // min(ea_h, eb_h) = 6 == actual
+    val p1 = out(0)
+    assert(p1.getAs[Long]("actual") == 6L)
+    assert(p1.getAs[Long]("ndv_a") == 3L && p1.getAs[Long]("ndv_b") == 4L &&
+      p1.getAs[Long]("ndv_ab") == 4L)
+    assert(p1.getAs[Long]("est_indep_uniform") == 0L)
+    assert(p1.getAs[Long]("est_indep_hist") == 3L)
+    assert(p1.getAs[Long]("est_corrected") == 6L)
+    assert(p1.getAs[Long]("qerr_uniform_ppm") == 6000000L) // est 0 -> den 1
+    assert(p1.getAs[Long]("qerr_hist_ppm") == 2000000L)
+    assert(p1.getAs[Long]("qerr_corrected_ppm") == 1000000L)
+    // probe 2 (a=[1,2], b=[2,5]): actual 4; hist 4*4 DIV 10 = 1;
+    // corrected 1*3 = 3 (below the clamp min(4,4))
+    val p2 = out(1)
+    assert(p2.getAs[Long]("actual") == 4L)
+    assert(p2.getAs[Long]("est_indep_uniform") == 3L)
+    assert(p2.getAs[Long]("est_indep_hist") == 1L)
+    assert(p2.getAs[Long]("est_corrected") == 3L)
+    assert(p2.getAs[Long]("qerr_corrected_ppm") == 1333333L)
+    // scoreboard: lower median over 2 probes picks the smaller qerr
+    val sb = Scale.qErrorScoreboard(
+        Scale.conjunctiveSelectivityAudit(df, "a", "b",
+          Seq((0L, 0L, 0L, 1L), (1L, 2L, 2L, 5L)), Seq(1L, 2L), Seq(2L, 4L)),
+        Seq(("corrected", "qerr_corrected_ppm"), ("hist", "qerr_hist_ppm"),
+          ("uniform", "qerr_uniform_ppm")))
+      .collect().map(r => r.getAs[String]("estimator") -> r).toMap
+    assert(sb("corrected").getAs[Long]("p50_qerr_ppm") == 1000000L)
+    assert(sb("corrected").getAs[Long]("max_qerr_ppm") == 1333333L)
+    assert(sb("corrected").getAs[Long]("n_within_2x") == 2L)
+    assert(sb("hist").getAs[Long]("n_within_2x") == 1L)
+    assert(sb("uniform").getAs[Long]("p50_qerr_ppm") == 1333333L)
+    assert(sb("uniform").getAs[Long]("n_within_2x") == 1L)
+    // the q190 discipline is enforced: a joint table past the cap fails
+    // loudly before any downstream work
+    val e = intercept[IllegalArgumentException] {
+      Scale.conjunctiveSelectivityAudit(df, "a", "b",
+        Seq((0L, 0L, 0L, 1L)), Seq(1L), Seq(1L), maxJointCells = 2L)
+    }
+    assert(e.getMessage.contains("joint cells"))
+  }
+
   test("unigramConcentration: hand-computed Simpson index and effective vocabulary") {
     import graft.functions.Text
     // A: "x x x y" twice -> counts x=6, y=2, n=8, c2=40
