@@ -1554,6 +1554,50 @@ object SparkEntry {
           "doc_id", "text", "source")
         .orderBy("source")),
 
+    "q216_phash_dedup" -> ((s, dir) => {
+      // oracled face of the pHash (DCT) tier — the third perceptual hash
+      // (VERDICT r11 #2): 64-bit low-frequency DCT hash over the stub
+      // codec's 32x32 byte-segment grid, groups keyed by the bit string.
+      // Same within-cell-reversal re-encode synthesis as q171 (cell byte
+      // multisets — hence the grid, hence every DCT coefficient — are
+      // preserved while bytes and md5 change), at 1024 cells; the oracle
+      // replays grid + separable Q2.14 DCT + AC-median threshold
+      // cell-for-cell with the StrictMath cosine table embedded as
+      // literals, so the whole replay is float-free. The rescale/
+      // recompress robustness aHash/dHash lack is spec-proven
+      // (FunctionsSpec) — exact-equality grouping here pins the
+      // ARITHMETIC. ASCII-only enforced (the q171 byte==char discipline).
+      val docs = table(s, dir, "documents")
+        .where(F.length(F.col("text")) > 0 &&
+          F.expr("length(text) = octet_length(text)"))
+        .select(F.col("doc_id"), F.col("text"))
+      val reenc = locally {
+        import s.implicits._
+        docs.as[(Long, String)].map { case (id, t) =>
+          val n = t.length
+          val sb = new java.lang.StringBuilder(n)
+          var c = 0
+          while (c < 1024) {
+            // cell c spans [ceil(c·n/1024), ceil((c+1)·n/1024)) — the
+            // positions i with i·1024 DIV n = c (the stub grid's binning)
+            val lo = ((c.toLong * n + 1023) / 1024).toInt
+            val hi = (((c + 1).toLong * n + 1023) / 1024).toInt
+            var i = hi - 1
+            while (i >= lo) { sb.append(t.charAt(i)); i -= 1 }
+            c += 1
+          }
+          (id + 100000000L, sb.toString)
+        }.toDF("doc_id", "text")
+      }
+      Multimodal.perceptualDupGroups(
+          docs.unionByName(reenc)
+            .select(F.col("doc_id"),
+              Multimodal.fakePayload(F.col("text")).as("payload")),
+          "doc_id", "payload", grid = 32,
+          hasher = Multimodal.PerceptualHash.Dct)
+        .orderBy("sig")
+    }),
+
     "q214_conjunctive_selectivity" -> ((s, dir) =>
       // the CBO loop's last edge (VERDICT r11 #1): per 2D probe over the
       // hierarchically-dependent value bands (fine DIV 10 = coarse — the
@@ -3927,6 +3971,54 @@ object SparkEntry {
          SELECT source, n_docs, n_dup_docs, tokens_total, tokens_dup,
            CAST(tokens_dup::HUGEINT * 1000000 // greatest(tokens_total, 1) AS BIGINT) AS dup_token_ppm
          FROM g ORDER BY 1""",
+
+    "q216_phash_dedup" ->
+      // the stub pHash replayed exactly: 1024 floor-binned byte segments
+      // (q171's grid at 32x32), separable DCT-II via the Q2.14 StrictMath
+      // cosine table EMBEDDED AS LITERALS (float-free replay; none of the
+      // 256 constants is near a .5 rounding boundary), AC lower-median
+      // threshold, bit = coeff > thr (DC bit always 0). The within-cell
+      // reversal preserves every cell's byte multiset, hence the grid,
+      // hence the sig — the invariance the Spark side must reproduce by
+      // actually hashing the re-encode
+      """WITH p AS (SELECT doc_id, regexp_extract_all(text, '.') AS cs
+                    FROM documents
+                    WHERE len(text) > 0 AND strlen(text) = len(text)),
+         b AS (SELECT doc_id, i - 1 AS pos, unicode(cs[i]) AS v, len(cs) AS n
+               FROM (SELECT doc_id, cs, unnest(generate_series(1, len(cs))) AS i FROM p)),
+         cv AS (SELECT doc_id, pos * 1024 // n AS s, sum(v) // count(*) AS val
+                FROM b GROUP BY 1, 2),
+         g AS (SELECT d.doc_id, t.s FROM (SELECT DISTINCT doc_id FROM p) d,
+                 (SELECT unnest(generate_series(0, 1023)) AS s) t),
+         f AS (SELECT g.doc_id, g.s, coalesce(cv.val, 0) AS val
+               FROM g LEFT JOIN cv ON g.doc_id = cv.doc_id AND g.s = cv.s),
+         c AS (SELECT [[16384, 16384, 16384, 16384, 16384, 16384, 16384, 16384, 16384, 16384, 16384, 16384, 16384, 16384, 16384, 16384, 16384, 16384, 16384, 16384, 16384, 16384, 16384, 16384, 16384, 16384, 16384, 16384, 16384, 16384, 16384, 16384],
+           [16364, 16207, 15893, 15426, 14811, 14053, 13160, 12140, 11003, 9760, 8423, 7005, 5520, 3981, 2404, 804, -804, -2404, -3981, -5520, -7005, -8423, -9760, -11003, -12140, -13160, -14053, -14811, -15426, -15893, -16207, -16364],
+           [16305, 15679, 14449, 12665, 10394, 7723, 4756, 1606, -1606, -4756, -7723, -10394, -12665, -14449, -15679, -16305, -16305, -15679, -14449, -12665, -10394, -7723, -4756, -1606, 1606, 4756, 7723, 10394, 12665, 14449, 15679, 16305],
+           [16207, 14811, 12140, 8423, 3981, -804, -5520, -9760, -13160, -15426, -16364, -15893, -14053, -11003, -7005, -2404, 2404, 7005, 11003, 14053, 15893, 16364, 15426, 13160, 9760, 5520, 804, -3981, -8423, -12140, -14811, -16207],
+           [16069, 13623, 9102, 3196, -3196, -9102, -13623, -16069, -16069, -13623, -9102, -3196, 3196, 9102, 13623, 16069, 16069, 13623, 9102, 3196, -3196, -9102, -13623, -16069, -16069, -13623, -9102, -3196, 3196, 9102, 13623, 16069],
+           [15893, 12140, 5520, -2404, -9760, -14811, -16364, -14053, -8423, -804, 7005, 13160, 16207, 15426, 11003, 3981, -3981, -11003, -15426, -16207, -13160, -7005, 804, 8423, 14053, 16364, 14811, 9760, 2404, -5520, -12140, -15893],
+           [15679, 10394, 1606, -7723, -14449, -16305, -12665, -4756, 4756, 12665, 16305, 14449, 7723, -1606, -10394, -15679, -15679, -10394, -1606, 7723, 14449, 16305, 12665, 4756, -4756, -12665, -16305, -14449, -7723, 1606, 10394, 15679],
+           [15426, 8423, -2404, -12140, -16364, -13160, -3981, 7005, 14811, 15893, 9760, -804, -11003, -16207, -14053, -5520, 5520, 14053, 16207, 11003, 804, -9760, -15893, -14811, -7005, 3981, 13160, 16364, 12140, 2404, -8423, -15426]] AS tab),
+         t1 AS (SELECT f.doc_id, f.s // 32 AS r, vv.v AS v,
+                  CAST(sum(f.val * c.tab[vv.v + 1][(f.s % 32) + 1]) AS BIGINT) AS t
+                FROM f, (SELECT unnest(generate_series(0, 7)) AS v) vv, c
+                GROUP BY 1, 2, 3),
+         d2 AS (SELECT t1.doc_id, uu.u AS u, t1.v AS v,
+                  CAST(sum(t1.t * c.tab[uu.u + 1][t1.r + 1]) AS BIGINT) AS d
+                FROM t1, (SELECT unnest(generate_series(0, 7)) AS u) uu, c
+                GROUP BY 1, 2, 3),
+         thr AS (SELECT doc_id, list_sort(list(d))[32] AS thr FROM d2
+                 WHERE NOT (u = 0 AND v = 0) GROUP BY 1),
+         sg AS (SELECT d2.doc_id,
+                  string_agg(CASE WHEN (d2.u * 8 + d2.v) > 0 AND d2.d > thr.thr
+                             THEN '1' ELSE '0' END, '' ORDER BY d2.u * 8 + d2.v) AS sig
+                FROM d2 JOIN thr USING (doc_id) GROUP BY d2.doc_id),
+         allsg AS (SELECT doc_id, sig FROM sg
+                   UNION ALL SELECT doc_id + 100000000, sig FROM sg)
+         SELECT sig, CAST(count(*) AS BIGINT) AS n_copies,
+           CAST(min(doc_id) AS BIGINT) AS canonical_id
+         FROM allsg GROUP BY 1 HAVING count(*) >= 2 ORDER BY 1""",
 
     "q214_conjunctive_selectivity" ->
       // mirrors conjunctiveSelectivityAudit exactly: joint (a,b) counts,

@@ -711,12 +711,85 @@ object Multimodal {
     }
   }
 
+  /** Q2.14 DCT-II basis table for a g-point axis:
+    * `C[u][r] = round(cos(π·(2r+1)·u / (2g)) · 2¹⁴)` — StrictMath (pinned
+    * fdlibm semantics, identical on every JVM) so the table is a CONSTANT
+    * of the implementation, embeddable as literals in the DuckDB oracle
+    * (the q180 Goertzel coefficient discipline; none of the irrational
+    * cosines lands near a .5 rounding boundary). Cached per g. */
+  private val dctTables = new java.util.concurrent.ConcurrentHashMap[Int, Array[Array[Long]]]()
+  private[functions] def dctTable(g: Int): Array[Array[Long]] =
+    dctTables.computeIfAbsent(g, _ =>
+      Array.tabulate(8, g) { (u, r) =>
+        math.round(StrictMath.cos(
+          math.Pi * (2 * r + 1) * u / (2.0 * g)) * 16384.0)
+      })
+
+  /** pHash (DCT) bit vector from a g×g luma grid, g ≥ 8: the 2-D DCT-II's
+    * top-left 8×8 (lowest-frequency) block, each AC coefficient compared
+    * to the block's AC median — the industry-default perceptual hash,
+    * robust where [[averageHashBits]] and [[differenceHashBits]] degrade
+    * (rescales and recompression perturb individual cells, which is
+    * exactly the high-frequency content the 8×8 cut discards; the
+    * mean-threshold and adjacent-gradient hashes read those cells
+    * directly). Bit u·8+v = 1 iff D[u][v] > lower-median of the 63 AC
+    * coefficients; bit 0 (DC — overall brightness, deliberately excluded)
+    * is always 0.
+    *
+    * All-integer past the Q2.14 table: the separable two-stage sum
+    * `T[r][v] = Σ_c x·C[v][c]`, `D[u][v] = Σ_r T·C[u][r]` never divides
+    * and peaks ≈ g²·255·2²⁸ ≪ 2⁶³ for any plausible g, so the same grid
+    * yields the same bits in any engine and the DuckDB oracle replays the
+    * two stages verbatim. */
+  def dctHashBits(cells: Array[Int]): Array[Int] = {
+    val g = math.sqrt(cells.length.toDouble).toInt
+    require(g * g == cells.length, s"non-square grid of ${cells.length} cells")
+    require(g >= 8, s"DCT hash needs a grid of at least 8x8, got ${g}x$g")
+    val c = dctTable(g)
+    // stage 1: per row r, the 8 lowest-frequency column transforms
+    val t = Array.ofDim[Long](g, 8)
+    var r = 0
+    while (r < g) {
+      var v = 0
+      while (v < 8) {
+        var s = 0L
+        var k = 0
+        while (k < g) { s += cells(r * g + k) * c(v)(k); k += 1 }
+        t(r)(v) = s
+        v += 1
+      }
+      r += 1
+    }
+    // stage 2: per output (u, v), the row transform
+    val d = new Array[Long](64)
+    var u = 0
+    while (u < 8) {
+      var v = 0
+      while (v < 8) {
+        var s = 0L
+        var k = 0
+        while (k < g) { s += t(k)(v) * c(u)(k); k += 1 }
+        d(u * 8 + v) = s
+        v += 1
+      }
+      u += 1
+    }
+    val ac = d.drop(1).sorted
+    val thr = ac(31) // lower median of the 63 AC coefficients
+    Array.tabulate(64)(i => if (i > 0 && d(i) > thr) 1 else 0)
+  }
+
   /** Hash choice for the perceptual tier: [[Average]] (aHash — the q171
-    * judged face, replayed cell-for-cell by the DuckDB oracle) or
+    * judged face, replayed cell-for-cell by the DuckDB oracle),
     * [[Difference]] (dHash — robust to monotone brightness/gamma/contrast
-    * edits; see [[differenceHashBits]]). */
+    * edits; see [[differenceHashBits]]), or [[Dct]] (pHash — the
+    * frequency-domain tier robust to rescales/recompression; see
+    * [[dctHashBits]]; pair with grid = 32). */
   sealed trait PerceptualHash extends Serializable {
     def bits(cells: Array[Int]): Array[Int]
+    /** Output bit count for a g×g grid — [[perceptualHashes]] checks it
+      * fits the 64-bit hash. */
+    def nBits(grid: Int): Int = grid * grid
   }
   object PerceptualHash {
     case object Average extends PerceptualHash {
@@ -724,6 +797,10 @@ object Multimodal {
     }
     case object Difference extends PerceptualHash {
       def bits(cells: Array[Int]): Array[Int] = differenceHashBits(cells)
+    }
+    case object Dct extends PerceptualHash {
+      def bits(cells: Array[Int]): Array[Int] = dctHashBits(cells)
+      override def nBits(grid: Int): Int = { require(grid >= 8); 64 }
     }
   }
 
@@ -749,7 +826,8 @@ object Multimodal {
   def perceptualHashes(df: DataFrame, payloadCol: String,
       codec: MediaCodec = StubCodec, grid: Int = 8,
       hasher: PerceptualHash = PerceptualHash.Average): DataFrame = {
-    require(grid > 0 && grid * grid <= 64, s"grid² must fit 64 bits, got $grid")
+    require(grid > 0 && hasher.nBits(grid) <= 64,
+      s"hasher output must fit 64 bits, got grid $grid")
     val idx = df.columns.indexOf(payloadCol)
     require(idx >= 0, s"no column $payloadCol")
     val outSchema = StructType(df.schema.fields ++ Seq(
@@ -887,14 +965,15 @@ object Multimodal {
   def perceptualNearPairs(df: DataFrame, idCol: String, payloadCol: String,
       codec: MediaCodec = StubCodec, maxHamming: Int = 3,
       maxBucketSize: Int = 1000,
-      hasher: PerceptualHash = PerceptualHash.Average): DataFrame = {
+      hasher: PerceptualHash = PerceptualHash.Average,
+      grid: Int = 8): DataFrame = {
     val nBands = maxHamming + 1
     require(maxHamming >= 0 && 64 % nBands == 0,
       s"maxHamming+1 must divide 64, got $maxHamming")
     val width = 64 / nBands
     val mask = if (width == 64) -1L else (1L << width) - 1
     val sigs = perceptualHashes(df.select(F.col(idCol), F.col(payloadCol)),
-        payloadCol, codec, hasher = hasher)
+        payloadCol, codec, grid, hasher)
       .where(F.col("phash").isNotNull)
       .select(F.col(idCol).as("id"), F.col("phash").as("__sig"))
       .localCheckpoint(true)

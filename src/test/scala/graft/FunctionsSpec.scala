@@ -2018,6 +2018,74 @@ class FunctionsSpec extends AnyFunSuite {
     assert(pairs.contains((1L, 2L, 0L)))
   }
 
+  test("pHash (DCT): invariances, and rescale/recompress robustness aHash/dHash lack") {
+    import Multimodal._
+    def ham(a: Array[Int], b: Array[Int]) = a.zip(b).count { case (x, y) => x != y }
+    def clamp(x: Int) = math.max(0, math.min(255, x))
+    // natural-image-like scene: 1/f amplitude over every 8x8 block
+    // frequency (pHash's robustness claim is conditional on this spectrum
+    // shape — all low-frequency coefficients sizable, which real photos
+    // have), rendered to a 64k-byte payload with per-byte texture noise
+    def lowf(r: Int, c: Int): Int = {
+      var s = 128.0
+      for (u <- 0 to 7; v <- 0 to 7; if u + v > 0) {
+        val amp = 60.0 / (1 + u + v)
+        val ph = (u * 31 + v * 17) % 7 - 3
+        s += amp * math.signum(ph + 0.5) *
+          math.cos(math.Pi * u * (2 * r + 1) / 64.0) *
+          math.cos(math.Pi * v * (2 * c + 1) / 64.0)
+      }
+      s.round.toInt
+    }
+    val n = 65536
+    val base = Array.tabulate(n) { i =>
+      val s = (i.toLong * 1024 / n).toInt
+      clamp(lowf(s / 32, s % 32) + ((i * 2654435761L) % 9 - 4).toInt).toByte
+    }
+    val g0 = StubCodec.lumaGrid(base, 32).get
+    val (a0, d0, p0) = (averageHashBits(g0), differenceHashBits(g0), dctHashBits(g0))
+    // RESCALE (nearest-neighbor downsample 64k -> 9k: cell contents
+    // re-binned, per-cell noise no longer averages away): the mean and
+    // adjacent-gradient hashes read single perturbed cells and flip;
+    // the 8x8 DCT cut integrates 1024 cells per coefficient, so the
+    // per-cell noise cancels (measured 0 of 64 vs 8/32 of 1024)
+    val resc = Array.tabulate(9000)(i => base(((i.toLong * n) / 9000).toInt))
+    val g1 = StubCodec.lumaGrid(resc, 32).get
+    assert(ham(p0, dctHashBits(g1)) <= 2)
+    assert(ham(a0, averageHashBits(g1)) >= 5)
+    assert(ham(d0, differenceHashBits(g1)) >= 20)
+    // RECOMPRESSION residual (blocky high-frequency checkerboard — the
+    // classic block-codec artifact): pure (31,31)-frequency content,
+    // OUTSIDE the 8x8 block pHash keeps, so pHash is blind to it while
+    // both cell-reading hashes flip en masse (measured 0 vs 60/413)
+    val recomp = Array.tabulate(n) { i =>
+      val s = (i.toLong * 1024 / n).toInt
+      val tex = if ((s / 32 + s % 32) % 2 == 0) 6 else -6
+      clamp(lowf(s / 32, s % 32) + tex +
+        ((i * 2654435761L) % 9 - 4).toInt).toByte
+    }
+    val g2 = StubCodec.lumaGrid(recomp, 32).get
+    assert(ham(p0, dctHashBits(g2)) == 0)
+    assert(ham(a0, averageHashBits(g2)) >= 30)
+    assert(ham(d0, differenceHashBits(g2)) >= 200)
+    // exact invariances: brightness shift moves only the DC coefficient
+    // (excluded by construction); positive contrast scale multiplies
+    // every AC coefficient AND the median by the same factor
+    assert(ham(p0, dctHashBits(g0.map(_ + 30))) == 0)
+    assert(ham(p0, dctHashBits(g0.map(_ * 2))) == 0)
+    // constant grid: every AC coefficient is 0, threshold 0, strict >
+    // leaves all 64 bits 0 (DC bit is 0 by construction)
+    assert(dctHashBits(Array.fill(1024)(77)).sum == 0)
+    // grouping face: the DCT hasher plugs into perceptualDupGroups at
+    // grid 32 — byte-identical copies group, the recompressed copy
+    // groups by NEAR-pair banding (hamming 0 here), the q216 pipeline
+    val df = Seq((1L, base), (2L, base.clone()), (3L, recomp))
+      .toDF("id", "payload")
+    val groups = perceptualDupGroups(df, "id", "payload", grid = 32,
+      hasher = PerceptualHash.Dct).collect()
+    assert(groups.length == 1 && groups(0).getAs[Long]("n_copies") == 3L)
+  }
+
   test("report ops: degenerate inputs (empty frames, single group, no delimiter)") {
     val empty = Seq.empty[(Long, String, String)].toDF("doc_id", "text", "lang")
     // empty corpus: every gate reports 0 in / 0 out (total coalesces to 0)
