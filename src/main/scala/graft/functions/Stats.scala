@@ -260,6 +260,49 @@ object Stats {
       .select("band", "n_groups", "n_rows", "rows_ppm", "max_tv_ppm")
   }
 
+  /** Streaming privacy-gate monitor — the live face of the release-gate
+    * trio's counting core ([[kAnonymityAudit]] group sizes +
+    * [[lDiversityAudit]] distinct sensitive values): per quasi group, the
+    * RUNNING row count and distinct-sensitive count maintained in the
+    * state store across micro-batches, emitted on every touch in update
+    * mode as (quasi_key, n_rows, ndv_sensitive). The per-batch violation
+    * count is a filter over the emissions (`n_rows < k` — not yet
+    * k-anonymous; `ndv_sensitive < l` — homogeneity disclosure risk);
+    * run the batch audits before an actual release — this face answers
+    * "is the gate converging" while data is still arriving.
+    *
+    * NULL is a legitimate value on both axes (the trio's contract):
+    * quasi columns and the sensitive column are sentinel-coalesced
+    * before keying, so NULL groups as itself. StateStoreSpec pins
+    * streaming == batch against the q189/q212 class assignment,
+    * including NULL rows.
+    *
+    * Scale shape: state is one map entry per distinct (quasi, sensitive)
+    * pair — the batch audits' collapsed table, which saturates; `ttl`
+    * bounds it for unbounded quasi domains (RotatingMap discipline —
+    * evicted groups restart fresh on re-arrival). */
+  def streamingPrivacyGate(stream: DataFrame, quasiCols: Seq[String],
+      sensitiveCol: String,
+      ttl: org.apache.spark.sql.streaming.TTLConfig =
+        org.apache.spark.sql.streaming.TTLConfig.NONE): DataFrame = {
+    require(quasiCols.nonEmpty, "no quasi-identifier columns given")
+    require(!quasiCols.contains(sensitiveCol),
+      s"sensitive column $sensitiveCol cannot also be a quasi-identifier")
+    val spark = stream.sparkSession
+    import spark.implicits._
+    stream.select(
+        F.concat_ws("\u0001", quasiCols.map(c =>
+          F.coalesce(F.col(c).cast("string"), F.lit("\u0002"))): _*).as("q"),
+        F.coalesce(F.col(sensitiveCol).cast("string"), F.lit("\u0002")).as("s"))
+      .as[(String, String)]
+      .groupByKey(_._1)
+      .transformWithState(
+        new graft.streaming.StateStoreRunner.PrivacyGateProcessor(ttl),
+        graft.streaming.StateStoreRunner.ttlTimeMode(ttl),
+        org.apache.spark.sql.streaming.OutputMode.Update())
+      .toDF("quasi_key", "n_rows", "ndv_sensitive")
+  }
+
   /** Column dependency/correlation audit — the statistic pair a CBO needs
     * beyond per-column NDV (q185): selectivity estimators multiply
     * per-column selectivities ASSUMING INDEPENDENCE, and correlated or

@@ -471,6 +471,47 @@ object StateStoreRunner {
     }
   }
 
+  /** Running privacy-gate state per quasi-identifier group — the
+    * streaming face of the release-gate trio's counting core
+    * ([[graft.functions.Stats.kAnonymityAudit]] group sizes +
+    * [[graft.functions.Stats.lDiversityAudit]] distinct sensitive
+    * values): per quasi key, a MapState of sensitive-value counts (the
+    * same (quasi, sensitive) count shape the batch audits collapse to)
+    * plus an O(1) (total, ndv) ValueState, so each batch emits the
+    * group's RUNNING size and sensitive diversity — the live "is this
+    * group releasable yet" monitor. Violation counts per batch are a
+    * filter over the emissions (n_rows < k, ndv < l); streaming == batch
+    * is pinned in StateStoreSpec against the q189/q212 classes.
+    *
+    * Scale shape: state is one map entry per DISTINCT (quasi, sensitive)
+    * pair — exactly the batch audits' collapsed table, which saturates;
+    * per-batch work is O(batch rows). */
+  class PrivacyGateProcessor(ttl: TTLConfig = TTLConfig.NONE)
+    extends StatefulProcessor[String, (String, String), (String, Long, Long)] {
+    @transient private var counts: org.apache.spark.sql.streaming.MapState[String, Long] = _
+    @transient private var agg: org.apache.spark.sql.streaming.ValueState[(Long, Long)] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+      counts = getHandle.getMapState[String, Long]("counts",
+        Encoders.STRING, Encoders.scalaLong, ttl)
+      agg = getHandle.getValueState[(Long, Long)]("agg",
+        Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong), ttl)
+    }
+
+    override def handleInputRows(key: String, rows: Iterator[(String, String)],
+                                 timerValues: TimerValues): Iterator[(String, Long, Long)] = {
+      var (tot, ndv) = if (agg.exists()) agg.get() else (0L, 0L)
+      rows.foreach { case (_, s) =>
+        val prev = if (counts.containsKey(s)) counts.getValue(s) else 0L
+        if (prev == 0L) ndv += 1L
+        counts.updateValue(s, prev + 1L)
+        tot += 1L
+      }
+      agg.update((tot, ndv))
+      Iterator.single((key, tot, ndv))
+    }
+  }
+
   /** Running per-key token offset — the streaming face of
     * `Sampling.shardPlan`: documents are laid into fixed-token-budget
     * output shards AS THEY ARRIVE, the cumulative offset resuming from the

@@ -767,6 +767,58 @@ class StateStoreSpec extends AnyFunSuite {
     }
   }
 
+  test("streaming privacy-gate monitor: running (size, diversity) per quasi group matches the batch k/l audits, incl. NULLs") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.functions.Stats
+    // (quasi, sensitive): group "a" grows to 4 rows / 1 value (k-anonymous
+    // at k=3 but an l=1 homogeneity disclosure); "b" 3 rows / 2 values;
+    // NULL quasi and NULL sensitive are legitimate values (trio contract)
+    val b1 = Seq(("a", "s1"), ("a", "s1"), ("b", "s1"),
+      (null.asInstanceOf[String], "s2"))
+    val b2 = Seq(("a", "s1"), ("a", "s1"), ("b", "s2"), ("b", "s1"),
+      ("c", null.asInstanceOf[String]))
+    val input = MemoryStream[(String, String)]
+    val mon = Stats.streamingPrivacyGate(
+      input.toDS().toDF("q", "s"), Seq("q"), "s")
+    val q = mon.writeStream.outputMode("update").format("memory")
+      .queryName("privgate").trigger(Trigger.ProcessingTime(0L)).start()
+    input.addData(b1: _*); q.processAllAvailable()
+    // mid-stream check: per-batch violation counts are a filter over the
+    // emissions — after batch 1 every group is below k=3
+    val mid = spark.table("privgate").as[(String, Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.maxBy(_._2)).toMap
+    assert(mid.values.count(_._2 < 3L) == 3)
+    input.addData(b2: _*); q.processAllAvailable()
+    q.stop()
+    // latest emission per group (n_rows grows monotonically) must equal
+    // the batch audits' class assignment over everything fed
+    val latest = spark.table("privgate").as[(String, Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.maxBy(_._2)).toMap
+    val batch = (b1 ++ b2).toDF("q", "s")
+    // k-anonymity classes (k=3): stream states folded into (class ->
+    // (n_groups, n_rows)) must match kAnonymityAudit rows
+    val kClasses = latest.values
+      .groupBy { case (_, n, _) => math.min(n, 3L) }.view
+      .mapValues(v => (v.size.toLong, v.map(_._2).sum)).toMap
+    val kBatch = Stats.kAnonymityAudit(batch, Seq("q"), k = 3).collect()
+      .map(r => r.getAs[Long]("size_class") ->
+        ((r.getAs[Long]("n_groups"), r.getAs[Long]("n_rows")))).toMap
+    assert(kClasses == kBatch)
+    // l-diversity classes (l=2) from the streamed ndv_sensitive
+    val lClasses = latest.values
+      .groupBy { case (_, _, d) => math.min(d, 2L) }.view
+      .mapValues(v => (v.size.toLong, v.map(_._2).sum)).toMap
+    val lBatch = Stats.lDiversityAudit(batch, Seq("q"), "s", l = 2).collect()
+      .map(r => r.getAs[Long]("diversity_class") ->
+        ((r.getAs[Long]("n_groups"), r.getAs[Long]("n_rows")))).toMap
+    assert(lClasses == lBatch)
+    // spot values: "a" is 4 rows 1 value (the homogeneity leak), NULL
+    // quasi survived as its own group
+    assert(latest.exists { case (_, (_, n, d)) => n == 4L && d == 1L })
+    assert(latest.size == 4)
+  }
+
   test("streaming gate-funnel monitor: running per-gate charges match the batch funnel") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
