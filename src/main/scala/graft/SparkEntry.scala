@@ -41,7 +41,7 @@ object SparkEntry {
     * normalize whatever the file carries to that canonical ns LONG here.
     * Naive (NTZ) wall-clock is interpreted as UTC, exactly as DuckDB's
     * `epoch_us(ts)` does; both Verify and Bench pin the session to UTC. */
-  private def events(s: SparkSession, dir: String): DataFrame =
+  private[graft] def events(s: SparkSession, dir: String): DataFrame =
     tableCache.getOrElseUpdate((s, s"$dir/events.parquet"), {
       s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       // The NTZ branch below reads naive wall-clock THROUGH the session zone;

@@ -42,6 +42,7 @@ object ScaleDrill {
         numMerges = args.lift(1).map(_.toInt).getOrElse(120))
       case "skewjoin" => skewJoinDrill(spark,
         args.lift(1).getOrElse("1,10").split(",").map(_.trim.toInt).toSeq)
+      case "joinestim" => joinEstimatorDrill(spark, sfDir)
       case _ => pipelineDrill(spark, sfDir,
         args.lift(1).getOrElse("1,10").split(",").map(_.trim.toInt).toSeq,
         nameFilter = args.lift(2))
@@ -66,6 +67,61 @@ object ScaleDrill {
     *     AQE skew OFF.
     * All three must return the same row count. The recorded crossover goes
     * in SCALE.md. */
+  /** Join-estimator head-to-head (VERDICT r11 #6): the three oracled join
+    * estimators — q206's histogram product (`cnt_a·cnt_b DIV width`),
+    * q208's NDV-aware System-R product (`cnt_a·cnt_b DIV max(ndv)`), and
+    * the q183 KMV tier (distinct-key intersection estimate, lifted to a
+    * join-size estimate by the multiplicity model
+    * `inter_est·(n_a DIV ndv_a)·(n_b DIV ndv_b)`) — graded on the SAME
+    * join: one row per estimator with the exact count, signed error, and
+    * q-error. Two joins: the uniform-dense user_id join (every estimator's
+    * friendly case) and the exponential-skewed sparse value-band join
+    * (where the per-bin assumptions separate). Results → SCALE.md §3b. */
+  def joinEstimatorDrill(spark: SparkSession, sfDir: String): Unit = {
+    val ev = graft.SparkEntry.events(spark, sfDir)
+    def qerr(est: Long, act: Long): Double =
+      math.max(math.max(est, act), 1L).toDouble / math.max(math.min(est, act), 1L)
+    def grade(name: String, a: org.apache.spark.sql.DataFrame,
+              b: org.apache.spark.sql.DataFrame, col: String,
+              boundaries: Seq[Long]): Unit = {
+      val hist = Scale.histogramJoinEstimate(a, col, b, col, boundaries)
+        .select("est_total", "actual").head()
+      val ndv = Scale.histogramJoinEstimateNdv(a, col, b, col, boundaries)
+        .select("est_total", "actual").head()
+      // KMV tier: distinct-key intersection estimate x per-side mean
+      // multiplicity (n DIV ndv_est) — the q183 sketch lifted to join size
+      val tagged = a.select(F.lit("A").as("g"), F.col(col))
+        .unionByName(b.select(F.lit("B").as("g"), F.col(col)))
+      val inter = Scale.kmvPairOverlap(tagged, "g", col, k = 64)
+        .select("inter_est", "truth_common").head()
+      val na = a.where(F.col(col).isNotNull).count()
+      val nb = b.where(F.col(col).isNotNull).count()
+      val ndvA = Scale.kmvDistinct(a.select(F.lit("g").as("g"), F.col(col)),
+        "g", col, 64).select("est").head().getLong(0)
+      val ndvB = Scale.kmvDistinct(b.select(F.lit("g").as("g"), F.col(col)),
+        "g", col, 64).select("est").head().getLong(0)
+      val estKmv = inter.getAs[Long]("inter_est") *
+        (na / math.max(ndvA, 1L)) * (nb / math.max(ndvB, 1L))
+      val act = hist.getAs[Long]("actual")
+      println(f"[joinestim] $name%-22s actual=$act%12d")
+      for ((nm, e) <- Seq("hist (q206)" -> hist.getAs[Long]("est_total"),
+                          "ndv (q208)" -> ndv.getAs[Long]("est_total"),
+                          "kmv (q183-lift)" -> estKmv))
+        println(f"[joinestim]   $nm%-16s est=$e%12d err=${e - act}%+12d qerr=${qerr(e, act)}%8.2f")
+      println(f"[joinestim]   kmv distinct-key tier: inter_est=${inter.getAs[Long]("inter_est")} truth_common=${inter.getAs[Long]("truth_common")}")
+    }
+    val clicks = ev.where(F.col("event_type") === "click")
+    val views = ev.where(F.col("event_type") === "view")
+    grade("user_id (uniform)",
+      clicks.select(F.col("user_id")), views.select(F.col("user_id")),
+      "user_id", Seq(300L, 600L, 900L, 1200L))
+    val cBand = clicks.select(
+      F.expr("CAST(round(value * 100) AS BIGINT) DIV 1000").as("band"))
+    val vBand = views.select(
+      F.expr("CAST(round(value * 100) AS BIGINT) DIV 1000").as("band"))
+    grade("value_band (skewed)", cBand, vBand, "band", Seq(4L, 8L, 16L, 32L))
+  }
+
   def skewJoinDrill(spark: SparkSession, sizes: Seq[Int]): Unit = {
     def mkSession(skewJoin: Boolean, aqe: Boolean): SparkSession = {
       val s = spark.newSession()
