@@ -1566,10 +1566,13 @@ object SparkEntry {
       // literals, so the whole replay is float-free. The rescale/
       // recompress robustness aHash/dHash lack is spec-proven
       // (FunctionsSpec) — exact-equality grouping here pins the
-      // ARITHMETIC. ASCII-only enforced (the q171 byte==char discipline).
+      // ARITHMETIC. ASCII-only enforced (the q171 byte==char discipline);
+      // % 4 bounds the oracle's per-byte + per-coefficient SQL replay
+      // (the q180 precedent), not the Spark side
       val docs = table(s, dir, "documents")
         .where(F.length(F.col("text")) > 0 &&
-          F.expr("length(text) = octet_length(text)"))
+          F.expr("length(text) = octet_length(text)") &&
+          F.col("doc_id") % 4 === 0)
         .select(F.col("doc_id"), F.col("text"))
       val reenc = locally {
         import s.implicits._
@@ -3983,7 +3986,8 @@ object SparkEntry {
       // actually hashing the re-encode
       """WITH p AS (SELECT doc_id, regexp_extract_all(text, '.') AS cs
                     FROM documents
-                    WHERE len(text) > 0 AND strlen(text) = len(text)),
+                    WHERE len(text) > 0 AND strlen(text) = len(text)
+                      AND doc_id % 4 = 0),
          b AS (SELECT doc_id, i - 1 AS pos, unicode(cs[i]) AS v, len(cs) AS n
                FROM (SELECT doc_id, cs, unnest(generate_series(1, len(cs))) AS i FROM p)),
          cv AS (SELECT doc_id, pos * 1024 // n AS s, sum(v) // count(*) AS val

@@ -642,6 +642,15 @@ object ScaleDrill {
             F.substring(F.col("text"), 1, 40)).as("payload")),
           "doc_id", "payload",
           hasher = Multimodal.PerceptualHash.Difference)),
+    // the DCT tier: ~16k integer multiply-adds per doc in the scan stage
+    // (1024-cell grid + separable 8x8 DCT) — still per-doc-bounded, zero
+    // extra shuffle; the row pins that the heavier hasher stays linear
+    "phash_dedup (q216)" -> (docs =>
+      Multimodal.perceptualDupGroups(
+          docs.select(F.col("doc_id"),
+            Multimodal.fakePayload(F.col("text")).as("payload")),
+          "doc_id", "payload", grid = 32,
+          hasher = Multimodal.PerceptualHash.Dct)),
     // Goertzel over a BOUNDED 192-byte window per doc: O(1) work per row
     // in the scan stage, zero shuffle (the (id, band, cell) rows feed
     // the count directly) — the row pins per-doc-bounded linearity
