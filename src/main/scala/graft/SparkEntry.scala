@@ -1618,23 +1618,45 @@ object SparkEntry {
         Seq(1L, 2L, 3L, 4L), Seq(8L, 16L, 24L, 32L))
         .orderBy("a_lo", "a_hi", "b_lo", "b_hi")),
 
-    "q215_qerror_scoreboard" -> ((s, dir) =>
+    "q215_qerror_scoreboard" -> ((s, dir) => {
       // the CE-benchmark summary over q214's probe workload: per
-      // estimator, lower-median and max q-error (ppm) and the
-      // within-2x count — the one-line "which estimator should the
-      // planner trust" scoreboard
+      // estimator (all FOUR rungs of the ladder — uniform product,
+      // histogram product, NDV-corrected product, 2D joint histogram),
+      // lower-median and max q-error (ppm) and the within-2x count —
+      // the one-line "which estimator should the planner trust" board
+      val bands = events(s, dir).select(
+        F.expr("CAST(round(value * 100) AS BIGINT) DIV 10000").as("value_coarse"),
+        F.expr("CAST(round(value * 100) AS BIGINT) DIV 1000").as("value_fine"))
+      val probes = Seq((0L, 0L, 0L, 9L), (1L, 1L, 10L, 19L), (0L, 0L, 20L, 39L),
+        (0L, 4L, 0L, 49L), (2L, 4L, 20L, 49L), (0L, 1L, 5L, 14L))
+      val marg = functions.Scale.conjunctiveSelectivityAudit(
+        bands, "value_coarse", "value_fine", probes,
+        Seq(1L, 2L, 3L, 4L), Seq(8L, 16L, 24L, 32L))
+      val jnt = functions.Scale.conjunctiveJointHistAudit(
+          bands, "value_coarse", "value_fine", probes,
+          Seq(1L, 2L, 3L, 4L), Seq(8L, 16L, 24L, 32L))
+        .select("a_lo", "a_hi", "b_lo", "b_hi", "qerr_joint_ppm")
       functions.Scale.qErrorScoreboard(
-        functions.Scale.conjunctiveSelectivityAudit(
-          events(s, dir).select(
-            F.expr("CAST(round(value * 100) AS BIGINT) DIV 10000").as("value_coarse"),
-            F.expr("CAST(round(value * 100) AS BIGINT) DIV 1000").as("value_fine")),
-          "value_coarse", "value_fine",
-          Seq((0L, 0L, 0L, 9L), (1L, 1L, 10L, 19L), (0L, 0L, 20L, 39L),
-            (0L, 4L, 0L, 49L), (2L, 4L, 20L, 49L), (0L, 1L, 5L, 14L)),
-          Seq(1L, 2L, 3L, 4L), Seq(8L, 16L, 24L, 32L)),
+        marg.join(jnt, Seq("a_lo", "a_hi", "b_lo", "b_hi")),
         Seq(("corrected", "qerr_corrected_ppm"), ("hist", "qerr_hist_ppm"),
-          ("uniform", "qerr_uniform_ppm")))
-        .orderBy("estimator")),
+          ("joint", "qerr_joint_ppm"), ("uniform", "qerr_uniform_ppm")))
+        .orderBy("estimator")
+    }),
+
+    "q217_joint_selectivity" -> ((s, dir) =>
+      // the estimator ladder's top rung: the same q214 probe workload
+      // estimated from the 2D JOINT fixed-bin histogram — what a
+      // planner builds when the pair matters enough to stop assuming;
+      // cell-boundary-aligned probes come back exact
+      functions.Scale.conjunctiveJointHistAudit(
+        events(s, dir).select(
+          F.expr("CAST(round(value * 100) AS BIGINT) DIV 10000").as("value_coarse"),
+          F.expr("CAST(round(value * 100) AS BIGINT) DIV 1000").as("value_fine")),
+        "value_coarse", "value_fine",
+        Seq((0L, 0L, 0L, 9L), (1L, 1L, 10L, 19L), (0L, 0L, 20L, 39L),
+          (0L, 4L, 0L, 49L), (2L, 4L, 20L, 49L), (0L, 1L, 5L, 14L)),
+        Seq(1L, 2L, 3L, 4L), Seq(8L, 16L, 24L, 32L))
+        .orderBy("a_lo", "a_hi", "b_lo", "b_hi")),
 
     "q213_t_closeness" -> ((s, dir) =>
       // the trio's third gate: per quasi group, exact TV distance of its
@@ -4024,6 +4046,71 @@ object SparkEntry {
            CAST(min(doc_id) AS BIGINT) AS canonical_id
          FROM allsg GROUP BY 1 HAVING count(*) >= 2 ORDER BY 1""",
 
+    "q217_joint_selectivity" ->
+      // the 2D joint-histogram estimate replayed exactly: joint (a,b)
+      // counts binned into the 5x5 cell grid (edge cells clamp to the
+      // observed per-axis domain), per-probe 2D interpolation
+      // cnt·ovA·ovB // (wA·wB) in HUGEINT (== Spark's DECIMAL(38,0)
+      // (p - p%w)/w on non-negatives)
+      """WITH j AS (SELECT CAST(round(value * 100) AS BIGINT) // 10000 AS a,
+                      CAST(round(value * 100) AS BIGINT) // 1000 AS b,
+                      CAST(count(*) AS BIGINT) AS c
+                    FROM events WHERE value IS NOT NULL GROUP BY 1, 2),
+         t AS (SELECT CAST(sum(c) AS BIGINT) AS n,
+                 min(a) AS mn_a, max(a) AS mx_a, min(b) AS mn_b, max(b) AS mx_b,
+                 CAST(sum(CASE WHEN a BETWEEN 0 AND 0 AND b BETWEEN 0 AND 9 THEN c ELSE 0 END) AS BIGINT) AS p0,
+                 CAST(sum(CASE WHEN a BETWEEN 1 AND 1 AND b BETWEEN 10 AND 19 THEN c ELSE 0 END) AS BIGINT) AS p1,
+                 CAST(sum(CASE WHEN a BETWEEN 0 AND 0 AND b BETWEEN 20 AND 39 THEN c ELSE 0 END) AS BIGINT) AS p2,
+                 CAST(sum(CASE WHEN a BETWEEN 0 AND 4 AND b BETWEEN 0 AND 49 THEN c ELSE 0 END) AS BIGINT) AS p3,
+                 CAST(sum(CASE WHEN a BETWEEN 2 AND 4 AND b BETWEEN 20 AND 49 THEN c ELSE 0 END) AS BIGINT) AS p4,
+                 CAST(sum(CASE WHEN a BETWEEN 0 AND 1 AND b BETWEEN 5 AND 14 THEN c ELSE 0 END) AS BIGINT) AS p5
+               FROM j),
+         jb AS (SELECT CAST(len(list_filter([1, 2, 3, 4], x -> x <= a)) AS BIGINT) AS bi,
+                  CAST(len(list_filter([8, 16, 24, 32], x -> x <= b)) AS BIGINT) AS bj,
+                  CAST(sum(c) AS BIGINT) AS cnt
+                FROM j GROUP BY 1, 2),
+         ab AS (SELECT x.i,
+                 CASE x.i WHEN 0 THEN t.mn_a WHEN 1 THEN 1 WHEN 2 THEN 2
+                          WHEN 3 THEN 3 ELSE 4 END AS alo,
+                 CASE x.i WHEN 0 THEN 0 WHEN 1 THEN 1 WHEN 2 THEN 2
+                          WHEN 3 THEN 3 ELSE t.mx_a END AS ahi
+               FROM t, (VALUES (0), (1), (2), (3), (4)) x(i)),
+         bb AS (SELECT x.j2,
+                 CASE x.j2 WHEN 0 THEN t.mn_b WHEN 1 THEN 8 WHEN 2 THEN 16
+                           WHEN 3 THEN 24 ELSE 32 END AS blo,
+                 CASE x.j2 WHEN 0 THEN 7 WHEN 1 THEN 15 WHEN 2 THEN 23
+                           WHEN 3 THEN 31 ELSE t.mx_b END AS bhi
+               FROM t, (VALUES (0), (1), (2), (3), (4)) x(j2)),
+         cells AS (SELECT ab.alo, ab.ahi, bb.blo, bb.bhi,
+                     coalesce(jb.cnt, 0) AS cnt
+                   FROM ab CROSS JOIN bb
+                     LEFT JOIN jb ON jb.bi = ab.i AND jb.bj = bb.j2),
+         p AS (SELECT * FROM (VALUES
+                 (CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(9 AS BIGINT), 0),
+                 (1, 1, 10, 19, 1),
+                 (0, 0, 20, 39, 2),
+                 (0, 4, 0, 49, 3),
+                 (2, 4, 20, 49, 4),
+                 (0, 1, 5, 14, 5))
+               AS x(a_lo, a_hi, b_lo, b_hi, idx)),
+         h AS (SELECT p.idx, CAST(sum(
+                 CASE WHEN (cells.ahi - cells.alo + 1) < 1
+                        OR (cells.bhi - cells.blo + 1) < 1 THEN 0
+                 ELSE cells.cnt::HUGEINT *
+                      greatest(least(p.a_hi, cells.ahi) - greatest(p.a_lo, cells.alo) + 1, 0) *
+                      greatest(least(p.b_hi, cells.bhi) - greatest(p.b_lo, cells.blo) + 1, 0)
+                      // ((cells.ahi::HUGEINT - cells.alo + 1) * (cells.bhi::HUGEINT - cells.blo + 1)) END) AS BIGINT) AS est_joint
+               FROM p, cells GROUP BY 1),
+         f AS (SELECT p.a_lo, p.a_hi, p.b_lo, p.b_hi, t.n,
+                 CASE p.idx WHEN 0 THEN t.p0 WHEN 1 THEN t.p1 WHEN 2 THEN t.p2
+                            WHEN 3 THEN t.p3 WHEN 4 THEN t.p4 ELSE t.p5 END AS actual,
+                 h.est_joint
+               FROM p, t JOIN h ON h.idx = p.idx)
+         SELECT a_lo, a_hi, b_lo, b_hi, n, actual, est_joint,
+           CAST(greatest(est_joint, actual, 1)::HUGEINT * 1000000
+                // greatest(least(est_joint, actual), 1) AS BIGINT) AS qerr_joint_ppm
+         FROM f ORDER BY a_lo, a_hi, b_lo, b_hi""",
+
     "q214_conjunctive_selectivity" ->
       // mirrors conjunctiveSelectivityAudit exactly: joint (a,b) counts,
       // marginal fixed-bin histograms + uniform smears per column, the
@@ -4189,6 +4276,34 @@ object SparkEntry {
                             greatest(least(p.b_hi, bbins.bhi) - greatest(p.b_lo, bbins.blo) + 1, 0)
                             // (bbins.bhi::HUGEINT - bbins.blo + 1) END) AS BIGINT) AS eb_h
                FROM p, bbins GROUP BY 1),
+         jb AS (SELECT CAST(len(list_filter([1, 2, 3, 4], x -> x <= a)) AS BIGINT) AS bi,
+                  CAST(len(list_filter([8, 16, 24, 32], x -> x <= b)) AS BIGINT) AS bj,
+                  CAST(sum(c) AS BIGINT) AS cnt
+                FROM j GROUP BY 1, 2),
+         ca2 AS (SELECT x.i,
+                 CASE x.i WHEN 0 THEN t.mn_a WHEN 1 THEN 1 WHEN 2 THEN 2
+                          WHEN 3 THEN 3 ELSE 4 END AS alo,
+                 CASE x.i WHEN 0 THEN 0 WHEN 1 THEN 1 WHEN 2 THEN 2
+                          WHEN 3 THEN 3 ELSE t.mx_a END AS ahi
+               FROM t, (VALUES (0), (1), (2), (3), (4)) x(i)),
+         cb2 AS (SELECT x.j2,
+                 CASE x.j2 WHEN 0 THEN t.mn_b WHEN 1 THEN 8 WHEN 2 THEN 16
+                           WHEN 3 THEN 24 ELSE 32 END AS blo,
+                 CASE x.j2 WHEN 0 THEN 7 WHEN 1 THEN 15 WHEN 2 THEN 23
+                           WHEN 3 THEN 31 ELSE t.mx_b END AS bhi
+               FROM t, (VALUES (0), (1), (2), (3), (4)) x(j2)),
+         cells AS (SELECT ca2.alo, ca2.ahi, cb2.blo, cb2.bhi,
+                     coalesce(jb.cnt, 0) AS cnt
+                   FROM ca2 CROSS JOIN cb2
+                     LEFT JOIN jb ON jb.bi = ca2.i AND jb.bj = cb2.j2),
+         hj AS (SELECT p.idx, CAST(sum(
+                 CASE WHEN (cells.ahi - cells.alo + 1) < 1
+                        OR (cells.bhi - cells.blo + 1) < 1 THEN 0
+                 ELSE cells.cnt::HUGEINT *
+                      greatest(least(p.a_hi, cells.ahi) - greatest(p.a_lo, cells.alo) + 1, 0) *
+                      greatest(least(p.b_hi, cells.bhi) - greatest(p.b_lo, cells.blo) + 1, 0)
+                      // ((cells.ahi::HUGEINT - cells.alo + 1) * (cells.bhi::HUGEINT - cells.blo + 1)) END) AS BIGINT) AS est_joint
+               FROM p, cells GROUP BY 1),
          r AS (SELECT p.idx, t.n, t.ndv_a, t.ndv_b, t.ndv_ab,
                  CASE p.idx WHEN 0 THEN t.p0 WHEN 1 THEN t.p1 WHEN 2 THEN t.p2
                             WHEN 3 THEN t.p3 WHEN 4 THEN t.p4 ELSE t.p5 END AS actual,
@@ -4207,8 +4322,9 @@ object SparkEntry {
                  CAST(least(
                    (ea_h::HUGEINT * eb_h // greatest(n, 1)) * ndv_a * ndv_b
                      // greatest(ndv_ab, 1),
-                   least(ea_h, eb_h)::HUGEINT) AS BIGINT) AS est_corrected
-               FROM r),
+                   least(ea_h, eb_h)::HUGEINT) AS BIGINT) AS est_corrected,
+                 hj.est_joint
+               FROM r JOIN hj ON hj.idx = r.idx),
          q AS (SELECT 'uniform' AS estimator,
                  CAST(greatest(est_indep_uniform, actual, 1)::HUGEINT * 1000000
                       // greatest(least(est_indep_uniform, actual), 1) AS BIGINT) AS qe
@@ -4222,6 +4338,11 @@ object SparkEntry {
                SELECT 'corrected',
                  CAST(greatest(est_corrected, actual, 1)::HUGEINT * 1000000
                       // greatest(least(est_corrected, actual), 1) AS BIGINT)
+               FROM f
+               UNION ALL
+               SELECT 'joint',
+                 CAST(greatest(est_joint, actual, 1)::HUGEINT * 1000000
+                      // greatest(least(est_joint, actual), 1) AS BIGINT)
                FROM f)
          SELECT estimator, CAST(count(*) AS BIGINT) AS n_probes,
            CAST(list_sort(list(qe))[(count(*) + 1) // 2] AS BIGINT) AS p50_qerr_ppm,

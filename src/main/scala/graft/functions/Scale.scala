@@ -1872,6 +1872,103 @@ object Scale {
         "qerr_corrected_ppm")
   }
 
+  /** Conjunctive selectivity from a 2-D JOINT fixed-bin histogram — the
+    * top rung of the estimator ladder [[conjunctiveSelectivityAudit]]
+    * grades (uniform product → histogram product → NDV-corrected
+    * product → THIS): when a column pair matters enough, a planner
+    * builds the joint statistic and stops assuming anything about the
+    * dependency. Per probe, `est_joint = Σ_cells cnt·|probeA ∩ binA|·
+    * |probeB ∩ binB| DIV (w_a·w_b)` over the (|aBins|+1)×(|bBins|+1)
+    * cell grid (per-axis edge cells clamp to the observed domain —
+    * q202's interpolation in two dimensions), so a probe aligned to a
+    * cell boundary on both axes is estimated EXACTLY. Same ONE capped
+    * (a, b) groupBy as the marginal audit; all arithmetic
+    * DECIMAL(38,0) floor spellings — oracles cell-exact.
+    *
+    * Output: (a_lo, a_hi, b_lo, b_hi, n, actual, est_joint,
+    * qerr_joint_ppm) — join on the probe bounds with
+    * [[conjunctiveSelectivityAudit]]'s frame to feed a 4-estimator
+    * [[qErrorScoreboard]]. */
+  def conjunctiveJointHistAudit(df: DataFrame, aCol: String, bCol: String,
+      probes: Seq[(Long, Long, Long, Long)],
+      aBoundaries: Seq[Long], bBoundaries: Seq[Long],
+      maxJointCells: Long = 10000000L): DataFrame = {
+    require(probes.nonEmpty, "no probe ranges given")
+    probes.foreach { case (alo, ahi, blo, bhi) =>
+      require(alo <= ahi && blo <= bhi,
+        s"probe range ([$alo,$ahi],[$blo,$bhi]) is inverted") }
+    Seq(aBoundaries, bBoundaries).foreach { bs =>
+      require(bs.nonEmpty && bs == bs.sorted && bs.distinct == bs,
+        s"boundaries must be non-empty strictly ascending, got $bs") }
+    val joint = df
+      .where(F.col(aCol).isNotNull && F.col(bCol).isNotNull)
+      .select(F.col(aCol).cast("long").as("__a"),
+        F.col(bCol).cast("long").as("__b"))
+      .groupBy("__a", "__b").agg(F.count(F.lit(1)).as("__c"))
+      .localCheckpoint()
+    val cells = joint.count()
+    require(cells <= maxJointCells,
+      s"conjunctiveJointHistAudit: ($aCol, $bCol) has $cells joint cells " +
+      s"> cap $maxJointCells — band/coarsen first, or raise the cap " +
+      "deliberately")
+    def binConds(col: String, bs: Seq[Long]): Seq[Column] =
+      (0 to bs.size).map { j =>
+        if (j == 0) F.col(col) < bs(0)
+        else if (j == bs.size) F.col(col) >= bs(bs.size - 1)
+        else F.col(col) >= bs(j - 1) && F.col(col) < bs(j)
+      }
+    val ma = aBoundaries.size
+    val mb = bBoundaries.size
+    val aConds = binConds("__a", aBoundaries)
+    val bConds = binConds("__b", bBoundaries)
+    val aggs =
+      F.sum("__c").as("n") +:
+      F.min("__a").as("mn_a") +: F.max("__a").as("mx_a") +:
+      F.min("__b").as("mn_b") +: F.max("__b").as("mx_b") +:
+      ((for (i <- 0 to ma; j <- 0 to mb) yield
+        F.sum(F.when(aConds(i) && bConds(j), F.col("__c")).otherwise(0L))
+          .as(s"__c${i}_$j")) ++
+       probes.zipWithIndex.map { case ((alo, ahi, blo, bhi), i) =>
+        F.sum(F.when(F.col("__a").between(alo, ahi) &&
+            F.col("__b").between(blo, bhi), F.col("__c")).otherwise(0L))
+          .as(s"__p$i")
+      })
+    val one = joint.agg(aggs.head, aggs.tail: _*).localCheckpoint()
+    def dec(s: String) = s"CAST($s AS DECIMAL(38,0))"
+    def edge(j: Int, bs: Seq[Long], mn: String, mx: String): (String, String) = {
+      val lo = if (j == 0) dec(mn) else dec(bs(j - 1).toString)
+      val hi = if (j == bs.size) dec(mx) else s"(${dec(bs(j).toString)} - 1)"
+      (lo, hi)
+    }
+    val rows = probes.zipWithIndex.map { case ((alo, ahi, blo, bhi), pi) =>
+      val terms = for (i <- 0 to ma; j <- 0 to mb) yield {
+        val (aLoE, aHiE) = edge(i, aBoundaries, "mn_a", "mx_a")
+        val (bLoE, bHiE) = edge(j, bBoundaries, "mn_b", "mx_b")
+        val wA = s"($aHiE - $aLoE + 1)"
+        val wB = s"($bHiE - $bLoE + 1)"
+        val ovA = s"""greatest(least(${dec(ahi.toString)}, $aHiE) -
+                      greatest(${dec(alo.toString)}, $aLoE) + 1, ${dec("0")})"""
+        val ovB = s"""greatest(least(${dec(bhi.toString)}, $bHiE) -
+                      greatest(${dec(blo.toString)}, $bLoE) + 1, ${dec("0")})"""
+        val p = s"(${dec(s"__c${i}_$j")} * $ovA * $ovB)"
+        val w = s"($wA * $wB)"
+        s"""(CASE WHEN $wA < 1 OR $wB < 1 THEN ${dec("0")}
+             ELSE CAST(($p - $p % $w) / $w AS DECIMAL(38,0)) END)"""
+      }
+      one.select(
+        F.lit(alo).as("a_lo"), F.lit(ahi).as("a_hi"),
+        F.lit(blo).as("b_lo"), F.lit(bhi).as("b_hi"),
+        F.col("n"), F.col(s"__p$pi").as("actual"),
+        F.expr(s"CAST(${terms.mkString(" + ")} AS BIGINT)").as("est_joint"))
+    }
+    rows.reduce(_.unionByName(_))
+      .withColumn("qerr_joint_ppm", F.expr(
+        """CAST(CAST(greatest(est_joint, actual, 1L) AS DECIMAL(38,0)) * 1000000
+               DIV greatest(least(est_joint, actual), 1L) AS BIGINT)"""))
+      .select("a_lo", "a_hi", "b_lo", "b_hi", "n", "actual", "est_joint",
+        "qerr_joint_ppm")
+  }
+
   /** Q-error scoreboard over a probe workload — the CE-benchmark summary
     * grading estimators side by side: per estimator column, the probe
     * count, the LOWER-MEDIAN and max q-error (integer ppm; 1,000,000 =

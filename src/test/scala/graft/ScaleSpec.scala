@@ -1041,6 +1041,25 @@ class ScaleSpec extends AnyFunSuite {
         Seq((0L, 0L, 0L, 1L)), Seq(1L), Seq(1L), maxJointCells = 2L)
     }
     assert(e.getMessage.contains("joint cells"))
+    // the ladder's top rung: the 2D JOINT histogram — both probes here
+    // are cell-boundary-aligned on each axis, so the estimate is EXACT
+    // (the 2D extension of q202's aligned-probe identity); cell (a0,b0)
+    // holds 6, (a1,b1) 3, (a2,b2) 1, all cross cells 0
+    val jout = Scale.conjunctiveJointHistAudit(df, "a", "b",
+        Seq((0L, 0L, 0L, 1L), (1L, 2L, 2L, 5L)), Seq(1L, 2L), Seq(2L, 4L))
+      .orderBy("a_lo").collect()
+    assert(jout(0).getAs[Long]("actual") == 6L &&
+      jout(0).getAs[Long]("est_joint") == 6L &&
+      jout(0).getAs[Long]("qerr_joint_ppm") == 1000000L)
+    assert(jout(1).getAs[Long]("actual") == 4L &&
+      jout(1).getAs[Long]("est_joint") == 4L)
+    // a straddling probe interpolates: a=[0,1], b=[1,3] hits (a0,b0)
+    // with ovB 1 of w 2 -> 3, and (a1,b1) with ovB 2 of w 2 -> 3;
+    // actual = 2 (the (0,1) pairs) + 3 (the (1,2) pairs) = 5
+    val straddle = Scale.conjunctiveJointHistAudit(df, "a", "b",
+        Seq((0L, 1L, 1L, 3L)), Seq(1L, 2L), Seq(2L, 4L)).collect()(0)
+    assert(straddle.getAs[Long]("actual") == 5L &&
+      straddle.getAs[Long]("est_joint") == 6L)
   }
 
   test("unigramConcentration: hand-computed Simpson index and effective vocabulary") {
