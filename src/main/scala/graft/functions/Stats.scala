@@ -303,6 +303,65 @@ object Stats {
       .toDF("quasi_key", "n_rows", "ndv_sensitive")
   }
 
+  /** ε-differentially-private noisy-count release — the RELEASE step the
+    * audit trio (k-anonymity / l-diversity / t-closeness) gates: per
+    * group, `count + noise` where noise follows the two-sided geometric
+    * distribution `p(k) ∝ α^|k|` with `α = 1/noiseBase` — the discrete
+    * Laplace mechanism for counting queries (Ghosh–Roughgarden–
+    * Sundararajan 2009), ε = ln(noiseBase) per release. Noise is
+    * truncated at ±`clampB` (tail mass folds onto the endpoints —
+    * P(|noise| > 32) ≈ q⁻³² is negligible at the default) and the
+    * released value floors at 0 (post-processing, DP-safe).
+    *
+    * Engine-exact construction with NO floats anywhere: because α is
+    * 1/integer, every CDF value is an exact rational — the inverse-CDF
+    * threshold table `T_j = ⌊2⁶⁰·CDF(j)⌋` is computed in BigInt and
+    * frozen into the expression as literals; the uniform is the
+    * established 60-bit md5 draw (`conv(substring(md5(key||seed)...`)
+    * over the sentinel-joined group key, so the release replays
+    * bit-for-bit in any engine (and in the DuckDB oracle).
+    *
+    * PRIVACY CAVEAT (read before deploying): the hash-derived uniform
+    * makes releases REPRODUCIBLE — the property the oracle gate and
+    * re-runnable pipelines need — which means the seed must be treated
+    * as a secret drawn fresh per release; an adversary who knows the
+    * seed can subtract the noise. For a production release draw the
+    * seed from a CSPRNG per publication (the mechanism's arithmetic is
+    * unchanged).
+    *
+    * Scale shape: one map-side-combined groupBy (the count), then
+    * per-GROUP literal arithmetic — noise adds zero corpus cost. */
+  def dpNoisyCounts(df: DataFrame, groupCols: Seq[String], seed: Long,
+                    noiseBase: Int = 2, clampB: Int = 32): DataFrame = {
+    require(groupCols.nonEmpty, "no group columns given")
+    require(noiseBase >= 2, s"noiseBase must be >= 2, got $noiseBase")
+    require(clampB >= 1 && clampB <= 64, s"clampB must be in [1, 64], got $clampB")
+    val two60 = BigInt(1) << 60
+    val q = BigInt(noiseBase)
+    // CDF(-m) = q^-(m-1) / (q+1)  for 1 <= m <= B;
+    // CDF(j)  = 1 - q^-j / (q+1)  for 0 <= j < B  (exact rationals)
+    val thresholds: Seq[Long] =
+      ((clampB to 1 by -1).map { m =>
+        (two60 / (q.pow(m - 1) * (q + 1))).toLong
+      } ++ (0 until clampB).map { j =>
+        // floor(2^60·(1 − y)) = 2^60 − ceil(2^60·y)
+        val den = q.pow(j) * (q + 1)
+        (two60 - (two60 + den - 1) / den).toLong
+      })
+    val tArr = thresholds.mkString("array(", "L, ", "L)")
+    val keyCols = groupCols.map(c =>
+      s"coalesce(CAST(`$c` AS STRING), chr(2))").mkString(", ")
+    df.groupBy(groupCols.map(F.col): _*)
+      .agg(F.count(F.lit(1)).as("__n"))
+      .withColumn("__u", F.expr(
+        s"""CAST(conv(substring(md5(concat_ws(chr(1), $keyCols, '$seed')),
+               1, 15), 16, 10) AS BIGINT)"""))
+      .withColumn("noisy_count", F.expr(
+        s"""greatest(__n + CAST(size(filter($tArr, t -> t <= __u)) AS BIGINT)
+               - ${clampB}L, 0L)"""))
+      .select(groupCols.map(F.col) :+ F.col("noisy_count"): _*)
+  }
+
   /** Column dependency/correlation audit — the statistic pair a CBO needs
     * beyond per-column NDV (q185): selectivity estimators multiply
     * per-column selectivities ASSUMING INDEPENDENCE, and correlated or

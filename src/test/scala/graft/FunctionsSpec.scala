@@ -2196,6 +2196,48 @@ class FunctionsSpec extends AnyFunSuite {
     assert(out(1L).getAs[Long]("rows_ppm") == 800000L)
   }
 
+  test("dpNoisyCounts: exact-rational inverse-CDF replay, geometric shape, clamp, determinism, seed sensitivity") {
+    // 2000 groups of known count 3 -> the noise distribution is readable
+    // from the released values
+    val df = (0 until 2000).flatMap(g => Seq.fill(3)(g.toLong)).toDF("g")
+    val out = Stats.dpNoisyCounts(df, Seq("g"), seed = 42L)
+      .collect().map(r => r.getAs[Long]("g") -> r.getAs[Long]("noisy_count")).toMap
+    assert(out.size == 2000)
+    val noise = out.values.map(_ - 3L).toSeq
+    // clamp: |noise| <= 32 (release floors at 0, so observed >= -3)
+    assert(noise.forall(n => n >= -3L && n <= 32L))
+    // geometric with alpha=1/2: P(0) = 1/3, P(|n|<=1) = 2/3 — wide bands
+    val p0 = noise.count(_ == 0L).toDouble / noise.size
+    assert(p0 > 0.28 && p0 < 0.39, s"P(noise=0) = $p0")
+    val p1 = noise.count(n => math.abs(n) <= 1L).toDouble / noise.size
+    assert(p1 > 0.61 && p1 < 0.72, s"P(|noise|<=1) = $p1")
+    assert(math.abs(noise.sum.toDouble / noise.size) < 0.2) // mean ~ 0
+    // independent replay of one group's release: BigInt thresholds +
+    // the same md5 uniform, computed with a DIFFERENT spelling
+    val two60 = BigInt(1) << 60
+    val ts = (32 to 1 by -1).map(m => (two60 / (BigInt(2).pow(m - 1) * 3)).toLong) ++
+      (0 until 32).map { j =>
+        val den = BigInt(2).pow(j) * 3
+        (two60 - (two60 + den - 1) / den).toLong
+      }
+    val md = java.security.MessageDigest.getInstance("MD5")
+      .digest("7\u000142".getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val u = java.lang.Long.parseLong(md.take(15), 16)
+    val expected = math.max(3L + ts.count(_ <= u) - 32L, 0L)
+    assert(out(7L) == expected)
+    // deterministic across partitionings; different seed -> different noise
+    val again = Stats.dpNoisyCounts(df.repartition(7), Seq("g"), seed = 42L)
+      .collect().map(r => r.getAs[Long]("g") -> r.getAs[Long]("noisy_count")).toMap
+    assert(again == out)
+    val other = Stats.dpNoisyCounts(df, Seq("g"), seed = 43L)
+      .collect().map(r => r.getAs[Long]("g") -> r.getAs[Long]("noisy_count")).toMap
+    assert(other != out)
+    // NULL group keys release like any other group (sentinel-coalesced)
+    val withNull = Seq(Some(1L), None, None, Some(1L)).toDF("g")
+    val nOut = Stats.dpNoisyCounts(withNull, Seq("g"), seed = 1L).collect()
+    assert(nOut.length == 2)
+  }
+
   test("tClosenessAudit: NULL quasi groups report and NULL sensitive counts as a present value") {
     // global = {s1: 3, NULL: 3}, n = 6. Group q=NULL (2x s1):
     // present |2*6 - 3*2| = 6, absent 2*(6-3) = 6 -> tv = 12e6/24 = 500000.

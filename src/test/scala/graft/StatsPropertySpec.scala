@@ -111,6 +111,50 @@ object StatsPropertySpec extends Properties("StatsOps") {
       }
     }
 
+  property("conjunctiveJointHistAudit: cell-aligned probes estimated EXACTLY; brute 2D interpolation agrees; est in [0, n]") =
+    Prop.forAll(Gen.nonEmptyListOf(Gen.zip(Gen.choose(-60L, 60L), Gen.choose(-60L, 60L))),
+                Gen.choose(-40L, 0L), Gen.choose(1L, 30L),
+                Gen.choose(-40L, 0L), Gen.choose(1L, 30L)) { (ps, a0, wa, b0, wb) =>
+      import spark.implicits._
+      val aBs = Seq(a0, a0 + wa, a0 + 2 * wa)
+      val bBs = Seq(b0, b0 + wb, b0 + 2 * wb)
+      // probe 0 EXACTLY covers interior cell (1,1) on both axes; probe 1
+      // straddles cells on both axes
+      val probes = Seq((a0, a0 + wa - 1, b0, b0 + wb - 1),
+        (a0 - wa / 2, a0 + wa + wa / 2, b0 - wb / 2, b0 + wb + wb / 2))
+      val out = Scale.conjunctiveJointHistAudit(ps.toDF("a", "b"), "a", "b",
+          probes, aBs, bBs)
+        .collect().map(r => (r.getAs[Long]("a_lo"), r.getAs[Long]("a_hi"),
+          r.getAs[Long]("b_lo"), r.getAs[Long]("b_hi")) ->
+          (r.getAs[Long]("actual"), r.getAs[Long]("est_joint"))).toMap
+      val n = ps.size.toLong
+      val (mnA, mxA) = (ps.map(_._1).min, ps.map(_._1).max)
+      val (mnB, mxB) = (ps.map(_._2).min, ps.map(_._2).max)
+      def binOf(v: Long, bs: Seq[Long]) = bs.count(_ <= v)
+      def edges(j: Int, bs: Seq[Long], mn: Long, mx: Long) =
+        (if (j == 0) mn else bs(j - 1), if (j == bs.size) mx else bs(j) - 1)
+      def brute(alo: Long, ahi: Long, blo: Long, bhi: Long): Long =
+        (for (i <- 0 to aBs.size; j <- 0 to bBs.size) yield {
+          val cnt = ps.count(p => binOf(p._1, aBs) == i && binOf(p._2, bBs) == j).toLong
+          val (ealo, eahi) = edges(i, aBs, mnA, mxA)
+          val (eblo, ebhi) = edges(j, bBs, mnB, mxB)
+          val wA = eahi - ealo + 1
+          val wB = ebhi - eblo + 1
+          if (wA < 1 || wB < 1) BigInt(0)
+          else BigInt(cnt) * (math.min(ahi, eahi) - math.max(alo, ealo) + 1).max(0L) *
+            (math.min(bhi, ebhi) - math.max(blo, eblo) + 1).max(0L) / (BigInt(wA) * wB)
+        }).sum.toLong
+      out.size == probes.size && probes.forall { case (alo, ahi, blo, bhi) =>
+        val (actual, est) = out((alo, ahi, blo, bhi))
+        actual == ps.count(p => p._1 >= alo && p._1 <= ahi &&
+          p._2 >= blo && p._2 <= bhi).toLong &&
+          est == brute(alo, ahi, blo, bhi) && est >= 0L && est <= n &&
+          // the doubly-aligned probe: its one cell contributes its whole
+          // count (overlap == width on BOTH axes), every other cell 0
+          ((alo, ahi, blo, bhi) != probes.head || est == actual)
+      }
+    }
+
   property("quantileSketch: sharded merge == direct (lossless); estimates are sample values, monotone in q") =
     Prop.forAll(Gen.nonEmptyListOf(Gen.zip(
       Gen.oneOf("g1", "g2"), Gen.choose(0L, 40L), Gen.choose(-500L, 500L)))) { rows =>
