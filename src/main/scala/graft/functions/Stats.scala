@@ -303,6 +303,38 @@ object Stats {
       .toDF("quasi_key", "n_rows", "ndv_sensitive")
   }
 
+  /** Streaming face of [[dpNoisyCounts]] — per-batch DP releases of the
+    * RUNNING group counts: each batch that touches a group emits ONE
+    * release `(group_key, release_idx, noisy_count)` with fresh
+    * truncated-geometric noise drawn from the release index (so
+    * repeated releases are independent mechanism invocations —
+    * ε-accounting is the caller's: k releases of a group compose to
+    * k·ε). Same exact-rational threshold table and md5 uniform as the
+    * batch face; the batch-face seed-secrecy caveat applies unchanged.
+    * FunctionsSpec replays the noise independently and pins the running
+    * counts against the arrivals. */
+  def streamingDpRelease(stream: DataFrame, groupCols: Seq[String],
+      seed: Long, noiseBase: Int = 2, clampB: Int = 32,
+      ttl: org.apache.spark.sql.streaming.TTLConfig =
+        org.apache.spark.sql.streaming.TTLConfig.NONE): DataFrame = {
+    require(groupCols.nonEmpty, "no group columns given")
+    val thresholds = geometricThresholds(noiseBase, clampB).toArray
+    val spark = stream.sparkSession
+    import spark.implicits._
+    stream.select(
+        F.concat_ws("\u0001", groupCols.map(c =>
+          F.coalesce(F.col(c).cast("string"), F.lit("\u0002"))): _*).as("k"),
+        F.lit(1L).as("one"))
+      .as[(String, Long)]
+      .groupByKey(_._1)
+      .transformWithState(
+        new graft.streaming.StateStoreRunner.DpReleaseProcessor(
+          thresholds, clampB, seed, ttl),
+        graft.streaming.StateStoreRunner.ttlTimeMode(ttl),
+        org.apache.spark.sql.streaming.OutputMode.Update())
+      .toDF("group_key", "release_idx", "noisy_count")
+  }
+
   /** ε-differentially-private noisy-count release — the RELEASE step the
     * audit trio (k-anonymity / l-diversity / t-closeness) gates: per
     * group, `count + noise` where noise follows the two-sided geometric
@@ -331,23 +363,28 @@ object Stats {
     *
     * Scale shape: one map-side-combined groupBy (the count), then
     * per-GROUP literal arithmetic — noise adds zero corpus cost. */
-  def dpNoisyCounts(df: DataFrame, groupCols: Seq[String], seed: Long,
-                    noiseBase: Int = 2, clampB: Int = 32): DataFrame = {
-    require(groupCols.nonEmpty, "no group columns given")
+  /** Inverse-CDF threshold table of the two-sided truncated geometric
+    * distribution with α = 1/noiseBase, in 2⁶⁰ space — exact rationals
+    * throughout (see [[dpNoisyCounts]]): CDF(−m) = q^−(m−1)/(q+1) for
+    * 1 ≤ m ≤ B; CDF(j) = 1 − q^−j/(q+1) for 0 ≤ j < B. */
+  private[graft] def geometricThresholds(noiseBase: Int, clampB: Int): Seq[Long] = {
     require(noiseBase >= 2, s"noiseBase must be >= 2, got $noiseBase")
     require(clampB >= 1 && clampB <= 64, s"clampB must be in [1, 64], got $clampB")
     val two60 = BigInt(1) << 60
     val q = BigInt(noiseBase)
-    // CDF(-m) = q^-(m-1) / (q+1)  for 1 <= m <= B;
-    // CDF(j)  = 1 - q^-j / (q+1)  for 0 <= j < B  (exact rationals)
-    val thresholds: Seq[Long] =
-      ((clampB to 1 by -1).map { m =>
-        (two60 / (q.pow(m - 1) * (q + 1))).toLong
-      } ++ (0 until clampB).map { j =>
-        // floor(2^60·(1 − y)) = 2^60 − ceil(2^60·y)
-        val den = q.pow(j) * (q + 1)
-        (two60 - (two60 + den - 1) / den).toLong
-      })
+    (clampB to 1 by -1).map { m =>
+      (two60 / (q.pow(m - 1) * (q + 1))).toLong
+    } ++ (0 until clampB).map { j =>
+      // floor(2^60·(1 − y)) = 2^60 − ceil(2^60·y)
+      val den = q.pow(j) * (q + 1)
+      (two60 - (two60 + den - 1) / den).toLong
+    }
+  }
+
+  def dpNoisyCounts(df: DataFrame, groupCols: Seq[String], seed: Long,
+                    noiseBase: Int = 2, clampB: Int = 32): DataFrame = {
+    require(groupCols.nonEmpty, "no group columns given")
+    val thresholds = geometricThresholds(noiseBase, clampB)
     val tArr = thresholds.mkString("array(", "L, ", "L)")
     val keyCols = groupCols.map(c =>
       s"coalesce(CAST(`$c` AS STRING), chr(2))").mkString(", ")

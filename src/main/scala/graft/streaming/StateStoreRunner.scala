@@ -512,6 +512,47 @@ object StateStoreRunner {
     }
   }
 
+  /** Streaming DP noisy-count release — the live face of
+    * [[graft.functions.Stats.dpNoisyCounts]]: per key, a running count
+    * in the state store; each batch that touches the key emits ONE
+    * release `(key, release_idx, noisy_count)` with FRESH two-sided
+    * truncated-geometric noise drawn from
+    * `md5(key ␁ seed:release_idx)` through the same exact-rational
+    * threshold table the batch face freezes (passed in as literals).
+    * The release index entering the draw is what makes each release an
+    * independent mechanism invocation — ε-ACCOUNTING IS THE CALLER'S:
+    * k releases of one group compose to k·ε (publish per-batch deltas
+    * or release rarely when the budget matters), and the seed-secrecy
+    * caveat of the batch face applies unchanged.
+    *
+    * Emitted noisy counts floor at 0 (post-processing). State per key:
+    * one (count, releases) pair. */
+  class DpReleaseProcessor(thresholds: Array[Long], clampB: Int, seed: Long,
+                           ttl: TTLConfig = TTLConfig.NONE)
+    extends StatefulProcessor[String, (String, Long), (String, Long, Long)] {
+    @transient private var st: org.apache.spark.sql.streaming.ValueState[(Long, Long)] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      st = getHandle.getValueState[(Long, Long)]("cnt",
+        Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong), ttl)
+
+    override def handleInputRows(key: String, rows: Iterator[(String, Long)],
+                                 timerValues: TimerValues): Iterator[(String, Long, Long)] = {
+      var (tot, idx) = if (st.exists()) st.get() else (0L, 0L)
+      rows.foreach { case (_, add) => tot += add }
+      idx += 1L
+      st.update((tot, idx))
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"$key\u0001$seed:$idx".getBytes("UTF-8"))
+        .map(b => f"$b%02x").mkString
+      val u = java.lang.Long.parseLong(md.take(15), 16)
+      var below = 0
+      var i = 0
+      while (i < thresholds.length) { if (thresholds(i) <= u) below += 1; i += 1 }
+      Iterator.single((key, idx, math.max(tot + below - clampB, 0L)))
+    }
+  }
+
   /** Running per-key token offset — the streaming face of
     * `Sampling.shardPlan`: documents are laid into fixed-token-budget
     * output shards AS THEY ARRIVE, the cumulative offset resuming from the

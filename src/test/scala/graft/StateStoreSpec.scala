@@ -819,6 +819,40 @@ class StateStoreSpec extends AnyFunSuite {
     assert(latest.size == 4)
   }
 
+  test("streaming DP release: per-batch noisy running counts replay exactly; fresh noise per release") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.functions.Stats
+    val input = MemoryStream[String]
+    val rel = Stats.streamingDpRelease(input.toDS().toDF("g"), Seq("g"), seed = 77L)
+    val q = rel.writeStream.outputMode("update").format("memory")
+      .queryName("dprel").trigger(Trigger.ProcessingTime(0L)).start()
+    input.addData("x", "x", "x", "y"); q.processAllAvailable()
+    input.addData("x", "x"); q.processAllAvailable()
+    q.stop()
+    val got = spark.table("dprel").as[(String, Long, Long)].collect().toSet
+    // independent replay: same thresholds (BigInt spelling), same md5
+    // uniform over key + U+0001 + "seed:idx"
+    val two60 = BigInt(1) << 60
+    val ts = (32 to 1 by -1).map(m => (two60 / (BigInt(2).pow(m - 1) * 3)).toLong) ++
+      (0 until 32).map { j =>
+        val den = BigInt(2).pow(j) * 3
+        (two60 - (two60 + den - 1) / den).toLong
+      }
+    def noise(key: String, idx: Long): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"$key\u000177:$idx".getBytes("UTF-8"))
+        .map(b => f"$b%02x").mkString
+      val u = java.lang.Long.parseLong(md.take(15), 16)
+      ts.count(_ <= u).toLong - 32L
+    }
+    val expected = Set(
+      ("x", 1L, math.max(3L + noise("x", 1L), 0L)),
+      ("y", 1L, math.max(1L + noise("y", 1L), 0L)),
+      ("x", 2L, math.max(5L + noise("x", 2L), 0L)))
+    assert(got == expected)
+  }
+
   test("streaming gate-funnel monitor: running per-gate charges match the batch funnel") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
