@@ -23,6 +23,54 @@ class GoldenPipelineSpec extends AnyFunSuite {
     .config("spark.ui.enabled", "false")
     .getOrCreate()
 
+  test("golden release pipeline: coarsen until the k-gate clears → audit trio green → DP release") {
+    import spark.implicits._
+    import graft.functions.Stats
+    // a medical-records-shaped table: (age, zip, diagnosis). Raw (age,
+    // zip) tuples are near-unique — the release loop must coarsen.
+    val rows = (0 until 400).map { i =>
+      val age = 20 + (i * 7919) % 45           // 20..64, scattered
+      val zip = 10000 + (i * 104729) % 400     // near-unique at raw grain
+      val diag = Seq("flu", "cold", "covid", "rsv")((i * 31) % 4)
+      (age.toLong, zip.toLong, diag)
+    }.toDF("age", "zip", "diagnosis")
+    def kViolations(df: org.apache.spark.sql.DataFrame): Long =
+      Stats.kAnonymityAudit(df, Seq("age_b", "zip_b"), k = 3)
+        .where($"size_class" < 3).agg(F.coalesce(F.sum("n_rows"), F.lit(0L)))
+        .head().getLong(0)
+    // the coarsening ladder a release pass walks: finer -> coarser
+    val ladder = Seq(
+      ($"age".as("age_b"), $"zip".as("zip_b")),
+      (($"age" - $"age" % 10).as("age_b"), ($"zip" - $"zip" % 100).as("zip_b")),
+      (($"age" - $"age" % 20).as("age_b"), ($"zip" - $"zip" % 1000).as("zip_b")))
+    val coarsened = ladder.map { case (a, z) => rows.select(a, z, $"diagnosis") }
+    val chosen = coarsened.find(kViolations(_) == 0L)
+    // the raw grain must NOT clear the gate (else the test is vacuous),
+    // some rung must
+    assert(kViolations(coarsened.head) > 0L)
+    assert(chosen.isDefined)
+    val rel = chosen.get
+    // l-diversity: no homogeneity disclosures (class-1 groups) at l=2
+    val lClasses = Stats.lDiversityAudit(rel, Seq("age_b", "zip_b"),
+        "diagnosis", l = 2)
+      .collect().map(r => r.getAs[Long]("diversity_class") -> r.getAs[Long]("n_groups")).toMap
+    assert(!lClasses.contains(1L), s"homogeneous groups survived: $lClasses")
+    // t-closeness: every group within 500000 ppm TV of the global mix
+    val tBands = Stats.tClosenessAudit(rel, Seq("age_b", "zip_b"),
+        "diagnosis", Seq(500000L)).collect()
+      .map(r => r.getAs[Long]("band") -> r.getAs[Long]("n_groups")).toMap
+    assert(tBands.getOrElse(1L, 0L) == 0L, s"groups past the TV band: $tBands")
+    // gates green -> publish DP noisy counts per quasi group; the
+    // release never strays past the clamp from the true counts
+    val truth = rel.groupBy("age_b", "zip_b").count()
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val released = Stats.dpNoisyCounts(rel, Seq("age_b", "zip_b"), seed = 7L)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getAs[Long]("noisy_count")).toMap
+    assert(released.keySet == truth.keySet)
+    assert(released.forall { case (k, v) => math.abs(v - truth(k)) <= 32L })
+    assert(released != truth) // noise actually applied somewhere
+  }
+
   test("Topology facade: newStream → pipeline → newDRPCStream end to end") {
     import spark.implicits._
     val topology = new Topology(spark)
