@@ -340,6 +340,22 @@ object ScaleDrill {
         Seq((0L, 9L, 0L, 99L), (10L, 19L, 100L, 199L), (0L, 9L, 500L, 999L),
           (0L, 99L, 0L, 999L)),
         Seq(25L, 50L, 75L), Seq(250L, 500L, 750L))),
+    // same ONE bounded (a,b) groupBy; the 2D cell interpolation is
+    // literal arithmetic on the 1-row frame (16 cells here)
+    "joint_selectivity (q217)" -> (docs =>
+      Scale.conjunctiveJointHistAudit(
+        docs.select(F.expr("pmod(doc_id, 1000L) DIV 10").as("ca"),
+          F.expr("pmod(doc_id, 1000L)").as("fb")),
+        "ca", "fb",
+        Seq((0L, 9L, 0L, 99L), (10L, 19L, 100L, 199L), (0L, 9L, 500L, 999L),
+          (0L, 99L, 0L, 999L)),
+        Seq(25L, 50L, 75L), Seq(250L, 500L, 750L))),
+    // one map-side-combined groupBy (bounded key space) + per-GROUP
+    // literal noise arithmetic — the release adds zero corpus cost
+    "dp_release (q218)" -> (docs =>
+      graft.functions.Stats.dpNoisyCounts(
+        docs.select(F.col("lang"), F.expr("pmod(doc_id, 100L)").as("band")),
+        Seq("lang", "band"), seed = 12L)),
     "minhash_sig (q36)" -> (docs =>
       Dedup.minhashSignature(docs.where(Text.tokenCount(F.col("text")) >= 3),
         "text", 3, 2).select("doc_id", "mh0", "mh1")),
