@@ -1641,12 +1641,16 @@ object SparkEntry {
         F.expr("CAST(round(value * 100) AS BIGINT) DIV 1000").as("value_fine"))
       val probes = Seq((0L, 0L, 0L, 9L), (1L, 1L, 10L, 19L), (0L, 0L, 20L, 39L),
         (0L, 4L, 0L, 49L), (2L, 4L, 20L, 49L), (0L, 1L, 5L, 14L))
+      // ONE corpus groupBy feeds all four estimators: the shared joint
+      // table goes to both audits (the bandedJointCounts shape)
+      val joint = Some(functions.Scale.bandedJointCounts(
+        bands, "value_coarse", "value_fine"))
       val marg = functions.Scale.conjunctiveSelectivityAudit(
         bands, "value_coarse", "value_fine", probes,
-        Seq(1L, 2L, 3L, 4L), Seq(8L, 16L, 24L, 32L))
+        Seq(1L, 2L, 3L, 4L), Seq(8L, 16L, 24L, 32L), joint = joint)
       val jnt = functions.Scale.conjunctiveJointHistAudit(
           bands, "value_coarse", "value_fine", probes,
-          Seq(1L, 2L, 3L, 4L), Seq(8L, 16L, 24L, 32L))
+          Seq(1L, 2L, 3L, 4L), Seq(8L, 16L, 24L, 32L), joint = joint)
         .select("a_lo", "a_hi", "b_lo", "b_hi", "qerr_joint_ppm")
       functions.Scale.qErrorScoreboard(
         marg.join(jnt, Seq("a_lo", "a_hi", "b_lo", "b_hi")),

@@ -1764,17 +1764,17 @@ object Scale {
     * every statistic (marginal bins, NDVs, probe actuals) folds over
     * the checkpoint-cut joint table in one conditional-sum aggregate,
     * and estimates are literal arithmetic over that 1-row frame. */
-  def conjunctiveSelectivityAudit(df: DataFrame, aCol: String, bCol: String,
-      probes: Seq[(Long, Long, Long, Long)],
-      aBoundaries: Seq[Long], bBoundaries: Seq[Long],
+  /** The capped (a, b) joint count table both conjunctive audits fold
+    * over — ONE corpus-sized map-side-combined groupBy, checkpoint-cut,
+    * cell count verified against `maxJointCells` (fails loudly — the
+    * q189/q190 banding discipline). Build it once and pass it to
+    * [[conjunctiveSelectivityAudit]] AND [[conjunctiveJointHistAudit]]
+    * via their `joint` parameter when grading estimators over the same
+    * pair (the q215 shape) — the corpus then scans once, not per audit.
+    * Output columns: (__a, __b, __c). */
+  def bandedJointCounts(df: DataFrame, aCol: String, bCol: String,
       maxJointCells: Long = 10000000L): DataFrame = {
-    require(probes.nonEmpty, "no probe ranges given")
-    probes.foreach { case (alo, ahi, blo, bhi) =>
-      require(alo <= ahi && blo <= bhi,
-        s"probe range ([$alo,$ahi],[$blo,$bhi]) is inverted") }
-    Seq(aBoundaries, bBoundaries).foreach { bs =>
-      require(bs.nonEmpty && bs == bs.sorted && bs.distinct == bs,
-        s"boundaries must be non-empty strictly ascending, got $bs") }
+    require(maxJointCells >= 1, s"maxJointCells must be >= 1, got $maxJointCells")
     val joint = df
       .where(F.col(aCol).isNotNull && F.col(bCol).isNotNull)
       .select(F.col(aCol).cast("long").as("__a"),
@@ -1783,9 +1783,26 @@ object Scale {
       .localCheckpoint()
     val cells = joint.count()
     require(cells <= maxJointCells,
-      s"conjunctiveSelectivityAudit: ($aCol, $bCol) has $cells joint cells " +
+      s"bandedJointCounts: ($aCol, $bCol) has $cells joint cells " +
       s"> cap $maxJointCells — band/coarsen first (the q189/q190 " +
       "discipline), or raise maxJointCells deliberately")
+    joint
+  }
+
+  def conjunctiveSelectivityAudit(df: DataFrame, aCol: String, bCol: String,
+      probes: Seq[(Long, Long, Long, Long)],
+      aBoundaries: Seq[Long], bBoundaries: Seq[Long],
+      maxJointCells: Long = 10000000L,
+      joint: Option[DataFrame] = None): DataFrame = {
+    require(probes.nonEmpty, "no probe ranges given")
+    probes.foreach { case (alo, ahi, blo, bhi) =>
+      require(alo <= ahi && blo <= bhi,
+        s"probe range ([$alo,$ahi],[$blo,$bhi]) is inverted") }
+    Seq(aBoundaries, bBoundaries).foreach { bs =>
+      require(bs.nonEmpty && bs == bs.sorted && bs.distinct == bs,
+        s"boundaries must be non-empty strictly ascending, got $bs") }
+    val jointDf = joint.getOrElse(
+      bandedJointCounts(df, aCol, bCol, maxJointCells))
     def binConds(col: String, bs: Seq[Long]): Seq[Column] =
       (0 to bs.size).map { j =>
         if (j == 0) F.col(col) < bs(0)
@@ -1808,7 +1825,7 @@ object Scale {
             F.col("__b").between(blo, bhi), F.col("__c")).otherwise(0L))
           .as(s"__p$i")
       })
-    val one = joint.agg(aggs.head, aggs.tail: _*).localCheckpoint()
+    val one = jointDf.agg(aggs.head, aggs.tail: _*).localCheckpoint()
     def dec(s: String) = s"CAST($s AS DECIMAL(38,0))"
     // q202's per-column histogram interpolation, as a SQL string over the
     // 1-row frame: Σ_bin cnt·|probe ∩ bin| floor-DIV width, edge bins
@@ -1892,7 +1909,8 @@ object Scale {
   def conjunctiveJointHistAudit(df: DataFrame, aCol: String, bCol: String,
       probes: Seq[(Long, Long, Long, Long)],
       aBoundaries: Seq[Long], bBoundaries: Seq[Long],
-      maxJointCells: Long = 10000000L): DataFrame = {
+      maxJointCells: Long = 10000000L,
+      joint: Option[DataFrame] = None): DataFrame = {
     require(probes.nonEmpty, "no probe ranges given")
     probes.foreach { case (alo, ahi, blo, bhi) =>
       require(alo <= ahi && blo <= bhi,
@@ -1900,17 +1918,8 @@ object Scale {
     Seq(aBoundaries, bBoundaries).foreach { bs =>
       require(bs.nonEmpty && bs == bs.sorted && bs.distinct == bs,
         s"boundaries must be non-empty strictly ascending, got $bs") }
-    val joint = df
-      .where(F.col(aCol).isNotNull && F.col(bCol).isNotNull)
-      .select(F.col(aCol).cast("long").as("__a"),
-        F.col(bCol).cast("long").as("__b"))
-      .groupBy("__a", "__b").agg(F.count(F.lit(1)).as("__c"))
-      .localCheckpoint()
-    val cells = joint.count()
-    require(cells <= maxJointCells,
-      s"conjunctiveJointHistAudit: ($aCol, $bCol) has $cells joint cells " +
-      s"> cap $maxJointCells — band/coarsen first, or raise the cap " +
-      "deliberately")
+    val jointDf = joint.getOrElse(
+      bandedJointCounts(df, aCol, bCol, maxJointCells))
     def binConds(col: String, bs: Seq[Long]): Seq[Column] =
       (0 to bs.size).map { j =>
         if (j == 0) F.col(col) < bs(0)
@@ -1933,7 +1942,7 @@ object Scale {
             F.col("__b").between(blo, bhi), F.col("__c")).otherwise(0L))
           .as(s"__p$i")
       })
-    val one = joint.agg(aggs.head, aggs.tail: _*).localCheckpoint()
+    val one = jointDf.agg(aggs.head, aggs.tail: _*).localCheckpoint()
     def dec(s: String) = s"CAST($s AS DECIMAL(38,0))"
     def edge(j: Int, bs: Seq[Long], mn: String, mx: String): (String, String) = {
       val lo = if (j == 0) dec(mn) else dec(bs(j - 1).toString)
@@ -1981,8 +1990,12 @@ object Scale {
   def qErrorScoreboard(audit: DataFrame,
       estimators: Seq[(String, String)]): DataFrame = {
     require(estimators.nonEmpty, "no estimator columns given")
+    // the unpivot reads the audit frame once PER ESTIMATOR — cut the
+    // ≤|probes|-row frame so the audit pipeline (corpus groupBy + probe
+    // folds) runs once, not |estimators| times
+    val cut = audit.localCheckpoint(true)
     estimators.map { case (name, qerrCol) =>
-      audit.select(F.lit(name).as("estimator"),
+      cut.select(F.lit(name).as("estimator"),
         F.col(qerrCol).cast("long").as("__q"))
     }.reduce(_.unionByName(_))
       .groupBy("estimator")
