@@ -1554,6 +1554,20 @@ object SparkEntry {
           "doc_id", "text", "source")
         .orderBy("source")),
 
+    "q219_dp_sum_release" -> ((s, dir) =>
+      // the DP tier's SUM primitive: per-row value cents clamped to
+      // [0, 20000] (sensitivity bound), per-group clamped sum released
+      // with C-scaled geometric noise — exactly eps = ln 2 per release;
+      // the ':sum' uniform tag keeps a joint count+sum release of the
+      // same groups on independent noise
+      functions.Stats.dpNoisySums(
+        events(s, dir).select(F.col("event_type"),
+          F.expr("pmod(user_id, 50L)").as("user_band"),
+          F.expr("CAST(round(value * 100) AS BIGINT)").as("value_c")),
+        Seq("event_type", "user_band"), "value_c",
+        clampC = 20000L, seed = 20260816L)
+        .orderBy("event_type", "user_band")),
+
     "q218_dp_release" -> ((s, dir) =>
       // the privacy tier's RELEASE step (the audit trio gates, this
       // publishes): per (event_type, user_band) group, count + two-sided
@@ -4012,6 +4026,26 @@ object SparkEntry {
          SELECT source, n_docs, n_dup_docs, tokens_total, tokens_dup,
            CAST(tokens_dup::HUGEINT * 1000000 // greatest(tokens_total, 1) AS BIGINT) AS dup_token_ppm
          FROM g ORDER BY 1""",
+
+    "q219_dp_sum_release" ->
+      // the C-scaled geometric mechanism replayed exactly: clamp in the
+      // scan (NULL -> 0 explicitly), same threshold literals, uniform
+      // tagged ':sum', noise multiplied by the sensitivity bound C
+      """WITH g AS (SELECT event_type, user_id % 50 AS user_band,
+                      CAST(sum(CASE WHEN value IS NULL THEN 0
+                        ELSE greatest(least(CAST(round(value * 100) AS BIGINT), 20000), 0)
+                        END) AS BIGINT) AS s
+                    FROM events GROUP BY 1, 2),
+         u AS (SELECT event_type, user_band, s,
+                 ('0x' || substr(md5(concat_ws(chr(1),
+                    coalesce(event_type, chr(2)),
+                    coalesce(CAST(user_band AS VARCHAR), chr(2)),
+                    '20260816:sum')), 1, 15))::BIGINT AS u
+               FROM g)
+         SELECT event_type, CAST(user_band AS BIGINT) AS user_band,
+           greatest(s + 20000 * (CAST(len(list_filter([178956970, 357913941, 715827882, 1431655765, 2863311530, 5726623061, 11453246122, 22906492245, 45812984490, 91625968981, 183251937962, 366503875925, 733007751850, 1466015503701, 2932031007402, 5864062014805, 11728124029610, 23456248059221, 46912496118442, 93824992236885, 187649984473770, 375299968947541, 750599937895082, 1501199875790165, 3002399751580330, 6004799503160661, 12009599006321322, 24019198012642645, 48038396025285290, 96076792050570581, 192153584101141162, 384307168202282325, 768614336404564650, 960767920505705813, 1056844712556276394, 1104883108581561685, 1128902306594204330, 1140911905600525653, 1146916705103686314, 1149919104855266645, 1151420304731056810, 1152170904668951893, 1152546204637899434, 1152733854622373205, 1152827679614610090, 1152874592110728533, 1152898048358787754, 1152909776482817365, 1152915640544832170, 1152918572575839573, 1152920038591343274, 1152920771599095125, 1152921138102971050, 1152921321354909013, 1152921412980877994, 1152921458793862485, 1152921481700354730, 1152921493153600853, 1152921498880223914, 1152921501743535445, 1152921503175191210, 1152921503891019093, 1152921504248933034, 1152921504427890005],
+             t -> t <= u)) AS BIGINT) - 32), 0) AS noisy_sum
+         FROM u ORDER BY 1, 2""",
 
     "q218_dp_release" ->
       // the geometric mechanism replayed exactly: same 64-entry exact-

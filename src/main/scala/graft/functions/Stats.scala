@@ -399,6 +399,47 @@ object Stats {
       .select(groupCols.map(F.col) :+ F.col("noisy_count"): _*)
   }
 
+  /** ε-DP noisy SUM release — [[dpNoisyCounts]]' partner for the other
+    * release primitive: per group, the sum of per-row values CLAMPED to
+    * [0, clampC] (clamping bounds the sensitivity — one row changes the
+    * sum by at most C), released as `clamped_sum + C·noise` with the
+    * same two-sided truncated-geometric noise. Because the noise lives
+    * on multiples of C and neighboring datasets move the sum by ≤ C,
+    * the mechanism is ε = ln(noiseBase)-DP exactly (the probability
+    * ratio between neighbors is bounded by noiseBase per C-step).
+    * Same exact-rational thresholds, same md5 uniform (drawn with a
+    * `:sum` tag so a joint count+sum release of the same groups uses
+    * independent noise), same seed-secrecy caveat — float-free and
+    * engine-exact. Released values floor at 0.
+    *
+    * Scale shape: one map-side-combined groupBy (clamp in the scan
+    * stage); noise is per-GROUP literal arithmetic. */
+  def dpNoisySums(df: DataFrame, groupCols: Seq[String], valueCol: String,
+                  clampC: Long, seed: Long,
+                  noiseBase: Int = 2, clampB: Int = 32): DataFrame = {
+    require(groupCols.nonEmpty, "no group columns given")
+    require(clampC >= 1, s"clampC must be >= 1, got $clampC")
+    val thresholds = geometricThresholds(noiseBase, clampB)
+    val tArr = thresholds.mkString("array(", "L, ", "L)")
+    val keyCols = groupCols.map(c =>
+      s"coalesce(CAST(`$c` AS STRING), chr(2))").mkString(", ")
+    df.groupBy(groupCols.map(F.col): _*)
+      // NULL contributes 0 explicitly: least/greatest SKIP nulls on both
+      // engines, so an unguarded clamp would turn a NULL row into +C
+      .agg(F.sum(F.expr(
+        s"""CASE WHEN `$valueCol` IS NULL THEN 0L
+             ELSE greatest(least(CAST(`$valueCol` AS BIGINT), ${clampC}L), 0L) END"""))
+        .as("__s"))
+      .withColumn("__u", F.expr(
+        s"""CAST(conv(substring(md5(concat_ws(chr(1), $keyCols, '$seed:sum')),
+               1, 15), 16, 10) AS BIGINT)"""))
+      .withColumn("noisy_sum", F.expr(
+        s"""greatest(__s + ${clampC}L *
+               (CAST(size(filter($tArr, t -> t <= __u)) AS BIGINT)
+                - ${clampB}L), 0L)"""))
+      .select(groupCols.map(F.col) :+ F.col("noisy_sum"): _*)
+  }
+
   /** Column dependency/correlation audit — the statistic pair a CBO needs
     * beyond per-column NDV (q185): selectivity estimators multiply
     * per-column selectivities ASSUMING INDEPENDENCE, and correlated or

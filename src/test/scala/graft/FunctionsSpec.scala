@@ -2238,6 +2238,37 @@ class FunctionsSpec extends AnyFunSuite {
     assert(nOut.length == 2)
   }
 
+  test("dpNoisySums: clamp semantics (over-C, negative, NULL), C-multiple noise, ':sum' tag independence") {
+    // group "a": values 100, 25000 (clamps to 20000), -5 (clamps to 0),
+    // NULL (contributes 0) -> clamped truth 20100
+    val rows = Seq(("a", Some(100L)), ("a", Some(25000L)), ("a", Some(-5L)),
+      ("a", None), ("b", Some(7L)))
+    val df = rows.toDF("g", "v")
+    val out = Stats.dpNoisySums(df, Seq("g"), "v", clampC = 20000L, seed = 5L)
+      .collect().map(r => r.getAs[String]("g") -> r.getAs[Long]("noisy_sum")).toMap
+    val truth = Map("a" -> 20100L, "b" -> 7L)
+    // released value differs from the clamped truth by a multiple of C
+    // within the +/-32 clamp (unless floored at 0)
+    for ((g, rel) <- out) {
+      val d = rel - truth(g)
+      assert(math.abs(d) <= 32L * 20000L, s"$g: $rel")
+      if (rel > 0L) assert(d % 20000L == 0L, s"$g: noise not a C-multiple: $d")
+    }
+    // the ':sum' tag decouples the sum release from the count release of
+    // the SAME groups and seed: over many groups the noise draws differ
+    val many = (0 until 500).flatMap(g => Seq.fill(2)((g.toLong, 1L))).toDF("g", "v")
+    val sums = Stats.dpNoisySums(many, Seq("g"), "v", clampC = 1L, seed = 9L)
+      .collect().map(r => r.getAs[Long]("g") -> (r.getAs[Long]("noisy_sum") - 2L)).toMap
+    val cnts = Stats.dpNoisyCounts(many, Seq("g"), seed = 9L)
+      .collect().map(r => r.getAs[Long]("g") -> (r.getAs[Long]("noisy_count") - 2L)).toMap
+    assert((0 until 500).count(g => sums(g.toLong) != cnts(g.toLong)) > 200)
+    // deterministic across partitionings
+    val again = Stats.dpNoisySums(df.repartition(5), Seq("g"), "v",
+        clampC = 20000L, seed = 5L)
+      .collect().map(r => r.getAs[String]("g") -> r.getAs[Long]("noisy_sum")).toMap
+    assert(again == out)
+  }
+
   test("tClosenessAudit: NULL quasi groups report and NULL sensitive counts as a present value") {
     // global = {s1: 3, NULL: 3}, n = 6. Group q=NULL (2x s1):
     // present |2*6 - 3*2| = 6, absent 2*(6-3) = 6 -> tv = 12e6/24 = 500000.
