@@ -356,6 +356,12 @@ object ScaleDrill {
       graft.functions.Stats.dpNoisyCounts(
         docs.select(F.col("lang"), F.expr("pmod(doc_id, 100L)").as("band")),
         Seq("lang", "band"), seed = 12L)),
+    // same shape with the clamp in the scan stage; noise stays per-group
+    "dp_sum_release (q219)" -> (docs =>
+      graft.functions.Stats.dpNoisySums(
+        docs.select(F.col("lang"), F.expr("pmod(doc_id, 100L)").as("band"),
+          F.length(F.col("text")).cast("long").as("len")),
+        Seq("lang", "band"), "len", clampC = 4000L, seed = 12L)),
     "minhash_sig (q36)" -> (docs =>
       Dedup.minhashSignature(docs.where(Text.tokenCount(F.col("text")) >= 3),
         "text", 3, 2).select("doc_id", "mh0", "mh1")),
