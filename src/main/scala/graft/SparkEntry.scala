@@ -1554,6 +1554,17 @@ object SparkEntry {
           "doc_id", "text", "source")
         .orderBy("source")),
 
+    "q220_dp_median" -> ((s, dir) =>
+      // the DP tier's third primitive: a median released through the
+      // truncated exponential mechanism (additive noise can't privatize
+      // a quantile) — weight alpha^(-rank-distance) sampling over the
+      // distinct-value ladder, all exact-rational, ':med'-tagged uniform
+      functions.Stats.dpMedian(
+        events(s, dir).select(F.col("event_type"),
+          F.expr("CAST(round(value * 100) AS BIGINT)").as("value_c")),
+        Seq("event_type"), "value_c", seed = 20260816L)
+        .orderBy("event_type")),
+
     "q219_dp_sum_release" -> ((s, dir) =>
       // the DP tier's SUM primitive: per-row value cents clamped to
       // [0, 20000] (sensitivity bound), per-group clamped sum released
@@ -4026,6 +4037,34 @@ object SparkEntry {
          SELECT source, n_docs, n_dup_docs, tokens_total, tokens_dup,
            CAST(tokens_dup::HUGEINT * 1000000 // greatest(tokens_total, 1) AS BIGINT) AS dup_token_ppm
          FROM g ORDER BY 1""",
+
+    "q220_dp_median" ->
+      // the exponential mechanism replayed exactly: distinct-value
+      // ladder with doubled rank-distance utilities, integer power
+      // weights from the literal table, HUGEINT cumulative ladder,
+      // ':med'-tagged 60-bit uniform, released value = first crossing
+      """WITH gv AS (SELECT event_type, CAST(round(value * 100) AS BIGINT) AS v,
+                       CAST(count(*) AS BIGINT) AS c
+                     FROM events WHERE value IS NOT NULL GROUP BY 1, 2),
+         r AS (SELECT event_type, v, c,
+                 sum(c) OVER (PARTITION BY event_type ORDER BY v
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - c AS cum,
+                 sum(c) OVER (PARTITION BY event_type) AS n
+               FROM gv),
+         u AS (SELECT *, abs(2 * cum + c - n) AS uu FROM r),
+         b AS (SELECT *, min(uu) OVER (PARTITION BY event_type) AS ubest FROM u),
+         w AS (SELECT *, [1, 2, 4, 8, 16, 32, 64, 128, 256, 512, 1024, 2048, 4096, 8192, 16384, 32768, 65536, 131072, 262144, 524288, 1048576, 2097152, 4194304, 8388608, 16777216, 33554432, 67108864, 134217728, 268435456, 536870912, 1073741824, 2147483648, 4294967296][CAST(32 + greatest(ubest - uu, -32) AS INT) + 1] AS wt
+               FROM b),
+         cw AS (SELECT *,
+                 sum(wt::HUGEINT) OVER (PARTITION BY event_type ORDER BY v
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cwt,
+                 sum(wt::HUGEINT) OVER (PARTITION BY event_type) AS twt,
+                 ('0x' || substr(md5(concat_ws(chr(1),
+                    coalesce(event_type, chr(2)), '20260816:med')), 1, 15))::BIGINT AS u60
+               FROM w)
+         SELECT event_type, CAST(min(v) AS BIGINT) AS released_median
+         FROM cw WHERE cwt > (u60::HUGEINT * twt) // 1152921504606846976
+         GROUP BY 1 ORDER BY 1""",
 
     "q219_dp_sum_release" ->
       // the C-scaled geometric mechanism replayed exactly: clamp in the

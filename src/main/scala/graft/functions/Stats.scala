@@ -440,6 +440,74 @@ object Stats {
       .select(groupCols.map(F.col) :+ F.col("noisy_sum"): _*)
   }
 
+  /** ε-DP median release via the EXPONENTIAL MECHANISM (McSherry–Talwar
+    * 2007) — the DP tier's third primitive after [[dpNoisyCounts]] and
+    * [[dpNoisySums]]: additive noise cannot privatize a quantile (its
+    * local sensitivity is unbounded), so the mechanism instead SAMPLES a
+    * released value from the group's distinct values with weight
+    * `α^(−u)` where `u(v) = |#{x<v}·2 + c_v − n|` is the doubled rank
+    * distance from the median position. u has sensitivity 1 (one added
+    * row shifts every value's score by ±1), so the release is
+    * ε = 2·ln(noiseBase)-DP; utilities are CLAMPED at `clampB` below
+    * the per-group best (the truncated tier — clamping preserves the
+    * sensitivity bound, and candidates q^−32 off the optimum carry
+    * ~2⁻³² of the weight).
+    *
+    * Engine-exact with no floats: weights are integer powers
+    * `q^(clampB + max(u_best − u, −clampB))` read from a literal table,
+    * the cumulative-weight ladder accumulates in DECIMAL(38,0), the
+    * draw is the 60-bit md5 uniform (`:med`-tagged — independent of
+    * the count/sum releases), and the released value is the first
+    * ladder crossing — bit-reproducible in any engine. Seed-secrecy
+    * caveat as in [[dpNoisyCounts]].
+    *
+    * Scale shape: one map-side-combined (group, value) groupBy, then
+    * windows over the DISTINCT-VALUE ladder (bounded by the value
+    * domain, not rows — band near-unique value columns first, the
+    * q189/q190 discipline). */
+  def dpMedian(df: DataFrame, groupCols: Seq[String], valueCol: String,
+               seed: Long, noiseBase: Int = 2, clampB: Int = 32): DataFrame = {
+    require(groupCols.nonEmpty, "no group columns given")
+    require(noiseBase >= 2, s"noiseBase must be >= 2, got $noiseBase")
+    require(clampB >= 1 && clampB <= 62, s"clampB must be in [1, 62], got $clampB")
+    require(BigInt(noiseBase).pow(clampB) <= BigInt(Long.MaxValue),
+      s"noiseBase^clampB must fit a long, got $noiseBase^$clampB")
+    val powers = (0 to clampB).map(e => BigInt(noiseBase).pow(e).toLong)
+    val pArr = powers.mkString("array(", "L, ", "L)")
+    val gCols = groupCols.map(F.col)
+    val byG = Window.partitionBy(gCols: _*)
+    val ladder = Window.partitionBy(gCols: _*).orderBy(F.col("__v"))
+    val keyCols = groupCols.map(c =>
+      s"coalesce(CAST(`$c` AS STRING), chr(2))").mkString(", ")
+    df.where(F.col(valueCol).isNotNull)
+      .groupBy(gCols :+ F.col(valueCol).cast("long").as("__v"): _*)
+      .agg(F.count(F.lit(1)).as("__c"))
+      .withColumn("__cum", F.sum("__c").over(ladder) - F.col("__c"))
+      .withColumn("__n", F.sum("__c").over(byG))
+      .withColumn("__u", F.abs(F.lit(2L) * F.col("__cum") + F.col("__c") - F.col("__n")))
+      .withColumn("__ubest", F.min("__u").over(byG))
+      .withColumn("__w", F.expr(
+        s"""element_at($pArr,
+              CAST(${clampB}L + greatest(__ubest - __u, ${-clampB}L) AS INT) + 1)"""))
+      .withColumn("__cw", F.expr(
+        "sum(CAST(__w AS DECIMAL(38,0)))").over(ladder))
+      .withColumn("__tw", F.expr(
+        "sum(CAST(__w AS DECIMAL(38,0)))").over(byG))
+      .withColumn("__u60", F.expr(
+        s"""CAST(conv(substring(md5(concat_ws(chr(1), $keyCols, '$seed:med')),
+               1, 15), 16, 10) AS BIGINT)"""))
+      // target = floor(u60·ΣW / 2^60) in DECIMAL ((p − p%w)/w — exact);
+      // released value = first ladder row with cumW > target
+      .withColumn("__tgt", F.expr(
+        """CAST((CAST(__u60 AS DECIMAL(38,0)) * __tw
+                 - CAST(__u60 AS DECIMAL(38,0)) * __tw % 1152921504606846976)
+                / 1152921504606846976 AS DECIMAL(38,0))"""))
+      .where(F.expr("__cw > __tgt"))
+      .groupBy(gCols: _*)
+      .agg(F.min("__v").as("released_median"))
+      .select(gCols :+ F.col("released_median"): _*)
+  }
+
   /** Column dependency/correlation audit — the statistic pair a CBO needs
     * beyond per-column NDV (q185): selectivity estimators multiply
     * per-column selectivities ASSUMING INDEPENDENCE, and correlated or

@@ -362,6 +362,13 @@ object ScaleDrill {
         docs.select(F.col("lang"), F.expr("pmod(doc_id, 100L)").as("band"),
           F.length(F.col("text")).cast("long").as("len")),
         Seq("lang", "band"), "len", clampC = 4000L, seed = 12L)),
+    // one (group, value) groupBy + windows over the BANDED distinct-value
+    // ladder (len DIV 16 keeps the ladder value-domain-bounded whatever N)
+    "dp_median (q220)" -> (docs =>
+      graft.functions.Stats.dpMedian(
+        docs.select(F.col("lang"),
+          F.expr("CAST(length(text) AS BIGINT) DIV 16").as("len_band")),
+        Seq("lang"), "len_band", seed = 12L)),
     "minhash_sig (q36)" -> (docs =>
       Dedup.minhashSignature(docs.where(Text.tokenCount(F.col("text")) >= 3),
         "text", 3, 2).select("doc_id", "mh0", "mh1")),

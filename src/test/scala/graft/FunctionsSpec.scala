@@ -2269,6 +2269,53 @@ class FunctionsSpec extends AnyFunSuite {
     assert(again == out)
   }
 
+  test("dpMedian: exact exponential-mechanism replay, concentration, determinism, seed sensitivity") {
+    // hand ladder for group "a": values 1(x1), 5(x3), 9(x1), n=5 —
+    // utilities |2cum+c-n|: v=1 -> 4, v=5 -> 0 (the true median),
+    // v=9 -> 4; weights 2^28, 2^32, 2^28
+    val rows = Seq(("a", 1L)) ++ Seq.fill(3)(("a", 5L)) ++ Seq(("a", 9L))
+    val df = rows.toDF("g", "v")
+    val out = Stats.dpMedian(df, Seq("g"), "v", seed = 3L)
+      .collect().map(r => r.getAs[String]("g") -> r.getAs[Long]("released_median")).toMap
+    // independent replay: BigInt ladder + the same md5 uniform
+    def u60(key: String, tag: String): BigInt = BigInt(java.lang.Long.parseLong(
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s"$key\u0001${3L}:$tag".getBytes("UTF-8"))
+        .map(b => f"$b%02x").mkString.take(15), 16))
+    val ws = Seq((1L, BigInt(1) << 28), (5L, BigInt(1) << 32), (9L, BigInt(1) << 28))
+    val tw = ws.map(_._2).sum
+    val tgt = u60("a", "med") * tw / (BigInt(1) << 60)
+    val cum = ws.scanLeft(BigInt(0))(_ + _._2).tail
+    val expected = ws(cum.indexWhere(_ > tgt))._1
+    assert(out("a") == expected)
+    // concentration: with a steep ladder (n large) the sampled value is
+    // the true median for (almost) any seed — check 20 seeds
+    val steep = ((1 to 200).map(i => ("s", (i % 5).toLong * 10)) ++
+      Seq.fill(400)(("s", 20L))).toDF("g", "v")
+    val hits = (1 to 20).count { sd =>
+      Stats.dpMedian(steep, Seq("g"), "v", seed = sd.toLong)
+        .head().getAs[Long]("released_median") == 20L
+    }
+    assert(hits >= 18, s"concentration failed: $hits/20")
+    // released values are always INPUT values; deterministic across
+    // partitionings; seed-sensitive across many near-flat groups
+    val flat = (0 until 300).flatMap(g =>
+      (1 to 6).map(v => (g.toLong, v.toLong))).toDF("g", "v")
+    val r1 = Stats.dpMedian(flat, Seq("g"), "v", seed = 1L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val r1b = Stats.dpMedian(flat.repartition(7), Seq("g"), "v", seed = 1L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val r2 = Stats.dpMedian(flat, Seq("g"), "v", seed = 2L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(r1 == r1b)
+    assert(r1.values.forall(v => v >= 1L && v <= 6L))
+    assert(r1 != r2)
+    // near-flat even-n ladder: both central values (3, 4) dominate the
+    // draw (they tie at the best utility)
+    val central = r1.values.count(v => v == 3L || v == 4L)
+    assert(central > 200, s"central mass: $central/300")
+  }
+
   test("tClosenessAudit: NULL quasi groups report and NULL sensitive counts as a present value") {
     // global = {s1: 3, NULL: 3}, n = 6. Group q=NULL (2x s1):
     // present |2*6 - 3*2| = 6, absent 2*(6-3) = 6 -> tv = 12e6/24 = 500000.
