@@ -1557,12 +1557,16 @@ object SparkEntry {
     "q220_dp_median" -> ((s, dir) =>
       // the DP tier's third primitive: a median released through the
       // truncated exponential mechanism (additive noise can't privatize
-      // a quantile) — weight alpha^(-rank-distance) sampling over the
-      // distinct-value ladder, all exact-rational, ':med'-tagged uniform
+      // a quantile) — weight alpha^(-min(rank-distance, clamp)) sampling
+      // over the FIXED PUBLIC grid [0, 60000] step 250 (value cents;
+      // data-independent support — observed-value sampling would leak
+      // the support itself), absolute utility clamp (sensitivity stays
+      // 1), all exact-rational, ':med'-tagged uniform
       functions.Stats.dpMedian(
         events(s, dir).select(F.col("event_type"),
           F.expr("CAST(round(value * 100) AS BIGINT)").as("value_c")),
-        Seq("event_type"), "value_c", seed = 20260816L)
+        Seq("event_type"), "value_c", seed = 20260816L,
+        candLo = 0L, candHi = 60000L, candStep = 250L)
         .orderBy("event_type")),
 
     "q219_dp_sum_release" -> ((s, dir) =>
@@ -1581,14 +1585,23 @@ object SparkEntry {
 
     "q218_dp_release" -> ((s, dir) =>
       // the privacy tier's RELEASE step (the audit trio gates, this
-      // publishes): per (event_type, user_band) group, count + two-sided
-      // truncated-geometric noise (discrete Laplace, eps = ln 2), the
-      // inverse-CDF threshold table exact-rational (alpha = 1/2) and the
-      // uniform a 60-bit md5 draw — bit-reproducible in both engines
+      // publishes): per (event_type, user_band) key of a declared PUBLIC
+      // domain — 6 event types x bands 0..49, incl. 'refund' which never
+      // occurs, so its bands release noise-only counts (the key set must
+      // not leak membership) — count + two-sided truncated-geometric
+      // noise (discrete Laplace, eps = ln 2), the inverse-CDF threshold
+      // table exact-rational (alpha = 1/2) and the uniform a 60-bit md5
+      // draw — bit-reproducible in both engines
       functions.Stats.dpNoisyCounts(
         events(s, dir).select(F.col("event_type"),
           F.expr("pmod(user_id, 50L)").as("user_band")),
-        Seq("event_type", "user_band"), seed = 20260816L)
+        Seq("event_type", "user_band"), seed = 20260816L,
+        domain = Some(s.sql(
+          """SELECT event_type, user_band
+             FROM VALUES ('click'), ('error'), ('purchase'), ('refund'),
+                         ('signup'), ('view') AS t(event_type)
+             CROSS JOIN (SELECT CAST(id AS BIGINT) AS user_band
+                         FROM range(50))""")))
         .orderBy("event_type", "user_band")),
 
     "q216_phash_dedup" -> ((s, dir) => {
@@ -4039,22 +4052,31 @@ object SparkEntry {
          FROM g ORDER BY 1""",
 
     "q220_dp_median" ->
-      // the exponential mechanism replayed exactly: distinct-value
-      // ladder with doubled rank-distance utilities, integer power
-      // weights from the literal table, HUGEINT cumulative ladder,
-      // ':med'-tagged 60-bit uniform, released value = first crossing
+      // the exponential mechanism replayed exactly: union of the data's
+      // distinct-value ladder (mass) with the fixed public candidate
+      // grid [0, 60000] step 250 (zero mass, the only releasable rows),
+      // doubled rank-distance utilities with the ABSOLUTE clamp, integer
+      // power weights from the literal table, HUGEINT cumulative ladder,
+      // ':med'-tagged 60-bit uniform, released value = first candidate
+      // crossing
       """WITH gv AS (SELECT event_type, CAST(round(value * 100) AS BIGINT) AS v,
-                       CAST(count(*) AS BIGINT) AS c
+                       CAST(count(*) AS BIGINT) AS c, 0 AS cand
                      FROM events WHERE value IS NOT NULL GROUP BY 1, 2),
-         r AS (SELECT event_type, v, c,
+         grid AS (SELECT g.event_type, CAST(gs.v AS BIGINT) AS v,
+                    CAST(0 AS BIGINT) AS c, 1 AS cand
+                  FROM (SELECT DISTINCT event_type FROM gv) g
+                  CROSS JOIN (SELECT unnest(generate_series(0, 60000, 250)) AS v) gs),
+         uni AS (SELECT event_type, v, CAST(sum(c) AS BIGINT) AS c, max(cand) AS cand
+                 FROM (SELECT * FROM gv UNION ALL SELECT * FROM grid)
+                 GROUP BY 1, 2),
+         r AS (SELECT event_type, v, c, cand,
                  sum(c) OVER (PARTITION BY event_type ORDER BY v
                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - c AS cum,
                  sum(c) OVER (PARTITION BY event_type) AS n
-               FROM gv),
+               FROM uni),
          u AS (SELECT *, abs(2 * cum + c - n) AS uu FROM r),
-         b AS (SELECT *, min(uu) OVER (PARTITION BY event_type) AS ubest FROM u),
-         w AS (SELECT *, [1, 2, 4, 8, 16, 32, 64, 128, 256, 512, 1024, 2048, 4096, 8192, 16384, 32768, 65536, 131072, 262144, 524288, 1048576, 2097152, 4194304, 8388608, 16777216, 33554432, 67108864, 134217728, 268435456, 536870912, 1073741824, 2147483648, 4294967296][CAST(32 + greatest(ubest - uu, -32) AS INT) + 1] AS wt
-               FROM b),
+         w AS (SELECT *, CASE WHEN cand = 1 THEN [1, 2, 4, 8, 16, 32, 64, 128, 256, 512, 1024, 2048, 4096, 8192, 16384, 32768, 65536, 131072, 262144, 524288, 1048576, 2097152, 4194304, 8388608, 16777216, 33554432, 67108864, 134217728, 268435456, 536870912, 1073741824, 2147483648, 4294967296][CAST(32 - least(uu, 32) AS INT) + 1] ELSE 0 END AS wt
+               FROM u),
          cw AS (SELECT *,
                  sum(wt::HUGEINT) OVER (PARTITION BY event_type ORDER BY v
                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cwt,
@@ -4063,13 +4085,15 @@ object SparkEntry {
                     coalesce(event_type, chr(2)), '20260816:med')), 1, 15))::BIGINT AS u60
                FROM w)
          SELECT event_type, CAST(min(v) AS BIGINT) AS released_median
-         FROM cw WHERE cwt > (u60::HUGEINT * twt) // 1152921504606846976
+         FROM cw WHERE cand = 1 AND cwt > (u60::HUGEINT * twt) // 1152921504606846976
          GROUP BY 1 ORDER BY 1""",
 
     "q219_dp_sum_release" ->
-      // the C-scaled geometric mechanism replayed exactly: clamp in the
-      // scan (NULL -> 0 explicitly), same threshold literals, uniform
-      // tagged ':sum', noise multiplied by the sensitivity bound C
+      // the lattice-quantized C-scaled geometric mechanism replayed
+      // exactly: clamp in the scan (NULL -> 0 explicitly), round-half-up
+      // quantization to the C-lattice (the step that makes eps = ln 2
+      // true — un-quantized C-scaled noise would leak the sum mod C),
+      // same threshold literals, uniform tagged ':sum'
       """WITH g AS (SELECT event_type, user_id % 50 AS user_band,
                       CAST(sum(CASE WHEN value IS NULL THEN 0
                         ELSE greatest(least(CAST(round(value * 100) AS BIGINT), 20000), 0)
@@ -4082,24 +4106,33 @@ object SparkEntry {
                     '20260816:sum')), 1, 15))::BIGINT AS u
                FROM g)
          SELECT event_type, CAST(user_band AS BIGINT) AS user_band,
-           greatest(s + 20000 * (CAST(len(list_filter([178956970, 357913941, 715827882, 1431655765, 2863311530, 5726623061, 11453246122, 22906492245, 45812984490, 91625968981, 183251937962, 366503875925, 733007751850, 1466015503701, 2932031007402, 5864062014805, 11728124029610, 23456248059221, 46912496118442, 93824992236885, 187649984473770, 375299968947541, 750599937895082, 1501199875790165, 3002399751580330, 6004799503160661, 12009599006321322, 24019198012642645, 48038396025285290, 96076792050570581, 192153584101141162, 384307168202282325, 768614336404564650, 960767920505705813, 1056844712556276394, 1104883108581561685, 1128902306594204330, 1140911905600525653, 1146916705103686314, 1149919104855266645, 1151420304731056810, 1152170904668951893, 1152546204637899434, 1152733854622373205, 1152827679614610090, 1152874592110728533, 1152898048358787754, 1152909776482817365, 1152915640544832170, 1152918572575839573, 1152920038591343274, 1152920771599095125, 1152921138102971050, 1152921321354909013, 1152921412980877994, 1152921458793862485, 1152921481700354730, 1152921493153600853, 1152921498880223914, 1152921501743535445, 1152921503175191210, 1152921503891019093, 1152921504248933034, 1152921504427890005],
+           20000 * greatest((2 * s + 20000) // 40000 + (CAST(len(list_filter([178956970, 357913941, 715827882, 1431655765, 2863311530, 5726623061, 11453246122, 22906492245, 45812984490, 91625968981, 183251937962, 366503875925, 733007751850, 1466015503701, 2932031007402, 5864062014805, 11728124029610, 23456248059221, 46912496118442, 93824992236885, 187649984473770, 375299968947541, 750599937895082, 1501199875790165, 3002399751580330, 6004799503160661, 12009599006321322, 24019198012642645, 48038396025285290, 96076792050570581, 192153584101141162, 384307168202282325, 768614336404564650, 960767920505705813, 1056844712556276394, 1104883108581561685, 1128902306594204330, 1140911905600525653, 1146916705103686314, 1149919104855266645, 1151420304731056810, 1152170904668951893, 1152546204637899434, 1152733854622373205, 1152827679614610090, 1152874592110728533, 1152898048358787754, 1152909776482817365, 1152915640544832170, 1152918572575839573, 1152920038591343274, 1152920771599095125, 1152921138102971050, 1152921321354909013, 1152921412980877994, 1152921458793862485, 1152921481700354730, 1152921493153600853, 1152921498880223914, 1152921501743535445, 1152921503175191210, 1152921503891019093, 1152921504248933034, 1152921504427890005],
              t -> t <= u)) AS BIGINT) - 32), 0) AS noisy_sum
          FROM u ORDER BY 1, 2""",
 
     "q218_dp_release" ->
-      // the geometric mechanism replayed exactly: same 64-entry exact-
+      // the geometric mechanism replayed exactly over the declared
+      // PUBLIC domain (6 event types x bands 0..49 — 'refund' never
+      // occurs, releasing noise-only counts): same 64-entry exact-
       // rational threshold table (literals), same 60-bit md5 uniform
       // over the sentinel-joined key + seed, noise = thresholds <= u
       // minus 32, released count floored at 0
       """WITH g AS (SELECT event_type, user_id % 50 AS user_band,
                       CAST(count(*) AS BIGINT) AS n
                     FROM events GROUP BY 1, 2),
+         dom AS (SELECT et.event_type, CAST(gs.user_band AS BIGINT) AS user_band
+                 FROM (VALUES ('click'), ('error'), ('purchase'), ('refund'),
+                              ('signup'), ('view')) et(event_type)
+                 CROSS JOIN (SELECT unnest(generate_series(0, 49)) AS user_band) gs),
+         j AS (SELECT d.event_type, d.user_band, coalesce(g.n, 0) AS n
+               FROM dom d LEFT JOIN g
+                 ON d.event_type = g.event_type AND d.user_band = g.user_band),
          u AS (SELECT event_type, user_band, n,
                  ('0x' || substr(md5(concat_ws(chr(1),
                     coalesce(event_type, chr(2)),
                     coalesce(CAST(user_band AS VARCHAR), chr(2)),
                     '20260816')), 1, 15))::BIGINT AS u
-               FROM g)
+               FROM j)
          SELECT event_type, CAST(user_band AS BIGINT) AS user_band,
            greatest(n + CAST(len(list_filter([178956970, 357913941, 715827882, 1431655765, 2863311530, 5726623061, 11453246122, 22906492245, 45812984490, 91625968981, 183251937962, 366503875925, 733007751850, 1466015503701, 2932031007402, 5864062014805, 11728124029610, 23456248059221, 46912496118442, 93824992236885, 187649984473770, 375299968947541, 750599937895082, 1501199875790165, 3002399751580330, 6004799503160661, 12009599006321322, 24019198012642645, 48038396025285290, 96076792050570581, 192153584101141162, 384307168202282325, 768614336404564650, 960767920505705813, 1056844712556276394, 1104883108581561685, 1128902306594204330, 1140911905600525653, 1146916705103686314, 1149919104855266645, 1151420304731056810, 1152170904668951893, 1152546204637899434, 1152733854622373205, 1152827679614610090, 1152874592110728533, 1152898048358787754, 1152909776482817365, 1152915640544832170, 1152918572575839573, 1152920038591343274, 1152920771599095125, 1152921138102971050, 1152921321354909013, 1152921412980877994, 1152921458793862485, 1152921481700354730, 1152921493153600853, 1152921498880223914, 1152921501743535445, 1152921503175191210, 1152921503891019093, 1152921504248933034, 1152921504427890005],
              t -> t <= u)) AS BIGINT) - 32, 0) AS noisy_count

@@ -310,9 +310,14 @@ object Stats {
     * repeated releases are independent mechanism invocations —
     * ε-accounting is the caller's: k releases of a group compose to
     * k·ε). Same exact-rational threshold table and md5 uniform as the
-    * batch face; the batch-face seed-secrecy caveat applies unchanged.
-    * FunctionsSpec replays the noise independently and pins the running
-    * counts against the arrivals. */
+    * batch face; the batch-face seed-secrecy caveat applies unchanged,
+    * and so does the UNKNOWN-DOMAIN caveat — only keys the stream has
+    * touched ever release, so the emitted key set (and each release's
+    * timing) reveals membership unless the group-key universe is public
+    * knowledge; for data-dependent key domains release through the
+    * batch face with an explicit `domain` instead. FunctionsSpec
+    * replays the noise independently and pins the running counts
+    * against the arrivals. */
   def streamingDpRelease(stream: DataFrame, groupCols: Seq[String],
       seed: Long, noiseBase: Int = 2, clampB: Int = 32,
       ttl: org.apache.spark.sql.streaming.TTLConfig =
@@ -361,8 +366,21 @@ object Stats {
     * seed from a CSPRNG per publication (the mechanism's arithmetic is
     * unchanged).
     *
+    * UNKNOWN-DOMAIN CAVEAT (the classic problem): releasing only groups
+    * PRESENT in the data leaks membership through the key set itself —
+    * under add/remove-one-row adjacency a singleton group's key appears
+    * in one world and not its neighbor, so the per-release ε guarantee
+    * only holds when the group-key set is PUBLIC. Pass `domain` (the
+    * a-priori public key universe) to release a noisy count for EVERY
+    * domain key — absent groups release noise-only counts (floored at
+    * 0), present groups outside the domain are NOT released — which
+    * restores the guarantee for data-dependent key sets. With
+    * `domain = None` the caller asserts the observed key set is public
+    * knowledge.
+    *
     * Scale shape: one map-side-combined groupBy (the count), then
-    * per-GROUP literal arithmetic — noise adds zero corpus cost. */
+    * per-GROUP literal arithmetic — noise adds zero corpus cost; the
+    * domain join broadcasts the (small, public) domain table. */
   /** Inverse-CDF threshold table of the two-sided truncated geometric
     * distribution with α = 1/noiseBase, in 2⁶⁰ space — exact rationals
     * throughout (see [[dpNoisyCounts]]): CDF(−m) = q^−(m−1)/(q+1) for
@@ -382,14 +400,41 @@ object Stats {
   }
 
   def dpNoisyCounts(df: DataFrame, groupCols: Seq[String], seed: Long,
-                    noiseBase: Int = 2, clampB: Int = 32): DataFrame = {
+                    noiseBase: Int = 2, clampB: Int = 32,
+                    domain: Option[DataFrame] = None): DataFrame = {
     require(groupCols.nonEmpty, "no group columns given")
     val thresholds = geometricThresholds(noiseBase, clampB)
     val tArr = thresholds.mkString("array(", "L, ", "L)")
     val keyCols = groupCols.map(c =>
       s"coalesce(CAST(`$c` AS STRING), chr(2))").mkString(", ")
-    df.groupBy(groupCols.map(F.col): _*)
+    val observed = df.groupBy(groupCols.map(F.col): _*)
       .agg(F.count(F.lit(1)).as("__n"))
+    val counts = domain match {
+      case None => observed
+      case Some(d) =>
+        require(groupCols.forall(d.columns.contains),
+          s"domain must carry the group columns $groupCols, has ${d.columns.toSeq}")
+        // the domain IS the release universe: every public key releases
+        // (absent ones as count 0 + noise), observed keys outside it do
+        // NOT. Scale shape: prune observed to the domain with a
+        // broadcast semi-join FIRST (the observed key set can be huge;
+        // the survivor set is ≤ |domain| rows), then the small pruned
+        // side broadcasts into the domain-preserving left join.
+        // null-safe `<=>` throughout (the r11 t-closeness discipline):
+        // a NULL group key in the domain matches the NULL-keyed group
+        val d2 = d.select(groupCols.map(F.col): _*).distinct()
+        val semiCond = groupCols
+          .map(c => observed(c) <=> d2(c)).reduce(_ && _)
+        val pruned = observed
+          .join(F.broadcast(d2), semiCond, "left_semi").alias("__obs")
+        val dom = d2.alias("__dom")
+        val joinCond = groupCols
+          .map(c => F.col(s"__dom.$c") <=> F.col(s"__obs.$c")).reduce(_ && _)
+        dom.join(F.broadcast(pruned), joinCond, "left")
+          .select(groupCols.map(c => F.col(s"__dom.$c")) :+
+            F.coalesce(F.col("__obs.__n"), F.lit(0L)).as("__n"): _*)
+    }
+    counts
       .withColumn("__u", F.expr(
         s"""CAST(conv(substring(md5(concat_ws(chr(1), $keyCols, '$seed')),
                1, 15), 16, 10) AS BIGINT)"""))
@@ -402,18 +447,28 @@ object Stats {
   /** ε-DP noisy SUM release — [[dpNoisyCounts]]' partner for the other
     * release primitive: per group, the sum of per-row values CLAMPED to
     * [0, clampC] (clamping bounds the sensitivity — one row changes the
-    * sum by at most C), released as `clamped_sum + C·noise` with the
-    * same two-sided truncated-geometric noise. Because the noise lives
-    * on multiples of C and neighboring datasets move the sum by ≤ C,
-    * the mechanism is ε = ln(noiseBase)-DP exactly (the probability
-    * ratio between neighbors is bounded by noiseBase per C-step).
+    * sum by at most C), QUANTIZED to the C-lattice (round-half-up to
+    * the nearest multiple of C), and released as
+    * `C·(lattice_sum + noise)` with the same two-sided truncated-
+    * geometric noise. The quantization is what makes the ε claim true:
+    * C-scaled noise alone keeps the release on `true_sum + C·ℤ`, so the
+    * released value would reveal the clamped sum modulo C exactly
+    * (neighbors whose sums differ by a non-multiple of C would release
+    * on DISJOINT lattices — distinguishable with certainty, no finite
+    * ε). Rounding to the lattice FIRST puts every world on the same
+    * support: neighbors move the clamped sum by ≤ C, hence the lattice
+    * point by ≤ 1 step (round-half-up is 1-Lipschitz in C-steps), and
+    * the geometric noise's per-step ratio gives ε = ln(noiseBase)
+    * exactly — at the cost of ≤ C/2 deterministic quantization bias
+    * (the resolution already implied by sensitivity-C noise).
     * Same exact-rational thresholds, same md5 uniform (drawn with a
     * `:sum` tag so a joint count+sum release of the same groups uses
-    * independent noise), same seed-secrecy caveat — float-free and
+    * independent noise), same seed-secrecy caveat and same
+    * unknown-domain caveat as [[dpNoisyCounts]] — float-free and
     * engine-exact. Released values floor at 0.
     *
     * Scale shape: one map-side-combined groupBy (clamp in the scan
-    * stage); noise is per-GROUP literal arithmetic. */
+    * stage); quantization and noise are per-GROUP literal arithmetic. */
   def dpNoisySums(df: DataFrame, groupCols: Seq[String], valueCol: String,
                   clampC: Long, seed: Long,
                   noiseBase: Int = 2, clampB: Int = 32): DataFrame = {
@@ -433,45 +488,69 @@ object Stats {
       .withColumn("__u", F.expr(
         s"""CAST(conv(substring(md5(concat_ws(chr(1), $keyCols, '$seed:sum')),
                1, 15), 16, 10) AS BIGINT)"""))
+      // round-half-up lattice index: ⌊(2s + C) / 2C⌋ (s ≥ 0 by clamp)
       .withColumn("noisy_sum", F.expr(
-        s"""greatest(__s + ${clampC}L *
-               (CAST(size(filter($tArr, t -> t <= __u)) AS BIGINT)
-                - ${clampB}L), 0L)"""))
+        s"""${clampC}L * greatest(
+               (2L * __s + ${clampC}L) DIV ${2L * clampC}L
+               + CAST(size(filter($tArr, t -> t <= __u)) AS BIGINT)
+               - ${clampB}L, 0L)"""))
       .select(groupCols.map(F.col) :+ F.col("noisy_sum"): _*)
   }
 
   /** ε-DP median release via the EXPONENTIAL MECHANISM (McSherry–Talwar
     * 2007) — the DP tier's third primitive after [[dpNoisyCounts]] and
     * [[dpNoisySums]]: additive noise cannot privatize a quantile (its
-    * local sensitivity is unbounded), so the mechanism instead SAMPLES a
-    * released value from the group's distinct values with weight
-    * `α^(−u)` where `u(v) = |#{x<v}·2 + c_v − n|` is the doubled rank
-    * distance from the median position. u has sensitivity 1 (one added
-    * row shifts every value's score by ±1), so the release is
-    * ε = 2·ln(noiseBase)-DP; utilities are CLAMPED at `clampB` below
-    * the per-group best (the truncated tier — clamping preserves the
-    * sensitivity bound, and candidates q^−32 off the optimum carry
-    * ~2⁻³² of the weight).
+    * local sensitivity is unbounded), so the mechanism instead SAMPLES
+    * the released value from a FIXED PUBLIC CANDIDATE GRID
+    * `candLo, candLo+candStep, …, candHi` with weight `α^(−ũ)` where
+    * `u(v) = |2·#{x<v} + #{x=v} − n|` is the doubled rank distance of
+    * candidate v from the median position and `ũ = min(u, clampB)` is
+    * its ABSOLUTE clamp. The grid being data-INDEPENDENT is essential:
+    * sampling from the group's observed distinct values (the naive
+    * construction) makes the output support itself data-dependent — a
+    * value present in one world and not its neighbor is releasable with
+    * positive probability in only one of them (unbounded likelihood
+    * ratio, and every release discloses that the value occurs). The
+    * clamp must be absolute for the same reason: clamping relative to
+    * the per-group BEST utility (a data-dependent quantity with its own
+    * sensitivity 1) doubles the effective score sensitivity when it
+    * binds; `min(u, clampB)` against the constant keeps sensitivity at
+    * u's own 1 (one added row moves every candidate's signed score by
+    * ±1 and min(·, const) is 1-Lipschitz), so the release is
+    * ε = 2·ln(noiseBase)-DP over the public support. Candidates more
+    * than clampB ranks off the optimum all weigh q⁰ = 1 — far tails
+    * degrade to uniform-over-grid rather than leak.
     *
     * Engine-exact with no floats: weights are integer powers
-    * `q^(clampB + max(u_best − u, −clampB))` read from a literal table,
-    * the cumulative-weight ladder accumulates in DECIMAL(38,0), the
-    * draw is the 60-bit md5 uniform (`:med`-tagged — independent of
-    * the count/sum releases), and the released value is the first
-    * ladder crossing — bit-reproducible in any engine. Seed-secrecy
-    * caveat as in [[dpNoisyCounts]].
+    * `q^(clampB − min(u, clampB))` read from a literal table, the
+    * cumulative-weight ladder accumulates in DECIMAL(38,0), the draw is
+    * the 60-bit md5 uniform (`:med`-tagged — independent of the
+    * count/sum releases), and the released value is the first ladder
+    * crossing — bit-reproducible in any engine. Seed-secrecy and
+    * group-key-domain caveats as in [[dpNoisyCounts]] (group keys are
+    * taken from the data; pass counts a domain or treat the key set as
+    * public).
     *
     * Scale shape: one map-side-combined (group, value) groupBy, then
-    * windows over the DISTINCT-VALUE ladder (bounded by the value
-    * domain, not rows — band near-unique value columns first, the
-    * q189/q190 discipline). */
+    * windows over the union of the data's distinct-value ladder and the
+    * |grid| candidate rows (bounded by the value domain plus the grid,
+    * not by rows — band near-unique value columns first, the q189/q190
+    * discipline); the grid itself enters as one exploded literal
+    * sequence per group. */
   def dpMedian(df: DataFrame, groupCols: Seq[String], valueCol: String,
-               seed: Long, noiseBase: Int = 2, clampB: Int = 32): DataFrame = {
+               seed: Long, candLo: Long, candHi: Long, candStep: Long,
+               noiseBase: Int = 2, clampB: Int = 32): DataFrame = {
     require(groupCols.nonEmpty, "no group columns given")
     require(noiseBase >= 2, s"noiseBase must be >= 2, got $noiseBase")
     require(clampB >= 1 && clampB <= 62, s"clampB must be in [1, 62], got $clampB")
     require(BigInt(noiseBase).pow(clampB) <= BigInt(Long.MaxValue),
       s"noiseBase^clampB must fit a long, got $noiseBase^$clampB")
+    require(candStep >= 1 && candHi >= candLo,
+      s"bad candidate grid [$candLo, $candHi] step $candStep")
+    val nCand = (candHi - candLo) / candStep + 1
+    // total weight ≤ |grid|·q^clampB must leave room for ·2⁶⁰ in DECIMAL(38,0)
+    require((BigInt(noiseBase).pow(clampB) * nCand << 60) < BigInt(10).pow(38),
+      s"grid of $nCand candidates x $noiseBase^$clampB overflows the exact ladder")
     val powers = (0 to clampB).map(e => BigInt(noiseBase).pow(e).toLong)
     val pArr = powers.mkString("array(", "L, ", "L)")
     val gCols = groupCols.map(F.col)
@@ -479,16 +558,28 @@ object Stats {
     val ladder = Window.partitionBy(gCols: _*).orderBy(F.col("__v"))
     val keyCols = groupCols.map(c =>
       s"coalesce(CAST(`$c` AS STRING), chr(2))").mkString(", ")
-    df.where(F.col(valueCol).isNotNull)
+    val data = df.where(F.col(valueCol).isNotNull)
       .groupBy(gCols :+ F.col(valueCol).cast("long").as("__v"): _*)
       .agg(F.count(F.lit(1)).as("__c"))
+      .withColumn("__cand", F.lit(0))
+    // the public grid, materialized once per observed group: candidate
+    // rows carry zero mass but anchor the rank ladder (and are the ONLY
+    // releasable rows)
+    val grid = data.select(gCols: _*).distinct()
+      .select(gCols :+ F.explode(F.expr(
+        s"sequence(${candLo}L, ${candHi}L, ${candStep}L)")).as("__v"): _*)
+      .withColumn("__c", F.lit(0L))
+      .withColumn("__cand", F.lit(1))
+    data.unionByName(grid)
+      .groupBy(gCols :+ F.col("__v"): _*)
+      .agg(F.sum("__c").as("__c"), F.max("__cand").as("__cand"))
       .withColumn("__cum", F.sum("__c").over(ladder) - F.col("__c"))
       .withColumn("__n", F.sum("__c").over(byG))
       .withColumn("__u", F.abs(F.lit(2L) * F.col("__cum") + F.col("__c") - F.col("__n")))
-      .withColumn("__ubest", F.min("__u").over(byG))
       .withColumn("__w", F.expr(
-        s"""element_at($pArr,
-              CAST(${clampB}L + greatest(__ubest - __u, ${-clampB}L) AS INT) + 1)"""))
+        s"""CASE WHEN __cand = 1 THEN element_at($pArr,
+              CAST(${clampB}L - least(__u, ${clampB}L) AS INT) + 1)
+            ELSE 0L END"""))
       .withColumn("__cw", F.expr(
         "sum(CAST(__w AS DECIMAL(38,0)))").over(ladder))
       .withColumn("__tw", F.expr(
@@ -497,12 +588,12 @@ object Stats {
         s"""CAST(conv(substring(md5(concat_ws(chr(1), $keyCols, '$seed:med')),
                1, 15), 16, 10) AS BIGINT)"""))
       // target = floor(u60·ΣW / 2^60) in DECIMAL ((p − p%w)/w — exact);
-      // released value = first ladder row with cumW > target
+      // released value = first CANDIDATE row with cumW > target
       .withColumn("__tgt", F.expr(
         """CAST((CAST(__u60 AS DECIMAL(38,0)) * __tw
                  - CAST(__u60 AS DECIMAL(38,0)) * __tw % 1152921504606846976)
                 / 1152921504606846976 AS DECIMAL(38,0))"""))
-      .where(F.expr("__cw > __tgt"))
+      .where(F.expr("__cand = 1 AND __cw > __tgt"))
       .groupBy(gCols: _*)
       .agg(F.min("__v").as("released_median"))
       .select(gCols :+ F.col("released_median"): _*)

@@ -477,37 +477,43 @@ object StateStoreRunner {
     * [[graft.functions.Stats.lDiversityAudit]] distinct sensitive
     * values): per quasi key, a MapState of sensitive-value counts (the
     * same (quasi, sensitive) count shape the batch audits collapse to)
-    * plus an O(1) (total, ndv) ValueState, so each batch emits the
-    * group's RUNNING size and sensitive diversity — the live "is this
-    * group releasable yet" monitor. Violation counts per batch are a
-    * filter over the emissions (n_rows < k, ndv < l); streaming == batch
-    * is pinned in StateStoreSpec against the q189/q212 classes.
+    * so each batch emits the group's RUNNING size and sensitive
+    * diversity — the live "is this group releasable yet" monitor.
+    * Violation counts per batch are a filter over the emissions
+    * (n_rows < k, ndv < l); streaming == batch is pinned in
+    * StateStoreSpec against the q189/q212 classes.
+    *
+    * (tot, ndv) is FOLDED FROM THE LIVE MAP each batch rather than kept
+    * in a separate ValueState: MapState TTL is per ENTRY (each sensitive
+    * value expires from its own last update), so a separately-TTL'd
+    * aggregate — refreshed on every batch that touches the key — would
+    * outlive rare values' map entries and double-count their ndv on
+    * re-arrival, overstating diversity exactly where an l-diversity
+    * gate must not. The fold keeps the emission consistent with
+    * whatever subset of entries the TTL has actually kept alive.
     *
     * Scale shape: state is one map entry per DISTINCT (quasi, sensitive)
     * pair — exactly the batch audits' collapsed table, which saturates;
-    * per-batch work is O(batch rows). */
+    * per-batch work is O(batch rows + live map entries) per TOUCHED key
+    * (the map is the group's sensitive-value support, the quantity an
+    * l-diversity gate is sized for). */
   class PrivacyGateProcessor(ttl: TTLConfig = TTLConfig.NONE)
     extends StatefulProcessor[String, (String, String), (String, Long, Long)] {
     @transient private var counts: org.apache.spark.sql.streaming.MapState[String, Long] = _
-    @transient private var agg: org.apache.spark.sql.streaming.ValueState[(Long, Long)] = _
 
-    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
       counts = getHandle.getMapState[String, Long]("counts",
         Encoders.STRING, Encoders.scalaLong, ttl)
-      agg = getHandle.getValueState[(Long, Long)]("agg",
-        Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong), ttl)
-    }
 
     override def handleInputRows(key: String, rows: Iterator[(String, String)],
                                  timerValues: TimerValues): Iterator[(String, Long, Long)] = {
-      var (tot, ndv) = if (agg.exists()) agg.get() else (0L, 0L)
       rows.foreach { case (_, s) =>
         val prev = if (counts.containsKey(s)) counts.getValue(s) else 0L
-        if (prev == 0L) ndv += 1L
         counts.updateValue(s, prev + 1L)
-        tot += 1L
       }
-      agg.update((tot, ndv))
+      var tot = 0L
+      var ndv = 0L
+      counts.iterator().foreach { case (_, c) => tot += c; ndv += 1L }
       Iterator.single((key, tot, ndv))
     }
   }

@@ -363,12 +363,14 @@ object ScaleDrill {
           F.length(F.col("text")).cast("long").as("len")),
         Seq("lang", "band"), "len", clampC = 4000L, seed = 12L)),
     // one (group, value) groupBy + windows over the BANDED distinct-value
-    // ladder (len DIV 16 keeps the ladder value-domain-bounded whatever N)
+    // ladder unioned with the fixed public grid (len DIV 16 keeps the
+    // ladder value-domain-bounded whatever N; the grid adds 513 rows/group)
     "dp_median (q220)" -> (docs =>
       graft.functions.Stats.dpMedian(
         docs.select(F.col("lang"),
           F.expr("CAST(length(text) AS BIGINT) DIV 16").as("len_band")),
-        Seq("lang"), "len_band", seed = 12L)),
+        Seq("lang"), "len_band", seed = 12L,
+        candLo = 0L, candHi = 1024L, candStep = 2L)),
     "minhash_sig (q36)" -> (docs =>
       Dedup.minhashSignature(docs.where(Text.tokenCount(F.col("text")) >= 3),
         "text", 3, 2).select("doc_id", "mh0", "mh1")),

@@ -2238,7 +2238,7 @@ class FunctionsSpec extends AnyFunSuite {
     assert(nOut.length == 2)
   }
 
-  test("dpNoisySums: clamp semantics (over-C, negative, NULL), C-multiple noise, ':sum' tag independence") {
+  test("dpNoisySums: clamp semantics (over-C, negative, NULL), lattice support, ':sum' tag independence") {
     // group "a": values 100, 25000 (clamps to 20000), -5 (clamps to 0),
     // NULL (contributes 0) -> clamped truth 20100
     val rows = Seq(("a", Some(100L)), ("a", Some(25000L)), ("a", Some(-5L)),
@@ -2247,13 +2247,35 @@ class FunctionsSpec extends AnyFunSuite {
     val out = Stats.dpNoisySums(df, Seq("g"), "v", clampC = 20000L, seed = 5L)
       .collect().map(r => r.getAs[String]("g") -> r.getAs[Long]("noisy_sum")).toMap
     val truth = Map("a" -> 20100L, "b" -> 7L)
-    // released value differs from the clamped truth by a multiple of C
-    // within the +/-32 clamp (unless floored at 0)
     for ((g, rel) <- out) {
+      // lattice-leak regression (ADVICE r12 high): EVERY release lands on
+      // the same public support C·Z regardless of the true sum mod C —
+      // un-quantized C-scaled noise kept releases on truth + C·Z, which
+      // revealed the clamped sum modulo C with certainty. "a" (truth
+      // 20100) and "b" (truth 7) have different residues mod C; both
+      // must release multiples of C.
+      assert(rel % 20000L == 0L, s"$g: release off the C-lattice: $rel")
+      // quantization bias <= C/2 plus the +/-32-step noise clamp
       val d = rel - truth(g)
-      assert(math.abs(d) <= 32L * 20000L, s"$g: $rel")
-      if (rel > 0L) assert(d % 20000L == 0L, s"$g: noise not a C-multiple: $d")
+      assert(math.abs(d) <= 10000L + 32L * 20000L, s"$g: $rel")
     }
+    // round-half-up quantization replay: a -> (2*20100+20000) DIV 40000
+    // = 1 lattice step; b -> 0. Release = C * max(step + noise, 0).
+    def noiseOf(key: String, tag: String): Long = {
+      val two60 = BigInt(1) << 60
+      val ts = (32 to 1 by -1).map(m => (two60 / (BigInt(2).pow(m - 1) * 3)).toLong) ++
+        (0 until 32).map { j =>
+          val den = BigInt(2).pow(j) * 3
+          (two60 - (two60 + den - 1) / den).toLong
+        }
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest((key + "\u0001" + "5:" + tag).getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      val u = java.lang.Long.parseLong(md.take(15), 16)
+      ts.count(_ <= u) - 32L
+    }
+    assert(out("a") == 20000L * math.max(1L + noiseOf("a", "sum"), 0L))
+    assert(out("b") == 20000L * math.max(0L + noiseOf("b", "sum"), 0L))
     // the ':sum' tag decouples the sum release from the count release of
     // the SAME groups and seed: over many groups the noise draws differ
     val many = (0 until 500).flatMap(g => Seq.fill(2)((g.toLong, 1L))).toDF("g", "v")
@@ -2269,43 +2291,50 @@ class FunctionsSpec extends AnyFunSuite {
     assert(again == out)
   }
 
-  test("dpMedian: exact exponential-mechanism replay, concentration, determinism, seed sensitivity") {
-    // hand ladder for group "a": values 1(x1), 5(x3), 9(x1), n=5 —
-    // utilities |2cum+c-n|: v=1 -> 4, v=5 -> 0 (the true median),
-    // v=9 -> 4; weights 2^28, 2^32, 2^28
+  test("dpMedian: exact exponential-mechanism replay over the public grid, concentration, determinism, seed sensitivity") {
+    // hand ladder for group "a": data 1(x1), 5(x3), 9(x1), n=5, public
+    // grid 0..10 step 1. Utilities u = |2cum+c-n| at each CANDIDATE:
+    // 0->5, 1->4, 2..4->3, 5->0 (true median), 6..8->3, 9->4, 10->5;
+    // weights 2^(32-min(u,32)) -- ABSOLUTE clamp, no per-group-best term
     val rows = Seq(("a", 1L)) ++ Seq.fill(3)(("a", 5L)) ++ Seq(("a", 9L))
     val df = rows.toDF("g", "v")
-    val out = Stats.dpMedian(df, Seq("g"), "v", seed = 3L)
+    val out = Stats.dpMedian(df, Seq("g"), "v", seed = 3L,
+        candLo = 0L, candHi = 10L, candStep = 1L)
       .collect().map(r => r.getAs[String]("g") -> r.getAs[Long]("released_median")).toMap
     // independent replay: BigInt ladder + the same md5 uniform
     def u60(key: String, tag: String): BigInt = BigInt(java.lang.Long.parseLong(
       java.security.MessageDigest.getInstance("MD5")
         .digest(s"$key\u0001${3L}:$tag".getBytes("UTF-8"))
         .map(b => f"$b%02x").mkString.take(15), 16))
-    val ws = Seq((1L, BigInt(1) << 28), (5L, BigInt(1) << 32), (9L, BigInt(1) << 28))
+    val us = Seq(5, 4, 3, 3, 3, 0, 3, 3, 3, 4, 5)
+    val ws = us.zipWithIndex.map { case (u, v) => (v.toLong, BigInt(1) << (32 - u)) }
     val tw = ws.map(_._2).sum
     val tgt = u60("a", "med") * tw / (BigInt(1) << 60)
     val cum = ws.scanLeft(BigInt(0))(_ + _._2).tail
     val expected = ws(cum.indexWhere(_ > tgt))._1
     assert(out("a") == expected)
     // concentration: with a steep ladder (n large) the sampled value is
-    // the true median for (almost) any seed — check 20 seeds
+    // the true median for (almost) any seed -- check 20 seeds
     val steep = ((1 to 200).map(i => ("s", (i % 5).toLong * 10)) ++
       Seq.fill(400)(("s", 20L))).toDF("g", "v")
     val hits = (1 to 20).count { sd =>
-      Stats.dpMedian(steep, Seq("g"), "v", seed = sd.toLong)
+      Stats.dpMedian(steep, Seq("g"), "v", seed = sd.toLong,
+          candLo = 0L, candHi = 40L, candStep = 10L)
         .head().getAs[Long]("released_median") == 20L
     }
     assert(hits >= 18, s"concentration failed: $hits/20")
-    // released values are always INPUT values; deterministic across
+    // released values are always GRID values; deterministic across
     // partitionings; seed-sensitive across many near-flat groups
     val flat = (0 until 300).flatMap(g =>
       (1 to 6).map(v => (g.toLong, v.toLong))).toDF("g", "v")
-    val r1 = Stats.dpMedian(flat, Seq("g"), "v", seed = 1L)
+    val r1 = Stats.dpMedian(flat, Seq("g"), "v", seed = 1L,
+        candLo = 1L, candHi = 6L, candStep = 1L)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-    val r1b = Stats.dpMedian(flat.repartition(7), Seq("g"), "v", seed = 1L)
+    val r1b = Stats.dpMedian(flat.repartition(7), Seq("g"), "v", seed = 1L,
+        candLo = 1L, candHi = 6L, candStep = 1L)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-    val r2 = Stats.dpMedian(flat, Seq("g"), "v", seed = 2L)
+    val r2 = Stats.dpMedian(flat, Seq("g"), "v", seed = 2L,
+        candLo = 1L, candHi = 6L, candStep = 1L)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(r1 == r1b)
     assert(r1.values.forall(v => v >= 1L && v <= 6L))
@@ -2314,6 +2343,62 @@ class FunctionsSpec extends AnyFunSuite {
     // draw (they tie at the best utility)
     val central = r1.values.count(v => v == 3L || v == 4L)
     assert(central > 200, s"central mass: $central/300")
+  }
+
+  test("dpMedian: observed-support leak regression -- off-grid data values are never released (ADVICE r12)") {
+    // the naive mechanism sampled the group's OBSERVED distinct values,
+    // so a release could disclose that a value occurs in the data; the
+    // public-grid mechanism's support is data-INDEPENDENT. Data sits
+    // entirely off-grid (odd values 15 and 19, 25 rows each; grid = even
+    // 0..100 step 2): every release across 30 seeds must be an even grid
+    // point — 15 and 19 themselves are never releasable — and the grid
+    // points 16/18 between the two masses carry rank distance 0, so they
+    // dominate the draw.
+    val odd = ((0 until 25).map(_ => ("g", 15L)) ++
+      (0 until 25).map(_ => ("g", 19L))).toDF("g", "v")
+    val rel = (1 to 30).map { sd =>
+      Stats.dpMedian(odd, Seq("g"), "v", seed = sd.toLong,
+          candLo = 0L, candHi = 100L, candStep = 2L)
+        .head().getAs[Long]("released_median")
+    }
+    assert(rel.forall(v => v % 2L == 0L && v >= 0L && v <= 100L),
+      s"off-grid release: $rel")
+    assert(rel.count(v => v == 16L || v == 18L) >= 28, s"concentration: $rel")
+    // all-NULL group edge: no data ladder rows -> absent from the
+    // release (group keys come from the data; the scaladoc documents
+    // the key-domain caveat)
+    val mixed = Seq(("a", Some(4L)), ("b", Option.empty[Long])).toDF("g", "v")
+    val m = Stats.dpMedian(mixed, Seq("g"), "v", seed = 1L,
+      candLo = 0L, candHi = 10L, candStep = 1L).collect()
+    assert(m.map(_.getString(0)).toSeq == Seq("a"))
+  }
+
+  test("dpNoisyCounts: public domain releases every domain key (absent ones noise-only) and drops off-domain groups") {
+    val df = Seq("a", "a", "a", "b").toDF("g")
+    val dom = Seq("a", "c").toDF("g") // "b" observed but NOT public; "c" absent
+    val out = Stats.dpNoisyCounts(df, Seq("g"), seed = 11L, domain = Some(dom))
+      .collect().map(r => r.getString(0) -> r.getAs[Long]("noisy_count")).toMap
+    assert(out.keySet == Set("a", "c"), s"release universe: ${out.keySet}")
+    // replay both: "a" count 3, "c" count 0 (noise-only, floored at 0)
+    val two60 = BigInt(1) << 60
+    val ts = (32 to 1 by -1).map(m => (two60 / (BigInt(2).pow(m - 1) * 3)).toLong) ++
+      (0 until 32).map { j =>
+        val den = BigInt(2).pow(j) * 3
+        (two60 - (two60 + den - 1) / den).toLong
+      }
+    def rep(key: String, n: Long): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"$key\u000111".getBytes("UTF-8")).map("%02x".format(_)).mkString
+      val u = java.lang.Long.parseLong(md.take(15), 16)
+      math.max(n + ts.count(_ <= u) - 32L, 0L)
+    }
+    assert(out("a") == rep("a", 3L))
+    assert(out("c") == rep("c", 0L))
+    // determinism across partitionings with the domain join in the plan
+    val again = Stats.dpNoisyCounts(df.repartition(5), Seq("g"), seed = 11L,
+        domain = Some(dom.repartition(2)))
+      .collect().map(r => r.getString(0) -> r.getAs[Long]("noisy_count")).toMap
+    assert(again == out)
   }
 
   test("tClosenessAudit: NULL quasi groups report and NULL sensitive counts as a present value") {
