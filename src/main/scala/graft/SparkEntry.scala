@@ -1554,6 +1554,37 @@ object SparkEntry {
           "doc_id", "text", "source")
         .orderBy("source")),
 
+    "q222_dp_histogram" -> ((s, dir) =>
+      // the DP tier's fourth primitive: a whole histogram released at
+      // single-count cost (one row lands in one bin of one group, so the
+      // per-bin geometric mechanisms compose in PARALLEL — eps = ln 2
+      // for all 9 bins) over the q218 public 6-type domain ('refund'
+      // releases an all-noise histogram), fixedBinHistogram's public
+      // boundary convention, ':hist'-tagged uniforms
+      functions.Stats.dpHistogram(
+        events(s, dir).select(F.col("event_type"),
+          F.expr("CAST(round(value * 100) AS BIGINT)").as("value_c")),
+        Seq("event_type"), "value_c",
+        boundaries = Seq(0L, 8000L, 16000L, 24000L, 32000L,
+          40000L, 48000L, 56000L),
+        seed = 20260816L,
+        domain = Some(s.sql(
+          """SELECT event_type
+             FROM VALUES ('click'), ('error'), ('purchase'), ('refund'),
+                         ('signup'), ('view') AS t(event_type)""")))
+        .orderBy("event_type", "bin")),
+
+    "q221_robust_stats_sketch" -> ((s, dir) =>
+      // the q178 robust-stats tier re-based on the bottom-k hash sample
+      // (VERDICT r12 #1 — the exact tier's per-dimension full-value
+      // percentile buffer was the one remaining 100x-scale OOM): per
+      // dimension, median and MAD read at lower nearest-rank from the
+      // k = 512 components whose row md5 is smallest — deterministic,
+      // flat k memory per dimension, same ppm scales as q178
+      functions.Similarity.dimensionRobustStatsSketch(
+          table(s, dir, "embeddings"), "vec_id", "embedding", k = 512)
+        .orderBy("pos")),
+
     "q220_dp_median" -> ((s, dir) =>
       // the DP tier's third primitive: a median released through the
       // truncated exponential mechanism (additive noise can't privatize
@@ -4050,6 +4081,56 @@ object SparkEntry {
          SELECT source, n_docs, n_dup_docs, tokens_total, tokens_dup,
            CAST(tokens_dup::HUGEINT * 1000000 // greatest(tokens_total, 1) AS BIGINT) AS dup_token_ppm
          FROM g ORDER BY 1""",
+
+    "q222_dp_histogram" ->
+      // the parallel-composed geometric mechanism replayed exactly: the
+      // fixedBinHistogram bin index (count of boundaries <= v), the
+      // public 6-type x 9-bin frame (absent cells count 0), the same
+      // threshold literals, per-cell ':hist'-tagged 60-bit uniforms
+      """WITH b AS (SELECT event_type,
+               CAST(len(list_filter([0, 8000, 16000, 24000, 32000, 40000, 48000, 56000],
+                 x -> x <= CAST(round(value * 100) AS BIGINT))) AS BIGINT) AS bin,
+               CAST(count(*) AS BIGINT) AS n
+             FROM events WHERE value IS NOT NULL GROUP BY 1, 2),
+         dom AS (SELECT et.event_type, CAST(gs.bin AS BIGINT) AS bin
+                 FROM (VALUES ('click'), ('error'), ('purchase'), ('refund'),
+                              ('signup'), ('view')) et(event_type)
+                 CROSS JOIN (SELECT unnest(generate_series(0, 8)) AS bin) gs),
+         j AS (SELECT d.event_type, d.bin, coalesce(b.n, 0) AS n
+               FROM dom d LEFT JOIN b
+                 ON d.event_type = b.event_type AND d.bin = b.bin),
+         u AS (SELECT event_type, bin, n,
+                 ('0x' || substr(md5(concat_ws(chr(1),
+                    coalesce(event_type, chr(2)), CAST(bin AS VARCHAR),
+                    '20260816:hist')), 1, 15))::BIGINT AS u
+               FROM j)
+         SELECT event_type, bin,
+           greatest(n + CAST(len(list_filter([178956970, 357913941, 715827882, 1431655765, 2863311530, 5726623061, 11453246122, 22906492245, 45812984490, 91625968981, 183251937962, 366503875925, 733007751850, 1466015503701, 2932031007402, 5864062014805, 11728124029610, 23456248059221, 46912496118442, 93824992236885, 187649984473770, 375299968947541, 750599937895082, 1501199875790165, 3002399751580330, 6004799503160661, 12009599006321322, 24019198012642645, 48038396025285290, 96076792050570581, 192153584101141162, 384307168202282325, 768614336404564650, 960767920505705813, 1056844712556276394, 1104883108581561685, 1128902306594204330, 1140911905600525653, 1146916705103686314, 1149919104855266645, 1151420304731056810, 1152170904668951893, 1152546204637899434, 1152733854622373205, 1152827679614610090, 1152874592110728533, 1152898048358787754, 1152909776482817365, 1152915640544832170, 1152918572575839573, 1152920038591343274, 1152920771599095125, 1152921138102971050, 1152921321354909013, 1152921412980877994, 1152921458793862485, 1152921481700354730, 1152921493153600853, 1152921498880223914, 1152921501743535445, 1152921503175191210, 1152921503891019093, 1152921504248933034, 1152921504427890005],
+             t -> t <= u)) AS BIGINT) - 32, 0) AS noisy_count
+         FROM u ORDER BY 1, 2""",
+
+    "q221_robust_stats_sketch" ->
+      // the bottom-k selection replayed exactly: row_number over the
+      // row-level md5 (hash then value — the distinct heap's order),
+      // keep rank <= 512 per dimension, then lower nearest-rank median
+      // and MAD over the sample's sorted lists
+      """WITH q AS (SELECT md5(CAST(vec_id AS VARCHAR)) AS h,
+               list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT) * 2) AS q2
+             FROM embeddings WHERE embedding IS NOT NULL AND vec_id IS NOT NULL),
+         c AS (SELECT i - 1 AS pos, h, q2[i] AS v
+               FROM (SELECT h, q2, unnest(generate_series(1, len(q2))) AS i FROM q)),
+         r AS (SELECT pos, v,
+                 row_number() OVER (PARTITION BY pos ORDER BY h, v) AS rn
+               FROM c),
+         g AS (SELECT pos, list_sort(list(v)) AS vs, CAST(count(*) AS BIGINT) AS n_samp
+               FROM r WHERE rn <= 512 GROUP BY 1),
+         m AS (SELECT pos, n_samp, vs,
+                 vs[CAST((500000 * (n_samp - 1)) // 1000000 AS INT) + 1] AS med_ppm2
+               FROM g)
+         SELECT CAST(pos AS BIGINT) AS pos, n_samp, CAST(med_ppm2 AS BIGINT) AS med_ppm2,
+           CAST(list_sort(list_transform(vs, x -> abs(x - med_ppm2) * 2))
+                [CAST((500000 * (n_samp - 1)) // 1000000 AS INT) + 1] AS BIGINT) AS mad_ppm4
+         FROM m ORDER BY 1""",
 
     "q220_dp_median" ->
       // the exponential mechanism replayed exactly: union of the data's

@@ -484,10 +484,12 @@ object Similarity {
     * Scale shape: one explode in the scan stage, two percentile
     * aggregations keyed by dimension (d groups — corpus-size-free
     * output) with the d-row median table broadcast back between them.
-    * Exact percentiles hold each dimension's values in the aggregation
-    * buffer (n·8 bytes per dimension-partition); at true 100 TB scale
-    * swap the inner percentile for a fixed-width histogram sketch —
-    * the rank arithmetic is unchanged. */
+    * This EXACT tier buffers each dimension's full value list in the
+    * aggregation buffer and caps reducer parallelism at d — use it for
+    * exact answers at moderate corpus sizes, and
+    * [[dimensionRobustStatsSketch]] (bounded k values per dimension,
+    * deterministic, still oracle-exact) as the production face at
+    * 100 TB scale. */
   def dimensionRobustStats(df: DataFrame, embCol: String): DataFrame = {
     val comps = df.where(F.col(embCol).isNotNull)
       .select(F.posexplode(F.col(embCol)).as(Seq("pos", "v")))
@@ -502,6 +504,56 @@ object Similarity {
         (F.abs(F.col("q2") - F.col("med_ppm2")) * 2L).as("__dev4"))
       .groupBy("pos", "n", "med_ppm2")
       .agg(F.percentile(F.col("__dev4"), F.lit(0.5)).cast("long").as("mad_ppm4"))
+  }
+
+  /** Sketch-backed per-dimension robust stats — [[dimensionRobustStats]]'
+    * production face for corpora where buffering a dimension's full
+    * value list is not an option: per dimension, median and MAD read
+    * from the bottom-k hash sample (`Scale.quantileSketch`'s mechanism —
+    * the k components whose row's `md5(id)` is lexicographically
+    * smallest, a hash-deterministic uniform ROW sample, so every engine
+    * replays the selection bit-for-bit and the face stays oracle-exact
+    * despite being an estimate of the corpus statistic). Rank reads are
+    * the lower nearest-rank convention of `Scale.quantileEstimate`
+    * (rank `(500000·(n_samp−1)) DIV 10⁶` of the ascending sample); MAD
+    * re-ranks the sample's own absolute deviations from the sampled
+    * median. Same doubled/quadrupled-ppm integer scales as the exact
+    * tier (`med_ppm2` = 2·median ppm, `mad_ppm4` = 4·MAD ppm), so the
+    * two tiers are drop-in interchangeable downstream; sampling error
+    * is the bottom-k O(1/√k) rank error. Output per dimension:
+    * (`pos`, `n_samp`, `med_ppm2`, `mad_ppm4`).
+    *
+    * One hash per ROW (computed before the explode), so every dimension
+    * samples the same documents — a document-level uniform sample read
+    * d ways, which is exactly the correlated-sample any downstream
+    * whitening wants.
+    *
+    * Scale shape: one explode in the scan stage into the native
+    * distinct-heap TopK — ≤ k rows per (dimension, partition) cross the
+    * exchange, the aggregation that follows reuses the TopK's own
+    * hash-partitioning (no second shuffle), and per-dimension memory is
+    * a flat k·8 bytes whatever the corpus size. The d-reducer
+    * parallelism cap of the exact tier remains (d groups), but each
+    * group's work is O(k log k), not O(n). */
+  def dimensionRobustStatsSketch(df: DataFrame, idCol: String,
+                                 embCol: String, k: Int = 1024): DataFrame = {
+    require(k >= 2, s"k must be >= 2, got $k")
+    val comps = df.where(F.col(embCol).isNotNull && F.col(idCol).isNotNull)
+      .select(F.md5(F.col(idCol).cast("string")).as("__h"),
+        F.posexplode(F.col(embCol)).as(Seq("pos", "v")))
+      .select(F.col("pos").cast("long").as("pos"), F.col("__h"),
+        (F.round(F.col("v").cast("double") * F.lit(1e6)).cast("long") * 2L)
+          .as("__v"))
+    val rank = "CAST((500000 * (n_samp - 1)) DIV 1000000 AS INT) + 1"
+    graft.plans.TopK.topKPerKey(comps, Seq("pos"), "__h",
+        desc = false, tieBreak = Seq("__v"), k = k, distinct = true)
+      .groupBy("pos")
+      .agg(F.expr("array_sort(collect_list(__v))").as("__vs"),
+        F.count(F.lit(1)).as("n_samp"))
+      .withColumn("med_ppm2", F.expr(s"element_at(__vs, $rank)"))
+      .withColumn("mad_ppm4", F.expr(
+        s"element_at(array_sort(transform(__vs, x -> abs(x - med_ppm2) * 2L)), $rank)"))
+      .select("pos", "n_samp", "med_ppm2", "mad_ppm4")
   }
 
   /** Robust embedding outlier audit — flag corrupt, degenerate, or
@@ -523,9 +575,16 @@ object Similarity {
     * shape) — one codegen'd fold per vector, and the only corpus-sized
     * exchange is the bounded TopK heap (≤ topN·partitions rows). */
   def robustOutliers(df: DataFrame, idCol: String, embCol: String,
-                     topN: Int = 10, capPpm: Long = 10000000L): DataFrame = {
+                     topN: Int = 10, capPpm: Long = 10000000L,
+                     sketchK: Int = 0): DataFrame = {
     require(topN > 0 && capPpm > 0)
-    val model = dimensionRobustStats(df, embCol)
+    // sketchK > 0 swaps the exact stats tier for the bottom-k sketch —
+    // the 100 TB path: flat per-dimension memory, deterministic, same
+    // (med_ppm2, mad_ppm4) scales so the fold below is unchanged
+    val stats =
+      if (sketchK > 0) dimensionRobustStatsSketch(df, idCol, embCol, sketchK)
+      else dimensionRobustStats(df, embCol)
+    val model = stats
       .agg(F.sort_array(F.collect_list(
         F.struct(F.col("pos"), F.col("med_ppm2"), F.col("mad_ppm4")))).as("__s"))
       .select(F.expr("transform(__s, x -> x.med_ppm2)").as("__med2"),

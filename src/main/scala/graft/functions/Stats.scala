@@ -599,6 +599,75 @@ object Stats {
       .select(gCols :+ F.col("released_median"): _*)
   }
 
+  /** ε-DP HISTOGRAM release — the fourth release primitive: per group,
+    * a noisy count for EVERY bin of a fixed public binning (the
+    * [[graft.functions.Scale.fixedBinHistogram]] boundary convention:
+    * bin = #{boundaries ≤ v}, so bins 0..|boundaries| cover the whole
+    * line including both open tails — the bin domain is public BY
+    * CONSTRUCTION, every bin releases including empty ones). One row
+    * lands in exactly one bin of one group, so the per-bin geometric
+    * mechanisms compose in PARALLEL: the whole histogram costs
+    * ε = ln(noiseBase) per release, same as a single count.
+    *
+    * Same exact-rational threshold table; the uniform draws per
+    * (group, bin) with a `:hist`-tagged key (independent of the
+    * count/sum/median releases of the same groups), released bins floor
+    * at 0. Seed-secrecy caveat as [[dpNoisyCounts]]; the GROUP domain
+    * carries the same unknown-domain caveat — pass `domain` to release
+    * over a public group universe (absent groups release all-noise
+    * histograms), or the observed group keys are asserted public.
+    *
+    * Scale shape: one map-side-combined (group, bin) groupBy — the bin
+    * arithmetic runs in the scan stage — then a frame join against
+    * |groups|·(bins+1) rows and per-CELL literal noise arithmetic;
+    * nothing corpus-sized crosses the exchange beyond the binned
+    * counts. */
+  def dpHistogram(df: DataFrame, groupCols: Seq[String], valueCol: String,
+                  boundaries: Seq[Long], seed: Long,
+                  noiseBase: Int = 2, clampB: Int = 32,
+                  domain: Option[DataFrame] = None): DataFrame = {
+    require(groupCols.nonEmpty, "no group columns given")
+    require(boundaries.nonEmpty && boundaries == boundaries.sorted &&
+      boundaries.distinct == boundaries,
+      s"boundaries must be non-empty strictly ascending, got $boundaries")
+    val thresholds = geometricThresholds(noiseBase, clampB)
+    val tArr = thresholds.mkString("array(", "L, ", "L)")
+    val bArr = boundaries.mkString("array(", "L, ", "L)")
+    val gCols = groupCols.map(F.col)
+    val keyCols = groupCols.map(c =>
+      s"coalesce(CAST(`$c` AS STRING), chr(2))").mkString(", ")
+    val binned = df.where(F.col(valueCol).isNotNull)
+      .groupBy(gCols :+ F.expr(
+        s"""CAST(size(filter($bArr, b -> b <= CAST(`$valueCol` AS BIGINT)))
+               AS BIGINT)""").as("bin"): _*)
+      .agg(F.count(F.lit(1)).as("__n"))
+    val groups = domain match {
+      case Some(d) =>
+        require(groupCols.forall(d.columns.contains),
+          s"domain must carry the group columns $groupCols, has ${d.columns.toSeq}")
+        d.select(gCols: _*).distinct()
+      case None => binned.select(gCols: _*).distinct()
+    }
+    // the public release frame: every (group, bin) cell
+    val frame = groups.select(gCols :+ F.explode(F.expr(
+      s"sequence(0L, ${boundaries.size}L)")).as("bin"): _*).alias("__frm")
+    val obs = binned.alias("__obs")
+    val joinCond = (groupCols.map(c =>
+      F.col(s"__frm.$c") <=> F.col(s"__obs.$c")) :+
+      (F.col("__frm.bin") === F.col("__obs.bin"))).reduce(_ && _)
+    frame.join(obs, joinCond, "left")
+      .select(groupCols.map(c => F.col(s"__frm.$c")) ++ Seq(
+        F.col("__frm.bin").as("bin"),
+        F.coalesce(F.col("__obs.__n"), F.lit(0L)).as("__n")): _*)
+      .withColumn("__u", F.expr(
+        s"""CAST(conv(substring(md5(concat_ws(chr(1), $keyCols,
+               CAST(bin AS STRING), '$seed:hist')), 1, 15), 16, 10) AS BIGINT)"""))
+      .withColumn("noisy_count", F.expr(
+        s"""greatest(__n + CAST(size(filter($tArr, t -> t <= __u)) AS BIGINT)
+               - ${clampB}L, 0L)"""))
+      .select(gCols ++ Seq(F.col("bin"), F.col("noisy_count")): _*)
+  }
+
   /** Column dependency/correlation audit — the statistic pair a CBO needs
     * beyond per-column NDV (q185): selectivity estimators multiply
     * per-column selectivities ASSUMING INDEPENDENCE, and correlated or
@@ -679,4 +748,79 @@ object Stats {
     }
     frames.reduce(_.unionByName(_))
   }
+}
+
+/** Exact-rational ε-BUDGET ACCOUNTANT for the DP release tier — basic
+  * (sequential) composition made enforceable: k releases over the same
+  * data compose to Σεᵢ, and a pipeline that keeps publishing silently
+  * walks past any privacy target. Each release charges its privacy-loss
+  * FACTOR e^ε — an exact integer, because every primitive's ε is an
+  * integer multiple of ln(noiseBase): count/sum/histogram charge
+  * `noiseBase¹`, the exponential-mechanism median `noiseBase²` — and the
+  * ledger tracks the running PRODUCT Π e^εᵢ in BigInt. The budget is
+  * given the same way: `maxLossFactor = e^(ε_budget)` (e.g.
+  * `BigInt(2).pow(6)` for ε = 6·ln 2). `Σεᵢ ≤ ε_budget ⟺
+  * Π factors ≤ maxLossFactor`, so the check is EXACT integer
+  * arithmetic — no floating ln anywhere, the same no-floats discipline
+  * as the releases themselves.
+  *
+  * A release that would exceed the budget throws BEFORE any plan is
+  * built (loud failure, nothing released); the ledger of what was spent
+  * rides in the exception. Every release draws a FRESH seed
+  * (`baseSeed + release index`), so repeated releases of the same groups
+  * are independent mechanism invocations — the property the streaming
+  * face keys on its release index, made uniform across the batch tier.
+  *
+  * The accountant covers what it can see: releases made through THIS
+  * instance. Publishing the same data through two accountants (or the
+  * raw primitives) composes outside any ledger — one accountant per
+  * data-release universe is the contract. Thread-safe. */
+final class DpBudget(val maxLossFactor: BigInt, val baseSeed: Long) {
+  require(maxLossFactor >= 1, s"maxLossFactor must be >= 1, got $maxLossFactor")
+  private var factor: BigInt = BigInt(1)
+  private var idx: Long = 0L
+  private val ledger = scala.collection.mutable.ArrayBuffer.empty[(String, Int, Int)]
+
+  /** Multiply the running loss factor by base^mult, failing loudly if the
+    * budget would be exceeded; returns the fresh per-release seed. */
+  private def charge(label: String, base: Int, mult: Int): Long = synchronized {
+    val f = factor * BigInt(base).pow(mult)
+    if (f > maxLossFactor)
+      throw new IllegalStateException(
+        s"DP budget exhausted: release '$label' (factor $base^$mult) would " +
+        s"bring the total privacy-loss factor to $f > $maxLossFactor; " +
+        s"spent so far: ${ledger.map { case (l, b, m) => s"$l=$b^$m" }.mkString(", ")}")
+    factor = f
+    ledger += ((label, base, mult))
+    idx += 1L
+    baseSeed + idx
+  }
+
+  /** Running Π e^ε as a BigInt (ε_spent = ln of this). */
+  def spentFactor: BigInt = synchronized(factor)
+  /** (label, noiseBase, multiplicity) per release, in charge order. */
+  def releases: Seq[(String, Int, Int)] = synchronized(ledger.toList)
+
+  def noisyCounts(df: DataFrame, groupCols: Seq[String], noiseBase: Int = 2,
+                  clampB: Int = 32, domain: Option[DataFrame] = None): DataFrame =
+    Stats.dpNoisyCounts(df, groupCols,
+      charge("count", noiseBase, 1), noiseBase, clampB, domain)
+
+  def noisySums(df: DataFrame, groupCols: Seq[String], valueCol: String,
+                clampC: Long, noiseBase: Int = 2, clampB: Int = 32): DataFrame =
+    Stats.dpNoisySums(df, groupCols, valueCol, clampC,
+      charge("sum", noiseBase, 1), noiseBase, clampB)
+
+  def median(df: DataFrame, groupCols: Seq[String], valueCol: String,
+             candLo: Long, candHi: Long, candStep: Long,
+             noiseBase: Int = 2, clampB: Int = 32): DataFrame =
+    Stats.dpMedian(df, groupCols, valueCol,
+      charge("median", noiseBase, 2), candLo, candHi, candStep,
+      noiseBase, clampB)
+
+  def histogram(df: DataFrame, groupCols: Seq[String], valueCol: String,
+                boundaries: Seq[Long], noiseBase: Int = 2, clampB: Int = 32,
+                domain: Option[DataFrame] = None): DataFrame =
+    Stats.dpHistogram(df, groupCols, valueCol, boundaries,
+      charge("histogram", noiseBase, 1), noiseBase, clampB, domain)
 }

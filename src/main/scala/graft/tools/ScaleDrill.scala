@@ -716,6 +716,19 @@ object ScaleDrill {
     // point past memory scale, with the curve below pinning row-linearity
     "embedding_robust_stats (q178)" -> (emb =>
       Similarity.dimensionRobustStats(emb, "embedding")),
+    // the q178 swap-for-sketch point DELIVERED (VERDICT r12 #1): per
+    // dimension only the bottom-k md5 sample survives the exchange
+    // (≤ k rows per (dim, partition)), aggregation memory is a flat
+    // k·8 bytes per dimension whatever N — the curve should flatten
+    // toward the scan cost while q178's grows with the buffer
+    "robust_stats_sketch (q221)" -> (emb =>
+      Similarity.dimensionRobustStatsSketch(emb, "vec_id", "embedding",
+        k = 512)),
+    // sketch-tier outlier audit: the same broadcast-model fold as q194
+    // with the stats model built from the bounded sample
+    "outliers_sketch (q194s)" -> (emb =>
+      Similarity.robustOutliers(emb, "vec_id", "embedding", topN = 10,
+        sketchK = 512)),
     // stats tier = q178; the apply tier is a broadcast-model fold per
     // vector with the bounded TopK heap as the only corpus-sized exchange
     "embedding_outliers (q194)" -> (emb =>

@@ -74,6 +74,52 @@ class DRPCServiceSpec extends AnyFunSuite {
     } finally svc.stop()
   }
 
+  test("DP release behind DRPC: fresh per-release noise under concurrency, budget enforced across the fair queues (VERDICT r12 #7)") {
+    // the composition surface a live privacy endpoint exercises: one
+    // accountant guards a released table behind a DRPC function; 6
+    // concurrent callers race the budget (e^eps <= 2^4 = 4 count
+    // releases), each successful release must draw FRESH noise (its own
+    // release index), and the over-budget callers must fail loudly
+    // WITHOUT a release
+    import spark.implicits._
+    val drpc = new LocalDRPC(spark)
+    val df = Seq("a", "a", "a", "b").toDF("g")
+    val budget = new graft.functions.DpBudget(BigInt(2).pow(4), baseSeed = 50L)
+    drpc.register("dp_count", { _ =>
+      budget.noisyCounts(df, Seq("g")).orderBy("g") })
+    val svc = new DRPCService(drpc, requestTimeoutMs = 30000L).start(workers = 3)
+    try {
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.duration._
+      import scala.concurrent.ExecutionContext.Implicits.global
+      import scala.util.Try
+      val results = Await.result(
+        Future.sequence((1 to 6).map(_ =>
+          Future(Try(svc.execute("dp_count", ""))))), 120.seconds)
+      val (ok, fail) = results.partition(_.isSuccess)
+      assert(ok.size == 4, s"releases: ${ok.size}")
+      assert(fail.size == 2)
+      fail.foreach { f =>
+        val ex = intercept[DRPCExecutionException](f.get)
+        assert(ex.getMessage.contains("DP budget exhausted"))
+      }
+      assert(budget.spentFactor == BigInt(16)) // exactly 4 charges stuck
+      // release-index isolation: the four successes are exactly the
+      // replays of seeds baseSeed+1..+4 — one each, no reuse (reused
+      // noise across releases would be the composition bug)
+      def render(seed: Long): String = {
+        val rows = graft.functions.Stats.dpNoisyCounts(df, Seq("g"), seed)
+          .orderBy("g").collect()
+        rows.map(r => s"""["${r.getString(0)}",${r.getLong(1)}]""")
+          .mkString("[", ",", "]")
+      }
+      val expected = (1L to 4L).map(i => render(50L + i))
+      assert(ok.map(_.get).sorted == expected.sorted,
+        s"got ${ok.map(_.get)} want $expected")
+      assert(svc.pendingCount == 0)
+    } finally svc.stop()
+  }
+
   test("manual worker face: fetchRequest → result completes the blocked caller") {
     // no built-in workers: an external topology drains the queue, the
     // reference's DRPCSpout/ReturnResults contract

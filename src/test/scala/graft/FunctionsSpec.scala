@@ -2373,6 +2373,80 @@ class FunctionsSpec extends AnyFunSuite {
     assert(m.map(_.getString(0)).toSeq == Seq("a"))
   }
 
+  test("dpHistogram: per-bin geometric replay, empty and absent cells release, public group domain") {
+    // groups a (4 rows) / b (1 row); boundaries [0, 10] -> bins 0 (<0),
+    // 1 ([0,10)), 2 (>=10). a: -5 -> bin0, 3,7 -> bin1, 15 -> bin2
+    val df = Seq(("a", -5L), ("a", 3L), ("a", 7L), ("a", 15L), ("b", 3L))
+      .toDF("g", "v")
+    val dom = Seq("a", "b", "c").toDF("g") // "c" absent -> all-noise bins
+    val out = Stats.dpHistogram(df, Seq("g"), "v", Seq(0L, 10L), seed = 4L,
+        domain = Some(dom))
+      .collect().map(r => (r.getString(0), r.getAs[Long]("bin")) ->
+        r.getAs[Long]("noisy_count")).toMap
+    assert(out.keySet == (for (g <- Seq("a", "b", "c"); b <- 0L to 2L)
+      yield (g, b)).toSet)
+    // independent replay of every cell: key = g \u0001 bin \u0001 "4:hist"
+    val two60 = BigInt(1) << 60
+    val ts = (32 to 1 by -1).map(m => (two60 / (BigInt(2).pow(m - 1) * 3)).toLong) ++
+      (0 until 32).map { j =>
+        val den = BigInt(2).pow(j) * 3
+        (two60 - (two60 + den - 1) / den).toLong
+      }
+    val truth = Map(("a", 0L) -> 1L, ("a", 1L) -> 2L, ("a", 2L) -> 1L,
+      ("b", 1L) -> 1L).withDefaultValue(0L)
+    for (((g, b), rel) <- out) {
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest((g + "\u0001" + b + "\u0001" + "4:hist").getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      val u = java.lang.Long.parseLong(md.take(15), 16)
+      val want = math.max(truth((g, b)) + ts.count(_ <= u) - 32L, 0L)
+      assert(rel == want, s"cell ($g, $b): $rel != $want")
+    }
+    // determinism across partitionings
+    val again = Stats.dpHistogram(df.repartition(3), Seq("g"), "v",
+        Seq(0L, 10L), seed = 4L, domain = Some(dom))
+      .collect().map(r => (r.getString(0), r.getAs[Long]("bin")) ->
+        r.getAs[Long]("noisy_count")).toMap
+    assert(again == out)
+  }
+
+  test("DpBudget: exact BigInt loss-factor ledger, loud exhaustion before any release, fresh per-release seeds") {
+    val df = Seq("a", "a", "b").toDF("g")
+    val vdf = Seq(("a", 5L), ("a", 7L), ("b", 2L)).toDF("g", "v")
+    // budget e^eps <= 2^6 (eps = 6 ln 2); count+sum+median+histogram
+    // spend 1+1+2+1 = 5 ln 2 -> factor 32; one more median (2 ln 2)
+    // would reach 2^7 > 2^6 and must throw without releasing
+    val budget = new graft.functions.DpBudget(BigInt(2).pow(6), baseSeed = 100L)
+    val c1 = budget.noisyCounts(df, Seq("g"))
+    budget.noisySums(vdf, Seq("g"), "v", clampC = 10L)
+    budget.median(vdf, Seq("g"), "v", candLo = 0L, candHi = 10L, candStep = 1L)
+    budget.histogram(vdf, Seq("g"), "v", boundaries = Seq(0L, 5L))
+    assert(budget.spentFactor == BigInt(32))
+    assert(budget.releases.map(_._1) ==
+      Seq("count", "sum", "median", "histogram"))
+    val ex = intercept[IllegalStateException] {
+      budget.median(vdf, Seq("g"), "v", candLo = 0L, candHi = 10L, candStep = 1L)
+    }
+    assert(ex.getMessage.contains("DP budget exhausted"))
+    assert(budget.spentFactor == BigInt(32)) // nothing charged on failure
+    // a release within budget still works after a rejected one
+    budget.noisyCounts(df, Seq("g"))
+    assert(budget.spentFactor == BigInt(64))
+    // per-release seeds are fresh: the first budget release equals the
+    // raw primitive at seed baseSeed+1, and a second accountant count
+    // of the same data (different idx) draws different noise over many
+    // groups
+    val raw = Stats.dpNoisyCounts(df, Seq("g"), seed = 101L).collect().toSeq
+    assert(c1.collect().toSeq == raw)
+    val many = (0 until 400).map(_.toLong).toDF("g")
+    val b2 = new graft.functions.DpBudget(BigInt(2).pow(10), baseSeed = 7L)
+    val r1 = b2.noisyCounts(many, Seq("g"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val r2 = b2.noisyCounts(many, Seq("g"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert((0 until 400).count(g => r1(g.toLong) != r2(g.toLong)) > 150)
+  }
+
   test("dpNoisyCounts: public domain releases every domain key (absent ones noise-only) and drops off-domain groups") {
     val df = Seq("a", "a", "a", "b").toDF("g")
     val dom = Seq("a", "c").toDF("g") // "b" observed but NOT public; "c" absent

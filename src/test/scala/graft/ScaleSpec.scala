@@ -457,6 +457,51 @@ class ScaleSpec extends AnyFunSuite {
     assert(out(0)._3 / 2e6 == 0.25)
   }
 
+  test("dimensionRobustStatsSketch: bottom-k selection replay, k>=n degeneracy, sketch-tier robustOutliers") {
+    import graft.functions.Similarity
+    def md5hex(s: String): String = java.security.MessageDigest
+      .getInstance("MD5").digest(s.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    // 200 vectors, dim 2; k = 32 — brute-force the bottom-32 md5(id)
+    // sample per dimension and the lower nearest-rank median/MAD reads
+    val vecs = (1L to 200L).map(i =>
+      (i, Array((i * 0.003).toFloat, (1.0 - i * 0.001).toFloat)))
+    val df = vecs.toDF("vec_id", "embedding")
+    val q2 = vecs.map { case (id, a) =>
+      id -> a.map(x => Math.round(x.toDouble * 1e6) * 2L) }.toMap
+    val sampleIds = vecs.map(_._1).sortBy(id => md5hex(id.toString)).take(32)
+    def nearestRank(xs: Seq[Long]): Long = {
+      val s = xs.sorted
+      s(((500000L * (s.size - 1)) / 1000000L).toInt)
+    }
+    val got = Similarity.dimensionRobustStatsSketch(df, "vec_id", "embedding", k = 32)
+      .orderBy("pos").as[(Long, Long, Long, Long)].collect()
+    for (p <- 0 until 2) {
+      val sample = sampleIds.map(id => q2(id)(p))
+      val med = nearestRank(sample)
+      val mad = nearestRank(sample.map(v => (v - med).abs * 2L))
+      assert(got(p) == (p.toLong, 32L, med, mad), s"dim $p: ${got(p)}")
+    }
+    // k >= n: the sample IS the corpus; on odd n the lower nearest-rank
+    // median equals the exact tier's interpolated one, so sketch == exact
+    val odd = vecs.take(51).toDF("vec_id", "embedding")
+    val exact = Similarity.dimensionRobustStats(odd, "embedding")
+      .orderBy("pos").as[(Long, Long, Long, Long)].collect()
+    val skAll = Similarity.dimensionRobustStatsSketch(odd, "vec_id", "embedding", k = 1024)
+      .orderBy("pos").as[(Long, Long, Long, Long)].collect()
+    assert(exact.toSeq == skAll.toSeq)
+    // sketch-tier robustOutliers: with k >= n the scores fold the same
+    // model, so the planted-outlier audit matches the exact tier
+    val planted = (vecs.take(20) :+ (999L, Array(5.0f, 5.0f))).toDF("vec_id", "embedding")
+    val exactTop = Similarity.robustOutliers(planted, "vec_id", "embedding", topN = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val skTop = Similarity.robustOutliers(planted, "vec_id", "embedding", topN = 3,
+        sketchK = 1024)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exactTop == skTop)
+    assert(skTop.exists(_._1 == 999L))
+  }
+
   test("principalDirection: diagonal case exact, rank-1 axis recovery, translation/duplication invariance") {
     import graft.functions.Similarity
     // diagonal covariance diag(0.16, 0.01): gram = (1.6e11, 1e10), ratio
