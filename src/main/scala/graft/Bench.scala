@@ -156,7 +156,7 @@ object Bench {
       else if (warmFailed == 0) s""""warm":"full-suite@$warmSf","""
       else s""""warm":"partial:$warmFailed/$warmTotal-failed@$warmSf","""
     // Window-degradation guard (VERDICT r7 #6): calib is a data-independent
-    // machine-speed probe, so "this run's calib is >1.3x the calib recorded
+    // machine-speed probe, so "this run's calib is >1.10x the calib recorded
     // in the standing BENCH_SELF.json" means the VM window is degraded, not
     // the code — flag the artifact and keep the healthier BENCH_SELF.
     val standing: Option[org.json4s.JValue] =
@@ -174,15 +174,18 @@ object Bench {
       case org.json4s.JDecimal(d) => d.toDouble
     }
     val prevCalib: Option[Double] = standingNum("calib")
-    val degraded = prevCalib.exists(b => calib > 1.3 * b)
-    // Degraded-window stamp (VERDICT r11 wrong #1 / next #4): a degraded
-    // run's per-query times read as fake regressions in the round artifact
-    // the driver archives. When the flag is set, stamp the STANDING
-    // BENCH_SELF pair (measured at a healthy calib) into both faces so the
-    // comparable headline is always in the archived file itself.
+    // 1.10x threshold (VERDICT r12 #5): the r12 driver window ran at
+    // 1.15x the standing calib — under the old 1.3x gate — and rewrote
+    // the standing pair with a 13%-worse headline that was pure machine
+    // noise. 1.10x keeps genuine same-machine variance (<5% observed)
+    // while catching the 15% VM-window drifts that have actually occurred.
+    val degraded = prevCalib.exists(b => calib > 1.10 * b)
+    // Standing stamp (VERDICT r12 #5, generalizing r11's degraded-only
+    // stamp): EVERY artifact carries the standing BENCH_SELF pair, so a
+    // round file read in isolation always holds the comparable healthy-
+    // window headline next to its own numbers — degraded or not.
     val standingNote =
-      if (!degraded) ""
-      else (standingNum("value"), standingNum("calib")) match {
+      (standingNum("value"), standingNum("calib")) match {
         case (Some(v), Some(c)) =>
           val duckPart = (standingNum("duck_total"), standingNum("ratio")) match {
             case (Some(dt), Some(r)) =>
@@ -213,7 +216,7 @@ object Bench {
           "BENCH_SELF_LOCAL.json, leaving BENCH_SELF.json untouched")
         "BENCH_SELF_LOCAL.json"
       } else if (degraded) {
-        System.err.println(f"[bench] degraded window: calib $calib%.3f > 1.3x " +
+        System.err.println(f"[bench] degraded window: calib $calib%.3f > 1.10x " +
           f"standing ${prevCalib.get}%.3f — keeping BENCH_SELF.json, writing " +
           "BENCH_SELF_DEGRADED.json")
         "BENCH_SELF_DEGRADED.json"

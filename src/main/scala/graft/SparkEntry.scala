@@ -1554,6 +1554,26 @@ object SparkEntry {
           "doc_id", "text", "source")
         .orderBy("source")),
 
+    "q223_factfact_join" -> ((s, dir) => {
+      // the large x large join tier (VERDICT r12 #2): revenue by order
+      // priority and return flag — lineitem x orders with NEITHER side
+      // broadcastable at the target scale, planned as SortMergeJoin via
+      // the merge hint (PlanSpec pins the plan; toy-sf statistics would
+      // otherwise pick the broadcast a 1000-executor run could not
+      // build). Keys shuffle once; aggregation partials ride the same
+      // exchange layout.
+      val li = table(s, dir, "lineitem").select(F.col("l_orderkey"),
+        F.col("l_returnflag"),
+        cents(F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount")))
+          .as("rev_c"))
+      val ord = table(s, dir, "orders").select(
+        F.col("o_orderkey").as("l_orderkey"), F.col("o_orderpriority"))
+      functions.Scale.factFactJoin(li, ord, Seq("l_orderkey" -> "l_orderkey"))
+        .groupBy("o_orderpriority", "l_returnflag")
+        .agg(F.count(F.lit(1)).as("n"), F.sum("rev_c").as("rev_sum_c"))
+        .orderBy("o_orderpriority", "l_returnflag")
+    }),
+
     "q222_dp_histogram" -> ((s, dir) =>
       // the DP tier's fourth primitive: a whole histogram released at
       // single-count cost (one row lands in one bin of one group, so the
@@ -4081,6 +4101,16 @@ object SparkEntry {
          SELECT source, n_docs, n_dup_docs, tokens_total, tokens_dup,
            CAST(tokens_dup::HUGEINT * 1000000 // greatest(tokens_total, 1) AS BIGINT) AS dup_token_ppm
          FROM g ORDER BY 1""",
+
+    "q223_factfact_join" ->
+      // the fact-fact revenue join: plain equi-join + group-aggregate
+      // (the plan tier — SMJ vs broadcast — is the Spark-side assertion;
+      // the oracle checks the join's answers)
+      """SELECT o_orderpriority, l_returnflag,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS BIGINT) AS rev_sum_c
+         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         GROUP BY 1, 2 ORDER BY 1, 2""",
 
     "q222_dp_histogram" ->
       // the parallel-composed geometric mechanism replayed exactly: the

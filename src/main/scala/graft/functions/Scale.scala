@@ -117,6 +117,36 @@ object Scale {
       .drop("__z")
   }
 
+  /** Large × large equi-join tier — the fact-fact join contract
+    * (reference: the per-batch equi-join of
+    * `storm/trident/TridentTopology.java:237-263`) for the regime where
+    * NEITHER side fits a broadcast: near-dup pairs × document metadata,
+    * candidate graph × scores, lineitem × orders at 100 TB. The MERGE
+    * hint pins the shuffle-join plan (SortMergeJoin: both sides hash-
+    * exchanged on the join keys, sorted, streamed — per-task memory is
+    * O(run), not O(side), and spill-safe) at ANY test scale: at toy sf
+    * the statistics say "broadcastable" and Catalyst would happily plan
+    * the broadcast that a 1000-executor run could never build, so the
+    * caller's knowledge that both sides are fact-sized enters as the
+    * hint. Equal-named key pairs join with the USING spelling (one
+    * output column); differently-named pairs stay condition-joined.
+    * Skewed keys compose with AQE's skew-join split (ScaleSpec) or
+    * [[saltedJoin]] when one hot key dominates; pre-bucketed layouts
+    * (ScaleSpec's bucketed drill) drop the exchanges entirely under the
+    * same API. */
+  def factFactJoin(left: DataFrame, right: DataFrame,
+                   keys: Seq[(String, String)],
+                   joinType: String = "inner"): DataFrame = {
+    require(keys.nonEmpty, "no join keys given")
+    val l = left.hint("merge")
+    if (keys.forall { case (a, b) => a == b })
+      l.join(right, keys.map(_._1), joinType)
+    else {
+      val cond = keys.map { case (a, b) => l(a) === right(b) }.reduce(_ && _)
+      l.join(right, cond, joinType)
+    }
+  }
+
   def saltedJoin(big: DataFrame, small: DataFrame, bigKey: String,
                  smallKey: String, saltBuckets: Int): DataFrame = {
     // deterministic content-hash salt — see contentSalt for why ids and
@@ -1043,23 +1073,25 @@ object Scale {
     * Output: (group, q_ppm, n_samp, est), one row per (group, quantile).
     *
     * Scale shape: the sketch is ≤ k rows per group, so the collect_list
-    * buffer is bounded by construction; |quantiles| literal rank picks
-    * per group afterwards. */
+    * buffer is bounded by construction; the requested quantiles enter as
+    * ONE exploded literal array, so every rank reads off the same single
+    * aggregation pass — one job per read, not |quantiles| (the r12
+    * per-quantile select-and-union spelling cost q203/q204/q205/q207 a
+    * small job per quantile off the checkpoint). */
   def quantileEstimate(sketch: DataFrame, groupCol: String,
                        quantilesPpm: Seq[Long]): DataFrame = {
     require(quantilesPpm.nonEmpty && quantilesPpm == quantilesPpm.sorted &&
       quantilesPpm.forall(q => q >= 0L && q <= 1000000L),
       s"quantiles must be ascending ppm in [0, 1000000], got $quantilesPpm")
-    val agg = sketch.groupBy(groupCol)
+    val qArr = quantilesPpm.mkString("array(", "L, ", "L)")
+    sketch.groupBy(groupCol)
       .agg(F.expr("array_sort(collect_list(__v))").as("__vs"),
         F.count(F.lit(1)).as("n_samp"))
-      .localCheckpoint() // one sketch scan feeds every quantile row
-    quantilesPpm.map { q =>
-      agg.select(F.col(groupCol), F.lit(q).as("q_ppm"), F.col("n_samp"),
-        F.expr(
-          s"element_at(__vs, CAST(($q * (n_samp - 1)) DIV 1000000 AS INT) + 1)")
-          .as("est"))
-    }.reduce(_.unionByName(_))
+      .select(F.col(groupCol), F.explode(F.expr(qArr)).as("q_ppm"),
+        F.col("n_samp"), F.col("__vs"))
+      .withColumn("est", F.expr(
+        "element_at(__vs, CAST((q_ppm * (n_samp - 1)) DIV 1000000 AS INT) + 1)"))
+      .select(F.col(groupCol), F.col("q_ppm"), F.col("n_samp"), F.col("est"))
   }
 
   /** Range-partition boundaries from a PRE-BUILT [[quantileSketch]] — the

@@ -23,14 +23,21 @@ object Drills {
     * corpus' own near-dup graph — the drill measures candidate
     * throughput, not a cross-batch duplication pathology. */
   def streamLshCandidates(spark: SparkSession, docs: Seq[(Long, String)],
-                          batches: Int = 4): (Double, Long) = {
+                          batches: Int = 4): (Double, Long) =
+    streamLshCandidatesCap(spark, docs, batches, 64)
+
+  /** [[streamLshCandidates]] with the bucket cap exposed — the lshprof
+    * diagnostic's knob (cap 0 = state round-trips but no registration or
+    * pair emission, isolating state-store cost from pair volume). */
+  def streamLshCandidatesCap(spark: SparkSession, docs: Seq[(Long, String)],
+                             batches: Int, cap: Int): (Double, Long) = {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     val ck = java.nio.file.Files.createTempDirectory("lsh-stream-ck").toString
     val input = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String)]
     val pairs = graft.functions.Dedup.streamingLshCandidates(
       input.toDF().toDF("doc_id", "text"), "doc_id", "text",
-      k = 3, numHashes = 4, rowsPerBand = 2, maxBucketSize = 64)
+      k = 3, numHashes = 4, rowsPerBand = 2, maxBucketSize = cap)
     val emitted = new java.util.concurrent.atomic.AtomicLong(0L)
     val q = pairs.writeStream.outputMode("append")
       .option("checkpointLocation", ck)

@@ -43,11 +43,64 @@ object ScaleDrill {
       case "skewjoin" => skewJoinDrill(spark,
         args.lift(1).getOrElse("1,10").split(",").map(_.trim.toInt).toSeq)
       case "joinestim" => joinEstimatorDrill(spark, sfDir)
+      case "lshprof" => lshProfile(spark, sfDir)
       case _ => pipelineDrill(spark, sfDir,
         args.lift(1).getOrElse("1,10").split(",").map(_.trim.toInt).toSeq,
         nameFilter = args.lift(2))
     }
     spark.stop()
+  }
+
+  /** stream_lsh regression profiler (VERDICT r12 #3): times the drill's
+    * component layers separately — batch band-key generation (the
+    * scan-stage minhash cost with no state), then the full streaming
+    * pipeline under RocksDB (the bench config) vs the HDFS-backed
+    * provider, vs a bucket-cap-0 run (state reads/writes but no pair
+    * emission and no registration) — so a regression localizes to scan,
+    * state store, or pair volume. */
+  def lshProfile(spark: SparkSession, sfDir: String): Unit = {
+    import spark.implicits._
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select("doc_id", "text").as[(Long, String)].collect().toSeq
+    println(s"[lshprof] docs=${docs.size}")
+    def timeIt(label: String)(f: => Any): Unit = {
+      val t0 = System.nanoTime(); f
+      println(f"[lshprof] $label: ${(System.nanoTime() - t0) / 1e9}%.2fs")
+    }
+    val df = docs.toDF("doc_id", "text")
+    (1 to 3).foreach(i => timeIt(s"batch_bandkeys_$i") {
+      Dedup.minhashSignature(df, "text", 3, 4).queryExecution.toRdd.count() })
+    def streamRun(provider: String, cap: Int, label: String): Unit = {
+      val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+      spark.conf.set("spark.sql.streaming.stateStore.providerClass", provider)
+      try {
+        try Drills.streamLshCandidatesCap(spark, docs.take(2), 1, cap)
+        catch { case _: Throwable => () }
+        (1 to 2).foreach { i =>
+          timeIt(s"${label}_$i") {
+            val (sec, pairs) = Drills.streamLshCandidatesCap(spark, docs, 4, cap)
+            System.err.println(s"[lshprof] ${label}_$i pairs=$pairs sec=$sec")
+          }
+        }
+      } finally prev match {
+        case Some(pv) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", pv)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+    val rocks = "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+    // (no HDFSBackedStateStoreProvider face: transformWithState needs
+    // multiple column families, which only RocksDB supports)
+    streamRun(rocks, 64, "stream_rocksdb_cap64")
+    streamRun(rocks, 0, "stream_rocksdb_cap0")
+    spark.conf.set(
+      "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled", "true")
+    streamRun(rocks, 64, "stream_rocksdb_changelog")
+    spark.conf.set(
+      "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled", "false")
+    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    streamRun(rocks, 64, "stream_rocksdb_8parts")
+    spark.conf.set("spark.sql.shuffle.partitions", prevParts)
   }
 
   /** AQE-skew-split composition drill (VERDICT r9 #6): the engine's manual
@@ -850,6 +903,19 @@ object ScaleDrill {
     "sessionize (q58)" -> (ev =>
       Temporal.sessionize(ev, "user_id", "ts_us",
         gapTicks = 1800L * 1000000L, tieBreak = "event_id")),
+    // the q223 large×large tier: BOTH sides are fact-sized — the raw
+    // event table and a per-user profile derived from it (user
+    // cardinality grows with N through the replica salt, so the right
+    // side is never broadcastable). The merge hint pins SortMergeJoin;
+    // the row pins that the shuffle-join cost tracks the corpus
+    // linearly (two key exchanges + sorted streams, no build side)
+    "factfact_join (q223)" -> { ev =>
+      val profile = ev.groupBy("user_id")
+        .agg(F.count(F.lit(1)).as("n_events"))
+      Scale.factFactJoin(ev.select("user_id", "event_id"), profile,
+          Seq("user_id" -> "user_id"))
+        .groupBy("n_events").agg(F.count(F.lit(1)).as("n_rows"))
+    },
     "asof_join (q57)" -> { ev =>
       val clicks = ev.where(F.col("event_type") === "click")
         .select("user_id", "ts_us", "event_id")

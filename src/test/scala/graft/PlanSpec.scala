@@ -21,6 +21,17 @@ class PlanSpec extends AnyFunSuite {
   private def plan(q: String): String =
     SparkEntry.queries(q)(spark, dir).queryExecution.executedPlan.toString
 
+  test("q223 fact-fact join plans as SortMergeJoin — neither side broadcast, pruned scans, partial agg (VERDICT r12 #2)") {
+    val p = plan("q223_factfact_join")
+    assert(p.contains("SortMergeJoin"), s"expected a shuffle merge join:\n$p")
+    assert(!p.contains("BroadcastHashJoin") && !p.contains("BroadcastExchange"),
+      s"a fact side got broadcast:\n$p")
+    // both fact scans pruned to the join/agg columns only
+    assert(!p.contains("l_shipdate") && !p.contains("o_totalprice"),
+      s"scan not pruned:\n$p")
+    assert(p.contains("partial_"), s"no partial aggregation:\n$p")
+  }
+
   test("q11 pushes the shipdate filter into the parquet scan and partial-aggregates") {
     val p = plan("q11_tpch_q1")
     assert(p.contains("PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate"),
