@@ -28,9 +28,44 @@ object Drills {
 
   /** [[streamLshCandidates]] with the bucket cap exposed — the lshprof
     * diagnostic's knob (cap 0 = state round-trips but no registration or
-    * pair emission, isolating state-store cost from pair volume). */
+    * pair emission, isolating state-store cost from pair volume).
+    *
+    * State-partition sizing (VERDICT r12 #3, measured by `ScaleDrill
+    * lshprof`): this pipeline carries TWO stateful operators (band
+    * buckets + the streaming pair dedup), and a stateful operator's
+    * per-batch fixed cost is `partitions × (store open + commit +
+    * snapshot)` — at spark.sql.shuffle.partitions=32 that is 256 RocksDB
+    * commits over 4 micro-batches for kilobytes of state, 11.2 s of
+    * drill time where 8 partitions do the same work in 3.5 s. Streaming
+    * state partitioning must track STATE VOLUME, not core count (unlike
+    * batch shuffles, it is frozen into the checkpoint at first start),
+    * so the drill pins 8 partitions + changelog checkpointing (upload
+    * the per-batch delta, not a full snapshot — the production
+    * recommendation for frequent small commits) for the streaming
+    * query and restores the session confs after. */
   def streamLshCandidatesCap(spark: SparkSession, docs: Seq[(Long, String)],
                              batches: Int, cap: Int): (Double, Long) = {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
+    val clKey =
+      "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled"
+    val prevCl = spark.conf.getOption(clKey)
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    spark.conf.set(clKey, "true")
+    try streamLshCandidatesTuned(spark, docs, batches, cap)
+    finally {
+      spark.conf.set("spark.sql.shuffle.partitions", prevParts)
+      prevCl match {
+        case Some(v) => spark.conf.set(clKey, v)
+        case None => spark.conf.unset(clKey)
+      }
+    }
+  }
+
+  private[tools] def streamLshCandidatesTuned(spark: SparkSession,
+                                       docs: Seq[(Long, String)],
+                                       batches: Int, cap: Int): (Double, Long) = {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     val ck = java.nio.file.Files.createTempDirectory("lsh-stream-ck").toString

@@ -57,7 +57,9 @@ object ScaleDrill {
     * pipeline under RocksDB (the bench config) vs the HDFS-backed
     * provider, vs a bucket-cap-0 run (state reads/writes but no pair
     * emission and no registration) — so a regression localizes to scan,
-    * state store, or pair volume. */
+    * state store, or pair volume. Uses the UNTUNED pipeline (the bench
+    * entry itself pins 8 partitions + changelog checkpointing per the
+    * findings recorded in SCALE.md §lshprof). */
   def lshProfile(spark: SparkSession, sfDir: String): Unit = {
     import spark.implicits._
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
@@ -74,11 +76,11 @@ object ScaleDrill {
       val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
       spark.conf.set("spark.sql.streaming.stateStore.providerClass", provider)
       try {
-        try Drills.streamLshCandidatesCap(spark, docs.take(2), 1, cap)
+        try Drills.streamLshCandidatesTuned(spark, docs.take(2), 1, cap)
         catch { case _: Throwable => () }
         (1 to 2).foreach { i =>
           timeIt(s"${label}_$i") {
-            val (sec, pairs) = Drills.streamLshCandidatesCap(spark, docs, 4, cap)
+            val (sec, pairs) = Drills.streamLshCandidatesTuned(spark, docs, 4, cap)
             System.err.println(s"[lshprof] ${label}_$i pairs=$pairs sec=$sec")
           }
         }
@@ -100,6 +102,13 @@ object ScaleDrill {
     val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", "8")
     streamRun(rocks, 64, "stream_rocksdb_8parts")
+    spark.conf.set(
+      "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled", "true")
+    streamRun(rocks, 64, "stream_rocksdb_8parts_changelog")
+    spark.conf.set(
+      "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled", "false")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    streamRun(rocks, 64, "stream_rocksdb_4parts")
     spark.conf.set("spark.sql.shuffle.partitions", prevParts)
   }
 
