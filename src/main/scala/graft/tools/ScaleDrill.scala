@@ -44,11 +44,36 @@ object ScaleDrill {
         args.lift(1).getOrElse("1,10").split(",").map(_.trim.toInt).toSeq)
       case "joinestim" => joinEstimatorDrill(spark, sfDir)
       case "lshprof" => lshProfile(spark, sfDir)
+      case "wcprof" => wcProfile(spark, sfDir)
       case _ => pipelineDrill(spark, sfDir,
         args.lift(1).getOrElse("1,10").split(",").map(_.trim.toInt).toSeq,
         nameFilter = args.lift(2))
     }
     spark.stop()
+  }
+
+  /** stream_wordcount_store partition-sizing probe (the lshprof finding
+    * applied to the single-stateful-operator drill): same word-count
+    * drive at 32 vs 8 state partitions, with and without changelog
+    * checkpointing. */
+  def wcProfile(spark: SparkSession, sfDir: String): Unit = {
+    import spark.implicits._
+    val texts = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select("text").as[String].collect().toSeq
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val clKey =
+      "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled"
+    try Drills.storeWordCount(spark, texts.take(1), 1)
+    catch { case _: Throwable => () }
+    for (parts <- Seq("32", "8"); cl <- Seq("false", "true")) {
+      spark.conf.set("spark.sql.shuffle.partitions", parts)
+      spark.conf.set(clKey, cl)
+      (1 to 2).foreach { i =>
+        val sec = Drills.storeWordCount(spark, texts, 2)
+        println(f"[wcprof] parts=$parts changelog=$cl run$i: $sec%.2fs")
+      }
+    }
   }
 
   /** stream_lsh regression profiler (VERDICT r12 #3): times the drill's
