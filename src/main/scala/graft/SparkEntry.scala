@@ -1554,6 +1554,52 @@ object SparkEntry {
           "doc_id", "text", "source")
         .orderBy("source")),
 
+    "q224_dp_budget_session" -> ((s, dir) => {
+      // the accountant as a judged face: a full release SESSION — count,
+      // sum, median, histogram of the same events universe through ONE
+      // DpBudget — so the deterministic seed schedule (baseSeed + release
+      // index) and the exact product ledger both oracle. Spent after the
+      // four releases: 2^(1+1+2+1) = 32 = e^(5 ln 2) of the 2^8 budget;
+      // the 'ledger' row releases that factor (post-processing arithmetic
+      // on already-released eps values — no privacy cost)
+      val budget = new functions.DpBudget(BigInt(2).pow(8),
+        baseSeed = 20260816L)
+      val ev = events(s, dir).select(F.col("event_type"),
+        F.expr("CAST(round(value * 100) AS BIGINT)").as("value_c"))
+      val dom = s.sql(
+        """SELECT event_type
+           FROM VALUES ('click'), ('error'), ('purchase'), ('refund'),
+                       ('signup'), ('view') AS t(event_type)""")
+      val counts = budget.noisyCounts(ev, Seq("event_type"),
+          domain = Some(dom))
+        .select(F.lit("count").as("face"), F.col("event_type"),
+          F.lit(null).cast("long").as("bin"),
+          F.col("noisy_count").as("released"))
+      val sums = budget.noisySums(ev, Seq("event_type"), "value_c",
+          clampC = 20000L)
+        .select(F.lit("sum").as("face"), F.col("event_type"),
+          F.lit(null).cast("long").as("bin"),
+          F.col("noisy_sum").as("released"))
+      val med = budget.median(ev, Seq("event_type"), "value_c",
+          candLo = 0L, candHi = 60000L, candStep = 250L)
+        .select(F.lit("median").as("face"), F.col("event_type"),
+          F.lit(null).cast("long").as("bin"),
+          F.col("released_median").as("released"))
+      val hist = budget.histogram(ev, Seq("event_type"), "value_c",
+          boundaries = Seq(0L, 8000L, 16000L, 24000L, 32000L,
+            40000L, 48000L, 56000L),
+          domain = Some(dom))
+        .select(F.lit("hist").as("face"), F.col("event_type"),
+          F.col("bin"), F.col("noisy_count").as("released"))
+      val ledger = s.range(1).select(F.lit("ledger").as("face"),
+        F.lit(null).cast("string").as("event_type"),
+        F.lit(null).cast("long").as("bin"),
+        F.lit(budget.spentFactor.toLong).as("released"))
+      counts.unionByName(sums).unionByName(med).unionByName(hist)
+        .unionByName(ledger)
+        .orderBy("face", "event_type", "bin")
+    }),
+
     "q223_factfact_join" -> ((s, dir) => {
       // the large x large join tier (VERDICT r12 #2): revenue by order
       // priority and return flag — lineitem x orders with NEITHER side
@@ -4101,6 +4147,89 @@ object SparkEntry {
          SELECT source, n_docs, n_dup_docs, tokens_total, tokens_dup,
            CAST(tokens_dup::HUGEINT * 1000000 // greatest(tokens_total, 1) AS BIGINT) AS dup_token_ppm
          FROM g ORDER BY 1""",
+
+    "q224_dp_budget_session" ->
+      // the accountant's deterministic seed schedule replayed: count at
+      // seed base+1, sum at base+2 (':sum'), median at base+3 (':med',
+      // public grid), histogram at base+4 (':hist', public 6x9 frame),
+      // plus the exact ledger row 2^(1+1+2+1) = 32; threshold/power
+      // literals shared via CTEs
+      """WITH tarr AS (SELECT [178956970, 357913941, 715827882, 1431655765, 2863311530, 5726623061, 11453246122, 22906492245, 45812984490, 91625968981, 183251937962, 366503875925, 733007751850, 1466015503701, 2932031007402, 5864062014805, 11728124029610, 23456248059221, 46912496118442, 93824992236885, 187649984473770, 375299968947541, 750599937895082, 1501199875790165, 3002399751580330, 6004799503160661, 12009599006321322, 24019198012642645, 48038396025285290, 96076792050570581, 192153584101141162, 384307168202282325, 768614336404564650, 960767920505705813, 1056844712556276394, 1104883108581561685, 1128902306594204330, 1140911905600525653, 1146916705103686314, 1149919104855266645, 1151420304731056810, 1152170904668951893, 1152546204637899434, 1152733854622373205, 1152827679614610090, 1152874592110728533, 1152898048358787754, 1152909776482817365, 1152915640544832170, 1152918572575839573, 1152920038591343274, 1152920771599095125, 1152921138102971050, 1152921321354909013, 1152921412980877994, 1152921458793862485, 1152921481700354730, 1152921493153600853, 1152921498880223914, 1152921501743535445, 1152921503175191210, 1152921503891019093, 1152921504248933034, 1152921504427890005] AS ts),
+         ev AS (SELECT event_type, CAST(round(value * 100) AS BIGINT) AS v FROM events),
+         dom AS (SELECT et.event_type
+                 FROM (VALUES ('click'), ('error'), ('purchase'), ('refund'),
+                              ('signup'), ('view')) et(event_type)),
+         cg AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n FROM ev GROUP BY 1),
+         cj AS (SELECT d.event_type, coalesce(cg.n, 0) AS n
+                FROM dom d LEFT JOIN cg ON d.event_type = cg.event_type),
+         cu AS (SELECT event_type, n, ('0x' || substr(md5(concat_ws(chr(1),
+                  coalesce(event_type, chr(2)), '20260817')), 1, 15))::BIGINT AS u
+                FROM cj),
+         cface AS (SELECT 'count' AS face, event_type, CAST(NULL AS BIGINT) AS bin,
+                  greatest(n + CAST(len(list_filter((SELECT ts FROM tarr), t -> t <= u)) AS BIGINT) - 32, 0) AS released
+                FROM cu),
+         sg AS (SELECT event_type, CAST(sum(CASE WHEN v IS NULL THEN 0
+                  ELSE greatest(least(v, 20000), 0) END) AS BIGINT) AS s
+                FROM ev GROUP BY 1),
+         su AS (SELECT event_type, s, ('0x' || substr(md5(concat_ws(chr(1),
+                  coalesce(event_type, chr(2)), '20260818:sum')), 1, 15))::BIGINT AS u
+                FROM sg),
+         sface AS (SELECT 'sum' AS face, event_type, CAST(NULL AS BIGINT) AS bin,
+                  20000 * greatest((2 * s + 20000) // 40000
+                    + (CAST(len(list_filter((SELECT ts FROM tarr), t -> t <= u)) AS BIGINT) - 32), 0) AS released
+                FROM su),
+         mgv AS (SELECT event_type, v, CAST(count(*) AS BIGINT) AS c, 0 AS cand
+                 FROM ev WHERE v IS NOT NULL GROUP BY 1, 2),
+         mgrid AS (SELECT g.event_type, CAST(gs.v AS BIGINT) AS v,
+                    CAST(0 AS BIGINT) AS c, 1 AS cand
+                   FROM (SELECT DISTINCT event_type FROM mgv) g
+                   CROSS JOIN (SELECT unnest(generate_series(0, 60000, 250)) AS v) gs),
+         muni AS (SELECT event_type, v, CAST(sum(c) AS BIGINT) AS c, max(cand) AS cand
+                  FROM (SELECT * FROM mgv UNION ALL SELECT * FROM mgrid)
+                  GROUP BY 1, 2),
+         mr AS (SELECT event_type, v, c, cand,
+                  sum(c) OVER (PARTITION BY event_type ORDER BY v
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - c AS cum,
+                  sum(c) OVER (PARTITION BY event_type) AS n
+                FROM muni),
+         mw AS (SELECT *, CASE WHEN cand = 1 THEN [1, 2, 4, 8, 16, 32, 64, 128, 256, 512, 1024, 2048, 4096, 8192, 16384, 32768, 65536, 131072, 262144, 524288, 1048576, 2097152, 4194304, 8388608, 16777216, 33554432, 67108864, 134217728, 268435456, 536870912, 1073741824, 2147483648, 4294967296][CAST(32 - least(abs(2 * cum + c - n), 32) AS INT) + 1] ELSE 0 END AS wt
+                FROM mr),
+         mcw AS (SELECT *,
+                  sum(wt::HUGEINT) OVER (PARTITION BY event_type ORDER BY v
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cwt,
+                  sum(wt::HUGEINT) OVER (PARTITION BY event_type) AS twt,
+                  ('0x' || substr(md5(concat_ws(chr(1),
+                     coalesce(event_type, chr(2)), '20260819:med')), 1, 15))::BIGINT AS u60
+                FROM mw),
+         mface AS (SELECT 'median' AS face, event_type, CAST(NULL AS BIGINT) AS bin,
+                  CAST(min(v) AS BIGINT) AS released
+                FROM mcw
+                WHERE cand = 1 AND cwt > (u60::HUGEINT * twt) // 1152921504606846976
+                GROUP BY 1, 2),
+         hb AS (SELECT event_type,
+                  CAST(len(list_filter([0, 8000, 16000, 24000, 32000, 40000, 48000, 56000],
+                    x -> x <= v)) AS BIGINT) AS bin,
+                  CAST(count(*) AS BIGINT) AS n
+                FROM ev WHERE v IS NOT NULL GROUP BY 1, 2),
+         hdom AS (SELECT d.event_type, CAST(gs.bin AS BIGINT) AS bin
+                  FROM dom d
+                  CROSS JOIN (SELECT unnest(generate_series(0, 8)) AS bin) gs),
+         hj AS (SELECT d.event_type, d.bin, coalesce(hb.n, 0) AS n
+                FROM hdom d LEFT JOIN hb
+                  ON d.event_type = hb.event_type AND d.bin = hb.bin),
+         hu AS (SELECT event_type, bin, n, ('0x' || substr(md5(concat_ws(chr(1),
+                  coalesce(event_type, chr(2)), CAST(bin AS VARCHAR),
+                  '20260820:hist')), 1, 15))::BIGINT AS u
+                FROM hj),
+         hface AS (SELECT 'hist' AS face, event_type, bin,
+                  greatest(n + CAST(len(list_filter((SELECT ts FROM tarr), t -> t <= u)) AS BIGINT) - 32, 0) AS released
+                FROM hu)
+         SELECT face, event_type, bin, released FROM cface
+         UNION ALL SELECT face, event_type, bin, released FROM sface
+         UNION ALL SELECT face, event_type, bin, released FROM mface
+         UNION ALL SELECT face, event_type, bin, released FROM hface
+         UNION ALL SELECT 'ledger', CAST(NULL AS VARCHAR), CAST(NULL AS BIGINT), CAST(32 AS BIGINT)
+         ORDER BY 1, 2, 3""",
 
     "q223_factfact_join" ->
       // the fact-fact revenue join: plain equi-join + group-aggregate
