@@ -20,6 +20,78 @@ object StatsPropertySpec extends Properties("StatsOps") {
     .config("spark.ui.enabled", "false")
     .getOrCreate()
 
+  // ---- DP release tier invariants (r13, the ADVICE-r12 privacy fixes) ----
+
+  property("dpNoisySums: releases live on the public C-lattice for ARBITRARY data; quantization is 1-Lipschitz in C-steps") =
+    Prop.forAll(
+      Gen.nonEmptyListOf(Gen.zip(Gen.choose(0L, 4L),
+        Gen.option(Gen.choose(-50000L, 50000L)))),
+      Gen.choose(1L, 30000L), Gen.choose(0L, 10000L)) { (rows, clampC, seed) =>
+      // arithmetic face of the ADVICE fix: the lattice index moves by at
+      // most one step when the clamped sum moves by at most C (neighbor
+      // datasets) -- pure integer property, checked exhaustively-ish
+      def q(sum: Long): Long = (2L * sum + clampC) / (2L * clampC)
+      val lip = Prop.forAll(Gen.choose(0L, 1000000L), Gen.choose(0L, clampC)) {
+        (sum, delta) => math.abs(q(sum + delta) - q(sum)) <= 1L
+      }
+      // distributed face: every released value is a non-negative multiple
+      // of C whatever the data (the support itself is public)
+      val sp = spark
+      import sp.implicits._
+      val out = graft.functions.Stats.dpNoisySums(
+        rows.toDF("g", "v"), Seq("g"), "v", clampC = clampC, seed = seed)
+        .collect().map(_.getAs[Long]("noisy_sum"))
+      lip && Prop(out.forall(r => r >= 0L && r % clampC == 0L)) :| s"off-lattice: ${out.toSeq}"
+    }
+
+  property("dpMedian: released values are ALWAYS grid points for arbitrary data (support is data-independent)") =
+    Prop.forAll(
+      Gen.nonEmptyListOf(Gen.zip(Gen.choose(0L, 3L), Gen.choose(-500L, 500L))),
+      Gen.choose(1L, 50L), Gen.choose(0L, 10000L)) { (rows, step, seed) =>
+      val sp = spark
+      import sp.implicits._
+      val out = graft.functions.Stats.dpMedian(
+        rows.toDF("g", "v"), Seq("g"), "v", seed = seed,
+        candLo = -500L, candHi = 500L, candStep = step)
+        .collect().map(_.getAs[Long]("released_median"))
+      Prop(out.forall(v =>
+        v >= -500L && v <= 500L && (v + 500L) % step == 0L)) :| s"off-grid: ${out.toSeq}"
+    }
+
+  property("geometricThresholds: strictly within [0, 2^60), nondecreasing, median threshold at the CDF midpoint band") =
+    Prop.forAll(Gen.choose(2, 16), Gen.choose(1, 40)) { (base, clampB) =>
+      val ts = graft.functions.Stats.geometricThresholds(base, clampB)
+      val two60 = 1L << 60
+      Prop(ts.size == 2 * clampB) &&
+        Prop(ts.forall(t => t >= 0L && t < two60)) &&
+        Prop(ts.zip(ts.tail).forall { case (a, b) => a <= b }) :| s"not sorted: $ts" &&
+        // CDF(-1) = 1/(q+1) and CDF(0) = 1 - 1/(q+1): the zero-noise band
+        // straddles the uniform midpoint, so noise=0 is the modal draw
+        Prop(ts(clampB - 1) < two60 / 2 && ts(clampB) > two60 / 2)
+    }
+
+  property("DpBudget: charge order never lets the product exceed the bound; rejected charges leave the ledger untouched") =
+    Prop.forAll(Gen.choose(1, 10),
+      Gen.listOf(Gen.oneOf(1, 1, 1, 2))) { (budgetExp, mults) =>
+      val b = new graft.functions.DpBudget(BigInt(2).pow(budgetExp), 7L)
+      var expected = BigInt(1)
+      mults.foreach { m =>
+        val next = expected * BigInt(2).pow(m)
+        try {
+          // charge through the public surface that costs 2^m
+          val sp = spark
+          import sp.implicits._
+          val df = Seq("x").toDF("g")
+          if (m == 1) b.noisyCounts(df, Seq("g"))
+          else b.median(df.selectExpr("g", "1L AS v"), Seq("g"), "v",
+            candLo = 0L, candHi = 4L, candStep = 1L)
+          expected = next
+        } catch { case _: IllegalStateException => () }
+      }
+      Prop(b.spentFactor == expected) :| s"ledger ${b.spentFactor} != $expected" &&
+        Prop(b.spentFactor <= BigInt(2).pow(budgetExp))
+    }
+
   property("columnHistogram: bins partition the corpus; every value lands in its bin's bounds") =
     Prop.forAll(Gen.nonEmptyListOf(Gen.choose(-1000L, 1000L)),
                 Gen.choose(1, 8)) { (vs, buckets) =>
