@@ -340,6 +340,46 @@ object Stats {
       .toDF("group_key", "release_idx", "noisy_count")
   }
 
+  /** Streaming face of [[dpHistogram]] — the release-index pattern of
+    * [[streamingDpRelease]] composed with the public-bin frame: each
+    * batch that touches a group emits one release row for EVERY bin of
+    * the public binning (empty bins included) over the group's RUNNING
+    * per-bin counts, with fresh noise per (release index, bin). Each
+    * release costs ε = ln(noiseBase) (parallel composition across
+    * bins); k releases compose to k·ε — the caller's budget. Same
+    * seed-secrecy and touched-keys-only caveats as
+    * [[streamingDpRelease]]. Output:
+    * (group_key, release_idx, bin, noisy_count). */
+  def streamingDpHistogram(stream: DataFrame, groupCols: Seq[String],
+      valueCol: String, boundaries: Seq[Long], seed: Long,
+      noiseBase: Int = 2, clampB: Int = 32,
+      ttl: org.apache.spark.sql.streaming.TTLConfig =
+        org.apache.spark.sql.streaming.TTLConfig.NONE): DataFrame = {
+    require(groupCols.nonEmpty, "no group columns given")
+    require(boundaries.nonEmpty && boundaries == boundaries.sorted &&
+      boundaries.distinct == boundaries,
+      s"boundaries must be non-empty strictly ascending, got $boundaries")
+    val thresholds = geometricThresholds(noiseBase, clampB).toArray
+    val bArr = boundaries.mkString("array(", "L, ", "L)")
+    val spark = stream.sparkSession
+    import spark.implicits._
+    stream.where(F.col(valueCol).isNotNull)
+      .select(
+        F.concat_ws("\u0001", groupCols.map(c =>
+          F.coalesce(F.col(c).cast("string"), F.lit("\u0002"))): _*).as("k"),
+        F.expr(
+          s"""CAST(size(filter($bArr, b -> b <= CAST(`$valueCol` AS BIGINT)))
+                 AS BIGINT)""").as("bin"))
+      .as[(String, Long)]
+      .groupByKey(_._1)
+      .transformWithState(
+        new graft.streaming.StateStoreRunner.DpHistogramReleaseProcessor(
+          thresholds, clampB, seed, boundaries.size + 1, ttl),
+        graft.streaming.StateStoreRunner.ttlTimeMode(ttl),
+        org.apache.spark.sql.streaming.OutputMode.Update())
+      .toDF("group_key", "release_idx", "bin", "noisy_count")
+  }
+
   /** ε-differentially-private noisy-count release — the RELEASE step the
     * audit trio (k-anonymity / l-diversity / t-closeness) gates: per
     * group, `count + noise` where noise follows the two-sided geometric

@@ -559,6 +559,53 @@ object StateStoreRunner {
     }
   }
 
+  /** Streaming DP HISTOGRAM release — the live face of
+    * [[graft.functions.Stats.dpHistogram]], composing the
+    * [[DpReleaseProcessor]] release-index pattern with the public-bin
+    * frame: per key, running counts per bin in a MapState; each batch
+    * that touches the key emits one release row for EVERY bin of the
+    * public binning (0..numBins−1, empty bins included — the bin frame
+    * must not leak which bins have data) with fresh noise drawn from
+    * `md5(key ␁ bin ␁ seed:idx:hist)`. One row lands in one bin, so
+    * the per-bin mechanisms compose in parallel: each release costs
+    * ε = ln(noiseBase), and k releases compose to k·ε (the caller's
+    * budget — [[graft.functions.DpBudget]] is the batch-side ledger).
+    * Group-key-domain and seed-secrecy caveats as the batch face. */
+  class DpHistogramReleaseProcessor(thresholds: Array[Long], clampB: Int,
+                                    seed: Long, numBins: Int,
+                                    ttl: TTLConfig = TTLConfig.NONE)
+    extends StatefulProcessor[String, (String, Long), (String, Long, Long, Long)] {
+    @transient private var bins: org.apache.spark.sql.streaming.MapState[Long, Long] = _
+    @transient private var rel: org.apache.spark.sql.streaming.ValueState[Long] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+      bins = getHandle.getMapState[Long, Long]("bins",
+        Encoders.scalaLong, Encoders.scalaLong, ttl)
+      rel = getHandle.getValueState[Long]("rel", Encoders.scalaLong, ttl)
+    }
+
+    override def handleInputRows(key: String, rows: Iterator[(String, Long)],
+                                 timerValues: TimerValues): Iterator[(String, Long, Long, Long)] = {
+      rows.foreach { case (_, b) =>
+        val prev = if (bins.containsKey(b)) bins.getValue(b) else 0L
+        bins.updateValue(b, prev + 1L)
+      }
+      val idx = (if (rel.exists()) rel.get() else 0L) + 1L
+      rel.update(idx)
+      val md5 = java.security.MessageDigest.getInstance("MD5")
+      (0L until numBins.toLong).iterator.map { b =>
+        val n = if (bins.containsKey(b)) bins.getValue(b) else 0L
+        val hex = md5.digest(s"$key\u0001$b\u0001$seed:$idx:hist".getBytes("UTF-8"))
+          .map(x => f"$x%02x").mkString
+        val u = java.lang.Long.parseLong(hex.take(15), 16)
+        var below = 0
+        var i = 0
+        while (i < thresholds.length) { if (thresholds(i) <= u) below += 1; i += 1 }
+        (key, idx, b, math.max(n + below - clampB, 0L))
+      }
+    }
+  }
+
   /** Running per-key token offset — the streaming face of
     * `Sampling.shardPlan`: documents are laid into fixed-token-budget
     * output shards AS THEY ARRIVE, the cumulative offset resuming from the

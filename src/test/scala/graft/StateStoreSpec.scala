@@ -853,6 +853,50 @@ class StateStoreSpec extends AnyFunSuite {
     assert(got == expected)
   }
 
+  test("streaming DP histogram release: every public bin releases per touched key, running counts + fresh per-(release, bin) noise replay exactly") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.functions.Stats
+    val input = MemoryStream[(String, Long)]
+    // boundaries [0, 10] -> public bins 0 (<0), 1 ([0,10)), 2 (>=10)
+    val rel = Stats.streamingDpHistogram(input.toDS().toDF("g", "v"),
+      Seq("g"), "v", boundaries = Seq(0L, 10L), seed = 9L)
+    val q = rel.writeStream.outputMode("update").format("memory")
+      .queryName("dphist").trigger(Trigger.ProcessingTime(0L)).start()
+    input.addData(("x", 3L), ("x", 15L), ("y", -2L)); q.processAllAvailable()
+    input.addData(("x", 4L)); q.processAllAvailable()
+    q.stop()
+    val got = spark.table("dphist").as[(String, Long, Long, Long)].collect().toSet
+    val two60 = BigInt(1) << 60
+    val ts = (32 to 1 by -1).map(m => (two60 / (BigInt(2).pow(m - 1) * 3)).toLong) ++
+      (0 until 32).map { j =>
+        val den = BigInt(2).pow(j) * 3
+        (two60 - (two60 + den - 1) / den).toLong
+      }
+    def noise(key: String, idx: Long, bin: Long): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"$key\u0001$bin\u00019:$idx:hist".getBytes("UTF-8"))
+        .map(b => f"$b%02x").mkString
+      val u = java.lang.Long.parseLong(md.take(15), 16)
+      ts.count(_ <= u).toLong - 32L
+    }
+    // running bin counts: batch 1 -> x: {1: 1, 2: 1}, y: {0: 1};
+    // batch 2 touches only x -> x: {1: 2, 2: 1}. Every release carries
+    // ALL THREE public bins (empty ones noise-only), only touched keys
+    // release ("y" has no second release).
+    def row(k: String, idx: Long, bin: Long, n: Long) =
+      (k, idx, bin, math.max(n + noise(k, idx, bin), 0L))
+    val expected = Set(
+      row("x", 1L, 0L, 0L), row("x", 1L, 1L, 1L), row("x", 1L, 2L, 1L),
+      row("y", 1L, 0L, 1L), row("y", 1L, 1L, 0L), row("y", 1L, 2L, 0L),
+      row("x", 2L, 0L, 0L), row("x", 2L, 1L, 2L), row("x", 2L, 2L, 1L))
+    assert(got == expected)
+    // freshness is structural: the release index enters the md5 key, so
+    // the Set equality above is only satisfiable with per-(idx, bin)
+    // independent draws (a reused draw would need noise("x",1,b) ==
+    // noise("x",2,b) for every bin — the replay does not assume it)
+  }
+
   test("streaming gate-funnel monitor: running per-gate charges match the batch funnel") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
