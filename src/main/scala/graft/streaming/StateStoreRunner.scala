@@ -570,7 +570,15 @@ object StateStoreRunner {
     * the per-bin mechanisms compose in parallel: each release costs
     * ε = ln(noiseBase), and k releases compose to k·ε (the caller's
     * budget — [[graft.functions.DpBudget]] is the batch-side ledger).
-    * Group-key-domain and seed-secrecy caveats as the batch face. */
+    * Group-key-domain and seed-secrecy caveats as the batch face.
+    *
+    * TTL caveat: MapState TTL is per ENTRY, so under a non-NONE `ttl` a
+    * rarely-hit bin's count can expire and restart from 0 while the
+    * key's other bins (and its release index) survive — the running
+    * histogram then under-counts that bin relative to the
+    * whole-key-eviction reading. Privacy is unaffected (all public bins
+    * always release; counts are state, not support), but for exact
+    * running totals use TTL.NONE, as the spec pins. */
   class DpHistogramReleaseProcessor(thresholds: Array[Long], clampB: Int,
                                     seed: Long, numBins: Int,
                                     ttl: TTLConfig = TTLConfig.NONE)
