@@ -458,6 +458,16 @@ object ScaleDrill {
           F.expr("CAST(length(text) AS BIGINT) DIV 16").as("len_band")),
         Seq("lang"), "len_band", seed = 12L,
         candLo = 0L, candHi = 1024L, candStep = 2L)),
+    // the q222 shape: one map-side-combined (group, bin) groupBy (bin
+    // arithmetic in the scan stage) + the public |groups|x(bins+1) frame
+    // join + per-CELL literal noise — corpus cost is the binned count scan
+    "dp_histogram (q222)" -> (docs =>
+      graft.functions.Stats.dpHistogram(
+        docs.select(F.col("lang"),
+          F.length(F.col("text")).cast("long").as("len")),
+        Seq("lang"), "len",
+        boundaries = Seq(0L, 500L, 1000L, 1500L, 2000L, 3000L),
+        seed = 12L)),
     "minhash_sig (q36)" -> (docs =>
       Dedup.minhashSignature(docs.where(Text.tokenCount(F.col("text")) >= 3),
         "text", 3, 2).select("doc_id", "mh0", "mh1")),
