@@ -380,13 +380,14 @@ object Scale {
     require(boundaries.nonEmpty && boundaries == boundaries.sorted &&
       boundaries.distinct == boundaries,
       s"boundaries must be non-empty strictly ascending, got $boundaries")
-    val bArr = boundaries.mkString("array(", "L, ", "L)")
+    // indicator-sum bin (codegen-friendly; see fixedBinHistogram)
+    val binExpr = boundaries.map(b => s"CAST(${b}L <= __v AS INT)")
+      .mkString("CAST(", " + ", " AS BIGINT)")
     val spark = stream.sparkSession
     import spark.implicits._
     stream.where(F.col(col).isNotNull)
       .select(F.col(col).cast("long").as("__v"))
-      .select(F.expr(
-        s"CAST(size(filter($bArr, b -> b <= __v)) AS BIGINT)").as("bin"))
+      .select(F.expr(binExpr).as("bin"))
       .as[Long]
       .groupByKey(identity)
       .transformWithState(
@@ -1218,11 +1219,15 @@ object Scale {
     require(boundaries.nonEmpty && boundaries == boundaries.sorted &&
       boundaries.distinct == boundaries,
       s"boundaries must be non-empty strictly ascending, got $boundaries")
-    val bArr = boundaries.mkString("array(", "L, ", "L)")
+    // bin = #{boundaries <= v} as a SUM OF LITERAL INDICATORS: the
+    // boundary list is a compile-time literal, so the comparison chain
+    // stays inside whole-stage codegen — filter(array, lambda) runs
+    // interpreted per corpus row (measured 4x the scan cost, r13)
+    val binExpr = boundaries.map(b => s"CAST(${b}L <= __v AS INT)")
+      .mkString("CAST(", " + ", " AS BIGINT)")
     val binned = df.where(F.col(col).isNotNull)
       .select(F.col(col).cast("long").as("__v"))
-      .select(F.expr(
-        s"CAST(size(filter($bArr, b -> b <= __v)) AS BIGINT)").as("bin"))
+      .select(F.expr(binExpr).as("bin"))
       .groupBy("bin").agg(F.count(F.lit(1)).as("cnt"))
     val spark = df.sparkSession
     import spark.implicits._
@@ -1285,14 +1290,14 @@ object Scale {
     require(boundaries.nonEmpty && boundaries == boundaries.sorted &&
       boundaries.distinct == boundaries,
       s"boundaries must be non-empty strictly ascending, got $boundaries")
-    val bArr = boundaries.mkString("array(", "L, ", "L)")
+    val binExpr = boundaries.map(b => s"CAST(${b}L <= __v AS INT)")
+      .mkString("CAST(", " + ", " AS BIGINT)")
     val spark = stream.sparkSession
     import spark.implicits._
     graft.streaming.StateStoreRunner.runningCount[Long, Long](
         stream.where(F.col(col).isNotNull)
           .select(F.col(col).cast("long").as("__v"))
-          .select(F.expr(
-            s"CAST(size(filter($bArr, b -> b <= __v)) AS BIGINT)").as("bin"))
+          .select(F.expr(binExpr).as("bin"))
           .as[Long],
         identity)
       .toDF("bin", "cnt")
@@ -1529,12 +1534,12 @@ object Scale {
       boundaries.distinct == boundaries,
       s"boundaries must be non-empty strictly ascending, got $boundaries")
     val m = boundaries.size
-    val bArr = boundaries.mkString("array(", "L, ", "L)")
+    val binExpr = boundaries.map(b => s"CAST(${b}L <= __v AS INT)")
+      .mkString("CAST(", " + ", " AS BIGINT)")
     def side(df: DataFrame, col: String, tag: String): DataFrame = {
       val binned = df.where(F.col(col).isNotNull)
         .select(F.col(col).cast("long").as("__v"))
-        .withColumn("bin", F.expr(
-          s"CAST(size(filter($bArr, b -> b <= __v)) AS BIGINT)"))
+        .withColumn("bin", F.expr(binExpr))
       val cnts = binned.groupBy("bin").agg(F.count(F.lit(1)).as(s"cnt_$tag"))
       val ndv = kmvDistinct(binned, "bin", "__v", k)
         .select(F.col("bin"), F.col("est").as(s"ndv_$tag"))

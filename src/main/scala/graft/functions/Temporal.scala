@@ -405,14 +405,15 @@ object Temporal {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(keyCol).orderBy(arrivalCol)
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
-    val bandArr = bands.mkString("array(", "L, ", "L)")
+    // band = #{bands < late} as a literal indicator sum (codegen-
+    // friendly; filter(array, lambda) runs interpreted per row — r13)
+    val bandExpr = bands.map(b => s"CAST(${b}L < __late AS INT)")
+      .mkString("CAST(", " + ", " AS BIGINT)")
     val late = df
       .select(F.col(keyCol), F.col(arrivalCol),
         F.col(tsCol).cast("long").as("__ts"))
       .withColumn("__late", F.max("__ts").over(w) - F.col("__ts"))
-      .select(F.expr(
-        s"CAST(size(filter($bandArr, b -> b < __late)) AS BIGINT)")
-        .as("band"), F.col("__late"))
+      .select(F.expr(bandExpr).as("band"), F.col("__late"))
     val byBand = late.groupBy("band")
       .agg(F.count(F.lit(1)).as("n_rows"), F.max("__late").as("max_late"))
       .localCheckpoint()
