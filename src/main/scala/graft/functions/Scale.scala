@@ -117,6 +117,24 @@ object Scale {
       .drop("__z")
   }
 
+  /** Codegen-friendly bin index over a LITERAL boundary list:
+    * `#{boundaries ≤ v}` (or `<` with `strict`) spelled as a sum of
+    * literal comparison indicators — a `filter(array, lambda)` runs
+    * INTERPRETED per corpus row (measured 4× the scan cost at 500k
+    * rows, r13), while this chain stays inside whole-stage codegen
+    * because the boundary list is a compile-time literal. NULL input
+    * (a failed cast, a null window result) coalesces to bin 0 — the
+    * exact behavior of the `size(filter(...))` spelling it replaces
+    * (size of an all-false filter is 0), so every binning face keeps
+    * its bin domain 0..|boundaries| with no NULL escape. ONE
+    * definition for every batch/streaming/join binning face. */
+  private[functions] def indicatorBinExpr(boundaries: Seq[Long], v: String,
+                                          strict: Boolean = false): String = {
+    val op = if (strict) "<" else "<="
+    boundaries.map(b => s"CAST(${b}L $op $v AS INT)")
+      .mkString("coalesce(CAST(", " + ", " AS BIGINT), 0L)")
+  }
+
   /** Large × large equi-join tier — the fact-fact join contract
     * (reference: the per-batch equi-join of
     * `storm/trident/TridentTopology.java:237-263`) for the regime where
@@ -380,9 +398,7 @@ object Scale {
     require(boundaries.nonEmpty && boundaries == boundaries.sorted &&
       boundaries.distinct == boundaries,
       s"boundaries must be non-empty strictly ascending, got $boundaries")
-    // indicator-sum bin (codegen-friendly; see fixedBinHistogram)
-    val binExpr = boundaries.map(b => s"CAST(${b}L <= __v AS INT)")
-      .mkString("CAST(", " + ", " AS BIGINT)")
+    val binExpr = indicatorBinExpr(boundaries, "__v")
     val spark = stream.sparkSession
     import spark.implicits._
     stream.where(F.col(col).isNotNull)
@@ -1219,12 +1235,7 @@ object Scale {
     require(boundaries.nonEmpty && boundaries == boundaries.sorted &&
       boundaries.distinct == boundaries,
       s"boundaries must be non-empty strictly ascending, got $boundaries")
-    // bin = #{boundaries <= v} as a SUM OF LITERAL INDICATORS: the
-    // boundary list is a compile-time literal, so the comparison chain
-    // stays inside whole-stage codegen — filter(array, lambda) runs
-    // interpreted per corpus row (measured 4x the scan cost, r13)
-    val binExpr = boundaries.map(b => s"CAST(${b}L <= __v AS INT)")
-      .mkString("CAST(", " + ", " AS BIGINT)")
+    val binExpr = indicatorBinExpr(boundaries, "__v")
     val binned = df.where(F.col(col).isNotNull)
       .select(F.col(col).cast("long").as("__v"))
       .select(F.expr(binExpr).as("bin"))
@@ -1290,8 +1301,7 @@ object Scale {
     require(boundaries.nonEmpty && boundaries == boundaries.sorted &&
       boundaries.distinct == boundaries,
       s"boundaries must be non-empty strictly ascending, got $boundaries")
-    val binExpr = boundaries.map(b => s"CAST(${b}L <= __v AS INT)")
-      .mkString("CAST(", " + ", " AS BIGINT)")
+    val binExpr = indicatorBinExpr(boundaries, "__v")
     val spark = stream.sparkSession
     import spark.implicits._
     graft.streaming.StateStoreRunner.runningCount[Long, Long](
@@ -1534,8 +1544,7 @@ object Scale {
       boundaries.distinct == boundaries,
       s"boundaries must be non-empty strictly ascending, got $boundaries")
     val m = boundaries.size
-    val binExpr = boundaries.map(b => s"CAST(${b}L <= __v AS INT)")
-      .mkString("CAST(", " + ", " AS BIGINT)")
+    val binExpr = indicatorBinExpr(boundaries, "__v")
     def side(df: DataFrame, col: String, tag: String): DataFrame = {
       val binned = df.where(F.col(col).isNotNull)
         .select(F.col(col).cast("long").as("__v"))

@@ -361,9 +361,8 @@ object Stats {
       s"boundaries must be non-empty strictly ascending, got $boundaries")
     val thresholds = geometricThresholds(noiseBase, clampB).toArray
     // same codegen-friendly indicator-sum bin as the batch face
-    val binExpr = boundaries
-      .map(b => s"CAST(${b}L <= CAST(`$valueCol` AS BIGINT) AS INT)")
-      .mkString("CAST(", " + ", " AS BIGINT)")
+    val binExpr = Scale.indicatorBinExpr(boundaries,
+      s"CAST(`$valueCol` AS BIGINT)")
     val spark = stream.sparkSession
     import spark.implicits._
     stream.where(F.col(valueCol).isNotNull)
@@ -676,14 +675,10 @@ object Stats {
     val gCols = groupCols.map(F.col)
     val keyCols = groupCols.map(c =>
       s"coalesce(CAST(`$c` AS STRING), chr(2))").mkString(", ")
-    // bin = #{boundaries <= v} spelled as a SUM OF LITERAL INDICATORS,
-    // not filter(array, lambda): higher-order functions run interpreted
-    // per row (measured 5x the plain-scan cost at 500k rows), while the
-    // expanded comparison chain stays inside whole-stage codegen — the
-    // boundary list is a compile-time literal, so the expansion is free
-    val binExpr = boundaries
-      .map(b => s"CAST(${b}L <= CAST(`$valueCol` AS BIGINT) AS INT)")
-      .mkString("CAST(", " + ", " AS BIGINT)")
+    // codegen-friendly indicator-sum bin (Scale.indicatorBinExpr — ONE
+    // definition for every binning face; NULL casts coalesce to bin 0)
+    val binExpr = Scale.indicatorBinExpr(boundaries,
+      s"CAST(`$valueCol` AS BIGINT)")
     val binned = df.where(F.col(valueCol).isNotNull)
       .groupBy(gCols :+ F.expr(binExpr).as("bin"): _*)
       .agg(F.count(F.lit(1)).as("__n"))

@@ -405,10 +405,10 @@ object Temporal {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(keyCol).orderBy(arrivalCol)
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
-    // band = #{bands < late} as a literal indicator sum (codegen-
-    // friendly; filter(array, lambda) runs interpreted per row — r13)
-    val bandExpr = bands.map(b => s"CAST(${b}L < __late AS INT)")
-      .mkString("CAST(", " + ", " AS BIGINT)")
+    // band = #{bands < late} via the shared codegen-friendly indicator
+    // sum (NULL late — e.g. a NULL event time — coalesces to band 0,
+    // the filter(array) behavior this replaces)
+    val bandExpr = Scale.indicatorBinExpr(bands, "__late", strict = true)
     val late = df
       .select(F.col(keyCol), F.col(arrivalCol),
         F.col(tsCol).cast("long").as("__ts"))

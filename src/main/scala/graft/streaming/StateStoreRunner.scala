@@ -483,38 +483,59 @@ object StateStoreRunner {
     * (n_rows < k, ndv < l); streaming == batch is pinned in
     * StateStoreSpec against the q189/q212 classes.
     *
-    * (tot, ndv) is FOLDED FROM THE LIVE MAP each batch rather than kept
-    * in a separate ValueState: MapState TTL is per ENTRY (each sensitive
-    * value expires from its own last update), so a separately-TTL'd
-    * aggregate — refreshed on every batch that touches the key — would
-    * outlive rare values' map entries and double-count their ndv on
-    * re-arrival, overstating diversity exactly where an l-diversity
-    * gate must not. The fold keeps the emission consistent with
-    * whatever subset of entries the TTL has actually kept alive.
+    * Under a non-NONE TTL, (tot, ndv) is FOLDED FROM THE LIVE MAP each
+    * batch rather than kept in a separate ValueState: MapState TTL is
+    * per ENTRY (each sensitive value expires from its own last update),
+    * so a separately-TTL'd aggregate — refreshed on every batch that
+    * touches the key — would outlive rare values' map entries and
+    * double-count their ndv on re-arrival, overstating diversity
+    * exactly where an l-diversity gate must not. The fold keeps the
+    * emission consistent with whatever subset of entries the TTL has
+    * actually kept alive. With TTL.NONE nothing ever expires, so the
+    * O(1) incremental aggregate is provably consistent and the
+    * per-batch fold cost is skipped.
     *
     * Scale shape: state is one map entry per DISTINCT (quasi, sensitive)
     * pair — exactly the batch audits' collapsed table, which saturates;
-    * per-batch work is O(batch rows + live map entries) per TOUCHED key
-    * (the map is the group's sensitive-value support, the quantity an
-    * l-diversity gate is sized for). */
+    * per-batch work is O(batch rows) per touched key under TTL.NONE,
+    * plus O(live map entries) under a TTL (the group's sensitive-value
+    * support — the quantity an l-diversity gate is sized for). */
   class PrivacyGateProcessor(ttl: TTLConfig = TTLConfig.NONE)
     extends StatefulProcessor[String, (String, String), (String, Long, Long)] {
     @transient private var counts: org.apache.spark.sql.streaming.MapState[String, Long] = _
+    @transient private var agg: org.apache.spark.sql.streaming.ValueState[(Long, Long)] = _
 
-    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
       counts = getHandle.getMapState[String, Long]("counts",
         Encoders.STRING, Encoders.scalaLong, ttl)
+      // only maintained (and only trustworthy) when ttl == NONE
+      agg = getHandle.getValueState[(Long, Long)]("agg",
+        Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong),
+        TTLConfig.NONE)
+    }
 
     override def handleInputRows(key: String, rows: Iterator[(String, String)],
                                  timerValues: TimerValues): Iterator[(String, Long, Long)] = {
-      rows.foreach { case (_, s) =>
-        val prev = if (counts.containsKey(s)) counts.getValue(s) else 0L
-        counts.updateValue(s, prev + 1L)
+      if (ttl == TTLConfig.NONE) {
+        var (tot, ndv) = if (agg.exists()) agg.get() else (0L, 0L)
+        rows.foreach { case (_, s) =>
+          val prev = if (counts.containsKey(s)) counts.getValue(s) else 0L
+          if (prev == 0L) ndv += 1L
+          counts.updateValue(s, prev + 1L)
+          tot += 1L
+        }
+        agg.update((tot, ndv))
+        Iterator.single((key, tot, ndv))
+      } else {
+        rows.foreach { case (_, s) =>
+          val prev = if (counts.containsKey(s)) counts.getValue(s) else 0L
+          counts.updateValue(s, prev + 1L)
+        }
+        var tot = 0L
+        var ndv = 0L
+        counts.iterator().foreach { case (_, c) => tot += c; ndv += 1L }
+        Iterator.single((key, tot, ndv))
       }
-      var tot = 0L
-      var ndv = 0L
-      counts.iterator().foreach { case (_, c) => tot += c; ndv += 1L }
-      Iterator.single((key, tot, ndv))
     }
   }
 
@@ -536,18 +557,28 @@ object StateStoreRunner {
   class DpReleaseProcessor(thresholds: Array[Long], clampB: Int, seed: Long,
                            ttl: TTLConfig = TTLConfig.NONE)
     extends StatefulProcessor[String, (String, Long), (String, Long, Long)] {
-    @transient private var st: org.apache.spark.sql.streaming.ValueState[(Long, Long)] = _
+    @transient private var st: org.apache.spark.sql.streaming.ValueState[Long] = _
+    @transient private var rel: org.apache.spark.sql.streaming.ValueState[Long] = _
 
-    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
-      st = getHandle.getValueState[(Long, Long)]("cnt",
-        Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong), ttl)
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+      st = getHandle.getValueState[Long]("cnt", Encoders.scalaLong, ttl)
+      // the release INDEX must NEVER expire: the md5 draw is keyed on
+      // (key, idx), so a TTL reset to idx 1 would REUSE the exact noise
+      // of the key's first release — an observer of both publications
+      // subtracts them and the noise cancels (unbounded privacy loss on
+      // the difference). Counts may expire (restart-fresh semantics);
+      // the index is privacy-critical bookkeeping and stays TTL.NONE.
+      rel = getHandle.getValueState[Long]("rel", Encoders.scalaLong,
+        TTLConfig.NONE)
+    }
 
     override def handleInputRows(key: String, rows: Iterator[(String, Long)],
                                  timerValues: TimerValues): Iterator[(String, Long, Long)] = {
-      var (tot, idx) = if (st.exists()) st.get() else (0L, 0L)
+      var tot = if (st.exists()) st.get() else 0L
       rows.foreach { case (_, add) => tot += add }
-      idx += 1L
-      st.update((tot, idx))
+      val idx = (if (rel.exists()) rel.get() else 0L) + 1L
+      st.update(tot)
+      rel.update(idx)
       val md = java.security.MessageDigest.getInstance("MD5")
         .digest(s"$key\u0001$seed:$idx".getBytes("UTF-8"))
         .map(b => f"$b%02x").mkString
@@ -576,8 +607,10 @@ object StateStoreRunner {
     * rarely-hit bin's count can expire and restart from 0 while the
     * key's other bins (and its release index) survive — the running
     * histogram then under-counts that bin relative to the
-    * whole-key-eviction reading. Privacy is unaffected (all public bins
-    * always release; counts are state, not support), but for exact
+    * whole-key-eviction reading. Privacy is unaffected — all public
+    * bins always release, counts are state not support, and the
+    * release index lives in TTL.NONE state so expiry can never rewind
+    * it into reusing an earlier release's noise — but for exact
     * running totals use TTL.NONE, as the spec pins. */
   class DpHistogramReleaseProcessor(thresholds: Array[Long], clampB: Int,
                                     seed: Long, numBins: Int,
@@ -589,7 +622,11 @@ object StateStoreRunner {
     override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
       bins = getHandle.getMapState[Long, Long]("bins",
         Encoders.scalaLong, Encoders.scalaLong, ttl)
-      rel = getHandle.getValueState[Long]("rel", Encoders.scalaLong, ttl)
+      // release index NEVER expires — a TTL reset would reuse the
+      // (key, idx, bin) noise of earlier releases and let an observer
+      // cancel it across publications (see [[DpReleaseProcessor]])
+      rel = getHandle.getValueState[Long]("rel", Encoders.scalaLong,
+        TTLConfig.NONE)
     }
 
     override def handleInputRows(key: String, rows: Iterator[(String, Long)],

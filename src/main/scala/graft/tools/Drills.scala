@@ -26,9 +26,11 @@ object Drills {
                           batches: Int = 4): (Double, Long) =
     streamLshCandidatesCap(spark, docs, batches, 64)
 
-  /** [[streamLshCandidates]] with the bucket cap exposed — the lshprof
-    * diagnostic's knob (cap 0 = state round-trips but no registration or
-    * pair emission, isolating state-store cost from pair volume).
+  /** [[streamLshCandidates]] with the bucket cap exposed (cap 0 = state
+    * round-trips but no registration or pair emission, isolating
+    * state-store cost from pair volume); applies the production conf
+    * pinning below, while [[streamLshCandidatesRaw]] is the bare
+    * pipeline the lshprof diagnostic drives under ITS OWN confs.
     *
     * State-partition sizing (VERDICT r12 #3, measured by `ScaleDrill
     * lshprof`): this pipeline carries TWO stateful operators (band
@@ -53,7 +55,7 @@ object Drills {
     val prevCl = spark.conf.getOption(clKey)
     spark.conf.set("spark.sql.shuffle.partitions", "8")
     spark.conf.set(clKey, "true")
-    try streamLshCandidatesTuned(spark, docs, batches, cap)
+    try streamLshCandidatesRaw(spark, docs, batches, cap)
     finally {
       spark.conf.set("spark.sql.shuffle.partitions", prevParts)
       prevCl match {
@@ -63,7 +65,7 @@ object Drills {
     }
   }
 
-  private[tools] def streamLshCandidatesTuned(spark: SparkSession,
+  private[tools] def streamLshCandidatesRaw(spark: SparkSession,
                                        docs: Seq[(Long, String)],
                                        batches: Int, cap: Int): (Double, Long) = {
     import spark.implicits._

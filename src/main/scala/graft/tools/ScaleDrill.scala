@@ -82,9 +82,10 @@ object ScaleDrill {
     * pipeline under RocksDB (the bench config) vs the HDFS-backed
     * provider, vs a bucket-cap-0 run (state reads/writes but no pair
     * emission and no registration) — so a regression localizes to scan,
-    * state store, or pair volume. Uses the UNTUNED pipeline (the bench
+    * state store, or pair volume. Uses the RAW (un-conf-pinned)
+    * pipeline so each experiment's own conf settings apply; the bench
     * entry itself pins 8 partitions + changelog checkpointing per the
-    * findings recorded in SCALE.md §lshprof). */
+    * findings recorded in SCALE.md §lshprof. */
   def lshProfile(spark: SparkSession, sfDir: String): Unit = {
     import spark.implicits._
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
@@ -101,11 +102,11 @@ object ScaleDrill {
       val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
       spark.conf.set("spark.sql.streaming.stateStore.providerClass", provider)
       try {
-        try Drills.streamLshCandidatesTuned(spark, docs.take(2), 1, cap)
+        try Drills.streamLshCandidatesRaw(spark, docs.take(2), 1, cap)
         catch { case _: Throwable => () }
         (1 to 2).foreach { i =>
           timeIt(s"${label}_$i") {
-            val (sec, pairs) = Drills.streamLshCandidatesTuned(spark, docs, 4, cap)
+            val (sec, pairs) = Drills.streamLshCandidatesRaw(spark, docs, 4, cap)
             System.err.println(s"[lshprof] ${label}_$i pairs=$pairs sec=$sec")
           }
         }

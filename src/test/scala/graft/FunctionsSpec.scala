@@ -2215,11 +2215,7 @@ class FunctionsSpec extends AnyFunSuite {
     // independent replay of one group's release: BigInt thresholds +
     // the same md5 uniform, computed with a DIFFERENT spelling
     val two60 = BigInt(1) << 60
-    val ts = (32 to 1 by -1).map(m => (two60 / (BigInt(2).pow(m - 1) * 3)).toLong) ++
-      (0 until 32).map { j =>
-        val den = BigInt(2).pow(j) * 3
-        (two60 - (two60 + den - 1) / den).toLong
-      }
+    val ts = DpReplay.thresholds
     val md = java.security.MessageDigest.getInstance("MD5")
       .digest("7\u000142".getBytes("UTF-8")).map("%02x".format(_)).mkString
     val u = java.lang.Long.parseLong(md.take(15), 16)
@@ -2263,11 +2259,7 @@ class FunctionsSpec extends AnyFunSuite {
     // = 1 lattice step; b -> 0. Release = C * max(step + noise, 0).
     def noiseOf(key: String, tag: String): Long = {
       val two60 = BigInt(1) << 60
-      val ts = (32 to 1 by -1).map(m => (two60 / (BigInt(2).pow(m - 1) * 3)).toLong) ++
-        (0 until 32).map { j =>
-          val den = BigInt(2).pow(j) * 3
-          (two60 - (two60 + den - 1) / den).toLong
-        }
+      val ts = DpReplay.thresholds
       val md = java.security.MessageDigest.getInstance("MD5")
         .digest((key + "\u0001" + "5:" + tag).getBytes("UTF-8"))
         .map("%02x".format(_)).mkString
@@ -2387,11 +2379,7 @@ class FunctionsSpec extends AnyFunSuite {
       yield (g, b)).toSet)
     // independent replay of every cell: key = g \u0001 bin \u0001 "4:hist"
     val two60 = BigInt(1) << 60
-    val ts = (32 to 1 by -1).map(m => (two60 / (BigInt(2).pow(m - 1) * 3)).toLong) ++
-      (0 until 32).map { j =>
-        val den = BigInt(2).pow(j) * 3
-        (two60 - (two60 + den - 1) / den).toLong
-      }
+    val ts = DpReplay.thresholds
     val truth = Map(("a", 0L) -> 1L, ("a", 1L) -> 2L, ("a", 2L) -> 1L,
       ("b", 1L) -> 1L).withDefaultValue(0L)
     for (((g, b), rel) <- out) {
@@ -2455,11 +2443,7 @@ class FunctionsSpec extends AnyFunSuite {
     assert(out.keySet == Set("a", "c"), s"release universe: ${out.keySet}")
     // replay both: "a" count 3, "c" count 0 (noise-only, floored at 0)
     val two60 = BigInt(1) << 60
-    val ts = (32 to 1 by -1).map(m => (two60 / (BigInt(2).pow(m - 1) * 3)).toLong) ++
-      (0 until 32).map { j =>
-        val den = BigInt(2).pow(j) * 3
-        (two60 - (two60 + den - 1) / den).toLong
-      }
+    val ts = DpReplay.thresholds
     def rep(key: String, n: Long): Long = {
       val md = java.security.MessageDigest.getInstance("MD5")
         .digest(s"$key\u000111".getBytes("UTF-8")).map("%02x".format(_)).mkString

@@ -834,11 +834,7 @@ class StateStoreSpec extends AnyFunSuite {
     // independent replay: same thresholds (BigInt spelling), same md5
     // uniform over key + U+0001 + "seed:idx"
     val two60 = BigInt(1) << 60
-    val ts = (32 to 1 by -1).map(m => (two60 / (BigInt(2).pow(m - 1) * 3)).toLong) ++
-      (0 until 32).map { j =>
-        val den = BigInt(2).pow(j) * 3
-        (two60 - (two60 + den - 1) / den).toLong
-      }
+    val ts = DpReplay.thresholds
     def noise(key: String, idx: Long): Long = {
       val md = java.security.MessageDigest.getInstance("MD5")
         .digest(s"$key\u000177:$idx".getBytes("UTF-8"))
@@ -868,11 +864,7 @@ class StateStoreSpec extends AnyFunSuite {
     q.stop()
     val got = spark.table("dphist").as[(String, Long, Long, Long)].collect().toSet
     val two60 = BigInt(1) << 60
-    val ts = (32 to 1 by -1).map(m => (two60 / (BigInt(2).pow(m - 1) * 3)).toLong) ++
-      (0 until 32).map { j =>
-        val den = BigInt(2).pow(j) * 3
-        (two60 - (two60 + den - 1) / den).toLong
-      }
+    val ts = DpReplay.thresholds
     def noise(key: String, idx: Long, bin: Long): Long = {
       val md = java.security.MessageDigest.getInstance("MD5")
         .digest(s"$key\u0001$bin\u00019:$idx:hist".getBytes("UTF-8"))
@@ -895,6 +887,37 @@ class StateStoreSpec extends AnyFunSuite {
     // the Set equality above is only satisfiable with per-(idx, bin)
     // independent draws (a reused draw would need noise("x",1,b) ==
     // noise("x",2,b) for every bin — the replay does not assume it)
+  }
+
+  test("DP release noise is NEVER reused across a TTL expiry: the release index outlives the evicted count (code-review r13)") {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.TTLConfig
+    import graft.functions.Stats
+    implicit val sqlCtx = spark.sqlContext
+    // 500ms TTL, 2s idle gap: the running COUNT evicts (restart-fresh
+    // semantics) but the release INDEX must not — a rewound index would
+    // redraw release 1's exact noise, letting an observer of both
+    // publications subtract them and cancel it (the privacy bug this
+    // pins). Expect release 2 after the gap: count restarted at the new
+    // batch's 2 rows, noise drawn at idx 2.
+    val input = MemoryStream[String]
+    val rel = Stats.streamingDpRelease(input.toDS().toDF("g"), Seq("g"),
+      seed = 31L, ttl = TTLConfig(java.time.Duration.ofMillis(500)))
+    val q = rel.writeStream.outputMode("update").format("memory")
+      .queryName("dpttl").trigger(Trigger.ProcessingTime(100L)).start()
+    input.addData("x", "x", "x")
+    awaitCount("dpttl", 1)
+    Thread.sleep(2000) // > 4x TTL: count expiry guaranteed
+    input.addData("x", "x")
+    awaitCount("dpttl", 2)
+    q.stop()
+    val got = spark.table("dpttl").as[(String, Long, Long)].collect().toSet
+    def rowAt(idx: Long, n: Long) =
+      ("x", idx, math.max(n + DpReplay.noise(s"x\u000131:$idx"), 0L))
+    // release 1: count 3 at idx 1; release 2: count restarted to 2 (TTL
+    // evicted the total) but the index advanced to 2 — FRESH noise
+    assert(got == Set(rowAt(1L, 3L), rowAt(2L, 2L)),
+      s"got $got — an (idx=1, n=2) row would mean reused noise")
   }
 
   test("streaming gate-funnel monitor: running per-gate charges match the batch funnel") {
