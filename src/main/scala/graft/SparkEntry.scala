@@ -1658,12 +1658,18 @@ object SparkEntry {
       // over the FIXED PUBLIC grid [0, 60000] step 250 (value cents;
       // data-independent support — observed-value sampling would leak
       // the support itself), absolute utility clamp (sensitivity stays
-      // 1), all exact-rational, ':med'-tagged uniform
+      // 1), the q218 public 6-type group domain ('refund' has no data,
+      // so its ladder is grid-only: every candidate at utility 0 — a
+      // uniform grid draw), all exact-rational, ':med'-tagged uniform
       functions.Stats.dpMedian(
         events(s, dir).select(F.col("event_type"),
           F.expr("CAST(round(value * 100) AS BIGINT)").as("value_c")),
         Seq("event_type"), "value_c", seed = 20260816L,
-        candLo = 0L, candHi = 60000L, candStep = 250L)
+        candLo = 0L, candHi = 60000L, candStep = 250L,
+        domain = Some(s.sql(
+          """SELECT event_type
+             FROM VALUES ('click'), ('error'), ('purchase'), ('refund'),
+                         ('signup'), ('view') AS t(event_type)""")))
         .orderBy("event_type")),
 
     "q219_dp_sum_release" -> ((s, dir) =>
@@ -1677,7 +1683,13 @@ object SparkEntry {
           F.expr("pmod(user_id, 50L)").as("user_band"),
           F.expr("CAST(round(value * 100) AS BIGINT)").as("value_c")),
         Seq("event_type", "user_band"), "value_c",
-        clampC = 20000L, seed = 20260816L)
+        clampC = 20000L, seed = 20260816L,
+        domain = Some(s.sql(
+          """SELECT event_type, user_band
+             FROM VALUES ('click'), ('error'), ('purchase'), ('refund'),
+                         ('signup'), ('view') AS t(event_type)
+             CROSS JOIN (SELECT CAST(id AS BIGINT) AS user_band
+                         FROM range(50))""")))
         .orderBy("event_type", "user_band")),
 
     "q218_dp_release" -> ((s, dir) =>
@@ -4294,7 +4306,8 @@ object SparkEntry {
     "q220_dp_median" ->
       // the exponential mechanism replayed exactly: union of the data's
       // distinct-value ladder (mass) with the fixed public candidate
-      // grid [0, 60000] step 250 (zero mass, the only releasable rows),
+      // grid [0, 60000] step 250 over the PUBLIC 6-type group domain
+      // (zero mass, the only releasable rows; 'refund' is grid-only),
       // doubled rank-distance utilities with the ABSOLUTE clamp, integer
       // power weights from the literal table, HUGEINT cumulative ladder,
       // ':med'-tagged 60-bit uniform, released value = first candidate
@@ -4304,7 +4317,8 @@ object SparkEntry {
                      FROM events WHERE value IS NOT NULL GROUP BY 1, 2),
          grid AS (SELECT g.event_type, CAST(gs.v AS BIGINT) AS v,
                     CAST(0 AS BIGINT) AS c, 1 AS cand
-                  FROM (SELECT DISTINCT event_type FROM gv) g
+                  FROM (VALUES ('click'), ('error'), ('purchase'), ('refund'),
+                               ('signup'), ('view')) g(event_type)
                   CROSS JOIN (SELECT unnest(generate_series(0, 60000, 250)) AS v) gs),
          uni AS (SELECT event_type, v, CAST(sum(c) AS BIGINT) AS c, max(cand) AS cand
                  FROM (SELECT * FROM gv UNION ALL SELECT * FROM grid)
@@ -4339,12 +4353,19 @@ object SparkEntry {
                         ELSE greatest(least(CAST(round(value * 100) AS BIGINT), 20000), 0)
                         END) AS BIGINT) AS s
                     FROM events GROUP BY 1, 2),
+         dom AS (SELECT et.event_type, CAST(gs.user_band AS BIGINT) AS user_band
+                 FROM (VALUES ('click'), ('error'), ('purchase'), ('refund'),
+                              ('signup'), ('view')) et(event_type)
+                 CROSS JOIN (SELECT unnest(generate_series(0, 49)) AS user_band) gs),
+         j AS (SELECT d.event_type, d.user_band, coalesce(g.s, 0) AS s
+               FROM dom d LEFT JOIN g
+                 ON d.event_type = g.event_type AND d.user_band = g.user_band),
          u AS (SELECT event_type, user_band, s,
                  ('0x' || substr(md5(concat_ws(chr(1),
                     coalesce(event_type, chr(2)),
                     coalesce(CAST(user_band AS VARCHAR), chr(2)),
                     '20260816:sum')), 1, 15))::BIGINT AS u
-               FROM g)
+               FROM j)
          SELECT event_type, CAST(user_band AS BIGINT) AS user_band,
            20000 * greatest((2 * s + 20000) // 40000 + (CAST(len(list_filter([178956970, 357913941, 715827882, 1431655765, 2863311530, 5726623061, 11453246122, 22906492245, 45812984490, 91625968981, 183251937962, 366503875925, 733007751850, 1466015503701, 2932031007402, 5864062014805, 11728124029610, 23456248059221, 46912496118442, 93824992236885, 187649984473770, 375299968947541, 750599937895082, 1501199875790165, 3002399751580330, 6004799503160661, 12009599006321322, 24019198012642645, 48038396025285290, 96076792050570581, 192153584101141162, 384307168202282325, 768614336404564650, 960767920505705813, 1056844712556276394, 1104883108581561685, 1128902306594204330, 1140911905600525653, 1146916705103686314, 1149919104855266645, 1151420304731056810, 1152170904668951893, 1152546204637899434, 1152733854622373205, 1152827679614610090, 1152874592110728533, 1152898048358787754, 1152909776482817365, 1152915640544832170, 1152918572575839573, 1152920038591343274, 1152920771599095125, 1152921138102971050, 1152921321354909013, 1152921412980877994, 1152921458793862485, 1152921481700354730, 1152921493153600853, 1152921498880223914, 1152921501743535445, 1152921503175191210, 1152921503891019093, 1152921504248933034, 1152921504427890005],
              t -> t <= u)) AS BIGINT) - 32), 0) AS noisy_sum

@@ -439,6 +439,34 @@ object Stats {
     }
   }
 
+  /** Re-key an observed per-group aggregate onto a PUBLIC release
+    * domain: the domain IS the release universe — every public key
+    * releases (absent ones with `aggCol` = 0), observed keys outside it
+    * do NOT. Scale shape: prune observed to the domain with a broadcast
+    * semi-join FIRST (the observed key set can be huge; the survivor
+    * set is ≤ |domain| rows), then the small pruned side broadcasts
+    * into the domain-preserving left join. Null-safe `<=>` throughout
+    * (the r11 t-closeness discipline): a NULL group key in the domain
+    * matches the NULL-keyed group. Shared by every domain-aware DP
+    * release ([[dpNoisyCounts]], [[dpNoisySums]], [[dpHistogram]]'s
+    * group frame). */
+  private def onPublicDomain(observed: DataFrame, groupCols: Seq[String],
+                             d: DataFrame, aggCol: String): DataFrame = {
+    require(groupCols.forall(d.columns.contains),
+      s"domain must carry the group columns $groupCols, has ${d.columns.toSeq}")
+    val d2 = d.select(groupCols.map(F.col): _*).distinct()
+    val semiCond = groupCols
+      .map(c => observed(c) <=> d2(c)).reduce(_ && _)
+    val pruned = observed
+      .join(F.broadcast(d2), semiCond, "left_semi").alias("__obs")
+    val dom = d2.alias("__dom")
+    val joinCond = groupCols
+      .map(c => F.col(s"__dom.$c") <=> F.col(s"__obs.$c")).reduce(_ && _)
+    dom.join(F.broadcast(pruned), joinCond, "left")
+      .select(groupCols.map(c => F.col(s"__dom.$c")) :+
+        F.coalesce(F.col(s"__obs.$aggCol"), F.lit(0L)).as(aggCol): _*)
+  }
+
   def dpNoisyCounts(df: DataFrame, groupCols: Seq[String], seed: Long,
                     noiseBase: Int = 2, clampB: Int = 32,
                     domain: Option[DataFrame] = None): DataFrame = {
@@ -451,28 +479,7 @@ object Stats {
       .agg(F.count(F.lit(1)).as("__n"))
     val counts = domain match {
       case None => observed
-      case Some(d) =>
-        require(groupCols.forall(d.columns.contains),
-          s"domain must carry the group columns $groupCols, has ${d.columns.toSeq}")
-        // the domain IS the release universe: every public key releases
-        // (absent ones as count 0 + noise), observed keys outside it do
-        // NOT. Scale shape: prune observed to the domain with a
-        // broadcast semi-join FIRST (the observed key set can be huge;
-        // the survivor set is ≤ |domain| rows), then the small pruned
-        // side broadcasts into the domain-preserving left join.
-        // null-safe `<=>` throughout (the r11 t-closeness discipline):
-        // a NULL group key in the domain matches the NULL-keyed group
-        val d2 = d.select(groupCols.map(F.col): _*).distinct()
-        val semiCond = groupCols
-          .map(c => observed(c) <=> d2(c)).reduce(_ && _)
-        val pruned = observed
-          .join(F.broadcast(d2), semiCond, "left_semi").alias("__obs")
-        val dom = d2.alias("__dom")
-        val joinCond = groupCols
-          .map(c => F.col(s"__dom.$c") <=> F.col(s"__obs.$c")).reduce(_ && _)
-        dom.join(F.broadcast(pruned), joinCond, "left")
-          .select(groupCols.map(c => F.col(s"__dom.$c")) :+
-            F.coalesce(F.col("__obs.__n"), F.lit(0L)).as("__n"): _*)
+      case Some(d) => onPublicDomain(observed, groupCols, d, "__n")
     }
     counts
       .withColumn("__u", F.expr(
@@ -511,20 +518,28 @@ object Stats {
     * stage); quantization and noise are per-GROUP literal arithmetic. */
   def dpNoisySums(df: DataFrame, groupCols: Seq[String], valueCol: String,
                   clampC: Long, seed: Long,
-                  noiseBase: Int = 2, clampB: Int = 32): DataFrame = {
+                  noiseBase: Int = 2, clampB: Int = 32,
+                  domain: Option[DataFrame] = None): DataFrame = {
     require(groupCols.nonEmpty, "no group columns given")
     require(clampC >= 1, s"clampC must be >= 1, got $clampC")
     val thresholds = geometricThresholds(noiseBase, clampB)
     val tArr = thresholds.mkString("array(", "L, ", "L)")
     val keyCols = groupCols.map(c =>
       s"coalesce(CAST(`$c` AS STRING), chr(2))").mkString(", ")
-    df.groupBy(groupCols.map(F.col): _*)
+    val observed = df.groupBy(groupCols.map(F.col): _*)
       // NULL contributes 0 explicitly: least/greatest SKIP nulls on both
       // engines, so an unguarded clamp would turn a NULL row into +C
       .agg(F.sum(F.expr(
         s"""CASE WHEN `$valueCol` IS NULL THEN 0L
              ELSE greatest(least(CAST(`$valueCol` AS BIGINT), ${clampC}L), 0L) END"""))
         .as("__s"))
+    val sums = domain match {
+      case None => observed
+      // absent domain keys release the lattice point of sum 0 + noise
+      // (floored at 0) — the same membership-hiding face as the counts
+      case Some(d) => onPublicDomain(observed, groupCols, d, "__s")
+    }
+    sums
       .withColumn("__u", F.expr(
         s"""CAST(conv(substring(md5(concat_ws(chr(1), $keyCols, '$seed:sum')),
                1, 15), 16, 10) AS BIGINT)"""))
@@ -579,7 +594,8 @@ object Stats {
     * sequence per group. */
   def dpMedian(df: DataFrame, groupCols: Seq[String], valueCol: String,
                seed: Long, candLo: Long, candHi: Long, candStep: Long,
-               noiseBase: Int = 2, clampB: Int = 32): DataFrame = {
+               noiseBase: Int = 2, clampB: Int = 32,
+               domain: Option[DataFrame] = None): DataFrame = {
     require(groupCols.nonEmpty, "no group columns given")
     require(noiseBase >= 2, s"noiseBase must be >= 2, got $noiseBase")
     require(clampB >= 1 && clampB <= 62, s"clampB must be in [1, 62], got $clampB")
@@ -598,14 +614,29 @@ object Stats {
     val ladder = Window.partitionBy(gCols: _*).orderBy(F.col("__v"))
     val keyCols = groupCols.map(c =>
       s"coalesce(CAST(`$c` AS STRING), chr(2))").mkString(", ")
-    val data = df.where(F.col(valueCol).isNotNull)
+    val data0 = df.where(F.col(valueCol).isNotNull)
       .groupBy(gCols :+ F.col(valueCol).cast("long").as("__v"): _*)
       .agg(F.count(F.lit(1)).as("__c"))
       .withColumn("__cand", F.lit(0))
-    // the public grid, materialized once per observed group: candidate
+    // with a PUBLIC group domain, the domain is the release universe:
+    // off-domain groups are semi-pruned out, absent groups get a
+    // grid-only ladder (n = 0, every candidate at utility 0 — a uniform
+    // grid draw that reveals nothing); without it the observed group
+    // keys are asserted public (the dpNoisyCounts caveat)
+    val (data, groups) = domain match {
+      case None => (data0, data0.select(gCols: _*).distinct())
+      case Some(d) =>
+        require(groupCols.forall(d.columns.contains),
+          s"domain must carry the group columns $groupCols, has ${d.columns.toSeq}")
+        val d2 = d.select(gCols: _*).distinct()
+        val semiCond = groupCols
+          .map(c => data0(c) <=> d2(c)).reduce(_ && _)
+        (data0.join(F.broadcast(d2), semiCond, "left_semi"), d2)
+    }
+    // the public grid, materialized once per released group: candidate
     // rows carry zero mass but anchor the rank ladder (and are the ONLY
     // releasable rows)
-    val grid = data.select(gCols: _*).distinct()
+    val grid = groups
       .select(gCols :+ F.explode(F.expr(
         s"sequence(${candLo}L, ${candHi}L, ${candStep}L)")).as("__v"): _*)
       .withColumn("__c", F.lit(0L))

@@ -2268,6 +2268,14 @@ class FunctionsSpec extends AnyFunSuite {
     }
     assert(out("a") == 20000L * math.max(1L + noiseOf("a", "sum"), 0L))
     assert(out("b") == 20000L * math.max(0L + noiseOf("b", "sum"), 0L))
+    // public domain: off-domain "b" is dropped, absent "c" releases the
+    // lattice point of sum 0 + noise — the membership-hiding face
+    val domOut = Stats.dpNoisySums(df, Seq("g"), "v", clampC = 20000L,
+        seed = 5L, domain = Some(Seq("a", "c").toDF("g")))
+      .collect().map(r => r.getAs[String]("g") -> r.getAs[Long]("noisy_sum")).toMap
+    assert(domOut.keySet == Set("a", "c"))
+    assert(domOut("a") == out("a"))
+    assert(domOut("c") == 20000L * math.max(0L + noiseOf("c", "sum"), 0L))
     // the ':sum' tag decouples the sum release from the count release of
     // the SAME groups and seed: over many groups the noise draws differ
     val many = (0 until 500).flatMap(g => Seq.fill(2)((g.toLong, 1L))).toDF("g", "v")
@@ -2363,6 +2371,21 @@ class FunctionsSpec extends AnyFunSuite {
     val m = Stats.dpMedian(mixed, Seq("g"), "v", seed = 1L,
       candLo = 0L, candHi = 10L, candStep = 1L).collect()
     assert(m.map(_.getString(0)).toSeq == Seq("a"))
+    // public group domain: off-domain groups drop, absent groups get a
+    // grid-only ladder (n = 0 -> every candidate at utility 0, a uniform
+    // grid draw) — the release universe no longer leaks membership
+    val dm = Stats.dpMedian(mixed, Seq("g"), "v", seed = 1L,
+        candLo = 0L, candHi = 10L, candStep = 1L,
+        domain = Some(Seq("a", "zzz").toDF("g")))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(dm.keySet == Set("a", "zzz"))
+    assert(dm("zzz") >= 0L && dm("zzz") <= 10L)
+    // determinism of the absent-group draw across partitionings
+    val dm2 = Stats.dpMedian(mixed.repartition(3), Seq("g"), "v", seed = 1L,
+        candLo = 0L, candHi = 10L, candStep = 1L,
+        domain = Some(Seq("a", "zzz").toDF("g")))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(dm2 == dm)
   }
 
   test("dpHistogram: per-bin geometric replay, empty and absent cells release, public group domain") {
