@@ -92,6 +92,57 @@ object StatsPropertySpec extends Properties("StatsOps") {
         Prop(b.spentFactor <= BigInt(2).pow(budgetExp))
     }
 
+  property("dpHistogram: release frame is EXACTLY domain x bins for arbitrary data/domain overlap (incl. NULL keys); counts reconcile") =
+    Prop.forAll(
+      Gen.listOf(Gen.zip(Gen.option(Gen.choose(0L, 5L)), Gen.choose(-100L, 100L))),
+      Gen.someOf(Option.empty[Long] +: (0L to 7L).map(Some(_))),
+      Gen.nonEmptyListOf(Gen.choose(-50L, 50L)).map(_.distinct.sorted).suchThat(_.nonEmpty),
+      Gen.choose(0L, 1000L)) { (rows, domKeys, boundaries, seed) =>
+      Prop(domKeys.nonEmpty) ==> {
+        val sp = spark
+        import sp.implicits._
+        val df = rows.toDF("g", "v")
+        val dom = domKeys.toSeq.toDF("g")
+        val out = graft.functions.Stats.dpHistogram(df, Seq("g"), "v",
+            boundaries, seed = seed, domain = Some(dom))
+          .collect().map(r => (Option(r.get(0)).map(_.asInstanceOf[Long]),
+            r.getAs[Long]("bin")) -> r.getAs[Long]("noisy_count")).toMap
+        val wantKeys = (for (g <- domKeys; b <- 0L to boundaries.size.toLong)
+          yield (g: Option[Long], b)).toSet
+        // the release universe is data-INDEPENDENT: every (domain key,
+        // bin) cell and nothing else — a NULL domain key releases the
+        // NULL-keyed group's bins (null-safe join), off-domain observed
+        // groups never appear
+        (Prop(out.keySet == wantKeys) :| s"frame ${out.keySet} != $wantKeys") &&
+          Prop(out.values.forall(_ >= 0L))
+      }
+    }
+
+  property("onPublicDomain faces: count release keyset == domain keyset; present-key counts match brute force") =
+    Prop.forAll(
+      Gen.listOf(Gen.option(Gen.choose(0L, 5L))),
+      Gen.someOf(Option.empty[Long] +: (0L to 7L).map(Some(_))),
+      Gen.choose(0L, 1000L)) { (rows, domKeys, seed) =>
+      Prop(domKeys.nonEmpty) ==> {
+        val sp = spark
+        import sp.implicits._
+        val df = rows.toDF("g")
+        val dom = domKeys.toSeq.toDF("g")
+        val out = graft.functions.Stats.dpNoisyCounts(df, Seq("g"),
+            seed = seed, domain = Some(dom))
+          .collect().map(r => Option(r.get(0)).map(_.asInstanceOf[Long]) ->
+            r.getAs[Long]("noisy_count")).toMap
+        val noDom = graft.functions.Stats.dpNoisyCounts(df, Seq("g"), seed = seed)
+          .collect().map(r => Option(r.get(0)).map(_.asInstanceOf[Long]) ->
+            r.getAs[Long]("noisy_count")).toMap
+        // keyset = the domain exactly; a key present in both worlds
+        // releases the SAME value with or without the domain (the join
+        // only re-keys, never perturbs the draw)
+        (Prop(out.keySet == domKeys.toSet) :| s"keys ${out.keySet}") &&
+          Prop(domKeys.filter(noDom.contains).forall(k => out(k) == noDom(k)))
+      }
+    }
+
   property("columnHistogram: bins partition the corpus; every value lands in its bin's bounds") =
     Prop.forAll(Gen.nonEmptyListOf(Gen.choose(-1000L, 1000L)),
                 Gen.choose(1, 8)) { (vs, buckets) =>
