@@ -556,6 +556,35 @@ object Similarity {
       .select("pos", "n_samp", "med_ppm2", "mad_ppm4")
   }
 
+  /** Streaming face of [[dimensionRobustStatsSketch]]: embeddings
+    * arrive as a stream, each dimension's bottom-k hash sample
+    * accumulates in the state store, and every batch re-emits the
+    * sample's (n_samp, med_ppm2, mad_ppm4) per touched dimension — the
+    * live index-preflight monitor. Streaming == batch over the union of
+    * arrivals is the KMV merge identity, spec-pinned. */
+  def streamingDimensionRobustStats(stream: DataFrame, idCol: String,
+      embCol: String, k: Int = 1024,
+      ttl: org.apache.spark.sql.streaming.TTLConfig =
+        org.apache.spark.sql.streaming.TTLConfig.NONE): DataFrame = {
+    require(k >= 2, s"k must be >= 2, got $k")
+    val spark = stream.sparkSession
+    import spark.implicits._
+    stream.where(F.col(embCol).isNotNull && F.col(idCol).isNotNull)
+      .select(F.col(idCol).cast("string").as("__id"),
+        F.posexplode(F.col(embCol)).as(Seq("pos", "v")))
+      .select(F.col("pos").cast("string").as("k"), F.col("__id"),
+        (F.round(F.col("v").cast("double") * F.lit(1e6)).cast("long") * 2L)
+          .as("__v"))
+      .as[(String, String, Long)]
+      .groupByKey(_._1)
+      .transformWithState(
+        new graft.streaming.StateStoreRunner.RobustStatsSketchProcessor(k, ttl),
+        graft.streaming.StateStoreRunner.ttlTimeMode(ttl),
+        org.apache.spark.sql.streaming.OutputMode.Update())
+      .toDF("pos", "n_samp", "med_ppm2", "mad_ppm4")
+      .withColumn("pos", F.col("pos").cast("long"))
+  }
+
   /** Robust embedding outlier audit — flag corrupt, degenerate, or
     * out-of-distribution vectors before they poison an index or a
     * training mix: per dimension, the corpus median and MAD (the

@@ -286,6 +286,44 @@ object StateStoreRunner {
     }
   }
 
+  /** Streaming per-dimension ROBUST STATS sketch — the live face of
+    * `Similarity.dimensionRobustStatsSketch`: per dimension key, the
+    * running bottom-k (md5(id), q2-value) sample accumulates exactly
+    * like [[QuantileSketchProcessor]] (union → distinct → re-take-k,
+    * the lossless KMV-style merge), and each batch emits the sample's
+    * lower nearest-rank median and MAD in the batch face's
+    * doubled/quadrupled-ppm scales. After any batch sequence the
+    * emission is bit-identical to the batch face over the union of all
+    * arrivals (spec-pinned). Emits (pos, n_samp, med_ppm2, mad_ppm4).
+    * State per dimension: ≤ k pairs, rewritten per touch so per-element
+    * TTL tracks key activity. */
+  class RobustStatsSketchProcessor(k: Int, ttl: TTLConfig = TTLConfig.NONE)
+    extends StatefulProcessor[String, (String, String, Long), (String, Long, Long, Long)] {
+    require(k >= 2, s"k must be >= 2, got $k")
+    @transient private var samp: org.apache.spark.sql.streaming.ListState[(String, Long)] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      samp = getHandle.getListState[(String, Long)]("rsketch",
+        Encoders.product[(String, Long)], ttl)
+
+    override def handleInputRows(key: String, rows: Iterator[(String, String, Long)],
+                                 timerValues: TimerValues): Iterator[(String, Long, Long, Long)] = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      def md5hex(s: String): String =
+        md.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      val cur = if (samp.exists()) samp.get().toVector else Vector.empty[(String, Long)]
+      val merged = (cur ++ rows.map(r => (md5hex(r._2), r._3)))
+        .distinct.sorted.take(k)
+      samp.put(merged.toArray)
+      val vs = merged.map(_._2).sorted
+      val n = vs.size.toLong
+      val rank = ((500000L * (n - 1)) / 1000000L).toInt
+      val med = vs(rank)
+      val devs = vs.map(v => (v - med).abs * 2L).sorted
+      Iterator.single((key, n, med, devs(rank)))
+    }
+  }
+
   /** Streaming KS drift alarm PER KEY — the live face of
     * `Scale.sketchKsDistance` against a FIXED reference sample (e.g.
     * last month's accepted corpus, shipped as the ≤ k sorted values of

@@ -920,6 +920,37 @@ class StateStoreSpec extends AnyFunSuite {
       s"got $got — an (idx=1, n=2) row would mean reused noise")
   }
 
+  test("streaming robust-stats sketch: per-dimension bottom-k sample == batch face over the union of arrivals") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.functions.Similarity
+    val b1 = (1L to 30L).map(i => (i, Array((i * 0.01).toFloat, (1.0 - i * 0.002).toFloat)))
+    val b2 = (31L to 50L).map(i => (i, Array((i * 0.01).toFloat, (1.0 - i * 0.002).toFloat)))
+    val input = MemoryStream[(Long, Array[Float])]
+    val stats = Similarity.streamingDimensionRobustStats(
+      input.toDS().toDF("vec_id", "embedding"), "vec_id", "embedding", k = 16)
+    val q = stats.writeStream.outputMode("update").format("memory")
+      .queryName("rstats").trigger(Trigger.ProcessingTime(0L)).start()
+    input.addData(b1: _*); q.processAllAvailable()
+    input.addData(b2: _*); q.processAllAvailable()
+    q.stop()
+    // per dimension: the LAST emission (update mode re-emits per batch)
+    // reflects the union of all arrivals, the FIRST only batch 1
+    val rows = spark.table("rstats").as[(Long, Long, Long, Long)].collect()
+    val perPos = rows.zipWithIndex.groupBy(_._1._1).view
+      .mapValues(v => v.maxBy(_._2)._1).toMap
+    def batchFace(rows2: Seq[(Long, Array[Float])]) =
+      Similarity.dimensionRobustStatsSketch(rows2.toDF("vec_id", "embedding"),
+          "vec_id", "embedding", k = 16)
+        .as[(Long, Long, Long, Long)].collect().map(r => r._1 -> r).toMap
+    val want = batchFace(b1 ++ b2)
+    assert(perPos == want, s"streaming != batch: $perPos vs $want")
+    // first-batch emissions equal the batch face over b1 alone
+    val first = rows.zipWithIndex.groupBy(_._1._1).view
+      .mapValues(v => v.minBy(_._2)._1).toMap
+    assert(first == batchFace(b1))
+  }
+
   test("streaming gate-funnel monitor: running per-gate charges match the batch funnel") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
