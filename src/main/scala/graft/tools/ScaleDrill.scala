@@ -824,7 +824,7 @@ object ScaleDrill {
         k = 512)),
     // sketch-tier outlier audit: the same broadcast-model fold as q194
     // with the stats model built from the bounded sample
-    "outliers_sketch (q194s)" -> (emb =>
+    "outliers_sketch (q225)" -> (emb =>
       Similarity.robustOutliers(emb, "vec_id", "embedding", topN = 10,
         sketchK = 512)),
     // stats tier = q178; the apply tier is a broadcast-model fold per
