@@ -1587,13 +1587,17 @@ object SparkEntry {
         .select(F.lit("count").as("face"), F.col("event_type"),
           F.lit(null).cast("long").as("bin"),
           F.col("noisy_count").as("released"))
+      // r14 (ADVICE r13 #1): sum and median now release over the SAME
+      // public domain as count/hist — absent types ('refund') release
+      // noise-only rows instead of leaking membership by omission
       val sums = budget.noisySums(ev, Seq("event_type"), "value_c",
-          clampC = 20000L)
+          clampC = 20000L, domain = Some(dom))
         .select(F.lit("sum").as("face"), F.col("event_type"),
           F.lit(null).cast("long").as("bin"),
           F.col("noisy_sum").as("released"))
       val med = budget.median(ev, Seq("event_type"), "value_c",
-          candLo = 0L, candHi = 60000L, candStep = 250L)
+          candLo = 0L, candHi = 60000L, candStep = 250L,
+          domain = Some(dom))
         .select(F.lit("median").as("face"), F.col("event_type"),
           F.lit(null).cast("long").as("bin"),
           F.col("released_median").as("released"))
@@ -2071,9 +2075,12 @@ object SparkEntry {
       // the index pre-flight: top-10 vectors by summed per-dimension
       // robust z (|x - median| / MAD in ppm, capped at 10 MADs per dim);
       // rank statistics shrug off the outliers being hunted, and the
-      // d-long stats ride into the scan as a broadcast model
+      // d-long stats ride into the scan as a broadcast model. sketchK = 0
+      // is the EXPLICIT exact-tier opt-in (r14: the default is the q225
+      // sketch tier) — this face stays the judged exact answer
       functions.Similarity.robustOutliers(
-          table(s, dir, "embeddings"), "vec_id", "embedding", topN = 10)
+          table(s, dir, "embeddings"), "vec_id", "embedding", topN = 10,
+          sketchK = 0)
         .orderBy(F.col("score").desc, F.col("vec_id"))),
 
     "q193_stats_drift" -> ((s, dir) => {
@@ -4184,7 +4191,7 @@ object SparkEntry {
                FROM (SELECT vec_id, h, q2, unnest(generate_series(1, len(q2))) AS i FROM q)),
          r AS (SELECT pos, v,
                  row_number() OVER (PARTITION BY pos ORDER BY h, v) AS rn
-               FROM c),
+               FROM (SELECT DISTINCT pos, h, v FROM c)),
          g AS (SELECT pos, list_sort(list(v)) AS vs, CAST(count(*) AS BIGINT) AS n_samp
                FROM r WHERE rn <= 512 GROUP BY 1),
          m AS (SELECT pos, n_samp, vs,
@@ -4226,18 +4233,22 @@ object SparkEntry {
          sg AS (SELECT event_type, CAST(sum(CASE WHEN v IS NULL THEN 0
                   ELSE greatest(least(v, 20000), 0) END) AS BIGINT) AS s
                 FROM ev GROUP BY 1),
+         sj AS (SELECT d.event_type, coalesce(sg.s, 0) AS s
+                FROM dom d LEFT JOIN sg ON d.event_type = sg.event_type),
          su AS (SELECT event_type, s, ('0x' || substr(md5(concat_ws(chr(1),
                   coalesce(event_type, chr(2)), '20260818:sum')), 1, 15))::BIGINT AS u
-                FROM sg),
+                FROM sj),
          sface AS (SELECT 'sum' AS face, event_type, CAST(NULL AS BIGINT) AS bin,
                   20000 * greatest((2 * s + 20000) // 40000
                     + (CAST(len(list_filter((SELECT ts FROM tarr), t -> t <= u)) AS BIGINT) - 32), 0) AS released
                 FROM su),
          mgv AS (SELECT event_type, v, CAST(count(*) AS BIGINT) AS c, 0 AS cand
-                 FROM ev WHERE v IS NOT NULL GROUP BY 1, 2),
+                 FROM ev WHERE v IS NOT NULL
+                   AND event_type IN (SELECT event_type FROM dom)
+                 GROUP BY 1, 2),
          mgrid AS (SELECT g.event_type, CAST(gs.v AS BIGINT) AS v,
                     CAST(0 AS BIGINT) AS c, 1 AS cand
-                   FROM (SELECT DISTINCT event_type FROM mgv) g
+                   FROM dom g
                    CROSS JOIN (SELECT unnest(generate_series(0, 60000, 250)) AS v) gs),
          muni AS (SELECT event_type, v, CAST(sum(c) AS BIGINT) AS c, max(cand) AS cand
                   FROM (SELECT * FROM mgv UNION ALL SELECT * FROM mgrid)
@@ -4335,7 +4346,7 @@ object SparkEntry {
                FROM (SELECT h, q2, unnest(generate_series(1, len(q2))) AS i FROM q)),
          r AS (SELECT pos, v,
                  row_number() OVER (PARTITION BY pos ORDER BY h, v) AS rn
-               FROM c),
+               FROM (SELECT DISTINCT pos, h, v FROM c)),
          g AS (SELECT pos, list_sort(list(v)) AS vs, CAST(count(*) AS BIGINT) AS n_samp
                FROM r WHERE rn <= 512 GROUP BY 1),
          m AS (SELECT pos, n_samp, vs,

@@ -605,11 +605,14 @@ object Similarity {
     * exchange is the bounded TopK heap (≤ topN·partitions rows). */
   def robustOutliers(df: DataFrame, idCol: String, embCol: String,
                      topN: Int = 10, capPpm: Long = 10000000L,
-                     sketchK: Int = 0): DataFrame = {
+                     sketchK: Int = 512): DataFrame = {
     require(topN > 0 && capPpm > 0)
-    // sketchK > 0 swaps the exact stats tier for the bottom-k sketch —
-    // the 100 TB path: flat per-dimension memory, deterministic, same
-    // (med_ppm2, mad_ppm4) scales so the fold below is unchanged
+    // the DEFAULT stats tier is the bottom-k sketch (VERDICT r13 #5):
+    // flat per-dimension memory whatever the corpus — the scale-safe
+    // face should not be opt-in. sketchK = 0 opts into the EXACT tier
+    // (full per-dimension value buffers, d-capped reducers — moderate
+    // corpora only); both tiers emit the same (med_ppm2, mad_ppm4)
+    // scales so the fold below is unchanged
     val stats =
       if (sketchK > 0) dimensionRobustStatsSketch(df, idCol, embCol, sketchK)
       else dimensionRobustStats(df, embCol)

@@ -882,16 +882,18 @@ final class DpBudget(val maxLossFactor: BigInt, val baseSeed: Long) {
       charge("count", noiseBase, 1), noiseBase, clampB, domain)
 
   def noisySums(df: DataFrame, groupCols: Seq[String], valueCol: String,
-                clampC: Long, noiseBase: Int = 2, clampB: Int = 32): DataFrame =
+                clampC: Long, noiseBase: Int = 2, clampB: Int = 32,
+                domain: Option[DataFrame] = None): DataFrame =
     Stats.dpNoisySums(df, groupCols, valueCol, clampC,
-      charge("sum", noiseBase, 1), noiseBase, clampB)
+      charge("sum", noiseBase, 1), noiseBase, clampB, domain)
 
   def median(df: DataFrame, groupCols: Seq[String], valueCol: String,
              candLo: Long, candHi: Long, candStep: Long,
-             noiseBase: Int = 2, clampB: Int = 32): DataFrame =
+             noiseBase: Int = 2, clampB: Int = 32,
+             domain: Option[DataFrame] = None): DataFrame =
     Stats.dpMedian(df, groupCols, valueCol,
       charge("median", noiseBase, 2), candLo, candHi, candStep,
-      noiseBase, clampB)
+      noiseBase, clampB, domain)
 
   def histogram(df: DataFrame, groupCols: Seq[String], valueCol: String,
                 boundaries: Seq[Long], noiseBase: Int = 2, clampB: Int = 32,

@@ -118,24 +118,32 @@ object ScaleDrill {
     val rocks = "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
     // (no HDFSBackedStateStoreProvider face: transformWithState needs
     // multiple column families, which only RocksDB supports)
-    streamRun(rocks, 64, "stream_rocksdb_cap64")
-    streamRun(rocks, 0, "stream_rocksdb_cap0")
-    spark.conf.set(
-      "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled", "true")
-    streamRun(rocks, 64, "stream_rocksdb_changelog")
-    spark.conf.set(
-      "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled", "false")
+    // restore BOTH experiment confs on every exit (ADVICE r13 #3: the old
+    // spelling left changelog hard-set to "false" after the profile)
+    val clKey =
+      "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled"
+    val prevCl = spark.conf.getOption(clKey)
     val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
-    streamRun(rocks, 64, "stream_rocksdb_8parts")
-    spark.conf.set(
-      "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled", "true")
-    streamRun(rocks, 64, "stream_rocksdb_8parts_changelog")
-    spark.conf.set(
-      "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled", "false")
-    spark.conf.set("spark.sql.shuffle.partitions", "4")
-    streamRun(rocks, 64, "stream_rocksdb_4parts")
-    spark.conf.set("spark.sql.shuffle.partitions", prevParts)
+    try {
+      streamRun(rocks, 64, "stream_rocksdb_cap64")
+      streamRun(rocks, 0, "stream_rocksdb_cap0")
+      spark.conf.set(clKey, "true")
+      streamRun(rocks, 64, "stream_rocksdb_changelog")
+      spark.conf.set(clKey, "false")
+      spark.conf.set("spark.sql.shuffle.partitions", "8")
+      streamRun(rocks, 64, "stream_rocksdb_8parts")
+      spark.conf.set(clKey, "true")
+      streamRun(rocks, 64, "stream_rocksdb_8parts_changelog")
+      spark.conf.set(clKey, "false")
+      spark.conf.set("spark.sql.shuffle.partitions", "4")
+      streamRun(rocks, 64, "stream_rocksdb_4parts")
+    } finally {
+      spark.conf.set("spark.sql.shuffle.partitions", prevParts)
+      prevCl match {
+        case Some(v) => spark.conf.set(clKey, v)
+        case None => spark.conf.unset(clKey)
+      }
+    }
   }
 
   /** AQE-skew-split composition drill (VERDICT r9 #6): the engine's manual
@@ -830,7 +838,8 @@ object ScaleDrill {
     // stats tier = q178; the apply tier is a broadcast-model fold per
     // vector with the bounded TopK heap as the only corpus-sized exchange
     "embedding_outliers (q194)" -> (emb =>
-      Similarity.robustOutliers(emb, "vec_id", "embedding", topN = 10)),
+      Similarity.robustOutliers(emb, "vec_id", "embedding", topN = 10,
+        sketchK = 0)),
     // the corpus-scale work is the q176 moment pass (row-linear, O(d²)
     // corpus-free shuffle); the driver-side eigensolve is K·d² integer
     // ops whatever the corpus — the row pins that the whole operator

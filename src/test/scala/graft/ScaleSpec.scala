@@ -493,7 +493,8 @@ class ScaleSpec extends AnyFunSuite {
     // sketch-tier robustOutliers: with k >= n the scores fold the same
     // model, so the planted-outlier audit matches the exact tier
     val planted = (vecs.take(20) :+ (999L, Array(5.0f, 5.0f))).toDF("vec_id", "embedding")
-    val exactTop = Similarity.robustOutliers(planted, "vec_id", "embedding", topN = 3)
+    val exactTop = Similarity.robustOutliers(planted, "vec_id", "embedding", topN = 3,
+        sketchK = 0)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     val skTop = Similarity.robustOutliers(planted, "vec_id", "embedding", topN = 3,
         sketchK = 1024)
@@ -925,7 +926,8 @@ class ScaleSpec extends AnyFunSuite {
     }.toMap
     val df = vecs.toSeq.map { case (id, v) => (id, v.map(_.toFloat).toArray) }
       .toDF("vec_id", "embedding")
-    val got = Similarity.robustOutliers(df, "vec_id", "embedding", topN = 3)
+    val got = Similarity.robustOutliers(df, "vec_id", "embedding", topN = 3,
+        sketchK = 0)
       .collect().map(r => r.getAs[Long]("vec_id") -> r.getAs[Long]("score")).toMap
     // topN = 3 highest expected scores (desc, id tiebreak)
     val want = expected.toSeq.sortBy { case (id, sc) => (-sc, id) }.take(3).toMap
