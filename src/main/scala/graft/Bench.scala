@@ -15,14 +15,14 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled",
         sys.env.getOrElse("SPARK_GRAFT_AQE", "true"))
-      // FAIR job scheduling is Spark's KeyedFairBolt analogue: without it
-      // the concurrent-DRPC drill's p99 measures FIFO BACKLOG (the last
-      // of 48 queued driver jobs waits for all prior ones — measured
-      // median p99 28s), not per-request fairness. Context-level setting,
-      // so it must be here, not in the drill — AND each drill thread sets
-      // its own spark.scheduler.pool (Drills.drpcStateQueryConcurrent):
-      // with no allocation file the default pool is internally FIFO, so
-      // FAIR only bites across DISTINCT pools. Batch queries are
+      // FAIR job scheduling is Spark's KeyedFairBolt analogue for
+      // CONCURRENT job-path DRPC (without it a burst of per-request
+      // driver jobs serves FIFO — measured median p99 28s at 48 queued
+      // jobs). r14: the concurrent drill now serves through the keyed
+      // fast path (no jobs), but the saturation drill still mixes
+      // job-path requests across service workers, and FAIR is the
+      // production posture for any multi-client job-path deployment.
+      // Context-level setting, so it must be here. Batch queries are
       // unaffected (one job at a time).
       .config("spark.scheduler.mode", "FAIR")
       .config("spark.sql.session.timeZone", "UTC")
@@ -548,15 +548,16 @@ object Bench {
     }
   }
 
-  /** Concurrent-DRPC fairness drill (VERDICT r9 #4; reference
-    * `KeyedFairBolt.java:93`): 8 threads fire 48 single-key lookups at a
-    * live 100k-key state store; the RECORDED value is the p99 latency in
-    * ms (lower median of `reps` fresh-setup runs, same discipline as the
-    * single-stream drpc drill) — a p99 staying within a small multiple
-    * of the single-stream mean is the no-starvation evidence. Each run's
-    * p50 rides in the artifact as `p50_runs` (index-aligned with `runs`)
-    * so the §4b p99/p50 fairness ratio is checkable without the stderr
-    * tail (VERDICT r11 wrong #2). */
+  /** Concurrent-DRPC latency drill (VERDICT r13 #1): 8 threads fire
+    * 200k single-key `MapGet` lookups at a live 100k-key state store,
+    * served by the KEYED FAST PATH (driver-held StateIndex refreshed on
+    * every commit — the reference's in-memory serving shape; the r13
+    * job-per-request spelling measured p99 2.7-5.8 s of pure scheduling).
+    * The drill itself pins fast==job equality and refresh-on-commit
+    * before timing. RECORDED value is the p99 latency in ms (lower
+    * median of `reps` fresh-setup runs); each run's p50 rides in the
+    * artifact as `p50_runs` (index-aligned with `runs`). The job path's
+    * per-request latency stays recorded as drpc_statequery_ms. */
   private def drpcConcurrentLatency(spark: SparkSession, reps: Int): BenchFormat.StEntry = {
     val label = "drpc_concurrent_p99_ms"
     val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
@@ -565,24 +566,24 @@ object Bench {
         "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
       def point(): (Double, Double) = {
         val (p50, p99, setup) =
-          graft.tools.Drills.drpcStateQueryConcurrent(spark, 100000, 8, 24)
+          graft.tools.Drills.drpcStateQueryConcurrent(spark, 100000, 8, 200000)
         System.err.println(
-          f"[bench] $label: keys=100000 threads=8 reqs=24 setup=$setup%5.1fs " +
-          f"p50=$p50%7.1fms p99=$p99%7.1fms")
+          f"[bench] $label: keys=100000 threads=8 reqs=200000 setup=$setup%5.1fs " +
+          f"p50=$p50%7.3fms p99=$p99%7.3fms")
         (p50, p99)
       }
       val pairs = (1 to reps).map(_ => point())
       val raw = pairs.map(_._2)
       val p50s = pairs.map(_._1)
       val extra = ",\"p50_runs\":[" +
-        p50s.map(v => "%.1f".formatLocal(java.util.Locale.ROOT, v)).mkString(",") + "]"
+        p50s.map(v => "%.4f".formatLocal(java.util.Locale.ROOT, v)).mkString(",") + "]"
       val meds = raw.filter(_ >= 0.0).sorted
       if (meds.isEmpty) BenchFormat.StEntry(label, -1.0, raw, extra)
       else {
         val med = meds((meds.size - 1) / 2)
         if (reps > 1)
-          System.err.println(f"[bench] $label median-of-${meds.size}: $med%.1fms " +
-            s"(runs: ${meds.map(v => f"$v%.1f").mkString(", ")})")
+          System.err.println(f"[bench] $label median-of-${meds.size}: $med%.3fms " +
+            s"(runs: ${meds.map(v => f"$v%.3f").mkString(", ")})")
         BenchFormat.StEntry(label, med, raw, extra)
       }
     } catch { case e: Throwable =>

@@ -64,8 +64,19 @@ class DRPCService(drpc: LocalDRPC, requestTimeoutMs: Long = 10000L,
   private var threads: Seq[Thread] = Nil
   @volatile private var http: Option[com.sun.net.httpserver.HttpServer] = None
 
-  /** Blocking client call — enqueue and wait for result/failure/timeout. */
+  /** Blocking client call — enqueue and wait for result/failure/timeout.
+    * FAST-registered functions (keyed lookups over a driver-held
+    * [[StateIndex]]) short-circuit: they answer inline on the caller's
+    * thread without touching the queue, so a full backlog of slow
+    * pipeline requests can neither delay nor reject a `MapGet` — the
+    * reference's interactive-latency contract survives overload. */
   def execute(function: String, args: String): String = {
+    if (drpc.isFast(function))
+      return try drpc.execute(function, args)
+      catch { case e: Throwable =>
+        throw new DRPCExecutionException(
+          s"DRPC fast request ($function) failed: ${e.getMessage}")
+      }
     if (totalQueued.get() >= maxQueueSize)
       throw new DRPCExecutionException(
         s"request queue full ($maxQueueSize) — rejecting ${function}")

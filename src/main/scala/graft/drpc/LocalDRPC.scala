@@ -24,10 +24,48 @@ class LocalDRPC(spark: SparkSession) {
   // may still be registering functions — a plain mutable.Map races
   private val functions =
     scala.collection.concurrent.TrieMap[String, String => DataFrame]()
+  // keyed fast path (VERDICT r13 #1): wire-format results straight from
+  // driver memory — no DataFrame, no Spark job. A name registered both
+  // ways serves through the fast face (the job face remains reachable via
+  // executeDF for parity checks).
+  private val fastFunctions =
+    scala.collection.concurrent.TrieMap[String, String => String]()
 
   /** Register a named query pipeline: args → DataFrame plan. */
   def register(name: String, fn: String => DataFrame): Unit =
     functions(name) = fn
+
+  /** Register a FAST function: args → DRPC wire-format JSON, served
+    * inline on the calling thread (the reference's millisecond `MapGet`
+    * contract — `DRPCSpout.java:101-143` against in-memory state). Use
+    * [[registerMapGet]]/[[registerSnapshotGet]] for the common keyed
+    * shapes over a [[StateIndex]]. */
+  def registerFast(name: String, fn: String => String): Unit =
+    fastFunctions(name) = fn
+
+  /** Whether `name` serves through the fast path. */
+  def isFast(name: String): Boolean = fastFunctions.contains(name)
+
+  /** `MapGet` over a driver-held [[StateIndex]]: args (via `key`) → the
+    * indexed value as a one-tuple result list, `[]` when absent — the
+    * same wire shape the job-path `stateQuery` + collect produces for a
+    * single-key filter. */
+  def registerMapGet[K, V](name: String, index: StateIndex[K, V],
+                           key: String => K): Unit =
+    registerFast(name, args => index.get(key(args)) match {
+      case Some(v) => "[[" + jsonValue(v) + "]]"
+      case None => "[]"
+    })
+
+  /** `SnapshotGet` over a [[StateIndex]] holding a single global slot
+    * (the `$GLOBAL$` snapshot shape, q18's semantics): ignores args,
+    * returns the slot's value. */
+  def registerSnapshotGet[K, V](name: String, index: StateIndex[K, V],
+                                slot: K): Unit =
+    registerFast(name, _ => index.get(slot) match {
+      case Some(v) => "[[" + jsonValue(v) + "]]"
+      case None => "[]"
+    })
 
   def executeDF(name: String, args: String): DataFrame = {
     val fn = functions.getOrElse(name,
@@ -36,12 +74,17 @@ class LocalDRPC(spark: SparkSession) {
   }
 
   /** `execute(function, args)` → JSON-encoded list of result tuples, the
-    * DRPC wire format (`ReturnResults.java:40-44`). */
-  def execute(name: String, args: String): String = {
-    val rows = executeDF(name, args).collect()
-    rows.map(r => r.toSeq.map(jsonValue).mkString("[", ",", "]"))
-      .mkString("[", ",", "]")
-  }
+    * DRPC wire format (`ReturnResults.java:40-44`). Fast-registered
+    * functions answer inline from driver memory; everything else runs its
+    * DataFrame plan as a Spark job. */
+  def execute(name: String, args: String): String =
+    fastFunctions.get(name) match {
+      case Some(fn) => fn(args)
+      case None =>
+        val rows = executeDF(name, args).collect()
+        rows.map(r => r.toSeq.map(jsonValue).mkString("[", ",", "]"))
+          .mkString("[", ",", "]")
+    }
 
   /** `trident/testing/TuplifyArgs.java:26-34` — parse JSON-array DRPC args
     * into tuples: `[["a"],["b",...]]` → one row per inner array, columns

@@ -260,10 +260,11 @@ class DRPCServiceSpec extends AnyFunSuite {
   }
 
   test("concurrent DRPC lookups against live state: all 12 requests answer, percentiles ordered") {
-    // the bench's drpc_concurrent drill (KeyedFairBolt fairness face) at
-    // spec size: 4 threads x 12 single-key lookups over a live 300-key
-    // store — every request must verify its [1] payload (the drill
-    // REQUIREs it), and the order statistics must be sane
+    // the bench's drpc_concurrent drill at spec size: 4 threads x 12
+    // keyed lookups over a live 300-key store, served by the keyed fast
+    // path (r14). The drill itself REQUIREs fast==job parity on a key
+    // sample, refresh-on-commit visibility, and every request's payload;
+    // here the order statistics must be sane on top
     val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
     spark.conf.set("spark.sql.streaming.stateStore.providerClass",
       "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
@@ -359,6 +360,108 @@ class DRPCServiceSpec extends AnyFunSuite {
       import scala.jdk.CollectionConverters._
       assert(codes.asScala.forall(_ == 200), s"non-200 during live reads: $codes")
       assert(post("wc_live", "the") == ((200, "[[\"the\",8]]")))
+    } finally {
+      svc.stop()
+      q.stop()
+      prev match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+      graft.util.Fs.deleteRecursively(java.nio.file.Paths.get(ck))
+    }
+  }
+
+  test("StateIndex: versioned atomic deltas, idempotent replay, monotone version") {
+    val idx = new graft.drpc.StateIndex[String, Long]
+    assert(idx.version == -1L && idx.size == 0 && idx.get("a").isEmpty)
+    idx.applyDelta(0L, Seq("a" -> 1L, "b" -> 2L))
+    assert(idx.version == 0L && idx.get("a").contains(1L) && idx.get("b").contains(2L))
+    // absolute-value upsert: a foreachBatch REPLAY of the same batch is a no-op
+    idx.applyDelta(0L, Seq("a" -> 1L, "b" -> 2L))
+    assert(idx.version == 0L && idx.size == 2 && idx.get("a").contains(1L))
+    // next commit's delta: changed keys only, version advances
+    idx.applyDelta(1L, Seq("a" -> 5L))
+    assert(idx.version == 1L && idx.get("a").contains(5L) && idx.get("b").contains(2L))
+    // a reader's snapshot is one version — never a half-applied delta
+    val (v, m) = idx.snapshot
+    assert(v == 1L && m == Map("a" -> 5L, "b" -> 2L))
+    // versions never move backwards (late replay of an old batch id)
+    idx.applyDelta(0L, Seq("c" -> 9L))
+    assert(idx.version == 1L && idx.get("c").contains(9L))
+  }
+
+  test("keyed fast path: fast == job path over a live query, refresh on commit, inline under a jammed queue (VERDICT r13 #1)") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val ck = java.nio.file.Files.createTempDirectory("drpc-fast-ck").toString
+    val input = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[String]
+    val counts = graft.streaming.StateStoreRunner.runningCount[String, String](
+      input.toDS().flatMap(_.split(" ").iterator.filter(_.nonEmpty)), identity)
+    val index = new graft.drpc.StateIndex[String, Long]
+    val q = counts.writeStream.outputMode("update")
+      .option("checkpointLocation", ck)
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[(String, Long)], id: Long) =>
+        graft.drpc.StateIndex.foldBatch(index)(b, id); ()
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime(0L))
+      .start()
+    val drpc = newDrpc()
+    // job face: per-request statestore read at last commit
+    graft.drpc.LiveStateDrpc.registerStateQuery(drpc, spark, "wc_get", ck, "agg") {
+      (state, args) =>
+        state.where(F.col("key.value") === args)
+          .select(F.col("value.value").as("cnt"))
+    }
+    // fast face, same name: execute() serves the index, executeDF() the job
+    drpc.registerMapGet("wc_get", index, identity[String])
+    val svc = new DRPCService(drpc, requestTimeoutMs = 30000L, maxQueueSize = 2)
+      .start(workers = 1)
+    try {
+      input.addData("the man the moon the man")
+      q.processAllAvailable()
+      assert(index.version >= 0L)
+      // fast == job for present and absent keys (the parity contract)
+      Seq("the", "man", "moon", "nope").foreach { k =>
+        val job = drpc.executeDF("wc_get", k).collect()
+          .map(r => s"[[${r.getLong(0)}]]").headOption.getOrElse("[]")
+        assert(drpc.execute("wc_get", k) == job, s"fast/job divergence on '$k'")
+      }
+      assert(svc.execute("wc_get", "the") == "[[3]]")
+      // refresh-on-commit: the next committed batch's delta reaches the
+      // fast path; untouched keys keep their values
+      input.addData("moon moon")
+      q.processAllAvailable()
+      assert(svc.execute("wc_get", "moon") == "[[3]]")
+      assert(svc.execute("wc_get", "the") == "[[3]]")
+      assert(svc.execute("wc_get", "absent") == "[]")
+      // jam the single worker and fill the whole queue with slow requests —
+      // keyed lookups must still answer inline (no queue, no worker), and
+      // the NEXT slow request must 503 while the fast one does not
+      drpc.register("napping", { args =>
+        Thread.sleep(3000L); spark.range(1).select(F.lit(args).as("args"))
+      })
+      // plain threads, not the global EC — deterministic start under any
+      // suite ordering (an EC backed up by earlier suites starved the
+      // enqueue and the wait below saw an empty queue)
+      val nappers = (1 to 3).map { i =>
+        val t = new Thread(() =>
+          try svc.execute("napping", s"s$i")
+          catch { case _: Throwable => () }, s"drpc-fast-napper-$i")
+        t.start(); t
+      }
+      // wait until the backlog is actually full (1 claimed + 2 queued)
+      val deadline = System.nanoTime() + 10L * 1000 * 1000 * 1000
+      while (svc.queuedCount < 2 && System.nanoTime() < deadline) Thread.sleep(10)
+      assert(svc.queuedCount >= 2, "queue never filled")
+      intercept[DRPCExecutionException] { svc.execute("wordlen", "overflow") }
+      val t0 = System.nanoTime()
+      assert(svc.execute("wc_get", "the") == "[[3]]")
+      val fastMs = (System.nanoTime() - t0) / 1e6
+      assert(fastMs < 1000.0, f"fast path took $fastMs%.1fms under a jammed queue")
+      nappers.foreach(_.join(60000))
     } finally {
       svc.stop()
       q.stop()
