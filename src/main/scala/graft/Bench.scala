@@ -98,6 +98,17 @@ object Bench {
     // time, while the sub-500ms majority stays at 2 reps.
     val extraRepMs =
       sys.env.getOrElse("SPARK_GRAFT_BENCH_EXTRA_REP_MS", "500").toInt
+    // INTERLEAVED DuckDB pairing (VERDICT r13 #2): duck totals measured as
+    // one post-hoc batch swung 67.7->124.5s across identical r13 suites
+    // (page-cache/VM drift compounds for the in-process engine), making a
+    // single window's ratio uninterpretable. Each query's DuckDB twin now
+    // runs back-to-back with its Spark reps inside the timed loop — same
+    // machine window per PAIR, same min-of-reps discipline on both sides.
+    val duckReps = sys.env.getOrElse("SPARK_GRAFT_BENCH_DUCK_REPS", "2").toInt.max(1)
+    val oracleServer: Option[OracleServer] =
+      if (sys.env.get("SPARK_GRAFT_BENCH_ORACLE").contains("0")) None
+      else OracleServer.start(sfDir)
+    val duckTimes = scala.collection.mutable.LinkedHashMap[String, Double]()
     val results = benchQueries.toSeq.sortBy(_._1).map { case (name, fn) =>
       // (elapsed, succeeded) per rep: a rep that THROWS fast (transient
       // I/O, stage kill) must not win the min over a rep that actually
@@ -119,16 +130,35 @@ object Bench {
           .minOption.forall(_ * 1000 >= extraRepMs)
       val times = if (needExtra) base :+ rep() else base
       val succeeded = times.collect { case (t, true) => t }
+      oracleServer.foreach(srv =>
+        srv.time(name, duckReps).foreach(d => duckTimes(name) = d))
       name -> (if (succeeded.nonEmpty) succeeded.min else times.map(_._1).min)
     }
-    // Self-normalizing denominator (VERDICT r9 #1): run the DuckDB oracle
-    // suite back-to-back IN THIS WINDOW, so every bench artifact carries
-    // its own 2x-gate ratio. calib (a pure-codegen probe) can't see the
-    // I/O/load contention that inflated the r9 driver window 39% vs the
-    // builder's same-suite run — a same-window DuckDB pair can.
+    // Self-normalizing denominator (VERDICT r9 #1): every bench artifact
+    // carries its own 2x-gate ratio. calib (a pure-codegen probe) can't
+    // see I/O/load contention — a same-window DuckDB pair can; since r14
+    // the pair is per-QUERY interleaved (above), with the old post-hoc
+    // batch suite as the fallback when the serve harness is unavailable.
     val batchTotal = results.map(_._2).sum
-    val (oracleNote, duckQueriesNote) =
-      oraclePair(sfDir, benchQueries.keySet, batchTotal)
+    oracleServer.foreach(_.close())
+    val (oracleNote, duckQueriesNote) = oracleServer match {
+      case Some(_) if duckTimes.nonEmpty =>
+        val duckTotal = duckTimes.values.sum
+        val ratio = batchTotal / duckTotal
+        System.err.println(
+          f"[bench] interleaved pair: spark $batchTotal%.2fs vs duckdb $duckTotal%.2fs " +
+          f"= $ratio%.2fx (${duckTimes.size} oracle entries, min-of-$duckReps each)")
+        val perQ = duckTimes.toSeq.sortBy(_._1).map { case (k, v) =>
+          "\"" + k + "\":" + "%.4f".formatLocal(java.util.Locale.ROOT, v)
+        }.mkString("\"duck_queries\":{", ",", "},")
+        (s""""duck_total":${BenchFormat.ms(duckTotal)},"duck_n":${duckTimes.size},""" +
+          s""""ratio":${BenchFormat.ms(ratio)},"oracle_mode":"interleaved",""", perQ)
+      case Some(_) =>
+        System.err.println("[bench] interleaved oracle returned no timings — no pair")
+        ("", "")
+      case None =>
+        oraclePair(sfDir, benchQueries.keySet, batchTotal)
+    }
     // streaming topology drills (the reference's headline metric is
     // streaming tuples/sec — stderr carries the throughput figures). Kept
     // OUT of "value"/"queries": the oracle runs the same SQL as "queries",
@@ -309,6 +339,96 @@ object Bench {
       // it was the one stack still landing next to the JSON line in r7
       "org.apache.spark.util.Utils"
     ).foreach(Configurator.setLevel(_, Level.OFF))
+  }
+
+  /** The interleaved-pairing subprocess: `tools/oracle_bench.py --serve`
+    * holds the DuckDB views open and times one oracle query per stdin
+    * line (min kept across repeats on its side too; Bench also keeps its
+    * own min-of-reps). A broken pipe marks the server dead — remaining
+    * queries simply carry no duck twin rather than failing the bench. */
+  private final class OracleServer private[Bench] (proc: java.lang.Process,
+      writer: java.io.BufferedWriter, reader: java.io.BufferedReader) {
+    @volatile private var broken = false
+
+    /** Min duck seconds over `reps` back-to-back runs of `name`'s oracle
+      * SQL; None when the query has no oracle, errored, or the server
+      * died. */
+    def time(name: String, reps: Int): Option[Double] = {
+      if (broken) return None
+      var best: Option[Double] = None
+      var i = 0
+      while (i < reps) {
+        try {
+          writer.write(name); writer.newLine(); writer.flush()
+          val line = reader.readLine()
+          if (line == null) { broken = true; return best }
+          val sec = """"sec":\s*([0-9.eE+-]+)""".r
+            .findFirstMatchIn(line).map(_.group(1).toDouble)
+          sec match {
+            case Some(s) => best = Some(best.fold(s)(math.min(_, s)))
+            case None =>
+              if (line.contains("\"err\"") && !line.contains("no-oracle"))
+                System.err.println(s"[bench] duck twin for $name errored: $line")
+              return best // no-oracle / error: don't burn further reps
+          }
+        } catch { case e: Throwable =>
+          System.err.println(s"[bench] oracle server died: ${e.getMessage}")
+          broken = true
+          return best
+        }
+        i += 1
+      }
+      best
+    }
+
+    def close(): Unit = {
+      try { writer.write("EXIT"); writer.newLine(); writer.flush() }
+      catch { case _: Throwable => () }
+      try { if (!proc.waitFor(15, java.util.concurrent.TimeUnit.SECONDS))
+        proc.destroyForcibly() }
+      catch { case _: Throwable => proc.destroyForcibly() }
+      try { writer.close(); reader.close() } catch { case _: Throwable => () }
+    }
+  }
+
+  private object OracleServer {
+    /** Start the serve-mode subprocess over the FULL oracleSql map (the
+      * server answers no-oracle for anything it lacks) and wait for its
+      * ready line. None when python/duckdb/the script is unavailable —
+      * the caller falls back to the post-hoc batch pair. */
+    def start(sfDir: String): Option[OracleServer] =
+      try {
+        val script = java.nio.file.Paths.get("tools/oracle_bench.py")
+        if (!java.nio.file.Files.exists(script)) {
+          System.err.println(
+            "[bench] tools/oracle_bench.py not found — no interleaved pair")
+          return None
+        }
+        val tmp = java.nio.file.Files.createTempFile("bench_oracle_sql", ".json")
+        java.nio.file.Files.write(tmp, graft.util.JsonText.obj(SparkEntry.oracleSql)
+          .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        tmp.toFile.deleteOnExit()
+        val pb = new java.lang.ProcessBuilder(
+          "python3", script.toString, sfDir, tmp.toString, "--serve")
+        pb.redirectError(java.lang.ProcessBuilder.Redirect.INHERIT)
+        val proc = pb.start()
+        val writer = new java.io.BufferedWriter(new java.io.OutputStreamWriter(
+          proc.getOutputStream, java.nio.charset.StandardCharsets.UTF_8))
+        val reader = new java.io.BufferedReader(new java.io.InputStreamReader(
+          proc.getInputStream, java.nio.charset.StandardCharsets.UTF_8))
+        val ready = reader.readLine()
+        if (ready == null || !ready.contains("\"ready\"")) {
+          System.err.println(s"[bench] oracle server failed to start: $ready")
+          proc.destroyForcibly()
+          None
+        } else {
+          System.err.println(s"[bench] interleaved oracle server up: $ready")
+          Some(new OracleServer(proc, writer, reader))
+        }
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] oracle server start failed: ${e.getMessage}")
+        None
+      }
   }
 
   /** Same-window DuckDB oracle pair (VERDICT r9 #1): dump the bench

@@ -1,10 +1,20 @@
 #!/usr/bin/env python3
 """Time the DuckDB oracle suite — the denominator of the 2x bench gate.
 
-Usage: python3 tools/oracle_bench.py <sfdir> <oracle_sql.json>
-Runs every oracle SQL entry over the testdata views, fully fetching each
-result, and prints per-query seconds plus the total. Run back-to-back with
-`graft.Bench` on the same idle machine for an apples-to-apples ratio.
+Usage: python3 tools/oracle_bench.py <sfdir> <oracle_sql.json> [--serve]
+
+Batch mode runs every oracle SQL entry over the testdata views, fully
+fetching each result, and prints per-query seconds plus the total.
+
+Serve mode (--serve) is the INTERLEAVED pairing face (graft.Bench drives
+it): query names arrive one per stdin line, each is timed immediately and
+answered as one JSON line, so every DuckDB measurement lands back-to-back
+with its Spark twin in the same machine window — duck totals measured as
+one post-hoc batch swung 67.7->124.5s across identical suites in r13
+(page-cache / VM-window drift), making single-window ratios
+uninterpretable. A repeated name keeps the MIN (the same rep discipline
+as the Spark side). "EXIT" or EOF ends the session with the same
+oracle_total summary line batch mode prints.
 """
 import json, sys, time
 import duckdb
@@ -15,11 +25,46 @@ TABLES = "region nation customer supplier part orders lineitem events documents 
 # not queries) — skip them here too so the ratio stays apples-to-apples.
 BENCH_EXCLUDED = {"q53b_wordcount_store", "q107_bpe_merges"}
 
-def main(sfdir, oracle_path):
+def connect(sfdir, oracle_path):
     con = duckdb.connect()
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sfdir}/{t}.parquet'")
-    oracle = json.load(open(oracle_path))
+    return con, json.load(open(oracle_path))
+
+
+def summary(times):
+    print(json.dumps({"metric": "oracle_total",
+                      "value": sum(times.values()), "unit": "sec",
+                      "n": len(times),
+                      "queries": {k: round(v, 4) for k, v in sorted(times.items())}}),
+          flush=True)
+
+
+def serve(sfdir, oracle_path):
+    con, oracle = connect(sfdir, oracle_path)
+    print(json.dumps({"ready": True, "n_oracle": len(oracle)}), flush=True)
+    times = {}
+    for line in sys.stdin:
+        name = line.strip()
+        if not name or name == "EXIT":
+            break
+        sql = oracle.get(name)
+        if sql is None:
+            print(json.dumps({"q": name, "err": "no-oracle"}), flush=True)
+            continue
+        t0 = time.time()
+        try:
+            con.execute(sql).fetchall()
+            dt = time.time() - t0
+            times[name] = min(times.get(name, float("inf")), dt)
+            print(json.dumps({"q": name, "sec": round(dt, 6)}), flush=True)
+        except Exception as e:
+            print(json.dumps({"q": name, "err": str(e)[:200]}), flush=True)
+    summary(times)
+
+
+def main(sfdir, oracle_path):
+    con, oracle = connect(sfdir, oracle_path)
     total = 0.0
     times = {}
     for name, sql in sorted(oracle.items()):
@@ -44,4 +89,7 @@ def main(sfdir, oracle_path):
                       "queries": {k: round(v, 4) for k, v in sorted(times.items())}}))
 
 if __name__ == "__main__":
-    main(sys.argv[1], sys.argv[2])
+    if "--serve" in sys.argv[3:]:
+        serve(sys.argv[1], sys.argv[2])
+    else:
+        main(sys.argv[1], sys.argv[2])
