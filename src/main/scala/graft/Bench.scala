@@ -859,33 +859,20 @@ object Bench {
       // planning + fresh-checkpoint store init — inherent to a fresh query,
       // so the recorded number is "per-query cost incl. start", comparable
       // round-over-round but not a pure steady-state throughput figure.
-      // State-partition sizing (the lshprof finding applied here — see
-      // Drills.streamLshCandidatesCap): one stateful operator × 32
+      // State-partition sizing (the lshprof finding, now API —
+      // StateStoreRunner.withStateConfig): one stateful operator × 32
       // partitions × 4 triggers = 128 RocksDB commits of mostly fixed
       // cost; 8 partitions + changelog checkpointing measured 2.5 s vs
       // 4.6-4.9 s (ScaleDrill wcprof; at 8 partitions changelog is
       // neutral-to-positive, unlike the 32-partition StateStoreBench
       // record where it lost — snapshot upload amortizes differently
-      // per partition count). Set around the drill, restored after;
-      // StateStoreBench keeps driving the UNtuned drill with its own
-      // config matrix.
-      val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
-      val clKey =
-        "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled"
-      val prevCl = spark.conf.getOption(clKey)
-      spark.conf.set("spark.sql.shuffle.partitions", "8")
-      spark.conf.set(clKey, "true")
+      // per partition count). StateStoreBench keeps driving the UNtuned
+      // drill with its own config matrix.
       val sec =
-        try {
+        graft.streaming.StateStoreRunner.withStateConfig(spark, statePartitions = 8) {
           try graft.tools.Drills.storeWordCount(spark, texts.take(1), 1)
           catch { case _: Throwable => () }
           graft.tools.Drills.storeWordCount(spark, texts, repsPerBatch)
-        } finally {
-          spark.conf.set("spark.sql.shuffle.partitions", prevParts)
-          prevCl match {
-            case Some(v) => spark.conf.set(clKey, v)
-            case None => spark.conf.unset(clKey)
-          }
         }
       System.err.println(f"[bench] $label: $nWords tuples in $sec%.2fs = ${nWords / sec}%.0f tuples/s")
       label -> sec

@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.{Dataset, Encoder, Encoders}
+import org.apache.spark.sql.{Dataset, Encoder, Encoders, SparkSession}
 import org.apache.spark.sql.streaming.{ExpiredTimerInfo, OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues}
 
 /** Scale-native keyed state over Spark's state store —
@@ -762,6 +762,47 @@ object StateStoreRunner {
       val n = if (count.exists()) count.get() else 0L
       count.clear(); armed.clear()
       Iterator.single((key, "tick", n))
+    }
+  }
+
+  /** STATE-PARTITION SIZING as API (VERDICT r13 #4 — the lshprof finding
+    * promoted from bench-drill pin to a user-facing knob): a stateful
+    * operator's per-batch fixed cost is `partitions × (store open +
+    * commit + snapshot)`, and unlike a batch shuffle the partition count
+    * is FROZEN into the checkpoint at the query's FIRST start — a query
+    * planned at core-count partitions (32) pays 256 RocksDB commits over
+    * 4 micro-batches for kilobytes of state (measured 11.2 s where 8
+    * partitions do the same work in 3.5 s, SCALE.md §lshprof). Sizing
+    * rule: **size state partitions to STATE VOLUME (and per-batch churn),
+    * not core count** — small/medium state (≲ tens of MB per partition
+    * at the target volume) wants few partitions; grow only when a single
+    * partition's store would exceed executor memory or one task's
+    * commit becomes the trigger bottleneck.
+    *
+    * Scope `body` (which must START the stateful query — the conf is
+    * read at first start, then rides the checkpoint) with the given
+    * partition count and, by default, RocksDB changelog checkpointing
+    * (upload the per-batch delta, not a full snapshot — the production
+    * posture for frequent small commits). Both confs are restored on
+    * exit; a RESTART from the same checkpoint keeps the frozen partition
+    * count whatever the session conf then says (spec-pinned). */
+  def withStateConfig[A](spark: SparkSession, statePartitions: Int,
+                         changelogCheckpointing: Boolean = true)(body: => A): A = {
+    require(statePartitions > 0, s"statePartitions must be > 0, got $statePartitions")
+    val pKey = "spark.sql.shuffle.partitions"
+    val clKey =
+      "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled"
+    val prevParts = spark.conf.get(pKey)
+    val prevCl = spark.conf.getOption(clKey)
+    spark.conf.set(pKey, statePartitions.toString)
+    spark.conf.set(clKey, changelogCheckpointing.toString)
+    try body
+    finally {
+      spark.conf.set(pKey, prevParts)
+      prevCl match {
+        case Some(v) => spark.conf.set(clKey, v)
+        case None => spark.conf.unset(clKey)
+      }
     }
   }
 

@@ -46,24 +46,12 @@ object Drills {
     * recommendation for frequent small commits) for the streaming
     * query and restores the session confs after. */
   def streamLshCandidatesCap(spark: SparkSession, docs: Seq[(Long, String)],
-                             batches: Int, cap: Int): (Double, Long) = {
-    import spark.implicits._
-    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
-    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
-    val clKey =
-      "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled"
-    val prevCl = spark.conf.getOption(clKey)
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
-    spark.conf.set(clKey, "true")
-    try streamLshCandidatesRaw(spark, docs, batches, cap)
-    finally {
-      spark.conf.set("spark.sql.shuffle.partitions", prevParts)
-      prevCl match {
-        case Some(v) => spark.conf.set(clKey, v)
-        case None => spark.conf.unset(clKey)
-      }
+                             batches: Int, cap: Int): (Double, Long) =
+    // the sizing rule as API (r14): 8 state partitions + changelog
+    // checkpointing, restored after — see StateStoreRunner.withStateConfig
+    graft.streaming.StateStoreRunner.withStateConfig(spark, statePartitions = 8) {
+      streamLshCandidatesRaw(spark, docs, batches, cap)
     }
-  }
 
   private[tools] def streamLshCandidatesRaw(spark: SparkSession,
                                        docs: Seq[(Long, String)],
