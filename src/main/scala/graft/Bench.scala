@@ -174,6 +174,7 @@ object Bench {
       if (sys.env.get("SPARK_GRAFT_BENCH_SKIP_STREAMING").contains("1")) Seq.empty
       else Seq(
         medianOfRuns(streamReps)(() => streamingLsh(spark, sfDir)),
+        medianOfRuns(streamReps)(() => streamingDupClusters(spark, sfDir)),
         medianOfRuns(streamReps)(() => streamingWordCount(spark, sfDir)),
         medianOfRuns(streamReps)(() => streamingWordCountDurable(spark, sfDir)),
         medianOfRuns(streamReps)(() => streamingWordCountStore(spark, sfDir)),
@@ -559,6 +560,25 @@ object Bench {
         case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
         case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
       }
+    }
+  }
+
+  /** Streaming incremental dup-clusters (VERDICT r13 #3): the corpus' LSH
+    * candidate pairs in 4 hash-slice micro-batches folded into the
+    * union-find state tier with affected-component re-emission
+    * (Drills.streamDupClusters). Recorded value = fold seconds; pair /
+    * emission / cluster counts go to stderr. */
+  private def streamingDupClusters(spark: SparkSession, sfDir: String): (String, Double) = {
+    val label = "stream_dupclusters"
+    try {
+      val (sec, pairs, emitted, clusters) =
+        graft.tools.Drills.streamDupClusters(spark, sfDir)
+      System.err.println(
+        f"[bench] $label: $pairs pairs in $sec%.2fs -> $emitted emissions, $clusters clusters")
+      label -> sec
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] $label failed: ${e.getMessage}")
+      label -> -1.0
     }
   }
 

@@ -34,7 +34,8 @@ object BenchFormat {
   def us(v: Double): String = "%.6f".formatLocal(java.util.Locale.ROOT, v)
 
   private val stShort = Map(
-    "stream_lsh_candidates" -> "lsh", "stream_wordcount" -> "wc",
+    "stream_lsh_candidates" -> "lsh", "stream_dupclusters" -> "dupc",
+    "stream_wordcount" -> "wc",
     "stream_wordcount_durable" -> "wcd", "stream_wordcount_store" -> "wcs",
     "drpc_statequery_ms" -> "drpc_ms", "drpc_concurrent_p99_ms" -> "drpcc_ms",
     "drpc_saturated_p99_ms" -> "drpcsat_ms",

@@ -87,6 +87,42 @@ object Drills {
     }
   }
 
+  /** Streaming incremental dup-clusters under load (VERDICT r13 #3's
+    * bench row): the corpus' LSH candidate pairs, split into `batches`
+    * disjoint hash-slices arriving as micro-batches, fold into the
+    * union-find state ([[graft.streaming.IncrementalClusters]]) with
+    * full affected-component re-emission per batch. Returns (seconds,
+    * pairs, emitted rows, final cluster count); the timed region is the
+    * batch folds only (candidate generation is the stream_lsh drill's
+    * number). */
+  def streamDupClusters(spark: SparkSession, sfDir: String,
+                        batches: Int = 4): (Double, Long, Long, Long) = {
+    import org.apache.spark.sql.{functions => F}
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val banded = graft.functions.Dedup.lshBands(
+      graft.functions.Dedup.minhashSignature(docs, "text", 3, 4), 4, 2)
+    val pairs = graft.functions.Dedup.lshCandidatePairs(banded, "doc_id", 2)
+      .select(F.col("a").cast("long").as("a"), F.col("b").cast("long").as("b"))
+      .localCheckpoint(true)
+    val nPairs = pairs.count()
+    val id = s"bench-dupc-${System.nanoTime()}"
+    graft.streaming.IncrementalClusters.clearInMemory(id)
+    val inc = graft.streaming.IncrementalClusters.inMemory(id)
+    try {
+      var emitted = 0L
+      val t0 = System.nanoTime()
+      (0 until batches).foreach { i =>
+        val slice = pairs.where(
+          F.pmod(F.xxhash64(F.col("a"), F.col("b")), F.lit(batches.toLong)) === i.toLong)
+        emitted += inc.applyBatch(slice, "a", "b", i.toLong).count()
+      }
+      val sec = (System.nanoTime() - t0) / 1e9
+      val clusters = inc.snapshot(spark)
+        .select(F.countDistinct("cluster_id")).head().getLong(0)
+      (sec, nPairs, emitted, clusters)
+    } finally graft.streaming.IncrementalClusters.clearInMemory(id)
+  }
+
   def storeWordCount(spark: SparkSession, texts: Seq[String], reps: Int): Double = {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext

@@ -314,6 +314,29 @@ object ScaleDrill {
   /** The four pipeline shapes of the recorded bench (sans final sorts —
     * the drill times pipeline work, not output ordering). */
   def drills: Seq[(String, DataFrame => DataFrame)] = Seq(
+    // streaming incremental dup-clusters (r14): LSH candidate pairs in 4
+    // hash-slice micro-batches folded into the union-find state with
+    // affected-component re-emission; timed region = candidate scan +
+    // folds + final snapshot. Word-salted replicas are disjoint near-dup
+    // universes, so pair volume (the per-batch driver-coordination bound)
+    // grows linearly with N — the honest regime for the drill
+    "dup_clusters_incremental (r14)" -> { docs =>
+      val id = s"drill-dupc-${System.nanoTime()}"
+      graft.streaming.IncrementalClusters.clearInMemory(id)
+      val inc = graft.streaming.IncrementalClusters.inMemory(id)
+      val banded = graft.functions.Dedup.lshBands(
+        graft.functions.Dedup.minhashSignature(docs, "text", 3, 4), 4, 2)
+      val pairs = graft.functions.Dedup.lshCandidatePairs(banded, "doc_id", 2)
+        .select(F.col("a").cast("long").as("a"), F.col("b").cast("long").as("b"))
+        .localCheckpoint(true)
+      (0 until 4).foreach { i =>
+        inc.applyBatch(pairs.where(F.pmod(F.xxhash64(F.col("a"), F.col("b")),
+          F.lit(4L)) === i.toLong), "a", "b", i.toLong).count()
+      }
+      val snap = inc.snapshot(docs.sparkSession) // driver-built: safe to clear
+      graft.streaming.IncrementalClusters.clearInMemory(id)
+      snap
+    },
     // one token explode into a vocabulary-keyed min(batch) aggregate
     // (gram-exchange family); everything downstream runs on 10 rows.
     // NOTE the word-salted replicas grow vocabulary linearly with N,

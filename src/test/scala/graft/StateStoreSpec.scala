@@ -92,6 +92,63 @@ class StateStoreSpec extends AnyFunSuite {
     } finally graft.util.Fs.deleteRecursively(java.nio.file.Paths.get(ck))
   }
 
+  test("incremental dup clusters: streaming == batch duplicateClusters over the union of >=3 batches; affected components re-emit; replay idempotent (VERDICT r13 #3)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    graft.streaming.IncrementalClusters.clearInMemory("spec-inc")
+    val inc = graft.streaming.IncrementalClusters.inMemory("spec-inc")
+    // batch 1: {2,7,9} and {20,21}; batch 2: new {5,6}, and 1 joins the
+    // first component (new min label — the losing root's untouched members
+    // must relabel); batch 3: a CROSS-BATCH merge (6–9 bridges {5,6} into
+    // {1,2,7,9}) plus a fresh {10,11} and an internal no-op edge (20,21)
+    val batches = Seq(
+      Seq((2L, 7L), (7L, 9L), (20L, 21L)),
+      Seq((5L, 6L), (1L, 2L)),
+      Seq((6L, 9L), (10L, 11L), (20L, 21L)))
+    val input = MemoryStream[(Long, Long)]
+    val emissions = scala.collection.mutable.Buffer.empty[(Long, Map[Long, Long])]
+    val q = input.toDF().toDF("a", "b").writeStream.outputMode("append")
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, id: Long) =>
+        val out = inc.applyBatch(b, "a", "b", id)
+          .as[(Long, Long)].collect().toMap
+        emissions.synchronized { emissions += ((id, out)) }; ()
+      }
+      .trigger(Trigger.ProcessingTime(0L)).start()
+    try {
+      batches.foreach { bt => input.addData(bt: _*); q.processAllAvailable() }
+      val byBatch = emissions.sortBy(_._1).map(_._2)
+      // batch 2's merge relabels 7 and 9 (untouched members of the losing
+      // root 2) — the "affected components re-emit" contract
+      assert(byBatch(1) == Map(1L -> 1L, 2L -> 1L, 7L -> 1L, 9L -> 1L,
+        5L -> 5L, 6L -> 5L), s"batch-2 emission: ${byBatch(1)}")
+      // batch 3: the cross-batch merge re-emits BOTH components under the
+      // min label, the fresh pair emits, the internal edge re-emits {20,21}
+      assert(byBatch(2) == Map(1L -> 1L, 2L -> 1L, 5L -> 1L, 6L -> 1L,
+        7L -> 1L, 9L -> 1L, 10L -> 10L, 11L -> 10L, 20L -> 20L, 21L -> 20L),
+        s"batch-3 emission: ${byBatch(2)}")
+      // parity: the state snapshot == batch duplicateClusters over the
+      // union of all arrivals
+      val all = batches.flatten.toDF("a", "b")
+      val expect = graft.functions.Dedup.duplicateClusters(all, "a", "b")
+        .as[(Long, Long)].collect().toMap
+      val got = inc.snapshot(spark).as[(Long, Long)].collect().toMap
+      assert(got == expect, s"snapshot $got != batch $expect")
+      // last emission per id is the final label too (downstream-sink view)
+      val lastEmitted = byBatch.flatten.toMap // later batches overwrite
+      assert(lastEmitted == expect)
+      // replay idempotency: re-applying batch 2 (same txid, same pairs)
+      // leaves state unchanged and emits the CURRENT labels
+      val replay = inc.applyBatch(batches(1).toDF("a", "b"), "a", "b", 1L)
+        .as[(Long, Long)].collect().toMap
+      assert(replay == Map(1L -> 1L, 2L -> 1L, 5L -> 1L, 6L -> 1L,
+        7L -> 1L, 9L -> 1L), s"replay emission: $replay")
+      assert(inc.snapshot(spark).as[(Long, Long)].collect().toMap == expect)
+    } finally {
+      q.stop()
+      graft.streaming.IncrementalClusters.clearInMemory("spec-inc")
+    }
+  }
+
   test("streaming KMV sketch: every emitted row equals the batch sketch over the arrivals so far") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
