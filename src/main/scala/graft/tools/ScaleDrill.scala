@@ -42,6 +42,8 @@ object ScaleDrill {
         numMerges = args.lift(1).map(_.toInt).getOrElse(120))
       case "skewjoin" => skewJoinDrill(spark,
         args.lift(1).getOrElse("1,10").split(",").map(_.trim.toInt).toSeq)
+      case "factfactskew" => factFactSkewDrill(spark,
+        args.lift(1).getOrElse("1,10").split(",").map(_.trim.toInt).toSeq)
       case "joinestim" => joinEstimatorDrill(spark, sfDir)
       case "lshprof" => lshProfile(spark, sfDir)
       case "wcprof" => wcProfile(spark, sfDir)
@@ -216,6 +218,96 @@ object ScaleDrill {
     val vBand = views.select(
       F.expr("CAST(round(value * 100) AS BIGINT) DIV 1000").as("band"))
     grade("value_band (skewed)", cBand, vBand, "band", Seq(4L, 8L, 16L, 32L))
+  }
+
+  /** Skew-composed fact-fact drill (VERDICT r13 #6): q223's merge-hinted
+    * [[Scale.factFactJoin]] tier under KEY skew — one hot orderkey at
+    * 10²× the median multiplicity — timed three ways per size in fresh
+    * sessions: static planning (`noaqe`, the straggler baseline), AQE
+    * skew split with drill-scaled byte thresholds (`aqe` — REQUIREs the
+    * executed SortMergeJoin carries `skew=true`, the composition pin),
+    * and the [[Scale.saltedJoin]] fallback (AQE off). A TaskEnd listener
+    * records the LARGEST single task's shuffle-read rows per run — the
+    * flat-under-skew evidence: noaqe's max task tracks the hot key
+    * linearly with N while aqe's stays pinned near the advisory size.
+    *
+    * Shape at N: 640 orderkeys at median multiplicity 2500·N (left ≈
+    * 1.85M·N rows with the hot key's 250k·N), right = one row per
+    * orderkey (the lineitem×orders shape — orders is unique per key; the
+    * merge hint stands in for "neither side broadcastable at 100 TB"). */
+  def factFactSkewDrill(spark: SparkSession, sizes: Seq[Int]): Unit = {
+    val maxTaskRows = new java.util.concurrent.atomic.AtomicLong(0L)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+        val m = te.taskMetrics
+        if (m != null) {
+          val r = m.shuffleReadMetrics.recordsRead
+          maxTaskRows.getAndUpdate(v => math.max(v, r))
+        }
+      }
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      def mkSession(skewJoin: Boolean): SparkSession = {
+        val s = spark.newSession()
+        s.conf.set("spark.sql.adaptive.enabled", skewJoin.toString)
+        s.conf.set("spark.sql.adaptive.skewJoin.enabled", skewJoin.toString)
+        if (skewJoin) {
+          // two-long rows compress hard in the shuffle: thresholds sized to
+          // the drill's COMPRESSED partition bytes (prod keeps 256MB
+          // defaults). The hot partition holds ~3.5x the median at every N
+          // (hot key 250k·N rows + its ~40-key/partition share vs ~100k·N),
+          // so factor 2 + a small absolute floor detects it scale-free.
+          s.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+          s.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "512KB")
+          s.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "512KB")
+        }
+        s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        s
+      }
+      def left(s: SparkSession, n: Int): DataFrame = {
+        val med = 2500L * n
+        s.range(639L * med).select(
+            (F.pmod(F.col("id"), F.lit(639L)) + 1L).as("k"), F.col("id").as("rev"))
+          .unionByName(s.range(100L * med).select(
+            F.lit(0L).as("k"), (F.col("id") + 1000000000000L).as("rev")))
+      }
+      def right(s: SparkSession): DataFrame =
+        s.range(640L).select(F.col("id").as("k"), (F.col("id") * 7L).as("pri"))
+      sizes.foreach { n =>
+        def run(s: SparkSession): (Double, Long, Long, String) = {
+          maxTaskRows.set(0L)
+          val j = Scale.factFactJoin(left(s, n), right(s), Seq("k" -> "k"))
+          val t0 = System.nanoTime()
+          val rows = j.queryExecution.toRdd.count()
+          // listener events are posted async — drain before reading the max
+          Thread.sleep(600L) // listener events post async; drain window
+          ((System.nanoTime() - t0) / 1e9, rows, maxTaskRows.get(),
+            j.queryExecution.executedPlan.toString)
+        }
+        val (tNo, rNo, mtNo, planNo) = run(mkSession(skewJoin = false))
+        require(planNo.contains("SortMergeJoin"),
+          s"factFactJoin did not plan SMJ:\n$planNo")
+        val (tAqe, rAqe, mtAqe, planAqe) = run(mkSession(skewJoin = true))
+        require(planAqe.contains("skew=true"),
+          s"AQE did not mark the factFactJoin SMJ skew=true:\n$planAqe")
+        val sSalt = mkSession(skewJoin = false)
+        maxTaskRows.set(0L)
+        val t0 = System.nanoTime()
+        val rSalt = Scale.saltedJoin(left(sSalt, n), right(sSalt), "k", "k", 16)
+          .select("rev", "pri").queryExecution.toRdd.count()
+        Thread.sleep(600L)
+        val tSalt = (System.nanoTime() - t0) / 1e9
+        val mtSalt = maxTaskRows.get()
+        require(rNo == rAqe && rAqe == rSalt,
+          s"row counts diverged: noaqe=$rNo aqe=$rAqe salted=$rSalt")
+        System.err.println(
+          f"[scale] factfactskew x$n%-4d rows_out=$rNo%11d  " +
+          f"noaqe=$tNo%6.1fs maxtask=$mtNo%9d  " +
+          f"aqe=$tAqe%6.1fs maxtask=$mtAqe%9d (skew=true)  " +
+          f"salted=$tSalt%6.1fs maxtask=$mtSalt%9d")
+      }
+    } finally spark.sparkContext.removeSparkListener(listener)
   }
 
   def skewJoinDrill(spark: SparkSession, sizes: Seq[Int]): Unit = {

@@ -163,6 +163,43 @@ class ScaleSpec extends AnyFunSuite {
     assert(plan.contains("skew=true"), s"AQE did not mark the skew join:\n$plan")
   }
 
+  test("AQE skew split engages THROUGH factFactJoin's merge-hinted SMJ; saltedJoin fallback matches (VERDICT r13 #6)") {
+    import graft.functions.Scale
+    val s = spark.newSession()
+    s.conf.set("spark.sql.adaptive.enabled", "true")
+    s.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+    s.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+    s.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "8KB")
+    s.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "8KB")
+    s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    s.conf.set("spark.sql.shuffle.partitions", "4")
+    import s.implicits._
+    // hot orderkey 1 dominates the left fact; right is unique per key
+    // (the lineitem x orders shape q223 pins as SMJ via the merge hint)
+    val left = (Seq.fill(40000)(1L) ++ (2L to 2000L)).toDF("k")
+      .withColumn("pad", F.concat_ws("", Seq.fill(8)(F.rand()).map(_.cast("string")): _*))
+    val right = (1L to 2000L).toDF("k").withColumn("v", F.col("k") * 2)
+    val joined = Scale.factFactJoin(left, right, Seq("k" -> "k"))
+    assert(joined.collect().length == 40000 + 1999)
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(plan.contains("SortMergeJoin"), s"factFactJoin lost its SMJ under AQE:\n$plan")
+    assert(plan.contains("skew=true"),
+      s"AQE did not mark factFactJoin's SMJ skew=true:\n$plan")
+    // the saltedJoin fallback (AQE skew off) returns the same multiset
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.adaptive.skewJoin.enabled", "false")
+    s2.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    val left2 = s2.range(40000).select(F.lit(1L).as("k"))
+      .unionByName(s2.range(2, 2001).select(F.col("id").as("k")))
+    val right2 = s2.range(1, 2001).select(F.col("id").as("rk"),
+      (F.col("id") * 2).as("v"))
+    def agg(df: org.apache.spark.sql.DataFrame): Set[(Long, Long, Long)] =
+      df.groupBy("k").agg(F.count(F.lit(1)).as("n"), F.sum("v").as("sv"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(agg(Scale.saltedJoin(left2, right2, "k", "rk", 8)) ==
+      agg(left2.join(right2, left2("k") === right2("rk"))))
+  }
+
   test("salted sessionize/as-of spread one hot key across many tasks, same results") {
     import spark.implicits._
     // one bot user with 20k dense events + a handful of normal users: the
