@@ -153,4 +153,37 @@ object IncrementalClusters {
     graft.state.MemoryBackingMap.clear(s"$id-parents")
     graft.state.MemoryBackingMap.clear(s"$id-members")
   }
+
+  /** Member lists on the scalar JSON state wire: comma-joined string
+    * (the wire handles scalars only — the reference's JSON serializers
+    * have the same shape). Empty vector ⇄ empty string. */
+  private[streaming] val memberCodec = graft.state.ParquetBackingMap.Codec(
+    v => graft.state.StateSerializers.nonTransactionalToJson(
+      v.asInstanceOf[Vector[Long]].mkString(",")),
+    s => {
+      val joined = graft.state.StateSerializers
+        .nonTransactionalFromJson(s).asInstanceOf[String]
+      if (joined.isEmpty) Vector.empty[Long]
+      else joined.split(',').iterator.map(_.toLong).toVector
+    })
+
+  /** DURABLE pair over [[graft.state.ParquetBackingMap]] (WAL segments +
+    * parquet snapshots): the clustering survives process restart — close
+    * with [[closeDurable]], re-open with another `durable(...)` and the
+    * labels replay from disk (spec-pinned incl. a cross-restart merge). */
+  def durable(spark: org.apache.spark.sql.SparkSession,
+              dir: String): IncrementalClusters = new IncrementalClusters(
+    new graft.state.NonTransactionalMap(
+      graft.state.ParquetBackingMap.open[Long](spark, s"$dir/parents",
+        graft.state.ParquetBackingMap.nonTransactionalCodec)),
+    new graft.state.NonTransactionalMap(
+      graft.state.ParquetBackingMap.open[Vector[Long]](spark, s"$dir/members",
+        memberCodec)))
+
+  /** Drop the in-process engines (simulates process exit; durable files
+    * remain for the next [[durable]] open). */
+  def closeDurable(dir: String): Unit = {
+    graft.state.ParquetBackingMap.close(s"$dir/parents")
+    graft.state.ParquetBackingMap.close(s"$dir/members")
+  }
 }

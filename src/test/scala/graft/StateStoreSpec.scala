@@ -149,6 +149,33 @@ class StateStoreSpec extends AnyFunSuite {
     }
   }
 
+  test("incremental dup clusters on the DURABLE tier: labels survive a process restart, cross-restart merge matches batch") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("inc-durable").toString
+    try {
+      // session 1: two batches, then process exit
+      val inc1 = graft.streaming.IncrementalClusters.durable(spark, dir)
+      inc1.applyBatch(Seq((2L, 7L), (7L, 9L)).toDF("a", "b"), "a", "b", 0L)
+      inc1.applyBatch(Seq((5L, 6L)).toDF("a", "b"), "a", "b", 1L)
+      graft.streaming.IncrementalClusters.closeDurable(dir)
+      // session 2: replay from disk; a batch that merges ACROSS the restart
+      val inc2 = graft.streaming.IncrementalClusters.durable(spark, dir)
+      assert(inc2.snapshot(spark).as[(Long, Long)].collect().toMap ==
+        Map(2L -> 2L, 7L -> 2L, 9L -> 2L, 5L -> 5L, 6L -> 5L))
+      val out = inc2.applyBatch(Seq((6L, 9L), (1L, 2L)).toDF("a", "b"),
+        "a", "b", 2L).as[(Long, Long)].collect().toMap
+      assert(out == Map(1L -> 1L, 2L -> 1L, 5L -> 1L, 6L -> 1L, 7L -> 1L, 9L -> 1L),
+        s"cross-restart merge emission: $out")
+      val expect = graft.functions.Dedup.duplicateClusters(
+        Seq((2L, 7L), (7L, 9L), (5L, 6L), (6L, 9L), (1L, 2L)).toDF("a", "b"),
+        "a", "b").as[(Long, Long)].collect().toMap
+      assert(inc2.snapshot(spark).as[(Long, Long)].collect().toMap == expect)
+    } finally {
+      graft.streaming.IncrementalClusters.closeDurable(dir)
+      graft.util.Fs.deleteRecursively(java.nio.file.Paths.get(dir))
+    }
+  }
+
   test("streaming KMV sketch: every emitted row equals the batch sketch over the arrivals so far") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
