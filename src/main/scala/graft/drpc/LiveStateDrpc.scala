@@ -19,6 +19,14 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * Usage: `registerStateQuery(drpc, spark, "wc", ck, "agg")(shape)` then
   * `DRPCService.execute("wc", args)` (or the HTTP face) serves
   * snapshot-consistent reads while the query keeps running.
+  *
+  * This is the ARBITRARY-PIPELINE path: each request pays one Spark job
+  * (~hundreds of ms of scheduling — scale-free in state size, not
+  * interactive). `MapGet`/`SnapshotGet`-class keyed lookups should use
+  * the [[StateIndex]] fast path instead (driver-held index refreshed per
+  * commit, microsecond reads, same answers — r14); register BOTH under
+  * one name and `execute` serves fast while `executeDF` keeps this job
+  * face for parity.
   */
 object LiveStateDrpc {
 

@@ -36,16 +36,28 @@ import scala.collection.immutable.HashMap
   * paths answer identically by construction (spec-pinned), so routing is a
   * deployment choice, not a semantics one.
   */
-final class StateIndex[K, V] {
+final class StateIndex[K, V](maxKeys: Int = Int.MaxValue) {
+  require(maxKeys > 0, s"maxKeys must be > 0, got $maxKeys")
   @volatile private var snap: (Long, HashMap[K, V]) = (-1L, HashMap.empty)
 
   /** Apply one committed batch's delta atomically. Re-applying the same
     * delta (a foreachBatch replay) is a no-op by idempotency of
-    * absolute-value upserts; versions only move forward. */
+    * absolute-value upserts; versions only move forward. Throws LOUDLY
+    * (state unchanged, readers keep serving the prior version) when the
+    * delta would push the index past `maxKeys` — the driver-memory guard:
+    * a key universe that outgrows its budget must move to the job path
+    * (or TTL its state upstream), not silently swell the driver. */
   def applyDelta(batchId: Long, updates: IterableOnce[(K, V)]): Unit =
     synchronized {
       val (v, m) = snap
-      snap = (math.max(v, batchId), m ++ updates)
+      val next = m ++ updates
+      if (next.size > maxKeys)
+        throw new IllegalStateException(
+          s"StateIndex exceeded maxKeys=$maxKeys (would hold ${next.size}): " +
+          "the keyed fast path serves driver-resident state only — route " +
+          "this function through the LiveStateDrpc job path or bound the " +
+          "key universe (TTL) upstream")
+      snap = (math.max(v, batchId), next)
     }
 
   /** Lock-free read against the last completed delta application. */

@@ -402,6 +402,17 @@ class DRPCServiceSpec extends AnyFunSuite {
     // versions never move backwards (late replay of an old batch id)
     idx.applyDelta(0L, Seq("c" -> 9L))
     assert(idx.version == 1L && idx.get("c").contains(9L))
+    // driver-memory guard: a delta past maxKeys throws LOUDLY and leaves
+    // the served snapshot untouched (readers keep the prior version)
+    val bounded = new graft.drpc.StateIndex[String, Long](maxKeys = 2)
+    bounded.applyDelta(0L, Seq("a" -> 1L, "b" -> 2L))
+    intercept[IllegalStateException] {
+      bounded.applyDelta(1L, Seq("c" -> 3L))
+    }
+    assert(bounded.size == 2 && bounded.version == 0L && bounded.get("c").isEmpty)
+    // an update to EXISTING keys still lands at the bound
+    bounded.applyDelta(1L, Seq("a" -> 5L))
+    assert(bounded.get("a").contains(5L) && bounded.version == 1L)
   }
 
   test("keyed fast path: fast == job path over a live query, refresh on commit, inline under a jammed queue (VERDICT r13 #1)") {
