@@ -141,20 +141,31 @@ object Bench {
     // batch suite as the fallback when the serve harness is unavailable.
     val batchTotal = results.map(_._2).sum
     oracleServer.foreach(_.close())
+    // The ratio is over the PAIRED subset only: spark times of exactly the
+    // queries whose duck twin answered, over those twins. A server that
+    // died mid-suite (or entries without oracle SQL) must narrow BOTH
+    // sides, never divide the full-suite spark total by a partial duck
+    // total — and a pair covering under half the suite is refused rather
+    // than recorded (code-review r14 #1).
     val (oracleNote, duckQueriesNote) = oracleServer match {
-      case Some(_) if duckTimes.nonEmpty =>
+      case Some(_) if duckTimes.size * 2 >= benchQueries.size =>
         val duckTotal = duckTimes.values.sum
-        val ratio = batchTotal / duckTotal
+        val sparkPaired = results.collect {
+          case (n, t) if duckTimes.contains(n) => t }.sum
+        val ratio = sparkPaired / duckTotal
         System.err.println(
-          f"[bench] interleaved pair: spark $batchTotal%.2fs vs duckdb $duckTotal%.2fs " +
-          f"= $ratio%.2fx (${duckTimes.size} oracle entries, min-of-$duckReps each)")
+          f"[bench] interleaved pair: spark $sparkPaired%.2fs vs duckdb $duckTotal%.2fs " +
+          f"= $ratio%.2fx (${duckTimes.size} same-window pairs, min-of-$duckReps each; " +
+          f"suite total $batchTotal%.2fs)")
         val perQ = duckTimes.toSeq.sortBy(_._1).map { case (k, v) =>
           "\"" + k + "\":" + "%.4f".formatLocal(java.util.Locale.ROOT, v)
         }.mkString("\"duck_queries\":{", ",", "},")
         (s""""duck_total":${BenchFormat.ms(duckTotal)},"duck_n":${duckTimes.size},""" +
+          s""""spark_paired":${BenchFormat.ms(sparkPaired)},""" +
           s""""ratio":${BenchFormat.ms(ratio)},"oracle_mode":"interleaved",""", perQ)
       case Some(_) =>
-        System.err.println("[bench] interleaved oracle returned no timings — no pair")
+        System.err.println(s"[bench] interleaved pair covers only " +
+          s"${duckTimes.size}/${benchQueries.size} queries — refusing the ratio")
         ("", "")
       case None =>
         oraclePair(sfDir, benchQueries.keySet, batchTotal)

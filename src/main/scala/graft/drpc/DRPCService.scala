@@ -5,7 +5,8 @@ import java.util.concurrent.atomic.{AtomicBoolean, AtomicLong}
 
 /** Failure of a DRPC request (timeout, worker failure, unknown function) —
   * the analog of the reference's `DRPCExecutionException`. */
-final class DRPCExecutionException(msg: String) extends RuntimeException(msg)
+final class DRPCExecutionException(msg: String, cause: Throwable = null)
+  extends RuntimeException(msg, cause)
 
 /** Network-facing DRPC daemon around [[LocalDRPC]] — the service semantics
   * of the reference's DRPC server (`daemon/drpc.clj:48-123` + the thrift
@@ -74,8 +75,10 @@ class DRPCService(drpc: LocalDRPC, requestTimeoutMs: Long = 10000L,
     if (drpc.isFast(function))
       return try drpc.execute(function, args)
       catch { case e: Throwable =>
+        // keep the original as the cause: a fast fn's NPE would otherwise
+        // surface as an undebuggable "failed: null" (code-review r14 #4)
         throw new DRPCExecutionException(
-          s"DRPC fast request ($function) failed: ${e.getMessage}")
+          s"DRPC fast request ($function) failed: ${e.getMessage}", e)
       }
     if (totalQueued.get() >= maxQueueSize)
       throw new DRPCExecutionException(

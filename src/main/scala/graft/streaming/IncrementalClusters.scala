@@ -65,8 +65,14 @@ final class IncrementalClusters(parents: graft.state.MapState[Long],
       .as[(Long, Long)].collect()
     parents.beginCommit(Some(txid))
     members.beginCommit(Some(txid))
-    val emitted: Seq[(Long, Long)] =
-      try {
+    // commit ONLY on success (code-review r14 #2): a fold that threw
+    // mid-put must not be committed half-applied on a commit-aware
+    // backing — the streaming runner replays the failed batch (same
+    // txid), and the write ORDER below (members first, parents second)
+    // makes any torn prefix replay-repairable: with old parents still in
+    // place the replay resolves the same pre-batch roots, and the
+    // already-updated winner list carries every absorbed member.
+    val emitted: Seq[(Long, Long)] = {
         if (edges.isEmpty) Seq.empty
         else {
           val nodes = edges.iterator.flatMap(e => Iterator(e._1, e._2))
@@ -93,8 +99,12 @@ final class IncrementalClusters(parents: graft.state.MapState[Long],
           // node is its own (memberless) root
           val preExisting = involvedRoots.filterNot(isNew)
           val lists = members.multiGet(preExisting.map(r => Seq(r)))
+          // a root with a MISSING or EMPTY list still contains itself —
+          // the empty case only arises in a torn-write crash window
+          // (tombstoned list, parents not yet repointed) and this floor
+          // keeps the root from vanishing during the repairing replay
           val listOf = preExisting.lazyZip(lists).map { (r, l) =>
-            r -> l.getOrElse(Vector(r))
+            r -> l.filter(_.nonEmpty).getOrElse(Vector(r))
           }.toMap
           val byFinal = involvedRoots.groupBy(find)
           val newNodesByFinal = isNew.toVector.groupBy(n => find(n))
@@ -104,8 +114,9 @@ final class IncrementalClusters(parents: graft.state.MapState[Long],
           byFinal.foreach { case (fr, roots) =>
             val merged = (roots.filterNot(isNew).flatMap(listOf) ++
               newNodesByFinal.getOrElse(fr, Vector.empty)).distinct.sorted.toVector
-            val changed = roots.size > 1 || roots.exists(isNew) ||
-              newNodesByFinal.contains(fr)
+            // (a new node is always its own root, so "has new nodes"
+            // already implies a new root in the group — one predicate)
+            val changed = roots.size > 1 || newNodesByFinal.contains(fr)
             if (changed) {
               memberPuts += ((Seq(fr), merged))
               // losing roots tombstone their lists; full path compression:
@@ -116,16 +127,16 @@ final class IncrementalClusters(parents: graft.state.MapState[Long],
             }
             merged.foreach(m => out += ((m, fr)))
           }
-          if (parentPuts.nonEmpty)
-            parents.multiPut(parentPuts.map(_._1).toSeq, parentPuts.map(_._2).toSeq)
+          // members BEFORE parents (torn-write repairability — class doc)
           if (memberPuts.nonEmpty)
             members.multiPut(memberPuts.map(_._1).toSeq, memberPuts.map(_._2).toSeq)
+          if (parentPuts.nonEmpty)
+            parents.multiPut(parentPuts.map(_._1).toSeq, parentPuts.map(_._2).toSeq)
           out.toSeq
         }
-      } finally {
-        parents.commit(Some(txid))
-        members.commit(Some(txid))
-      }
+    }
+    members.commit(Some(txid))
+    parents.commit(Some(txid))
     emitted.toDF("id", "cluster_id")
   }
 

@@ -120,7 +120,14 @@ object Drills {
       val clusters = inc.snapshot(spark)
         .select(F.countDistinct("cluster_id")).head().getLong(0)
       (sec, nPairs, emitted, clusters)
-    } finally graft.streaming.IncrementalClusters.clearInMemory(id)
+    } finally {
+      graft.streaming.IncrementalClusters.clearInMemory(id)
+      // release the checkpointed pair blocks deterministically — reps
+      // across a bench session would otherwise accumulate in storage
+      // memory until GC (code-review r14 #6; duplicateClusters discipline)
+      pairs.unpersist(blocking = false)
+      ()
+    }
   }
 
   def storeWordCount(spark: SparkSession, texts: Seq[String], reps: Int): Double = {
@@ -335,10 +342,14 @@ object Drills {
       // the fast loop drains in well under a second — keep the slow tier
       // saturated for a >=3s window so its throughput figure has support
       while ((System.nanoTime() - t0) / 1e9 < 3.0) Thread.sleep(20L)
+      // snapshot the numerator AT the window close: in-flight jobs that
+      // drain during stop+join would otherwise land outside slowWall and
+      // inflate the recorded tput ~10-15% (code-review r14 #3)
+      val completedAtEnd = completed.get()
       val slowWall = (System.nanoTime() - t0) / 1e9
       stop.set(true)
       slow.foreach(_.join(130000))
-      val slowSec = (completed.get() - completedAtT0) / math.max(slowWall, 1e-9)
+      val slowSec = (completedAtEnd - completedAtT0) / math.max(slowWall, 1e-9)
       import scala.jdk.CollectionConverters._
       val sorted = lat.asScala.map(_.doubleValue).toVector.sorted
       require(sorted.size == fastReqs, s"lost latencies: ${sorted.size}/$fastReqs")

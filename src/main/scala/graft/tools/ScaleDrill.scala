@@ -427,6 +427,7 @@ object ScaleDrill {
       }
       val snap = inc.snapshot(docs.sparkSession) // driver-built: safe to clear
       graft.streaming.IncrementalClusters.clearInMemory(id)
+      pairs.unpersist(blocking = false) // release the checkpointed blocks
       snap
     },
     // one token explode into a vocabulary-keyed min(batch) aggregate
