@@ -362,6 +362,25 @@ object Bench {
       writer: java.io.BufferedWriter, reader: java.io.BufferedReader) {
     @volatile private var broken = false
 
+    /** readLine with a deadline: a duck query that wedges (lock, runaway
+      * plan) must cost one twin, not stall the whole bench on a pipe
+      * read. Polls `ready()` (the python side writes whole lines and
+      * flushes), kills the server past the deadline. */
+    private def readLineWithin(deadlineMs: Long): Option[String] = {
+      val deadline = System.nanoTime() + deadlineMs * 1000000L
+      while (!reader.ready()) {
+        if (System.nanoTime() > deadline) {
+          System.err.println(
+            s"[bench] oracle server unresponsive for ${deadlineMs}ms — killing it")
+          broken = true
+          proc.destroyForcibly()
+          return None
+        }
+        Thread.sleep(5L)
+      }
+      Option(reader.readLine())
+    }
+
     /** Min duck seconds over `reps` back-to-back runs of `name`'s oracle
       * SQL; None when the query has no oracle, errored, or the server
       * died. */
@@ -372,7 +391,7 @@ object Bench {
       while (i < reps) {
         try {
           writer.write(name); writer.newLine(); writer.flush()
-          val line = reader.readLine()
+          val line = readLineWithin(120000L).orNull
           if (line == null) { broken = true; return best }
           val sec = """"sec":\s*([0-9.eE+-]+)""".r
             .findFirstMatchIn(line).map(_.group(1).toDouble)

@@ -28,6 +28,29 @@ object DrpcBench {
       val (meanMs, maxMs, setupSec) = Drills.drpcStateQuery(spark, n, requests = 8)
       println(f"[drpc] keys=$n%8d setup=$setupSec%6.1fs request mean=$meanMs%7.1fms max=$maxMs%7.1fms")
     }
+    // the KEYED FAST PATH's own curve (r14): index build (one applyDelta
+    // of the full key set — the worst-case delta; steady-state deltas are
+    // per-batch churn) and single-thread lookup cost vs key count — the
+    // numbers behind "a driver-held index serves 1M+ keys in microseconds"
+    sizes.foreach { n =>
+      val index = new graft.drpc.StateIndex[String, Long]
+      val entries = (0 until n).map(i => (f"k$i%09d", i.toLong))
+      val b0 = System.nanoTime()
+      index.applyDelta(0L, entries)
+      val buildS = (System.nanoTime() - b0) / 1e9
+      val lookups = 1000000
+      val l0 = System.nanoTime()
+      var i = 0
+      var hits = 0L
+      while (i < lookups) {
+        if (index.get(f"k${i % n}%09d").isDefined) hits += 1
+        i += 1
+      }
+      val perNs = (System.nanoTime() - l0).toDouble / lookups
+      require(hits == lookups, s"missed keys: $hits/$lookups")
+      println(f"[drpcfast] keys=$n%8d build=$buildS%6.2fs lookup=$perNs%7.0f ns " +
+        f"(${1e9 / perNs}%.0f lookups/s single-thread)")
+    }
     spark.stop()
   }
 }
