@@ -68,76 +68,82 @@ final class IncrementalClusters(parents: graft.state.MapState[Long],
     // commit ONLY on success (code-review r14 #2): a fold that threw
     // mid-put must not be committed half-applied on a commit-aware
     // backing — the streaming runner replays the failed batch (same
-    // txid), and the write ORDER below (members first, parents second)
-    // makes any torn prefix replay-repairable: with old parents still in
-    // place the replay resolves the same pre-batch roots, and the
-    // already-updated winner list carries every absorbed member.
-    val emitted: Seq[(Long, Long)] = {
-        if (edges.isEmpty) Seq.empty
-        else {
-          val nodes = edges.iterator.flatMap(e => Iterator(e._1, e._2))
-            .toVector.distinct
-          val stored = parents.multiGet(nodes.map(n => Seq(n)))
-          val rootOf = mutable.Map.empty[Long, Long]
-          val isNew = mutable.Set.empty[Long]
-          nodes.lazyZip(stored).foreach { (n, r) =>
-            rootOf(n) = r.getOrElse(n)
-            if (r.isEmpty) isNew += n
-          }
-          // in-memory union-find over the batch's roots only, union-by-min
-          val uf = mutable.Map.empty[Long, Long]
-          def find(x: Long): Long = {
-            val p = uf.getOrElse(x, x)
-            if (p == x) x else { val r = find(p); uf(x) = r; r }
-          }
-          edges.foreach { case (a, b) =>
-            val (ra, rb) = (find(rootOf(a)), find(rootOf(b)))
-            if (ra != rb) uf(math.max(ra, rb)) = math.min(ra, rb)
-          }
-          val involvedRoots = rootOf.values.toVector.distinct
-          // a pre-existing root carries a member list by invariant; a new
-          // node is its own (memberless) root
-          val preExisting = involvedRoots.filterNot(isNew)
-          val lists = members.multiGet(preExisting.map(r => Seq(r)))
-          // a root with a MISSING or EMPTY list still contains itself —
-          // the empty case only arises in a torn-write crash window
-          // (tombstoned list, parents not yet repointed) and this floor
-          // keeps the root from vanishing during the repairing replay
-          val listOf = preExisting.lazyZip(lists).map { (r, l) =>
-            r -> l.filter(_.nonEmpty).getOrElse(Vector(r))
-          }.toMap
-          val byFinal = involvedRoots.groupBy(find)
-          val newNodesByFinal = isNew.toVector.groupBy(n => find(n))
-          val memberPuts = mutable.Buffer.empty[(Seq[Any], Vector[Long])]
-          val parentPuts = mutable.Buffer.empty[(Seq[Any], Long)]
-          val out = mutable.Buffer.empty[(Long, Long)]
-          byFinal.foreach { case (fr, roots) =>
-            val merged = (roots.filterNot(isNew).flatMap(listOf) ++
-              newNodesByFinal.getOrElse(fr, Vector.empty)).distinct.sorted.toVector
-            // (a new node is always its own root, so "has new nodes"
-            // already implies a new root in the group — one predicate)
-            val changed = roots.size > 1 || newNodesByFinal.contains(fr)
-            if (changed) {
-              memberPuts += ((Seq(fr), merged))
-              // losing roots tombstone their lists; full path compression:
-              // every member points straight at the new root
-              roots.filterNot(isNew).filter(_ != fr).foreach(l =>
-                memberPuts += ((Seq(l), Vector.empty[Long])))
-              merged.foreach(m => parentPuts += ((Seq(m), fr)))
-            }
-            merged.foreach(m => out += ((m, fr)))
-          }
-          // members BEFORE parents (torn-write repairability — class doc)
-          if (memberPuts.nonEmpty)
-            members.multiPut(memberPuts.map(_._1).toSeq, memberPuts.map(_._2).toSeq)
-          if (parentPuts.nonEmpty)
-            parents.multiPut(parentPuts.map(_._1).toSeq, parentPuts.map(_._2).toSeq)
-          out.toSeq
-        }
-    }
+    // txid), and the write ORDER inside the fold (members first, parents
+    // second) makes any torn prefix replay-repairable: with old parents
+    // still in place the replay resolves the same pre-batch roots, and
+    // the already-updated winner list carries every absorbed member.
+    val emitted = foldEdges(edges, parents, members)
     members.commit(Some(txid))
     parents.commit(Some(txid))
     emitted.toDF("id", "cluster_id")
+  }
+
+  /** The pure state fold behind [[applyBatch]] — one batch's edges
+    * against the two keyed maps; returns the batch's re-emissions.
+    * Package-private so the property suite can drive arbitrary batched
+    * edge streams against a reference union-find without Spark. */
+  private[graft] def foldEdges(edges: Array[(Long, Long)],
+      parents: graft.state.MapState[Long],
+      members: graft.state.MapState[Vector[Long]]): Seq[(Long, Long)] = {
+    if (edges.isEmpty) return Seq.empty
+    val nodes = edges.iterator.flatMap(e => Iterator(e._1, e._2))
+      .toVector.distinct
+    val stored = parents.multiGet(nodes.map(n => Seq(n)))
+    val rootOf = mutable.Map.empty[Long, Long]
+    val isNew = mutable.Set.empty[Long]
+    nodes.lazyZip(stored).foreach { (n, r) =>
+      rootOf(n) = r.getOrElse(n)
+      if (r.isEmpty) isNew += n
+    }
+    // in-memory union-find over the batch's roots only, union-by-min
+    val uf = mutable.Map.empty[Long, Long]
+    def find(x: Long): Long = {
+      val p = uf.getOrElse(x, x)
+      if (p == x) x else { val r = find(p); uf(x) = r; r }
+    }
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(rootOf(a)), find(rootOf(b)))
+      if (ra != rb) uf(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val involvedRoots = rootOf.values.toVector.distinct
+    // a pre-existing root carries a member list by invariant; a new
+    // node is its own (memberless) root
+    val preExisting = involvedRoots.filterNot(isNew)
+    val lists = members.multiGet(preExisting.map(r => Seq(r)))
+    // a root with a MISSING or EMPTY list still contains itself —
+    // the empty case only arises in a torn-write crash window
+    // (tombstoned list, parents not yet repointed) and this floor
+    // keeps the root from vanishing during the repairing replay
+    val listOf = preExisting.lazyZip(lists).map { (r, l) =>
+      r -> l.filter(_.nonEmpty).getOrElse(Vector(r))
+    }.toMap
+    val byFinal = involvedRoots.groupBy(find)
+    val newNodesByFinal = isNew.toVector.groupBy(n => find(n))
+    val memberPuts = mutable.Buffer.empty[(Seq[Any], Vector[Long])]
+    val parentPuts = mutable.Buffer.empty[(Seq[Any], Long)]
+    val out = mutable.Buffer.empty[(Long, Long)]
+    byFinal.foreach { case (fr, roots) =>
+      val merged = (roots.filterNot(isNew).flatMap(listOf) ++
+        newNodesByFinal.getOrElse(fr, Vector.empty)).distinct.sorted.toVector
+      // (a new node is always its own root, so "has new nodes"
+      // already implies a new root in the group — one predicate)
+      val changed = roots.size > 1 || newNodesByFinal.contains(fr)
+      if (changed) {
+        memberPuts += ((Seq(fr), merged))
+        // losing roots tombstone their lists; full path compression:
+        // every member points straight at the new root
+        roots.filterNot(isNew).filter(_ != fr).foreach(l =>
+          memberPuts += ((Seq(l), Vector.empty[Long])))
+        merged.foreach(m => parentPuts += ((Seq(m), fr)))
+      }
+      merged.foreach(m => out += ((m, fr)))
+    }
+    // members BEFORE parents (torn-write repairability — class doc)
+    if (memberPuts.nonEmpty)
+      members.multiPut(memberPuts.map(_._1).toSeq, memberPuts.map(_._2).toSeq)
+    if (parentPuts.nonEmpty)
+      parents.multiPut(parentPuts.map(_._1).toSeq, parentPuts.map(_._2).toSeq)
+    out.toSeq
   }
 
   /** The full current labeling as a DataFrame (scan-backed — the

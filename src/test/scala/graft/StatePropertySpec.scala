@@ -112,6 +112,72 @@ object StatePropertySpec extends Properties("ExactlyOnceState") {
       Prop(got == want) :| s"durable $got vs memory $want"
     }
 
+  property("IncrementalClusters.foldEdges: arbitrary batched edge streams == reference union-find; touched components re-emit fully; replay is a state no-op") =
+    Prop.forAll(Gen.listOfN(5, Gen.listOf(
+        Gen.zip(Gen.choose(0L, 15L), Gen.choose(0L, 15L))))) { batches =>
+      val id = s"prop-inc-${java.util.UUID.randomUUID()}"
+      val parents = new NonTransactionalMap(new MemoryBackingMap[Long](s"$id-p"))
+      val membersM = new NonTransactionalMap(
+        new MemoryBackingMap[Vector[Long]](s"$id-m"))
+      val inc = new graft.streaming.IncrementalClusters(parents, membersM)
+      // reference: min-label components over ALL edges seen so far
+      def refComponents(edges: Seq[(Long, Long)]): Map[Long, Long] = {
+        val p = scala.collection.mutable.Map.empty[Long, Long]
+        def find(x: Long): Long = {
+          val q = p.getOrElse(x, x)
+          if (q == x) x else { val r = find(q); p(x) = r; r }
+        }
+        edges.foreach { case (a, b) =>
+          p.getOrElseUpdate(a, a); p.getOrElseUpdate(b, b)
+          val (ra, rb) = (find(a), find(b))
+          if (ra != rb) p(math.max(ra, rb)) = math.min(ra, rb)
+        }
+        p.keys.map(n => n -> find(n)).toMap
+      }
+      var seen = Vector.empty[(Long, Long)]
+      val ok = batches.zipWithIndex.forall { case (es0, txid) =>
+        val es = es0.filter(e => e._1 != e._2).distinct
+        parents.beginCommit(Some(txid.toLong))
+        membersM.beginCommit(Some(txid.toLong))
+        val emitted = inc.foldEdges(es.toArray, parents, membersM).toSet
+        parents.commit(Some(txid.toLong)); membersM.commit(Some(txid.toLong))
+        seen = seen ++ es
+        val ref = refComponents(seen)
+        // (1) every stored parent is the reference's min label, fully
+        //     compressed (no chains)
+        val storedOk = parents.scanAll().forall { case (k, v) =>
+          ref(k.head.asInstanceOf[Long]) == v.asInstanceOf[Long]
+        } && parents.scanAll().size == ref.size
+        // (2) members(live root) == the component's full sorted membership;
+        //     losing roots hold empty tombstones
+        val liveRoots = ref.values.toSet
+        val membersOk = membersM.scanAll().forall { case (k, v) =>
+          val r = k.head.asInstanceOf[Long]
+          val lst = v.asInstanceOf[Vector[Long]]
+          if (liveRoots(r)) lst == ref.filter(_._2 == r).keys.toVector.sorted
+          else lst.isEmpty
+        }
+        // (3) this batch re-emits EXACTLY the full membership of every
+        //     component touched by one of its endpoints
+        val touched = es.flatMap(e => Seq(e._1, e._2)).map(ref).toSet
+        val expectEmit = ref.collect {
+          case (n, r) if touched(r) => (n, r) }.toSet
+        val emitOk = emitted == expectEmit
+        // (4) replaying the same batch leaves state identical and re-emits
+        //     the same (current) labels
+        val before = (parents.scanAll().toSet, membersM.scanAll().toSet)
+        parents.beginCommit(Some(txid.toLong))
+        membersM.beginCommit(Some(txid.toLong))
+        val replay = inc.foldEdges(es.toArray, parents, membersM).toSet
+        parents.commit(Some(txid.toLong)); membersM.commit(Some(txid.toLong))
+        val replayOk = replay == emitted &&
+          (parents.scanAll().toSet, membersM.scanAll().toSet) == before
+        storedOk && membersOk && emitOk && replayOk
+      }
+      MemoryBackingMap.clear(s"$id-p"); MemoryBackingMap.clear(s"$id-m")
+      Prop(ok)
+    }
+
   property("OpaqueValue.update/get round-trips for monotone txids") =
     Prop.forAll(Gen.listOfN(6, Gen.choose(0L, 5L))) { deltas =>
       // txids strictly increasing via cumulative sums (+1)
