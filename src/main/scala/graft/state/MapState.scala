@@ -246,3 +246,34 @@ final class SnapshottableMap[T](delegate: MapState[T]) extends Serializable {
   def beginCommit(txid: Option[Long]): Unit = delegate.beginCommit(txid)
   def commit(txid: Option[Long]): Unit = delegate.commit(txid)
 }
+
+/** Access-accounting decorator: counts the KEYS each bulk call touches and
+  * records every key read/written. The no-silent-cost audit face for
+  * incremental state folds — the property suite and the hot-cluster scale
+  * drill both pin "writes touch only read keys, cost is O(touched)" laws
+  * through it (VERDICT r14 #1 done-criterion). */
+final class CountingMapState[T](inner: MapState[T]) extends MapState[T] {
+  private val gets = mutable.Buffer.empty[Seq[Any]]
+  private val puts = mutable.Buffer.empty[Seq[Any]]
+  def getKeyCount: Long = synchronized(gets.size.toLong)
+  def putKeyCount: Long = synchronized(puts.size.toLong)
+  def getKeys: Set[Seq[Any]] = synchronized(gets.toSet)
+  def putKeys: Set[Seq[Any]] = synchronized(puts.toSet)
+  def resetCounts(): Unit = synchronized { gets.clear(); puts.clear() }
+
+  def multiGet(keys: Seq[Seq[Any]]): Seq[Option[T]] = {
+    synchronized(gets ++= keys)
+    inner.multiGet(keys)
+  }
+  def multiUpdate(keys: Seq[Seq[Any]], updaters: Seq[ValueUpdater[T]]): Seq[T] = {
+    synchronized { gets ++= keys; puts ++= keys }
+    inner.multiUpdate(keys, updaters)
+  }
+  def multiPut(keys: Seq[Seq[Any]], vals: Seq[T]): Unit = {
+    synchronized(puts ++= keys)
+    inner.multiPut(keys, vals)
+  }
+  def beginCommit(txid: Option[Long]): Unit = inner.beginCommit(txid)
+  def commit(txid: Option[Long]): Unit = inner.commit(txid)
+  override def scanAll(): Seq[(Seq[Any], Any)] = inner.scanAll()
+}

@@ -91,7 +91,7 @@ object Drills {
     * bench row): the corpus' LSH candidate pairs, split into `batches`
     * disjoint hash-slices arriving as micro-batches, fold into the
     * union-find state ([[graft.streaming.IncrementalClusters]]) with
-    * full affected-component re-emission per batch. Returns (seconds,
+    * delta emission (endpoints + root-change records). Returns (seconds,
     * pairs, emitted rows, final cluster count); the timed region is the
     * batch folds only (candidate generation is the stream_lsh drill's
     * number). */
@@ -300,6 +300,7 @@ object Drills {
       val stop = new java.util.concurrent.atomic.AtomicBoolean(false)
       val completed = new java.util.concurrent.atomic.AtomicLong(0L)
       val rejected = new java.util.concurrent.atomic.AtomicLong(0L)
+      val unexpected = new java.util.concurrent.atomic.AtomicLong(0L)
       val slow = (1 to slowThreads).map { i =>
         val t = new Thread(() => {
           while (!stop.get()) {
@@ -308,7 +309,11 @@ object Drills {
               case e: graft.drpc.DRPCExecutionException
                   if String.valueOf(e.getMessage).contains("queue full") =>
                 rejected.incrementAndGet(); Thread.sleep(2L)
-              case _: Throwable => ()
+              case _: Throwable =>
+                // a persistently failing job tier (service stopped, Spark
+                // error) must not busy-spin nor read as completed=0 success
+                // (ADVICE r14): back off and COUNT, the drill requires 0
+                unexpected.incrementAndGet(); Thread.sleep(20L)
             }
           }
         }, s"drpc-sat-slow-$i")
@@ -353,6 +358,9 @@ object Drills {
       import scala.jdk.CollectionConverters._
       val sorted = lat.asScala.map(_.doubleValue).toVector.sorted
       require(sorted.size == fastReqs, s"lost latencies: ${sorted.size}/$fastReqs")
+      require(unexpected.get() == 0L,
+        s"slow tier hit ${unexpected.get()} non-queue-full errors — the " +
+        "job path was failing, the drill's throughput figure is invalid")
       def pct(p: Double): Double =
         sorted(math.min(sorted.size - 1, (p * (sorted.size - 1)).round.toInt))
       (pct(0.50), pct(0.99), slowSec, completed.get(), rejected.get())

@@ -47,6 +47,13 @@ object ScaleDrill {
       case "joinestim" => joinEstimatorDrill(spark, sfDir)
       case "lshprof" => lshProfile(spark, sfDir)
       case "wcprof" => wcProfile(spark, sfDir)
+      case "hotcluster" => hotClusterDrill(
+        args.lift(1).getOrElse("1000,10000,100000").split(",").map(_.trim.toInt).toSeq,
+        addBatches = args.lift(2).map(_.toInt).getOrElse(20))
+      case "megacluster" => megaClusterDrill(spark,
+        args.lift(1).getOrElse("1,10,100").split(",").map(_.trim.toInt).toSeq)
+      case "walgrowth" => walGrowthDrill(spark,
+        batches = args.lift(1).map(_.toInt).getOrElse(200))
       case _ => pipelineDrill(spark, sfDir,
         args.lift(1).getOrElse("1,10").split(",").map(_.trim.toInt).toSeq,
         nameFilter = args.lift(2))
@@ -280,10 +287,11 @@ object ScaleDrill {
           val j = Scale.factFactJoin(left(s, n), right(s), Seq("k" -> "k"))
           val t0 = System.nanoTime()
           val rows = j.queryExecution.toRdd.count()
-          // listener events are posted async — drain before reading the max
+          // capture elapsed BEFORE the listener-drain sleep (ADVICE r14):
+          // the 600ms drain is measurement plumbing, not join work
+          val sec = (System.nanoTime() - t0) / 1e9
           Thread.sleep(600L) // listener events post async; drain window
-          ((System.nanoTime() - t0) / 1e9, rows, maxTaskRows.get(),
-            j.queryExecution.executedPlan.toString)
+          (sec, rows, maxTaskRows.get(), j.queryExecution.executedPlan.toString)
         }
         val (tNo, rNo, mtNo, planNo) = run(mkSession(skewJoin = false))
         require(planNo.contains("SortMergeJoin"),
@@ -296,8 +304,8 @@ object ScaleDrill {
         val t0 = System.nanoTime()
         val rSalt = Scale.saltedJoin(left(sSalt, n), right(sSalt), "k", "k", 16)
           .select("rev", "pri").queryExecution.toRdd.count()
+        val tSalt = (System.nanoTime() - t0) / 1e9 // elapsed before the drain
         Thread.sleep(600L)
-        val tSalt = (System.nanoTime() - t0) / 1e9
         val mtSalt = maxTaskRows.get()
         require(rNo == rAqe && rAqe == rSalt,
           s"row counts diverged: noaqe=$rNo aqe=$rAqe salted=$rSalt")
@@ -408,7 +416,7 @@ object ScaleDrill {
   def drills: Seq[(String, DataFrame => DataFrame)] = Seq(
     // streaming incremental dup-clusters (r14): LSH candidate pairs in 4
     // hash-slice micro-batches folded into the union-find state with
-    // affected-component re-emission; timed region = candidate scan +
+    // delta emission (endpoints + root changes); timed region = candidate scan +
     // folds + final snapshot. Word-salted replicas are disjoint near-dup
     // universes, so pair volume (the per-batch driver-coordination bound)
     // grows linearly with N — the honest regime for the drill
@@ -1340,4 +1348,147 @@ object ScaleDrill {
     println(if (runs(0) == runs(1)) "parity: PASS (batched == sequential merge table)"
       else "parity: FAIL")
   }
+  /** Hot mega-cluster drill (VERDICT r14 #1 done-criterion): one component
+    * of M members, then `addBatches` micro-batches each adding ONE member
+    * whose id undercuts the current min — the worst case for the pre-r15
+    * design, which rewrote and re-emitted the FULL component per touching
+    * batch (O(M) puts + emissions every batch). The r15 delta/lazy fold
+    * must stay FLAT: per-batch puts, reads and emissions bounded by a
+    * small constant independent of M. Runs the pure fold (no Spark) with
+    * the access-counting decorator and REQUIRES the flat bound. */
+  def hotClusterDrill(sizes: Seq[Int], addBatches: Int): Unit = {
+    sizes.foreach { m =>
+      val id = s"drill-hot-$m-${System.nanoTime()}"
+      val parents = new graft.state.CountingMapState(
+        new graft.state.NonTransactionalMap(
+          new graft.state.MemoryBackingMap[Long](s"$id-p")))
+      val inc = new graft.streaming.IncrementalClusters(parents, None)
+      val base = 1000000L
+      // bootstrap: the mega-cluster arrives as one M-edge batch (star) —
+      // the batch ITSELF is O(M), so O(M) cost here is the honest floor
+      val star = (1 until m).map(i => (base, base + i)).toArray
+      parents.beginCommit(Some(0L))
+      val t0 = System.nanoTime()
+      inc.foldEdges(star, parents)
+      val bootSec = (System.nanoTime() - t0) / 1e9
+      parents.commit(Some(0L))
+      var maxPuts = 0L; var maxGets = 0L; var maxEmit = 0
+      var totSec = 0.0
+      (1 to addBatches).foreach { j =>
+        // new min member (forces a root change — the old design's O(M)
+        // trigger) attached to a rotating existing member
+        val edge = Array((base - j, base + (j.toLong * 37L) % m))
+        parents.resetCounts()
+        parents.beginCommit(Some(j.toLong))
+        val t = System.nanoTime()
+        val (emitted, _) = inc.foldEdges(edge, parents)
+        totSec += (System.nanoTime() - t) / 1e9
+        parents.commit(Some(j.toLong))
+        maxPuts = math.max(maxPuts, parents.putKeyCount)
+        maxGets = math.max(maxGets, parents.getKeyCount)
+        maxEmit = math.max(maxEmit, emitted.size)
+      }
+      graft.state.MemoryBackingMap.clear(s"$id-p")
+      println(f"[scale] hotcluster M=$m%7d bootstrap=$bootSec%6.3fs  " +
+        f"per-batch max: puts=$maxPuts gets=$maxGets emit=$maxEmit  " +
+        f"avg=${totSec / addBatches * 1000}%8.4fms")
+      require(maxPuts <= 8 && maxEmit <= 6,
+        s"hot-cluster per-batch cost not flat at M=$m: puts=$maxPuts " +
+        s"emit=$maxEmit — the fold is touching the component again")
+    }
+  }
+
+  /** Batch-face mega-cluster drill (VERDICT r14 #6): `duplicateClusters`
+    * over a pair set holding ONE hot component of 100k×n members (an
+    * LSH-realistic near-star — boilerplate docs bucket with the same
+    * band keys) plus a uniform background of 2-member pairs. Pins that
+    * the per-round lineage cut + min-label propagation stay ~linear in
+    * input (no single-task component bottleneck, no iteration blowup:
+    * a star converges immediately after the seeded first round). */
+  def megaClusterDrill(spark: SparkSession, sizes: Seq[Int]): Unit = {
+    sizes.foreach { n =>
+      val m = 100000L * n
+      val hub = 0L
+      val star = spark.range(1L, m).select(
+        F.lit(hub).as("a"), F.col("id").as("b"))
+      // background: 100k disjoint 2-member clusters, ids far above the star
+      val bg = spark.range(100000L).select(
+        (F.col("id") * 2L + 10000000L).as("a"),
+        (F.col("id") * 2L + 10000001L).as("b"))
+      val pairs = star.unionByName(bg).localCheckpoint(true)
+      val t0 = System.nanoTime()
+      val labels = Dedup.duplicateClusters(pairs, "a", "b")
+      val nClusters = labels.select(F.countDistinct("cluster_id")).head().getLong(0)
+      val nHot = labels.where(F.col("cluster_id") === hub).count()
+      val sec = (System.nanoTime() - t0) / 1e9
+      pairs.unpersist(blocking = false)
+      println(f"[scale] megacluster M=$m%9d sec=$sec%7.2f clusters=$nClusters%7d hot=$nHot%9d")
+      require(nHot == m && nClusters == 100001L,
+        s"megacluster labels wrong: hot=$nHot clusters=$nClusters")
+    }
+  }
+
+  /** WAL-growth drill for the durable state tier (VERDICT r14 #7): a
+    * long-running incremental-clusters stream (default 200 batches) over
+    * [[graft.state.ParquetBackingMap]], recording the segment-count curve
+    * and the open()-replay time at three points: mid-run (WAL at its
+    * natural size under the in-run commit-hook compaction), after a forced
+    * compaction, and cold. The commit hook must keep the segment count
+    * bounded by compactAfter regardless of run length. */
+  def walGrowthDrill(spark: SparkSession, batches: Int): Unit = {
+    val dir = java.nio.file.Files.createTempDirectory("walgrowth").toString
+    import scala.jdk.CollectionConverters._
+    def segCount(sub: String): Int = {
+      val d = java.nio.file.Paths.get(s"$dir/$sub")
+      if (!java.nio.file.Files.exists(d)) 0
+      else {
+        val s = java.nio.file.Files.list(d)
+        try s.iterator().asScala.count(p =>
+          p.getFileName.toString.startsWith("seg-")) finally s.close()
+      }
+    }
+    def reopenSec(): Double = {
+      graft.streaming.IncrementalClusters.closeDurable(dir)
+      val t0 = System.nanoTime()
+      graft.streaming.IncrementalClusters.durable(spark, dir)
+      (System.nanoTime() - t0) / 1e9
+    }
+    try {
+      var inc = graft.streaming.IncrementalClusters.durable(spark, dir)
+      var maxSegs = 0
+      import spark.implicits._
+      (0 until batches).foreach { j =>
+        // each batch: a fresh 3-member cluster + one edge growing cluster 0
+        val b = j.toLong * 10L + 1000000L
+        val pairs = Seq((b, b + 1), (b + 1, b + 2),
+          (0L, j.toLong * 7L % 999L + 1L)).toDF("a", "b")
+        inc.applyBatch(pairs, "a", "b", j.toLong)
+        maxSegs = math.max(maxSegs, segCount("parents"))
+        if (j == batches / 2) {
+          val sec = reopenSec()
+          println(f"[scale] walgrowth mid-run  batch=$j%4d segs=${segCount("parents")}%4d replay=$sec%6.2fs")
+          inc = graft.streaming.IncrementalClusters.durable(spark, dir)
+        }
+      }
+      val segsEnd = segCount("parents")
+      val replayEnd = reopenSec()
+      graft.state.ParquetBackingMap.compact(s"$dir/parents")
+      graft.state.ParquetBackingMap.compact(s"$dir/best")
+      val segsCompacted = segCount("parents")
+      val replayCompacted = reopenSec()
+      val inc3 = graft.streaming.IncrementalClusters.durable(spark, dir)
+      val keys = inc3.snapshot(spark).count()
+      println(f"[scale] walgrowth end: batches=$batches maxsegs=$maxSegs segs=$segsEnd replay=$replayEnd%6.2fs; " +
+        f"compacted: segs=$segsCompacted replay=$replayCompacted%6.2fs keys=$keys")
+      // the in-run commit hook must bound the WAL: one compaction cycle's
+      // budget (64) plus the puts between commits, never O(batches × puts)
+      require(maxSegs <= 80,
+        s"WAL grew unbounded: $maxSegs segments — the commit-hook compaction is not firing")
+      require(segsCompacted == 0, s"forced compaction left $segsCompacted segments")
+    } finally {
+      graft.streaming.IncrementalClusters.closeDurable(dir)
+      graft.util.Fs.deleteRecursively(java.nio.file.Paths.get(dir))
+    }
+  }
+
 }

@@ -92,15 +92,16 @@ class StateStoreSpec extends AnyFunSuite {
     } finally graft.util.Fs.deleteRecursively(java.nio.file.Paths.get(ck))
   }
 
-  test("incremental dup clusters: streaming == batch duplicateClusters over the union of >=3 batches; affected components re-emit; replay idempotent (VERDICT r13 #3)") {
+  test("incremental dup clusters: DELTA emissions (endpoints + root-change records) resolve to batch duplicateClusters over >=3 batches; replay idempotent (VERDICT r13 #3 / r14 #1)") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
     graft.streaming.IncrementalClusters.clearInMemory("spec-inc")
     val inc = graft.streaming.IncrementalClusters.inMemory("spec-inc")
     // batch 1: {2,7,9} and {20,21}; batch 2: new {5,6}, and 1 joins the
-    // first component (new min label — the losing root's untouched members
-    // must relabel); batch 3: a CROSS-BATCH merge (6–9 bridges {5,6} into
-    // {1,2,7,9}) plus a fresh {10,11} and an internal no-op edge (20,21)
+    // first component (new min label — the losing root 2 emits a root-change
+    // record; its untouched members 7,9 do NOT re-emit); batch 3: a
+    // CROSS-BATCH merge (6–9 bridges {5,6} into {1,2,7,9}) plus a fresh
+    // {10,11} and an internal no-op edge (20,21)
     val batches = Seq(
       Seq((2L, 7L), (7L, 9L), (20L, 21L)),
       Seq((5L, 6L), (1L, 2L)),
@@ -117,14 +118,15 @@ class StateStoreSpec extends AnyFunSuite {
     try {
       batches.foreach { bt => input.addData(bt: _*); q.processAllAvailable() }
       val byBatch = emissions.sortBy(_._1).map(_._2)
-      // batch 2's merge relabels 7 and 9 (untouched members of the losing
-      // root 2) — the "affected components re-emit" contract
-      assert(byBatch(1) == Map(1L -> 1L, 2L -> 1L, 7L -> 1L, 9L -> 1L,
-        5L -> 5L, 6L -> 5L), s"batch-2 emission: ${byBatch(1)}")
-      // batch 3: the cross-batch merge re-emits BOTH components under the
-      // min label, the fresh pair emits, the internal edge re-emits {20,21}
-      assert(byBatch(2) == Map(1L -> 1L, 2L -> 1L, 5L -> 1L, 6L -> 1L,
-        7L -> 1L, 9L -> 1L, 10L -> 10L, 11L -> 10L, 20L -> 20L, 21L -> 20L),
+      // batch 2: endpoints {5,6,1,2} under new labels + the (2 -> 1)
+      // root-change record (same row as endpoint 2's) — NOT the losing
+      // component's untouched members 7,9 (the delta contract)
+      assert(byBatch(1) == Map(1L -> 1L, 2L -> 1L, 5L -> 5L, 6L -> 5L),
+        s"batch-2 emission: ${byBatch(1)}")
+      // batch 3: endpoints {6,9,10,11,20,21} + root-change (5 -> 1); the
+      // merged component's other members (1,2,7) do not re-emit
+      assert(byBatch(2) == Map(5L -> 1L, 6L -> 1L, 9L -> 1L,
+        10L -> 10L, 11L -> 10L, 20L -> 20L, 21L -> 20L),
         s"batch-3 emission: ${byBatch(2)}")
       // parity: the state snapshot == batch duplicateClusters over the
       // union of all arrivals
@@ -133,20 +135,65 @@ class StateStoreSpec extends AnyFunSuite {
         .as[(Long, Long)].collect().toMap
       val got = inc.snapshot(spark).as[(Long, Long)].collect().toMap
       assert(got == expect, s"snapshot $got != batch $expect")
-      // last emission per id is the final label too (downstream-sink view)
+      // downstream-consumer view: a sink holding last-emitted labels
+      // recovers the final labeling by resolving transitively through the
+      // root-change records (every old label is a former root, and every
+      // root change was emitted) — the delta contract's sufficiency proof
       val lastEmitted = byBatch.flatten.toMap // later batches overwrite
-      assert(lastEmitted == expect)
+      def consumerResolve(id: Long): Long = {
+        var x = lastEmitted(id)
+        while (lastEmitted.getOrElse(x, x) != x) x = lastEmitted(x)
+        x
+      }
+      assert(expect.keys.forall(id => consumerResolve(id) == expect(id)),
+        s"consumer-resolved labels diverge: " +
+          expect.keys.map(i => i -> consumerResolve(i)).toMap + s" vs $expect")
       // replay idempotency: re-applying batch 2 (same txid, same pairs)
-      // leaves state unchanged and emits the CURRENT labels
+      // leaves state unchanged and emits its ENDPOINTS under current labels
       val replay = inc.applyBatch(batches(1).toDF("a", "b"), "a", "b", 1L)
         .as[(Long, Long)].collect().toMap
-      assert(replay == Map(1L -> 1L, 2L -> 1L, 5L -> 1L, 6L -> 1L,
-        7L -> 1L, 9L -> 1L), s"replay emission: $replay")
+      assert(replay == Map(1L -> 1L, 2L -> 1L, 5L -> 1L, 6L -> 1L),
+        s"replay emission: $replay")
       assert(inc.snapshot(spark).as[(Long, Long)].collect().toMap == expect)
     } finally {
       q.stop()
       graft.streaming.IncrementalClusters.clearInMemory("spec-inc")
     }
+  }
+
+  test("incremental dup clusters, scored tier: emissions carry the running best representative; merge that changes the winner == batch keepBestOfClusters (VERDICT r14 #4)") {
+    import spark.implicits._
+    graft.streaming.IncrementalClusters.clearInMemory("spec-best")
+    val inc = graft.streaming.IncrementalClusters.inMemory("spec-best")
+    // quality = n_chars; batch 1 forms {2,7} (best 7, q=50) and {20,21}
+    // (best 20, q=9 ties resolve to LOWEST id); batch 2 merges 1 (q=80)
+    // into {2,7} — the merge CHANGES the winner to 1; batch 3's internal
+    // edge re-emits with the winner carried, no state writes
+    val quality = Map(1L -> 80.0, 2L -> 10.0, 7L -> 50.0, 20L -> 9.0, 21L -> 9.0)
+    def withQ(pairs: Seq[(Long, Long)]) =
+      pairs.map { case (a, b) => (a, b, quality(a), quality(b)) }
+        .toDF("a", "b", "qa", "qb")
+    val e1 = inc.applyBatchScored(withQ(Seq((2L, 7L), (20L, 21L))),
+      "a", "b", "qa", "qb", 0L)
+      .as[(Long, Long, Long, Double)].collect().toSet
+    assert(e1 == Set((2L, 2L, 7L, 50.0), (7L, 2L, 7L, 50.0),
+      (20L, 20L, 20L, 9.0), (21L, 20L, 20L, 9.0)), s"batch-1: $e1")
+    val e2 = inc.applyBatchScored(withQ(Seq((1L, 2L))), "a", "b", "qa", "qb", 1L)
+      .as[(Long, Long, Long, Double)].collect().toSet
+    assert(e2 == Set((1L, 1L, 1L, 80.0), (2L, 1L, 1L, 80.0)), s"batch-2: $e2")
+    // parity with the batch face: keepBestOfClusters keeps exactly the
+    // best snapshot's winners (plus unclustered docs)
+    val docs = quality.toSeq.map { case (id, qv) => (id, qv) }
+      .toDF("doc_id", "n_chars")
+    val clusters = inc.snapshot(spark)
+    val kept = graft.functions.Dedup.keepBestOfClusters(
+        docs, "doc_id", clusters, "id", "cluster_id", "n_chars")
+      .select("doc_id").as[Long].collect().toSet
+    val bestIds = inc.bestSnapshot(spark)
+      .select("best_id").as[Long].collect().toSet
+    assert(bestIds == Set(1L, 20L), s"bestSnapshot winners: $bestIds")
+    assert(kept == bestIds, s"batch face kept $kept vs streaming $bestIds")
+    graft.streaming.IncrementalClusters.clearInMemory("spec-best")
   }
 
   test("incremental dup clusters on the DURABLE tier: labels survive a process restart, cross-restart merge matches batch") {
@@ -164,7 +211,9 @@ class StateStoreSpec extends AnyFunSuite {
         Map(2L -> 2L, 7L -> 2L, 9L -> 2L, 5L -> 5L, 6L -> 5L))
       val out = inc2.applyBatch(Seq((6L, 9L), (1L, 2L)).toDF("a", "b"),
         "a", "b", 2L).as[(Long, Long)].collect().toMap
-      assert(out == Map(1L -> 1L, 2L -> 1L, 5L -> 1L, 6L -> 1L, 7L -> 1L, 9L -> 1L),
+      // delta contract: endpoints {6,9,1,2} + root-change (5 -> 1); the
+      // untouched member 7 does not re-emit
+      assert(out == Map(1L -> 1L, 2L -> 1L, 5L -> 1L, 6L -> 1L, 9L -> 1L),
         s"cross-restart merge emission: $out")
       val expect = graft.functions.Dedup.duplicateClusters(
         Seq((2L, 7L), (7L, 9L), (5L, 6L), (6L, 9L), (1L, 2L)).toDF("a", "b"),
