@@ -72,14 +72,21 @@ class DRPCService(drpc: LocalDRPC, requestTimeoutMs: Long = 10000L,
     * pipeline requests can neither delay nor reject a `MapGet` — the
     * reference's interactive-latency contract survives overload. */
   def execute(function: String, args: String): String = {
-    if (drpc.isFast(function))
-      return try drpc.execute(function, args)
-      catch { case e: Throwable =>
-        // keep the original as the cause: a fast fn's NPE would otherwise
-        // surface as an undebuggable "failed: null" (code-review r14 #4)
-        throw new DRPCExecutionException(
-          s"DRPC fast request ($function) failed: ${e.getMessage}", e)
+    if (drpc.isFast(function)) {
+      val fast =
+        try drpc.tryFast(function, args)
+        catch { case e: Throwable =>
+          // keep the original as the cause: a fast fn's NPE would otherwise
+          // surface as an undebuggable "failed: null" (code-review r14 #4)
+          throw new DRPCExecutionException(
+            s"DRPC fast request ($function) failed: ${e.getMessage}", e)
+        }
+      fast match {
+        case Some(r) => return r
+        case None => () // evicting-index cache miss: read through to the
+                        // queued job path below (normal backlog discipline)
       }
+    }
     if (totalQueued.get() >= maxQueueSize)
       throw new DRPCExecutionException(
         s"request queue full ($maxQueueSize) — rejecting ${function}")

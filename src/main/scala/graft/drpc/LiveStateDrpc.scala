@@ -49,4 +49,75 @@ object LiveStateDrpc {
                          shape: (DataFrame, String) => DataFrame): Unit =
     drpc.register(name, args =>
       shape(stateAtLastCommit(spark, checkpointDir, stateVarName), args))
+
+  /** One state snapshot REUSED across requests between commits (VERDICT
+    * r14 #3): the uncached job path pays a fresh statestore read — file
+    * listing + store load + scan — per request (~hundreds of ms of it
+    * fixed cost). The commit bracket already versions state, so requests
+    * between two commits can legally share one materialized snapshot: this
+    * handle checks the checkpoint's commit log (one cheap directory
+    * listing — the commit files ARE the txid bracket), and only when a new
+    * batch has COMMITTED does it re-read and re-persist the state,
+    * unpersisting the stale snapshot. Readers between commits hit the
+    * cached blocks — same answers as a fresh read by commit isolation
+    * (spec-pinned across a commit), scheduling-only request cost. */
+  final class CachedStateSnapshot(spark: SparkSession, checkpointDir: String,
+                                  stateVarName: String) {
+    @volatile private var cached: (Long, DataFrame) = (-1L, null)
+
+    /** Latest committed batch id: the max numeric entry of the commit log
+      * directory (`HDFSMetadataLog` writes one file per committed batch,
+      * named by batch id). -1 before the first commit. */
+    def latestCommittedBatch(): Long = {
+      val dir = java.nio.file.Paths.get(checkpointDir, "commits")
+      if (!java.nio.file.Files.exists(dir)) return -1L
+      val s = java.nio.file.Files.list(dir)
+      try {
+        import scala.jdk.CollectionConverters._
+        s.iterator().asScala
+          .map(_.getFileName.toString)
+          .filter(n => n.nonEmpty && n.forall(_.isDigit))
+          .foldLeft(-1L)((m, n) => math.max(m, n.toLong))
+      } finally s.close()
+    }
+
+    /** The last-committed state, served from the persisted snapshot when
+      * no new commit has landed since it was built. */
+    def frame(): DataFrame = {
+      val v = latestCommittedBatch()
+      val c = cached
+      if (c._2 != null && c._1 == v) return c._2
+      synchronized {
+        val c2 = cached
+        if (c2._2 != null && c2._1 == v) c2._2
+        else {
+          val fresh = stateAtLastCommit(spark, checkpointDir, stateVarName)
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          fresh.count() // materialize before serving (one read job per commit)
+          cached = (v, fresh)
+          if (c2._2 != null) c2._2.unpersist(blocking = false)
+          fresh
+        }
+      }
+    }
+
+    /** Release the cached blocks (call at service shutdown). */
+    def close(): Unit = synchronized {
+      if (cached._2 != null) cached._2.unpersist(blocking = false)
+      cached = (-1L, null)
+    }
+  }
+
+  /** [[registerStateQuery]] with snapshot reuse: per-request cost is the
+    * `shape` job over cached state blocks, not a fresh statestore read.
+    * Returns the snapshot handle (close it at shutdown). */
+  def registerStateQueryCached(drpc: LocalDRPC, spark: SparkSession,
+                               name: String, checkpointDir: String,
+                               stateVarName: String)(
+                               shape: (DataFrame, String) => DataFrame)
+      : CachedStateSnapshot = {
+    val snap = new CachedStateSnapshot(spark, checkpointDir, stateVarName)
+    drpc.register(name, args => shape(snap.frame(), args))
+    snap
+  }
 }

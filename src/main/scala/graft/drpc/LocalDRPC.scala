@@ -27,9 +27,12 @@ class LocalDRPC(spark: SparkSession) {
   // keyed fast path (VERDICT r13 #1): wire-format results straight from
   // driver memory — no DataFrame, no Spark job. A name registered both
   // ways serves through the fast face (the job face remains reachable via
-  // executeDF for parity checks).
+  // executeDF for parity checks). A fast function returns None when it
+  // cannot answer authoritatively (an EVICTING StateIndex missed —
+  // VERDICT r14 #2): the request then reads through to the job path,
+  // the CachedMap cache-miss discipline.
   private val fastFunctions =
-    scala.collection.concurrent.TrieMap[String, String => String]()
+    scala.collection.concurrent.TrieMap[String, String => Option[String]]()
 
   /** Register a named query pipeline: args → DataFrame plan. */
   def register(name: String, fn: String => DataFrame): Unit =
@@ -41,20 +44,33 @@ class LocalDRPC(spark: SparkSession) {
     * [[registerMapGet]]/[[registerSnapshotGet]] for the common keyed
     * shapes over a [[StateIndex]]. */
   def registerFast(name: String, fn: String => String): Unit =
+    fastFunctions(name) = (args => Some(fn(args)))
+
+  /** Register a PARTIAL fast function: `None` means "not servable from
+    * driver memory — read through to the job-path registration". */
+  def registerFastPartial(name: String, fn: String => Option[String]): Unit =
     fastFunctions(name) = fn
 
   /** Whether `name` serves through the fast path. */
   def isFast(name: String): Boolean = fastFunctions.contains(name)
 
+  /** Fast-path attempt: None if no fast registration, or the fast
+    * function declined (cache miss on an evicting index). */
+  def tryFast(name: String, args: String): Option[String] =
+    fastFunctions.get(name).flatMap(fn => fn(args))
+
   /** `MapGet` over a driver-held [[StateIndex]]: args (via `key`) → the
     * indexed value as a one-tuple result list, `[]` when absent — the
     * same wire shape the job-path `stateQuery` + collect produces for a
-    * single-key filter. */
+    * single-key filter. On a non-evicting index a miss IS the answer
+    * (`[]`); once the index has evicted, a miss is ambiguous and the
+    * request falls through to the job-path registration of the same
+    * name (identical result, one Spark job — spec-pinned parity). */
   def registerMapGet[K, V](name: String, index: StateIndex[K, V],
                            key: String => K): Unit =
-    registerFast(name, args => index.get(key(args)) match {
-      case Some(v) => "[[" + jsonValue(v) + "]]"
-      case None => "[]"
+    registerFastPartial(name, args => index.get(key(args)) match {
+      case Some(v) => Some("[[" + jsonValue(v) + "]]")
+      case None => if (index.isAuthoritative) Some("[]") else None
     })
 
   /** `SnapshotGet` over a [[StateIndex]] holding a single global slot
@@ -62,9 +78,9 @@ class LocalDRPC(spark: SparkSession) {
     * returns the slot's value. */
   def registerSnapshotGet[K, V](name: String, index: StateIndex[K, V],
                                 slot: K): Unit =
-    registerFast(name, _ => index.get(slot) match {
-      case Some(v) => "[[" + jsonValue(v) + "]]"
-      case None => "[]"
+    registerFastPartial(name, _ => index.get(slot) match {
+      case Some(v) => Some("[[" + jsonValue(v) + "]]")
+      case None => if (index.isAuthoritative) Some("[]") else None
     })
 
   def executeDF(name: String, args: String): DataFrame = {
@@ -75,15 +91,14 @@ class LocalDRPC(spark: SparkSession) {
 
   /** `execute(function, args)` → JSON-encoded list of result tuples, the
     * DRPC wire format (`ReturnResults.java:40-44`). Fast-registered
-    * functions answer inline from driver memory; everything else runs its
-    * DataFrame plan as a Spark job. */
+    * functions answer inline from driver memory (falling through to the
+    * job path on a declined fast attempt — evicting-index cache miss);
+    * everything else runs its DataFrame plan as a Spark job. */
   def execute(name: String, args: String): String =
-    fastFunctions.get(name) match {
-      case Some(fn) => fn(args)
-      case None =>
-        val rows = executeDF(name, args).collect()
-        rows.map(r => r.toSeq.map(jsonValue).mkString("[", ",", "]"))
-          .mkString("[", ",", "]")
+    tryFast(name, args).getOrElse {
+      val rows = executeDF(name, args).collect()
+      rows.map(r => r.toSeq.map(jsonValue).mkString("[", ",", "]"))
+        .mkString("[", ",", "]")
     }
 
   /** `trident/testing/TuplifyArgs.java:26-34` — parse JSON-array DRPC args

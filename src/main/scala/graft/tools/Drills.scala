@@ -388,22 +388,26 @@ object Drills {
       q.processAllAvailable()
       val setup = (System.nanoTime() - t0) / 1e9
       val drpc = new graft.drpc.LocalDRPC(spark)
-      graft.drpc.LiveStateDrpc.registerStateQuery(
+      // the r15 job path: one snapshot persisted per commit, requests
+      // between commits run their shape over the cached blocks
+      val snap = graft.drpc.LiveStateDrpc.registerStateQueryCached(
           drpc, spark, "bench_statequery", ck, "agg") { (state, args) =>
         state.where(F.col("key.value") === args)
           .select(F.col("value.value").as("cnt"))
       }
-      drpc.execute("bench_statequery", "k000000000") // warm the read path
-      val step = math.max(1, nKeys / math.max(1, requests))
-      val times = (0 until requests).map { i =>
-        val key = f"k${(i.toLong * step) % nKeys}%09d"
-        val r0 = System.nanoTime()
-        val res = drpc.execute("bench_statequery", key)
-        require(res.contains("[1]"), s"unexpected DRPC result for $key: $res")
-        (System.nanoTime() - r0) / 1e6
-      }
-      require(q.isActive, "streaming query died during DRPC reads")
-      (times.sum / times.size, times.max, setup)
+      try {
+        drpc.execute("bench_statequery", "k000000000") // builds the snapshot
+        val step = math.max(1, nKeys / math.max(1, requests))
+        val times = (0 until requests).map { i =>
+          val key = f"k${(i.toLong * step) % nKeys}%09d"
+          val r0 = System.nanoTime()
+          val res = drpc.execute("bench_statequery", key)
+          require(res.contains("[1]"), s"unexpected DRPC result for $key: $res")
+          (System.nanoTime() - r0) / 1e6
+        }
+        require(q.isActive, "streaming query died during DRPC reads")
+        (times.sum / times.size, times.max, setup)
+      } finally snap.close()
     } finally {
       q.stop()
       graft.util.Fs.deleteRecursively(java.nio.file.Paths.get(ck))

@@ -399,9 +399,11 @@ class DRPCServiceSpec extends AnyFunSuite {
     // a reader's snapshot is one version — never a half-applied delta
     val (v, m) = idx.snapshot
     assert(v == 1L && m == Map("a" -> 5L, "b" -> 2L))
-    // versions never move backwards (late replay of an old batch id)
+    // a LATE delta (batch id older than the applied version) is dropped
+    // whole — its stale values must not regress newer state, and versions
+    // never move backwards (ADVICE r14: bootstrap racing a live fold)
     idx.applyDelta(0L, Seq("c" -> 9L))
-    assert(idx.version == 1L && idx.get("c").contains(9L))
+    assert(idx.version == 1L && idx.get("c").isEmpty)
     // driver-memory guard: a delta past maxKeys throws LOUDLY and leaves
     // the served snapshot untouched (readers keep the prior version)
     val bounded = new graft.drpc.StateIndex[String, Long](maxKeys = 2)
@@ -413,6 +415,116 @@ class DRPCServiceSpec extends AnyFunSuite {
     // an update to EXISTING keys still lands at the bound
     bounded.applyDelta(1L, Seq("a" -> 5L))
     assert(bounded.get("a").contains(5L) && bounded.version == 1L)
+  }
+
+  test("StateIndex eviction tier: least-recently-updated keys drop at the bound; an evicted key reads through to the job path with the identical result (VERDICT r14 #2)") {
+    // eviction mechanics: update recency (a re-written key survives)
+    val idx = new graft.drpc.StateIndex[String, Long](maxKeys = 3,
+      evictOldest = true)
+    idx.applyDelta(0L, Seq("a" -> 1L, "b" -> 2L, "c" -> 3L))
+    assert(idx.isAuthoritative && idx.evictedCount == 0L)
+    idx.applyDelta(1L, Seq("a" -> 10L)) // touch a: now b is the oldest
+    idx.applyDelta(2L, Seq("d" -> 4L))  // over budget: b evicts
+    assert(idx.size == 3 && idx.get("b").isEmpty && idx.get("a").contains(10L)
+      && idx.get("c").contains(3L) && idx.get("d").contains(4L))
+    assert(idx.evictedCount == 1L && !idx.isAuthoritative)
+    // serving: hit -> fast; miss on the now-non-authoritative index ->
+    // the SAME name's job-path registration answers, identical wire result
+    val table = Seq("a" -> 10L, "b" -> 2L, "c" -> 3L, "d" -> 4L)
+    val jobCalls = new java.util.concurrent.atomic.AtomicLong(0L)
+    val drpc = newDrpc()
+    drpc.register("kv_get", { args =>
+      jobCalls.incrementAndGet()
+      import spark.implicits._
+      table.toDF("k", "v").where(F.col("k") === args).select("v")
+    })
+    drpc.registerMapGet("kv_get", idx, identity[String])
+    val svc = new DRPCService(drpc, requestTimeoutMs = 30000L).start(workers = 1)
+    try {
+      assert(svc.execute("kv_get", "a") == "[[10]]")
+      assert(jobCalls.get() == 0L, "an index hit must not run a job")
+      assert(svc.execute("kv_get", "b") == "[[2]]") // evicted: job read-through
+      assert(jobCalls.get() == 1L, "an evicted-key miss must read through")
+      // absent key on a non-authoritative index also reads through (a miss
+      // is ambiguous) and the job's empty result is the answer
+      assert(svc.execute("kv_get", "nope") == "[]")
+      assert(jobCalls.get() == 2L)
+      // parity with the raw job face on every key
+      (table.map(_._1) :+ "nope").foreach { k =>
+        val job = drpc.executeDF("kv_get", k).collect()
+          .map(r => s"[[${r.getLong(0)}]]").headOption.getOrElse("[]")
+        assert(svc.execute("kv_get", k) == job, s"read-through divergence on '$k'")
+      }
+    } finally svc.stop()
+    // the authoritative (non-evicting) default still answers [] inline
+    val auth = new graft.drpc.StateIndex[String, Long](maxKeys = 3)
+    val drpc2 = newDrpc()
+    val jobCalls2 = new java.util.concurrent.atomic.AtomicLong(0L)
+    drpc2.register("kv2_get", { args =>
+      jobCalls2.incrementAndGet()
+      import spark.implicits._
+      table.toDF("k", "v").where(F.col("k") === args).select("v")
+    })
+    drpc2.registerMapGet("kv2_get", auth, identity[String])
+    auth.applyDelta(0L, Seq("a" -> 1L))
+    assert(drpc2.execute("kv2_get", "zz") == "[]" && jobCalls2.get() == 0L)
+  }
+
+  test("cached state-query job path: snapshot reused between commits == fresh statestore read across a commit (VERDICT r14 #3)") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val ck = java.nio.file.Files.createTempDirectory("drpc-cache-ck").toString
+    val input = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[String]
+    val counts = graft.streaming.StateStoreRunner.runningCount[String, String](
+      input.toDS().flatMap(_.split(" ").iterator.filter(_.nonEmpty)), identity)
+    val q = counts.writeStream.outputMode("update")
+      .option("checkpointLocation", ck)
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[(String, Long)], _: Long) =>
+        b.queryExecution.toRdd.count(); ()
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime(0L))
+      .start()
+    val drpc = newDrpc()
+    def shape(state: org.apache.spark.sql.DataFrame, args: String) =
+      state.where(F.col("key.value") === args)
+        .select(F.col("value.value").as("cnt"))
+    graft.drpc.LiveStateDrpc.registerStateQuery(
+      drpc, spark, "wc_fresh", ck, "agg")(shape)
+    val snap = graft.drpc.LiveStateDrpc.registerStateQueryCached(
+      drpc, spark, "wc_cached", ck, "agg")(shape)
+    try {
+      input.addData("the man the moon the")
+      q.processAllAvailable()
+      val v1 = snap.latestCommittedBatch()
+      assert(v1 >= 0L)
+      // cached == fresh on every key, repeated reads reuse one snapshot
+      Seq("the", "man", "moon", "nope").foreach { k =>
+        assert(drpc.execute("wc_cached", k) == drpc.execute("wc_fresh", k),
+          s"cached/fresh divergence on '$k' before commit")
+      }
+      assert(snap.latestCommittedBatch() == v1)
+      // a new COMMIT invalidates the snapshot: the cached face must serve
+      // the post-commit values, still equal to a fresh read
+      input.addData("moon moon")
+      q.processAllAvailable()
+      assert(snap.latestCommittedBatch() > v1)
+      assert(drpc.execute("wc_cached", "moon") == "[[3]]")
+      Seq("the", "man", "moon", "nope").foreach { k =>
+        assert(drpc.execute("wc_cached", k) == drpc.execute("wc_fresh", k),
+          s"cached/fresh divergence on '$k' after commit")
+      }
+    } finally {
+      snap.close()
+      q.stop()
+      prev match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+      graft.util.Fs.deleteRecursively(java.nio.file.Paths.get(ck))
+    }
   }
 
   test("keyed fast path: fast == job path over a live query, refresh on commit, inline under a jammed queue (VERDICT r13 #1)") {
