@@ -89,7 +89,11 @@ object Bench {
     // the round artifact — round 5's recorded run misrecorded 4 consecutive
     // queries by 2.6-15x that way. The min of 2 reps is robust to any
     // transient that doesn't span both, while keeping suite wall time ~2x.
-    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "2").toInt.max(1)
+    // 3 since r15 (VERDICT r14 #5): per-query MEDIANS + spreads now ride
+    // in BENCH_SELF's q_stats so single-window per-query swings (q196
+    // 2.99s vs ~1.2s typical) are attributable without a re-run; a real
+    // median needs 3 points. Headline entries stay min-of-reps.
+    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt.max(1)
     // Adaptive third rep (VERDICT r9 #2): min-of-2 back-to-back reps let
     // ONE degraded window stretch hit both reps of a contiguous run of
     // queries (r9 driver artifact: q75-q80 inflated 2.7-8.3x on untouched
@@ -104,11 +108,18 @@ object Bench {
     // single window's ratio uninterpretable. Each query's DuckDB twin now
     // runs back-to-back with its Spark reps inside the timed loop — same
     // machine window per PAIR, same min-of-reps discipline on both sides.
-    val duckReps = sys.env.getOrElse("SPARK_GRAFT_BENCH_DUCK_REPS", "2").toInt.max(1)
+    val duckReps = sys.env.getOrElse("SPARK_GRAFT_BENCH_DUCK_REPS", "3").toInt.max(1)
     val oracleServer: Option[OracleServer] =
       if (sys.env.get("SPARK_GRAFT_BENCH_ORACLE").contains("0")) None
       else OracleServer.start(sfDir)
     val duckTimes = scala.collection.mutable.LinkedHashMap[String, Double]()
+    // per-query medians + spreads (VERDICT r14 #5): spark med/spread from
+    // the same reps the min is taken over; duck med/spread from the
+    // interleaved twin's reps — BENCH_SELF-only (q_stats), never stdout
+    val sparkStats = scala.collection.mutable.LinkedHashMap[String, (Double, Double)]()
+    val duckStats = scala.collection.mutable.LinkedHashMap[String, (Double, Double)]()
+    def lowerMedian(xs: Seq[Double]): Double = xs.sorted.apply((xs.size - 1) / 2)
+    def spread(xs: Seq[Double]): Double = xs.max - xs.min
     val results = benchQueries.toSeq.sortBy(_._1).map { case (name, fn) =>
       // (elapsed, succeeded) per rep: a rep that THROWS fast (transient
       // I/O, stage kill) must not win the min over a rep that actually
@@ -130,8 +141,15 @@ object Bench {
           .minOption.forall(_ * 1000 >= extraRepMs)
       val times = if (needExtra) base :+ rep() else base
       val succeeded = times.collect { case (t, true) => t }
-      oracleServer.foreach(srv =>
-        srv.time(name, duckReps).foreach(d => duckTimes(name) = d))
+      if (succeeded.nonEmpty)
+        sparkStats(name) = (lowerMedian(succeeded), spread(succeeded))
+      oracleServer.foreach { srv =>
+        val ds = srv.time(name, duckReps)
+        if (ds.nonEmpty) {
+          duckTimes(name) = ds.min
+          duckStats(name) = (lowerMedian(ds), spread(ds))
+        }
+      }
       name -> (if (succeeded.nonEmpty) succeeded.min else times.map(_._1).min)
     }
     // Self-normalizing denominator (VERDICT r9 #1): every bench artifact
@@ -164,9 +182,13 @@ object Bench {
           s""""spark_paired":${BenchFormat.ms(sparkPaired)},""" +
           s""""ratio":${BenchFormat.ms(ratio)},"oracle_mode":"interleaved",""", perQ)
       case Some(_) =>
+        // server died mid-suite: the partial pair would misstate the ratio,
+        // but the artifact still needs SOME 2x-gate denominator — fall back
+        // to the post-hoc batch pair instead of empty notes (ADVICE r14)
         System.err.println(s"[bench] interleaved pair covers only " +
-          s"${duckTimes.size}/${benchQueries.size} queries — refusing the ratio")
-        ("", "")
+          s"${duckTimes.size}/${benchQueries.size} queries — falling back " +
+          "to the post-hoc batch pair")
+        oraclePair(sfDir, benchQueries.keySet, batchTotal)
       case None =>
         oraclePair(sfDir, benchQueries.keySet, batchTotal)
     }
@@ -218,6 +240,16 @@ object Bench {
       case org.json4s.JDecimal(d) => d.toDouble
     }
     val prevCalib: Option[Double] = standingNum("calib")
+    // SF guard (r15): the standing pair is the JUDGED-SF artifact; a run
+    // at any other SF (an sf0.001 smoke) must neither be judged degraded
+    // against it nor — via the persistent-slowdown hatch — REPLACE it
+    // (that actually happened once: two sf0.001 smokes in a slow window
+    // agreed on calib and re-baselined the sf0.1 standing pair). A
+    // different-SF run lands in BENCH_SELF_LOCAL.json.
+    val standingSf: Option[String] = standing.map(_ \ "sf").collect {
+      case org.json4s.JString(s) => s
+    }
+    val sfMismatch = standingSf.exists(_ != sfDir)
     // 1.10x threshold (VERDICT r12 #5): the r12 driver window ran at
     // 1.15x the standing calib — under the old 1.3x gate — and rewrote
     // the standing pair with a 13%-worse headline that was pure machine
@@ -242,8 +274,9 @@ object Bench {
         case org.json4s.JInt(i) => i.toDouble
         case org.json4s.JDecimal(d) => d.toDouble
       }
-    val persistentSlowdown = degradedRaw && priorDegradedCalib.exists(pc =>
-      calib <= 1.05 * pc && pc <= 1.05 * calib)
+    // never re-baseline from a different-SF run (see sfMismatch above)
+    val persistentSlowdown = !sfMismatch && degradedRaw &&
+      priorDegradedCalib.exists(pc => calib <= 1.05 * pc && pc <= 1.05 * calib)
     if (degradedRaw && rebaselineFlag)
       System.err.println("[bench] SPARK_GRAFT_BENCH_REBASELINE=1 — accepting " +
         "this window as the new standing pair despite the calib gate")
@@ -267,8 +300,26 @@ object Bench {
           s""""standing":{"value":${BenchFormat.ms(v)},"calib":${BenchFormat.ms(c)}$duckPart},"""
         case _ => ""
       }
+    // Per-query medians + spreads (VERDICT r14 #5), BENCH_SELF-only:
+    // "q_stats":{"<name>":[spark_med, spark_spread, duck_med, duck_spread]}
+    // (duck fields null when the twin didn't answer). Headline "queries"
+    // stay min-of-reps; a per-query regression is now attributable from
+    // the artifact alone — a med far above the min marks window noise,
+    // matched med/min shifts mark a real plan change.
+    val qStatsNote = {
+      val entries = results.map(_._1).filter(sparkStats.contains).map { n =>
+        val (sm, ss) = sparkStats(n)
+        val duckPart = duckStats.get(n)
+          .map { case (dm, dsp) => BenchFormat.ms(dm) + "," + BenchFormat.ms(dsp) }
+          .getOrElse("null,null")
+        "\"" + n + "\":[" + BenchFormat.ms(sm) + "," + BenchFormat.ms(ss) +
+          "," + duckPart + "]"
+      }
+      if (entries.isEmpty) "" else entries.mkString("\"q_stats\":{", ",", "},")
+    }
     val json = BenchFormat.fullJson(results, streaming, calib, reps,
-      degraded, warmNote, sfDir, oracleNote + standingNote, duckQueriesNote)
+      degraded, warmNote, sfDir, oracleNote + standingNote,
+      duckQueriesNote + qStatsNote)
     // Durable full-fidelity artifact FIRST: r4-r6 driver artifacts were
     // "parsed": null because async executor logs flushed after the JSON
     // println and pushed it out of the driver's tail window. The file
@@ -286,6 +337,11 @@ object Bench {
           sys.env.get("SPARK_GRAFT_BENCH_SKIP_STREAMING").contains("1")) {
         System.err.println("[bench] local-iteration knobs set — writing " +
           "BENCH_SELF_LOCAL.json, leaving BENCH_SELF.json untouched")
+        "BENCH_SELF_LOCAL.json"
+      } else if (sfMismatch) {
+        System.err.println(s"[bench] run sf $sfDir != standing " +
+          s"${standingSf.get} — writing BENCH_SELF_LOCAL.json, leaving the " +
+          "standing judged-SF pair untouched")
         "BENCH_SELF_LOCAL.json"
       } else if (degraded) {
         System.err.println(f"[bench] degraded window: calib $calib%.3f > 1.10x " +
@@ -362,54 +418,67 @@ object Bench {
       writer: java.io.BufferedWriter, reader: java.io.BufferedReader) {
     @volatile private var broken = false
 
-    /** readLine with a deadline: a duck query that wedges (lock, runaway
-      * plan) must cost one twin, not stall the whole bench on a pipe
-      * read. Polls `ready()` (the python side writes whole lines and
-      * flushes), kills the server past the deadline. */
-    private def readLineWithin(deadlineMs: Long): Option[String] = {
-      val deadline = System.nanoTime() + deadlineMs * 1000000L
-      while (!reader.ready()) {
-        if (System.nanoTime() > deadline) {
-          System.err.println(
-            s"[bench] oracle server unresponsive for ${deadlineMs}ms — killing it")
-          broken = true
-          proc.destroyForcibly()
-          return None
-        }
-        Thread.sleep(5L)
-      }
-      Option(reader.readLine())
+    // Background reader feeding a queue (ADVICE r14): the old ready()-poll
+    // enforced the deadline only until the FIRST byte arrived — a pipe
+    // chunk without its trailing newline then blocked readLine() forever,
+    // exactly in the wedged-server case the watchdog guards. A dedicated
+    // reader thread can block harmlessly; the bench thread polls the
+    // queue with a real end-to-end deadline.
+    private val lines = new java.util.concurrent.LinkedBlockingQueue[String]()
+    private val readerThread = {
+      val t = new Thread(() => {
+        try {
+          var line = reader.readLine()
+          while (line != null) { lines.put(line); line = reader.readLine() }
+        } catch { case _: Throwable => () } // EOF/kill: bench sees a timeout
+      }, "oracle-pipe-reader")
+      t.setDaemon(true); t.start(); t
     }
 
-    /** Min duck seconds over `reps` back-to-back runs of `name`'s oracle
-      * SQL; None when the query has no oracle, errored, or the server
-      * died. */
-    def time(name: String, reps: Int): Option[Double] = {
-      if (broken) return None
-      var best: Option[Double] = None
+    /** Queue poll with a deadline: a duck query that wedges (lock, runaway
+      * plan, torn line) costs one twin, never stalls the whole bench.
+      * Kills the server past the deadline. */
+    private def readLineWithin(deadlineMs: Long): Option[String] = {
+      val line = lines.poll(deadlineMs, java.util.concurrent.TimeUnit.MILLISECONDS)
+      if (line == null) {
+        System.err.println(
+          s"[bench] oracle server unresponsive for ${deadlineMs}ms — killing it")
+        broken = true
+        proc.destroyForcibly()
+        None
+      } else Some(line)
+    }
+
+    /** Duck seconds of ALL successful back-to-back runs of `name`'s oracle
+      * SQL (the caller takes min for the headline, median/spread for
+      * q_stats); empty when the query has no oracle, errored, or the
+      * server died. */
+    def time(name: String, reps: Int): Seq[Double] = {
+      if (broken) return Seq.empty
+      val got = scala.collection.mutable.Buffer.empty[Double]
       var i = 0
       while (i < reps) {
         try {
           writer.write(name); writer.newLine(); writer.flush()
           val line = readLineWithin(120000L).orNull
-          if (line == null) { broken = true; return best }
+          if (line == null) { broken = true; return got.toSeq }
           val sec = """"sec":\s*([0-9.eE+-]+)""".r
             .findFirstMatchIn(line).map(_.group(1).toDouble)
           sec match {
-            case Some(s) => best = Some(best.fold(s)(math.min(_, s)))
+            case Some(s) => got += s
             case None =>
               if (line.contains("\"err\"") && !line.contains("no-oracle"))
                 System.err.println(s"[bench] duck twin for $name errored: $line")
-              return best // no-oracle / error: don't burn further reps
+              return got.toSeq // no-oracle / error: don't burn further reps
           }
         } catch { case e: Throwable =>
           System.err.println(s"[bench] oracle server died: ${e.getMessage}")
           broken = true
-          return best
+          return got.toSeq
         }
         i += 1
       }
-      best
+      got.toSeq
     }
 
     def close(): Unit = {
