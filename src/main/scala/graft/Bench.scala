@@ -208,6 +208,7 @@ object Bench {
       else Seq(
         medianOfRuns(streamReps)(() => streamingLsh(spark, sfDir)),
         medianOfRuns(streamReps)(() => streamingDupClusters(spark, sfDir)),
+        medianOfRuns(streamReps)(() => streamingDupClustersScored(spark, sfDir)),
         medianOfRuns(streamReps)(() => streamingWordCount(spark, sfDir)),
         medianOfRuns(streamReps)(() => streamingWordCountDurable(spark, sfDir)),
         medianOfRuns(streamReps)(() => streamingWordCountStore(spark, sfDir)),
@@ -674,6 +675,23 @@ object Bench {
         graft.tools.Drills.streamDupClusters(spark, sfDir)
       System.err.println(
         f"[bench] $label: $pairs pairs in $sec%.2fs -> $emitted emissions, $clusters clusters")
+      label -> sec
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] $label failed: ${e.getMessage}")
+      label -> -1.0
+    }
+  }
+
+  /** Quality-aware streaming clusters (VERDICT r14 #4): same pair stream,
+    * fold also maintains + emits the per-cluster best representative. */
+  private def streamingDupClustersScored(spark: SparkSession,
+      sfDir: String): (String, Double) = {
+    val label = "stream_dupclusters_scored"
+    try {
+      val (sec, pairs, emitted, winners) =
+        graft.tools.Drills.streamDupClustersScored(spark, sfDir)
+      System.err.println(
+        f"[bench] $label: $pairs pairs in $sec%.2fs -> $emitted emissions, $winners winners")
       label -> sec
     } catch { case e: Throwable =>
       System.err.println(s"[bench] $label failed: ${e.getMessage}")

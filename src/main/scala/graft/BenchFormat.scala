@@ -35,6 +35,7 @@ object BenchFormat {
 
   private val stShort = Map(
     "stream_lsh_candidates" -> "lsh", "stream_dupclusters" -> "dupc",
+    "stream_dupclusters_scored" -> "dupcq",
     "stream_wordcount" -> "wc",
     "stream_wordcount_durable" -> "wcd", "stream_wordcount_store" -> "wcs",
     "drpc_statequery_ms" -> "drpc_ms", "drpc_concurrent_p99_ms" -> "drpcc_ms",

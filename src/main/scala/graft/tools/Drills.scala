@@ -367,6 +367,48 @@ object Drills {
     } finally svc.stop()
   }
 
+  /** [[streamDupClusters]]'s quality-aware face (VERDICT r14 #4): the same
+    * hash-sliced candidate micro-batches, but each pair carries its
+    * endpoints' quality (n_chars), and the fold maintains + emits the
+    * per-cluster best representative alongside every label
+    * (`applyBatchScored`). Returns (seconds, pairs, emitted rows, final
+    * distinct winners). */
+  def streamDupClustersScored(spark: SparkSession, sfDir: String,
+                              batches: Int = 4): (Double, Long, Long, Long) = {
+    import org.apache.spark.sql.{functions => F}
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val quality = docs.select(F.col("doc_id").cast("long").as("id"),
+      F.length(F.col("text")).cast("double").as("q"))
+    val banded = graft.functions.Dedup.lshBands(
+      graft.functions.Dedup.minhashSignature(docs, "text", 3, 4), 4, 2)
+    val pairs = graft.functions.Dedup.lshCandidatePairs(banded, "doc_id", 2)
+      .select(F.col("a").cast("long").as("a"), F.col("b").cast("long").as("b"))
+      .join(quality.withColumnRenamed("id", "a").withColumnRenamed("q", "qa"), Seq("a"))
+      .join(quality.withColumnRenamed("id", "b").withColumnRenamed("q", "qb"), Seq("b"))
+      .localCheckpoint(true)
+    val nPairs = pairs.count()
+    val id = s"bench-dupcq-${System.nanoTime()}"
+    graft.streaming.IncrementalClusters.clearInMemory(id)
+    val inc = graft.streaming.IncrementalClusters.inMemory(id)
+    try {
+      var emitted = 0L
+      val t0 = System.nanoTime()
+      (0 until batches).foreach { i =>
+        val slice = pairs.where(
+          F.pmod(F.xxhash64(F.col("a"), F.col("b")), F.lit(batches.toLong)) === i.toLong)
+        emitted += inc.applyBatchScored(slice, "a", "b", "qa", "qb", i.toLong).count()
+      }
+      val sec = (System.nanoTime() - t0) / 1e9
+      val winners = inc.bestSnapshot(spark)
+        .select(F.countDistinct("best_id")).head().getLong(0)
+      (sec, nPairs, emitted, winners)
+    } finally {
+      graft.streaming.IncrementalClusters.clearInMemory(id)
+      pairs.unpersist(blocking = false)
+      ()
+    }
+  }
+
   def drpcStateQuery(spark: SparkSession, nKeys: Int, requests: Int): (Double, Double, Double) = {
     import org.apache.spark.sql.{functions => F}
     import spark.implicits._

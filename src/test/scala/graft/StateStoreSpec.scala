@@ -181,6 +181,12 @@ class StateStoreSpec extends AnyFunSuite {
     val e2 = inc.applyBatchScored(withQ(Seq((1L, 2L))), "a", "b", "qa", "qb", 1L)
       .as[(Long, Long, Long, Double)].collect().toSet
     assert(e2 == Set((1L, 1L, 1L, 80.0), (2L, 1L, 1L, 80.0)), s"batch-2: $e2")
+    // batch 3: an edge INTERNAL to the merged component — re-emits its
+    // endpoints with the CARRIED winner (no new winner; the only state
+    // write is the lazy compression of 7's chain through the lost root 2)
+    val e3 = inc.applyBatchScored(withQ(Seq((2L, 7L))), "a", "b", "qa", "qb", 2L)
+      .as[(Long, Long, Long, Double)].collect().toSet
+    assert(e3 == Set((2L, 1L, 1L, 80.0), (7L, 1L, 1L, 80.0)), s"batch-3: $e3")
     // parity with the batch face: keepBestOfClusters keeps exactly the
     // best snapshot's winners (plus unclustered docs)
     val docs = quality.toSeq.map { case (id, qv) => (id, qv) }
