@@ -1871,68 +1871,71 @@ object Scale {
             F.col("__b").between(blo, bhi), F.col("__c")).otherwise(0L))
           .as(s"__p$i")
       })
-    val one = jointDf.agg(aggs.head, aggs.tail: _*).localCheckpoint()
-    def dec(s: String) = s"CAST($s AS DECIMAL(38,0))"
-    // q202's per-column histogram interpolation, as a SQL string over the
-    // 1-row frame: Σ_bin cnt·|probe ∩ bin| floor-DIV width, edge bins
-    // clamped to the column's observed domain
-    def histEst(lo: Long, hi: Long, bs: Seq[Long], cnt: Int => String,
-        mn: String, mx: String): String = {
-      val m = bs.size
-      (0 to m).map { j =>
-        val blo = if (j == 0) dec(mn) else dec(bs(j - 1).toString)
-        val bhi = if (j == m) dec(mx) else s"(${dec(bs(j).toString)} - 1)"
-        val w = s"($bhi - $blo + 1)"
-        val ov = s"""greatest(least(${dec(hi.toString)}, $bhi) -
-                     greatest(${dec(lo.toString)}, $blo) + 1, ${dec("0")})"""
-        val p = s"(${dec(cnt(j))} * $ov)"
-        s"""(CASE WHEN $w < 1 THEN ${dec("0")}
-             ELSE CAST(($p - $p % $w) / $w AS DECIMAL(38,0)) END)"""
-      }.mkString(" + ")
-    }
-    def unifEst(lo: Long, hi: Long, mn: String, mx: String): String =
-      s"""(${dec("n")} * greatest(least(${dec(hi.toString)}, $mx) -
-              greatest(${dec(lo.toString)}, $mn) + 1, ${dec("0")})
-           DIV (${dec(mx)} - $mn + 1))"""
-    def qerr(est: String): Column = F.expr(
-      s"""CAST(CAST(greatest($est, actual, 1L) AS DECIMAL(38,0)) * 1000000
-             DIV greatest(least($est, actual), 1L) AS BIGINT)""")
-    val rows = probes.zipWithIndex.map { case ((alo, ahi, blo, bhi), i) =>
-      one.select(
-        F.lit(alo).as("a_lo"), F.lit(ahi).as("a_hi"),
-        F.lit(blo).as("b_lo"), F.lit(bhi).as("b_hi"),
-        F.col("n"), F.col("ndv_a"), F.col("ndv_b"), F.col("ndv_ab"),
-        F.col(s"__p$i").as("actual"),
-        // per-column estimates first (each a BIGINT ≤ n), THEN the
-        // product DIV n — staged so nothing exceeds n² in the decimals
-        F.expr(s"CAST(${unifEst(alo, ahi, "mn_a", "mx_a")} AS BIGINT)").as("__ea_u"),
-        F.expr(s"CAST(${unifEst(blo, bhi, "mn_b", "mx_b")} AS BIGINT)").as("__eb_u"),
-        F.expr(s"CAST(${histEst(alo, ahi, aBoundaries, j => s"__ca$j", "mn_a", "mx_a")} AS BIGINT)").as("__ea_h"),
-        F.expr(s"CAST(${histEst(blo, bhi, bBoundaries, j => s"__cb$j", "mn_b", "mx_b")} AS BIGINT)").as("__eb_h"))
-    }
-    rows.reduce(_.unionByName(_))
-      .withColumn("est_indep_uniform", F.expr(
-        s"""CAST(${dec("__ea_u")} * __eb_u DIV greatest(n, 1L) AS BIGINT)"""))
-      .withColumn("est_indep_hist", F.expr(
-        s"""CAST(${dec("__ea_h")} * __eb_h DIV greatest(n, 1L) AS BIGINT)"""))
-      .withColumn("est_corrected", F.expr(
-        // staged: (hist product DIV n) × dependency factor, clamped to
-        // min(est_a, est_b). The pre-clamp quotient can exceed BIGINT at
-        // corpus scale (n·min_ndv), so floor it in DECIMAL via the
-        // (p - p%w)/w spelling and clamp BEFORE the final cast
-        s"""CAST(least(
-              CAST((CAST(est_indep_hist AS DECIMAL(38,0)) * ndv_a * ndv_b
-                    - CAST(est_indep_hist AS DECIMAL(38,0)) * ndv_a * ndv_b
-                      % greatest(ndv_ab, 1L))
-                   / greatest(ndv_ab, 1L) AS DECIMAL(38,0)),
-              CAST(least(__ea_h, __eb_h) AS DECIMAL(38,0))) AS BIGINT)"""))
-      .withColumn("qerr_uniform_ppm", qerr("est_indep_uniform"))
-      .withColumn("qerr_hist_ppm", qerr("est_indep_hist"))
-      .withColumn("qerr_corrected_ppm", qerr("est_corrected"))
-      .select("a_lo", "a_hi", "b_lo", "b_hi", "n", "ndv_a", "ndv_b",
-        "ndv_ab", "actual", "est_indep_uniform", "est_indep_hist",
-        "est_corrected", "qerr_uniform_ppm", "qerr_hist_ppm",
-        "qerr_corrected_ppm")
+    // ONE distributed fold of the capped joint table into a bounded scalar
+    // row (counts, domain, bin masses, probe actuals), then the estimator
+    // arithmetic runs DRIVER-SIDE in exact BigInt (r15): the former
+    // per-probe DECIMAL(38,0) expression trees compiled to multi-MB task
+    // binaries and dominated the query with plan/codegen fixed cost, for
+    // arithmetic over ONE row. All divided quantities here are
+    // non-negative, so BigInt / == the decimal floor-DIV spellings
+    // cell-exactly; .longValueExact keeps the ANSI overflow contract.
+    val one = jointDf.agg(aggs.head, aggs.tail: _*).collect()(0)
+    val spark = jointDf.sparkSession
+    val outSchema = org.apache.spark.sql.types.StructType(
+      Seq("a_lo", "a_hi", "b_lo", "b_hi", "n", "ndv_a", "ndv_b", "ndv_ab",
+        "actual", "est_indep_uniform", "est_indep_hist", "est_corrected",
+        "qerr_uniform_ppm", "qerr_hist_ppm", "qerr_corrected_ppm")
+        .map(org.apache.spark.sql.types.StructField(_,
+          org.apache.spark.sql.types.LongType, nullable = true)))
+    def rowsDf(rows: Seq[org.apache.spark.sql.Row]): DataFrame =
+      spark.createDataFrame(
+        scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava, outSchema)
+    if (one.isNullAt(one.fieldIndex("n"))) // empty joint table: null stats
+      return rowsDf(probes.map { case (alo, ahi, blo, bhi) =>
+        org.apache.spark.sql.Row(alo, ahi, blo, bhi,
+          null, null, null, null, null, null, null, null, null, null, null)
+      })
+    def lv(name: String): Long = one.getLong(one.fieldIndex(name))
+    val n = BigInt(lv("n"))
+    val (mnA, mxA, mnB, mxB) = (lv("mn_a"), lv("mx_a"), lv("mn_b"), lv("mx_b"))
+    val (ndvA, ndvB, ndvAb) = (lv("ndv_a"), lv("ndv_b"), lv("ndv_ab"))
+    val ca = (0 to aBoundaries.size).map(j => BigInt(lv(s"__ca$j")))
+    val cb = (0 to bBoundaries.size).map(j => BigInt(lv(s"__cb$j")))
+    def long(b: BigInt): Long = b.bigInteger.longValueExact()
+    def ov(lo: Long, hi: Long, blo: BigInt, bhi: BigInt): BigInt =
+      ((bhi min BigInt(hi)) - (blo max BigInt(lo)) + 1) max BigInt(0)
+    // q202's per-column histogram interpolation: sum over bins of
+    // cnt * |probe ∩ bin| floor-div width, edge bins clamped to the domain
+    def histEst(lo: Long, hi: Long, bs: Seq[Long], cnt: Seq[BigInt],
+        mn: Long, mx: Long): BigInt =
+      (0 to bs.size).map { j =>
+        val blo = if (j == 0) BigInt(mn) else BigInt(bs(j - 1))
+        val bhi = if (j == bs.size) BigInt(mx) else BigInt(bs(j)) - 1
+        val w = bhi - blo + 1
+        if (w < 1) BigInt(0) else (cnt(j) * ov(lo, hi, blo, bhi)) / w
+      }.sum
+    def unifEst(lo: Long, hi: Long, mn: Long, mx: Long): BigInt =
+      (n * ov(lo, hi, BigInt(mn), BigInt(mx))) / (BigInt(mx) - mn + 1)
+    def qerr(est: BigInt, actual: BigInt): BigInt =
+      ((est max actual max BigInt(1)) * 1000000) /
+        (((est min actual) max BigInt(1)))
+    rowsDf(probes.zipWithIndex.map { case ((alo, ahi, blo, bhi), i) =>
+      val actual = BigInt(lv(s"__p$i"))
+      val eaU = unifEst(alo, ahi, mnA, mxA)
+      val ebU = unifEst(blo, bhi, mnB, mxB)
+      val eaH = histEst(alo, ahi, aBoundaries, ca, mnA, mxA)
+      val ebH = histEst(blo, bhi, bBoundaries, cb, mnB, mxB)
+      val estU = (eaU * ebU) / (n max BigInt(1))
+      val estH = (eaH * ebH) / (n max BigInt(1))
+      // (hist product) × NDV dependency factor, clamped to min(est_a, est_b)
+      val corrected =
+        ((estH * ndvA * ndvB) / (BigInt(ndvAb) max BigInt(1))) min (eaH min ebH)
+      org.apache.spark.sql.Row(alo, ahi, blo, bhi,
+        long(n), ndvA, ndvB, ndvAb, long(actual),
+        long(estU), long(estH), long(corrected),
+        long(qerr(estU, actual)), long(qerr(estH, actual)),
+        long(qerr(corrected, actual)))
+    })
   }
 
   /** Conjunctive selectivity from a 2-D JOINT fixed-bin histogram — the
@@ -1988,40 +1991,48 @@ object Scale {
             F.col("__b").between(blo, bhi), F.col("__c")).otherwise(0L))
           .as(s"__p$i")
       })
-    val one = jointDf.agg(aggs.head, aggs.tail: _*).localCheckpoint()
-    def dec(s: String) = s"CAST($s AS DECIMAL(38,0))"
-    def edge(j: Int, bs: Seq[Long], mn: String, mx: String): (String, String) = {
-      val lo = if (j == 0) dec(mn) else dec(bs(j - 1).toString)
-      val hi = if (j == bs.size) dec(mx) else s"(${dec(bs(j).toString)} - 1)"
-      (lo, hi)
-    }
-    val rows = probes.zipWithIndex.map { case ((alo, ahi, blo, bhi), pi) =>
-      val terms = for (i <- 0 to ma; j <- 0 to mb) yield {
-        val (aLoE, aHiE) = edge(i, aBoundaries, "mn_a", "mx_a")
-        val (bLoE, bHiE) = edge(j, bBoundaries, "mn_b", "mx_b")
-        val wA = s"($aHiE - $aLoE + 1)"
-        val wB = s"($bHiE - $bLoE + 1)"
-        val ovA = s"""greatest(least(${dec(ahi.toString)}, $aHiE) -
-                      greatest(${dec(alo.toString)}, $aLoE) + 1, ${dec("0")})"""
-        val ovB = s"""greatest(least(${dec(bhi.toString)}, $bHiE) -
-                      greatest(${dec(blo.toString)}, $bLoE) + 1, ${dec("0")})"""
-        val p = s"(${dec(s"__c${i}_$j")} * $ovA * $ovB)"
-        val w = s"($wA * $wB)"
-        s"""(CASE WHEN $wA < 1 OR $wB < 1 THEN ${dec("0")}
-             ELSE CAST(($p - $p % $w) / $w AS DECIMAL(38,0)) END)"""
-      }
-      one.select(
-        F.lit(alo).as("a_lo"), F.lit(ahi).as("a_hi"),
-        F.lit(blo).as("b_lo"), F.lit(bhi).as("b_hi"),
-        F.col("n"), F.col(s"__p$pi").as("actual"),
-        F.expr(s"CAST(${terms.mkString(" + ")} AS BIGINT)").as("est_joint"))
-    }
-    rows.reduce(_.unionByName(_))
-      .withColumn("qerr_joint_ppm", F.expr(
-        """CAST(CAST(greatest(est_joint, actual, 1L) AS DECIMAL(38,0)) * 1000000
-               DIV greatest(least(est_joint, actual), 1L) AS BIGINT)"""))
-      .select("a_lo", "a_hi", "b_lo", "b_hi", "n", "actual", "est_joint",
+    // same r15 shape as [[conjunctiveSelectivityAudit]]: one distributed
+    // fold of the joint table into the (cell-grid, probe) scalar row, then
+    // exact BigInt interpolation driver-side — the former per-probe
+    // (ma+1)×(mb+1)-term DECIMAL trees were the query's real cost
+    val one = jointDf.agg(aggs.head, aggs.tail: _*).collect()(0)
+    val spark = jointDf.sparkSession
+    val outSchema = org.apache.spark.sql.types.StructType(
+      Seq("a_lo", "a_hi", "b_lo", "b_hi", "n", "actual", "est_joint",
         "qerr_joint_ppm")
+        .map(org.apache.spark.sql.types.StructField(_,
+          org.apache.spark.sql.types.LongType, nullable = true)))
+    def rowsDf(rows: Seq[org.apache.spark.sql.Row]): DataFrame =
+      spark.createDataFrame(
+        scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava, outSchema)
+    if (one.isNullAt(one.fieldIndex("n")))
+      return rowsDf(probes.map { case (alo, ahi, blo, bhi) =>
+        org.apache.spark.sql.Row(alo, ahi, blo, bhi, null, null, null, null)
+      })
+    def lv(name: String): Long = one.getLong(one.fieldIndex(name))
+    val n = lv("n")
+    val (mnA, mxA, mnB, mxB) = (lv("mn_a"), lv("mx_a"), lv("mn_b"), lv("mx_b"))
+    def long(b: BigInt): Long = b.bigInteger.longValueExact()
+    def edge(j: Int, bs: Seq[Long], mn: Long, mx: Long): (BigInt, BigInt) = (
+      if (j == 0) BigInt(mn) else BigInt(bs(j - 1)),
+      if (j == bs.size) BigInt(mx) else BigInt(bs(j)) - 1)
+    def ov(lo: Long, hi: Long, blo: BigInt, bhi: BigInt): BigInt =
+      ((bhi min BigInt(hi)) - (blo max BigInt(lo)) + 1) max BigInt(0)
+    rowsDf(probes.zipWithIndex.map { case ((alo, ahi, blo, bhi), pi) =>
+      val est = (for (i <- 0 to ma; j <- 0 to mb) yield {
+        val (aLoE, aHiE) = edge(i, aBoundaries, mnA, mxA)
+        val (bLoE, bHiE) = edge(j, bBoundaries, mnB, mxB)
+        val (wA, wB) = (aHiE - aLoE + 1, bHiE - bLoE + 1)
+        if (wA < 1 || wB < 1) BigInt(0)
+        else (BigInt(lv(s"__c${i}_$j")) * ov(alo, ahi, aLoE, aHiE) *
+          ov(blo, bhi, bLoE, bHiE)) / (wA * wB)
+      }).sum
+      val actual = BigInt(lv(s"__p$pi"))
+      val qerr = ((est max actual max BigInt(1)) * 1000000) /
+        ((est min actual) max BigInt(1))
+      org.apache.spark.sql.Row(alo, ahi, blo, bhi, n, long(actual),
+        long(est), long(qerr))
+    })
   }
 
   /** Q-error scoreboard over a probe workload — the CE-benchmark summary

@@ -779,12 +779,33 @@ object Stats {
                       maxJointCells: Long = 10000000L): DataFrame = {
     require(pairs.nonEmpty, "no column pairs given")
     require(maxJointCells >= 1, s"maxJointCells must be >= 1, got $maxJointCells")
+    // ONE corpus scan for all pairs (r15): pre-aggregate the full tuple of
+    // every audited column — each pair's joint table then derives from the
+    // CELL table, not the corpus, so k pairs cost one scan instead of k.
+    // If the full-tuple cell count itself blows the cap (pairs over many
+    // independent high-NDV columns), fall back to the per-pair scans —
+    // the per-pair cap contract below is unchanged either way.
+    val allCols = pairs.flatMap(p => Seq(p._1, p._2)).distinct
+    val base = df
+      .select(allCols.map(c =>
+        F.coalesce(F.col(c).cast("string"), F.lit("\u0002")).as(s"__k_$c")): _*)
+      .groupBy(allCols.map(c => F.col(s"__k_$c")): _*)
+      .agg(F.count(F.lit(1)).as("__n"))
+      .localCheckpoint()
+    val baseUsable = base.count() <= maxJointCells
     val frames = pairs.map { case (a, b) =>
-      val joint = df
-        .select(F.coalesce(F.col(a).cast("string"), F.lit("\u0002")).as("__a"),
-          F.coalesce(F.col(b).cast("string"), F.lit("\u0002")).as("__b"))
-        .groupBy("__a", "__b").agg(F.count(F.lit(1)).as("__c"))
-        .localCheckpoint()
+      // derived joints stay LAZY over the checkpointed cell table (each
+      // downstream use re-groups cells, not corpus — cheaper than an
+      // eager checkpoint job per pair); the fallback path keeps its own
+      // checkpoint since it roots in the corpus scan
+      val joint = if (baseUsable)
+          base.groupBy(F.col(s"__k_$a").as("__a"), F.col(s"__k_$b").as("__b"))
+            .agg(F.sum("__n").as("__c"))
+        else df
+          .select(F.coalesce(F.col(a).cast("string"), F.lit("\u0002")).as("__a"),
+            F.coalesce(F.col(b).cast("string"), F.lit("\u0002")).as("__b"))
+          .groupBy("__a", "__b").agg(F.count(F.lit(1)).as("__c"))
+          .localCheckpoint()
       val cells = joint.count()
       require(cells <= maxJointCells,
         s"dependencyAudit: pair ($a, $b) has $cells joint cells > cap " +
