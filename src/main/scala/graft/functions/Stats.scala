@@ -794,18 +794,17 @@ object Stats {
       .localCheckpoint()
     val baseUsable = base.count() <= maxJointCells
     val frames = pairs.map { case (a, b) =>
-      // derived joints stay LAZY over the checkpointed cell table (each
-      // downstream use re-groups cells, not corpus — cheaper than an
-      // eager checkpoint job per pair); the fallback path keeps its own
-      // checkpoint since it roots in the corpus scan
-      val joint = if (baseUsable)
+      // per-pair joint: a cell-scale re-group of the checkpointed base
+      // (or the corpus fallback), checkpointed once so the 4 downstream
+      // uses (marginals, totals, TV) read one materialization
+      val joint = (if (baseUsable)
           base.groupBy(F.col(s"__k_$a").as("__a"), F.col(s"__k_$b").as("__b"))
             .agg(F.sum("__n").as("__c"))
         else df
           .select(F.coalesce(F.col(a).cast("string"), F.lit("\u0002")).as("__a"),
             F.coalesce(F.col(b).cast("string"), F.lit("\u0002")).as("__b"))
-          .groupBy("__a", "__b").agg(F.count(F.lit(1)).as("__c"))
-          .localCheckpoint()
+          .groupBy("__a", "__b").agg(F.count(F.lit(1)).as("__c")))
+        .localCheckpoint()
       val cells = joint.count()
       require(cells <= maxJointCells,
         s"dependencyAudit: pair ($a, $b) has $cells joint cells > cap " +

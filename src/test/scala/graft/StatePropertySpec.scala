@@ -198,6 +198,36 @@ object StatePropertySpec extends Properties("ExactlyOnceState") {
       Prop(ok)
     }
 
+  property("StateIndex eviction == last-maxKeys-by-update-recency reference model for any delta stream") =
+    Prop.forAll(Gen.listOfN(8, Gen.listOf(
+        Gen.zip(Gen.choose(0, 9), Gen.choose(0L, 100L))))) { deltas =>
+      val m = 4
+      val idx = new graft.drpc.StateIndex[Int, Long](maxKeys = m,
+        evictOldest = true)
+      // reference: insertion-order map with move-to-end on update,
+      // eldest-out on overflow (CachedMap's discipline keyed by writes)
+      val ref = new java.util.LinkedHashMap[Int, Long]()
+      var refEvicted = 0L
+      deltas.zipWithIndex.foreach { case (updates, batch) =>
+        idx.applyDelta(batch.toLong, updates)
+        updates.foreach { case (k, v) => ref.remove(k); ref.put(k, v) }
+        while (ref.size > m) {
+          val eldest = ref.keySet().iterator().next()
+          ref.remove(eldest); refEvicted += 1
+        }
+      }
+      import scala.jdk.CollectionConverters._
+      val want = ref.asScala.toMap
+      val got = idx.snapshot._2
+      val contentsOk = got == want
+      val countOk = idx.evictedCount == refEvicted
+      val authorityOk = idx.isAuthoritative == (refEvicted == 0L)
+      if (!(contentsOk && countOk && authorityOk))
+        println(s"FAIL contents=$contentsOk ($got vs $want) " +
+          s"count=$countOk (${idx.evictedCount} vs $refEvicted) auth=$authorityOk")
+      Prop(contentsOk && countOk && authorityOk)
+    }
+
   property("OpaqueValue.update/get round-trips for monotone txids") =
     Prop.forAll(Gen.listOfN(6, Gen.choose(0L, 5L))) { deltas =>
       // txids strictly increasing via cumulative sums (+1)
