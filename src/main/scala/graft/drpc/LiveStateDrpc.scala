@@ -67,18 +67,18 @@ object LiveStateDrpc {
 
     /** Latest committed batch id: the max numeric entry of the commit log
       * directory (`HDFSMetadataLog` writes one file per committed batch,
-      * named by batch id). -1 before the first commit. */
+      * named by batch id). -1 before the first commit. Listed through the
+      * Hadoop FileSystem API so non-local checkpoints (hdfs://, s3a://,
+      * file:///) invalidate correctly — a java.nio listing would silently
+      * return -1 forever there and pin a stale snapshot. */
     def latestCommittedBatch(): Long = {
-      val dir = java.nio.file.Paths.get(checkpointDir, "commits")
-      if (!java.nio.file.Files.exists(dir)) return -1L
-      val s = java.nio.file.Files.list(dir)
-      try {
-        import scala.jdk.CollectionConverters._
-        s.iterator().asScala
-          .map(_.getFileName.toString)
-          .filter(n => n.nonEmpty && n.forall(_.isDigit))
-          .foldLeft(-1L)((m, n) => math.max(m, n.toLong))
-      } finally s.close()
+      val dir = new org.apache.hadoop.fs.Path(checkpointDir, "commits")
+      val fs = dir.getFileSystem(spark.sessionState.newHadoopConf())
+      if (!fs.exists(dir)) return -1L
+      fs.listStatus(dir).iterator
+        .map(_.getPath.getName)
+        .filter(n => n.nonEmpty && n.forall(_.isDigit))
+        .foldLeft(-1L)((m, n) => math.max(m, n.toLong))
     }
 
     /** The last-committed state, served from the persisted snapshot when

@@ -60,6 +60,11 @@ final class StateIndex[K, V](maxKeys: Int = StateIndex.DefaultMaxKeys,
   @volatile private var snap: (Long, Map[K, V]) =
     (-1L, if (evictOldest) VectorMap.empty[K, V] else HashMap.empty[K, V])
   @volatile private var evicted: Long = 0L
+  // VectorMap removals only tombstone slots in the underlying vector —
+  // without periodic compaction the move-to-end pattern would grow driver
+  // memory by one dead slot per key update forever, the exact OOM this
+  // class budgets against. Rebuild when tombstones outnumber live entries.
+  private var tombstoned: Long = 0L // guarded by this
 
   /** Apply one committed batch's delta atomically. Re-applying the same
     * delta (a foreachBatch replay, batchId == version) is a no-op by
@@ -74,13 +79,19 @@ final class StateIndex[K, V](maxKeys: Int = StateIndex.DefaultMaxKeys,
       val next =
         if (evictOldest) {
           // move-to-end re-insert keeps VectorMap order == update recency
-          var nm = m
+          var nm = m.asInstanceOf[VectorMap[K, V]]
           updates.iterator.foreach { case (k, vv) =>
+            if (nm.contains(k)) tombstoned += 1
             nm = nm.removed(k).updated(k, vv)
           }
           while (nm.size > maxKeys) {
             nm = nm.removed(nm.head._1)
             evicted += 1
+            tombstoned += 1
+          }
+          if (tombstoned > nm.size.toLong + 64) { // compact the dead slots
+            nm = (VectorMap.newBuilder[K, V] ++= nm).result()
+            tombstoned = 0L
           }
           nm
         } else {

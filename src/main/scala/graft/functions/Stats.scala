@@ -841,6 +841,10 @@ object Stats {
                         DIV greatest(ndv_ab, 1L) AS BIGINT)""").as("fd_ba_ppm"),
           F.col("tv_ppm"))
     }
+    // each pair's joint is checkpointed above — release the (potentially
+    // corpus-scale when !baseUsable) base blocks instead of pinning them
+    // in executor storage for the session
+    base.unpersist(blocking = false)
     frames.reduce(_.unionByName(_))
   }
 }

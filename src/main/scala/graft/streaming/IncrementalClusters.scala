@@ -60,7 +60,8 @@ import scala.collection.mutable
   */
 final class IncrementalClusters(
     parents: graft.state.MapState[Long],
-    best: Option[graft.state.MapState[(Double, Long)]] = None) {
+    best: Option[graft.state.MapState[(Double, Long)]] = None,
+    journal: Option[graft.state.MapState[Vector[Long]]] = None) {
 
   /** Fold one micro-batch of candidate pairs into the clustering state and
     * return this batch's DELTA emissions: one (id, cluster_id) row per
@@ -102,10 +103,14 @@ final class IncrementalClusters(
       quality: Option[(String, String)]): Array[(Long, Long, Double, Double)] = {
     val spark = pairs.sparkSession
     import spark.implicits._
+    // null quality coalesces to the NaN "unscored" sentinel the fold
+    // already handles — one null doc must not crash the whole batch
+    def qCol(c: Option[String]) = F.coalesce(
+      c.map(F.col(_).cast("double")).getOrElse(F.lit(Double.NaN)),
+      F.lit(Double.NaN))
     val base = pairs.select(
       F.col(aCol).cast("long").as("a"), F.col(bCol).cast("long").as("b"),
-      quality.map(q => F.col(q._1).cast("double")).getOrElse(F.lit(Double.NaN)).as("qa"),
-      quality.map(q => F.col(q._2).cast("double")).getOrElse(F.lit(Double.NaN)).as("qb"))
+      qCol(quality.map(_._1)).as("qa"), qCol(quality.map(_._2)).as("qb"))
     base.where(F.col("a").isNotNull && F.col("b").isNotNull &&
         F.col("a") =!= F.col("b"))
       .distinct()
@@ -117,16 +122,19 @@ final class IncrementalClusters(
       : (Seq[(Long, Long)], Map[Long, (Double, Long)]) = {
     parents.beginCommit(Some(txid))
     best.foreach(_.beginCommit(Some(txid)))
+    journal.foreach(_.beginCommit(Some(txid)))
     // commit ONLY on success: a fold that threw mid-put must not be
     // committed half-applied on a commit-aware backing — the streaming
-    // runner replays the failed batch (same txid) and the union-before-
-    // compression write order makes any torn prefix replay-repairable
+    // runner replays the failed batch (same txid), and the write order
+    // (journal, then best, then parents) makes any torn prefix
+    // replay-repairable (see foldEdges)
     val qual = mutable.Map.empty[Long, (Double, Long)]
     edges.foreach { case (a, b, qa, qb) =>
       if (!qa.isNaN) qual(a) = betterOf(qual.get(a), (qa, a))
       if (!qb.isNaN) qual(b) = betterOf(qual.get(b), (qb, b))
     }
-    val out = foldEdges(edges.map(e => (e._1, e._2)), parents, qual.toMap)
+    val out = foldEdges(edges.map(e => (e._1, e._2)), parents, qual.toMap, txid)
+    journal.foreach(_.commit(Some(txid)))
     best.foreach(_.commit(Some(txid)))
     parents.commit(Some(txid))
     out
@@ -150,9 +158,23 @@ final class IncrementalClusters(
     * Package-private for that suite. */
   private[graft] def foldEdges(edges: Array[(Long, Long)],
       parents: graft.state.MapState[Long],
-      qualities: Map[Long, (Double, Long)] = Map.empty)
+      qualities: Map[Long, (Double, Long)] = Map.empty,
+      txid: Long = -1L)
       : (Seq[(Long, Long)], Map[Long, (Double, Long)]) = {
     if (edges.isEmpty) return (Seq.empty, Map.empty)
+    // replay detection (crash-safe delta emission): the journal holds the
+    // LAST batch's txid + its root-change records under one reserved key.
+    // A replayed batch (same txid) must RE-EMIT those records — they are
+    // derived from pre-batch state, and after a crash that landed the
+    // state writes but lost the batch's output, recomputing them from the
+    // already-merged state would silently drop them and strand downstream
+    // consumers on dead labels. Micro-batch engines replay only the last
+    // batch, so one record suffices; an out-of-order older txid neither
+    // matches nor overwrites.
+    val journalKey = Seq[Any]("$LAST$")
+    val storedJournal: Option[Vector[Long]] =
+      journal.flatMap(_.multiGet(Seq(journalKey)).head)
+    val storedTxid = storedJournal.flatMap(_.headOption).getOrElse(Long.MinValue)
     val nodes = edges.iterator.flatMap(e => Iterator(e._1, e._2))
       .toVector.distinct
     // --- resolve: iterative bulk multiGets, one round per chain hop ---
@@ -218,9 +240,23 @@ final class IncrementalClusters(
       if (parentOf(x) != fr) { putKeys += Seq(x); putVals += fr }
     }
     isNew.foreach { n => putKeys += Seq(n); putVals += finalOf(n) }
-    if (putKeys.nonEmpty) parents.multiPut(putKeys.toSeq, putVals.toSeq)
-    // --- best-representative maintenance: stored bests of the group's
-    // pre-existing roots merge with the batch's qualities, O(roots) ---
+    // replayed batch: emit the ORIGINAL root-change records (state may
+    // already hold this batch's merges, making the recomputed set a
+    // subset); a NEWER batch overwrites the journal before any state write
+    val emitChanges: Seq[(Long, Long)] =
+      if (journal.isDefined && txid == storedTxid)
+        storedJournal.get.drop(1).grouped(2).collect {
+          case Vector(o, n) => (o, n) }.toSeq
+      else rootChanges.toSeq
+    journal.foreach { jm =>
+      if (txid > storedTxid)
+        jm.multiPut(Seq(journalKey),
+          Seq(txid +: rootChanges.iterator.flatMap(c => Iterator(c._1, c._2)).toVector))
+    }
+    // --- best-representative maintenance runs BEFORE the parents writes:
+    // while the losing roots are still stored self-roots, a replay after
+    // any torn prefix re-reads their bests and re-merges idempotently; the
+    // reverse order would strand an absorbed component's best forever ---
     val bestOf = mutable.Map.empty[Long, (Double, Long)]
     best.foreach { bm =>
       val stored = bm.multiGet(preRoots.map(r => Seq[Any](r)))
@@ -248,10 +284,13 @@ final class IncrementalClusters(
         if (!bestOf.contains(fr)) winnerStored.get(fr).foreach(bestOf(fr) = _)
       }
     }
-    // --- delta emission: endpoints + root-change records, deterministic ---
+    // parents LAST (union links first within the put — see write-order doc)
+    if (putKeys.nonEmpty) parents.multiPut(putKeys.toSeq, putVals.toSeq)
+    // --- delta emission: endpoints + root-change records (the journal's
+    // on a replay), deterministic ---
     val out = mutable.LinkedHashSet.empty[(Long, Long)]
     nodes.foreach(n => out += ((n, finalOf(n))))
-    rootChanges.foreach { case (oldR, newR) => out += ((oldR, newR)) }
+    emitChanges.foreach { case (oldR, newR) => out += ((oldR, newR)) }
     (out.toVector.sorted, bestOf.toMap)
   }
 
@@ -265,11 +304,20 @@ final class IncrementalClusters(
     val raw = parents.scanAll().map { case (k, v) =>
       k.head.asInstanceOf[Long] -> v.asInstanceOf[Long]
     }.toMap
+    // iterative chain resolution with memoized path compression: lost-root
+    // chains can be long (one link per dethroned root, never traversed by
+    // the fold unless an endpoint passes through), so no recursion here
     val memo = mutable.Map.empty[Long, Long]
-    def res(n: Long): Long = memo.getOrElseUpdate(n, {
-      val p = raw.getOrElse(n, n)
-      if (p == n) n else res(p)
-    })
+    def res(n: Long): Long = {
+      val path = mutable.Buffer.empty[Long]
+      var x = n
+      while (!memo.contains(x) && raw.getOrElse(x, x) != x) {
+        path += x; x = raw(x)
+      }
+      val root = memo.getOrElse(x, x)
+      path.foreach(memo(_) = root)
+      root
+    }
     raw.keysIterator.map(n => (n, res(n))).toSeq.toDF("id", "cluster_id")
   }
 
@@ -292,18 +340,33 @@ final class IncrementalClusters(
 }
 
 object IncrementalClusters {
-  /** In-memory fixture pair (the MemoryBackingMap SPI tier — swap any
+  /** In-memory fixture (the MemoryBackingMap SPI tier — swap any
     * IBackingMap-backed deployment in production). */
   def inMemory(id: String): IncrementalClusters = new IncrementalClusters(
     new graft.state.NonTransactionalMap(
       new graft.state.MemoryBackingMap[Long](s"$id-parents")),
     Some(new graft.state.NonTransactionalMap(
-      new graft.state.MemoryBackingMap[(Double, Long)](s"$id-best"))))
+      new graft.state.MemoryBackingMap[(Double, Long)](s"$id-best"))),
+    Some(new graft.state.NonTransactionalMap(
+      new graft.state.MemoryBackingMap[Vector[Long]](s"$id-journal"))))
 
   def clearInMemory(id: String): Unit = {
     graft.state.MemoryBackingMap.clear(s"$id-parents")
     graft.state.MemoryBackingMap.clear(s"$id-best")
+    graft.state.MemoryBackingMap.clear(s"$id-journal")
   }
+
+  /** Long-vector entries (the replay journal) on the scalar JSON state
+    * wire: comma-joined string; empty vector ⇄ empty string. */
+  private[streaming] val vectorCodec = graft.state.ParquetBackingMap.Codec(
+    v => graft.state.StateSerializers.nonTransactionalToJson(
+      v.asInstanceOf[Vector[Long]].mkString(",")),
+    s => {
+      val joined = graft.state.StateSerializers
+        .nonTransactionalFromJson(s).asInstanceOf[String]
+      if (joined.isEmpty) Vector.empty[Long]
+      else joined.split(',').iterator.map(_.toLong).toVector
+    })
 
   /** Best-representative entries on the scalar JSON state wire:
     * "quality|id" (the wire handles scalars only — the reference's JSON
@@ -331,12 +394,16 @@ object IncrementalClusters {
         graft.state.ParquetBackingMap.nonTransactionalCodec)),
     Some(new graft.state.NonTransactionalMap(
       graft.state.ParquetBackingMap.open[(Double, Long)](spark, s"$dir/best",
-        bestCodec))))
+        bestCodec))),
+    Some(new graft.state.NonTransactionalMap(
+      graft.state.ParquetBackingMap.open[Vector[Long]](spark, s"$dir/journal",
+        vectorCodec))))
 
   /** Drop the in-process engines (simulates process exit; durable files
     * remain for the next [[durable]] open). */
   def closeDurable(dir: String): Unit = {
     graft.state.ParquetBackingMap.close(s"$dir/parents")
     graft.state.ParquetBackingMap.close(s"$dir/best")
+    graft.state.ParquetBackingMap.close(s"$dir/journal")
   }
 }

@@ -1417,10 +1417,13 @@ object ScaleDrill {
         (F.col("id") * 2L + 10000001L).as("b"))
       val pairs = star.unionByName(bg).localCheckpoint(true)
       val t0 = System.nanoTime()
-      val labels = Dedup.duplicateClusters(pairs, "a", "b")
+      // cut the labels once: countDistinct and the hot-member count are two
+      // actions and would otherwise re-run the whole propagation each
+      val labels = Dedup.duplicateClusters(pairs, "a", "b").localCheckpoint(true)
       val nClusters = labels.select(F.countDistinct("cluster_id")).head().getLong(0)
       val nHot = labels.where(F.col("cluster_id") === hub).count()
       val sec = (System.nanoTime() - t0) / 1e9
+      labels.unpersist(blocking = false)
       pairs.unpersist(blocking = false)
       println(f"[scale] megacluster M=$m%9d sec=$sec%7.2f clusters=$nClusters%7d hot=$nHot%9d")
       require(nHot == m && nClusters == 100001L,
@@ -1474,6 +1477,7 @@ object ScaleDrill {
       val replayEnd = reopenSec()
       graft.state.ParquetBackingMap.compact(s"$dir/parents")
       graft.state.ParquetBackingMap.compact(s"$dir/best")
+      graft.state.ParquetBackingMap.compact(s"$dir/journal")
       val segsCompacted = segCount("parents")
       val replayCompacted = reopenSec()
       val inc3 = graft.streaming.IncrementalClusters.durable(spark, dir)

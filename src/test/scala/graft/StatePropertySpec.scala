@@ -120,7 +120,10 @@ object StatePropertySpec extends Properties("ExactlyOnceState") {
         new MemoryBackingMap[Long](s"$id-p")))
       val bestM = new NonTransactionalMap(
         new MemoryBackingMap[(Double, Long)](s"$id-b"))
-      val inc = new graft.streaming.IncrementalClusters(parents, Some(bestM))
+      val journalM = new NonTransactionalMap(
+        new MemoryBackingMap[Vector[Long]](s"$id-j"))
+      val inc = new graft.streaming.IncrementalClusters(parents, Some(bestM),
+        Some(journalM))
       // deterministic per-node quality for the best-representative law
       def q(n: Long): Double = ((n * 7) % 5).toDouble
       // reference: min-label components over ALL edges seen so far
@@ -155,7 +158,8 @@ object StatePropertySpec extends Properties("ExactlyOnceState") {
         parents.resetCounts()
         parents.beginCommit(Some(txid.toLong))
         bestM.beginCommit(Some(txid.toLong))
-        val (emitted, bestOf) = inc.foldEdges(es.toArray, parents, quals)
+        val (emitted, bestOf) =
+          inc.foldEdges(es.toArray, parents, quals, txid.toLong)
         parents.commit(Some(txid.toLong)); bestM.commit(Some(txid.toLong))
         seen = seen ++ es
         val ref = refComponents(seen)
@@ -181,20 +185,24 @@ object StatePropertySpec extends Properties("ExactlyOnceState") {
         val bestOk = emitted.map(_._2).distinct.forall { cl =>
           bestOf.get(cl).contains(refBest(cl))
         }
-        // (5) replaying the same batch leaves state identical, re-emits the
-        //     endpoints under CURRENT labels, and records no root changes
+        // (5) replaying the same (last) batch leaves state identical and
+        //     re-emits the ORIGINAL emission — endpoints under current
+        //     labels PLUS the journaled root-change records (a crash that
+        //     landed the state writes but lost the batch's output must not
+        //     strand consumers on dead labels)
         val before = parents.scanAll().toSet
         parents.beginCommit(Some(txid.toLong))
         bestM.beginCommit(Some(txid.toLong))
-        val (replay, _) = inc.foldEdges(es.toArray, parents, quals)
+        val (replay, _) = inc.foldEdges(es.toArray, parents, quals, txid.toLong)
         parents.commit(Some(txid.toLong)); bestM.commit(Some(txid.toLong))
-        val replayOk = replay.toSet == endpoints.map(n => (n, ref(n))).toSet &&
+        val replayOk = replay.toSet == emitted.toSet &&
           parents.scanAll().toSet == before
         if (!(storedOk && emitOk && putsOk && bestOk && replayOk))
           println(s"FAIL batch=$es stored=$storedOk emit=$emitOk (got ${emitted.toSet} want $expectEmit) puts=$putsOk best=$bestOk replay=$replayOk")
         storedOk && emitOk && putsOk && bestOk && replayOk
       }
       MemoryBackingMap.clear(s"$id-p"); MemoryBackingMap.clear(s"$id-b")
+      MemoryBackingMap.clear(s"$id-j")
       Prop(ok)
     }
 

@@ -148,13 +148,26 @@ class StateStoreSpec extends AnyFunSuite {
       assert(expect.keys.forall(id => consumerResolve(id) == expect(id)),
         s"consumer-resolved labels diverge: " +
           expect.keys.map(i => i -> consumerResolve(i)).toMap + s" vs $expect")
-      // replay idempotency: re-applying batch 2 (same txid, same pairs)
-      // leaves state unchanged and emits its ENDPOINTS under current labels
+      // replay of the LAST batch (txid 2): the journal re-emits its
+      // original root-change record (5 -> 1) — a crash that landed the
+      // state writes but lost the output must not strand consumers on
+      // the dead label 5 — so the replay output == the original output
+      val replayLast = inc.applyBatch(batches(2).toDF("a", "b"), "a", "b", 2L)
+        .as[(Long, Long)].collect().toMap
+      assert(replayLast == byBatch(2), s"last-batch replay: $replayLast")
+      // replay of an OLDER batch (txid 1, journal already at 2): state
+      // unchanged, emits its ENDPOINTS under current labels, no stale
+      // journal overwrite
       val replay = inc.applyBatch(batches(1).toDF("a", "b"), "a", "b", 1L)
         .as[(Long, Long)].collect().toMap
       assert(replay == Map(1L -> 1L, 2L -> 1L, 5L -> 1L, 6L -> 1L),
         s"replay emission: $replay")
       assert(inc.snapshot(spark).as[(Long, Long)].collect().toMap == expect)
+      // and the journal still answers for the last batch after the stale
+      // replay (no backwards overwrite)
+      val replayLast2 = inc.applyBatch(batches(2).toDF("a", "b"), "a", "b", 2L)
+        .as[(Long, Long)].collect().toMap
+      assert(replayLast2 == byBatch(2), s"last-batch replay 2: $replayLast2")
     } finally {
       q.stop()
       graft.streaming.IncrementalClusters.clearInMemory("spec-inc")
