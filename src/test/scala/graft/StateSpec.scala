@@ -279,4 +279,79 @@ class StateSpec extends AnyFunSuite {
     cached.multiGet(keys); cached.multiGet(keys)
     assert(gets == 1) // second read served from cache
   }
+  test("IncrementalClusters torn-write repair: a crash at ANY write point mid-fold replays to the same state, labels, and best representative (r15 write-order contract)") {
+    // fault-injecting decorator: throws before the Nth multiPut call
+    final class CrashingMap[T](inner: MapState[T], crashAtPut: Int)
+        extends MapState[T] {
+      var puts = 0
+      def multiGet(keys: Seq[Seq[Any]]): Seq[Option[T]] = inner.multiGet(keys)
+      def multiUpdate(keys: Seq[Seq[Any]], us: Seq[ValueUpdater[T]]): Seq[T] =
+        inner.multiUpdate(keys, us)
+      def multiPut(keys: Seq[Seq[Any]], vals: Seq[T]): Unit = {
+        puts += 1
+        if (puts == crashAtPut) throw new RuntimeException("injected crash")
+        inner.multiPut(keys, vals)
+      }
+      def beginCommit(txid: Option[Long]): Unit = inner.beginCommit(txid)
+      def commit(txid: Option[Long]): Unit = inner.commit(txid)
+      override def scanAll(): Seq[(Seq[Any], Any)] = inner.scanAll()
+    }
+    // write order per fold is journal(1), best(2), parents(3) — crash at
+    // each point in turn, then replay the SAME batch and require full
+    // convergence with an uncrashed reference run
+    (1 to 4).foreach { crashAt => // 4 = no crash (control)
+      def mkMaps(id: String) = (
+        new NonTransactionalMap(new MemoryBackingMap[Long](s"$id-p")),
+        new NonTransactionalMap(new MemoryBackingMap[(Double, Long)](s"$id-b")),
+        new NonTransactionalMap(new MemoryBackingMap[Vector[Long]](s"$id-j")))
+      val rid = s"torn-ref-$crashAt"
+      val (rp, rb, rj) = mkMaps(rid)
+      val ref = new graft.streaming.IncrementalClusters(rp, Some(rb), Some(rj))
+      val cid = s"torn-crash-$crashAt"
+      val (cp, cb, cj) = mkMaps(cid)
+      // batch 0 (both engines, clean): {2,7} q50-best=7; {20,21}
+      val b0 = Array((2L, 7L), (20L, 21L))
+      val q0 = Map(2L -> ((10.0, 2L)), 7L -> ((50.0, 7L)),
+        20L -> ((9.0, 20L)), 21L -> ((9.0, 21L)))
+      ref.foldEdges(b0, rp, q0, 0L)
+      val crash = new graft.streaming.IncrementalClusters(cp, Some(cb), Some(cj))
+      crash.foldEdges(b0, cp, q0, 0L)
+      // batch 1: 1 (q80) merges into {2,7} — root change 2->1, best -> 1.
+      // One global put counter across all three maps via a shared cell:
+      val counter = new java.util.concurrent.atomic.AtomicInteger(0)
+      final class SharedCrash[T](inner: MapState[T])
+          extends MapState[T] {
+        def multiGet(keys: Seq[Seq[Any]]): Seq[Option[T]] = inner.multiGet(keys)
+        def multiUpdate(keys: Seq[Seq[Any]], us: Seq[ValueUpdater[T]]): Seq[T] =
+          inner.multiUpdate(keys, us)
+        def multiPut(keys: Seq[Seq[Any]], vals: Seq[T]): Unit = {
+          if (counter.incrementAndGet() == crashAt)
+            throw new RuntimeException("injected crash")
+          inner.multiPut(keys, vals)
+        }
+        def beginCommit(txid: Option[Long]): Unit = inner.beginCommit(txid)
+        def commit(txid: Option[Long]): Unit = inner.commit(txid)
+        override def scanAll(): Seq[(Seq[Any], Any)] = inner.scanAll()
+      }
+      val crashing = new graft.streaming.IncrementalClusters(
+        new SharedCrash(cp), Some(new SharedCrash(cb)), Some(new SharedCrash(cj)))
+      val b1 = Array((1L, 2L))
+      val q1 = Map(1L -> ((80.0, 1L)), 2L -> ((10.0, 2L)))
+      val refOut = ref.foldEdges(b1, rp, q1, 1L)
+      val attempt = try { crashing.foldEdges(b1, new SharedCrash(cp), q1, 1L); true }
+        catch { case e: RuntimeException if e.getMessage == "injected crash" => false }
+      assert(attempt == (crashAt >= 4), s"crashAt=$crashAt attempt=$attempt")
+      // replay on the RAW maps (process restarted, no fault)
+      val replayOut = crash.foldEdges(b1, cp, q1, 1L)
+      assert(replayOut == refOut,
+        s"crashAt=$crashAt replay emission $replayOut != reference $refOut")
+      def table(m: MapState[_]): Map[Seq[Any], Any] = m.scanAll().toMap
+      assert(table(cp) == table(rp), s"crashAt=$crashAt parents diverged")
+      assert(table(cb) == table(rb),
+        s"crashAt=$crashAt best diverged: ${table(cb)} vs ${table(rb)}")
+      assert(table(cj) == table(rj), s"crashAt=$crashAt journal diverged")
+      Seq(s"$rid-p", s"$rid-b", s"$rid-j", s"$cid-p", s"$cid-b", s"$cid-j")
+        .foreach(MemoryBackingMap.clear)
+    }
+  }
 }
