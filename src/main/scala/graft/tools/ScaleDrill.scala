@@ -420,7 +420,7 @@ object ScaleDrill {
     // folds + final snapshot. Word-salted replicas are disjoint near-dup
     // universes, so pair volume (the per-batch driver-coordination bound)
     // grows linearly with N — the honest regime for the drill
-    "dup_clusters_incremental (r14)" -> { docs =>
+    "dup_clusters_incremental" -> { docs =>
       val id = s"drill-dupc-${System.nanoTime()}"
       graft.streaming.IncrementalClusters.clearInMemory(id)
       val inc = graft.streaming.IncrementalClusters.inMemory(id)
