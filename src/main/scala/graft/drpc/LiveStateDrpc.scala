@@ -64,6 +64,12 @@ object LiveStateDrpc {
   final class CachedStateSnapshot(spark: SparkSession, checkpointDir: String,
                                   stateVarName: String) {
     @volatile private var cached: (Long, DataFrame) = (-1L, null)
+    // resolved once: cloning the session's Hadoop conf per request would
+    // put a hundreds-of-keys copy on the serving hot path
+    private val commitsPath =
+      new org.apache.hadoop.fs.Path(checkpointDir, "commits")
+    private val commitsFs =
+      commitsPath.getFileSystem(spark.sessionState.newHadoopConf())
 
     /** Latest committed batch id: the max numeric entry of the commit log
       * directory (`HDFSMetadataLog` writes one file per committed batch,
@@ -72,10 +78,8 @@ object LiveStateDrpc {
       * file:///) invalidate correctly — a java.nio listing would silently
       * return -1 forever there and pin a stale snapshot. */
     def latestCommittedBatch(): Long = {
-      val dir = new org.apache.hadoop.fs.Path(checkpointDir, "commits")
-      val fs = dir.getFileSystem(spark.sessionState.newHadoopConf())
-      if (!fs.exists(dir)) return -1L
-      fs.listStatus(dir).iterator
+      if (!commitsFs.exists(commitsPath)) return -1L
+      commitsFs.listStatus(commitsPath).iterator
         .map(_.getPath.getName)
         .filter(n => n.nonEmpty && n.forall(_.isDigit))
         .foldLeft(-1L)((m, n) => math.max(m, n.toLong))

@@ -1835,6 +1835,27 @@ object Scale {
     joint
   }
 
+  /** Shared driver-side scaffolding of the conjunctive audits (r15): the
+    * bounded scalar row's post-arithmetic in exact BigInt (non-negative
+    * quantities, so / == the decimal floor-DIV spellings cell-exactly). */
+  private object AuditArith {
+    def long(b: BigInt): Long = b.bigInteger.longValueExact()
+    def ov(lo: Long, hi: Long, blo: BigInt, bhi: BigInt): BigInt =
+      ((bhi min BigInt(hi)) - (blo max BigInt(lo)) + 1) max BigInt(0)
+    def qerr(est: BigInt, actual: BigInt): BigInt =
+      ((est max actual max BigInt(1)) * 1000000) /
+        ((est min actual) max BigInt(1))
+    def longSchema(cols: Seq[String]): org.apache.spark.sql.types.StructType =
+      org.apache.spark.sql.types.StructType(cols.map(
+        org.apache.spark.sql.types.StructField(_,
+          org.apache.spark.sql.types.LongType, nullable = true)))
+    def rowsDf(spark: org.apache.spark.sql.SparkSession, cols: Seq[String],
+        rows: Seq[org.apache.spark.sql.Row]): DataFrame =
+      spark.createDataFrame(
+        scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava,
+        longSchema(cols))
+  }
+
   def conjunctiveSelectivityAudit(df: DataFrame, aCol: String, bCol: String,
       probes: Seq[(Long, Long, Long, Long)],
       aBoundaries: Seq[Long], bBoundaries: Seq[Long],
@@ -1880,18 +1901,14 @@ object Scale {
     // non-negative, so BigInt / == the decimal floor-DIV spellings
     // cell-exactly; .longValueExact keeps the ANSI overflow contract.
     val one = jointDf.agg(aggs.head, aggs.tail: _*).collect()(0)
+    import AuditArith.{long, ov, qerr, rowsDf}
     val spark = jointDf.sparkSession
-    val outSchema = org.apache.spark.sql.types.StructType(
-      Seq("a_lo", "a_hi", "b_lo", "b_hi", "n", "ndv_a", "ndv_b", "ndv_ab",
-        "actual", "est_indep_uniform", "est_indep_hist", "est_corrected",
-        "qerr_uniform_ppm", "qerr_hist_ppm", "qerr_corrected_ppm")
-        .map(org.apache.spark.sql.types.StructField(_,
-          org.apache.spark.sql.types.LongType, nullable = true)))
-    def rowsDf(rows: Seq[org.apache.spark.sql.Row]): DataFrame =
-      spark.createDataFrame(
-        scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava, outSchema)
+    val outCols = Seq("a_lo", "a_hi", "b_lo", "b_hi", "n", "ndv_a", "ndv_b",
+      "ndv_ab", "actual", "est_indep_uniform", "est_indep_hist",
+      "est_corrected", "qerr_uniform_ppm", "qerr_hist_ppm",
+      "qerr_corrected_ppm")
     if (one.isNullAt(one.fieldIndex("n"))) // empty joint table: null stats
-      return rowsDf(probes.map { case (alo, ahi, blo, bhi) =>
+      return rowsDf(spark, outCols, probes.map { case (alo, ahi, blo, bhi) =>
         org.apache.spark.sql.Row(alo, ahi, blo, bhi,
           null, null, null, null, null, null, null, null, null, null, null)
       })
@@ -1901,9 +1918,6 @@ object Scale {
     val (ndvA, ndvB, ndvAb) = (lv("ndv_a"), lv("ndv_b"), lv("ndv_ab"))
     val ca = (0 to aBoundaries.size).map(j => BigInt(lv(s"__ca$j")))
     val cb = (0 to bBoundaries.size).map(j => BigInt(lv(s"__cb$j")))
-    def long(b: BigInt): Long = b.bigInteger.longValueExact()
-    def ov(lo: Long, hi: Long, blo: BigInt, bhi: BigInt): BigInt =
-      ((bhi min BigInt(hi)) - (blo max BigInt(lo)) + 1) max BigInt(0)
     // q202's per-column histogram interpolation: sum over bins of
     // cnt * |probe ∩ bin| floor-div width, edge bins clamped to the domain
     def histEst(lo: Long, hi: Long, bs: Seq[Long], cnt: Seq[BigInt],
@@ -1916,10 +1930,7 @@ object Scale {
       }.sum
     def unifEst(lo: Long, hi: Long, mn: Long, mx: Long): BigInt =
       (n * ov(lo, hi, BigInt(mn), BigInt(mx))) / (BigInt(mx) - mn + 1)
-    def qerr(est: BigInt, actual: BigInt): BigInt =
-      ((est max actual max BigInt(1)) * 1000000) /
-        (((est min actual) max BigInt(1)))
-    rowsDf(probes.zipWithIndex.map { case ((alo, ahi, blo, bhi), i) =>
+    rowsDf(spark, outCols, probes.zipWithIndex.map { case ((alo, ahi, blo, bhi), i) =>
       val actual = BigInt(lv(s"__p$i"))
       val eaU = unifEst(alo, ahi, mnA, mxA)
       val ebU = unifEst(blo, bhi, mnB, mxB)
@@ -1996,29 +2007,21 @@ object Scale {
     // exact BigInt interpolation driver-side — the former per-probe
     // (ma+1)×(mb+1)-term DECIMAL trees were the query's real cost
     val one = jointDf.agg(aggs.head, aggs.tail: _*).collect()(0)
+    import AuditArith.{long, ov, qerr, rowsDf}
     val spark = jointDf.sparkSession
-    val outSchema = org.apache.spark.sql.types.StructType(
-      Seq("a_lo", "a_hi", "b_lo", "b_hi", "n", "actual", "est_joint",
-        "qerr_joint_ppm")
-        .map(org.apache.spark.sql.types.StructField(_,
-          org.apache.spark.sql.types.LongType, nullable = true)))
-    def rowsDf(rows: Seq[org.apache.spark.sql.Row]): DataFrame =
-      spark.createDataFrame(
-        scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava, outSchema)
+    val outCols = Seq("a_lo", "a_hi", "b_lo", "b_hi", "n", "actual",
+      "est_joint", "qerr_joint_ppm")
     if (one.isNullAt(one.fieldIndex("n")))
-      return rowsDf(probes.map { case (alo, ahi, blo, bhi) =>
+      return rowsDf(spark, outCols, probes.map { case (alo, ahi, blo, bhi) =>
         org.apache.spark.sql.Row(alo, ahi, blo, bhi, null, null, null, null)
       })
     def lv(name: String): Long = one.getLong(one.fieldIndex(name))
     val n = lv("n")
     val (mnA, mxA, mnB, mxB) = (lv("mn_a"), lv("mx_a"), lv("mn_b"), lv("mx_b"))
-    def long(b: BigInt): Long = b.bigInteger.longValueExact()
     def edge(j: Int, bs: Seq[Long], mn: Long, mx: Long): (BigInt, BigInt) = (
       if (j == 0) BigInt(mn) else BigInt(bs(j - 1)),
       if (j == bs.size) BigInt(mx) else BigInt(bs(j)) - 1)
-    def ov(lo: Long, hi: Long, blo: BigInt, bhi: BigInt): BigInt =
-      ((bhi min BigInt(hi)) - (blo max BigInt(lo)) + 1) max BigInt(0)
-    rowsDf(probes.zipWithIndex.map { case ((alo, ahi, blo, bhi), pi) =>
+    rowsDf(spark, outCols, probes.zipWithIndex.map { case ((alo, ahi, blo, bhi), pi) =>
       val est = (for (i <- 0 to ma; j <- 0 to mb) yield {
         val (aLoE, aHiE) = edge(i, aBoundaries, mnA, mxA)
         val (bLoE, bHiE) = edge(j, bBoundaries, mnB, mxB)
@@ -2028,10 +2031,8 @@ object Scale {
           ov(blo, bhi, bLoE, bHiE)) / (wA * wB)
       }).sum
       val actual = BigInt(lv(s"__p$pi"))
-      val qerr = ((est max actual max BigInt(1)) * 1000000) /
-        ((est min actual) max BigInt(1))
       org.apache.spark.sql.Row(alo, ahi, blo, bhi, n, long(actual),
-        long(est), long(qerr))
+        long(est), long(qerr(est, actual)))
     })
   }
 

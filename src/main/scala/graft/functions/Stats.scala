@@ -793,6 +793,9 @@ object Stats {
       .agg(F.count(F.lit(1)).as("__n"))
       .localCheckpoint()
     val baseUsable = base.count() <= maxJointCells
+    // unusable base (tuple cells past the cap): release its corpus-scale
+    // blocks BEFORE the per-pair fallback scans run, not after
+    if (!baseUsable) base.unpersist(blocking = false)
     val frames = pairs.map { case (a, b) =>
       // per-pair joint: a cell-scale re-group of the checkpointed base
       // (or the corpus fallback), checkpointed once so the 4 downstream
@@ -841,10 +844,9 @@ object Stats {
                         DIV greatest(ndv_ab, 1L) AS BIGINT)""").as("fd_ba_ppm"),
           F.col("tv_ppm"))
     }
-    // each pair's joint is checkpointed above — release the (potentially
-    // corpus-scale when !baseUsable) base blocks instead of pinning them
-    // in executor storage for the session
-    base.unpersist(blocking = false)
+    // each pair's joint is checkpointed above — release the base blocks
+    // instead of pinning them in executor storage for the session
+    if (baseUsable) base.unpersist(blocking = false)
     frames.reduce(_.unionByName(_))
   }
 }

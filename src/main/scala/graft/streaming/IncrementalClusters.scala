@@ -163,18 +163,32 @@ final class IncrementalClusters(
       : (Seq[(Long, Long)], Map[Long, (Double, Long)]) = {
     if (edges.isEmpty) return (Seq.empty, Map.empty)
     // replay detection (crash-safe delta emission): the journal holds the
-    // LAST batch's txid + its root-change records under one reserved key.
-    // A replayed batch (same txid) must RE-EMIT those records — they are
-    // derived from pre-batch state, and after a crash that landed the
-    // state writes but lost the batch's output, recomputing them from the
-    // already-merged state would silently drop them and strand downstream
-    // consumers on dead labels. Micro-batch engines replay only the last
-    // batch, so one record suffices; an out-of-order older txid neither
-    // matches nor overwrites.
-    val journalKey = Seq[Any]("$LAST$")
-    val storedJournal: Option[Vector[Long]] =
-      journal.flatMap(_.multiGet(Seq(journalKey)).head)
+    // LAST batch's (txid, batch fingerprint, root-change records) as one
+    // global slot (the SnapshottableMap reserved-key face). A replayed
+    // batch (same txid AND same content) must RE-EMIT those records —
+    // they are derived from pre-batch state, and after a crash that
+    // landed the state writes but lost the batch's output, recomputing
+    // them from the already-merged state would silently drop them and
+    // strand downstream consumers on dead labels. Micro-batch engines
+    // replay only the last batch, so one record suffices; an out-of-order
+    // older txid neither matches nor overwrites; a SAME txid carrying
+    // DIFFERENT edges is txid reuse (e.g. a fresh query restarting batch
+    // ids over retained state) and fails LOUDLY rather than emitting a
+    // previous run's phantom relabels.
+    val fingerprint: Long = scala.util.hashing.MurmurHash3
+      .orderedHash(edges.sortBy(e => (e._1, e._2)).iterator).toLong
+    val journalSlot = journal.map(jm =>
+      new graft.state.SnapshottableMap[Vector[Long]](jm))
+    val storedJournal: Option[Vector[Long]] = journalSlot.flatMap(_.get)
     val storedTxid = storedJournal.flatMap(_.headOption).getOrElse(Long.MinValue)
+    val storedFp = storedJournal.flatMap(_.lift(1))
+    if (journal.isDefined && txid == storedTxid &&
+        !storedFp.contains(fingerprint))
+      throw new IllegalStateException(
+        s"IncrementalClusters: txid $txid reused with DIFFERENT batch " +
+        "contents (journal fingerprint mismatch) — batch ids must be " +
+        "monotone over a state's lifetime; clear the state (or use a " +
+        "fresh directory) before restarting ids")
     val nodes = edges.iterator.flatMap(e => Iterator(e._1, e._2))
       .toVector.distinct
     // --- resolve: iterative bulk multiGets, one round per chain hop ---
@@ -245,13 +259,13 @@ final class IncrementalClusters(
     // subset); a NEWER batch overwrites the journal before any state write
     val emitChanges: Seq[(Long, Long)] =
       if (journal.isDefined && txid == storedTxid)
-        storedJournal.get.drop(1).grouped(2).collect {
+        storedJournal.get.drop(2).grouped(2).collect {
           case Vector(o, n) => (o, n) }.toSeq
       else rootChanges.toSeq
-    journal.foreach { jm =>
+    journalSlot.foreach { slot =>
       if (txid > storedTxid)
-        jm.multiPut(Seq(journalKey),
-          Seq(txid +: rootChanges.iterator.flatMap(c => Iterator(c._1, c._2)).toVector))
+        slot.set(txid +: fingerprint +:
+          rootChanges.iterator.flatMap(c => Iterator(c._1, c._2)).toVector)
     }
     // --- best-representative maintenance runs BEFORE the parents writes:
     // while the losing roots are still stored self-roots, a replay after

@@ -280,22 +280,6 @@ class StateSpec extends AnyFunSuite {
     assert(gets == 1) // second read served from cache
   }
   test("IncrementalClusters torn-write repair: a crash at ANY write point mid-fold replays to the same state, labels, and best representative (r15 write-order contract)") {
-    // fault-injecting decorator: throws before the Nth multiPut call
-    final class CrashingMap[T](inner: MapState[T], crashAtPut: Int)
-        extends MapState[T] {
-      var puts = 0
-      def multiGet(keys: Seq[Seq[Any]]): Seq[Option[T]] = inner.multiGet(keys)
-      def multiUpdate(keys: Seq[Seq[Any]], us: Seq[ValueUpdater[T]]): Seq[T] =
-        inner.multiUpdate(keys, us)
-      def multiPut(keys: Seq[Seq[Any]], vals: Seq[T]): Unit = {
-        puts += 1
-        if (puts == crashAtPut) throw new RuntimeException("injected crash")
-        inner.multiPut(keys, vals)
-      }
-      def beginCommit(txid: Option[Long]): Unit = inner.beginCommit(txid)
-      def commit(txid: Option[Long]): Unit = inner.commit(txid)
-      override def scanAll(): Seq[(Seq[Any], Any)] = inner.scanAll()
-    }
     // write order per fold is journal(1), best(2), parents(3) — crash at
     // each point in turn, then replay the SAME batch and require full
     // convergence with an uncrashed reference run
