@@ -50,13 +50,21 @@ import scala.collection.mutable
   *
   * Exactly-once: the fold is IDEMPOTENT — re-unioning already-merged
   * components is a no-op, compression writes converge, and a replayed
-  * micro-batch (same txid, same pairs) emits its endpoints under the
-  * current labels — so replay is a state no-op through the plain
-  * [[graft.state.NonTransactionalMap]]; the commit bracket still carries
-  * the txid for commit-aware backings. Torn-write repair: union links are
-  * written BEFORE compression links inside the batch's put, so any torn
-  * prefix still resolves every node to a pre-batch-or-newer root and the
-  * replay converges to the same state.
+  * micro-batch (same txid, same pairs) produces the ORIGINAL output: the
+  * `journal` map stores the last batch's (txid, content fingerprint,
+  * root-change records) as one reserved slot, so a crash that landed the
+  * state writes but lost the batch's output re-emits its root changes on
+  * replay instead of recomputing an empty set from the already-merged
+  * state (a journal-less instance keeps state convergence but loses that
+  * re-emission — production tiers `inMemory`/`durable` always carry one).
+  * Torn-write repair is by WRITE ORDER — journal, then best, then parents
+  * (union links before compression links within the parents put): any
+  * torn prefix leaves losing roots readable as self-roots until their
+  * merged best and journal record are durable, so the replay converges to
+  * the same state, labels, and best representative (fault-injection
+  * spec-pinned at every write point). The commit bracket still carries
+  * the txid for commit-aware backings; txid reuse with different contents
+  * fails loudly (fingerprint mismatch).
   */
 final class IncrementalClusters(
     parents: graft.state.MapState[Long],

@@ -1362,14 +1362,24 @@ object ScaleDrill {
       val parents = new graft.state.CountingMapState(
         new graft.state.NonTransactionalMap(
           new graft.state.MemoryBackingMap[Long](s"$id-p")))
-      val inc = new graft.streaming.IncrementalClusters(parents, None)
+      // full production shape: best + journal tiers ride the fold too —
+      // the flat-cost REQUIRE below covers the scored face and the
+      // journal's O(changes) record, not just the parents map
+      val bestM = new graft.state.NonTransactionalMap(
+        new graft.state.MemoryBackingMap[(Double, Long)](s"$id-b"))
+      val journalM = new graft.state.NonTransactionalMap(
+        new graft.state.MemoryBackingMap[Vector[Long]](s"$id-j"))
+      val inc = new graft.streaming.IncrementalClusters(parents, Some(bestM),
+        Some(journalM))
       val base = 1000000L
       // bootstrap: the mega-cluster arrives as one M-edge batch (star) —
       // the batch ITSELF is O(M), so O(M) cost here is the honest floor
       val star = (1 until m).map(i => (base, base + i)).toArray
+      val starQ = star.iterator.flatMap(e => Iterator(e._1, e._2))
+        .map(n => n -> ((n % 97).toDouble, n)).toMap
       parents.beginCommit(Some(0L))
       val t0 = System.nanoTime()
-      inc.foldEdges(star, parents)
+      inc.foldEdges(star, parents, starQ, 0L)
       val bootSec = (System.nanoTime() - t0) / 1e9
       parents.commit(Some(0L))
       var maxPuts = 0L; var maxGets = 0L; var maxEmit = 0
@@ -1378,17 +1388,20 @@ object ScaleDrill {
         // new min member (forces a root change — the old design's O(M)
         // trigger) attached to a rotating existing member
         val edge = Array((base - j, base + (j.toLong * 37L) % m))
+        val edgeQ = edge.iterator.flatMap(e => Iterator(e._1, e._2))
+          .map(n => n -> ((n % 97).toDouble, n)).toMap
         parents.resetCounts()
         parents.beginCommit(Some(j.toLong))
         val t = System.nanoTime()
-        val (emitted, _) = inc.foldEdges(edge, parents)
+        val (emitted, _) = inc.foldEdges(edge, parents, edgeQ, j.toLong)
         totSec += (System.nanoTime() - t) / 1e9
         parents.commit(Some(j.toLong))
         maxPuts = math.max(maxPuts, parents.putKeyCount)
         maxGets = math.max(maxGets, parents.getKeyCount)
         maxEmit = math.max(maxEmit, emitted.size)
       }
-      graft.state.MemoryBackingMap.clear(s"$id-p")
+      Seq(s"$id-p", s"$id-b", s"$id-j")
+        .foreach(graft.state.MemoryBackingMap.clear)
       println(f"[scale] hotcluster M=$m%7d bootstrap=$bootSec%6.3fs  " +
         f"per-batch max: puts=$maxPuts gets=$maxGets emit=$maxEmit  " +
         f"avg=${totSec / addBatches * 1000}%8.4fms")
