@@ -136,7 +136,11 @@ object Bench {
         ((System.nanoTime() - t0) / 1e9, ok)
       }
       val base = (1 to reps).map(_ => rep())
-      val needExtra = reps > 1 &&
+      // only below 3 base reps: the extra rep exists to break a degraded
+      // window spanning both of TWO reps (VERDICT r9 #2); at the r15
+      // default reps=3 the third base rep already does that, and a fourth
+      // would re-pay the heavy tail every run for nothing
+      val needExtra = reps > 1 && reps < 3 &&
         base.collect { case (t, true) => t }
           .minOption.forall(_ * 1000 >= extraRepMs)
       val times = if (needExtra) base :+ rep() else base
@@ -188,9 +192,9 @@ object Bench {
         System.err.println(s"[bench] interleaved pair covers only " +
           s"${duckTimes.size}/${benchQueries.size} queries — falling back " +
           "to the post-hoc batch pair")
-        oraclePair(sfDir, benchQueries.keySet, batchTotal)
+        oraclePair(sfDir, benchQueries.keySet, results.toMap)
       case None =>
-        oraclePair(sfDir, benchQueries.keySet, batchTotal)
+        oraclePair(sfDir, benchQueries.keySet, results.toMap)
     }
     // streaming topology drills (the reference's headline metric is
     // streaming tuples/sec — stderr carries the throughput figures). Kept
@@ -373,16 +377,25 @@ object Bench {
     * can see the spread without re-running the drill. */
   private def medianOfRuns(n: Int)(run: () => (String, Double)): BenchFormat.StEntry = {
     val runs = (1 to n).map(_ => run())
-    val label = runs.head._1
-    val raw = runs.map(_._2)
+    stEntryOf(runs.head._1, runs.map(_._2))
+  }
+
+  /** ONE spelling of the lower-median discipline for every latency-shaped
+    * entry (the three drpc faces used to carry hand copies that had to be
+    * kept in sync with this by hand): failed runs (-1.0) excluded unless
+    * all failed; even N takes the LOWER median; raw runs (execution
+    * order, failures as -1) ride into the artifact; `extra` is the
+    * drill-specific companion fragment (p50_runs etc.). */
+  private def stEntryOf(label: String, raw: Seq[Double],
+                        extra: String = ""): BenchFormat.StEntry = {
     val ok = raw.filter(_ >= 0.0).sorted
-    if (ok.isEmpty) BenchFormat.StEntry(label, -1.0, raw)
+    if (ok.isEmpty) BenchFormat.StEntry(label, -1.0, raw, extra)
     else {
       val med = ok((ok.size - 1) / 2)
-      if (n > 1)
+      if (raw.size > 1)
         System.err.println(f"[bench] $label median-of-${ok.size}: $med%.3f " +
           s"(runs: ${ok.map(v => f"$v%.3f").mkString(", ")})")
-      BenchFormat.StEntry(label, med, raw)
+      BenchFormat.StEntry(label, med, raw, extra)
     }
   }
 
@@ -542,7 +555,7 @@ object Bench {
     * stdout after the bench JSON line, and nothing extra before it
     * matters either way. */
   private def oraclePair(sfDir: String, benchNames: Set[String],
-                         sparkTotal: Double): (String, String) = {
+                         sparkTimes: Map[String, Double]): (String, String) = {
     if (sys.env.get("SPARK_GRAFT_BENCH_ORACLE").contains("0")) return ("", "")
     try {
       val script = java.nio.file.Paths.get("tools/oracle_bench.py")
@@ -585,10 +598,26 @@ object Bench {
       val n = parsed.flatMap(j => num(j \ "n")).map(_.toInt)
       (duck, n) match {
         case (Some(d), Some(nn)) if d > 0.0 =>
-          val ratio = sparkTotal / d
+          // narrow BOTH sides to the queries the duck batch actually timed
+          // (the script skips errored SQL): dividing the full-suite spark
+          // total by a partial duck total would inflate the 2x-gate
+          // denominator exactly the way the interleaved branch forbids
+          val duckPerQ: Map[String, Double] = parsed.map(_ \ "queries") match {
+            case Some(JObject(fs)) =>
+              fs.flatMap { case (k, v) => num(v).map(k -> _) }.toMap
+            case _ => Map.empty
+          }
+          val paired = duckPerQ.keySet.intersect(sparkTimes.keySet)
+          val (sparkPaired, duckPaired) =
+            if (paired.nonEmpty)
+              (paired.iterator.map(sparkTimes).sum,
+               paired.iterator.map(duckPerQ).sum)
+            else (sparkTimes.values.sum, d) // no per-query map: best effort
+          val ratio = sparkPaired / duckPaired
           System.err.println(
-            f"[bench] same-window pair: spark $sparkTotal%.2fs vs duckdb $d%.2fs = $ratio%.2fx " +
-            f"($nn oracle entries, ${(System.nanoTime() - t0) / 1e9}%.1fs oracle wall)")
+            f"[bench] same-window pair: spark $sparkPaired%.2fs vs duckdb $duckPaired%.2fs " +
+            f"= $ratio%.2fx (${if (paired.nonEmpty) paired.size else nn} paired entries, " +
+            f"${(System.nanoTime() - t0) / 1e9}%.1fs oracle wall)")
           // the per-query duck map (VERDICT r10 #7) goes ONLY to the
           // unbounded BENCH_SELF face — ~205 extra entries would defeat
           // the stdout line's 2000-char tail budget
@@ -600,7 +629,10 @@ object Bench {
                 "[bench] oracle line carries no per-query map — duck_queries omitted")
               ""
           }
-          (s""""duck_total":${BenchFormat.ms(d)},"duck_n":$nn,"ratio":${BenchFormat.ms(ratio)},""",
+          (s""""duck_total":${BenchFormat.ms(duckPaired)},"duck_n":${
+              if (paired.nonEmpty) paired.size else nn},""" +
+            s""""spark_paired":${BenchFormat.ms(sparkPaired)},""" +
+            s""""ratio":${BenchFormat.ms(ratio)},"oracle_mode":"batch",""",
             perQ)
         case _ =>
           System.err.println("[bench] oracle_bench.py output unparseable — no in-window pair")
@@ -786,15 +818,7 @@ object Bench {
       // the median covers the whole fresh-query cost, not a warm cache)
       Seq(10000, 100000).foreach(point)
       val raw = (1 to reps).map(_ => point(1000000))
-      val meds = raw.filter(_ >= 0.0).sorted
-      if (meds.isEmpty) BenchFormat.StEntry(label, -1.0, raw)
-      else {
-        val med = meds((meds.size - 1) / 2)
-        if (reps > 1)
-          System.err.println(f"[bench] $label median-of-${meds.size}: $med%.1fms " +
-            s"(runs: ${meds.map(v => f"$v%.1f").mkString(", ")})")
-        BenchFormat.StEntry(label, med, raw)
-      }
+      stEntryOf(label, raw)
     } catch { case e: Throwable =>
       System.err.println(s"[bench] $label failed: ${e.getMessage}")
       BenchFormat.StEntry(label, -1.0, Seq.empty[Double])
@@ -835,15 +859,7 @@ object Bench {
       val p50s = pairs.map(_._1)
       val extra = ",\"p50_runs\":[" +
         p50s.map(v => "%.4f".formatLocal(java.util.Locale.ROOT, v)).mkString(",") + "]"
-      val meds = raw.filter(_ >= 0.0).sorted
-      if (meds.isEmpty) BenchFormat.StEntry(label, -1.0, raw, extra)
-      else {
-        val med = meds((meds.size - 1) / 2)
-        if (reps > 1)
-          System.err.println(f"[bench] $label median-of-${meds.size}: $med%.3fms " +
-            s"(runs: ${meds.map(v => f"$v%.3f").mkString(", ")})")
-        BenchFormat.StEntry(label, med, raw, extra)
-      }
+      stEntryOf(label, raw, extra)
     } catch { case e: Throwable =>
       System.err.println(s"[bench] $label failed: ${e.getMessage}")
       BenchFormat.StEntry(label, -1.0, Seq.empty[Double])
@@ -887,15 +903,7 @@ object Bench {
       val extra = ",\"p50_runs\":[" + arr(rows.map(_._1), "%.4f") + "]" +
         ",\"slow_tput_runs\":[" + arr(rows.map(_._3), "%.2f") + "]" +
         ",\"rejected_runs\":[" + rows.map(_._5).mkString(",") + "]"
-      val meds = raw.filter(_ >= 0.0).sorted
-      if (meds.isEmpty) BenchFormat.StEntry(label, -1.0, raw, extra)
-      else {
-        val med = meds((meds.size - 1) / 2)
-        if (reps > 1)
-          System.err.println(f"[bench] $label median-of-${meds.size}: $med%.3fms " +
-            s"(runs: ${meds.map(v => f"$v%.3f").mkString(", ")})")
-        BenchFormat.StEntry(label, med, raw, extra)
-      }
+      stEntryOf(label, raw, extra)
     } catch { case e: Throwable =>
       System.err.println(s"[bench] $label failed: ${e.getMessage}")
       BenchFormat.StEntry(label, -1.0, Seq.empty[Double])

@@ -9,11 +9,6 @@ import org.apache.spark.sql.SparkSession
   * the tuning tool compares are the same code path by construction. */
 object Drills {
 
-  /** 4-trigger transformWithState word count over a MemoryStream fed
-    * `reps` copies of `texts` per trigger; returns elapsed seconds. The
-    * query is stopped (and its temp checkpoint abandoned) on EVERY path —
-    * a leaked ProcessingTime(0) query would keep re-triggering and skew
-    * every later measurement in the JVM. */
   /** Streaming LSH candidate generation under load: `docs` pumped through
     * `streamingLshCandidates` (minhash row maps + state-store band
     * buckets) in 4 micro-batches; returns (seconds, pairs emitted). Each
@@ -130,6 +125,11 @@ object Drills {
     }
   }
 
+  /** 4-trigger transformWithState word count over a MemoryStream fed
+    * `reps` copies of `texts` per trigger; returns elapsed seconds. The
+    * query is stopped (and its temp checkpoint abandoned) on EVERY path —
+    * a leaked ProcessingTime(0) query would keep re-triggering and skew
+    * every later measurement in the JVM. */
   def storeWordCount(spark: SparkSession, texts: Seq[String], reps: Int): Double = {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
@@ -157,15 +157,6 @@ object Drills {
     }
   }
 
-  /** DRPC-over-live-state read latency vs state size: a transformWithState
-    * running count holding `nKeys` distinct keys is kept RUNNING while
-    * `requests` single-key DRPC lookups are timed through [[graft.drpc
-    * .LocalDRPC]] (the same per-request re-read of the checkpoint's last
-    * commit the HTTP face serves — LiveStateDrpc.scala:39-43). Returns
-    * (mean ms, max ms, setup sec). The caller sets the RocksDB provider.
-    * Latency is a driver-side Spark job over checkpoint files; the running
-    * query is never locked (MVCC by batch version), which the spec pins by
-    * interleaving requests with live triggers. */
   /** CONCURRENT DRPC against live state, served by the KEYED FAST PATH
     * (VERDICT r13 #1): `threads` JVM threads fire timed single-key
     * `MapGet` lookups answered from a driver-held [[graft.drpc.StateIndex]]
@@ -341,7 +332,9 @@ object Drills {
             j = next.getAndIncrement()
           }
         }, s"drpc-sat-fast-$i")
-        t.start(); t
+        // daemon like the slow tier: a thread wedged in a stalled execute
+        // must not keep the bench JVM alive past spark.stop()
+        t.setDaemon(true); t.start(); t
       }
       fast.foreach(_.join(120000))
       // the fast loop drains in well under a second — keep the slow tier
@@ -409,6 +402,16 @@ object Drills {
     }
   }
 
+  /** DRPC-over-live-state read latency vs state size: a transformWithState
+    * running count holding `nKeys` distinct keys is kept RUNNING while
+    * `requests` single-key DRPC lookups are timed through
+    * [[graft.drpc.LocalDRPC]]. Since r15 the registered face is the
+    * CACHED snapshot job path (one statestore read per commit,
+    * requests between commits over persisted blocks — LiveStateDrpc's
+    * registerStateQueryCached). Returns (mean ms, max ms, setup sec). The
+    * caller sets the RocksDB provider. The running query is never locked
+    * (MVCC by batch version), which the spec pins by interleaving
+    * requests with live triggers. */
   def drpcStateQuery(spark: SparkSession, nKeys: Int, requests: Int): (Double, Double, Double) = {
     import org.apache.spark.sql.{functions => F}
     import spark.implicits._

@@ -69,19 +69,29 @@ object ScaleDrill {
     import spark.implicits._
     val texts = spark.read.parquet(s"$sfDir/documents.parquet")
       .select("text").as[String].collect().toSeq
-    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
-      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
     val clKey =
       "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled"
-    try Drills.storeWordCount(spark, texts.take(1), 1)
-    catch { case _: Throwable => () }
-    for (parts <- Seq("32", "8"); cl <- Seq("false", "true")) {
-      spark.conf.set("spark.sql.shuffle.partitions", parts)
-      spark.conf.set(clKey, cl)
-      (1 to 2).foreach { i =>
-        val sec = Drills.storeWordCount(spark, texts, 2)
-        println(f"[wcprof] parts=$parts changelog=$cl run$i: $sec%.2fs")
+    // experiment confs are scoped: restore everything after the profile
+    // (the lshProfile discipline, ADVICE r13 #3 — a leaked provider or
+    // partition count would skew any work composed after this mode)
+    val prevs = Seq("spark.sql.streaming.stateStore.providerClass", clKey,
+      "spark.sql.shuffle.partitions").map(k => k -> spark.conf.getOption(k))
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      try Drills.storeWordCount(spark, texts.take(1), 1)
+      catch { case _: Throwable => () }
+      for (parts <- Seq("32", "8"); cl <- Seq("false", "true")) {
+        spark.conf.set("spark.sql.shuffle.partitions", parts)
+        spark.conf.set(clKey, cl)
+        (1 to 2).foreach { i =>
+          val sec = Drills.storeWordCount(spark, texts, 2)
+          println(f"[wcprof] parts=$parts changelog=$cl run$i: $sec%.2fs")
+        }
       }
+    } finally prevs.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
     }
   }
 
@@ -1265,9 +1275,13 @@ object ScaleDrill {
       * Trust a cached corpus only if its write completed (_SUCCESS): a
       * partial dir from a killed prior run would silently time a fraction
       * of the intended corpus and record a bogus curve. */
+    // cache dirs are keyed by the SOURCE sf dir too: a corpus replicated
+    // from an sf0.001 smoke must never be silently reused for an sf0.1
+    // curve (same tag, ~100x less data, bogus numbers)
+    val sfTag = sfDir.replaceAll("[^A-Za-z0-9.]+", "_")
     def corpusDirs(tag: String, build: Int => DataFrame): Seq[(Int, String)] =
       sizes.map { r =>
-        val dir = s"/tmp/graft_scale_${tag}_x$r"
+        val dir = s"/tmp/graft_scale_${sfTag}_${tag}_x$r"
         val path = java.nio.file.Paths.get(dir)
         val complete = java.nio.file.Files.isRegularFile(path.resolve("_SUCCESS"))
         if (java.nio.file.Files.isDirectory(path) && !complete) {
@@ -1424,10 +1438,13 @@ object ScaleDrill {
       val hub = 0L
       val star = spark.range(1L, m).select(
         F.lit(hub).as("a"), F.col("id").as("b"))
-      // background: 100k disjoint 2-member clusters, ids far above the star
+      // background: 100k disjoint 2-member clusters, ids strictly above
+      // the star's range AT ANY m (a fixed base overlapped the star for
+      // user-supplied sizes > 100 and corrupted the fixture)
+      val bgBase = m + 1000000L
       val bg = spark.range(100000L).select(
-        (F.col("id") * 2L + 10000000L).as("a"),
-        (F.col("id") * 2L + 10000001L).as("b"))
+        (F.col("id") * 2L + bgBase).as("a"),
+        (F.col("id") * 2L + bgBase + 1L).as("b"))
       val pairs = star.unionByName(bg).localCheckpoint(true)
       val t0 = System.nanoTime()
       // cut the labels once: countDistinct and the hot-member count are two
@@ -1463,11 +1480,11 @@ object ScaleDrill {
           p.getFileName.toString.startsWith("seg-")) finally s.close()
       }
     }
-    def reopenSec(): Double = {
+    def reopenSec(): (Double, graft.streaming.IncrementalClusters) = {
       graft.streaming.IncrementalClusters.closeDurable(dir)
       val t0 = System.nanoTime()
-      graft.streaming.IncrementalClusters.durable(spark, dir)
-      (System.nanoTime() - t0) / 1e9
+      val opened = graft.streaming.IncrementalClusters.durable(spark, dir)
+      ((System.nanoTime() - t0) / 1e9, opened)
     }
     try {
       var inc = graft.streaming.IncrementalClusters.durable(spark, dir)
@@ -1481,19 +1498,18 @@ object ScaleDrill {
         inc.applyBatch(pairs, "a", "b", j.toLong)
         maxSegs = math.max(maxSegs, segCount("parents"))
         if (j == batches / 2) {
-          val sec = reopenSec()
+          val (sec, reopened) = reopenSec()
           println(f"[scale] walgrowth mid-run  batch=$j%4d segs=${segCount("parents")}%4d replay=$sec%6.2fs")
-          inc = graft.streaming.IncrementalClusters.durable(spark, dir)
+          inc = reopened // the timed open IS the usable handle — no second replay
         }
       }
       val segsEnd = segCount("parents")
-      val replayEnd = reopenSec()
+      val (replayEnd, _) = reopenSec()
       graft.state.ParquetBackingMap.compact(s"$dir/parents")
       graft.state.ParquetBackingMap.compact(s"$dir/best")
       graft.state.ParquetBackingMap.compact(s"$dir/journal")
       val segsCompacted = segCount("parents")
-      val replayCompacted = reopenSec()
-      val inc3 = graft.streaming.IncrementalClusters.durable(spark, dir)
+      val (replayCompacted, inc3) = reopenSec()
       val keys = inc3.snapshot(spark).count()
       println(f"[scale] walgrowth end: batches=$batches maxsegs=$maxSegs segs=$segsEnd replay=$replayEnd%6.2fs; " +
         f"compacted: segs=$segsCompacted replay=$replayCompacted%6.2fs keys=$keys")
