@@ -284,9 +284,17 @@ object ScaleDrill {
       }
       def left(s: SparkSession, n: Int): DataFrame = {
         val med = 2500L * n
+        // skew mass 300×med (r15, was 100×): with 639 uniform keys over 8
+        // partitions (~80 keys × med rows each), 100×med put the hot
+        // partition at ~2.25× the median — structurally BORDERLINE against
+        // skewedPartitionFactor=2 at every size, so byte-level drift
+        // (compression, row width) could tip the AQE decision and fail the
+        // drill spuriously. 300×med puts it at ~4.75× median: the drill
+        // tests that AQE splits a decisively skewed partition, not where
+        // AQE's decision boundary sits.
         s.range(639L * med).select(
             (F.pmod(F.col("id"), F.lit(639L)) + 1L).as("k"), F.col("id").as("rev"))
-          .unionByName(s.range(100L * med).select(
+          .unionByName(s.range(300L * med).select(
             F.lit(0L).as("k"), (F.col("id") + 1000000000000L).as("rev")))
       }
       def right(s: SparkSession): DataFrame =
