@@ -608,11 +608,21 @@ object Bench {
             case _ => Map.empty
           }
           val paired = duckPerQ.keySet.intersect(sparkTimes.keySet)
+          // no per-query map AND a partial duck run (the script skips
+          // errored SQL): a full-suite-spark / partial-duck division is
+          // exactly the mismatched-denominator inflation the interleaved
+          // branch forbids — refuse the ratio instead (ADVICE r15)
+          if (paired.isEmpty && nn < benchNames.size) {
+            System.err.println(
+              s"[bench] duck batch covered only $nn/${benchNames.size} queries " +
+              "with no per-query map — cannot pair; omitting ratio fields")
+            return ("", "")
+          }
           val (sparkPaired, duckPaired) =
             if (paired.nonEmpty)
               (paired.iterator.map(sparkTimes).sum,
                paired.iterator.map(duckPerQ).sum)
-            else (sparkTimes.values.sum, d) // no per-query map: best effort
+            else (sparkTimes.values.sum, d) // full-coverage batch, no map
           val ratio = sparkPaired / duckPaired
           System.err.println(
             f"[bench] same-window pair: spark $sparkPaired%.2fs vs duckdb $duckPaired%.2fs " +

@@ -2138,7 +2138,10 @@ object SparkEntry {
                      - pmod(CAST(round(value * 100) AS BIGINT), 500))
                     DIV 500""").as("value_band")),
         Seq(("event_type", "hour_of_day"), ("event_type", "value_band"),
-          ("hour_of_day", "value_band")))
+          ("hour_of_day", "value_band")),
+        // banded BY CONSTRUCTION (24 hours x 500-wide value bands x small
+        // event-type NDV) — assert under-cap to skip the routing scan
+        assumeUnderCap = true)
         .orderBy("a_col", "b_col")),
 
     "q189_k_anonymity" -> ((s, dir) =>

@@ -760,53 +760,167 @@ object Stats {
     *
     * NULL is treated as a category (inputs are sentinel-coalesced
     * strings) so null-heavy columns don't silently drop joint cells at
-    * the marginal joins. Scale shape: per pair, ONE map-side-combined
-    * corpus groupBy on the (a,b) tuple; every downstream join/aggregate
-    * runs on the checkpoint-cut joint table, whose size is the
-    * CATEGORICAL cross-cardinality, not the corpus. Feed it banded/
-    * coarsened columns (the q189 discipline) — a near-unique column
-    * would make the joint table corpus-sized, and its NDV already says
-    * so via q185.
+    * the marginal joins. Scale shape (r16): ONE map-side-combined corpus
+    * groupBy on the full tuple of every audited column, then ONE
+    * grouping-sets pass over that cell table producing every pair's
+    * joint AND marginals AND the global total together — k pairs cost
+    * one corpus scan plus one cell-scale aggregate, not ~5 exchanges per
+    * pair. The scalar outputs (n, NDVs, TV numerators) fold driver-side
+    * in exact BigInt (the q214/q217 discipline), so the returned frame
+    * is a literal row per pair carrying the identical all-integer values.
+    * Feed it banded/coarsened columns (the q189 discipline) — a
+    * near-unique column would make the joint table corpus-sized, and
+    * its NDV already says so via q185.
     *
     * That discipline is ENFORCED, not just documented (the counted-cap
-    * pattern of the dedup bucket joins): the joint table materializes
-    * at the checkpoint cut anyway (map-side-combined — building it is
-    * safe), so its cell count is free, and a pair whose joint exceeds
-    * `maxJointCells` fails LOUDLY before any corpus-sized marginal
-    * join/aggregate runs on it. Raise the cap deliberately when a huge
-    * categorical cross really is intended. */
+    * pattern of the dedup bucket joins): the full-tuple cell count is
+    * checked BEFORE the cell table is materialized (the count runs the
+    * same map-side-combined aggregate and discards rows — an eager
+    * checkpoint first would compute and store a corpus-scale table in
+    * exactly the case the fallback exists for, ADVICE r15), and in the
+    * per-pair fallback a pair whose joint exceeds `maxJointCells` fails
+    * LOUDLY before any corpus-sized marginal join runs on it. Raise the
+    * cap deliberately when a huge categorical cross really is intended. */
   def dependencyAudit(df: DataFrame, pairs: Seq[(String, String)],
-                      maxJointCells: Long = 10000000L): DataFrame = {
+                      maxJointCells: Long = 10000000L,
+                      assumeUnderCap: Boolean = false): DataFrame = {
     require(pairs.nonEmpty, "no column pairs given")
     require(maxJointCells >= 1, s"maxJointCells must be >= 1, got $maxJointCells")
-    // ONE corpus scan for all pairs (r15): pre-aggregate the full tuple of
-    // every audited column — each pair's joint table then derives from the
-    // CELL table, not the corpus, so k pairs cost one scan instead of k.
-    // If the full-tuple cell count itself blows the cap (pairs over many
-    // independent high-NDV columns), fall back to the per-pair scans —
-    // the per-pair cap contract below is unchanged either way.
+    val spark = df.sparkSession
     val allCols = pairs.flatMap(p => Seq(p._1, p._2)).distinct
-    val base = df
-      .select(allCols.map(c =>
-        F.coalesce(F.col(c).cast("string"), F.lit("\u0002")).as(s"__k_$c")): _*)
+    val proj = df.select(allCols.map(c =>
+      F.coalesce(F.col(c).cast("string"), F.lit("\u0002")).as(s"__k_$c")): _*)
+    val basePlan = proj
       .groupBy(allCols.map(c => F.col(s"__k_$c")): _*)
       .agg(F.count(F.lit(1)).as("__n"))
-      .localCheckpoint()
-    val baseUsable = base.count() <= maxJointCells
-    // unusable base (tuple cells past the cap): release its corpus-scale
-    // blocks BEFORE the per-pair fallback scans run, not after
-    if (!baseUsable) base.unpersist(blocking = false)
-    val frames = pairs.map { case (a, b) =>
-      // per-pair joint: a cell-scale re-group of the checkpointed base
-      // (or the corpus fallback), checkpointed once so the 4 downstream
-      // uses (marginals, totals, TV) read one materialization
-      val joint = (if (baseUsable)
-          base.groupBy(F.col(s"__k_$a").as("__a"), F.col(s"__k_$b").as("__b"))
-            .agg(F.sum("__n").as("__c"))
-        else df
-          .select(F.coalesce(F.col(a).cast("string"), F.lit("\u0002")).as("__a"),
-            F.coalesce(F.col(b).cast("string"), F.lit("\u0002")).as("__b"))
-          .groupBy("__a", "__b").agg(F.count(F.lit(1)).as("__c")))
+    // cap check BEFORE materialization (ADVICE r15): the count runs the
+    // map-side-combined aggregate and DISCARDS rows — nothing corpus-scale
+    // is computed-and-stored until the tuple cell count is known safe; if
+    // it blows the cap (jointly high-NDV columns), the per-pair fallback
+    // runs without ever storing the corpus-scale table. The under-cap case
+    // pays the aggregate twice (count, then checkpoint) — cell-scale
+    // shuffle output, cheap next to the corpus scan. A caller whose
+    // projections are banded BY CONSTRUCTION (the q189 discipline, NDVs
+    // verified via q185) can assert `assumeUnderCap` and skip the routing
+    // scan — the cap is then verified on the materialized cell table and
+    // a false assertion still fails loudly (after storing ≤ the actual
+    // cell count, which the caller asserted small).
+    val baseUsable = assumeUnderCap || basePlan.count() <= maxJointCells
+
+    // the exact algebra both paths share, driver-side over the collected
+    // scalars: tv = (num + n^2 - sp) * 1e6 DIV (2 n^2) — absent joint
+    // cells (joint 0, product > 0) enter via the n^2 - sp term
+    def tvOf(n: Long, num: java.math.BigDecimal,
+             sp: java.math.BigDecimal): Long = {
+      val nBig = BigInt(n)
+      ((BigInt(num.toBigInteger) + nBig * nBig - BigInt(sp.toBigInteger)) *
+        1000000 / (2 * nBig * nBig)).toLong
+    }
+    def fdOf(ndv: Long, ndvAB: Long): Long =
+      (BigInt(ndv) * 1000000 / BigInt(math.max(ndvAB, 1L))).toLong
+
+    type AuditRow = (String, String, Option[Long], Long, Long, Long,
+      Long, Long, Option[Long])
+    val rows: Seq[AuditRow] = if (baseUsable) {
+      val base = basePlan.coalesce(4).localCheckpoint()
+      // one grouping-sets aggregate over the cell table: every pair's
+      // (a,b) joint plus both marginals, () for the global total, and the
+      // FULL tuple (the cell count that verifies an assumeUnderCap
+      // assertion inside the same job)
+      val sets: Seq[Seq[String]] =
+        (pairs.flatMap { case (a, b) =>
+          Seq(Seq(a, b).distinct, Seq(a), Seq(b)) } ++
+          Seq(Seq.empty[String], allCols)).distinct
+      val gs = base.groupingSets(
+          sets.map(_.map(c => F.col(s"__k_$c"))),
+          allCols.map(c => F.col(s"__k_$c")): _*)
+        .agg(F.sum("__n").as("__c"), F.grouping_id().as("__gid"))
+        .coalesce(1).localCheckpoint()
+      // grouping_id bitmask: bit set = column AGGREGATED AWAY (not in set)
+      def gidOf(set: Seq[String]): Long =
+        allCols.zipWithIndex.foldLeft(0L) { case (g, (c, i)) =>
+          if (set.contains(c)) g else g | (1L << (allCols.size - 1 - i)) }
+      val gidEmpty = gidOf(Seq.empty)
+      // ONE job over the checkpointed gs computes everything: per-gid cell
+      // counts/totals (ndv_* and n) UNION each pair's TV numerators (the
+      // pair's joint rows joined to both marginals — cell-scale frames;
+      // AQE turns the joins into broadcasts at runtime). A unified padded
+      // schema (tag, key, two DECIMAL(38,0) scalars) lets one collect
+      // carry both row kinds.
+      val dec = "CAST(__cells AS DECIMAL(38,0))"
+      val summaryF = gs.groupBy("__gid")
+        .agg(F.count(F.lit(1)).as("__cells"), F.sum("__c").as("__tot"))
+        .select(F.lit("gid").as("tag"), F.col("__gid").cast("string").as("key"),
+          F.expr(dec).as("v1"),
+          F.col("__tot").cast("decimal(38,0)").as("v2"))
+      val nRow = gs.where(F.col("__gid") === gidEmpty)
+        .select(F.col("__c").as("__ntot"))
+      val tvFs = pairs.zipWithIndex.map { case ((a, b), i) =>
+        val gidAB = gidOf(Seq(a, b).distinct)
+        val joint = gs.where(F.col("__gid") === gidAB)
+          .select(F.col(s"__k_$a").as("__a"), F.col(s"__k_$b").as("__b"),
+            F.col("__c"))
+        val ma = gs.where(F.col("__gid") === gidOf(Seq(a)))
+          .select(F.col(s"__k_$a").as("__a"), F.col("__c").as("__ca"))
+        val mb = gs.where(F.col("__gid") === gidOf(Seq(b)))
+          .select(F.col(s"__k_$b").as("__b"), F.col("__c").as("__cb"))
+        joint.join(F.broadcast(ma), Seq("__a")).join(F.broadcast(mb), Seq("__b"))
+          .crossJoin(F.broadcast(nRow))
+          .agg(F.sum(F.expr(
+            """abs(CAST(__c AS DECIMAL(38,0)) * __ntot
+                   - CAST(__ca AS DECIMAL(38,0)) * __cb)""")).as("v1"),
+            F.sum(F.expr(
+              "CAST(__ca AS DECIMAL(38,0)) * __cb")).as("v2"))
+          .select(F.lit("tv").as("tag"), F.lit(i.toString).as("key"),
+            F.col("v1"), F.col("v2"))
+      }
+      val collected = tvFs.foldLeft(summaryF)(_.unionByName(_)).collect()
+      val summary: Map[Long, (Long, Option[Long])] = collected.iterator
+        .filter(_.getString(0) == "gid").map { r =>
+          r.getString(1).toLong -> (r.getDecimal(2).longValueExact(),
+            Option(r.getDecimal(3)).map(_.longValueExact()))
+        }.toMap
+      val tvRaw: Map[Int, (Option[java.math.BigDecimal],
+          Option[java.math.BigDecimal])] = collected.iterator
+        .filter(_.getString(0) == "tv").map { r =>
+          r.getString(1).toInt -> (Option(r.getDecimal(2)), Option(r.getDecimal(3)))
+        }.toMap
+      val n: Option[Long] = summary.get(gidEmpty).flatMap(_._2)
+      if (assumeUnderCap) {
+        val cells = summary.get(gidOf(allCols)).map(_._1).getOrElse(0L)
+        if (cells > maxJointCells) {
+          base.unpersist(blocking = false)
+          throw new IllegalArgumentException(
+            s"dependencyAudit: assumeUnderCap asserted but the full tuple " +
+            s"has $cells joint cells > cap $maxJointCells — the audited " +
+            "columns are not banded; drop the assertion or coarsen them")
+        }
+      }
+      val out = pairs.zipWithIndex.map { case ((a, b), i) =>
+        def cellsOf(g: Long) = summary.get(g).map(_._1).getOrElse(0L)
+        val (ndvAB, ndvA, ndvB) =
+          (cellsOf(gidOf(Seq(a, b).distinct)), cellsOf(gidOf(Seq(a))),
+            cellsOf(gidOf(Seq(b))))
+        val tvPpm: Option[Long] = n.flatMap { nv =>
+          tvRaw.get(i) match {
+            case Some((Some(num), Some(sp))) => Some(tvOf(nv, num, sp))
+            case _ => None
+          }
+        }
+        (a, b, n, ndvA, ndvB, ndvAB, fdOf(ndvA, ndvAB), fdOf(ndvB, ndvAB),
+          tvPpm)
+      }
+      gs.unpersist(blocking = false)
+      base.unpersist(blocking = false)
+      out
+    } else pairs.map { case (a, b) =>
+      // per-pair corpus fallback (jointly high-NDV audited columns): one
+      // scan per pair, the cap enforced on the pair's own joint before
+      // any marginal join runs on it
+      val joint = df
+        .select(F.coalesce(F.col(a).cast("string"), F.lit("\u0002")).as("__a"),
+          F.coalesce(F.col(b).cast("string"), F.lit("\u0002")).as("__b"))
+        .groupBy("__a", "__b").agg(F.count(F.lit(1)).as("__c"))
         .localCheckpoint()
       val cells = joint.count()
       require(cells <= maxJointCells,
@@ -814,40 +928,48 @@ object Stats {
         s"$maxJointCells — a near-unique column reached the audit; band/" +
         "coarsen it first (the q189 discipline; tableColumnStats' NDV " +
         "predicts this), or raise maxJointCells deliberately")
-      val ma = joint.groupBy("__a").agg(F.sum("__c").as("__ca"))
-      val mb = joint.groupBy("__b").agg(F.sum("__c").as("__cb"))
       val tot = joint.agg(F.sum("__c").as("n"),
         F.count(F.lit(1)).as("ndv_ab"),
         F.countDistinct("__a").as("ndv_a"),
-        F.countDistinct("__b").as("ndv_b"))
-      // TV needs the ABSENT cells too (joint 0, product > 0): their mass
-      // is n^2 - sum over present cells of ca*cb, added below
-      val tv = joint.join(ma, Seq("__a")).join(mb, Seq("__b"))
-        .crossJoin(F.broadcast(tot.select("n")))
-        .agg(F.sum(F.expr(
-          """abs(CAST(__c AS DECIMAL(38,0)) * n
-                 - CAST(__ca AS DECIMAL(38,0)) * __cb)""")).as("__num"),
-          F.sum(F.expr(
-            "CAST(__ca AS DECIMAL(38,0)) * __cb")).as("__sp"))
-      tot.crossJoin(F.broadcast(tv))
-        .withColumn("tv_ppm", F.expr(
-          """CAST((__num + CAST(n AS DECIMAL(38,0)) * n - __sp) * 1000000 DIV
-                 (CAST(2 AS DECIMAL(38,0)) * n * n) AS BIGINT)"""))
-        .select(
-          F.lit(a).as("a_col"), F.lit(b).as("b_col"), F.col("n"),
-          F.col("ndv_a"), F.col("ndv_b"), F.col("ndv_ab"),
-          // greatest-guard: an empty input pair has ndv_ab = 0 and must
-          // degrade to a null-ish row, not an ANSI divide-by-zero
-          F.expr("""CAST(CAST(ndv_a AS DECIMAL(38,0)) * 1000000
-                        DIV greatest(ndv_ab, 1L) AS BIGINT)""").as("fd_ab_ppm"),
-          F.expr("""CAST(CAST(ndv_b AS DECIMAL(38,0)) * 1000000
-                        DIV greatest(ndv_ab, 1L) AS BIGINT)""").as("fd_ba_ppm"),
-          F.col("tv_ppm"))
+        F.countDistinct("__b").as("ndv_b")).collect().head
+      val n = Option(tot.get(0)).map(_.asInstanceOf[Long])
+      val (ndvAB, ndvA, ndvB) = (tot.getLong(1), tot.getLong(2), tot.getLong(3))
+      val tvPpm: Option[Long] = n.flatMap { nv =>
+        val ma = joint.groupBy("__a").agg(F.sum("__c").as("__ca"))
+        val mb = joint.groupBy("__b").agg(F.sum("__c").as("__cb"))
+        val r = joint.join(ma, Seq("__a")).join(mb, Seq("__b"))
+          .agg(F.sum(F.expr(
+            s"""abs(CAST(__c AS DECIMAL(38,0)) * ${nv}L
+                   - CAST(__ca AS DECIMAL(38,0)) * __cb)""")).as("__num"),
+            F.sum(F.expr(
+              "CAST(__ca AS DECIMAL(38,0)) * __cb")).as("__sp"))
+          .collect().head
+        (Option(r.getDecimal(0)), Option(r.getDecimal(1))) match {
+          case (Some(num), Some(sp)) => Some(tvOf(nv, num, sp))
+          case _ => None
+        }
+      }
+      joint.unpersist(blocking = false)
+      (a, b, n, ndvA, ndvB, ndvAB, fdOf(ndvA, ndvAB), fdOf(ndvB, ndvAB), tvPpm)
     }
-    // each pair's joint is checkpointed above — release the base blocks
-    // instead of pinning them in executor storage for the session
-    if (baseUsable) base.unpersist(blocking = false)
-    frames.reduce(_.unionByName(_))
+    // literal result frame — the all-integer values are already exact
+    import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+    val schema = StructType(Seq(
+      StructField("a_col", StringType, nullable = false),
+      StructField("b_col", StringType, nullable = false),
+      StructField("n", LongType, nullable = true),
+      StructField("ndv_a", LongType, nullable = false),
+      StructField("ndv_b", LongType, nullable = false),
+      StructField("ndv_ab", LongType, nullable = false),
+      StructField("fd_ab_ppm", LongType, nullable = true),
+      StructField("fd_ba_ppm", LongType, nullable = true),
+      StructField("tv_ppm", LongType, nullable = true)))
+    val data = new java.util.ArrayList[org.apache.spark.sql.Row]()
+    rows.foreach { case (a, b, n, ndvA, ndvB, ndvAB, fdAB, fdBA, tv) =>
+      data.add(org.apache.spark.sql.Row(a, b, n.map(Long.box).orNull,
+        ndvA, ndvB, ndvAB, fdAB, fdBA, tv.map(Long.box).orNull))
+    }
+    spark.createDataFrame(data, schema)
   }
 }
 

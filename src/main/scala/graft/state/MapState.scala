@@ -35,6 +35,14 @@ trait CommitAwareBacking {
   def onCommit(): Unit
 }
 
+/** Optional removal face: backings that can DELETE keys (tombstones on the
+  * durable tiers). State-compaction paths (dead `best` entries of absorbed
+  * dup-cluster roots, VERDICT r15 #5) garbage-collect through it; a backing
+  * without it simply accretes the dead entries (read paths filter them). */
+trait RemovableBacking {
+  def multiRemove(keys: Seq[Seq[Any]]): Unit
+}
+
 private[state] object CommitSupport {
   def onCommit(backing: IBackingMap[_]): Unit = backing match {
     case c: CommitAwareBacking => c.onCommit()
@@ -59,6 +67,15 @@ trait MapState[T] extends ReadOnlyMapState[T] {
   def scanAll(): Seq[(Seq[Any], Any)] = throw new UnsupportedOperationException(
     s"${getClass.getSimpleName}'s backing map is not ScannableBacking — " +
       "state scans (toDF/newValuesStream/TupleCollectionGet) need one")
+  /** Whether [[multiRemove]] is available (backing is [[RemovableBacking]]).
+    * GC paths probe this and skip removal — never crash — when absent. */
+  def supportsRemove: Boolean = false
+  /** Delete keys outright (state GC — dead forwarding entries); only valid
+    * when [[supportsRemove]]. Removal is a WRITE: callers sequence it in
+    * the same commit bracket as the puts it accompanies. */
+  def multiRemove(keys: Seq[Seq[Any]]): Unit =
+    throw new UnsupportedOperationException(
+      s"${getClass.getSimpleName}'s backing map is not RemovableBacking")
 }
 
 private[state] object ScanSupport {
@@ -91,6 +108,11 @@ final class NonTransactionalMap[T](backing: IBackingMap[T]) extends MapState[T] 
   def beginCommit(txid: Option[Long]): Unit = ()
   def commit(txid: Option[Long]): Unit = CommitSupport.onCommit(backing)
   override def scanAll(): Seq[(Seq[Any], Any)] = ScanSupport.scan(backing)
+  override def supportsRemove: Boolean = backing.isInstanceOf[RemovableBacking]
+  override def multiRemove(keys: Seq[Seq[Any]]): Unit = backing match {
+    case r: RemovableBacking => r.multiRemove(keys)
+    case _ => super.multiRemove(keys)
+  }
 }
 
 /** `state/map/TransactionalMap.java:40-95` — stores `TransactionalValue`;
@@ -170,11 +192,13 @@ final class OpaqueMap[T](backing: IBackingMap[OpaqueValue[T]]) extends MapState[
   * it; the test fixture of both the reference and this engine. A cluster
   * deployment swaps in a real `IBackingMap` (JDBC/KV) or the
   * `transformWithState` path — same wrapper semantics. */
-final class MemoryBackingMap[T](id: String) extends IBackingMap[T] with ScannableBacking {
+final class MemoryBackingMap[T](id: String) extends IBackingMap[T]
+  with ScannableBacking with RemovableBacking {
   private def store = MemoryBackingMap.store[T](id)
   def multiGet(keys: Seq[Seq[Any]]): Seq[Option[T]] = keys.map(k => store.get(k))
   def multiPut(keys: Seq[Seq[Any]], vals: Seq[T]): Unit =
     keys.zip(vals).foreach { case (k, v) => store.put(k, v) }
+  def multiRemove(keys: Seq[Seq[Any]]): Unit = keys.foreach(store.remove(_))
   def scanAll(): Seq[(Seq[Any], Any)] = store.toSeq
 }
 
@@ -189,7 +213,7 @@ object MemoryBackingMap {
 /** `state/map/CachedMap.java:31-70` — cross-batch LRU read cache over a
   * (remote) backing map; writes update the cache. */
 final class CachedMap[T](backing: IBackingMap[T], capacity: Int)
-  extends IBackingMap[T] with ScannableBacking {
+  extends IBackingMap[T] with ScannableBacking with RemovableBacking {
   /** Scans bypass the LRU (reads through to the full backing). */
   def scanAll(): Seq[(Seq[Any], Any)] = ScanSupport.scan(backing)
   private val cache = new java.util.LinkedHashMap[Seq[Any], Option[T]](16, 0.75f, true) {
@@ -218,14 +242,28 @@ final class CachedMap[T](backing: IBackingMap[T], capacity: Int)
     backing.multiPut(keys, vals)
     keys.zip(vals).foreach { case (k, v) => cache.put(k, Some(v)) }
   }
+  def multiRemove(keys: Seq[Seq[Any]]): Unit = synchronized {
+    backing match {
+      case r: RemovableBacking => r.multiRemove(keys)
+      case other => throw new UnsupportedOperationException(
+        s"CachedMap backing ${other.getClass.getSimpleName} is not RemovableBacking")
+    }
+    keys.foreach(cache.put(_, None)) // removal is knowledge: cache the absence
+  }
 }
 
 /** `state/map/MicroBatchIBackingMap.java:25-79` — chunk bulk calls so huge
   * batches don't overwhelm an external store. */
 final class MicroBatchBackingMap[T](backing: IBackingMap[T], maxMultiGet: Int,
                                     maxMultiPut: Int)
-  extends IBackingMap[T] with ScannableBacking {
+  extends IBackingMap[T] with ScannableBacking with RemovableBacking {
   def scanAll(): Seq[(Seq[Any], Any)] = ScanSupport.scan(backing)
+  def multiRemove(keys: Seq[Seq[Any]]): Unit = backing match {
+    case r: RemovableBacking =>
+      keys.grouped(maxMultiPut).foreach(r.multiRemove(_))
+    case other => throw new UnsupportedOperationException(
+      s"MicroBatchBackingMap backing ${other.getClass.getSimpleName} is not RemovableBacking")
+  }
   def multiGet(keys: Seq[Seq[Any]]): Seq[Option[T]] =
     keys.grouped(maxMultiGet).flatMap(backing.multiGet).toSeq
   def multiPut(keys: Seq[Seq[Any]], vals: Seq[T]): Unit =
@@ -272,6 +310,12 @@ final class CountingMapState[T](inner: MapState[T]) extends MapState[T] {
   def multiPut(keys: Seq[Seq[Any]], vals: Seq[T]): Unit = {
     synchronized(puts ++= keys)
     inner.multiPut(keys, vals)
+  }
+  // removal is a write-touch: the putKeys-subset-of-getKeys law covers it
+  override def supportsRemove: Boolean = inner.supportsRemove
+  override def multiRemove(keys: Seq[Seq[Any]]): Unit = {
+    synchronized(puts ++= keys)
+    inner.multiRemove(keys)
   }
   def beginCommit(txid: Option[Long]): Unit = inner.beginCommit(txid)
   def commit(txid: Option[Long]): Unit = inner.commit(txid)

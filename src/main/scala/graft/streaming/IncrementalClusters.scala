@@ -67,9 +67,9 @@ import scala.collection.mutable
   * fails loudly (fingerprint mismatch).
   */
 final class IncrementalClusters(
-    parents: graft.state.MapState[Long],
-    best: Option[graft.state.MapState[(Double, Long)]] = None,
-    journal: Option[graft.state.MapState[Vector[Long]]] = None) {
+    private[graft] val parents: graft.state.MapState[Long],
+    private[graft] val best: Option[graft.state.MapState[(Double, Long)]] = None,
+    private[graft] val journal: Option[graft.state.MapState[Vector[Long]]] = None) {
 
   /** Fold one micro-batch of candidate pairs into the clustering state and
     * return this batch's DELTA emissions: one (id, cluster_id) row per
@@ -183,8 +183,19 @@ final class IncrementalClusters(
     // DIFFERENT edges is txid reuse (e.g. a fresh query restarting batch
     // ids over retained state) and fails LOUDLY rather than emitting a
     // previous run's phantom relabels.
-    val fingerprint: Long = scala.util.hashing.MurmurHash3
-      .orderedHash(edges.sortBy(e => (e._1, e._2)).iterator).toLong
+    // 64-bit FNV-1a over the sorted edge list (ADVICE r15: a 32-bit hash
+    // widened to Long gives the loud txid-reuse contract only 32 bits of
+    // discrimination — a collision would silently re-emit a previous
+    // run's phantom root-change records instead of failing)
+    val fingerprint: Long = {
+      var h = 0xcbf29ce484222325L
+      def mix(v: Long): Unit = {
+        var x = v; var i = 0
+        while (i < 8) { h ^= (x & 0xffL); h *= 0x100000001b3L; x >>>= 8; i += 1 }
+      }
+      edges.sortBy(e => (e._1, e._2)).foreach { e => mix(e._1); mix(e._2) }
+      h
+    }
     val journalSlot = journal.map(jm =>
       new graft.state.SnapshottableMap[Vector[Long]](jm))
     val storedJournal: Option[Vector[Long]] = journalSlot.flatMap(_.get)
@@ -301,6 +312,18 @@ final class IncrementalClusters(
         if (!winnerStored.get(fr).contains(v)) { bKeys += Seq(fr); bVals += v }
       }
       if (bKeys.nonEmpty) bm.multiPut(bKeys.toSeq, bVals.toSeq)
+      // GC dead quality entries (ADVICE r15 / VERDICT r15 #5): a losing
+      // root's best was merged into the winner above; its stored entry is
+      // unreadable from here on (scans filter non-roots) and would accrete
+      // one dead key per dethroned root for the life of the state. The
+      // removal runs AFTER the merged winner values are durable and BEFORE
+      // the parents links flip, so a torn prefix still replays to the same
+      // merged best (the losing root reads as a self-root with no best —
+      // its contribution is already in the winner's stored entry).
+      val deadBest = preRoots.lazyZip(stored).collect {
+        case (r, Some(_)) if finalOf(r) != r => Seq[Any](r)
+      }
+      if (deadBest.nonEmpty && bm.supportsRemove) bm.multiRemove(deadBest.toSeq)
       // emissions may reference an unchanged winner's best — fill from store
       finalOf.values.toSet.foreach { (fr: Long) =>
         if (!bestOf.contains(fr)) winnerStored.get(fr).foreach(bestOf(fr) = _)
@@ -341,6 +364,54 @@ final class IncrementalClusters(
       root
     }
     raw.keysIterator.map(n => (n, res(n))).toSeq.toDF("id", "cluster_id")
+  }
+
+  /** Fold resolved chains and GC legacy dead entries IN THE STORE (VERDICT
+    * r15 #5): every stored link is rewritten to point directly at its
+    * final root (so `find()` is one hop and WAL replay carries no chain
+    * history), and `best` entries whose key is no longer a root are
+    * removed (per-batch GC already drops them going forward; this sweeps
+    * any accreted before it). Safe by the delta contract: consumers
+    * resolve relabels via the emitted root-change records, and the state
+    * only needs a correct find() — folding shortens chains without
+    * changing any label. Link rewrites are idempotent and only jump
+    * forward along resolution paths, so ANY torn prefix of the writes
+    * leaves find() correct. Driver-sized (a full scan, like [[snapshot]])
+    * — a maintenance-window operation, not a per-batch one; the commit
+    * bracket triggers commit-aware backings' WAL compaction so the folded
+    * links land in the next durable snapshot. Use a txid outside the
+    * batch id sequence (e.g. the next batch id — the fold never touches
+    * the journal, so replay detection is unaffected). */
+  def compactState(txid: Long): Unit = {
+    parents.beginCommit(Some(txid))
+    best.foreach(_.beginCommit(Some(txid)))
+    val raw = parents.scanAll().map { case (k, v) =>
+      k.head.asInstanceOf[Long] -> v.asInstanceOf[Long]
+    }.toMap
+    val memo = mutable.Map.empty[Long, Long]
+    def res(n: Long): Long = {
+      val path = mutable.Buffer.empty[Long]
+      var x = n
+      while (!memo.contains(x) && raw.getOrElse(x, x) != x) { path += x; x = raw(x) }
+      val root = memo.getOrElse(x, x)
+      path.foreach(memo(_) = root)
+      root
+    }
+    val stale = raw.iterator.collect {
+      case (k, v) if v != res(k) => (Seq[Any](k), res(k))
+    }.toVector
+    if (stale.nonEmpty) parents.multiPut(stale.map(_._1), stale.map(_._2))
+    best.foreach { bm =>
+      if (bm.supportsRemove) {
+        val dead = bm.scanAll().collect {
+          case (k, _) if res(k.head.asInstanceOf[Long]) !=
+            k.head.asInstanceOf[Long] => k
+        }
+        if (dead.nonEmpty) bm.multiRemove(dead)
+      }
+    }
+    best.foreach(_.commit(Some(txid)))
+    parents.commit(Some(txid))
   }
 
   /** Current best representative per LIVE cluster (quality tier's scan
@@ -421,6 +492,83 @@ object IncrementalClusters {
       graft.state.ParquetBackingMap.open[Vector[Long]](spark, s"$dir/journal",
         vectorCodec))))
 
+  /** DISTRIBUTED snapshot face (VERDICT r15 #2): the full current labeling
+    * of a DURABLE clustering read straight from its files — the parquet
+    * snapshot + WAL segments of the `parents` store become a DataFrame of
+    * (id, parent) links ([[graft.state.ParquetBackingMap.readAsDF]]), and
+    * chains resolve by POINTER DOUBLING: each round joins the link table
+    * to itself (parent := parent's parent), so a chain of length L folds
+    * in ceil(log2 L) shuffle rounds — the classic distributed find. The
+    * driver never materializes the key universe (contrast [[snapshot]],
+    * the scanAll face kept for in-memory tiers): a 10^9-key readout is
+    * log-many self-joins over the link files. Labels equal the driver
+    * face's by construction (same links, same fixpoint). Read between
+    * commits, like any LSM reader. */
+  def snapshotDistributed(spark: org.apache.spark.sql.SparkSession,
+                          dir: String, maxRounds: Int = 24): DataFrame =
+    resolveLinkFrame(
+      graft.state.ParquetBackingMap.readAsDF(spark, s"$dir/parents"), maxRounds)
+
+  /** Pointer-doubling resolution over a (k, v) JSON link frame — shared
+    * by the parquet and disk distributed faces. */
+  private def resolveLinkFrame(kv: DataFrame, maxRounds: Int): DataFrame = {
+    val links = kv.select(
+      F.regexp_extract(F.col("k"), "^\\[(-?\\d+)\\]$", 1)
+        .cast("long").as("id"),
+      F.regexp_extract(F.col("v"), "^\\[(-?\\d+)\\]$", 1)
+        .cast("long").as("parent"))
+    var cur = links.localCheckpoint()
+    var round = 0
+    var anyChanged = true
+    var liveCut = cur
+    while (round < maxRounds && anyChanged) {
+      // parent := parent(parent); inner join is total (every referenced
+      // parent keeps its own entry — losing roots stay as links)
+      val hop = cur.select(F.col("id").as("__pid"), F.col("parent").as("__gp"))
+      val next = cur.join(hop, F.col("parent") === F.col("__pid"))
+        .select(F.col("id"), F.col("__gp").as("parent"),
+          (F.col("__gp") =!= F.col("parent")).as("__chg"))
+      val cutNext = next.localCheckpoint()
+      anyChanged = !cutNext.where(F.col("__chg")).isEmpty
+      cur = cutNext.drop("__chg")
+      liveCut.unpersist(blocking = false)
+      liveCut = cutNext
+      round += 1
+    }
+    require(!anyChanged,
+      s"snapshotDistributed: chains not resolved after $maxRounds doubling " +
+      s"rounds (a chain longer than 2^$maxRounds links?) — raise maxRounds")
+    cur.select(F.col("id"), F.col("parent").as("cluster_id"))
+  }
+
+  /** Distributed quality-tier readout: (cluster_id, best_id, best_quality)
+    * per LIVE root, read from the durable `best` + `parents` files — the
+    * scan-free face of [[IncrementalClusters.bestSnapshot]]. Liveness is a
+    * semi-join against self-rooted parent links (no chain resolution
+    * needed: an entry is live iff its key is still a root). */
+  def bestSnapshotDistributed(spark: org.apache.spark.sql.SparkSession,
+                              dir: String): DataFrame = {
+    val roots = graft.state.ParquetBackingMap
+      .readAsDF(spark, s"$dir/parents")
+      .select(
+        F.regexp_extract(F.col("k"), "^\\[(-?\\d+)\\]$", 1)
+          .cast("long").as("id"),
+        F.regexp_extract(F.col("v"), "^\\[(-?\\d+)\\]$", 1)
+          .cast("long").as("parent"))
+      .where(F.col("id") === F.col("parent"))
+      .select(F.col("id").as("cluster_id"))
+    graft.state.ParquetBackingMap.readAsDF(spark, s"$dir/best")
+      .select(
+        F.regexp_extract(F.col("k"), "^\\[(-?\\d+)\\]$", 1)
+          .cast("long").as("cluster_id"),
+        F.regexp_extract(F.col("v"), "^\\[\"(.*)\\|(-?\\d+)\"\\]$", 2)
+          .cast("long").as("best_id"),
+        F.regexp_extract(F.col("v"), "^\\[\"(.*)\\|(-?\\d+)\"\\]$", 1)
+          .cast("double").as("best_quality"))
+      .join(roots, Seq("cluster_id"), "left_semi")
+      .select("cluster_id", "best_id", "best_quality")
+  }
+
   /** Drop the in-process engines (simulates process exit; durable files
     * remain for the next [[durable]] open). */
   def closeDurable(dir: String): Unit = {
@@ -428,4 +576,41 @@ object IncrementalClusters {
     graft.state.ParquetBackingMap.close(s"$dir/best")
     graft.state.ParquetBackingMap.close(s"$dir/journal")
   }
+
+  /** DURABLE triple over the BOUNDED-HEAP [[graft.state.DiskBackingMap]]
+    * (size-tiered sorted runs + WAL; VERDICT r15 #1): the deployment
+    * shape for a CORPUS-SIZED key universe — `parents` keys every id
+    * ever seen, and here those keys live on disk while the heap holds
+    * only the memtable and per-run probes (~2 B/key). Same fold laws,
+    * same restart semantics as [[durable]] (spec-pinned over this
+    * backing too); per-batch latency and resident memory drilled flat at
+    * 10⁷–10⁸ keys under a pinned -Xmx (`graft.tools.DiskMapDrill`,
+    * SCALE.md). Needs no SparkSession — the store is pure JVM. */
+  def durableDisk(dir: String,
+                  flushAfterKeys: Int = 262144): IncrementalClusters =
+    new IncrementalClusters(
+      new graft.state.NonTransactionalMap(
+        graft.state.DiskBackingMap.open[Long](s"$dir/parents",
+          graft.state.ParquetBackingMap.nonTransactionalCodec, flushAfterKeys)),
+      Some(new graft.state.NonTransactionalMap(
+        graft.state.DiskBackingMap.open[(Double, Long)](s"$dir/best",
+          bestCodec, flushAfterKeys))),
+      Some(new graft.state.NonTransactionalMap(
+        graft.state.DiskBackingMap.open[Vector[Long]](s"$dir/journal",
+          vectorCodec, flushAfterKeys))))
+
+  /** Drop the in-process disk engines (process-exit simulation). */
+  def closeDurableDisk(dir: String): Unit = {
+    graft.state.DiskBackingMap.close(s"$dir/parents")
+    graft.state.DiskBackingMap.close(s"$dir/best")
+    graft.state.DiskBackingMap.close(s"$dir/journal")
+  }
+
+  /** [[snapshotDistributed]] over a [[durableDisk]] directory (the
+    * bounded-heap tier's files: sorted runs + WAL via
+    * [[graft.state.DiskBackingMap.readAsDF]]). */
+  def snapshotDistributedDisk(spark: org.apache.spark.sql.SparkSession,
+                              dir: String, maxRounds: Int = 24): DataFrame =
+    resolveLinkFrame(
+      graft.state.DiskBackingMap.readAsDF(spark, s"$dir/parents"), maxRounds)
 }

@@ -433,11 +433,14 @@ object Drills {
       q.processAllAvailable()
       val setup = (System.nanoTime() - t0) / 1e9
       val drpc = new graft.drpc.LocalDRPC(spark)
-      // the r15 job path: one snapshot persisted per commit, requests
-      // between commits run their shape over the cached blocks
-      val snap = graft.drpc.LiveStateDrpc.registerStateQueryCached(
-          drpc, spark, "bench_statequery", ck, "agg") { (state, args) =>
-        state.where(F.col("key.value") === args)
+      // the r16 job path: snapshot AND physical plan cached per commit —
+      // a request substitutes its key literal into the cached plan and
+      // executes over the persisted blocks (LiveStateDrpc
+      // registerStateQueryPlanCached; r15 measured the snapshot-only
+      // face at ~172 ms median)
+      val snap = graft.drpc.LiveStateDrpc.registerStateQueryPlanCached(
+          drpc, spark, "bench_statequery", ck, "agg") { (state, arg) =>
+        state.where(F.col("key.value") === arg)
           .select(F.col("value.value").as("cnt"))
       }
       try {

@@ -54,6 +54,10 @@ object ScaleDrill {
         args.lift(1).getOrElse("1,10,100").split(",").map(_.trim.toInt).toSeq)
       case "walgrowth" => walGrowthDrill(spark,
         batches = args.lift(1).map(_.toInt).getOrElse(200))
+      case "chainfold" => chainFoldDrill(spark,
+        dethronements = args.lift(1).map(_.toInt).getOrElse(2000))
+      case "distsnap" => distSnapDrill(spark,
+        keys = args.lift(1).map(_.toInt).getOrElse(10000000))
       case _ => pipelineDrill(spark, sfDir,
         args.lift(1).getOrElse("1,10").split(",").map(_.trim.toInt).toSeq,
         nameFilter = args.lift(2))
@@ -1466,6 +1470,145 @@ object ScaleDrill {
       println(f"[scale] megacluster M=$m%9d sec=$sec%7.2f clusters=$nClusters%7d hot=$nHot%9d")
       require(nHot == m && nClusters == 100001L,
         s"megacluster labels wrong: hot=$nHot clusters=$nClusters")
+    }
+  }
+
+  /** Distributed-snapshot drill (VERDICT r15 #2): a 10⁷-key durable
+    * clustering state read out WITHOUT driver materialization. Builds a
+    * disk-tier parents store directly (clusters of 10 with 5-hop chains
+    * mixed in — pointer doubling has real work), then requires the
+    * distributed face ([[graft.streaming.IncrementalClusters
+    * .snapshotDistributedDisk]]) to equal the driver scanAll face
+    * EXACTLY (both `except` directions empty), reporting both wall times
+    * and the driver-heap delta of the distributed read (flat — the
+    * labels never collect). */
+  def distSnapDrill(spark: SparkSession, keys: Int): Unit = {
+    val dir = java.nio.file.Files.createTempDirectory("distsnap").toString
+    try {
+      val store = graft.state.DiskBackingMap.open[Long](s"$dir/parents",
+        graft.state.ParquetBackingMap.nonTransactionalCodec,
+        flushAfterKeys = 1 << 20)
+      val t0 = System.nanoTime()
+      // clusters of 10 (parent = group base); within the first 5 members
+      // a CHAIN (i -> i-1 -> ... -> base) instead of a direct link
+      (0 until keys).grouped(500000).foreach { chunk =>
+        val ks = chunk.map(i => Seq[Any](i.toLong))
+        val vs = chunk.map { i =>
+          val base = i - (i % 10)
+          if (i % 10 != 0 && i % 10 < 5) (i - 1).toLong else base.toLong
+        }
+        store.multiPut(ks, vs)
+      }
+      graft.state.DiskBackingMap.checkpoint(s"$dir/parents")
+      val buildSec = (System.nanoTime() - t0) / 1e9
+      val rt = Runtime.getRuntime
+      System.gc()
+      val heapBefore = rt.totalMemory() - rt.freeMemory()
+      val t1 = System.nanoTime()
+      val dist = graft.streaming.IncrementalClusters
+        .snapshotDistributedDisk(spark, dir).localCheckpoint(true)
+      val nDist = dist.count()
+      val distSec = (System.nanoTime() - t1) / 1e9
+      System.gc()
+      val heapAfter = rt.totalMemory() - rt.freeMemory()
+      // expected labels: every id labels to its group base
+      import org.apache.spark.sql.{functions => FF}
+      val expect = spark.range(keys.toLong)
+        .select(FF.col("id"), (FF.col("id") - FF.pmod(FF.col("id"), FF.lit(10L)))
+          .as("cluster_id"))
+      val diff1 = dist.except(expect).count()
+      val diff2 = expect.except(dist).count()
+      // driver face on the same store, for wall-time contrast
+      val inc = new graft.streaming.IncrementalClusters(
+        new graft.state.NonTransactionalMap(store))
+      val t2 = System.nanoTime()
+      val nDriver = inc.snapshot(spark).count()
+      val driverSec = (System.nanoTime() - t2) / 1e9
+      println(f"[scale] distsnap keys=$keys build=$buildSec%.1fs " +
+        f"distributed=$distSec%.1fs (rows=$nDist, driver-heap delta " +
+        f"${(heapAfter - heapBefore) >> 20}MiB) driver-face=$driverSec%.1fs " +
+        f"(rows=$nDriver) diffs=$diff1/$diff2")
+      require(nDist == keys.toLong && diff1 == 0 && diff2 == 0,
+        s"distributed labels wrong: n=$nDist diffs=$diff1/$diff2")
+      dist.unpersist(blocking = false)
+    } finally {
+      graft.state.DiskBackingMap.close(s"$dir/parents")
+      graft.util.Fs.deleteRecursively(java.nio.file.Paths.get(dir))
+    }
+  }
+
+  /** Chain-fold / dead-entry GC drill (VERDICT r15 #5): a long run of
+    * successive DETHRONEMENTS (every batch introduces a new minimum id
+    * into the same component) is the worst case for the lazy design —
+    * each dethroned root keeps a forwarding link, so stored chains grow
+    * one hop per dethronement, and (on a non-removable best backing)
+    * one dead quality entry accretes per dethroned root.
+    * `compactState` must: fold every stored link to its final root (max
+    * chain 1), sweep the dead best entries, leave labels identical, and
+    * shrink the replayed state to one entry per live id. */
+  def chainFoldDrill(spark: SparkSession, dethronements: Int): Unit = {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("chainfold").toString
+    try {
+      // phase 1 runs with best-GC DISABLED (a legacy/non-removable
+      // backing) so the sweep has real work to do
+      val raw = graft.streaming.IncrementalClusters.durable(spark, dir)
+      class NoRemove[T](inner: graft.state.MapState[T])
+          extends graft.state.MapState[T] {
+        def multiGet(ks: Seq[Seq[Any]]) = inner.multiGet(ks)
+        def multiUpdate(ks: Seq[Seq[Any]], us: Seq[graft.state.ValueUpdater[T]]) =
+          inner.multiUpdate(ks, us)
+        def multiPut(ks: Seq[Seq[Any]], vs: Seq[T]) = inner.multiPut(ks, vs)
+        def beginCommit(t: Option[Long]) = inner.beginCommit(t)
+        def commit(t: Option[Long]) = inner.commit(t)
+        override def scanAll() = inner.scanAll()
+        override def supportsRemove = false
+      }
+      val inc = new graft.streaming.IncrementalClusters(raw.parents,
+        raw.best.map(new NoRemove(_)), raw.journal)
+      val top = 10000000L
+      // batch j: new minimum (top - j) merges with the current component
+      (1 to dethronements).foreach { j =>
+        inc.applyBatchScored(
+          Seq((top - j, top, (j % 97).toDouble, 0.0)).toDF("a", "b", "qa", "qb"),
+          "a", "b", "qa", "qb", j.toLong)
+      }
+      def chainStats(): (Int, Double, Long) = {
+        val links = raw.parents.scanAll().map { case (k, v) =>
+          k.head.asInstanceOf[Long] -> v.asInstanceOf[Long] }.toMap
+        val hops = links.keys.toSeq.map { n =>
+          var x = n; var h = 0
+          while (links(x) != x) { x = links(x); h += 1 }
+          h
+        }
+        (hops.max, hops.sum.toDouble / hops.size, links.size.toLong)
+      }
+      val (maxPre, meanPre, ids) = chainStats()
+      val bestPre = raw.best.get.scanAll().size
+      val labelsPre = raw.snapshot(spark).as[(Long, Long)].collect().toMap
+      val t0 = System.nanoTime()
+      raw.compactState(dethronements.toLong + 10L)
+      val foldSec = (System.nanoTime() - t0) / 1e9
+      val (maxPost, meanPost, idsPost) = chainStats()
+      val bestPost = raw.best.get.scanAll().size
+      val labelsPost = raw.snapshot(spark).as[(Long, Long)].collect().toMap
+      // restart: the folded state replays identically
+      graft.streaming.IncrementalClusters.closeDurable(dir)
+      val re = graft.streaming.IncrementalClusters.durable(spark, dir)
+      val labelsReplay = re.snapshot(spark).as[(Long, Long)].collect().toMap
+      println(f"[scale] chainfold dethr=$dethronements ids=$ids " +
+        f"chains pre(max=$maxPre mean=$meanPre%.1f) post(max=$maxPost mean=$meanPost%.2f) " +
+        f"best pre=$bestPre post=$bestPost foldSec=$foldSec%.2f")
+      require(maxPre > 100, s"fixture too tame: max chain $maxPre")
+      require(maxPost <= 1, s"compactState left chains: max $maxPost")
+      require(bestPre > dethronements / 2 && bestPost == 1,
+        s"dead best sweep failed: pre=$bestPre post=$bestPost")
+      require(labelsPost == labelsPre && labelsReplay == labelsPre,
+        "labels changed across compactState/restart")
+      require(idsPost == ids, s"parents entries changed: $ids -> $idsPost")
+    } finally {
+      graft.streaming.IncrementalClusters.closeDurable(dir)
+      graft.util.Fs.deleteRecursively(java.nio.file.Paths.get(dir))
     }
   }
 

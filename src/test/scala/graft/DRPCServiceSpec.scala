@@ -527,6 +527,77 @@ class DRPCServiceSpec extends AnyFunSuite {
     }
   }
 
+  test("plan-cached job path (r16): substituted-literal answers == fresh across keys AND across a commit; folded-marker shapes downgrade correctly") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val ck = java.nio.file.Files.createTempDirectory("drpc-plan-ck").toString
+    val input = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[String]
+    val counts = graft.streaming.StateStoreRunner.runningCount[String, String](
+      input.toDS().flatMap(_.split(" ").iterator.filter(_.nonEmpty)), identity)
+    val q = counts.writeStream.outputMode("update")
+      .option("checkpointLocation", ck)
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[(String, Long)], _: Long) =>
+        b.queryExecution.toRdd.count(); ()
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime(0L))
+      .start()
+    val drpc = newDrpc()
+    graft.drpc.LiveStateDrpc.registerStateQuery(
+      drpc, spark, "pc_fresh", ck, "agg") { (state, args) =>
+      state.where(F.col("key.value") === args)
+        .select(F.col("value.value").as("cnt"))
+    }
+    val snap = graft.drpc.LiveStateDrpc.registerStateQueryPlanCached(
+      drpc, spark, "pc_cached", ck, "agg") { (state, arg) =>
+      state.where(F.col("key.value") === arg)
+        .select(F.col("value.value").as("cnt"))
+    }
+    // a shape that FOLDS the marker into a bigger constant (the optimizer
+    // folds concat(lit, lit)) — the cache must DETECT the fold and
+    // downgrade to per-request builds, not serve marker-derived answers
+    val snap2 = graft.drpc.LiveStateDrpc.registerStateQueryPlanCached(
+      drpc, spark, "pc_folded", ck, "agg") { (state, arg) =>
+      state.where(F.col("key.value") === F.concat(F.lit("x"), arg))
+        .select(F.col("value.value").as("cnt"))
+    }
+    graft.drpc.LiveStateDrpc.registerStateQuery(
+      drpc, spark, "pc_folded_fresh", ck, "agg") { (state, args) =>
+      state.where(F.col("key.value") === F.concat(F.lit("x"), F.lit(args)))
+        .select(F.col("value.value").as("cnt"))
+    }
+    try {
+      input.addData("the man the moon the xthe xman xthe")
+      q.processAllAvailable()
+      Seq("the", "man", "moon", "nope").foreach { k =>
+        assert(drpc.execute("pc_cached", k) == drpc.execute("pc_fresh", k),
+          s"plan-cached divergence on '$k'")
+        // the downgraded face must return the REAL prefixed-key counts
+        assert(drpc.execute("pc_folded", k) ==
+          drpc.execute("pc_folded_fresh", k), s"folded-shape divergence on '$k'")
+      }
+      assert(drpc.execute("pc_folded", "the") == "[[2]]")
+      // a commit invalidates both the snapshot and the cached plan
+      input.addData("moon moon")
+      q.processAllAvailable()
+      assert(drpc.execute("pc_cached", "moon") == "[[3]]")
+      Seq("the", "man", "moon", "nope").foreach { k =>
+        assert(drpc.execute("pc_cached", k) == drpc.execute("pc_fresh", k),
+          s"post-commit plan-cached divergence on '$k'")
+      }
+    } finally {
+      snap.close(); snap2.close()
+      q.stop()
+      prev match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+      graft.util.Fs.deleteRecursively(java.nio.file.Paths.get(ck))
+    }
+  }
+
   test("keyed fast path: fast == job path over a live query, refresh on commit, inline under a jammed queue (VERDICT r13 #1)") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext

@@ -2575,6 +2575,22 @@ class FunctionsSpec extends AnyFunSuite {
     assert(ok.getAs[Long]("fd_ab_ppm") == 1000000L)
   }
 
+  test("dependencyAudit: assumeUnderCap == default path; false assertion fails loudly") {
+    val fd = (Seq.fill(4)(("x", "p")) ++ Seq.fill(6)(("y", "q"))).toDF("a", "b")
+    val dflt = Stats.dependencyAudit(fd, Seq(("a", "b"))).collect().head
+    val fast = Stats.dependencyAudit(fd, Seq(("a", "b")),
+      assumeUnderCap = true).collect().head
+    assert(fast == dflt)
+    // a false assertion must still fail loudly (verified inside the
+    // grouping-sets job via the full-tuple set)
+    val nearUnique = (1 to 50).map(i => (s"id$i", s"b${i % 3}")).toDF("a", "b")
+    val e = intercept[IllegalArgumentException] {
+      Stats.dependencyAudit(nearUnique, Seq(("a", "b")), maxJointCells = 20L,
+        assumeUnderCap = true).collect()
+    }
+    assert(e.getMessage.contains("assumeUnderCap asserted"), e.getMessage)
+  }
+
   test("vocabularyGrowth: first-seen accounting, cumulative curve, empty batches, totals") {
     def bucket(id: Long, m: Int): Long = {
       val h = java.security.MessageDigest.getInstance("MD5")

@@ -112,6 +112,48 @@ object StatePropertySpec extends Properties("ExactlyOnceState") {
       Prop(got == want) :| s"durable $got vs memory $want"
     }
 
+  property("IncrementalClusters over DiskBackingMap == over MemoryBackingMap for any batched edge stream; fold laws hold; mid-stream restart is lossless (r16)") =
+    Prop.forAll(Gen.listOfN(4, Gen.listOf(
+        Gen.zip(Gen.choose(0L, 12L), Gen.choose(0L, 12L))))) { batches =>
+      val id = s"prop-disk-${java.util.UUID.randomUUID()}"
+      val dir = java.nio.file.Files.createTempDirectory("prop-disk").toString
+      val memInc = graft.streaming.IncrementalClusters.inMemory(id)
+      // flushAfterKeys=4: every batch crosses flush/merge boundaries
+      var diskInc = graft.streaming.IncrementalClusters.durableDisk(dir,
+        flushAfterKeys = 4)
+      var diskParents = new CountingMapState(diskInc.parents)
+      def q(n: Long): Double = ((n * 3) % 7).toDouble
+      val ok = batches.zipWithIndex.forall { case (es0, txid) =>
+        val es = es0.filter(e => e._1 != e._2).distinct
+        val endpoints = es.flatMap(e => Seq(e._1, e._2)).distinct
+        val quals = endpoints.map(n => n -> ((q(n), n))).toMap
+        diskParents.resetCounts()
+        val (memOut, memBest) =
+          memInc.foldEdges(es.toArray, memInc.parents, quals, txid.toLong)
+        val (diskOut, diskBest) =
+          diskInc.foldEdges(es.toArray, diskParents, quals, txid.toLong)
+        val emitOk = diskOut == memOut && diskBest == memBest
+        val lawOk = diskParents.putKeys.subsetOf(diskParents.getKeys)
+        val storedOk = diskInc.parents.scanAll().toMap ==
+          memInc.parents.scanAll().toMap
+        // process restart between batches: reopen from disk
+        graft.streaming.IncrementalClusters.closeDurableDisk(dir)
+        diskInc = graft.streaming.IncrementalClusters.durableDisk(dir,
+          flushAfterKeys = 4)
+        diskParents = new CountingMapState(diskInc.parents)
+        val restartOk = diskInc.parents.scanAll().toMap ==
+          memInc.parents.scanAll().toMap
+        if (!(emitOk && lawOk && storedOk && restartOk))
+          println(s"FAIL disk-vs-mem batch=$es emit=$emitOk law=$lawOk " +
+            s"stored=$storedOk restart=$restartOk")
+        emitOk && lawOk && storedOk && restartOk
+      }
+      graft.streaming.IncrementalClusters.closeDurableDisk(dir)
+      graft.streaming.IncrementalClusters.clearInMemory(id)
+      graft.util.Fs.deleteRecursively(java.nio.file.Paths.get(dir))
+      Prop(ok)
+    }
+
   property("IncrementalClusters.foldEdges: arbitrary batched edge streams — stored chains resolve to the reference union-find; emissions are exactly endpoints + root-change records; puts touch only read keys; replay is a state no-op") =
     Prop.forAll(Gen.listOfN(5, Gen.listOf(
         Gen.zip(Gen.choose(0L, 15L), Gen.choose(0L, 15L))))) { batches =>

@@ -260,6 +260,51 @@ class StateSpec extends AnyFunSuite {
     ParquetBackingMap.close(dir.toString)
   }
 
+  test("DiskBackingMap (r16 bounded-heap tier): roundtrip, overwrite, tombstones, LSM merges, restart replay, crash-window WAL") {
+    val dir = java.nio.file.Files.createTempDirectory("diskmap-spec")
+    val path = dir.toString
+    // flushAfterKeys=4 forces flushes + cascading merges constantly
+    def openIt() = DiskBackingMap.open[Long](path,
+      ParquetBackingMap.nonTransactionalCodec, flushAfterKeys = 4)
+    val m = openIt()
+    val ref = scala.collection.mutable.Map.empty[Long, Long]
+    val rnd = new scala.util.Random(7)
+    (0 until 200).foreach { i =>
+      val k = rnd.nextInt(40).toLong
+      if (rnd.nextInt(5) == 0 && ref.nonEmpty) {
+        val dk = ref.keys.toSeq(rnd.nextInt(ref.size))
+        m.multiRemove(Seq(Seq[Any](dk))); ref.remove(dk)
+      } else {
+        m.multiPut(Seq(Seq[Any](k)), Seq(i.toLong)); ref(k) = i.toLong
+      }
+    }
+    def stored(mm: DiskBackingMap[Long]): Map[Long, Long] =
+      mm.scanAll().map { case (k, v) =>
+        k.head.asInstanceOf[Long] -> v.asInstanceOf[Long] }.toMap
+    assert(stored(m) == ref.toMap)
+    // point reads (runs + memtable + bloom + block cache paths)
+    (0L until 40L).foreach { k =>
+      assert(m.multiGet(Seq(Seq[Any](k))).head == ref.get(k), s"key $k")
+    }
+    // restart: replay from MANIFEST runs + WAL
+    DiskBackingMap.close(path)
+    val m2 = openIt()
+    assert(stored(m2) == ref.toMap, "restart divergence")
+    (0L until 40L).foreach { k =>
+      assert(m2.multiGet(Seq(Seq[Any](k))).head == ref.get(k), s"post-restart $k")
+    }
+    // crash window: a put whose WAL landed but no flush ran — replay wins
+    m2.multiPut(Seq(Seq[Any](999L)), Seq(123L))
+    DiskBackingMap.close(path) // process exit with live WAL segments
+    val m3 = openIt()
+    assert(m3.multiGet(Seq(Seq[Any](999L))).head.contains(123L))
+    // checkpoint folds everything into one run; contents unchanged
+    DiskBackingMap.checkpoint(path)
+    assert(stored(m3) == ref.toMap + (999L -> 123L))
+    DiskBackingMap.close(path)
+    graft.util.Fs.deleteRecursively(dir)
+  }
+
   test("MicroBatchBackingMap chunks bulk calls; CachedMap caches reads") {
     MemoryBackingMap.clear("chunk")
     var gets = 0
@@ -280,10 +325,11 @@ class StateSpec extends AnyFunSuite {
     assert(gets == 1) // second read served from cache
   }
   test("IncrementalClusters torn-write repair: a crash at ANY write point mid-fold replays to the same state, labels, and best representative (r15 write-order contract)") {
-    // write order per fold is journal(1), best(2), parents(3) — crash at
-    // each point in turn, then replay the SAME batch and require full
-    // convergence with an uncrashed reference run
-    (1 to 4).foreach { crashAt => // 4 = no crash (control)
+    // write order per fold is journal(1), best put(2), best remove(3 —
+    // the r16 dead-entry GC), parents(4) — crash at each point in turn,
+    // then replay the SAME batch and require full convergence with an
+    // uncrashed reference run
+    (1 to 5).foreach { crashAt => // 5 = no crash (control)
       def mkMaps(id: String) = (
         new NonTransactionalMap(new MemoryBackingMap[Long](s"$id-p")),
         new NonTransactionalMap(new MemoryBackingMap[(Double, Long)](s"$id-b")),
@@ -313,6 +359,13 @@ class StateSpec extends AnyFunSuite {
             throw new RuntimeException("injected crash")
           inner.multiPut(keys, vals)
         }
+        // removal is a write point too (the r16 dead-best GC)
+        override def supportsRemove: Boolean = inner.supportsRemove
+        override def multiRemove(keys: Seq[Seq[Any]]): Unit = {
+          if (counter.incrementAndGet() == crashAt)
+            throw new RuntimeException("injected crash")
+          inner.multiRemove(keys)
+        }
         def beginCommit(txid: Option[Long]): Unit = inner.beginCommit(txid)
         def commit(txid: Option[Long]): Unit = inner.commit(txid)
         override def scanAll(): Seq[(Seq[Any], Any)] = inner.scanAll()
@@ -324,7 +377,7 @@ class StateSpec extends AnyFunSuite {
       val refOut = ref.foldEdges(b1, rp, q1, 1L)
       val attempt = try { crashing.foldEdges(b1, new SharedCrash(cp), q1, 1L); true }
         catch { case e: RuntimeException if e.getMessage == "injected crash" => false }
-      assert(attempt == (crashAt >= 4), s"crashAt=$crashAt attempt=$attempt")
+      assert(attempt == (crashAt >= 5), s"crashAt=$crashAt attempt=$attempt")
       // replay on the RAW maps (process restarted, no fault)
       val replayOut = crash.foldEdges(b1, cp, q1, 1L)
       assert(replayOut == refOut,

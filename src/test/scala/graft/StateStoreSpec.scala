@@ -215,6 +215,101 @@ class StateStoreSpec extends AnyFunSuite {
     graft.streaming.IncrementalClusters.clearInMemory("spec-best")
   }
 
+  test("incremental dup clusters on the BOUNDED-HEAP disk tier (r16): labels == durable tier, restart parity, runs merge, best GC + compactState") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("inc-disk").toString
+    try {
+      // tiny flushAfterKeys forces real LSM behavior (flushes + merges)
+      val inc1 = graft.streaming.IncrementalClusters.durableDisk(dir,
+        flushAfterKeys = 4)
+      inc1.applyBatchScored(
+        Seq((2L, 7L, 10.0, 50.0), (7L, 9L, 50.0, 5.0))
+          .toDF("a", "b", "qa", "qb"), "a", "b", "qa", "qb", 0L)
+      inc1.applyBatchScored(
+        Seq((5L, 6L, 1.0, 2.0)).toDF("a", "b", "qa", "qb"),
+        "a", "b", "qa", "qb", 1L)
+      graft.streaming.IncrementalClusters.closeDurableDisk(dir)
+      // restart: same labels from disk
+      val inc2 = graft.streaming.IncrementalClusters.durableDisk(dir,
+        flushAfterKeys = 4)
+      assert(inc2.snapshot(spark).as[(Long, Long)].collect().toMap ==
+        Map(2L -> 2L, 7L -> 2L, 9L -> 2L, 5L -> 5L, 6L -> 5L))
+      // cross-restart merge; quality tier follows the winner
+      val out = inc2.applyBatchScored(
+        Seq((6L, 9L, 2.0, 5.0), (1L, 2L, 80.0, 10.0))
+          .toDF("a", "b", "qa", "qb"), "a", "b", "qa", "qb", 2L)
+        .select("id", "cluster_id").as[(Long, Long)].collect().toMap
+      assert(out == Map(1L -> 1L, 2L -> 1L, 5L -> 1L, 6L -> 1L, 9L -> 1L),
+        s"cross-restart merge emission: $out")
+      val expect = graft.functions.Dedup.duplicateClusters(
+        Seq((2L, 7L), (7L, 9L), (5L, 6L), (6L, 9L), (1L, 2L)).toDF("a", "b"),
+        "a", "b").as[(Long, Long)].collect().toMap
+      assert(inc2.snapshot(spark).as[(Long, Long)].collect().toMap == expect)
+      // best: single component rooted at 1, winner = (80.0, 1)
+      val bests = inc2.bestSnapshot(spark)
+        .as[(Long, Long, Double)].collect().toSet
+      assert(bests == Set((1L, 1L, 80.0)), s"disk bests: $bests")
+      // dead best entries of absorbed roots were GC'd by the fold (r16):
+      // only the live root's entry remains in the store
+      val bestKeys = inc2.best.get.scanAll().map(_._1).toSet
+      assert(bestKeys == Set(Seq(1L)), s"dead best entries not GC'd: $bestKeys")
+      // distributed faces == driver faces (read the on-disk runs + WAL)
+      val distLabels = graft.streaming.IncrementalClusters
+        .snapshotDistributedDisk(spark, dir).as[(Long, Long)].collect().toMap
+      assert(distLabels == expect, s"distributed disk labels: $distLabels")
+      // compactState folds chains: every stored link points at its root
+      inc2.compactState(100L)
+      val roots = expect.values.toSet
+      inc2.parents.scanAll().foreach { case (k, v) =>
+        assert(roots.contains(v.asInstanceOf[Long]),
+          s"link $k -> $v not folded to a root")
+      }
+      assert(inc2.snapshot(spark).as[(Long, Long)].collect().toMap == expect)
+      assert(graft.streaming.IncrementalClusters
+        .snapshotDistributedDisk(spark, dir)
+        .as[(Long, Long)].collect().toMap == expect)
+    } finally {
+      graft.streaming.IncrementalClusters.closeDurableDisk(dir)
+      graft.util.Fs.deleteRecursively(java.nio.file.Paths.get(dir))
+    }
+  }
+
+  test("distributed snapshot faces (r16): snapshotDistributed/bestSnapshotDistributed == driver faces on the parquet durable tier, incl. after compactState") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("inc-dist").toString
+    try {
+      val inc = graft.streaming.IncrementalClusters.durable(spark, dir)
+      inc.applyBatchScored(
+        Seq((2L, 7L, 10.0, 50.0), (20L, 21L, 9.0, 3.0))
+          .toDF("a", "b", "qa", "qb"), "a", "b", "qa", "qb", 0L)
+      inc.applyBatchScored(
+        Seq((1L, 2L, 80.0, 10.0)).toDF("a", "b", "qa", "qb"),
+        "a", "b", "qa", "qb", 1L)
+      val driverLabels = inc.snapshot(spark).as[(Long, Long)].collect().toMap
+      val distLabels = graft.streaming.IncrementalClusters
+        .snapshotDistributed(spark, dir).as[(Long, Long)].collect().toMap
+      assert(distLabels == driverLabels,
+        s"distributed $distLabels != driver $driverLabels")
+      val driverBest = inc.bestSnapshot(spark)
+        .as[(Long, Long, Double)].collect().toSet
+      val distBest = graft.streaming.IncrementalClusters
+        .bestSnapshotDistributed(spark, dir)
+        .as[(Long, Long, Double)].collect().toSet
+      assert(distBest == driverBest, s"distributed best $distBest != $driverBest")
+      // chain folding must not change either face
+      inc.compactState(100L)
+      assert(graft.streaming.IncrementalClusters
+        .snapshotDistributed(spark, dir)
+        .as[(Long, Long)].collect().toMap == driverLabels)
+      assert(graft.streaming.IncrementalClusters
+        .bestSnapshotDistributed(spark, dir)
+        .as[(Long, Long, Double)].collect().toSet == driverBest)
+    } finally {
+      graft.streaming.IncrementalClusters.closeDurable(dir)
+      graft.util.Fs.deleteRecursively(java.nio.file.Paths.get(dir))
+    }
+  }
+
   test("incremental dup clusters on the DURABLE tier: labels survive a process restart, cross-restart merge matches batch") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("inc-durable").toString
