@@ -503,7 +503,9 @@ object IncrementalClusters {
     * the scanAll face kept for in-memory tiers): a 10^9-key readout is
     * log-many self-joins over the link files. Labels equal the driver
     * face's by construction (same links, same fixpoint). Read between
-    * commits, like any LSM reader. */
+    * commits, like any LSM reader. The returned frame is backed by the
+    * final localCheckpoint round (executor-resident blocks on a cluster)
+    * — unpersist it when done. */
   def snapshotDistributed(spark: org.apache.spark.sql.SparkSession,
                           dir: String, maxRounds: Int = 24): DataFrame =
     resolveLinkFrame(

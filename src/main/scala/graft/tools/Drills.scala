@@ -454,6 +454,8 @@ object Drills {
           (System.nanoTime() - r0) / 1e6
         }
         require(q.isActive, "streaming query died during DRPC reads")
+        val sortedT = times.sorted
+        System.err.println(s"[drpc] per-request ms: ${times.map(t => f"$t%.0f").mkString(",")} med=${sortedT(times.size / 2)}")
         (times.sum / times.size, times.max, setup)
       } finally snap.close()
     } finally {
