@@ -998,7 +998,16 @@ object Dedup {
     def cut(df: DataFrame): DataFrame =
       if (reliableCheckpoint) df.checkpoint(true) else df.localCheckpoint(true)
     val fwd = pairs.select(F.col(aCol).as("src"), F.col(bCol).as("dst"))
+    // ONE exchange keyed on dst at build (r16, guide §2.4): every
+    // propagation round joins edges⋈labels ON dst, and the old
+    // (src,dst)-partitioned cut re-shuffled the FULL edge table each round
+    // to satisfy that clustering. Repartitioning BEFORE the distinct makes
+    // the dedup partition-local (HashPartitioning(dst) already satisfies
+    // the (src,dst) clustering), so the build pays one exchange instead of
+    // the old one — and the eager checkpoint freezes the layout
+    // (LogicalRDD keeps outputPartitioning), so rounds only move labels.
     val edges = cut(fwd.union(fwd.select(F.col("dst").as("src"), F.col("src").as("dst")))
+      .repartition(F.col("dst"))
       .distinct())
     // seed with min(self, direct neighbors) — exactly the first propagation
     // round, folded into initialization (one less join round; stars and

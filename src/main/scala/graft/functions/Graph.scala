@@ -49,31 +49,47 @@ object Graph {
     def cut(df: DataFrame): DataFrame =
       if (reliableCheckpoint) df.checkpoint(true) else df.localCheckpoint(true)
     val fwd = pairs.select(F.col(aCol).as("src"), F.col(bCol).as("dst"))
+    // ONE exchange keyed on src at build (r16, guide §2.4): the per-round
+    // share join is keyed on src, and the old (src,dst)-partitioned cut
+    // re-shuffled the FULL edge table every iteration to satisfy it.
+    // Repartitioning BEFORE the distinct keeps the build at one exchange
+    // (HashPartitioning(src) satisfies the (src,dst) clustering, so the
+    // dedup runs partition-local); the checkpoint freezes the layout
+    // (LogicalRDD keeps outputPartitioning), so iterations only ever move
+    // rank shares, never edges.
     val edges = cut(fwd
       .union(fwd.select(F.col("dst").as("src"), F.col("src").as("dst")))
+      .repartition(F.col("src"))
       .distinct())
-    val deg = cut(edges.groupBy("src").agg(F.count(F.lit(1)).as("deg")))
-    val n = deg.count() // one scalar to the driver; the node count
+    // state carries (node, deg, rank_ppm) in ONE table (r16): the old shape
+    // held ranks and deg separately and paid a ranks⋈deg join per round
+    // plus a final re-attach join — pure exchange overhead, same values.
+    // deg reuses edges' src-partitioning (no exchange for this groupBy).
+    val deg = edges.groupBy(F.col("src").as("node"))
+      .agg(F.count(F.lit(1)).as("deg"))
+    var state = cut(deg.select(F.col("node"), F.col("deg"),
+      F.lit(0L).as("rank_ppm")))
+    val n = state.count() // one scalar to the driver; the node count
     require(n > 0L, "pageRankPpm: empty edge list")
     val telePpm = (1000000L - dampPpm) / n
-    var ranks = cut(deg.select(F.col("src").as("node"),
-      F.lit(1000000L / n).as("rank_ppm")))
-    for (_ <- 1 to iters) {
-      // share = rank(u) DIV deg(u); contributions aggregate by destination
-      val share = ranks
-        .join(deg.withColumnRenamed("src", "node"), "node")
-        .select(F.col("node").as("src"), F.expr("rank_ppm DIV deg").as("__s"))
+    val initPpm = 1000000L / n
+    for (it <- 1 to iters) {
+      // share = rank(u) DIV deg(u); contributions aggregate by destination.
+      // The first round reads the initial 1e6/n rank as a literal (state's
+      // stored rank_ppm is a placeholder until the first update).
+      val rankExpr = if (it == 1) s"${initPpm}L" else "rank_ppm"
+      val share = state
+        .select(F.col("node").as("src"), F.expr(s"$rankExpr DIV deg").as("__s"))
       val sums = edges.join(share, "src")
         .groupBy(F.col("dst").as("node"))
         .agg(F.sum("__s").as("__c"))
       // damp * c <= 8.5e5 * 1e6 — far inside BIGINT, no widening needed
-      ranks = cut(deg.select(F.col("src").as("node"))
+      state = cut(state
         .join(sums, Seq("node"), "left")
-        .select(F.col("node"), F.expr(
+        .select(F.col("node"), F.col("deg"), F.expr(
           s"CAST($telePpm AS BIGINT) + $dampPpm * coalesce(__c, CAST(0 AS BIGINT)) DIV 1000000")
           .as("rank_ppm")))
     }
-    ranks.join(deg.withColumnRenamed("src", "node"), "node")
-      .select("node", "deg", "rank_ppm")
+    state.select("node", "deg", "rank_ppm")
   }
 }

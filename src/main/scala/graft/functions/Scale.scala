@@ -914,10 +914,22 @@ object Scale {
 
   def digestManifest(df: DataFrame, idCol: String, cols: Seq[String],
                      shards: Int = 16): DataFrame = {
+    // r16 (guide §"expressions and codegen"): the digest sum used to
+    // accumulate DECIMAL(38,0) per row — a boxed BigDecimal update on a
+    // corpus-sized hot path. The 60-bit row hash splits exactly into three
+    // 20-bit non-negative parts summed as primitive longs (each part-sum
+    // overflows only past 2^43 ≈ 8.8e12 rows per shard — two orders past
+    // the 100 TB row count); the exact DECIMAL(38,0) total reassembles once
+    // per SHARD, so digest_hi/digest_lo are bit-identical.
     digestProjection(df, idCol, cols, shards)
       .groupBy("shard")
       .agg(F.count(F.lit(1)).as("cnt"),
-        F.sum(F.expr("CAST(__h AS DECIMAL(38,0))")).as("__s"))
+        F.sum(F.expr("__h DIV 1099511627776")).as("__s2"),
+        F.sum(F.expr("__h DIV 1048576 % 1048576")).as("__s1"),
+        F.sum(F.expr("__h % 1048576")).as("__s0"))
+      .withColumn("__s", F.expr(
+        """CAST(CAST(__s2 AS DECIMAL(38,0)) * 1099511627776
+               + CAST(__s1 AS DECIMAL(38,0)) * 1048576 + __s0 AS DECIMAL(38,0))"""))
       .withColumn("digest_hi",
         F.expr("CAST(__s DIV 1152921504606846976 AS BIGINT)"))
       // decimal remainder, not hi*2^60 re-multiply — that product overflows
