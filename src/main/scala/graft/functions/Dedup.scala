@@ -191,8 +191,18 @@ object Dedup {
   def nearDupPairs(df: DataFrame, idCol: String, textCol: String, k: Int = 3,
                    numHashes: Int = 8, rowsPerBand: Int = 2,
                    threshold: Double = 0.7): DataFrame = {
-    val withSig = lshBands(minhashSignature(df, textCol, k, numHashes),
-      numHashes, rowsPerBand)
+    // signature computed ONCE and lineage-cut (r16): the candidate stage's
+    // bucket-count guard and its collect side are two subplans, and the
+    // un-cut spelling re-ran the fused shingle+minhash pass (the dominant
+    // per-row cost) once per subplan — the same discipline
+    // minhashCalibration and simhashNearPairs already apply. Only
+    // (id, mh0..mhN) is materialized — ids + 32-char hashes, never text
+    // or shingle payloads, so the 100 TB storage posture is unchanged.
+    val sig = minhashSignature(df.select(F.col(idCol), F.col(textCol)),
+        textCol, k, numHashes)
+      .select(F.col(idCol) +: (0 until numHashes).map(i => F.col(s"mh$i")): _*)
+      .localCheckpoint(true)
+    val withSig = lshBands(sig, numHashes, rowsPerBand)
     val cands = lshCandidatePairs(withSig, idCol, numHashes / rowsPerBand)
     val sh = df.select(F.col(idCol), shingles(F.col(textCol), k).as("__sh"))
     cands
