@@ -198,10 +198,14 @@ object Dedup {
     // minhashCalibration and simhashNearPairs already apply. Only
     // (id, mh0..mhN) is materialized — ids + 32-char hashes, never text
     // or shingle payloads, so the 100 TB storage posture is unchanged.
+    // LAZY cut: materializes inside the first job that touches it and both
+    // candidate subtrees then read the cache — an eager cut pays a separate
+    // blocking job per call, which q141 (nearDupPairs over a 1/16 sample,
+    // where the saved recompute is small) measured as a +0.3 s regression.
     val sig = minhashSignature(df.select(F.col(idCol), F.col(textCol)),
         textCol, k, numHashes)
       .select(F.col(idCol) +: (0 until numHashes).map(i => F.col(s"mh$i")): _*)
-      .localCheckpoint(true)
+      .localCheckpoint(false)
     val withSig = lshBands(sig, numHashes, rowsPerBand)
     val cands = lshCandidatePairs(withSig, idCol, numHashes / rowsPerBand)
     val sh = df.select(F.col(idCol), shingles(F.col(textCol), k).as("__sh"))
@@ -266,8 +270,19 @@ object Dedup {
     val banded = lshBands(minhashSignature(sample, textCol, k, numHashes),
       numHashes, rowsPerBand)
     val candidates = lshCandidatePairs(banded, idCol, numHashes / rowsPerBand)
-    val caught = nearDupPairs(sample, idCol, textCol, k, numHashes,
-      rowsPerBand, threshold)
+    // caught = the verification stage applied to the SAME candidate plan
+    // (r16): calling nearDupPairs here built a structurally different
+    // candidate subtree (its lineage-cut signature vs this local one), so
+    // Spark's exchange reuse could no longer dedup the two candidate
+    // stages and the bucket grouping ran twice. Verifying `candidates` in
+    // place keeps one canonical subtree — identical caught_pairs, the
+    // subplan nearDupPairs itself appends after its candidate stage.
+    val sh = sample.select(F.col(idCol), shingles(F.col(textCol), k).as("__sh"))
+    val caught = candidates
+      .join(sh.select(F.col(idCol).as("a"), F.col("__sh").as("sha")), "a")
+      .join(sh.select(F.col(idCol).as("b"), F.col("__sh").as("shb")), "b")
+      .where(jaccard(F.col("sha"), F.col("shb")) >= threshold)
+      .select("a", "b")
     val one = (d: DataFrame, name: String) =>
       d.agg(F.count(F.lit(1)).as(name))
     one(sample, "sampled_docs")
