@@ -768,7 +768,13 @@ object Dedup {
       reliableCheckpoint: Boolean = false): DataFrame = {
     def cut(d: DataFrame): DataFrame =
       if (reliableCheckpoint) d.checkpoint(true) else d.localCheckpoint(true)
+    // toks feeds the grams build AND the final mask join — the lazy cut
+    // (r16) materializes it under the grams checkpoint and the mask join
+    // reads the cache, so the regex tokenizer runs once, not twice. The
+    // materialized frame is (id, tokens) ≈ corpus text size — the
+    // trigramLmScore trade (Text.scala), accepted there since r13.
     val toks = df.select(F.col(idCol), Text.tokens(F.col(textCol)).as("__t"))
+      .localCheckpoint(false)
     // the grams frame feeds BOTH the dup-count aggregate and the probe
     // join — cut it ((id, pos, fp) only, text stays behind) so the
     // dominant tokenize+shingle+md5 scan runs once, not twice (the same
@@ -872,19 +878,29 @@ object Dedup {
   def keepBestOfClusters(df: DataFrame, idCol: String, clusters: DataFrame,
       clIdCol: String, clClusterCol: String, qualityCol: String): DataFrame = {
     val cl = clusters.select(F.col(clIdCol).as(idCol), F.col(clClusterCol).as("__cl"))
-    val withCl = df.join(cl, Seq(idCol), "left")
+    // r16 (guide §2.4): the old spelling joined the CORPUS to the cluster
+    // map twice (the left-join frame fed both the argmax and the
+    // unclustered pass-through) plus a third semi-join pass. The argmax
+    // only needs (id, quality) of CLUSTERED ids — a narrow column-pruned
+    // scan joined to the (small) cluster map — and the survivors are then
+    // "everything except clustered non-winners": ONE wide corpus pass
+    // through a broadcast anti-join on the ids-only drop list. Same rows
+    // out (order differs; the result is set-semantics downstream).
+    val scored = cl.join(
+      df.select(F.col(idCol), F.col(qualityCol)), Seq(idCol))
     // argmax via max-struct on (quality, -id, id): quality keeps its native
     // type (a cast-to-long would floor fractional scores and break the
     // max-quality contract); -id makes the tie resolve to the LOWEST id
-    val best = withCl.where(F.col("__cl").isNotNull)
+    val best = scored
       .groupBy("__cl")
       .agg(F.max(F.struct(
         F.col(qualityCol).as("q"),
         (F.lit(-1L) * F.col(idCol)).as("negId"),
         F.col(idCol).as("id"))).as("best"))
       .select(F.col("best.id").as(idCol))
-    withCl.where(F.col("__cl").isNull).drop("__cl")
-      .unionByName(df.join(best, Seq(idCol), "left_semi"))
+    val drop = cl.select(F.col(idCol))
+      .join(best, Seq(idCol), "left_anti")
+    df.join(drop, Seq(idCol), "left_anti")
   }
 
   /** The fingerprint buckets [[winnowOverlapCandidates]] drops at this cap

@@ -518,8 +518,14 @@ object Scale {
     require(bigType == smallType,
       s"key types must match for hash parity: $bigKey is $bigType, $smallKey is $smallType")
 
+    // lineage-cut (r16): the distinct-key frame feeds THREE separate jobs
+    // (the sizing count, the bloom build, the final semi-join side) and
+    // un-cut it re-ran the build-side scan + distinct per job; the lazy
+    // cut materializes it once under the count and the later jobs read
+    // the cache — ids only, never payloads
     val keys = small.select(F.col(smallKey))
       .where(F.col(smallKey).isNotNull).distinct()
+      .localCheckpoint(false)
     // size the sketch from the real build-side cardinality (one narrow
     // pass over the DISTINCT keys — the frame the join reuses below)
     val n = math.max(keys.count(), 1L)

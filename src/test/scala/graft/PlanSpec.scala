@@ -247,10 +247,14 @@ class PlanSpec extends AnyFunSuite {
       s"probe joins must be keyed, not nested-loop:\n$p")
   }
 
-  test("q130 best-of-cluster: argmax map-side combined; keep set met by semi/anti joins, no text shuffle") {
+  test("q130 best-of-cluster: argmax map-side combined; drop set met by anti joins, no text shuffle") {
     val p = plan("q130_best_of_cluster")
     assert(p.contains("partial_max"), s"cluster argmax not map-side combined:\n$p")
-    assert(p.contains("LeftSemi"), s"keep set must be a semi-join:\n$p")
+    // r16: survivors = corpus ANTI-JOIN the ids-only drop list (clustered
+    // non-winners) — one wide corpus pass instead of the old two cluster
+    // joins + a semi-join third pass; the argmax reads a NARROW
+    // (id, quality) projection, so text still never shuffles
+    assert(p.contains("LeftAnti"), s"drop set must be an anti-join:\n$p")
     assert(!p.contains("CartesianProduct"), p)
   }
 
