@@ -416,12 +416,18 @@ object Text {
     // V = number of distinct unigrams = the row count of `uni` — reusing it
     // saves a whole extra corpus explode + distinct-aggregate pass
     val v = uni.agg(F.count(F.lit(1)).as("__v"))
-    bi.join(big, Seq("__bg"))
+    // r16 (guide §2.3): the ppm is a function of the DISTINCT bigram
+    // alone — score the vocabulary table (one vocab-sized unigram probe
+    // join) and attach with ONE occurrence join, instead of running both
+    // probe joins over the corpus-sized occurrence frame. Identical
+    // per-occurrence __ppm, identical order-free per-doc sums.
+    val scored = big
       .withColumn("__w1", F.substring_index(F.col("__bg"), " ", 1))
       .join(uni, Seq("__w1"))
       .crossJoin(F.broadcast(v))
-      .select(F.col(idCol),
+      .select(F.col("__bg"),
         F.expr("((__c2 + 1) * 1000000) DIV (__c1 + __v)").as("__ppm"))
+    bi.join(scored, Seq("__bg"))
       .groupBy(idCol)
       .agg(F.count(F.lit(1)).as("n_bigrams"),
         F.sum("__ppm").as("lm_sum_ppm"))
@@ -468,8 +474,14 @@ object Text {
     // V and N from ONE aggregate over the unigram table: one scalar
     // broadcast instead of two redundant aggregation passes + cross joins
     val vn = uniC.agg(F.count(F.lit(1)).as("__v"), F.sum("__c1").as("__n"))
-    tri
-      .join(triC, Seq("__tg"))
+    // r16 (guide §2.3 "aggregate before you shuffle"): the score is a
+    // function of the DISTINCT trigram alone, so compute it once per
+    // vocabulary entry — four probe joins between VOCAB-sized count
+    // tables — and attach it to the corpus-sized occurrence frame with
+    // ONE gram-keyed join. The old spelling joined the occurrence frame
+    // against the count tables five times (five corpus-sized hash joins);
+    // identical per-occurrence __ppm, identical per-doc integer sums.
+    val scored = triC
       .withColumn("__ctx", F.substring_index(F.col("__tg"), " ", 2))
       .withColumn("__suf", F.substring_index(F.col("__tg"), " ", -2))
       .withColumn("__w2", F.substring_index(F.col("__suf"), " ", 1))
@@ -479,11 +491,13 @@ object Text {
       .join(uniC.select(F.col("__w").as("__w2"), F.col("__c1").as("__cw2")), Seq("__w2"))
       .join(uniC.select(F.col("__w").as("__w3"), F.col("__c1").as("__cw3")), Seq("__w3"))
       .crossJoin(F.broadcast(vn))
-      .select(F.col(idCol),
+      .select(F.col("__tg"),
         F.expr("""(6 * (((__c3 + 1) * 1000000) DIV (__cctx + __v))
                  + 3 * (((__csuf + 1) * 1000000) DIV (__cw2 + __v))
                  + 1 * (((__cw3 + 1) * 1000000) DIV (__n + __v))) DIV 10""")
           .as("__ppm"))
+    tri
+      .join(scored, Seq("__tg"))
       .groupBy(idCol)
       .agg(F.count(F.lit(1)).as("n_trigrams"),
         F.sum("__ppm").as("lm3_sum_ppm"))
