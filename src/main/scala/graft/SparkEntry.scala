@@ -2174,9 +2174,14 @@ object SparkEntry {
             F.col("value_cents") * 2L + 1L).otherwise(F.col("value_cents")))
         .unionByName(p.where(F.pmod(F.col("event_id"), F.lit(983L)) === 0L)
           .withColumn("event_id", F.col("event_id") + 1000000000L))
+      // cutRowHashes (r17): this synthetic damage hits every ~990th row, so
+      // ALL 16 shards mismatch and the row tier re-reads the whole corpus
+      // anyway — the once-per-side (shard, id, hash) cut halves the md5
+      // canonicalization passes (4 → 2) without losing any scan pruning
+      // (there is none to lose when damage is corpus-wide)
       functions.Scale.copyRepairPlan(p, copy, "event_id",
           Seq("event_id", "user_id", "ts", "value_cents", "event_type"),
-          shards = 16)
+          shards = 16, cutRowHashes = true)
         .orderBy("shard")
     }),
 

@@ -190,7 +190,8 @@ object Dedup {
     * self-joins and the two id-equi-joins to re-attach shingles. */
   def nearDupPairs(df: DataFrame, idCol: String, textCol: String, k: Int = 3,
                    numHashes: Int = 8, rowsPerBand: Int = 2,
-                   threshold: Double = 0.7): DataFrame = {
+                   threshold: Double = 0.7,
+                   reliableCheckpoint: Boolean = false): DataFrame = {
     // signature computed ONCE and lineage-cut (r16): the candidate stage's
     // bucket-count guard and its collect side are two subplans, and the
     // un-cut spelling re-ran the fused shingle+minhash pass (the dominant
@@ -202,10 +203,15 @@ object Dedup {
     // candidate subtrees then read the cache — an eager cut pays a separate
     // blocking job per call, which q141 (nearDupPairs over a 1/16 sample,
     // where the saved recompute is small) measured as a +0.3 s regression.
-    val sig = minhashSignature(df.select(F.col(idCol), F.col(textCol)),
+    // r17 (VERDICT r16 #6): the cut honors `reliableCheckpoint` — a lazy
+    // RELIABLE checkpoint(false) in the preemptible-executor posture, so an
+    // executor loss after the signature materializes stays recoverable;
+    // localCheckpoint blocks would die with the executor.
+    def lazyCut(d: DataFrame): DataFrame =
+      if (reliableCheckpoint) d.checkpoint(false) else d.localCheckpoint(false)
+    val sig = lazyCut(minhashSignature(df.select(F.col(idCol), F.col(textCol)),
         textCol, k, numHashes)
-      .select(F.col(idCol) +: (0 until numHashes).map(i => F.col(s"mh$i")): _*)
-      .localCheckpoint(false)
+      .select(F.col(idCol) +: (0 until numHashes).map(i => F.col(s"mh$i")): _*))
     val withSig = lshBands(sig, numHashes, rowsPerBand)
     val cands = lshCandidatePairs(withSig, idCol, numHashes / rowsPerBand)
     val sh = df.select(F.col(idCol), shingles(F.col(textCol), k).as("__sh"))
@@ -773,8 +779,17 @@ object Dedup {
     // reads the cache, so the regex tokenizer runs once, not twice. The
     // materialized frame is (id, tokens) ≈ corpus text size — the
     // trigramLmScore trade (Text.scala), accepted there since r13.
-    val toks = df.select(F.col(idCol), Text.tokens(F.col(textCol)).as("__t"))
-      .localCheckpoint(false)
+    // r17 (ADVICE r16): the cut honors `reliableCheckpoint` — a lazy
+    // RELIABLE checkpoint in that mode, so the mask-reassembly join stays
+    // recoverable after an executor loss (localCheckpoint blocks would
+    // not be).
+    val toks =
+      (if (reliableCheckpoint)
+        df.select(F.col(idCol), Text.tokens(F.col(textCol)).as("__t"))
+          .checkpoint(false)
+      else
+        df.select(F.col(idCol), Text.tokens(F.col(textCol)).as("__t"))
+          .localCheckpoint(false))
     // the grams frame feeds BOTH the dup-count aggregate and the probe
     // join — cut it ((id, pos, fp) only, text stays behind) so the
     // dominant tokenize+shingle+md5 scan runs once, not twice (the same
@@ -816,8 +831,16 @@ object Dedup {
     * [[maskDuplicatedSpans]] with the dup-count aggregate replaced by the
     * broadcast eval set. */
   def maskEvalSpans(df: DataFrame, idCol: String, textCol: String,
-      eval: DataFrame, evalTextCol: String, n: Int = 8): DataFrame = {
-    val toks = df.select(F.col(idCol), Text.tokens(F.col(textCol)).as("__t"))
+      eval: DataFrame, evalTextCol: String, n: Int = 8,
+      reliableCheckpoint: Boolean = false): DataFrame = {
+    // toks feeds the grams build AND the final mask join — lazily cut
+    // (r17, the q125 maskDuplicatedSpans treatment) so the regex
+    // tokenizer runs once, not twice. Same (id, tokens) ≈ corpus-text
+    // storage trade, same reliable spelling for the preemptible posture.
+    val toks0 = df.select(F.col(idCol), Text.tokens(F.col(textCol)).as("__t"))
+    val toks =
+      if (reliableCheckpoint) toks0.checkpoint(false)
+      else toks0.localCheckpoint(false)
     val evalFps = F.broadcast(eval
       .select(F.explode(shingles(F.col(evalTextCol), n)).as("__g"))
       .select(F.md5(F.col("__g")).as("fp")).distinct())
@@ -871,13 +894,18 @@ object Dedup {
     * always survive.
     *
     * Scale shape: `clusters` is the (id, cluster_id) frame from
-    * [[duplicateClusters]] — ids only. The argmax is one min-struct
-    * aggregate keyed by cluster (map-side combined), the keep set is ids
-    * only, and the corpus meets it in a semi-join — document text never
-    * shuffles. */
+    * [[duplicateClusters]] — ids only. The argmax is one max-struct
+    * aggregate keyed by cluster (map-side combined) over a narrow
+    * (id, quality) projection; the drop list (clustered non-winners) is
+    * ids only, and the corpus meets it in ONE anti-join pass — document
+    * text never shuffles. */
   def keepBestOfClusters(df: DataFrame, idCol: String, clusters: DataFrame,
       clIdCol: String, clClusterCol: String, qualityCol: String): DataFrame = {
+    // NULL cluster labels mean "not clustered" (ADVICE r16): the old
+    // left-join spelling passed such rows through untouched, so they must
+    // not collapse into one NULL group and lose all but one member here
     val cl = clusters.select(F.col(clIdCol).as(idCol), F.col(clClusterCol).as("__cl"))
+      .where(F.col("__cl").isNotNull)
     // r16 (guide §2.4): the old spelling joined the CORPUS to the cluster
     // map twice (the left-join frame fed both the argmax and the
     // unclustered pass-through) plus a third semi-join pass. The argmax

@@ -182,8 +182,14 @@ object Sampling {
     * exploded (id, bucket) features to share one scan is deliberately NOT
     * done — that frame has a row per token occurrence, typically a third
     * of the corpus size, which is the wrong thing to materialize when the
-    * alternative is re-reading column-pruned parquet. Documents with zero
-    * features (no tokens) produce no row, like their oracle.
+    * alternative is re-reading column-pruned parquet. Cutting the two
+    * ≤`buckets`-row DISTRIBUTION tables was tried in r17 (VERDICT r16
+    * #4) and measured SLOWER (q112 1.08 → 1.49 s at sf0.1, reverted):
+    * the executed plan's exchange reuse ALREADY dedups the srcCounts
+    * subtree between the ratio join and the ns total (2 corpus scans
+    * either way), so the cut only serialized the count jobs into the
+    * ratio broadcast build and lost the one-query AQE overlap. Documents
+    * with zero features (no tokens) produce no row, like their oracle.
     */
   def dsirWeights(corpus: DataFrame, target: DataFrame, idCol: String,
       textCol: String, buckets: Long = 4096L): DataFrame = {

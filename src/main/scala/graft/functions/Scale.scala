@@ -507,7 +507,8 @@ object Scale {
   }
 
   def bloomSemiJoin(big: DataFrame, small: DataFrame, bigKey: String,
-                    smallKey: String, fpp: Double = 0.03): DataFrame = {
+                    smallKey: String, fpp: Double = 0.03,
+                    reliableCheckpoint: Boolean = false): DataFrame = {
     import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
     import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
     import org.apache.spark.sql.graft.ColumnBridge.{column, expression}
@@ -522,10 +523,14 @@ object Scale {
     // (the sizing count, the bloom build, the final semi-join side) and
     // un-cut it re-ran the build-side scan + distinct per job; the lazy
     // cut materializes it once under the count and the later jobs read
-    // the cache — ids only, never payloads
-    val keys = small.select(F.col(smallKey))
+    // the cache — ids only, never payloads. r17 (VERDICT r16 #6): honors
+    // `reliableCheckpoint` (lazy RELIABLE checkpoint) so the preemptible-
+    // executor posture keeps the key frame recoverable.
+    val keys0 = small.select(F.col(smallKey))
       .where(F.col(smallKey).isNotNull).distinct()
-      .localCheckpoint(false)
+    val keys =
+      if (reliableCheckpoint) keys0.checkpoint(false)
+      else keys0.localCheckpoint(false)
     // size the sketch from the real build-side cardinality (one narrow
     // pass over the DISTINCT keys — the frame the join reuses below)
     val n = math.max(keys.count(), 1L)
@@ -879,25 +884,54 @@ object Scale {
     * with a shard-clustered layout the diff reads only corrupt shards —
     * the repair cost scales with the damage, not the corpus. `idCol` must
     * be a unique key on each side (a primary-key diff; duplicate ids
-    * would need a multiset diff on (id, h)). */
+    * would need a multiset diff on (id, h)).
+    *
+    * `cutRowHashes` (r17, VERDICT r16 #3 — the size-aware switch): when
+    * true, each side's (shard, id, 60-bit row hash) projection is
+    * computed ONCE, lineage-cut, and feeds BOTH its manifest aggregate
+    * and the row-level diff — 2 md5 corpus passes instead of 4. The cut
+    * frame is fixed-width (~50 B/row regardless of payload width), but
+    * it IS corpus-row-count-sized executor/checkpoint storage, and it
+    * forfeits the "row tier reads only corrupt shards" scan pruning —
+    * the right trade when damage is spread across most shards (every
+    * shard re-reads anyway) or the sides' payloads are wide (md5 over
+    * the canon string dominates); keep it off when the copy is
+    * shard-clustered and damage is localized. `reliableCheckpoint`
+    * swaps every cut here to the HDFS-backed spelling. */
   def copyRepairPlan(src: DataFrame, dst: DataFrame, idCol: String,
-                     cols: Seq[String], shards: Int = 16): DataFrame = {
-    val mSrc = digestManifest(src, idCol, cols, shards)
+                     cols: Seq[String], shards: Int = 16,
+                     cutRowHashes: Boolean = false,
+                     reliableCheckpoint: Boolean = false): DataFrame = {
+    def lazyCut(d: DataFrame): DataFrame =
+      if (reliableCheckpoint) d.checkpoint(false) else d.localCheckpoint(false)
+    // with the row-hash cut, the manifest tier derives from the SAME
+    // lazily-cut (shard, __id, __h) frame the row tier diffs on — the
+    // md5 canonicalization scan runs once per side, materialized inside
+    // the `bad` checkpoint job below
+    val (rowSrc, rowDst) =
+      if (cutRowHashes)
+        (Some(lazyCut(digestRowProjection(src, idCol, cols, shards))),
+         Some(lazyCut(digestRowProjection(dst, idCol, cols, shards))))
+      else (None, None)
+    val mSrc = rowSrc.map(r => digestManifestFrom(r.select("shard", "__h")))
+      .getOrElse(digestManifest(src, idCol, cols, shards))
       .select(F.col("shard"), F.col("cnt").as("src_cnt"),
         F.col("digest_hi").as("__sh"), F.col("digest_lo").as("__sl"))
-    val mDst = digestManifest(dst, idCol, cols, shards)
+    val mDst = rowDst.map(r => digestManifestFrom(r.select("shard", "__h")))
+      .getOrElse(digestManifest(dst, idCol, cols, shards))
       .select(F.col("shard"), F.col("cnt").as("dst_cnt"),
         F.col("digest_hi").as("__dh"), F.col("digest_lo").as("__dl"))
-    val bad = mSrc.join(mDst, Seq("shard"), "full")
+    val bad0 = mSrc.join(mDst, Seq("shard"), "full")
       .na.fill(0L, Seq("src_cnt", "dst_cnt", "__sh", "__sl", "__dh", "__dl"))
       .where(F.col("src_cnt") =!= F.col("dst_cnt") ||
         F.col("__sh") =!= F.col("__dh") || F.col("__sl") =!= F.col("__dl"))
       .select("shard", "src_cnt", "dst_cnt")
-      .localCheckpoint()
-    val s = digestRowProjection(src, idCol, cols, shards)
+    val bad =
+      if (reliableCheckpoint) bad0.checkpoint() else bad0.localCheckpoint()
+    val s = rowSrc.getOrElse(digestRowProjection(src, idCol, cols, shards))
       .join(F.broadcast(bad.select("shard")), Seq("shard"))
       .select(F.col("shard").as("__ss"), F.col("__id"), F.col("__h").as("__hs"))
-    val d = digestRowProjection(dst, idCol, cols, shards)
+    val d = rowDst.getOrElse(digestRowProjection(dst, idCol, cols, shards))
       .join(F.broadcast(bad.select("shard")), Seq("shard"))
       .select(F.col("shard").as("__sd"), F.col("__id"), F.col("__h").as("__hd"))
     // carry the shard each side was bucketed under (they agree — same
@@ -919,7 +953,13 @@ object Scale {
   }
 
   def digestManifest(df: DataFrame, idCol: String, cols: Seq[String],
-                     shards: Int = 16): DataFrame = {
+                     shards: Int = 16): DataFrame =
+    digestManifestFrom(digestProjection(df, idCol, cols, shards))
+
+  /** The manifest aggregate over an already-built (shard, __h) projection —
+    * shared by [[digestManifest]] and [[copyRepairPlan]]'s row-hash-cut
+    * path (which derives manifest AND row diff from ONE cut projection). */
+  private[graft] def digestManifestFrom(proj: DataFrame): DataFrame = {
     // r16 (guide §"expressions and codegen"): the digest sum used to
     // accumulate DECIMAL(38,0) per row — a boxed BigDecimal update on a
     // corpus-sized hot path. The 60-bit row hash splits exactly into three
@@ -927,7 +967,7 @@ object Scale {
     // overflows only past 2^43 ≈ 8.8e12 rows per shard — two orders past
     // the 100 TB row count); the exact DECIMAL(38,0) total reassembles once
     // per SHARD, so digest_hi/digest_lo are bit-identical.
-    digestProjection(df, idCol, cols, shards)
+    proj
       .groupBy("shard")
       .agg(F.count(F.lit(1)).as("cnt"),
         F.sum(F.expr("__h DIV 1099511627776")).as("__s2"),

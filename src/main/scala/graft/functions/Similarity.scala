@@ -494,29 +494,45 @@ object Similarity {
     * reason. Output per dimension: `n`, `med_ppm2` (= 2·median in ppm),
     * `mad_ppm4` (= 4·MAD in ppm) — divide by 2e6/4e6 downstream.
     *
-    * Scale shape: one explode in the scan stage, two percentile
-    * aggregations keyed by dimension (d groups — corpus-size-free
-    * output) with the d-row median table broadcast back between them.
-    * This EXACT tier buffers each dimension's full value list in the
-    * aggregation buffer and caps reducer parallelism at d — use it for
-    * exact answers at moderate corpus sizes, and
-    * [[dimensionRobustStatsSketch]] (bounded k values per dimension,
-    * deterministic, still oracle-exact) as the production face at
-    * 100 TB scale. */
+    * Scale shape (r17, guide §2.4): one explode in the scan stage into a
+    * SINGLE aggregation keyed by dimension (d groups — corpus-size-free
+    * output) that buffers the dimension's sorted value list once and
+    * reads median AND MAD from it — the old shape ran the corpus scan
+    * twice (a percentile pass for the median, a broadcast-back join and
+    * a second percentile pass for the MAD); since the exact tier buffers
+    * each dimension's full value list either way, the second scan bought
+    * nothing. Median is the same exact-percentile midpoint (even
+    * integers in, integral midpoint out — `(lo + hi) / 2` with an even
+    * sum is exact), MAD re-ranks the buffered deviations. This EXACT
+    * tier still caps reducer parallelism at d — use it for exact answers
+    * at moderate corpus sizes, and [[dimensionRobustStatsSketch]]
+    * (bounded k values per dimension, deterministic, still oracle-exact)
+    * as the production face at 100 TB scale. */
   def dimensionRobustStats(df: DataFrame, embCol: String): DataFrame = {
     val comps = df.where(F.col(embCol).isNotNull)
       .select(F.posexplode(F.col(embCol)).as(Seq("pos", "v")))
       .select(F.col("pos").cast("long").as("pos"),
         (F.round(F.col("v").cast("double") * F.lit(1e6)).cast("long") * 2L)
           .as("q2"))
-    val med = comps.groupBy("pos")
+    // exact-percentile(0.5) midpoint over a sorted array: ranks
+    // (m+1) DIV 2 and (m+2) DIV 2 (1-based) coincide for odd m and are
+    // the two middles for even m; their sum is even (all inputs are
+    // doubled), so DIV 2 is exact — bit-identical to
+    // percentile(x, 0.5) CAST AS LONG. collect_list skips NULLs exactly
+    // as percentile does, so ranks read size(__vs), not n.
+    def mid(arr: String): String =
+      s"""CASE WHEN size($arr) > 0 THEN
+            (element_at($arr, CAST((size($arr) + 1) DIV 2 AS INT)) +
+             element_at($arr, CAST((size($arr) + 2) DIV 2 AS INT))) DIV 2
+          END"""
+    comps.groupBy("pos")
       .agg(F.count(F.lit(1)).as("n"),
-        F.percentile(F.col("q2"), F.lit(0.5)).cast("long").as("med_ppm2"))
-    comps.join(F.broadcast(med), "pos")
-      .select(F.col("pos"), F.col("n"), F.col("med_ppm2"),
-        (F.abs(F.col("q2") - F.col("med_ppm2")) * 2L).as("__dev4"))
-      .groupBy("pos", "n", "med_ppm2")
-      .agg(F.percentile(F.col("__dev4"), F.lit(0.5)).cast("long").as("mad_ppm4"))
+        F.expr("array_sort(collect_list(q2))").as("__vs"))
+      .withColumn("med_ppm2", F.expr(mid("__vs")))
+      .withColumn("__devs", F.expr(
+        "array_sort(transform(__vs, x -> abs(x - med_ppm2) * 2L))"))
+      .withColumn("mad_ppm4", F.expr(mid("__devs")))
+      .select("pos", "n", "med_ppm2", "mad_ppm4")
   }
 
   /** Sketch-backed per-dimension robust stats — [[dimensionRobustStats]]'
@@ -629,12 +645,16 @@ object Similarity {
     val stats =
       if (sketchK > 0) dimensionRobustStatsSketch(df, idCol, embCol, sketchK)
       else dimensionRobustStats(df, embCol)
+    // LAZY cut (r17): the 1-row model feeds exactly one broadcast — the
+    // eager checkpoint paid a separate blocking job before the broadcast
+    // build could start; the lazy cut materializes inside the broadcast
+    // build itself (same single stats computation, one fewer job barrier)
     val model = stats
       .agg(F.sort_array(F.collect_list(
         F.struct(F.col("pos"), F.col("med_ppm2"), F.col("mad_ppm4")))).as("__s"))
       .select(F.expr("transform(__s, x -> x.med_ppm2)").as("__med2"),
         F.expr("transform(__s, x -> x.mad_ppm4)").as("__mad4"))
-      .localCheckpoint()
+      .localCheckpoint(false)
     val scored = df.where(F.col(embCol).isNotNull)
       .select(F.col(idCol), F.col(embCol).as("__e"))
       .crossJoin(F.broadcast(model))

@@ -3,7 +3,7 @@ package graft.tools
 import org.apache.spark.sql.SparkSession
 
 /** Writes `.explain("formatted")` output (plus the AQE final executed plan)
-  * for the named SparkEntry queries to `plans/r16/<name>_<suffix>.txt` —
+  * for the named SparkEntry queries to `$SPARK_GRAFT_PLANS_DIR/<name>_<suffix>.txt` (default plans/r17) —
   * the optimization round's before/after plan evidence. Usage:
   * `sbt "runMain graft.tools.ExplainDump before q60_dup_clusters ..."`.
   * With no query names, dumps every query in SparkEntry. */
@@ -23,7 +23,7 @@ object ExplainDump {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    val outDir = java.nio.file.Paths.get("plans/r16")
+    val outDir = java.nio.file.Paths.get(sys.env.getOrElse("SPARK_GRAFT_PLANS_DIR", "plans/r17"))
     java.nio.file.Files.createDirectories(outDir)
     names.foreach { q =>
       try {

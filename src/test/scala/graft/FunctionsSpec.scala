@@ -1373,6 +1373,18 @@ class FunctionsSpec extends AnyFunSuite {
     assert(kept == Set(2L, 4L))
   }
 
+  test("keepBestOfClusters: NULL cluster labels pass through as unclustered (ADVICE r16)") {
+    // a NULL label means "not clustered" — the drop-list build must not
+    // collapse null-labeled rows into one NULL group and keep only one
+    val docs = Seq((1L, 5L), (2L, 9L), (3L, 7L)).toDF("doc_id", "quality")
+    val clusters = Seq((1L, Option.empty[Long]), (2L, Option.empty[Long]),
+        (3L, Some(3L))).toDF("id", "cluster_id")
+    val kept = Dedup.keepBestOfClusters(docs, "doc_id", clusters,
+        "id", "cluster_id", "quality")
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(1L, 2L, 3L))
+  }
+
   test("keepBestOfClusters: fractional quality compares exactly (no long truncation)") {
     // 1.2 vs 1.9 floor to the same long — the argmax must still pick 1.9
     val docs = Seq((1L, 1.2), (2L, 1.9)).toDF("doc_id", "quality")

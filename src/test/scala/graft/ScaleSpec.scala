@@ -787,6 +787,53 @@ class ScaleSpec extends AnyFunSuite {
       Seq("id", "s"), shards = 4).count() == 0L)
   }
 
+  test("copyRepairPlan: cutRowHashes spelling is row-identical to the 4-scan shape (r17)") {
+    val src = (1L to 100L).map(i => (i, s"payload$i")).toDF("id", "s")
+    val copy = ((1L to 100L).filter(_ % 7L != 0L).map(i =>
+        (i, if (i % 11L == 0L) "CORRUPT" else s"payload$i")) :+ (1000L, "ghost"))
+      .toDF("id", "s")
+    def rows(cut: Boolean) =
+      Scale.copyRepairPlan(src, copy, "id", Seq("id", "s"), shards = 4,
+          cutRowHashes = cut)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getLong(3), r.getLong(4), r.getLong(5))).toSet
+    assert(rows(cut = true) == rows(cut = false))
+    // clean copy stays empty through the cut path too
+    assert(Scale.copyRepairPlan(src, src, "id", Seq("id", "s"), shards = 4,
+      cutRowHashes = true).count() == 0L)
+  }
+
+  test("dimensionRobustStats: single-pass sorted-array midpoint equals the exact-percentile spelling (r17)") {
+    import graft.functions.Similarity
+    // random corpora, odd AND even group sizes, negative and repeated
+    // values — the r17 single-pass rewrite must reproduce the old
+    // percentile(0.5)-cast-long two-pass output bit-for-bit
+    val rnd = new scala.util.Random(20260818L)
+    for (n <- Seq(1, 2, 3, 6, 17, 40)) {
+      val vecs = (1L to n.toLong).map(i =>
+        (i, Array.fill(3)((rnd.nextDouble() * 4 - 2).toFloat)))
+      val df = vecs.toDF("vec_id", "embedding")
+      val got = Similarity.dimensionRobustStats(df, "embedding")
+        .orderBy("pos").as[(Long, Long, Long, Long)].collect()
+      // reference: the pre-r17 spelling (two exact-percentile passes)
+      val comps = df.where(F.col("embedding").isNotNull)
+        .select(F.posexplode(F.col("embedding")).as(Seq("pos", "v")))
+        .select(F.col("pos").cast("long").as("pos"),
+          (F.round(F.col("v").cast("double") * F.lit(1e6)).cast("long") * 2L)
+            .as("q2"))
+      val med = comps.groupBy("pos")
+        .agg(F.count(F.lit(1)).as("n"),
+          F.percentile(F.col("q2"), F.lit(0.5)).cast("long").as("med_ppm2"))
+      val want = comps.join(F.broadcast(med), "pos")
+        .select(F.col("pos"), F.col("n"), F.col("med_ppm2"),
+          (F.abs(F.col("q2") - F.col("med_ppm2")) * 2L).as("__dev4"))
+        .groupBy("pos", "n", "med_ppm2")
+        .agg(F.percentile(F.col("__dev4"), F.lit(0.5)).cast("long").as("mad_ppm4"))
+        .orderBy("pos").as[(Long, Long, Long, Long)].collect()
+      assert(got.toSeq == want.toSeq, s"n=$n: ${got.toSeq} vs ${want.toSeq}")
+    }
+  }
+
   test("rangePartitionPlan: exact when sample covers, hand-replayed sample tier, skew leaves empty buckets visible") {
     def md5hex(s: String): String =
       java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
