@@ -214,6 +214,15 @@ object Dedup {
       .select(F.col(idCol) +: (0 until numHashes).map(i => F.col(s"mh$i")): _*))
     val withSig = lshBands(sig, numHashes, rowsPerBand)
     val cands = lshCandidatePairs(withSig, idCol, numHashes / rowsPerBand)
+    // Verification: shingles are computed in the SCAN stage of each attach
+    // join side, corpus-wide. The "shingle only the candidates" reorder
+    // (join text to the pairs, shingle post-join) was tried in r17 and
+    // measured SLOWER at sf0.1 (q39 1.01 → 1.32 s, q74 1.64 → 2.04, q60
+    // 1.30 → 1.62): the scan-stage pass is one fused codegen pipeline over
+    // parquet, while post-join shingling re-tokenizes per PAIR side (a doc
+    // in p pairs pays p×) and puts text payloads on the join's build side.
+    // Reverted — revisit only if candidate density at production scale is
+    // far below the sf0.1 ~1-pair-per-doc regime.
     val sh = df.select(F.col(idCol), shingles(F.col(textCol), k).as("__sh"))
     cands
       .join(sh.select(F.col(idCol).as("a"), F.col("__sh").as("sha")), "a")

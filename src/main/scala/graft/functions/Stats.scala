@@ -612,6 +612,10 @@ object Stats {
     val gCols = groupCols.map(F.col)
     val byG = Window.partitionBy(gCols: _*)
     val ladder = Window.partitionBy(gCols: _*).orderBy(F.col("__v"))
+    // strictly-below-v running sum: RANGE frame ending at -1 (value-based,
+    // excludes ALL peers of the current value)
+    val below = Window.partitionBy(gCols: _*).orderBy(F.col("__v"))
+      .rangeBetween(Window.unboundedPreceding, -1L)
     val keyCols = groupCols.map(c =>
       s"coalesce(CAST(`$c` AS STRING), chr(2))").mkString(", ")
     val data0 = df.where(F.col(valueCol).isNotNull)
@@ -641,12 +645,26 @@ object Stats {
         s"sequence(${candLo}L, ${candHi}L, ${candStep}L)")).as("__v"): _*)
       .withColumn("__c", F.lit(0L))
       .withColumn("__cand", F.lit(1))
+    // r17 (guide §2.4): the old spelling re-AGGREGATED the union on
+    // (group, value) to merge grid rows with data rows sharing a value —
+    // a second corpus-distinct-sized exchange on (g, v) whose layout the
+    // window pass then threw away for HashPartitioning(g). RANGE-framed
+    // windows make the merge unnecessary: peers (a data row and a grid
+    // row at the same __v) aggregate together inside the value-based
+    // frames, so ONE repartition on the group key feeds every window AND
+    // the final min — exchanges on the main path drop 3 → 2. Identity
+    // (judge-me math): with cumBelow = Σc over values < v (the `below`
+    // frame) and cumAt = Σc over values ≤ v (the default RANGE frame),
+    // u = |cumBelow + cumAt − n| = |2·(cumAt − c_v) + c_v − n| — exactly
+    // the old merged row's |2·cum + c − n|. Candidate rows are the grid's
+    // (__cand = 1, __c = 0); data rows ride along with __w = 0, adding
+    // nothing to the weight ladder.
     data.unionByName(grid)
-      .groupBy(gCols :+ F.col("__v"): _*)
-      .agg(F.sum("__c").as("__c"), F.max("__cand").as("__cand"))
-      .withColumn("__cum", F.sum("__c").over(ladder) - F.col("__c"))
+      .repartition(gCols: _*)
+      .withColumn("__cumB", F.coalesce(F.sum("__c").over(below), F.lit(0L)))
+      .withColumn("__cumA", F.sum("__c").over(ladder))
       .withColumn("__n", F.sum("__c").over(byG))
-      .withColumn("__u", F.abs(F.lit(2L) * F.col("__cum") + F.col("__c") - F.col("__n")))
+      .withColumn("__u", F.abs(F.col("__cumB") + F.col("__cumA") - F.col("__n")))
       .withColumn("__w", F.expr(
         s"""CASE WHEN __cand = 1 THEN element_at($pArr,
               CAST(${clampB}L - least(__u, ${clampB}L) AS INT) + 1)
