@@ -1373,6 +1373,47 @@ class FunctionsSpec extends AnyFunSuite {
     assert(kept == Set(2L, 4L))
   }
 
+  test("reliableCheckpoint spelling is result-identical on every lazy-cut site (VERDICT r16 #6)") {
+    // the three r16 lazy cuts + the r17 ones (maskEvalSpans toks,
+    // copyRepairPlan row hashes) must produce the same rows under the
+    // HDFS-backed reliable spelling as under localCheckpoint
+    val dir = java.nio.file.Files.createTempDirectory("graft_ckpt_spec")
+    spark.sparkContext.setCheckpointDir(dir.toString)
+    val docs = Seq(
+      (1L, "a b c d e f g"), (2L, "a b c d e f h"),
+      (3L, "x y z w v u t"), (4L, "x y z w v u t"),
+      (5L, "p q r s a b c d e f g p q r s"))
+      .toDF("doc_id", "text")
+    def rows(df: org.apache.spark.sql.DataFrame): Set[String] =
+      df.collect().map(_.toString).toSet
+    assert(rows(Dedup.nearDupPairs(docs, "doc_id", "text", k = 3,
+        numHashes = 4, rowsPerBand = 2, threshold = 0.05,
+        reliableCheckpoint = true)) ==
+      rows(Dedup.nearDupPairs(docs, "doc_id", "text", k = 3,
+        numHashes = 4, rowsPerBand = 2, threshold = 0.05)))
+    assert(rows(Dedup.maskDuplicatedSpans(docs, "doc_id", "text", n = 3,
+        minCount = 2L, reliableCheckpoint = true)) ==
+      rows(Dedup.maskDuplicatedSpans(docs, "doc_id", "text", n = 3,
+        minCount = 2L)))
+    assert(rows(Dedup.maskEvalSpans(docs, "doc_id", "text",
+        docs.where($"doc_id" === 5L), "text", n = 3,
+        reliableCheckpoint = true)) ==
+      rows(Dedup.maskEvalSpans(docs, "doc_id", "text",
+        docs.where($"doc_id" === 5L), "text", n = 3)))
+    val big = (1L to 50L).map(i => (i, i % 7L)).toDF("k", "v")
+    val small = Seq(0L, 1L, 2L).toDF("sk")
+    assert(rows(Scale.bloomSemiJoin(big, small, "k", "sk",
+        reliableCheckpoint = true)) ==
+      rows(Scale.bloomSemiJoin(big, small, "k", "sk")))
+    val src = (1L to 40L).map(i => (i, s"p$i")).toDF("id", "s")
+    val copy = (1L to 40L).filter(_ != 11L).map(i =>
+      (i, if (i == 13L) "X" else s"p$i")).toDF("id", "s")
+    assert(rows(Scale.copyRepairPlan(src, copy, "id", Seq("id", "s"),
+        shards = 4, cutRowHashes = true, reliableCheckpoint = true)) ==
+      rows(Scale.copyRepairPlan(src, copy, "id", Seq("id", "s"),
+        shards = 4)))
+  }
+
   test("keepBestOfClusters: NULL cluster labels pass through as unclustered (ADVICE r16)") {
     // a NULL label means "not clustered" — the drop-list build must not
     // collapse null-labeled rows into one NULL group and keep only one
